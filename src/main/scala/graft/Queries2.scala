@@ -1,0 +1,356 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.core.Tables
+
+/** Catalog expansion: percentiles, window functions, the full join-shape
+  * family (semi/anti/union/distinct), similarity search over embeddings,
+  * and MinHash/Jaccard near-dup detection.
+  *
+  * Scale notes (100 TB thinking): the similarity/minhash queries are all
+  * blocked — the self-joins key on a band signature or a coarse partition
+  * (label), never a cross join; candidate generation is O(collisions), not
+  * O(n²). Window queries partition by a high-cardinality key (user_id) so
+  * state per partition stays tiny.
+  */
+object Queries2 {
+
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(38, scale))).cast(DoubleType)
+
+  private def dsumSql(e: String, scale: Int = 4): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(38,$scale))) AS DOUBLE)"
+
+  private def t(name: String)(implicit env: (SparkSession, String)): DataFrame =
+    if (name == "events") Tables.events(env._1, env._2)
+    else Tables.load(env._1, env._2, name)
+
+  private def q(name: String, sql: String = null)(
+      body: (SparkSession, String) => DataFrame): (String, QueryDef) =
+    name -> QueryDef(body, Option(sql))
+
+  // ---- sybil percentiles (hist GetPercentiles analog; exact interpolated) --
+
+  val q25Percentile: (String, QueryDef) = q(
+    "q25_percentile",
+    """SELECT event_type,
+      |quantile_cont(value, 0.25) AS p25,
+      |quantile_cont(value, 0.50) AS p50,
+      |quantile_cont(value, 0.90) AS p90
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    t("events").groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.50)").as("p50"),
+        expr("percentile(value, 0.90)").as("p90"))
+      .orderBy(col("event_type"))
+  }
+
+  // ---- window functions: first-k-per-key (sessionization building block) --
+
+  val q26Window: (String, QueryDef) = q(
+    "q26_window_firstk",
+    s"""SELECT event_type, COUNT(*) AS cnt, ${dsumSql("value")} AS sum_value
+       |FROM (
+       |  SELECT event_type, value,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events)
+       |WHERE rn <= 3 GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t("events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  // ---- join shapes -------------------------------------------------------
+
+  /** TPC-H Q5 shape: star join through region→nation→supplier with the
+    * dims broadcast; only lineitem×orders shuffles. */
+  val q27JoinStar: (String, QueryDef) = q(
+    "q27_join_star",
+    s"""SELECT n_name, COUNT(*) AS cnt,
+       |${dsumSql("l_extendedprice*(1-l_discount)", 6)} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE o_orderstatus <> 'P'
+       |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    t("lineitem")
+      .join(t("orders").filter(col("o_orderstatus") =!= "P"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t("supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t("nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t("region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("cnt"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Semi join (EXISTS) — TPC-H Q4 shape. */
+  val q28SemiJoin: (String, QueryDef) = q(
+    "q28_semi_join",
+    """SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    t("orders")
+      .join(t("lineitem").filter(col("l_quantity") > 45),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Anti join (NOT EXISTS): customers without orders. */
+  val q29AntiJoin: (String, QueryDef) = q(
+    "q29_anti_join",
+    """SELECT c_mktsegment, COUNT(*) AS cnt FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    t("customer")
+      .join(t("orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** UNION ALL of filtered branches (sybil's implicit block union). */
+  val q30Union: (String, QueryDef) = q(
+    "q30_union",
+    s"""SELECT src, COUNT(*) AS cnt, ${dsumSql("value")} AS sum_value FROM (
+       |  SELECT 'hi' AS src, value FROM events WHERE value > 400
+       |  UNION ALL
+       |  SELECT 'lo' AS src, value FROM events WHERE value < 10
+       |) GROUP BY src ORDER BY src""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val ev = t("events")
+    ev.filter(col("value") > 400).select(lit("hi").as("src"), col("value"))
+      .unionAll(ev.filter(col("value") < 10).select(lit("lo").as("src"), col("value")))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("src"))
+  }
+
+  /** SELECT DISTINCT (dedup as a relational op). */
+  val q31DistinctRows: (String, QueryDef) = q(
+    "q31_distinct_rows",
+    """SELECT DISTINCT event_type, user_id % 10 AS u_mod FROM events
+      |ORDER BY event_type, u_mod""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    t("events")
+      .select(col("event_type"), (col("user_id") % 10).as("u_mod"))
+      .distinct()
+      .orderBy(col("event_type"), col("u_mod"))
+  }
+
+  /** Approximate count-distinct (HLL, sybil `-op distinct` — printer.go HLL
+    * path). Sketch internals differ per engine → rows-only check. */
+  val q32ApproxDistinct: (String, QueryDef) = q("q32_approx_distinct") { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    t("events").groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy(col("event_type"))
+  }
+
+  // ---- similarity search over embeddings ---------------------------------
+
+  private val dotSql =
+    """list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+      |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  /** Brute-force cosine top-k against one query vector (ANN baseline).
+    * Query side is a 1-row broadcast; scan side streams — at scale this is
+    * one pass over the table, no shuffle. */
+  val q33AnnBrute: (String, QueryDef) = q(
+    "q33_ann_bruteforce",
+    s"""WITH qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+       |SELECT b.vec_id,
+       |$dotSql /
+       | (SQRT(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y)) *
+       |  SQRT(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y))) AS sim
+       |FROM qv a, embeddings b
+       |WHERE b.vec_id <> 0
+       |ORDER BY sim DESC, b.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val e = t("embeddings")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val dot = aggregate(
+      zip_with(col("embedding"), col("qv"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    def norm(c: Column) = sqrt(aggregate(
+      transform(c, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), (dot / (norm(col("qv")) * norm(col("embedding")))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Embedding near-dup pairs, blocked by `label` (a coarse IVF-style
+    * partition): only intra-bucket pairs are scored → candidate generation
+    * is a per-bucket self-join, not O(n²). */
+  val q34EmbeddingPairs: (String, QueryDef) = q(
+    "q34_embedding_dup_pairs",
+    s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |$dotSql AS dot
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE $dotSql > 0.25
+       |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val e = t("embeddings")
+    val a = e.select(col("label"), col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = e.select(col("label").as("label2"), col("vec_id").as("id2"), col("embedding").as("e2"))
+    val dot = aggregate(
+      zip_with(col("e1"), col("e2"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    a.join(b, col("label") === col("label2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), dot.as("dot"))
+      .filter(col("dot") > 0.25)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  // ---- MinHash / Jaccard near-dup detection ------------------------------
+
+  /** 3-token shingles as an array column; docs shorter than 3 tokens are
+    * excluded (empty shingle sets disagree between engines otherwise). */
+  private def shinglesSpark(): Column =
+    transform(
+      sequence(lit(1), size(split(col("text"), " ")) - 2),
+      i => concat_ws(" ", slice(split(col("text"), " "), i, lit(3))))
+
+  private val shinglesSql =
+    "list_transform(range(1, len(string_split(text,' '))-1), i -> array_to_string((string_split(text,' '))[i:i+2], ' '))"
+
+  /** Per-document MinHash signature, k=4 hash functions (md5 with a seed
+    * prefix — identical hex in both engines; lexicographic min). */
+  val q35Minhash: (String, QueryDef) = q(
+    "q35_minhash_signature",
+    s"""WITH s AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM documents
+       |  WHERE len(string_split(text,' ')) >= 3)
+       |SELECT doc_id,
+       |  list_min(list_transform(sh, x -> md5('1:' || x))) AS mh1,
+       |  list_min(list_transform(sh, x -> md5('2:' || x))) AS mh2,
+       |  list_min(list_transform(sh, x -> md5('3:' || x))) AS mh3,
+       |  list_min(list_transform(sh, x -> md5('4:' || x))) AS mh4
+       |FROM s ORDER BY doc_id LIMIT 100""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    def mh(seed: Int) = array_min(
+      transform(col("sh"), x => md5(concat(lit(s"$seed:"), x)))).as(s"mh$seed")
+    t("documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), shinglesSpark().as("sh"))
+      .select(col("doc_id"), mh(1), mh(2), mh(3), mh(4))
+      .orderBy(col("doc_id"))
+      .limit(100)
+  }
+
+  /** LSH candidate pairs: 4 bands of 1 hash — docs sharing any band bucket.
+    * Implemented as 4 equi-joins on the band value (shuffle on band key,
+    * never a cross join) + distinct. */
+  val q36MinhashPairs: (String, QueryDef) = q(
+    "q36_minhash_pairs",
+    s"""WITH s AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM documents
+       |  WHERE len(string_split(text,' ')) >= 3),
+       |sig AS (
+       |  SELECT doc_id,
+       |    list_min(list_transform(sh, x -> md5('1:' || x))) AS mh1,
+       |    list_min(list_transform(sh, x -> md5('2:' || x))) AS mh2,
+       |    list_min(list_transform(sh, x -> md5('3:' || x))) AS mh3,
+       |    list_min(list_transform(sh, x -> md5('4:' || x))) AS mh4
+       |  FROM s),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b ON a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b ON a.mh2 = b.mh2 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b ON a.mh3 = b.mh3 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b ON a.mh4 = b.mh4 AND a.doc_id < b.doc_id)
+       |SELECT d1, d2 FROM pairs ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    def mh(seed: Int) = array_min(
+      transform(col("sh"), x => md5(concat(lit(s"$seed:"), x)))).as(s"mh$seed")
+    val sig = t("documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), shinglesSpark().as("sh"))
+      .select(col("doc_id"), mh(1), mh(2), mh(3), mh(4))
+    val bands = (1 to 4).map { j =>
+      val a = sig.select(col("doc_id").as("d1"), col(s"mh$j").as("band"))
+      val b = sig.select(col("doc_id").as("d2"), col(s"mh$j").as("band2"))
+      a.join(b, col("band") === col("band2") && col("d1") < col("d2"))
+        .select(col("d1"), col("d2"))
+    }
+    bands.reduce(_ unionAll _).distinct().orderBy(col("d1"), col("d2"))
+  }
+
+  /** Exact n-gram Jaccard on blocked candidates (same-source blocking):
+    * |A∩B| / |A∪B| over distinct 3-shingles — both counts are integers so
+    * the division is deterministic. */
+  val q37Jaccard: (String, QueryDef) = q(
+    "q37_ngram_jaccard",
+    s"""WITH s AS (
+       |  SELECT doc_id, source, list_distinct($shinglesSql) AS sh FROM documents
+       |  WHERE len(string_split(text,' ')) >= 3)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |  len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.sh, b.sh)) > 0
+       |ORDER BY d1, d2 LIMIT 200""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val docs = t("documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), col("source"), array_distinct(shinglesSpark()).as("sh"))
+    val a = docs.select(col("source"), col("doc_id").as("d1"), col("sh").as("sh1"))
+    val b = docs.select(col("source").as("source2"), col("doc_id").as("d2"), col("sh").as("sh2"))
+    val inter = size(array_intersect(col("sh1"), col("sh2")))
+    val union = size(array_distinct(concat(col("sh1"), col("sh2"))))
+    a.join(b, col("source") === col("source2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), (inter.cast("double") / union).as("jaccard"))
+      .filter(col("jaccard") > 0)
+      .orderBy(col("d1"), col("d2"))
+      .limit(200)
+  }
+
+  /** Document fingerprint: canonical hash of the sorted distinct vocabulary
+    * (rolling-hash-style content fingerprint, engine-identical md5). */
+  val q38Fingerprint: (String, QueryDef) = q(
+    "q38_fingerprint",
+    """SELECT doc_id,
+      |md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp
+      |FROM documents ORDER BY doc_id LIMIT 50""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    t("documents")
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("fp"))
+      .orderBy(col("doc_id"))
+      .limit(50)
+  }
+
+  val catalog: Seq[(String, QueryDef)] = Seq(
+    q25Percentile, q26Window, q27JoinStar, q28SemiJoin, q29AntiJoin,
+    q30Union, q31DistinctRows, q32ApproxDistinct, q33AnnBrute,
+    q34EmbeddingPairs, q35Minhash, q36MinhashPairs, q37Jaccard, q38Fingerprint)
+}
