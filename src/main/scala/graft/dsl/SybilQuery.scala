@@ -1,0 +1,207 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.functions.BasicHist
+
+/** Aggregation operators of the reference engine (`-op`,
+  * /root/reference/src/cmd/cmd_query.go:242-328). */
+sealed trait AggOp
+object AggOp {
+  case object CountOp extends AggOp
+  case object AvgOp extends AggOp
+  case object SumOp extends AggOp
+  case object HistOp extends AggOp
+  /** count-distinct; exact=false → HLL (sybil's LogLogBeta path). */
+  final case class DistinctOp(exact: Boolean = false) extends AggOp
+}
+
+/** One conjunct of the filter list. Missing column values (nulls) fail every
+  * filter, including negated ones — sybil semantics
+  * (/root/reference/src/lib/filter.go:172-174,200-202): SQL three-valued
+  * logic already drops null comparisons, and we intentionally do NOT add
+  * null-rescue for `neq`/`nre`/`nin`.
+  */
+sealed trait QFilter { def toColumn: Column }
+final case class IntFilter(name: String, op: String, v: Long) extends QFilter {
+  def toColumn: Column = op match {
+    case "gt"  => col(name) > v
+    case "lt"  => col(name) < v
+    case "eq"  => col(name) === v
+    case "neq" => col(name) =!= v
+    case other => throw new IllegalArgumentException(s"int filter op $other")
+  }
+}
+final case class StrFilter(name: String, op: String, v: String) extends QFilter {
+  def toColumn: Column = op match {
+    case "eq"  => col(name) === v
+    case "neq" => col(name) =!= v
+    case "re"  => col(name).rlike(v)
+    case "nre" => !col(name).rlike(v)
+    case other => throw new IllegalArgumentException(s"str filter op $other")
+  }
+}
+final case class SetFilter(name: String, op: String, v: String) extends QFilter {
+  def toColumn: Column = op match {
+    case "in"  => array_contains(col(name), v)
+    case "nin" => !array_contains(col(name), v)
+    case other => throw new IllegalArgumentException(s"set filter op $other")
+  }
+}
+
+/** Declarative query mirroring the reference's public query surface (the Go
+  * client builder, /root/reference/src/api/cmd_query.go:37-152:
+  * `Query().GroupBy(...).Aggregate(...).IntFilterGt(...).TimeSeries(...)`),
+  * compiled to a single DataFrame expression tree so Catalyst gets the
+  * whole plan (pushdown, pruning, partial aggregation — SURVEY.md §4).
+  *
+  * Intentionally NOT replicated from the reference: the lossy top-k prune
+  * (aggregate.go:469-495) and the 100k group cap (aggregate.go:15) — Spark
+  * computes exact results with bounded memory via spillable hash
+  * aggregation, so the approximations would only lose correctness.
+  */
+final case class SybilQuery(
+    groups: Seq[String] = Nil,
+    aggCols: Seq[String] = Nil,
+    op: AggOp = AggOp.CountOp,
+    filters: Seq[QFilter] = Nil,
+    distinctCols: Seq[String] = Nil,
+    timeCol: String = "time",
+    timeBucket: Option[Long] = None,
+    weightCol: Option[String] = None,
+    strReplace: Map[String, (String, String)] = Map.empty,
+    sortBy: Option[String] = None, // None → $COUNT (sybil default)
+    sortAsc: Boolean = false,
+    limit: Option[Int] = Some(100),
+    samples: Boolean = false,
+    sampleCols: Seq[String] = Nil,
+    histBuckets: Int = 1000) {
+
+  def groupBy(cols: String*): SybilQuery = copy(groups = groups ++ cols)
+  def aggregate(cols: String*): SybilQuery = copy(aggCols = aggCols ++ cols)
+  def withOp(o: AggOp): SybilQuery = copy(op = o)
+  def intFilterGt(c: String, v: Long): SybilQuery = copy(filters = filters :+ IntFilter(c, "gt", v))
+  def intFilterLt(c: String, v: Long): SybilQuery = copy(filters = filters :+ IntFilter(c, "lt", v))
+  def intFilterEq(c: String, v: Long): SybilQuery = copy(filters = filters :+ IntFilter(c, "eq", v))
+  def intFilterNeq(c: String, v: Long): SybilQuery = copy(filters = filters :+ IntFilter(c, "neq", v))
+  def strFilterEq(c: String, v: String): SybilQuery = copy(filters = filters :+ StrFilter(c, "eq", v))
+  def strFilterNeq(c: String, v: String): SybilQuery = copy(filters = filters :+ StrFilter(c, "neq", v))
+  def strFilterRe(c: String, v: String): SybilQuery = copy(filters = filters :+ StrFilter(c, "re", v))
+  def strFilterNre(c: String, v: String): SybilQuery = copy(filters = filters :+ StrFilter(c, "nre", v))
+  def setFilterIn(c: String, v: String): SybilQuery = copy(filters = filters :+ SetFilter(c, "in", v))
+  def setFilterNin(c: String, v: String): SybilQuery = copy(filters = filters :+ SetFilter(c, "nin", v))
+  def distinct(cols: String*): SybilQuery = copy(distinctCols = cols, op = AggOp.DistinctOp())
+  def timeSeries(col: String, bucketSecs: Long): SybilQuery =
+    copy(timeCol = col, timeBucket = Some(bucketSecs))
+  /** Designate the time column without turning on time-series bucketing
+    * (sybil `-time-col`, cmd_query.go:39). */
+  def timeColumn(col: String): SybilQuery = copy(timeCol = col)
+  def weighted(col: String): SybilQuery = copy(weightCol = Some(col))
+  def replace(col: String, pattern: String, replacement: String): SybilQuery =
+    copy(strReplace = strReplace + (col -> (pattern, replacement)))
+  def sort(col: String): SybilQuery = copy(sortBy = Some(col))
+  def ascending: SybilQuery = copy(sortAsc = true)
+  def limitTo(n: Int): SybilQuery = copy(limit = Some(n))
+  def takeSamples(cols: String*): SybilQuery = copy(samples = true, sampleCols = cols)
+
+  /** Compile and run against a table DataFrame. */
+  def run(df: DataFrame): DataFrame = {
+    // str-replace pre-transform (table_query.go:34-51): rewrite the column
+    // before any filter/group sees it.
+    var d = strReplace.foldLeft(df) { case (acc, (c, (pat, rep))) =>
+      acc.withColumn(c, regexp_replace(col(c), pat, rep))
+    }
+
+    // time-filter bucket alignment (filter.go:86-95): int filters on the
+    // time column are floored to the bucket boundary.
+    val aligned = timeBucket match {
+      case Some(b) => filters.map {
+        case IntFilter(c, o, v) if c == timeCol => IntFilter(c, o, v / b * b)
+        case f => f
+      }
+      case None => filters
+    }
+    if (aligned.nonEmpty) d = d.filter(aligned.map(_.toColumn).reduce(_ && _))
+
+    if (samples) {
+      // `-samples` (table_query.go:96-103; printer.go:416-455): newest
+      // first, limited, selected columns. Remaining columns break time ties
+      // so the result is fully deterministic (the reference's block order is
+      // not; exactness wins for the oracle gate).
+      val names = if (sampleCols.nonEmpty) sampleCols else d.columns.toSeq
+      return d.select(names.map(col): _*)
+        .orderBy(col(timeCol).desc +: names.filterNot(_ == timeCol).map(col(_).asc): _*)
+        .limit(limit.getOrElse(100))
+    }
+
+    val w: Column = weightCol.map(col).getOrElse(lit(1L))
+    // group keys; missing group value renders as "" (aggregate.go:305-313)
+    val keyCols = groups.map(g => coalesce(col(g).cast("string"), lit("")).as(g))
+    val bucketCol = timeBucket.map { b =>
+      (col(timeCol).cast(LongType) / b).cast(LongType) * b
+    }
+    val allKeys = bucketCol.map(_.as("time_bucket")).toSeq ++ keyCols
+
+    val countAgg = sum(w).cast(LongType).as("Count")
+    val samplesAgg = count(lit(1)).as("Samples")
+    // exact decimal accumulation; skip the *weight multiply when unweighted
+    // so the decimal type (and thus rounding) is engine-portable
+    def wsum(c: String): Column = weightCol match {
+      case Some(wc) => sum(col(c).cast(DecimalType(38, 6)) * col(wc))
+      case None     => sum(col(c).cast(DecimalType(38, 6)))
+    }
+
+    val aggs: Seq[Column] = op match {
+      case AggOp.CountOp => Seq(countAgg, samplesAgg)
+      case AggOp.AvgOp =>
+        Seq(countAgg, samplesAgg) ++ aggCols.map { c =>
+          (wsum(c).cast(DoubleType) / sum(w)).as(s"${c}_avg")
+        }
+      case AggOp.SumOp =>
+        Seq(countAgg, samplesAgg) ++ aggCols.map { c =>
+          wsum(c).cast(DoubleType).as(s"${c}_sum")
+        }
+      case AggOp.HistOp =>
+        // two-pass: column extents first (sybil reads them from the stored
+        // IntInfo sidecar; parquet footer stats make this scan ~free)
+        Seq(countAgg, samplesAgg) ++ aggCols.map { c =>
+          val Array(mn, mx) = d.agg(
+            min(col(c).cast(LongType)), max(col(c).cast(LongType)))
+            .collect()(0) match {
+              case r if r.isNullAt(0) => Array(0L, 0L)
+              case r => Array(r.getLong(0), r.getLong(1))
+            }
+          BasicHist.hist(col(c).cast(LongType), w.cast(LongType), mn, mx,
+            histBuckets).as(s"${c}_hist")
+        }
+      case AggOp.DistinctOp(exact) =>
+        val dcols = (if (distinctCols.nonEmpty) distinctCols else aggCols).map(col)
+        Seq(countAgg, samplesAgg,
+          (if (exact) countDistinct(dcols.head, dcols.tail: _*)
+           else approx_count_distinct(concat_ws("", dcols: _*))).as("Distinct"))
+    }
+
+    val grouped =
+      if (allKeys.nonEmpty) d.groupBy(allKeys: _*).agg(aggs.head, aggs.tail: _*)
+      else d.agg(aggs.head, aggs.tail: _*)
+
+    // order: by $COUNT desc by default (aggregate.go:33-54), -sort-asc flips
+    val sortCol = sortBy match {
+      case None | Some("$COUNT") => col("Count")
+      case Some(c) =>
+        if (grouped.columns.contains(s"${c}_avg")) col(s"${c}_avg") else col(c)
+    }
+    val keyNames = bucketCol.map(_ => "time_bucket").toSeq ++ groups
+    val ordered = grouped.orderBy(
+      (if (sortAsc) sortCol.asc else sortCol.desc) +:
+        keyNames.map(col(_).asc): _*)
+    limit.map(ordered.limit).getOrElse(ordered)
+  }
+}
+
+object SybilQuery {
+  /** `Query()` — entry point matching the reference client. */
+  def apply(): SybilQuery = new SybilQuery()
+}

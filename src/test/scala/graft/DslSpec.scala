@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.dsl.{AggOp, SybilQuery}
+
+/** DSL semantics, replicating the reference's unit-test scheme
+  * (/root/reference/src/lib/aggregate_test.go, filter_test.go, and the
+  * helpers_test.go synthetic table: id / age / age_str / age_set / time —
+  * FIXTURES.md §1): group-by a stringified copy of the agg column so the
+  * query is self-checking.
+  */
+class DslSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = {
+    val rnd = new scala.util.Random(42)
+    val now = 1700000000L
+    (0 until 2000).map { i =>
+      val age = rnd.nextInt(20) + 10
+      val time = now - rnd.nextInt(50 * 3600)
+      (i.toLong, age.toLong, age.toString, Seq(age.toString), time,
+        (rnd.nextInt(3) * 10 + 1).toLong)
+    }.toDF("id", "age", "age_str", "age_set", "time", "weight")
+  }
+
+  test("group-by avg is self-consistent: avg(age) over group age_str == age_str") {
+    // aggregate_test.go:58-91
+    val rows = SybilQuery().groupBy("age_str").aggregate("age")
+      .withOp(AggOp.AvgOp).limitTo(100).run(df).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("age_avg") === r.getAs[String]("age_str").toDouble)
+    }
+  }
+
+  test("filters: eq/neq/lt/gt counts (filter_test.go:108-115 scheme)") {
+    def cnt(q: SybilQuery): Long =
+      q.withOp(AggOp.CountOp).limitTo(1000).run(df)
+        .agg(sum("Count")).collect()(0).getLong(0)
+    val all = df.count()
+    val eq20 = cnt(SybilQuery().groupBy("age_str").intFilterEq("age", 20))
+    val neq20 = cnt(SybilQuery().groupBy("age_str").intFilterNeq("age", 20))
+    assert(eq20 + neq20 === all)
+    assert(SybilQuery().groupBy("age_str").intFilterNeq("age", 20)
+      .limitTo(1000).run(df).count() === 19)
+    val lt = cnt(SybilQuery().intFilterLt("age", 20))
+    val gt = cnt(SybilQuery().intFilterGt("age", 20))
+    assert(lt + gt + eq20 === all)
+    // str + regex filters agree with int filters on the mirrored column
+    assert(cnt(SybilQuery().strFilterEq("age_str", "20")) === eq20)
+    assert(cnt(SybilQuery().strFilterRe("age_str", "^2")) ===
+      cnt(SybilQuery().intFilterGt("age", 19)))
+    assert(cnt(SybilQuery().strFilterNre("age_str", "^2")) ===
+      cnt(SybilQuery().intFilterLt("age", 20)))
+    // set membership
+    assert(cnt(SybilQuery().setFilterIn("age_set", "20")) === eq20)
+    assert(cnt(SybilQuery().setFilterNin("age_set", "20")) === neq20)
+  }
+
+  test("missing values fail every filter and group as empty string") {
+    // filter.go:172-174; aggregate.go:305-313
+    val withNulls = df.withColumn("age",
+      when(col("id") % 2 === 0, col("age"))) // odd ids → null age
+      .withColumn("age_str", when(col("id") % 2 === 0, col("age_str")))
+    val evens = withNulls.filter(col("id") % 2 === 0).count()
+    assert(SybilQuery().intFilterGt("age", 0).limitTo(10000)
+      .run(withNulls).agg(sum("Count")).collect()(0).getLong(0) === evens)
+    // neq also fails on missing (no null-rescue)
+    assert(SybilQuery().intFilterNeq("age", -1).limitTo(10000)
+      .run(withNulls).agg(sum("Count")).collect()(0).getLong(0) === evens)
+    val groups = SybilQuery().groupBy("age_str").limitTo(1000)
+      .run(withNulls).collect()
+    val empty = groups.find(_.getAs[String]("age_str") == "")
+    assert(empty.isDefined && empty.get.getAs[Long]("Count") === df.count() - evens)
+  }
+
+  test("weighted count: Count=sum(weight), Samples=rows (aggregate.go:68,100-102)") {
+    val r = SybilQuery().weighted("weight").limitTo(10).run(df).collect()(0)
+    val wsum = df.agg(sum("weight")).collect()(0).getLong(0)
+    assert(r.getAs[Long]("Count") === wsum)
+    assert(r.getAs[Long]("Samples") === df.count())
+  }
+
+  test("time series buckets are aligned, non-empty, and partition the data") {
+    // aggregate_test.go:227-239
+    val bucket = 3600L
+    val rows = SybilQuery().timeSeries("time", bucket).limitTo(1000)
+      .run(df).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("time_bucket") % bucket === 0))
+    assert(rows.map(_.getAs[Long]("Count")).sum === df.count())
+  }
+
+  test("time filters are floored to the bucket boundary (filter.go:86-95)") {
+    val bucket = 3600L
+    val cutoff = 1700000000L - 7 * 3600 + 1234 // not aligned
+    val aligned = cutoff / bucket * bucket
+    val got = SybilQuery().timeSeries("time", bucket)
+      .intFilterGt("time", cutoff).limitTo(10000).run(df)
+      .agg(sum("Count")).collect()(0).getLong(0)
+    assert(got === df.filter(col("time") > aligned).count())
+  }
+
+  test("order by $COUNT desc default; -sort-asc flips (aggregate.go:33-54)") {
+    val desc = SybilQuery().groupBy("age_str").limitTo(100).run(df)
+      .collect().map(_.getAs[Long]("Count"))
+    assert(desc.zip(desc.tail).forall { case (a, b) => a >= b })
+    val asc = SybilQuery().groupBy("age_str").ascending.limitTo(100).run(df)
+      .collect().map(_.getAs[Long]("Count"))
+    assert(asc.zip(asc.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("limit and samples mode") {
+    assert(SybilQuery().groupBy("age_str").limitTo(5).run(df).count() === 5)
+    val s = SybilQuery().takeSamples("id", "age", "time").limitTo(7)
+      .intFilterGt("age", 15).run(df).collect()
+    assert(s.length === 7)
+    // newest first
+    val times = s.map(_.getAs[Long]("time"))
+    assert(times.zip(times.tail).forall { case (a, b) => a >= b })
+    assert(s.forall(_.getAs[Long]("age") > 15))
+  }
+
+  test("str-replace rewrites before grouping (table_query.go:34-51)") {
+    val rows = SybilQuery().replace("age_str", "^1", "X").groupBy("age_str")
+      .limitTo(100).run(df).collect()
+    val keys = rows.map(_.getAs[String]("age_str")).toSet
+    assert(keys.forall(k => k.startsWith("X") || k.startsWith("2")))
+    assert(keys.count(_.startsWith("X")) === 10)
+  }
+
+  test("distinct op: exact and approximate within HLL tolerance") {
+    val exact = SybilQuery().distinct("age_str")
+      .withOp(AggOp.DistinctOp(exact = true)).limitTo(10).run(df)
+      .collect()(0).getAs[Long]("Distinct")
+    assert(exact === 20)
+    val approx = SybilQuery().distinct("age_str").limitTo(10).run(df)
+      .collect()(0).getAs[Long]("Distinct")
+    assert(math.abs(approx - 20) <= 2) // HLL rsd default 5%
+  }
+
+  test("hist op end-to-end per group") {
+    val rows = SybilQuery().groupBy("age_str").aggregate("age")
+      .withOp(AggOp.HistOp).limitTo(100).run(df).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val h = r.getAs[Row]("age_hist")
+      val expected = r.getAs[String]("age_str").toLong
+      assert(h.getAs[Double]("mean") === expected.toDouble)
+      assert(h.getAs[Long]("min") === expected)
+      assert(h.getAs[Long]("max") === expected)
+      val pcts = h.getAs[collection.Seq[Long]]("percentiles")
+      assert(pcts(25) === expected && pcts(50) === expected && pcts(75) === expected)
+    }
+  }
+}
