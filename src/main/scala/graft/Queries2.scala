@@ -265,12 +265,9 @@ object Queries2 {
       .limit(100)
   }
 
-  /** LSH candidate pairs: 4 bands of 1 hash — docs sharing any band bucket.
-    * Implemented as 4 equi-joins on the band value (shuffle on band key,
-    * never a cross join) + distinct. */
-  val q36MinhashPairs: (String, QueryDef) = q(
-    "q36_minhash_pairs",
-    s"""WITH s AS (
+  /** Shared CTE text for signature-based SQL (sig → 4 minhashes/doc). */
+  private val sigSql =
+    s"""s AS (
        |  SELECT doc_id, $shinglesSql AS sh FROM documents
        |  WHERE len(string_split(text,' ')) >= 3),
        |sig AS (
@@ -280,57 +277,85 @@ object Queries2 {
        |    list_min(list_transform(sh, x -> md5('3:' || x))) AS mh3,
        |    list_min(list_transform(sh, x -> md5('4:' || x))) AS mh4
        |  FROM s),
+       |bands AS (
+       |  SELECT doc_id, 1 AS band, mh1 || mh2 AS mh FROM sig
+       |  UNION ALL SELECT doc_id, 2, mh3 || mh4 FROM sig),
        |pairs AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b ON a.mh1 = b.mh1 AND a.doc_id < b.doc_id
-       |  UNION
-       |  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b ON a.mh2 = b.mh2 AND a.doc_id < b.doc_id
-       |  UNION
-       |  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b ON a.mh3 = b.mh3 AND a.doc_id < b.doc_id
-       |  UNION
-       |  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b ON a.mh4 = b.mh4 AND a.doc_id < b.doc_id)
-       |SELECT d1, d2 FROM pairs ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-    implicit val env: (SparkSession, String) = (s, dir)
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Spark side of the signature pipeline: (doc_id, band, mh) with bands of
+    * r=2 minhashes (collision prob = jaccard², which kills the hot-bucket
+    * blowup 1-hash bands hit on small vocabularies). The token split runs
+    * behind a repartition barrier: higher-order-function lambdas are not
+    * codegen'd and CollapseProject would otherwise inline the O(tokens²)
+    * shingle build into every minhash expression. */
+  private def bandsSpark(docs: DataFrame): DataFrame = {
     def mh(seed: Int) = array_min(
-      transform(col("sh"), x => md5(concat(lit(s"$seed:"), x)))).as(s"mh$seed")
-    val sig = t("documents")
+      transform(col("sh"), x => md5(concat(lit(s"$seed:"), x))))
+    val toks = docs
       .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), shinglesSpark().as("sh"))
-      .select(col("doc_id"), mh(1), mh(2), mh(3), mh(4))
-    val bands = (1 to 4).map { j =>
-      val a = sig.select(col("doc_id").as("d1"), col(s"mh$j").as("band"))
-      val b = sig.select(col("doc_id").as("d2"), col(s"mh$j").as("band2"))
-      a.join(b, col("band") === col("band2") && col("d1") < col("d2"))
-        .select(col("d1"), col("d2"))
-    }
-    bands.reduce(_ unionAll _).distinct().orderBy(col("d1"), col("d2"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .repartition(col("doc_id"))
+    val sh = toks.select(col("doc_id"),
+      transform(sequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ", slice(col("toks"), i, lit(3)))).as("sh"))
+    sh.select(col("doc_id"), array(
+        struct(lit(1).as("band"), concat(mh(1), mh(2)).as("mh")),
+        struct(lit(2).as("band"), concat(mh(3), mh(4)).as("mh"))).as("bs"))
+      .select(col("doc_id"), explode(col("bs")).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.mh").as("mh"))
   }
 
-  /** Exact n-gram Jaccard on blocked candidates (same-source blocking):
-    * |A∩B| / |A∪B| over distinct 3-shingles — both counts are integers so
-    * the division is deterministic. */
+  private def lshPairsSpark(docs: DataFrame): DataFrame = {
+    val bands = bandsSpark(docs)
+    val a = bands.select(col("doc_id").as("d1"), col("band"), col("mh"))
+    val b = bands.select(col("doc_id").as("d2"), col("band").as("band2"), col("mh").as("mh2"))
+    a.join(b, col("band") === col("band2") && col("mh") === col("mh2") &&
+        col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
+  /** LSH candidate pairs: 4 bands of 1 hash — docs sharing any band bucket.
+    * A single shuffle join on (band, minhash); never a cross join. */
+  val q36MinhashPairs: (String, QueryDef) = q(
+    "q36_minhash_pairs",
+    s"""WITH $sigSql
+       |SELECT d1, d2 FROM pairs ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    lshPairsSpark(t("documents")).orderBy(col("d1"), col("d2"))
+  }
+
+  /** Exact n-gram Jaccard, verified ONLY on the LSH candidate pairs — the
+    * scalable two-stage near-dup pipeline (candidate generation is
+    * O(band collisions); the O(shingles) set intersection runs per
+    * candidate, not per document pair). |A∩B| and |A∪B| are integers, so
+    * the division is engine-deterministic. */
   val q37Jaccard: (String, QueryDef) = q(
     "q37_ngram_jaccard",
-    s"""WITH s AS (
-       |  SELECT doc_id, source, list_distinct($shinglesSql) AS sh FROM documents
-       |  WHERE len(string_split(text,' ')) >= 3)
-       |SELECT a.doc_id AS d1, b.doc_id AS d2,
-       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-       |  len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-       |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
-       |WHERE len(list_intersect(a.sh, b.sh)) > 0
-       |ORDER BY d1, d2 LIMIT 200""".stripMargin) { (s, dir) =>
+    s"""WITH $sigSql,
+       |shset AS (
+       |  SELECT doc_id, list_distinct(sh) AS shd FROM s)
+       |SELECT d1, d2,
+       |  CAST(len(list_intersect(x.shd, y.shd)) AS DOUBLE) /
+       |  len(list_distinct(list_concat(x.shd, y.shd))) AS jaccard
+       |FROM pairs JOIN shset x ON x.doc_id = d1 JOIN shset y ON y.doc_id = d2
+       |ORDER BY jaccard DESC, d1, d2 LIMIT 200""".stripMargin) { (s, dir) =>
     implicit val env: (SparkSession, String) = (s, dir)
     val docs = t("documents")
+    val shset = docs
       .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), col("source"), array_distinct(shinglesSpark()).as("sh"))
-    val a = docs.select(col("source"), col("doc_id").as("d1"), col("sh").as("sh1"))
-    val b = docs.select(col("source").as("source2"), col("doc_id").as("d2"), col("sh").as("sh2"))
+      .select(col("doc_id"), array_distinct(shinglesSpark()).as("shd"))
+    val x = shset.select(col("doc_id").as("xid"), col("shd").as("sh1"))
+    val y = shset.select(col("doc_id").as("yid"), col("shd").as("sh2"))
     val inter = size(array_intersect(col("sh1"), col("sh2")))
     val union = size(array_distinct(concat(col("sh1"), col("sh2"))))
-    a.join(b, col("source") === col("source2") && col("d1") < col("d2"))
+    lshPairsSpark(docs)
+      .join(x, col("xid") === col("d1"))
+      .join(y, col("yid") === col("d2"))
       .select(col("d1"), col("d2"), (inter.cast("double") / union).as("jaccard"))
-      .filter(col("jaccard") > 0)
-      .orderBy(col("d1"), col("d2"))
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
       .limit(200)
   }
 
