@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.sources.GraftTable
+
+/** Structured Streaming surface. The reference engine has no true streaming
+  * (SURVEY.md §2.10) — ingestion is micro-batched appends + a digest pass —
+  * so this module is the Spark-native extension: the same time-bucketed
+  * aggregation semantics as the batch DSL, but incremental, with
+  * watermark-bounded state, plus a stateful sessionizer and a streaming
+  * digest loop that feeds [[GraftTable]].
+  */
+object Streams {
+
+  /** Streaming version of the DSL's time-bucket aggregation
+    * (`-time -time-bucket S` — aggregate.go:145-183): tumbling windows over
+    * an epoch-seconds column, watermarked so state is bounded. Late rows
+    * beyond the watermark are dropped — semantics batch sybil never needed,
+    * declared here explicitly.
+    */
+  def timeBucketCounts(
+      events: DataFrame,
+      tsCol: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      bucketSecs: Long,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("__ts", timestamp_seconds(col(tsCol).cast(LongType)))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), s"$bucketSecs seconds") +: groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("Count"),
+        sum(col(valueCol).cast(DecimalType(38, 6))).cast(DoubleType).as("sum_value"))
+      .select(
+        col("window.start").cast(LongType).as("time_bucket") +:
+          groupCols.map(col) :+ col("Count") :+ col("sum_value"): _*)
+
+  case class SessionUpdate(key: String, events: Long, firstSeen: Long, lastSeen: Long, closed: Boolean)
+
+  /** Per-key session state via mapGroupsWithState: counts events per key,
+    * closes the session after `gapSecs` of processing-time silence. The
+    * custom-state extension point the reference's Lua stub never delivered
+    * (config.go:28 ENABLE_LUA=false).
+    */
+  def sessionize(
+      events: Dataset[(String, Long)], // (key, epoch seconds)
+      gapSecs: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val timed = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), SessionUpdate](timeout) {
+        case (key, rows, state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, first, last) = state.get
+            state.remove()
+            SessionUpdate(key, n, first, last, closed = true)
+          } else {
+            val ts = rows.map(_._2).toSeq
+            val (n0, first0, last0) = state.getOption.getOrElse((0L, Long.MaxValue, 0L))
+            val next = (n0 + ts.size, math.min(first0, ts.min), math.max(last0, ts.max))
+            state.update(next)
+            if (timed) state.setTimeoutDuration(gapSecs * 1000)
+            SessionUpdate(key, next._1, next._2, next._3, closed = false)
+          }
+      }
+  }
+
+  /** Streaming digest loop: drain a JSON-lines directory into a GraftTable
+    * with `Trigger.AvailableNow` — the reference's `sybil digest` cycle
+    * (table_ingest.go:287-331) as an incremental job with checkpointed
+    * progress instead of file locks.
+    */
+  def digestStream(
+      spark: SparkSession,
+      srcDir: String,
+      table: GraftTable,
+      checkpoint: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .json(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) table.ingest(batch)
+      }
+      .start()
+    q.awaitTermination()
+    table.digest()
+  }
+}

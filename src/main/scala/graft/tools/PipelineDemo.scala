@@ -1,0 +1,70 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.core.GraftSession
+import graft.dsl.SybilQuery
+import graft.operators.Multimodal
+import graft.sources.{GraftTable, Ingest}
+import graft.streaming.Streams
+
+/** Dev scratch: drive the full library surface end-to-end — ingest JSONL
+  * with sybil coercions, digest into a GraftTable, query via the DSL,
+  * streaming-digest a second directory, run the multimodal feature path.
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(8)
+    import spark.implicits._
+
+    // 1. JSON ingest with coercions
+    val src = Files.createTempDirectory("demo-src")
+    Files.writeString(src.resolve("batch1.jsonl"),
+      (0 until 1000).map(i =>
+        s"""{"host":"h${i % 5}","status":"${200 + (i % 3) * 100}","ping":${50 + i % 40}.7,"ok":${i % 2 == 0},"time":${1700000000L + i}}""")
+        .mkString("\n"))
+    val df = Ingest.readJson(spark, src.resolve("batch1.jsonl").toString)
+    println("== ingested schema"); df.printSchema()
+
+    // 2. table lifecycle
+    val root = Files.createTempDirectory("demo-table")
+    val table = new GraftTable(spark, root.toString)
+    table.ingest(df)
+    table.digest()
+    println(s"== table info: ${table.info()}")
+
+    // 3. sybil-style query over the digested table
+    val q = SybilQuery().groupBy("host", "status").aggregate("ping")
+      .withOp(graft.dsl.AggOp.AvgOp).intFilterGt("ping", 55).limitTo(5)
+    q.run(table.read()).show(5, false)
+
+    // 4. streaming digest of a second directory
+    val src2 = Files.createTempDirectory("demo-stream")
+    Files.writeString(src2.resolve("more.jsonl"),
+      (1000 until 1500).map(i => s"""{"host":"h9","status":"500","ping":9,"ok":false,"time":${1700000000L + i}}""").mkString("\n"))
+    val schema = StructType(Seq(StructField("host", StringType),
+      StructField("status", StringType), StructField("ping", LongType),
+      StructField("ok", LongType), StructField("time", LongType)))
+    Streams.digestStream(spark, src2.toString, table,
+      Files.createTempDirectory("demo-ckpt").toString, schema)
+    println(s"== after streaming digest: rows=${table.info().rowCount}")
+    require(table.info().rowCount == 1500, "expected 1500 rows after streaming digest")
+
+    // 5. multimodal feature path
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize((0L until 50L).map(i =>
+        Row(i, "image", Array.tabulate[Byte](64)(j => ((i + j) % 256).toByte),
+          Row(64, 64, null))), 4),
+      Multimodal.mediaSchema)
+    val feats = Multimodal.extractFeatures(Multimodal.filterValid(media))
+    feats.select(col("media_id"), col("features")).show(3, false)
+    require(feats.count() == 50)
+
+    println("PIPELINE DEMO OK")
+    spark.stop()
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dsl.SybilQuery
+import graft.sources.{GraftTable, Ingest}
+
+/** Ingest coercions + table lifecycle (ingest → digest → query → trim),
+  * mirroring the reference's ingest/digest tests (row_store_test.go,
+  * table_ingest.go) and the API E2E scheme (api_test.go:86-100). */
+class IngestSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  private def writeJsonl(lines: Seq[String]): String = {
+    val d = Files.createTempDirectory("graft-jsonl")
+    Files.writeString(d.resolve("data.jsonl"), lines.mkString("\n"))
+    d.resolve("data.jsonl").toString
+  }
+
+  test("json ingest: flatten, truncate floats, bool→0/1, arrays→set of strings") {
+    val path = writeJsonl(Seq(
+      """{"name":"a","ping":60.9,"ok":true,"nested":{"x":{"y":5}},"tags":["t1","t2"],"nums":[1.4,2.6]}""",
+      """{"name":"b","ping":-3.7,"ok":false,"nested":{"x":{"y":6}},"tags":[],"nums":[7.0]}"""))
+    val df = Ingest.readJson(spark, path)
+    val r = df.orderBy("name").collect()
+    assert(df.schema("ping").dataType === LongType)
+    assert(r(0).getAs[Long]("ping") === 60) // 60.9 truncated (cmd_ingest.go:59-60)
+    assert(r(1).getAs[Long]("ping") === -3) // toward zero, like Go int64()
+    assert(r(0).getAs[Long]("ok") === 1 && r(1).getAs[Long]("ok") === 0)
+    assert(df.columns.contains("nested_x_y")) // '_'-joined flattening
+    assert(r(0).getAs[Long]("nested_x_y") === 5)
+    assert(r(0).getAs[collection.Seq[String]]("tags") === Seq("t1", "t2"))
+    assert(r(0).getAs[collection.Seq[String]]("nums") === Seq("1", "3")) // %.0f rounds
+  }
+
+  test("json ingest: ints/timestamps/exclude flags") {
+    val path = writeJsonl(Seq(
+      """{"sid":"123","when":"2024-03-01 10:00:00","secret":"x","v":1}""",
+      """{"sid":"notanint","when":"garbage","secret":"y","v":2}"""))
+    val df = Ingest.readJson(spark, path,
+      ints = Set("sid"), timestamps = Set("when"), exclude = Set("secret"))
+    assert(!df.columns.contains("secret"))
+    assert(df.schema("sid").dataType === LongType)
+    val r = df.orderBy("v").collect()
+    assert(r(0).getAs[Long]("sid") === 123L)
+    assert(r(0).getAs[Long]("when") === 1709287200L) // UTC unix secs
+    assert(r(1).isNullAt(r(1).fieldIndex("sid")))    // parse failure → missing
+    assert(r(1).isNullAt(r(1).fieldIndex("when")))
+  }
+
+  test("sybilCompat=false keeps doubles") {
+    val path = writeJsonl(Seq("""{"x":1.5}"""))
+    val df = Ingest.readJson(spark, path, sybilCompat = false)
+    assert(df.schema("x").dataType === DoubleType)
+  }
+
+  test("table lifecycle: ingest → read-log → digest → query → info → trim") {
+    import spark.implicits._
+    val root = tmpDir("graft-table")
+    val t = new GraftTable(spark, root)
+
+    val batch1 = (0 until 500).map(i => (i.toLong, s"u${i % 7}", 1700000000L + i)).toDF("id", "user", "time")
+    val batch2 = (500 until 900).map(i => (i.toLong, s"u${i % 7}", 1700000000L + i)).toDF("id", "user", "time")
+    t.ingest(batch1)
+    t.ingest(batch2)
+
+    // pre-digest: data only visible with readLog (the -read-log flag)
+    assert(t.read(readLog = true).count() === 900)
+    intercept[IllegalArgumentException](t.read(readLog = false))
+
+    t.digest()
+    assert(t.read(readLog = false).count() === 900)
+    val i = t.info()
+    assert(i.rowCount === 900)
+    val idInfo = i.columns.find(_.name == "id").get
+    assert(idInfo.min.contains(0L) && idInfo.max.contains(899L))
+
+    // DSL over the digested table
+    val q = SybilQuery().groupBy("user").limitTo(10).run(t.read())
+    assert(q.collect().map(_.getAs[Long]("Count")).sum === 900)
+
+    // type conflict: same column name, different type → dropped with warning
+    val bad = Seq(("x", "stringy-id")).toDF("user", "id")
+    t.ingest(bad)
+    assert(t.read(readLog = true).filter(col("id").isNull).count() === 1)
+
+    // trim by age: everything older than cutoff goes
+    val removed = t.trim(olderThan = Some(1800000000L))
+    assert(removed.nonEmpty)
+    assert(!Files.list(java.nio.file.Paths.get(root, "blocks")).iterator().hasNext)
+  }
+
+  test("digest splits into ~64Ki-row blocks worth of partitions") {
+    import spark.implicits._
+    val root = tmpDir("graft-chunks")
+    val t = new GraftTable(spark, root)
+    t.ingest((0 until 150000).map(i => (i.toLong, i % 3)).toDF("id", "k"))
+    t.digest()
+    val files = Files.walk(java.nio.file.Paths.get(root, "blocks"))
+      .iterator()
+    val parts = Iterator.continually(files).takeWhile(_.hasNext).map(_.next())
+      .count(p => p.toString.endsWith(".parquet"))
+    assert(parts === 3) // ceil(150000 / 65536)
+  }
+
+  test("csv ingest with header and numeric inference") {
+    val d = Files.createTempDirectory("graft-csv")
+    Files.writeString(d.resolve("data.csv"), "name,age,score\nalice,30,9.7\nbob,41,3.2\n")
+    val df = Ingest.readCsv(spark, d.resolve("data.csv").toString)
+    assert(df.schema("age").dataType === LongType)
+    assert(df.schema("score").dataType === LongType) // truncated like sybil
+    val r = df.orderBy("name").collect()
+    assert(r(0).getAs[Long]("score") === 9)
+  }
+}

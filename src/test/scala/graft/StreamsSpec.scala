@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+
+import graft.sources.GraftTable
+import graft.streaming.Streams
+
+/** Structured Streaming extensions: windowed agg parity with the batch
+  * time-bucket op, stateful sessionization, streaming digest. */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming time-bucket agg matches the batch result") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val base = 1700000000L
+    val rows = (0 until 300).map(i => (base + i * 10, s"t${i % 3}", i.toDouble))
+    mem.addData(rows: _*)
+    val streamDf = mem.toDF().toDF("ts_sec", "event_type", "value")
+    val out = Streams.timeBucketCounts(streamDf, "ts_sec", Seq("event_type"), "value", 300)
+    val q = out.writeStream.format("memory").queryName("tb")
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tb")
+      .groupBy("time_bucket", "event_type").agg(max("Count").as("Count"), max("sum_value").as("sum_value"))
+    val batch = rows.toDF("ts_sec", "event_type", "value")
+      .groupBy((expr("ts_sec div 300") * 300).as("time_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("Count"),
+        sum(col("value").cast(DecimalType(38, 6))).cast(DoubleType).as("sum_value"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("sessionize keeps per-key running counts") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    mem.addData(("a", 10L), ("a", 20L), ("b", 5L))
+    // NoTimeout keeps the test deterministic (ProcessingTimeTimeout's
+    // timer-driven batches don't settle under processAllAvailable)
+    val out = Streams.sessionize(mem.toDS(), gapSecs = 60,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable()
+    mem.addData(("a", 30L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess").as[Streams.SessionUpdate].collect()
+    val aFinal = rows.filter(_.key == "a").maxBy(_.events)
+    assert(aFinal.events === 3 && aFinal.firstSeen === 10 && aFinal.lastSeen === 30)
+    assert(rows.filter(_.key == "b").map(_.events).max === 1)
+  }
+
+  test("streaming digest drains a json dir into a GraftTable") {
+    val src = Files.createTempDirectory("graft-stream-src")
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    val root = Files.createTempDirectory("graft-stream-table")
+    Files.writeString(src.resolve("a.jsonl"),
+      (0 until 100).map(i => s"""{"id":$i,"k":"x"}""").mkString("\n"))
+    Files.writeString(src.resolve("b.jsonl"),
+      (100 until 150).map(i => s"""{"id":$i,"k":"y"}""").mkString("\n"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("k", StringType)))
+    val table = new GraftTable(spark, root.toString)
+    Streams.digestStream(spark, src.toString, table, ckpt.toString, schema)
+    assert(table.read().count() === 150)
+    assert(table.info().rowCount === 150)
+  }
+}
