@@ -189,20 +189,8 @@ object Queries2 {
        |WHERE b.vec_id <> 0
        |ORDER BY sim DESC, b.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
     implicit val env: (SparkSession, String) = (s, dir)
-    val e = t("embeddings")
-    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    val dot = aggregate(
-      zip_with(col("embedding"), col("qv"),
-        (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    def norm(c: Column) = sqrt(aggregate(
-      transform(c, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    e.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(qv))
-      .select(col("vec_id"), (dot / (norm(col("qv")) * norm(col("embedding")))).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id"))
-      .limit(10)
+    graft.operators.Similarity.cosineTopK(
+      t("embeddings"), "vec_id", "embedding", queryId = 0, k = 10)
   }
 
   /** Embedding near-dup pairs, blocked by `label` (a coarse IVF-style
@@ -217,15 +205,8 @@ object Queries2 {
        |WHERE $dotSql > 0.25
        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
     implicit val env: (SparkSession, String) = (s, dir)
-    val e = t("embeddings")
-    val a = e.select(col("label"), col("vec_id").as("id1"), col("embedding").as("e1"))
-    val b = e.select(col("label").as("label2"), col("vec_id").as("id2"), col("embedding").as("e2"))
-    val dot = aggregate(
-      zip_with(col("e1"), col("e2"), (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    a.join(b, col("label") === col("label2") && col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), dot.as("dot"))
-      .filter(col("dot") > 0.25)
+    graft.operators.Similarity.blockedPairs(
+      t("embeddings"), "vec_id", "embedding", "label", minDot = 0.25)
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -285,38 +266,6 @@ object Queries2 {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id)""".stripMargin
 
-  /** Spark side of the signature pipeline: (doc_id, band, mh) with bands of
-    * r=2 minhashes (collision prob = jaccard², which kills the hot-bucket
-    * blowup 1-hash bands hit on small vocabularies). The token split runs
-    * behind a repartition barrier: higher-order-function lambdas are not
-    * codegen'd and CollapseProject would otherwise inline the O(tokens²)
-    * shingle build into every minhash expression. */
-  private def bandsSpark(docs: DataFrame): DataFrame = {
-    def mh(seed: Int) = array_min(
-      transform(col("sh"), x => md5(concat(lit(s"$seed:"), x))))
-    val toks = docs
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .repartition(col("doc_id"))
-    val sh = toks.select(col("doc_id"),
-      transform(sequence(lit(1), size(col("toks")) - 2),
-        i => concat_ws(" ", slice(col("toks"), i, lit(3)))).as("sh"))
-    sh.select(col("doc_id"), array(
-        struct(lit(1).as("band"), concat(mh(1), mh(2)).as("mh")),
-        struct(lit(2).as("band"), concat(mh(3), mh(4)).as("mh"))).as("bs"))
-      .select(col("doc_id"), explode(col("bs")).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.mh").as("mh"))
-  }
-
-  private def lshPairsSpark(docs: DataFrame): DataFrame = {
-    val bands = bandsSpark(docs)
-    val a = bands.select(col("doc_id").as("d1"), col("band"), col("mh"))
-    val b = bands.select(col("doc_id").as("d2"), col("band").as("band2"), col("mh").as("mh2"))
-    a.join(b, col("band") === col("band2") && col("mh") === col("mh2") &&
-        col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
-  }
-
   /** LSH candidate pairs: 4 bands of 1 hash — docs sharing any band bucket.
     * A single shuffle join on (band, minhash); never a cross join. */
   val q36MinhashPairs: (String, QueryDef) = q(
@@ -324,7 +273,9 @@ object Queries2 {
     s"""WITH $sigSql
        |SELECT d1, d2 FROM pairs ORDER BY d1, d2""".stripMargin) { (s, dir) =>
     implicit val env: (SparkSession, String) = (s, dir)
-    lshPairsSpark(t("documents")).orderBy(col("d1"), col("d2"))
+    graft.operators.Dedup.lshCandidates(
+      graft.operators.Dedup.minhashBands(t("documents"), "doc_id", "text"), "doc_id")
+      .orderBy(col("d1"), col("d2"))
   }
 
   /** Exact n-gram Jaccard, verified ONLY on the LSH candidate pairs — the
@@ -343,18 +294,11 @@ object Queries2 {
        |FROM pairs JOIN shset x ON x.doc_id = d1 JOIN shset y ON y.doc_id = d2
        |ORDER BY jaccard DESC, d1, d2 LIMIT 200""".stripMargin) { (s, dir) =>
     implicit val env: (SparkSession, String) = (s, dir)
+    import graft.operators.Dedup
     val docs = t("documents")
-    val shset = docs
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), array_distinct(shinglesSpark()).as("shd"))
-    val x = shset.select(col("doc_id").as("xid"), col("shd").as("sh1"))
-    val y = shset.select(col("doc_id").as("yid"), col("shd").as("sh2"))
-    val inter = size(array_intersect(col("sh1"), col("sh2")))
-    val union = size(array_distinct(concat(col("sh1"), col("sh2"))))
-    lshPairsSpark(docs)
-      .join(x, col("xid") === col("d1"))
-      .join(y, col("yid") === col("d2"))
-      .select(col("d1"), col("d2"), (inter.cast("double") / union).as("jaccard"))
+    Dedup.jaccardVerify(docs,
+        Dedup.lshCandidates(Dedup.minhashBands(docs, "doc_id", "text"), "doc_id"),
+        "doc_id", "text", threshold = 0.0)
       .orderBy(col("jaccard").desc, col("d1"), col("d2"))
       .limit(200)
   }

@@ -1,0 +1,46 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Derived statistics over aggregation results — the reference's library
+  * layer (src/lib/stats.go). */
+object Stats {
+
+  /** Intra-class correlation via one-way ANOVA: MSB / (MSB + MSW) — the
+    * definition at stats.go:5-9. Computed from EXACT per-group decimal sums
+    * (not the reference's histogram approximation; its loop also adds the
+    * cumulative variance once per group instead of the group's own,
+    * stats.go:70-77 — we use the textbook sums of squares).
+    *
+    * Returns one row: (k, n, msb, msw, icc).
+    */
+  def icc(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    // every cross-row sum goes through DECIMAL so the result is independent
+    // of partitioning/merge order (bit-identical across engines)
+    val dsum = sum(col(valueCol).cast(DecimalType(38, 6))).cast(DoubleType)
+    val dsumsq = sum((col(valueCol) * col(valueCol)).cast(DecimalType(38, 8))).cast(DoubleType)
+    def dsum2(c: Column) = sum(c.cast(DecimalType(38, 10))).cast(DoubleType)
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_g"), dsum.as("sum_g"), dsumsq.as("sumsq_g"))
+    g.select(
+        count(lit(1)).as("k"),
+        sum(col("n_g")).as("n"),
+        dsum2(col("sum_g")).as("sum_all"),
+        // SSW = Σ_g (sumsq_g − sum_g²/n_g)
+        dsum2(col("sumsq_g") - col("sum_g") * col("sum_g") / col("n_g")).as("ssw"),
+        // Σ_g sum_g²/n_g, for SSB = that − sum_all²/n
+        dsum2(col("sum_g") * col("sum_g") / col("n_g")).as("sum_sq_over_n"))
+      .select(col("k"), col("n"),
+        ((col("sum_sq_over_n") - col("sum_all") * col("sum_all") / col("n")) /
+          (col("k") - 1)).as("msb"),
+        (col("ssw") / (col("n") - col("k"))).as("msw"))
+      // rounded outputs: the two decimal-cast paths (JVM shortest-repr vs
+      // exact-binary) can differ at ~1e-13 relative; 6 decimals is the
+      // portable precision
+      .select(col("k"), col("n"), round(col("msb"), 6).as("msb"),
+        round(col("msw"), 6).as("msw"),
+        round(col("msb") / (col("msb") + col("msw")), 6).as("icc"))
+  }
+}

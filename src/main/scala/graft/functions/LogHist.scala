@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Log-scaled histogram (`-loghist`) — the reference's MultiHist
+  * (/root/reference/src/lib/hist_multi.go:223-261) nests fixed-width
+  * sub-histograms over halving ranges so low values get fine absolute
+  * resolution and wide tails stay cheap. Same idea here with a flat bucket
+  * function: bucket = floor(log2(v - min + 1) * ticksPerOctave), i.e.
+  * `ticksPerOctave` buckets per doubling. Same outlier guard, weighted
+  * counts, mergeable buffer, and percentile walk as [[BasicHistAggregator]].
+  */
+class LogHistAggregator(
+    infoMin: Long,
+    infoMax: Long,
+    ticksPerOctave: Int = 16)
+  extends Aggregator[(Long, Long), HistBuf, HistResult] with Serializable {
+
+  private val span: Long = math.max(1L, infoMax - infoMin)
+  val numBuckets: Int =
+    (math.ceil(math.log(span.toDouble + 1) / math.log(2.0)) * ticksPerOctave).toInt + 2
+
+  private def bucketOf(value: Long): Int = {
+    val off = value - infoMin
+    val b = (math.log(off.toDouble + 1) / math.log(2.0) * ticksPerOctave).toInt
+    math.min(b, numBuckets - 1)
+  }
+
+  /** Low value of a bucket: inverse of [[bucketOf]]. */
+  private def lowOf(bucket: Int): Long =
+    infoMin + (math.pow(2.0, bucket.toDouble / ticksPerOctave) - 1).toLong
+
+  def zero: HistBuf = HistBuf(
+    new Array[Long](numBuckets), 0.0, 0L, 0L,
+    Long.MaxValue, Long.MinValue, Array.empty, Array.empty)
+
+  def reduce(b: HistBuf, in: (Long, Long)): HistBuf = {
+    val (value, weight) = in
+    if (value > infoMax * 10 || value < infoMin) return b // hist_multi.go:51-58
+    b.samples += 1
+    b.count += weight
+    b.avgSum += value.toDouble * weight
+    if (value < b.min) b.min = value
+    if (value > b.max) b.max = value
+    b.counts(bucketOf(value)) += weight
+    b
+  }
+
+  def merge(a: HistBuf, c: HistBuf): HistBuf = {
+    var i = 0
+    while (i < a.counts.length) { a.counts(i) += c.counts(i); i += 1 }
+    a.avgSum += c.avgSum; a.count += c.count; a.samples += c.samples
+    a.min = math.min(a.min, c.min); a.max = math.max(a.max, c.max)
+    a
+  }
+
+  def finish(b: HistBuf): HistResult = {
+    if (b.count == 0)
+      return HistResult(0, 0, 0.0, 0, 0, 0.0, Array.empty, Array.empty, Array.empty)
+    val mean = b.avgSum / b.count
+
+    val pcts = new Array[Long](101)
+    pcts(0) = b.min
+    var cum = 0L; var prevP = 0L; var k = 0
+    while (k < b.counts.length) {
+      if (b.counts(k) > 0) {
+        cum += b.counts(k)
+        val p = (100 * cum) / b.count
+        if (p > prevP) {
+          var ip = prevP + 1
+          while (ip <= p) { pcts(ip.toInt) = lowOf(k); ip += 1 }
+          prevP = p
+        }
+      }
+      k += 1
+    }
+
+    var sumVar = 0.0
+    k = 0
+    while (k < b.counts.length) {
+      if (b.counts(k) > 0) {
+        val d = lowOf(k).toDouble - mean
+        sumVar += d * d * (b.counts(k).toDouble / b.count)
+      }
+      k += 1
+    }
+
+    val lows = Array.newBuilder[Long]; val cnts = Array.newBuilder[Long]
+    k = 0
+    while (k < b.counts.length) {
+      if (b.counts(k) > 0) { lows += lowOf(k); cnts += b.counts(k) }
+      k += 1
+    }
+    HistResult(b.count, b.samples, mean, b.min, b.max, math.sqrt(sumVar),
+      pcts.take(100), lows.result(), cnts.result())
+  }
+
+  def bufferEncoder: Encoder[HistBuf] = Encoders.product[HistBuf]
+  def outputEncoder: Encoder[HistResult] = Encoders.product[HistResult]
+}
+
+object LogHist {
+  def logHist(value: Column, weight: Column, infoMin: Long, infoMax: Long,
+      ticksPerOctave: Int = 16): Column =
+    udaf(new LogHistAggregator(infoMin, infoMax, ticksPerOctave)).apply(value, weight)
+}

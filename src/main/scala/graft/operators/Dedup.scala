@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora, exact → fuzzy:
+  *
+  *  1. [[exactDedup]] — content-hash groupBy (one shuffle on the hash);
+  *  2. [[minhashBands]] / [[lshCandidates]] — MinHash-LSH candidate
+  *     generation (shuffle on band signature, O(collisions) pairs);
+  *  3. [[jaccardVerify]] — exact shingle-set Jaccard on candidates only;
+  *  4. [[simhashDedup]] — SimHash bucket grouping (near-dup by few-bit
+  *     difference);
+  *  5. embedding-cosine near-dup lives in [[Similarity.blockedPairs]].
+  *
+  * At 100 TB: every stage keys its shuffle on a hash/signature (uniformly
+  * distributed — no skew), candidate verification touches only colliding
+  * pairs, and nothing ever cross-joins.
+  */
+object Dedup {
+
+  /** 3-token shingles of a text column (empty when < 3 tokens). */
+  def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3)))))
+      .otherwise(array())
+  }
+
+  /** Exact dedup: keep the lowest-id row per content hash. Returns the
+    * keeper assignment (doc_id → keep_id). */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = md5(col(textCol))
+    docs.select(col(idCol), h.as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+  }
+
+  /** (id, band, signature) rows: `bands` bands of `rows` minhashes each,
+    * md5-based (engine-portable). Shingle building is materialized behind a
+    * repartition barrier — see Queries2 scale notes. */
+  def minhashBands(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 2, rows: Int = 2): DataFrame = {
+    val toksDf = docs
+      .filter(size(split(col(textCol), " ")) >= 3)
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("toks"))
+      .repartition(col("__id"))
+    val sh = toksDf.select(col("__id"),
+      transform(sequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ", slice(col("toks"), i, lit(3)))).as("sh"))
+    def mh(seed: Int) = array_min(
+      transform(col("sh"), x => md5(concat(lit(s"$seed:"), x))))
+    val bandStructs = (0 until bands).map { b =>
+      val sig = concat((1 to rows).map(r => mh(b * rows + r)): _*)
+      struct(lit(b).as("band"), sig.as("mh"))
+    }
+    sh.select(col("__id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("__id").as(idCol), col("b.band").as("band"), col("b.mh").as("mh"))
+  }
+
+  /** Candidate pairs from band collisions: one equi-join on (band, mh). */
+  def lshCandidates(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val a = bandsDf.select(col(idCol).as("d1"), col("band"), col("mh"))
+    val b = bandsDf.select(col(idCol).as("d2"), col("band").as("band2"), col("mh").as("mh2"))
+    a.join(b, col("band") === col("band2") && col("mh") === col("mh2") &&
+        col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
+  /** Exact 3-shingle Jaccard for candidate pairs (integers → deterministic
+    * division). */
+  def jaccardVerify(docs: DataFrame, candidates: DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val shset = docs.select(col(idCol).as("__jid"),
+      array_distinct(shingles(col(textCol))).as("shd"))
+    val x = shset.select(col("__jid").as("xid"), col("shd").as("sh1"))
+    val y = shset.select(col("__jid").as("yid"), col("shd").as("sh2"))
+    val inter = size(array_intersect(col("sh1"), col("sh2")))
+    val union = size(array_distinct(concat(col("sh1"), col("sh2"))))
+    candidates
+      .join(x, col("xid") === col("d1"))
+      .join(y, col("yid") === col("d2"))
+      .select(col("d1"), col("d2"), (inter.cast("double") / union).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup grouping: docs sharing a signature bucket. For
+    * few-bit tolerance, join on rotated signatures or band the bits — here
+    * exact-bucket grouping (hamming distance 0 within bucket). */
+  def simhashDedup(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16): DataFrame =
+    docs.select(col(idCol), TextAnalysis.simhash(col(textCol), bits).as("simhash"))
+      .groupBy(col("simhash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+}

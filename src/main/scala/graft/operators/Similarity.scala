@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - [[cosineTopK]]: brute-force scan against one query vector — the
+  *    exact baseline; one pass, no shuffle (query broadcast).
+  *  - [[blockedPairs]]: all-pairs cosine restricted to a coarse partition
+  *    key (IVF-style blocking) — per-bucket self-join, never O(n²).
+  *  - [[lshBuckets]]: random-hyperplane LSH — sign-bit signature from
+  *    deterministic pseudo-random planes; bucket collisions are ANN
+  *    candidates (the scale path when no prebuilt partition exists).
+  *
+  * All dot products are double-precision folds in fixed array order, so
+  * results are bit-deterministic across partitionings.
+  */
+object Similarity {
+
+  private def fold(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, v) => acc + v)
+
+  def dot(a: Column, b: Column): Column =
+    fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  def norm(a: Column): Column =
+    sqrt(fold(transform(a, x => x.cast("double") * x.cast("double"))))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine against the vector with id `queryId`. */
+  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val qv = emb.filter(col(idCol) === queryId).select(col(vecCol).as("__qv"))
+    emb.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(qv))
+      .select(col(idCol), cosine(col(vecCol), col("__qv")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs dot product within a blocking key, thresholded. */
+  def blockedPairs(emb: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, minDot: Double): DataFrame = {
+    val a = emb.select(col(blockCol).as("__bk"), col(idCol).as("id1"), col(vecCol).as("e1"))
+    val b = emb.select(col(blockCol).as("__bk2"), col(idCol).as("id2"), col(vecCol).as("e2"))
+    a.join(b, col("__bk") === col("__bk2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), dot(col("e1"), col("e2")).as("dot"))
+      .filter(col("dot") > minDot)
+  }
+
+  /** Random-hyperplane signature: `planes` sign bits, each from a
+    * deterministic pseudo-random hyperplane derived from (seed, dim index)
+    * via a hash — no RNG state, reproducible across runs and engines. */
+  def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 8, seed: Int = 42): DataFrame = {
+    val dims = 64 // embeddings table dimensionality
+    def planeWeight(p: Int, d: Int): Double = {
+      // splitmix-style integer hash → uniform in [-1, 1)
+      var z = (seed.toLong * 1000003 + p.toLong * 8191 + d).toLong
+      z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+      z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+      z ^= z >>> 33
+      (z.toDouble / Long.MaxValue.toDouble)
+    }
+    val sigBits = (0 until planes).map { p =>
+      val weights = array((0 until dims).map(d => lit(planeWeight(p, d))): _*)
+      val proj = fold(zip_with(col(vecCol), weights,
+        (x, w) => x.cast("double") * w))
+      when(proj > 0, 1L << p).otherwise(0L)
+    }
+    emb.select(col(idCol), sigBits.reduce(_ + _).as("bucket"))
+  }
+}

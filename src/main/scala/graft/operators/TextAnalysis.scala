@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * quality scoring, language-ID heuristics, content fingerprints, SimHash.
+  * Everything is a pure column expression (codegen-friendly, no UDFs) so
+  * the operators fuse into the scan at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (the baseline every stat below shares). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword-count proxy: word-piece regex splits on non-alnum and
+    * camel-ish boundaries — a deterministic stand-in for a real tokenizer's
+    * piece count. */
+  def subwordCount(text: Column): Column =
+    size(split(text, "[^\\p{L}\\p{N}]+|(?<=\\p{Ll})(?=\\p{Lu})"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def uniqueTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text)))
+
+  /** Quality signals: length, chars-per-token, punctuation ratio, stopword
+    * ratio, type-token ratio. Returns a struct column. */
+  def qualityScore(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val punct = size(split(text, "[\\p{Punct}]")) - 1
+    val stops = size(array_intersect(toks, array(stopwords.map(lit): _*)))
+    struct(
+      length(text).as("chars"),
+      n.as("tokens"),
+      (length(text).cast("double") / n).as("chars_per_token"),
+      (punct.cast("double") / greatest(length(text), lit(1))).as("punct_ratio"),
+      (stops.cast("double") / n).as("stopword_ratio"),
+      (size(array_distinct(toks)).cast("double") / n).as("type_token_ratio"))
+  }
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  /** n-gram-profile language ID: score text against tiny per-language
+    * marker-token profiles, pick the argmax (an honest heuristic — real
+    * systems use char-n-gram models; the *shape* — per-language score then
+    * greatest — is the production pipeline). */
+  def langIdGuess(text: Column): Column = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "is"),
+      "es" -> Seq("el", "la", "de", "que"),
+      "de" -> Seq("der", "die", "und", "das"),
+      "fr" -> Seq("le", "la", "et", "les"),
+      "zh" -> Seq("的", "是", "了", "在"))
+    val toks = tokens(text)
+    val scores = profiles.map { case (lang, markers) =>
+      struct(size(array_intersect(toks, array(markers.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // greatest on struct: lexicographic on (score, lang) — argmax with a
+    // deterministic tiebreak
+    greatest(scores: _*).getField("lang")
+  }
+
+  /** Canonical content fingerprint: hash of the sorted distinct vocabulary
+    * (order-insensitive, whitespace-insensitive). */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** SimHash over tokens with `bits` bits (≤ 60). Per token, md5 hex →
+    * integer (first 15 hex digits); bit b votes +1/-1; the signature sets
+    * bit b when the vote sum is positive. Near-duplicate docs differ in few
+    * bits (compare with [[hammingDistance]]). Pure expressions: the votes
+    * are an aggregate over the exploded token axis folded with
+    * `aggregate()`, no shuffle.
+    */
+  def simhash(text: Column, bits: Int = 16): Column = {
+    require(bits <= 60, "simhash uses the first 15 hex digits of md5 (60 bits)")
+    val toks = array_distinct(tokens(text))
+    val hashes = transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val bitCols = (0 until bits).map { b =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L) * (1L << b)).otherwise(0L)
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash signatures. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Convenience: append all text stats to a documents DataFrame. */
+  def annotate(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("token_count", tokenCount(col(textCol)))
+      .withColumn("unique_tokens", uniqueTokenCount(col(textCol)))
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("lang_guess", langIdGuess(col(textCol)))
+      .withColumn("fingerprint", fingerprint(col(textCol)))
+      .withColumn("simhash", simhash(col(textCol)))
+}

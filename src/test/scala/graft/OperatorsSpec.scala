@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Stats
+import graft.functions.LogHist
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Text analysis, dedup, similarity, log-hist, and ICC operator semantics. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the cat sat on the mat and the dog sat too"),
+    (1L, "the cat sat on the mat and the dog sat too"), // exact dup of 0
+    (2L, "the cat sat on the mat and the dog stood up"), // near dup of 0
+    (3L, "el perro que corre por la calle de la ciudad"),
+    (4L, "completely different words about spark engines and columns"),
+    (5L, "der hund und die katze sind in das haus gegangen")
+  ).toDF("doc_id", "text")
+
+  test("token counts / fingerprint / quality signals") {
+    val r = TextAnalysis.annotate(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("token_count") === 11)
+    assert(r(0).getAs[Int]("unique_tokens") === 8)
+    // identical docs → identical fingerprint & simhash
+    assert(r(0).getAs[String]("fingerprint") === r(1).getAs[String]("fingerprint"))
+    assert(r(0).getAs[Long]("simhash") === r(1).getAs[Long]("simhash"))
+    val q = r(0).getAs[org.apache.spark.sql.Row]("quality")
+    // array_intersect dedupes: ratio counts DISTINCT stopwords ("the","and")
+    assert(q.getAs[Double]("stopword_ratio") === 2.0 / 11)
+    assert(q.getAs[Double]("type_token_ratio") < 1.0)
+  }
+
+  test("language-ID picks the language with most marker hits") {
+    val r = docs.select(col("doc_id"), TextAnalysis.langIdGuess(col("text")).as("g"))
+      .orderBy("doc_id").collect().map(_.getAs[String]("g"))
+    assert(r(0) === "en" && r(3) === "es" && r(5) === "de")
+  }
+
+  test("simhash: near-dups differ in few bits, unrelated docs in more") {
+    val sigs = docs.select(col("doc_id"), TextAnalysis.simhash(col("text"), 16).as("sh"))
+      .orderBy("doc_id").collect().map(_.getAs[Long]("sh"))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0), sigs(1)) === 0)
+    assert(ham(sigs(0), sigs(2)) < ham(sigs(0), sigs(4)),
+      s"near-dup ${ham(sigs(0), sigs(2))} vs unrelated ${ham(sigs(0), sigs(4))}")
+  }
+
+  test("exact dedup groups identical content; simhash dedup groups 0 and 1") {
+    val exact = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(exact.filter(col("copies") === 2).count() === 1)
+    assert(exact.filter(col("copies") === 2).collect()(0).getAs[Long]("keep_id") === 0)
+    val sh = Dedup.simhashDedup(docs, "doc_id", "text")
+    assert(sh.filter(col("copies") >= 2).count() >= 1)
+  }
+
+  test("minhash LSH finds the near-dup pair; jaccard verifies it") {
+    val cands = Dedup.lshCandidates(
+      Dedup.minhashBands(docs, "doc_id", "text"), "doc_id")
+    val pairs = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // exact dup always collides
+    val verified = Dedup.jaccardVerify(docs, cands, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(verified.exists(p => p._1 == 0 && p._2 == 1 && p._3 === 1.0))
+  }
+
+  test("cosine topK and LSH buckets on synthetic embeddings") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)), (3L, Array(-1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(vecs, "vec_id", "embedding", 0L, 2).collect()
+    assert(top(0).getAs[Long]("vec_id") === 1) // most similar
+    assert(top(0).getAs[Double]("sim") > 0.98)
+    assert(top.last.getAs[Double]("sim") >= -1.0 && top.length === 2)
+    // all-pairs within a block
+    val blocked = Similarity.blockedPairs(
+      vecs.withColumn("b", lit(1)), "vec_id", "embedding", "b", -2.0)
+    assert(blocked.count() === 6) // 4 choose 2
+  }
+
+  test("log-hist: percentiles within one log-bucket; merge matches flat") {
+    val rnd = new scala.util.Random(5)
+    // heavy-tailed values — the case log buckets exist for
+    val values = Seq.fill(4000)(math.exp(rnd.nextDouble() * 10).toLong)
+    val mx = values.max
+    val df = values.toDF("v")
+    val r = df.agg(LogHist.logHist(col("v"), lit(1L), 0L, mx).as("h"))
+      .select("h.*").collect()(0)
+    assert(r.getAs[Long]("count") === 4000)
+    val sorted = values.sorted
+    val pcts = r.getAs[collection.Seq[Long]]("percentiles")
+    for (p <- Seq(25, 50, 90)) {
+      val exact = sorted((p / 100.0 * (sorted.size - 1)).toInt).toDouble
+      val got = pcts(p).toDouble
+      // log buckets: relative error bounded by one tick (2^(1/16) ≈ 4.4%)
+      assert(got <= exact * 1.05 + 1 && got >= exact / 1.1 - 1,
+        s"p$p got=$got exact=$exact")
+    }
+  }
+
+  test("ICC: separated groups → high, identical groups → ~0") {
+    val rnd = new scala.util.Random(9)
+    val separated = (0 until 3000).map { i =>
+      val g = i % 3
+      (s"g$g", g * 100.0 + rnd.nextDouble())
+    }.toDF("g", "v")
+    val iccHigh = Stats.icc(separated, "g", "v").collect()(0).getAs[Double]("icc")
+    assert(iccHigh > 0.99, s"separated icc=$iccHigh")
+    // identical VALUE MULTISETS per group → between-group variance exactly 0
+    // (with random draws MSB estimates sigma^2 and icc → ~0.5 by definition)
+    val identical = (0 until 3000).map(i => (s"g${i % 3}", (i / 3 % 100).toDouble))
+      .toDF("g", "v")
+    val iccLow = Stats.icc(identical, "g", "v").collect()(0).getAs[Double]("icc")
+    assert(iccLow < 0.01, s"identical icc=$iccLow")
+  }
+}
