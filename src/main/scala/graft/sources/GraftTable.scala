@@ -163,6 +163,16 @@ class GraftTable(spark: SparkSession, root: String) {
     rebuild()
   }
 
+  /** Block ids (immutable once digested) — the unit of cache/skip logic. */
+  def blockIds: Seq[String] = listDirs(blocksP).map(_.getFileName.toString)
+
+  /** Read one block by id. */
+  def readBlock(id: String): DataFrame =
+    spark.read.parquet(blocksP.resolve(id).toString)
+
+  /** Root directory for per-block query-cache entries. */
+  private[sources] def cacheRoot: Path = rootP.resolve("cache")
+
   /** All digested blocks, optionally + the undigested ingest log. */
   def read(readLog: Boolean = false): DataFrame = {
     val dirs = listDirs(blocksP) ++ (if (readLog) listDirs(ingestP) else Nil)
