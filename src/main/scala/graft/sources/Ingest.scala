@@ -31,8 +31,20 @@ object Ingest {
       timestamps: Set[String] = Set.empty,
       timestampFormat: String = "yyyy-MM-dd HH:mm:ss",
       exclude: Set[String] = Set.empty,
-      sybilCompat: Boolean = true): DataFrame =
-    coerce(spark.read.json(path), ints, timestamps, timestampFormat, exclude, sybilCompat)
+      jsonPath: Option[String] = None,
+      sybilCompat: Boolean = true): DataFrame = {
+    val raw = spark.read.json(path)
+    // `-path $.foo.bar` (cmd_ingest.go:145-186): re-root each record at a
+    // nested object before flattening
+    val rooted = jsonPath match {
+      case None => raw
+      case Some(p) =>
+        val steps = p.stripPrefix("$").split("\\.").filter(_.nonEmpty).toSeq
+        val rootCol = steps.tail.foldLeft(col(steps.head))((c, s) => c.getField(s))
+        raw.select(rootCol.as("__root")).select(col("__root.*"))
+    }
+    coerce(rooted, ints, timestamps, timestampFormat, exclude, sybilCompat)
+  }
 
   /** CSV: header row names columns; numeric-looking → int else str
     * (cmd_ingest.go:95-143 parses each cell as float, truncates). We let

@@ -53,6 +53,22 @@ class IngestSpec extends SparkSpec {
     assert(r(1).isNullAt(r(1).fieldIndex("when")))
   }
 
+  test("jsonPath re-roots records before flattening (reference -path flag)") {
+    val path = writeJsonl(Seq(
+      """{"meta":{"v":1},"payload":{"rec":{"a":1,"b":{"c":"x"}}}}""",
+      """{"meta":{"v":2},"payload":{"rec":{"a":2,"b":{"c":"y"}}}}"""))
+    val df = Ingest.readJson(spark, path, jsonPath = Some("$.payload.rec"))
+    assert(df.columns.sorted.toSeq === Seq("a", "b_c"))
+    assert(df.orderBy("a").collect()(1).getAs[String]("b_c") === "y")
+  }
+
+  test("json envelope printer emits parseable results array") {
+    val path = writeJsonl(Seq("""{"k":"a","v":1}""", """{"k":"b","v":2}"""))
+    val out = graft.core.Printer.toJsonEnvelope(Ingest.readJson(spark, path).orderBy("k"))
+    assert(out.startsWith("{\"results\":[") && out.contains("\"k\":\"a\"") &&
+      out.endsWith("]}"))
+  }
+
   test("sybilCompat=false keeps doubles") {
     val path = writeJsonl(Seq("""{"x":1.5}"""))
     val df = Ingest.readJson(spark, path, sybilCompat = false)
