@@ -21,11 +21,13 @@ object Similarity {
   private def fold(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, v) => acc + v)
 
-  def dot(a: Column, b: Column): Column =
-    fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+  /** Dot product via the native codegen expression (graft.expressions.
+    * DotProduct, registered by GraftExtensions). Bit-identical to the HOF
+    * fold `aggregate(zip_with(...))` but runs as a fused loop inside
+    * whole-stage codegen. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  def norm(a: Column): Column =
-    sqrt(fold(transform(a, x => x.cast("double") * x.cast("double"))))
+  def norm(a: Column): Column = sqrt(call_function("graft_dot", a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
