@@ -46,5 +46,16 @@ object Queries5 {
        |  ON ev.user_id = ord.o_custkey AND ev.ev_day >= ord.o_day
        |ORDER BY event_id LIMIT 100""".stripMargin))
 
-  val catalog: Seq[(String, QueryDef)] = Seq(q46AsOf)
+  /** ANN scale path: random-hyperplane LSH bucket histogram (deterministic
+    * planes, but the signature layout is ours → rows-only check). */
+  val q47AnnLsh: (String, QueryDef) = "q47_ann_lsh_buckets" -> QueryDef(
+    (s: SparkSession, dir: String) =>
+      graft.operators.Similarity.lshBuckets(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding", planes = 8)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"), min(col("vec_id")).as("min_id"))
+        .orderBy(col("bucket")),
+    None)
+
+  val catalog: Seq[(String, QueryDef)] = Seq(q46AsOf, q47AnnLsh)
 }
