@@ -77,7 +77,8 @@ final case class SybilQuery(
     limit: Option[Int] = Some(100),
     samples: Boolean = false,
     sampleCols: Seq[String] = Nil,
-    histBuckets: Int = 1000) {
+    histBuckets: Int = 1000,
+    histExtents: Map[String, (Long, Long)] = Map.empty) {
 
   def groupBy(cols: String*): SybilQuery = copy(groups = groups ++ cols)
   def aggregate(cols: String*): SybilQuery = copy(aggCols = aggCols ++ cols)
@@ -105,6 +106,11 @@ final case class SybilQuery(
   def ascending: SybilQuery = copy(sortAsc = true)
   def limitTo(n: Int): SybilQuery = copy(limit = Some(n))
   def takeSamples(cols: String*): SybilQuery = copy(samples = true, sampleCols = cols)
+  /** Supply known column extents for hist bucketing (the stored-IntInfo
+    * path, table_column_info.go) — avoids the extent pre-scan entirely.
+    * GraftTable.query injects its sidecar extents through this. */
+  def withExtents(m: Map[String, (Long, Long)]): SybilQuery =
+    copy(histExtents = histExtents ++ m)
 
   /** Compile and run against a table DataFrame. */
   def run(df: DataFrame): DataFrame = {
@@ -126,13 +132,16 @@ final case class SybilQuery(
     if (aligned.nonEmpty) d = d.filter(aligned.map(_.toColumn).reduce(_ && _))
 
     if (samples) {
-      // `-samples` (table_query.go:96-103; printer.go:416-455): newest
-      // first, limited, selected columns. Remaining columns break time ties
+      // `-samples` (table_query.go:96-103; printer.go:388-455): newest
+      // first by default, or by an arbitrary column when `-sort` is set
+      // (printer.go:388-414 SortBlocksByCol). Remaining columns break ties
       // so the result is fully deterministic (the reference's block order is
       // not; exactness wins for the oracle gate).
       val names = if (sampleCols.nonEmpty) sampleCols else d.columns.toSeq
+      val primary = sortBy.filterNot(_ == "$COUNT").getOrElse(timeCol)
+      val head = if (sortAsc) col(primary).asc else col(primary).desc
       return d.select(names.map(col): _*)
-        .orderBy(col(timeCol).desc +: names.filterNot(_ == timeCol).map(col(_).asc): _*)
+        .orderBy(head +: names.filterNot(_ == primary).map(col(_).asc): _*)
         .limit(limit.getOrElse(100))
     }
 
@@ -164,15 +173,26 @@ final case class SybilQuery(
           wsum(c).cast(DoubleType).as(s"${c}_sum")
         }
       case AggOp.HistOp =>
-        // two-pass: column extents first (sybil reads them from the stored
-        // IntInfo sidecar; parquet footer stats make this scan ~free)
+        // extents from the sidecar when supplied (GraftTable.query — the
+        // reference's stored IntInfo, table_column_info.go); otherwise ONE
+        // batched min/max job over every agg column, never one per column
+        val missing = aggCols.filterNot(histExtents.contains)
+        val scanned: Map[String, (Long, Long)] =
+          if (missing.isEmpty) Map.empty
+          else {
+            val aggsMM = missing.flatMap(c => Seq(
+              min(col(c).cast(LongType)).as(s"__mn_$c"),
+              max(col(c).cast(LongType)).as(s"__mx_$c")))
+            val r = d.agg(aggsMM.head, aggsMM.tail: _*).collect()(0)
+            missing.map { c =>
+              val mn = Option(r.getAs[Any](s"__mn_$c")).map(_.asInstanceOf[Long]).getOrElse(0L)
+              val mx = Option(r.getAs[Any](s"__mx_$c")).map(_.asInstanceOf[Long]).getOrElse(0L)
+              c -> (mn, mx)
+            }.toMap
+          }
+        val extents = histExtents ++ scanned
         Seq(countAgg, samplesAgg) ++ aggCols.map { c =>
-          val Array(mn, mx) = d.agg(
-            min(col(c).cast(LongType)), max(col(c).cast(LongType)))
-            .collect()(0) match {
-              case r if r.isNullAt(0) => Array(0L, 0L)
-              case r => Array(r.getLong(0), r.getLong(1))
-            }
+          val (mn, mx) = extents(c)
           BasicHist.hist(col(c).cast(LongType), w.cast(LongType), mn, mx,
             histBuckets).as(s"${c}_hist")
         }
@@ -191,7 +211,9 @@ final case class SybilQuery(
     val sortCol = sortBy match {
       case None | Some("$COUNT") => col("Count")
       case Some(c) =>
-        if (grouped.columns.contains(s"${c}_avg")) col(s"${c}_avg") else col(c)
+        if (grouped.columns.contains(s"${c}_avg")) col(s"${c}_avg")
+        else if (grouped.columns.contains(s"${c}_sum")) col(s"${c}_sum")
+        else col(c)
     }
     val keyNames = bucketCol.map(_ => "time_bucket").toSeq ++ groups
     val ordered = grouped.orderBy(

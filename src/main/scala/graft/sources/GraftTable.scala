@@ -4,16 +4,34 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 import scala.util.Try
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Per-column stats sidecar — the role of the reference's `info.db`
-  * (table_io.go:26-78): column types, int extents, row count. JSON on disk
-  * so it is human-inspectable and engine-agnostic.
-  */
+/** Per-column moment statistics for one segment: extents plus the running
+  * (count, sum, sumsq) needed for outlier-resistant extent merging — the
+  * role of the reference's IntInfo (table_column_info.go:22-131). */
+case class ColStat(name: String, min: Option[Long], max: Option[Long],
+    cnt: Long, sum: Double, sumsq: Double)
+
+/** One on-disk segment: an ingest-log dir (`kind="log"`) or an immutable
+  * digested block dir (`kind="block"`), with its row count and per-long-col
+  * stats. Segment stats are computed ONCE, when the segment is written
+  * (O(batch)), and power every later zone-map decision with zero Spark
+  * jobs: query-cache time classification, trim-by-age, hist extents. */
+case class SegmentInfo(id: String, kind: String, rows: Long, stats: Seq[ColStat]) {
+  def stat(col: String): Option[ColStat] = stats.find(_.name == col)
+}
+
+/** Table-level sidecar — the role of the reference's `info.db`
+  * (table_io.go:26-78): column type registry, merged int extents, row
+  * count, plus the per-segment stats list. */
 case class ColumnInfo(name: String, dtype: String, min: Option[Long], max: Option[Long])
-case class TableInfo(rowCount: Long, columns: Seq[ColumnInfo])
+case class TableInfo(rowCount: Long, columns: Seq[ColumnInfo],
+    segments: Seq[SegmentInfo] = Nil)
 
 /** A graft table on disk: append-only ingest log + immutable digested
   * blocks, coordinated purely via the filesystem — the Spark-native
@@ -24,25 +42,37 @@ case class TableInfo(rowCount: Long, columns: Seq[ColumnInfo])
   *   root/
   *     ingest/<uuid>/   parquet appended by ingest() (the row-store log)
   *     blocks/<uuid>/   64Ki-row-group parquet written by digest()
-  *     info.json        TableInfo sidecar
+  *     info.json        TableInfo sidecar (schema + per-segment stats)
   * }}}
   *
   *  - `ingest()` appends a parquet directory per call — atomic at the
-  *    directory level (write to `.tmp-*`, rename), like the reference's
-  *    temp+rename log append (row_store.go:197-259).
+  *    directory level — then merges ONLY the batch's stats into the sidecar
+  *    (one small job over the new data). Cost is O(batch), like the
+  *    reference's log append (row_store.go:197-259); it never rescans the
+  *    table (that is the explicit `rebuild` command).
   *  - `digest()` drains the log into block dirs with 64Ki-row row groups
-  *    (CHUNK_SIZE, table.go:44) and deletes consumed log dirs — the
-  *    `stomache` collation pass (table_ingest.go:287-331).
-  *  - `read()` unions blocks, optionally including the undigested log
-  *    (`-read-log`, cmd_query.go:66).
-  *  - `trim()` deletes oldest blocks by age/size (table_trim.go:5-58).
+  *    (CHUNK_SIZE, table.go:44), topping up the newest partial block first
+  *    (FillPartialBlock, table_block_io.go:48-107) so repeated small
+  *    ingest+digest cycles keep a bounded block count.
+  *  - `read()` is ONE multi-path parquet relation over all segment dirs
+  *    (mergeSchema for column evolution) — plan size is O(1), not
+  *    O(blocks).
+  *  - `trim()` classifies blocks from sidecar stats (no jobs) and deletes
+  *    oldest by age/size (table_trim.go:5-58).
   *  - schema evolution is merge-with-first-type-wins: a column whose type
   *    conflicts with the sidecar is rejected with a warning
   *    (set_key_type, table.go:155-170).
   *
-  * At scale each block dir maps to a partition of a distributed filesystem;
-  * all data paths stay distributed (no driver-side row handling) — only the
-  * tiny sidecar and directory renames touch the driver.
+  * Extent merging is outlier-resistant like the reference
+  * (table_column_info.go:61-131, STD_CUTOFF=1000): a segment extreme more
+  * than 1000 sigma from the table mean does not widen the table extents
+  * (so one corrupt extremum cannot poison hist bucket widths), at segment
+  * granularity rather than the reference's per-record granularity.
+  *
+  * At scale each segment dir maps to a partition of a distributed
+  * filesystem; all data paths stay distributed — only the tiny sidecar and
+  * directory renames touch the driver, and no operation launches
+  * per-segment Spark jobs.
   */
 class GraftTable(spark: SparkSession, root: String) {
   private val rootP = Paths.get(root)
@@ -53,6 +83,9 @@ class GraftTable(spark: SparkSession, root: String) {
   Files.createDirectories(blocksP)
 
   val ChunkSize = 65536 // records per block, = reference CHUNK_SIZE (table.go:44)
+
+  /** Reference STD_CUTOFF (table_column_info.go:72-73). */
+  val StdCutoff = 1000.0
 
   // ---- schema registry ---------------------------------------------------
 
@@ -71,66 +104,212 @@ class GraftTable(spark: SparkSession, root: String) {
     if (bad.isEmpty) df else df.select(ok.map(f => col(s"`${f.name}`")).toSeq: _*)
   }
 
+  // ---- sidecar serialization (Jackson — ships with Spark) ----------------
+
+  private val mapper = new ObjectMapper()
+
   private def writeInfo(i: TableInfo): Unit = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val cols = i.columns.map { c =>
-      s"""{"name":${q(c.name)},"dtype":${q(c.dtype)},"min":${c.min.getOrElse("null")},"max":${c.max.getOrElse("null")}}"""
-    }.mkString("[", ",", "]")
+    val o = mapper.createObjectNode()
+    o.put("rowCount", i.rowCount)
+    val cols = o.putArray("columns")
+    i.columns.foreach { c =>
+      val n = cols.addObject()
+      n.put("name", c.name); n.put("dtype", c.dtype)
+      c.min match { case Some(v) => n.put("min", v); case None => n.putNull("min") }
+      c.max match { case Some(v) => n.put("max", v); case None => n.putNull("max") }
+    }
+    val segs = o.putArray("segments")
+    i.segments.foreach { s =>
+      val n = segs.addObject()
+      n.put("id", s.id); n.put("kind", s.kind); n.put("rows", s.rows)
+      val st = n.putArray("stats")
+      s.stats.foreach { c =>
+        val m = st.addObject()
+        m.put("name", c.name)
+        c.min match { case Some(v) => m.put("min", v); case None => m.putNull("min") }
+        c.max match { case Some(v) => m.put("max", v); case None => m.putNull("max") }
+        m.put("cnt", c.cnt); m.put("sum", c.sum); m.put("sumsq", c.sumsq)
+      }
+    }
     val tmp = rootP.resolve("info.json.tmp")
-    Files.writeString(tmp, s"""{"rowCount":${i.rowCount},"columns":$cols}""")
+    Files.writeString(tmp, mapper.writeValueAsString(o))
     Files.move(tmp, infoP, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Parse info.json (tiny, driver-side) without a JSON library. */
+  /** Parse info.json (tiny, driver-side). */
   def info(): TableInfo = {
     if (!Files.exists(infoP)) return TableInfo(0, Nil)
-    val txt = Files.readString(infoP)
-    val rowCount = "\"rowCount\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
-    val colRe = "\\{\"name\":\"((?:[^\"\\\\]|\\\\.)*)\",\"dtype\":\"((?:[^\"\\\\]|\\\\.)*)\",\"min\":(null|-?\\d+),\"max\":(null|-?\\d+)\\}".r
-    val cols = colRe.findAllMatchIn(txt).map { m =>
-      def unq(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
-      ColumnInfo(unq(m.group(1)), unq(m.group(2)),
-        Option(m.group(3)).filter(_ != "null").map(_.toLong),
-        Option(m.group(4)).filter(_ != "null").map(_.toLong))
-    }.toSeq
-    TableInfo(rowCount, cols)
+    val o = mapper.readTree(Files.readString(infoP))
+    def optLong(n: com.fasterxml.jackson.databind.JsonNode, f: String): Option[Long] =
+      Option(n.get(f)).filterNot(_.isNull).map(_.asLong)
+    val cols = Option(o.get("columns")).toSeq.flatMap(_.elements().asScala).map { n =>
+      ColumnInfo(n.get("name").asText, n.get("dtype").asText,
+        optLong(n, "min"), optLong(n, "max"))
+    }
+    val segs = Option(o.get("segments")).toSeq.flatMap(_.elements().asScala).map { n =>
+      SegmentInfo(n.get("id").asText, n.get("kind").asText, n.get("rows").asLong,
+        Option(n.get("stats")).toSeq.flatMap(_.elements().asScala).map { m =>
+          ColStat(m.get("name").asText, optLong(m, "min"), optLong(m, "max"),
+            m.get("cnt").asLong, m.get("sum").asDouble, m.get("sumsq").asDouble)
+        }.toSeq)
+    }
+    TableInfo(Option(o.get("rowCount")).map(_.asLong).getOrElse(0L), cols.toSeq, segs.toSeq)
   }
 
-  /** Recompute the sidecar by scanning current data (the reference's
-    * `rebuild` command — table_recover_info.go). */
-  def rebuild(): TableInfo = {
-    val d = Try(read(readLog = true)).toOption
-    val i = d match {
-      case None => TableInfo(0, Nil)
-      case Some(df) if df.isEmpty => TableInfo(0, Nil)
-      case Some(df) =>
-        val intCols = df.schema.fields.filter(_.dataType == LongType).map(_.name)
-        val aggs = intCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-        val extents: Map[String, (Option[Long], Option[Long])] =
-          if (aggs.isEmpty) Map.empty
-          else {
-            val r = df.agg(aggs.head, aggs.tail.toSeq: _*).collect()(0)
-            intCols.map(c => c -> ((
-              Option(r.getAs[Any](s"min_$c")).map(_.asInstanceOf[Long]),
-              Option(r.getAs[Any](s"max_$c")).map(_.asInstanceOf[Long])))).toMap
-          }
-        TableInfo(df.count(),
-          df.schema.fields.toSeq.map(f => ColumnInfo(f.name, typeName(f.dataType),
-            extents.get(f.name).flatMap(_._1), extents.get(f.name).flatMap(_._2))))
+  // ---- segment stats -----------------------------------------------------
+
+  /** One Spark job over a freshly-written segment dir: row count + per-long
+    * column (min, max, cnt, sum, sumsq). min/max/count come from parquet
+    * footers (aggregate pushdown); sum/sumsq scan only the long columns. */
+  private def segmentStats(dir: Path, kind: String): SegmentInfo = {
+    val df = spark.read.parquet(dir.toString)
+    val longCols = df.schema.fields.filter(_.dataType == LongType).map(_.name).toSeq
+    val aggs = Seq(count(lit(1)).as("__rows")) ++ longCols.flatMap { c =>
+      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
+        count(col(c)).as(s"ct_$c"),
+        sum(col(c).cast(DoubleType)).as(s"sm_$c"),
+        sum(col(c).cast(DoubleType) * col(c).cast(DoubleType)).as(s"sq_$c"))
     }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val stats = longCols.map { c =>
+      ColStat(c,
+        Option(r.getAs[Any](s"mn_$c")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any](s"mx_$c")).map(_.asInstanceOf[Long]),
+        r.getAs[Long](s"ct_$c"),
+        Option(r.getAs[Any](s"sm_$c")).map(_.asInstanceOf[Double]).getOrElse(0.0),
+        Option(r.getAs[Any](s"sq_$c")).map(_.asInstanceOf[Double]).getOrElse(0.0))
+    }
+    SegmentInfo(dir.getFileName.toString, kind, r.getAs[Long]("__rows"), stats)
+  }
+
+  /** Merge the column registry + segment stats into the table-level view:
+    * rowCount is the segment sum; extents are outlier-resistant (a segment
+    * extreme > 1000 sigma from the merged mean is ignored unless every
+    * segment is an outlier). Pure driver-side arithmetic — no jobs. */
+  private def derive(registry: Seq[ColumnInfo], segments: Seq[SegmentInfo]): TableInfo = {
+    val byCol = segments.flatMap(_.stats).groupBy(_.name)
+    val cols = registry.map { c =>
+      byCol.get(c.name) match {
+        case None => c.copy(min = None, max = None)
+        case Some(ss) =>
+          val totCnt = ss.map(_.cnt).sum
+          val totSum = ss.map(_.sum).sum
+          val totSq = ss.map(_.sumsq).sum
+          // outlier-resistant extent (table_column_info.go:72-131): a
+          // segment extreme > 1000 sigma from the REST of the data's mean
+          // does not widen the table extents. Leave-one-out, so a corrupt
+          // segment cannot inflate sigma enough to admit itself.
+          def admissible(s: ColStat, v: Long, isMin: Boolean): Boolean = {
+            val cnt = totCnt - s.cnt
+            if (cnt <= 100) return true
+            val mean = (totSum - s.sum) / cnt
+            val variance = math.max(0.0, (totSq - s.sumsq) / cnt - mean * mean)
+            val sigma = math.sqrt(variance)
+            if (sigma <= 0) return true
+            if (isMin) v.toDouble >= mean - StdCutoff * sigma
+            else v.toDouble <= mean + StdCutoff * sigma
+          }
+          val mins = ss.flatMap(s => s.min.map(v => (s, v)))
+          val maxs = ss.flatMap(s => s.max.map(v => (s, v)))
+          val okMins = mins.filter { case (s, v) => admissible(s, v, isMin = true) }
+          val okMaxs = maxs.filter { case (s, v) => admissible(s, v, isMin = false) }
+          c.copy(
+            min = (if (okMins.nonEmpty) okMins else mins).map(_._2).minOption,
+            max = (if (okMaxs.nonEmpty) okMaxs else maxs).map(_._2).maxOption)
+      }
+    }
+    TableInfo(segments.map(_.rows).sum, cols, segments)
+  }
+
+  /** Update the column registry with any new columns from a batch. */
+  private def updatedRegistry(registry: Seq[ColumnInfo], schema: StructType): Seq[ColumnInfo] = {
+    val known = registry.map(_.name).toSet
+    registry ++ schema.fields.filterNot(f => known(f.name))
+      .map(f => ColumnInfo(f.name, typeName(f.dataType), None, None))
+  }
+
+  /** Reconcile sidecar segments with the directories actually on disk
+    * (crash recovery): drop entries whose dir vanished; compute stats for
+    * dirs the sidecar has never seen (only happens after a crash between a
+    * write and its sidecar update). */
+  private def reconciled(): TableInfo = {
+    val i = info()
+    val logIds = listDirs(ingestP).map(_.getFileName.toString)
+    val blockIdsD = listDirs(blocksP).map(_.getFileName.toString)
+    val have = i.segments.map(s => (s.kind, s.id)).toSet
+    val kept = i.segments.filter(s =>
+      if (s.kind == "log") logIds.contains(s.id) else blockIdsD.contains(s.id))
+    val fresh =
+      logIds.filterNot(id => have(("log", id)))
+        .map(id => segmentStats(ingestP.resolve(id), "log")) ++
+      blockIdsD.filterNot(id => have(("block", id)))
+        .map(id => segmentStats(blocksP.resolve(id), "block"))
+    val next = derive(i.columns, kept ++ fresh)
+    if (next != i) writeInfo(next)
+    next
+  }
+
+  /** Per-block stats (kind == "block"), reconciled with disk. Used by the
+    * query cache / trim for zero-job zone-map classification. */
+  def blockSegments: Seq[SegmentInfo] =
+    reconciled().segments.filter(_.kind == "block").sortBy(_.id)
+
+  /** Recompute the whole sidecar by scanning current data (the reference's
+    * `rebuild` command — table_recover_info.go). ONE job: per-segment
+    * grouping on the input file path. */
+  def rebuild(): TableInfo = {
+    val logDirs = listDirs(ingestP)
+    val blockDirs = listDirs(blocksP)
+    val dirs = blockDirs ++ logDirs
+    val i =
+      if (dirs.isEmpty) TableInfo(0, Nil)
+      else {
+        val df = readDirs(dirs)
+        val schema = df.schema
+        val longCols = schema.fields.filter(_.dataType == LongType).map(_.name).toSeq
+        val seg = regexp_extract(input_file_name(), "/(ingest|blocks)/([^/]+)/", 2)
+        val kindC = regexp_extract(input_file_name(), "/(ingest|blocks)/([^/]+)/", 1)
+        val aggs = Seq(count(lit(1)).as("__rows")) ++ longCols.flatMap { c =>
+          Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
+            count(col(c)).as(s"ct_$c"),
+            sum(col(c).cast(DoubleType)).as(s"sm_$c"),
+            sum(col(c).cast(DoubleType) * col(c).cast(DoubleType)).as(s"sq_$c"))
+        }
+        val rows = df.groupBy(seg.as("__seg"), kindC.as("__kind"))
+          .agg(aggs.head, aggs.tail: _*).collect()
+        val segs = rows.toSeq.map { r =>
+          val stats = longCols.map { c =>
+            ColStat(c,
+              Option(r.getAs[Any](s"mn_$c")).map(_.asInstanceOf[Long]),
+              Option(r.getAs[Any](s"mx_$c")).map(_.asInstanceOf[Long]),
+              r.getAs[Long](s"ct_$c"),
+              Option(r.getAs[Any](s"sm_$c")).map(_.asInstanceOf[Double]).getOrElse(0.0),
+              Option(r.getAs[Any](s"sq_$c")).map(_.asInstanceOf[Double]).getOrElse(0.0))
+          }
+          SegmentInfo(r.getAs[String]("__seg"),
+            if (r.getAs[String]("__kind") == "ingest") "log" else "block",
+            r.getAs[Long]("__rows"), stats)
+        }
+        val registry = schema.fields.toSeq.map(f =>
+          ColumnInfo(f.name, typeName(f.dataType), None, None))
+        derive(registry, segs)
+      }
     writeInfo(i)
     i
   }
 
   // ---- ingest / digest ---------------------------------------------------
 
-  /** Append records to the ingest log (one parquet dir per call). */
+  /** Append records to the ingest log (one parquet dir per call) and merge
+    * ONLY the batch's stats into the sidecar — O(batch), no table rescan. */
   def ingest(df: DataFrame): Unit = {
     val clean = checkSchema(df)
     val dest = ingestP.resolve(java.util.UUID.randomUUID().toString)
     clean.write.mode(SaveMode.ErrorIfExists).parquet(dest.toString)
-    rebuild()
+    val seg = segmentStats(dest, "log")
+    val i = info()
+    writeInfo(derive(updatedRegistry(i.columns, clean.schema), i.segments :+ seg))
   }
 
   private def listDirs(p: Path): Seq[Path] =
@@ -138,29 +317,52 @@ class GraftTable(spark: SparkSession, root: String) {
     else Files.list(p).iterator().asScala.filter(Files.isDirectory(_))
       .filterNot(_.getFileName.toString.startsWith(".tmp")).toSeq.sortBy(_.toString)
 
-  /** Drain the ingest log into immutable blocks: read all log dirs, write
-    * 64Ki-row-group parquet into a new block dir, delete consumed logs.
-    * Crash-safe ordering: the block is fully written and renamed before any
-    * log dir is deleted (worst case after a crash: duplicate digestion of a
-    * log — same recovery tradeoff as the reference's stomache lock
-    * recovery, table_ingest.go:208-244).
+  /** One multi-path parquet relation over segment dirs (O(1) plan size).
+    * mergeSchema covers column evolution; type conflicts cannot occur
+    * because checkSchema enforces first-type-wins at ingest. */
+  private def readDirs(dirs: Seq[Path]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dirs.map(_.toString): _*)
+
+  /** Drain the ingest log into immutable blocks, topping up the newest
+    * partial (<64Ki-row) block first (FillPartialBlock,
+    * table_block_io.go:48-107) so repeated small ingest/digest cycles
+    * cannot accumulate unbounded sub-chunk blocks.
+    *
+    * Crash-safe ordering: the new block is fully written and renamed before
+    * any consumed dir is deleted (worst case after a crash: duplicate
+    * digestion of a log — same recovery tradeoff as the reference's
+    * stomache lock recovery, table_ingest.go:208-244).
     */
-  def digest(): Unit = {
+  def digest(compact: Boolean = true): Unit = {
+    val i = reconciled()
     val logs = listDirs(ingestP)
     if (logs.isEmpty) return
-    val df = logs.map(p => spark.read.parquet(p.toString))
-      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-    val n = df.count()
+    // newest partial block gets folded into this digest (bounded block
+    // count); compact=false keeps prior blocks untouched (pure append)
+    val partialBlock =
+      if (!compact) None
+      else i.segments.filter(s => s.kind == "block" && s.rows < ChunkSize)
+        .sortBy(_.id).lastOption
+    val consumedBlocks = partialBlock.map(s => blocksP.resolve(s.id)).toSeq
+    val consumedIds = partialBlock.map(_.id).toSet
+
+    val segRows = i.segments.filter(s =>
+      s.kind == "log" || consumedIds(s.id)).map(_.rows).sum
+    val df = readDirs(logs ++ consumedBlocks)
+    val n = math.max(1L, segRows)
     val tmp = blocksP.resolve(s".tmp-${java.util.UUID.randomUUID()}")
     df.repartition(math.max(1, (n / ChunkSize).toInt + (if (n % ChunkSize > 0) 1 else 0)))
       .write
       .option("parquet.block.size", (8L * 1024 * 1024).toString)
       .mode(SaveMode.ErrorIfExists)
       .parquet(tmp.toString)
-    Files.move(tmp, blocksP.resolve(java.util.UUID.randomUUID().toString),
-      StandardCopyOption.ATOMIC_MOVE)
+    val blockId = java.util.UUID.randomUUID().toString
+    Files.move(tmp, blocksP.resolve(blockId), StandardCopyOption.ATOMIC_MOVE)
+    val seg = segmentStats(blocksP.resolve(blockId), "block")
     logs.foreach(deleteRecursively)
-    rebuild()
+    consumedBlocks.foreach(deleteRecursively)
+    val kept = i.segments.filterNot(s => s.kind == "log" || consumedIds(s.id))
+    writeInfo(derive(i.columns, kept :+ seg))
   }
 
   /** Block ids (immutable once digested) — the unit of cache/skip logic. */
@@ -170,6 +372,9 @@ class GraftTable(spark: SparkSession, root: String) {
   def readBlock(id: String): DataFrame =
     spark.read.parquet(blocksP.resolve(id).toString)
 
+  /** Path of one block dir. */
+  private[sources] def blockPath(id: String): Path = blocksP.resolve(id)
+
   /** Root directory for per-block query-cache entries. */
   private[sources] def cacheRoot: Path = rootP.resolve("cache")
 
@@ -177,20 +382,40 @@ class GraftTable(spark: SparkSession, root: String) {
   def read(readLog: Boolean = false): DataFrame = {
     val dirs = listDirs(blocksP) ++ (if (readLog) listDirs(ingestP) else Nil)
     require(dirs.nonEmpty, s"table $root is empty")
-    dirs.map(p => spark.read.parquet(p.toString))
-      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    readDirs(dirs)
+  }
+
+  /** Run a DSL query against the table, injecting the sidecar's
+    * outlier-resistant extents for hist bucketing (the reference reads
+    * stored IntInfo instead of rescanning — table_column_info.go). */
+  def query(q: graft.dsl.SybilQuery, readLog: Boolean = false): DataFrame = {
+    val extents = info().columns.collect {
+      case ColumnInfo(n, _, Some(mn), Some(mx)) => n -> (mn, mx)
+    }.toMap
+    q.withExtents(extents).run(read(readLog))
   }
 
   /** Delete oldest blocks until the table fits `maxBytes`, or drop blocks
-    * whose newest `timeCol` value is older than `olderThan` (unix secs). */
+    * whose newest `timeCol` value is older than `olderThan` (unix secs).
+    * Classification is pure sidecar arithmetic — no Spark jobs (a block
+    * with no recorded stats for `timeCol` falls back to one footer-level
+    * job, which only happens for pre-upgrade or crash-orphaned blocks). */
   def trim(maxBytes: Option[Long] = None, olderThan: Option[Long] = None,
       timeCol: String = "time"): Seq[String] = {
     var removed = List.empty[String]
+    val i = reconciled()
+    var segments = i.segments
     olderThan.foreach { cutoff =>
-      for (b <- listDirs(blocksP)) {
-        val newest = Try(spark.read.parquet(b.toString)
-          .agg(max(col(timeCol))).collect()(0).getLong(0)).toOption
-        if (newest.exists(_ < cutoff)) { deleteRecursively(b); removed ::= b.toString }
+      for (s <- segments if s.kind == "block") {
+        val newest: Option[Long] = s.stat(timeCol).flatMap(_.max).orElse {
+          Try(spark.read.parquet(blocksP.resolve(s.id).toString)
+            .agg(max(col(timeCol))).collect()(0).getLong(0)).toOption
+        }
+        if (newest.exists(_ < cutoff)) {
+          deleteRecursively(blocksP.resolve(s.id))
+          removed ::= blocksP.resolve(s.id).toString
+          segments = segments.filterNot(x => x.kind == "block" && x.id == s.id)
+        }
       }
     }
     maxBytes.foreach { budget =>
@@ -204,10 +429,12 @@ class GraftTable(spark: SparkSession, root: String) {
         total -= size(victim)
         deleteRecursively(victim)
         removed ::= victim.toString
+        segments = segments.filterNot(x =>
+          x.kind == "block" && x.id == victim.getFileName.toString)
         dirs = dirs.tail
       }
     }
-    if (removed.nonEmpty) rebuild()
+    if (removed.nonEmpty) writeInfo(derive(i.columns, segments))
     removed
   }
 

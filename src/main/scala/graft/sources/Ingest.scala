@@ -89,7 +89,10 @@ object Ingest {
       case (name, c, StringType) => Some(c.as(name))
       case (name, c, BooleanType) => Some(c.cast(LongType).as(name))
       case (name, c, _: DoubleType | _: FloatType | _: DecimalType) =>
-        Some((if (sybilCompat) c.cast(LongType) else c.cast(DoubleType)).as(name))
+        // try_cast: NaN/Infinity/out-of-range → null (the reference skips
+        // the field); a plain cast would abort the whole ingest under
+        // Spark 4's default ANSI mode
+        Some((if (sybilCompat) c.try_cast(LongType) else c.cast(DoubleType)).as(name))
       case (name, c, _: LongType | _: IntegerType | _: ShortType | _: ByteType) =>
         Some(c.cast(LongType).as(name))
       case (name, c, ArrayType(et, _)) =>

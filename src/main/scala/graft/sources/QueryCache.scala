@@ -1,7 +1,8 @@
 package graft.sources
 
-import java.nio.file.Files
+import java.nio.file.{Files, Path, StandardCopyOption}
 import java.security.MessageDigest
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -19,7 +20,8 @@ case class CacheOutcome(hits: Int, misses: Int, uncacheable: Int, skipped: Int)
   * blocks — only the edge blocks recompute.
   *
   * Per block, each time filter is classified against the block's time
-  * extent (parquet footer min/max — free with aggregate pushdown):
+  * extent FROM THE SIDECAR (recorded once at digest time — zero Spark jobs
+  * here, pure driver arithmetic over segment stats):
   *   - always-true on the block  → dropped from that block's cache key;
   *   - always-false              → the whole block is skipped (zone map);
   *   - partially overlapping     → block computed fresh, not cached.
@@ -28,9 +30,17 @@ case class CacheOutcome(hits: Int, misses: Int, uncacheable: Int, skipped: Int)
   * block dirs are immutable after digest, so a cache entry never goes
   * stale; trim/digest producing new block ids naturally miss.
   *
+  * Job structure is O(1) in the block count: all cache misses are computed
+  * in ONE job (multi-path scan, block id recovered from the input file
+  * path, partitioned write into the cache layout); all partially-covered
+  * blocks in one more; hits are one multi-path read. The driver never
+  * loops jobs over blocks — the pattern that melts down at 100 TB.
+  *
   * Supported ops: Count / Sum / Avg (sums are decimal partials, so the
   * merge is exact). Hist/distinct partials have sketch buffers — they go
-  * through the normal uncached path.
+  * through the normal uncached path. str-replace pre-transforms are
+  * applied inside each partial and folded into the cache key; sort/limit
+  * follow the DSL's ordering rules at merge time.
   */
 class QueryCache(spark: SparkSession, table: GraftTable) {
 
@@ -46,6 +56,8 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
       "a=" + q.aggCols.mkString(","),
       "op=" + q.op.toString,
       "w=" + q.weightCol.getOrElse(""),
+      "r=" + q.strReplace.toSeq.sortBy(_._1)
+        .map { case (c, (p, r)) => s"$c:$p:$r" }.mkString("&"),
       "f=" + kept.map(_.toString).sorted.mkString("&")).mkString("|"))
   }
 
@@ -64,12 +76,21 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
     case _ => Partial
   }
 
-  /** Partial aggregate of one block under the query's groups/filters. */
-  private def partial(df: DataFrame, q: SybilQuery, filters: Seq[QFilter]): DataFrame = {
+  /** Partial aggregate under the query's groups/filters, optionally keyed
+    * by an extra (non-output) grouping column such as the block id. The
+    * DSL's str-replace pre-transform runs first so replaced columns filter
+    * and group identically to `q.run` (query_cache key parity). */
+  private def partial(df: DataFrame, q: SybilQuery, filters: Seq[QFilter],
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    val replaced = q.strReplace.foldLeft(df) { case (acc, (c, (pat, rep))) =>
+      acc.withColumn(c, regexp_replace(col(c), pat, rep))
+    }
     val filtered =
-      if (filters.nonEmpty) df.filter(filters.map(_.toColumn).reduce(_ && _)) else df
+      if (filters.nonEmpty) replaced.filter(filters.map(_.toColumn).reduce(_ && _))
+      else replaced
     val w = q.weightCol.map(col).getOrElse(lit(1L))
-    val keys = q.groups.map(g => coalesce(col(g).cast("string"), lit("")).as(g))
+    val keys = extraKeys.map(col) ++
+      q.groups.map(g => coalesce(col(g).cast("string"), lit("")).as(g))
     def wsum(c: String) = q.weightCol match {
       case Some(wc) => sum(col(c).cast(DecimalType(38, 6)) * col(wc))
       case None     => sum(col(c).cast(DecimalType(38, 6)))
@@ -90,44 +111,76 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
     require(q.op == AggOp.CountOp || q.op == AggOp.AvgOp || q.op == AggOp.SumOp,
       s"op ${q.op} not cacheable")
 
-    var hits, misses, uncacheable, skipped = 0
-    val partials = table.blockIds.flatMap { id =>
-      val block = table.readBlock(id)
-      val (timeFilters, rest) = q.filters.partition {
-        case IntFilter(n, _, _) => n == q.timeCol
-        case _ => false
-      }
-      val extent: Option[(Long, Long)] =
-        if (timeFilters.isEmpty) None
-        else {
-          val r = block.agg(min(col(q.timeCol)), max(col(q.timeCol))).collect()(0)
-          if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
-        }
+    val (timeFilters, rest) = q.filters.partition {
+      case IntFilter(n, _, _) => n == q.timeCol
+      case _ => false
+    }
+    // a cacheable block drops ALL time filters, so every cacheable block
+    // shares one key
+    val key = queryKey(q, timeFilters)
+
+    // zero-job classification: block time extents come from segment stats
+    // recorded at digest
+    var hitPaths = List.empty[Path]
+    var missIds = List.empty[String]
+    var uncacheableIds = List.empty[String]
+    var skipped = 0
+    for (s <- table.blockSegments) {
+      val extent = s.stat(q.timeCol).flatMap(c => c.min.zip(c.max))
       val classes = timeFilters.map(f =>
-        f -> extent.map { case (lo, hi) => classify(f.asInstanceOf[IntFilter], lo, hi) }
+        extent.map { case (lo, hi) => classify(f.asInstanceOf[IntFilter], lo, hi) }
           .getOrElse(Partial))
-      if (classes.exists(_._2 == AlwaysFalse)) { skipped += 1; None }
-      else if (classes.forall(_._2 == AlwaysTrue)) {
-        // all time filters trivially true here → drop them from the key
-        val key = queryKey(q, classes.map(_._1))
-        val dest = table.cacheRoot.resolve(key).resolve(id)
-        if (Files.exists(dest)) { hits += 1; Some(spark.read.parquet(dest.toString)) }
-        else {
-          misses += 1
-          val p = partial(block, q, rest)
-          p.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dest.toString)
-          Some(spark.read.parquet(dest.toString))
-        }
-      } else {
-        uncacheable += 1
-        Some(partial(block, q, q.filters))
-      }
+      if (classes.contains(AlwaysFalse)) skipped += 1
+      else if (classes.forall(_ == AlwaysTrue)) {
+        val dest = table.cacheRoot.resolve(key).resolve(s.id)
+        if (Files.exists(dest)) hitPaths ::= dest else missIds ::= s.id
+      } else uncacheableIds ::= s.id
     }
 
-    val out = if (partials.isEmpty) {
+    // ONE job computes every miss block's partial: multi-path scan, block
+    // id recovered from the file path, partitioned write straight into the
+    // cache layout (cache/<key>/<blockId>).
+    val missPartials: Option[DataFrame] =
+      if (missIds.isEmpty) None
+      else {
+        val dirs = missIds.map(id => table.blockPath(id).toString)
+        val withBlock = spark.read.parquet(dirs: _*)
+          .withColumn("__block", regexp_extract(input_file_name(), "/blocks/([^/]+)/", 1))
+        val p = partial(withBlock, q, rest, extraKeys = Seq("__block"))
+        val tmp = table.cacheRoot.resolve(key).resolve(s".tmp-${java.util.UUID.randomUUID()}")
+        p.write.partitionBy("__block").mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val written = Files.list(tmp).iterator().asScala
+          .filter(d => d.getFileName.toString.startsWith("__block=")).toSeq
+        written.foreach { d =>
+          val id = d.getFileName.toString.stripPrefix("__block=")
+          val dest = table.cacheRoot.resolve(key).resolve(id)
+          if (!Files.exists(dest)) Files.move(d, dest, StandardCopyOption.ATOMIC_MOVE)
+        }
+        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.delete)
+        // a block whose partial has zero groups writes no dir — read only
+        // what exists (it will recompute next run; empty is cheap anyway)
+        val readable = missIds.map(id => table.cacheRoot.resolve(key).resolve(id))
+          .filter(Files.exists(_)).map(_.toString)
+        if (readable.isEmpty) None else Some(spark.read.parquet(readable: _*))
+      }
+
+    // hits: one multi-path read over all cached partials
+    val hitPartials: Option[DataFrame] =
+      if (hitPaths.isEmpty) None else Some(spark.read.parquet(hitPaths.map(_.toString): _*))
+
+    // partially-covered blocks: one job with the FULL filter set
+    val uncachedPartials: Option[DataFrame] =
+      if (uncacheableIds.isEmpty) None
+      else Some(partial(
+        spark.read.parquet(uncacheableIds.map(id => table.blockPath(id).toString): _*),
+        q, q.filters))
+
+    val parts = Seq(missPartials, hitPartials, uncachedPartials).flatten
+    val out = if (parts.isEmpty) {
       partial(table.read(), q, q.filters).limit(0)
     } else {
-      val merged = partials.reduce(_ unionByName _)
+      val merged = parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = false))
       val keys = q.groups.map(col)
       val sums =
         Seq(sum(col("Count")).cast(LongType).as("Count"),
@@ -141,9 +194,19 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
           })
       val g = if (keys.nonEmpty) merged.groupBy(keys: _*).agg(sums.head, sums.tail: _*)
               else merged.agg(sums.head, sums.tail: _*)
-      val ordered = g.orderBy(col("Count").desc +: q.groups.map(col(_).asc): _*)
+      // same ordering rules as SybilQuery.run: $COUNT desc default, -sort /
+      // -sort-asc honored, group keys break ties
+      val sortCol = q.sortBy match {
+        case None | Some("$COUNT") => col("Count")
+        case Some(c) =>
+          if (g.columns.contains(s"${c}_avg")) col(s"${c}_avg")
+          else if (g.columns.contains(s"${c}_sum")) col(s"${c}_sum")
+          else col(c)
+      }
+      val ordered = g.orderBy(
+        (if (q.sortAsc) sortCol.asc else sortCol.desc) +: q.groups.map(col(_).asc): _*)
       q.limit.map(ordered.limit).getOrElse(ordered)
     }
-    (out, CacheOutcome(hits, misses, uncacheable, skipped))
+    (out, CacheOutcome(hitPaths.size, missIds.size, uncacheableIds.size, skipped))
   }
 }

@@ -124,6 +124,66 @@ class IngestSpec extends SparkSpec {
     assert(parts === 3) // ceil(150000 / 65536)
   }
 
+  test("digest compaction: repeated small ingest+digest keeps ONE block") {
+    import spark.implicits._
+    val root = tmpDir("graft-compact")
+    val t = new GraftTable(spark, root)
+    for (c <- 0 until 10) {
+      t.ingest((0 until 50).map(i => ((c * 50 + i).toLong, s"u${i % 3}")).toDF("id", "user"))
+      t.digest() // partial-block top-up (FillPartialBlock, table_block_io.go:48-107)
+    }
+    assert(t.blockIds.size === 1, "sub-64Ki blocks must merge, not accumulate")
+    assert(t.read().count() === 500)
+    val i = t.info()
+    assert(i.rowCount === 500)
+    val id = i.columns.find(_.name == "id").get
+    assert(id.min.contains(0L) && id.max.contains(499L))
+  }
+
+  test("ingest is O(batch): appending to a large table reads only the batch") {
+    import spark.implicits._
+    val root = tmpDir("graft-obatch")
+    val t = new GraftTable(spark, root)
+    t.ingest((0 until 200000).map(i => (i.toLong, (i % 97).toLong)).toDF("id", "v"))
+    t.digest()
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (te.taskMetrics != null)
+          bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      t.ingest((0 until 100).map(i => ((200000 + i).toLong, 7L)).toDF("id", "v"))
+      Thread.sleep(500) // listener bus drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the 200k-row table is ~1.5 MB of parquet; an O(batch) ingest touches
+    // only the tiny new segment (footer + 100 rows)
+    assert(bytesRead.get < 300000,
+      s"ingest read ${bytesRead.get} bytes — smells like a full-table rescan")
+    val id = t.info().columns.find(_.name == "id").get
+    assert(id.max.contains(200099L), "batch extents must merge into the sidecar")
+    assert(t.info().rowCount === 200100)
+  }
+
+  test("extents are outlier-resistant: a corrupt extremum does not poison them") {
+    import spark.implicits._
+    val root = tmpDir("graft-outlier")
+    val t = new GraftTable(spark, root)
+    t.ingest((0 until 200).map(i => (i.toLong, i.toLong)).toDF("id", "v"))
+    t.digest()
+    // one corrupt record 5 orders of magnitude out (>1000 sigma of the rest)
+    t.ingest(Seq((200L, 10000000L)).toDF("id", "v"))
+    val v = t.info().columns.find(_.name == "v").get
+    assert(v.max.contains(199L),
+      s"corrupt extremum must not widen extents (got max=${v.max})")
+    // but a plausible new extreme IS admitted
+    t.ingest(Seq((201L, 250L)).toDF("id", "v"))
+    assert(t.info().columns.find(_.name == "v").get.max.contains(250L))
+  }
+
   test("csv ingest with header and numeric inference") {
     val d = Files.createTempDirectory("graft-csv")
     Files.writeString(d.resolve("data.csv"), "name,age,score\nalice,30,9.7\nbob,41,3.2\n")
