@@ -1,13 +1,22 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): one JSON line with per-query seconds.
   *
   * A warm-up pass first touches every table (OS page cache + parquet footer
   * reads) and runs one aggregate so JIT/codegen warm-up is not billed to
   * whichever query happens to run first; queries then run in name order.
+  *
+  * Timing forces FULL materialization through the `noop` sink — every
+  * output column is computed and serialized, so Catalyst cannot prune the
+  * projections a query claims to measure (a bare `.count()` would drop
+  * e.g. simhash/fingerprint columns entirely and under-report). Failures
+  * are reported explicitly in a `failed` array, never silently timed.
   */
 object Bench {
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,18 +30,24 @@ object Bench {
     for (t <- graft.core.Tables.all)
       try graft.core.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => }
-    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+    try materialize(SparkEntry.queries("q01_pricing_summary")(spark, sfDir))
     catch { case _: Throwable => }
 
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try materialize(fn(spark, sfDir))
+      catch { case e: Throwable =>
+        failed ::= name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fj = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -58,8 +58,12 @@ object Queries3 {
        |FROM events WHERE regexp_matches(event_type, '^(view|click)$')
        |ORDER BY ts_sec DESC, event_id, user_id, event_type LIMIT 25""".stripMargin))
 
-  /** DSL: histogram op — sketch output (bucket layout is ours, not
-    * SQL-standard), so rows-only check. */
+  /** DSL: histogram op. The bucket layout IS deterministic given the
+    * BasicHist spec (width = ceil(range/1000) from the GLOBAL extents,
+    * low = floor((v-min)/width)*width+min, p50 = lowest bucket low whose
+    * cumulative weight reaches 50%), so the oracle replicates the walk in
+    * SQL. mean/stddev are ROUND(,6) on both sides (the q45 convention —
+    * double accumulation order differs across engines). */
   val dslHist: (String, QueryDef) = "q42_dsl_hist" -> QueryDef(
     (s: SparkSession, dir: String) => {
       val r = SybilQuery()
@@ -69,10 +73,41 @@ object Queries3 {
         .limitTo(10)
         .run(Tables.events(s, dir))
       // flatten the struct for a stable parquet schema
-      r.selectExpr("event_type", "Count", "user_id_hist.mean AS mean",
-        "user_id_hist.percentiles[50] AS p50", "user_id_hist.stddev AS stddev")
+      r.selectExpr("event_type", "Count", "ROUND(user_id_hist.mean, 6) AS mean",
+        "user_id_hist.percentiles[50] AS p50",
+        "ROUND(user_id_hist.stddev, 6) AS stddev")
     },
-    None)
+    Some("""WITH par AS (
+       |  SELECT MIN(user_id) AS mn,
+       |    GREATEST(1, (MAX(user_id) - MIN(user_id) + 999) // 1000) AS bw
+       |  FROM events),
+       |bk AS (
+       |  SELECT event_type, ((user_id - mn) // bw) * bw + mn AS low,
+       |    COUNT(*) AS c
+       |  FROM events, par GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type, low, c,
+       |    SUM(c) OVER (PARTITION BY event_type ORDER BY low) AS cm,
+       |    SUM(c) OVER (PARTITION BY event_type) AS tot
+       |  FROM bk),
+       |p50 AS (
+       |  SELECT event_type, MIN(low) AS p50 FROM cum
+       |  WHERE 100 * cm >= 50 * tot GROUP BY 1),
+       |m AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS Count,
+       |    CAST(SUM(user_id) AS DOUBLE) / COUNT(*) AS mean
+       |  FROM events GROUP BY 1),
+       |sd AS (
+       |  SELECT b.event_type,
+       |    SQRT(SUM((b.low - m.mean) * (b.low - m.mean) *
+       |      (b.c / CAST(m.Count AS DOUBLE)))) AS sdv
+       |  FROM bk b JOIN m ON b.event_type = m.event_type
+       |  GROUP BY 1, m.Count)
+       |SELECT m.event_type, m.Count, ROUND(m.mean, 6) AS mean, p50.p50,
+       |  ROUND(sd.sdv, 6) AS stddev
+       |FROM m JOIN p50 ON m.event_type = p50.event_type
+       |JOIN sd ON m.event_type = sd.event_type
+       |ORDER BY m.Count DESC, m.event_type LIMIT 10""".stripMargin))
 
   val catalog: Seq[(String, QueryDef)] = Seq(dslTimeSeries, dslAvg, dslSamples, dslHist)
 }

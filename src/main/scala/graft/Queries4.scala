@@ -35,7 +35,11 @@ object Queries4 {
         .limit(100),
     Some(simhashSql))
 
-  /** Log-scaled histogram (custom sketch layout → rows-only check). */
+  /** Log-scaled histogram. The log-bucket layout is deterministic, but
+    * cross-engine log()/pow() are not guaranteed bit-identical — so the
+    * oracle gets the EXACT integer bucket thresholds precomputed (driver-
+    * side, with the production double math) as SQL literals, and replicates
+    * the cumulative walk on them. mean/stddev ROUND(,6) as in q45. */
   val q44LogHist: (String, QueryDef) = "q44_loghist" -> QueryDef(
     (s: SparkSession, dir: String) => {
       val ev = Tables.events(s, dir)
@@ -43,11 +47,49 @@ object Queries4 {
         (col("value") * 100).cast("long"), lit(1L), 1L, 49002L)
       ev.groupBy(col("event_type"))
         .agg(h.as("h"))
-        .selectExpr("event_type", "h.count AS cnt", "h.mean AS mean",
-          "h.percentiles[50] AS p50_cents", "h.stddev AS stddev")
+        .selectExpr("event_type", "h.count AS cnt", "ROUND(h.mean, 6) AS mean",
+          "h.percentiles[50] AS p50_cents", "ROUND(h.stddev, 6) AS stddev")
         .orderBy(col("event_type"))
     },
-    None)
+    Some {
+      // integer thresholds of the log buckets over [1, 490020], computed
+      // with the same doubles the aggregator uses (LogHist.bucketOf/lowOf)
+      val th = LogHist.bucketThresholds(1L, 49002L, 16)
+      val tLit = th.map(_._1).mkString("[", ",", "]")
+      val lLit = th.map(_._2).mkString("[", ",", "]")
+      s"""WITH v AS (
+         |  SELECT event_type, CAST(trunc(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |kept AS (
+         |  SELECT event_type, cents,
+         |    ($lLit)[len(list_filter($tLit, t -> t <= cents))] AS low
+         |  FROM v WHERE cents >= 1 AND cents <= 490020),
+         |bk AS (
+         |  SELECT event_type, low, COUNT(*) AS c FROM kept GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT event_type, low, c,
+         |    SUM(c) OVER (PARTITION BY event_type ORDER BY low) AS cm,
+         |    SUM(c) OVER (PARTITION BY event_type) AS tot
+         |  FROM bk),
+         |p50 AS (
+         |  SELECT event_type, MIN(low) AS p50_cents FROM cum
+         |  WHERE 100 * cm >= 50 * tot GROUP BY 1),
+         |m AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mean
+         |  FROM kept GROUP BY 1),
+         |sd AS (
+         |  SELECT b.event_type,
+         |    SQRT(SUM((b.low - m.mean) * (b.low - m.mean) *
+         |      (b.c / CAST(m.cnt AS DOUBLE)))) AS sdv
+         |  FROM bk b JOIN m ON b.event_type = m.event_type
+         |  GROUP BY 1, m.cnt, m.mean)
+         |SELECT m.event_type, m.cnt, ROUND(m.mean, 6) AS mean,
+         |  p50.p50_cents, ROUND(sd.sdv, 6) AS stddev
+         |FROM m JOIN p50 ON m.event_type = p50.event_type
+         |JOIN sd ON m.event_type = sd.event_type
+         |ORDER BY m.event_type""".stripMargin
+    })
 
   /** ICC (one-way ANOVA) of value across event types — exact decimal sums
     * at both levels, so bit-deterministic vs the oracle. */

@@ -46,16 +46,34 @@ object Queries5 {
        |  ON ev.user_id = ord.o_custkey AND ev.ev_day >= ord.o_day
        |ORDER BY event_id LIMIT 100""".stripMargin))
 
-  /** ANN scale path: random-hyperplane LSH bucket histogram (deterministic
-    * planes, but the signature layout is ours → rows-only check). */
+  /** ANN scale path: random-hyperplane LSH bucket histogram. The planes
+    * are deterministic (splitmix hash of (seed, plane, dim)), so the oracle
+    * embeds the identical weight literals and replicates the projection as
+    * an in-order left fold — double ops on identical operands in identical
+    * order are bit-identical across engines, so every sign bit matches. */
   val q47AnnLsh: (String, QueryDef) = "q47_ann_lsh_buckets" -> QueryDef(
     (s: SparkSession, dir: String) =>
       graft.operators.Similarity.lshBuckets(
-          Tables.load(s, dir, "embeddings"), "vec_id", "embedding", planes = 8)
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          planes = 8, seed = 42, dims = 64)
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("cnt"), min(col("vec_id")).as("min_id"))
         .orderBy(col("bucket")),
-    None)
+    Some {
+      def projSql(p: Int): String = {
+        val w = (0 until 64).map(d =>
+          java.lang.Double.toString(graft.operators.Similarity.planeWeight(42, p, d)))
+          .mkString("[", ",", "]")
+        // in-order left fold of CAST(float AS DOUBLE) * literal — matches
+        // Spark's aggregate(zip_with(...)) fold bit-for-bit
+        s"list_reduce(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * ($w)[i]), (a, b) -> a + b)"
+      }
+      val bucket = (0 until 8).map(p =>
+        s"(CASE WHEN ${projSql(p)} > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, CAST($bucket AS BIGINT) AS bucket FROM embeddings)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt, MIN(vec_id) AS min_id
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    })
 
   val catalog: Seq[(String, QueryDef)] = Seq(q46AsOf, q47AnnLsh)
 }

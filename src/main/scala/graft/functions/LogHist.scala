@@ -18,19 +18,14 @@ class LogHistAggregator(
     ticksPerOctave: Int = 16)
   extends Aggregator[(Long, Long), HistBuf, HistResult] with Serializable {
 
-  private val span: Long = math.max(1L, infoMax - infoMin)
-  val numBuckets: Int =
-    (math.ceil(math.log(span.toDouble + 1) / math.log(2.0)) * ticksPerOctave).toInt + 2
+  val numBuckets: Int = LogHist.numBuckets(infoMin, infoMax, ticksPerOctave)
 
-  private def bucketOf(value: Long): Int = {
-    val off = value - infoMin
-    val b = (math.log(off.toDouble + 1) / math.log(2.0) * ticksPerOctave).toInt
-    math.min(b, numBuckets - 1)
-  }
+  private def bucketOf(value: Long): Int =
+    LogHist.bucketOf(value, infoMin, numBuckets, ticksPerOctave)
 
   /** Low value of a bucket: inverse of [[bucketOf]]. */
   private def lowOf(bucket: Int): Long =
-    infoMin + (math.pow(2.0, bucket.toDouble / ticksPerOctave) - 1).toLong
+    LogHist.lowOf(bucket, infoMin, ticksPerOctave)
 
   def zero: HistBuf = HistBuf(
     new Array[Long](numBuckets), 0.0, 0L, 0L,
@@ -105,4 +100,40 @@ object LogHist {
   def logHist(value: Column, weight: Column, infoMin: Long, infoMax: Long,
       ticksPerOctave: Int = 16): Column =
     udaf(new LogHistAggregator(infoMin, infoMax, ticksPerOctave)).apply(value, weight)
+
+  /** The bucket function as pure driver-side math, exposed so an oracle SQL
+    * twin can precompute the EXACT integer bucket thresholds as literals
+    * (cross-engine log/pow bit-compat is not guaranteed; integer thresholds
+    * are). */
+  def numBuckets(infoMin: Long, infoMax: Long, ticksPerOctave: Int): Int = {
+    val span = math.max(1L, infoMax - infoMin)
+    (math.ceil(math.log(span.toDouble + 1) / math.log(2.0)) * ticksPerOctave).toInt + 2
+  }
+
+  def bucketOf(value: Long, infoMin: Long, numBuckets: Int, ticksPerOctave: Int): Int = {
+    val off = value - infoMin
+    val b = (math.log(off.toDouble + 1) / math.log(2.0) * ticksPerOctave).toInt
+    math.min(b, numBuckets - 1)
+  }
+
+  def lowOf(bucket: Int, infoMin: Long, ticksPerOctave: Int): Long =
+    infoMin + (math.pow(2.0, bucket.toDouble / ticksPerOctave) - 1).toLong
+
+  /** For each occupied-in-principle bucket over the integer domain
+    * [infoMin, infoMax*10], the smallest value mapping to it, paired with
+    * the bucket's low value — ascending. Linear scan of the domain with the
+    * exact production double math (only used to build oracle SQL twins). */
+  def bucketThresholds(infoMin: Long, infoMax: Long, ticksPerOctave: Int): Seq[(Long, Long)] = {
+    val nb = numBuckets(infoMin, infoMax, ticksPerOctave)
+    val out = Seq.newBuilder[(Long, Long)]
+    var lastBucket = -1
+    var v = infoMin
+    val top = infoMax * 10
+    while (v <= top) {
+      val b = bucketOf(v, infoMin, nb, ticksPerOctave)
+      if (b != lastBucket) { out += ((v, lowOf(b, infoMin, ticksPerOctave))); lastBucket = b }
+      v += 1
+    }
+    out.result()
+  }
 }

@@ -52,26 +52,37 @@ object Similarity {
       .filter(col("dot") > minDot)
   }
 
+  /** Deterministic pseudo-random hyperplane weight for (seed, plane, dim):
+    * splitmix-style integer hash → uniform in [-1, 1). Public so oracle SQL
+    * twins can embed the identical literals. */
+  def planeWeight(seed: Int, p: Int, d: Int): Double = {
+    var z = (seed.toLong * 1000003 + p.toLong * 8191 + d).toLong
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^= z >>> 33
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
   /** Random-hyperplane signature: `planes` sign bits, each from a
     * deterministic pseudo-random hyperplane derived from (seed, dim index)
-    * via a hash — no RNG state, reproducible across runs and engines. */
+    * via a hash — no RNG state, reproducible across runs and engines.
+    *
+    * `dims` must match the embedding width: a mismatched row fails fast
+    * with raise_error instead of silently null-padding the projection to
+    * bucket 0 (which would degenerate ANN candidates to one giant bucket).
+    */
   def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
-      planes: Int = 8, seed: Int = 42): DataFrame = {
-    val dims = 64 // embeddings table dimensionality
-    def planeWeight(p: Int, d: Int): Double = {
-      // splitmix-style integer hash → uniform in [-1, 1)
-      var z = (seed.toLong * 1000003 + p.toLong * 8191 + d).toLong
-      z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
-      z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
-      z ^= z >>> 33
-      (z.toDouble / Long.MaxValue.toDouble)
-    }
+      planes: Int = 8, seed: Int = 42, dims: Int = 64): DataFrame = {
     val sigBits = (0 until planes).map { p =>
-      val weights = array((0 until dims).map(d => lit(planeWeight(p, d))): _*)
+      val weights = array((0 until dims).map(d => lit(planeWeight(seed, p, d))): _*)
       val proj = fold(zip_with(col(vecCol), weights,
         (x, w) => x.cast("double") * w))
       when(proj > 0, 1L << p).otherwise(0L)
     }
-    emb.select(col(idCol), sigBits.reduce(_ + _).as("bucket"))
+    val dimGuard = when(size(col(vecCol)) =!= dims,
+      raise_error(concat(lit(s"lshBuckets: expected $dims-dim embedding, got "),
+        size(col(vecCol)).cast("string")))).otherwise(lit(null)).cast("long")
+    emb.select(col(idCol),
+      (sigBits.reduce(_ + _) + coalesce(dimGuard, lit(0L))).as("bucket"))
   }
 }
