@@ -78,7 +78,8 @@ final case class SybilQuery(
     samples: Boolean = false,
     sampleCols: Seq[String] = Nil,
     histBuckets: Int = 1000,
-    histExtents: Map[String, (Long, Long)] = Map.empty) {
+    histExtents: Map[String, (Long, Long)] = Map.empty,
+    useLogHist: Boolean = false) {
 
   def groupBy(cols: String*): SybilQuery = copy(groups = groups ++ cols)
   def aggregate(cols: String*): SybilQuery = copy(aggCols = aggCols ++ cols)
@@ -111,6 +112,8 @@ final case class SybilQuery(
     * GraftTable.query injects its sidecar extents through this. */
   def withExtents(m: Map[String, (Long, Long)]): SybilQuery =
     copy(histExtents = histExtents ++ m)
+  /** `-loghist` (cmd_query.go:45): hist op uses log-scaled buckets. */
+  def logHistogram: SybilQuery = copy(op = AggOp.HistOp, useLogHist = true)
 
   /** Compile and run against a table DataFrame. */
   def run(df: DataFrame): DataFrame = {
@@ -193,8 +196,11 @@ final case class SybilQuery(
         val extents = histExtents ++ scanned
         Seq(countAgg, samplesAgg) ++ aggCols.map { c =>
           val (mn, mx) = extents(c)
-          BasicHist.hist(col(c).cast(LongType), w.cast(LongType), mn, mx,
-            histBuckets).as(s"${c}_hist")
+          (if (useLogHist)
+            graft.functions.LogHist.logHist(col(c).cast(LongType), w.cast(LongType), mn, mx)
+          else
+            BasicHist.hist(col(c).cast(LongType), w.cast(LongType), mn, mx,
+              histBuckets)).as(s"${c}_hist")
         }
       case AggOp.DistinctOp(exact) =>
         val dcols = (if (distinctCols.nonEmpty) distinctCols else aggCols).map(col)

@@ -78,5 +78,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[GraftMinHash].getName, "graft_minhash"),
+      (children: Seq[Expression]) => GraftMinHash(children(0), children(1))))
   }
 }

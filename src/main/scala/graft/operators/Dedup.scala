@@ -38,24 +38,25 @@ object Dedup {
   }
 
   /** (id, band, signature) rows: `bands` bands of `rows` minhashes each,
-    * md5-based (engine-portable). Shingle building is materialized behind a
-    * repartition barrier — see Queries2 scale notes. */
+    * md5-based (engine-portable). All `bands*rows` seed minima come from
+    * ONE fused pass over the tokens (native `graft_minhash` expression,
+    * expressions/MinHash.scala) — no per-seed interpreted HOF re-walks.
+    * The array is still materialized behind a repartition barrier so
+    * CollapseProject cannot inline the expression into each band consumer.
+    */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 2, rows: Int = 2): DataFrame = {
-    val toksDf = docs
+    val k = bands * rows
+    val sigDf = docs
       .filter(size(split(col(textCol), " ")) >= 3)
-      .select(col(idCol).as("__id"), split(col(textCol), " ").as("toks"))
+      .select(col(idCol).as("__id"),
+        call_function("graft_minhash", split(col(textCol), " "), lit(k)).as("mha"))
       .repartition(col("__id"))
-    val sh = toksDf.select(col("__id"),
-      transform(sequence(lit(1), size(col("toks")) - 2),
-        i => concat_ws(" ", slice(col("toks"), i, lit(3)))).as("sh"))
-    def mh(seed: Int) = array_min(
-      transform(col("sh"), x => md5(concat(lit(s"$seed:"), x))))
     val bandStructs = (0 until bands).map { b =>
-      val sig = concat((1 to rows).map(r => mh(b * rows + r)): _*)
+      val sig = concat((1 to rows).map(r => element_at(col("mha"), b * rows + r)): _*)
       struct(lit(b).as("band"), sig.as("mh"))
     }
-    sh.select(col("__id"), explode(array(bandStructs: _*)).as("b"))
+    sigDf.select(col("__id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("__id").as(idCol), col("b.band").as("band"), col("b.mh").as("mh"))
   }
 

@@ -85,4 +85,41 @@ object Similarity {
     emb.select(col(idCol),
       (sigBits.reduce(_ + _) + coalesce(dimGuard, lit(0L))).as("bucket"))
   }
+
+  /** Approximate top-k by cosine for a set of query ids: `tables`
+    * independent LSH signatures (seed offset per table); candidates are
+    * vectors sharing a (table, bucket) with the query; exact cosine is
+    * computed on candidates only. Standard multi-table LSH ANN — recall
+    * rises as `1 - (1 - p^planes)^tables` with per-plane collision p =
+    * 1 - angle/pi; the recall harness in OperatorsSpec measures it against
+    * [[cosineTopK]] ground truth.
+    *
+    * Scale shape: each signature pass is a projection (no shuffle); the
+    * candidate join keys on (table, bucket) — uniform hash keys, no skew,
+    * O(collisions) pairs; nothing cross-joins.
+    */
+  def annTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, planes: Int = 8, tables: Int = 8,
+      seed: Int = 42, dims: Int = 64): DataFrame = {
+    val sigs = (0 until tables).map { t =>
+      lshBuckets(emb, idCol, vecCol, planes, seed + 1000 * t, dims)
+        .withColumn("tbl", lit(t))
+    }.reduce(_ unionByName _)
+    val qsigs = sigs.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col("tbl").as("qtbl"), col("bucket").as("qbucket"))
+    val cands = sigs
+      .join(broadcast(qsigs),
+        col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
+          col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol)).distinct()
+    val qvecs = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid2"), col(vecCol).as("qv"))
+    val scored = cands
+      .join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(qvecs), col("qid") === col("qid2"))
+      .select(col("qid"), col(idCol), cosine(col(vecCol), col("qv")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+  }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.jdk.CollectionConverters._
+
+/** E2E through the CLI — the reference's api_test.go:1-303 scheme: ingest
+  * JSON records, digest, query, assert on the parsed `-json` output. */
+class CliSpec extends SparkSpec {
+
+  private def captureOut(body: => Unit): String = {
+    val bos = new ByteArrayOutputStream()
+    Console.withOut(new PrintStream(bos, true, "UTF-8")) { body }
+    bos.toString("UTF-8")
+  }
+
+  private val mapper = new ObjectMapper()
+
+  test("E2E: ingest → digest → grouped avg query with filters via -json") {
+    val db = Files.createTempDirectory("graft-cli").toString
+    val data = Files.createTempDirectory("graft-cli-data")
+    val lines = (0 until 120).map { i =>
+      val state = if (i % 3 == 0) "CA" else "NY"
+      s"""{"age": ${20 + i % 10}, "state": "$state", "time": ${1700000000 + i}}"""
+    }
+    Files.writeString(data.resolve("rows.jsonl"), lines.mkString("\n"))
+
+    Cli.main(Array("ingest", "-dir", db, "-table", "people",
+      "-infile", data.resolve("rows.jsonl").toString))
+    Cli.main(Array("digest", "-dir", db, "-table", "people"))
+
+    val out = captureOut {
+      Cli.main(Array("query", "-dir", db, "-table", "people",
+        "-group", "state", "-int", "age", "-op", "avg", "-json"))
+    }
+    val res = mapper.readTree(out).get("results")
+    val byState = res.elements().asScala.map(n =>
+      n.get("state").asText -> (n.get("Count").asLong, n.get("age_avg").asDouble)).toMap
+    assert(byState("CA")._1 === 40L && byState("NY")._1 === 80L)
+    // CA ages: i%10 for i=0,3,6.. mod-30 cycle is uniform 0..9 → avg 24.5
+    assert(math.abs(byState("CA")._2 - 24.5) < 1e-9)
+
+    // int filter through the CLI flag syntax col:op:val
+    val filtered = captureOut {
+      Cli.main(Array("query", "-dir", db, "-table", "people",
+        "-group", "state", "-int-filter", "age:gt:25", "-op", "count", "-json"))
+    }
+    val fRes = mapper.readTree(filtered).get("results")
+    val fCnt = fRes.elements().asScala.map(n =>
+      n.get("state").asText -> n.get("Count").asLong).toMap
+    // ages 26..29 → 4 of 10 per cycle
+    assert(fCnt("CA") === 16L && fCnt("NY") === 32L)
+
+    // samples mode, newest first
+    val samples = captureOut {
+      Cli.main(Array("query", "-dir", db, "-table", "people",
+        "-samples", "-sample-cols", "age,time", "-limit", "3", "-json"))
+    }
+    val sRes = mapper.readTree(samples).get("results").elements().asScala.toSeq
+    assert(sRes.size === 3)
+    assert(sRes.head.get("time").asLong === 1700000119L)
+
+    // -tables listing and -info
+    val tl = captureOut { Cli.main(Array("query", "-dir", db, "-tables")) }
+    assert(tl.trim === "people")
+    val info = captureOut {
+      Cli.main(Array("query", "-dir", db, "-table", "people", "-info"))
+    }
+    assert(info.contains("state (string)") && info.contains("age (bigint)") &&
+      info.contains("count 120"))
+  }
+
+  test("CLI trim dry-run prints nothing to remove for fresh data") {
+    val db = Files.createTempDirectory("graft-cli2").toString
+    val data = Files.createTempDirectory("graft-cli2-data")
+    Files.writeString(data.resolve("r.jsonl"),
+      (0 until 10).map(i => s"""{"v": $i, "time": ${1700000000 + i}}""").mkString("\n"))
+    Cli.main(Array("ingest", "-dir", db, "-table", "t", "-infile",
+      data.resolve("r.jsonl").toString))
+    Cli.main(Array("digest", "-dir", db, "-table", "t"))
+    val out = captureOut {
+      Cli.main(Array("trim", "-dir", db, "-table", "t", "-before", "1600000000"))
+    }
+    assert(out.trim.isEmpty)
+    // and trimming with a future cutoff removes the block
+    val out2 = captureOut {
+      Cli.main(Array("trim", "-dir", db, "-table", "t", "-before", "1800000000"))
+    }
+    assert(out2.trim.nonEmpty)
+  }
+}

@@ -80,6 +80,41 @@ class OperatorsSpec extends SparkSpec {
     assert(blocked.count() === 6) // 4 choose 2
   }
 
+  test("ANN multi-table LSH: recall@10 vs brute-force ground truth") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val ids = emb.select("vec_id").orderBy("vec_id").limit(8)
+      .collect().map(_.getLong(0)).toSeq
+    // ground truth: exact top-10 per query (one windowed cross join)
+    val q = emb.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    val gt = emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Similarity.cosine(col("embedding"), col("qv")).as("sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // this synthetic data's top-10 neighbors are weak (~0.3 cosine), so
+    // selectivity must be low: planes=4, tables=16 → analytic expected
+    // recall 1-(1-p^4)^16 ≈ 0.88 over the measured angle distribution
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", ids, k = 10,
+        planes = 4, tables = 16, dims = 64)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ann intersect gt).size.toDouble / gt.size
+    info(f"ANN recall@10 over ${ids.size} queries: $recall%.3f")
+    assert(recall >= 0.7, f"recall@10 $recall%.3f below floor 0.7")
+  }
+
+  test("lshBuckets fails fast on mismatched embedding dimensionality") {
+    val vecs = Seq((0L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.lshBuckets(vecs, "vec_id", "embedding", dims = 64).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("log-hist: percentiles within one log-bucket; merge matches flat") {
     val rnd = new scala.util.Random(5)
     // heavy-tailed values — the case log buckets exist for
