@@ -82,5 +82,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[GraftMinHash].getName, "graft_minhash"),
       (children: Seq[Expression]) => GraftMinHash(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[GraftSimHash].getName, "graft_simhash"),
+      (children: Seq[Expression]) => GraftSimHash(children(0), children(1))))
   }
 }

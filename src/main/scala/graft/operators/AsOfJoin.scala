@@ -21,12 +21,22 @@ object AsOfJoin {
     *              (ties would make the match nondeterministic).
     * @param payload right columns to carry onto left rows; null payload
     *                values are carried as-is (they neither drop the match
-    *                nor pull values from an older right row). */
+    *                nor pull values from an older right row).
+    * @param saltBuckets skew escape hatch: with the default 1, each key is
+    *                one window partition — a single hot key (one user with
+    *                90% of events) serializes into one task. With S > 1,
+    *                left rows scatter across S sub-partitions of their key
+    *                and right rows replicate into all S, so the hot key's
+    *                work parallelizes S-ways at the cost of an S× copy of
+    *                the (small, pre-reduced) right side. Results are
+    *                identical — each sub-partition still sees every right
+    *                row ≤ any of its left times. */
   def backward(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      saltBuckets: Int = 1): DataFrame = {
 
     val lCols = left.columns.toSeq
     // all payload columns travel in ONE struct through ONE last(ignoreNulls)
@@ -39,21 +49,32 @@ object AsOfJoin {
         nullable = false) +: payload.map(c => right.schema(c)))
     // side 0 = right, 1 = left: at equal times right sorts first so a right
     // row at exactly leftTime matches (asof uses <=)
+    // salt: left rows scatter (any deterministic-per-row value works — the
+    // match result does not depend on which sub-partition a left row lands
+    // in); right rows replicate to every salt so each sub-partition is
+    // self-sufficient
+    val lSalt: Column =
+      if (saltBuckets <= 1) lit(0)
+      else pmod(hash(lCols.map(col): _*), lit(saltBuckets))
     val l = left
       .withColumn("__key", col(leftKey))
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-      .select(Seq(col("__key"), col("__t"), col("__side")) ++
+      .withColumn("__salt", lSalt)
+      .select(Seq(col("__key"), col("__t"), col("__side"), col("__salt")) ++
         lCols.map(col) :+ lit(null).cast(pType).as("__p"): _*)
-    val r = right
+    val rBase = right
       .withColumn("__key", col(rightKey))
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
-      .select(Seq(col("__key"), col("__t"), col("__side")) ++
+    val r = (if (saltBuckets <= 1) rBase.withColumn("__salt", lit(0))
+             else rBase.withColumn("__salt",
+               explode(sequence(lit(0), lit(saltBuckets - 1)))))
+      .select(Seq(col("__key"), col("__t"), col("__side"), col("__salt")) ++
         lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(lit(1).as("__matched") +: payload.map(c => col(c).as(c)): _*).as("__p"): _*)
 
-    val w = Window.partitionBy(col("__key"))
+    val w = Window.partitionBy(col("__key"), col("__salt"))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 

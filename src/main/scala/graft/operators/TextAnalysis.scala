@@ -69,23 +69,17 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
-  /** SimHash over tokens with `bits` bits (≤ 60). Per token, md5 hex →
-    * integer (first 15 hex digits); bit b votes +1/-1; the signature sets
-    * bit b when the vote sum is positive. Near-duplicate docs differ in few
-    * bits (compare with [[hammingDistance]]). Pure expressions: the votes
-    * are an aggregate over the exploded token axis folded with
-    * `aggregate()`, no shuffle.
+  /** SimHash over tokens with `bits` bits (≤ 60). Per distinct token, md5
+    * hex → integer (first 15 hex digits); bit b votes +1/-1; the signature
+    * sets bit b when the vote sum is positive. Near-duplicate docs differ
+    * in few bits (compare with [[hammingDistance]]). Runs as the native
+    * `graft_simhash` expression (expressions/SimHash.scala): one fused
+    * codegen pass computes all bit votes, versus `bits` interpreted HOF
+    * folds re-walking the hash array. No shuffle either way.
     */
   def simhash(text: Column, bits: Int = 16): Column = {
     require(bits <= 60, "simhash uses the first 15 hex digits of md5 (60 bits)")
-    val toks = array_distinct(tokens(text))
-    val hashes = transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-    val bitCols = (0 until bits).map { b =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L) * (1L << b)).otherwise(0L)
-    }
-    bitCols.reduce(_ + _)
+    call_function("graft_simhash", tokens(text), lit(bits))
   }
 
   /** Hamming distance between two simhash signatures. */

@@ -37,6 +37,27 @@ class AsOfCacheSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, None, "new")))
   }
 
+  test("asof backward: salted variant matches unsalted on a 90%-hot key") {
+    // one user owns 90% of events — the skew case where a single window
+    // partition would serialize; salting must parallelize WITHOUT changing
+    // a single result row
+    val left = (0 until 5000).map { i =>
+      val k = if (i % 10 == 0) s"cold${i % 7}" else "hot"
+      (k, (i * 3L) % 1000, i.toLong)
+    }.toDF("k", "t", "lid")
+    val right = (0 until 200).map { i =>
+      val k = if (i % 10 == 0) s"cold${i % 7}" else "hot"
+      (k, i * 5L, i.toLong * 100)
+    }.toDF("k2", "t2", "pay")
+      .groupBy("k2", "t2").agg(max("pay").as("pay")) // unique per (key,time)
+    def runIt(salt: Int) =
+      AsOfJoin.backward(left, right, "k", "k2", "t", "t2", Seq("pay"), saltBuckets = salt)
+        .collect().map(r => (r.getLong(2), r.getLong(3))).sorted.toSeq
+    val plain = runIt(1)
+    val salted = runIt(8)
+    assert(plain.nonEmpty && salted === plain)
+  }
+
   test("query cache: hits on rolling time filters, exact results, zone-map skip") {
     val root = Files.createTempDirectory("graft-qc").toString
     val t = new GraftTable(spark, root)
