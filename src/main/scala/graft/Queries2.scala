@@ -212,13 +212,6 @@ object Queries2 {
 
   // ---- MinHash / Jaccard near-dup detection ------------------------------
 
-  /** 3-token shingles as an array column; docs shorter than 3 tokens are
-    * excluded (empty shingle sets disagree between engines otherwise). */
-  private def shinglesSpark(): Column =
-    transform(
-      sequence(lit(1), size(split(col("text"), " ")) - 2),
-      i => concat_ws(" ", slice(split(col("text"), " "), i, lit(3))))
-
   private val shinglesSql =
     "list_transform(range(1, len(string_split(text,' '))-1), i -> array_to_string((string_split(text,' '))[i:i+2], ' '))"
 
@@ -236,14 +229,19 @@ object Queries2 {
        |  list_min(list_transform(sh, x -> md5('4:' || x))) AS mh4
        |FROM s ORDER BY doc_id LIMIT 100""".stripMargin) { (s, dir) =>
     implicit val env: (SparkSession, String) = (s, dir)
-    def mh(seed: Int) = array_min(
-      transform(col("sh"), x => md5(concat(lit(s"$seed:"), x)))).as(s"mh$seed")
+    // all 4 seed minima in ONE fused pass (graft_minhash); the array is
+    // split into columns only after the limit, so neither the shingles nor
+    // the hashes are ever recomputed per seed (CollapseProject would inline
+    // a per-column formulation 4x)
     t("documents")
       .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), shinglesSpark().as("sh"))
-      .select(col("doc_id"), mh(1), mh(2), mh(3), mh(4))
+      .select(col("doc_id"),
+        call_function("graft_minhash", split(col("text"), " "), lit(4)).as("mha"))
       .orderBy(col("doc_id"))
       .limit(100)
+      .select(col("doc_id"),
+        element_at(col("mha"), 1).as("mh1"), element_at(col("mha"), 2).as("mh2"),
+        element_at(col("mha"), 3).as("mh3"), element_at(col("mha"), 4).as("mh4"))
   }
 
   /** Shared CTE text for signature-based SQL (sig → 4 minhashes/doc). */
