@@ -117,6 +117,13 @@ final case class SybilQuery(
 
   /** Compile and run against a table DataFrame. */
   def run(df: DataFrame): DataFrame = {
+    // set (array) columns cannot be group-by keys — explicit rejection like
+    // the reference (aggregate.go group-by only binds int/str columns; a
+    // set key would need an explode the user must opt into)
+    for (g <- groups; f <- df.schema.fields.find(_.name == g))
+      if (f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        throw new IllegalArgumentException(
+          s"cannot group by set column '$g' (explode it first)")
     // str-replace pre-transform (table_query.go:34-51): rewrite the column
     // before any filter/group sees it.
     var d = strReplace.foldLeft(df) { case (acc, (c, (pat, rep))) =>

@@ -184,6 +184,32 @@ class IngestSpec extends SparkSpec {
     assert(t.info().columns.find(_.name == "v").get.max.contains(250L))
   }
 
+  test("set (array) group-by is rejected with a clear error") {
+    import spark.implicits._
+    val df = Seq((1L, Seq("a", "b"))).toDF("v", "tags")
+    val ex = intercept[IllegalArgumentException] {
+      SybilQuery().groupBy("tags").run(df)
+    }
+    assert(ex.getMessage.contains("set column"))
+  }
+
+  test("TSV export round-trips records (gzip, header)") {
+    import spark.implicits._
+    val root = tmpDir("graft-tsv")
+    val t = new GraftTable(spark, root)
+    t.ingest(Seq((1L, "a\tx"), (2L, "b")).toDF("id", "s"))
+    t.digest()
+    val out = tmpDir("graft-tsv-out")
+    t.exportTsv(out)
+    val files = Files.list(java.nio.file.Paths.get(out)).iterator()
+    val gz = Iterator.continually(files).takeWhile(_.hasNext).map(_.next())
+      .filter(_.toString.endsWith(".csv.gz")).toSeq
+    assert(gz.nonEmpty, "export must produce gzip parts")
+    val back = spark.read.option("sep", "\t").option("header", "true")
+      .csv(out).orderBy("id").collect()
+    assert(back.length === 2 && back(0).getString(0) === "1")
+  }
+
   test("csv ingest with header and numeric inference") {
     val d = Files.createTempDirectory("graft-csv")
     Files.writeString(d.resolve("data.csv"), "name,age,score\nalice,30,9.7\nbob,41,3.2\n")
