@@ -86,5 +86,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[GraftSimHash].getName, "graft_simhash"),
       (children: Seq[Expression]) => GraftSimHash(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hash"),
+      new ExpressionInfo(classOf[GraftShingleHash].getName, "graft_shingle_hash"),
+      (children: Seq[Expression]) => GraftShingleHash(children(0))))
   }
 }

@@ -1,0 +1,74 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Distinct 64-bit hashes of a token array's 3-token shingles, in one fused
+  * pass: for i in 0..n-3, FNV-1a over `tok[i] ' ' tok[i+1] ' ' tok[i+2]`
+  * bytes (streamed — the shingle string is never materialized), deduped in
+  * insertion order.
+  *
+  * Used by the exact-Jaccard verify stage (operators/Dedup.jaccardVerify):
+  * |A∩B| and |A∪B| over hashed shingle sets equal the counts over the
+  * string sets barring 64-bit collisions (a candidate pair holds ~1e3
+  * shingles → within-pair collision probability ~1e-13; the DuckDB oracle
+  * computes the same counts from the string lists and agrees). The win:
+  * the HOF pipeline re-built each shingle string per row interpreted and
+  * shuffled string arrays through two joins — this ships arrays of longs
+  * (≈4x smaller) and fuses into codegen.
+  */
+case class GraftShingleHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hash expects array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hash"
+
+  override protected def nullSafeEval(toks: Any): Any =
+    compute(toks.asInstanceOf[ArrayData])
+
+  private val FnvOffset = 0xcbf29ce484222325L
+  private val FnvPrime = 0x100000001b3L
+
+  def compute(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= n - 3) {
+      var h = FnvOffset
+      var j = 0
+      while (j < 3) {
+        if (j > 0) { h ^= ' '.toLong; h *= FnvPrime }
+        if (!toks.isNullAt(i + j)) {
+          val b = toks.getUTF8String(i + j).getBytes
+          var k = 0
+          while (k < b.length) { h ^= (b(k) & 0xffL); h *= FnvPrime; k += 1 }
+        }
+        j += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = it.next(); x += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftShingleHash", this, classOf[GraftShingleHash].getName)
+    nullSafeCodeGen(ctx, ev, toks => s"${ev.value} = $ref.compute($toks);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftShingleHash =
+    copy(child = newChild)
+}

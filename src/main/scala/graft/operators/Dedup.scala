@@ -70,11 +70,15 @@ object Dedup {
   }
 
   /** Exact 3-shingle Jaccard for candidate pairs (integers → deterministic
-    * division). */
+    * division). Shingle sets travel as distinct 64-bit hashes (native
+    * `graft_shingle_hash`, one fused pass) — |A∩B| and |A∪B| are identical
+    * to the string-set counts barring 64-bit collisions (~1e-13 per pair),
+    * and the joins shuffle long arrays instead of rebuilt shingle strings.
+    */
   def jaccardVerify(docs: DataFrame, candidates: DataFrame,
       idCol: String, textCol: String, threshold: Double): DataFrame = {
     val shset = docs.select(col(idCol).as("__jid"),
-      array_distinct(shingles(col(textCol))).as("shd"))
+      call_function("graft_shingle_hash", split(col(textCol), " ")).as("shd"))
     val x = shset.select(col("__jid").as("xid"), col("shd").as("sh1"))
     val y = shset.select(col("__jid").as("yid"), col("shd").as("sh2"))
     val inter = size(array_intersect(col("sh1"), col("sh2")))
