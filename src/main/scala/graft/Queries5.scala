@@ -75,5 +75,60 @@ object Queries5 {
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
     })
 
-  val catalog: Seq[(String, QueryDef)] = Seq(q46AsOf, q47AnnLsh)
+  /** TRUE nested MultiHist (halving subranges from the top,
+    * hist_multi.go:223-257) over event value cents — the oracle embeds the
+    * integer subrange layout as literals and replicates the merged bucket
+    * walk, like q44's threshold trick. */
+  val q48NestedHist: (String, QueryDef) = "q48_nested_hist" -> QueryDef(
+    (s: SparkSession, dir: String) => {
+      val ev = Tables.events(s, dir)
+      val h = graft.functions.NestedHist.nestedHist(
+        expr("CAST(value * 100 AS LONG)"), lit(1L), 1L, 49002L)
+      ev.groupBy(col("event_type"))
+        .agg(h.as("h"))
+        .selectExpr("event_type", "h.count AS cnt", "ROUND(h.mean, 6) AS mean",
+          "h.percentiles[50] AS p50_cents", "ROUND(h.stddev, 6) AS stddev")
+        .orderBy(col("event_type"))
+    },
+    Some {
+      val lay = graft.functions.NestedHist.layout(1L, 49002L, 1000)
+      val mins = lay.map(_._1).mkString("[", ",", "]")
+      val widths = lay.map(_._3).mkString("[", ",", "]")
+      s"""WITH v AS (
+         |  SELECT event_type, CAST(trunc(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE value * 100 >= 1 AND value * 100 < 490021),
+         |kept AS (
+         |  SELECT event_type, cents,
+         |    ($mins)[len(list_filter($mins, a -> a <= cents))] +
+         |    ((cents - ($mins)[len(list_filter($mins, a -> a <= cents))]) //
+         |      ($widths)[len(list_filter($mins, a -> a <= cents))]) *
+         |      ($widths)[len(list_filter($mins, a -> a <= cents))] AS low
+         |  FROM v),
+         |bk AS (SELECT event_type, low, COUNT(*) AS c FROM kept GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT event_type, low, c,
+         |    SUM(c) OVER (PARTITION BY event_type ORDER BY low) AS cm,
+         |    SUM(c) OVER (PARTITION BY event_type) AS tot
+         |  FROM bk),
+         |p50 AS (
+         |  SELECT event_type, MIN(low) AS p50_cents FROM cum
+         |  WHERE 100 * cm >= 50 * tot GROUP BY 1),
+         |m AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mean
+         |  FROM kept GROUP BY 1),
+         |sd AS (
+         |  SELECT b.event_type,
+         |    SQRT(SUM((b.low - m.mean) * (b.low - m.mean) *
+         |      (b.c / CAST(m.cnt AS DOUBLE)))) AS sdv
+         |  FROM bk b JOIN m ON b.event_type = m.event_type
+         |  GROUP BY 1, m.cnt, m.mean)
+         |SELECT m.event_type, m.cnt, ROUND(m.mean, 6) AS mean,
+         |  p50.p50_cents, ROUND(sd.sdv, 6) AS stddev
+         |FROM m JOIN p50 ON m.event_type = p50.event_type
+         |JOIN sd ON m.event_type = sd.event_type
+         |ORDER BY m.event_type""".stripMargin
+    })
+
+  val catalog: Seq[(String, QueryDef)] = Seq(q46AsOf, q47AnnLsh, q48NestedHist)
 }

@@ -97,6 +97,70 @@ class HistSpec extends SparkSpec {
     }
   }
 
+  test("nested hist: halving layout partitions the range, top-anchored") {
+    import graft.functions.NestedHist
+    val lay = NestedHist.layout(0, 100000, 1000)
+    // ascending, contiguous, last (lowest) subrange is <= numBuckets wide
+    assert(lay.head._1 === 0L && lay.last._2 === 100000L)
+    for (Seq(a, b) <- lay.sliding(2)) assert(a._2 === b._1)
+    assert(lay.head._2 - lay.head._1 <= 1000)
+    // widths halve from the top: each upper sub is ~2x the next lower
+    // (integer >> halving: an odd width w splits as w>>1, so the upper is
+    // 2a or 2a+1)
+    val upperWidths = lay.tail.map(s => s._2 - s._1)
+    for (Seq(a, b) <- upperWidths.sliding(2)) assert(b === a * 2 || b === a * 2 + 1)
+  }
+
+  test("nested hist: fine absolute resolution at the bottom, exact stats") {
+    import graft.functions.{NestedHist, NestedHistAggregator}
+    // heavy-tailed: most mass small, a few huge — MultiHist's reason to exist
+    val rnd = new scala.util.Random(11)
+    val values = Seq.fill(4000)(math.exp(rnd.nextDouble() * 11).toLong)
+    val mx = values.max
+    val r = values.toDF("v")
+      .agg(NestedHist.nestedHist(col("v"), lit(1L), 0L, mx).as("h"))
+      .select("h.*").collect()(0)
+    assert(r.getAs[Long]("count") === 4000)
+    val sorted = values.sorted
+    val pcts = r.getAs[collection.Seq[Long]]("percentiles")
+    for (p <- Seq(25, 50, 75)) {
+      val exact = sorted((p / 100.0 * (sorted.size - 1)).toInt).toDouble
+      val got = pcts(p).toDouble
+      // low percentiles sit in the fine 1:1 subranges → tight absolute error;
+      // allow one bucket width of the containing subrange either way
+      val lay = NestedHist.layout(0, mx, 1000)
+      val width = lay.find(s => exact >= s._1 && exact <= s._2).map(_._3).getOrElse(1L)
+      assert(math.abs(got - exact) <= width + 1, s"p$p got=$got exact=$exact width=$width")
+    }
+    // boundary routing: a value on a shared edge goes to the upper sub (no crash,
+    // counted once)
+    val lay = NestedHist.layout(0, mx, 1000)
+    val edge = lay(1)._1
+    val agg = new NestedHistAggregator(0, mx, 1000)
+    val b = agg.reduce(agg.zero, (edge, 1L))
+    assert(b.counts.sum === 1L)
+  }
+
+  test("nested hist: merge is associative and order-insensitive") {
+    import graft.functions.NestedHistAggregator
+    val agg = new NestedHistAggregator(0, 99999, 100)
+    def buf(vals: Seq[Long]): HistBuf =
+      vals.foldLeft(agg.zero)((b, v) => agg.reduce(b, (v, 1L)))
+    def canon(b: HistBuf) = {
+      val r = agg.finish(b)
+      (r.count, r.min, r.max, r.percentiles.toSeq, r.bucketLows.toSeq,
+        r.bucketCounts.toSeq)
+    }
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(seed)
+      val Seq(xs, ys, zs) = Seq.fill(3)(Seq.fill(60)(rnd.nextLong(100000)))
+      assert(canon(agg.merge(agg.merge(buf(xs), buf(ys)), buf(zs))) ===
+        canon(agg.merge(buf(zs), agg.merge(buf(ys), buf(xs)))))
+      assert(canon(agg.merge(agg.merge(buf(xs), buf(ys)), buf(zs))) ===
+        canon(buf(xs ++ ys ++ zs)))
+    }
+  }
+
   test("small range collapses to width-1 buckets (reference size<100 branch)") {
     val agg = new BasicHistAggregator(10, 30, 1000)
     assert(agg.bucketSize === 1)
