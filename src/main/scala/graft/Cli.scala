@@ -85,6 +85,7 @@ object Cli {
       case other   => throw new IllegalArgumentException(s"-op $other")
     }
     if (f.contains("loghist")) q = q.logHistogram
+    f.get("int-bucket").foreach(n => q = q.bucketCount(n.toInt))
     f.get("distinct").foreach(c => q = q.distinct(splitList(c): _*))
     f.get("int-filter").foreach(filterTriples(_).foreach { case (c, op, v) =>
       q = q.copy(filters = q.filters :+ graft.dsl.IntFilter(c, op, v.toLong))

@@ -114,6 +114,8 @@ final case class SybilQuery(
     copy(histExtents = histExtents ++ m)
   /** `-loghist` (cmd_query.go:45): hist op uses log-scaled buckets. */
   def logHistogram: SybilQuery = copy(op = AggOp.HistOp, useLogHist = true)
+  /** `-int-bucket` (cmd_query.go:52): hist bucket count override. */
+  def bucketCount(n: Int): SybilQuery = copy(histBuckets = n)
 
   /** Compile and run against a table DataFrame. */
   def run(df: DataFrame): DataFrame = {

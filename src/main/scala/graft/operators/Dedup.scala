@@ -98,4 +98,30 @@ object Dedup {
     docs.select(col(idCol), TextAnalysis.simhash(col(textCol), bits).as("simhash"))
       .groupBy(col("simhash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** Apply a keeper assignment: keep exactly the rows whose id IS a
+    * keep_id — the materialization stage after [[exactDedup]] /
+    * [[simhashDedup]] (or any (keep_id, ...) frame). One broadcast-or-
+    * shuffle semi join on the id; no row ever collects to the driver. */
+  def applyDedup(docs: DataFrame, keepers: DataFrame, idCol: String): DataFrame =
+    docs.join(keepers.select(col("keep_id").as(idCol)).distinct(),
+      Seq(idCol), "left_semi")
+
+  /** End-to-end near-dup removal: LSH candidates → exact Jaccard verify →
+    * union-find-free keeper choice (keep the smallest id of each verified
+    * duplicate pair's closure, approximated by one pass: drop any doc that
+    * verifies as a duplicate of a smaller id). For chains a<b<c where only
+    * (a,b) and (b,c) verify, c is dropped via b even though (a,c) never
+    * verified — the standard single-pass approximation; exact transitive
+    * closure needs iterative connected components (graph layer, out of
+    * scope here). */
+  def nearDedup(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, bands: Int = 2, rows: Int = 2): DataFrame = {
+    val verified = jaccardVerify(docs,
+      lshCandidates(minhashBands(docs, idCol, textCol, bands, rows), idCol),
+      idCol, textCol, threshold)
+    // d1 < d2 by construction → d2 is always the duplicate to drop
+    docs.join(verified.select(col("d2").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
 }

@@ -73,6 +73,25 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup: drop any document whose content hash was
+    * already seen inside the watermark horizon — the incremental version of
+    * [[graft.operators.Dedup.exactDedup]] for a training-data ingest
+    * pipeline. State is the set of hashes within the watermark (bounded;
+    * Spark evicts expired keys), keyed by the SAME md5 content hash as the
+    * batch operator so batch backfill and streaming ingest agree on what
+    * counts as a duplicate.
+    */
+  def streamingDedup(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__ts", timestamp_seconds(col(tsCol).cast(LongType)))
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark("__ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Streaming digest loop: drain a JSON-lines directory into a GraftTable
     * with `Trigger.AvailableNow` — the reference's `sybil digest` cycle
     * (table_ingest.go:287-331) as an incremental job with checkpointed

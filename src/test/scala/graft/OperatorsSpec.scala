@@ -65,6 +65,18 @@ class OperatorsSpec extends SparkSpec {
     assert(verified.exists(p => p._1 == 0 && p._2 == 1 && p._3 === 1.0))
   }
 
+  test("applyDedup keeps keepers; nearDedup removes verified near-dups") {
+    val keepers = Dedup.exactDedup(docs, "doc_id", "text")
+    val kept = Dedup.applyDedup(docs, keepers, "doc_id")
+    // doc 1 is the exact dup of doc 0 → dropped; everything else kept
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      docs.select("doc_id").collect().map(_.getLong(0)).filterNot(_ == 1L).sorted.toSeq)
+    val near = Dedup.nearDedup(docs, "doc_id", "text", threshold = 0.5)
+    val nearIds = near.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!nearIds.contains(1L), "exact dup must be removed")
+    assert(nearIds.contains(0L), "the smallest id of a dup group is kept")
+  }
+
   test("cosine topK and LSH buckets on synthetic embeddings") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f, 0f)),

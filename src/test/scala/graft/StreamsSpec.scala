@@ -57,6 +57,24 @@ class StreamsSpec extends SparkSpec {
     assert(rows.filter(_.key == "b").map(_.events).max === 1)
   }
 
+  test("streaming dedup drops repeated content within the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val base = 1700000000L
+    mem.addData(
+      (1L, base, "the quick brown fox"),
+      (2L, base + 5, "the quick brown fox"), // exact dup of 1
+      (3L, base + 9, "something else entirely"))
+    val streamDf = mem.toDF().toDF("doc_id", "ts_sec", "text")
+    val out = Streams.streamingDedup(streamDf, "ts_sec", "text")
+    val q = out.writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("sdedup").select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 3L)) // dup doc 2 dropped
+  }
+
   test("streaming digest drains a json dir into a GraftTable") {
     val src = Files.createTempDirectory("graft-stream-src")
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
