@@ -1,0 +1,56 @@
+package graft
+
+/** Plan-quality regression tests: the properties that matter at 100 TB,
+  * asserted on the physical plans of representative catalog queries at
+  * sf0.001 (plan shape is scale-invariant; only stats-driven join picks
+  * could differ, and those are asserted where AQE can't flip them).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString()
+
+  test("filters are pushed to the parquet scan (q08)") {
+    val p = plan("q08_int_filters")
+    assert("PushedFilters: \\[(?!\\])".r.findFirstIn(p).nonEmpty,
+      "int filters must reach the scan")
+  }
+
+  test("projection pruning reaches the scan (q01 reads only needed columns)") {
+    val p = plan("q01_pricing_summary")
+    // lineitem has 16 columns; q01 needs 7 — comment/shipmode etc must not
+    // be in the read schema
+    assert(!p.contains("l_comment") && !p.contains("l_shipmode"),
+      "unused columns must be pruned from ReadSchema")
+  }
+
+  test("small dimensions broadcast (q17, q27)") {
+    assert(plan("q17_join_broadcast").contains("BroadcastHashJoin"))
+    val star = plan("q27_join_star")
+    assert(star.contains("BroadcastHashJoin"))
+  }
+
+  test("exact top-k plans as TakeOrderedAndProject, not a global sort (q13)") {
+    assert(plan("q13_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("native expressions appear fused, not inlined per consumer") {
+    // q35: ONE graft_minhash call feeding the limit (CollapseProject would
+    // have produced 4 copies in a per-column formulation)
+    val p35 = plan("q35_minhash_signature")
+    val calls = "graft_minhash".r.findAllIn(p35).size
+    assert(calls >= 1 && calls <= 2, s"expected 1 fused graft_minhash, saw $calls")
+    // q43: simhash is the native expression, and no interpreted HOF lambda
+    // survives in the plan
+    val p43 = plan("q43_simhash")
+    assert(p43.contains("graft_simhash"))
+    assert(!p43.contains("lambdafunction"), "no interpreted HOFs in the simhash path")
+  }
+
+  test("jaccard verify ships hashed shingles, not shingle strings (q37)") {
+    val p = plan("q37_ngram_jaccard")
+    assert(p.contains("graft_shingle_hash"))
+  }
+}
