@@ -185,11 +185,15 @@ object Cli {
       case "rebuild" => table.rebuild()
 
       case "trim" =>
-        val removed = table.trim(
-          maxBytes = f.get("mb").map(_.toLong * 1024 * 1024),
-          olderThan = f.get("before").map(_.toLong),
-          timeCol = f.getOrElse("time-col", "time"))
-        println(removed.mkString("\n"))
+        // reference semantics (cmd_trim.go:34): -list is the default dry
+        // run; only -delete actually removes data
+        val mb = f.get("mb").map(_.toLong * 1024 * 1024)
+        val before = f.get("before").map(_.toLong)
+        val tc = f.getOrElse("time-col", "time")
+        val affected =
+          if (f.contains("delete")) table.trim(mb, before, tc)
+          else table.trimPlan(mb, before, tc)
+        println(affected.mkString("\n"))
 
       case "export" =>
         table.exportTsv(f.getOrElse("outfile", sys.error("-outfile is required")),

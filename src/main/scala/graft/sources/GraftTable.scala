@@ -395,6 +395,31 @@ class GraftTable(spark: SparkSession, root: String) {
     q.withExtents(extents).run(read(readLog))
   }
 
+  /** Blocks that `trim` WOULD delete — the reference's `-list` dry run
+    * (cmd_trim.go:32-36). Pure sidecar arithmetic, deletes nothing. */
+  def trimPlan(maxBytes: Option[Long] = None, olderThan: Option[Long] = None,
+      timeCol: String = "time"): Seq[String] = {
+    val i = reconciled()
+    var out = List.empty[String]
+    olderThan.foreach { cutoff =>
+      for (s <- i.segments if s.kind == "block")
+        if (s.stat(timeCol).flatMap(_.max).exists(_ < cutoff))
+          out ::= blocksP.resolve(s.id).toString
+    }
+    maxBytes.foreach { budget =>
+      def size(p: Path): Long =
+        Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+      var dirs = listDirs(blocksP).sortBy(p => Files.getLastModifiedTime(p).toMillis)
+      var total = dirs.map(size).sum
+      while (total > budget && dirs.length > 1) {
+        total -= size(dirs.head)
+        out ::= dirs.head.toString
+        dirs = dirs.tail
+      }
+    }
+    out.distinct
+  }
+
   /** Delete oldest blocks until the table fits `maxBytes`, or drop blocks
     * whose newest `timeCol` value is older than `olderThan` (unix secs).
     * Classification is pure sidecar arithmetic — no Spark jobs (a block

@@ -84,10 +84,17 @@ class CliSpec extends SparkSpec {
       Cli.main(Array("trim", "-dir", db, "-table", "t", "-before", "1600000000"))
     }
     assert(out.trim.isEmpty)
-    // and trimming with a future cutoff removes the block
+    // -list semantics by default: a future cutoff PRINTS the victim block
+    // but deletes nothing (cmd_trim.go:34 requires -delete)
     val out2 = captureOut {
       Cli.main(Array("trim", "-dir", db, "-table", "t", "-before", "1800000000"))
     }
     assert(out2.trim.nonEmpty)
+    assert(Files.list(java.nio.file.Paths.get(db, "t", "blocks")).count() === 1)
+    // -delete actually removes it
+    captureOut {
+      Cli.main(Array("trim", "-dir", db, "-table", "t", "-before", "1800000000", "-delete"))
+    }
+    assert(Files.list(java.nio.file.Paths.get(db, "t", "blocks")).count() === 0)
   }
 }
