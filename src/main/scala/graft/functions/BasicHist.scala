@@ -169,10 +169,56 @@ class BasicHistAggregator(
   def outputEncoder: Encoder[HistResult] = Encoders.product[HistResult]
 }
 
+/** Same reduce/merge as [[BasicHistAggregator]] but finishes with the RAW
+  * buffer — the per-block partial the query cache persists (the
+  * reference's cached SavedQueryResults carry hist buffers the same way,
+  * query_cache.go + hist merge in aggregate.go:326-467). */
+class HistPartialAggregator(infoMin: Long, infoMax: Long, numBuckets: Int = 1000)
+  extends Aggregator[(Long, Long), HistBuf, HistBuf] with Serializable {
+  private val inner = new BasicHistAggregator(infoMin, infoMax, numBuckets)
+  def zero: HistBuf = inner.zero
+  def reduce(b: HistBuf, in: (Long, Long)): HistBuf = inner.reduce(b, in)
+  def merge(a: HistBuf, c: HistBuf): HistBuf = inner.merge(a, c)
+  def finish(b: HistBuf): HistBuf = b
+  def bufferEncoder: Encoder[HistBuf] = Encoders.product[HistBuf]
+  def outputEncoder: Encoder[HistBuf] = Encoders.product[HistBuf]
+}
+
+/** Folds persisted [[HistBuf]] partials back into one [[HistResult]] —
+  * the final-merge side of the cached-hist path. Correct because the
+  * buffer merge is associative and order-insensitive (HistSpec merge law),
+  * and the buffer keeps the raw outlier side-arrays, so stddev is
+  * identical to the single-pass result. */
+class HistMergeAggregator(infoMin: Long, infoMax: Long, numBuckets: Int = 1000)
+  extends Aggregator[HistBuf, HistBuf, HistResult] with Serializable {
+  private val inner = new BasicHistAggregator(infoMin, infoMax, numBuckets)
+  def zero: HistBuf = inner.zero
+  def reduce(b: HistBuf, in: HistBuf): HistBuf = inner.merge(b, in)
+  def merge(a: HistBuf, c: HistBuf): HistBuf = inner.merge(a, c)
+  def finish(b: HistBuf): HistResult = inner.finish(b)
+  def bufferEncoder: Encoder[HistBuf] = Encoders.product[HistBuf]
+  def outputEncoder: Encoder[HistResult] = Encoders.product[HistResult]
+}
+
 object BasicHist {
   /** Column expression: histogram of `value` weighted by `weight` with the
     * given column extents. Usable inside any `agg(...)`. */
   def hist(value: Column, weight: Column, infoMin: Long, infoMax: Long,
       buckets: Int = 1000): Column =
     udaf(new BasicHistAggregator(infoMin, infoMax, buckets)).apply(value, weight)
+
+  /** Mergeable per-block partial (a [[HistBuf]] struct column). */
+  def histPartial(value: Column, weight: Column, infoMin: Long, infoMax: Long,
+      buckets: Int = 1000): Column =
+    udaf(new HistPartialAggregator(infoMin, infoMax, buckets)).apply(value, weight)
+
+  /** Merge persisted partials into the final [[HistResult]]. The UDAF's
+    * product input flattens to one argument per [[HistBuf]] field, so the
+    * struct column is passed as its subfields in declaration order. */
+  def histMerge(buf: Column, infoMin: Long, infoMax: Long,
+      buckets: Int = 1000): Column =
+    udaf(new HistMergeAggregator(infoMin, infoMax, buckets)).apply(
+      buf.getField("counts"), buf.getField("avgSum"), buf.getField("count"),
+      buf.getField("samples"), buf.getField("min"), buf.getField("max"),
+      buf.getField("outliers"), buf.getField("underliers"))
 }

@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.dsl.{AggOp, IntFilter, QFilter, SybilQuery}
+import graft.functions.BasicHist
 
 /** Outcome counters for one cached run. */
 case class CacheOutcome(hits: Int, misses: Int, uncacheable: Int, skipped: Int)
@@ -37,10 +38,14 @@ case class CacheOutcome(hits: Int, misses: Int, uncacheable: Int, skipped: Int)
   * loops jobs over blocks — the pattern that melts down at 100 TB.
   *
   * Supported ops: Count / Sum / Avg (sums are decimal partials, so the
-  * merge is exact). Hist/distinct partials have sketch buffers — they go
-  * through the normal uncached path. str-replace pre-transforms are
-  * applied inside each partial and folded into the cache key; sort/limit
-  * follow the DSL's ordering rules at merge time.
+  * merge is exact) and Hist — hist partials persist the RAW mergeable
+  * buffer ([[graft.functions.HistBuf]]: bucket counts + moments + outlier
+  * side-arrays) with the bucket layout pinned by the sidecar extents and
+  * folded into the cache key, so the merged result is bit-identical to a
+  * single-pass hist and layout drift invalidates naturally. Distinct/HLL
+  * stays uncached (Spark's HLL sketch buffer is not exposed). str-replace
+  * pre-transforms are applied inside each partial and folded into the
+  * cache key; sort/limit follow the DSL's ordering rules at merge time.
   */
 class QueryCache(spark: SparkSession, table: GraftTable) {
 
@@ -48,8 +53,12 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
-  /** Canonical cache key for the query minus the given filters. */
-  private def queryKey(q: SybilQuery, dropped: Seq[QFilter]): String = {
+  /** Canonical cache key for the query minus the given filters. Hist
+    * entries also key on the bucket layout (extents + bucket count): a
+    * table whose sidecar extents moved must not merge old-layout partials.
+    */
+  private def queryKey(q: SybilQuery, dropped: Seq[QFilter],
+      extents: Map[String, (Long, Long)] = Map.empty): String = {
     val kept = q.filters.filterNot(dropped.contains)
     md5hex(Seq(
       "g=" + q.groups.mkString(","),
@@ -58,6 +67,8 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
       "w=" + q.weightCol.getOrElse(""),
       "r=" + q.strReplace.toSeq.sortBy(_._1)
         .map { case (c, (p, r)) => s"$c:$p:$r" }.mkString("&"),
+      "h=" + (if (q.op == AggOp.HistOp)
+        q.histBuckets + ";" + extents.toSeq.sorted.mkString(",") else ""),
       "f=" + kept.map(_.toString).sorted.mkString("&")).mkString("|"))
   }
 
@@ -81,7 +92,7 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
     * DSL's str-replace pre-transform runs first so replaced columns filter
     * and group identically to `q.run` (query_cache key parity). */
   private def partial(df: DataFrame, q: SybilQuery, filters: Seq[QFilter],
-      extraKeys: Seq[String] = Nil): DataFrame = {
+      extents: Map[String, (Long, Long)], extraKeys: Seq[String] = Nil): DataFrame = {
     val replaced = q.strReplace.foldLeft(df) { case (acc, (c, (pat, rep))) =>
       acc.withColumn(c, regexp_replace(col(c), pat, rep))
     }
@@ -97,7 +108,14 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
     }
     val aggs =
       Seq(sum(w).cast(LongType).as("Count"), count(lit(1)).as("Samples")) ++
-        q.aggCols.map(c => wsum(c).as(s"__sum_$c"))
+        (q.op match {
+          case AggOp.HistOp => q.aggCols.map { c =>
+            val (mn, mx) = extents(c)
+            BasicHist.histPartial(col(c).cast(LongType), w.cast(LongType),
+              mn, mx, q.histBuckets).as(s"__hist_$c")
+          }
+          case _ => q.aggCols.map(c => wsum(c).as(s"__sum_$c"))
+        })
     if (keys.nonEmpty) filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
     else filtered.agg(aggs.head, aggs.tail: _*)
   }
@@ -108,8 +126,23 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
     */
   def run(q: SybilQuery): (DataFrame, CacheOutcome) = {
     require(!q.samples && q.timeBucket.isEmpty, "cache supports plain aggregations")
-    require(q.op == AggOp.CountOp || q.op == AggOp.AvgOp || q.op == AggOp.SumOp,
+    require(q.op == AggOp.CountOp || q.op == AggOp.AvgOp || q.op == AggOp.SumOp ||
+      q.op == AggOp.HistOp,
       s"op ${q.op} not cacheable")
+    // hist partials need a SHARED bucket layout across blocks and runs:
+    // extents come from the sidecar (the stored-IntInfo path) and key the
+    // cache, so layout drift invalidates naturally
+    val extents: Map[String, (Long, Long)] =
+      if (q.op != AggOp.HistOp) Map.empty
+      else {
+        val fromInfo = table.info().columns.collect {
+          case ColumnInfo(n, _, Some(mn), Some(mx)) if q.aggCols.contains(n) =>
+            n -> (mn, mx)
+        }.toMap
+        q.aggCols.foreach(c => require(fromInfo.contains(c),
+          s"hist cache needs sidecar extents for '$c' (run rebuild)"))
+        fromInfo
+      }
 
     val (timeFilters, rest) = q.filters.partition {
       case IntFilter(n, _, _) => n == q.timeCol
@@ -117,7 +150,7 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
     }
     // a cacheable block drops ALL time filters, so every cacheable block
     // shares one key
-    val key = queryKey(q, timeFilters)
+    val key = queryKey(q, timeFilters, extents)
 
     // zero-job classification: block time extents come from segment stats
     // recorded at digest
@@ -146,7 +179,7 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
         val dirs = missIds.map(id => table.blockPath(id).toString)
         val withBlock = spark.read.parquet(dirs: _*)
           .withColumn("__block", regexp_extract(input_file_name(), "/blocks/([^/]+)/", 1))
-        val p = partial(withBlock, q, rest, extraKeys = Seq("__block"))
+        val p = partial(withBlock, q, rest, extents, extraKeys = Seq("__block"))
         val tmp = table.cacheRoot.resolve(key).resolve(s".tmp-${java.util.UUID.randomUUID()}")
         p.write.partitionBy("__block").mode(SaveMode.Overwrite).parquet(tmp.toString)
         val written = Files.list(tmp).iterator().asScala
@@ -174,11 +207,11 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
       if (uncacheableIds.isEmpty) None
       else Some(partial(
         spark.read.parquet(uncacheableIds.map(id => table.blockPath(id).toString): _*),
-        q, q.filters))
+        q, q.filters, extents))
 
     val parts = Seq(missPartials, hitPartials, uncachedPartials).flatten
     val out = if (parts.isEmpty) {
-      partial(table.read(), q, q.filters).limit(0)
+      partial(table.read(), q, q.filters, extents).limit(0)
     } else {
       val merged = parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = false))
       val keys = q.groups.map(col)
@@ -190,6 +223,11 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
               sum(col(s"__sum_$c")).cast(DoubleType).as(s"${c}_sum"))
             case AggOp.AvgOp => q.aggCols.map(c =>
               (sum(col(s"__sum_$c")).cast(DoubleType) / sum(col("Count"))).as(s"${c}_avg"))
+            case AggOp.HistOp => q.aggCols.map { c =>
+              val (mn, mx) = extents(c)
+              BasicHist.histMerge(col(s"__hist_$c"), mn, mx, q.histBuckets)
+                .as(s"${c}_hist")
+            }
             case _ => Nil
           })
       val g = if (keys.nonEmpty) merged.groupBy(keys: _*).agg(sums.head, sums.tail: _*)

@@ -137,6 +137,39 @@ class AsOfCacheSpec extends SparkSpec {
     assert(rs.collect().map(_.getString(0)).toSeq === Seq("host-0-prod", "host-1-prod"))
   }
 
+  test("query cache: hist partials merge to the exact single-pass result") {
+    val root = Files.createTempDirectory("graft-qc4").toString
+    val t = new GraftTable(spark, root)
+    for (b <- 0 until 2) {
+      t.ingest((0 until 800).map(i =>
+        (s"k${i % 3}", (b * 800 + i).toLong, ((i * 7) % 500).toLong)).toDF("k", "time", "v"))
+      t.digest(compact = false)
+    }
+    val cache = new QueryCache(spark, t)
+    val q = SybilQuery().groupBy("k").aggregate("v").withOp(AggOp.HistOp).limitTo(10)
+    val (r1, o1) = cache.run(q)
+    val cached1 = r1.collect()
+    assert(o1.misses === 2)
+    // second run: all hits, identical result
+    val (r2, o2) = cache.run(q)
+    assert(o2.hits === 2 && o2.misses === 0)
+    // exact equality vs the uncached DSL run with the same sidecar extents
+    val extents = t.info().columns.collect {
+      case graft.sources.ColumnInfo(n, _, Some(mn), Some(mx)) => n -> (mn, mx)
+    }.toMap
+    val direct = q.withExtents(extents).run(t.read())
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      val h = r.getStruct(r.fieldIndex("v_hist"))
+      (r.getString(0), r.getLong(1),
+        h.getAs[Long]("count"), h.getAs[Double]("mean"), h.getAs[Double]("stddev"),
+        h.getAs[collection.Seq[Long]]("percentiles").toSeq,
+        h.getAs[collection.Seq[Long]]("bucketLows").toSeq,
+        h.getAs[collection.Seq[Long]]("bucketCounts").toSeq)
+    }.sortBy(_._1)
+    assert(canon(r2.collect()) === canon(direct.collect()))
+    assert(canon(cached1) === canon(r2.collect()))
+  }
+
   test("query cache: weighted avg partials merge exactly") {
     val root = Files.createTempDirectory("graft-qc2").toString
     val t = new GraftTable(spark, root)
