@@ -333,7 +333,38 @@ class GraftTable(spark: SparkSession, root: String) {
     * digestion of a log — same recovery tradeoff as the reference's
     * stomache lock recovery, table_ingest.go:208-244).
     */
+  /** Advisory digest lock (the reference's pid-stamped lockfiles with
+    * stale recovery, table_lock.go:287-391): created O_EXCL with the
+    * owner pid; a lock older than `staleMs` is broken (crash recovery —
+    * digest's write-then-rename ordering makes re-running safe). Returns
+    * false when another live digest holds the lock. */
+  private def grabDigestLock(staleMs: Long = 10 * 60 * 1000): Boolean = {
+    val lockP = rootP.resolve("digest.lock")
+    try {
+      Files.writeString(lockP, ProcessHandle.current().pid().toString,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val age = Try(System.currentTimeMillis() -
+          Files.getLastModifiedTime(lockP).toMillis).getOrElse(0L)
+        if (age > staleMs) { // break the stale lock and take it
+          Try(Files.deleteIfExists(lockP))
+          grabDigestLock(staleMs)
+        } else false
+    }
+  }
+
+  private def releaseDigestLock(): Unit =
+    Try(Files.deleteIfExists(rootP.resolve("digest.lock")))
+
   def digest(compact: Boolean = true): Unit = {
+    if (!grabDigestLock()) throw new IllegalStateException(
+      s"table $root: another digest is in progress (digest.lock held)")
+    try digestLocked(compact) finally releaseDigestLock()
+  }
+
+  private def digestLocked(compact: Boolean): Unit = {
     val i = reconciled()
     val logs = listDirs(ingestP)
     if (logs.isEmpty) return

@@ -184,6 +184,21 @@ class IngestSpec extends SparkSpec {
     assert(t.info().columns.find(_.name == "v").get.max.contains(250L))
   }
 
+  test("digest lock: concurrent digest refused, stale lock broken") {
+    import spark.implicits._
+    val root = tmpDir("graft-lock")
+    val t = new GraftTable(spark, root)
+    t.ingest(Seq((1L, 2L)).toDF("a", "b"))
+    val lock = java.nio.file.Paths.get(root, "digest.lock")
+    Files.writeString(lock, "99999999") // someone else holds it (fresh)
+    intercept[IllegalStateException](t.digest())
+    // stale lock (old mtime) is broken and digest proceeds
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600 * 1000))
+    t.digest()
+    assert(t.blockIds.nonEmpty && !Files.exists(lock))
+  }
+
   test("set (array) group-by is rejected with a clear error") {
     import spark.implicits._
     val df = Seq((1L, Seq("a", "b"))).toDF("v", "tags")
