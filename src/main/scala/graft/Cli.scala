@@ -27,7 +27,7 @@ import graft.sources.{GraftTable, Ingest, QueryCache}
   *   graft query   -dir DB -tables            # list tables
   *   graft query   -dir DB -table T -info     # table info
   *   graft trim    -dir DB -table T [-mb N] [-before TS] [-time-col c] [-delete]
-  *   graft rebuild -dir DB -table T
+  *   graft rebuild -dir DB -table T      (alias: index — re-derives block stats)
   *   graft export  -dir DB -table T -outfile DIR [-read-log]
   *   graft version
   * }}}
@@ -182,7 +182,10 @@ object Cli {
 
       case "digest" => table.digest()
 
-      case "rebuild" => table.rebuild()
+      // `sybil index` re-derives per-block column info (cmd_index.go:19-34
+      // sets WRITE_BLOCK_INFO and saves); here block-level stats live in
+      // the same sidecar rebuild re-derives
+      case "rebuild" | "index" => table.rebuild()
 
       case "trim" =>
         // reference semantics (cmd_trim.go:34): -list is the default dry

@@ -70,6 +70,61 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[DotProduct]]'s mixed-width sibling: `array<float>` embedding against
+  * an `array<double>` weight vector (LSH hyperplanes are double literals —
+  * narrowing them to float would flip near-zero projection signs and break
+  * oracle parity). Same left-to-right fold from 0.0, so results are
+  * bit-identical to `aggregate(zip_with(v, w, (x,wt) -> double(x)*wt))`
+  * while running fused in codegen instead of interpreted. */
+case class DotProductW(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dotw expects (array<float>, array<double>), got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dotw"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        sum += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $sum += ((double) $a.getFloat($i)) * $b.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductW =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session extension registering graft's native expressions
   * (`spark.sql.extensions=graft.expressions.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -86,6 +141,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[GraftSimHash].getName, "graft_simhash"),
       (children: Seq[Expression]) => GraftSimHash(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dotw"),
+      new ExpressionInfo(classOf[DotProductW].getName, "graft_dotw"),
+      (children: Seq[Expression]) => DotProductW(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_shingle_hash"),
       new ExpressionInfo(classOf[GraftShingleHash].getName, "graft_shingle_hash"),

@@ -18,9 +18,6 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def fold(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, v) => acc + v)
-
   /** Dot product via the native codegen expression (graft.expressions.
     * DotProduct, registered by GraftExtensions). Bit-identical to the HOF
     * fold `aggregate(zip_with(...))` but runs as a fused loop inside
@@ -71,20 +68,24 @@ object Similarity {
     * with raise_error instead of silently null-padding the projection to
     * bucket 0 (which would degenerate ANN candidates to one giant bucket).
     */
-  def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
-      planes: Int = 8, seed: Int = 42, dims: Int = 64): DataFrame = {
+  /** The signature as a column (native `graft_dotw` projections — fused
+    * codegen fold, bit-identical to the HOF formulation and the oracle's
+    * in-order double fold). */
+  private def bucketCol(vecCol: String, planes: Int, seed: Int, dims: Int): Column = {
     val sigBits = (0 until planes).map { p =>
       val weights = array((0 until dims).map(d => lit(planeWeight(seed, p, d))): _*)
-      val proj = fold(zip_with(col(vecCol), weights,
-        (x, w) => x.cast("double") * w))
+      val proj = call_function("graft_dotw", col(vecCol), weights)
       when(proj > 0, 1L << p).otherwise(0L)
     }
     val dimGuard = when(size(col(vecCol)) =!= dims,
       raise_error(concat(lit(s"lshBuckets: expected $dims-dim embedding, got "),
         size(col(vecCol)).cast("string")))).otherwise(lit(null)).cast("long")
-    emb.select(col(idCol),
-      (sigBits.reduce(_ + _) + coalesce(dimGuard, lit(0L))).as("bucket"))
+    sigBits.reduce(_ + _) + coalesce(dimGuard, lit(0L))
   }
+
+  def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 8, seed: Int = 42, dims: Int = 64): DataFrame =
+    emb.select(col(idCol), bucketCol(vecCol, planes, seed, dims).as("bucket"))
 
   /** Approximate top-k by cosine for a set of query ids: `tables`
     * independent LSH signatures (seed offset per table); candidates are
@@ -101,10 +102,12 @@ object Similarity {
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int, planes: Int = 8, tables: Int = 8,
       seed: Int = 42, dims: Int = 64): DataFrame = {
-    val sigs = (0 until tables).map { t =>
-      lshBuckets(emb, idCol, vecCol, planes, seed + 1000 * t, dims)
-        .withColumn("tbl", lit(t))
-    }.reduce(_ unionByName _)
+    // ONE scan computes every table's signature, then explodes to
+    // (id, tbl, bucket) rows — not `tables` unioned scans of the data
+    val sigs = emb
+      .select(col(idCol),
+        posexplode(array((0 until tables).map(t =>
+          bucketCol(vecCol, planes, seed + 1000 * t, dims)): _*)).as(Seq("tbl", "bucket")))
     val qsigs = sigs.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("qid"), col("tbl").as("qtbl"), col("bucket").as("qbucket"))
     val cands = sigs
