@@ -39,7 +39,7 @@ object Cli {
 
   private val boolFlags = Set("csv", "json", "samples", "read-log", "sort-asc",
     "time", "delete", "really", "info", "tables", "cache-queries", "loghist",
-    "export", "print")
+    "export", "print", "update-info", "skip-compact")
 
   /** `-flag value` / `-flag=value` / boolean `-flag`. */
   private[graft] def parseFlags(args: Seq[String]): Map[String, String] = {
@@ -211,14 +211,19 @@ object Cli {
         println(tableInfoText(spark, dir, f.getOrElse("table", sys.error("-table is required"))))
 
       case "query" =>
+        // `-update-info` (cmd_query.go:48): recompute the sidecar first
+        if (f.contains("update-info")) table.rebuild()
         val q = buildQuery(f)
         val cacheable = f.contains("cache-queries") && !q.samples &&
           q.timeBucket.isEmpty &&
-          (q.op == AggOp.CountOp || q.op == AggOp.AvgOp || q.op == AggOp.SumOp)
+          (q.op == AggOp.CountOp || q.op == AggOp.AvgOp || q.op == AggOp.SumOp ||
+            q.op == AggOp.HistOp)
         val result =
           if (cacheable) new QueryCache(spark, table).run(q)._1
           else table.query(q, readLog = f.contains("read-log"))
         if (f.contains("json")) println(Printer.toJsonEnvelope(result))
+        else if (q.op == AggOp.HistOp)
+          Printer.printHistConsole(result, q.limit.getOrElse(100))
         else Printer.printConsole(result, q.limit.getOrElse(100))
 
       case other =>

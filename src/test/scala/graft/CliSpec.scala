@@ -62,6 +62,16 @@ class CliSpec extends SparkSpec {
     assert(sRes.size === 3)
     assert(sRes.head.get("time").asLong === 1700000119L)
 
+    // hist op console output: sybil's percentile line shape
+    // (printer.go:210-229: "col | p0 p99 | avg | p0 p25 p50 p75 p99 | std")
+    val hist = captureOut {
+      Cli.main(Array("query", "-dir", db, "-table", "people",
+        "-group", "state", "-int", "age", "-op", "hist"))
+    }
+    assert(hist.contains("CA (40)") && hist.contains("NY (80)"))
+    assert("age \\| \\d+ \\d+ \\| \\d+\\.\\d{2} \\| \\d+ \\d+ \\d+ \\d+ \\d+ \\| \\d+\\.\\d{2}"
+      .r.findFirstIn(hist).nonEmpty, s"hist line malformed:\n$hist")
+
     // -tables listing and -info
     val tl = captureOut { Cli.main(Array("query", "-dir", db, "-tables")) }
     assert(tl.trim === "people")
