@@ -19,15 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** 3-token shingles of a text column (empty when < 3 tokens). */
-  def shingles(text: Column): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i, lit(3)))))
-      .otherwise(array())
-  }
-
   /** Exact dedup: keep the lowest-id row per content hash. Returns the
     * keeper assignment (doc_id → keep_id). */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
