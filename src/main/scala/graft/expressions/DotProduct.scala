@@ -149,5 +149,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingle_hash"),
       new ExpressionInfo(classOf[GraftShingleHash].getName, "graft_shingle_hash"),
       (children: Seq[Expression]) => GraftShingleHash(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_image_dims"),
+      new ExpressionInfo(classOf[ImageDims].getName, "graft_image_dims"),
+      (children: Seq[Expression]) => ImageDims(children(0))))
   }
 }

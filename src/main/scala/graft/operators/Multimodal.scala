@@ -73,6 +73,16 @@ object Multimodal {
         s"substring(payload, CAST(i * length(payload) / $n AS INT) + 1, " +
         s"GREATEST(CAST(length(payload) / $n AS INT), 1)))"))
 
+  /** REAL dimension decode from payload bytes (PNG IHDR / JPEG SOF / GIF
+    * logical screen — expressions/ImageDims.scala): appends
+    * `decoded_dims struct<width,height>` (null when not parseable). This is
+    * an actual header parse, not the feature stub — it needs no codec
+    * library and runs fused in codegen, so at 100 TB dimension extraction
+    * is a pure scan-side projection. */
+  def decodeDims(media: DataFrame, payloadCol: String = "payload"): DataFrame =
+    media.withColumn("decoded_dims",
+      call_function("graft_image_dims", col(payloadCol)))
+
   /** Metadata quality filter: keep decodable-looking media (non-empty
     * payload, sane dimensions) — predicate pushdown-friendly. */
   def filterValid(media: DataFrame): DataFrame =

@@ -56,4 +56,40 @@ class MultimodalSpec extends SparkSpec {
     assert(kept.count() < media.count())
     assert(kept.filter(col("kind") === "image").count() > 0)
   }
+
+  test("decodeDims parses REAL PNG/JPEG/GIF headers; garbage is null") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](24)
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).zipWithIndex
+        .foreach { case (v, i) => b(i) = v.toByte }
+      // IHDR length+type (ignored by the parser), then BE width/height
+      def be32(i: Int, v: Int): Unit = {
+        b(i) = (v >>> 24).toByte; b(i + 1) = (v >>> 16).toByte
+        b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
+      }
+      be32(16, w); be32(20, h)
+      b
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      // SOI, APP0 (len 4, skipped), SOF0 (len 11): prec, h16, w16, ...
+      val app0 = Array[Int](0xff, 0xe0, 0x00, 0x04, 0x00, 0x00)
+      val sof = Array[Int](0xff, 0xc0, 0x00, 0x0b, 8,
+        h >>> 8, h & 0xff, w >>> 8, w & 0xff, 1, 0)
+      (Array(0xff, 0xd8) ++ app0 ++ sof).map(_.toByte)
+    }
+    def gif(w: Int, h: Int): Array[Byte] =
+      ("GIF89a".getBytes("US-ASCII") ++
+        Array((w & 0xff).toByte, (w >>> 8).toByte, (h & 0xff).toByte, (h >>> 8).toByte))
+    val df = Seq(
+      (1L, png(640, 480)), (2L, jpeg(1024, 768)), (3L, gif(320, 200)),
+      (4L, Array.fill[Byte](32)(7))).toDF("media_id", "payload")
+    val out = Multimodal.decodeDims(df).select("media_id", "decoded_dims.*")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2))))).toMap
+    assert(out(1L) === Some((640, 480)))
+    assert(out(2L) === Some((1024, 768)))
+    assert(out(3L) === Some((320, 200)))
+    assert(out(4L) === None)
+  }
 }
