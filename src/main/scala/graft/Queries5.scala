@@ -130,5 +130,59 @@ object Queries5 {
          |ORDER BY m.event_type""".stripMargin
     })
 
-  val catalog: Seq[(String, QueryDef)] = Seq(q46AsOf, q47AnnLsh, q48NestedHist)
+  /** End-to-end ANN: multi-table LSH candidate generation + exact cosine
+    * on candidates + per-query top-k — the full
+    * [[graft.operators.Similarity.annTopK]] pipeline, oracle-checked. The
+    * SQL twin replicates every stage: per-table bucket from literal plane
+    * weights (in-order folds — bit-identical projections), candidate join
+    * on (table, bucket), cosine as dot/sqrt of in-order folds, ROW_NUMBER
+    * top-k with the same (sim desc, id) tie-break. */
+  val q49AnnTopK: (String, QueryDef) = "q49_ann_topk" -> QueryDef(
+    (s: SparkSession, dir: String) =>
+      graft.operators.Similarity.annTopK(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L), k = 10,
+          planes = 4, tables = 4, seed = 42, dims = 64)
+        .orderBy(col("qid"), col("sim").desc, col("vec_id")),
+    Some {
+      import graft.operators.Similarity.planeWeight
+      def dotSql(a: String, b: String): String =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+      def projSql(tbl: Int, p: Int): String = {
+        val w = (0 until 64).map(d =>
+          java.lang.Double.toString(planeWeight(42 + 1000 * tbl, p, d)))
+          .mkString("[", ",", "]")
+        s"list_reduce(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * ($w)[i]), (a, b) -> a + b)"
+      }
+      def bucketSql(tbl: Int): String = (0 until 4).map(p =>
+        s"(CASE WHEN ${projSql(tbl, p)} > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+      val sigSelects = (0 until 4).map(t =>
+        s"SELECT vec_id, $t AS tbl, ${bucketSql(t)} AS bucket FROM embeddings")
+        .mkString("\nUNION ALL\n")
+      s"""WITH sigs AS (
+         |$sigSelects
+         |),
+         |qs AS (SELECT * FROM sigs WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, s.vec_id
+         |  FROM sigs s JOIN qs q
+         |    ON s.tbl = q.tbl AND s.bucket = q.bucket AND s.vec_id <> q.vec_id),
+         |scored AS (
+         |  SELECT c.qid, c.vec_id,
+         |    ${dotSql("e.embedding", "qe.embedding")} /
+         |    (SQRT(${dotSql("e.embedding", "e.embedding")}) *
+         |     SQRT(${dotSql("qe.embedding", "qe.embedding")})) AS sim
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = c.qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT qid, vec_id, sim FROM ranked WHERE rk <= 10
+         |ORDER BY qid, sim DESC, vec_id""".stripMargin
+    })
+
+  val catalog: Seq[(String, QueryDef)] =
+    Seq(q46AsOf, q47AnnLsh, q48NestedHist, q49AnnTopK)
 }
