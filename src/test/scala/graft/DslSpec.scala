@@ -123,6 +123,17 @@ class DslSpec extends SparkSpec {
     assert(s.forall(_.getAs[Long]("age") > 15))
   }
 
+  test("sample sort by arbitrary column (printer.go:388-414 -sort)") {
+    // default: newest-first by the time column (above); with -sort, by the
+    // named column — desc by default, -sort-asc flips
+    val byAge = SybilQuery().takeSamples("id", "age", "time").sort("age")
+      .limitTo(10).run(df).collect().map(_.getAs[Long]("age"))
+    assert(byAge.zip(byAge.tail).forall { case (a, b) => a >= b })
+    val asc = SybilQuery().takeSamples("id", "age", "time").sort("age").ascending
+      .limitTo(10).run(df).collect().map(_.getAs[Long]("age"))
+    assert(asc.zip(asc.tail).forall { case (a, b) => a <= b })
+  }
+
   test("str-replace rewrites before grouping (table_query.go:34-51)") {
     val rows = SybilQuery().replace("age_str", "^1", "X").groupBy("age_str")
       .limitTo(100).run(df).collect()

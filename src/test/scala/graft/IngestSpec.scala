@@ -184,6 +184,23 @@ class IngestSpec extends SparkSpec {
     assert(t.info().columns.find(_.name == "v").get.max.contains(250L))
   }
 
+  test("reconcile self-heals a sidecar that missed a segment (racy ingest)") {
+    import spark.implicits._
+    val root = tmpDir("graft-heal")
+    val t = new GraftTable(spark, root)
+    t.ingest((0 until 100).map(i => (i.toLong, i % 5)).toDF("id", "k"))
+    // simulate a concurrent ingest whose sidecar update lost the race:
+    // a log dir exists on disk that info.json has never seen
+    (100 until 150).map(i => (i.toLong, i % 5)).toDF("id", "k")
+      .write.parquet(s"$root/ingest/${java.util.UUID.randomUUID()}")
+    assert(t.info().rowCount === 100) // sidecar stale
+    t.digest() // digest reconciles first
+    assert(t.info().rowCount === 150, "orphan segment must be recovered")
+    assert(t.read().count() === 150)
+    val id = t.info().columns.find(_.name == "id").get
+    assert(id.max.contains(149L))
+  }
+
   test("digest lock: concurrent digest refused, stale lock broken") {
     import spark.implicits._
     val root = tmpDir("graft-lock")
