@@ -82,6 +82,40 @@ class CliSpec extends SparkSpec {
       info.contains("count 120"))
   }
 
+  test("CLI: csv ingest, loghist query, cached query, export") {
+    val db = Files.createTempDirectory("graft-cli3").toString
+    val data = Files.createTempDirectory("graft-cli3-data")
+    Files.writeString(data.resolve("r.csv"),
+      "region,amount,time\n" +
+        (0 until 90).map(i => s"r${i % 3},${i * 10 + 1},${1700000000 + i}").mkString("\n"))
+    Cli.main(Array("ingest", "-dir", db, "-table", "sales", "-csv",
+      "-infile", data.resolve("r.csv").toString))
+    Cli.main(Array("digest", "-dir", db, "-table", "sales"))
+
+    // loghist through the CLI prints the sybil percentile line
+    val lh = captureOut {
+      Cli.main(Array("query", "-dir", db, "-table", "sales",
+        "-group", "region", "-int", "amount", "-op", "hist", "-loghist"))
+    }
+    assert(lh.contains("r0 (30)") && lh.contains("amount"))
+
+    // -cache-queries: second run must produce identical JSON
+    def cached() = captureOut {
+      Cli.main(Array("query", "-dir", db, "-table", "sales",
+        "-group", "region", "-int", "amount", "-op", "avg",
+        "-cache-queries", "-json"))
+    }
+    val first = cached()
+    assert(cached() === first)
+    assert(mapper.readTree(first).get("results").size() === 3)
+
+    // export writes gzip TSV
+    val out = Files.createTempDirectory("graft-cli3-out").toString + "/tsv"
+    Cli.main(Array("export", "-dir", db, "-table", "sales", "-outfile", out))
+    assert(Files.list(java.nio.file.Paths.get(out)).iterator().asScala
+      .exists(_.toString.endsWith(".csv.gz")))
+  }
+
   test("CLI trim dry-run prints nothing to remove for fresh data") {
     val db = Files.createTempDirectory("graft-cli2").toString
     val data = Files.createTempDirectory("graft-cli2-data")
