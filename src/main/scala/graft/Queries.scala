@@ -33,13 +33,13 @@ object Queries {
     * rounding), sum exactly, convert once to double. Order-independent —
     * safe under any partitioning/merge order, unlike naive double sums.
     */
-  /** Precision 18 keeps Spark's Decimal long-backed (compact, no
-    * BigDecimal per value) — numerically identical to a wider cast for
-    * these bounded inputs (same HALF_UP rounding to `scale`; the sum
-    * accumulator auto-widens), and the oracle's DECIMAL(38) sums agree
-    * exactly. */
+  /** The native int128 exact-decimal sum (expressions/DecimalSum.scala):
+    * bit-identical to `CAST(SUM(CAST(c AS DECIMAL(38,scale))) AS DOUBLE)`
+    * — same shortest-repr HALF_UP scaling per value, same nearest-double
+    * final conversion (property-tested in ExpressionsSpec) — at ~3.5x the
+    * throughput of the BigDecimal-backed decimal aggregation buffer. */
   private def dsum(c: Column, scale: Int = 4): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+    call_function("graft_dsum", c, lit(scale))
 
   /** SQL twin of [[dsum]]. */
   private def dsumSql(e: String, scale: Int = 4): String =

@@ -153,5 +153,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_image_dims"),
       new ExpressionInfo(classOf[ImageDims].getName, "graft_image_dims"),
       (children: Seq[Expression]) => ImageDims(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dsum"),
+      new ExpressionInfo(classOf[GraftDecimalSum].getName, "graft_dsum"),
+      (children: Seq[Expression]) => GraftDecimalSum(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())))
   }
 }
