@@ -32,20 +32,23 @@ import org.apache.spark.sql.types._
 case class GraftDecimalSum(
     child: Expression,
     scale: Int,
+    weight: Option[Expression] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = child +: weight.toSeq
   override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dsum"
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case DoubleType | FloatType | LongType | IntegerType =>
+  override def checkInputDataTypes(): TypeCheckResult = (child.dataType,
+      weight.map(_.dataType).getOrElse(LongType)) match {
+    case (DoubleType | FloatType | LongType | IntegerType,
+          LongType | IntegerType) =>
       TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_dsum expects a numeric column, got ${t.sql}")
+    case (t, w) => TypeCheckResult.TypeCheckFailure(
+      s"graft_dsum expects (numeric [, integral weight]), got ${t.sql}, ${w.sql}")
   }
 
   private val pow: Double = math.pow(10.0, scale)
@@ -53,12 +56,12 @@ case class GraftDecimalSum(
   // buffer: [sumHi, sumLo (unsigned), nonNullCount]
   override def createAggregationBuffer(): Array[Long] = new Array[Long](3)
 
-  private def add128(buf: Array[Long], v: Long): Unit = {
-    val newLo = buf(1) + v
+  /** Accumulate a signed 128-bit value (vHi, vLo) into the buffer. */
+  private def add128(buf: Array[Long], vHi: Long, vLo: Long): Unit = {
+    val newLo = buf(1) + vLo
     // unsigned low-word add carries iff the result wrapped below the addend
     val carry = if (java.lang.Long.compareUnsigned(newLo, buf(1)) < 0) 1L else 0L
-    // sign-extend v to 128 bits: high word is 0 or -1
-    buf(0) += (v >> 63) + carry
+    buf(0) += vHi + carry
     buf(1) = newLo
     buf(2) += 1
   }
@@ -99,7 +102,21 @@ case class GraftDecimalSum(
         case i: java.lang.Integer => i.doubleValue()
         case other => other.toString.toDouble
       }
-      add128(buf, scaledLong(x))
+      val s = scaledLong(x)
+      weight match {
+        case None => add128(buf, s >> 63, s)
+        case Some(we) =>
+          val wv = we.eval(input)
+          if (wv != null) {
+            val w = wv match {
+              case l: java.lang.Long => l.longValue()
+              case i: java.lang.Integer => i.longValue()
+              case other => other.toString.toLong
+            }
+            // exact 128-bit product: decimal(c)·w = (scaled·w) / 10^scale
+            add128(buf, Math.multiplyHigh(s, w), s * w)
+          }
+      }
     }
     buf
   }
@@ -153,5 +170,6 @@ case class GraftDecimalSum(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): GraftDecimalSum =
-    copy(child = newChildren(0))
+    copy(child = newChildren(0),
+      weight = if (newChildren.length > 1) Some(newChildren(1)) else None)
 }

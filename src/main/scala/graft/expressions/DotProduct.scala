@@ -157,6 +157,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dsum"),
       new ExpressionInfo(classOf[GraftDecimalSum].getName, "graft_dsum"),
       (children: Seq[Expression]) => GraftDecimalSum(children(0),
-        children(1).eval().asInstanceOf[Number].intValue())))
+        children(1).eval().asInstanceOf[Number].intValue(),
+        weight = children.drop(2).headOption)))
   }
 }

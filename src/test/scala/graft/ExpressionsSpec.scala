@@ -34,6 +34,20 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_dsum weighted == decimal(c,6)*w exact sum") {
+    val rnd = new scala.util.Random(13)
+    val df = Seq.fill(30000)((rnd.nextInt(5),
+        rnd.nextDouble() * math.pow(10, rnd.nextInt(7)),
+        (rnd.nextInt(1000) + 1).toLong))
+      .toDF("g", "x", "w")
+    val r = df.groupBy("g").agg(
+      sum(col("x").cast(DecimalType(38, 6)) * col("w")).cast(DoubleType).as("dec"),
+      call_function("graft_dsum", col("x"), lit(6), col("w")).as("graft"))
+      .collect()
+    r.foreach(row => assert(row.getDouble(1) === row.getDouble(2),
+      s"group ${row.getInt(0)}"))
+  }
+
   test("graft_dsum null semantics match decimal SUM") {
     val df = Seq((1, Some(1.5)), (1, None), (2, None), (2, None))
       .toDF("g", "x")
