@@ -305,6 +305,13 @@ class GraftTable(spark: SparkSession, root: String) {
     * ONLY the batch's stats into the sidecar — O(batch), no table rescan. */
   def ingest(df: DataFrame): Unit = {
     val clean = checkSchema(df)
+    if (clean.schema.isEmpty) {
+      // every column conflicted — the reference drops the fields but keeps
+      // the (now empty) records; an empty-schema parquet write would fail,
+      // so the batch degenerates to a no-op with the warning already printed
+      System.err.println(s"[graft] ingest: batch dropped entirely (all columns conflicted)")
+      return
+    }
     val dest = ingestP.resolve(java.util.UUID.randomUUID().toString)
     clean.write.mode(SaveMode.ErrorIfExists).parquet(dest.toString)
     val seg = segmentStats(dest, "log")

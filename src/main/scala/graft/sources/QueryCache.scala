@@ -187,7 +187,12 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
         written.foreach { d =>
           val id = d.getFileName.toString.stripPrefix("__block=")
           val dest = table.cacheRoot.resolve(key).resolve(id)
-          if (!Files.exists(dest)) Files.move(d, dest, StandardCopyOption.ATOMIC_MOVE)
+          // a concurrent run may have published the same partial between
+          // our existence check and the move — the loser just discards
+          // (block partials for the same key are identical by construction)
+          if (!Files.exists(dest))
+            try Files.move(d, dest, StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: java.nio.file.FileAlreadyExistsException => () }
         }
         Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
           .iterator().asScala.foreach(Files.delete)

@@ -201,6 +201,16 @@ class IngestSpec extends SparkSpec {
     assert(id.max.contains(149L))
   }
 
+  test("ingest of a batch whose every column conflicts is a warned no-op") {
+    import spark.implicits._
+    val root = tmpDir("graft-allconflict")
+    val t = new GraftTable(spark, root)
+    t.ingest(Seq((1L, 2L)).toDF("a", "b"))
+    t.ingest(Seq(("x", "y")).toDF("a", "b")) // both columns conflict → dropped
+    assert(t.info().rowCount === 1)
+    assert(t.read(readLog = true).count() === 1)
+  }
+
   test("digest lock: concurrent digest refused, stale lock broken") {
     import spark.implicits._
     val root = tmpDir("graft-lock")
