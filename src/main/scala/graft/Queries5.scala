@@ -183,6 +183,38 @@ object Queries5 {
          |ORDER BY qid, sim DESC, vec_id""".stripMargin
     })
 
+  /** Embedding norms + symmetric int8 quantization (the 4x storage cut a
+    * 100 TB embedding pipeline applies before shuffling/sinking vectors).
+    * The floor(x*scale + 0.5) formulation rounds identically in both
+    * engines; norm/scale ROUND(,6) per the cross-engine convention. */
+  val q50EmbedQuantize: (String, QueryDef) = "q50_embed_quantize" -> QueryDef(
+    (s: SparkSession, dir: String) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(sqrt(graft.operators.Similarity.dot(col("embedding"), col("embedding"))), 6)
+            .as("norm"),
+          graft.operators.Similarity.quantizeInt8(col("embedding")).as("qz"))
+        .select(col("vec_id"), col("norm"),
+          round(col("qz.scale"), 6).as("scale"),
+          expr("CAST(aggregate(qz.q, 0L, (a, x) -> a + CAST(x AS LONG)) AS BIGINT)")
+            .as("q_sum"))
+        .orderBy(col("vec_id")),
+    Some {
+      val dot = "list_reduce(list_transform(generate_series(1, 64), i -> " +
+        "CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b)"
+      s"""WITH m AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) AS maxabs
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |  ROUND(SQRT($dot), 6) AS norm,
+         |  ROUND(127.0 / maxabs, 6) AS scale,
+         |  CAST(list_reduce(list_transform(generate_series(1, 64), i ->
+         |    FLOOR(CAST(embedding[i] AS DOUBLE) * (127.0 / maxabs) + 0.5)),
+         |    (a, b) -> a + b) AS BIGINT) AS q_sum
+         |FROM m ORDER BY vec_id""".stripMargin
+    })
+
   val catalog: Seq[(String, QueryDef)] =
-    Seq(q46AsOf, q47AnnLsh, q48NestedHist, q49AnnTopK)
+    Seq(q46AsOf, q47AnnLsh, q48NestedHist, q49AnnTopK, q50EmbedQuantize)
 }

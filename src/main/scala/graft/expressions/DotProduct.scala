@@ -154,6 +154,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ImageDims].getName, "graft_image_dims"),
       (children: Seq[Expression]) => ImageDims(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_l2_normalize"),
+      new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2_normalize"),
+      (children: Seq[Expression]) => L2Normalize(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_quantize8"),
+      new ExpressionInfo(classOf[QuantizeInt8].getName, "graft_quantize8"),
+      (children: Seq[Expression]) => QuantizeInt8(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_dsum"),
       new ExpressionInfo(classOf[GraftDecimalSum].getName, "graft_dsum"),
       (children: Seq[Expression]) => GraftDecimalSum(children(0),

@@ -28,6 +28,17 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** L2-normalized copy of an embedding (native one-pass expression). */
+  def l2Normalize(vec: Column): Column = call_function("graft_l2_normalize", vec)
+
+  /** Symmetric int8 quantization: struct(scale, q) — 4x smaller embeddings
+    * for storage/shuffle; dequantize with [[dequantize]]. */
+  def quantizeInt8(vec: Column): Column = call_function("graft_quantize8", vec)
+
+  /** Reconstruct doubles from a [[quantizeInt8]] struct. */
+  def dequantize(qz: Column): Column =
+    transform(qz.getField("q"), x => x.cast("double") / qz.getField("scale"))
+
   /** Exact top-k by cosine against the vector with id `queryId`. */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int): DataFrame = {

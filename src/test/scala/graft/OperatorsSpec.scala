@@ -119,6 +119,26 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.7, f"recall@10 $recall%.3f below floor 0.7")
   }
 
+  test("l2 normalize and int8 quantize round-trip on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").limit(100)
+    // normalized vectors have unit norm
+    val norms = emb.select(Similarity.l2Normalize(col("embedding")).as("nv"))
+      .select(sqrt(aggregate(transform(col("nv"), x => x * x),
+        lit(0.0), (a, v) => a + v)).as("n")).collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-12))
+    // quantize→dequantize preserves direction (cosine vs original > 0.999)
+    val qz = emb.select(col("vec_id"), col("embedding"),
+        Similarity.quantizeInt8(col("embedding")).as("qz"))
+      .select(col("vec_id"),
+        (Similarity.dot(col("embedding"),
+          Similarity.dequantize(col("qz")).cast("array<float>")) /
+          (sqrt(Similarity.dot(col("embedding"), col("embedding"))) *
+           sqrt(aggregate(transform(Similarity.dequantize(col("qz")), x => x * x),
+             lit(0.0), (a, v) => a + v)))).as("cos"))
+      .collect().map(_.getDouble(1))
+    assert(qz.forall(_ > 0.999), s"min cosine after int8 round-trip: ${qz.min}")
+  }
+
   test("lshBuckets fails fast on mismatched embedding dimensionality") {
     val vecs = Seq((0L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {
