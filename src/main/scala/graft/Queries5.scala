@@ -99,12 +99,18 @@ object Queries5 {
          |  FROM events WHERE value * 100 >= 1 AND value * 100 < 490021),
          |kept AS (
          |  SELECT event_type, cents,
-         |    ($mins)[len(list_filter($mins, a -> a <= cents))] +
-         |    ((cents - ($mins)[len(list_filter($mins, a -> a <= cents))]) //
-         |      ($widths)[len(list_filter($mins, a -> a <= cents))]) *
-         |      ($widths)[len(list_filter($mins, a -> a <= cents))] AS low
+         |    -- overflow band (infoMax, 10*infoMax]: counted (m) but NOT
+         |    -- bucketed, mirroring NestedHistAggregator.reduce — low stays
+         |    -- NULL so bk/cum/p50/sd never see phantom top-subrange lows
+         |    CASE WHEN cents <= 49002 THEN
+         |      ($mins)[len(list_filter($mins, a -> a <= cents))] +
+         |      ((cents - ($mins)[len(list_filter($mins, a -> a <= cents))]) //
+         |        ($widths)[len(list_filter($mins, a -> a <= cents))]) *
+         |        ($widths)[len(list_filter($mins, a -> a <= cents))]
+         |    END AS low
          |  FROM v),
-         |bk AS (SELECT event_type, low, COUNT(*) AS c FROM kept GROUP BY 1, 2),
+         |bk AS (SELECT event_type, low, COUNT(*) AS c FROM kept
+         |  WHERE low IS NOT NULL GROUP BY 1, 2),
          |cum AS (
          |  SELECT event_type, low, c,
          |    SUM(c) OVER (PARTITION BY event_type ORDER BY low) AS cm,

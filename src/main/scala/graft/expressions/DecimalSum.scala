@@ -22,9 +22,13 @@ import org.apache.spark.sql.types._
   * Why: Spark's decimal sum keeps a BigDecimal-backed buffer above
   * precision 18 — measured 4.5x slower than a long sum on the q01 shape.
   * The int128 buffer never overflows in practice (2^127 / 10^6-scaled
-  * values ≈ 1.7e32 of headroom); per VALUE the scaled magnitude must fit a
-  * long (|x·10^scale| < 2^63 — ~9.2e12 at scale 6), enforced via the
-  * BigDecimal fallback's exactness check.
+  * values ≈ 1.7e32 of headroom). Long/int inputs never touch a double:
+  * their scaled value v·10^scale is computed exactly in 128-bit (so epoch
+  * nanos and snowflake ids sum exactly). Doubles whose scaled value leaves
+  * the long window, and weighted integral products past 64 bits, take an
+  * exact BigInteger path; only a value that alone exceeds the int128
+  * window (|v|·10^scale ≥ 2^126, i.e. |v| ≥ ~8.5e31 at scale 6) fails,
+  * loudly, naming the expression.
   *
   * Null semantics match decimal SUM: null inputs are skipped; a group with
   * no non-null inputs yields null.
@@ -52,6 +56,12 @@ case class GraftDecimalSum(
   }
 
   private val pow: Double = math.pow(10.0, scale)
+  private val pow10: Long = {
+    require(scale >= 0 && scale <= 18, s"graft_dsum scale must be in [0,18], got $scale")
+    var p = 1L; var i = 0
+    while (i < scale) { p *= 10L; i += 1 }
+    p
+  }
 
   // buffer: [sumHi, sumLo (unsigned), nonNullCount]
   override def createAggregationBuffer(): Array[Long] = new Array[Long](3)
@@ -92,31 +102,71 @@ case class GraftDecimalSum(
       .setScale(scale, RoundingMode.HALF_UP)
       .unscaledValue().longValueExact()
 
+  /** Accumulate an exactly-scaled value too large for the long fast paths.
+    * Fails loudly (not silently-wrong) past the int128 window. */
+  private def addBig(buf: Array[Long], big: BigInteger): Unit = {
+    if (big.bitLength > 126)
+      throw new ArithmeticException(
+        s"graft_dsum overflow: |${child.sql} * 10^$scale| exceeds the int128 window")
+    add128(buf, big.shiftRight(64).longValue(), big.longValue())
+  }
+
+  /** Long/int input: v·10^scale is exact in 128-bit for EVERY long (no
+    * double round-trip, so values past 2^53 keep full precision). Weighted
+    * products past 64 bits go through BigInteger. */
+  private def addIntegral(buf: Array[Long], v: Long, w: java.lang.Long): Unit = {
+    if (w == null) {
+      add128(buf, Math.multiplyHigh(v, pow10), v * pow10)
+    } else {
+      val wl = w.longValue()
+      val pLo = v * wl
+      if (Math.multiplyHigh(v, wl) == (pLo >> 63)) { // v·w fits a long
+        add128(buf, Math.multiplyHigh(pLo, pow10), pLo * pow10)
+      } else {
+        addBig(buf, BigInteger.valueOf(v).multiply(BigInteger.valueOf(wl))
+          .multiply(BigInteger.valueOf(pow10)))
+      }
+    }
+  }
+
+  /** Double/float input: fast exact-scaled-long path inside the long
+    * window; exact BigDecimal (shortest-repr, matching Spark's cast)
+    * outside it. */
+  private def addFractional(buf: Array[Long], x: Double, w: java.lang.Long): Unit = {
+    // margin below 2^63≈9.22e18 so double rounding can't sneak past the window
+    if (math.abs(x * pow) >= 9.0e18) {
+      var big = new JBigDecimal(java.lang.Double.toString(x))
+        .setScale(scale, RoundingMode.HALF_UP).unscaledValue()
+      if (w != null) big = big.multiply(BigInteger.valueOf(w.longValue()))
+      addBig(buf, big)
+      return
+    }
+    val s = scaledLong(x)
+    if (w == null) add128(buf, s >> 63, s)
+    // exact 128-bit product: decimal(c)·w = (scaled·w) / 10^scale
+    else add128(buf, Math.multiplyHigh(s, w.longValue()), s * w.longValue())
+  }
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val x = v match {
-        case d: java.lang.Double => d.doubleValue()
-        case f: java.lang.Float => f.doubleValue()
-        case l: java.lang.Long => l.doubleValue()
-        case i: java.lang.Integer => i.doubleValue()
-        case other => other.toString.toDouble
-      }
-      val s = scaledLong(x)
-      weight match {
-        case None => add128(buf, s >> 63, s)
-        case Some(we) =>
-          val wv = we.eval(input)
-          if (wv != null) {
-            val w = wv match {
-              case l: java.lang.Long => l.longValue()
-              case i: java.lang.Integer => i.longValue()
-              case other => other.toString.toLong
-            }
-            // exact 128-bit product: decimal(c)·w = (scaled·w) / 10^scale
-            add128(buf, Math.multiplyHigh(s, w), s * w)
-          }
-      }
+    if (v == null) return buf
+    val w: java.lang.Long = weight match {
+      case None => null
+      case Some(we) =>
+        val wv = we.eval(input)
+        if (wv == null) return buf // null weight: row contributes nothing
+        wv match {
+          case l: java.lang.Long => l
+          case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue())
+          case other => java.lang.Long.valueOf(other.toString.toLong)
+        }
+    }
+    v match {
+      case l: java.lang.Long => addIntegral(buf, l.longValue(), w)
+      case i: java.lang.Integer => addIntegral(buf, i.longValue(), w)
+      case d: java.lang.Double => addFractional(buf, d.doubleValue(), w)
+      case f: java.lang.Float => addFractional(buf, f.doubleValue(), w)
+      case other => addFractional(buf, other.toString.toDouble, w)
     }
     buf
   }

@@ -61,19 +61,26 @@ case class GraftMinHash(tokens: Expression, k: Expression)
       val space = " ".getBytes("UTF-8")
       var i = 0
       while (i <= n - 3) {
-        // shingle bytes = tok[i] ' ' tok[i+1] ' ' tok[i+2]
-        val t0 = toks.getUTF8String(i).getBytes
-        val t1 = toks.getUTF8String(i + 1).getBytes
-        val t2 = toks.getUTF8String(i + 2).getBytes
-        var s = 1
-        while (s <= k) {
-          md.reset()
-          md.update(GraftMinHash.seedPrefix(s))
-          md.update(t0); md.update(space); md.update(t1); md.update(space); md.update(t2)
-          val d = md.digest()
-          val cur = mins(s - 1)
-          if (cur == null || GraftMinHash.unsignedLess(d, cur)) mins(s - 1) = d
-          s += 1
+        // shingle bytes = tok[i] ' ' tok[i+1] ' ' tok[i+2]; a shingle with a
+        // null token is skipped — the HOF formulation this replaces hashes
+        // it to null and array_min ignores nulls
+        val u0 = toks.getUTF8String(i)
+        val u1 = toks.getUTF8String(i + 1)
+        val u2 = toks.getUTF8String(i + 2)
+        if (u0 != null && u1 != null && u2 != null) {
+          val t0 = u0.getBytes
+          val t1 = u1.getBytes
+          val t2 = u2.getBytes
+          var s = 1
+          while (s <= k) {
+            md.reset()
+            md.update(GraftMinHash.seedPrefix(s))
+            md.update(t0); md.update(space); md.update(t1); md.update(space); md.update(t2)
+            val d = md.digest()
+            val cur = mins(s - 1)
+            if (cur == null || GraftMinHash.unsignedLess(d, cur)) mins(s - 1) = d
+            s += 1
+          }
         }
         i += 1
       }

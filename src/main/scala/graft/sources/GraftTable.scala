@@ -229,14 +229,85 @@ class GraftTable(spark: SparkSession, root: String) {
       .map(f => ColumnInfo(f.name, typeName(f.dataType), None, None))
   }
 
+  // ---- digest journal (crash-safe compaction) ----------------------------
+
+  private val journalP = rootP.resolve("digest.journal")
+
+  private case class DigestJournal(newBlock: String,
+      consumedBlocks: Seq[String], consumedLogs: Seq[String])
+
+  /** Written BEFORE the merged block's rename: once the new block reaches
+    * disk, every journaled consumed segment is superseded — its rows live
+    * in the merged block — so a crash anywhere in the cleanup window can no
+    * longer double-count committed data (the gap flagged for compaction:
+    * without the journal, a crash between the rename and the partial-block
+    * delete left the partial's rows in two live blocks and reconciled()
+    * legitimized both). */
+  private def writeDigestJournal(newBlockId: String,
+      consumedBlocks: Seq[String], consumedLogs: Seq[String]): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("newBlock", newBlockId)
+    val cb = o.putArray("consumedBlocks"); consumedBlocks.foreach(cb.add)
+    val cl = o.putArray("consumedLogs"); consumedLogs.foreach(cl.add)
+    val tmp = rootP.resolve("digest.journal.tmp")
+    Files.writeString(tmp, mapper.writeValueAsString(o))
+    Files.move(tmp, journalP, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readDigestJournal(): Option[DigestJournal] =
+    if (!Files.exists(journalP)) None
+    else Try {
+      val o = mapper.readTree(Files.readString(journalP))
+      DigestJournal(o.get("newBlock").asText,
+        Option(o.get("consumedBlocks")).toSeq.flatMap(_.elements().asScala).map(_.asText).toSeq,
+        Option(o.get("consumedLogs")).toSeq.flatMap(_.elements().asScala).map(_.asText).toSeq)
+    }.toOption
+
+  /** Segment ids a pending journal supersedes — non-empty only once the
+    * journal's merged block reached disk (the commit point). Before that,
+    * nothing is committed and the consumed segments are still the only
+    * copy of their rows. */
+  private def journalSuperseded(): (Set[String], Set[String]) =
+    readDigestJournal() match {
+      case Some(j) if Files.exists(blocksP.resolve(j.newBlock)) =>
+        (j.consumedBlocks.toSet, j.consumedLogs.toSet)
+      case _ => (Set.empty, Set.empty)
+    }
+
+  /** Finish (or void) a pending digest journal: delete superseded dirs if
+    * the merged block committed, then drop the journal. Callers must hold
+    * the digest lock OR have verified no live digest holds it. */
+  private def recoverDigestJournal(): Unit = {
+    readDigestJournal().foreach { j =>
+      if (Files.exists(blocksP.resolve(j.newBlock))) {
+        j.consumedBlocks.map(blocksP.resolve).filter(Files.exists(_))
+          .foreach(deleteRecursively)
+        j.consumedLogs.map(ingestP.resolve).filter(Files.exists(_))
+          .foreach(deleteRecursively)
+      }
+      // else: crash before the rename — nothing committed, journal is void
+      Try(Files.deleteIfExists(journalP))
+    }
+  }
+
   /** Reconcile sidecar segments with the directories actually on disk
-    * (crash recovery): drop entries whose dir vanished; compute stats for
-    * dirs the sidecar has never seen (only happens after a crash between a
-    * write and its sidecar update). */
+    * (crash recovery): drop entries whose dir vanished; drop segments a
+    * committed digest journal supersedes (finishing its cleanup when no
+    * live digest holds the lock); compute stats for dirs the sidecar has
+    * never seen (only happens after a crash between a write and its
+    * sidecar update). */
   private def reconciled(): TableInfo = {
+    if (Files.exists(journalP) && !Files.exists(rootP.resolve("digest.lock")))
+      recoverDigestJournal()
+    // if a digest is live (lock held), don't touch dirs — but still exclude
+    // superseded segments from the view so their rows are never read twice
+    val (supBlocks, supLogs) = journalSuperseded()
     val i = info()
     val logIds = listDirs(ingestP).map(_.getFileName.toString)
+      .filterNot(supLogs)
     val blockIdsD = listDirs(blocksP).map(_.getFileName.toString)
+      .filterNot(supBlocks)
     val have = i.segments.map(s => (s.kind, s.id)).toSet
     val kept = i.segments.filter(s =>
       if (s.kind == "log") logIds.contains(s.id) else blockIdsD.contains(s.id))
@@ -259,8 +330,10 @@ class GraftTable(spark: SparkSession, root: String) {
     * `rebuild` command — table_recover_info.go). ONE job: per-segment
     * grouping on the input file path. */
   def rebuild(): TableInfo = {
-    val logDirs = listDirs(ingestP)
-    val blockDirs = listDirs(blocksP)
+    if (!Files.exists(rootP.resolve("digest.lock"))) recoverDigestJournal()
+    val (supBlocks, supLogs) = journalSuperseded()
+    val logDirs = listDirs(ingestP).filterNot(d => supLogs(d.getFileName.toString))
+    val blockDirs = listDirs(blocksP).filterNot(d => supBlocks(d.getFileName.toString))
     val dirs = blockDirs ++ logDirs
     val i =
       if (dirs.isEmpty) TableInfo(0, Nil)
@@ -372,6 +445,7 @@ class GraftTable(spark: SparkSession, root: String) {
   }
 
   private def digestLocked(compact: Boolean): Unit = {
+    recoverDigestJournal() // we hold the lock: finish any crashed digest first
     val i = reconciled()
     val logs = listDirs(ingestP)
     if (logs.isEmpty) return
@@ -395,16 +469,25 @@ class GraftTable(spark: SparkSession, root: String) {
       .mode(SaveMode.ErrorIfExists)
       .parquet(tmp.toString)
     val blockId = java.util.UUID.randomUUID().toString
+    // journal first: from the moment the rename lands, the consumed dirs
+    // are superseded even if we crash before deleting them
+    writeDigestJournal(blockId, consumedIds.toSeq,
+      logs.map(_.getFileName.toString))
     Files.move(tmp, blocksP.resolve(blockId), StandardCopyOption.ATOMIC_MOVE)
     val seg = segmentStats(blocksP.resolve(blockId), "block")
     logs.foreach(deleteRecursively)
     consumedBlocks.foreach(deleteRecursively)
     val kept = i.segments.filterNot(s => s.kind == "log" || consumedIds(s.id))
     writeInfo(derive(i.columns, kept :+ seg))
+    Try(Files.deleteIfExists(journalP))
   }
 
-  /** Block ids (immutable once digested) — the unit of cache/skip logic. */
-  def blockIds: Seq[String] = listDirs(blocksP).map(_.getFileName.toString)
+  /** Block ids (immutable once digested) — the unit of cache/skip logic.
+    * Excludes blocks a committed digest journal supersedes. */
+  def blockIds: Seq[String] = {
+    val (supBlocks, _) = journalSuperseded()
+    listDirs(blocksP).map(_.getFileName.toString).filterNot(supBlocks)
+  }
 
   /** Read one block by id. */
   def readBlock(id: String): DataFrame =
@@ -416,9 +499,15 @@ class GraftTable(spark: SparkSession, root: String) {
   /** Root directory for per-block query-cache entries. */
   private[sources] def cacheRoot: Path = rootP.resolve("cache")
 
-  /** All digested blocks, optionally + the undigested ingest log. */
+  /** All digested blocks, optionally + the undigested ingest log. Segments
+    * a committed digest journal supersedes are excluded — their rows are
+    * already in the merged block, so reading both would double-count (the
+    * window between a digest's rename and its cleanup, or after a crash
+    * inside it). */
   def read(readLog: Boolean = false): DataFrame = {
-    val dirs = listDirs(blocksP) ++ (if (readLog) listDirs(ingestP) else Nil)
+    val (supBlocks, supLogs) = journalSuperseded()
+    val dirs = listDirs(blocksP).filterNot(d => supBlocks(d.getFileName.toString)) ++
+      (if (readLog) listDirs(ingestP).filterNot(d => supLogs(d.getFileName.toString)) else Nil)
     require(dirs.nonEmpty, s"table $root is empty")
     readDirs(dirs)
   }

@@ -189,10 +189,16 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
           val dest = table.cacheRoot.resolve(key).resolve(id)
           // a concurrent run may have published the same partial between
           // our existence check and the move — the loser just discards
-          // (block partials for the same key are identical by construction)
+          // (block partials for the same key are identical by construction).
+          // POSIX surfaces the lost race as any FileSystemException
+          // (FileAlreadyExists, DirectoryNotEmpty, ...) — benign iff dest
+          // now exists; anything else is a real I/O failure and propagates.
           if (!Files.exists(dest))
             try Files.move(d, dest, StandardCopyOption.ATOMIC_MOVE)
-            catch { case _: java.nio.file.FileAlreadyExistsException => () }
+            catch {
+              case e: java.nio.file.FileSystemException =>
+                if (!Files.exists(dest)) throw e
+            }
         }
         Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
           .iterator().asScala.foreach(Files.delete)

@@ -58,6 +58,61 @@ class ExpressionsSpec extends SparkSpec {
     assert(r(1).isNullAt(1) && r(1).isNullAt(2), "all-null group must be null")
   }
 
+  test("graft_dsum long inputs past 2^53 sum exactly (no double round-trip)") {
+    // epoch-nanos / snowflake-id magnitudes: doubleValue() would lose the
+    // low bits and the old slow path threw past |v·10^s| >= 2^63
+    val vals = Seq(9007199254740993L, 9007199254740995L, // 2^53+1, 2^53+3
+      1723456789123456789L, -1723456789123456787L,
+      Long.MaxValue, Long.MinValue + 1, 1234567890123456789L)
+    val df = vals.toDF("x")
+    for (s <- Seq(0, 6)) {
+      val dec = df.agg(sum(col("x").cast(DecimalType(38, s))).cast(DoubleType))
+        .collect()(0).getDouble(0)
+      val g = df.agg(call_function("graft_dsum", col("x"), lit(s)))
+        .collect()(0).getDouble(0)
+      assert(dec === g, s"scale $s")
+    }
+    // exactness, not just double-equality: sum of the first two is 2^54+4
+    val small = Seq(9007199254740993L, 9007199254740995L).toDF("x")
+    val exact = small.agg(call_function("graft_dsum", col("x"), lit(0)))
+      .collect()(0).getDouble(0)
+    assert(exact === 18014398509481988.0)
+  }
+
+  test("graft_dsum weighted long products past 2^63 stay exact") {
+    val df = Seq((4000000000L, 4000000000L), (-3000000000L, 5000000000L),
+      (9007199254740993L, 1024L)).toDF("x", "w")
+    val dec = df.agg(sum(col("x").cast(DecimalType(38, 6)) * col("w"))
+      .cast(DoubleType)).collect()(0).getDouble(0)
+    val g = df.agg(call_function("graft_dsum", col("x"), lit(6), col("w")))
+      .collect()(0).getDouble(0)
+    assert(dec === g)
+  }
+
+  test("graft_dsum doubles outside the long window take the exact big path") {
+    val df = Seq(1.5e20, -2.25e19, 3.141e21, 7.5e13).toDF("x")
+    val dec = df.agg(decimalSum("x", 6)).collect()(0).getDouble(0)
+    val g = df.agg(graftSum("x", 6)).collect()(0).getDouble(0)
+    assert(dec === g)
+  }
+
+  test("graft_minhash skips shingles containing null tokens (no NPE)") {
+    // session-registered, so arbitrary SQL can feed null-element arrays;
+    // the HOF it replaced hashed such shingles to null and array_min
+    // skipped them — here the only fully-non-null shingle is (b,c,d)
+    val withNulls = spark.sql(
+      "SELECT graft_minhash(array('a', CAST(NULL AS STRING), 'b', 'c', 'd'), 4) AS mh")
+      .collect()(0).getAs[collection.Seq[String]]("mh")
+    val clean = spark.sql("SELECT graft_minhash(array('b', 'c', 'd'), 4) AS mh")
+      .collect()(0).getAs[collection.Seq[String]]("mh")
+    assert(withNulls === clean)
+    // all shingles contain a null → all-null result (like < 3 tokens)
+    val allNull = spark.sql(
+      "SELECT graft_minhash(array('a', CAST(NULL AS STRING), 'b'), 2) AS mh")
+      .collect()(0).getAs[collection.Seq[String]]("mh")
+    assert(allNull === Seq(null, null))
+  }
+
   test("graft_dsum int128 buffer survives huge partial sums") {
     // 2M values of ~9e12 scaled magnitude: the long-sum would overflow at
     // ~1e6 such rows x larger data; int128 must not

@@ -140,6 +140,36 @@ class IngestSpec extends SparkSpec {
     assert(id.min.contains(0L) && id.max.contains(499L))
   }
 
+  test("digest journal makes a crash between rename and cleanup duplicate-free") {
+    import spark.implicits._
+    val root = tmpDir("graft-journal")
+    val t = new GraftTable(spark, root)
+    t.ingest((0 until 20).map(i => (i.toLong, s"u${i % 3}")).toDF("id", "user"))
+    t.digest()
+    val merged = t.blockIds.head
+    // Reconstruct the flagged crash state: the merged block has landed and
+    // the journal names the consumed partial block, but the partial was
+    // never deleted (crash in the cleanup window). The "partial" here is a
+    // byte-copy of the merged block, so without journal superseding, every
+    // row would be read twice and reconciled() would legitimize both.
+    val blocks = java.nio.file.Paths.get(root, "blocks")
+    val fake = blocks.resolve("00000000-dead-beef-0000-000000000000")
+    Files.walk(blocks.resolve(merged)).forEach { p =>
+      val dst = fake.resolve(blocks.resolve(merged).relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else Files.copy(p, dst)
+    }
+    Files.writeString(java.nio.file.Paths.get(root, "digest.journal"),
+      s"""{"newBlock":"$merged","consumedBlocks":["${fake.getFileName}"],"consumedLogs":[]}""")
+    assert(t.read().count() === 20, "superseded block must not be read twice")
+    assert(t.blockIds === Seq(merged))
+    // reconciled() (via blockSegments) finishes the cleanup: dir + journal go
+    assert(t.blockSegments.map(_.id) === Seq(merged))
+    assert(!Files.exists(fake), "superseded partial must be deleted")
+    assert(!Files.exists(java.nio.file.Paths.get(root, "digest.journal")))
+    assert(t.info().rowCount === 20)
+  }
+
   test("ingest is O(batch): appending to a large table reads only the batch") {
     import spark.implicits._
     val root = tmpDir("graft-obatch")
