@@ -434,7 +434,8 @@ object Queries {
     q12Samples, q13TopK, q14Distinct, q15Total, q16Hist,
     q17JoinBroadcast, q18JoinShipping, q19Json,
     q20DedupExact, q21TokenCount, q22Quality, q23LangId, q24Vocab) ++
-    Queries2.catalog ++ Queries3.catalog ++ Queries4.catalog ++ Queries5.catalog
+    Queries2.catalog ++ Queries3.catalog ++ Queries4.catalog ++ Queries5.catalog ++
+    Queries6.catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map { case (n, d) => n -> d.fn }.toMap

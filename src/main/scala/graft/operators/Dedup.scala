@@ -90,6 +90,48 @@ object Dedup {
       .groupBy(col("simhash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
+  /** Hamming-tolerant SimHash near-dup pairs via pigeonhole banding: split
+    * the `bits`-bit signature into `maxHamming + 1` contiguous bands; two
+    * signatures within hamming distance `maxHamming` differ in at most
+    * `maxHamming` bands, so they agree EXACTLY on at least one band — the
+    * equi-join on (band, bandBits) is guaranteed-complete while touching
+    * only colliding candidates, never all pairs. False candidates (same
+    * band, far apart elsewhere) are pruned by the exact popcount check.
+    *
+    * At 100 TB: one shuffle on (band, bandBits) — md5-vote signatures make
+    * the band key near-uniform (no skew) — then a distinct on the pair.
+    * This is the scalable alternative the hamming-0 [[simhashDedup]]
+    * bucket-group can't offer: tolerance without rotations or all-pairs.
+    */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16, maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    require(bits % nBands == 0,
+      s"bits ($bits) must split evenly into maxHamming+1 = $nBands bands")
+    val w = bits / nBands
+    val sigs = docs
+      .select(col(idCol).as("__id"),
+        TextAnalysis.simhash(col(textCol), bits).as("sh"))
+      .repartition(col("__id")) // barrier: one fused simhash eval per doc
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sh"), b * w).bitwiseAND(lit((1L << w) - 1)).as("bb"))
+    }
+    val banded = sigs
+      .select(col("__id"), col("sh"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("__id"), col("sh"), col("bk.band").as("band"), col("bk.bb").as("bb"))
+    val lhs = banded.select(col("__id").as("d1"), col("sh").as("sh1"),
+      col("band"), col("bb"))
+    val rhs = banded.select(col("__id").as("d2"), col("sh").as("sh2"),
+      col("band").as("band2"), col("bb").as("bb2"))
+    lhs.join(rhs, col("band") === col("band2") && col("bb") === col("bb2") &&
+        col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair may collide in several bands; hamming is identical
+  }
+
   /** Apply a keeper assignment: keep exactly the rows whose id IS a
     * keep_id — the materialization stage after [[exactDedup]] /
     * [[simhashDedup]] (or any (keep_id, ...) frame). One broadcast-or-

@@ -65,6 +65,32 @@ class OperatorsSpec extends SparkSpec {
     assert(verified.exists(p => p._1 == 0 && p._2 == 1 && p._3 === 1.0))
   }
 
+  test("simhash banded near-dup == brute-force pairs (pigeonhole completeness)") {
+    // a corpus with exact dups, near dups, and unrelated docs; the banded
+    // plan (join on maxHamming+1 bands) must find EXACTLY the pairs a
+    // brute-force all-pairs popcount finds
+    val corpus = (docs.collect().map(r => (r.getLong(0), r.getString(1))) ++
+      Seq((6L, "the cat sat on the mat and the dog sat down"),
+        (7L, "el perro que corre por la calle de la plaza"),
+        (8L, "spark engines and columns with completely different words about"))
+      ).toSeq.toDF("doc_id", "text")
+    for (maxH <- Seq(1, 3)) {
+      val banded = Dedup.simhashNearDupPairs(corpus, "doc_id", "text",
+          bits = 48, maxHamming = maxH)
+        .orderBy("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val sigs = corpus.select(col("doc_id"),
+        TextAnalysis.simhash(col("text"), 48).as("sh"))
+      val brute = sigs.as("a").crossJoin(sigs.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= maxH)
+        .orderBy("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(banded === brute, s"maxHamming=$maxH")
+      if (maxH == 3) assert(brute.nonEmpty, "corpus must exercise the tolerant path")
+    }
+  }
+
   test("applyDedup keeps keepers; nearDedup removes verified near-dups") {
     val keepers = Dedup.exactDedup(docs, "doc_id", "text")
     val kept = Dedup.applyDedup(docs, keepers, "doc_id")
