@@ -109,9 +109,15 @@ object Dedup {
     require(bits % nBands == 0,
       s"bits ($bits) must split evenly into maxHamming+1 = $nBands bands")
     val w = bits / nBands
+    // explicit null filter + coalesce makes the signature NON-NULLABLE:
+    // otherwise the null-intolerant band join infers isnotnull(bandBits),
+    // which pushes down as isnotnull(graft_simhash(...)) and evaluates the
+    // whole expensive expression once in a Filter and AGAIN in the Project
+    // — 4 evals per doc instead of 2 (seen in .explain("formatted"))
     val sigs = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("__id"),
-        TextAnalysis.simhash(col(textCol), bits).as("sh"))
+        coalesce(TextAnalysis.simhash(col(textCol), bits), lit(0L)).as("sh"))
       .repartition(col("__id")) // barrier: one fused simhash eval per doc
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
