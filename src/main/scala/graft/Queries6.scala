@@ -39,5 +39,56 @@ object Queries6 {
          |ORDER BY d1, d2 LIMIT 300""".stripMargin
     })
 
-  val catalog: Seq[(String, QueryDef)] = Seq(q51SimhashNearDup)
+  /** IVF ANN top-k ([[graft.operators.Similarity.ivfTopK]]): assign every
+    * vector to its nearest seeded centroid, probe the 4 nearest centroids
+    * per query, exact cosine on probed clusters only. The oracle replicates
+    * every stage in SQL — centroids come from the table itself
+    * (vec_id < 16), dots are the same in-order folds, argmax/top-k use the
+    * same (desc, id) tie-breaks — so the probe-limited candidate set must
+    * match exactly.
+    */
+  val q52AnnIvf: (String, QueryDef) = "q52_ann_ivf" -> QueryDef(
+    (s: SparkSession, dir: String) =>
+      graft.operators.Similarity.ivfTopK(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          queryIds = (100L to 107L), k = 10, nClusters = 16, nProbe = 4)
+        .orderBy(col("qid"), col("sim").desc, col("vec_id")),
+    Some {
+      def dotSql(a: String, b: String): String =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |sims AS (
+         |  SELECT e.vec_id, c.cid, ${dotSql("e.embedding", "c.cv")} AS sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+         |    FROM sims) WHERE rk = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+         |    FROM sims WHERE vec_id BETWEEN 100 AND 107) WHERE rk <= 4),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id FROM assigned a JOIN probes p
+         |    ON a.cid = p.cid AND a.vec_id <> p.qid),
+         |scored AS (
+         |  SELECT c.qid, c.vec_id,
+         |    ${dotSql("e.embedding", "qe.embedding")} /
+         |    (SQRT(${dotSql("e.embedding", "e.embedding")}) *
+         |     SQRT(${dotSql("qe.embedding", "qe.embedding")})) AS sim
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = c.qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT qid, vec_id, sim FROM ranked WHERE rk <= 10
+         |ORDER BY qid, sim DESC, vec_id""".stripMargin
+    })
+
+  val catalog: Seq[(String, QueryDef)] = Seq(q51SimhashNearDup, q52AnnIvf)
 }

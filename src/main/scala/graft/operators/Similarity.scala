@@ -110,6 +110,80 @@ object Similarity {
     * candidate join keys on (table, bucket) — uniform hash keys, no skew,
     * O(collisions) pairs; nothing cross-joins.
     */
+  /** Collected centroid vectors for IVF: the `nClusters` lowest-id
+    * embeddings, float widened to double (exact). ONE job, with the
+    * `id < nClusters` filter pushed to the scan — the centroid table is the
+    * model (bounded small, like query vectors), not a per-block loop. */
+  private def seedCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int): Seq[(Long, Seq[Double])] =
+    emb.filter(col(idCol) < nClusters)
+      .select(col(idCol), col(vecCol))
+      .collect().toSeq
+      .map(r => (r.getLong(0),
+        r.getAs[collection.Seq[Float]](1).toSeq.map(_.toDouble)))
+      .sortBy(_._1)
+
+  /** Nearest-centroid id as a pure projection (no shuffle): `nClusters`
+    * fused `graft_dotw` folds + an argmax via `greatest` on (sim, -cid)
+    * structs — lexicographic struct order makes the SMALLEST cid win ties,
+    * matching the oracle's ORDER BY sim DESC, cid. */
+  private def ivfClusterCol(cents: Seq[(Long, Seq[Double])], vecCol: String): Column = {
+    val packed = cents.map { case (cid, cv) =>
+      struct(call_function("graft_dotw", col(vecCol),
+        array(cv.map(lit): _*)).as("s"), lit(-cid).as("n"))
+    }
+    -greatest(packed: _*).getField("n")
+  }
+
+  /** IVF coarse quantization — the inverted-file ANN scale path: every
+    * vector is assigned to its nearest of `nClusters` centroids by dot
+    * product. Centroids are SEEDED deterministically as the lowest-id
+    * vectors (production replaces them with offline k-means means; the
+    * parts that must scale — broadcast centroids, shuffle-free assignment,
+    * probe-limited search — are identical either way). */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16): DataFrame =
+    emb.select(col(idCol),
+      ivfClusterCol(seedCentroids(emb, idCol, vecCol, nClusters), vecCol)
+        .as("cluster"))
+
+  /** IVF ANN top-k: per query, probe the `nProbe` nearest centroids and
+    * compute exact cosine ONLY on vectors assigned to probed clusters —
+    * the candidate set shrinks by ~nProbe/nClusters versus a full scan.
+    *
+    * Scale shape: centroids broadcast (driver-bounded by nClusters);
+    * assignment is a projection over one scan; probes and query vectors
+    * broadcast; the only shuffle is the final per-query top-k window over
+    * candidates. Versus [[annTopK]] (LSH): IVF gives tunable recall via
+    * nProbe and data-adaptive partitions, at the cost of a trained/seeded
+    * codebook. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = seedCentroids(emb, idCol, vecCol, nClusters)
+    val assigned = emb.select(col(idCol), col(vecCol),
+      ivfClusterCol(cents, vecCol).as("__c"))
+    // probe list per query: top nProbe centroids by the same dot
+    val simArr = array(cents.map { case (_, cv) =>
+      call_function("graft_dotw", col(vecCol), array(cv.map(lit): _*))
+    }: _*)
+    val qsims = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), posexplode(simArr).as(Seq("cid", "csim")))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+    val probes = qsims.withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= nProbe)
+      .select(col("qid"), col("cid").cast("long").as("cid"))
+    val qvecs = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid2"), col(vecCol).as("qv"))
+    val scored = assigned
+      .join(broadcast(probes), col("__c") === col("cid") && col(idCol) =!= col("qid"))
+      .join(broadcast(qvecs), col("qid") === col("qid2"))
+      .select(col("qid"), col(idCol), cosine(col(vecCol), col("qv")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+  }
+
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int, planes: Int = 8, tables: Int = 8,
       seed: Int = 42, dims: Int = 64): DataFrame = {

@@ -145,6 +145,46 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.7, f"recall@10 $recall%.3f below floor 0.7")
   }
 
+  test("IVF: assignment is the true argmax; probe-limited topK has recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    // assignment correctness: spot-check 25 vectors against a brute-force
+    // argmax over all centroid dots (same tiebreak: max sim, then min cid)
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val brute = emb.limit(25).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        Similarity.dot(col("embedding"), col("cv")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+    val bruteAssign = brute.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfAssign(emb, "vec_id", "embedding", nClusters = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    bruteAssign.foreach { case (id, cid) =>
+      assert(ivf(id) === cid, s"vec $id assigned ${ivf(id)}, brute-force says $cid")
+    }
+    // recall: probing 4/16 clusters must beat the 25% a random probe gives
+    val ids = (100L to 107L)
+    val q = emb.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    val gt = emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Similarity.cosine(col("embedding"), col("qv")).as("sim"))
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 10)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfTopK(emb, "vec_id", "embedding", ids, k = 10,
+        nClusters = 16, nProbe = 4)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got intersect gt).size.toDouble / gt.size
+    info(f"IVF recall@10 (nProbe=4/16) over ${ids.size} queries: $recall%.3f")
+    assert(recall >= 0.4, f"recall@10 $recall%.3f below floor 0.4")
+  }
+
   test("l2 normalize and int8 quantize round-trip on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").limit(100)
     // normalized vectors have unit norm
