@@ -40,6 +40,34 @@ object Streams {
         col("window.start").cast(LongType).as("time_bucket") +:
           groupCols.map(col) :+ col("Count") :+ col("sum_value"): _*)
 
+  /** Streaming version of the DSL's `-op hist`: per (window, group), the
+    * full mergeable histogram ([[graft.functions.BasicHist]]) computed
+    * incrementally — the Aggregator's merge law (spec-verified associative
+    * and order-insensitive) is exactly what the state store needs, so the
+    * SAME bucket math serves batch queries, cached per-block partials, and
+    * streams. Extents come from the table sidecar like every batch hist
+    * (the reference reads stored IntInfo, table_column_info.go).
+    */
+  def timeBucketHist(
+      events: DataFrame,
+      tsCol: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      bucketSecs: Long,
+      infoMin: Long,
+      infoMax: Long,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("__ts", timestamp_seconds(col(tsCol).cast(LongType)))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), s"$bucketSecs seconds") +: groupCols.map(col): _*)
+      .agg(graft.functions.BasicHist.hist(
+        col(valueCol).cast(LongType), lit(1L), infoMin, infoMax).as("h"))
+      .select(
+        col("window.start").cast(LongType).as("time_bucket") +:
+          groupCols.map(col) :+ col("h.count").as("Count") :+
+          col("h.mean").as("mean") :+ col("h.percentiles")(50).as("p50"): _*)
+
   case class SessionUpdate(key: String, events: Long, firstSeen: Long, lastSeen: Long, closed: Boolean)
 
   /** Per-key session state via mapGroupsWithState: counts events per key,

@@ -37,6 +37,36 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming hist matches the batch hist (incremental merge parity)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val base = 1700000000L
+    val rows = (0 until 400).map(i => (base + i * 5, s"t${i % 2}", (i % 97).toDouble))
+    // two adds → at least two micro-batches → the state store must MERGE
+    // partial HistBufs, not just fold rows into one buffer
+    mem.addData(rows.take(150): _*)
+    val streamDf = mem.toDF().toDF("ts_sec", "event_type", "value")
+    val out = Streams.timeBucketHist(streamDf, "ts_sec", Seq("event_type"),
+      "value", bucketSecs = 600, infoMin = 0L, infoMax = 96L)
+    val q = out.writeStream.format("memory").queryName("tbh")
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable()
+    mem.addData(rows.drop(150): _*)
+    q.processAllAvailable()
+    q.stop()
+    // Update mode re-emits refined rows: keep the final value per key
+    val streamed = spark.table("tbh")
+      .groupBy("time_bucket", "event_type")
+      .agg(max("Count").as("Count"), last("mean").as("mean"), last("p50").as("p50"))
+    val batch = rows.toDF("ts_sec", "event_type", "value")
+      .groupBy((expr("ts_sec div 600") * 600).as("time_bucket"), col("event_type"))
+      .agg(graft.functions.BasicHist.hist(col("value").cast(LongType), lit(1L), 0L, 96L).as("h"))
+      .select(col("time_bucket"), col("event_type"), col("h.count").as("Count"),
+        col("h.mean").as("mean"), col("h.percentiles")(50).as("p50"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("sessionize keeps per-key running counts") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(String, Long)]
