@@ -285,10 +285,25 @@ class GraftTable(spark: SparkSession, root: String) {
           .foreach(deleteRecursively)
         j.consumedLogs.map(ingestP.resolve).filter(Files.exists(_))
           .foreach(deleteRecursively)
+        dropCachedPartials(j.consumedBlocks)
       }
       // else: crash before the rename — nothing committed, journal is void
       Try(Files.deleteIfExists(journalP))
     }
+  }
+
+  /** Delete query-cache partials of dead blocks (`cache/<key>/<blockId>`):
+    * a block consumed by compaction or trim can never be a cache hit again
+    * (blockSegments no longer lists it), so its partials are dead weight
+    * that would otherwise accumulate forever under repeated compaction. */
+  private def dropCachedPartials(blockIds: Seq[String]): Unit = {
+    if (blockIds.isEmpty || !Files.exists(cacheRoot)) return
+    for {
+      key <- Files.list(cacheRoot).iterator().asScala.filter(Files.isDirectory(_))
+      id <- blockIds
+      dead = key.resolve(id)
+      if Files.exists(dead)
+    } Try(deleteRecursively(dead))
   }
 
   /** Reconcile sidecar segments with the directories actually on disk
@@ -477,6 +492,7 @@ class GraftTable(spark: SparkSession, root: String) {
     val seg = segmentStats(blocksP.resolve(blockId), "block")
     logs.foreach(deleteRecursively)
     consumedBlocks.foreach(deleteRecursively)
+    dropCachedPartials(consumedIds.toSeq)
     val kept = i.segments.filterNot(s => s.kind == "log" || consumedIds(s.id))
     writeInfo(derive(i.columns, kept :+ seg))
     Try(Files.deleteIfExists(journalP))
@@ -586,7 +602,10 @@ class GraftTable(spark: SparkSession, root: String) {
         dirs = dirs.tail
       }
     }
-    if (removed.nonEmpty) writeInfo(derive(i.columns, segments))
+    if (removed.nonEmpty) {
+      dropCachedPartials(removed.map(p => Paths.get(p).getFileName.toString))
+      writeInfo(derive(i.columns, segments))
+    }
     removed
   }
 

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -168,6 +169,38 @@ class IngestSpec extends SparkSpec {
     assert(!Files.exists(fake), "superseded partial must be deleted")
     assert(!Files.exists(java.nio.file.Paths.get(root, "digest.journal")))
     assert(t.info().rowCount === 20)
+  }
+
+  test("compaction and trim garbage-collect cache partials of dead blocks") {
+    import spark.implicits._
+    val root = tmpDir("graft-cachegc")
+    val t = new GraftTable(spark, root)
+    t.ingest((0 until 100).map(i => (s"k${i % 4}", i.toLong, (i % 7).toLong))
+      .toDF("k", "time", "v"))
+    t.digest()
+    val b0 = t.blockIds.head
+    val cache = new graft.sources.QueryCache(spark, t)
+    cache.run(graft.dsl.SybilQuery().groupBy("k")
+      .intFilterGt("time", -1).limitTo(100))
+    val cacheRoot = java.nio.file.Paths.get(root, "cache")
+    def partialDirs(id: String): Seq[java.nio.file.Path] =
+      if (!Files.exists(cacheRoot)) Nil
+      else Files.list(cacheRoot).iterator().asScala.toSeq
+        .map(_.resolve(id)).filter(Files.exists(_))
+    assert(partialDirs(b0).nonEmpty, "the miss must have cached a partial")
+    // compaction consumes the partial block b0 → its cache partials must go
+    t.ingest((100 until 200).map(i => (s"k${i % 4}", i.toLong, (i % 7).toLong))
+      .toDF("k", "time", "v"))
+    t.digest()
+    assert(!t.blockIds.contains(b0))
+    assert(partialDirs(b0).isEmpty, "dead block's cache partials must be GC'd")
+    // and trim GCs the partials of the blocks it deletes
+    val b1 = t.blockIds.head
+    cache.run(graft.dsl.SybilQuery().groupBy("k")
+      .intFilterGt("time", -1).limitTo(100))
+    assert(partialDirs(b1).nonEmpty)
+    t.trim(olderThan = Some(10000L))
+    assert(t.blockIds.isEmpty && partialDirs(b1).isEmpty)
   }
 
   test("ingest is O(batch): appending to a large table reads only the batch") {
