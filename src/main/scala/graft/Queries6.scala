@@ -90,5 +90,33 @@ object Queries6 {
          |ORDER BY qid, sim DESC, vec_id""".stripMargin
     })
 
-  val catalog: Seq[(String, QueryDef)] = Seq(q51SimhashNearDup, q52AnnIvf)
+  /** Distinctive terms per document
+    * ([[graft.operators.TextAnalysis.distinctiveTerms]]): tf/df scoring
+    * with df over the FULL corpus, top-3 per doc, reported for the first
+    * 50 docs. The score is one IEEE division of two ints — bit-exact in
+    * both engines, no rounding convention needed.
+    */
+  val q53TfIdf: (String, QueryDef) = "q53_distinctive_terms" -> QueryDef(
+    (s: SparkSession, dir: String) =>
+      graft.operators.TextAnalysis.distinctiveTerms(
+          Tables.load(s, dir, "documents"), "doc_id", "text", k = 3)
+        .filter(col("doc_id") < 50)
+        .orderBy(col("doc_id"), col("score").desc, col("term")),
+    Some(
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, CAST(t.tf AS DOUBLE) / d.df AS score
+        |  FROM tf t JOIN dfreq d USING (term)),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term, score FROM ranked WHERE rk <= 3 AND doc_id < 50
+        |ORDER BY doc_id, score DESC, term""".stripMargin))
+
+  val catalog: Seq[(String, QueryDef)] =
+    Seq(q51SimhashNearDup, q52AnnIvf, q53TfIdf)
 }

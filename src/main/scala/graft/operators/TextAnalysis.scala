@@ -85,6 +85,34 @@ object TextAnalysis {
   /** Hamming distance between two simhash signatures. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Per-document distinctive terms: score = tf / df (term frequency in
+    * the doc over the number of docs containing the term), top `k` per doc
+    * by (score desc, term). The tf-idf-family scorer with the ratio kept
+    * RAW — one IEEE division is bit-exact across engines where `ln()` (the
+    * textbook idf) is not ULP-stable, so the whole pipeline stays
+    * oracle-checkable.
+    *
+    * Scale shape: explode → two groupBys (doc-term, then term) → join on
+    * term → per-doc top-k window. The df side is corpus-global — the join
+    * key is the term (stopwords are hot keys but carry df=1 rows on the
+    * build side, so the join multiplicity, not a single partition, absorbs
+    * them; AQE splits if needed).
+    */
+  def distinctiveTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .select(col("doc"), col("term"),
+        (col("tf").cast("double") / col("df")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("doc").as(idCol), col("term"), col("score"))
+  }
+
   /** Convenience: append all text stats to a documents DataFrame. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

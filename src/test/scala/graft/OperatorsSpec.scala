@@ -65,6 +65,16 @@ class OperatorsSpec extends SparkSpec {
     assert(verified.exists(p => p._1 == 0 && p._2 == 1 && p._3 === 1.0))
   }
 
+  test("distinctive terms: unique terms outrank corpus-wide stopwords") {
+    val r = TextAnalysis.distinctiveTerms(docs, "doc_id", "text", k = 3)
+      .filter(col("doc_id") === 4).orderBy(col("score").desc, col("term")).collect()
+    assert(r.length === 3)
+    // doc 4's unique terms score tf/df = 1/1; its "and" is shared (df > 1)
+    assert(r(0).getString(1) === "about" && r(0).getDouble(2) === 1.0)
+    assert(r.forall(_.getDouble(2) === 1.0))
+    assert(!r.map(_.getString(1)).contains("and"))
+  }
+
   test("simhash banded near-dup == brute-force pairs (pigeonhole completeness)") {
     // a corpus with exact dups, near dups, and unrelated docs; the banded
     // plan (join on maxHamming+1 bands) must find EXACTLY the pairs a
