@@ -154,6 +154,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ImageDims].getName, "graft_image_dims"),
       (children: Seq[Expression]) => ImageDims(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_audio_meta"),
+      new ExpressionInfo(classOf[AudioMeta].getName, "graft_audio_meta"),
+      (children: Seq[Expression]) => AudioMeta(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_l2_normalize"),
       new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2_normalize"),
       (children: Seq[Expression]) => L2Normalize(children(0))))

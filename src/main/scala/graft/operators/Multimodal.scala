@@ -83,6 +83,15 @@ object Multimodal {
     media.withColumn("decoded_dims",
       call_function("graft_image_dims", col(payloadCol)))
 
+  /** REAL audio-metadata decode from payload bytes (WAV/RIFF header walk —
+    * expressions/AudioMeta.scala): appends `decoded_audio
+    * struct<channels,sample_rate,bits,duration_ms>` (null when not
+    * parseable). Like [[decodeDims]], a pure scan-side codegen projection —
+    * no codec, no shuffle. */
+  def decodeAudioMeta(media: DataFrame, payloadCol: String = "payload"): DataFrame =
+    media.withColumn("decoded_audio",
+      call_function("graft_audio_meta", col(payloadCol)))
+
   /** Metadata quality filter: keep decodable-looking media (non-empty
     * payload, sane dimensions) — predicate pushdown-friendly. */
   def filterValid(media: DataFrame): DataFrame =

@@ -57,6 +57,44 @@ class MultimodalSpec extends SparkSpec {
     assert(kept.filter(col("kind") === "image").count() > 0)
   }
 
+  test("decodeAudioMeta parses REAL WAV headers (chunk walk); garbage is null") {
+    import spark.implicits._
+    def le16(v: Int) = Array((v & 0xff).toByte, (v >>> 8).toByte)
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(tagS: String, body: Array[Byte]): Array[Byte] =
+      tagS.getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def wav(channels: Int, rate: Int, bits: Int, dataBytes: Int,
+        leadingChunks: Array[Byte] = Array.empty): Array[Byte] = {
+      val byteRate = rate * channels * bits / 8
+      val fmt = chunk("fmt ", le16(1) ++ le16(channels) ++ le32(rate.toLong) ++
+        le32(byteRate.toLong) ++ le16(channels * bits / 8) ++ le16(bits))
+      val data = chunk("data", new Array[Byte](dataBytes))
+      val body = "WAVE".getBytes("US-ASCII") ++ leadingChunks ++ fmt ++ data
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+    }
+    // 2ch 44100Hz 16bit, 1 sec of data (byteRate=176400) → 1000 ms;
+    // one with an odd-sized LIST chunk BEFORE fmt (pad-byte walk);
+    // one mono 8kHz 8bit half-second; garbage and a truncated RIFF → null
+    val listChunk = chunk("LIST", Array[Byte](1, 2, 3)) // odd size → padded
+    val df = Seq(
+      (1L, wav(2, 44100, 16, 176400)),
+      (2L, wav(2, 44100, 16, 176400, leadingChunks = listChunk)),
+      (3L, wav(1, 8000, 8, 4000)),
+      (4L, Array.fill[Byte](64)(9)),
+      (5L, "RIFF".getBytes("US-ASCII") ++ le32(4L) ++ "WAVE".getBytes("US-ASCII")))
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeAudioMeta(df).select("media_id", "decoded_audio.*")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None
+         else Some((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))))).toMap
+    assert(out(1L) === Some((2, 44100, 16, 1000L)))
+    assert(out(2L) === Some((2, 44100, 16, 1000L)), "chunk walk must skip LIST+pad")
+    assert(out(3L) === Some((1, 8000, 8, 500L)))
+    assert(out(4L) === None && out(5L) === None)
+  }
+
   test("decodeDims parses REAL PNG/JPEG/GIF headers; garbage is null") {
     import spark.implicits._
     def png(w: Int, h: Int): Array[Byte] = {
