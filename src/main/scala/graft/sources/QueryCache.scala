@@ -129,6 +129,10 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
     require(q.op == AggOp.CountOp || q.op == AggOp.AvgOp || q.op == AggOp.SumOp ||
       q.op == AggOp.HistOp,
       s"op ${q.op} not cacheable")
+    // loghist would otherwise silently cache BASIC hist partials (and share
+    // their cache key) — reject until LogHist grows a mergeable partial
+    require(!q.useLogHist,
+      "loghist is not cacheable (no mergeable partial) — use q.run(table.read())")
     // hist partials need a SHARED bucket layout across blocks and runs:
     // extents come from the sidecar (the stored-IntInfo path) and key the
     // cache, so layout drift invalidates naturally

@@ -203,6 +203,18 @@ class IngestSpec extends SparkSpec {
     assert(t.blockIds.isEmpty && partialDirs(b1).isEmpty)
   }
 
+  test("query cache rejects loghist instead of silently caching basic-hist partials") {
+    import spark.implicits._
+    val root = tmpDir("graft-loghist-cache")
+    val t = new GraftTable(spark, root)
+    t.ingest((1 until 100).map(i => (s"k${i % 2}", i.toLong, i.toLong)).toDF("k", "time", "v"))
+    t.digest()
+    val cache = new graft.sources.QueryCache(spark, t)
+    val q = graft.dsl.SybilQuery().groupBy("k").aggregate("v").logHistogram
+    val e = intercept[IllegalArgumentException](cache.run(q))
+    assert(e.getMessage.contains("loghist"))
+  }
+
   test("ingest is O(batch): appending to a large table reads only the batch") {
     import spark.implicits._
     val root = tmpDir("graft-obatch")
