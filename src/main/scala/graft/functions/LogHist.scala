@@ -96,10 +96,51 @@ class LogHistAggregator(
   def outputEncoder: Encoder[HistResult] = Encoders.product[HistResult]
 }
 
+/** Mergeable per-block log-hist partial — the cache's persisted form (same
+  * [[HistBuf]] shape as the flat hist; the bucket function is the only
+  * difference, pinned by (extents, ticks) in the cache key). */
+class LogHistPartialAggregator(infoMin: Long, infoMax: Long, ticksPerOctave: Int = 16)
+  extends Aggregator[(Long, Long), HistBuf, HistBuf] with Serializable {
+  private val inner = new LogHistAggregator(infoMin, infoMax, ticksPerOctave)
+  def zero: HistBuf = inner.zero
+  def reduce(b: HistBuf, in: (Long, Long)): HistBuf = inner.reduce(b, in)
+  def merge(a: HistBuf, c: HistBuf): HistBuf = inner.merge(a, c)
+  def finish(b: HistBuf): HistBuf = b
+  def bufferEncoder: Encoder[HistBuf] = Encoders.product[HistBuf]
+  def outputEncoder: Encoder[HistBuf] = Encoders.product[HistBuf]
+}
+
+/** Folds persisted log-hist [[HistBuf]] partials into one [[HistResult]]
+  * — associative order-insensitive merge, identical to single-pass. */
+class LogHistMergeAggregator(infoMin: Long, infoMax: Long, ticksPerOctave: Int = 16)
+  extends Aggregator[HistBuf, HistBuf, HistResult] with Serializable {
+  private val inner = new LogHistAggregator(infoMin, infoMax, ticksPerOctave)
+  def zero: HistBuf = inner.zero
+  def reduce(b: HistBuf, in: HistBuf): HistBuf = inner.merge(b, in)
+  def merge(a: HistBuf, c: HistBuf): HistBuf = inner.merge(a, c)
+  def finish(b: HistBuf): HistResult = inner.finish(b)
+  def bufferEncoder: Encoder[HistBuf] = Encoders.product[HistBuf]
+  def outputEncoder: Encoder[HistResult] = Encoders.product[HistResult]
+}
+
 object LogHist {
   def logHist(value: Column, weight: Column, infoMin: Long, infoMax: Long,
       ticksPerOctave: Int = 16): Column =
     udaf(new LogHistAggregator(infoMin, infoMax, ticksPerOctave)).apply(value, weight)
+
+  /** Mergeable per-block partial (a [[HistBuf]] struct column). */
+  def logHistPartial(value: Column, weight: Column, infoMin: Long, infoMax: Long,
+      ticksPerOctave: Int = 16): Column =
+    udaf(new LogHistPartialAggregator(infoMin, infoMax, ticksPerOctave)).apply(value, weight)
+
+  /** Merge persisted partials into the final [[HistResult]] (struct passed
+    * as its subfields — udaf flattens product inputs). */
+  def logHistMerge(buf: Column, infoMin: Long, infoMax: Long,
+      ticksPerOctave: Int = 16): Column =
+    udaf(new LogHistMergeAggregator(infoMin, infoMax, ticksPerOctave)).apply(
+      buf.getField("counts"), buf.getField("avgSum"), buf.getField("count"),
+      buf.getField("samples"), buf.getField("min"), buf.getField("max"),
+      buf.getField("outliers"), buf.getField("underliers"))
 
   /** The bucket function as pure driver-side math, exposed so an oracle SQL
     * twin can precompute the EXACT integer bucket thresholds as literals

@@ -38,11 +38,12 @@ case class CacheOutcome(hits: Int, misses: Int, uncacheable: Int, skipped: Int)
   * loops jobs over blocks — the pattern that melts down at 100 TB.
   *
   * Supported ops: Count / Sum / Avg (sums are decimal partials, so the
-  * merge is exact) and Hist — hist partials persist the RAW mergeable
-  * buffer ([[graft.functions.HistBuf]]: bucket counts + moments + outlier
-  * side-arrays) with the bucket layout pinned by the sidecar extents and
-  * folded into the cache key, so the merged result is bit-identical to a
-  * single-pass hist and layout drift invalidates naturally. Distinct/HLL
+  * merge is exact) and Hist — flat AND log-scaled: each flavor persists its
+  * RAW mergeable buffer ([[graft.functions.HistBuf]]: bucket counts +
+  * moments + outlier side-arrays) with the flavor and bucket layout pinned
+  * by the sidecar extents and folded into the cache key, so the merged
+  * result is bit-identical to a single-pass hist and layout drift
+  * invalidates naturally. Distinct/HLL
   * stays uncached (Spark's HLL sketch buffer is not exposed). str-replace
   * pre-transforms are applied inside each partial and folded into the
   * cache key; sort/limit follow the DSL's ordering rules at merge time.
@@ -68,7 +69,8 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
       "r=" + q.strReplace.toSeq.sortBy(_._1)
         .map { case (c, (p, r)) => s"$c:$p:$r" }.mkString("&"),
       "h=" + (if (q.op == AggOp.HistOp)
-        q.histBuckets + ";" + extents.toSeq.sorted.mkString(",") else ""),
+        (if (q.useLogHist) "log" else "flat") + ";" +
+          q.histBuckets + ";" + extents.toSeq.sorted.mkString(",") else ""),
       "f=" + kept.map(_.toString).sorted.mkString("&")).mkString("|"))
   }
 
@@ -111,8 +113,12 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
         (q.op match {
           case AggOp.HistOp => q.aggCols.map { c =>
             val (mn, mx) = extents(c)
-            BasicHist.histPartial(col(c).cast(LongType), w.cast(LongType),
-              mn, mx, q.histBuckets).as(s"__hist_$c")
+            (if (q.useLogHist)
+              graft.functions.LogHist.logHistPartial(
+                col(c).cast(LongType), w.cast(LongType), mn, mx)
+            else
+              BasicHist.histPartial(col(c).cast(LongType), w.cast(LongType),
+                mn, mx, q.histBuckets)).as(s"__hist_$c")
           }
           case _ => q.aggCols.map(c => wsum(c).as(s"__sum_$c"))
         })
@@ -129,10 +135,9 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
     require(q.op == AggOp.CountOp || q.op == AggOp.AvgOp || q.op == AggOp.SumOp ||
       q.op == AggOp.HistOp,
       s"op ${q.op} not cacheable")
-    // loghist would otherwise silently cache BASIC hist partials (and share
-    // their cache key) — reject until LogHist grows a mergeable partial
-    require(!q.useLogHist,
-      "loghist is not cacheable (no mergeable partial) — use q.run(table.read())")
+    // loghist caches its OWN partial flavor (LogHistPartialAggregator) and
+    // the flavor is part of the cache key, so flat and log partials for the
+    // same filters can never merge into each other
     // hist partials need a SHARED bucket layout across blocks and runs:
     // extents come from the sidecar (the stored-IntInfo path) and key the
     // cache, so layout drift invalidates naturally
@@ -240,7 +245,10 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
               (sum(col(s"__sum_$c")).cast(DoubleType) / sum(col("Count"))).as(s"${c}_avg"))
             case AggOp.HistOp => q.aggCols.map { c =>
               val (mn, mx) = extents(c)
-              BasicHist.histMerge(col(s"__hist_$c"), mn, mx, q.histBuckets)
+              (if (q.useLogHist)
+                graft.functions.LogHist.logHistMerge(col(s"__hist_$c"), mn, mx)
+              else
+                BasicHist.histMerge(col(s"__hist_$c"), mn, mx, q.histBuckets))
                 .as(s"${c}_hist")
             }
             case _ => Nil

@@ -203,16 +203,29 @@ class IngestSpec extends SparkSpec {
     assert(t.blockIds.isEmpty && partialDirs(b1).isEmpty)
   }
 
-  test("query cache rejects loghist instead of silently caching basic-hist partials") {
+  test("query cache serves loghist exactly, with a key distinct from flat hist") {
     import spark.implicits._
     val root = tmpDir("graft-loghist-cache")
     val t = new GraftTable(spark, root)
-    t.ingest((1 until 100).map(i => (s"k${i % 2}", i.toLong, i.toLong)).toDF("k", "time", "v"))
+    t.ingest((1 until 2000).map(i => (s"k${i % 2}", i.toLong, (i % 500 + 1).toLong))
+      .toDF("k", "time", "v"))
     t.digest()
     val cache = new graft.sources.QueryCache(spark, t)
-    val q = graft.dsl.SybilQuery().groupBy("k").aggregate("v").logHistogram
-    val e = intercept[IllegalArgumentException](cache.run(q))
-    assert(e.getMessage.contains("loghist"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("k", "Count", "v_hist.count", "v_hist.mean",
+        "v_hist.percentiles[50]", "v_hist.stddev").collect().map(_.toString).sorted
+    val logQ = graft.dsl.SybilQuery().groupBy("k").aggregate("v")
+      .logHistogram.intFilterGt("time", 0)
+    val flatQ = logQ.copy(useLogHist = false)
+    val single = canon(t.query(logQ))
+    val (miss, o1) = cache.run(logQ)
+    assert(o1.misses === 1 && canon(miss) === single, "cached-miss == single-pass")
+    val (hit, o2) = cache.run(logQ)
+    assert(o2.hits === 1 && canon(hit) === single, "cache-hit == single-pass")
+    // flat hist with identical filters must NOT share the log partials
+    val (flat, o3) = cache.run(flatQ)
+    assert(o3.misses === 1, "flavor must be part of the cache key")
+    assert(canon(flat) !== single, "flat and log layouts differ on this data")
   }
 
   test("ingest is O(batch): appending to a large table reads only the batch") {
