@@ -39,7 +39,7 @@ object Cli {
 
   private val boolFlags = Set("csv", "json", "samples", "read-log", "sort-asc",
     "time", "delete", "really", "info", "tables", "cache-queries", "loghist",
-    "export", "print", "update-info", "skip-compact")
+    "nested-hist", "export", "print", "update-info", "skip-compact")
 
   /** `-flag value` / `-flag=value` / boolean `-flag`. */
   private[graft] def parseFlags(args: Seq[String]): Map[String, String] = {
@@ -85,6 +85,7 @@ object Cli {
       case other   => throw new IllegalArgumentException(s"-op $other")
     }
     if (f.contains("loghist")) q = q.logHistogram
+    if (f.contains("nested-hist")) q = q.nestedHistogram // true MultiHist structure
     f.get("int-bucket").foreach(n => q = q.bucketCount(n.toInt))
     f.get("distinct").foreach(c => q = q.distinct(splitList(c): _*))
     f.get("int-filter").foreach(filterTriples(_).foreach { case (c, op, v) =>

@@ -79,7 +79,8 @@ final case class SybilQuery(
     sampleCols: Seq[String] = Nil,
     histBuckets: Int = 1000,
     histExtents: Map[String, (Long, Long)] = Map.empty,
-    useLogHist: Boolean = false) {
+    useLogHist: Boolean = false,
+    useNestedHist: Boolean = false) {
 
   def groupBy(cols: String*): SybilQuery = copy(groups = groups ++ cols)
   def aggregate(cols: String*): SybilQuery = copy(aggCols = aggCols ++ cols)
@@ -114,6 +115,11 @@ final case class SybilQuery(
     copy(histExtents = histExtents ++ m)
   /** `-loghist` (cmd_query.go:45): hist op uses log-scaled buckets. */
   def logHistogram: SybilQuery = copy(op = AggOp.HistOp, useLogHist = true)
+  /** The reference's TRUE `-loghist` structure — nested MultiHist with
+    * halving subranges (hist_multi.go:223-257) — as a hist-op variant:
+    * fine absolute resolution at the bottom of the range, cheap wide tail.
+    */
+  def nestedHistogram: SybilQuery = copy(op = AggOp.HistOp, useNestedHist = true)
   /** `-int-bucket` (cmd_query.go:52): hist bucket count override. */
   def bucketCount(n: Int): SybilQuery = copy(histBuckets = n)
 
@@ -206,7 +212,10 @@ final case class SybilQuery(
         val extents = histExtents ++ scanned
         Seq(countAgg, samplesAgg) ++ aggCols.map { c =>
           val (mn, mx) = extents(c)
-          (if (useLogHist)
+          (if (useNestedHist)
+            graft.functions.NestedHist.nestedHist(
+              col(c).cast(LongType), w.cast(LongType), mn, mx, histBuckets)
+          else if (useLogHist)
             graft.functions.LogHist.logHist(col(c).cast(LongType), w.cast(LongType), mn, mx)
           else
             BasicHist.hist(col(c).cast(LongType), w.cast(LongType), mn, mx,

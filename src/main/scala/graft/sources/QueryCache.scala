@@ -69,8 +69,8 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
       "r=" + q.strReplace.toSeq.sortBy(_._1)
         .map { case (c, (p, r)) => s"$c:$p:$r" }.mkString("&"),
       "h=" + (if (q.op == AggOp.HistOp)
-        (if (q.useLogHist) "log" else "flat") + ";" +
-          q.histBuckets + ";" + extents.toSeq.sorted.mkString(",") else ""),
+        (if (q.useNestedHist) "nested" else if (q.useLogHist) "log" else "flat") +
+          ";" + q.histBuckets + ";" + extents.toSeq.sorted.mkString(",") else ""),
       "f=" + kept.map(_.toString).sorted.mkString("&")).mkString("|"))
   }
 
@@ -113,7 +113,10 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
         (q.op match {
           case AggOp.HistOp => q.aggCols.map { c =>
             val (mn, mx) = extents(c)
-            (if (q.useLogHist)
+            (if (q.useNestedHist)
+              graft.functions.NestedHist.nestedHistPartial(
+                col(c).cast(LongType), w.cast(LongType), mn, mx, q.histBuckets)
+            else if (q.useLogHist)
               graft.functions.LogHist.logHistPartial(
                 col(c).cast(LongType), w.cast(LongType), mn, mx)
             else
@@ -245,7 +248,10 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
               (sum(col(s"__sum_$c")).cast(DoubleType) / sum(col("Count"))).as(s"${c}_avg"))
             case AggOp.HistOp => q.aggCols.map { c =>
               val (mn, mx) = extents(c)
-              (if (q.useLogHist)
+              (if (q.useNestedHist)
+                graft.functions.NestedHist.nestedHistMerge(
+                  col(s"__hist_$c"), mn, mx, q.histBuckets)
+              else if (q.useLogHist)
                 graft.functions.LogHist.logHistMerge(col(s"__hist_$c"), mn, mx)
               else
                 BasicHist.histMerge(col(s"__hist_$c"), mn, mx, q.histBuckets))

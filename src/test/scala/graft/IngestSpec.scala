@@ -226,6 +226,13 @@ class IngestSpec extends SparkSpec {
     val (flat, o3) = cache.run(flatQ)
     assert(o3.misses === 1, "flavor must be part of the cache key")
     assert(canon(flat) !== single, "flat and log layouts differ on this data")
+    // nested MultiHist: third flavor, own key, cached == single-pass
+    val nestedQ = logQ.copy(useLogHist = false, useNestedHist = true)
+    val singleNested = canon(t.query(nestedQ))
+    val (nm, o4) = cache.run(nestedQ)
+    assert(o4.misses === 1 && canon(nm) === singleNested)
+    val (nh, o5) = cache.run(nestedQ)
+    assert(o5.hits === 1 && canon(nh) === singleNested)
   }
 
   test("ingest is O(batch): appending to a large table reads only the batch") {
