@@ -186,13 +186,19 @@ class OperatorsSpec extends SparkSpec {
       .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 10)
       .select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val got = Similarity.ivfTopK(emb, "vec_id", "embedding", ids, k = 10,
-        nClusters = 16, nProbe = 4)
-      .select("qid", "vec_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (got intersect gt).size.toDouble / gt.size
-    info(f"IVF recall@10 (nProbe=4/16) over ${ids.size} queries: $recall%.3f")
-    assert(recall >= 0.4, f"recall@10 $recall%.3f below floor 0.4")
+    def recallAt(nProbe: Int): Double = {
+      val got = Similarity.ivfTopK(emb, "vec_id", "embedding", ids, k = 10,
+          nClusters = 16, nProbe = nProbe)
+        .select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got intersect gt).size.toDouble / gt.size
+    }
+    val r4 = recallAt(4); val r8 = recallAt(8); val r16 = recallAt(16)
+    info(f"IVF recall@10 over ${ids.size} queries: nProbe=4 $r4%.3f, 8 $r8%.3f, 16 $r16%.3f")
+    assert(r4 >= 0.4, f"recall@10 $r4%.3f below floor 0.4")
+    // the IVF knob: recall must rise with nProbe, reaching exact at full probe
+    assert(r8 >= r4 && r16 >= r8, "recall must be monotone in nProbe")
+    assert(r16 === 1.0, "probing every cluster IS the exact scan")
   }
 
   test("l2 normalize and int8 quantize round-trip on real embeddings") {
