@@ -203,6 +203,29 @@ object Cli {
         table.exportTsv(f.getOrElse("outfile", sys.error("-outfile is required")),
           readLog = f.contains("read-log"))
 
+      // `sybil inspect` decodes and dumps any .db file
+      // (cmd_inspect.go:1-129); the parquet-era analog dumps any parquet
+      // path's footer schema + row count, plus per-segment sidecar stats
+      // when the path is a graft table root
+      case "inspect" =>
+        val path = f.getOrElse("file", f.getOrElse("table",
+          sys.error("inspect needs -file <parquet path> or -table <name>")))
+        val target = if (f.contains("file")) path else s"$dir/$path"
+        val infoP = Paths.get(target, "info.json")
+        if (Files.exists(infoP)) {
+          val t = new GraftTable(spark, target)
+          val i = t.info()
+          println(s"table $target  rows=${i.rowCount}")
+          i.columns.foreach(c => println(
+            s"  col ${c.name} ${c.dtype} min=${c.min.getOrElse("-")} max=${c.max.getOrElse("-")}"))
+          i.segments.foreach(s => println(
+            s"  segment ${s.kind}/${s.id} rows=${s.rows}"))
+        } else {
+          val df = spark.read.parquet(target)
+          println(s"parquet $target  rows=${df.count()}")
+          println(df.schema.treeString)
+        }
+
       case "query" if f.contains("tables") =>
         if (f.contains("json"))
           println(listTables(dir).map("\"" + _ + "\"").mkString("[", ",", "]"))
@@ -229,7 +252,7 @@ object Cli {
 
       case other =>
         sys.error(s"subcommand '$other' is invalid " +
-          "(ingest digest trim query rebuild export version)")
+          "(ingest digest trim query rebuild export inspect version)")
     }
   }
 }

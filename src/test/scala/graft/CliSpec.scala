@@ -116,6 +116,24 @@ class CliSpec extends SparkSpec {
       .exists(_.toString.endsWith(".csv.gz")))
   }
 
+  test("CLI inspect dumps sidecar stats for a table and schema for raw parquet") {
+    val db = Files.createTempDirectory("graft-cli-inspect").toString
+    val data = Files.createTempDirectory("graft-cli-inspect-data")
+    Files.writeString(data.resolve("rows.jsonl"),
+      (0 until 30).map(i => s"""{"v": $i, "time": ${1700000000 + i}}""").mkString("\n"))
+    Cli.main(Array("ingest", "-dir", db, "-table", "t",
+      "-infile", data.resolve("rows.jsonl").toString))
+    Cli.main(Array("digest", "-dir", db, "-table", "t"))
+    val out = captureOut { Cli.main(Array("inspect", "-dir", db, "-table", "t")) }
+    assert(out.contains("rows=30"))
+    assert(out.contains("col v bigint min=0 max=29"))
+    assert(out.contains("segment block/"))
+    // raw parquet path: footer schema + count
+    val raw = captureOut { Cli.main(Array("inspect", "-file",
+      "/root/testdata/sf0.001/region.parquet")) }
+    assert(raw.contains("parquet ") && raw.contains("r_regionkey"))
+  }
+
   test("CLI trim dry-run prints nothing to remove for fresh data") {
     val db = Files.createTempDirectory("graft-cli2").toString
     val data = Files.createTempDirectory("graft-cli2-data")
