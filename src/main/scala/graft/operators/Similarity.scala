@@ -115,13 +115,17 @@ object Similarity {
     * `id < nClusters` filter pushed to the scan — the centroid table is the
     * model (bounded small, like query vectors), not a per-block loop. */
   private def seedCentroids(emb: DataFrame, idCol: String, vecCol: String,
-      nClusters: Int): Seq[(Long, Seq[Double])] =
-    emb.filter(col(idCol) < nClusters)
+      nClusters: Int): Seq[(Long, Seq[Double])] = {
+    val cents = emb.filter(col(idCol) < nClusters)
       .select(col(idCol), col(vecCol))
       .collect().toSeq
       .map(r => (r.getLong(0),
         r.getAs[collection.Seq[Float]](1).toSeq.map(_.toDouble)))
       .sortBy(_._1)
+    require(cents.size >= 2, // greatest() needs 2+; 0/1 centroids is no IVF
+      s"IVF needs >= 2 seed centroids; found ${cents.size} rows with $idCol < $nClusters")
+    cents
+  }
 
   /** Nearest-centroid id as a pure projection (no shuffle): `nClusters`
     * fused `graft_dotw` folds + an argmax via `greatest` on (sim, -cid)
@@ -162,17 +166,22 @@ object Similarity {
     val cents = seedCentroids(emb, idCol, vecCol, nClusters)
     val assigned = emb.select(col(idCol), col(vecCol),
       ivfClusterCol(cents, vecCol).as("__c"))
-    // probe list per query: top nProbe centroids by the same dot
-    val simArr = array(cents.map { case (_, cv) =>
-      call_function("graft_dotw", col(vecCol), array(cv.map(lit): _*))
+    // probe list per query: top nProbe centroids by the same dot. The
+    // structs carry the ACTUAL centroid id — a positional (posexplode)
+    // index would only equal the id when the seed ids happen to be
+    // contiguous from 0, and would silently mis-join on sparse id sets
+    val simStructs = array(cents.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"),
+        call_function("graft_dotw", col(vecCol), array(cv.map(lit): _*)).as("csim"))
     }: _*)
     val qsims = emb.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("qid"), posexplode(simArr).as(Seq("cid", "csim")))
+      .select(col(idCol).as("qid"), explode(simStructs).as("cs"))
+      .select(col("qid"), col("cs.cid").as("cid"), col("cs.csim").as("csim"))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
     val probes = qsims.withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= nProbe)
-      .select(col("qid"), col("cid").cast("long").as("cid"))
+      .select(col("qid"), col("cid"))
     val qvecs = emb.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("qid2"), col(vecCol).as("qv"))
     val scored = assigned

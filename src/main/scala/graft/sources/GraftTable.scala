@@ -306,6 +306,22 @@ class GraftTable(spark: SparkSession, root: String) {
     } Try(deleteRecursively(dead))
   }
 
+  /** Sweep cache partials whose block no longer exists. Covers the race the
+    * targeted [[dropCachedPartials]] can't: a concurrent query that
+    * snapshotted a block before a digest consumed it may publish the
+    * block's partial AFTER the digest's targeted GC ran — that orphan would
+    * otherwise never be deleted (its id is in no future consumed set). Run
+    * under the digest lock; cost is one directory listing of the cache. */
+  private def sweepDeadCachePartials(): Unit = {
+    if (!Files.exists(cacheRoot)) return
+    val live = listDirs(blocksP).map(_.getFileName.toString).toSet
+    for {
+      key <- Files.list(cacheRoot).iterator().asScala.filter(Files.isDirectory(_))
+      entry <- Files.list(key).iterator().asScala.filter(Files.isDirectory(_))
+      if !live(entry.getFileName.toString)
+    } Try(deleteRecursively(entry))
+  }
+
   /** Reconcile sidecar segments with the directories actually on disk
     * (crash recovery): drop entries whose dir vanished; drop segments a
     * committed digest journal supersedes (finishing its cleanup when no
@@ -461,6 +477,7 @@ class GraftTable(spark: SparkSession, root: String) {
 
   private def digestLocked(compact: Boolean): Unit = {
     recoverDigestJournal() // we hold the lock: finish any crashed digest first
+    sweepDeadCachePartials() // catch partials published after a prior GC
     val i = reconciled()
     val logs = listDirs(ingestP)
     if (logs.isEmpty) return
@@ -618,7 +635,11 @@ class GraftTable(spark: SparkSession, root: String) {
       .option("compression", "gzip")
       .csv(outDir)
 
+  /** Tolerates concurrent deletion: two journal recoveries (or recovery vs
+    * digest) may race on the same dir — deleteIfExists + a swallowed
+    * NoSuchFile walk make the loser a no-op instead of a crashed query. */
   private def deleteRecursively(p: Path): Unit =
-    Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-      .iterator().asScala.foreach(Files.delete)
+    try Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(f => Try(Files.deleteIfExists(f)))
+    catch { case _: java.nio.file.NoSuchFileException => () }
 }

@@ -68,9 +68,14 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
       "w=" + q.weightCol.getOrElse(""),
       "r=" + q.strReplace.toSeq.sortBy(_._1)
         .map { case (c, (p, r)) => s"$c:$p:$r" }.mkString("&"),
-      "h=" + (if (q.op == AggOp.HistOp)
+      "h=" + (if (q.op == AggOp.HistOp) {
+        // the log flavor ignores histBuckets (fixed ticksPerOctave) — keying
+        // it would force spurious misses when -int-bucket changes
+        val layout = if (q.useLogHist && !q.useNestedHist) "t16"
+          else q.histBuckets.toString
         (if (q.useNestedHist) "nested" else if (q.useLogHist) "log" else "flat") +
-          ";" + q.histBuckets + ";" + extents.toSeq.sorted.mkString(",") else ""),
+          ";" + layout + ";" + extents.toSeq.sorted.mkString(",")
+      } else ""),
       "f=" + kept.map(_.toString).sorted.mkString("&")).mkString("|"))
   }
 

@@ -199,6 +199,24 @@ class OperatorsSpec extends SparkSpec {
     // the IVF knob: recall must rise with nProbe, reaching exact at full probe
     assert(r8 >= r4 && r16 >= r8, "recall must be monotone in nProbe")
     assert(r16 === 1.0, "probing every cluster IS the exact scan")
+
+    // SPARSE seed ids (vec_ids 3 and 7 removed): centroid positions no
+    // longer equal centroid ids, so a positional probe index would
+    // mis-join clusters — full probe must still equal the exact scan
+    val sparse = emb.filter(!col("vec_id").isin(3L, 7L))
+    val q2 = sparse.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val gt2 = sparse.crossJoin(broadcast(q2)).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Similarity.cosine(col("embedding"), col("qv")).as("sim"))
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 10)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotSparse = Similarity.ivfTopK(sparse, "vec_id", "embedding", ids,
+        k = 10, nClusters = 16, nProbe = 14) // 14 centroids remain → full probe
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSparse === gt2, "sparse centroid ids: full probe must equal exact scan")
   }
 
   test("l2 normalize and int8 quantize round-trip on real embeddings") {

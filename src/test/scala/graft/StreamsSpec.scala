@@ -54,10 +54,13 @@ class StreamsSpec extends SparkSpec {
     mem.addData(rows.drop(150): _*)
     q.processAllAvailable()
     q.stop()
-    // Update mode re-emits refined rows: keep the final value per key
+    // Update mode re-emits refined rows: keep the final value per key —
+    // the emission with the largest Count (counts only grow; last() after
+    // a groupBy shuffle would be non-deterministic)
     val streamed = spark.table("tbh")
       .groupBy("time_bucket", "event_type")
-      .agg(max("Count").as("Count"), last("mean").as("mean"), last("p50").as("p50"))
+      .agg(max("Count").as("Count"), expr("max_by(mean, Count)").as("mean"),
+        expr("max_by(p50, Count)").as("p50"))
     val batch = rows.toDF("ts_sec", "event_type", "value")
       .groupBy((expr("ts_sec div 600") * 600).as("time_bucket"), col("event_type"))
       .agg(graft.functions.BasicHist.hist(col("value").cast(LongType), lit(1L), 0L, 96L).as("h"))
