@@ -130,12 +130,23 @@ object Dedup {
       col("band"), col("bb"))
     val rhs = banded.select(col("__id").as("d2"), col("sh").as("sh2"),
       col("band").as("band2"), col("bb").as("bb2"))
+    // canonical-band dedup: a pair colliding in several bands is emitted
+    // ONLY from its lowest colliding band — for every lower band the bits
+    // must differ. A per-row filter over the two signatures, replacing a
+    // distinct() that would shuffle every matched pair (the dominant cost
+    // on dup-heavy corpora where identical signatures collide in ALL bands)
+    val lowestCollidingBand = (0 until nBands).map { b =>
+      val mask = lit((1L << w) - 1)
+      (lit(b) >= col("band")) ||
+        (shiftright(col("sh1"), b * w).bitwiseAND(mask) =!=
+          shiftright(col("sh2"), b * w).bitwiseAND(mask))
+    }.reduce(_ && _)
     lhs.join(rhs, col("band") === col("band2") && col("bb") === col("bb2") &&
         col("d1") < col("d2"))
+      .filter(lowestCollidingBand)
       .select(col("d1"), col("d2"),
         bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct() // a pair may collide in several bands; hamming is identical
   }
 
   /** Apply a keeper assignment: keep exactly the rows whose id IS a
