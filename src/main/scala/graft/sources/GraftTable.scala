@@ -131,7 +131,11 @@ class GraftTable(spark: SparkSession, root: String) {
         m.put("cnt", c.cnt); m.put("sum", c.sum); m.put("sumsq", c.sumsq)
       }
     }
-    val tmp = rootP.resolve("info.json.tmp")
+    // tmp name must be unique per call: concurrent writers sharing one tmp
+    // path raced — the loser's rename threw NoSuchFileException (found by
+    // the ingest+digest stress test). Last-writer-wins content is fine:
+    // a lost sidecar entry self-heals via reconciled().
+    val tmp = rootP.resolve(s"info.json.tmp-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, mapper.writeValueAsString(o))
     Files.move(tmp, infoP, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
@@ -416,8 +420,15 @@ class GraftTable(spark: SparkSession, root: String) {
       System.err.println(s"[graft] ingest: batch dropped entirely (all columns conflicted)")
       return
     }
-    val dest = ingestP.resolve(java.util.UUID.randomUUID().toString)
-    clean.write.mode(SaveMode.ErrorIfExists).parquet(dest.toString)
+    // write under a .tmp- prefix (invisible to listDirs) and rename, so no
+    // concurrent reader/digester ever sees a half-written log dir — Spark's
+    // in-place write exposes the dir before any parquet file lands (the
+    // ingest+digest stress test caught schema inference failing on it)
+    val id = java.util.UUID.randomUUID().toString
+    val tmp = ingestP.resolve(s".tmp-$id")
+    clean.write.mode(SaveMode.ErrorIfExists).parquet(tmp.toString)
+    val dest = ingestP.resolve(id)
+    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
     val seg = segmentStats(dest, "log")
     val i = info()
     writeInfo(derive(updatedRegistry(i.columns, clean.schema), i.segments :+ seg))

@@ -235,6 +235,48 @@ class IngestSpec extends SparkSpec {
     assert(o5.hits === 1 && canon(nh) === singleNested)
   }
 
+  test("concurrent ingest + digest stress: every row exactly once") {
+    // the reference's stress_ingest_digest.sh scheme: writers append while a
+    // digester compacts; dir-level atomicity + the digest lock + journal +
+    // sidecar self-heal must deliver exactly-once rows
+    import spark.implicits._
+    val root = tmpDir("graft-stress")
+    val t = new GraftTable(spark, root)
+    val threads = 4; val batches = 5; val rowsPer = 40
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads + 1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = (0 until threads).map { th =>
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          for (b <- 0 until batches) {
+            val base = (th * batches + b) * rowsPer
+            t.ingest((0 until rowsPer).map(i => ((base + i).toLong, s"u$th"))
+              .toDF("id", "user"))
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    val digester = pool.submit(new Runnable {
+      def run(): Unit = try {
+        for (_ <- 0 until 8) {
+          try t.digest()
+          catch { case _: IllegalStateException => () } // lock contention is expected
+          Thread.sleep(30)
+        }
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    writers.foreach(_.get)
+    digester.get()
+    pool.shutdown()
+    assert(errs.isEmpty, s"stress errors: ${errs.asScala.map(_.toString).mkString("; ")}")
+    t.digest() // final drain
+    val total = threads * batches * rowsPer
+    val ids = t.read().select("id").collect().map(_.getLong(0))
+    assert(ids.length === total, "no row lost, none duplicated")
+    assert(ids.toSet.size === total)
+    assert(t.rebuild().rowCount === total)
+  }
+
   test("ingest is O(batch): appending to a large table reads only the batch") {
     import spark.implicits._
     val root = tmpDir("graft-obatch")
