@@ -21,14 +21,16 @@ import graft.sources.{GraftTable, Ingest, QueryCache}
   *   graft query   -dir DB -table T [-group a,b] [-int x,y] [-op avg|sum|hist|count]
   *                 [-int-filter c:gt:5] [-str-filter c:re:pat] [-set-filter c:in:v]
   *                 [-time] [-time-col c] [-time-bucket secs] [-weight-col w]
-  *                 [-distinct cols] [-loghist] [-samples] [-sample-cols a,b]
-  *                 [-str-replace col:find:replace] [-sort col] [-sort-asc]
-  *                 [-limit n] [-read-log] [-json] [-cache-queries]
+  *                 [-distinct cols] [-loghist] [-nested-hist] [-samples]
+  *                 [-sample-cols a,b] [-str-replace col:find:replace]
+  *                 [-sort col] [-sort-asc] [-limit n] [-read-log] [-json]
+  *                 [-cache-queries]
   *   graft query   -dir DB -tables            # list tables
   *   graft query   -dir DB -table T -info     # table info
   *   graft trim    -dir DB -table T [-mb N] [-before TS] [-time-col c] [-delete]
   *   graft rebuild -dir DB -table T      (alias: index — re-derives block stats)
   *   graft export  -dir DB -table T -outfile DIR [-read-log]
+  *   graft inspect -dir DB -table T | -file parquet_path
   *   graft version
   * }}}
   *
@@ -151,7 +153,7 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft <ingest|digest|trim|query|rebuild|export|version> [flags]")
+      "usage: graft <ingest|digest|trim|query|rebuild|export|inspect|version> [flags]")
     val cmd = args.head
     val f = parseFlags(args.tail.toSeq)
     if (cmd == "version") { println("graft 0.2 (spark engine)"); return }

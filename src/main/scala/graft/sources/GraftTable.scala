@@ -296,14 +296,24 @@ class GraftTable(spark: SparkSession, root: String) {
     }
   }
 
+  /** Closed-stream directory listing (raw Files.list leaks the dir fd). */
+  private def listChildren(p: Path): Seq[Path] = {
+    if (!Files.isDirectory(p)) return Nil
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   /** Delete query-cache partials of dead blocks (`cache/<key>/<blockId>`):
     * a block consumed by compaction or trim can never be a cache hit again
     * (blockSegments no longer lists it), so its partials are dead weight
-    * that would otherwise accumulate forever under repeated compaction. */
+    * that would otherwise accumulate forever under repeated compaction.
+    * (A hist-layout or key-format change also orphans entries under the
+    * OLD keys — those still name live blocks, so they age out only when
+    * their blocks die: a bounded one-time cost per format change.) */
   private def dropCachedPartials(blockIds: Seq[String]): Unit = {
     if (blockIds.isEmpty || !Files.exists(cacheRoot)) return
     for {
-      key <- Files.list(cacheRoot).iterator().asScala.filter(Files.isDirectory(_))
+      key <- listChildren(cacheRoot).filter(Files.isDirectory(_))
       id <- blockIds
       dead = key.resolve(id)
       if Files.exists(dead)
@@ -315,15 +325,36 @@ class GraftTable(spark: SparkSession, root: String) {
     * snapshotted a block before a digest consumed it may publish the
     * block's partial AFTER the digest's targeted GC ran — that orphan would
     * otherwise never be deleted (its id is in no future consumed set). Run
-    * under the digest lock; cost is one directory listing of the cache. */
+    * under the digest lock; cost is one directory listing of the cache.
+    * `.tmp-` entries are a concurrent query's IN-FLIGHT publish — never
+    * touched (same convention as [[listDirs]]). */
   private def sweepDeadCachePartials(): Unit = {
     if (!Files.exists(cacheRoot)) return
     val live = listDirs(blocksP).map(_.getFileName.toString).toSet
     for {
-      key <- Files.list(cacheRoot).iterator().asScala.filter(Files.isDirectory(_))
-      entry <- Files.list(key).iterator().asScala.filter(Files.isDirectory(_))
-      if !live(entry.getFileName.toString)
+      key <- listChildren(cacheRoot).filter(Files.isDirectory(_))
+      entry <- listChildren(key).filter(Files.isDirectory(_))
+      name = entry.getFileName.toString
+      if !name.startsWith(".tmp") && !live(name)
     } Try(deleteRecursively(entry))
+  }
+
+  /** Age-based GC of orphaned `.tmp-` artifacts (failed/crashed writes):
+    * a live write is seconds old; anything past the threshold is garbage a
+    * crash left behind — otherwise failed ingests would accumulate
+    * data-sized tmp dirs forever (listDirs skips them, trim never looks).
+    * Runs under the digest lock. */
+  private def sweepStaleTmp(staleMs: Long = 60 * 60 * 1000): Unit = {
+    val cutoff = System.currentTimeMillis() - staleMs
+    def stale(p: Path): Boolean =
+      p.getFileName.toString.startsWith(".tmp") &&
+        Try(Files.getLastModifiedTime(p).toMillis < cutoff).getOrElse(false)
+    (listChildren(ingestP) ++ listChildren(blocksP)).filter(stale)
+      .foreach(p => Try(deleteRecursively(p)))
+    listChildren(rootP)
+      .filter(p => p.getFileName.toString.startsWith("info.json.tmp-") &&
+        Try(Files.getLastModifiedTime(p).toMillis < cutoff).getOrElse(false))
+      .foreach(p => Try(Files.deleteIfExists(p)))
   }
 
   /** Reconcile sidecar segments with the directories actually on disk
@@ -423,21 +454,24 @@ class GraftTable(spark: SparkSession, root: String) {
     // write under a .tmp- prefix (invisible to listDirs) and rename, so no
     // concurrent reader/digester ever sees a half-written log dir — Spark's
     // in-place write exposes the dir before any parquet file lands (the
-    // ingest+digest stress test caught schema inference failing on it)
+    // ingest+digest stress test caught schema inference failing on it).
+    // Stats are computed on the tmp dir BEFORE the rename: once published,
+    // a concurrent digest may consume and delete the dir at any moment,
+    // and a post-rename stats job would race it.
     val id = java.util.UUID.randomUUID().toString
     val tmp = ingestP.resolve(s".tmp-$id")
     clean.write.mode(SaveMode.ErrorIfExists).parquet(tmp.toString)
-    val dest = ingestP.resolve(id)
-    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
-    val seg = segmentStats(dest, "log")
+    val seg0 = segmentStats(tmp, "log")
+    val seg = seg0.copy(id = id)
+    Files.move(tmp, ingestP.resolve(id), StandardCopyOption.ATOMIC_MOVE)
     val i = info()
     writeInfo(derive(updatedRegistry(i.columns, clean.schema), i.segments :+ seg))
   }
 
   private def listDirs(p: Path): Seq[Path] =
     if (!Files.exists(p)) Nil
-    else Files.list(p).iterator().asScala.filter(Files.isDirectory(_))
-      .filterNot(_.getFileName.toString.startsWith(".tmp")).toSeq.sortBy(_.toString)
+    else listChildren(p).filter(Files.isDirectory(_))
+      .filterNot(_.getFileName.toString.startsWith(".tmp")).sortBy(_.toString)
 
   /** One multi-path parquet relation over segment dirs (O(1) plan size).
     * mergeSchema covers column evolution; type conflicts cannot occur
@@ -489,6 +523,7 @@ class GraftTable(spark: SparkSession, root: String) {
   private def digestLocked(compact: Boolean): Unit = {
     recoverDigestJournal() // we hold the lock: finish any crashed digest first
     sweepDeadCachePartials() // catch partials published after a prior GC
+    sweepStaleTmp() // crashed writers' .tmp- leftovers (age-guarded)
     val i = reconciled()
     val logs = listDirs(ingestP)
     if (logs.isEmpty) return
@@ -578,8 +613,11 @@ class GraftTable(spark: SparkSession, root: String) {
           out ::= blocksP.resolve(s.id).toString
     }
     maxBytes.foreach { budget =>
-      def size(p: Path): Long =
-        Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+      def size(p: Path): Long = {
+        val s = Files.walk(p)
+        try s.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+        finally s.close()
+      }
       var dirs = listDirs(blocksP).sortBy(p => Files.getLastModifiedTime(p).toMillis)
       var total = dirs.map(size).sum
       while (total > budget && dirs.length > 1) {
@@ -615,8 +653,11 @@ class GraftTable(spark: SparkSession, root: String) {
       }
     }
     maxBytes.foreach { budget =>
-      def size(p: Path): Long =
-        Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+      def size(p: Path): Long = {
+        val s = Files.walk(p)
+        try s.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+        finally s.close()
+      }
       // oldest-first by modification time (block dirs are immutable after write)
       var dirs = listDirs(blocksP).sortBy(p => Files.getLastModifiedTime(p).toMillis)
       var total = dirs.map(size).sum
@@ -647,10 +688,18 @@ class GraftTable(spark: SparkSession, root: String) {
       .csv(outDir)
 
   /** Tolerates concurrent deletion: two journal recoveries (or recovery vs
-    * digest) may race on the same dir — deleteIfExists + a swallowed
-    * NoSuchFile walk make the loser a no-op instead of a crashed query. */
+    * digest) may race on the same dir — deleteIfExists + swallowed
+    * NoSuchFile (raw, or wrapped in UncheckedIOException by the stream
+    * traversal) make the loser a no-op instead of a crashed query. */
   private def deleteRecursively(p: Path): Unit =
-    try Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-      .iterator().asScala.foreach(f => Try(Files.deleteIfExists(f)))
-    catch { case _: java.nio.file.NoSuchFileException => () }
+    try {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(f => Try(Files.deleteIfExists(f)))
+      finally s.close()
+    } catch {
+      case _: java.nio.file.NoSuchFileException => ()
+      case e: java.io.UncheckedIOException
+        if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
+    }
 }
