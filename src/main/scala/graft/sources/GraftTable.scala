@@ -461,6 +461,9 @@ class GraftTable(spark: SparkSession, root: String) {
     val id = java.util.UUID.randomUUID().toString
     val tmp = ingestP.resolve(s".tmp-$id")
     clean.write.mode(SaveMode.ErrorIfExists).parquet(tmp.toString)
+    // reading the dot-dir logs a spurious "All paths were ignored" WARN
+    // (Spark filters hidden names from its inference path list) but the
+    // explicit root is read fine — stats verified exact by CLI/stress tests
     val seg0 = segmentStats(tmp, "log")
     val seg = seg0.copy(id = id)
     Files.move(tmp, ingestP.resolve(id), StandardCopyOption.ATOMIC_MOVE)
