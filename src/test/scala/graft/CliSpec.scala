@@ -99,6 +99,13 @@ class CliSpec extends SparkSpec {
     }
     assert(lh.contains("r0 (30)") && lh.contains("amount"))
 
+    // nested MultiHist variant drives the same console surface
+    val nh = captureOut {
+      Cli.main(Array("query", "-dir", db, "-table", "sales",
+        "-group", "region", "-int", "amount", "-op", "hist", "-nested-hist"))
+    }
+    assert(nh.contains("r0 (30)") && nh.contains("amount"))
+
     // -cache-queries: second run must produce identical JSON
     def cached() = captureOut {
       Cli.main(Array("query", "-dir", db, "-table", "sales",

@@ -86,9 +86,9 @@ class DslFuzzSpec extends SparkSpec {
       case x => x.toString
     }.mkString("|")).sorted.toSeq
 
-  test("randomized differential: SybilQuery == naive twin over 40 seeded queries") {
+  test("randomized differential: SybilQuery == naive twin over 60 seeded queries") {
     val rnd = new scala.util.Random(99)
-    for (qi <- 0 until 40) {
+    for (qi <- 0 until 60) {
       var q = SybilQuery().limitTo(1000000) // no truncation: compare full sets
       // random op
       q = rnd.nextInt(4) match {

@@ -188,12 +188,25 @@ class IngestSpec extends SparkSpec {
       else Files.list(cacheRoot).iterator().asScala.toSeq
         .map(_.resolve(id)).filter(Files.exists(_))
     assert(partialDirs(b0).nonEmpty, "the miss must have cached a partial")
+    // plant sweep-test entries under an existing cache key: an in-flight
+    // .tmp- publish (must SURVIVE the sweep) and a dead-block orphan (the
+    // late-publish case the targeted GC misses — must be swept)
+    val someKey = Files.list(cacheRoot).iterator().asScala
+      .filter(Files.isDirectory(_)).next()
+    val inflight = someKey.resolve(".tmp-inflight")
+    Files.createDirectories(inflight)
+    Files.writeString(inflight.resolve("part-0"), "in-flight publish")
+    val orphan = someKey.resolve("00000000-dead-0000-0000-000000000000")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-0"), "late publish for a dead block")
     // compaction consumes the partial block b0 → its cache partials must go
     t.ingest((100 until 200).map(i => (s"k${i % 4}", i.toLong, (i % 7).toLong))
       .toDF("k", "time", "v"))
     t.digest()
     assert(!t.blockIds.contains(b0))
     assert(partialDirs(b0).isEmpty, "dead block's cache partials must be GC'd")
+    assert(Files.exists(inflight), "sweep must never touch in-flight .tmp- publishes")
+    assert(!Files.exists(orphan), "sweep must remove orphans of dead blocks")
     // and trim GCs the partials of the blocks it deletes
     val b1 = t.blockIds.head
     cache.run(graft.dsl.SybilQuery().groupBy("k")
