@@ -66,12 +66,26 @@ case class GraftDecimalSum(
   // buffer: [sumHi, sumLo (unsigned), nonNullCount]
   override def createAggregationBuffer(): Array[Long] = new Array[Long](3)
 
-  /** Accumulate a signed 128-bit value (vHi, vLo) into the buffer. */
+  /** Accumulate a signed 128-bit value (vHi, vLo) into the buffer.
+    * Detects int128 overflow: with the carry-in folded into the high word,
+    * the 128-bit signed add overflows iff both high words share a sign and
+    * the result's high word flips it — same check as 64-bit `addExact`.
+    * Individual values are bounded (addBig admits < 2^126), but ~1e12 rows
+    * of ~1e20-scaled values can walk the SUM past 2^127, which previously
+    * wrapped silently. */
   private def add128(buf: Array[Long], vHi: Long, vLo: Long): Unit = {
     val newLo = buf(1) + vLo
     // unsigned low-word add carries iff the result wrapped below the addend
     val carry = if (java.lang.Long.compareUnsigned(newLo, buf(1)) < 0) 1L else 0L
-    buf(0) += vHi + carry
+    val newHi = buf(0) + vHi + carry
+    // sign test uses the ORIGINAL high words: folding the carry into an
+    // operand first can wrap it (vHi = MaxValue, carry = 1) and mask a
+    // genuine overflow. The 128-bit sum's sign is its high word's sign, so
+    // the 64-bit rule applies verbatim to (buf0, vHi, newHi).
+    if (((buf(0) ^ newHi) & (vHi ^ newHi)) < 0)
+      throw new ArithmeticException(
+        s"graft_dsum overflow: SUM(${child.sql} * 10^$scale) exceeds the int128 window")
+    buf(0) = newHi
     buf(1) = newLo
     buf(2) += 1
   }
@@ -174,7 +188,11 @@ case class GraftDecimalSum(
   override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
     val newLo = buf(1) + other(1)
     val carry = if (java.lang.Long.compareUnsigned(newLo, buf(1)) < 0) 1L else 0L
-    buf(0) += other(0) + carry
+    val newHi = buf(0) + other(0) + carry
+    if (((buf(0) ^ newHi) & (other(0) ^ newHi)) < 0)
+      throw new ArithmeticException(
+        s"graft_dsum overflow: SUM(${child.sql} * 10^$scale) exceeds the int128 window")
+    buf(0) = newHi
     buf(1) = newLo
     buf(2) += other(2)
     buf

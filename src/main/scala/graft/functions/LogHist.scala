@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions.udaf
 class LogHistAggregator(
     infoMin: Long,
     infoMax: Long,
-    ticksPerOctave: Int = 16)
+    ticksPerOctave: Int = LogHist.DefaultTicksPerOctave)
   extends Aggregator[(Long, Long), HistBuf, HistResult] with Serializable {
 
   val numBuckets: Int = LogHist.numBuckets(infoMin, infoMax, ticksPerOctave)
@@ -99,7 +99,7 @@ class LogHistAggregator(
 /** Mergeable per-block log-hist partial — the cache's persisted form (same
   * [[HistBuf]] shape as the flat hist; the bucket function is the only
   * difference, pinned by (extents, ticks) in the cache key). */
-class LogHistPartialAggregator(infoMin: Long, infoMax: Long, ticksPerOctave: Int = 16)
+class LogHistPartialAggregator(infoMin: Long, infoMax: Long, ticksPerOctave: Int = LogHist.DefaultTicksPerOctave)
   extends Aggregator[(Long, Long), HistBuf, HistBuf] with Serializable {
   private val inner = new LogHistAggregator(infoMin, infoMax, ticksPerOctave)
   def zero: HistBuf = inner.zero
@@ -112,7 +112,7 @@ class LogHistPartialAggregator(infoMin: Long, infoMax: Long, ticksPerOctave: Int
 
 /** Folds persisted log-hist [[HistBuf]] partials into one [[HistResult]]
   * — associative order-insensitive merge, identical to single-pass. */
-class LogHistMergeAggregator(infoMin: Long, infoMax: Long, ticksPerOctave: Int = 16)
+class LogHistMergeAggregator(infoMin: Long, infoMax: Long, ticksPerOctave: Int = LogHist.DefaultTicksPerOctave)
   extends Aggregator[HistBuf, HistBuf, HistResult] with Serializable {
   private val inner = new LogHistAggregator(infoMin, infoMax, ticksPerOctave)
   def zero: HistBuf = inner.zero
@@ -124,19 +124,25 @@ class LogHistMergeAggregator(infoMin: Long, infoMax: Long, ticksPerOctave: Int =
 }
 
 object LogHist {
+  /** The one source of truth for the default tick layout. The query cache
+    * keys log-hist partials on this (persisted partials bucketed with a
+    * different ticksPerOctave must NEVER merge with new-layout ones), so it
+    * must not be duplicated as a literal anywhere. */
+  val DefaultTicksPerOctave: Int = 16
+
   def logHist(value: Column, weight: Column, infoMin: Long, infoMax: Long,
-      ticksPerOctave: Int = 16): Column =
+      ticksPerOctave: Int = LogHist.DefaultTicksPerOctave): Column =
     udaf(new LogHistAggregator(infoMin, infoMax, ticksPerOctave)).apply(value, weight)
 
   /** Mergeable per-block partial (a [[HistBuf]] struct column). */
   def logHistPartial(value: Column, weight: Column, infoMin: Long, infoMax: Long,
-      ticksPerOctave: Int = 16): Column =
+      ticksPerOctave: Int = LogHist.DefaultTicksPerOctave): Column =
     udaf(new LogHistPartialAggregator(infoMin, infoMax, ticksPerOctave)).apply(value, weight)
 
   /** Merge persisted partials into the final [[HistResult]] (struct passed
     * as its subfields — udaf flattens product inputs). */
   def logHistMerge(buf: Column, infoMin: Long, infoMax: Long,
-      ticksPerOctave: Int = 16): Column =
+      ticksPerOctave: Int = LogHist.DefaultTicksPerOctave): Column =
     udaf(new LogHistMergeAggregator(infoMin, infoMax, ticksPerOctave)).apply(
       buf.getField("counts"), buf.getField("avgSum"), buf.getField("count"),
       buf.getField("samples"), buf.getField("min"), buf.getField("max"),

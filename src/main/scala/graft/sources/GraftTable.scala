@@ -279,10 +279,17 @@ class GraftTable(spark: SparkSession, root: String) {
       case _ => (Set.empty, Set.empty)
     }
 
-  /** Finish (or void) a pending digest journal: delete superseded dirs if
-    * the merged block committed, then drop the journal. Callers must hold
-    * the digest lock OR have verified no live digest holds it. */
-  private def recoverDigestJournal(): Unit = {
+  /** Finish (or void) a pending digest journal. Only a caller holding the
+    * digest lock may DELETE the journal (`haveLock = true`): a lock-free
+    * caller's "journal present + lock absent" observation is racy — a new
+    * digest can grab the lock and write ITS journal between the check and
+    * the delete, and voiding that live journal re-opens the double-count
+    * window the journal exists to close. Lock-free callers therefore only
+    * perform the committed-path dir cleanup, which is idempotent (the live
+    * owner does the identical Try-guarded deletes) and already excluded
+    * from every read via [[journalSuperseded]]; a lingering journal is
+    * harmless and is dropped by the next lock-holder. */
+  private def recoverDigestJournal(haveLock: Boolean): Unit = {
     readDigestJournal().foreach { j =>
       if (Files.exists(blocksP.resolve(j.newBlock))) {
         j.consumedBlocks.map(blocksP.resolve).filter(Files.exists(_))
@@ -292,7 +299,7 @@ class GraftTable(spark: SparkSession, root: String) {
         dropCachedPartials(j.consumedBlocks)
       }
       // else: crash before the rename — nothing committed, journal is void
-      Try(Files.deleteIfExists(journalP))
+      if (haveLock) Try(Files.deleteIfExists(journalP))
     }
   }
 
@@ -346,9 +353,20 @@ class GraftTable(spark: SparkSession, root: String) {
     * Runs under the digest lock. */
   private def sweepStaleTmp(staleMs: Long = 60 * 60 * 1000): Unit = {
     val cutoff = System.currentTimeMillis() - staleMs
+    // liveness = the NEWEST mtime anywhere under the dir: Spark stages
+    // parquet parts under _temporary and only populates the top dir at
+    // commit, so a long-running (but live) ingest write has an old top-dir
+    // mtime while its task files keep getting written. Judging by the top
+    // dir alone would delete it mid-write and fail the ingest.
+    def newestMtime(root: Path): Long = Try {
+      val s = Files.walk(root)
+      try s.iterator().asScala
+        .map(p => Try(Files.getLastModifiedTime(p).toMillis).getOrElse(Long.MaxValue))
+        .foldLeft(Long.MinValue)(math.max)
+      finally s.close()
+    }.getOrElse(Long.MaxValue) // unreadable tree: assume live, skip
     def stale(p: Path): Boolean =
-      p.getFileName.toString.startsWith(".tmp") &&
-        Try(Files.getLastModifiedTime(p).toMillis < cutoff).getOrElse(false)
+      p.getFileName.toString.startsWith(".tmp") && newestMtime(p) < cutoff
     (listChildren(ingestP) ++ listChildren(blocksP)).filter(stale)
       .foreach(p => Try(deleteRecursively(p)))
     listChildren(rootP)
@@ -365,7 +383,7 @@ class GraftTable(spark: SparkSession, root: String) {
     * sidecar update). */
   private def reconciled(): TableInfo = {
     if (Files.exists(journalP) && !Files.exists(rootP.resolve("digest.lock")))
-      recoverDigestJournal()
+      recoverDigestJournal(haveLock = false)
     // if a digest is live (lock held), don't touch dirs — but still exclude
     // superseded segments from the view so their rows are never read twice
     val (supBlocks, supLogs) = journalSuperseded()
@@ -396,7 +414,8 @@ class GraftTable(spark: SparkSession, root: String) {
     * `rebuild` command — table_recover_info.go). ONE job: per-segment
     * grouping on the input file path. */
   def rebuild(): TableInfo = {
-    if (!Files.exists(rootP.resolve("digest.lock"))) recoverDigestJournal()
+    if (!Files.exists(rootP.resolve("digest.lock")))
+      recoverDigestJournal(haveLock = false)
     val (supBlocks, supLogs) = journalSuperseded()
     val logDirs = listDirs(ingestP).filterNot(d => supLogs(d.getFileName.toString))
     val blockDirs = listDirs(blocksP).filterNot(d => supBlocks(d.getFileName.toString))
@@ -524,7 +543,7 @@ class GraftTable(spark: SparkSession, root: String) {
   }
 
   private def digestLocked(compact: Boolean): Unit = {
-    recoverDigestJournal() // we hold the lock: finish any crashed digest first
+    recoverDigestJournal(haveLock = true) // finish any crashed digest first
     sweepDeadCachePartials() // catch partials published after a prior GC
     sweepStaleTmp() // crashed writers' .tmp- leftovers (age-guarded)
     val i = reconciled()

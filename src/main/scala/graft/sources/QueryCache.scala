@@ -70,8 +70,12 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
         .map { case (c, (p, r)) => s"$c:$p:$r" }.mkString("&"),
       "h=" + (if (q.op == AggOp.HistOp) {
         // the log flavor ignores histBuckets (fixed ticksPerOctave) — keying
-        // it would force spurious misses when -int-bucket changes
-        val layout = if (q.useLogHist && !q.useNestedHist) "t16"
+        // it would force spurious misses when -int-bucket changes. The tick
+        // count comes from the SAME constant the bucket function uses: a
+        // hardcoded "t16" here would keep matching old-layout partials if
+        // the default ever changed, merging incompatible buckets.
+        val layout = if (q.useLogHist && !q.useNestedHist)
+          "t" + graft.functions.LogHist.DefaultTicksPerOctave
           else q.histBuckets.toString
         (if (q.useNestedHist) "nested" else if (q.useLogHist) "log" else "flat") +
           ";" + layout + ";" + extents.toSeq.sorted.mkString(",")
