@@ -98,7 +98,7 @@ object AudioMeta {
       i += 8 + size.toInt + (size.toInt & 1)
       if (size > Int.MaxValue - 16 || i < 0) return null
     }
-    if (channels <= 0 || rate <= 0 || byteRate <= 0 || dataSize < 0) return null
+    if (channels <= 0 || rate <= 0 || bits <= 0 || byteRate <= 0 || dataSize < 0) return null
     // rate/byte_rate are u32 on disk but int in the output struct: a
     // crafted/corrupt fmt chunk past 2^31 would wrap negative through the
     // .toInt narrowing in evalBytes — treat it as unparseable instead

@@ -28,7 +28,11 @@ import org.apache.spark.sql.types._
   * the long window, and weighted integral products past 64 bits, take an
   * exact BigInteger path; only a value that alone exceeds the int128
   * window (|v|·10^scale ≥ 2^126, i.e. |v| ≥ ~8.5e31 at scale 6) fails,
-  * loudly, naming the expression.
+  * loudly, naming the expression. A SUM whose FINAL total leaves the
+  * window also fails loudly — detected order-independently by wrapping
+  * adds (associative mod 2^128) plus a net wrap counter checked once in
+  * eval(), so a transient prefix excursion that cancels out is fine no
+  * matter the row/merge order.
   *
   * Null semantics match decimal SUM: null inputs are skipped; a group with
   * no non-null inputs yields null.
@@ -63,16 +67,19 @@ case class GraftDecimalSum(
     p
   }
 
-  // buffer: [sumHi, sumLo (unsigned), nonNullCount]
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](3)
+  // buffer: [sumHi, sumLo (unsigned), nonNullCount, wrapCounter]
+  // wrapCounter = net number of ±2^128 wraps of the signed int128 sum.
+  // Adds WRAP (mod 2^128, associative, so row/merge order never matters);
+  // eval() fails iff the NET counter is nonzero — i.e. only when the final
+  // total genuinely left the int128 window, not when a transient prefix did.
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](4)
 
-  /** Accumulate a signed 128-bit value (vHi, vLo) into the buffer.
-    * Detects int128 overflow: with the carry-in folded into the high word,
-    * the 128-bit signed add overflows iff both high words share a sign and
-    * the result's high word flips it — same check as 64-bit `addExact`.
-    * Individual values are bounded (addBig admits < 2^126), but ~1e12 rows
-    * of ~1e20-scaled values can walk the SUM past 2^127, which previously
-    * wrapped silently. */
+  /** Accumulate a signed 128-bit value (vHi, vLo) into the buffer with
+    * wrap-around, tracking the net wrap direction. With the carry-in folded
+    * into the high word, the 128-bit signed add overflows iff both high
+    * words share a sign and the result's high word flips it — same rule as
+    * 64-bit `addExact`; the sign of the operands gives the wrap direction
+    * (+2^128 when adding positives, −2^128 when adding negatives). */
   private def add128(buf: Array[Long], vHi: Long, vLo: Long): Unit = {
     val newLo = buf(1) + vLo
     // unsigned low-word add carries iff the result wrapped below the addend
@@ -83,8 +90,7 @@ case class GraftDecimalSum(
     // genuine overflow. The 128-bit sum's sign is its high word's sign, so
     // the 64-bit rule applies verbatim to (buf0, vHi, newHi).
     if (((buf(0) ^ newHi) & (vHi ^ newHi)) < 0)
-      throw new ArithmeticException(
-        s"graft_dsum overflow: SUM(${child.sql} * 10^$scale) exceeds the int128 window")
+      buf(3) += (if (buf(0) >= 0) 1L else -1L)
     buf(0) = newHi
     buf(1) = newLo
     buf(2) += 1
@@ -190,16 +196,22 @@ case class GraftDecimalSum(
     val carry = if (java.lang.Long.compareUnsigned(newLo, buf(1)) < 0) 1L else 0L
     val newHi = buf(0) + other(0) + carry
     if (((buf(0) ^ newHi) & (other(0) ^ newHi)) < 0)
-      throw new ArithmeticException(
-        s"graft_dsum overflow: SUM(${child.sql} * 10^$scale) exceeds the int128 window")
+      buf(3) += (if (buf(0) >= 0) 1L else -1L)
     buf(0) = newHi
     buf(1) = newLo
     buf(2) += other(2)
+    buf(3) += other(3)
     buf
   }
 
   override def eval(buf: Array[Long]): Any = {
     if (buf(2) == 0) return null
+    // deferred overflow check: wrapping adds are associative mod 2^128, so a
+    // transient excursion past the window cancels out; only a nonzero NET
+    // wrap count means the true total is outside [-2^127, 2^127)
+    if (buf(3) != 0)
+      throw new ArithmeticException(
+        s"graft_dsum overflow: SUM(${child.sql} * 10^$scale) exceeds the int128 window")
     val loBytes = new Array[Byte](8)
     var i = 0
     while (i < 8) { loBytes(i) = (buf(1) >>> (56 - 8 * i)).toByte; i += 1 }
@@ -209,9 +221,9 @@ case class GraftDecimalSum(
   }
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val out = new Array[Byte](24)
+    val out = new Array[Byte](32)
     var i = 0
-    while (i < 3) {
+    while (i < 4) {
       var j = 0
       while (j < 8) { out(8 * i + j) = (buf(i) >>> (56 - 8 * j)).toByte; j += 1 }
       i += 1
@@ -220,9 +232,9 @@ case class GraftDecimalSum(
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val buf = new Array[Long](3)
+    val buf = new Array[Long](4)
     var i = 0
-    while (i < 3) {
+    while (i < 4) {
       var v = 0L
       var j = 0
       while (j < 8) { v = (v << 8) | (bytes(8 * i + j) & 0xffL); j += 1 }

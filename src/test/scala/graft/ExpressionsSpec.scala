@@ -122,4 +122,20 @@ class ExpressionsSpec extends SparkSpec {
     val g = df.agg(graftSum("x", 4)).collect()(0).getDouble(0)
     assert(dec === g)
   }
+
+  test("graft_dsum transient int128 excursion cancels; net overflow throws") {
+    // 6e31 at scale 6 scales to 6e37; three in a row pass 2^127 ~ 1.70e38,
+    // then the negatives bring the total back to exactly 0 — wrapping adds
+    // are order-independent, so this must NOT throw regardless of prefix
+    val cancel = Seq(6.0e31, 6.0e31, 6.0e31, -6.0e31, -6.0e31, -6.0e31)
+      .toDF("x").repartition(1)
+    assert(cancel.agg(graftSum("x", 6)).collect()(0).getDouble(0) === 0.0)
+    // a FINAL total past the window must still fail loudly at eval
+    val over = Seq(6.0e31, 6.0e31, 6.0e31).toDF("x").repartition(1)
+    val e = intercept[Exception] { over.agg(graftSum("x", 6)).collect() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected ArithmeticException cause, got $e")
+  }
 }

@@ -78,12 +78,22 @@ class MultimodalSpec extends SparkSpec {
     // one with an odd-sized LIST chunk BEFORE fmt (pad-byte walk);
     // one mono 8kHz 8bit half-second; garbage and a truncated RIFF → null
     val listChunk = chunk("LIST", Array[Byte](1, 2, 3)) // odd size → padded
+    // degenerate fmt: zero bits/sample but otherwise-valid fields → null,
+    // consistent with the channels/rate/byteRate guards
+    val zeroBits = {
+      val fmt = chunk("fmt ", le16(1) ++ le16(2) ++ le32(44100L) ++
+        le32(176400L) ++ le16(4) ++ le16(0))
+      val body = "WAVE".getBytes("US-ASCII") ++ fmt ++
+        chunk("data", new Array[Byte](100))
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+    }
     val df = Seq(
       (1L, wav(2, 44100, 16, 176400)),
       (2L, wav(2, 44100, 16, 176400, leadingChunks = listChunk)),
       (3L, wav(1, 8000, 8, 4000)),
       (4L, Array.fill[Byte](64)(9)),
-      (5L, "RIFF".getBytes("US-ASCII") ++ le32(4L) ++ "WAVE".getBytes("US-ASCII")))
+      (5L, "RIFF".getBytes("US-ASCII") ++ le32(4L) ++ "WAVE".getBytes("US-ASCII")),
+      (6L, zeroBits))
       .toDF("media_id", "payload")
     val out = Multimodal.decodeAudioMeta(df).select("media_id", "decoded_audio.*")
       .collect().map(r => r.getLong(0) ->
@@ -93,6 +103,7 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) === Some((2, 44100, 16, 1000L)), "chunk walk must skip LIST+pad")
     assert(out(3L) === Some((1, 8000, 8, 500L)))
     assert(out(4L) === None && out(5L) === None)
+    assert(out(6L) === None, "bits == 0 must be unparseable like other degenerate fmt fields")
   }
 
   test("decodeDims parses REAL PNG/JPEG/GIF headers; garbage is null") {
