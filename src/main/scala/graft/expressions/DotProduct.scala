@@ -148,7 +148,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_shingle_hash"),
       new ExpressionInfo(classOf[GraftShingleHash].getName, "graft_shingle_hash"),
-      (children: Seq[Expression]) => GraftShingleHash(children(0))))
+      (children: Seq[Expression]) => GraftShingleHash(children(0),
+        if (children.length > 1)
+          children(1).eval().asInstanceOf[Number].intValue()
+        else 3)))
     ext.injectFunction((
       FunctionIdentifier("graft_image_dims"),
       new ExpressionInfo(classOf[ImageDims].getName, "graft_image_dims"),

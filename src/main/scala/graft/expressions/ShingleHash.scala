@@ -6,10 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
-/** Distinct 64-bit hashes of a token array's 3-token shingles, in one fused
-  * pass: for i in 0..n-3, FNV-1a over `tok[i] ' ' tok[i+1] ' ' tok[i+2]`
-  * bytes (streamed — the shingle string is never materialized), deduped in
-  * insertion order.
+/** Distinct 64-bit hashes of a token array's n-token shingles (default 3),
+  * in one fused pass: for i in 0..len-n, FNV-1a over
+  * `tok[i] ' ' tok[i+1] … ' ' tok[i+n-1]` bytes (streamed — the shingle
+  * string is never materialized), deduped in insertion order.
   *
   * Used by the exact-Jaccard verify stage (operators/Dedup.jaccardVerify):
   * |A∩B| and |A∪B| over hashed shingle sets equal the counts over the
@@ -20,9 +20,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * shuffled string arrays through two joins — this ships arrays of longs
   * (≈4x smaller) and fuses into codegen.
   */
-case class GraftShingleHash(child: Expression) extends UnaryExpression {
+case class GraftShingleHash(child: Expression, n: Int = 3) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if n < 1 => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hash shingle width must be >= 1, got $n")
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"graft_shingle_hash expects array<string>, got ${t.sql}")
@@ -38,14 +40,14 @@ case class GraftShingleHash(child: Expression) extends UnaryExpression {
   private val FnvPrime = 0x100000001b3L
 
   def compute(toks: ArrayData): ArrayData = {
-    val n = toks.numElements()
-    if (n < 3) return new GenericArrayData(Array.empty[Long])
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Long])
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var i = 0
-    while (i <= n - 3) {
+    while (i <= len - n) {
       var h = FnvOffset
       var j = 0
-      while (j < 3) {
+      while (j < n) {
         if (j > 0) { h ^= ' '.toLong; h *= FnvPrime }
         if (!toks.isNullAt(i + j)) {
           val b = toks.getUTF8String(i + j).getBytes

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination and boilerplate detection — the corpus-hygiene
+  * half of a training-data pipeline: find documents that overlap an
+  * evaluation set (so they can be dropped before training), and find
+  * n-grams so common across documents they are boilerplate.
+  */
+object Decontam {
+
+  /** Distinct n-gram STRINGS of a space-tokenized text column. Row-local
+    * (the HOF cost is O(words·n) per row, no shuffle); used where the
+    * n-grams themselves are the output. Join-heavy paths use the hashed
+    * form (`graft_shingle_hash`) instead — longs shuffle ~4x smaller than
+    * strings. */
+  def ngrams(textCol: Column, n: Int): Column = {
+    val words = split(textCol, " ")
+    when(size(words) >= n,
+      array_distinct(transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n))))))
+      .otherwise(array())
+  }
+
+  /** Per-document count of distinct n-grams shared with a benchmark set
+    * (documents overlapping an eval benchmark must be quarantined before
+    * training). Benchmark documents themselves are excluded from the
+    * output.
+    *
+    * Plan shape: both sides hash their n-grams in one fused codegen pass
+    * (`graft_shingle_hash`, never materializing the strings), the
+    * benchmark's distinct hash set — tiny next to the corpus — broadcasts,
+    * and the corpus side never shuffles. Counts over 64-bit hashes equal
+    * counts over the string n-grams barring collisions (~1e-13 per pair at
+    * these set sizes); the oracle computes the same counts from string
+    * n-grams and must agree.
+    */
+  def overlapWithBenchmark(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    def hashed(df: DataFrame) = df.select(col(idCol),
+      explode(call_function("graft_shingle_hash",
+        split(col(textCol), " "), lit(n))).as("__ng"))
+    val benchNgrams = hashed(benchmark).select(col("__ng")).distinct()
+    val benchIds = benchmark.select(col(idCol))
+    hashed(corpus)
+      .join(benchIds, Seq(idCol), "left_anti")
+      .join(broadcast(benchNgrams), Seq("__ng"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("overlap_ngrams"))
+  }
+
+  /** n-grams appearing in at least `minDocs` distinct documents, by
+    * document frequency — the C4-style boilerplate report (navigation
+    * chrome, license headers, templates). Per-doc n-grams are distinct
+    * before counting, so a doc repeating a phrase internally counts once.
+    *
+    * The n-gram strings ARE the output here, so this is the string path:
+    * one explode, one shuffle on the n-gram, top-k via TakeOrdered. At
+    * 100 TB the groupBy key is the n-gram itself — uniform (hash
+    * partitioning over a huge key space), no skew beyond genuinely viral
+    * n-grams, which is what the report exists to find.
+    */
+  def boilerplateNgrams(docs: DataFrame, textCol: String, n: Int,
+      minDocs: Long): DataFrame =
+    docs.select(explode(ngrams(col(textCol), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs)
+}

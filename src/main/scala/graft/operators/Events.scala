@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Batch event-stream analytics: gap sessionization and ordered funnels.
+  * The streaming twin (mapGroupsWithState sessionization over the same gap
+  * rule) lives in [[graft.streaming.Streams]]; these are the batch/backfill
+  * forms a training-data pipeline runs over historical event logs.
+  *
+  * Scale: each operator shuffles once on the user key and then works
+  * per-user. The skew boundary is a single user's events fitting one
+  * window task (same boundary as [[AsOfJoin]]); a pathological hot user
+  * can be pre-split by sessionizing over (user, coarse time range) salt
+  * buckets — sessions never span buckets wider than the gap allows.
+  */
+object Events {
+
+  /** Split each user's event stream into sessions: a new session starts at
+    * every gap > `gapSecs` between consecutive events. Returns one row per
+    * session with start/end/count/duration.
+    *
+    * Plan shape: one shuffle (window partitioned by user, ordered by time
+    * with `orderCol` as the deterministic tie-break), then a groupBy on
+    * (user, session) that reuses the same partitioning — Catalyst plans
+    * the aggregation without a second exchange.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsSecCol: String,
+      orderCol: String, gapSecs: Long): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsSecCol), col(orderCol))
+    val gap = col(tsSecCol) - lag(col(tsSecCol), 1).over(w)
+    val isNew = when(gap.isNull || gap > gapSecs, 1L).otherwise(0L)
+    events
+      .withColumn("__new", isNew)
+      .withColumn("session_idx", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(
+        min(col(tsSecCol)).as("session_start"),
+        max(col(tsSecCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_secs", col("session_end") - col("session_start"))
+  }
+
+  /** Ordered funnel: step i counts users whose first step-(i-1) event is
+    * STRICTLY before some step-i event (and, when `stepWindow` is set,
+    * within `stepWindow` time units of it). Returns
+    * (step, event_type, users), one row per step.
+    *
+    * Each stage is one aggregation plus one join whose right side is the
+    * per-user frontier (≤ one row per user, shrinking monotonically down
+    * the funnel) — Spark broadcasts it once it fits, and the events scan
+    * is filtered to a single event type before the join, so nothing
+    * quadratic ever forms.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      stepWindow: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var reached = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+    var out = reached.agg(count(lit(1)).cast(LongType).as("users"))
+      .select(lit(1L).as("step"), lit(steps.head).as("event_type"), col("users"))
+    for ((st, i) <- steps.zipWithIndex.drop(1)) {
+      val frontier = reached
+        .select(col(userCol).as("__u"), col("__t"))
+      val inWindow = stepWindow
+        .map(wd => col(tsCol) <= col("__t") + wd)
+        .getOrElse(lit(true))
+      reached = events.filter(col(typeCol) === st)
+        .join(frontier,
+          col(userCol) === col("__u") && col(tsCol) > col("__t") && inWindow)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+      out = out.unionByName(reached
+        .agg(count(lit(1)).cast(LongType).as("users"))
+        .select(lit((i + 1).toLong).as("step"), lit(st).as("event_type"),
+          col("users")))
+    }
+    out
+  }
+}

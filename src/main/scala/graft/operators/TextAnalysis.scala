@@ -113,6 +113,43 @@ object TextAnalysis {
       .select(col("doc").as(idCol), col("term"), col("score"))
   }
 
+  /** Repetition signals (the Gopher-rule family): per document,
+    *  - `dup_word_frac`  = fraction of word occurrences that are repeats
+    *    of an already-seen word — (n_words − n_distinct) / n_words;
+    *  - `top_bigram_frac` = occurrences of the most frequent bigram over
+    *    total bigram occurrences.
+    * High values flag degenerate/templated text that quality-filters drop
+    * before training. Both fractions are ONE IEEE division of exact ints —
+    * bit-identical cross-engine, no rounding convention needed.
+    *
+    * Scale shape: the bigram top-count runs distributed (explode →
+    * two-level groupBy with partial aggregation) rather than a per-row
+    * O(n²) HOF scan — a 100k-token document costs 100k rows, not 10^10
+    * comparisons. Docs with < 2 words get top_bigram_frac = 0.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val words = docs.select(col(idCol), tokens(col(textCol)).as("__w"))
+    val wordStats = words.select(col(idCol),
+      size(col("__w")).cast("long").as("n_words"),
+      size(array_distinct(col("__w"))).cast("long").as("__nd"))
+    val bigrams = words.select(col(idCol),
+      explode(when(size(col("__w")) >= 2,
+        transform(sequence(lit(0), size(col("__w")) - 2),
+          i => concat_ws(" ", slice(col("__w"), i + 1, lit(2)))))
+        .otherwise(array())).as("__bg"))
+    val bgStats = bigrams
+      .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(max(col("__c")).as("__top"), sum(col("__c")).as("__tot"))
+    wordStats.join(bgStats, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        ((col("n_words") - col("__nd")).cast("double") / col("n_words"))
+          .as("dup_word_frac"),
+        coalesce(col("__top").cast("double") / col("__tot"), lit(0.0))
+          .as("top_bigram_frac"))
+  }
+
   /** Convenience: append all text stats to a documents DataFrame. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Decontam, Events, Sampling, TextAnalysis}
+
+/** Round-5 pipeline operators: sessionization, funnels, deterministic
+  * sampling, decontamination, repetition signals, boilerplate. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessionize splits on gaps > gapSecs, per user") {
+    val ev = Seq(
+      (1L, 0L, 1L), (2L, 100L, 1L), (3L, 3000L, 1L), (4L, 3100L, 1L),
+      (5L, 10000L, 1L),
+      (6L, 50L, 2L))
+      .toDF("event_id", "ts_sec", "user_id")
+    val out = Events.sessionize(ev, "user_id", "ts_sec", "event_id", 1800L)
+      .orderBy("user_id", "session_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out === Array(
+      (1L, 1L, 0L, 100L, 2L, 100L),
+      (1L, 2L, 3000L, 3100L, 2L, 100L),
+      (1L, 3L, 10000L, 10000L, 1L, 0L),
+      (2L, 1L, 50L, 50L, 1L, 0L)))
+  }
+
+  test("sessionize ties on ts break deterministically by order column") {
+    val ev = Seq((2L, 10L, 1L), (1L, 10L, 1L), (3L, 5000L, 1L))
+      .toDF("event_id", "ts_sec", "user_id")
+    val out = Events.sessionize(ev, "user_id", "ts_sec", "event_id", 1800L)
+      .orderBy("session_idx").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("n_events") === 2L)
+  }
+
+  test("funnel requires strict order and honors the step window") {
+    // u1 completes; u2's click precedes its first view (not counted);
+    // u3's purchase falls outside the 100-unit step window
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "view", 10L),
+      (3L, "view", 10L), (3L, "click", 50L), (3L, "purchase", 500L))
+      .toDF("user_id", "event_type", "ts")
+    val out = Events.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), stepWindow = Some(100L))
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out === Array((1L, "view", 3L), (2L, "click", 2L),
+      (3L, "purchase", 1L)))
+    // no window: u3's late purchase now counts
+    val open = Events.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(open === Array(3L, 2L, 2L))
+  }
+
+  test("funnel strictness: step event at exactly the frontier time is excluded") {
+    val ev = Seq((1L, "view", 10L), (1L, "click", 10L))
+      .toDF("user_id", "event_type", "ts")
+    val out = Events.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click")).orderBy("step").collect().map(_.getLong(2))
+    assert(out === Array(1L, 0L))
+  }
+
+  test("stratifiedHashSample is deterministic, stratified, and re-weighted") {
+    val docs = spark.range(0, 2000).select(col("id").as("doc_id"),
+      when(col("id") % 3 === 0, "en").otherwise("de").as("lang"))
+    def run() = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      Map("en" -> 2500), defaultBp = 7500, salt = "s")
+    val a = run().collect().map(r => (r.getLong(0), r.getDouble(2))).sorted
+    val b = run().repartition(13).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).sorted
+    assert(a === b, "hash sampling must not depend on partitioning/run")
+    val byLang = run().groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ~25% of 667 en docs, ~75% of 1333 de docs; the md5 bucket is uniform
+    assert(byLang("en") > 100 && byLang("en") < 230, s"en=${byLang("en")}")
+    assert(byLang("de") > 900 && byLang("de") < 1100, s"de=${byLang("de")}")
+    val weights = run().select("lang", "sample_weight").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(weights === Map("en" -> 4.0, "de" -> (10000.0 / 7500.0)))
+  }
+
+  test("stratifiedHashSample with threshold 10000 keeps everything") {
+    val docs = spark.range(0, 50).select(col("id").as("doc_id"),
+      lit("x").as("lang"))
+    assert(Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      Map.empty, defaultBp = 10000, salt = "s").count() === 50)
+  }
+
+  test("overlapWithBenchmark counts shared n-grams, excludes bench docs") {
+    val docs = Seq(
+      (0L, "a b c d e"),          // benchmark
+      (1L, "x a b c y"),          // shares 3-gram "a b c"
+      (2L, "a b c d q"),          // shares "a b c" and "b c d"
+      (3L, "p q r s t"))          // no overlap
+      .toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" === 0)
+    val out = Decontam.overlapWithBenchmark(docs, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out === Array((1L, 1L), (2L, 2L)))
+  }
+
+  test("repetitionSignals: dup-word and top-bigram fractions") {
+    val docs = Seq(
+      (1L, "a a b"),   // 3 words, 2 distinct → dup 1/3; bigrams aa, ab → 1/2
+      (2L, "x y z"),   // no repeats → dup 0; all bigrams unique → 1/2
+      (3L, "w w w w")) // dup 3/4; bigram "w w" ×3 of 3 → 1.0
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out === Array(
+      (1L, 3L, 1.0 / 3, 0.5),
+      (2L, 3L, 0.0, 0.5),
+      (3L, 4L, 0.75, 1.0)))
+  }
+
+  test("repetitionSignals: single-word doc has zero bigram fraction") {
+    val out = TextAnalysis.repetitionSignals(
+        Seq((1L, "solo")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0)
+    assert(out.getLong(1) === 1L && out.getDouble(3) === 0.0)
+  }
+
+  test("boilerplateNgrams counts distinct-doc frequency with threshold") {
+    val docs = Seq(
+      (1L, "x y z a b"), (2L, "q x y z r"), (3L, "x y z x y z"),
+      (4L, "m n o p q"))
+      .toDF("doc_id", "text")
+    val out = Decontam.boilerplateNgrams(docs, "text", 3, minDocs = 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // "x y z" appears in docs 1,2,3 (doc 3 twice — counted once)
+    assert(out === Array(("x y z", 3L)))
+  }
+
+  test("graft_shingle_hash honors the n parameter") {
+    val n2 = spark.sql(
+      "SELECT size(graft_shingle_hash(array('a','b','c','d'), 2)) AS n")
+      .collect()(0).getInt(0)
+    val n3 = spark.sql(
+      "SELECT size(graft_shingle_hash(array('a','b','c','d'))) AS n")
+      .collect()(0).getInt(0)
+    assert(n2 === 3 && n3 === 2)
+    // width > length → empty, not error
+    val empty = spark.sql(
+      "SELECT size(graft_shingle_hash(array('a','b'), 5)) AS n")
+      .collect()(0).getInt(0)
+    assert(empty === 0)
+  }
+}
