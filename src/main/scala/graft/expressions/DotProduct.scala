@@ -169,6 +169,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[QuantizeInt8].getName, "graft_quantize8"),
       (children: Seq[Expression]) => QuantizeInt8(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_repetition"),
+      new ExpressionInfo(classOf[GraftRepetition].getName, "graft_repetition"),
+      (children: Seq[Expression]) => GraftRepetition(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[GraftShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => GraftShingles(children(0),
+        if (children.length > 1)
+          children(1).eval().asInstanceOf[Number].intValue()
+        else 3)))
+    ext.injectFunction((
       FunctionIdentifier("graft_dsum"),
       new ExpressionInfo(classOf[GraftDecimalSum].getName, "graft_dsum"),
       (children: Seq[Expression]) => GraftDecimalSum(children(0),

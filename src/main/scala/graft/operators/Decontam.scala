@@ -11,17 +11,17 @@ import org.apache.spark.sql.functions._
 object Decontam {
 
   /** Distinct n-gram STRINGS of a space-tokenized text column. Row-local
-    * (the HOF cost is O(words·n) per row, no shuffle); used where the
-    * n-grams themselves are the output. Join-heavy paths use the hashed
-    * form (`graft_shingle_hash`) instead — longs shuffle ~4x smaller than
+    * (no shuffle); used where the n-grams themselves are the output — the
+    * native one-pass `graft_shingles` expression (codegen) replaces the
+    * interpreted `transform`/`slice`/`concat_ws`/`array_distinct` chain
+    * with identical output (first-occurrence order, space-joined, empty
+    * for short docs). Join-heavy paths use the hashed form
+    * (`graft_shingle_hash`) instead — longs shuffle ~4x smaller than
     * strings. */
-  def ngrams(textCol: Column, n: Int): Column = {
-    val words = split(textCol, " ")
-    when(size(words) >= n,
-      array_distinct(transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n))))))
-      .otherwise(array())
-  }
+  def ngrams(textCol: Column, n: Int): Column =
+    coalesce(
+      call_function("graft_shingles", split(textCol, " "), lit(n)),
+      array().cast("array<string>"))
 
   /** Per-document count of distinct n-grams shared with a benchmark set
     * (documents overlapping an eval benchmark must be quarantined before

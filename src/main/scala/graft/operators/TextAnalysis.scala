@@ -129,25 +129,20 @@ object TextAnalysis {
     */
   def repetitionSignals(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val words = docs.select(col(idCol), tokens(col(textCol)).as("__w"))
-    val wordStats = words.select(col(idCol),
-      size(col("__w")).cast("long").as("n_words"),
-      size(array_distinct(col("__w"))).cast("long").as("__nd"))
-    val bigrams = words.select(col(idCol),
-      explode(when(size(col("__w")) >= 2,
-        transform(sequence(lit(0), size(col("__w")) - 2),
-          i => concat_ws(" ", slice(col("__w"), i + 1, lit(2)))))
-        .otherwise(array())).as("__bg"))
-    val bgStats = bigrams
-      .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__c"))
-      .groupBy(col(idCol))
-      .agg(max(col("__c")).as("__top"), sum(col("__c")).as("__tot"))
-    wordStats.join(bgStats, Seq(idCol), "left")
-      .select(col(idCol), col("n_words"),
-        ((col("n_words") - col("__nd")).cast("double") / col("n_words"))
-          .as("dup_word_frac"),
-        coalesce(col("__top").cast("double") / col("__tot"), lit(0.0))
-          .as("top_bigram_frac"))
+    // All four raw counts are row-local, so this is ONE fused codegen pass
+    // (`graft_repetition`) and a projection — zero shuffles, zero joins.
+    // The composed alternative (explode bigrams -> two groupBys -> join)
+    // shuffles the entire bigram stream twice; at corpus scale that is the
+    // dominant cost of the whole query for a per-row statistic.
+    val r = call_function("graft_repetition", tokens(col(textCol)))
+    docs.select(col(idCol), r.as("__r"))
+      .select(col(idCol),
+        col("__r.n_words").as("n_words"),
+        ((col("__r.n_words") - col("__r.n_distinct")).cast("double") /
+          col("__r.n_words")).as("dup_word_frac"),
+        when(col("__r.n_bigrams") > 0,
+          col("__r.top_bigram").cast("double") / col("__r.n_bigrams"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
   }
 
   /** Convenience: append all text stats to a documents DataFrame. */

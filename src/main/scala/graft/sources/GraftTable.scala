@@ -288,7 +288,7 @@ class GraftTable(spark: SparkSession, root: String) {
     * perform the committed-path dir cleanup, which is idempotent (the live
     * owner does the identical Try-guarded deletes) and already excluded
     * from every read via [[journalSuperseded]]; a lingering journal is
-    * harmless and is dropped by the next lock-holder. */
+    * harmless and is dropped by [[finishOrphanJournal]]. */
   private def recoverDigestJournal(haveLock: Boolean): Unit = {
     readDigestJournal().foreach { j =>
       if (Files.exists(blocksP.resolve(j.newBlock))) {
@@ -302,6 +302,15 @@ class GraftTable(spark: SparkSession, root: String) {
       if (haveLock) Try(Files.deleteIfExists(journalP))
     }
   }
+
+  /** Finish an orphaned journal (crashed digest) from a read path: grab the
+    * digest lock so the delete is race-safe — as the lock-holder, no new
+    * digest can have replaced the journal under us — and fall back to the
+    * lock-free dir-cleanup-only recovery when a live digest holds it. */
+  private def finishOrphanJournal(): Unit =
+    if (grabDigestLock())
+      try recoverDigestJournal(haveLock = true) finally releaseDigestLock()
+    else recoverDigestJournal(haveLock = false)
 
   /** Closed-stream directory listing (raw Files.list leaks the dir fd). */
   private def listChildren(p: Path): Seq[Path] = {
@@ -383,7 +392,7 @@ class GraftTable(spark: SparkSession, root: String) {
     * sidecar update). */
   private def reconciled(): TableInfo = {
     if (Files.exists(journalP) && !Files.exists(rootP.resolve("digest.lock")))
-      recoverDigestJournal(haveLock = false)
+      finishOrphanJournal()
     // if a digest is live (lock held), don't touch dirs — but still exclude
     // superseded segments from the view so their rows are never read twice
     val (supBlocks, supLogs) = journalSuperseded()
@@ -414,8 +423,8 @@ class GraftTable(spark: SparkSession, root: String) {
     * `rebuild` command — table_recover_info.go). ONE job: per-segment
     * grouping on the input file path. */
   def rebuild(): TableInfo = {
-    if (!Files.exists(rootP.resolve("digest.lock")))
-      recoverDigestJournal(haveLock = false)
+    if (Files.exists(journalP) && !Files.exists(rootP.resolve("digest.lock")))
+      finishOrphanJournal()
     val (supBlocks, supLogs) = journalSuperseded()
     val logDirs = listDirs(ingestP).filterNot(d => supLogs(d.getFileName.toString))
     val blockDirs = listDirs(blocksP).filterNot(d => supBlocks(d.getFileName.toString))

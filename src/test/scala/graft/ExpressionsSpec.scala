@@ -123,6 +123,60 @@ class ExpressionsSpec extends SparkSpec {
     assert(dec === g)
   }
 
+  test("graft_repetition == composed explode/groupBy formulation") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("a", "bb", "ccc", "dd d", "", "日本", "e")
+    val docs = Seq.tabulate(300) { i =>
+      val n = rnd.nextInt(40) // 0..39 words, incl. empty and 1-word docs
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val w = split(col("text"), " ")
+    val fused = docs.select(col("doc_id"),
+      call_function("graft_repetition", w).as("r"))
+      .select(col("doc_id"), col("r.n_words"), col("r.n_distinct"),
+        col("r.top_bigram"), col("r.n_bigrams"))
+    // independent composed formulation
+    val words = docs.select(col("doc_id"), w.as("w"))
+    val base = words.select(col("doc_id"),
+      size(col("w")).cast("long").as("n_words"),
+      size(array_distinct(col("w"))).cast("long").as("n_distinct"))
+    val bg = words.select(col("doc_id"),
+      explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(0), size(col("w")) - 2),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(2)))))
+        .otherwise(array())).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_bigram"), sum("c").as("n_bigrams"))
+    val composed = base.join(bg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        coalesce(col("top_bigram"), lit(0L)).as("top_bigram"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+    assert(fused.orderBy("doc_id").collect().toSeq ===
+      composed.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("graft_shingles == HOF distinct-ngram chain, order preserved") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Seq("x", "yy", "z z", "", "ww")
+    val docs = Seq.tabulate(200) { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (ng <- Seq(1, 2, 3, 5)) {
+      val w = split(col("text"), " ")
+      val fused = docs.select(col("doc_id"),
+        call_function("graft_shingles", w, lit(ng)).as("s"))
+      val hof = docs.select(col("doc_id"),
+        when(size(w) >= ng,
+          array_distinct(transform(sequence(lit(0), size(w) - ng),
+            i => concat_ws(" ", slice(w, i + 1, lit(ng))))))
+          .otherwise(array().cast("array<string>")).as("s"))
+      assert(fused.orderBy("doc_id").collect().toSeq ===
+        hof.orderBy("doc_id").collect().toSeq, s"n=$ng")
+    }
+  }
+
   test("graft_dsum transient int128 excursion cancels; net overflow throws") {
     // 6e31 at scale 6 scales to 6e37; three in a row pass 2^127 ~ 1.70e38,
     // then the negatives bring the total back to exactly 0 — wrapping adds
