@@ -67,4 +67,51 @@ object Decontam {
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") >= minDocs)
+
+  /** Boilerplate REMOVAL (the rewrite to [[boilerplateNgrams]]'s report):
+    * split each document into units on `sep` (lines, paragraphs — any
+    * separator), drop every unit whose document frequency is at least
+    * `minDocFrac` of the corpus, and reassemble the survivors in their
+    * original order. This is the classic corpus-level line-dedup pass
+    * (navigation chrome / license headers appear verbatim across many
+    * pages; dropping them per-document beats dropping whole documents).
+    *
+    * Output: `(id, cleaned, n_kept, n_removed)`; a fully-boilerplate
+    * document comes back with `cleaned = ""` rather than vanishing.
+    *
+    * Scale: one shuffle keyed on the unit string for document frequency
+    * (uniform key space), one join back (same key), and one groupBy on
+    * the doc id to reassemble — the per-doc sort is over that doc's own
+    * units only (array_sort after collect, no global sort). The corpus
+    * total-doc count rides along as a broadcast singleton, keeping the
+    * threshold inside the plan (no driver-side count action).
+    */
+  def removeCommonUnits(docs: DataFrame, idCol: String, textCol: String,
+      sep: String, minDocFrac: Double): DataFrame = {
+    require(minDocFrac > 0 && minDocFrac <= 1, "minDocFrac must be in (0,1]")
+    val total = docs.agg(count(lit(1)).as("__total"))
+    val units = docs.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "unit")))
+    val common = units.select(col(idCol), col("unit")).distinct()
+      .groupBy(col("unit")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(total))
+      .filter(col("__df") >= col("__total") * minDocFrac)
+      .select(col("unit"))
+    val kept = units.join(common, Seq("unit"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("pos"), col("unit")))),
+          x => x.getField("unit"))).as("cleaned"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol),
+        size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .cast("long").as("__n_units"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_units") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

@@ -174,4 +174,66 @@ object Dedup {
     docs.join(verified.select(col("d2").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
   }
+
+  /** Connected components over candidate duplicate pairs: min-label
+    * propagation to fixpoint. Returns `(id, cluster_id)` for every node
+    * that appears in a pair, where `cluster_id` is the smallest id
+    * reachable through the pair graph — the exact transitive closure the
+    * single-pass [[nearDedup]] approximates (a<b<c chains where only
+    * (a,b),(b,c) verified collapse into one cluster keyed by a).
+    *
+    * Scale: duplicate graphs are squat — clusters are near-cliques from
+    * LSH banding, so the diameter (= iteration count) is small; each
+    * iteration is one edge⋈label shuffle + a min groupBy, both keyed on
+    * uniformly-hashed ids. Lineage is cut per iteration
+    * (`localCheckpoint`) so the plan does not grow with iterations, and
+    * convergence is detected with one small count per round. For
+    * adversarially long path graphs, the large-star/small-star variant
+    * halves diameter per round; duplicate clusters do not need it.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "d1",
+      bCol: String = "d2", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long"), col(aCol).cast("long")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // each node adopts min(own label, labels seen from its neighbors)
+      val fromNbrs = edges
+        .join(labels.select(col("id").as("src"), col("cluster_id")), "src")
+        .select(col("dst").as("id"), col("cluster_id"))
+      val next = labels.select(col("id"), col("cluster_id"))
+        .union(fromNbrs)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations")
+    labels
+  }
+
+  /** End-to-end cluster dedup: LSH candidates → exact-Jaccard verify →
+    * connected components → keep ONLY the cluster-minimum document of each
+    * verified duplicate cluster (docs in no verified pair are kept as
+    * their own singleton cluster). */
+  def clusterDedup(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, bands: Int = 2, rows: Int = 2): DataFrame = {
+    val verified = jaccardVerify(docs,
+      lshCandidates(minhashBands(docs, idCol, textCol, bands, rows), idCol),
+      idCol, textCol, threshold)
+    val clusters = connectedComponents(verified)
+    val drops = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(drops, Seq(idCol), "left_anti")
+  }
 }

@@ -45,4 +45,38 @@ object Sampling {
       .withColumn("sample_weight",
         lit(10000.0) / threshold.cast("double"))
   }
+
+  /** Sequence packing: assign documents to fixed token-budget training
+    * bins by concatenation order — the GPT-style "concatenate the corpus,
+    * cut every `budget` tokens" layout. A document's bin is where its
+    * FIRST token lands (`floor(exclusive-prefix-sum / budget)`), and
+    * `bin_offset` is its start position within the bin; a doc longer than
+    * the remaining space straddles into the next bin(s), exactly like the
+    * token stream it models.
+    *
+    * Output: `(id, n_tokens, pack_part, bin, bin_offset)`.
+    *
+    * Scale: a single global ordering would serialize into ONE window task,
+    * so packing is partitioned — `pack_part = id mod parts` (any
+    * deterministic key works) and the prefix sum runs per partition;
+    * `parts` independent token streams pack in parallel, which is also how
+    * a 1000-executor run would shard its writer tasks. The window state is
+    * one running long per partition.
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokenCountCol: Column,
+      budget: Long, parts: Int = 32): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    require(parts > 0, "parts must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pack_part"))
+      .orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), tokenCountCol.cast("long").as("n_tokens"))
+      .withColumn("pack_part", pmod(col(idCol).cast("long"), lit(parts.toLong)))
+      .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("n_tokens"), col("pack_part"),
+        (col("__start") / budget).cast("long").as("bin"),
+        (col("__start") % budget).as("bin_offset"))
+  }
 }

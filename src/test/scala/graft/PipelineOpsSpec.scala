@@ -152,4 +152,99 @@ class PipelineOpsSpec extends SparkSpec {
       .collect()(0).getInt(0)
     assert(empty === 0)
   }
+
+  test("connectedComponents finds exact transitive closure incl. chains") {
+    import graft.operators.Dedup
+    // two components: a 4-node chain 1-2-3-4 (diameter 3 — beats the
+    // single-pass approximation) and a pair 10-11; 20-20 self-loop no-op
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (20L, 20L))
+      .toDF("d1", "d2")
+    val out = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out === Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (20L, 20L)))
+  }
+
+  test("clusterDedup keeps exactly one doc per verified duplicate cluster") {
+    import graft.operators.Dedup
+    // docs 1,2,3 share a long identical prefix (only the final word
+    // differs), so every minhash minimum comes from the shared shingles
+    // and all three land in the same LSH buckets; 4 is unique
+    val prefix = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$prefix dog"), (2L, s"$prefix cat"), (3L, s"$prefix cow"),
+      (4L, "completely different words here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.clusterDedup(docs, "doc_id", "text", threshold = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // whatever clusters LSH+verify finds, doc 4 must survive and the
+    // 1-2-3 cluster must collapse to its minimum member only
+    assert(kept.contains(4L))
+    assert(kept.contains(1L))
+    assert(!kept.contains(2L) && !kept.contains(3L))
+  }
+
+  test("Pii.scan counts and Pii.redact replaces all three categories") {
+    import graft.operators.Pii
+    val docs = Seq(
+      (1L, "mail a@b.com and c.d+x@e.org call 25-989-741-2988 ip 10.0.0.1"),
+      (2L, "no pii here at all"),
+      (3L, "edge 999.999.999.999 still redacts; 1-23-456-7890 does not"))
+      .toDF("id", "txt")
+    val s = Pii.scan(docs, "id", "txt").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(s === Array((1L, 2L, 1L, 1L, 4L), (2L, 0L, 0L, 0L, 0L),
+      (3L, 0L, 0L, 1L, 1L)))
+    val r = Pii.redact(docs, "id", "txt").orderBy("id").collect()
+      .map(_.getString(1))
+    assert(r(0) === "mail <EMAIL> and <EMAIL> call <PHONE> ip <IP>")
+    assert(r(1) === "no pii here at all")
+    assert(r(2) === "edge <IP> still redacts; 1-23-456-7890 does not")
+  }
+
+  test("packSequences: straddling docs keep the bin of their first token") {
+    import graft.operators.Sampling
+    // one pack partition; budget 10; docs of 4,4,5 tokens:
+    // starts 0,4,8 → bins 0,0,0 with offsets 0,4,8 (doc 3 straddles)
+    val docs = Seq((0L, 4L), (8L, 4L), (16L, 5L), (24L, 3L))
+      .toDF("doc_id", "nt")
+    val out = Sampling.packSequences(docs, "doc_id", col("nt"),
+        budget = 10L, parts = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(out === Array((0L, 0L, 0L), (8L, 0L, 4L), (16L, 0L, 8L),
+      (24L, 1L, 3L)))
+  }
+
+  test("packSequences shards by pack_part with independent streams") {
+    import graft.operators.Sampling
+    val docs = Seq((0L, 7L), (1L, 7L), (2L, 7L), (3L, 7L))
+      .toDF("doc_id", "nt")
+    val out = Sampling.packSequences(docs, "doc_id", col("nt"),
+        budget = 10L, parts = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // parts: {0,2} and {1,3}; each stream starts at 0 independently
+    assert(out === Array((0L, 0L, 0L, 0L), (1L, 1L, 0L, 0L),
+      (2L, 0L, 0L, 7L), (3L, 1L, 0L, 7L)))
+  }
+
+  test("removeCommonUnits drops frequent units, reassembles in order") {
+    import graft.operators.Decontam
+    val docs = Seq(
+      (1L, "COMMON alpha COMMON beta"),
+      (2L, "gamma COMMON delta"),
+      (3L, "COMMON epsilon"),
+      (4L, "COMMON"))
+      .toDF("doc_id", "text")
+    // COMMON in 4/4 docs >= 60%; everything else in 1/4
+    val out = Decontam.removeCommonUnits(docs, "doc_id", "text", " ", 0.6)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out === Array(
+      (1L, "alpha beta", 2L, 2L),
+      (2L, "gamma delta", 2L, 1L),
+      (3L, "epsilon", 1L, 1L),
+      (4L, "", 0L, 1L)))
+  }
 }
