@@ -25,7 +25,7 @@ object Queries8 {
     * — the candidate-pair front end the clustering consumes. */
   private val shinglesSql =
     "list_transform(range(1, len(string_split(text,' '))-1), i -> array_to_string((string_split(text,' '))[i:i+2], ' '))"
-  private val pairsSql =
+  private[graft] val pairsSql =
     s"""s AS (
        |  SELECT doc_id, $shinglesSql AS sh FROM documents
        |  WHERE len(string_split(text,' ')) >= 3),
@@ -109,11 +109,13 @@ object Queries8 {
         lpad(pmod(col("c_custkey") * 7919, lit(10000)).cast("string"), 4, "0"),
         lit(" host 10.0."), pmod(col("c_custkey"), lit(256)).cast("string"),
         lit("."), pmod(col("c_nationkey"), lit(256)).cast("string")).as("txt"))
-    val scanned = Pii.scan(card, "c_custkey", "txt")
-      .select(col("c_custkey"), col("n_email"), col("n_phone"), col("n_ipv4"))
-    val redacted = Pii.redact(card, "c_custkey", "txt")
-    scanned.join(redacted, Seq("c_custkey"))
-      .orderBy(col("c_custkey")).limit(200)
+    // the regex projection is row-wise, so it commutes with ORDER BY
+    // c_custkey LIMIT 200: take the 200 cheap rows first (TakeOrdered on
+    // the narrow card), THEN scan+redact only those in one projection
+    Pii.annotate(card.orderBy(col("c_custkey")).limit(200), "c_custkey", "txt")
+      .select(col("c_custkey"), col("n_email"), col("n_phone"), col("n_ipv4"),
+        col("redacted"))
+      .orderBy(col("c_custkey"))
   }
 
   /** Sequence packing: documents → fixed 512-token training bins in

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+
+/** Catalog entries: round-6 model/curation additions — Lloyd k-means
+  * codebook training for IVF, per-source quota caps, edit-distance verify
+  * on LSH candidates, and canonical text normalization.
+  */
+object Queries9 {
+
+  private def t(name: String)(implicit env: (SparkSession, String)): DataFrame =
+    if (name == "events") Tables.events(env._1, env._2)
+    else Tables.load(env._1, env._2, name)
+
+  private def q(name: String, sql: String = null)(
+      body: (SparkSession, String) => DataFrame): (String, QueryDef) =
+    name -> QueryDef(body, Option(sql))
+
+  /** In-order double fold of the 64-dim dot product — the SQL twin of the
+    * native `graft_dotw` (same add order → bit-identical). */
+  private def kmDot(e: String, c: String): String =
+    s"list_reduce(list_transform(generate_series(1, 64), i -> " +
+      s"CAST($e[i] AS DOUBLE) * $c[i]), (x, y) -> x + y)"
+
+  /** Nearest-centroid assignment CTE (argmax dot, smallest cid on ties). */
+  private def kmAssign(a: String, c: String): String =
+    s"""$a AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${kmDot("e.embedding", "c.cv")} DESC, c.cid) AS rk
+       |    FROM embeddings e CROSS JOIN $c c) WHERE rk = 1)""".stripMargin
+
+  /** Centroid update CTE: per-dimension mean via exact DECIMAL(38,9) sums
+    * (the dsum convention), empty clusters keep the previous centroid. */
+  private def kmUpdate(cNext: String, a: String, cPrev: String): String =
+    s"""m$cNext AS (
+       |  SELECT a.cid, d.i AS dim,
+       |    CAST(SUM(CAST(CAST(e.embedding[d.i] AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
+       |      / COUNT(*) AS m
+       |  FROM $a a JOIN embeddings e USING (vec_id)
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d
+       |  GROUP BY a.cid, d.i),
+       |$cNext AS (
+       |  SELECT c.cid, COALESCE(n.cv, c.cv) AS cv
+       |  FROM $cPrev c LEFT JOIN (
+       |    SELECT cid, list(m ORDER BY dim) AS cv FROM m$cNext GROUP BY cid) n
+       |  USING (cid))""".stripMargin
+
+  /** Lloyd k-means: 2 full iterations (assign → exact-decimal mean) from
+    * the seeded codebook, then the final assignment — every arithmetic
+    * step (in-order dot folds, decimal sums, one IEEE division per mean)
+    * is replicated in the oracle, so the trained model itself is
+    * hash-checked, not just smoke-tested. */
+  val q64Kmeans: (String, QueryDef) = q(
+    "q64_kmeans",
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM embeddings WHERE vec_id < 8),
+       |${kmAssign("a0", "c0")},
+       |${kmUpdate("c1", "a0", "c0")},
+       |${kmAssign("a1", "c1")},
+       |${kmUpdate("c2", "a1", "c1")},
+       |${kmAssign("a2", "c2")}
+       |SELECT vec_id, cid AS cluster FROM a2 ORDER BY vec_id""".stripMargin) {
+    (s, dir) =>
+      implicit val env: (SparkSession, String) = (s, dir)
+      Similarity.kmeansAssign(t("embeddings"), "vec_id", "embedding",
+          nClusters = 8, iters = 2)
+        .orderBy(col("vec_id"))
+  }
+
+  /** Per-source quota cap: keep the 20 longest docs per source (doc_id
+    * tiebreak) — the anti-domination retention rule. */
+  val q65SourceCap: (String, QueryDef) = q(
+    "q65_source_cap",
+    """SELECT doc_id, source, n_chars FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents) WHERE rk <= 20 ORDER BY doc_id""".stripMargin) {
+    (s, dir) =>
+      implicit val env: (SparkSession, String) = (s, dir)
+      Sampling.quotaCap(
+          t("documents").select(col("doc_id"), col("source"), col("n_chars")),
+          "source", Seq(col("n_chars").desc, col("doc_id").asc), k = 20)
+        .orderBy(col("doc_id"))
+  }
+
+  /** Character-level verify on the same LSH candidate pairs the Jaccard
+    * verify (q37) consumes: exact Levenshtein distance, integers only. */
+  val q66EditDistance: (String, QueryDef) = q(
+    "q66_edit_distance",
+    s"""WITH ${Queries8.pairsSql}
+       |SELECT p.d1, p.d2, levenshtein(x.text, y.text) AS edit_dist
+       |FROM pairs p
+       |JOIN documents x ON x.doc_id = p.d1
+       |JOIN documents y ON y.doc_id = p.d2
+       |WHERE levenshtein(x.text, y.text) <= 400
+       |ORDER BY p.d1, p.d2""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    Dedup.editDistanceVerify(t("documents"),
+        Dedup.lshCandidates(
+          Dedup.minhashBands(t("documents"), "doc_id", "text"), "doc_id"),
+        "doc_id", "text", maxDist = 400)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Canonical normalization (lowercase, ASCII-punctuation strip,
+    * whitespace collapse) — the projection that runs before any hashing
+    * dedup; checked byte-for-byte. */
+  val q67Normalize: (String, QueryDef) = q(
+    "q67_normalize",
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g')) AS norm_text
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    t("documents")
+      .select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("norm_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val catalog: Seq[(String, QueryDef)] = Seq(
+    q64Kmeans, q65SourceCap, q66EditDistance, q67Normalize)
+}

@@ -81,6 +81,29 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Edit-distance verify for candidate pairs: exact Levenshtein distance,
+    * computed ONLY on pairs the LSH front end surfaced — never all-pairs
+    * (Levenshtein is O(len²) per pair; the candidate restriction is what
+    * makes it affordable, same two-stage shape as [[jaccardVerify]]).
+    * Integer output — bit-exact across engines by construction. Keeps
+    * pairs with distance ≤ `maxDist`.
+    *
+    * Complements [[jaccardVerify]]: Jaccard on shingle SETS ignores word
+    * order and local edits; Levenshtein is the character-level ground
+    * truth for "same document modulo small edits".
+    */
+  def editDistanceVerify(docs: DataFrame, candidates: DataFrame,
+      idCol: String, textCol: String, maxDist: Int): DataFrame = {
+    val x = docs.select(col(idCol).as("xid"), col(textCol).as("t1"))
+    val y = docs.select(col(idCol).as("yid"), col(textCol).as("t2"))
+    candidates
+      .join(x, col("xid") === col("d1"))
+      .join(y, col("yid") === col("d2"))
+      .select(col("d1"), col("d2"),
+        levenshtein(col("t1"), col("t2")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   /** SimHash near-dup grouping: docs sharing a signature bucket. For
     * few-bit tolerance, join on rotated signatures or band the bits — here
     * exact-bucket grouping (hamming distance 0 within bucket). */
@@ -198,26 +221,34 @@ object Dedup {
       .union(pairs.select(col(bCol).cast("long"), col(aCol).cast("long")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
+    // seed = iteration one computed directly on edges: min(id, neighbors)
+    var labels = edges.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("cluster_id"))
+      .select(col("src").as("id"), col("cluster_id"))
       .localCheckpoint(true)
-    var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    // labels only ever DECREASE (min over a set containing the old label),
+    // so sum(cluster_id) is strictly monotone until fixpoint — an agg on
+    // the fresh labels alone detects convergence with no labels⋈labels join
+    def checksum(l: org.apache.spark.sql.DataFrame): Long =
+      l.agg(coalesce(sum("cluster_id"), lit(0L))).collect()(0).getLong(0)
+    var prevSum = checksum(labels)
+    var iter = 1
+    var converged = false
+    while (!converged && iter < maxIter) {
       // each node adopts min(own label, labels seen from its neighbors)
       val fromNbrs = edges
         .join(labels.select(col("id").as("src"), col("cluster_id")), "src")
         .select(col("dst").as("id"), col("cluster_id"))
-      val next = labels.select(col("id"), col("cluster_id"))
+      labels = labels.select(col("id"), col("cluster_id"))
         .union(fromNbrs)
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
-        .filter(col("cluster_id") =!= col("prev")).count()
-      labels = next
+      val s = checksum(labels)
+      converged = s == prevSum
+      prevSum = s
       iter += 1
     }
-    if (changed > 0) throw new IllegalStateException(
+    if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter iterations")
     labels
   }

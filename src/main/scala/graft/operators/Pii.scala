@@ -46,14 +46,28 @@ object Pii {
         cats.map(c => col(s"n_${c._1}")).reduce(_ + _))
   }
 
+  private def redactedCol(textCol: String): Column =
+    cats.foldLeft(col(textCol)) { case (c, (_, re, token)) =>
+      regexp_replace(c, re, token)
+    }
+
   /** Redact all PII categories in place: `(id, redacted)`. Replacement
     * order is email → phone → ipv4; the placeholder tokens contain no
     * digits or `@`, so earlier replacements can never create or destroy a
     * later category's match. */
-  def redact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val red = cats.foldLeft(col(textCol)) { case (c, (_, re, token)) =>
-      regexp_replace(c, re, token)
+  def redact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), redactedCol(textCol).as("redacted"))
+
+  /** Scan AND redact in ONE projection: `(id, n_email, n_phone, n_ipv4,
+    * pii_total, redacted)`. Use this over `scan ⋈ redact` when both are
+    * wanted — a self-join would compute the input text twice and shuffle
+    * on the id for no reason; this stays a single codegen'd map. */
+  def annotate(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = cats.map { case (name, re, _) =>
+      regexp_count(col(textCol), lit(re)).cast("long").as(s"n_$name")
     }
-    docs.select(col(idCol), red.as("redacted"))
+    docs.select((col(idCol) +: counts :+ redactedCol(textCol).as("redacted")): _*)
+      .withColumn("pii_total",
+        cats.map(c => col(s"n_${c._1}")).reduce(_ + _))
   }
 }

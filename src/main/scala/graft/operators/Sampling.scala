@@ -46,6 +46,29 @@ object Sampling {
         lit(10000.0) / threshold.cast("double"))
   }
 
+  /** Per-key quota cap: keep at most `k` rows per `keyCol` value, ranked
+    * by `orderBy` (ties MUST be broken by a unique column for determinism)
+    * — the classic per-domain/per-source retention cap that stops a single
+    * crawler-friendly site from dominating the corpus mixture.
+    *
+    * Scale: one shuffle on the key + a bounded window (row_number stops
+    * scanning at k only logically — the sort is per-key). Skewed keys (one
+    * domain = billions of rows) serialize into one task's sort; the escape
+    * hatch at that scale is a two-phase cap — per-partition pre-cap to k
+    * rows per key (mapPartitions or a salted window), then the exact
+    * window over the ≤ k·partitions survivors — which this stays ready
+    * for because the predicate is rank-based, not value-based.
+    */
+  def quotaCap(df: DataFrame, keyCol: String, orderBy: Seq[Column],
+      k: Int): DataFrame = {
+    require(k > 0, "quota must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderBy: _*)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Sequence packing: assign documents to fixed token-budget training
     * bins by concatenation order — the GPT-style "concatenate the corpus,
     * cut every `budget` tokens" layout. A document's bin is where its

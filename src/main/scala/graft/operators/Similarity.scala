@@ -219,4 +219,49 @@ object Similarity {
       .partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
   }
+
+  /** Lloyd k-means refinement of the IVF codebook — turns [[ivfAssign]]'s
+    * seeded centroids into trained ones. Each iteration: (1) nearest-
+    * centroid assignment as a shuffle-free projection (broadcast centroid
+    * literals, fused `graft_dotw` argmax — identical machinery to
+    * [[ivfAssign]]); (2) per-dimension means via ONE aggregation keyed on
+    * (cluster, dim) — exact DECIMAL(38,9) sums (`graft_dsum`), so the
+    * centroid update is order-independent and bit-identical across
+    * partitionings and engines; (3) collect the k×dims means to the driver
+    * (the MODEL — bounded by the codebook size, like MLlib's k-means, not
+    * by the data). An empty cluster keeps its previous centroid.
+    *
+    * Scale: per iteration one scan + one shuffle whose key space is
+    * k×dims (uniform, tiny); map-side partial aggregation reduces each
+    * task's output to at most k×dims rows, so the shuffle volume is
+    * O(tasks·k·dims), independent of row count. Dims are inferred from the
+    * seed centroids — no hardcoded width.
+    */
+  def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16, iters: Int = 2): Seq[(Long, Seq[Double])] = {
+    var cents = seedCentroids(emb, idCol, vecCol, nClusters)
+    for (_ <- 0 until iters) {
+      val means = emb
+        .select(ivfClusterCol(cents, vecCol).as("cluster"),
+          posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg((call_function("graft_dsum", col("v").cast("double"), lit(9))
+          / count(lit(1))).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      cents = cents.map { case (cid, cv) => (cid, byCluster.getOrElse(cid, cv)) }
+    }
+    cents
+  }
+
+  /** Final cluster assignment under [[kmeansFit]]-trained centroids: a
+    * single shuffle-free projection over the data, exactly like
+    * [[ivfAssign]] but with the refined codebook. */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16, iters: Int = 2): DataFrame =
+    emb.select(col(idCol),
+      ivfClusterCol(kmeansFit(emb, idCol, vecCol, nClusters, iters), vecCol)
+        .as("cluster"))
 }

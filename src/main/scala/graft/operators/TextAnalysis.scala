@@ -69,6 +69,19 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Canonical text normalization, applied BEFORE hashing/dedup so that
+    * trivially-variant copies (case, punctuation style, ragged whitespace)
+    * collide: lowercase → strip everything outside `[a-z0-9 ]` (ASCII
+    * punctuation policy, deliberately aggressive the way near-dup
+    * canonicalizers are) → collapse whitespace runs → trim. A pure
+    * codegen'd projection (no shuffle, no UDF); the regexes avoid
+    * engine-specific character classes (`\p{Punct}`, `\s`) so the
+    * identical patterns run in Java and RE2 engines. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "),
+      "  +", " "))
+
   /** SimHash over tokens with `bits` bits (≤ 60). Per distinct token, md5
     * hex → integer (first 15 hex digits); bit b votes +1/-1; the signature
     * sets bit b when the vote sum is positive. Near-duplicate docs differ

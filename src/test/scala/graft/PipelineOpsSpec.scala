@@ -229,6 +229,70 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, 0L, 0L, 7L), (3L, 1L, 0L, 7L)))
   }
 
+  test("quotaCap keeps at most k rows per key with deterministic order") {
+    val docs = Seq(
+      (1L, "a", 100L), (2L, "a", 300L), (3L, "a", 200L), (4L, "a", 300L),
+      (5L, "b", 50L))
+      .toDF("doc_id", "source", "n_chars")
+    val kept = Sampling.quotaCap(docs, "source",
+        Seq(col("n_chars").desc, col("doc_id").asc), k = 2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // source a: 300(id2), 300(id4 loses tie to id2? no — both kept: k=2
+    // ranks are id2 then id4), so ids 2,4 survive; source b: id 5
+    assert(kept === Array(2L, 4L, 5L))
+  }
+
+  test("editDistanceVerify computes exact levenshtein on candidates only") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fax"), // 1 substitution
+      (3L, "unrelated"))
+      .toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("d1", "d2")
+    val out = Dedup.editDistanceVerify(docs, cands, "doc_id", "text",
+        maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array((1L, 2L, 1L))) // (1,3) filtered: dist > 5
+  }
+
+  test("normalizeText lowers, strips punctuation, collapses whitespace") {
+    val docs = Seq(
+      (1L, "  Hello,   WORLD!! (x=1)  "),
+      (2L, "already clean"),
+      (3L, "###"))
+      .toDF("id", "t")
+    val out = docs.select(TextAnalysis.normalizeText(col("t")))
+      .collect().map(_.getString(0))
+    assert(out === Array("hello world x 1", "already clean", ""))
+  }
+
+  test("kmeansFit: decimal-exact means and stable assignment") {
+    import graft.operators.Similarity
+    // two tight groups along dims 0/1, padded to 4 dims; seed centroids
+    // are ids 0 (group A) and 1 (group B)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.95f, 0.05f, 0.0f, 0.0f)),
+      (4L, Array(0.1f, 0.9f, 0.0f, 0.0f)),
+      (5L, Array(0.05f, 0.95f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(emb, "vec_id", "embedding",
+      nClusters = 2, iters = 2)
+    assert(cents.map(_._1) === Seq(0L, 1L))
+    // cluster 0 holds ids {0,2,3}: mean dim0 = (1.0+0.9f+0.95f)/3 up to
+    // the DECIMAL(38,9) rounding of each addend
+    val c0 = cents(0)._2
+    assert(math.abs(c0(0) - (1.0 + 0.9f.toDouble + 0.95f.toDouble) / 3) < 1e-8)
+    val assigned = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+        nClusters = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(assigned === Array((0L, 0L), (1L, 1L), (2L, 0L), (3L, 0L),
+      (4L, 1L), (5L, 1L)))
+  }
+
   test("removeCommonUnits drops frequent units, reassembles in order") {
     import graft.operators.Decontam
     val docs = Seq(
