@@ -99,9 +99,14 @@ object Dedup {
     candidates
       .join(x, col("xid") === col("d1"))
       .join(y, col("yid") === col("d2"))
+      // |len(a)-len(b)| lower-bounds the distance — prune before the DP;
+      // the 3-arg levenshtein runs the BANDED O(len·maxDist) DP (exact
+      // when ≤ maxDist, -1 beyond), not the full O(len²) matrix
+      .filter(abs(length(col("t1")) - length(col("t2"))) <= maxDist)
       .select(col("d1"), col("d2"),
-        levenshtein(col("t1"), col("t2")).cast("long").as("edit_dist"))
-      .filter(col("edit_dist") <= maxDist)
+        levenshtein(col("t1"), col("t2"), maxDist).cast("long")
+          .as("edit_dist"))
+      .filter(col("edit_dist") >= 0)
   }
 
   /** SimHash near-dup grouping: docs sharing a signature bucket. For
