@@ -127,6 +127,55 @@ object Queries9 {
       .orderBy(col("doc_id"))
   }
 
+  /** IVF ANN with a TRAINED codebook — [[q64Kmeans]]'s Lloyd pass feeding
+    * q52's probe-limited search: one k-means iteration refines the seeded
+    * centroids, then assignment/probing/rescoring run exactly as in q52.
+    * The oracle chains the Lloyd CTEs into the search CTEs — the entire
+    * train→index→search pipeline is hash-checked end-to-end. */
+  val q68IvfTrained: (String, QueryDef) = q(
+    "q68_ann_ivf_trained", {
+      def dotRaw(a: String, b: String): String =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> " +
+          s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |${kmAssign("a0", "c0")},
+         |${kmUpdate("c1", "a0", "c0")},
+         |${kmAssign("assigned", "c1")},
+         |probes AS (
+         |  SELECT vec_id AS qid, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${kmDot("e.embedding", "c.cv")} DESC, c.cid) AS rk
+         |    FROM embeddings e CROSS JOIN c1 c
+         |    WHERE e.vec_id BETWEEN 100 AND 107) WHERE rk <= 3),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id FROM assigned a JOIN probes p
+         |    ON a.cid = p.cid AND a.vec_id <> p.qid),
+         |scored AS (
+         |  SELECT c.qid, c.vec_id,
+         |    ${dotRaw("e.embedding", "qe.embedding")} /
+         |    (SQRT(${dotRaw("e.embedding", "e.embedding")}) *
+         |     SQRT(${dotRaw("qe.embedding", "qe.embedding")})) AS sim
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = c.qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT qid, vec_id, sim FROM ranked WHERE rk <= 10
+         |ORDER BY qid, sim DESC, vec_id""".stripMargin
+    }) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    Similarity.ivfTopK(t("embeddings"), "vec_id", "embedding",
+        queryIds = (100L to 107L), k = 10, nClusters = 8, nProbe = 3,
+        trainIters = 1)
+      .orderBy(col("qid"), col("sim").desc, col("vec_id"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
-    q64Kmeans, q65SourceCap, q66EditDistance, q67Normalize)
+    q64Kmeans, q65SourceCap, q66EditDistance, q67Normalize, q68IvfTrained)
 }

@@ -162,8 +162,11 @@ object Similarity {
     * nProbe and data-adaptive partitions, at the cost of a trained/seeded
     * codebook. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-      queryIds: Seq[Long], k: Int, nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = seedCentroids(emb, idCol, vecCol, nClusters)
+      queryIds: Seq[Long], k: Int, nClusters: Int = 16, nProbe: Int = 4,
+      trainIters: Int = 0): DataFrame = {
+    val cents =
+      if (trainIters > 0) kmeansFit(emb, idCol, vecCol, nClusters, trainIters)
+      else seedCentroids(emb, idCol, vecCol, nClusters)
     val assigned = emb.select(col(idCol), col(vecCol),
       ivfClusterCol(cents, vecCol).as("__c"))
     // probe list per query: top nProbe centroids by the same dot. The

@@ -200,6 +200,24 @@ class OperatorsSpec extends SparkSpec {
     assert(r8 >= r4 && r16 >= r8, "recall must be monotone in nProbe")
     assert(r16 === 1.0, "probing every cluster IS the exact scan")
 
+    // TRAINED codebook: a Lloyd iteration moves the centroids but cannot
+    // break exactness at full probe (partitioning changes, the union of
+    // partitions does not); trained recall at the working point is logged
+    // beside seeded recall — the harness that justifies paying for training
+    val trained4 = {
+      val got = Similarity.ivfTopK(emb, "vec_id", "embedding", ids, k = 10,
+          nClusters = 16, nProbe = 4, trainIters = 1)
+        .select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got intersect gt).size.toDouble / gt.size
+    }
+    val trainedFull = Similarity.ivfTopK(emb, "vec_id", "embedding", ids,
+        k = 10, nClusters = 16, nProbe = 16, trainIters = 1)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(f"trained-IVF recall@10: nProbe=4 $trained4%.3f (seeded $r4%.3f)")
+    assert(trainedFull === gt, "trained codebook at full probe must stay exact")
+
     // SPARSE seed ids (vec_ids 3 and 7 removed): centroid positions no
     // longer equal centroid ids, so a positional probe index would
     // mis-join clusters — full probe must still equal the exact scan
