@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Pii, Sampling, Similarity, TextAnalysis}
 
 /** Catalog entries: round-6 model/curation additions — Lloyd k-means
   * codebook training for IVF, per-source quota caps, edit-distance verify
@@ -176,6 +176,38 @@ object Queries9 {
       .orderBy(col("qid"), col("sim").desc, col("vec_id"))
   }
 
+  /** The composed curation pipeline: normalization-hash dup ranking, token
+    * stats, PII counts, and the keep/drop verdict in one query — every
+    * signal and the verdict itself hash-checked. */
+  val q69CurationReport: (String, QueryDef) = q(
+    "q69_curation_report",
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    md5(trim(regexp_replace(regexp_replace(lower(text),
+       |      '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g'))) AS fp,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS ttr,
+       |    CAST(len(regexp_extract_all(text, '${Pii.EmailRe}'))
+       |      + len(regexp_extract_all(text, '${Pii.PhoneRe}'))
+       |      + len(regexp_extract_all(text, '${Pii.Ipv4Re}')) AS BIGINT)
+       |      AS pii_total
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_tokens, ttr, pii_total,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS BIGINT)
+       |      AS dup_rank
+       |  FROM b)
+       |SELECT doc_id, n_tokens, ttr, pii_total, dup_rank,
+       |  (dup_rank = 1 AND n_tokens >= 5 AND ttr >= 0.3 AND pii_total = 0)
+       |    AS keep_doc
+       |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    Curation.report(t("documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
-    q64Kmeans, q65SourceCap, q66EditDistance, q67Normalize, q68IvfTrained)
+    q64Kmeans, q65SourceCap, q66EditDistance, q67Normalize, q68IvfTrained,
+    q69CurationReport)
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus curation verdict: one pass that stamps every
+  * document with the signals a C4-style cleaning pipeline filters on and a
+  * composite keep/drop decision — the "run the whole pipeline" entry point
+  * that composes the individual operators ([[TextAnalysis.normalizeText]],
+  * [[Pii]] patterns, exact-dup ranking) instead of re-implementing them.
+  *
+  * Scale: one projection computes normalization, token stats, and PII
+  * counts fused over the scan; the only shuffle is the duplicate-rank
+  * window keyed on the normalized-content hash (uniform key; identical
+  * copies land together, which is the point). Verdict thresholds stay in
+  * the plan as literals.
+  */
+object Curation {
+
+  /** Per-document curation report: `(id, n_tokens, ttr, pii_total,
+    * dup_rank, keep_doc)`. A document is kept iff it is the canonical
+    * (lowest-id) copy of its normalized content, long enough, lexically
+    * diverse enough, and PII-free.
+    */
+  def report(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Long = 5L, minTtr: Double = 0.3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val piiTotal = Seq(Pii.EmailRe, Pii.PhoneRe, Pii.Ipv4Re)
+      .map(re => regexp_count(col(textCol), lit(re)))
+      .reduce(_ + _).cast("long")
+    val base = docs.select(
+      col(idCol),
+      md5(TextAnalysis.normalizeText(col(textCol))).as("__fp"),
+      size(toks).cast("long").as("n_tokens"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
+      piiTotal.as("pii_total"))
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    base
+      .withColumn("dup_rank", row_number().over(w).cast("long"))
+      .withColumn("keep_doc",
+        col("dup_rank") === 1L && col("n_tokens") >= minTokens &&
+          col("ttr") >= minTtr && col("pii_total") === 0L)
+      .drop("__fp")
+  }
+}

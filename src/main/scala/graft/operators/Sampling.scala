@@ -69,6 +69,30 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Skew-resistant [[quotaCap]]: identical output, two phases. Phase 1
+    * pre-caps to k per (key, salt) — `buckets` parallel sub-sorts instead
+    * of one task sorting a pathological key's billions of rows; phase 2
+    * runs the exact window over the ≤ buckets·k survivors per key.
+    *
+    * EXACT, not approximate: any row in a key's true top-k is also within
+    * the top-k of its own salt bucket (the rows above it there are a
+    * subset of the rows above it globally), so phase 1 never drops a
+    * final-answer row — the result is salt-invariant. `saltCol` just
+    * spreads rows (any column works; a unique id spreads best).
+    */
+  def quotaCapTwoPhase(df: DataFrame, keyCol: String, orderBy: Seq[Column],
+      k: Int, saltCol: Column, buckets: Int = 32): DataFrame = {
+    require(k > 0 && buckets > 0, "quota and buckets must be positive")
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), col("__salt")).orderBy(orderBy: _*)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderBy: _*)
+    df.withColumn("__salt", pmod(xxhash64(saltCol), lit(buckets.toLong)))
+      .withColumn("__rk", row_number().over(w1)).filter(col("__rk") <= k)
+      .withColumn("__rk2", row_number().over(w2)).filter(col("__rk2") <= k)
+      .drop("__rk", "__rk2", "__salt")
+  }
+
   /** Sequence packing: assign documents to fixed token-budget training
     * bins by concatenation order — the GPT-style "concatenate the corpus,
     * cut every `budget` tokens" layout. A document's bin is where its

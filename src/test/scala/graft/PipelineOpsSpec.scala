@@ -242,6 +242,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept === Array(2L, 4L, 5L))
   }
 
+  test("quotaCapTwoPhase equals quotaCap on skewed keys, any salt width") {
+    // hot key with 500 rows, cold key with 3 — the shape that serializes
+    // a single-window cap into one task
+    val rows = (1L to 500L).map(i => (i, "hot", (i * 7919) % 1000)) ++
+      Seq((501L, "cold", 5L), (502L, "cold", 9L), (503L, "cold", 1L))
+    val docs = rows.toDF("doc_id", "source", "score")
+    val order = Seq(col("score").desc, col("doc_id").asc)
+    val exact = Sampling.quotaCap(docs, "source", order, k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    for (buckets <- Seq(1, 4, 32)) {
+      val twoPhase = Sampling.quotaCapTwoPhase(docs, "source", order,
+          k = 10, saltCol = col("doc_id"), buckets = buckets)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+      assert(twoPhase === exact, s"buckets=$buckets must be salt-invariant")
+    }
+  }
+
   test("editDistanceVerify computes exact levenshtein on candidates only") {
     import graft.operators.Dedup
     val docs = Seq(
@@ -291,6 +308,22 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(assigned === Array((0L, 0L), (1L, 1L), (2L, 0L), (3L, 0L),
       (4L, 1L), (5L, 1L)))
+  }
+
+  test("Curation.report: dup rank on normalized content, verdict composes") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "The quick, brown fox! jumps high today"),   // canonical
+      (2L, "the QUICK brown fox jumps high today"),      // dup of 1 after norm
+      (3L, "short"),                                     // too few tokens
+      (4L, "contact me at a@b.com please do it now"),    // PII
+      (5L, "good good good good good good good good"))   // low diversity
+      .toDF("doc_id", "text")
+    val out = Curation.report(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getBoolean(5)))
+    assert(out === Array((1L, 1L, true), (2L, 2L, false), (3L, 1L, false),
+      (4L, 1L, false), (5L, 1L, false)))
   }
 
   test("removeCommonUnits drops frequent units, reassembles in order") {
