@@ -15,6 +15,12 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Plain `spark.read.parquet` — measured choice: a blanket "spread
+    * under-split tables" repartition here was tried and REGRESSED the
+    * bench ~40% (at this data size the added exchange + 32-task stage
+    * overhead dwarfs the scan-stage parallelism it buys; queries whose
+    * scan compute IS heavy enough spread locally — see
+    * Dedup.minhashBands). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

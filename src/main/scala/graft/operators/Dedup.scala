@@ -38,6 +38,10 @@ object Dedup {
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 2, rows: Int = 2): DataFrame = {
     val k = bands * rows
+    // signatures compute scan-side, THEN shuffle: the exchange carries
+    // fixed-width signatures (~128 B/doc), never raw text, and doubles as
+    // the barrier keeping graft_minhash materialized once rather than
+    // re-inlined per band consumer (PlanSpec)
     val sigDf = docs
       .filter(size(split(col(textCol), " ")) >= 3)
       .select(col(idCol).as("__id"),

@@ -242,21 +242,27 @@ object Similarity {
     */
   def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
       nClusters: Int = 16, iters: Int = 2): Seq[(Long, Seq[Double])] = {
-    var cents = seedCentroids(emb, idCol, vecCol, nClusters)
-    for (_ <- 0 until iters) {
-      val means = emb
-        .select(ivfClusterCol(cents, vecCol).as("cluster"),
-          posexplode(col(vecCol)).as(Seq("dim", "v")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg((call_function("graft_dsum", col("v").cast("double"), lit(9))
-          / count(lit(1))).as("m"))
-        .collect()
-      val byCluster = means.groupBy(_.getLong(0)).map { case (cid, rows) =>
-        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+    // cache the (id, vec) working set across Lloyd passes — the standard
+    // iterative-trainer pattern (MLlib does the same); spills to disk if
+    // the table outgrows executor memory
+    val working = emb.select(col(idCol), col(vecCol)).persist()
+    try {
+      var cents = seedCentroids(working, idCol, vecCol, nClusters)
+      for (_ <- 0 until iters) {
+        val means = working
+          .select(ivfClusterCol(cents, vecCol).as("cluster"),
+            posexplode(col(vecCol)).as(Seq("dim", "v")))
+          .groupBy(col("cluster"), col("dim"))
+          .agg((call_function("graft_dsum", col("v").cast("double"), lit(9))
+            / count(lit(1))).as("m"))
+          .collect()
+        val byCluster = means.groupBy(_.getLong(0)).map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+        cents = cents.map { case (cid, cv) => (cid, byCluster.getOrElse(cid, cv)) }
       }
-      cents = cents.map { case (cid, cv) => (cid, byCluster.getOrElse(cid, cv)) }
-    }
-    cents
+      cents
+    } finally { working.unpersist(blocking = false); () }
   }
 
   /** Final cluster assignment under [[kmeansFit]]-trained centroids: a
