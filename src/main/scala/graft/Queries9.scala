@@ -207,7 +207,53 @@ object Queries9 {
       .orderBy(col("doc_id"))
   }
 
+  /** Event-type transition matrix (lag over the per-user timeline, then a
+    * tiny |types|² aggregation) — the Markov view of the event log. */
+  val q70Transitions: (String, QueryDef) = q(
+    "q70_event_transitions",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_ns(ts) // 1000000000 AS s FROM events),
+      |p AS (
+      |  SELECT event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY s, event_id)
+      |      AS prev_type,
+      |    s - LAG(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS gap
+      |  FROM e)
+      |SELECT prev_type, event_type AS next_type, COUNT(*) AS n,
+      |  MIN(gap) AS min_gap, MAX(gap) AS max_gap
+      |FROM p WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, next_type ORDER BY prev_type, next_type""".stripMargin) {
+    (s, dir) =>
+      implicit val env: (SparkSession, String) = (s, dir)
+      graft.operators.Events.transitions(t("events"), "user_id", "ts_sec",
+          "event_id", "event_type")
+        .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** CUBE over (returnflag, linestatus): all four grouping combinations in
+    * one pass — extends the reference's single-dimension TOTAL row (q15
+    * rollup) to the full lattice, exact decimal sums throughout. */
+  val q71Cube: (String, QueryDef) = q(
+    "q71_cube",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+      |  COALESCE(l_linestatus, 'ALL') AS status,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    t("lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        call_function("graft_dsum", col("l_quantity"), lit(4)).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("cnt"), col("sum_qty"))
+      .orderBy(col("flag"), col("status"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q64Kmeans, q65SourceCap, q66EditDistance, q67Normalize, q68IvfTrained,
-    q69CurationReport)
+    q69CurationReport, q70Transitions, q71Cube)
 }

@@ -44,6 +44,29 @@ object Events {
       .withColumn("duration_secs", col("session_end") - col("session_start"))
   }
 
+  /** Per-user event-type transition matrix: for every consecutive pair of
+    * events in a user's timeline, count (prev_type → type) with the gap
+    * stats that tell dwell time. The Markov-chain view of an event log —
+    * what follows what, and how fast.
+    *
+    * Scale: one shuffle (the per-user window), then a groupBy on the
+    * (prev, next) pair — at most |types|² groups, tiny. Same hot-user
+    * boundary as [[sessionize]].
+    */
+  def transitions(events: DataFrame, userCol: String, tsSecCol: String,
+      orderCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsSecCol), col(orderCol))
+    events
+      .withColumn("__prev_type", lag(col(typeCol), 1).over(w))
+      .withColumn("__gap", col(tsSecCol) - lag(col(tsSecCol), 1).over(w))
+      .filter(col("__prev_type").isNotNull)
+      .groupBy(col("__prev_type").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("__gap")).as("min_gap"),
+        max(col("__gap")).as("max_gap"))
+  }
+
   /** Ordered funnel: step i counts users whose first step-(i-1) event is
     * STRICTLY before some step-i event (and, when `stepWindow` is set,
     * within `stepWindow` time units of it). Returns

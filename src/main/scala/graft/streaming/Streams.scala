@@ -120,6 +120,31 @@ object Streams {
       .withWatermark("__ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming per-key quota cap: admit the first `k` rows of each key in
+    * ARRIVAL order — the incremental twin of
+    * [[graft.operators.Sampling.quotaCap]]. Semantics differ by necessity
+    * and by design: a stream cannot rank rows it has not seen, so the
+    * batch form caps by a global order and this caps by arrival; a
+    * backfill then live-tail pipeline runs the batch cap over history and
+    * this over the tail. State per key is ONE long (admitted count) —
+    * bounded by the number of keys, not rows.
+    */
+  def streamingQuotaCap(
+      rows: Dataset[(String, Long)], // (key, payload id)
+      k: Long): Dataset[(String, Long)] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, batch, state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val take = batch.take((k - admitted).max(0L).toInt).toSeq
+          state.update(admitted + take.size)
+          take.iterator
+      }
+  }
+
   /** Streaming digest loop: drain a JSON-lines directory into a GraftTable
     * with `Trigger.AvailableNow` — the reference's `sybil digest` cycle
     * (table_ingest.go:287-331) as an incremental job with checkpointed

@@ -229,6 +229,21 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, 0L, 0L, 7L), (3L, 1L, 0L, 7L)))
   }
 
+  test("transitions counts consecutive type pairs per user with gap stats") {
+    import graft.operators.Events
+    val ev = Seq(
+      (1L, 0L, 1L, "view"), (2L, 10L, 1L, "click"), (3L, 15L, 1L, "view"),
+      (4L, 40L, 1L, "click"),
+      (5L, 0L, 2L, "view"), (6L, 3L, 2L, "click"))
+      .toDF("event_id", "ts_sec", "user_id", "event_type")
+    val out = Events.transitions(ev, "user_id", "ts_sec", "event_id", "event_type")
+      .orderBy("prev_type", "next_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out === Array(
+      ("click", "view", 1L, 5L, 5L),          // u1: click@10 -> view@15
+      ("view", "click", 3L, 3L, 25L)))        // u1: 0->10, 15->40; u2: 0->3
+  }
+
   test("quotaCap keeps at most k rows per key with deterministic order") {
     val docs = Seq(
       (1L, "a", 100L), (2L, "a", 300L), (3L, "a", 200L), (4L, "a", 300L),

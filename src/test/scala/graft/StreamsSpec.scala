@@ -108,6 +108,24 @@ class StreamsSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 3L)) // dup doc 2 dropped
   }
 
+  test("streaming quota cap admits first k per key across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    // batch 1: a gets 2, b gets 1; batch 2: a gets 2 more (only 1 admitted
+    // — state must carry the count across micro-batches), b gets 1 more
+    mem.addData(("a", 1L), ("a", 2L), ("b", 10L))
+    val out = Streams.streamingQuotaCap(mem.toDS(), k = 3)
+    val q = out.toDF("key", "id").writeStream.format("memory")
+      .queryName("sqcap").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    mem.addData(("a", 3L), ("a", 4L), ("b", 11L))
+    q.processAllAvailable()
+    q.stop()
+    val admitted = spark.table("sqcap").as[(String, Long)].collect().sorted
+    assert(admitted.toSeq === Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 10L), ("b", 11L)))
+  }
+
   test("streaming digest drains a json dir into a GraftTable") {
     val src = Files.createTempDirectory("graft-stream-src")
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
