@@ -253,7 +253,49 @@ object Queries9 {
       .orderBy(col("flag"), col("status"))
   }
 
+  /** Moving average over tumbling time buckets: per-type event counts,
+    * then a 3-bucket ROWS frame — window-frame coverage over the q07-style
+    * time series. Integer sums, one IEEE division per row. */
+  val q72MovingAvg: (String, QueryDef) = q(
+    "q72_moving_avg",
+    """WITH b AS (
+      |  SELECT event_type, (epoch_ns(ts) // 1000000000) // 3600 AS bucket,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY event_type, bucket)
+      |SELECT event_type, bucket, cnt,
+      |  AVG(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3
+      |FROM b ORDER BY event_type, bucket""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(-2, 0)
+    t("events")
+      .groupBy(col("event_type"), expr("ts_sec div 3600").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("ma3", avg(col("cnt")).over(w))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  /** Weight-proportional sampling with pure-integer membership: keep docs
+    * with probability n_chars/1000, Horvitz-Thompson weight attached. */
+  val q73WeightedSample: (String, QueryDef) = q(
+    "q73_weighted_sample",
+    """SELECT doc_id, n_chars,
+      |  1000.0 / CAST(n_chars AS DOUBLE) AS sample_weight
+      |FROM documents
+      |WHERE (CAST('0x' || substring(md5('ws1' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |       AS BIGINT) % 10000) * 1000 < 10000 * n_chars
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    Sampling.weightedHashSample(
+        t("documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", col("n_chars"), maxWeight = 1000L, salt = "ws1")
+      .orderBy(col("doc_id"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q64Kmeans, q65SourceCap, q66EditDistance, q67Normalize, q68IvfTrained,
-    q69CurationReport, q70Transitions, q71Cube)
+    q69CurationReport, q70Transitions, q71Cube, q72MovingAvg,
+    q73WeightedSample)
 }

@@ -69,6 +69,29 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Weight-proportional deterministic sample: keep a row with probability
+    * `weight / maxWeight`, decided by pure integer arithmetic on the md5
+    * basis-point bucket — P(bucket·maxW < 10000·w) = w/maxW exactly, no
+    * floats in the decision, so membership replays bit-identically in any
+    * engine (the transcendental-free alternative to exponential-sort
+    * weighted reservoirs, whose ln()/pow() keys are not ULP-stable across
+    * engines). Adds `sample_weight` = maxW/w, the Horvitz-Thompson
+    * reweighting factor, as one exact-int IEEE division.
+    *
+    * Scale: a pure filter over the scan — no shuffle, pushes down like any
+    * deterministic predicate. `maxWeight` is a corpus constant the caller
+    * pins (a config, not a data scan), which is what keeps membership
+    * stable as the corpus grows.
+    */
+  def weightedHashSample(df: DataFrame, idCol: String, weightCol: Column,
+      maxWeight: Long, salt: String): DataFrame = {
+    require(maxWeight > 0, "maxWeight must be positive")
+    val w = weightCol.cast(LongType)
+    df.filter(hashBucket(col(idCol), salt) * maxWeight < lit(10000L) * w)
+      .withColumn("sample_weight",
+        lit(maxWeight).cast("double") / w.cast("double"))
+  }
+
   /** Skew-resistant [[quotaCap]]: identical output, two phases. Phase 1
     * pre-caps to k per (key, salt) — `buckets` parallel sub-sorts instead
     * of one task sorting a pathological key's billions of rows; phase 2

@@ -257,6 +257,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept === Array(2L, 4L, 5L))
   }
 
+  test("weightedHashSample: integer membership, HT weights, w=max keeps all") {
+    val docs = Seq((1L, 1000L), (2L, 500L), (3L, 1L), (4L, 1000L))
+      .toDF("doc_id", "w")
+    val out = Sampling.weightedHashSample(docs, "doc_id", col("w"),
+        maxWeight = 1000L, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // weight = maxWeight → bucket*1000 < 10000*1000 always → kept, HT = 1.0
+    assert(out.contains(1L) && out(1L) === 1.0)
+    assert(out.contains(4L) && out(4L) === 1.0)
+    // kept rows carry maxW/w exactly
+    out.get(2L).foreach(sw => assert(sw === 2.0))
+    // zero-probability tail: w=1 → P=1e-4; almost surely dropped for this
+    // salt (and if kept, weight must be 1000.0)
+    out.get(3L).foreach(sw => assert(sw === 1000.0))
+  }
+
   test("quotaCapTwoPhase equals quotaCap on skewed keys, any salt width") {
     // hot key with 500 rows, cold key with 3 — the shape that serializes
     // a single-window cap into one task
