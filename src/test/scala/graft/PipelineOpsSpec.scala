@@ -357,6 +357,22 @@ class PipelineOpsSpec extends SparkSpec {
       (4L, 1L, false), (5L, 1L, false)))
   }
 
+  test("kmeansFit: an emptied cluster keeps its previous centroid") {
+    import graft.operators.Similarity
+    // every vector (including seed 1 itself) is nearer seed 0, so cluster
+    // 1 receives no members — its centroid must survive unchanged
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.5f, 0.0f)),
+      (2L, Array(0.9f, 0.0f)),
+      (3L, Array(0.8f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(emb, "vec_id", "embedding",
+      nClusters = 2, iters = 2)
+    assert(cents(1)._1 === 1L)
+    assert(cents(1)._2 === Seq(0.5f.toDouble, 0.0))
+  }
+
   test("removeCommonUnits drops frequent units, reassembles in order") {
     import graft.operators.Decontam
     val docs = Seq(
