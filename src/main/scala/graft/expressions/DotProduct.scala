@@ -161,6 +161,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[AudioMeta].getName, "graft_audio_meta"),
       (children: Seq[Expression]) => AudioMeta(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_video_meta"),
+      new ExpressionInfo(classOf[VideoMeta].getName, "graft_video_meta"),
+      (children: Seq[Expression]) => VideoMeta(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_l2_normalize"),
       new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2_normalize"),
       (children: Seq[Expression]) => L2Normalize(children(0))))

@@ -92,6 +92,15 @@ object Multimodal {
     media.withColumn("decoded_audio",
       call_function("graft_audio_meta", col(payloadCol)))
 
+  /** REAL video-metadata decode from payload bytes (MP4/ISO-BMFF box walk —
+    * expressions/VideoMeta.scala): appends `decoded_video
+    * struct<timescale,duration_ms,n_tracks,width,height>` (null when not
+    * parseable). Completes the image/audio/video header-parse triple —
+    * pure scan-side codegen projection, no codec, no shuffle. */
+  def decodeVideoMeta(media: DataFrame, payloadCol: String = "payload"): DataFrame =
+    media.withColumn("decoded_video",
+      call_function("graft_video_meta", col(payloadCol)))
+
   /** Metadata quality filter: keep decodable-looking media (non-empty
     * payload, sane dimensions) — predicate pushdown-friendly. */
   def filterValid(media: DataFrame): DataFrame =

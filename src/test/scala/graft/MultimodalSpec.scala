@@ -141,4 +141,47 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) === Some((320, 200)))
     assert(out(4L) === None)
   }
+
+  test("decodeVideoMeta parses REAL MP4 box structure; garbage is null") {
+    import spark.implicits._
+    def be32(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ typ.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
+    // mvhd v0: ver/flags, creation, modification, timescale, duration
+    def mvhd(timescale: Long, duration: Long): Array[Byte] =
+      box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++
+        be32(duration) ++ new Array[Byte](80))
+    // mvhd v1: 64-bit creation/modification/duration
+    def mvhdV1(timescale: Long, duration: Long): Array[Byte] =
+      box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+        be32(timescale) ++ be64(duration) ++ new Array[Byte](80))
+    // tkhd v0: 76 bytes before 16.16 width/height
+    def tkhd(w: Int, h: Int): Array[Byte] =
+      box("tkhd", new Array[Byte](76) ++ be32(w.toLong << 16) ++
+        be32(h.toLong << 16))
+    def trak(w: Int, h: Int): Array[Byte] = box("trak", tkhd(w, h))
+    val good = ftyp ++ box("moov",
+      mvhd(1000, 90000) ++ trak(0, 0) ++ trak(640, 360))
+    val v1 = ftyp ++ box("moov", mvhdV1(600, 1200) ++ trak(1920, 1080))
+    val noFtyp = box("moov", mvhd(1000, 1000))
+    val truncated = good.take(40)
+    val df = Seq(
+      (1L, good), (2L, v1), (3L, noFtyp), (4L, truncated),
+      (5L, Array.fill[Byte](64)(7)))
+      .toDF("media_id", "payload")
+    val out = graft.operators.Multimodal.decodeVideoMeta(df)
+      .select("media_id", "decoded_video.*")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None
+         else Some((r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4),
+           r.getInt(5))))).toMap
+    // audio track (0x0) first: dims must come from the VIDEO track
+    assert(out(1L) === Some((1000, 90000L, 2, 640, 360)))
+    assert(out(2L) === Some((600, 2000L, 1, 1920, 1080)))
+    assert(out(3L) === None, "missing ftyp must not parse")
+    assert(out(4L) === None && out(5L) === None)
+  }
 }
