@@ -294,8 +294,43 @@ object Queries9 {
       .orderBy(col("doc_id"))
   }
 
+  /** Embedding near-dup with the LSH bucket as the computed blocking key
+    * (q34's blocked pairs without its prebuilt `label`): the oracle
+    * recomputes every sign bit from the same plane-weight literals (q47's
+    * convention) and the same in-order cosine folds. */
+  val q74LshNearDup: (String, QueryDef) = q(
+    "q74_lsh_neardup", {
+      def projSql(p: Int, e: String): String = {
+        val w = (0 until 64).map(d => java.lang.Double.toString(
+          Similarity.planeWeight(42, p, d))).mkString("[", ",", "]")
+        s"list_reduce(list_transform(generate_series(1, 64), i -> " +
+          s"CAST($e[i] AS DOUBLE) * ($w)[i]), (a, b) -> a + b)"
+      }
+      def dotRaw(x: String, y: String): String =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> " +
+          s"CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (a, b) -> a + b)"
+      val bucket = (0 until 8).map(p =>
+        s"(CASE WHEN ${projSql(p, "embedding")} > 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      val cosSql = s"${dotRaw("a.embedding", "c.embedding")} / " +
+        s"(SQRT(${dotRaw("a.embedding", "a.embedding")}) * " +
+        s"SQRT(${dotRaw("c.embedding", "c.embedding")}))"
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id1, c.vec_id AS id2, $cosSql AS cos
+         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |WHERE $cosSql >= 0.2
+         |ORDER BY id1, id2""".stripMargin
+    }) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    Similarity.lshNearDupPairs(t("embeddings"), "vec_id", "embedding",
+        minCos = 0.2, planes = 8, seed = 42, dims = 64)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q64Kmeans, q65SourceCap, q66EditDistance, q67Normalize, q68IvfTrained,
     q69CurationReport, q70Transitions, q71Cube, q72MovingAvg,
-    q73WeightedSample)
+    q73WeightedSample, q74LshNearDup)
 }

@@ -98,6 +98,29 @@ object Similarity {
       planes: Int = 8, seed: Int = 42, dims: Int = 64): DataFrame =
     emb.select(col(idCol), bucketCol(vecCol, planes, seed, dims).as("bucket"))
 
+  /** Embedding near-dup pairs with NO prebuilt blocking key: the LSH
+    * bucket IS the block — all-pairs exact cosine runs only within a
+    * bucket (the [[blockedPairs]] shape with a computed key). Candidate
+    * recall follows the hyperplane collision bound (1 - θ/π)^planes; pairs
+    * the planes separate are missed, which is the standard LSH trade —
+    * raise recall with fewer planes or a multi-table union, both knobs the
+    * caller owns.
+    *
+    * Scale: one projection computes buckets (no shuffle), one equi-join on
+    * the bucket (uniform signature key), O(collisions) exact cosines —
+    * never O(n²). */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, planes: Int = 8, seed: Int = 42, dims: Int = 64): DataFrame = {
+    val withB = emb.select(col(idCol), col(vecCol),
+      bucketCol(vecCol, planes, seed, dims).as("__bk"))
+    val a = withB.select(col("__bk"), col(idCol).as("id1"), col(vecCol).as("e1"))
+    val b = withB.select(col("__bk").as("__bk2"), col(idCol).as("id2"),
+      col(vecCol).as("e2"))
+    a.join(b, col("__bk") === col("__bk2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("e1"), col("e2")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** Approximate top-k by cosine for a set of query ids: `tables`
     * independent LSH signatures (seed offset per table); candidates are
     * vectors sharing a (table, bucket) with the query; exact cosine is
