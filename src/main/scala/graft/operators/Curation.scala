@@ -43,4 +43,33 @@ object Curation {
           col("ttr") >= minTtr && col("pii_total") === 0L)
       .drop("__fp")
   }
+
+  /** Exact score-band bucketing (decile/percentile assignment) without a
+    * global row sort. `NTILE`/`row_number` over the whole table would pull
+    * every row through one window task — the canonical scale-killer. This
+    * instead computes, per DISTINCT score value, how many rows score
+    * strictly higher, and assigns `bucket = (buckets · higher) div total`
+    * — integer arithmetic only, ties share a bucket (so boundaries shift
+    * by tie mass rather than splitting ties arbitrarily).
+    *
+    * The window runs over the distinct-value AGGREGATE (bounded by the
+    * score's value range, e.g. ≤ a few thousand for integer length
+    * scores), never over rows; the per-value cutoffs broadcast back onto
+    * the table. For unbounded-cardinality double scores, quantize the
+    * score into integer bands first.
+    */
+  def exactScoreBands(df: DataFrame, idCol: String, scoreCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val g = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = g.select(col(scoreCol),
+        coalesce(sum(col("__c")).over(w), lit(0L)).as("__higher"))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("__total"))))
+    df.select(col(idCol), col(scoreCol))
+      .join(broadcast(cum), Seq(scoreCol))
+      .select(col(idCol), col(scoreCol),
+        expr(s"($buckets * __higher) div __total").as("bucket"))
+  }
 }

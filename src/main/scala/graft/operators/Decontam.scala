@@ -50,6 +50,42 @@ object Decontam {
       .agg(count(lit(1)).as("overlap_ngrams"))
   }
 
+  /** [[overlapWithBenchmark]] for benchmarks too large to broadcast as a
+    * distinct n-gram set: a Bloom filter over the benchmark's n-gram
+    * hashes (a few MB even for billions of n-grams, vs GBs for the set
+    * itself) broadcasts and prunes the corpus side BEFORE the exact
+    * shuffle join, so the shuffle carries only probable hits (true
+    * overlaps + the fpp sliver). The trailing exact join re-verifies
+    * every survivor, so the OUTPUT is exactly [[overlapWithBenchmark]]'s
+    * — the Bloom can only prune, never alter results — and the same SQL
+    * oracle hash-checks it.
+    *
+    * The filter itself is built distributed (`stat.bloomFilter` runs a
+    * treeAggregate over the benchmark) and only the finished bit array
+    * lands on the driver for broadcast.
+    */
+  def overlapViaBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int, fpp: Double = 0.01): DataFrame = {
+    def hashed(df: DataFrame) = df.select(col(idCol),
+      explode(call_function("graft_shingle_hash",
+        split(col(textCol), " "), lit(n))).as("__ng"))
+    val benchNgrams = hashed(benchmark).select(col("__ng")).distinct()
+    val expected = math.max(benchNgrams.count(), 1L)
+    val bloom = benchNgrams.stat.bloomFilter("__ng", expected, fpp)
+    val spark = corpus.sparkSession
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    val benchIds = benchmark.select(col(idCol))
+    hashed(corpus)
+      .join(benchIds, Seq(idCol), "left_anti")
+      .filter(mightContain(col("__ng")))
+      // shuffle-hash, NOT broadcast: this operator exists for the regime
+      // where the benchmark n-gram set exceeds the broadcast budget
+      .join(benchNgrams.hint("shuffle_hash"), Seq("__ng"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("overlap_ngrams"))
+  }
+
   /** n-grams appearing in at least `minDocs` distinct documents, by
     * document frequency — the C4-style boilerplate report (navigation
     * chrome, license headers, templates). Per-doc n-grams are distinct

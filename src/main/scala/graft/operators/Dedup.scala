@@ -276,4 +276,55 @@ object Dedup {
       .select(col("id").as(idCol))
     docs.join(drops, Seq(idCol), "left_anti")
   }
+
+  /** Corpus-global exact chunk dedup — the paragraph-granularity exact
+    * substring pass (cf. "deduplicating training data" pipelines): split
+    * every document into consecutive `chunkTokens`-token chunks, keep only
+    * the globally FIRST occurrence of each distinct chunk (ordered by
+    * `(id, position)`), and reassemble each document from its surviving
+    * chunks in original order. Unlike [[Decontam.removeCommonUnits]]
+    * (drop units above a document-frequency threshold everywhere), this
+    * keeps one canonical copy of repeated material.
+    *
+    * Output: `(id, cleaned, n_kept, n_dropped)`; a document whose every
+    * chunk appeared earlier elsewhere comes back with `cleaned = ""`.
+    *
+    * Scale: first-occurrence discovery is `min(struct(id, pos))` grouped
+    * by chunk — partial-aggregatable, so a viral chunk's million
+    * occurrences reduce map-side and the shuffle carries one row per
+    * distinct chunk per input partition (no window over the raw
+    * occurrences, which would serialize hot chunks through one task).
+    * The join back on the chunk key and the per-document reassembly
+    * groupBy are the only other shuffles; the per-doc ordering sort is
+    * array_sort over that document's own chunks, never global.
+    */
+  def chunkDedupGlobal(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    val c = chunkTokens
+    require(c >= 1, "chunkTokens must be >= 1")
+    // size(tk) >= 1 always (split of "" is [""]), so the sequence upper
+    // bound ceil(size/c)-1 >= 0 and never triggers descending generation
+    val chunks = docs
+      .select(col(idCol), split(col(textCol), " ").as("tk"))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(tk) / $c.0) as int) - 1), " +
+          s"i -> array_join(slice(tk, i * $c + 1, $c), ' '))"))
+        .as(Seq("pos", "chunk")))
+    val first = chunks.groupBy(col("chunk"))
+      .agg(min(struct(col(idCol), col("pos"))).as("f"))
+    val kept = chunks.join(first, "chunk")
+      .filter(col(s"f.$idCol") === col(idCol) && col("f.pos") === col("pos"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          x => x.getField("chunk"))).as("cleaned"),
+        count(lit(1)).as("n_kept"))
+    chunks.groupBy(col(idCol)).agg(count(lit(1)).as("__n_chunks"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
 }

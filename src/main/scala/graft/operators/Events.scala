@@ -103,4 +103,44 @@ object Events {
     }
     out
   }
+
+  /** Interval (band) self-join: ordered pairs of events of the same user
+    * at most `windowSec` seconds apart, aggregated to the
+    * `(type₁, type₂)` co-occurrence matrix with gap extents. "Ordered"
+    * means `(ts, event_id)` of the first element is lexicographically
+    * smaller — each unordered pair counts exactly once.
+    *
+    * A naive formulation is a non-equi theta join, which Spark can only
+    * execute as a broadcast-nested-loop — O(n²) per user and a
+    * scale-killer. This instead blocks time into `windowSec` buckets and
+    * equi-joins on `(user, bucket)`: the left side duplicates each event
+    * into its own bucket and the next one, the right side keeps one row.
+    * Any pair within the window lands in exactly one of the two branches
+    * (s₂ ≥ s₁ forces b₂ ∈ {b₁, b₁+1}), so no dedup pass is needed; the
+    * exact window predicate then prunes the in-bucket false candidates.
+    * Cost: one 2× row duplication and one hash join keyed on
+    * `(user, bucket)` — uniform unless one user floods one minute, which
+    * AQE skew-split handles.
+    */
+  def intervalPairs(events: DataFrame, userCol: String, tsSecCol: String,
+      idCol: String, typeCol: String, windowSec: Long): DataFrame = {
+    require(windowSec >= 1, "windowSec must be >= 1")
+    val e = events.select(col(userCol), col(tsSecCol).cast(LongType).as("s"),
+      col(idCol).as("eid"), col(typeCol).as("etype"))
+    val left = e.select(col(userCol), col("s").as("s1"), col("eid").as("id1"),
+      col("etype").as("t1"),
+      explode(array(expr(s"s div $windowSec"), expr(s"s div $windowSec + 1")))
+        .as("jb"))
+    val right = e.select(col(userCol), col("s").as("s2"),
+      col("eid").as("id2"), col("etype").as("t2"),
+      expr(s"s div $windowSec").as("jb"))
+    val gap = col("s2") - col("s1")
+    left.join(right, Seq(userCol, "jb"))
+      .filter(gap >= 0 && gap <= windowSec &&
+        (col("s1") < col("s2") ||
+          (col("s1") === col("s2") && col("id1") < col("id2"))))
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(gap).as("min_gap"), max(gap).as("max_gap"))
+  }
 }
