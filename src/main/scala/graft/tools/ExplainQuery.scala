@@ -17,9 +17,13 @@ object ExplainQuery {
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.Queries.queries(name)(spark, dir)
     df.explain("formatted")
-    val t0 = System.nanoTime()
-    val n = df.collect().length
-    println(f"rows=$n elapsed=${(System.nanoTime() - t0) / 1e9}%.3f")
+    // run twice: first includes codegen/janino compile + scan-cache cold
+    // start, second is the steady-state cost a repeated query pays
+    for (pass <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = graft.Queries.queries(name)(spark, dir).collect().length
+      println(f"pass=$pass rows=$n elapsed=${(System.nanoTime() - t0) / 1e9}%.3f")
+    }
     spark.stop()
   }
 }
