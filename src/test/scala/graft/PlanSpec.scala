@@ -82,4 +82,42 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected key-window + final-sort exchanges, saw $exchanges")
     assert(p.contains("Window") || p.contains("RunningWindowFunction"))
   }
+
+  test("interval join plans as an equi-join, never a nested loop (q77)") {
+    val p = plan("q77_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the bucketed rewrite exists to avoid the theta-join nested loop")
+  }
+
+  test("bigram LM broadcasts the trained model onto the corpus (q75)") {
+    val p = plan("q75_bigram_lm")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocab-bounded model must broadcast; the corpus side must not shuffle for scoring")
+  }
+
+  test("score-band window runs over the distinct-value aggregate, not rows (q79)") {
+    // the single-partition window is fed by HashAggregate (distinct
+    // scores), never directly by the row scan
+    val p = plan("q79_score_deciles")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, "expected the cutoff window")
+    val below = p.substring(winIdx)
+    assert(below.contains("HashAggregate"),
+      "window input must be the distinct-score aggregate")
+    // and the row-side join of cutoffs is a broadcast, not a shuffle
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("bloom decontam: filter prunes before a shuffle join, output join is not broadcast (q78)") {
+    val p = plan("q78_bloom_decontam")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      "verify join must exercise the big-benchmark (non-broadcast) path")
+  }
+
+  test("chunk dedup discovers first-occurrences via partial aggregation, not a window (q76)") {
+    val p = plan("q76_chunk_dedup")
+    assert(!p.contains("RunningWindowFunction") &&
+      "Window\\b".r.findFirstIn(p).isEmpty,
+      "min(struct) discovery must partial-aggregate; a row window would serialize hot chunks")
+  }
 }
