@@ -150,7 +150,30 @@ object Queries10 {
         .orderBy(col("doc_id"))
   }
 
+  /** Exact per-group Pearson correlation from decimal moment sums — the
+    * order-independent form of `corr` (whose double accumulator is
+    * merge-order-dependent and could never hash-check). */
+  val q80Correlation: (String, QueryDef) = q(
+    "q80_correlation",
+    """WITH s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  ROUND((n * sxy - sx * sy) /
+      |    (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr_xy
+      |FROM s ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.core.Stats.pearson(t("lineitem"), "l_returnflag",
+        "l_quantity", "l_extendedprice")
+      .orderBy(col("l_returnflag"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q75BigramLm, q76ChunkDedup, q77IntervalJoin, q78BloomDecontam,
-    q79ScoreDeciles)
+    q79ScoreDeciles, q80Correlation)
 }

@@ -43,4 +43,33 @@ object Stats {
         round(col("msw"), 6).as("msw"),
         round(col("msb") / (col("msb") + col("msw")), 6).as("icc"))
   }
+
+  /** Exact per-group Pearson correlation of two numeric columns. Built on
+    * the same exact-decimal-sum discipline as [[icc]]: the five cross-row
+    * sums (Σx, Σy, Σxy, Σx², Σy²) accumulate as DECIMAL (order-independent
+    * under any partitioning), then the moment formula
+    * `(n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²) · √(n·Σy² − Σy²))` runs as a fixed
+    * sequence of IEEE ops — reproducible bit-for-bit by a SQL oracle,
+    * unlike built-in `corr` whose running double accumulation is
+    * merge-order-dependent. One shuffle (the groupBy), partials combined
+    * map-side. Outputs ROUND(·, 6): the per-value double→decimal rounding
+    * can differ from an engine using exact binary scaling at ~1e-13
+    * relative.
+    */
+  def pearson(df: DataFrame, groupCol: String, xCol: String, yCol: String,
+      scale: Int = 6): DataFrame = {
+    def d(c: Column, s: Int) = sum(c.cast(DecimalType(38, s))).cast(DoubleType)
+    val x = col(xCol).cast(DoubleType)
+    val y = col(yCol).cast(DoubleType)
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        d(x, scale).as("sx"), d(y, scale).as("sy"),
+        d(x * y, scale * 2).as("sxy"),
+        d(x * x, scale * 2).as("sxx"), d(y * y, scale * 2).as("syy"))
+      .select(col(groupCol), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("corr_xy"))
+  }
 }

@@ -120,6 +120,43 @@ object Streams {
       .withWatermark("__ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming decontamination: per incoming document, count distinct
+    * n-grams shared with a STATIC benchmark set — the stream-static join
+    * form of [[graft.operators.Decontam.overlapWithBenchmark]], for
+    * quarantining eval-set overlap at ingest time instead of in a batch
+    * sweep. The benchmark side is a bounded static table, so Spark plans
+    * a stateless per-micro-batch join (no streaming state at all);
+    * with the benchmark hash set broadcast, each micro-batch is one
+    * map-side pass. Uses the SAME `graft_shingle_hash` n-gram hashing as
+    * the batch operator, so batch backfill and live tail agree on what
+    * counts as contamination.
+    */
+  def decontamStream(
+      docs: DataFrame,        // streaming: (id, ts, text, ...)
+      benchmark: DataFrame,   // static: (id, text, ...)
+      idCol: String,
+      tsCol: String,          // epoch-seconds ingest time
+      textCol: String,
+      n: Int,
+      watermark: String = "1 hour"): DataFrame = {
+    val benchNgrams = benchmark
+      .select(explode(call_function("graft_shingle_hash",
+        split(col(textCol), " "), lit(n))).as("__ng"))
+      .distinct()
+    docs
+      .withColumn("__ts", timestamp_seconds(col(tsCol).cast(LongType)))
+      .withWatermark("__ts", watermark)
+      .select(col(idCol), col("__ts"),
+        explode(call_function("graft_shingle_hash",
+          split(col(textCol), " "), lit(n))).as("__ng"))
+      .join(broadcast(benchNgrams), Seq("__ng"))
+      // watermarked window bounds the aggregation state (a doc's n-grams
+      // all carry its own ingest ts, so each doc lands in one window)
+      .groupBy(window(col("__ts"), watermark), col(idCol))
+      .agg(count(lit(1)).as("overlap_ngrams"))
+      .select(col(idCol), col("overlap_ngrams"))
+  }
+
   /** Streaming per-key quota cap: admit the first `k` rows of each key in
     * ARRIVAL order — the incremental twin of
     * [[graft.operators.Sampling.quotaCap]]. Semantics differ by necessity

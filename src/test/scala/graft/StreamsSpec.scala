@@ -108,6 +108,36 @@ class StreamsSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 3L)) // dup doc 2 dropped
   }
 
+  test("streaming decontam matches the batch overlap counts (stream-static join)") {
+    implicit val sq = spark.sqlContext
+    val bench = Seq((100L, "alpha beta gamma delta"), (101L, "one two three four"))
+      .toDF("doc_id", "text")
+    val docRows = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares 3-grams with bench
+      (2L, "zero one two three four five"),   // shares with bench doc 101
+      (3L, "nothing in common here at all"))  // no overlap -> absent
+    val base = 1700000000L
+    val mem = MemoryStream[(Long, Long, String)]
+    mem.addData(docRows.map { case (id, t) => (id, base, t) }: _*)
+    val streamDf = mem.toDF().toDF("doc_id", "ts_sec", "text")
+    val out = Streams.decontamStream(streamDf, bench, "doc_id", "ts_sec",
+      "text", n = 3)
+    val q = out.writeStream.format("memory").queryName("sdecon")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    // append mode emits a window only once the watermark passes its end:
+    // push a far-future row (no benchmark overlap) to advance the watermark
+    mem.addData((99L, base + 100000L, "watermark flush row"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sdecon").as[(Long, Long)].collect().toMap
+    val expected = graft.operators.Decontam.overlapWithBenchmark(
+        docRows.toDF("doc_id", "text"), bench, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    assert(expected.keySet === Set(1L, 2L)) // doc 3 absent from both
+  }
+
   test("streaming quota cap admits first k per key across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(String, Long)]
