@@ -72,4 +72,26 @@ object Stats {
             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
           .as("corr_xy"))
   }
+
+  /** Exact per-group lower median of an integer-valued column — the
+    * smallest value `v` in the group with `2·|{x ≤ v}| ≥ n`. No
+    * interpolation (so no cross-engine float risk) and no per-row window:
+    * the cumulative count runs over DISTINCT (group, value) pairs (the
+    * same distinct-value-window trick as
+    * [[graft.operators.Curation.exactScoreBands]]), then one
+    * partial-aggregatable `min` picks the crossing value. Two shuffles,
+    * both keyed on the group; value-skew is absorbed by the pre-aggregate.
+    */
+  def groupedMedian(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    g.withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(wn))
+      .filter(col("__cum") * 2 >= col("__n"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n"), min(col(valueCol)).as("median"))
+  }
 }

@@ -296,4 +296,31 @@ object Similarity {
     emb.select(col(idCol),
       ivfClusterCol(kmeansFit(emb, idCol, vecCol, nClusters, iters), vecCol)
         .as("cluster"))
+
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the `k` most cosine-similar vectors with a DIFFERENT label — similar
+    * enough to be hard, labeled differently so they are negatives.
+    *
+    * Shape: the query vectors broadcast (queries are a tiny slice of the
+    * corpus), one corpus scan scores every (query, candidate) with the
+    * fused `graft_dot` cosine, the label inequality prunes in the same
+    * pass, and per-query top-k is a window over the query key — |Q| tasks,
+    * each ranking its own candidate stream. For query sets too large to
+    * broadcast, run [[annTopK]]'s bucketed candidate generation first and
+    * rescore; this exact form is the recall-1.0 baseline.
+    */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+        col(labelCol).as("__qlabel"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol))
+    emb.join(broadcast(q), col(labelCol) =!= col("__qlabel"))
+      .select(col("qid"), col(idCol), col(labelCol),
+        cosine(col(vecCol), col("__qv")).as("sim"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

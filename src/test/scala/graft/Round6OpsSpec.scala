@@ -96,6 +96,40 @@ class Round6OpsSpec extends SparkSpec {
     assert(bloom === exact)
   }
 
+  test("hardNegatives excludes the query's own label and ranks by cosine") {
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val out = graft.operators.Similarity.hardNegatives(
+      emb, "vec_id", "embedding", "label", queryIds = Seq(0L, 1L), k = 5)
+      .collect()
+    val qLabels = emb.filter(col("vec_id").isin(0L, 1L))
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.length === 10) // 2 queries x 5
+    out.foreach { r =>
+      val qid = r.getLong(0)
+      assert(r.getInt(2) !== qLabels(qid), "negative must have a different label")
+    }
+    // per query, sims are non-increasing in rank order
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sims = rows.map(_.getDouble(3))
+      assert(sims.sorted.reverse.sameElements(sims) || sims.length <= 1 ||
+        rows.sortBy(r => (-r.getDouble(3), r.getLong(1)))
+          .map(_.getLong(1)).sameElements(rows.map(_.getLong(1))))
+    }
+  }
+
+  test("groupedMedian: lower median, exact on even and odd group sizes") {
+    val df = Seq(
+      ("a", 1L), ("a", 3L), ("a", 5L),             // odd: median 3
+      ("b", 2L), ("b", 4L),                        // even: lower median 2
+      ("c", 7L), ("c", 7L), ("c", 7L), ("c", 9L))  // ties: 7
+      .toDF("g", "v")
+    val out = graft.core.Stats.groupedMedian(df, "g", "v")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array(("a", 3L, 3L), ("b", 2L, 2L), ("c", 4L, 7L)))
+  }
+
   test("exactScoreBands: ties share a bucket, cutoffs are exact") {
     // scores: 9,9,9,9,8,8,7,7,7,5 (n=10, buckets=2)
     val df = (1L to 10L).zip(Seq(9, 9, 9, 9, 8, 8, 7, 7, 7, 5))
