@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Bucketing
+
+/** Catalog entries: round-7 additions — prefix-filtered exact set-similarity
+  * join, z-order layout keys, char-entropy quality, semantic dedup, exact
+  * heavy hitters.
+  */
+object Queries12 {
+
+  private def t(name: String)(implicit env: (SparkSession, String)): DataFrame =
+    if (name == "events") Tables.events(env._1, env._2)
+    else Tables.load(env._1, env._2, name)
+
+  private def q(name: String, sql: String = null)(
+      body: (SparkSession, String) => DataFrame): (String, QueryDef) =
+    name -> QueryDef(body, Option(sql))
+
+  /** Exact Jaccard self-join via prefix filtering ([[Dedup.setSimJoin]]) —
+    * the AllPairs/PPJoin candidate scheme. The oracle IS the brute-force
+    * all-pairs join: the prefix filter must lose nothing. */
+  val q85SetSimJoin: (String, QueryDef) = q(
+    "q85_setsim_join",
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tk AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(w) - 2),
+      |    i -> array_to_string(w[i:i+2], ' '))) AS tk
+      |  FROM w),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |    CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+      |      (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) AS jaccard
+      |  FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+      |  WHERE len(a.tk) > 0 AND len(b.tk) > 0)
+      |SELECT d1, d2, jaccard FROM pairs WHERE jaccard >= 0.6
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    Dedup.setSimJoin(t("documents"), "doc_id", "text", minJaccard = 0.6,
+        shingle = 3)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Z-order (Morton) key distribution over two bounded dimensions
+    * ([[Bucketing.zorder2]]): the multi-dimensional clustering key for
+    * layout-level data skipping, verified bit-for-bit against the
+    * oracle's integer interleave. */
+  val q86Zorder: (String, QueryDef) = q(
+    "q86_zorder",
+    """WITH z AS (
+      |  SELECT CAST(list_sum(list_transform(generate_series(0, 7), i ->
+      |    ((((l_partkey % 256) >> i) & 1) << (2*i)) +
+      |    ((((l_suppkey % 256) >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zv
+      |  FROM lineitem)
+      |SELECT zv, COUNT(*) AS n FROM z GROUP BY zv ORDER BY zv""".stripMargin) {
+    (s, dir) =>
+      implicit val env: (SparkSession, String) = (s, dir)
+      t("lineitem")
+        .select(Bucketing.zorder2(pmod(col("l_partkey"), lit(256)),
+          pmod(col("l_suppkey"), lit(256)), bits = 8).as("zv"))
+        .groupBy(col("zv")).agg(count(lit(1)).as("n"))
+        .orderBy(col("zv"))
+  }
+
+  /** Per-document character entropy ([[TextAnalysis.charEntropy]], native
+    * one-pass expression). Terms accumulate in code-point order — the
+    * oracle folds a sorted character list in the same order; ROUND(.,6)
+    * absorbs the log2 ulp (q45 convention). */
+  val q87CharEntropy: (String, QueryDef) = q(
+    "q87_char_entropy",
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      |cc AS (
+      |  SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS cnt
+      |  FROM ch GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT doc_id, SUM(cnt) AS n,
+      |    list_sort(list(struct_pack(c := c, cnt := cnt))) AS l
+      |  FROM cc GROUP BY 1)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+      |  ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(l, s -> -(s.cnt / n) * log2(s.cnt / n))),
+      |    (a, b) -> a + b), 6) AS entropy
+      |FROM tot ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    t("documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        round(TextAnalysis.charEntropy(col("text")), 6).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Semantic dedup verdict ([[Similarity.semanticDedup]]): cluster
+    * assignment + within-cluster cosine drop rule, every stage replicated
+    * in the oracle (assignment = q52's argmax CTE; pairs = exact cosine
+    * folds; verdict = EXISTS). */
+  val q88SemanticDedup: (String, QueryDef) = q(
+    "q88_semantic_dedup", {
+      def dotSql(a: String, b: String): String =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> " +
+          s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |sims AS (
+         |  SELECT e.vec_id, c.cid, ${dotSql("e.embedding", "c.cv")} AS sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+         |    FROM sims) WHERE rk = 1),
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE ${dotSql("ea.embedding", "eb.embedding")} /
+         |    (SQRT(${dotSql("ea.embedding", "ea.embedding")}) *
+         |     SQRT(${dotSql("eb.embedding", "eb.embedding")})) >= 0.92)
+         |SELECT a.vec_id, a.cid AS cluster,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dropped
+         |FROM assigned a LEFT JOIN drops d ON d.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin
+    }) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    Similarity.semanticDedup(t("embeddings"), "vec_id", "embedding",
+        nClusters = 16, minCos = 0.92)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Exact top-10 tokens per language ([[TextAnalysis.heavyHitters]],
+    * two-phase skew-safe top-k). The Misra-Gries sketch
+    * ([[graft.functions.FreqSketch]]) is the bounded-memory sibling,
+    * spec-verified by its error bound rather than a value hash. */
+  val q89HeavyHitters: (String, QueryDef) = q(
+    "q89_heavy_hitters",
+    """WITH tk AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+      |c AS (SELECT lang, token, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
+      |r AS (
+      |  SELECT lang, token, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rk
+      |  FROM c)
+      |SELECT lang, token, cnt FROM r WHERE rk <= 10
+      |ORDER BY lang, cnt DESC, token""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    TextAnalysis.heavyHitters(t("documents"), "lang", "text", k = 10)
+      .orderBy(col("lang"), col("cnt").desc, col("token"))
+  }
+
+  val catalog: Seq[(String, QueryDef)] = Seq(
+    q85SetSimJoin, q86Zorder, q87CharEntropy, q88SemanticDedup, q89HeavyHitters)
+}

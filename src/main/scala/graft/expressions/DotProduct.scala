@@ -184,6 +184,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children(1).eval().asInstanceOf[Number].intValue()
         else 3)))
     ext.injectFunction((
+      FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[GraftCharEntropy].getName, "graft_char_entropy"),
+      (children: Seq[Expression]) => GraftCharEntropy(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_dsum"),
       new ExpressionInfo(classOf[GraftDecimalSum].getName, "graft_dsum"),
       (children: Seq[Expression]) => GraftDecimalSum(children(0),

@@ -146,3 +146,65 @@ case class GraftShingles(child: Expression, n: Int = 3) extends UnaryExpression 
   override protected def withNewChildInternal(newChild: Expression): GraftShingles =
     copy(child = newChild)
 }
+
+/** Shannon entropy (bits/char) of a string's code-point distribution in
+  * ONE row-local pass — the character-diversity quality signal (gibberish
+  * and binary-ish text score near-uniform high; template/repetitive text
+  * scores low). The composed formulation (explode per character → two
+  * groupBys → join) shuffles a corpus-sized per-character stream for a
+  * signal that never leaves the row; this is zero-shuffle and fuses into
+  * the scan.
+  *
+  * Determinism contract: terms `-(c/n)·log2(c/n)` are accumulated in
+  * ASCENDING code-point order, so the IEEE sum is partition-independent
+  * and reproducible against an oracle folding a sorted character list in
+  * the same order (UTF-8 byte order == code-point order). log2 is the one
+  * transcendental — engines may differ in the last ulp, so catalog
+  * comparisons round to 6 decimals (the q45 convention).
+  */
+case class GraftCharEntropy(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_char_entropy expects string, got ${t.sql}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_char_entropy"
+
+  override protected def nullSafeEval(s: Any): Any =
+    compute(s.asInstanceOf[UTF8String])
+
+  private val Log2 = math.log(2.0)
+
+  def compute(s: UTF8String): Double = {
+    val str = s.toString
+    if (str.isEmpty) return 0.0
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var sum = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      sum += -p * (math.log(p) / Log2)
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCharEntropy", this,
+      classOf[GraftCharEntropy].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.compute($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftCharEntropy =
+    copy(child = newChild)
+}

@@ -277,6 +277,75 @@ object Dedup {
     docs.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Exact Jaccard-threshold set-similarity self-join WITHOUT LSH — the
+    * prefix-filtering (AllPairs/PPJoin-family) algorithm: a pair can reach
+    * Jaccard ≥ t only if it shares at least one token in each side's
+    * PREFIX, where the prefix holds the globally RAREST
+    * `|set| - ceil(t·|set|) + 1` tokens of the set under a
+    * document-frequency ordering. Candidates come from an equi-join on
+    * prefix tokens; exact Jaccard verifies every candidate, so the output
+    * is exactly the brute-force all-pairs result (the oracle IS the brute
+    * force) with none of MinHash-LSH's probabilistic recall.
+    *
+    * Scale shape: document frequency is one shuffle on the token (uniform
+    * key space); the per-doc frequency sort is local (each doc sorts its
+    * own tokens); the candidate join keys on PREFIX tokens — by
+    * construction the rarest tokens in each document, so stopwords never
+    * become join keys and the candidate count stays near the true pair
+    * count; verification touches candidates only. Both completeness
+    * bounds (prefix length, size-ratio prune) take a 1e-9 slack so double
+    * rounding can only ADD candidates, never drop a boundary pair —
+    * exactness lives in the verify stage.
+    *
+    * Complements [[lshCandidates]]: LSH scales to lower thresholds but
+    * misses pairs probabilistically; prefix filtering is exact and
+    * shines at high thresholds (t ≥ ~0.5) where prefixes are short.
+    */
+  def setSimJoin(docs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double, shingle: Int = 3): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1, "minJaccard must be in (0,1]")
+    val t = minJaccard
+    // the SET is the distinct `shingle`-gram set (shingle=1: distinct
+    // unigrams). One fused native pass builds it; docs too short for a
+    // single shingle get the empty set and can never pair.
+    val tokens = docs.select(col(idCol).as("__id"),
+      call_function("graft_shingles", split(col(textCol), " "), lit(shingle))
+        .as("tk"))
+    val toks = tokens.select(col("__id"), size(col("tk")).as("s"),
+      explode(col("tk")).as("tok"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+    // per-doc tokens ordered rarest-first (df asc, token asc): local sort
+    // of each doc's own tokens after the df join
+    val sorted = toks.join(dfreq, "tok")
+      .groupBy(col("__id"), col("s"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("tok")))).as("st"))
+    // prefix length p = s - ceil(t*s) + 1; the -1e-9 makes ceil round DOWN
+    // on exact integer boundaries under double error (longer prefix = safe)
+    val p = (col("s") - ceil(col("s") * t - 1e-9) + 1).cast("int")
+    val prefix = sorted.select(col("__id"), col("s"),
+      explode(slice(col("st"), lit(1), p)).as("pt"))
+      .select(col("__id"), col("s"), col("pt.tok").as("tok"))
+    val lhs = prefix.select(col("tok"), col("__id").as("d1"), col("s").as("s1"))
+    val rhs = prefix.select(col("tok").as("tok2"), col("__id").as("d2"),
+      col("s").as("s2"))
+    // J >= t forces t*max(s1,s2) <= min(s1,s2); slack keeps the prune safe
+    val cands = lhs.join(rhs, col("tok") === col("tok2") &&
+        col("d1") < col("d2") &&
+        col("s2").cast("double") >= col("s1") * t - 1e-9 &&
+        col("s1").cast("double") >= col("s2") * t - 1e-9)
+      .select(col("d1"), col("d2")).distinct()
+    val x = tokens.select(col("__id").as("xid"), col("tk").as("tk1"))
+    val y = tokens.select(col("__id").as("yid"), col("tk").as("tk2"))
+    val inter = size(array_intersect(col("tk1"), col("tk2")))
+    val uni = size(col("tk1")) + size(col("tk2")) - inter
+    cands
+      .join(x, col("xid") === col("d1"))
+      .join(y, col("yid") === col("d2"))
+      .select(col("d1"), col("d2"),
+        (inter.cast("double") / uni).as("jaccard"))
+      .filter(col("jaccard") >= t)
+  }
+
   /** Corpus-global exact chunk dedup — the paragraph-granularity exact
     * substring pass (cf. "deduplicating training data" pipelines): split
     * every document into consecutive `chunkTokens`-token chunks, keep only

@@ -297,6 +297,49 @@ object Similarity {
       ivfClusterCol(kmeansFit(emb, idCol, vecCol, nClusters, iters), vecCol)
         .as("cluster"))
 
+  /** Semantic deduplication (SemDeDup-style): cluster the embedding space
+    * with the IVF codebook, then WITHIN each cluster drop every vector
+    * that is cosine-similar (≥ `minCos`) to a lower-id vector — duplicates
+    * in meaning, not bytes (translations, paraphrases, re-crawls survive
+    * exact and MinHash dedup; they land in the same embedding
+    * neighborhood). Returns `(id, cluster, dropped)` for the whole corpus.
+    *
+    * The cluster is the blocking key: all-pairs cosine runs per cluster,
+    * never corpus-wide — the [[blockedPairs]] shape with a learned
+    * (or seeded) partition. Cross-cluster near-duplicates are missed by
+    * construction (the standard SemDeDup trade: the codebook IS the
+    * candidate blocking; raise nClusters for tighter clusters, lower for
+    * higher recall). The keep-lowest-id rule is single-pass — a drop
+    * decision needs only "some smaller-id similar vector exists", not the
+    * transitive closure ([[Dedup.connectedComponents]] exists when full
+    * closure semantics are wanted).
+    *
+    * Scale: assignment is a shuffle-free broadcast-codebook projection;
+    * the pair join keys on the cluster id; per-cluster pair count is
+    * O(avg cluster size) per row, the quantity nClusters controls. One
+    * distinct + one left join on uniformly-hashed ids finish the verdict.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16, minCos: Double = 0.99, trainIters: Int = 0): DataFrame = {
+    val cents =
+      if (trainIters > 0) kmeansFit(emb, idCol, vecCol, nClusters, trainIters)
+      else seedCentroids(emb, idCol, vecCol, nClusters)
+    val assigned = emb.select(col(idCol), col(vecCol),
+      ivfClusterCol(cents, vecCol).as("cluster"))
+    val a = assigned.select(col("cluster").as("__c1"), col(idCol).as("id1"),
+      col(vecCol).as("e1"))
+    val b = assigned.select(col("cluster").as("__c2"), col(idCol).as("id2"),
+      col(vecCol).as("e2"))
+    val drops = a.join(b, col("__c1") === col("__c2") && col("id1") < col("id2"))
+      .filter(cosine(col("e1"), col("e2")) >= minCos)
+      .select(col("id2").as(idCol)).distinct()
+      .withColumn("__dropped", lit(1L))
+    assigned.select(col(idCol), col("cluster"))
+      .join(drops, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("__dropped"), lit(0L)).as("dropped"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query vector,
     * the `k` most cosine-similar vectors with a DIFFERENT label — similar
     * enough to be hard, labeled differently so they are negatives.

@@ -158,6 +158,32 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** Character-entropy quality signal: Shannon entropy (bits/char) of the
+    * code-point distribution, via the native one-pass `graft_char_entropy`
+    * expression — row-local, zero shuffle, fuses into the scan. Low
+    * entropy flags template/repetitive text; near-maximal entropy flags
+    * gibberish/binary spill. */
+  def charEntropy(textCol: Column): Column =
+    call_function("graft_char_entropy", textCol)
+
+  /** Exact top-`k` tokens per group by frequency (ties broken by token
+    * asc) — the corpus-vocabulary report. The count aggregation
+    * partial-aggregates map-side; the top-k runs through the two-phase
+    * skew-safe cap ([[Sampling.quotaCapTwoPhase]]), so a group with a
+    * pathological vocabulary never serializes one sort task. For
+    * summaries that must stay bounded-memory per group regardless of
+    * vocabulary size, [[graft.functions.FreqSketch]] is the sketch path
+    * with the same report shape. */
+  def heavyHitters(docs: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val counts = docs
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.operators.Sampling.quotaCapTwoPhase(counts, groupCol,
+      Seq(col("cnt").desc, col("token")), k, col("token"))
+  }
+
   /** Convenience: append all text stats to a documents DataFrame. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

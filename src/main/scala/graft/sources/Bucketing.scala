@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bucketed-table layout for co-located joins — the storage-level answer
   * to the one shuffle Catalyst cannot remove: a big⋈big equi-join on a
@@ -44,4 +45,55 @@ object Bucketing {
     * layout guarantee and re-shuffle on join). */
   def readBucketed(spark: SparkSession, name: String): DataFrame =
     spark.table(name)
+
+  /** Z-order (Morton) interleave of two non-negative integer columns,
+    * `bits` bits each: bit `i` of `x` lands at bit `2i`, bit `i` of `y`
+    * at `2i+1`. A contiguous z-range maps to an axis-aligned tile in
+    * (x, y) space — sorting by z clusters BOTH dimensions at once, which
+    * is what makes it a layout key (single-column sorting clusters one
+    * dimension and scatters the other).
+    *
+    * Pure bit arithmetic over built-in expressions (shift/and/sum) — runs
+    * fused inside whole-stage codegen, engine-portable, no UDF.
+    */
+  def zorder2(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Write `df` parquet with rows CLUSTERED on the z-order curve of
+    * (`xCol`, `yCol`): range-partition on the z-value, sort within each
+    * partition by it. Every output file then covers a narrow tile of BOTH
+    * dimensions, so parquet min/max row-group stats prune scans filtered
+    * on EITHER column — the multi-dimensional data-skipping layout
+    * (single-key sorting only prunes its own column). At 100 TB this is
+    * the difference between "point query on (x, y) reads a few files" and
+    * "reads everything that matches the first sort key".
+    *
+    * The two columns are normalized into `[0, 2^bits)` by their own
+    * min/max extents (one tiny agg job), so skew in raw value ranges does
+    * not collapse the curve.
+    */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+      partitions: Int, bits: Int = 16): Unit = {
+    val r = df.agg(min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
+      min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).collect()(0)
+    val (xmin, xmax, ymin, ymax) = (r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3))
+    val span = (1L << bits) - 1
+    def norm(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(span), floor((c.cast("double") - lo) / (hi - lo) * span)
+        .cast("long"))
+    val z = zorder2(norm(col(xCol), xmin, xmax), norm(col(yCol), ymin, ymax),
+      bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

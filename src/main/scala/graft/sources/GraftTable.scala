@@ -470,7 +470,49 @@ class GraftTable(spark: SparkSession, root: String) {
 
   /** Append records to the ingest log (one parquet dir per call) and merge
     * ONLY the batch's stats into the sidecar — O(batch), no table rescan. */
-  def ingest(df: DataFrame): Unit = {
+  def ingest(df: DataFrame): Unit =
+    ingestWithId(df, java.util.UUID.randomUUID().toString)
+
+  /** Exactly-once ingest for replayed writers (Structured Streaming
+    * `foreachBatch` re-runs a batch whose checkpoint commit didn't land):
+    * the segment id derives from `token`, and a token ledger records
+    * completed appends, so replaying the same token is a no-op. Returns
+    * true when the batch was ingested, false when it was already present.
+    *
+    * Ordering: publish the segment (atomic rename), THEN append the
+    * ledger. A crash between the two replays into the dir-exists branch,
+    * which completes the ledger without re-writing data; a crash before
+    * the rename leaves only an invisible `.tmp-` dir that the retry
+    * clears. The one unprotected window: if a DIGEST consumes the
+    * published segment before the replay runs, the dir is gone and the
+    * ledger unwritten, so the replay re-ingests — don't run digest between
+    * a writer crash and its recovery (the streaming digest loop
+    * sequences digests after the drain for exactly this reason).
+    */
+  def ingestIdempotent(df: DataFrame, token: String): Boolean = {
+    val id = "tok-" + md5Hex(token)
+    val ledger = rootP.resolve("stream_tokens.log")
+    val seen: Set[String] =
+      if (Files.exists(ledger)) Files.readAllLines(ledger).asScala.toSet
+      else Set.empty
+    if (seen.contains(id)) return false
+    if (!Files.exists(ingestP.resolve(id))) {
+      Try(deleteRecursively(ingestP.resolve(s".tmp-$id"))) // crashed attempt
+      ingestWithId(df, id)
+    }
+    // dir already present without a ledger line = crash after rename;
+    // the data is in, only the ledger append remained
+    Files.writeString(ledger, id + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    true
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def ingestWithId(df: DataFrame, id: String): Unit = {
     val clean = checkSchema(df)
     if (clean.schema.isEmpty) {
       // every column conflicted — the reference drops the fields but keeps
@@ -486,7 +528,6 @@ class GraftTable(spark: SparkSession, root: String) {
     // Stats are computed on the tmp dir BEFORE the rename: once published,
     // a concurrent digest may consume and delete the dir at any moment,
     // and a post-rename stats job would race it.
-    val id = java.util.UUID.randomUUID().toString
     val tmp = ingestP.resolve(s".tmp-$id")
     clean.write.mode(SaveMode.ErrorIfExists).parquet(tmp.toString)
     // reading the dot-dir logs a spurious "All paths were ignored" WARN

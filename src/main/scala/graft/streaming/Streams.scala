@@ -186,6 +186,13 @@ object Streams {
     * with `Trigger.AvailableNow` — the reference's `sybil digest` cycle
     * (table_ingest.go:287-331) as an incremental job with checkpointed
     * progress instead of file locks.
+    *
+    * Exactly-once: `foreachBatch` re-runs a batch whose checkpoint commit
+    * didn't land, so the append goes through
+    * [[GraftTable.ingestIdempotent]] keyed on (checkpoint, batchId) — a
+    * replayed batch is a no-op instead of a duplicate segment. The digest
+    * runs AFTER the drain completes (never between a crash and its
+    * replay), which is the ordering the idempotency contract needs.
     */
   def digestStream(
       spark: SparkSession,
@@ -199,11 +206,31 @@ object Streams {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) table.ingest(batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          table.ingestIdempotent(batch, s"$checkpoint#$batchId"); ()
+        }
       }
       .start()
     q.awaitTermination()
     table.digest()
   }
+
+  /** Continuous table writer: append every micro-batch of `stream` to a
+    * [[GraftTable]], exactly-once under replays (idempotent token =
+    * (checkpoint, batchId)). Returns the running query — callers own its
+    * lifecycle and when to `digest()` (compaction must not interleave with
+    * a crashed-but-unreplayed batch; see [[GraftTable.ingestIdempotent]]).
+    */
+  def writeToTable(stream: DataFrame, table: GraftTable,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          table.ingestIdempotent(batch, s"$checkpoint#$batchId"); ()
+        }
+      }
+      .start()
 }

@@ -411,4 +411,29 @@ class IngestSpec extends SparkSpec {
     val r = df.orderBy("name").collect()
     assert(r(0).getAs[Long]("score") === 9)
   }
+
+  test("ingestIdempotent: replaying a token is a no-op; ledger completes after a crash") {
+    import spark.implicits._
+    val root = tmpDir("graft-idem")
+    val t = new GraftTable(spark, root)
+    val batch = (0 until 50).map(i => (i.toLong, s"u$i")).toDF("id", "user")
+
+    assert(t.ingestIdempotent(batch, "ckpt#0"))
+    assert(!t.ingestIdempotent(batch, "ckpt#0")) // replay: no-op
+    assert(t.read(readLog = true).count() === 50)
+    assert(t.info().rowCount === 50)
+
+    assert(t.ingestIdempotent(batch, "ckpt#1")) // new batch appends
+    assert(t.read(readLog = true).count() === 100)
+
+    // crash window: segment published but ledger append lost — the replay
+    // must complete the ledger WITHOUT re-ingesting
+    val ledger = java.nio.file.Paths.get(root, "stream_tokens.log")
+    val lines = Files.readAllLines(ledger)
+    Files.writeString(ledger, lines.get(0) + "\n") // drop ckpt#1's line
+    assert(t.ingestIdempotent(batch, "ckpt#1"))    // "ingested" (completes ledger)
+    assert(t.read(readLog = true).count() === 100) // but no duplicate rows
+    assert(!t.ingestIdempotent(batch, "ckpt#1"))   // now recorded
+    assert(Files.readAllLines(ledger).size === 2)
+  }
 }

@@ -171,4 +171,26 @@ class StreamsSpec extends SparkSpec {
     assert(table.read().count() === 150)
     assert(table.info().rowCount === 150)
   }
+
+  test("writeToTable appends micro-batches exactly-once into a GraftTable") {
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("graft-w2t-ckpt").toString
+    val root = Files.createTempDirectory("graft-w2t-table").toString
+    val table = new GraftTable(spark, root)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.writeToTable(mem.toDF().toDF("id", "k"), table, ckpt)
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    assert(table.read(readLog = true).count() === 2)
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    assert(table.read(readLog = true).count() === 3)
+    // a foreachBatch replay of an already-committed batch is a no-op:
+    // batch 0's token is in the ledger
+    assert(!table.ingestIdempotent(Seq((1L, "a"), (2L, "b")).toDF("id", "k"),
+      s"$ckpt#0"))
+    assert(table.read(readLog = true).count() === 3)
+  }
 }
