@@ -154,6 +154,46 @@ object Queries12 {
       .orderBy(col("lang"), col("cnt").desc, col("token"))
   }
 
+  /** Hourly cumulative distinct users via the first-seen rewrite
+    * ([[graft.operators.Events.cumulativeDistinct]]) — no running
+    * distinct state; the window runs over buckets, not rows. */
+  val q90CumulativeDistinct: (String, QueryDef) = q(
+    "q90_cumulative_users",
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000000000 AS s FROM events),
+      |fs AS (
+      |  SELECT user_id, MIN((s // 3600) * 3600) AS bucket
+      |  FROM e GROUP BY 1),
+      |nb AS (SELECT bucket, COUNT(*) AS new_users FROM fs GROUP BY 1)
+      |SELECT bucket, new_users,
+      |  SUM(new_users) OVER (ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+      |FROM nb ORDER BY bucket""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.operators.Events.cumulativeDistinct(t("events"), "user_id", "ts_sec",
+        bucketSecs = 3600L)
+      .orderBy(col("bucket"))
+  }
+
+  /** Cohort retention triangle ([[graft.operators.Events.cohortRetention]]):
+    * first-seen day cohorts × active days, distinct users per cell. */
+  val q91CohortRetention: (String, QueryDef) = q(
+    "q91_cohort_retention",
+    """WITH e AS (
+      |  SELECT user_id,
+      |    ((epoch_ns(ts) // 1000000000) // 86400) * 86400 AS bucket
+      |  FROM events),
+      |c AS (SELECT user_id, MIN(bucket) AS cohort FROM e GROUP BY 1)
+      |SELECT c.cohort, e.bucket, COUNT(DISTINCT e.user_id) AS active_users
+      |FROM e JOIN c USING (user_id) GROUP BY 1, 2
+      |ORDER BY cohort, bucket""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.operators.Events.cohortRetention(t("events"), "user_id", "ts_sec",
+        bucketSecs = 86400L)
+      .orderBy(col("cohort"), col("bucket"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
-    q85SetSimJoin, q86Zorder, q87CharEntropy, q88SemanticDedup, q89HeavyHitters)
+    q85SetSimJoin, q86Zorder, q87CharEntropy, q88SemanticDedup, q89HeavyHitters,
+    q90CumulativeDistinct, q91CohortRetention)
 }

@@ -306,11 +306,17 @@ object Dedup {
     require(minJaccard > 0 && minJaccard <= 1, "minJaccard must be in (0,1]")
     val t = minJaccard
     // the SET is the distinct `shingle`-gram set (shingle=1: distinct
-    // unigrams). One fused native pass builds it; docs too short for a
-    // single shingle get the empty set and can never pair.
+    // unigrams), carried as 64-bit hashes end-to-end (`graft_shingle_hash`,
+    // one fused pass): the df shuffle, the prefix join, and the verify
+    // arrays all move longs instead of rebuilt shingle strings (~4× less
+    // shuffle; |A∩B|/|A∪B| equals the string-set Jaccard barring 64-bit
+    // collisions, ~1e-13/pair — the [[jaccardVerify]] convention). Any
+    // total order works for prefix filtering as long as it is global;
+    // (df, hash) is the one used here. Docs too short for a single
+    // shingle get the empty set and can never pair.
     val tokens = docs.select(col(idCol).as("__id"),
-      call_function("graft_shingles", split(col(textCol), " "), lit(shingle))
-        .as("tk"))
+      call_function("graft_shingle_hash", split(col(textCol), " "),
+        lit(shingle)).as("tk"))
     val toks = tokens.select(col("__id"), size(col("tk")).as("s"),
       explode(col("tk")).as("tok"))
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
@@ -323,17 +329,32 @@ object Dedup {
     // on exact integer boundaries under double error (longer prefix = safe)
     val p = (col("s") - ceil(col("s") * t - 1e-9) + 1).cast("int")
     val prefix = sorted.select(col("__id"), col("s"),
-      explode(slice(col("st"), lit(1), p)).as("pt"))
-      .select(col("__id"), col("s"), col("pt.tok").as("tok"))
-    val lhs = prefix.select(col("tok"), col("__id").as("d1"), col("s").as("s1"))
+      posexplode(slice(col("st"), lit(1), p)).as(Seq("pos0", "pt")))
+      .select(col("__id"), col("s"), (col("pos0") + 1).as("pos"),
+        col("pt.tok").as("tok"))
+    val lhs = prefix.select(col("tok"), col("__id").as("d1"),
+      col("s").as("s1"), col("pos").as("pos1"))
     val rhs = prefix.select(col("tok").as("tok2"), col("__id").as("d2"),
-      col("s").as("s2"))
+      col("s").as("s2"), col("pos").as("pos2"))
     // J >= t forces t*max(s1,s2) <= min(s1,s2); slack keeps the prune safe
-    val cands = lhs.join(rhs, col("tok") === col("tok2") &&
+    val raw = lhs.join(rhs, col("tok") === col("tok2") &&
         col("d1") < col("d2") &&
         col("s2").cast("double") >= col("s1") * t - 1e-9 &&
         col("s1").cast("double") >= col("s2") * t - 1e-9)
-      .select(col("d1"), col("d2")).distinct()
+    // PPJoin positional filter, exact: both docs sort by the SAME global
+    // order, so their common tokens appear in the same relative order and
+    // min(pos1) identifies the pair's FIRST common token. At that first
+    // match nothing earlier is shared, so |A∩B| <= 1 + min(s1-pos1,
+    // s2-pos2); J >= t needs |A∩B| >= t/(1+t)·(s1+s2). The min-struct
+    // aggregation replaces the distinct() (same shuffle) and the filter
+    // prunes candidates whose shared tokens sit too deep to ever reach
+    // the overlap bar.
+    val m = min(struct(col("pos1"), col("pos2"), col("s1"), col("s2"))).as("m")
+    val cands = raw.groupBy(col("d1"), col("d2")).agg(m)
+      .filter(lit(1.0) +
+        least(col("m.s1") - col("m.pos1"), col("m.s2") - col("m.pos2")) >=
+        (col("m.s1") + col("m.s2")) * (t / (1 + t)) - 1e-9)
+      .select(col("d1"), col("d2"))
     val x = tokens.select(col("__id").as("xid"), col("tk").as("tk1"))
     val y = tokens.select(col("__id").as("yid"), col("tk").as("tk2"))
     val inter = size(array_intersect(col("tk1"), col("tk2")))

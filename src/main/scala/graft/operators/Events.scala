@@ -143,4 +143,53 @@ object Events {
       .agg(count(lit(1)).as("n_pairs"),
         min(gap).as("min_gap"), max(gap).as("max_gap"))
   }
+
+  /** Cumulative distinct users over time WITHOUT a running distinct: a
+    * user contributes to the cumulative curve exactly once — at their
+    * FIRST bucket — so `cum_users(b) = Σ new_users(b' ≤ b)`. The naive
+    * formulation (`COUNT(DISTINCT user) OVER (ORDER BY bucket)`) keeps an
+    * ever-growing distinct set alive per window frame; the first-seen
+    * rewrite is one uniform groupBy on the user, a tiny per-bucket count,
+    * and a running sum over the BUCKET axis (rows = number of buckets, not
+    * rows of data — a single-partition window over thousands of rows, not
+    * billions).
+    *
+    * Output: `(bucket, new_users, cum_users)`.
+    */
+  def cumulativeDistinct(events: DataFrame, userCol: String, tsSecCol: String,
+      bucketSecs: Long): DataFrame = {
+    require(bucketSecs >= 1, "bucketSecs must be >= 1")
+    val firstSeen = events
+      .select(col(userCol), col(tsSecCol).cast(LongType).as("__s"))
+      .groupBy(col(userCol))
+      .agg(min(expr(s"__s div $bucketSecs") * bucketSecs).as("bucket"))
+    val perBucket = firstSeen.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perBucket.withColumn("cum_users", sum(col("new_users")).over(w))
+  }
+
+  /** Cohort retention matrix: users grouped by their FIRST-seen bucket
+    * (the cohort), counted distinct in every bucket they were active —
+    * the classic "week-0 signups still active in week N" triangle.
+    *
+    * Scale: first-seen is one groupBy on the user (uniform); the join
+    * back to activity keys on the same user hash; the final matrix
+    * aggregation is |cohorts| × |buckets| — tiny. No windows, no
+    * running distincts.
+    *
+    * Output: `(cohort, bucket, active_users)` with `bucket >= cohort`.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsSecCol: String,
+      bucketSecs: Long): DataFrame = {
+    require(bucketSecs >= 1, "bucketSecs must be >= 1")
+    val e = events.select(col(userCol),
+      (expr(s"cast($tsSecCol as bigint) div $bucketSecs") * bucketSecs)
+        .as("bucket"))
+    val cohorts = e.groupBy(col(userCol)).agg(min(col("bucket")).as("cohort"))
+    e.join(cohorts, userCol)
+      .groupBy(col("cohort"), col("bucket"))
+      .agg(count_distinct(col(userCol)).as("active_users"))
+  }
 }

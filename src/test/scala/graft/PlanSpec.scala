@@ -120,4 +120,43 @@ class PlanSpec extends SparkSpec {
       "Window\\b".r.findFirstIn(p).isEmpty,
       "min(struct) discovery must partial-aggregate; a row window would serialize hot chunks")
   }
+
+  test("setsim join: every join is an equi-join, shingles are the fused native pass (q85)") {
+    val p = plan("q85_setsim_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "prefix filtering exists to avoid the all-pairs theta join")
+    assert(p.contains("graft_shingle_hash"),
+      "shingle sets must travel as hashes from the native pass")
+  }
+
+  test("z-order key is a pure projection; the query is scan→agg→sort (q86)") {
+    val p = plan("q86_zorder")
+    assert(!p.contains("Join"), "z-value needs no join")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected only the groupBy + orderBy exchanges, saw $exchanges")
+  }
+
+  test("char entropy fuses into the scan: no shuffle before the sort (q87)") {
+    val p = plan("q87_char_entropy")
+    assert(p.contains("graft_char_entropy"))
+    assert(!p.contains("lambdafunction"), "no interpreted HOFs in the entropy path")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"row-local signal: only the output sort may shuffle, saw $exchanges")
+  }
+
+  test("semantic dedup: pair join is an equi-join on the cluster, assignment is the fused fold (q88)") {
+    val p = plan("q88_semantic_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "within-cluster pairs must join on the cluster key")
+    assert(p.contains("graft_dotw"),
+      "centroid assignment must use the fused literal-codebook folds")
+  }
+
+  test("heavy hitters: two-phase cap bounds exchanges; count partial-aggregates (q89)") {
+    val p = plan("q89_heavy_hitters")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    // explode→count shuffle, salt window, key window, output sort
+    assert(exchanges <= 4, s"expected ≤4 exchanges in the two-phase top-k, saw $exchanges")
+    assert(p.contains("HashAggregate"), "token counts must partial-aggregate")
+  }
 }
