@@ -193,7 +193,52 @@ object Queries12 {
       .orderBy(col("cohort"), col("bucket"))
   }
 
+  /** Key-skew diagnostic over the events user key
+    * ([[graft.core.Stats.keySkew]]): exact counts and shares, no
+    * transcendental sums. */
+  val q92KeySkew: (String, QueryDef) = q(
+    "q92_key_skew",
+    """WITH c AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+      |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+      |             MAX(c) AS max_cnt FROM c),
+      |k AS (SELECT CAST(SUM(c) AS BIGINT) AS topk_cnt FROM (
+      |  SELECT c FROM c ORDER BY c DESC, user_id LIMIT 10))
+      |SELECT n_rows, n_keys, max_cnt, topk_cnt,
+      |  CAST(max_cnt AS DOUBLE) / n_rows AS top1_share,
+      |  CAST(topk_cnt AS DOUBLE) / n_rows AS topk_share
+      |FROM t, k""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.core.Stats.keySkew(t("events"), "user_id", k = 10)
+  }
+
+  /** Last-touch attribution ([[graft.operators.Events
+    * .lastTouchAttribution]]): purchases credited to the same user's most
+    * recent click within 24 h — the backward as-of join composed with a
+    * window filter; oracle via DuckDB's native ASOF JOIN. */
+  val q93Attribution: (String, QueryDef) = q(
+    "q93_attribution",
+    """WITH tch AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000000000 AS touch_ts,
+      |    MAX(event_id) AS touch_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |cv AS (
+      |  SELECT event_id AS conv_id, user_id,
+      |    epoch_ns(ts) // 1000000000 AS conv_ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT conv_id, cv.user_id, conv_ts, touch_id,
+      |  conv_ts - touch_ts AS touch_gap
+      |FROM cv ASOF JOIN tch
+      |  ON cv.user_id = tch.user_id AND cv.conv_ts >= tch.touch_ts
+      |WHERE conv_ts - touch_ts <= 86400
+      |ORDER BY conv_id""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.operators.Events.lastTouchAttribution(t("events"), "user_id",
+        "ts_sec", "event_id", "event_type", convType = "purchase",
+        touchType = "click", windowSec = 86400L)
+      .orderBy(col("conv_id"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q85SetSimJoin, q86Zorder, q87CharEntropy, q88SemanticDedup, q89HeavyHitters,
-    q90CumulativeDistinct, q91CohortRetention)
+    q90CumulativeDistinct, q91CohortRetention, q92KeySkew, q93Attribution)
 }

@@ -76,6 +76,32 @@ object Stats {
           .as("corr_xy"))
   }
 
+  /** Key-distribution skew report — the diagnostic behind every "one hot
+    * key serialized the stage" incident: row count, distinct keys, the
+    * hottest key's count, and the share of rows held by the top-1 / top-k
+    * keys. All metrics are exact integers plus single IEEE divisions
+    * (bit-exact cross-engine; no entropy-style transcendental sums).
+    *
+    * Scale: the per-key count partial-aggregates map-side (the diagnosis
+    * job itself cannot be serialized by the skew it measures); the top-k
+    * is a TakeOrdered over the counts, never a global sort.
+    *
+    * Output: one row `(n_rows, n_keys, max_cnt, topk_cnt, top1_share,
+    * topk_share)`.
+    */
+  def keySkew(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    val totals = counts.agg(sum(col("__c")).as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("__c")).as("max_cnt"))
+    val topk = counts.orderBy(col("__c").desc, col(keyCol))
+      .limit(k).agg(sum(col("__c")).as("topk_cnt"))
+    totals.crossJoin(topk)
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"), col("topk_cnt"),
+        (col("max_cnt").cast(DoubleType) / col("n_rows")).as("top1_share"),
+        (col("topk_cnt").cast(DoubleType) / col("n_rows")).as("topk_share"))
+  }
+
   /** Exact per-group lower median of an integer-valued column — the
     * smallest value `v` in the group with `2·|{x ≤ v}| ≥ n`. No
     * interpolation (so no cross-engine float risk) and no per-row window:

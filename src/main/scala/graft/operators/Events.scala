@@ -144,6 +144,41 @@ object Events {
         min(gap).as("min_gap"), max(gap).as("max_gap"))
   }
 
+  /** Last-touch attribution: each conversion event is attributed to the
+    * same user's most recent `touchType` event at-or-before it, provided
+    * the touch happened within `windowSec` — the standard marketing/
+    * funnel-credit assignment, and the canonical USE of a backward as-of
+    * join (the join does the "most recent at-or-before"; the window is a
+    * post-filter on the matched gap).
+    *
+    * Scale: inherits [[AsOfJoin.backward]]'s shape — one shuffle on the
+    * user key, one running-last window, no range explosion. Touches are
+    * pre-reduced to unique (user, ts) with max(id) so ties are
+    * deterministic in any engine.
+    *
+    * Output: `(conv_id, user, conv_ts, touch_id, touch_gap)` for
+    * attributed conversions only (unattributed = no touch within window).
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+      tsSecCol: String, idCol: String, typeCol: String, convType: String,
+      touchType: String, windowSec: Long): DataFrame = {
+    require(windowSec >= 0, "windowSec must be >= 0")
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol), col(tsSecCol).cast(LongType).as("conv_ts"),
+        col(idCol).as("conv_id"))
+    val touch = events.filter(col(typeCol) === touchType)
+      .select(col(userCol).as("__tu"), col(tsSecCol).cast(LongType).as("touch_ts"),
+        col(idCol).as("tid"))
+      .groupBy(col("__tu"), col("touch_ts"))
+      .agg(max(col("tid")).as("touch_id"))
+    AsOfJoin.backward(conv, touch, userCol, "__tu", "conv_ts", "touch_ts",
+        Seq("touch_id", "touch_ts"))
+      .filter(col("touch_id").isNotNull &&
+        col("conv_ts") - col("touch_ts") <= windowSec)
+      .select(col("conv_id"), col(userCol), col("conv_ts"), col("touch_id"),
+        (col("conv_ts") - col("touch_ts")).as("touch_gap"))
+  }
+
   /** Cumulative distinct users over time WITHOUT a running distinct: a
     * user contributes to the cumulative curve exactly once — at their
     * FIRST bucket — so `cum_users(b) = Σ new_users(b' ≤ b)`. The naive

@@ -174,6 +174,55 @@ class Round7OpsSpec extends SparkSpec {
       assert(result.contains(item), s"frequent item $item (count $tru) missing")
   }
 
+  test("lastTouchAttribution: picks the latest touch, honors the window, ties break by max id") {
+    val events = Seq(
+      // user 1: clicks at 100 and 200, purchase at 250 -> attributed to 200
+      (1L, 100L, 10L, "click"), (1L, 200L, 11L, "click"),
+      (1L, 250L, 12L, "purchase"),
+      // user 2: click at 0, purchase at 5000 with window 1000 -> unattributed
+      (2L, 0L, 20L, "click"), (2L, 5000L, 21L, "purchase"),
+      // user 3: two clicks at the same second -> max event_id wins
+      (3L, 100L, 30L, "click"), (3L, 100L, 31L, "click"),
+      (3L, 100L, 32L, "purchase"),
+      // user 4: purchase with no click at all
+      (4L, 50L, 40L, "purchase")
+    ).toDF("user_id", "ts_sec", "event_id", "event_type")
+    val out = graft.operators.Events.lastTouchAttribution(events, "user_id",
+      "ts_sec", "event_id", "event_type", "purchase", "click", 1000L)
+      .orderBy("conv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((12L, 11L, 50L), (32L, 31L, 0L)))
+  }
+
+  test("keySkew reports exact counts and shares") {
+    val df = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++
+      (0 until 10).map(i => s"cold$i")).toDF("k")
+    val r = graft.core.Stats.keySkew(df, "k", k = 2).collect()(0)
+    assert(r.getLong(0) == 100 && r.getLong(1) == 12)
+    assert(r.getLong(2) == 60 && r.getLong(3) == 90)
+    assert(r.getDouble(4) == 0.6 && r.getDouble(5) == 0.9)
+  }
+
+  test("cumulativeDistinct counts each user once, at its first bucket") {
+    val events = Seq(
+      (1L, 10L), (1L, 7210L), (2L, 20L), (3L, 3700L), (3L, 7300L)
+    ).toDF("user_id", "ts_sec")
+    val out = graft.operators.Events.cumulativeDistinct(events, "user_id",
+      "ts_sec", 3600L).orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 2L, 2L), (3600L, 1L, 3L)))
+  }
+
+  test("cohortRetention: users counted in every active bucket under their first-seen cohort") {
+    val events = Seq(
+      (1L, 10L), (1L, 3700L), (2L, 3650L), (2L, 3660L)
+    ).toDF("user_id", "ts_sec")
+    val out = graft.operators.Events.cohortRetention(events, "user_id",
+      "ts_sec", 3600L).orderBy("cohort", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 0L, 1L), (0L, 3600L, 1L), (3600L, 3600L, 1L)))
+  }
+
   test("MisraGries as a grouped Spark aggregation matches the guarantee") {
     val docs = Tables_load("documents")
     val sk = docs
