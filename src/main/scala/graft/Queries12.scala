@@ -238,7 +238,42 @@ object Queries12 {
       .orderBy(col("conv_id"))
   }
 
+  /** Multimodal metadata decode, oracle-checked: WAV headers are
+    * synthesized IN-PLAN from arithmetic fields
+    * ([[graft.operators.Multimodal.synthWavHeader]]), then pushed through
+    * the REAL byte parser (`graft_audio_meta` — little-endian RIFF chunk
+    * walk). The oracle states the same fields as plain arithmetic, so the
+    * whole encode→parse round trip is hash-checked; a byte-order or
+    * chunk-walk bug would break the match. */
+  val q94AudioMeta: (String, QueryDef) = q(
+    "q94_audio_meta",
+    """SELECT doc_id,
+      |  CAST(1 + doc_id % 2 AS INT) AS channels,
+      |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+      |  CAST(8 + (doc_id % 3) * 8 AS INT) AS bits,
+      |  CAST(((doc_id % 1000) * 1024 + 64) * 1000 //
+      |    ((8000 + (doc_id % 8) * 1000) *
+      |     ((1 + doc_id % 2) * (8 + (doc_id % 3) * 8) // 8)) AS BIGINT)
+      |    AS duration_ms
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) {
+    (s, dir) =>
+      implicit val env: (SparkSession, String) = (s, dir)
+      import graft.operators.Multimodal
+      val d = col("doc_id")
+      val withPayload = t("documents").filter(d < 200)
+        .select(d, Multimodal.synthWavHeader(
+          lit(1L) + d % 2, lit(8000L) + (d % 8) * 1000,
+          lit(8L) + (d % 3) * 8, (d % 1000) * 1024 + 64).as("payload"))
+      Multimodal.decodeAudioMeta(withPayload)
+        .select(d, col("decoded_audio.channels").as("channels"),
+          col("decoded_audio.sample_rate").as("sample_rate"),
+          col("decoded_audio.bits").as("bits"),
+          col("decoded_audio.duration_ms").as("duration_ms"))
+        .orderBy(d)
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q85SetSimJoin, q86Zorder, q87CharEntropy, q88SemanticDedup, q89HeavyHitters,
-    q90CumulativeDistinct, q91CohortRetention, q92KeySkew, q93Attribution)
+    q90CumulativeDistinct, q91CohortRetention, q92KeySkew, q93Attribution,
+    q94AudioMeta)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -107,4 +107,34 @@ object Multimodal {
     media.filter(col("payload").isNotNull && length(col("payload")) > 0 &&
       (col("kind") =!= "image" ||
         (col("meta.width") > 0 && col("meta.height") > 0)))
+
+  /** Little-endian hex of an integer column, `bytes` wide — the byte-order
+    * building block for in-plan binary synthesis (big-endian `hex()` with
+    * its byte pairs reversed). */
+  def leHex(v: Column, bytes: Int): Column = {
+    val h = lpad(hex(v), 2 * bytes, "0")
+    concat((bytes to 1 by -1).map(b => substring(h, 2 * b - 1, 2)): _*)
+  }
+
+  /** A complete RIFF/WAVE header (44 bytes, no sample body) as a BINARY
+    * column, synthesized in-plan from integer field columns. Used to
+    * exercise the REAL `graft_audio_meta` byte parser inside the
+    * oracle-checked catalog: the fields are plain arithmetic both engines
+    * can state, while the Spark side must round-trip them through actual
+    * little-endian RIFF bytes and the chunk-walking decoder. `blockAlign`
+    * is derived (`channels·bits/8`), `byteRate = rate·blockAlign`.
+    */
+  def synthWavHeader(channels: Column, rate: Column, bits: Column,
+      dataSize: Column): Column = {
+    val blockAlign = (channels * bits / 8).cast("long")
+    val byteRate = (rate * blockAlign).cast("long")
+    unhex(concat(
+      lit("52494646"), leHex(dataSize + 36, 4),            // "RIFF" + size
+      lit("57415645"),                                      // "WAVE"
+      lit("666D7420"), leHex(lit(16L), 4),                  // "fmt " + 16
+      leHex(lit(1L), 2), leHex(channels.cast("long"), 2),   // PCM, channels
+      leHex(rate.cast("long"), 4), leHex(byteRate, 4),
+      leHex(blockAlign, 2), leHex(bits.cast("long"), 2),
+      lit("64617461"), leHex(dataSize.cast("long"), 4)))    // "data" + size
+  }
 }
