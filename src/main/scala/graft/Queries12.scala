@@ -272,8 +272,59 @@ object Queries12 {
         .orderBy(d)
   }
 
+  /** [[q94AudioMeta]]'s round trip for the IMAGE parser: in-plan PNG
+    * headers (big-endian IHDR dims) through `graft_image_dims`. */
+  val q95ImageDims: (String, QueryDef) = q(
+    "q95_image_dims",
+    """SELECT doc_id,
+      |  CAST(100 + doc_id % 512 AS INT) AS width,
+      |  CAST(100 + (doc_id * 7) % 512 AS INT) AS height
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) {
+    (s, dir) =>
+      implicit val env: (SparkSession, String) = (s, dir)
+      import graft.operators.Multimodal
+      val d = col("doc_id")
+      val withPayload = t("documents").filter(d < 200)
+        .select(d, Multimodal.synthPngHeader(
+          lit(100L) + d % 512, lit(100L) + (d * 7) % 512).as("payload"))
+      Multimodal.decodeDims(withPayload)
+        .select(d, col("decoded_dims.width").as("width"),
+          col("decoded_dims.height").as("height"))
+        .orderBy(d)
+  }
+
+  /** [[q94AudioMeta]]'s round trip for the VIDEO parser: in-plan MP4
+    * ftyp+moov(mvhd+trak/tkhd) through the `graft_video_meta` box walk —
+    * timescale/duration arithmetic, track count, 16.16 dims. */
+  val q96VideoMeta: (String, QueryDef) = q(
+    "q96_video_meta",
+    """SELECT doc_id,
+      |  CAST(600 + (doc_id % 10) * 100 AS INT) AS timescale,
+      |  CAST(((doc_id % 500) * 6000) * 1000 //
+      |    (600 + (doc_id % 10) * 100) AS BIGINT) AS duration_ms,
+      |  CAST(1 AS INT) AS n_tracks,
+      |  CAST(320 + (doc_id % 16) * 8 AS INT) AS width,
+      |  CAST(240 + (doc_id % 9) * 16 AS INT) AS height
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) {
+    (s, dir) =>
+      implicit val env: (SparkSession, String) = (s, dir)
+      import graft.operators.Multimodal
+      val d = col("doc_id")
+      val withPayload = t("documents").filter(d < 200)
+        .select(d, Multimodal.synthMp4Header(
+          lit(600L) + (d % 10) * 100, (d % 500) * 6000,
+          lit(320L) + (d % 16) * 8, lit(240L) + (d % 9) * 16).as("payload"))
+      Multimodal.decodeVideoMeta(withPayload)
+        .select(d, col("decoded_video.timescale").as("timescale"),
+          col("decoded_video.duration_ms").as("duration_ms"),
+          col("decoded_video.n_tracks").as("n_tracks"),
+          col("decoded_video.width").as("width"),
+          col("decoded_video.height").as("height"))
+        .orderBy(d)
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q85SetSimJoin, q86Zorder, q87CharEntropy, q88SemanticDedup, q89HeavyHitters,
     q90CumulativeDistinct, q91CohortRetention, q92KeySkew, q93Attribution,
-    q94AudioMeta)
+    q94AudioMeta, q95ImageDims, q96VideoMeta)
 }

@@ -116,6 +116,39 @@ object Multimodal {
     concat((bytes to 1 by -1).map(b => substring(h, 2 * b - 1, 2)): _*)
   }
 
+  /** Big-endian hex of an integer column, `bytes` wide. */
+  def beHex(v: Column, bytes: Int): Column = lpad(hex(v), 2 * bytes, "0")
+
+  /** A minimal PNG header (signature + IHDR through width/height, 24+
+    * bytes) as a BINARY column — the [[synthWavHeader]] trick for the
+    * image parser: big-endian dimensions at fixed offsets. */
+  def synthPngHeader(width: Column, height: Column): Column =
+    unhex(concat(
+      lit("89504E470D0A1A0A"),              // PNG signature
+      lit("0000000D"), lit("49484452"),     // IHDR length + tag
+      beHex(width.cast("long"), 4), beHex(height.cast("long"), 4),
+      lit("0806000000"),                    // bit depth, color type, ...
+      lit("00000000")))                     // CRC placeholder
+
+  /** A minimal MP4 (ISO-BMFF) structure — ftyp + moov(mvhd v0 + one
+    * trak/tkhd v0) — as a BINARY column. The real box walk must recover
+    * (timescale, duration, 1 track, width, height); tkhd dimensions are
+    * 16.16 fixed-point. */
+  def synthMp4Header(timescale: Column, duration: Column,
+      width: Column, height: Column): Column =
+    unhex(concat(
+      lit("00000010"), lit("66747970"), lit("69736F6D"), lit("00000000"),
+      lit("000000D8"), lit("6D6F6F76"),                    // moov, size 216
+      lit("0000006C"), lit("6D766864"), lit("00000000"),   // mvhd v0, size 108
+      lit("00000000"), lit("00000000"),                    // ctime, mtime
+      beHex(timescale.cast("long"), 4), beHex(duration.cast("long"), 4),
+      lit("00" * 80),                                      // rate..next_track
+      lit("00000064"), lit("7472616B"),                    // trak, size 100
+      lit("0000005C"), lit("746B6864"), lit("00000000"),   // tkhd v0, size 92
+      lit("00" * 72),                                      // ctime..matrix
+      beHex(width.cast("long"), 2), lit("0000"),           // 16.16 width
+      beHex(height.cast("long"), 2), lit("0000")))         // 16.16 height
+
   /** A complete RIFF/WAVE header (44 bytes, no sample body) as a BINARY
     * column, synthesized in-plan from integer field columns. Used to
     * exercise the REAL `graft_audio_meta` byte parser inside the
