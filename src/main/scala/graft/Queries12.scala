@@ -323,8 +323,45 @@ object Queries12 {
         .orderBy(d)
   }
 
+  /** Trailing-window rate anomalies
+    * ([[graft.operators.Events.rateAnomalies]]): hourly per-type counts
+    * z-scored against the previous 6 buckets. Window sums are exact ints;
+    * the z formula is fixed IEEE ops (sqrt is correctly rounded), so no
+    * rounding convention is needed. */
+  val q97RateAnomaly: (String, QueryDef) = q(
+    "q97_rate_anomaly",
+    """WITH c AS (
+      |  SELECT event_type,
+      |    ((epoch_ns(ts) // 1000000000) // 3600) * 3600 AS bucket,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, bucket, cnt,
+      |    COUNT(*) OVER win AS k, SUM(cnt) OVER win AS s,
+      |    SUM(cnt * cnt) OVER win AS ss
+      |  FROM c WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+      |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)),
+      |v AS (
+      |  SELECT event_type, bucket, cnt, CAST(s AS DOUBLE) / 6 AS m,
+      |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / 6) / 6 AS var
+      |  FROM w WHERE k = 6)
+      |SELECT event_type, bucket, cnt,
+      |  CASE WHEN var > 0 THEN (CAST(cnt AS DOUBLE) - m) / sqrt(var)
+      |       ELSE 0.0 END AS z,
+      |  CAST(CASE WHEN var > 0 THEN
+      |         CASE WHEN abs((CAST(cnt AS DOUBLE) - m) / sqrt(var)) > 2.0
+      |              THEN 1 ELSE 0 END
+      |       ELSE CASE WHEN CAST(cnt AS DOUBLE) <> m THEN 1 ELSE 0 END
+      |  END AS BIGINT) AS anomaly
+      |FROM v ORDER BY event_type, bucket""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.operators.Events.rateAnomalies(t("events"), "event_type", "ts_sec",
+        bucketSecs = 3600L, lookback = 6, zThreshold = 2.0)
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q85SetSimJoin, q86Zorder, q87CharEntropy, q88SemanticDedup, q89HeavyHitters,
     q90CumulativeDistinct, q91CohortRetention, q92KeySkew, q93Attribution,
-    q94AudioMeta, q95ImageDims, q96VideoMeta)
+    q94AudioMeta, q95ImageDims, q96VideoMeta, q97RateAnomaly)
 }

@@ -144,6 +144,56 @@ object Events {
         min(gap).as("min_gap"), max(gap).as("max_gap"))
   }
 
+  /** Trailing-window rate anomaly detection: per (type, bucket) event
+    * counts scored against the mean/std of the previous `lookback`
+    * buckets (current bucket excluded — an anomaly must not dilute its
+    * own baseline). Buckets without a full lookback window are not
+    * scored. The z-score is IEEE ops over EXACT integer window sums
+    * (counts, so sum/sumsq are exact; sqrt is correctly rounded), making
+    * the output bit-deterministic with no rounding convention.
+    *
+    * Scale: one groupBy on (type, bucket) — partial-aggregated — then a
+    * window over BUCKETS per type (thousands of rows per type, not event
+    * rows). The same shape as the reference's time-series aggregation
+    * with a scoring pass on top.
+    *
+    * Output: `(event_type, bucket, cnt, z, anomaly)` where anomaly =
+    * |z| > `zThreshold` (0 std → anomaly iff the count moved at all).
+    */
+  def rateAnomalies(events: DataFrame, typeCol: String, tsSecCol: String,
+      bucketSecs: Long, lookback: Int, zThreshold: Double): DataFrame = {
+    require(bucketSecs >= 1 && lookback >= 2, "bucketSecs>=1, lookback>=2")
+    val counts = events
+      .select(col(typeCol),
+        (expr(s"cast($tsSecCol as bigint) div $bucketSecs") * bucketSecs)
+          .as("bucket"))
+      .groupBy(col(typeCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(typeCol)).orderBy(col("bucket"))
+      .rowsBetween(-lookback, -1)
+    val n = lit(lookback.toLong)
+    val scored = counts
+      .withColumn("__k", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("cnt")).over(w))
+      .withColumn("__ss", sum(col("cnt") * col("cnt")).over(w))
+      .filter(col("__k") === lookback)
+    val mean = col("__s").cast("double") / n
+    val variance = (col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s") / n) / n
+    val std = sqrt(variance)
+    // z reported 0 for a flat baseline (std = 0) — anomaly is then decided
+    // by "did the count move at all", keeping infinities out of the output
+    scored
+      .withColumn("z",
+        when(std > 0, (col("cnt").cast("double") - mean) / std)
+          .otherwise(lit(0.0)))
+      .select(col(typeCol), col("bucket"), col("cnt"), col("z"),
+        (when(std > 0, abs(col("z")) > zThreshold)
+          .otherwise(col("cnt").cast("double") =!= mean))
+          .cast("int").cast("long").as("anomaly"))
+  }
+
   /** Last-touch attribution: each conversion event is attributed to the
     * same user's most recent `touchType` event at-or-before it, provided
     * the touch happened within `windowSec` — the standard marketing/

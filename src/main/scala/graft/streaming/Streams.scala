@@ -182,6 +182,33 @@ object Streams {
       }
   }
 
+  /** Streaming heavy hitters: a live Misra-Gries summary per key — the
+    * incremental twin of the batch
+    * [[graft.functions.MisraGriesAggregator]], sharing its reduce/merge
+    * code, so the batch guarantee carries over (est ≤ true ≤ est +
+    * n/(capacity+1) over everything the stream has seen). Each
+    * micro-batch folds its tokens into the key's bounded buffer and
+    * emits the refreshed summary (Update mode). State per key is at most
+    * `capacity` counters — bounded regardless of vocabulary size, which
+    * is the only viable shape for an unbounded stream (exact counts per
+    * token would grow state with the vocabulary forever).
+    */
+  def streamingHeavyHitters(
+      tokens: Dataset[(String, String)], // (group key, token)
+      capacity: Int): Dataset[(String, String, Long)] = {
+    import tokens.sparkSession.implicits._
+    val agg = new graft.functions.MisraGriesAggregator(capacity)
+    tokens
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[graft.functions.MGBuf, (String, String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key, batch, state: GroupState[graft.functions.MGBuf]) =>
+          val buf = batch.map(_._2).foldLeft(state.getOption.getOrElse(agg.zero))(agg.reduce)
+          state.update(buf)
+          agg.finish(buf).iterator.map(e => (key, e.item, e.count))
+      }
+  }
+
   /** Streaming digest loop: drain a JSON-lines directory into a GraftTable
     * with `Trigger.AvailableNow` — the reference's `sybil digest` cycle
     * (table_ingest.go:287-331) as an incremental job with checkpointed

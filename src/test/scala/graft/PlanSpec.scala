@@ -152,6 +152,28 @@ class PlanSpec extends SparkSpec {
       "centroid assignment must use the fused literal-codebook folds")
   }
 
+  test("attribution inherits the as-of shape: no range explosion, no nested loop (q93)") {
+    val p = plan("q93_attribution")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the as-of union+window shape must survive the composition")
+  }
+
+  test("rate anomalies window over buckets, counts partial-aggregate (q97)") {
+    val p = plan("q97_rate_anomaly")
+    assert(p.contains("HashAggregate"), "bucket counts must partial-aggregate")
+    assert(p.contains("Window"), "scoring is a window over the bucket axis")
+    assert(!p.contains("Join"), "no join needed for trailing-window scoring")
+  }
+
+  test("media round-trip queries are pure projections (q94-q96)") {
+    for (name <- Seq("q94_audio_meta", "q95_image_dims", "q96_video_meta")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name: synthesis+decode needs no join")
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 1, s"$name: only the output sort may shuffle, saw $exchanges")
+    }
+  }
+
   test("heavy hitters: two-phase cap bounds exchanges; count partial-aggregates (q89)") {
     val p = plan("q89_heavy_hitters")
     val exchanges = "Exchange".r.findAllIn(p).size

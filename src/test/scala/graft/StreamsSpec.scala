@@ -172,6 +172,31 @@ class StreamsSpec extends SparkSpec {
     assert(table.info().rowCount === 150)
   }
 
+  test("streaming heavy hitters keeps the MG guarantee across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val out = Streams.streamingHeavyHitters(mem.toDS(), capacity = 5)
+    val q = out.writeStream.format("memory").queryName("shh")
+      .outputMode("update").start()
+    // batch 1: "hot" dominates; batch 2 shifts the distribution
+    mem.addData((0 until 50).map(i => ("g", if (i % 2 == 0) "hot" else s"w$i")): _*)
+    q.processAllAvailable()
+    mem.addData((0 until 60).map(i => ("g", if (i % 3 == 0) "warm" else "hot")): _*)
+    q.processAllAvailable()
+    q.stop()
+    // latest summary (second batch's emission): guarantee vs exact counts
+    val latest = spark.sql(
+      "SELECT _2 AS item, MAX(_3) AS est FROM shh GROUP BY _2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = 110L
+    val bound = n / 6
+    // exact: hot = 25 + 40 = 65, warm = 20 — both far above n/(cap+1)=18
+    assert(latest.contains("hot") && latest.contains("warm"))
+    assert(latest("hot") <= 65 && 65 - latest("hot") <= bound)
+    assert(latest("warm") <= 20 && 20 - latest("warm") <= bound)
+  }
+
   test("writeToTable appends micro-batches exactly-once into a GraftTable") {
     import spark.implicits._
     val ckpt = Files.createTempDirectory("graft-w2t-ckpt").toString
