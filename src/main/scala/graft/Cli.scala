@@ -153,7 +153,7 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft <ingest|digest|trim|query|rebuild|export|inspect|version> [flags]")
+      "usage: graft <ingest|digest|optimize|trim|query|rebuild|export|inspect|version> [flags]")
     val cmd = args.head
     val f = parseFlags(args.tail.toSeq)
     if (cmd == "version") { println("graft 0.2 (spark engine)"); return }
@@ -184,6 +184,16 @@ object Cli {
         if (!f.contains("skip-compact")) () // digest is explicit, like `sybil digest`
 
       case "digest" => table.digest()
+
+      // layout optimization (no reference equivalent): rewrite blocks
+      // clustered on the z-order curve of two int columns for two-column
+      // data skipping — `graft optimize -table T -zorder x,y`
+      case "optimize" =>
+        val cols = splitList(f.getOrElse("zorder",
+          sys.error("-zorder <xcol>,<ycol> is required")))
+        require(cols.length == 2, "-zorder takes exactly two columns")
+        table.optimize(cols(0), cols(1),
+          bits = f.get("zorder-bits").map(_.toInt).getOrElse(16))
 
       // `sybil index` re-derives per-block column info (cmd_index.go:19-34
       // sets WRITE_BLOCK_INFO and saves); here block-level stats live in

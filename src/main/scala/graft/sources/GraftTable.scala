@@ -633,6 +633,67 @@ class GraftTable(spark: SparkSession, root: String) {
     Try(Files.deleteIfExists(journalP))
   }
 
+  /** Rewrite every digested block CLUSTERED on the z-order curve of two
+    * integer columns — OPTIMIZE ZORDER for the table layout: after this,
+    * each parquet part-file covers a narrow tile of BOTH dimensions, so
+    * row-group min/max stats prune scans filtered on either column.
+    * Normalization extents come from the SIDECAR (zero extra scan); the
+    * rewrite itself is ONE range-partitioned job regardless of block
+    * count.
+    *
+    * Crash-safe via the digest journal (same contract as compaction): the
+    * journal lands before the new block's rename, so from the commit
+    * point the consumed blocks are superseded — readers exclude them and
+    * recovery finishes the cleanup; a crash before the rename commits
+    * nothing. Cache partials of consumed blocks are dropped (their block
+    * ids can never be cache hits again). Undigested ingest logs are NOT
+    * touched — run `digest()` first for full coverage.
+    */
+  def optimize(xCol: String, yCol: String, bits: Int = 16,
+      rowsPerPartition: Long = ChunkSize): Unit = {
+    if (!grabDigestLock()) throw new IllegalStateException(
+      s"table $root: another digest/optimize is in progress (digest.lock held)")
+    try {
+      recoverDigestJournal(haveLock = true)
+      val i = reconciled()
+      val blocks = i.segments.filter(_.kind == "block")
+      if (blocks.isEmpty) return
+      def extent(c: String): Option[(Long, Long)] =
+        i.columns.find(_.name == c).flatMap(ci => ci.min.zip(ci.max))
+      val span = (1L << bits) - 1
+      def norm(c: String): Column = extent(c) match {
+        case Some((lo, hi)) if hi > lo =>
+          least(lit(span), ((col(c).cast("double") - lo) / (hi - lo) * span)
+            .cast("long"))
+        case _ => lit(0L)
+      }
+      val consumed = blocks.map(_.id)
+      val df = readDirs(consumed.map(blocksP.resolve))
+      val z = Bucketing.zorder2(norm(xCol), norm(yCol), bits)
+      val n = math.max(1L, blocks.map(_.rows).sum)
+      val parts = math.max(1, (n / rowsPerPartition).toInt +
+        (if (n % rowsPerPartition > 0) 1 else 0))
+      val tmp = blocksP.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      df.withColumn("__z", z)
+        .repartitionByRange(parts, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+        .write
+        .option("parquet.block.size", (8L * 1024 * 1024).toString)
+        .mode(SaveMode.ErrorIfExists)
+        .parquet(tmp.toString)
+      val blockId = java.util.UUID.randomUUID().toString
+      writeDigestJournal(blockId, consumed, Nil)
+      Files.move(tmp, blocksP.resolve(blockId), StandardCopyOption.ATOMIC_MOVE)
+      val seg = segmentStats(blocksP.resolve(blockId), "block")
+      consumed.map(blocksP.resolve).foreach(deleteRecursively)
+      dropCachedPartials(consumed)
+      val kept = i.segments.filterNot(s => s.kind == "block")
+      writeInfo(derive(i.columns, kept :+ seg))
+      Try(Files.deleteIfExists(journalP)); ()
+    } finally releaseDigestLock()
+  }
+
   /** Block ids (immutable once digested) — the unit of cache/skip logic.
     * Excludes blocks a committed digest journal supersedes. */
   def blockIds: Seq[String] = {

@@ -141,6 +141,27 @@ class CliSpec extends SparkSpec {
     assert(raw.contains("parquet ") && raw.contains("r_regionkey"))
   }
 
+  test("CLI optimize z-orders the table and queries still answer") {
+    val db = Files.createTempDirectory("graft-cli-opt").toString
+    val data = Files.createTempDirectory("graft-cli-opt-data")
+    val rnd = new scala.util.Random(3)
+    val lines = (0 until 500).map { i =>
+      s"""{"x": ${rnd.nextInt(100)}, "y": ${rnd.nextInt(100)}, "time": ${1700000000 + i}}"""
+    }
+    Files.writeString(data.resolve("rows.jsonl"), lines.mkString("\n"))
+    Cli.main(Array("ingest", "-dir", db, "-table", "pts",
+      "-infile", data.resolve("rows.jsonl").toString))
+    Cli.main(Array("digest", "-dir", db, "-table", "pts"))
+    Cli.main(Array("optimize", "-dir", db, "-table", "pts",
+      "-zorder", "x,y", "-zorder-bits", "8"))
+    val out = captureOut {
+      Cli.main(Array("query", "-dir", db, "-table", "pts",
+        "-int", "x", "-op", "count", "-json"))
+    }
+    val res = mapper.readTree(out).get("results")
+    assert(res.elements().asScala.next().get("Count").asLong === 500)
+  }
+
   test("CLI trim dry-run prints nothing to remove for fresh data") {
     val db = Files.createTempDirectory("graft-cli2").toString
     val data = Files.createTempDirectory("graft-cli2-data")

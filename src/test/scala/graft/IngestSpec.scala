@@ -412,6 +412,43 @@ class IngestSpec extends SparkSpec {
     assert(r(0).getAs[Long]("score") === 9)
   }
 
+  test("optimize rewrites blocks z-order-clustered: rows intact, both dims tiled, cache dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("graft-zopt")
+    val t = new GraftTable(spark, root)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 20000).map(i =>
+      (i.toLong, rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+    t.ingest(rows.toDF("id", "x", "y"))
+    t.digest()
+    val before = t.blockIds
+    // plant a cache partial under the old block id — optimize must GC it
+    val cacheDir = root + "/cache/somekey/" + before.head
+    Files.createDirectories(java.nio.file.Paths.get(cacheDir))
+    Files.writeString(java.nio.file.Paths.get(cacheDir, "part.txt"), "x")
+
+    t.optimize("x", "y", bits = 8, rowsPerPartition = 1250) // 16 tiles
+
+    assert(t.read().count() === 20000)
+    assert(t.info().rowCount === 20000)
+    assert(t.blockIds.size === 1 && !before.contains(t.blockIds.head))
+    assert(!Files.exists(java.nio.file.Paths.get(cacheDir)),
+      "cache partials of consumed blocks must be GC'd")
+    // layout: per-FILE extents of BOTH dims much narrower than the global
+    // 0..999 range (the two-dim data-skipping property)
+    val widths = t.read()
+      .select(input_file_name().as("f"), col("x"), col("y"))
+      .groupBy("f")
+      .agg((max("x") - min("x")).as("xr"), (max("y") - min("y")).as("yr"))
+      .agg(avg("xr"), avg("yr")).collect()(0)
+    assert(widths.getDouble(0) < 500.0, s"x tile ${widths.getDouble(0)}")
+    assert(widths.getDouble(1) < 500.0, s"y tile ${widths.getDouble(1)}")
+    // sidecar extents survived the rewrite
+    val xi = t.info().columns.find(_.name == "x").get
+    assert(xi.min.contains(rows.map(_._2).min) && xi.max.contains(rows.map(_._2).max))
+  }
+
   test("ingestIdempotent: replaying a token is a no-op; ledger completes after a crash") {
     import spark.implicits._
     val root = tmpDir("graft-idem")
