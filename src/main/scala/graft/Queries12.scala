@@ -360,8 +360,34 @@ object Queries12 {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** Hopping (sliding) windows via Spark's native `window(ts, len, hop)`:
+    * hour-long windows every 15 min — each event lands in exactly 4
+    * overlapping windows (the smoothing the reference's tumbling-only
+    * time series can't express). The oracle replicates the epoch-aligned
+    * window-start arithmetic with an explicit 0..3 expansion. */
+  val q98HoppingWindow: (String, QueryDef) = q(
+    "q98_hopping_window",
+    """WITH e AS (
+      |  SELECT event_type, epoch_ns(ts) // 1000000000 AS s FROM events),
+      |h AS (
+      |  SELECT event_type, (s // 900) * 900 - ks.k * 900 AS w_start
+      |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks)
+      |SELECT w_start, event_type, COUNT(*) AS cnt
+      |FROM h GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin) {
+    (s, dir) =>
+      implicit val env: (SparkSession, String) = (s, dir)
+      t("events")
+        .select(col("event_type"), timestamp_seconds(col("ts_sec")).as("__ts"))
+        .groupBy(window(col("__ts"), "3600 seconds", "900 seconds"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").cast("long").as("w_start"),
+          col("event_type"), col("cnt"))
+        .orderBy(col("w_start"), col("event_type"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q85SetSimJoin, q86Zorder, q87CharEntropy, q88SemanticDedup, q89HeavyHitters,
     q90CumulativeDistinct, q91CohortRetention, q92KeySkew, q93Attribution,
-    q94AudioMeta, q95ImageDims, q96VideoMeta, q97RateAnomaly)
+    q94AudioMeta, q95ImageDims, q96VideoMeta, q97RateAnomaly, q98HoppingWindow)
 }

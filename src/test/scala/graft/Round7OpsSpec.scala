@@ -43,6 +43,40 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("setSimJoin randomized differential: 12 seeded corpora × thresholds vs brute force") {
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 30).map(i => s"w$i")
+      // dup-heavy corpus: half the docs are mutations of earlier ones
+      val base = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      val docs = (0 until 40).map { i =>
+        val toks =
+          if (i > 0 && rnd.nextBoolean() && base.nonEmpty) {
+            val src = base(rnd.nextInt(base.size))
+            src.map(t => if (rnd.nextDouble() < 0.15) vocab(rnd.nextInt(vocab.size)) else t)
+          } else Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        base += toks
+        (i.toLong, toks.mkString(" "))
+      }.toDF("doc_id", "text")
+      val t = Seq(0.35, 0.6, 0.85)(seed % 3)
+      val n = 1 + seed % 3
+      val fast = Dedup.setSimJoin(docs, "doc_id", "text", t, n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val tk = docs.select(col("doc_id"),
+        call_function("graft_shingle_hash", split(col("text"), " "), lit(n)).as("tk"))
+      val inter = size(array_intersect(col("t1"), col("t2")))
+      val brute = tk.select(col("doc_id").as("d1"), col("tk").as("t1"))
+        .join(tk.select(col("doc_id").as("d2"), col("tk").as("t2")),
+          col("d1") < col("d2"))
+        .filter(size(col("t1")) > 0 && size(col("t2")) > 0)
+        .select(col("d1"), col("d2"), (inter.cast("double") /
+          (size(col("t1")) + size(col("t2")) - inter)).as("j"))
+        .filter(col("j") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fast == brute, s"seed=$seed t=$t shingle=$n")
+    }
+  }
+
   test("setSimJoin boundary threshold: exact-integer jaccard pairs survive") {
     // J(1,2) = 2/(3+3-2) = 0.5 on unigram sets {a,b,c} vs {a,b,d}
     val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
