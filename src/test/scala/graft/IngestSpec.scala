@@ -290,6 +290,47 @@ class IngestSpec extends SparkSpec {
     assert(t.rebuild().rowCount === total)
   }
 
+  test("concurrent ingest + digest + optimize stress: exactly-once rows, clustered layout") {
+    import spark.implicits._
+    val root = tmpDir("graft-zstress")
+    val t = new GraftTable(spark, root)
+    val threads = 3; val batches = 4; val rowsPer = 50
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads + 1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = (0 until threads).map { th =>
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          for (b <- 0 until batches) {
+            val base = (th * batches + b) * rowsPer
+            t.ingest((0 until rowsPer).map(i =>
+              ((base + i).toLong, (base + i).toLong % 100,
+                ((base + i) * 7).toLong % 100)).toDF("id", "x", "y"))
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    val maintainer = pool.submit(new Runnable {
+      def run(): Unit = try {
+        for (r <- 0 until 6) {
+          try { if (r % 2 == 0) t.digest() else t.optimize("x", "y", bits = 6) }
+          catch { case _: IllegalStateException => () } // lock contention ok
+          Thread.sleep(40)
+        }
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    writers.foreach(_.get)
+    maintainer.get()
+    pool.shutdown()
+    assert(errs.isEmpty, s"stress errors: ${errs.asScala.map(_.toString).mkString("; ")}")
+    t.digest()
+    t.optimize("x", "y", bits = 6)
+    val total = threads * batches * rowsPer
+    val ids = t.read().select("id").collect().map(_.getLong(0))
+    assert(ids.length === total && ids.toSet.size === total,
+      "no row lost, none duplicated through digest+optimize interleaving")
+    assert(t.rebuild().rowCount === total)
+  }
+
   test("ingest is O(batch): appending to a large table reads only the batch") {
     import spark.implicits._
     val root = tmpDir("graft-obatch")
