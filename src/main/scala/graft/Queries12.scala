@@ -386,8 +386,36 @@ object Queries12 {
         .orderBy(col("w_start"), col("event_type"))
   }
 
+  /** Explicit GROUPING SETS (completing the ROLLUP/CUBE lattice family,
+    * q15/q71): the three-level {(rf,ls), (rf), ()} sets with exact
+    * decimal sums; sentinel 'ALL' labels sidestep cross-engine NULL
+    * ordering (the q15 convention). */
+  val q99GroupingSets: (String, QueryDef) = q(
+    "q99_grouping_sets",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |  COALESCE(l_linestatus, 'ALL') AS ls, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), ())
+      |ORDER BY rf, ls""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    t("lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        call_function("graft_dsum", col("l_quantity"), lit(4)).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("cnt"), col("sum_qty"))
+      .orderBy(col("rf"), col("ls"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q85SetSimJoin, q86Zorder, q87CharEntropy, q88SemanticDedup, q89HeavyHitters,
     q90CumulativeDistinct, q91CohortRetention, q92KeySkew, q93Attribution,
-    q94AudioMeta, q95ImageDims, q96VideoMeta, q97RateAnomaly, q98HoppingWindow)
+    q94AudioMeta, q95ImageDims, q96VideoMeta, q97RateAnomaly, q98HoppingWindow,
+    q99GroupingSets)
 }

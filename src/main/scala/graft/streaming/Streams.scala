@@ -182,6 +182,31 @@ object Streams {
       }
   }
 
+  /** Gap-based sessions via Spark's NATIVE `session_window` (the built-in
+    * alternative to the [[sessionize]] mapGroupsWithState formulation):
+    * watermark-bounded merging session state, append-mode emission once a
+    * session can no longer grow. Boundary semantics: `session_window`
+    * SPLITS at `next - prev == gap` (windows touch but don't overlap)
+    * where the batch [[graft.operators.Events.sessionize]] keeps them
+    * together (`> gap` splits) — identical for every non-boundary gap,
+    * asserted by the parity spec.
+    *
+    * Output: `(user, session_start, session_end_excl, n_events)`;
+    * `session_end_excl` is the window end (last event + gap).
+    */
+  def sessionWindowCounts(events: DataFrame, userCol: String,
+      tsSecCol: String, gapSecs: Long,
+      watermark: String = "10 seconds"): DataFrame =
+    events
+      .withColumn("__ts", timestamp_seconds(col(tsSecCol).cast(LongType)))
+      .withWatermark("__ts", watermark)
+      .groupBy(col(userCol), session_window(col("__ts"), s"$gapSecs seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol),
+        col("session_window.start").cast(LongType).as("session_start"),
+        col("session_window.end").cast(LongType).as("session_end_excl"),
+        col("n_events"))
+
   /** Streaming heavy hitters: a live Misra-Gries summary per key — the
     * incremental twin of the batch
     * [[graft.functions.MisraGriesAggregator]], sharing its reduce/merge

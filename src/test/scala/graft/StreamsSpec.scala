@@ -172,6 +172,38 @@ class StreamsSpec extends SparkSpec {
     assert(table.info().rowCount === 150)
   }
 
+  test("native session_window stream matches batch sessionize (non-boundary gaps)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = 1700000000L
+    // two users, gaps strictly <> 60 so both formulations agree
+    val rows = Seq(
+      ("a", base), ("a", base + 30), ("a", base + 50),      // session 1 (3)
+      ("a", base + 200), ("a", base + 210),                 // session 2 (2)
+      ("b", base + 10), ("b", base + 300))                  // two singletons
+    val mem = MemoryStream[(String, Long)]
+    val out = Streams.sessionWindowCounts(
+      mem.toDF().toDF("user", "ts_sec"), "user", "ts_sec", gapSecs = 60L)
+    val q = out.writeStream.format("memory").queryName("sess_native")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    // advance the watermark far past every session so append mode emits all
+    mem.addData(("zz", base + 100000))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT user, session_start, n_events FROM sess_native WHERE user <> 'zz'")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.Events.sessionize(
+      rows.toDF("user", "ts_sec"), "user", "ts_sec", "ts_sec", 60L)
+      .select(col("user"), col("session_start"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(batch == Set(("a", base, 3L), ("a", base + 200, 2L),
+      ("b", base + 10, 1L), ("b", base + 300, 1L)))
+  }
+
   test("streaming heavy hitters keeps the MG guarantee across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
