@@ -413,9 +413,51 @@ object Queries12 {
       .orderBy(col("rf"), col("ls"))
   }
 
+  /** The dedup funnel — the headline corpus-curation report: raw docs →
+    * unique content (exact) → near-dup pairs (MinHash-LSH + exact Jaccard
+    * ≥ 0.6) → docs surviving single-pass near-dedup. Every stage is the
+    * production operator; the oracle rebuilds the identical funnel from
+    * the proven q35-q37 CTE family. */
+  val q100DedupFunnel: (String, QueryDef) = q(
+    "q100_dedup_funnel",
+    s"""WITH ${Queries8.pairsSql},
+       |shset AS (SELECT doc_id, list_distinct(sh) AS shd FROM s),
+       |verified AS (
+       |  SELECT d1, d2 FROM pairs
+       |  JOIN shset x ON x.doc_id = d1 JOIN shset y ON y.doc_id = d2
+       |  WHERE CAST(len(list_intersect(x.shd, y.shd)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(x.shd, y.shd))) >= 0.6)
+       |SELECT 'a_raw_docs' AS stage, COUNT(*) AS value FROM documents
+       |UNION ALL
+       |SELECT 'b_unique_content', COUNT(DISTINCT md5(text)) FROM documents
+       |UNION ALL
+       |SELECT 'c_near_dup_pairs', COUNT(*) FROM verified
+       |UNION ALL
+       |SELECT 'd_after_near_dedup',
+       |  (SELECT COUNT(*) FROM documents) -
+       |  (SELECT COUNT(DISTINCT d2) FROM verified)
+       |ORDER BY stage""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val docs = t("documents")
+    val verified = Dedup.jaccardVerify(docs,
+      Dedup.lshCandidates(Dedup.minhashBands(docs, "doc_id", "text"), "doc_id"),
+      "doc_id", "text", threshold = 0.6)
+    def row(stage: String, df: DataFrame): DataFrame =
+      df.select(lit(stage).as("stage"), col("value"))
+    row("a_raw_docs", docs.agg(count(lit(1)).as("value")))
+      .unionByName(row("b_unique_content",
+        Dedup.exactDedup(docs, "doc_id", "text").agg(count(lit(1)).as("value"))))
+      .unionByName(row("c_near_dup_pairs",
+        verified.agg(count(lit(1)).as("value"))))
+      .unionByName(row("d_after_near_dedup",
+        Dedup.nearDedup(docs, "doc_id", "text", threshold = 0.6)
+          .agg(count(lit(1)).as("value"))))
+      .orderBy(col("stage"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q85SetSimJoin, q86Zorder, q87CharEntropy, q88SemanticDedup, q89HeavyHitters,
     q90CumulativeDistinct, q91CohortRetention, q92KeySkew, q93Attribution,
     q94AudioMeta, q95ImageDims, q96VideoMeta, q97RateAnomaly, q98HoppingWindow,
-    q99GroupingSets)
+    q99GroupingSets, q100DedupFunnel)
 }
