@@ -455,9 +455,29 @@ object Queries12 {
       .orderBy(col("stage"))
   }
 
+  /** Sliding-window RAG chunking ([[TextAnalysis.chunkForRag]]): 32-token
+    * windows advancing 24 (8-token overlap), byte-for-byte chunk text. */
+  val q101RagChunks: (String, QueryDef) = q(
+    "q101_rag_chunks",
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |c AS (
+      |  SELECT doc_id, t.k AS chunk_idx,
+      |    tk[t.k * 24 + 1 : t.k * 24 + 32] AS ctk
+      |  FROM w, UNNEST(generate_series(0, GREATEST(0,
+      |    CAST(ceil((len(tk) - 32) / 24.0) AS INT)))) AS t(k))
+      |SELECT doc_id, chunk_idx, array_to_string(ctk, ' ') AS chunk_text,
+      |  CAST(len(ctk) AS BIGINT) AS n_tokens
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    TextAnalysis.chunkForRag(t("documents"), "doc_id", "text",
+        size = 32, overlap = 8)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q85SetSimJoin, q86Zorder, q87CharEntropy, q88SemanticDedup, q89HeavyHitters,
     q90CumulativeDistinct, q91CohortRetention, q92KeySkew, q93Attribution,
     q94AudioMeta, q95ImageDims, q96VideoMeta, q97RateAnomaly, q98HoppingWindow,
-    q99GroupingSets, q100DedupFunnel)
+    q99GroupingSets, q100DedupFunnel, q101RagChunks)
 }

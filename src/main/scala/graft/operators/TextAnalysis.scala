@@ -184,6 +184,32 @@ object TextAnalysis {
       Seq(col("cnt").desc, col("token")), k, col("token"))
   }
 
+  /** Sliding-window document chunking (the RAG/embedding-prep shape):
+    * token windows of `size` advancing by `size - overlap`, each chunk
+    * rejoined with spaces. The last window may be shorter; a document
+    * shorter than one window yields exactly one chunk. Pure row-local
+    * array arithmetic — explodes to chunk rows with zero shuffle, so at
+    * corpus scale this is a projection feeding the embedding stage.
+    *
+    * Output: `(id, chunk_idx, chunk_text, n_tokens)`.
+    */
+  def chunkForRag(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(size >= 1 && overlap >= 0 && overlap < size,
+      "need size >= 1 and 0 <= overlap < size")
+    val step = size - overlap
+    val chunks = docs
+      .select(col(idCol), split(col(textCol), " ").as("__tk"))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, greatest(0, cast(ceil((size(__tk) - $size) / $step.0) as int))), " +
+          s"i -> slice(__tk, i * $step + 1, $size))"))
+        .as(Seq("chunk_idx", "__ctk")))
+    chunks.select(col(idCol), col("chunk_idx"),
+      concat_ws(" ", col("__ctk")).as("chunk_text"),
+      org.apache.spark.sql.functions.size(col("__ctk")).cast("long")
+        .as("n_tokens"))
+  }
+
   /** Convenience: append all text stats to a documents DataFrame. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

@@ -123,6 +123,36 @@ class Round7OpsSpec extends SparkSpec {
       s"z-order y width ${byFile.getDouble(1)} vs x-sort $xsort")
   }
 
+  test("zorder2 property: matches a reference bit-interleave on 500 random pairs") {
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(500)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val got = pairs.toDF("x", "y")
+      .select(Bucketing.zorder2(col("x"), col("y"), 16).as("z"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == pairs.map { case (x, y) => ref(x, y) })
+  }
+
+  test("chunkForRag: full coverage with overlap, short docs, exact boundaries") {
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")), // 20 toks: windows 0..2 @ step 8
+      (2L, "a b c"),                                   // shorter than one window
+      (3L, (1 to 10).map(i => s"s$i").mkString(" "))   // exactly size
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkForRag(docs, "doc_id", "text", size = 10, overlap = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.length == 3 && d1(0)._4 == 10 && d1(1)._4 == 10 && d1(2)._4 == 4)
+    assert(d1(1)._3.startsWith("t9 "), "overlap: second window starts at token 9")
+    // every token appears in at least one chunk (coverage)
+    val covered = d1.flatMap(_._3.split(" ")).toSet
+    assert((1 to 20).map(i => s"t$i").forall(covered))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b c", 3L)))
+    assert(out.filter(_._1 == 3L).length == 1)
+  }
+
   // ---- char entropy ------------------------------------------------------
 
   test("charEntropy: hand-computed values") {
