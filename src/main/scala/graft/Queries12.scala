@@ -475,9 +475,68 @@ object Queries12 {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** One-scan Pearson correlation MATRIX
+    * ([[graft.core.Stats.pearsonMatrix]]): all pairwise moments of three
+    * lineitem measures in a single aggregation, exact int128 sums. */
+  val q102CorrMatrix: (String, QueryDef) = q(
+    "q102_corr_matrix",
+    """WITH m AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s_q,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS s_e,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS s_d,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS ss_q,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS ss_e,
+      |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS ss_d,
+      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sp_qe,
+      |    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS sp_qd,
+      |    CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS sp_ed
+      |  FROM lineitem)
+      |SELECT x, y, ROUND((n * sp - sx * sy) /
+      |  (SQRT(n * ssx - sx * sx) * SQRT(n * ssy - sy * sy)), 6) AS corr_xy
+      |FROM (
+      |  SELECT 'l_quantity' AS x, 'l_extendedprice' AS y,
+      |    sp_qe AS sp, s_q AS sx, s_e AS sy, ss_q AS ssx, ss_e AS ssy, n FROM m
+      |  UNION ALL SELECT 'l_quantity', 'l_discount',
+      |    sp_qd, s_q, s_d, ss_q, ss_d, n FROM m
+      |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+      |    sp_ed, s_e, s_d, ss_e, ss_d, n FROM m)
+      |ORDER BY x, y""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.core.Stats.pearsonMatrix(t("lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .orderBy(col("x"), col("y"))
+  }
+
+  /** Exact weighted median per group
+    * ([[graft.core.Stats.groupedWeightedMedian]]): quantity-weighted
+    * lower median of extended price per return flag. */
+  val q103WeightedMedian: (String, QueryDef) = q(
+    "q103_weighted_median",
+    """WITH g AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT l_returnflag, l_extendedprice, c,
+      |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+      |    SUM(c) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM g)
+      |SELECT l_returnflag, MAX(n) AS total_weight,
+      |  MIN(l_extendedprice) AS median
+      |FROM cum WHERE cm * 2 >= n GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.core.Stats.groupedWeightedMedian(t("lineitem"), "l_returnflag",
+        "l_extendedprice", "l_quantity")
+      .orderBy(col("l_returnflag"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q85SetSimJoin, q86Zorder, q87CharEntropy, q88SemanticDedup, q89HeavyHitters,
     q90CumulativeDistinct, q91CohortRetention, q92KeySkew, q93Attribution,
     q94AudioMeta, q95ImageDims, q96VideoMeta, q97RateAnomaly, q98HoppingWindow,
-    q99GroupingSets, q100DedupFunnel, q101RagChunks)
+    q99GroupingSets, q100DedupFunnel, q101RagChunks, q102CorrMatrix,
+    q103WeightedMedian)
 }

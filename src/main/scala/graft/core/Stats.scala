@@ -76,6 +76,41 @@ object Stats {
           .as("corr_xy"))
   }
 
+  /** Full Pearson correlation MATRIX of `cols` in ONE scan: every per-
+    * column sum/sumsq and every pairwise cross-sum lands in a single
+    * `agg` (k + k + k(k-1)/2 exact int128 decimal sums — order-
+    * independent), then each pair's coefficient is the fixed IEEE moment
+    * formula. One pass over the data no matter how many columns; the
+    * naive per-pair [[pearson]] loop would scan k(k-1)/2 times.
+    *
+    * Output: one row per unordered pair `(x, y, corr_xy)` with x < y by
+    * column order, ROUND-6 (the [[icc]] convention).
+    */
+  def pearsonMatrix(df: DataFrame, cols: Seq[String], scale: Int = 6): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    def d(c: Column, s: Int) = call_function("graft_dsum", c, lit(s))
+    def v(c: String) = col(c).cast(DoubleType)
+    val aggs =
+      Seq(count(lit(1)).as("n")) ++
+      cols.map(c => d(v(c), scale).as(s"s_$c")) ++
+      cols.map(c => d(v(c) * v(c), scale * 2).as(s"ss_$c")) ++
+      cols.combinations(2).toSeq.map { case Seq(a, b) =>
+        d(v(a) * v(b), scale * 2).as(s"sp_${a}_$b")
+      }
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    // one exploded projection over the single agg row — the union-per-pair
+    // alternative would plant k(k-1)/2 copies of the aggregation subtree
+    val pairStructs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      struct(lit(a).as("x"), lit(b).as("y"),
+        round((col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+          (sqrt(col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
+            sqrt(col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))),
+          6).as("corr_xy"))
+    }
+    m.select(explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"), col("p.corr_xy").as("corr_xy"))
+  }
+
   /** Key-distribution skew report — the diagnostic behind every "one hot
     * key serialized the stage" incident: row count, distinct keys, the
     * hottest key's count, and the share of rows held by the top-1 / top-k
@@ -100,6 +135,27 @@ object Stats {
       .select(col("n_rows"), col("n_keys"), col("max_cnt"), col("topk_cnt"),
         (col("max_cnt").cast(DoubleType) / col("n_rows")).as("top1_share"),
         (col("topk_cnt").cast(DoubleType) / col("n_rows")).as("topk_share"))
+  }
+
+  /** Exact per-group WEIGHTED lower median: the smallest value whose
+    * cumulative weight reaches half the group's total — [[groupedMedian]]
+    * with integer weights (a row counting `w` times). Same distinct-value
+    * -window shape: the window runs over distinct (group, value) pairs
+    * after a partial-aggregated weight rollup, never over raw rows.
+    */
+  def groupedWeightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col(weightCol).cast("long")).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    g.withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(wn))
+      .filter(col("__cum") * 2 >= col("__n"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("total_weight"), min(col(valueCol)).as("median"))
   }
 
   /** Exact per-group lower median of an integer-valued column — the

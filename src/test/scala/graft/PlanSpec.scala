@@ -174,6 +174,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("correlation matrix is ONE scan: single aggregate, no plan duplication (q102)") {
+    val p = plan("q102_corr_matrix")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"all pairwise moments must come from one scan, saw $scans")
+  }
+
   test("heavy hitters: two-phase cap bounds exchanges; count partial-aggregates (q89)") {
     val p = plan("q89_heavy_hitters")
     val exchanges = "Exchange".r.findAllIn(p).size
