@@ -533,10 +533,44 @@ object Queries12 {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Period-over-period deltas: daily per-type counts with the previous
+    * period's count and the relative change — lag over the bucket axis
+    * (thousands of rows, not events); change is one IEEE division. */
+  val q104PeriodDelta: (String, QueryDef) = q(
+    "q104_period_delta",
+    """WITH c AS (
+      |  SELECT event_type,
+      |    ((epoch_ns(ts) // 1000000000) // 86400) * 86400 AS bucket,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_type, bucket, cnt,
+      |    LAG(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS prev
+      |  FROM c)
+      |SELECT event_type, bucket, cnt, prev,
+      |  (CAST(cnt AS DOUBLE) - prev) / prev AS rel_change
+      |FROM l WHERE prev IS NOT NULL
+      |ORDER BY event_type, bucket""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("bucket"))
+    t("events")
+      .select(col("event_type"),
+        (expr("cast(ts_sec as bigint) div 86400") * 86400).as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prev", lag(col("cnt"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), col("bucket"), col("cnt"), col("prev"),
+        ((col("cnt").cast("double") - col("prev")) / col("prev"))
+          .as("rel_change"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q85SetSimJoin, q86Zorder, q87CharEntropy, q88SemanticDedup, q89HeavyHitters,
     q90CumulativeDistinct, q91CohortRetention, q92KeySkew, q93Attribution,
     q94AudioMeta, q95ImageDims, q96VideoMeta, q97RateAnomaly, q98HoppingWindow,
     q99GroupingSets, q100DedupFunnel, q101RagChunks, q102CorrMatrix,
-    q103WeightedMedian)
+    q103WeightedMedian, q104PeriodDelta)
 }

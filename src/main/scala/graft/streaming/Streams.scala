@@ -207,6 +207,51 @@ object Streams {
         col("session_window.end").cast(LongType).as("session_end_excl"),
         col("n_events"))
 
+  /** Streaming rate-anomaly scoring over CLOSED buckets: feed the
+    * append-mode output of a watermarked bucket aggregation (e.g.
+    * [[timeBucketCounts]]) and each finalized `(type, bucket, cnt)` row is
+    * z-scored against the type's previous `lookback` bucket rows — the
+    * incremental twin of [[graft.operators.Events.rateAnomalies]], same
+    * exact-integer sums and IEEE formula, so scores are bit-identical to
+    * the batch operator given the same closed buckets in bucket order
+    * (spec-asserted). State per type is a ring of `lookback` (bucket,
+    * count) pairs — bounded, independent of stream length.
+    */
+  def streamingRateAnomalies(
+      counts: Dataset[(String, Long, Long)], // (type, closed bucket, count)
+      lookback: Int,
+      zThreshold: Double): Dataset[(String, Long, Long, Double, Long)] = {
+    import counts.sparkSession.implicits._
+    counts
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Long)], (String, Long, Long, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, batch, state: GroupState[Seq[(Long, Long)]]) =>
+          var hist = state.getOption.getOrElse(Seq.empty)
+          val out = batch.toSeq.sortBy(_._2).flatMap { case (_, b, c) =>
+            val trailing = hist.filter(_._1 < b).takeRight(lookback)
+            val res =
+              if (trailing.size == lookback) {
+                val n = lookback.toDouble
+                val s = trailing.map(_._2).sum
+                val ss = trailing.map(x => x._2 * x._2).sum
+                val mean = s.toDouble / n
+                val variance = (ss.toDouble - s.toDouble * s / n) / n
+                val std = math.sqrt(variance)
+                val z = if (std > 0) (c.toDouble - mean) / std else 0.0
+                val anomaly =
+                  if (std > 0) { if (math.abs(z) > zThreshold) 1L else 0L }
+                  else { if (c.toDouble != mean) 1L else 0L }
+                Some((key, b, c, z, anomaly))
+              } else None
+            hist = (hist :+ (b, c)).sortBy(_._1).takeRight(lookback)
+            res
+          }
+          state.update(hist)
+          out.iterator
+      }
+  }
+
   /** Streaming heavy hitters: a live Misra-Gries summary per key — the
     * incremental twin of the batch
     * [[graft.functions.MisraGriesAggregator]], sharing its reduce/merge

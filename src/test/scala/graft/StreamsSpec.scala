@@ -204,6 +204,40 @@ class StreamsSpec extends SparkSpec {
       ("b", base + 10, 1L), ("b", base + 300, 1L)))
   }
 
+  test("streaming rate anomalies match the batch scorer bit-for-bit on closed buckets") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(9)
+    // per-type bucket counts with a planted spike
+    val buckets = (0 until 30).map { i =>
+      ("click", i * 3600L, if (i == 20) 500L else 40L + rnd.nextInt(5)) }
+    val raw = buckets.flatMap { case (t, b, c) =>
+      (0 until c.toInt).map(j => (t, b + j % 3600)) }
+    val mem = MemoryStream[(String, Long, Long)]
+    val out = Streams.streamingRateAnomalies(mem.toDS(), lookback = 6,
+      zThreshold = 2.0)
+    val q = out.writeStream.format("memory").queryName("sra")
+      .outputMode("append").start()
+    // two micro-batches split mid-series: state must carry across
+    mem.addData(buckets.take(15): _*)
+    q.processAllAvailable()
+    mem.addData(buckets.drop(15): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT * FROM sra").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSet
+    val batch = graft.operators.Events.rateAnomalies(
+      raw.toDF("event_type", "ts_sec"), "event_type", "ts_sec",
+      bucketSecs = 3600L, lookback = 6, zThreshold = 2.0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSet
+    assert(streamed == batch)
+    assert(streamed.exists { case (_, b, _, _, a) => b == 20 * 3600L && a == 1L },
+      "the planted spike must be flagged")
+  }
+
   test("streaming heavy hitters keeps the MG guarantee across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
