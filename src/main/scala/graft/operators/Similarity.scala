@@ -297,6 +297,104 @@ object Similarity {
       ivfClusterCol(kmeansFit(emb, idCol, vecCol, nClusters, iters), vecCol)
         .as("cluster"))
 
+  /** Product-quantization codebooks: for each of `m` subspaces, the
+    * sub-vectors of the `k` lowest-id embeddings (seeded, like
+    * [[ivfAssign]]'s centroids — production swaps in per-subspace k-means
+    * without changing the scale structure). Returns
+    * `(subspace, code, subvector)` with `dims/m` doubles each. */
+  private def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int): Seq[(Int, Int, Seq[Double])] = {
+    val seeds = emb.filter(col(idCol) < k).select(col(idCol), col(vecCol))
+      .collect().toSeq
+      .map(r => (r.getLong(0).toInt,
+        r.getAs[collection.Seq[Float]](1).toSeq.map(_.toDouble)))
+      .sortBy(_._1)
+    require(seeds.size == k, s"PQ needs $k seed vectors with $idCol < $k")
+    val sub = seeds.head._2.size / m
+    for ((j, v) <- seeds; s <- 0 until m)
+      yield (s, j, v.slice(s * sub, (s + 1) * sub))
+  }
+
+  /** PQ encoding: per subspace, the code of the centroid with the LARGEST
+    * dot product against the sub-vector (ties → smallest code), computed
+    * as a shuffle-free fused-fold projection — identical machinery to
+    * [[ivfClusterCol]] per subspace. The encoded row is `m` small ints
+    * (`m` bytes at k ≤ 256): a 64-dim float vector compresses 32× — THE
+    * published memory answer for corpus-scale ANN (IVF bounds candidates,
+    * PQ bounds bytes-per-vector). */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16): DataFrame = {
+    val books = pqCodebooks(emb, idCol, vecCol, m, k)
+    val sub = books.head._3.size
+    val codeCols = (0 until m).map { s =>
+      val packed = books.filter(_._1 == s).sortBy(_._2).map { case (_, j, cv) =>
+        struct(call_function("graft_dotw",
+          slice(col(vecCol), s * sub + 1, sub), array(cv.map(lit): _*)).as("d"),
+          lit(-j).as("n"))
+      }
+      (-greatest(packed: _*).getField("n")).cast("int").as(s"code_$s")
+    }
+    emb.select(col(idCol) +: col(vecCol) +: codeCols: _*)
+  }
+
+  /** PQ ANN search with ADC (asymmetric distance computation): each query
+    * precomputes an `m×k` lookup table of sub-dot-products against the
+    * codebooks (driver-side — the LUT is the query's model, k·m doubles),
+    * every encoded vector is scored by `m` table lookups summed in fixed
+    * subspace order, the top `rerank` ADC candidates get EXACT cosines,
+    * and the top `kNN` win. One scan computes codes and every query's ADC
+    * score (exploded per query, never one branch per query); the only
+    * shuffles are the two per-query top-k windows.
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], kNN: Int, m: Int = 8, k: Int = 16,
+      rerank: Int = 50): DataFrame = {
+    val spark = emb.sparkSession
+    val books = pqCodebooks(emb, idCol, vecCol, m, k)
+    val sub = books.head._3.size
+    val queries = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol), col(vecCol)).collect().toSeq
+      .map(r => (r.getLong(0),
+        r.getAs[collection.Seq[Float]](1).toSeq.map(_.toDouble)))
+      .sortBy(_._1)
+    // LUT in the same in-order fold the fused expressions and the oracle
+    // use: lut(q)(s)(j) = dot(q_s, c_{s,j})
+    def fold(a: Seq[Double], b: Seq[Double]): Double = {
+      var sum = 0.0; var i = 0
+      while (i < a.size && i < b.size) { sum += a(i) * b(i); i += 1 }
+      sum
+    }
+    val encoded = pqEncode(emb, idCol, vecCol, m, k)
+    val adcStructs = queries.map { case (qid, qv) =>
+      val adc = (0 until m).map { s =>
+        val lut = books.filter(_._1 == s).sortBy(_._2)
+          .map { case (_, _, cv) => fold(qv.slice(s * sub, (s + 1) * sub), cv) }
+        element_at(array(lut.map(lit): _*), col(s"code_$s") + 1)
+      }.foldLeft(lit(0.0))(_ + _)
+      struct(lit(qid).as("qid"), adc.as("adc"))
+    }
+    val scored = encoded
+      .select(col(idCol), col(vecCol), explode(array(adcStructs: _*)).as("a"))
+      .select(col(idCol), col(vecCol), col("a.qid").as("qid"), col("a.adc").as("adc"))
+      .filter(col(idCol) =!= col("qid"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc").desc, col(idCol))
+    val cands = scored.withColumn("__rk", row_number().over(wAdc))
+      .filter(col("__rk") <= rerank).drop("__rk")
+    import spark.implicits._
+    val qdf = broadcast(queries.map { case (qid, qv) =>
+      (qid, qv, math.sqrt(fold(qv, qv))) }.toDF("__qid", "__qv", "__qnorm"))
+    val wSim = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol))
+    cands.join(qdf, col("qid") === col("__qid"))
+      .select(col("qid"), col(idCol),
+        (call_function("graft_dotw", col(vecCol), col("__qv")) /
+          (sqrt(call_function("graft_dot", col(vecCol), col(vecCol))) *
+            col("__qnorm"))).as("sim"))
+      .withColumn("__rk", row_number().over(wSim))
+      .filter(col("__rk") <= kNN).drop("__rk")
+  }
+
   /** Semantic deduplication (SemDeDup-style): cluster the embedding space
     * with the IVF codebook, then WITHIN each cluster drop every vector
     * that is cosine-similar (≥ `minCos`) to a lower-id vector — duplicates

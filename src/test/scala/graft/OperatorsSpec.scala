@@ -155,6 +155,41 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.7, f"recall@10 $recall%.3f below floor 0.7")
   }
 
+  test("PQ: codes stay in range; ADC rerank recall@10 vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val encoded = Similarity.pqEncode(emb, "vec_id", "embedding", m = 8, k = 16)
+    for (s <- 0 until 8) {
+      val bad = encoded.filter(col(s"code_$s") < 0 || col(s"code_$s") >= 16).count()
+      assert(bad === 0, s"subspace $s has out-of-range codes")
+    }
+    val ids = (100L to 107L)
+    val q = emb.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    val gt = emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Similarity.cosine(col("embedding"), col("qv")).as("sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding", ids, kNN = 10,
+        m = 8, k = 16, rerank = 100)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq intersect gt).size.toDouble / gt.size
+    info(f"PQ+ADC recall@10 (rerank=100) over ${ids.size} queries: $recall%.3f")
+    // 16 seeded centroids over weak-neighbor synthetic data: the ADC
+    // ordering is coarse, the exact rerank recovers what it surfaces
+    assert(recall >= 0.4, f"recall@10 $recall%.3f below floor 0.4")
+    // rerank = corpus size -> exact: recall must be 1.0 (candidates = all)
+    val full = Similarity.pqTopK(emb, "vec_id", "embedding", ids, kNN = 10,
+        m = 8, k = 16, rerank = emb.count().toInt)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == gt, "full-rerank PQ must equal brute force exactly")
+  }
+
   test("IVF: assignment is the true argmax; probe-limited topK has recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     // assignment correctness: spot-check 25 vectors against a brute-force
