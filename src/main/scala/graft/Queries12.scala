@@ -630,10 +630,92 @@ object Queries12 {
       .orderBy(col("qid"), col("sim").desc, col("vec_id"))
   }
 
+  /** IVF + PQ composed ([[Similarity.ivfPqTopK]]) — the production ANN
+    * serving stack: coarse probes bound the candidate set, PQ codes bound
+    * bytes per candidate, ADC scores, exact cosine reranks. The oracle
+    * chains q52's probe CTEs with q105's code/LUT CTEs — every stage of
+    * the composition is hash-checked end-to-end. */
+  val q106IvfPq: (String, QueryDef) = q(
+    "q106_ivf_pq", {
+      def dotSub(a: String, b: String): String =
+        s"list_reduce(list_transform(generate_series(1, 8), i -> " +
+          s"CAST($a[ss.s * 8 + i] AS DOUBLE) * CAST($b[ss.s * 8 + i] AS DOUBLE)), " +
+          s"(x, y) -> x + y)"
+      def dotFull(a: String, b: String): String =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> " +
+          s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+      s"""WITH ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+         |cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |sims AS (
+         |  SELECT e.vec_id, c.cid, ${dotFull("e.embedding", "c.cv")} AS sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+         |    FROM sims) WHERE rk = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+         |    FROM sims WHERE vec_id BETWEEN 100 AND 103) WHERE rk <= 4),
+         |cd AS (
+         |  SELECT e.vec_id, ss.s, c.vec_id AS cid,
+         |    ${dotSub("e.embedding", "c.embedding")} AS d
+         |  FROM embeddings e CROSS JOIN ss
+         |  JOIN embeddings c ON c.vec_id < 16),
+         |codes AS (
+         |  SELECT vec_id, s, cid AS code FROM (
+         |    SELECT vec_id, s, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d DESC, cid) AS rk
+         |    FROM cd) WHERE rk = 1),
+         |lut AS (
+         |  SELECT q.vec_id AS qid, ss.s, c.vec_id AS cid,
+         |    ${dotSub("q.embedding", "c.embedding")} AS val
+         |  FROM embeddings q CROSS JOIN ss
+         |  JOIN embeddings c ON c.vec_id < 16
+         |  WHERE q.vec_id BETWEEN 100 AND 103),
+         |adc AS (
+         |  SELECT l.qid, co.vec_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(l.val ORDER BY l.s)), (x, y) -> x + y) AS adc
+         |  FROM codes co
+         |  JOIN lut l ON l.s = co.s AND l.cid = co.code
+         |  JOIN assigned a ON a.vec_id = co.vec_id
+         |  JOIN probes p ON p.qid = l.qid AND p.cid = a.cid
+         |  WHERE co.vec_id <> l.qid
+         |  GROUP BY l.qid, co.vec_id),
+         |cands AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rk
+         |    FROM adc) WHERE rk <= 50),
+         |scored AS (
+         |  SELECT ca.qid, ca.vec_id,
+         |    ${dotFull("e.embedding", "qe.embedding")} /
+         |    (SQRT(${dotFull("e.embedding", "e.embedding")}) *
+         |     SQRT(${dotFull("qe.embedding", "qe.embedding")})) AS sim
+         |  FROM cands ca
+         |  JOIN embeddings e ON e.vec_id = ca.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = ca.qid)
+         |SELECT qid, vec_id, sim FROM (
+         |  SELECT qid, vec_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+         |  FROM scored) WHERE rk <= 10
+         |ORDER BY qid, sim DESC, vec_id""".stripMargin
+    }) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    Similarity.ivfPqTopK(t("embeddings"), "vec_id", "embedding",
+        queryIds = (100L to 103L), kNN = 10, nClusters = 16, nProbe = 4,
+        m = 8, k = 16, rerank = 50)
+      .orderBy(col("qid"), col("sim").desc, col("vec_id"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q85SetSimJoin, q86Zorder, q87CharEntropy, q88SemanticDedup, q89HeavyHitters,
     q90CumulativeDistinct, q91CohortRetention, q92KeySkew, q93Attribution,
     q94AudioMeta, q95ImageDims, q96VideoMeta, q97RateAnomaly, q98HoppingWindow,
     q99GroupingSets, q100DedupFunnel, q101RagChunks, q102CorrMatrix,
-    q103WeightedMedian, q104PeriodDelta, q105PqAnn)
+    q103WeightedMedian, q104PeriodDelta, q105PqAnn, q106IvfPq)
 }

@@ -395,6 +395,76 @@ object Similarity {
       .filter(col("__rk") <= kNN).drop("__rk")
   }
 
+  /** IVF + PQ — the production pairing for corpus-scale ANN: the coarse
+    * quantizer (IVF) bounds WHICH vectors are scored (~nProbe/nClusters of
+    * the corpus), PQ bounds the BYTES per scored vector (m codes instead
+    * of the float vector), ADC scores candidates via lookup tables, and
+    * exact cosine reranks the survivors. Every stage is the proven
+    * standalone machinery ([[ivfAssign]]'s argmax, [[pqEncode]],
+    * [[pqTopK]]'s LUTs) composed in one plan: ONE scan computes cluster +
+    * codes + every query's ADC, the probe list broadcasts, and the only
+    * shuffles are the two per-query top-k windows.
+    */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], kNN: Int, nClusters: Int = 16, nProbe: Int = 4,
+      m: Int = 8, k: Int = 16, rerank: Int = 50): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = seedCentroids(emb, idCol, vecCol, nClusters)
+    val books = pqCodebooks(emb, idCol, vecCol, m, k)
+    val sub = books.head._3.size
+    val queries = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol), col(vecCol)).collect().toSeq
+      .map(r => (r.getLong(0),
+        r.getAs[collection.Seq[Float]](1).toSeq.map(_.toDouble)))
+      .sortBy(_._1)
+    def fold(a: Seq[Double], b: Seq[Double]): Double = {
+      var sum = 0.0; var i = 0
+      while (i < a.size && i < b.size) { sum += a(i) * b(i); i += 1 }
+      sum
+    }
+    // driver-side probe list: nProbe nearest centroids per query (same
+    // dot + tiebreak as ivfTopK, computed on the collected query vectors)
+    val probes = queries.flatMap { case (qid, qv) =>
+      cents.map { case (cid, cv) => (qid, cid, fold(qv, cv)) }
+        .sortBy { case (_, cid, d) => (-d, cid) }
+        .take(nProbe).map { case (qid2, cid, _) => (qid2, cid) }
+    }
+    val encoded = pqEncode(emb, idCol, vecCol, m, k)
+      .withColumn("__c", ivfClusterCol(cents, vecCol))
+    val adcStructs = queries.map { case (qid, qv) =>
+      val adc = (0 until m).map { s =>
+        val lut = books.filter(_._1 == s).sortBy(_._2)
+          .map { case (_, _, cv) => fold(qv.slice(s * sub, (s + 1) * sub), cv) }
+        element_at(array(lut.map(lit): _*), col(s"code_$s") + 1)
+      }.foldLeft(lit(0.0))(_ + _)
+      struct(lit(qid).as("qid"), adc.as("adc"))
+    }
+    import spark.implicits._
+    val probeDf = broadcast(probes.toDF("__pqid", "__pcid"))
+    val scored = encoded
+      .select(col(idCol), col(vecCol), col("__c"),
+        explode(array(adcStructs: _*)).as("a"))
+      .select(col(idCol), col(vecCol), col("__c"),
+        col("a.qid").as("qid"), col("a.adc").as("adc"))
+      .join(probeDf, col("qid") === col("__pqid") && col("__c") === col("__pcid"))
+      .filter(col(idCol) =!= col("qid"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc").desc, col(idCol))
+    val cands = scored.withColumn("__rk", row_number().over(wAdc))
+      .filter(col("__rk") <= rerank).drop("__rk")
+    val qdf = broadcast(queries.map { case (qid, qv) =>
+      (qid, qv, math.sqrt(fold(qv, qv))) }.toDF("__qid", "__qv", "__qnorm"))
+    val wSim = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol))
+    cands.join(qdf, col("qid") === col("__qid"))
+      .select(col("qid"), col(idCol),
+        (call_function("graft_dotw", col(vecCol), col("__qv")) /
+          (sqrt(call_function("graft_dot", col(vecCol), col(vecCol))) *
+            col("__qnorm"))).as("sim"))
+      .withColumn("__rk", row_number().over(wSim))
+      .filter(col("__rk") <= kNN).drop("__rk")
+  }
+
   /** Semantic deduplication (SemDeDup-style): cluster the embedding space
     * with the IVF codebook, then WITHIN each cluster drop every vector
     * that is cosine-similar (≥ `minCos`) to a lower-id vector — duplicates
