@@ -192,6 +192,9 @@ object Cli {
         val cols = splitList(f.getOrElse("zorder",
           sys.error("-zorder <xcol>,<ycol> is required")))
         require(cols.length == 2, "-zorder takes exactly two columns")
+        if (table.blockIds.isEmpty)
+          System.err.println("[graft] optimize: no digested blocks — run " +
+            "`graft digest` first (undigested ingest logs are not optimized)")
         table.optimize(cols(0), cols(1),
           bits = f.get("zorder-bits").map(_.toInt).getOrElse(16))
 

@@ -330,11 +330,21 @@ object Queries12 {
     * rounding convention is needed. */
   val q97RateAnomaly: (String, QueryDef) = q(
     "q97_rate_anomaly",
-    """WITH c AS (
+    """WITH sp AS (
       |  SELECT event_type,
       |    ((epoch_ns(ts) // 1000000000) // 3600) * 3600 AS bucket,
       |    COUNT(*) AS cnt
       |  FROM events GROUP BY 1, 2),
+      |spans AS (
+      |  SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+      |  FROM sp GROUP BY 1),
+      |dense AS (
+      |  SELECT spans.event_type, t.b AS bucket
+      |  FROM spans, UNNEST(generate_series(lo, hi, 3600)) AS t(b)),
+      |c AS (
+      |  SELECT d.event_type, d.bucket, COALESCE(sp.cnt, 0) AS cnt
+      |  FROM dense d LEFT JOIN sp
+      |    ON sp.event_type = d.event_type AND sp.bucket = d.bucket),
       |w AS (
       |  SELECT event_type, bucket, cnt,
       |    COUNT(*) OVER win AS k, SUM(cnt) OVER win AS s,

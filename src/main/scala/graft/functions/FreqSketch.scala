@@ -66,15 +66,38 @@ class MisraGriesAggregator(capacity: Int)
     sub
   }
 
+  /** Hot path: mutate the buffer in place. The common case (item already
+    * tracked) is a linear scan over ≤ capacity entries with ZERO
+    * allocation — rebuilding a map per input row would dominate the
+    * "bounded memory at corpus scale" purpose of the sketch. Null items
+    * are SKIPPED (SQL aggregate null semantics), never conflated with the
+    * empty string — conflation would overestimate "" and break the
+    * `est <= true` guarantee. */
   def reduce(b: MGBuf, item: String): MGBuf = {
-    val key = if (item == null) "" else item
-    val m = toMap(b)
-    m.get(key) match {
-      case Some(c) => m.update(key, c + 1)
-      case None => m.put(key, 1L)
+    if (item == null) return b
+    var i = 0
+    while (i < b.items.length) {
+      if (b.items(i) == item) { b.counts(i) += 1; b.n += 1; return b }
+      i += 1
     }
-    val dec = shrink(m)
-    fromMap(m, b.n + 1, b.decs + dec)
+    if (b.items.length < capacity) { // append (rare after warm-up)
+      b.items = b.items :+ item
+      b.counts = b.counts :+ 1L
+      b.n += 1
+      return b
+    }
+    // full + unseen item: classic MG — decrement every counter (the new
+    // item's virtual count 1 cancels against the same decrement), drop
+    // zeros. O(capacity), amortized across the ≥ capacity increments
+    // that must precede it.
+    var j = 0
+    while (j < b.counts.length) { b.counts(j) -= 1; j += 1 }
+    val keep = b.counts.zipWithIndex.filter(_._1 > 0)
+    b.items = keep.map { case (_, idx) => b.items(idx) }
+    b.counts = keep.map(_._1)
+    b.n += 1
+    b.decs += 1
+    b
   }
 
   def merge(a: MGBuf, b: MGBuf): MGBuf = {

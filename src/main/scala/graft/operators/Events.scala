@@ -147,15 +147,20 @@ object Events {
   /** Trailing-window rate anomaly detection: per (type, bucket) event
     * counts scored against the mean/std of the previous `lookback`
     * buckets (current bucket excluded — an anomaly must not dilute its
-    * own baseline). Buckets without a full lookback window are not
-    * scored. The z-score is IEEE ops over EXACT integer window sums
+    * own baseline). The bucket axis is DENSIFIED per type over its
+    * observed [min, max] span: a bucket with no events scores as count 0
+    * — a rate dropping to zero is the canonical anomaly and must not be
+    * invisible — and trailing baselines never silently skip time gaps.
+    * Buckets without a full lookback window are not scored. The z-score is IEEE ops over EXACT integer window sums
     * (counts, so sum/sumsq are exact; sqrt is correctly rounded), making
     * the output bit-deterministic with no rounding convention.
     *
     * Scale: one groupBy on (type, bucket) — partial-aggregated — then a
     * window over BUCKETS per type (thousands of rows per type, not event
-    * rows). The same shape as the reference's time-series aggregation
-    * with a scoring pass on top.
+    * rows). Densification explodes one span/bucketSecs-element sequence
+    * per type — pick bucket widths so a type's span stays in the
+    * thousands-of-buckets range (the constraint any dense time-series
+    * report has).
     *
     * Output: `(event_type, bucket, cnt, z, anomaly)` where anomaly =
     * |z| > `zThreshold` (0 std → anomaly iff the count moved at all).
@@ -163,12 +168,22 @@ object Events {
   def rateAnomalies(events: DataFrame, typeCol: String, tsSecCol: String,
       bucketSecs: Long, lookback: Int, zThreshold: Double): DataFrame = {
     require(bucketSecs >= 1 && lookback >= 2, "bucketSecs>=1, lookback>=2")
-    val counts = events
+    val sparse = events
       .select(col(typeCol),
         (expr(s"cast($tsSecCol as bigint) div $bucketSecs") * bucketSecs)
           .as("bucket"))
       .groupBy(col(typeCol), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+    // densify: every bucket in the type's observed span, empty ones = 0
+    val spans = sparse.groupBy(col(typeCol))
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+    val counts = spans
+      .select(col(typeCol),
+        explode(sequence(col("__lo"), col("__hi"), lit(bucketSecs)))
+          .as("bucket"))
+      .join(sparse, Seq(typeCol, "bucket"), "left")
+      .select(col(typeCol), col("bucket"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(typeCol)).orderBy(col("bucket"))
       .rowsBetween(-lookback, -1)

@@ -108,16 +108,32 @@ object Multimodal {
       (col("kind") =!= "image" ||
         (col("meta.width") > 0 && col("meta.height") > 0)))
 
+  /** Fail-fast range guard for the hex builders: `lpad` TRUNCATES an
+    * over-wide hex string keeping the most-significant digits, which
+    * would silently encode garbage into a synthesized header — raise
+    * instead. */
+  private def fitsBytes(v: Column, bytes: Int): Column = {
+    val limit = if (bytes >= 8) lit(Long.MaxValue)
+      else lit((1L << (8 * bytes)) - 1)
+    when(v < 0 || v > limit,
+      raise_error(concat(lit(s"value out of range for $bytes-byte field: "),
+        v.cast("string")))).otherwise(v)
+  }
+
   /** Little-endian hex of an integer column, `bytes` wide — the byte-order
     * building block for in-plan binary synthesis (big-endian `hex()` with
-    * its byte pairs reversed). */
+    * its byte pairs reversed). Fails loudly on values that don't fit the
+    * field width. */
   def leHex(v: Column, bytes: Int): Column = {
-    val h = lpad(hex(v), 2 * bytes, "0")
+    val h = lpad(hex(fitsBytes(v, bytes)), 2 * bytes, "0")
     concat((bytes to 1 by -1).map(b => substring(h, 2 * b - 1, 2)): _*)
   }
 
-  /** Big-endian hex of an integer column, `bytes` wide. */
-  def beHex(v: Column, bytes: Int): Column = lpad(hex(v), 2 * bytes, "0")
+  /** Big-endian hex of an integer column, `bytes` wide. Fails loudly on
+    * values that don't fit the field width (lpad would truncate keeping
+    * the WRONG — most-significant — digits). */
+  def beHex(v: Column, bytes: Int): Column =
+    lpad(hex(fitsBytes(v, bytes)), 2 * bytes, "0")
 
   /** A minimal PNG header (signature + IHDR through width/height, 24+
     * bytes) as a BINARY column — the [[synthWavHeader]] trick for the

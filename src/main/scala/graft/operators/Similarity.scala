@@ -302,6 +302,60 @@ object Similarity {
     * [[ivfAssign]]'s centroids — production swaps in per-subspace k-means
     * without changing the scale structure). Returns
     * `(subspace, code, subvector)` with `dims/m` doubles each. */
+  /** In-order double fold — the SAME accumulation order as `graft_dotw`
+    * and the oracle SQL's list_reduce, so driver-side LUTs and norms are
+    * bit-identical to their in-plan twins. */
+  private def dotFold(a: Seq[Double], b: Seq[Double]): Double = {
+    var sum = 0.0; var i = 0
+    while (i < a.size && i < b.size) { sum += a(i) * b(i); i += 1 }
+    sum
+  }
+
+  /** Collected (id, vector-as-doubles) rows for a bounded id set. */
+  private def collectVecs(emb: DataFrame, idCol: String, vecCol: String,
+      ids: Seq[Long]): Seq[(Long, Seq[Double])] =
+    emb.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol), col(vecCol)).collect().toSeq
+      .map(r => (r.getLong(0),
+        r.getAs[collection.Seq[Float]](1).toSeq.map(_.toDouble)))
+      .sortBy(_._1)
+
+  /** Per-query ADC column structs: `struct(qid, adc)` where adc sums the
+    * m codebook-LUT lookups in fixed subspace order (0.0-seeded, matching
+    * the oracle's list_prepend fold). */
+  private def adcStructs(queries: Seq[(Long, Seq[Double])],
+      books: Seq[(Int, Int, Seq[Double])], m: Int): Seq[Column] = {
+    val sub = books.head._3.size
+    queries.map { case (qid, qv) =>
+      val adc = (0 until m).map { s =>
+        val lut = books.filter(_._1 == s).sortBy(_._2)
+          .map { case (_, _, cv) => dotFold(qv.slice(s * sub, (s + 1) * sub), cv) }
+        element_at(array(lut.map(lit): _*), col(s"code_$s") + 1)
+      }.foldLeft(lit(0.0))(_ + _)
+      struct(lit(qid).as("qid"), adc.as("adc"))
+    }
+  }
+
+  /** Exact-cosine rerank tail shared by the PQ searchers: join the
+    * broadcast query vectors (+ precomputed norms), score candidates with
+    * the fused folds, keep the per-query top `kNN`. */
+  private def exactRerank(cands: DataFrame, queries: Seq[(Long, Seq[Double])],
+      idCol: String, vecCol: String, kNN: Int): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(queries.map { case (qid, qv) =>
+      (qid, qv, math.sqrt(dotFold(qv, qv))) }.toDF("__qid", "__qv", "__qnorm"))
+    val wSim = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol))
+    cands.join(qdf, col("qid") === col("__qid"))
+      .select(col("qid"), col(idCol),
+        (call_function("graft_dotw", col(vecCol), col("__qv")) /
+          (sqrt(call_function("graft_dot", col(vecCol), col(vecCol))) *
+            col("__qnorm"))).as("sim"))
+      .withColumn("__rk", row_number().over(wSim))
+      .filter(col("__rk") <= kNN).drop("__rk")
+  }
+
   private def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int): Seq[(Int, Int, Seq[Double])] = {
     val seeds = emb.filter(col(idCol) < k).select(col(idCol), col(vecCol))
@@ -349,50 +403,19 @@ object Similarity {
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], kNN: Int, m: Int = 8, k: Int = 16,
       rerank: Int = 50): DataFrame = {
-    val spark = emb.sparkSession
     val books = pqCodebooks(emb, idCol, vecCol, m, k)
-    val sub = books.head._3.size
-    val queries = emb.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol), col(vecCol)).collect().toSeq
-      .map(r => (r.getLong(0),
-        r.getAs[collection.Seq[Float]](1).toSeq.map(_.toDouble)))
-      .sortBy(_._1)
-    // LUT in the same in-order fold the fused expressions and the oracle
-    // use: lut(q)(s)(j) = dot(q_s, c_{s,j})
-    def fold(a: Seq[Double], b: Seq[Double]): Double = {
-      var sum = 0.0; var i = 0
-      while (i < a.size && i < b.size) { sum += a(i) * b(i); i += 1 }
-      sum
-    }
+    val queries = collectVecs(emb, idCol, vecCol, queryIds)
     val encoded = pqEncode(emb, idCol, vecCol, m, k)
-    val adcStructs = queries.map { case (qid, qv) =>
-      val adc = (0 until m).map { s =>
-        val lut = books.filter(_._1 == s).sortBy(_._2)
-          .map { case (_, _, cv) => fold(qv.slice(s * sub, (s + 1) * sub), cv) }
-        element_at(array(lut.map(lit): _*), col(s"code_$s") + 1)
-      }.foldLeft(lit(0.0))(_ + _)
-      struct(lit(qid).as("qid"), adc.as("adc"))
-    }
     val scored = encoded
-      .select(col(idCol), col(vecCol), explode(array(adcStructs: _*)).as("a"))
+      .select(col(idCol), col(vecCol),
+        explode(array(adcStructs(queries, books, m): _*)).as("a"))
       .select(col(idCol), col(vecCol), col("a.qid").as("qid"), col("a.adc").as("adc"))
       .filter(col(idCol) =!= col("qid"))
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("adc").desc, col(idCol))
     val cands = scored.withColumn("__rk", row_number().over(wAdc))
       .filter(col("__rk") <= rerank).drop("__rk")
-    import spark.implicits._
-    val qdf = broadcast(queries.map { case (qid, qv) =>
-      (qid, qv, math.sqrt(fold(qv, qv))) }.toDF("__qid", "__qv", "__qnorm"))
-    val wSim = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol))
-    cands.join(qdf, col("qid") === col("__qid"))
-      .select(col("qid"), col(idCol),
-        (call_function("graft_dotw", col(vecCol), col("__qv")) /
-          (sqrt(call_function("graft_dot", col(vecCol), col(vecCol))) *
-            col("__qnorm"))).as("sim"))
-      .withColumn("__rk", row_number().over(wSim))
-      .filter(col("__rk") <= kNN).drop("__rk")
+    exactRerank(cands, queries, idCol, vecCol, kNN)
   }
 
   /** IVF + PQ — the production pairing for corpus-scale ANN: the coarse
@@ -411,39 +434,21 @@ object Similarity {
     val spark = emb.sparkSession
     val cents = seedCentroids(emb, idCol, vecCol, nClusters)
     val books = pqCodebooks(emb, idCol, vecCol, m, k)
-    val sub = books.head._3.size
-    val queries = emb.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol), col(vecCol)).collect().toSeq
-      .map(r => (r.getLong(0),
-        r.getAs[collection.Seq[Float]](1).toSeq.map(_.toDouble)))
-      .sortBy(_._1)
-    def fold(a: Seq[Double], b: Seq[Double]): Double = {
-      var sum = 0.0; var i = 0
-      while (i < a.size && i < b.size) { sum += a(i) * b(i); i += 1 }
-      sum
-    }
+    val queries = collectVecs(emb, idCol, vecCol, queryIds)
     // driver-side probe list: nProbe nearest centroids per query (same
     // dot + tiebreak as ivfTopK, computed on the collected query vectors)
     val probes = queries.flatMap { case (qid, qv) =>
-      cents.map { case (cid, cv) => (qid, cid, fold(qv, cv)) }
+      cents.map { case (cid, cv) => (qid, cid, dotFold(qv, cv)) }
         .sortBy { case (_, cid, d) => (-d, cid) }
         .take(nProbe).map { case (qid2, cid, _) => (qid2, cid) }
     }
-    val encoded = pqEncode(emb, idCol, vecCol, m, k)
-      .withColumn("__c", ivfClusterCol(cents, vecCol))
-    val adcStructs = queries.map { case (qid, qv) =>
-      val adc = (0 until m).map { s =>
-        val lut = books.filter(_._1 == s).sortBy(_._2)
-          .map { case (_, _, cv) => fold(qv.slice(s * sub, (s + 1) * sub), cv) }
-        element_at(array(lut.map(lit): _*), col(s"code_$s") + 1)
-      }.foldLeft(lit(0.0))(_ + _)
-      struct(lit(qid).as("qid"), adc.as("adc"))
-    }
     import spark.implicits._
     val probeDf = broadcast(probes.toDF("__pqid", "__pcid"))
+    val encoded = pqEncode(emb, idCol, vecCol, m, k)
+      .withColumn("__c", ivfClusterCol(cents, vecCol))
     val scored = encoded
       .select(col(idCol), col(vecCol), col("__c"),
-        explode(array(adcStructs: _*)).as("a"))
+        explode(array(adcStructs(queries, books, m): _*)).as("a"))
       .select(col(idCol), col(vecCol), col("__c"),
         col("a.qid").as("qid"), col("a.adc").as("adc"))
       .join(probeDf, col("qid") === col("__pqid") && col("__c") === col("__pcid"))
@@ -452,17 +457,7 @@ object Similarity {
       .partitionBy(col("qid")).orderBy(col("adc").desc, col(idCol))
     val cands = scored.withColumn("__rk", row_number().over(wAdc))
       .filter(col("__rk") <= rerank).drop("__rk")
-    val qdf = broadcast(queries.map { case (qid, qv) =>
-      (qid, qv, math.sqrt(fold(qv, qv))) }.toDF("__qid", "__qv", "__qnorm"))
-    val wSim = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol))
-    cands.join(qdf, col("qid") === col("__qid"))
-      .select(col("qid"), col(idCol),
-        (call_function("graft_dotw", col(vecCol), col("__qv")) /
-          (sqrt(call_function("graft_dot", col(vecCol), col(vecCol))) *
-            col("__qnorm"))).as("sim"))
-      .withColumn("__rk", row_number().over(wSim))
-      .filter(col("__rk") <= kNN).drop("__rk")
+    exactRerank(cands, queries, idCol, vecCol, kNN)
   }
 
   /** Semantic deduplication (SemDeDup-style): cluster the embedding space

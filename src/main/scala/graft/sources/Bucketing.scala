@@ -81,8 +81,10 @@ object Bucketing {
       partitions: Int, bits: Int = 16): Unit = {
     val r = df.agg(min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
       min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).collect()(0)
-    val (xmin, xmax, ymin, ymax) = (r.getDouble(0), r.getDouble(1),
-      r.getDouble(2), r.getDouble(3))
+    // empty input (or all-null columns): no extents — degenerate to a
+    // plain write (everything lands in z = 0) instead of an NPE
+    def ext(i: Int): Double = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+    val (xmin, xmax, ymin, ymax) = (ext(0), ext(1), ext(2), ext(3))
     val span = (1L << bits) - 1
     def norm(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)

@@ -489,13 +489,22 @@ class GraftTable(spark: SparkSession, root: String) {
     * a writer crash and its recovery (the streaming digest loop
     * sequences digests after the drain for exactly this reason).
     */
-  def ingestIdempotent(df: DataFrame, token: String): Boolean = {
+  // in-memory mirror of stream_tokens.log, loaded once per table instance:
+  // a continuous writer checks one token per micro-batch — re-reading a
+  // forever-growing ledger file each time would make the stream O(n²)
+  // cumulative. Disk stays the source of truth across restarts (the mirror
+  // is loaded fresh at first use in each process).
+  private val seenTokens = new java.util.concurrent.atomic.AtomicReference[Set[String]](null)
+
+  def ingestIdempotent(df: DataFrame, token: String): Boolean = synchronized {
     val id = "tok-" + md5Hex(token)
     val ledger = rootP.resolve("stream_tokens.log")
-    val seen: Set[String] =
-      if (Files.exists(ledger)) Files.readAllLines(ledger).asScala.toSet
-      else Set.empty
-    if (seen.contains(id)) return false
+    if (seenTokens.get() == null) {
+      seenTokens.set(
+        if (Files.exists(ledger)) Files.readAllLines(ledger).asScala.toSet
+        else Set.empty)
+    }
+    if (seenTokens.get().contains(id)) return false
     if (!Files.exists(ingestP.resolve(id))) {
       Try(deleteRecursively(ingestP.resolve(s".tmp-$id"))) // crashed attempt
       ingestWithId(df, id)
@@ -505,6 +514,7 @@ class GraftTable(spark: SparkSession, root: String) {
     Files.writeString(ledger, id + "\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
+    seenTokens.set(seenTokens.get() + id)
     true
   }
 

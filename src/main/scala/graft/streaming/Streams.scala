@@ -214,11 +214,16 @@ object Streams {
     * incremental twin of [[graft.operators.Events.rateAnomalies]], same
     * exact-integer sums and IEEE formula, so scores are bit-identical to
     * the batch operator given the same closed buckets in bucket order
-    * (spec-asserted). State per type is a ring of `lookback` (bucket,
-    * count) pairs — bounded, independent of stream length.
+    * (spec-asserted). Gaps are densified like the batch form: when a new
+    * bucket arrives `g` steps past the last one, the `g - 1` empty
+    * buckets in between are synthesized, SCORED (a rate collapsing to
+    * zero is the canonical anomaly), and enter the trailing ring. State
+    * per type is a ring of `lookback` (bucket, count) pairs — bounded,
+    * independent of stream length.
     */
   def streamingRateAnomalies(
       counts: Dataset[(String, Long, Long)], // (type, closed bucket, count)
+      bucketSecs: Long,
       lookback: Int,
       zThreshold: Double): Dataset[(String, Long, Long, Double, Long)] = {
     import counts.sparkSession.implicits._
@@ -228,7 +233,7 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (key, batch, state: GroupState[Seq[(Long, Long)]]) =>
           var hist = state.getOption.getOrElse(Seq.empty)
-          val out = batch.toSeq.sortBy(_._2).flatMap { case (_, b, c) =>
+          def score(b: Long, c: Long): Option[(String, Long, Long, Double, Long)] = {
             val trailing = hist.filter(_._1 < b).takeRight(lookback)
             val res =
               if (trailing.size == lookback) {
@@ -246,6 +251,14 @@ object Streams {
               } else None
             hist = (hist :+ (b, c)).sortBy(_._1).takeRight(lookback)
             res
+          }
+          val out = batch.toSeq.sortBy(_._2).flatMap { case (_, b, c) =>
+            // densify the gap since the last seen bucket with zero counts
+            val zeros = hist.lastOption.toSeq.flatMap { case (last, _) =>
+              ((last + bucketSecs) until b by bucketSecs)
+                .flatMap(zb => score(zb, 0L))
+            }
+            zeros ++ score(b, c)
           }
           state.update(hist)
           out.iterator
@@ -319,11 +332,15 @@ object Streams {
     * lifecycle and when to `digest()` (compaction must not interleave with
     * a crashed-but-unreplayed batch; see [[GraftTable.ingestIdempotent]]).
     */
-  def writeToTable(stream: DataFrame, table: GraftTable,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+  def writeToTable(stream: DataFrame, table: GraftTable, checkpoint: String,
+      outputMode: OutputMode = OutputMode.Append())
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .outputMode(OutputMode.Append())
+      // configurable: a raw event stream appends, but an aggregated stream
+      // needs Update/Complete for analysis to accept it — foreachBatch
+      // handles any of them (each micro-batch lands as one segment)
+      .outputMode(outputMode)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           table.ingestIdempotent(batch, s"$checkpoint#$batchId"); ()

@@ -505,13 +505,15 @@ class IngestSpec extends SparkSpec {
     assert(t.read(readLog = true).count() === 100)
 
     // crash window: segment published but ledger append lost — the replay
+    // (a NEW process, so a fresh instance with a fresh ledger mirror)
     // must complete the ledger WITHOUT re-ingesting
     val ledger = java.nio.file.Paths.get(root, "stream_tokens.log")
     val lines = Files.readAllLines(ledger)
     Files.writeString(ledger, lines.get(0) + "\n") // drop ckpt#1's line
-    assert(t.ingestIdempotent(batch, "ckpt#1"))    // "ingested" (completes ledger)
-    assert(t.read(readLog = true).count() === 100) // but no duplicate rows
-    assert(!t.ingestIdempotent(batch, "ckpt#1"))   // now recorded
+    val t2 = new GraftTable(spark, root)           // post-crash instance
+    assert(t2.ingestIdempotent(batch, "ckpt#1"))   // "ingested" (completes ledger)
+    assert(t2.read(readLog = true).count() === 100) // but no duplicate rows
+    assert(!t2.ingestIdempotent(batch, "ckpt#1"))  // now recorded
     assert(Files.readAllLines(ledger).size === 2)
   }
 }

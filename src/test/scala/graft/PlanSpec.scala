@@ -162,7 +162,10 @@ class PlanSpec extends SparkSpec {
     val p = plan("q97_rate_anomaly")
     assert(p.contains("HashAggregate"), "bucket counts must partial-aggregate")
     assert(p.contains("Window"), "scoring is a window over the bucket axis")
-    assert(!p.contains("Join"), "no join needed for trailing-window scoring")
+    // densification joins the per-type bucket grid back to the sparse
+    // counts — an equi-join on (type, bucket), never a nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "densification must stay an equi-join")
   }
 
   test("media round-trip queries are pure projections (q94-q96)") {

@@ -208,14 +208,15 @@ class StreamsSpec extends SparkSpec {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val rnd = new scala.util.Random(9)
-    // per-type bucket counts with a planted spike
-    val buckets = (0 until 30).map { i =>
+    // per-type bucket counts with a planted spike AND a planted outage
+    // (buckets 10-11 have no events at all -> densified zeros, scored)
+    val buckets = (0 until 30).filterNot(i => i == 10 || i == 11).map { i =>
       ("click", i * 3600L, if (i == 20) 500L else 40L + rnd.nextInt(5)) }
     val raw = buckets.flatMap { case (t, b, c) =>
       (0 until c.toInt).map(j => (t, b + j % 3600)) }
     val mem = MemoryStream[(String, Long, Long)]
-    val out = Streams.streamingRateAnomalies(mem.toDS(), lookback = 6,
-      zThreshold = 2.0)
+    val out = Streams.streamingRateAnomalies(mem.toDS(), bucketSecs = 3600L,
+      lookback = 6, zThreshold = 2.0)
     val q = out.writeStream.format("memory").queryName("sra")
       .outputMode("append").start()
     // two micro-batches split mid-series: state must carry across
@@ -236,6 +237,9 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.exists { case (_, b, _, _, a) => b == 20 * 3600L && a == 1L },
       "the planted spike must be flagged")
+    assert(streamed.exists { case (_, b, c, _, a) =>
+      b == 10 * 3600L && c == 0L && a == 1L },
+      "the outage bucket must be scored as zero and flagged")
   }
 
   test("streaming heavy hitters keeps the MG guarantee across micro-batches") {
