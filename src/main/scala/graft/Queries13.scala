@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Stats, Tables}
+import graft.operators.{Dedup, Joins, TextAnalysis}
+
+/** Catalog entries: round-8 additions — skew-salted join, BM25 ranking,
+  * inverted index, MAD outlier report, sorted-neighborhood dedup (over the
+  * distributed two-phase rank), MinHash estimator calibration.
+  */
+object Queries13 {
+
+  private def t(name: String)(implicit env: (SparkSession, String)): DataFrame =
+    if (name == "events") Tables.events(env._1, env._2)
+    else Tables.load(env._1, env._2, name)
+
+  private def q(name: String, sql: String = null)(
+      body: (SparkSession, String) => DataFrame): (String, QueryDef) =
+    name -> QueryDef(body, Option(sql))
+
+  private def dsumSql(e: String, scale: Int = 4): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(38,$scale))) AS DOUBLE)"
+
+  /** Skew-salted fact⋈dim join ([[Joins.saltedJoin]]): revenue per order
+    * priority through an 8-way salted join of lineitem against orders.
+    * The oracle is the PLAIN join — salting must be invisible in the
+    * result (the whole point of the escape hatch: same answer, hot keys
+    * spread over `salts` tasks instead of one straggler). */
+  val q107SaltedJoin: (String, QueryDef) = q(
+    "q107_salted_join",
+    s"""SELECT o_orderpriority,
+       |${dsumSql("l_extendedprice*(1-l_discount)", 6)} AS revenue,
+       |COUNT(*) AS n_items
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+    (s, dir) =>
+      implicit val env: (SparkSession, String) = (s, dir)
+      Joins.saltedJoin(t("lineitem"), t("orders"), "l_orderkey", "o_orderkey",
+          salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          call_function("graft_dsum",
+            col("l_extendedprice") * (lit(1) - col("l_discount")), lit(6))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+  }
+
+  /** BM25 relevance ranking ([[TextAnalysis.bm25]]) for a 3-term query,
+    * top 20 docs. ln-based idf → rounded to 6 decimals on both sides
+    * (the established convention for log-family scores, cf. q87). */
+  val q108Bm25: (String, QueryDef) = q(
+    "q108_bm25",
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |dl AS (SELECT doc_id, len(tk) AS dl FROM d),
+      |corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT d.doc_id, dl.dl, u.term, COUNT(*) AS tf
+      |  FROM d, dl, unnest(d.tk) AS u(term)
+      |  WHERE d.doc_id = dl.doc_id AND u.term IN ('spark', 'join', 'window')
+      |  GROUP BY d.doc_id, dl.dl, u.term),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    ln(1.0 + (c.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+      |      (tf.tf * 2.2) /
+      |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / c.avgdl)) AS s
+      |  FROM tf, dfreq f, corpus c WHERE tf.term = f.term)
+      |SELECT doc_id, ROUND(SUM(s), 6) AS score
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    TextAnalysis.bm25(t("documents"), "doc_id", "text",
+        Seq("spark", "join", "window"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Inverted index head ([[TextAnalysis.invertedIndex]]): per term, df,
+    * total tf, and the first 20 posting doc ids (ascending, comma-joined).
+    * Top 100 terms by document frequency. */
+  val q109InvertedIndex: (String, QueryDef) = q(
+    "q109_inverted_index",
+    """WITH tf AS (
+      |  SELECT u.term, doc_id, COUNT(*) AS tf
+      |  FROM documents, unnest(string_split(text, ' ')) AS u(term)
+      |  GROUP BY u.term, doc_id)
+      |SELECT term, COUNT(*) AS df, SUM(tf) AS total_tf,
+      |  array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',') AS postings
+      |FROM tf GROUP BY term HAVING COUNT(*) >= 5
+      |ORDER BY df DESC, term LIMIT 100""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    TextAnalysis.invertedIndex(t("documents"), "doc_id", "text",
+        minDf = 5, postingsCap = 20)
+      .orderBy(col("df").desc, col("term"))
+      .limit(100)
+  }
+
+  /** Robust outlier report ([[Stats.madOutliers]]): per return flag, the
+    * lower median and MAD of extended price and the count of rows beyond
+    * 3 MAD. Lower medians are data values — no interpolation, no
+    * rounding convention needed anywhere in the query. */
+  val q110MadOutliers: (String, QueryDef) = q(
+    "q110_mad_outliers",
+    """WITH g AS (
+      |  SELECT l_returnflag AS grp, l_extendedprice AS v, COUNT(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT grp, v, c,
+      |    SUM(c) OVER (PARTITION BY grp ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+      |    SUM(c) OVER (PARTITION BY grp) AS n FROM g),
+      |med AS (
+      |  SELECT grp, MIN(v) AS median FROM cum WHERE cm * 2 >= n GROUP BY grp),
+      |dev AS (
+      |  SELECT l.l_returnflag AS grp, ABS(l.l_extendedprice - m.median) AS d,
+      |    m.median
+      |  FROM lineitem l JOIN med m ON l.l_returnflag = m.grp),
+      |gd AS (SELECT grp, d, COUNT(*) AS c FROM dev GROUP BY 1, 2),
+      |cumd AS (
+      |  SELECT grp, d, c,
+      |    SUM(c) OVER (PARTITION BY grp ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+      |    SUM(c) OVER (PARTITION BY grp) AS n FROM gd),
+      |mad AS (SELECT grp, MIN(d) AS mad FROM cumd WHERE cm * 2 >= n GROUP BY grp)
+      |SELECT dev.grp AS l_returnflag, COUNT(*) AS n, ANY_VALUE(dev.median) AS median,
+      |  ANY_VALUE(mad.mad) AS mad,
+      |  SUM(CASE WHEN dev.d > 3.0 * mad.mad THEN 1 ELSE 0 END) AS n_outliers
+      |FROM dev JOIN mad ON dev.grp = mad.grp
+      |GROUP BY dev.grp ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    Stats.madOutliers(t("lineitem"), "l_returnflag", "l_extendedprice", k = 3.0)
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Sorted-neighborhood near-dup pass ([[Dedup.sortedNeighborhood]],
+    * window 3 over the text sort order, exact Jaccard ≥ 0.4). The oracle
+    * replays the rank with a SQL window — the distributed two-phase rank
+    * ([[graft.operators.Ranking.globalRowNumber]]) must agree with
+    * `row_number() OVER (ORDER BY …)` exactly. */
+  val q111SortedNeighborhood: (String, QueryDef) = q(
+    "q111_sorted_neighborhood",
+    """WITH r AS (
+      |  SELECT doc_id, text,
+      |    ROW_NUMBER() OVER (ORDER BY text, doc_id) AS rn
+      |  FROM documents),
+      |cand AS (
+      |  SELECT LEAST(a.doc_id, b.doc_id) AS d1,
+      |    GREATEST(a.doc_id, b.doc_id) AS d2
+      |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(string_split(text, ' ')) - 2),
+      |    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+      |  FROM documents),
+      |j AS (
+      |  SELECT c.d1, c.d2,
+      |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+      |  FROM cand c JOIN sh x ON c.d1 = x.doc_id JOIN sh y ON c.d2 = y.doc_id)
+      |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.4
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    Dedup.sortedNeighborhood(t("documents"), "doc_id", "text",
+        window = 3, threshold = 0.4)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** MinHash estimator calibration ([[Dedup.minhashEstimateVsExact]]):
+    * for every band-collision candidate pair, the signature-estimated
+    * Jaccard next to the exact shingle Jaccard. Both are integer ratios —
+    * engine-exact. */
+  val q112MinhashCalibration: (String, QueryDef) = q(
+    "q112_minhash_calibration",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(string_split(text,' '))-1),
+      |      i -> array_to_string((string_split(text,' '))[i:i+2], ' ')) AS sh
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+      |sig AS (
+      |  SELECT doc_id,
+      |    list_min(list_transform(sh, x -> md5('1:' || x))) AS mh1,
+      |    list_min(list_transform(sh, x -> md5('2:' || x))) AS mh2,
+      |    list_min(list_transform(sh, x -> md5('3:' || x))) AS mh3,
+      |    list_min(list_transform(sh, x -> md5('4:' || x))) AS mh4
+      |  FROM s),
+      |bands AS (
+      |  SELECT doc_id, 1 AS band, mh1 || mh2 AS mh FROM sig
+      |  UNION ALL
+      |  SELECT doc_id, 2 AS band, mh3 || mh4 AS mh FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+      |est AS (
+      |  SELECT c.d1, c.d2,
+      |    ((CASE WHEN x.mh1 = y.mh1 THEN 1 ELSE 0 END) +
+      |     (CASE WHEN x.mh2 = y.mh2 THEN 1 ELSE 0 END) +
+      |     (CASE WHEN x.mh3 = y.mh3 THEN 1 ELSE 0 END) +
+      |     (CASE WHEN x.mh4 = y.mh4 THEN 1 ELSE 0 END)) / 4.0 AS est_jaccard
+      |  FROM cand c JOIN sig x ON c.d1 = x.doc_id JOIN sig y ON c.d2 = y.doc_id),
+      |shd AS (
+      |  SELECT doc_id, list_distinct(sh) AS sh FROM s),
+      |ex AS (
+      |  SELECT c.d1, c.d2,
+      |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+      |  FROM cand c JOIN shd x ON c.d1 = x.doc_id JOIN shd y ON c.d2 = y.doc_id)
+      |SELECT est.d1, est.d2, est.est_jaccard, ex.jaccard
+      |FROM est JOIN ex ON est.d1 = ex.d1 AND est.d2 = ex.d2
+      |ORDER BY est.d1, est.d2""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    Dedup.minhashEstimateVsExact(t("documents"), "doc_id", "text",
+        bands = 2, rows = 2)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val catalog: Seq[(String, QueryDef)] = Seq(
+    q107SaltedJoin, q108Bm25, q109InvertedIndex, q110MadOutliers,
+    q111SortedNeighborhood, q112MinhashCalibration)
+}

@@ -179,4 +179,46 @@ object Stats {
       .groupBy(col(groupCol))
       .agg(max(col("__n")).as("n"), min(col(valueCol)).as("median"))
   }
+
+  /** Robust per-group outlier report via MAD (median absolute deviation):
+    * `(group, n, median, mad, n_outliers)` where a row is an outlier iff
+    * `|x − median| > k · mad`. Both medians are LOWER medians (the
+    * [[groupedMedian]] crossing rule) so every output is either a data
+    * value or one exact subtraction — no interpolation, no cross-engine
+    * float drift, no rounding convention needed.
+    *
+    * Scale shape: two rounds of the distinct-value-window trick (the
+    * windows run over distinct (group, value) pairs after a partial-
+    * aggregated rollup — value skew collapses map-side) plus one
+    * broadcast join per round to pin the group's median back onto rows
+    * (the per-group table is |groups| rows, always broadcastable). The
+    * raw data is scanned twice; at 100 TB you'd checkpoint the
+    * `(group, value, count)` rollup between rounds — it is the only
+    * input both need, and it is orders of magnitude smaller than rows.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    def lowerMedian(in: DataFrame, vCol: String, out: String): DataFrame = {
+      val g = in.groupBy(col(groupCol), col(vCol)).agg(count(lit(1)).as("__c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol)).orderBy(col(vCol))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      g.withColumn("__cum", sum(col("__c")).over(w))
+        .withColumn("__n", sum(col("__c")).over(wn))
+        .filter(col("__cum") * 2 >= col("__n"))
+        .groupBy(col(groupCol))
+        .agg(max(col("__n")).as("__gn"), min(col(vCol)).as(out))
+    }
+    val med = lowerMedian(df, valueCol, "median")
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("__dev", abs(col(valueCol) - col("median")))
+    val mad = lowerMedian(dev, "__dev", "mad").drop("__gn")
+    dev.join(broadcast(mad), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), first(col("median")).as("median"),
+        first(col("mad")).as("mad"),
+        sum(when(col("__dev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
 }

@@ -417,4 +417,71 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("__n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
+
+  /** Sorted-neighborhood dedup: rank every document by a sort key that
+    * clusters near-duplicates (here the text itself — shared prefixes
+    * sort adjacent), then verify ONLY pairs within `window` rank
+    * positions of each other. The third classic candidate scheme next to
+    * LSH banding (probabilistic) and prefix filtering (set-overlap):
+    * O(n·window) candidates instead of O(n²), catches prefix-anchored
+    * near-dups that minhash banding can miss on short docs, and misses
+    * dups whose edits start at token 0 — which is why production
+    * pipelines run it as ONE pass of a multi-pass blocking union.
+    *
+    * Returns `(d1, d2, jaccard)` for neighbor pairs with exact shingle
+    * Jaccard ≥ `threshold` (d1 < d2).
+    *
+    * Scale shape: the rank comes from [[Ranking.globalRowNumber]] (range-
+    * partition + per-partition rank + offset join — NO single global
+    * window task), and the neighbor join is an EQUI-join: each row
+    * explodes its rank to `rn+1 … rn+window` target ranks, so candidate
+    * generation is a uniform-key hash join, not a range join. The verify
+    * stage reuses [[jaccardVerify]] — exact Jaccard touches only the
+    * O(n·window) neighbor pairs.
+    */
+  def sortedNeighborhood(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 3, threshold: Double = 0.4): DataFrame = {
+    require(window >= 1, "sortedNeighborhood: window must be >= 1")
+    val ranked = Ranking.globalRowNumber(
+        docs.select(col(idCol), col(textCol)),
+        Seq(col(textCol), col(idCol)), "rn")
+      .select(col(idCol), col("rn"))
+    // left side fans out to its `window` successors; equi-join on the rank
+    val probes = ranked.select(col(idCol).as("d1"),
+      explode(sequence(col("rn") + 1, col("rn") + window)).as("rn"))
+    val cand = probes.join(ranked.select(col(idCol).as("d2"), col("rn")), "rn")
+      .select(least(col("d1"), col("d2")).as("d1"),
+        greatest(col("d1"), col("d2")).as("d2"))
+    jaccardVerify(docs, cand, idCol, textCol, threshold)
+  }
+
+  /** MinHash calibration report: for every LSH candidate pair, the
+    * signature-estimated Jaccard (fraction of the `bands·rows` component
+    * minima that agree — the unbiased MinHash estimator, a k-step
+    * quantized value) next to the exact shingle-set Jaccard. This is the
+    * measurement that justifies trusting the estimate at scales where
+    * exact verification of every pair is unaffordable: run it on a
+    * sample, read off the estimator error, pick band/row counts.
+    *
+    * Both numbers are exact integer ratios — engine-portable without
+    * rounding. Scale shape: candidates come from band collisions (never
+    * all-pairs); signatures join back by doc id (uniform key); the exact
+    * Jaccard reuses [[jaccardVerify]] on the candidate set only.
+    */
+  def minhashEstimateVsExact(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 2, rows: Int = 2): DataFrame = {
+    val k = bands * rows
+    val sigs = docs
+      .filter(size(split(col(textCol), " ")) >= 3)
+      .select(col(idCol).as("__sid"),
+        call_function("graft_minhash", split(col(textCol), " "), lit(k)).as("sig"))
+    val cand = lshCandidates(minhashBands(docs, idCol, textCol, bands, rows), idCol)
+    val est = cand
+      .join(sigs.select(col("__sid").as("d1"), col("sig").as("s1")), "d1")
+      .join(sigs.select(col("__sid").as("d2"), col("sig").as("s2")), "d2")
+      .select(col("d1"), col("d2"),
+        (expr("aggregate(zip_with(s1, s2, (x, y) -> IF(x = y, 1, 0)), " +
+          "0, (a, x) -> a + x)").cast("double") / k).as("est_jaccard"))
+    est.join(jaccardVerify(docs, cand, idCol, textCol, 0.0), Seq("d1", "d2"))
+  }
 }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join strategies for the shapes Spark's planner cannot fix on its own.
+  *
+  * AQE's skew-join splitting only kicks in for sort-merge joins after a
+  * shuffle stage has materialized skewed blocks, and it cannot help when a
+  * single join KEY (not just a partition) is hot — every row for that key
+  * still lands in one task. [[saltedJoin]] is the classic escape hatch:
+  * scatter the fact side across `salts` sub-keys and replicate the
+  * dimension side to every sub-key, so a hot key's rows spread over
+  * `salts` tasks. Replication is per-DIMENSION-row, so the technique fits
+  * when the dimension side is too big to broadcast outright but small
+  * enough to copy `salts` times through one shuffle (the usual mid-size
+  * dimension at 100 TB: too big for `broadcast()`, way smaller than the
+  * fact table).
+  */
+object Joins {
+
+  /** Inner equi-join `fact ⋈ dim` on `factKey = dimKey`, salted against
+    * fact-side key skew.
+    *
+    * The fact row's salt is derived from a hash of ALL its columns — any
+    * deterministic per-row spreading works because the dim side replicates
+    * to every salt value, so each (key, salt) sub-join sees the complete
+    * dim partition for that key. Correctness does not depend on the salt
+    * distribution, only the skew relief does.
+    *
+    * One shuffle each side on (key, salt); output is exactly the rows of
+    * the unsalted join (the salt column never escapes).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, salts: Int = 8): DataFrame = {
+    require(salts >= 1, s"saltedJoin: salts must be >= 1, got $salts")
+    val fCols = fact.columns.map(col).toSeq
+    val f = fact.withColumn("__salt", pmod(hash(fCols: _*), lit(salts)))
+    // sequence() is per-row codegen; the explode multiplies the dim side
+    // BEFORE its shuffle so each replica lands directly on its (key, salt)
+    // reducer — no second redistribution.
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    f.join(d, f(factKey) === d(dimKey) && f("__salt") === d("__salt"))
+      .drop("__salt")
+  }
+}

@@ -219,4 +219,72 @@ object TextAnalysis {
       .withColumn("lang_guess", langIdGuess(col(textCol)))
       .withColumn("fingerprint", fingerprint(col(textCol)))
       .withColumn("simhash", simhash(col(textCol)))
+
+  /** BM25 ranking of the corpus against a bag of query terms (Robertson/
+    * Okapi, the Lucene `ln(1 + (N-df+0.5)/(df+0.5))` idf form). Returns
+    * one row per document containing at least one query term:
+    * `(id, score)`, score rounded to 6 decimals (`ln` is not ULP-stable
+    * cross-engine; same convention as [[charEntropy]] consumers).
+    *
+    * Scale shape: tf explodes ONLY the matching terms (the `isin` filter
+    * sits under the explode's groupBy, so non-query tokens never reach a
+    * shuffle); df/avgdl/N are one tiny corpus aggregate broadcast back
+    * into the plan — no driver-side `.collect()`, the scalars ride as a
+    * 1-row broadcast join. Two shuffles total: (doc,term) tf and the
+    * final per-doc sum.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = docs.select(col(idCol).as("doc"), tokens(col(textCol)).as("tk"))
+    // per-doc length BEFORE the term filter (BM25's dl is the full doc)
+    val withDl = base.select(col("doc"), col("tk"), size(col("tk")).as("dl"))
+    val corpus = withDl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = withDl
+      .select(col("doc"), col("dl"), explode(col("tk")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(corpus))
+      .select(col("doc"), (
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl") / col("avgdl")))).as("s"))
+      .groupBy("doc").agg(round(sum(col("s")), 6).as("score"))
+      .select(col("doc").as(idCol), col("score"))
+  }
+
+  /** Inverted index over the corpus: per term, document frequency, total
+    * term frequency, and the posting list head (first `postingsCap` doc
+    * ids ascending, comma-joined — a string so the layout is engine-
+    * portable). `minDf` drops the long tail of hapaxes.
+    *
+    * Scale shape: explode → groupBy (doc, term) → groupBy term, both with
+    * map-side partial aggregation on uniform term keys. The posting list
+    * is capped BEFORE collection: a per-term `row_number` marks the first
+    * `postingsCap` doc ids and `collect_list` only ever sees those (nulls
+    * are skipped), so a stopword's aggregation state holds ≤ cap ids, not
+    * the corpus — the unbounded-state trap of naive index builds. At real
+    * index scale the postings would range-partition by (term, docRange)
+    * into segment files; the capped head here is the per-segment layout.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 2, postingsCap: Int = 20): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy("doc")
+    tf.withColumn("__r", row_number().over(w))
+      .groupBy("term").agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        array_join(transform(
+          sort_array(collect_list(when(col("__r") <= postingsCap, col("doc")))),
+          _.cast("string")), ",").as("postings"))
+      .filter(col("df") >= minDf)
+  }
 }

@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Stats
+import graft.operators.{Dedup, Joins, Ranking, TextAnalysis}
+
+/** Round-8 additions: salted join, BM25, inverted index, MAD outliers,
+  * distributed global rank, sorted-neighborhood dedup, MinHash estimator
+  * calibration.
+  */
+class Round8OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- saltedJoin --------------------------------------------------------
+
+  test("saltedJoin equals the plain join for every salt count (incl. skew)") {
+    // skewed fact: one hot key with 500 rows, plus a uniform tail
+    val fact = ((1 to 500).map(i => (7L, i)) ++ (1 to 100).map(i => (i.toLong, i)))
+      .toDF("fk", "payload")
+    val dim = (1 to 120).map(i => (i.toLong, s"d$i")).toDF("dk", "attr")
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "payload", "attr")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    for (salts <- Seq(1, 3, 8)) {
+      val salted = Joins.saltedJoin(fact, dim, "fk", "dk", salts)
+        .select("fk", "payload", "attr")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(salted.toSeq == plain.toSeq, s"salts=$salts")
+      // the salt column never escapes
+      assert(!Joins.saltedJoin(fact, dim, "fk", "dk", salts)
+        .columns.contains("__salt"))
+    }
+  }
+
+  test("saltedJoin drops unmatched keys on both sides (inner-join semantics)") {
+    val fact = Seq((1L, "a"), (2L, "b"), (99L, "nomatch")).toDF("fk", "v")
+    val dim = Seq((1L, "x"), (2L, "y"), (50L, "orphan")).toDF("dk", "w")
+    val out = Joins.saltedJoin(fact, dim, "fk", "dk", salts = 4)
+      .select("fk", "v", "w").as[(Long, String, String)].collect().toSet
+    assert(out == Set((1L, "a", "x"), (2L, "b", "y")))
+  }
+
+  // ---- bm25 --------------------------------------------------------------
+
+  test("bm25 matches a hand-rolled reference on a tiny corpus") {
+    val docs = Seq(
+      (1L, "spark join spark"),
+      (2L, "spark filter scan"),
+      (3L, "table scan merge"),
+      (4L, "join join join window")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, "doc_id", "text", Seq("spark", "join"))
+      .as[(Long, Double)].collect().toMap
+    // reference: N=4, avgdl=13/4; df(spark)=2, df(join)=2
+    val n = 4.0; val avgdl = 13.0 / 4.0; val k1 = 1.2; val b = 0.75
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def term(tf: Double, dl: Double, df: Double) =
+      idf(df) * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet == Set(1L, 2L, 4L)) // doc 3 has no query term
+    assert(out(1L) == r6(term(2, 3, 2) + term(1, 3, 2))) // spark tf=2, join tf=1
+    assert(out(2L) == r6(term(1, 3, 2)))
+    assert(out(4L) == r6(term(3, 4, 2)))
+  }
+
+  test("bm25 rewards tf, penalizes long docs, weights rare terms higher") {
+    val docs = Seq(
+      (1L, "rare common common common"),
+      (2L, "common common common common"),
+      (3L, "rare " + Seq.fill(40)("filler").mkString(" ")),
+      (4L, "common other words here"),
+      (5L, "other things entirely now")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, "doc_id", "text", Seq("rare", "common"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) > out(2L)) // rare term beats one more common occurrence
+    assert(out(1L) > out(3L)) // same rare tf, shorter doc wins
+  }
+
+  // ---- invertedIndex -----------------------------------------------------
+
+  test("invertedIndex: df/tf exact, postings sorted+capped, minDf filters") {
+    val docs = Seq(
+      (30L, "alpha beta alpha"),
+      (10L, "alpha gamma"),
+      (20L, "alpha beta"),
+      (40L, "delta")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(docs, "doc_id", "text",
+        minDf = 2, postingsCap = 2)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet == Set("alpha", "beta")) // gamma/delta: df=1 < minDf
+    assert(out("alpha") == ((3L, 4L, "10,20"))) // cap=2 of 10,20,30; tf 4
+    assert(out("beta") == ((2L, 2L, "20,30")))
+  }
+
+  // ---- madOutliers -------------------------------------------------------
+
+  test("madOutliers: hand-checked lower medians and outlier count") {
+    // group g: values 1..9 plus a 100.0 outlier (n=10)
+    // lower median (cum*2>=n at the 5th value) = 5; deviations from 5:
+    // 4,3,2,1,0,1,2,3,4,95 -> sorted 0,1,1,2,2,3,3,4,4,95 -> lower mad = 2
+    // outliers: |x-5| > 3*2=6 -> only 100 (dev 95). n_outliers=1
+    val df = ((1 to 9).map(i => ("g", i.toDouble)) :+ ("g", 100.0))
+      .toDF("grp", "v")
+    val out = Stats.madOutliers(df, "grp", "v", k = 3.0)
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(out.toSeq == Seq(("g", 10L, 5.0, 2.0, 1L)))
+  }
+
+  test("madOutliers is robust where stddev-based outliers are not") {
+    // the outlier drags the mean/stddev enough that 2-sigma misses it on
+    // tiny n; MAD flags it regardless
+    val df = (Seq.fill(20)(10.0) ++ Seq(10.5, 9.5, 1000.0)).zipWithIndex
+      .map { case (v, i) => ("g", v) }.toDF("grp", "v")
+    val Array((_, n, med, mad, out)) =
+      Stats.madOutliers(df, "grp", "v", k = 3.0)
+        .as[(String, Long, Double, Double, Long)].collect()
+    assert(n == 23 && med == 10.0)
+    assert(mad == 0.0 && out == 3) // mad 0: any deviation is an outlier
+  }
+
+  // ---- globalRowNumber ---------------------------------------------------
+
+  test("globalRowNumber equals the single-partition window rank") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 500).map(_ => (rnd.nextInt(50), rnd.nextLong()))
+      .toDF("k", "id").distinct()
+    val expected = df.withColumn("rn",
+        row_number().over(Window.orderBy(col("k"), col("id"))))
+      .as[(Int, Long, Int)].collect().toSet
+    for (parts <- Seq(0, 1, 7)) {
+      val got = Ranking.globalRowNumber(df, Seq(col("k"), col("id")), "rn", parts)
+        .select(col("k"), col("id"), col("rn").cast("int"))
+        .as[(Int, Long, Int)].collect().toSet
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("globalRowNumber ranks are a contiguous 1..n permutation") {
+    val df = (1 to 1000).map(i => i % 97).toDF("k")
+    val rns = Ranking.globalRowNumber(df, Seq(col("k"), monotonically_increasing_id()), "rn", 13)
+      .select("rn").as[Long].collect().sorted
+    assert(rns.toSeq == (1L to 1000L).toSeq)
+  }
+
+  // ---- sortedNeighborhood ------------------------------------------------
+
+  test("sortedNeighborhood finds prefix-anchored near-dups within the window") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"), // near-dup of 1, adjacent sort
+      (3L, "omega psi chi phi upsilon tau"),
+      (4L, "zeta eta theta iota kappa lambda"),
+      (5L, "alpha beta gamma delta epsilon zeta") // exact dup of 1
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhood(docs, "doc_id", "text",
+        window = 2, threshold = 0.3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 5L))) // exact dup: jaccard 1
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 5L))) // near-dup in window
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc pairs with nothing
+  }
+
+  test("sortedNeighborhood candidate set is exactly the rank-window pairs") {
+    val docs = (1 to 40).map(i => (i.toLong, s"tok${i % 7} tok${i % 5} tok${i % 3} filler$i x y"))
+      .toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhood(docs, "doc_id", "text", window = 3,
+        threshold = 0.0)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // oracle: single-partition rank
+    val ranked = docs.withColumn("rn",
+      row_number().over(Window.orderBy(col("text"), col("doc_id"))))
+    val a = ranked.select(col("doc_id").as("i1"), col("rn").as("r1"))
+    val b = ranked.select(col("doc_id").as("i2"), col("rn").as("r2"))
+    val want = a.join(b, col("r2") > col("r1") && col("r2") <= col("r1") + 3)
+      .select(least(col("i1"), col("i2")), greatest(col("i1"), col("i2")))
+      .as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  // ---- minhashEstimateVsExact --------------------------------------------
+
+  test("minhash estimate is a plausible, k-quantized estimate of exact jaccard") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g i"),
+      (3L, "a b c d e f g h"), // exact dup of 1
+      (4L, "q r s t u v w x"),
+      (5L, "a b c d e zz f g")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashEstimateVsExact(docs, "doc_id", "text", 2, 2)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.nonEmpty)
+    val byPair = out.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // exact dup pair must surface with est 1.0 and jaccard 1.0
+    assert(byPair((1L, 3L)) == ((1.0, 1.0)))
+    for (((_, _), (est, ex)) <- byPair) {
+      assert(est >= 0.0 && est <= 1.0 && (est * 4).isWhole)
+      assert(ex > 0.0 && ex <= 1.0) // candidates share a band -> share a shingle
+    }
+  }
+}
