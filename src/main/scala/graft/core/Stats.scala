@@ -187,38 +187,43 @@ object Stats {
     * value or one exact subtraction — no interpolation, no cross-engine
     * float drift, no rounding convention needed.
     *
-    * Scale shape: two rounds of the distinct-value-window trick (the
-    * windows run over distinct (group, value) pairs after a partial-
-    * aggregated rollup — value skew collapses map-side) plus one
-    * broadcast join per round to pin the group's median back onto rows
-    * (the per-group table is |groups| rows, always broadcastable). The
-    * raw data is scanned twice; at 100 TB you'd checkpoint the
-    * `(group, value, count)` rollup between rounds — it is the only
-    * input both need, and it is orders of magnitude smaller than rows.
+    * Scale shape: the raw data is scanned ONCE, into a partial-aggregated
+    * `(group, value, count)` rollup; everything downstream — both
+    * weighted lower medians (the distinct-value-window trick) and the
+    * outlier count — runs over distinct values only, so value skew
+    * collapses map-side and a 10^12-row group with 10^6 distinct values
+    * costs 10^6 window rows. The per-group median/MAD tables are
+    * |groups| rows, pinned back with broadcast joins.
     */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       k: Double = 3.0): DataFrame = {
+    // in: (groupCol, vCol, "__c") pre-counted; weighted lower median per group
     def lowerMedian(in: DataFrame, vCol: String, out: String): DataFrame = {
-      val g = in.groupBy(col(groupCol), col(vCol)).agg(count(lit(1)).as("__c"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(groupCol)).orderBy(col(vCol))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       val wn = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
-      g.withColumn("__cum", sum(col("__c")).over(w))
+      in.withColumn("__cum", sum(col("__c")).over(w))
         .withColumn("__n", sum(col("__c")).over(wn))
         .filter(col("__cum") * 2 >= col("__n"))
         .groupBy(col(groupCol))
-        .agg(max(col("__n")).as("__gn"), min(col(vCol)).as(out))
+        .agg(min(col(vCol)).as(out))
     }
-    val med = lowerMedian(df, valueCol, "median")
-    val dev = df.join(broadcast(med), groupCol)
-      .withColumn("__dev", abs(col(valueCol) - col("median")))
-    val mad = lowerMedian(dev, "__dev", "mad").drop("__gn")
-    dev.join(broadcast(mad), groupCol)
+    val g = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val med = lowerMedian(g, valueCol, "median")
+    // deviations of DISTINCT values, re-merged (v and 2·med−v collide)
+    val devG = g.join(broadcast(med), groupCol)
+      .select(col(groupCol), abs(col(valueCol) - col("median")).as("__dev"),
+        col("median"), col("__c"))
+      .groupBy(col(groupCol), col("__dev"))
+      .agg(max(col("median")).as("median"), sum(col("__c")).as("__c"))
+    val mad = lowerMedian(devG, "__dev", "mad")
+    devG.join(broadcast(mad), groupCol)
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"), first(col("median")).as("median"),
-        first(col("mad")).as("mad"),
-        sum(when(col("__dev") > lit(k) * col("mad"), 1L).otherwise(0L))
-          .as("n_outliers"))
+      .agg(sum(col("__c")).as("n"), max(col("median")).as("median"),
+        max(col("mad")).as("mad"),
+        sum(when(col("__dev") > lit(k) * col("mad"), col("__c"))
+          .otherwise(0L)).as("n_outliers"))
   }
 }
