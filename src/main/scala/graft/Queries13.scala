@@ -218,7 +218,50 @@ object Queries13 {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Count-Min sketch point estimates ([[graft.functions.CmsSketch]],
+    * depth 3 × width 512) for the 15 most frequent tokens, next to their
+    * exact counts. The oracle rebuilds the identical counter matrix in
+    * SQL (counter(r,b) = Σ cnt over terms hashing to b in row r — the
+    * md5-bucket convention of q56), so `cms_est` is hash-checked, not
+    * just bounded: the mergeable matrix aggregation must agree with the
+    * closed-form definition exactly. est ≥ exact always; the synthetic
+    * vocabulary (~10² terms ≪ 512 buckets) makes most rows collision-free.
+    */
+  val q113CmsEstimates: (String, QueryDef) = q(
+    "q113_cms_estimates",
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+      |bk AS (
+      |  SELECT term, cnt, r,
+      |    CAST('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || term), 1, 8)
+      |      AS BIGINT) % 512 AS b
+      |  FROM tf CROSS JOIN (SELECT unnest([0, 1, 2]) AS r)),
+      |counters AS (SELECT r, b, SUM(cnt) AS s FROM bk GROUP BY r, b),
+      |top AS (SELECT term, cnt FROM tf ORDER BY cnt DESC, term LIMIT 15),
+      |est AS (
+      |  SELECT bk.term, MIN(c.s) AS cms_est
+      |  FROM bk JOIN counters c ON bk.r = c.r AND bk.b = c.b
+      |  JOIN top t ON bk.term = t.term GROUP BY bk.term)
+      |SELECT t.term, t.cnt AS exact_cnt, e.cms_est
+      |FROM top t JOIN est e ON t.term = e.term
+      |ORDER BY exact_cnt DESC, t.term""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val depth = 3; val width = 512
+    val toks = t("documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val cms = toks.agg(
+      graft.functions.CmsSketch.sketch(col("term"), depth, width).as("m"))
+    val top = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("term")).limit(15)
+    top.crossJoin(broadcast(cms))
+      .select(col("term"), col("exact_cnt"),
+        graft.functions.CmsSketch.estimateExpr(col("m"), col("term"),
+          depth, width).as("cms_est"))
+      .orderBy(col("exact_cnt").desc, col("term"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q107SaltedJoin, q108Bm25, q109InvertedIndex, q110MadOutliers,
-    q111SortedNeighborhood, q112MinhashCalibration)
+    q111SortedNeighborhood, q112MinhashCalibration, q113CmsEstimates)
 }

@@ -182,6 +182,48 @@ class Round8OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  // ---- CmsSketch ---------------------------------------------------------
+
+  test("cms: one-sided error (est >= exact), exact when collision-free") {
+    val items = (1 to 50).flatMap(i => Seq.fill(i % 5 + 1)(s"item$i"))
+    val df = items.toDF("x")
+    val depth = 3; val width = 1024
+    val m = df.agg(graft.functions.CmsSketch.sketch(col("x"), depth, width).as("m"))
+    val exact = items.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val est = df.distinct().crossJoin(m)
+      .select(col("x"), graft.functions.CmsSketch.estimateExpr(col("m"), col("x"),
+        depth, width).as("e"))
+      .as[(String, Long)].collect().toMap
+    for ((k, c) <- exact) assert(est(k) >= c, k)
+    // 50 items in 1024 buckets x 3 rows: expect at least SOME exact rows
+    assert(exact.count { case (k, c) => est(k) == c } > 40)
+  }
+
+  test("cms merge law: sketch(a ++ b) == sketch(a) + sketch(b), any split") {
+    val agg = new graft.functions.CmsAggregator(2, 64)
+    val rnd = new scala.util.Random(7)
+    val xs = (1 to 300).map(_ => s"w${rnd.nextInt(40)}")
+    for (cut <- Seq(0, 77, 150, 300)) {
+      val (a, b) = xs.splitAt(cut)
+      val ba = a.foldLeft(agg.zero)(agg.reduce)
+      val bb = b.foldLeft(agg.zero)(agg.reduce)
+      val whole = xs.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.merge(ba, bb).counters.toSeq == whole.counters.toSeq, s"cut=$cut")
+    }
+  }
+
+  test("cms under forced collisions stays a sum upper bound") {
+    // width 2: everything collides; est(item) <= total adds, >= exact
+    val df = (Seq.fill(30)("a") ++ Seq.fill(10)("b") ++ Seq.fill(5)("c")).toDF("x")
+    val m = df.agg(graft.functions.CmsSketch.sketch(col("x"), 3, 2).as("m"))
+    val est = df.distinct().crossJoin(m)
+      .select(col("x"), graft.functions.CmsSketch.estimateExpr(col("m"), col("x"), 3, 2).as("e"))
+      .as[(String, Long)].collect().toMap
+    assert(est("a") >= 30 && est("a") <= 45)
+    assert(est("b") >= 10 && est("b") <= 45)
+    assert(est("c") >= 5 && est("c") <= 45)
+  }
+
   // ---- minhashEstimateVsExact --------------------------------------------
 
   test("minhash estimate is a plausible, k-quantized estimate of exact jaccard") {
