@@ -261,7 +261,63 @@ object Queries13 {
       .orderBy(col("exact_cnt").desc, col("term"))
   }
 
+  /** Winsorized means ([[Stats.winsorize]]): per return flag, extended
+    * price clipped to the exact lower p05/p95, raw vs winsorized mean.
+    * Quantiles are data values (lower-quantile crossing rule); means are
+    * exact-decimal sums / count — everything engine-exact, no rounding. */
+  val q114Winsorize: (String, QueryDef) = q(
+    "q114_winsorize",
+    s"""WITH g AS (
+       |  SELECT l_returnflag AS grp, l_extendedprice AS v, COUNT(*) AS c
+       |  FROM lineitem GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT grp, v, c,
+       |    SUM(c) OVER (PARTITION BY grp ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+       |    SUM(c) OVER (PARTITION BY grp) AS n FROM g),
+       |th AS (
+       |  SELECT grp,
+       |    MIN(CASE WHEN cm * 100 >= n * 5 THEN v END) AS p_lo,
+       |    MIN(CASE WHEN cm * 100 >= n * 95 THEN v END) AS p_hi
+       |  FROM cum GROUP BY grp)
+       |SELECT l.l_returnflag, COUNT(*) AS n,
+       |  ANY_VALUE(t.p_lo) AS p_lo, ANY_VALUE(t.p_hi) AS p_hi,
+       |  ${dsumSql("l.l_extendedprice")} / COUNT(*) AS raw_mean,
+       |  ${dsumSql("LEAST(GREATEST(l.l_extendedprice, t.p_lo), t.p_hi)")}
+       |    / COUNT(*) AS winsorized_mean
+       |FROM lineitem l JOIN th t ON l.l_returnflag = t.grp
+       |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin) {
+    (s, dir) =>
+      implicit val env: (SparkSession, String) = (s, dir)
+      Stats.winsorize(t("lineitem"), "l_returnflag", "l_extendedprice")
+        .orderBy(col("l_returnflag"))
+  }
+
+  /** Exact equi-depth histogram ([[Stats.equidepthHist]]): 8 equal-count
+    * buckets of quantity per return flag — tie-heavy discrete data, so
+    * bucket-skipping and tie-mass placement are both exercised. The
+    * complement of the equal-width hist family (q16/q42/q44/q48). */
+  val q115EquidepthHist: (String, QueryDef) = q(
+    "q115_equidepth_hist",
+    """WITH g AS (
+      |  SELECT l_returnflag AS grp, l_quantity AS v, COUNT(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT grp, v, c,
+      |    SUM(c) OVER (PARTITION BY grp ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+      |    SUM(c) OVER (PARTITION BY grp) AS n FROM g)
+      |SELECT grp AS l_returnflag, ((cm - c) * 8) // n + 1 AS bucket,
+      |  MAX(v) AS hi_edge, SUM(c) AS cnt
+      |FROM cum GROUP BY 1, 2
+      |ORDER BY l_returnflag, bucket""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    Stats.equidepthHist(t("lineitem"), "l_returnflag", "l_quantity", 8)
+      .orderBy(col("l_returnflag"), col("bucket"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q107SaltedJoin, q108Bm25, q109InvertedIndex, q110MadOutliers,
-    q111SortedNeighborhood, q112MinhashCalibration, q113CmsEstimates)
+    q111SortedNeighborhood, q112MinhashCalibration, q113CmsEstimates,
+    q114Winsorize, q115EquidepthHist)
 }

@@ -226,4 +226,87 @@ object Stats {
         sum(when(col("__dev") > lit(k) * col("mad"), col("__c"))
           .otherwise(0L)).as("n_outliers"))
   }
+
+  /** Exact per-group LOWER quantiles, several at once in one pass: for
+    * each `(name, num, den)` the smallest value whose cumulative count
+    * reaches `⌈n·num/den⌉`. The crossing test is pure integer arithmetic
+    * (`cum·den ≥ n·num` ⟺ `cum ≥ ⌈n·num/den⌉`) and every output is a
+    * data value — no interpolation, engine-exact, the multi-quantile
+    * generalization of [[groupedMedian]].
+    *
+    * One distinct-value rollup, ONE cumulative window, one final groupBy
+    * computing all quantiles as conditional mins — adding a quantile
+    * adds an aggregate expression, not a pass.
+    */
+  def lowerQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[(String, Int, Int)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, n, d) => n >= 0 && n <= d && d > 0 },
+      "quantiles must be fractions in [0, 1]")
+    val g = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val cum = g.withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(wn))
+    val aggs = qs.map { case (name, num, den) =>
+      min(when(col("__cum") * den >= col("__n") * num, col(valueCol))).as(name)
+    }
+    cum.groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n"), aggs: _*)
+  }
+
+  /** Winsorized per-group summary: clip values to the exact lower
+    * [lo, hi] quantiles (default p05/p95) and report both the raw and
+    * winsorized means — the standard tail-robust mean for metrics with
+    * heavy outliers. Means are exact-decimal sums over the clipped /
+    * raw values divided by the count (the engine's bit-exact double-sum
+    * convention); the quantile thresholds join back as a broadcast of
+    * |groups| rows.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      loNum: Int = 5, hiNum: Int = 95, den: Int = 100): DataFrame = {
+    val th = lowerQuantiles(df, groupCol, valueCol,
+      Seq(("p_lo", loNum, den), ("p_hi", hiNum, den)))
+    def dsum(c: Column) = call_function("graft_dsum", c, lit(4))
+    df.join(broadcast(th), groupCol)
+      .withColumn("__clip",
+        least(greatest(col(valueCol), col("p_lo")), col("p_hi")))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), max(col("p_lo")).as("p_lo"),
+        max(col("p_hi")).as("p_hi"),
+        (dsum(col(valueCol)) / count(lit(1))).as("raw_mean"),
+        (dsum(col("__clip")) / count(lit(1))).as("winsorized_mean"))
+  }
+
+  /** Exact equi-DEPTH histogram: `buckets` buckets with (near-)equal row
+    * counts per group; each row reports the bucket's upper edge (a data
+    * value) and its exact count. A distinct value lands in the bucket
+    * where its mass STARTS — `⌊cum_before·B/n⌋ + 1` — so a dominant tie
+    * sits in the bucket its rank reaches, and the buckets it overflows
+    * through are simply absent (the honest answer for discrete data; an
+    * end-based `⌈cum·B/n⌉` rule would shove the smallest heavy value
+    * into the LAST bucket). The complement of the equal-WIDTH
+    * `BasicHist`: width adapts, depth stays constant.
+    *
+    * Same scale shape as [[lowerQuantiles]]: rollup → one distinct-value
+    * window → one groupBy; raw-row skew never reaches the window.
+    */
+  def equidepthHist(df: DataFrame, groupCol: String, valueCol: String,
+      buckets: Int = 8): DataFrame = {
+    require(buckets >= 1, "equidepthHist: buckets must be >= 1")
+    val g = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    g.withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(wn))
+      .withColumn("bucket",
+        expr(s"((__cum - __c) * $buckets) DIV __n + 1"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col(valueCol)).as("hi_edge"), sum(col("__c")).as("cnt"))
+  }
 }

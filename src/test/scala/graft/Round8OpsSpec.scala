@@ -123,6 +123,61 @@ class Round8OpsSpec extends SparkSpec {
     assert(mad == 0.0 && out == 3) // mad 0: any deviation is an outlier
   }
 
+  // ---- lowerQuantiles / winsorize / equidepthHist ------------------------
+
+  test("lowerQuantiles: crossing rule on a hand-checked distribution") {
+    // 1..100: lower p05 = 5, p50 = 50, p95 = 95 (cum*den >= n*num)
+    val df = (1 to 100).map(i => ("g", i)).toDF("grp", "v")
+    val Array((g, n, p5, p50, p95)) =
+      Stats.lowerQuantiles(df, "grp", "v",
+        Seq(("p5", 5, 100), ("p50", 1, 2), ("p95", 95, 100)))
+        .as[(String, Long, Int, Int, Int)].collect()
+    assert((g, n, p5, p50, p95) == (("g", 100L, 5, 50, 95)))
+  }
+
+  test("lowerQuantiles handles ties and multiple groups") {
+    // group a: 1,1,1,9 -> p50: cum(1)=3, 3*2>=4 -> 1; p100 = 9
+    // group b: 2,4 -> p50: cum(2)=1, 1*2>=2 -> 2
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 9), ("b", 2), ("b", 4))
+      .toDF("grp", "v")
+    val out = Stats.lowerQuantiles(df, "grp", "v",
+        Seq(("p50", 1, 2), ("p100", 1, 1)))
+      .as[(String, Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("a") == ((4L, 1, 9)))
+    assert(out("b") == ((2L, 2, 4)))
+  }
+
+  test("winsorize clips the tails and leaves the bulk mean intact") {
+    val df = ((1 to 98).map(_ => ("g", 10.0)) ++ Seq(("g", -1000.0), ("g", 5000.0)))
+      .toDF("grp", "v")
+    val Array((_, n, lo, hi, raw, win)) = Stats.winsorize(df, "grp", "v")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    assert(n == 100 && lo == 10.0 && hi == 10.0)
+    assert(win == 10.0) // clipped to [10,10]
+    assert(math.abs(raw - 49.8) < 1e-9) // (98*10 - 1000 + 5000)/100
+  }
+
+  test("equidepthHist: near-equal counts on continuous, tie mass on discrete") {
+    val rnd = new scala.util.Random(3)
+    val cont = (1 to 800).map(_ => ("g", rnd.nextDouble())).toDF("grp", "v")
+    val h = Stats.equidepthHist(cont, "grp", "v", 8)
+      .as[(String, Long, Double, Long)].collect().sortBy(_._2)
+    assert(h.length == 8)
+    assert(h.forall(b => b._4 == 100)) // 800 distinct doubles / 8
+    assert(h.map(_._3).sliding(2).forall(p => p(0) < p(1))) // edges ascend
+    // heavy tie: one value is 90% of the mass -> it owns one bucket,
+    // intermediate buckets are skipped
+    val tied = ((1 to 900).map(_ => ("g", 5)) ++ (1 to 100).map(i => ("g", 1000 + i)))
+      .toDF("grp", "v")
+    val ht = Stats.equidepthHist(tied, "grp", "v", 8)
+      .as[(String, Long, Int, Long)].collect().sortBy(_._2)
+    val five = ht.find(_._3 == 5).get
+    assert(five._4 == 900 && five._2 == 1) // starts at rank 0 -> bucket 1
+    assert(ht.find(_._2 == 8).exists(_._4 == 100)) // tail lands in bucket 8
+    assert(ht.length == 2) // buckets 2..7 overflowed through, absent
+    assert(ht.map(_._4).sum == 1000)
+  }
+
   // ---- globalRowNumber ---------------------------------------------------
 
   test("globalRowNumber equals the single-partition window rank") {
