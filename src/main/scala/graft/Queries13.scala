@@ -316,8 +316,70 @@ object Queries13 {
       .orderBy(col("l_returnflag"), col("bucket"))
   }
 
+  /** Leakage-free train/val/test split
+    * ([[graft.operators.Sampling.dedupAwareSplit]]): the split keys on
+    * the content hash, so exact duplicates co-assign. Summarized as
+    * (split, lang) counts — stable under the doc-count while still
+    * pinning every assignment (the count moves if ANY doc flips split).
+    */
+  val q116DedupSplit: (String, QueryDef) = q(
+    "q116_dedup_split",
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    CASE
+      |      WHEN CAST('0x' || substring(md5('split:' || md5(text)), 1, 8)
+      |        AS BIGINT) % 100 < 80 THEN 'train'
+      |      WHEN CAST('0x' || substring(md5('split:' || md5(text)), 1, 8)
+      |        AS BIGINT) % 100 < 90 THEN 'val'
+      |      ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT split, lang, COUNT(*) AS n_docs
+      |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin) {
+    (s, dir) =>
+      implicit val env: (SparkSession, String) = (s, dir)
+      graft.operators.Sampling.dedupAwareSplit(t("documents"), "doc_id", "text")
+        .join(t("documents").select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split"), col("lang"))
+  }
+
+  /** Column profile audit ([[Stats.columnProfile]]): one-pass per-column
+    * row/non-null/exact-distinct counts and extents over lineitem —
+    * numeric and string columns in one long-format report. */
+  val q117ColumnProfile: (String, QueryDef) = q(
+    "q117_column_profile",
+    """SELECT 'l_quantity' AS col_name, COUNT(*) AS n_rows,
+      |  COUNT(l_quantity) AS n_nonnull, COUNT(DISTINCT l_quantity) AS n_distinct,
+      |  CAST(MIN(l_quantity) AS DOUBLE) AS min_num,
+      |  CAST(MAX(l_quantity) AS DOUBLE) AS max_num,
+      |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_extendedprice', COUNT(*), COUNT(l_extendedprice),
+      |  COUNT(DISTINCT l_extendedprice), CAST(MIN(l_extendedprice) AS DOUBLE),
+      |  CAST(MAX(l_extendedprice) AS DOUBLE), NULL, NULL FROM lineitem
+      |UNION ALL
+      |SELECT 'l_discount', COUNT(*), COUNT(l_discount),
+      |  COUNT(DISTINCT l_discount), CAST(MIN(l_discount) AS DOUBLE),
+      |  CAST(MAX(l_discount) AS DOUBLE), NULL, NULL FROM lineitem
+      |UNION ALL
+      |SELECT 'l_returnflag', COUNT(*), COUNT(l_returnflag),
+      |  COUNT(DISTINCT l_returnflag), NULL, NULL,
+      |  MIN(l_returnflag), MAX(l_returnflag) FROM lineitem
+      |UNION ALL
+      |SELECT 'l_linestatus', COUNT(*), COUNT(l_linestatus),
+      |  COUNT(DISTINCT l_linestatus), NULL, NULL,
+      |  MIN(l_linestatus), MAX(l_linestatus) FROM lineitem
+      |ORDER BY col_name""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    Stats.columnProfile(t("lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        Seq("l_returnflag", "l_linestatus"))
+      .orderBy(col("col_name"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q107SaltedJoin, q108Bm25, q109InvertedIndex, q110MadOutliers,
     q111SortedNeighborhood, q112MinhashCalibration, q113CmsEstimates,
-    q114Winsorize, q115EquidepthHist)
+    q114Winsorize, q115EquidepthHist, q116DedupSplit, q117ColumnProfile)
 }

@@ -149,4 +149,28 @@ object Sampling {
         (col("__start") / budget).cast("long").as("bin"),
         (col("__start") % budget).as("bin_offset"))
   }
+
+  /** Leakage-free train/val/test split: the split is keyed on the
+    * CONTENT hash, not the row id, so byte-identical documents always
+    * land in the same split — the minimum hygiene bar before training
+    * (an id-keyed split leaks every exact duplicate across the
+    * boundary; extend the same idea to near-dup cluster ids from
+    * [[Dedup.connectedComponents]] when fuzzy leakage matters).
+    *
+    * `train`/`val` are percent cut points on the md5 bucket of the
+    * content (e.g. 80/10 → 80/10/10). Deterministic, engine-portable
+    * (same convention as [[hashBucket]]), and a pure per-row map — no
+    * shuffle, fuses into the scan at any scale.
+    */
+  def dedupAwareSplit(docs: DataFrame, idCol: String, textCol: String,
+      trainPct: Int = 80, valPct: Int = 10, salt: String = "split"): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "dedupAwareSplit: percentages must be non-negative and sum <= 100")
+    val bucket = conv(substring(md5(concat(lit(salt), lit(":"), md5(col(textCol)))),
+      1, 8), 16, 10).cast(LongType) % 100L
+    docs.select(col(idCol), md5(col(textCol)).as("content_hash"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
 }

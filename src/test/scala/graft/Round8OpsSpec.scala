@@ -237,6 +237,43 @@ class Round8OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  // ---- dedupAwareSplit ---------------------------------------------------
+
+  test("dedupAwareSplit co-assigns exact duplicates and covers all docs") {
+    val docs = ((1 to 200).map(i => (i.toLong, s"unique doc number $i body")) ++
+      (201 to 260).map(i => (i.toLong, "the shared duplicate body")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Sampling
+      .dedupAwareSplit(docs, "doc_id", "text")
+      .as[(Long, String, String)].collect()
+    assert(out.length == 260)
+    // all 60 duplicates in one split
+    assert(out.filter(_._1 > 200).map(_._3).distinct.length == 1)
+    // same content hash -> same split, always
+    val byHash = out.groupBy(_._2)
+    assert(byHash.values.forall(_.map(_._3).distinct.length == 1))
+    // all three splits populated on 201 distinct contents, roughly 80/10/10
+    val bySplit = out.filter(_._1 <= 200).groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > 140 && bySplit("train") < 180)
+  }
+
+  // ---- columnProfile -----------------------------------------------------
+
+  test("columnProfile: counts, distincts, and extents with nulls") {
+    val df = Seq(
+      (Some(1.0), Some("a")), (Some(2.0), None),
+      (None, Some("b")), (Some(2.0), Some("a"))
+    ).toDF("x", "s")
+    val out = Stats.columnProfile(df, Seq("x"), Seq("s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5)), Option(r.get(6)), Option(r.get(7)))))
+      .toMap
+    assert(out("x") == ((4L, 3L, 2L, Some(1.0), Some(2.0), None, None)))
+    assert(out("s") == ((4L, 3L, 2L, None, None, Some("a"), Some("b"))))
+  }
+
   // ---- CmsSketch ---------------------------------------------------------
 
   test("cms: one-sided error (est >= exact), exact when collision-free") {
