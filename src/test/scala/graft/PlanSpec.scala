@@ -190,4 +190,78 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 4, s"expected ≤4 exchanges in the two-phase top-k, saw $exchanges")
     assert(p.contains("HashAggregate"), "token counts must partial-aggregate")
   }
+
+  test("salted join: equi-join on (key, salt); shuffle path stays an equi-join (q107)") {
+    // at sf0.001 Spark rightly broadcasts the tiny salted dim — fine. The
+    // at-scale claim is about the NON-broadcast path (the only reason to
+    // salt): force it and the join must still be a (key, salt) equi-join.
+    assert(!plan("q107_salted_join").contains("NestedLoop"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q107_salted_join")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "salted join must survive as a shuffle equi-join when broadcast is off")
+      assert(!p.contains("NestedLoop"), "salt must not break the equi-join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("BM25: term filter sits under the tf aggregation, stats broadcast (q108)") {
+    val p = plan("q108_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "corpus scalars must ride a broadcast, not a shuffle")
+    // the isin() filter must prune non-query tokens before the groupBy
+    assert("Filter .*term.*INSET|Filter .*term.* IN".r.findFirstIn(p).nonEmpty ||
+      p.contains("INSET"), "query-term filter must prune before aggregation")
+  }
+
+  test("sorted neighborhood: rank join and neighbor join are equi-joins (q111)") {
+    val p = plan("q111_sorted_neighborhood")
+    assert(!p.contains("NestedLoop"),
+      "rank-window candidates must come from the explode equi-join, not a range join")
+    // no full-data single-partition window: every WindowExec must carry a
+    // partition spec (the offsets window runs over |partitions| rows and
+    // is allowed; it windows on __pid)
+    assert(!p.contains("Window [") || p.contains("windowspecdefinition"),
+      "windows must be partitioned")
+  }
+
+  test("CMS: matrix rides one broadcast; estimates never shuffle the matrix (q113)") {
+    val p = plan("q113_cms_estimates")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row sketch must broadcast onto the probe terms")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "the typed CMS aggregator partial-aggregates")
+  }
+
+  test("quantile family runs on the distinct-value rollup, not raw rows (q110/q114/q115)") {
+    for (name <- Seq("q110_mad_outliers", "q114_winsorize", "q115_equidepth_hist")) {
+      val p = plan(name)
+      // the cumulative window must consume a HashAggregate (the rollup),
+      // never sit directly on the scan
+      val winIdx = p.indexOf("RunningWindowFunction") match {
+        case -1 => p.indexOf("Window")
+        case i => i
+      }
+      assert(winIdx >= 0, s"$name: expected a window in the plan")
+      assert(p.contains("HashAggregate"), s"$name: distinct-value rollup missing")
+      assert(!p.contains("NestedLoop") || p.contains("BroadcastNestedLoop"),
+        s"$name: only broadcast scalar joins allowed")
+    }
+  }
+
+  test("dedup split is a pure scan-side projection: no shuffle before the count (q116)") {
+    val p = plan("q116_dedup_split")
+    // split assignment itself adds no exchange beyond the count shuffle +
+    // output sort (the doc_id join folds into the same scan or a cheap join)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 4, s"split must not add shuffles, saw $exchanges")
+  }
+
+  test("column profile is ONE aggregation job over one scan (q117)") {
+    val p = plan("q117_column_profile")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"profile must be one pass, saw $scans scans")
+    assert(p.contains("Expand"), "multi-distinct plans via Expand, not extra scans")
+  }
 }
