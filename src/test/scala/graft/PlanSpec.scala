@@ -258,10 +258,14 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 4, s"split must not add shuffles, saw $exchanges")
   }
 
-  test("column profile is ONE aggregation job over one scan (q117)") {
+  test("column profile: one column-pruned scan per type family, no Expand (q117)") {
     val p = plan("q117_column_profile")
     val scans = "Scan parquet".r.findAllIn(p).size
-    assert(scans == 1, s"profile must be one pass, saw $scans scans")
-    assert(p.contains("Expand"), "multi-distinct plans via Expand, not extra scans")
+    // one melt per type family; each scan reads ONLY its own columns, so
+    // combined I/O equals a single full scan
+    assert(scans == 2, s"expected a numeric + a string melt scan, saw $scans")
+    assert(!p.contains("Expand"),
+      "exact distincts must come from the (col,value) rollup, not multi-distinct Expand")
+    assert(!p.contains("l_orderkey"), "unprofiled columns must be pruned")
   }
 }
