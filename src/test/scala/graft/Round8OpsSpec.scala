@@ -178,6 +178,24 @@ class Round8OpsSpec extends SparkSpec {
     assert(ht.map(_._4).sum == 1000)
   }
 
+  test("distributed prefix-sum path equals the serial group window exactly") {
+    val rnd = new scala.util.Random(21)
+    val df = (1 to 3000).map(_ => (s"g${rnd.nextInt(4)}",
+      (rnd.nextInt(200) + rnd.nextInt(3) * 1000).toDouble)).toDF("grp", "v")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    assert(canon(Stats.madOutliers(df, "grp", "v", 3.0, distributedCum = true)) ==
+      canon(Stats.madOutliers(df, "grp", "v", 3.0)))
+    assert(canon(Stats.equidepthHist(df, "grp", "v", 8, distributedCum = true)) ==
+      canon(Stats.equidepthHist(df, "grp", "v", 8)))
+    assert(canon(Stats.lowerQuantiles(df, "grp", "v",
+        Seq(("p25", 1, 4), ("p50", 1, 2), ("p99", 99, 100)), distributedCum = true)) ==
+      canon(Stats.lowerQuantiles(df, "grp", "v",
+        Seq(("p25", 1, 4), ("p50", 1, 2), ("p99", 99, 100)))))
+    assert(canon(Stats.groupedMedian(df, "grp", "v", distributedCum = true)) ==
+      canon(Stats.groupedMedian(df, "grp", "v")))
+  }
+
   // ---- globalRowNumber ---------------------------------------------------
 
   test("globalRowNumber equals the single-partition window rank") {
