@@ -378,8 +378,32 @@ object Queries13 {
       .orderBy(col("col_name"))
   }
 
+  /** Exact sliding-window distinct users
+    * ([[graft.operators.Events.slidingDistinct]]): trailing 4-hour
+    * distinct count at hourly grain — COUNT(DISTINCT) OVER RANGE
+    * semantics via pair fan-out, no running-set state. */
+  val q118SlidingDistinct: (String, QueryDef) = q(
+    "q118_sliding_distinct",
+    """WITH p AS (
+      |  SELECT DISTINCT user_id,
+      |    (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS b
+      |  FROM events),
+      |mx AS (SELECT MAX(b) AS maxb FROM p),
+      |f AS (
+      |  SELECT user_id, b + 3600 * u.i AS bucket
+      |  FROM p CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) u)
+      |SELECT bucket, COUNT(DISTINCT user_id) AS n_users
+      |FROM f, mx WHERE bucket <= mx.maxb
+      |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.operators.Events.slidingDistinct(t("events"), "user_id", "ts_sec",
+        bucketSecs = 3600L, windowBuckets = 4)
+      .orderBy(col("bucket"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q107SaltedJoin, q108Bm25, q109InvertedIndex, q110MadOutliers,
     q111SortedNeighborhood, q112MinhashCalibration, q113CmsEstimates,
-    q114Winsorize, q115EquidepthHist, q116DedupSplit, q117ColumnProfile)
+    q114Winsorize, q115EquidepthHist, q116DedupSplit, q117ColumnProfile,
+    q118SlidingDistinct)
 }

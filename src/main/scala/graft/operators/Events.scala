@@ -292,4 +292,42 @@ object Events {
       .groupBy(col("cohort"), col("bucket"))
       .agg(count_distinct(col(userCol)).as("active_users"))
   }
+
+  /** Exact SLIDING-window distinct users: for every `bucketSecs` bucket,
+    * the distinct-user count over the trailing `windowBuckets` buckets
+    * (window end inclusive). The sliding complement of
+    * [[cumulativeDistinct]] (whose first-seen rewrite only works for the
+    * all-history window): each distinct `(user, bucket)` PAIR fans out to
+    * the `windowBuckets` window-ends it contributes to, then one
+    * count-distinct per window-end — `COUNT(DISTINCT) OVER (RANGE …)`
+    * semantics without a running-set window (Spark rejects DISTINCT in
+    * windows; a set-carrying UDAF would hold every trailing user in
+    * state).
+    *
+    * Scale: the fan-out multiplies the DISTINCT pair rollup (already
+    * collapsed map-side), not raw events — cost `pairs × windowBuckets`,
+    * keyed on uniform (bucket, user) hashes. Window-ends with no events
+    * in their own bucket still report (they inherit fan-out from earlier
+    * buckets); ends beyond the data's last bucket are dropped to keep
+    * the frame aligned with observed buckets.
+    */
+  def slidingDistinct(events: DataFrame, userCol: String, tsSecCol: String,
+      bucketSecs: Long, windowBuckets: Int): DataFrame = {
+    require(bucketSecs >= 1 && windowBuckets >= 1,
+      "bucketSecs and windowBuckets must be >= 1")
+    val pairs = events
+      .select(col(userCol),
+        (expr(s"cast($tsSecCol as bigint) div $bucketSecs") * bucketSecs)
+          .as("__b"))
+      .distinct()
+    val maxB = pairs.agg(max(col("__b")).as("__maxb"))
+    pairs
+      .select(col(userCol), explode(sequence(col("__b"),
+        col("__b") + lit(bucketSecs * (windowBuckets - 1)),
+        lit(bucketSecs))).as("bucket"))
+      .crossJoin(broadcast(maxB))
+      .filter(col("bucket") <= col("__maxb"))
+      .groupBy(col("bucket"))
+      .agg(count_distinct(col(userCol)).as("n_users"))
+  }
 }

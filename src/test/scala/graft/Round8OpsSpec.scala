@@ -255,6 +255,30 @@ class Round8OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  // ---- slidingDistinct ---------------------------------------------------
+
+  test("slidingDistinct: trailing-window distinct counts, hand-checked") {
+    // buckets of 10s, window 2: user u1 at t=5,15; u2 at t=5; u3 at t=25
+    // bucket 0: {u1,u2}=2; bucket 10: window {0,10} -> {u1,u2}=2;
+    // bucket 20: window {10,20} -> {u1,u3}=2... wait u1 at 15 -> bucket 10
+    // bucket 20 window covers buckets 10,20: users {u1(15), u3(25)? no -
+    // u3 at 25 is bucket 20} -> {u1,u3}=2; bucket 30 would be {u3} but
+    // 30 > max bucket 20 -> dropped
+    val df = Seq(("u1", 5L), ("u1", 15L), ("u2", 5L), ("u3", 25L))
+      .toDF("user", "s")
+    val out = graft.operators.Events.slidingDistinct(df, "user", "s", 10L, 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 2L, 10L -> 2L, 20L -> 2L))
+  }
+
+  test("slidingDistinct counts a user once per window regardless of activity") {
+    val df = (1 to 50).map(i => ("solo", i.toLong)).toDF("user", "s")
+    val out = graft.operators.Events.slidingDistinct(df, "user", "s", 10L, 3)
+      .as[(Long, Long)].collect()
+    assert(out.forall(_._2 == 1L))
+    assert(out.map(_._1).sorted.toSeq == Seq(0L, 10L, 20L, 30L, 40L, 50L))
+  }
+
   // ---- dedupAwareSplit ---------------------------------------------------
 
   test("dedupAwareSplit co-assigns exact duplicates and covers all docs") {
