@@ -292,6 +292,30 @@ object Streams {
       }
   }
 
+  /** Streaming Count-Min sketch per window: the live twin of the batch
+    * [[graft.functions.CmsAggregator]] — the same mergeable depth×width
+    * matrix accumulates inside a watermarked windowed agg, so the state
+    * store holds one fixed-size matrix per window, never per-item counts
+    * (the vocabulary can be unbounded; the state cannot). Point
+    * estimates on the emitted matrix use the identical md5 bucketing as
+    * batch, so live and backfill estimates agree exactly for the same
+    * data.
+    */
+  def streamingCms(
+      items: DataFrame, // (tsCol, itemCol)
+      tsCol: String,
+      itemCol: String,
+      bucketSecs: Long,
+      depth: Int,
+      width: Int,
+      watermark: String = "10 minutes"): DataFrame =
+    items
+      .withColumn("__ts", timestamp_seconds(col(tsCol).cast(LongType)))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), s"$bucketSecs seconds"))
+      .agg(graft.functions.CmsSketch.sketch(col(itemCol), depth, width).as("m"))
+      .select(col("window.start").cast(LongType).as("time_bucket"), col("m"))
+
   /** Streaming digest loop: drain a JSON-lines directory into a GraftTable
     * with `Trigger.AvailableNow` — the reference's `sybil digest` cycle
     * (table_ingest.go:287-331) as an incremental job with checkpointed

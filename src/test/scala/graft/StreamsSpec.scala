@@ -288,4 +288,33 @@ class StreamsSpec extends SparkSpec {
       s"$ckpt#0"))
     assert(table.read(readLog = true).count() === 3)
   }
+
+  test("streaming CMS matrices equal the batch sketch (state-store merge parity)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val base = 1700000000L
+    val rows = (0 until 300).map(i => (base + i * 4, s"w${i % 23}"))
+    mem.addData(rows.take(120): _*)
+    val streamDf = mem.toDF().toDF("ts_sec", "term")
+    val out = Streams.streamingCms(streamDf, "ts_sec", "term",
+      bucketSecs = 600, depth = 3, width = 64)
+    val q = out.writeStream.format("memory").queryName("scms")
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable()
+    mem.addData(rows.drop(120): _*)
+    q.processAllAvailable()
+    q.stop()
+    // Update mode re-emits refined matrices; the final emission per bucket
+    // is the one with the largest total count (counters only grow)
+    val streamed = spark.table("scms")
+      .select(col("time_bucket"), col("m"),
+        expr("aggregate(m, 0L, (a, x) -> a + x)").as("__tot"))
+      .groupBy("time_bucket").agg(expr("max_by(m, __tot)").as("m"))
+      .select(col("time_bucket"), col("m"))
+    val batch = rows.toDF("ts_sec", "term")
+      .groupBy((expr("ts_sec div 600") * 600).as("time_bucket"))
+      .agg(graft.functions.CmsSketch.sketch(col("term"), 3, 64).as("m"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
