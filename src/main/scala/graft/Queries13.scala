@@ -401,9 +401,48 @@ object Queries13 {
       .orderBy(col("bucket"))
   }
 
+  /** Unicode NFC normalization (native `graft_nfc`,
+    * expressions/UnicodeNorm.scala): the corpus is ASCII, so decomposed
+    * sequences are synthesized IN-PLAN (the q94-q96 pattern) — combining
+    * acute U+0301 after 'e' on even docs, precomposed U+00E9 on odd docs
+    * — then normalized. NFC makes both byte-identical, which is the
+    * whole point: content hashes and dedup keys must not distinguish
+    * canonically-equal text. Byte lengths (engine-portable, unlike
+    * grapheme-counting `length`) and the normalized string itself are
+    * hash-checked against DuckDB's `nfc_normalize`. */
+  val q119UnicodeNfc: (String, QueryDef) = q(
+    "q119_unicode_nfc",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    substring(text, 1, 10) ||
+      |      CASE WHEN doc_id % 2 = 0 THEN 'e' || chr(769) ELSE chr(233) END
+      |      || ' caf' ||
+      |      CASE WHEN doc_id % 3 = 0 THEN 'e' || chr(769) ELSE chr(233) END
+      |    AS raw FROM documents)
+      |SELECT doc_id, strlen(raw) AS raw_bytes,
+      |  strlen(nfc_normalize(raw)) AS nfc_bytes,
+      |  nfc_normalize(raw) AS normalized,
+      |  CAST(raw != nfc_normalize(raw) AS INT) AS changed
+      |FROM s ORDER BY doc_id LIMIT 200""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    // escapes make the intent tool-proof: even/div3 docs get the
+    // DECOMPOSED form (e + combining acute U+0301), the rest the
+    // precomposed U+00E9; NFC maps the former onto the latter
+    val raw = concat(substring(col("text"), 1, 10),
+      when(col("doc_id") % 2 === 0, lit("e\u0301")).otherwise(lit("\u00e9")),
+      lit(" caf"),
+      when(col("doc_id") % 3 === 0, lit("e\u0301")).otherwise(lit("\u00e9")))
+    val nfc = call_function("graft_nfc", col("raw"))
+    t("documents").select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"), octet_length(col("raw")).as("raw_bytes"),
+        octet_length(nfc).as("nfc_bytes"), nfc.as("normalized"),
+        (col("raw") =!= nfc).cast("int").as("changed"))
+      .orderBy(col("doc_id")).limit(200)
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q107SaltedJoin, q108Bm25, q109InvertedIndex, q110MadOutliers,
     q111SortedNeighborhood, q112MinhashCalibration, q113CmsEstimates,
     q114Winsorize, q115EquidepthHist, q116DedupSplit, q117ColumnProfile,
-    q118SlidingDistinct)
+    q118SlidingDistinct, q119UnicodeNfc)
 }

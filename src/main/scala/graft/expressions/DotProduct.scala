@@ -193,5 +193,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => GraftDecimalSum(children(0),
         children(1).eval().asInstanceOf[Number].intValue(),
         weight = children.drop(2).headOption)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children(0))))
   }
 }

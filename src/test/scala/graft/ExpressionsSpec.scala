@@ -192,4 +192,32 @@ class ExpressionsSpec extends SparkSpec {
     assert(causes(e).exists(_.isInstanceOf[ArithmeticException]),
       s"expected ArithmeticException cause, got $e")
   }
+  test("graft_nfc: decomposed -> precomposed, idempotent, null-safe") {
+    import spark.implicits._
+    val rows = Seq(
+      ("e\u0301"),            // decomposed e + combining acute
+      ("\u00e9"),             // already NFC
+      ("caf\u00e9 du cine\u0301ma"),
+      ("plain ascii"),
+      ("A\u030a ring"),       // A + combining ring -> U+00C5
+      ("")
+    ).toDF("s")
+    val out = rows.select(col("s"),
+        call_function("graft_nfc", col("s")).as("n"),
+        call_function("graft_nfc", call_function("graft_nfc", col("s"))).as("nn"),
+        octet_length(col("s")).as("sb"), octet_length(col("n")).as("nb"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getInt(4)))
+    for ((s0, n, nn, _, _) <- out) {
+      assert(n == java.text.Normalizer.normalize(s0, java.text.Normalizer.Form.NFC))
+      assert(nn == n, "NFC must be idempotent")
+    }
+    val byIn = out.map(r => r._1 -> r).toMap
+    assert(byIn("e\u0301")._2 == "\u00e9" && byIn("e\u0301")._5 < byIn("e\u0301")._4)
+    assert(byIn("A\u030a ring")._2 == "\u00c5 ring")
+    assert(byIn("plain ascii")._2 == "plain ascii")
+    // null passes through as null
+    assert(Seq((null: String)).toDF("s")
+      .select(call_function("graft_nfc", col("s"))).collect()(0).isNullAt(0))
+  }
 }
