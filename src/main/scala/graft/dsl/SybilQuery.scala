@@ -223,9 +223,16 @@ final case class SybilQuery(
         }
       case AggOp.DistinctOp(exact) =>
         val dcols = (if (distinctCols.nonEmpty) distinctCols else aggCols).map(col)
+        // approx path: DataSketches HLL (hll_sketch_agg) rather than
+        // approx_count_distinct — the binary sketch is a first-class value,
+        // so the query cache persists per-block sketches and the merged
+        // estimate (union = register-wise max, deterministic) is IDENTICAL
+        // to the single-pass estimate: cached and uncached runs agree
+        // bit-for-bit even for the approximate op (AsOfCacheSpec).
         Seq(countAgg, samplesAgg,
           (if (exact) countDistinct(dcols.head, dcols.tail: _*)
-           else approx_count_distinct(concat_ws("", dcols: _*))).as("Distinct"))
+           else hll_sketch_estimate(hll_sketch_agg(concat_ws("", dcols: _*))))
+            .as("Distinct"))
     }
 
     val grouped =

@@ -64,6 +64,7 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
     md5hex(Seq(
       "g=" + q.groups.mkString(","),
       "a=" + q.aggCols.mkString(","),
+      "d=" + q.distinctCols.mkString(","),
       "op=" + q.op.toString,
       "w=" + q.weightCol.getOrElse(""),
       "r=" + q.strReplace.toSeq.sortBy(_._1)
@@ -132,6 +133,10 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
               BasicHist.histPartial(col(c).cast(LongType), w.cast(LongType),
                 mn, mx, q.histBuckets)).as(s"__hist_$c")
           }
+          case AggOp.DistinctOp(_) =>
+            val dcols = (if (q.distinctCols.nonEmpty) q.distinctCols
+                         else q.aggCols).map(col)
+            Seq(hll_sketch_agg(concat_ws("\u0001", dcols: _*)).as("__hll"))
           case _ => q.aggCols.map(c => wsum(c).as(s"__sum_$c"))
         })
     if (keys.nonEmpty) filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
@@ -145,8 +150,9 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
   def run(q: SybilQuery): (DataFrame, CacheOutcome) = {
     require(!q.samples && q.timeBucket.isEmpty, "cache supports plain aggregations")
     require(q.op == AggOp.CountOp || q.op == AggOp.AvgOp || q.op == AggOp.SumOp ||
-      q.op == AggOp.HistOp,
-      s"op ${q.op} not cacheable")
+      q.op == AggOp.HistOp || q.op == AggOp.DistinctOp(false),
+      s"op ${q.op} not cacheable (exact distinct partials are the full value" +
+        " sets — cache the approx flavor, or run uncached)")
     // loghist caches its OWN partial flavor (LogHistPartialAggregator) and
     // the flavor is part of the cache key, so flat and log partials for the
     // same filters can never merge into each other
@@ -266,6 +272,11 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
                 BasicHist.histMerge(col(s"__hist_$c"), mn, mx, q.histBuckets))
                 .as(s"${c}_hist")
             }
+            case AggOp.DistinctOp(_) =>
+              // union = register-wise max -> merged estimate identical to
+              // the single-pass sketch over the same rows
+              Seq(hll_sketch_estimate(hll_union_agg(col("__hll")))
+                .as("Distinct"))
             case _ => Nil
           })
       val g = if (keys.nonEmpty) merged.groupBy(keys: _*).agg(sums.head, sums.tail: _*)

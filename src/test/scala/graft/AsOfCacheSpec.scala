@@ -188,4 +188,38 @@ class AsOfCacheSpec extends SparkSpec {
     val b = direct.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).sortBy(_._1)
     assert(a === b)
   }
+
+  test("query cache: HLL distinct partials merge to the single-pass estimate") {
+    val root = Files.createTempDirectory("graft-qc-hll").toString
+    val t = new GraftTable(spark, root)
+    // values deliberately overlap across blocks: the union must dedup
+    // across block sketches, not add their counts
+    for (b <- 0 until 3) {
+      t.ingest((0 until 800).map(i =>
+        (s"k${i % 2}", (b * 1000 + i).toLong, ((i + b * 137) % 300).toLong))
+        .toDF("k", "time", "v"))
+      t.digest(compact = false)
+    }
+    val cache = new QueryCache(spark, t)
+    val q = SybilQuery().groupBy("k").distinct("v").limitTo(10)
+
+    val (r1, o1) = cache.run(q)
+    assert(o1.misses === 3 && o1.hits === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    val first = canon(r1)
+    // the cached merge must equal the UNCACHED single-pass DSL run exactly
+    // (register-wise max union is deterministic, not just approximately right)
+    assert(first === canon(q.run(t.read())))
+    // second run: all sketches served from the cache, same answer
+    val (r2, o2) = cache.run(q)
+    assert(o2.hits === 3 && o2.misses === 0)
+    assert(canon(r2) === first)
+    // exact distinct is NOT cacheable (partials would be the value sets)
+    val ex = intercept[IllegalArgumentException] {
+      cache.run(SybilQuery().groupBy("k").distinct("v")
+        .withOp(AggOp.DistinctOp(exact = true)).limitTo(10))
+    }
+    assert(ex.getMessage.contains("not cacheable"))
+  }
 }
