@@ -440,9 +440,37 @@ object Queries13 {
       .orderBy(col("doc_id")).limit(200)
   }
 
+  /** Per-document n-gram novelty
+    * ([[graft.operators.Decontam.ngramNovelty]]): fraction of each doc's
+    * distinct trigrams that are corpus-common (df > 5) — the doc-level
+    * rollup of the q59 boilerplate report; high `common_frac` flags
+    * templated docs. */
+  val q120NgramNovelty: (String, QueryDef) = q(
+    "q120_ngram_novelty",
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |ng AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w) - 2),
+      |    i -> array_to_string(w[i:i+2], ' ')))) AS g
+      |  FROM w),
+      |dfq AS (SELECT g, COUNT(*) AS df FROM ng GROUP BY g)
+      |SELECT ng.doc_id, COUNT(*) AS n_grams,
+      |  SUM(CASE WHEN dfq.df > 5 THEN 1 ELSE 0 END) AS n_common,
+      |  CAST(SUM(CASE WHEN dfq.df > 5 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    COUNT(*) AS common_frac
+      |FROM ng JOIN dfq ON ng.g = dfq.g
+      |GROUP BY ng.doc_id ORDER BY ng.doc_id LIMIT 300""".stripMargin) {
+    (s, dir) =>
+      implicit val env: (SparkSession, String) = (s, dir)
+      graft.operators.Decontam.ngramNovelty(t("documents"), "doc_id", "text",
+          n = 3, commonDf = 5L)
+        .orderBy(col("doc_id")).limit(300)
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q107SaltedJoin, q108Bm25, q109InvertedIndex, q110MadOutliers,
     q111SortedNeighborhood, q112MinhashCalibration, q113CmsEstimates,
     q114Winsorize, q115EquidepthHist, q116DedupSplit, q117ColumnProfile,
-    q118SlidingDistinct, q119UnicodeNfc)
+    q118SlidingDistinct, q119UnicodeNfc, q120NgramNovelty)
 }

@@ -104,6 +104,34 @@ object Decontam {
       .agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") >= minDocs)
 
+  /** Per-document n-gram novelty — the doc-level rollup of the corpus
+    * view [[boilerplateNgrams]] reports: how much of THIS document's
+    * distinct n-gram set is corpus-common (df > `commonDf`)?
+    * `common_frac` near 1 flags templated/boilerplate-dominated docs the
+    * quality filter should drop; near 0 flags novel text. One IEEE
+    * division of exact ints — engine-portable without rounding.
+    *
+    * Scale: n-grams travel as 64-bit hashes (`graft_shingle_hash`, one
+    * fused pass per doc); df is one shuffle on the hash (uniform); the
+    * join back keys on the same hash and the per-doc rollup on the doc
+    * id. The df side can be reused verbatim as a broadcast when the
+    * common-gram set is small (df > threshold prunes it to the viral
+    * tail).
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, commonDf: Long = 5L): DataFrame = {
+    val grams = docs.select(col(idCol),
+        explode(call_function("graft_shingle_hash",
+          split(col(textCol), " "), lit(n))).as("__g"))
+    val dfreq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    grams.join(dfreq, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") > commonDf, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("common_frac",
+        col("n_common").cast("double") / col("n_grams"))
+  }
+
   /** Boilerplate REMOVAL (the rewrite to [[boilerplateNgrams]]'s report):
     * split each document into units on `sep` (lines, paragraphs — any
     * separator), drop every unit whose document frequency is at least

@@ -255,6 +255,24 @@ class Round8OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  // ---- ngramNovelty ------------------------------------------------------
+
+  test("ngramNovelty: templated docs score high, unique docs zero") {
+    // 8 docs share one exact trigram chain; 2 docs are entirely unique
+    val docs = ((1 to 8).map(i => (i.toLong, s"the common shared chain tail$i")) ++
+      Seq((9L, "wholly unique text alpha beta"), (10L, "another nothing shared here at all")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Decontam
+      .ngramNovelty(docs, "doc_id", "text", n = 3, commonDf = 5L)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // "the common shared" and "common shared chain" appear in 8 docs (df=8>5)
+    for (i <- 1L to 8L) {
+      val (_, nGrams, nCommon, frac) = out(i)
+      assert(nGrams == 3 && nCommon == 2 && frac == 2.0 / 3.0, s"doc $i")
+    }
+    for (i <- Seq(9L, 10L)) assert(out(i)._3 == 0 && out(i)._4 == 0.0)
+  }
+
   // ---- slidingDistinct ---------------------------------------------------
 
   test("slidingDistinct: trailing-window distinct counts, hand-checked") {
