@@ -468,9 +468,44 @@ object Queries13 {
         .orderBy(col("doc_id")).limit(300)
   }
 
+  /** Cluster-aware split ([[graft.operators.Sampling.clusterAwareSplit]]):
+    * q116 upgraded from exact-dup to NEAR-dup hygiene — the split keys on
+    * the doc's LSH connected-component representative, so a paraphrase
+    * cluster never straddles train/eval. The oracle rebuilds the
+    * component labels with q60's recursive CTE and replays the md5
+    * bucket; every (doc, cluster_key, split) row is hash-checked. */
+  val q121ClusterSplit: (String, QueryDef) = q(
+    "q121_cluster_split",
+    s"""WITH RECURSIVE ${Queries8.pairsSql},
+       |edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM pairs
+       |  UNION ALL SELECT d2, d1 FROM pairs),
+       |r AS (
+       |  SELECT a AS id, a AS lbl FROM edges
+       |  UNION
+       |  SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.id),
+       |cc AS (SELECT id, MIN(lbl) AS cluster_id FROM r GROUP BY id),
+       |keyed AS (
+       |  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_key
+       |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id)
+       |SELECT doc_id, cluster_key,
+       |  CASE
+       |    WHEN CAST('0x' || substring(md5('csplit:' ||
+       |      CAST(cluster_key AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80
+       |      THEN 'train'
+       |    WHEN CAST('0x' || substring(md5('csplit:' ||
+       |      CAST(cluster_key AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90
+       |      THEN 'val'
+       |    ELSE 'test' END AS split
+       |FROM keyed ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.operators.Sampling.clusterAwareSplit(t("documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q107SaltedJoin, q108Bm25, q109InvertedIndex, q110MadOutliers,
     q111SortedNeighborhood, q112MinhashCalibration, q113CmsEstimates,
     q114Winsorize, q115EquidepthHist, q116DedupSplit, q117ColumnProfile,
-    q118SlidingDistinct, q119UnicodeNfc, q120NgramNovelty)
+    q118SlidingDistinct, q119UnicodeNfc, q120NgramNovelty, q121ClusterSplit)
 }

@@ -173,4 +173,36 @@ object Sampling {
         .when(bucket < trainPct + valPct, "val")
         .otherwise("test").as("split"))
   }
+
+  /** Cluster-aware train/val/test split — [[dedupAwareSplit]] upgraded
+    * from exact-dup hygiene to NEAR-dup hygiene: the split keys on the
+    * document's near-dup CLUSTER representative (the min-id of its
+    * [[Dedup.connectedComponents]] component over LSH candidate pairs),
+    * so a paraphrase cluster can never straddle train and eval. Docs in
+    * no cluster key on their own id (exact dups always band-collide, so
+    * they are clustered by construction).
+    *
+    * Scale: the component labels are |clustered docs| rows joined back on
+    * the doc id (uniform key); the split itself stays a pure projection.
+    * Output: `(id, cluster_key, split)`.
+    */
+  def clusterAwareSplit(docs: DataFrame, idCol: String, textCol: String,
+      trainPct: Int = 80, valPct: Int = 10,
+      salt: String = "csplit"): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "clusterAwareSplit: percentages must be non-negative and sum <= 100")
+    val cc = Dedup.connectedComponents(
+      Dedup.lshCandidates(Dedup.minhashBands(docs, idCol, textCol), idCol))
+    val key = coalesce(col("cluster_id"), col(idCol)).as("cluster_key")
+    val bucket = conv(substring(md5(concat(lit(salt), lit(":"),
+      col("cluster_key").cast("string"))), 1, 8), 16, 10)
+      .cast(LongType) % 100L
+    docs.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), key)
+      .select(col(idCol), col("cluster_key"),
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+  }
 }

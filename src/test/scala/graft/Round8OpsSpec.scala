@@ -318,6 +318,26 @@ class Round8OpsSpec extends SparkSpec {
     assert(bySplit("train") > 140 && bySplit("train") < 180)
   }
 
+  test("clusterAwareSplit: near-dup clusters never straddle splits") {
+    // three near-dup families (token-level mutations) + unique docs
+    val docs = ((1 to 6).map(i => (i.toLong, s"alpha beta gamma delta epsilon tail$i")) ++
+      (11 to 15).map(i => (i.toLong, s"one two three four five six seven$i")) ++
+      (21 to 24).map(i => (i.toLong, "exact duplicate family body text here")) ++
+      (31 to 40).map(i => (i.toLong, s"unique$i standalone document number $i with filler")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Sampling
+      .clusterAwareSplit(docs, "doc_id", "text")
+      .as[(Long, Long, String)].collect()
+    assert(out.length == 25)
+    // every doc sharing a cluster_key shares a split (trivially true by
+    // construction) AND every connected pair shares a cluster_key
+    val byKey = out.groupBy(_._2)
+    assert(byKey.values.forall(_.map(_._3).distinct.length == 1))
+    val split = out.map(r => r._1 -> r._3).toMap
+    assert((21 to 24).map(i => split(i.toLong)).distinct.length == 1,
+      "exact-dup family must co-assign")
+  }
+
   // ---- columnProfile -----------------------------------------------------
 
   test("columnProfile: counts, distincts, and extents with nulls") {
