@@ -503,9 +503,79 @@ object Queries13 {
       .orderBy(col("doc_id"))
   }
 
+  /** FULL OUTER join accounting: a customer subset (nation < 13) against
+    * per-customer order rollups — rows surviving only on the left
+    * (customers with no orders), only on the right (orders whose customer
+    * is filtered out), and matched, each side exactly counted. Rounds out
+    * the join family (broadcast/shuffle/star/semi/anti/as-of/interval/
+    * salted) with the outer shape; at scale it is the same single
+    * shuffle as the inner join — null-extension is free. */
+  val q122OuterJoin: (String, QueryDef) = q(
+    "q122_outer_join",
+    s"""WITH c AS (
+       |  SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey < 13),
+       |o AS (
+       |  SELECT o_custkey, COUNT(*) AS n_orders,
+       |    ${dsumSql("o_totalprice")} AS revenue
+       |  FROM orders WHERE o_totalprice > 150000 GROUP BY o_custkey)
+       |SELECT
+       |  CASE WHEN o.o_custkey IS NULL THEN 'customer_only'
+       |       WHEN c.c_custkey IS NULL THEN 'order_only'
+       |       ELSE 'both' END AS side,
+       |  COUNT(*) AS n_rows,
+       |  COALESCE(SUM(o.n_orders), 0) AS n_orders
+       |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+       |GROUP BY 1 ORDER BY side""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val c = t("customer").filter(col("c_nationkey") < 13)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val o = t("orders").filter(col("o_totalprice") > 150000)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        call_function("graft_dsum", col("o_totalprice"), lit(4)).as("revenue"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(
+        when(col("o_custkey").isNull, "customer_only")
+          .when(col("c_custkey").isNull, "order_only")
+          .otherwise("both").as("side"),
+        col("n_orders"))
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("n_orders")), lit(0L)).as("n_orders"))
+      .orderBy(col("side"))
+  }
+
+  /** INTERSECT / EXCEPT set operations (§2.7 completeness next to UNION
+    * q30): urgent-order customers vs low-priority-order customers. Spark
+    * plans both as aggregates/joins on the key — one shuffle each. */
+  val q123SetOps: (String, QueryDef) = q(
+    "q123_set_ops",
+    """SELECT 'except' AS op, COUNT(*) AS n FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW') t
+      |UNION ALL
+      |SELECT 'intersect', COUNT(*) FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW') t
+      |ORDER BY op""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val urgent = t("orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val low = t("orders").filter(col("o_orderpriority") === "5-LOW")
+      .select(col("o_custkey"))
+    urgent.except(low).agg(count(lit(1)).as("n"))
+      .select(lit("except").as("op"), col("n"))
+      .unionByName(urgent.intersect(low).agg(count(lit(1)).as("n"))
+        .select(lit("intersect").as("op"), col("n")))
+      .orderBy(col("op"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q107SaltedJoin, q108Bm25, q109InvertedIndex, q110MadOutliers,
     q111SortedNeighborhood, q112MinhashCalibration, q113CmsEstimates,
     q114Winsorize, q115EquidepthHist, q116DedupSplit, q117ColumnProfile,
-    q118SlidingDistinct, q119UnicodeNfc, q120NgramNovelty, q121ClusterSplit)
+    q118SlidingDistinct, q119UnicodeNfc, q120NgramNovelty, q121ClusterSplit,
+    q122OuterJoin, q123SetOps)
 }
