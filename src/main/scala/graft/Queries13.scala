@@ -572,10 +572,33 @@ object Queries13 {
       .orderBy(col("op"))
   }
 
+  /** Top event paths ([[graft.operators.Events.topPaths]]): every 3-step
+    * run of consecutive events per user, counted corpus-wide — k-step
+    * sequential patterns generalizing the k=2 transition matrix (q70). */
+  val q124EventPaths: (String, QueryDef) = q(
+    "q124_event_paths",
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_ns(ts) // 1000000000 AS s
+      |  FROM events),
+      |lagged AS (
+      |  SELECT event_type,
+      |    LAG(event_type, 2) OVER (PARTITION BY user_id ORDER BY s, event_id) AS p1,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY s, event_id) AS p2
+      |  FROM e)
+      |SELECT p1 || '>' || p2 || '>' || event_type AS path, COUNT(*) AS n
+      |FROM lagged WHERE p1 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.operators.Events.topPaths(t("events"), "user_id", "ts_sec",
+        "event_type", "event_id", k = 3, topN = 20)
+      .orderBy(col("n").desc, col("path"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q107SaltedJoin, q108Bm25, q109InvertedIndex, q110MadOutliers,
     q111SortedNeighborhood, q112MinhashCalibration, q113CmsEstimates,
     q114Winsorize, q115EquidepthHist, q116DedupSplit, q117ColumnProfile,
     q118SlidingDistinct, q119UnicodeNfc, q120NgramNovelty, q121ClusterSplit,
-    q122OuterJoin, q123SetOps)
+    q122OuterJoin, q123SetOps, q124EventPaths)
 }

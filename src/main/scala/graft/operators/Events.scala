@@ -293,6 +293,36 @@ object Events {
       .agg(count_distinct(col(userCol)).as("active_users"))
   }
 
+  /** Top event-type PATHS: every length-`k` run of consecutive events per
+    * user, counted corpus-wide — the sequential-pattern view behind "what
+    * do users do right before X" questions ([[transitions]] is the k=2
+    * Markov special case; paths keep the full k-step context).
+    *
+    * Scale: one shuffle on the user for the per-user lag window (uniform
+    * key; a user's history sorts in one task — bounded by per-user event
+    * counts, not corpus size), then a partial-aggregated count on the
+    * path string and a TakeOrdered top-k. Deterministic: the within-user
+    * order ties on the event id.
+    */
+  def topPaths(events: DataFrame, userCol: String, tsSecCol: String,
+      typeCol: String, idCol: String, k: Int = 3, topN: Int = 20): DataFrame = {
+    require(k >= 2, "topPaths: k must be >= 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsSecCol), col(idCol))
+    // lags materialize as columns first — a window expression cannot sit
+    // inside the subsequent filter
+    val lagged = (1 until k).foldLeft(events) { (df, i) =>
+      df.withColumn(s"__l$i", lag(col(typeCol), k - i).over(w))
+    }
+    val parts = (1 until k).map(i => col(s"__l$i")) :+ col(typeCol)
+    lagged
+      .filter(col("__l1").isNotNull)
+      .withColumn("path", concat_ws(">", parts: _*))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topN)
+  }
+
   /** Exact SLIDING-window distinct users: for every `bucketSecs` bucket,
     * the distinct-user count over the trailing `windowBuckets` buckets
     * (window end inclusive). The sliding complement of

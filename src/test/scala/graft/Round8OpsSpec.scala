@@ -255,6 +255,25 @@ class Round8OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  // ---- topPaths ----------------------------------------------------------
+
+  test("topPaths: k-step runs stay within a user and count exactly") {
+    // u1: a b a b a -> trigrams a>b>a, b>a>b, a>b>a; u2: a b c -> a>b>c
+    val ev = Seq(
+      ("u1", 1L, 1L, "a"), ("u1", 2L, 2L, "b"), ("u1", 3L, 3L, "a"),
+      ("u1", 4L, 4L, "b"), ("u1", 5L, 5L, "a"),
+      ("u2", 1L, 6L, "a"), ("u2", 2L, 7L, "b"), ("u2", 3L, 8L, "c")
+    ).toDF("user", "s", "eid", "t")
+    val out = graft.operators.Events.topPaths(ev, "user", "s", "t", "eid",
+        k = 3, topN = 10)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("a>b>a" -> 2L, "b>a>b" -> 1L, "a>b>c" -> 1L))
+    // k=2 must reduce to the transition pairs
+    val out2 = graft.operators.Events.topPaths(ev, "user", "s", "t", "eid",
+        k = 2, topN = 10).as[(String, Long)].collect().toMap
+    assert(out2 == Map("a>b" -> 3L, "b>a" -> 2L, "b>c" -> 1L))
+  }
+
   // ---- ngramNovelty ------------------------------------------------------
 
   test("ngramNovelty: templated docs score high, unique docs zero") {
