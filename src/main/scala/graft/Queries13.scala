@@ -595,10 +595,43 @@ object Queries13 {
       .orderBy(col("n").desc, col("path"))
   }
 
+  /** Per-series OLS trend ([[Stats.groupedTrend]]): slope/intercept of
+    * daily event counts per type, in the tie-proof EXACT form (integer
+    * numerators + denominator — integer-valued series make the rounded
+    * quotients land on exact ROUND ties that engines break differently;
+    * the rational itself is engine-exact). */
+  val q125Trend: (String, QueryDef) = q(
+    "q125_trend",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    epoch_ns(ts) // 1000000000 // 86400 AS day,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(day AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(cnt AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(day * cnt AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(day * day AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, n,
+      |  n * sxy - sx * sy AS slope_num,
+      |  sy * sxx - sx * sxy AS intercept_num,
+      |  n * sxx - sx * sx AS denom
+      |FROM m ORDER BY event_type""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val daily = t("events")
+      .groupBy(col("event_type"),
+        (col("ts_sec").cast("long") / 86400L).cast("long").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    Stats.groupedTrend(daily, "event_type", "day", "cnt", exact = true)
+      .orderBy(col("event_type"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q107SaltedJoin, q108Bm25, q109InvertedIndex, q110MadOutliers,
     q111SortedNeighborhood, q112MinhashCalibration, q113CmsEstimates,
     q114Winsorize, q115EquidepthHist, q116DedupSplit, q117ColumnProfile,
     q118SlidingDistinct, q119UnicodeNfc, q120NgramNovelty, q121ClusterSplit,
-    q122OuterJoin, q123SetOps, q124EventPaths)
+    q122OuterJoin, q123SetOps, q124EventPaths, q125Trend)
 }

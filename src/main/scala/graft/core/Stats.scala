@@ -76,6 +76,48 @@ object Stats {
           .as("corr_xy"))
   }
 
+  /** Per-group ordinary-least-squares trend: `y = slope·x + intercept`
+    * from the same exact-decimal moment discipline as [[pearson]] (Σx,
+    * Σy, Σxy, Σx² accumulate as int128 decimals — order-independent —
+    * then the closed form runs as a fixed IEEE sequence, ROUND-6). The
+    * trend detector for metric drift: feed (time-bucket index, metric)
+    * pairs per series. One shuffle, partials combine map-side.
+    */
+  def groupedTrend(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, scale: Int = 6, exact: Boolean = false): DataFrame = {
+    def d(c: Column, s: Int) = call_function("graft_dsum", c, lit(s))
+    val x = col(xCol).cast(DoubleType)
+    val y = col(yCol).cast(DoubleType)
+    // exact mode: integer-valued series — scale-0 sums keep every moment's
+    // RAW decimal inside double range, so the decimal→double cast is exact
+    // in ANY engine (a scale-12 raw int128 is ~1e21: correctly-rounded
+    // casts and raw/10^s casts then disagree at ~1e-11 relative, which
+    // round-6 absorbs but exact integers must not see)
+    val sc = if (exact) 0 else scale
+    val sc2 = if (exact) 0 else scale * 2
+    val m = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        d(x, sc).as("sx"), d(y, sc).as("sy"),
+        d(x * y, sc2).as("sxy"), d(x * x, sc2).as("sxx"))
+    val slopeNum = col("n") * col("sxy") - col("sx") * col("sy")
+    val interNum = col("sy") * col("sxx") - col("sx") * col("sxy")
+    val denom = col("n") * col("sxx") - col("sx") * col("sx")
+    if (exact)
+      // integer-valued inputs make slope/intercept RATIONALS whose
+      // terminating decimal expansions routinely END in a 5 — an exact
+      // ROUND tie that Spark (decimal-string HALF_UP) and other engines
+      // (scaled-double nearbyint) break differently. The tie-proof form
+      // reports the exact numerators and denominator: no rounding
+      // convention at all (every value is an exact integer in double
+      // range), division deferred to the consumer.
+      m.select(col(groupCol), col("n"), slopeNum.as("slope_num"),
+        interNum.as("intercept_num"), denom.as("denom"))
+    else
+      m.select(col(groupCol), col("n"),
+        round(slopeNum / denom, 6).as("slope"),
+        round(interNum / denom, 6).as("intercept"))
+  }
+
   /** Full Pearson correlation MATRIX of `cols` in ONE scan: every per-
     * column sum/sumsq and every pairwise cross-sum lands in a single
     * `agg` (k + k + k(k-1)/2 exact int128 decimal sums — order-

@@ -255,6 +255,23 @@ class Round8OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  // ---- groupedTrend ------------------------------------------------------
+
+  test("groupedTrend: exact rationals on a perfect line, rounded mode sane") {
+    // y = 3x + 7 exactly for x=0..9  ->  slope_num/denom = 3, inter/denom = 7
+    val df = (0 to 9).map(i => ("g", i.toDouble, (3 * i + 7).toDouble))
+      .toDF("grp", "x", "y")
+    val Array((_, n, sn, in_, den)) =
+      Stats.groupedTrend(df, "grp", "x", "y", exact = true)
+        .as[(String, Long, Double, Double, Double)].collect()
+    assert(n == 10 && den != 0.0)
+    assert(sn / den == 3.0 && in_ / den == 7.0)
+    assert(sn == 3.0 * den && in_ == 7.0 * den) // exact integers, no residue
+    val Array((_, _, slope, inter)) = Stats.groupedTrend(df, "grp", "x", "y")
+      .as[(String, Long, Double, Double)].collect()
+    assert(slope == 3.0 && inter == 7.0)
+  }
+
   // ---- topPaths ----------------------------------------------------------
 
   test("topPaths: k-step runs stay within a user and count exactly") {
