@@ -329,8 +329,38 @@ object Queries9 {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Cluster-quality report ([[Similarity.clusterQuality]]) over the SAME
+    * trained codebook as q64 (2 Lloyd iterations): per cluster, size and
+    * total / mean member→centroid similarity — cosine-space inertia. The
+    * oracle chains q64's Lloyd CTEs and recomputes the winning dot per
+    * member; totals ride the exact-decimal convention, the mean is one
+    * IEEE division — all hash-checked. */
+  val q126ClusterQuality: (String, QueryDef) = q(
+    "q126_cluster_quality",
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM embeddings WHERE vec_id < 8),
+       |${kmAssign("a0", "c0")},
+       |${kmUpdate("c1", "a0", "c0")},
+       |${kmAssign("a1", "c1")},
+       |${kmUpdate("c2", "a1", "c1")},
+       |${kmAssign("a2", "c2")}
+       |SELECT a.cid AS cluster, COUNT(*) AS n,
+       |  CAST(SUM(CAST(${kmDot("e.embedding", "c.cv")} AS DECIMAL(38,6)))
+       |    AS DOUBLE) AS total_sim,
+       |  CAST(SUM(CAST(${kmDot("e.embedding", "c.cv")} AS DECIMAL(38,6)))
+       |    AS DOUBLE) / COUNT(*) AS mean_sim
+       |FROM a2 a JOIN embeddings e USING (vec_id) JOIN c2 c ON a.cid = c.cid
+       |GROUP BY a.cid ORDER BY cluster""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    Similarity.clusterQuality(t("embeddings"), "vec_id", "embedding",
+        nClusters = 8, iters = 2)
+      .orderBy(col("cluster"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q64Kmeans, q65SourceCap, q66EditDistance, q67Normalize, q68IvfTrained,
     q69CurationReport, q70Transitions, q71Cube, q72MovingAvg,
-    q73WeightedSample, q74LshNearDup)
+    q73WeightedSample, q74LshNearDup, q126ClusterQuality)
 }

@@ -297,6 +297,33 @@ object Similarity {
       ivfClusterCol(kmeansFit(emb, idCol, vecCol, nClusters, iters), vecCol)
         .as("cluster"))
 
+  /** Cluster-quality report over a trained codebook: per cluster, its
+    * size and the total / mean dot-product similarity of members to
+    * their own centroid — the cosine-space inertia that tells you
+    * whether `nClusters` fits the data (falling mean similarity as k
+    * shrinks = clusters too coarse). ONE fit, one shuffle-free
+    * assignment+score projection (the cluster argmax and the member→
+    * centroid dot compute in the same scan pass), one groupBy. The
+    * total rides an exact int128 decimal sum — order-independent,
+    * engine-reproducible; the mean is one IEEE division.
+    */
+  def clusterQuality(emb: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16, iters: Int = 2): DataFrame = {
+    val cents = kmeansFit(emb, idCol, vecCol, nClusters, iters)
+    // member→own-centroid similarity via the same packed argmax trick:
+    // keep the winning struct's score instead of its id
+    val packed = cents.map { case (cid, cv) =>
+      struct(call_function("graft_dotw", col(vecCol),
+        array(cv.map(lit): _*)).as("s"), lit(-cid).as("n"))
+    }
+    val win = greatest(packed: _*)
+    emb.select((-win.getField("n")).as("cluster"), win.getField("s").as("sim"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        call_function("graft_dsum", col("sim"), lit(6)).as("total_sim"))
+      .withColumn("mean_sim", col("total_sim") / col("n"))
+  }
+
   /** Product-quantization codebooks: for each of `m` subspaces, the
     * sub-vectors of the `k` lowest-id embeddings (seeded, like
     * [[ivfAssign]]'s centroids — production swaps in per-subspace k-means
