@@ -316,6 +316,29 @@ object Streams {
       .agg(graft.functions.CmsSketch.sketch(col(itemCol), depth, width).as("m"))
       .select(col("window.start").cast(LongType).as("time_bucket"), col("m"))
 
+  /** Streaming windowed distinct-count ESTIMATES: a DataSketches HLL
+    * sketch per window (`hll_sketch_agg` — the same sketch as the DSL's
+    * approx distinct and the query cache's distinct partials), estimated
+    * on emit. Streaming `COUNT(DISTINCT)` is unsupported and an exact
+    * per-window set would grow state with cardinality; the sketch is the
+    * bounded-state answer, and because union/merge is register-wise max,
+    * the streamed estimate equals the batch estimate for the same rows
+    * exactly (spec).
+    */
+  def streamingDistinct(
+      items: DataFrame, // (tsCol, itemCol)
+      tsCol: String,
+      itemCol: String,
+      bucketSecs: Long,
+      watermark: String = "10 minutes"): DataFrame =
+    items
+      .withColumn("__ts", timestamp_seconds(col(tsCol).cast(LongType)))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), s"$bucketSecs seconds"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col(itemCol))).as("n_distinct"))
+      .select(col("window.start").cast(LongType).as("time_bucket"),
+        col("n_distinct"))
+
   /** Streaming digest loop: drain a JSON-lines directory into a GraftTable
     * with `Trigger.AvailableNow` — the reference's `sybil digest` cycle
     * (table_ingest.go:287-331) as an incremental job with checkpointed

@@ -289,6 +289,30 @@ class StreamsSpec extends SparkSpec {
     assert(table.read(readLog = true).count() === 3)
   }
 
+  test("streaming windowed HLL distinct equals the batch estimate") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val base = 1700000000L
+    // duplicates within and across micro-batches: merge must dedup
+    val rows = (0 until 400).map(i => (base + i * 3, s"u${i % 57}"))
+    mem.addData(rows.take(170): _*)
+    val streamDf = mem.toDF().toDF("ts_sec", "uid")
+    val out = Streams.streamingDistinct(streamDf, "ts_sec", "uid", 600)
+    val q = out.writeStream.format("memory").queryName("sdst")
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable()
+    mem.addData(rows.drop(170): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sdst")
+      .groupBy("time_bucket").agg(max("n_distinct").as("n_distinct"))
+    val batch = rows.toDF("ts_sec", "uid")
+      .groupBy((expr("ts_sec div 600") * 600).as("time_bucket"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(uid))").as("n_distinct"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming CMS matrices equal the batch sketch (state-store merge parity)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
