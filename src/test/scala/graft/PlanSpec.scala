@@ -258,6 +258,42 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 4, s"split must not add shuffles, saw $exchanges")
   }
 
+  test("sliding distinct: fan-out is an equi-shape, no window over raw events (q118)") {
+    val p = plan("q118_sliding_distinct")
+    assert(!p.contains("Window"), "pair fan-out replaces the running-set window")
+    assert(p.contains("Generate explode"), "window-ends come from the explode fan-out")
+    assert(!p.contains("NestedLoop") || p.contains("BroadcastNestedLoop"),
+      "only the 1-row max-bucket broadcast may nested-loop")
+  }
+
+  test("ngram novelty ships hashed shingles; df join is an equi-join (q120)") {
+    val p = plan("q120_ngram_novelty")
+    assert(p.contains("graft_shingle_hash"))
+    assert(!p.contains("NestedLoop"))
+  }
+
+  test("event paths: ONE user-key window, counts partial-aggregate (q124)") {
+    val p = plan("q124_event_paths")
+    // both lags share one window spec -> one Window operator
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows <= 2, s"lags must share the user window, saw $windows")
+    assert(p.contains("TakeOrderedAndProject") || p.contains("Sort"),
+      "top-k over path counts")
+  }
+
+  test("trend: one aggregation over the daily rollup, no joins (q125)") {
+    val p = plan("q125_trend")
+    assert(!p.contains("Join"), "closed-form moments need no join")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"one pass, saw $scans scans")
+  }
+
+  test("cluster quality: assignment+score fuse into the scan projection (q126)") {
+    val p = plan("q126_cluster_quality")
+    assert(!p.contains("Join"), "centroids ride as literals, not a join")
+    assert(p.contains("graft_dotw"), "native fused dot for the argmax/score")
+  }
+
   test("column profile: one column-pruned scan per type family, no Expand (q117)") {
     val p = plan("q117_column_profile")
     val scans = "Scan parquet".r.findAllIn(p).size
