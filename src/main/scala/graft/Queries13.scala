@@ -628,10 +628,52 @@ object Queries13 {
       .orderBy(col("event_type"))
   }
 
+  /** Sampling calibration: per order priority, the EXACT row count and
+    * revenue next to the Horvitz-Thompson estimates from a 5% md5-hash
+    * sample ([[graft.operators.Sampling.hashBucket]] convention, so the
+    * sampled set is identical in any engine). The measurement that
+    * justifies sample-based dashboards at 100 TB: run once, read the
+    * relative error, choose the rate. Estimates are exact-integer /
+    * exact-decimal arithmetic — engine-exact without rounding.
+    */
+  val q127SampleCalibration: (String, QueryDef) = q(
+    "q127_sample_calibration",
+    s"""WITH s AS (
+       |  SELECT o_orderpriority, o_totalprice,
+       |    CAST('0x' || substring(md5('cal:' || CAST(o_orderkey AS VARCHAR)),
+       |      1, 8) AS BIGINT) % 10000 < 500 AS picked
+       |  FROM orders)
+       |SELECT o_orderpriority,
+       |  COUNT(*) AS n_exact,
+       |  ${dsumSql("o_totalprice")} AS rev_exact,
+       |  SUM(CASE WHEN picked THEN 1 ELSE 0 END) * 20 AS n_est,
+       |  CAST(SUM(CASE WHEN picked
+       |    THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE) * 20
+       |    AS rev_est
+       |FROM s GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+    (s, dir) =>
+      implicit val env: (SparkSession, String) = (s, dir)
+      val picked = graft.operators.Sampling
+        .hashBucket(col("o_orderkey"), "cal:") < 500L
+      t("orders")
+        .select(col("o_orderpriority"), col("o_totalprice"),
+          picked.as("picked"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_exact"),
+          call_function("graft_dsum", col("o_totalprice"), lit(4))
+            .as("rev_exact"),
+          (sum(when(col("picked"), 1L).otherwise(0L)) * 20).as("n_est"),
+          (call_function("graft_dsum",
+            when(col("picked"), col("o_totalprice")), lit(4)) * 20)
+            .as("rev_est"))
+        .orderBy(col("o_orderpriority"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q107SaltedJoin, q108Bm25, q109InvertedIndex, q110MadOutliers,
     q111SortedNeighborhood, q112MinhashCalibration, q113CmsEstimates,
     q114Winsorize, q115EquidepthHist, q116DedupSplit, q117ColumnProfile,
     q118SlidingDistinct, q119UnicodeNfc, q120NgramNovelty, q121ClusterSplit,
-    q122OuterJoin, q123SetOps, q124EventPaths, q125Trend)
+    q122OuterJoin, q123SetOps, q124EventPaths, q125Trend,
+    q127SampleCalibration)
 }
