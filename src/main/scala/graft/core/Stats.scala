@@ -210,8 +210,11 @@ object Stats {
       return in.withColumn("__cum", sum(col("__c")).over(w))
         .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(groupCol))))
     }
+    // checkpoint pins the sampled range boundaries for both consumers
+    // (offsets + output) — see Ranking.globalRowNumber
     val ranged = in.repartitionByRange(col(groupCol), col(vCol))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val wLocal = Window.partitionBy(col("__pid"), col(groupCol))
       .orderBy(col(vCol)).rowsBetween(Window.unboundedPreceding, 0)
     val local = ranged.withColumn("__lcum", sum(col("__c")).over(wLocal))
