@@ -669,11 +669,68 @@ object Queries13 {
         .orderBy(col("o_orderpriority"))
   }
 
+  /** Histogram-resolution calibration: the bucketed hist p50 (q42's
+    * sketch, bucket-resolution answer) next to the EXACT lower median and
+    * the bucket width that bounds their gap — the third calibration
+    * report (q112 minhash, q127 sampling): measure the sketch against
+    * ground truth once, then trust it at the scale where exact medians
+    * are unaffordable per query. */
+  val q128HistCalibration: (String, QueryDef) = q(
+    "q128_hist_calibration",
+    """WITH par AS (
+      |  SELECT MIN(user_id) AS mn,
+      |    GREATEST(1, (MAX(user_id) - MIN(user_id) + 999) // 1000) AS bw
+      |  FROM events),
+      |bk AS (
+      |  SELECT event_type, ((user_id - mn) // bw) * bw + mn AS low,
+      |    COUNT(*) AS c
+      |  FROM events, par GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, low, c,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY low) AS cm,
+      |    SUM(c) OVER (PARTITION BY event_type) AS tot
+      |  FROM bk),
+      |hist AS (
+      |  SELECT event_type, MIN(low) AS hist_p50 FROM cum
+      |  WHERE 100 * cm >= 50 * tot GROUP BY 1),
+      |g AS (
+      |  SELECT event_type, user_id AS v, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cume AS (
+      |  SELECT event_type, v, c,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n FROM g),
+      |ex AS (
+      |  SELECT event_type, MIN(v) AS exact_p50 FROM cume
+      |  WHERE cm * 2 >= n GROUP BY 1)
+      |SELECT h.event_type, h.hist_p50, ex.exact_p50,
+      |  ABS(h.hist_p50 - ex.exact_p50) AS err, par.bw AS bucket_width
+      |FROM hist h JOIN ex ON h.event_type = ex.event_type CROSS JOIN par
+      |ORDER BY h.event_type""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    import graft.dsl.{AggOp, SybilQuery}
+    val ev = t("events")
+    val hist = SybilQuery().groupBy("event_type").aggregate("user_id")
+      .withOp(AggOp.HistOp).limitTo(100).run(ev)
+      .selectExpr("event_type", "user_id_hist.percentiles[50] AS hist_p50")
+    val exact = Stats.groupedMedian(ev, "event_type", "user_id")
+      .select(col("event_type"), col("median").as("exact_p50"))
+    val par = ev.agg(greatest(lit(1L),
+      expr("(CAST(MAX(user_id) - MIN(user_id) AS BIGINT) + 999) DIV 1000"))
+      .as("bucket_width"))
+    hist.join(exact, "event_type").crossJoin(broadcast(par))
+      .select(col("event_type"), col("hist_p50"), col("exact_p50"),
+        abs(col("hist_p50") - col("exact_p50")).as("err"),
+        col("bucket_width"))
+      .orderBy(col("event_type"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(
     q107SaltedJoin, q108Bm25, q109InvertedIndex, q110MadOutliers,
     q111SortedNeighborhood, q112MinhashCalibration, q113CmsEstimates,
     q114Winsorize, q115EquidepthHist, q116DedupSplit, q117ColumnProfile,
     q118SlidingDistinct, q119UnicodeNfc, q120NgramNovelty, q121ClusterSplit,
     q122OuterJoin, q123SetOps, q124EventPaths, q125Trend,
-    q127SampleCalibration)
+    q127SampleCalibration, q128HistCalibration)
 }

@@ -255,6 +255,28 @@ class Round8OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  // ---- hist-vs-exact calibration -----------------------------------------
+
+  test("hist p50 stays within one bucket width of the exact median") {
+    import graft.dsl.{AggOp, SybilQuery}
+    val rnd = new scala.util.Random(5)
+    // wide value range -> coarse buckets (bw ~ 1000): the hist p50 is a
+    // bucket LOWER EDGE at most bw below/at the exact median's bucket
+    val df = (1 to 4000).map(_ => ("g" + rnd.nextInt(3),
+      rnd.nextInt(1000000).toLong)).toDF("grp", "v")
+    val hist = SybilQuery().groupBy("grp").aggregate("v")
+      .withOp(AggOp.HistOp).limitTo(10).run(df)
+      .selectExpr("grp", "v_hist.percentiles[50] AS hp50")
+      .as[(String, Long)].collect().toMap
+    val exact = Stats.groupedMedian(df, "grp", "v")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val bw = math.max(1L, (999999L - 0L + 999) / 1000)
+    for ((g, e) <- exact) {
+      assert(math.abs(hist(g) - e) <= bw,
+        s"$g: hist ${hist(g)} vs exact $e exceeds bucket width $bw")
+    }
+  }
+
   // ---- groupedTrend ------------------------------------------------------
 
   test("groupedTrend: exact rationals on a perfect line, rounded mode sane") {
