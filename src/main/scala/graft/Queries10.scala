@@ -139,7 +139,7 @@ object Queries10 {
       |    SUM(c) OVER () AS total
       |  FROM g)
       |SELECT d.doc_id, d.n_chars,
-      |  (10 * cum.higher) // cum.total AS bucket
+      |  CAST((10 * cum.higher) // cum.total AS BIGINT) AS bucket
       |FROM documents d JOIN cum USING (n_chars) ORDER BY doc_id""".stripMargin) {
     (s, dir) =>
       implicit val env: (SparkSession, String) = (s, dir)

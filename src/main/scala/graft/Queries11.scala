@@ -86,7 +86,7 @@ object Queries11 {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
       |    SUM(c) OVER (PARTITION BY source) AS n
       |  FROM g)
-      |SELECT source, MAX(n) AS n, MIN(n_chars) AS median
+      |SELECT source, CAST(MAX(n) AS BIGINT) AS n, MIN(n_chars) AS median
       |FROM cum WHERE cm * 2 >= n GROUP BY source ORDER BY source""".stripMargin) {
     (s, dir) =>
       implicit val env: (SparkSession, String) = (s, dir)

@@ -166,8 +166,8 @@ object Queries12 {
       |  FROM e GROUP BY 1),
       |nb AS (SELECT bucket, COUNT(*) AS new_users FROM fs GROUP BY 1)
       |SELECT bucket, new_users,
-      |  SUM(new_users) OVER (ORDER BY bucket
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+      |  CAST(SUM(new_users) OVER (ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
       |FROM nb ORDER BY bucket""".stripMargin) { (s, dir) =>
     implicit val env: (SparkSession, String) = (s, dir)
     graft.operators.Events.cumulativeDistinct(t("events"), "user_id", "ts_sec",
@@ -533,7 +533,7 @@ object Queries12 {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
       |    SUM(c) OVER (PARTITION BY l_returnflag) AS n
       |  FROM g)
-      |SELECT l_returnflag, MAX(n) AS total_weight,
+      |SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS total_weight,
       |  MIN(l_extendedprice) AS median
       |FROM cum WHERE cm * 2 >= n GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>

@@ -88,7 +88,7 @@ object Queries13 {
       |  SELECT u.term, doc_id, COUNT(*) AS tf
       |  FROM documents, unnest(string_split(text, ' ')) AS u(term)
       |  GROUP BY u.term, doc_id)
-      |SELECT term, COUNT(*) AS df, SUM(tf) AS total_tf,
+      |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
       |  array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',') AS postings
       |FROM tf GROUP BY term HAVING COUNT(*) >= 5
       |ORDER BY df DESC, term LIMIT 100""".stripMargin) { (s, dir) =>
@@ -128,7 +128,7 @@ object Queries13 {
       |mad AS (SELECT grp, MIN(d) AS mad FROM cumd WHERE cm * 2 >= n GROUP BY grp)
       |SELECT dev.grp AS l_returnflag, COUNT(*) AS n, ANY_VALUE(dev.median) AS median,
       |  ANY_VALUE(mad.mad) AS mad,
-      |  SUM(CASE WHEN dev.d > 3.0 * mad.mad THEN 1 ELSE 0 END) AS n_outliers
+      |  CAST(SUM(CASE WHEN dev.d > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       |FROM dev JOIN mad ON dev.grp = mad.grp
       |GROUP BY dev.grp ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     implicit val env: (SparkSession, String) = (s, dir)
@@ -240,7 +240,7 @@ object Queries13 {
       |counters AS (SELECT r, b, SUM(cnt) AS s FROM bk GROUP BY r, b),
       |top AS (SELECT term, cnt FROM tf ORDER BY cnt DESC, term LIMIT 15),
       |est AS (
-      |  SELECT bk.term, MIN(c.s) AS cms_est
+      |  SELECT bk.term, CAST(MIN(c.s) AS BIGINT) AS cms_est
       |  FROM bk JOIN counters c ON bk.r = c.r AND bk.b = c.b
       |  JOIN top t ON bk.term = t.term GROUP BY bk.term)
       |SELECT t.term, t.cnt AS exact_cnt, e.cms_est
@@ -307,8 +307,8 @@ object Queries13 {
       |    SUM(c) OVER (PARTITION BY grp ORDER BY v
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
       |    SUM(c) OVER (PARTITION BY grp) AS n FROM g)
-      |SELECT grp AS l_returnflag, ((cm - c) * 8) // n + 1 AS bucket,
-      |  MAX(v) AS hi_edge, SUM(c) AS cnt
+      |SELECT grp AS l_returnflag, CAST(((cm - c) * 8) // n + 1 AS BIGINT) AS bucket,
+      |  MAX(v) AS hi_edge, CAST(SUM(c) AS BIGINT) AS cnt
       |FROM cum GROUP BY 1, 2
       |ORDER BY l_returnflag, bucket""".stripMargin) { (s, dir) =>
     implicit val env: (SparkSession, String) = (s, dir)
@@ -456,7 +456,7 @@ object Queries13 {
       |  FROM w),
       |dfq AS (SELECT g, COUNT(*) AS df FROM ng GROUP BY g)
       |SELECT ng.doc_id, COUNT(*) AS n_grams,
-      |  SUM(CASE WHEN dfq.df > 5 THEN 1 ELSE 0 END) AS n_common,
+      |  CAST(SUM(CASE WHEN dfq.df > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
       |  CAST(SUM(CASE WHEN dfq.df > 5 THEN 1 ELSE 0 END) AS DOUBLE) /
       |    COUNT(*) AS common_frac
       |FROM ng JOIN dfq ON ng.g = dfq.g
@@ -486,15 +486,16 @@ object Queries13 {
        |  SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.id),
        |cc AS (SELECT id, MIN(lbl) AS cluster_id FROM r GROUP BY id),
        |keyed AS (
-       |  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_key
+       |  SELECT d.doc_id,
+       |    COALESCE(CAST(cc.cluster_id AS VARCHAR), md5(d.text)) AS cluster_key
        |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id)
        |SELECT doc_id, cluster_key,
        |  CASE
-       |    WHEN CAST('0x' || substring(md5('csplit:' ||
-       |      CAST(cluster_key AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80
+       |    WHEN CAST('0x' || substring(md5('csplit:' || cluster_key), 1, 8)
+       |      AS BIGINT) % 100 < 80
        |      THEN 'train'
-       |    WHEN CAST('0x' || substring(md5('csplit:' ||
-       |      CAST(cluster_key AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90
+       |    WHEN CAST('0x' || substring(md5('csplit:' || cluster_key), 1, 8)
+       |      AS BIGINT) % 100 < 90
        |      THEN 'val'
        |    ELSE 'test' END AS split
        |FROM keyed ORDER BY doc_id""".stripMargin) { (s, dir) =>
@@ -523,7 +524,7 @@ object Queries13 {
        |       WHEN c.c_custkey IS NULL THEN 'order_only'
        |       ELSE 'both' END AS side,
        |  COUNT(*) AS n_rows,
-       |  COALESCE(SUM(o.n_orders), 0) AS n_orders
+       |  CAST(COALESCE(SUM(o.n_orders), 0) AS BIGINT) AS n_orders
        |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
        |GROUP BY 1 ORDER BY side""".stripMargin) { (s, dir) =>
     implicit val env: (SparkSession, String) = (s, dir)
@@ -646,7 +647,7 @@ object Queries13 {
        |SELECT o_orderpriority,
        |  COUNT(*) AS n_exact,
        |  ${dsumSql("o_totalprice")} AS rev_exact,
-       |  SUM(CASE WHEN picked THEN 1 ELSE 0 END) * 20 AS n_est,
+       |  CAST(SUM(CASE WHEN picked THEN 1 ELSE 0 END) * 20 AS BIGINT) AS n_est,
        |  CAST(SUM(CASE WHEN picked
        |    THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE) * 20
        |    AS rev_est

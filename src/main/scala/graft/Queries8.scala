@@ -130,8 +130,8 @@ object Queries8 {
       |  FROM documents),
       |s AS (
       |  SELECT doc_id, n_tokens, pack_part,
-      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY pack_part ORDER BY doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+      |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY pack_part ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
       |  FROM t)
       |SELECT doc_id, n_tokens, pack_part, st // 512 AS bin, st % 512 AS bin_offset
       |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>

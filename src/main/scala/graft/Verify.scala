@@ -6,6 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [comma-separated query filter (dev only)]
+    //   or: --sql-only <outFile>  (dump oracle_sql.json without Spark —
+    //       feeds scripts/check_oracle_types.py's DuckDB DESCRIBE guard)
+    if (args(0) == "--sql-only") {
+      writeOracleJson(args(1), None)
+      return
+    }
     val sfDir = args(0)
     val outDir = args(1)
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
@@ -26,6 +32,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    writeOracleJson(s"$outDir/oracle_sql.json", only)
+    spark.stop()
+  }
+
+  private def writeOracleJson(path: String, only: Option[Set[String]]): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -41,7 +52,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    Files.writeString(Paths.get(path), json)
   }
 }

@@ -82,6 +82,11 @@ object Stats {
     * then the closed form runs as a fixed IEEE sequence, ROUND-6). The
     * trend detector for metric drift: feed (time-bucket index, metric)
     * pairs per series. One shuffle, partials combine map-side.
+    *
+    * `exact = true` REQUIRES integer-valued `xCol`/`yCol` (scale-0 sums
+    * would silently truncate fractions into wrong moments); the agg
+    * carries a guard that fails the job if any value has a fractional
+    * part, rather than returning plausible-but-wrong numerators.
     */
   def groupedTrend(df: DataFrame, groupCol: String, xCol: String,
       yCol: String, scale: Int = 6, exact: Boolean = false): DataFrame = {
@@ -95,13 +100,26 @@ object Stats {
     // round-6 absorbs but exact integers must not see)
     val sc = if (exact) 0 else scale
     val sc2 = if (exact) 0 else scale * 2
+    val aggs = Seq(
+      d(x, sc).as("sx"), d(y, sc).as("sy"),
+      d(x * y, sc2).as("sxy"), d(x * x, sc2).as("sxx")) ++
+      (if (exact) Seq(sum(when(x =!= floor(x) || y =!= floor(y), 1L)
+        .otherwise(0L)).as("__nonint"))
+       else Nil)
     val m = df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"),
-        d(x, sc).as("sx"), d(y, sc).as("sy"),
-        d(x * y, sc2).as("sxy"), d(x * x, sc2).as("sxx"))
+      .agg(count(lit(1)).as("n"), aggs: _*)
     val slopeNum = col("n") * col("sxy") - col("sx") * col("sy")
     val interNum = col("sy") * col("sxx") - col("sx") * col("sxy")
     val denom = col("n") * col("sxx") - col("sx") * col("sx")
+    // integer-input guard: assert_true is null on pass, so the coalesce
+    // keeps it in the plan (an unused guard column would be pruned)
+    val nGuarded =
+      if (!exact) col("n")
+      else coalesce(
+        assert_true(col("__nonint") === 0, lit(
+          s"groupedTrend(exact=true) requires integer-valued $xCol/$yCol:" +
+            " scale-0 exact sums truncate fractional inputs")).cast("long"),
+        col("n")).as("n")
     if (exact)
       // integer-valued inputs make slope/intercept RATIONALS whose
       // terminating decimal expansions routinely END in a 5 — an exact
@@ -110,7 +128,7 @@ object Stats {
       // reports the exact numerators and denominator: no rounding
       // convention at all (every value is an exact integer in double
       // range), division deferred to the consumer.
-      m.select(col(groupCol), col("n"), slopeNum.as("slope_num"),
+      m.select(col(groupCol), nGuarded, slopeNum.as("slope_num"),
         interNum.as("intercept_num"), denom.as("denom"))
     else
       m.select(col(groupCol), col("n"),

@@ -231,7 +231,7 @@ final case class SybilQuery(
         // bit-for-bit even for the approximate op (AsOfCacheSpec).
         Seq(countAgg, samplesAgg,
           (if (exact) countDistinct(dcols.head, dcols.tail: _*)
-           else hll_sketch_estimate(hll_sketch_agg(concat_ws("", dcols: _*))))
+           else hll_sketch_estimate(hll_sketch_agg(concat_ws("\u0001", dcols: _*))))
             .as("Distinct"))
     }
 

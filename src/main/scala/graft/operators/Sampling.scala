@@ -179,12 +179,15 @@ object Sampling {
     * document's near-dup CLUSTER representative (the min-id of its
     * [[Dedup.connectedComponents]] component over LSH candidate pairs),
     * so a paraphrase cluster can never straddle train and eval. Docs in
-    * no cluster key on their own id (exact dups always band-collide, so
-    * they are clustered by construction).
+    * no cluster (including docs too short for [[Dedup.minhashBands]]'s
+    * 3-token shingle floor, which can never band-collide) key on their
+    * CONTENT hash, so exact duplicates share a split even when they are
+    * too short to cluster — the [[dedupAwareSplit]] guarantee is the
+    * floor, never lost by upgrading to cluster keys.
     *
     * Scale: the component labels are |clustered docs| rows joined back on
     * the doc id (uniform key); the split itself stays a pure projection.
-    * Output: `(id, cluster_key, split)`.
+    * Output: `(id, cluster_key: string, split)`.
     */
   def clusterAwareSplit(docs: DataFrame, idCol: String, textCol: String,
       trainPct: Int = 80, valPct: Int = 10,
@@ -193,11 +196,12 @@ object Sampling {
       "clusterAwareSplit: percentages must be non-negative and sum <= 100")
     val cc = Dedup.connectedComponents(
       Dedup.lshCandidates(Dedup.minhashBands(docs, idCol, textCol), idCol))
-    val key = coalesce(col("cluster_id"), col(idCol)).as("cluster_key")
+    val key = coalesce(col("cluster_id").cast("string"), md5(col(textCol)))
+      .as("cluster_key")
     val bucket = conv(substring(md5(concat(lit(salt), lit(":"),
-      col("cluster_key").cast("string"))), 1, 8), 16, 10)
+      col("cluster_key"))), 1, 8), 16, 10)
       .cast(LongType) % 100L
-    docs.select(col(idCol))
+    docs.select(col(idCol), col(textCol))
       .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), key)
       .select(col(idCol), col("cluster_key"),

@@ -222,4 +222,33 @@ class AsOfCacheSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("not cacheable"))
   }
+
+  test("query cache: multi-column HLL distinct hashes the same item strings") {
+    // two distinct columns: the cache partial and the single-pass sketch
+    // must feed the SAME -joined item string into the HLL, or the
+    // merged estimate diverges from the uncached one. ("ab","c") vs
+    // ("a","bc") style prefix collisions are also covered: v1/v2 values
+    // are digit strings whose concatenation is ambiguous without the
+    // separator.
+    val root = Files.createTempDirectory("graft-qc-hll2").toString
+    val t = new GraftTable(spark, root)
+    for (b <- 0 until 3) {
+      t.ingest((0 until 600).map { i =>
+        val v1 = ((i + b * 97) % 40).toString
+        val v2 = ((i * 7 + b) % 25).toString
+        (s"k${i % 2}", (b * 1000 + i).toLong, v1, v2)
+      }.toDF("k", "time", "v1", "v2"))
+      t.digest(compact = false)
+    }
+    val cache = new QueryCache(spark, t)
+    val q = SybilQuery().groupBy("k").distinct("v1", "v2").limitTo(10)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    val (r1, o1) = cache.run(q)
+    assert(o1.misses === 3 && o1.hits === 0)
+    assert(canon(r1) === canon(q.run(t.read())))
+    val (r2, o2) = cache.run(q)
+    assert(o2.hits === 3 && o2.misses === 0)
+    assert(canon(r2) === canon(r1))
+  }
 }

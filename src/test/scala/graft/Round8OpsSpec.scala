@@ -294,6 +294,19 @@ class Round8OpsSpec extends SparkSpec {
     assert(slope == 3.0 && inter == 7.0)
   }
 
+  test("groupedTrend: exact mode rejects fractional inputs loudly") {
+    // scale-0 sums would silently truncate 0.5 -> wrong moments; the
+    // guard must fail the job instead
+    val frac = Seq(("g", 1.0, 2.5), ("g", 2.0, 3.0)).toDF("grp", "x", "y")
+    val ex = intercept[Exception] {
+      Stats.groupedTrend(frac, "grp", "x", "y", exact = true).collect()
+    }
+    assert(ex.getMessage.contains("integer-valued") ||
+      Option(ex.getCause).exists(_.getMessage.contains("integer-valued")))
+    // rounded mode accepts the same input
+    assert(Stats.groupedTrend(frac, "grp", "x", "y").count() == 1)
+  }
+
   // ---- topPaths ----------------------------------------------------------
 
   test("topPaths: k-step runs stay within a user and count exactly") {
@@ -377,16 +390,20 @@ class Round8OpsSpec extends SparkSpec {
   }
 
   test("clusterAwareSplit: near-dup clusters never straddle splits") {
-    // three near-dup families (token-level mutations) + unique docs
+    // three near-dup families (token-level mutations) + unique docs +
+    // a SHORT exact-dup family (< 3 tokens: below the minhash shingle
+    // floor, so it can never band-collide — must co-assign via the
+    // content-hash fallback key)
     val docs = ((1 to 6).map(i => (i.toLong, s"alpha beta gamma delta epsilon tail$i")) ++
       (11 to 15).map(i => (i.toLong, s"one two three four five six seven$i")) ++
       (21 to 24).map(i => (i.toLong, "exact duplicate family body text here")) ++
-      (31 to 40).map(i => (i.toLong, s"unique$i standalone document number $i with filler")))
+      (31 to 40).map(i => (i.toLong, s"unique$i standalone document number $i with filler")) ++
+      (41 to 43).map(i => (i.toLong, "tiny dup")))
       .toDF("doc_id", "text")
     val out = graft.operators.Sampling
       .clusterAwareSplit(docs, "doc_id", "text")
-      .as[(Long, Long, String)].collect()
-    assert(out.length == 25)
+      .as[(Long, String, String)].collect()
+    assert(out.length == 28)
     // every doc sharing a cluster_key shares a split (trivially true by
     // construction) AND every connected pair shares a cluster_key
     val byKey = out.groupBy(_._2)
@@ -394,6 +411,11 @@ class Round8OpsSpec extends SparkSpec {
     val split = out.map(r => r._1 -> r._3).toMap
     assert((21 to 24).map(i => split(i.toLong)).distinct.length == 1,
       "exact-dup family must co-assign")
+    val key = out.map(r => r._1 -> r._2).toMap
+    assert((41 to 43).map(i => key(i.toLong)).distinct.length == 1,
+      "short exact dups must share the content-hash fallback key")
+    assert((41 to 43).map(i => split(i.toLong)).distinct.length == 1,
+      "short exact dups must co-assign despite having no minhash bands")
   }
 
   // ---- columnProfile -----------------------------------------------------
