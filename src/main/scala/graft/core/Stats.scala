@@ -220,7 +220,43 @@ object Stats {
     *    overhead at small scale, which is why it is not the default.
     */
   private[graft] def withGroupedCumSum(in: DataFrame, groupCol: String,
-      vCol: String, distributed: Boolean = false): DataFrame = {
+      vCol: String, distributed: Boolean = false): DataFrame =
+    withGroupedCumSumResolved(in, groupCol, vCol, distributed)
+
+  /** Auto-selection for the serial-vs-distributed cumulative sum
+    * (the sybil analog: bucket-vs-flat encoding picked by cardinality,
+    * column_store_io.go:17-38). `choice = None` probes the rollup's max
+    * distinct-values-per-group and flips to the distributed prefix-sum
+    * above `spark.graft.cum.serialMaxDistinct` (default 4M ≈ a task's
+    * comfortable sort budget); the rollup is persisted first so the
+    * probe job and the query share one scan (for [[madOutliers]] the
+    * persist additionally collapses its two serial rollup consumers onto
+    * one materialization). An explicit `Some(…)` skips the probe job —
+    * the right call when the caller knows the regime (catalog entries,
+    * 100 TB jobs that cannot afford a probe pass).
+    *
+    * Returns the (possibly persisted) rollup and the resolved flag.
+    */
+  private[graft] def resolveCum(rollup: DataFrame, groupCol: String,
+      choice: Option[Boolean]): (DataFrame, Boolean) = choice match {
+    case Some(d) => (rollup, d)
+    case None =>
+      val threshold = rollup.sparkSession.conf
+        .getOption("spark.graft.cum.serialMaxDistinct")
+        .map(_.toLong).getOrElse(4000000L)
+      // MEMORY_AND_DISK: identical plans dedup in the CacheManager, so
+      // repeated runs of the same query reuse one entry rather than leak
+      val cached = rollup.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val maxDistinct = cached.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("__d")).agg(max(col("__d"))).collect()
+        .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+        .getOrElse(0L)
+      (cached, maxDistinct > threshold)
+  }
+
+  private def withGroupedCumSumResolved(in: DataFrame, groupCol: String,
+      vCol: String, distributed: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     if (!distributed) {
       val w = Window.partitionBy(col(groupCol)).orderBy(col(vCol))
@@ -256,10 +292,12 @@ object Stats {
     * after a partial-aggregated weight rollup, never over raw rows.
     */
   def groupedWeightedMedian(df: DataFrame, groupCol: String, valueCol: String,
-      weightCol: String, distributedCum: Boolean = false): DataFrame = {
-    val g = df.groupBy(col(groupCol), col(valueCol))
-      .agg(sum(col(weightCol).cast("long")).as("__c"))
-    withGroupedCumSum(g, groupCol, valueCol, distributedCum)
+      weightCol: String, distributedCum: Option[Boolean] = None): DataFrame = {
+    val (g, dist) = resolveCum(
+      df.groupBy(col(groupCol), col(valueCol))
+        .agg(sum(col(weightCol).cast("long")).as("__c")),
+      groupCol, distributedCum)
+    withGroupedCumSum(g, groupCol, valueCol, dist)
       .filter(col("__cum") * 2 >= col("__n"))
       .groupBy(col(groupCol))
       .agg(max(col("__n")).as("total_weight"), min(col(valueCol)).as("median"))
@@ -275,9 +313,11 @@ object Stats {
     * both keyed on the group; value-skew is absorbed by the pre-aggregate.
     */
   def groupedMedian(df: DataFrame, groupCol: String, valueCol: String,
-      distributedCum: Boolean = false): DataFrame = {
-    val g = df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c"))
-    withGroupedCumSum(g, groupCol, valueCol, distributedCum)
+      distributedCum: Option[Boolean] = None): DataFrame = {
+    val (g, dist) = resolveCum(
+      df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c")),
+      groupCol, distributedCum)
+    withGroupedCumSum(g, groupCol, valueCol, dist)
       .filter(col("__cum") * 2 >= col("__n"))
       .groupBy(col(groupCol))
       .agg(max(col("__n")).as("n"), min(col(valueCol)).as("median"))
@@ -299,22 +339,28 @@ object Stats {
     * |groups| rows, pinned back with broadcast joins.
     */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
-      k: Double = 3.0, distributedCum: Boolean = false): DataFrame = {
+      k: Double = 3.0, distributedCum: Option[Boolean] = None): DataFrame = {
+    // the rollup feeds BOTH lower medians and the outlier count, so the
+    // auto path's persist pays for itself even before the probe
+    val (g, dist) = resolveCum(
+      df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c")),
+      groupCol, distributedCum)
     // in: (groupCol, vCol, "__c") pre-counted; weighted lower median per group
     def lowerMedian(in: DataFrame, vCol: String, out: String): DataFrame =
-      withGroupedCumSum(in, groupCol, vCol, distributedCum)
+      withGroupedCumSum(in, groupCol, vCol, dist)
         .filter(col("__cum") * 2 >= col("__n"))
         .groupBy(col(groupCol))
         .agg(min(col(vCol)).as(out))
-    val g = df.groupBy(col(groupCol), col(valueCol))
-      .agg(count(lit(1)).as("__c"))
     val med = lowerMedian(g, valueCol, "median")
-    // deviations of DISTINCT values, re-merged (v and 2·med−v collide)
+    // deviations of DISTINCT values, re-merged (v and 2·med−v collide);
+    // persisted like g — it too has two consumers (mad + final agg), and
+    // it is bounded by the distinct-value count
     val devG = g.join(broadcast(med), groupCol)
       .select(col(groupCol), abs(col(valueCol) - col("median")).as("__dev"),
         col("median"), col("__c"))
       .groupBy(col(groupCol), col("__dev"))
       .agg(max(col("median")).as("median"), sum(col("__c")).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mad = lowerMedian(devG, "__dev", "mad")
     devG.join(broadcast(mad), groupCol)
       .groupBy(col(groupCol))
@@ -336,12 +382,14 @@ object Stats {
     * adds an aggregate expression, not a pass.
     */
   def lowerQuantiles(df: DataFrame, groupCol: String, valueCol: String,
-      qs: Seq[(String, Int, Int)], distributedCum: Boolean = false): DataFrame = {
+      qs: Seq[(String, Int, Int)],
+      distributedCum: Option[Boolean] = None): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (_, n, d) => n >= 0 && n <= d && d > 0 },
       "quantiles must be fractions in [0, 1]")
-    val g = df.groupBy(col(groupCol), col(valueCol))
-      .agg(count(lit(1)).as("__c"))
-    val cum = withGroupedCumSum(g, groupCol, valueCol, distributedCum)
+    val (g, dist) = resolveCum(
+      df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c")),
+      groupCol, distributedCum)
+    val cum = withGroupedCumSum(g, groupCol, valueCol, dist)
     val aggs = qs.map { case (name, num, den) =>
       min(when(col("__cum") * den >= col("__n") * num, col(valueCol))).as(name)
     }
@@ -386,11 +434,12 @@ object Stats {
     * window → one groupBy; raw-row skew never reaches the window.
     */
   def equidepthHist(df: DataFrame, groupCol: String, valueCol: String,
-      buckets: Int = 8, distributedCum: Boolean = false): DataFrame = {
+      buckets: Int = 8, distributedCum: Option[Boolean] = None): DataFrame = {
     require(buckets >= 1, "equidepthHist: buckets must be >= 1")
-    val g = df.groupBy(col(groupCol), col(valueCol))
-      .agg(count(lit(1)).as("__c"))
-    withGroupedCumSum(g, groupCol, valueCol, distributedCum)
+    val (g, dist) = resolveCum(
+      df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c")),
+      groupCol, distributedCum)
+    withGroupedCumSum(g, groupCol, valueCol, dist)
       .withColumn("bucket",
         expr(s"((__cum - __c) * $buckets) DIV __n + 1"))
       .groupBy(col(groupCol), col("bucket"))

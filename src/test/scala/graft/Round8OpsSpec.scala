@@ -184,16 +184,42 @@ class Round8OpsSpec extends SparkSpec {
       (rnd.nextInt(200) + rnd.nextInt(3) * 1000).toDouble)).toDF("grp", "v")
     def canon(d: org.apache.spark.sql.DataFrame) =
       d.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
-    assert(canon(Stats.madOutliers(df, "grp", "v", 3.0, distributedCum = true)) ==
-      canon(Stats.madOutliers(df, "grp", "v", 3.0)))
-    assert(canon(Stats.equidepthHist(df, "grp", "v", 8, distributedCum = true)) ==
-      canon(Stats.equidepthHist(df, "grp", "v", 8)))
+    assert(canon(Stats.madOutliers(df, "grp", "v", 3.0, distributedCum = Some(true))) ==
+      canon(Stats.madOutliers(df, "grp", "v", 3.0, distributedCum = Some(false))))
+    assert(canon(Stats.equidepthHist(df, "grp", "v", 8, distributedCum = Some(true))) ==
+      canon(Stats.equidepthHist(df, "grp", "v", 8, distributedCum = Some(false))))
     assert(canon(Stats.lowerQuantiles(df, "grp", "v",
-        Seq(("p25", 1, 4), ("p50", 1, 2), ("p99", 99, 100)), distributedCum = true)) ==
+        Seq(("p25", 1, 4), ("p50", 1, 2), ("p99", 99, 100)), distributedCum = Some(true))) ==
       canon(Stats.lowerQuantiles(df, "grp", "v",
-        Seq(("p25", 1, 4), ("p50", 1, 2), ("p99", 99, 100)))))
-    assert(canon(Stats.groupedMedian(df, "grp", "v", distributedCum = true)) ==
-      canon(Stats.groupedMedian(df, "grp", "v")))
+        Seq(("p25", 1, 4), ("p50", 1, 2), ("p99", 99, 100)), distributedCum = Some(false))))
+    assert(canon(Stats.groupedMedian(df, "grp", "v", distributedCum = Some(true))) ==
+      canon(Stats.groupedMedian(df, "grp", "v", distributedCum = Some(false))))
+  }
+
+  test("auto cum strategy probes distinct counts and both regimes agree") {
+    val rnd = new scala.util.Random(33)
+    // skewed fixture: one group holds most of the distinct values
+    val df = ((1 to 4000).map(_ => ("heavy", rnd.nextInt(2000).toDouble)) ++
+      (1 to 500).map(_ => ("light", rnd.nextInt(20).toDouble))).toDF("grp", "v")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    val serial = canon(Stats.madOutliers(df, "grp", "v", 3.0,
+      distributedCum = Some(false)))
+    // auto under a tiny threshold must take the DISTRIBUTED path and
+    // still match; under the default threshold it takes the serial path
+    spark.conf.set("spark.graft.cum.serialMaxDistinct", "100")
+    try assert(canon(Stats.madOutliers(df, "grp", "v", 3.0)) == serial)
+    finally spark.conf.unset("spark.graft.cum.serialMaxDistinct")
+    assert(canon(Stats.madOutliers(df, "grp", "v", 3.0)) == serial)
+    // the probe's decision itself: ~2000 distinct values in the heavy
+    // group flips to distributed only under the lowered threshold
+    val rollup = df.groupBy($"grp", $"v")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("__c"))
+    assert(!Stats.resolveCum(rollup, "grp", None)._2)
+    spark.conf.set("spark.graft.cum.serialMaxDistinct", "100")
+    try assert(Stats.resolveCum(rollup, "grp", None)._2)
+    finally spark.conf.unset("spark.graft.cum.serialMaxDistinct")
   }
 
   // ---- globalRowNumber ---------------------------------------------------
