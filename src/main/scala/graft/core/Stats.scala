@@ -265,10 +265,11 @@ object Stats {
         .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(groupCol))))
     }
     // checkpoint pins the sampled range boundaries for both consumers
-    // (offsets + output) — see Ranking.globalRowNumber
-    val ranged = in.repartitionByRange(col(groupCol), col(vCol))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    // (offsets + output) — see Ranking.globalRowNumber; reliable under
+    // spark.graft.checkpointDir (Checkpoints.pin)
+    val ranged = Checkpoints.pin(
+      in.repartitionByRange(col(groupCol), col(vCol))
+        .withColumn("__pid", spark_partition_id()))
     val wLocal = Window.partitionBy(col("__pid"), col(groupCol))
       .orderBy(col(vCol)).rowsBetween(Window.unboundedPreceding, 0)
     val local = ranged.withColumn("__lcum", sum(col("__c")).over(wLocal))

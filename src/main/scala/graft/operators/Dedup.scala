@@ -218,7 +218,9 @@ object Dedup {
     * LSH banding, so the diameter (= iteration count) is small; each
     * iteration is one edge⋈label shuffle + a min groupBy, both keyed on
     * uniformly-hashed ids. Lineage is cut per iteration
-    * (`localCheckpoint`) so the plan does not grow with iterations, and
+    * ([[graft.core.Checkpoints.pin]]: executor-local by default,
+    * reliable under `spark.graft.checkpointDir`) so the plan does not
+    * grow with iterations, and
     * convergence is detected with one small count per round. For
     * adversarially long path graphs, the large-star/small-star variant
     * halves diameter per round; duplicate clusters do not need it.
@@ -229,12 +231,12 @@ object Dedup {
         col(bCol).cast("long").as("dst"))
       .union(pairs.select(col(bCol).cast("long"), col(aCol).cast("long")))
       .distinct()
-      .localCheckpoint(true)
+    val pinnedEdges = graft.core.Checkpoints.pin(edges)
     // seed = iteration one computed directly on edges: min(id, neighbors)
-    var labels = edges.groupBy(col("src"))
-      .agg(least(min(col("dst")), col("src")).as("cluster_id"))
-      .select(col("src").as("id"), col("cluster_id"))
-      .localCheckpoint(true)
+    var labels = graft.core.Checkpoints.pin(
+      pinnedEdges.groupBy(col("src"))
+        .agg(least(min(col("dst")), col("src")).as("cluster_id"))
+        .select(col("src").as("id"), col("cluster_id")))
     // labels only ever DECREASE (min over a set containing the old label),
     // so sum(cluster_id) is strictly monotone until fixpoint — an agg on
     // the fresh labels alone detects convergence with no labels⋈labels join
@@ -245,13 +247,13 @@ object Dedup {
     var converged = false
     while (!converged && iter < maxIter) {
       // each node adopts min(own label, labels seen from its neighbors)
-      val fromNbrs = edges
+      val fromNbrs = pinnedEdges
         .join(labels.select(col("id").as("src"), col("cluster_id")), "src")
         .select(col("dst").as("id"), col("cluster_id"))
-      labels = labels.select(col("id"), col("cluster_id"))
-        .union(fromNbrs)
-        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint(true)
+      labels = graft.core.Checkpoints.pin(
+        labels.select(col("id"), col("cluster_id"))
+          .union(fromNbrs)
+          .groupBy("id").agg(min("cluster_id").as("cluster_id")))
       val s = checksum(labels)
       converged = s == prevSum
       prevSum = s

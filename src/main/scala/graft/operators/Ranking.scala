@@ -29,18 +29,16 @@ object Ranking {
     */
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
       outCol: String = "rn", partitions: Int = 0): DataFrame = {
-    // localCheckpoint pins the SAMPLED range partitioning: the offsets
+    // the checkpoint pins the SAMPLED range partitioning: the offsets
     // branch and the output branch both consume `ranged`, and while
     // ReuseExchange normally makes that one shuffle, a recomputation
     // would re-SAMPLE different boundaries and silently corrupt ranks —
-    // correctness must not hinge on an optimizer rule. The checkpoint
-    // materializes the ranged data once (executor-local blocks, same
-    // lifetime story as Dedup.connectedComponents' iteration cuts).
-    val ranged =
+    // correctness must not hinge on an optimizer rule. Executor-local by
+    // default; reliable under spark.graft.checkpointDir (Checkpoints).
+    val ranged = graft.core.Checkpoints.pin(
       (if (partitions > 0) df.repartitionByRange(partitions, sortCols: _*)
        else df.repartitionByRange(sortCols: _*))
-        .withColumn("__pid", spark_partition_id())
-        .localCheckpoint(true)
+        .withColumn("__pid", spark_partition_id()))
     // local rank: the window's hash shuffle on __pid keeps each range
     // together; order within is re-established by sortCols
     val local = ranged.withColumn("__lrn",

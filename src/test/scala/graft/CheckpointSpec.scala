@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import graft.core.Checkpoints
+import graft.operators.{Dedup, Ranking}
+
+/** Reliable-checkpoint fallback (VERDICT r6 #4): with
+  * `spark.graft.checkpointDir` set, every Checkpoints.pin site switches
+  * from executor-local blocks to reliable `checkpoint()` files that
+  * survive executor loss — same outputs, checkpoint data observed on
+  * disk.
+  *
+  * The SparkContext checkpoint dir is JVM-global once initialized, so
+  * the suite uses ONE directory and asserts file-count growth per
+  * operation rather than per-test dirs.
+  */
+class CheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ckptDir: Path = Files.createTempDirectory("graft-ckpt")
+
+  private def nFiles(dir: Path): Int =
+    if (!Files.isDirectory(dir)) 0
+    else Files.walk(dir).iterator().asScala.count(Files.isRegularFile(_)).toInt
+
+  private def withReliable[A](f: => A): A = {
+    spark.conf.set(Checkpoints.ConfKey, ckptDir.toString)
+    try f
+    finally spark.conf.unset(Checkpoints.ConfKey)
+  }
+
+  test("globalRowNumber: reliable checkpoint gives identical ranks and writes files") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 2000).map(_ => (rnd.nextInt(500), rnd.nextLong()))
+      .toDF("k", "id").distinct()
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(r => (r._1, r._2))
+    val local = canon(Ranking.globalRowNumber(df, Seq($"k", $"id"), partitions = 7))
+    val before = nFiles(ckptDir)
+    val reliable = withReliable {
+      canon(Ranking.globalRowNumber(df, Seq($"k", $"id"), partitions = 7))
+    }
+    assert(reliable === local)
+    assert(nFiles(ckptDir) > before,
+      "reliable mode must write checkpoint files under the configured dir")
+  }
+
+  test("connectedComponents: identical clusters under the reliable flavor") {
+    // two chains + a clique
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (20L, 22L)).toDF("d1", "d2")
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val local = canon(Dedup.connectedComponents(pairs))
+    val before = nFiles(ckptDir)
+    val reliable = withReliable { canon(Dedup.connectedComponents(pairs)) }
+    assert(reliable === local)
+    assert(nFiles(ckptDir) > before)
+  }
+
+  test("without the option, pin stays executor-local (no files written)") {
+    val before = nFiles(ckptDir)
+    val df = (1 to 100).map(i => (i % 5, i.toLong)).toDF("k", "id")
+    assert(Checkpoints.pin(df).count() == 100)
+    assert(nFiles(ckptDir) == before,
+      "local flavor must not touch the checkpoint dir")
+  }
+}
