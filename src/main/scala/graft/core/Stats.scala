@@ -461,12 +461,18 @@ object Stats {
     * partial-aggregate map-side; this beats the multi-distinct Expand
     * plan (which widens every expanded row with null-padded grouping
     * keys) by ~3× at sf0.1 and scales the same way a distinct-value
-    * rollup does everywhere else in the engine. At 100 TB swap exact
-    * distincts for `approx_count_distinct` in a single `agg`; exact is
-    * kept here because the oracle checks it.
+    * rollup does everywhere else in the engine.
+    *
+    * `approxDistinct = true` is the 100 TB form: no distinct-value
+    * rollup at all — ONE aggregation over the melted pairs with
+    * `approx_count_distinct` (HLL++, `rsd` ≈ 2%) for `n_distinct` and
+    * streaming min/max. One shuffle whose payload is |cols| sketches,
+    * immune to distinct-value explosion. Exact stays the default
+    * because the oracle hash-checks it (spec proves the modes agree
+    * within the sketch's error bound).
     */
   def columnProfile(df: DataFrame, numCols: Seq[String],
-      strCols: Seq[String]): DataFrame = {
+      strCols: Seq[String], approxDistinct: Boolean = false): DataFrame = {
     def profileHalf(cols: Seq[String], toValue: Column => Column,
         numeric: Boolean): Option[DataFrame] =
       if (cols.isEmpty) None else Some {
@@ -474,13 +480,22 @@ object Stats {
           struct(lit(c).as("col_name"), toValue(col(c)).as("v")))
         val melted = df.select(explode(array(pairs: _*)).as("p"))
           .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
-        val rollup = melted.groupBy(col("col_name"), col("v"))
-          .agg(count(lit(1)).as("__c"))
-        val prof = rollup.groupBy(col("col_name")).agg(
-          sum(col("__c")).as("n_rows"),
-          sum(when(col("v").isNotNull, col("__c")).otherwise(0L)).as("n_nonnull"),
-          count(col("v")).as("n_distinct"),
-          min(col("v")).as("__min"), max(col("v")).as("__max"))
+        val prof =
+          if (approxDistinct)
+            melted.groupBy(col("col_name")).agg(
+              count(lit(1)).as("n_rows"),
+              count(col("v")).as("n_nonnull"),
+              approx_count_distinct(col("v"), 0.02).as("n_distinct"),
+              min(col("v")).as("__min"), max(col("v")).as("__max"))
+          else {
+            val rollup = melted.groupBy(col("col_name"), col("v"))
+              .agg(count(lit(1)).as("__c"))
+            rollup.groupBy(col("col_name")).agg(
+              sum(col("__c")).as("n_rows"),
+              sum(when(col("v").isNotNull, col("__c")).otherwise(0L)).as("n_nonnull"),
+              count(col("v")).as("n_distinct"),
+              min(col("v")).as("__min"), max(col("v")).as("__max"))
+          }
         if (numeric)
           prof.select(col("col_name"), col("n_rows"), col("n_nonnull"),
             col("n_distinct"),

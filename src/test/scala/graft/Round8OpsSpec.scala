@@ -460,6 +460,32 @@ class Round8OpsSpec extends SparkSpec {
     assert(out("s") == ((4L, 3L, 2L, None, None, Some("a"), Some("b"))))
   }
 
+  test("columnProfile: approx mode tracks exact within the sketch bound") {
+    val rnd = new scala.util.Random(42)
+    val df = (1 to 20000).map { i =>
+      (rnd.nextInt(5000).toDouble, s"s${rnd.nextInt(800)}", i.toLong)
+    }.toDF("x", "s", "id")
+    def byCol(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5)), Option(r.get(6)), Option(r.get(7)))))
+        .toMap
+    val exact = byCol(Stats.columnProfile(df, Seq("x", "id"), Seq("s")))
+    val approx = byCol(
+      Stats.columnProfile(df, Seq("x", "id"), Seq("s"), approxDistinct = true))
+    assert(approx.keySet == exact.keySet)
+    for (c <- exact.keys) {
+      val (en, enn, ed, emin, emax, emins, emaxs) = exact(c)
+      val (an, ann, ad, amin, amax, amins, amaxs) = approx(c)
+      // counts and extents are exact in both modes
+      assert((an, ann, amin, amax, amins, amaxs) ==
+        ((en, enn, emin, emax, emins, emaxs)))
+      // distinct estimate within 4x the 2% rsd requested
+      assert(math.abs(ad - ed).toDouble / ed <= 0.08,
+        s"$c: approx distinct $ad vs exact $ed")
+    }
+  }
+
   // ---- CmsSketch ---------------------------------------------------------
 
   test("cms: one-sided error (est >= exact), exact when collision-free") {
