@@ -226,6 +226,30 @@ class GraftTable(spark: SparkSession, root: String) {
     TableInfo(segments.map(_.rows).sum, cols, segments)
   }
 
+  /** Clamp a freshly-scanned MERGED segment's recorded extents to the
+    * pre-merge table-level (outlier-resistant) extents. Without this,
+    * compaction launders a rejected extreme into the stats: the 1000σ
+    * guard is leave-one-out across segments, but a digest that folds the
+    * corrupt segment into one merged block re-scans it as a single
+    * segment whose raw min/max then stand unopposed. The reference never
+    * re-admits a rejected extreme either — its IntInfo update is one-way
+    * (table_column_info.go:72-131). The value itself stays in the block;
+    * only the recorded extents (which drive hist bucket layouts and
+    * block skipping) exclude it. Moments (cnt/sum/sumsq) stay raw, like
+    * the reference's Welford update which includes outliers.
+    */
+  private def clampSegStats(seg: SegmentInfo, table: Seq[ColumnInfo]): SegmentInfo = {
+    val byName = table.map(c => c.name -> c).toMap
+    seg.copy(stats = seg.stats.map { s =>
+      byName.get(s.name) match {
+        case Some(ci) => s.copy(
+          min = s.min.map(v => ci.min.map(t => math.max(v, t)).getOrElse(v)),
+          max = s.max.map(v => ci.max.map(t => math.min(v, t)).getOrElse(v)))
+        case None => s
+      }
+    })
+  }
+
   /** Update the column registry with any new columns from a batch. */
   private def updatedRegistry(registry: Seq[ColumnInfo], schema: StructType): Seq[ColumnInfo] = {
     val known = registry.map(_.name).toSet
@@ -634,7 +658,8 @@ class GraftTable(spark: SparkSession, root: String) {
     writeDigestJournal(blockId, consumedIds.toSeq,
       logs.map(_.getFileName.toString))
     Files.move(tmp, blocksP.resolve(blockId), StandardCopyOption.ATOMIC_MOVE)
-    val seg = segmentStats(blocksP.resolve(blockId), "block")
+    val seg = clampSegStats(segmentStats(blocksP.resolve(blockId), "block"),
+      i.columns)
     logs.foreach(deleteRecursively)
     consumedBlocks.foreach(deleteRecursively)
     dropCachedPartials(consumedIds.toSeq)
@@ -695,7 +720,8 @@ class GraftTable(spark: SparkSession, root: String) {
       val blockId = java.util.UUID.randomUUID().toString
       writeDigestJournal(blockId, consumed, Nil)
       Files.move(tmp, blocksP.resolve(blockId), StandardCopyOption.ATOMIC_MOVE)
-      val seg = segmentStats(blocksP.resolve(blockId), "block")
+      val seg = clampSegStats(segmentStats(blocksP.resolve(blockId), "block"),
+        i.columns)
       consumed.map(blocksP.resolve).foreach(deleteRecursively)
       dropCachedPartials(consumed)
       val kept = i.segments.filterNot(s => s.kind == "block")

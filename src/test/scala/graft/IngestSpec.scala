@@ -375,6 +375,38 @@ class IngestSpec extends SparkSpec {
     assert(t.info().columns.find(_.name == "v").get.max.contains(250L))
   }
 
+  test("corrupt segment leaves hist bucket layout pinned (end-to-end)") {
+    // the CONSEQUENCE of the 1000-sigma extent rejection
+    // (table_column_info.go:72-131): hist bucket widths derive from the
+    // sidecar extents, so one corrupt segment must neither stretch the
+    // bucket layout nor enter the histogram (values > max*10 drop,
+    // hist_basic.go:101-109)
+    import spark.implicits._
+    import graft.dsl.{AggOp, SybilQuery}
+    val root = tmpDir("graft-outlier-hist")
+    val t = new GraftTable(spark, root)
+    t.ingest((0 until 200).map(i => ("a", i.toLong, i.toLong))
+      .toDF("k", "time", "v"))
+    t.digest()
+    val q = SybilQuery().groupBy("k").aggregate("v").withOp(AggOp.HistOp)
+    def hist(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().head
+      val h = r.getStruct(r.fieldIndex("v_hist"))
+      (h.getAs[Long]("count"), h.getAs[Long]("min"), h.getAs[Long]("max"),
+        h.getAs[collection.Seq[Long]]("bucketLows").toSeq)
+    }
+    val (cleanCount, _, cleanMax, cleanLows) = hist(t.query(q))
+    assert(cleanCount == 200 && cleanMax == 199)
+    // corrupt segment 5 orders of magnitude out
+    t.ingest(Seq(("a", 200L, 10000000L)).toDF("k", "time", "v"))
+    t.digest()
+    val (count2, _, max2, lows2) = hist(t.query(q))
+    assert(lows2 == cleanLows,
+      s"bucket layout must stay pinned by the rejected extents (got $lows2)")
+    assert(count2 == 200 && max2 == 199,
+      "the corrupt value must drop from the histogram, not clamp into it")
+  }
+
   test("reconcile self-heals a sidecar that missed a segment (racy ingest)") {
     import spark.implicits._
     val root = tmpDir("graft-heal")
