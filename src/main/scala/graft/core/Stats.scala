@@ -241,8 +241,18 @@ object Stats {
       choice: Option[Boolean]): (DataFrame, Boolean) = choice match {
     case Some(d) => (rollup, d)
     case None =>
-      val threshold = rollup.sparkSession.conf
-        .getOption("spark.graft.cum.serialMaxDistinct")
+      val conf = rollup.sparkSession.conf
+      // the probe is two extra scheduled jobs (persist + max-distinct);
+      // below ~8 MB of source input the serial window cannot be the
+      // straggler anyway and the fixed overhead would triple a
+      // sub-second query, so tiny inputs skip straight to serial.
+      // Driver-side plan arithmetic — leaf stats are file sizes.
+      val probeMin = conf.getOption("spark.graft.cum.probeMinInputBytes")
+        .map(_.toLong).getOrElse(8L * 1024 * 1024)
+      val inputBytes = rollup.queryExecution.optimizedPlan.collectLeaves()
+        .map(_.stats.sizeInBytes).sum
+      if (inputBytes < BigInt(probeMin)) return (rollup, false)
+      val threshold = conf.getOption("spark.graft.cum.serialMaxDistinct")
         .map(_.toLong).getOrElse(4000000L)
       // MEMORY_AND_DISK: identical plans dedup in the CacheManager, so
       // repeated runs of the same query reuse one entry rather than leak

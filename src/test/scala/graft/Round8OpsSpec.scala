@@ -206,20 +206,32 @@ class Round8OpsSpec extends SparkSpec {
     val serial = canon(Stats.madOutliers(df, "grp", "v", 3.0,
       distributedCum = Some(false)))
     // auto under a tiny threshold must take the DISTRIBUTED path and
-    // still match; under the default threshold it takes the serial path
+    // still match; under the default thresholds it takes the serial path
+    spark.conf.set("spark.graft.cum.probeMinInputBytes", "0")
     spark.conf.set("spark.graft.cum.serialMaxDistinct", "100")
     try assert(canon(Stats.madOutliers(df, "grp", "v", 3.0)) == serial)
-    finally spark.conf.unset("spark.graft.cum.serialMaxDistinct")
+    finally {
+      spark.conf.unset("spark.graft.cum.serialMaxDistinct")
+      spark.conf.unset("spark.graft.cum.probeMinInputBytes")
+    }
     assert(canon(Stats.madOutliers(df, "grp", "v", 3.0)) == serial)
-    // the probe's decision itself: ~2000 distinct values in the heavy
-    // group flips to distributed only under the lowered threshold
     val rollup = df.groupBy($"grp", $"v")
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("__c"))
-    assert(!Stats.resolveCum(rollup, "grp", None)._2)
+    // tiny input skips the probe entirely -> serial, regardless of the
+    // distinct threshold
     spark.conf.set("spark.graft.cum.serialMaxDistinct", "100")
-    try assert(Stats.resolveCum(rollup, "grp", None)._2)
+    try assert(!Stats.resolveCum(rollup, "grp", None)._2)
     finally spark.conf.unset("spark.graft.cum.serialMaxDistinct")
+    // probe forced on: ~2000 distinct values in the heavy group flips to
+    // distributed only under the lowered threshold
+    spark.conf.set("spark.graft.cum.probeMinInputBytes", "0")
+    try {
+      assert(!Stats.resolveCum(rollup, "grp", None)._2)
+      spark.conf.set("spark.graft.cum.serialMaxDistinct", "100")
+      try assert(Stats.resolveCum(rollup, "grp", None)._2)
+      finally spark.conf.unset("spark.graft.cum.serialMaxDistinct")
+    } finally spark.conf.unset("spark.graft.cum.probeMinInputBytes")
   }
 
   // ---- globalRowNumber ---------------------------------------------------
