@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Dedup
+
+/** Catalog entries: round-9 additions — substring-window dedup coverage,
+  * temperature-scaled source mixture weights, two-period distribution
+  * drift.
+  */
+object Queries14 {
+
+  private def t(name: String)(implicit env: (SparkSession, String)): DataFrame =
+    if (name == "events") Tables.events(env._1, env._2)
+    else Tables.load(env._1, env._2, name)
+
+  private def q(name: String, sql: String = null)(
+      body: (SparkSession, String) => DataFrame): (String, QueryDef) =
+    name -> QueryDef(body, Option(sql))
+
+  /** Substring-window dedup coverage ([[Dedup.windowDedup]]): per source,
+    * how much of the corpus is covered by 8-token windows that occur more
+    * than once anywhere, thinned 2× by the content-defined (winnowing)
+    * sampler. The oracle replays the identical window walk in SQL — same
+    * positions (`generate_series` and `sequence` are both inclusive),
+    * same 1-based k-element list slices, same md5, same first-hex-digit
+    * selection — so the duplicate verdicts match hash-for-hash; the only
+    * floating-point output is one exact-integer division per source. */
+  val q129WindowDedup: (String, QueryDef) = q(
+    "q129_window_dedup",
+    """WITH d AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS tk
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, h FROM (
+      |    SELECT doc_id,
+      |      md5(array_to_string(tk[p + 1 : p + 8], ' ')) AS h
+      |    FROM (SELECT doc_id,
+      |            unnest(generate_series(0, len(tk) - 8, 1)) AS p, tk
+      |          FROM d WHERE len(tk) >= 8))
+      |  WHERE (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 2 = 0),
+      |c AS (SELECT h, COUNT(*) AS c FROM w GROUP BY h),
+      |pd AS (
+      |  SELECT w.doc_id, COUNT(*) AS n_windows,
+      |    CAST(SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_dup_windows
+      |  FROM w JOIN c USING (h) GROUP BY w.doc_id)
+      |SELECT d.source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COALESCE(SUM(pd.n_windows), 0) AS BIGINT) AS n_windows,
+      |  CAST(COALESCE(SUM(pd.n_dup_windows), 0) AS BIGINT) AS n_dup_windows,
+      |  CASE WHEN COALESCE(SUM(pd.n_windows), 0) > 0
+      |    THEN CAST(SUM(pd.n_dup_windows) AS DOUBLE) / SUM(pd.n_windows)
+      |    ELSE 0.0 END AS dup_frac
+      |FROM d LEFT JOIN pd USING (doc_id)
+      |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val docs = t("documents")
+    val perDoc = Dedup.windowDedup(docs, "doc_id", "text",
+      windowTokens = 8, sampleMod = 2)
+    docs.select(col("doc_id"), col("source")).join(perDoc, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_windows")).as("n_windows"),
+        sum(col("n_dup_windows")).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        when(col("n_windows") > 0,
+          col("n_dup_windows").cast("double") / col("n_windows"))
+          .otherwise(lit(0.0)))
+      .orderBy(col("source"))
+  }
+
+  val catalog: Seq[(String, QueryDef)] = Seq(q129WindowDedup)
+}
