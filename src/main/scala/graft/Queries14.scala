@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, Sampling}
 
 /** Catalog entries: round-9 additions — substring-window dedup coverage,
   * temperature-scaled source mixture weights, two-period distribution
@@ -72,5 +72,37 @@ object Queries14 {
       .orderBy(col("source"))
   }
 
-  val catalog: Seq[(String, QueryDef)] = Seq(q129WindowDedup)
+  /** Temperature-scaled mixture weights ([[Sampling.mixtureWeights]]):
+    * per-source α = ¾ sampling weights over whitespace-token totals and
+    * their shares of a 1M-token budget. The oracle mirrors the exact
+    * float composition — `SQRT(SQRT(x)) * SQRT(x)` (each op correctly
+    * rounded, hence bit-identical cross-engine; `POWER(x, 0.75)` would
+    * not be), DECIMAL-accumulated denominator, division-then-multiply
+    * order pinned by parentheses. */
+  val q130MixtureWeights: (String, QueryDef) = q(
+    "q130_mixture_weights",
+    """WITH g AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+      |      AS tokens
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT *, SQRT(SQRT(CAST(tokens AS DOUBLE))) *
+      |    SQRT(CAST(tokens AS DOUBLE)) AS wr FROM g),
+      |d AS (
+      |  SELECT CAST(SUM(CAST(wr AS DECIMAL(38,18))) AS DOUBLE) AS den
+      |  FROM w)
+      |SELECT source, n_docs, tokens,
+      |  (wr / den) AS weight,
+      |  CAST(FLOOR((wr / den) * 1000000.0) AS BIGINT) AS target_tokens
+      |FROM w CROSS JOIN d ORDER BY source""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    Sampling.mixtureWeights(t("documents"), "source",
+        size(split(col("text"), " ")), budgetTokens = 1000000L,
+        temperatureQuarters = 3)
+      .orderBy(col("source"))
+  }
+
+  val catalog: Seq[(String, QueryDef)] =
+    Seq(q129WindowDedup, q130MixtureWeights)
 }

@@ -209,4 +209,52 @@ object Sampling {
           .when(bucket < trainPct + valPct, "val")
           .otherwise("test").as("split"))
   }
+
+  /** Temperature-scaled corpus mixture weights: per group (source,
+    * domain, language), the sampling weight `tokens^α / Σ tokens^α` and
+    * its share of a token budget — the standard recipe for rebalancing a
+    * multi-source corpus (up-weight small domains, damp dominant ones;
+    * α = 1 is proportional, α = 0 uniform, α ≈ 0.5–0.75 the usual
+    * multilingual compromise).
+    *
+    * `temperatureQuarters` expresses α in quarters (0..4 → α = 0, ¼, ½,
+    * ¾, 1): `x^(m/4)` composes from one or two `sqrt`s and one multiply —
+    * all IEEE-correctly-rounded, so the weights are bit-identical in any
+    * engine that runs the same composition — whereas `pow(x, α)` is not
+    * ULP-stable across math libraries and would break result-hash
+    * parity. The denominator accumulates in DECIMAL (`graft_dsum`), so
+    * it is order- and partitioning-independent too.
+    *
+    * Output: `(group, n_docs, tokens, weight, target_tokens)` with
+    * `target_tokens = ⌊weight · budgetTokens⌋`.
+    *
+    * Scale: one partial-aggregated shuffle over the group key (group
+    * cardinality = #domains, tiny); the denominator is a one-row
+    * broadcast. The weights feed [[stratifiedHashSample]] thresholds to
+    * actually draw the mixture.
+    */
+  def mixtureWeights(df: DataFrame, groupCol: String, tokenCountCol: Column,
+      budgetTokens: Long, temperatureQuarters: Int = 3): DataFrame = {
+    require(temperatureQuarters >= 0 && temperatureQuarters <= 4,
+      "mixtureWeights: temperatureQuarters must be in 0..4")
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCountCol.cast("long")).as("tokens"))
+    val x = col("tokens").cast("double")
+    val wr = temperatureQuarters match {
+      case 0 => lit(1.0)
+      case 1 => sqrt(sqrt(x))
+      case 2 => sqrt(x)
+      case 3 => sqrt(sqrt(x)) * sqrt(x)
+      case 4 => x
+    }
+    val raw = g.withColumn("__w", wr)
+    val den = raw.agg(
+      call_function("graft_dsum", col("__w"), lit(18)).as("__den"))
+    raw.crossJoin(broadcast(den))
+      .select(col(groupCol), col("n_docs"), col("tokens"),
+        (col("__w") / col("__den")).as("weight"),
+        floor((col("__w") / col("__den")) * lit(budgetTokens.toDouble))
+          .cast("long").as("target_tokens"))
+  }
 }

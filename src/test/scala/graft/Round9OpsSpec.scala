@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Sampling}
 
 /** Round-9 additions: substring-window dedup, temperature-scaled mixture
   * weights, two-period distribution drift. */
@@ -86,5 +86,42 @@ class Round9OpsSpec extends SparkSpec {
     assert(n(1) > 60 && n(1) < 140, s"m=2 kept ${n(1)}")
     assert(n(2) > 20 && n(2) < 80, s"m=4 kept ${n(2)}")
     assert(n(2) <= n(1))
+  }
+
+  // ---- mixtureWeights ----------------------------------------------------
+
+  private def mixDocs = Seq(
+    ("a", 100), ("a", 156), ("b", 16), ("c", 1)   // tokens: a=256, b=16, c=1
+  ).map { case (s, n) => (s, (1 to n).map(_ => "t").mkString(" ")) }
+    .toDF("source", "text")
+
+  test("mixtureWeights: quarter temperatures compose exactly from sqrt") {
+    def weights(tq: Int): Map[String, (Long, Double, Long)] =
+      Sampling.mixtureWeights(mixDocs, "source",
+          size(split(col("text"), " ")), 1000000L, tq)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    // α=1: proportional to tokens
+    val p = weights(4)
+    assert(p("a")._1 === 256L && p("b")._1 === 16L && p("c")._1 === 1L)
+    assert(p("a")._2 === 256.0 / 273.0)
+    // α=0: uniform thirds
+    val u = weights(0)
+    assert(u("a")._2 === 1.0 / 3 && u("c")._2 === 1.0 / 3)
+    // α=1/2: sqrt damping -> 16:4:1
+    val h = weights(2)
+    assert(h("a")._2 === 16.0 / 21 && h("b")._2 === 4.0 / 21)
+    // α=3/4 matches the sqrt(sqrt(x))*sqrt(x) composition on powers of 2
+    val q3 = weights(3)
+    val wa = math.sqrt(math.sqrt(256.0)) * math.sqrt(256.0) // 64
+    val wb = math.sqrt(math.sqrt(16.0)) * math.sqrt(16.0)   // 8
+    assert(q3("a")._2 === wa / (wa + wb + 1.0))
+    // budget split: floor(weight * budget), never exceeding the budget
+    assert(q3("a")._3 === math.floor(wa / (wa + wb + 1.0) * 1000000.0).toLong)
+    Seq(p, u, h, q3).foreach { m =>
+      assert(m.values.map(_._3).sum <= 1000000L)
+      assert(math.abs(m.values.map(_._2).sum - 1.0) < 1e-12)
+    }
   }
 }
