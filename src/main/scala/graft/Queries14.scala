@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Stats, Tables}
 import graft.operators.{Dedup, Sampling}
 
 /** Catalog entries: round-9 additions — substring-window dedup coverage,
@@ -103,6 +103,54 @@ object Queries14 {
       .orderBy(col("source"))
   }
 
+  /** Two-period distribution drift ([[Stats.driftReport]]): the `events`
+    * value distribution, first half of the time range vs second, on one
+    * 20-bin global grid, with the total-variation distance as a constant
+    * column. The oracle pins the identical float compositions: the same
+    * `((v - vmin) / (vmax - vmin)) * 20` bin walk, exact-integer share
+    * divisions, and a DECIMAL-accumulated TVD (PSI's `ln` is deliberately
+    * absent — not ULP-stable across engines). */
+  val q131DriftReport: (String, QueryDef) = q(
+    "q131_drift_report",
+    """WITH e AS (
+      |  SELECT epoch_ns(ts) // 1000000000 AS t, value AS v FROM events),
+      |st AS (
+      |  SELECT MIN(t) AS tmin, MAX(t) AS tmax,
+      |         MIN(v) AS vmin, MAX(v) AS vmax FROM e),
+      |b AS (
+      |  SELECT CASE WHEN t < (tmin + tmax) // 2 THEN 'a' ELSE 'b' END AS p,
+      |    CASE WHEN vmax = vmin THEN 0
+      |      ELSE LEAST(CAST(19 AS BIGINT),
+      |        CAST(FLOOR(((v - vmin) / (vmax - vmin)) * 20.0) AS BIGINT))
+      |    END AS bin
+      |  FROM e CROSS JOIN st),
+      |g AS (
+      |  SELECT bin,
+      |    CAST(SUM(CASE WHEN p = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+      |    CAST(SUM(CASE WHEN p = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+      |  FROM b GROUP BY bin),
+      |tot AS (
+      |  SELECT CAST(SUM(cnt_a) AS BIGINT) AS ta,
+      |         CAST(SUM(cnt_b) AS BIGINT) AS tb FROM g),
+      |fr AS (
+      |  SELECT bin, cnt_a, cnt_b,
+      |    CASE WHEN ta > 0 THEN CAST(cnt_a AS DOUBLE) / ta ELSE 0.0 END
+      |      AS frac_a,
+      |    CASE WHEN tb > 0 THEN CAST(cnt_b AS DOUBLE) / tb ELSE 0.0 END
+      |      AS frac_b
+      |  FROM g CROSS JOIN tot),
+      |f2 AS (SELECT *, ABS(frac_a - frac_b) AS abs_diff FROM fr),
+      |tvd AS (
+      |  SELECT ((CAST(SUM(ABS(CAST(cnt_a AS HUGEINT) * tb -
+      |                        CAST(cnt_b AS HUGEINT) * ta)) AS DOUBLE)
+      |    / MAX(ta)) / MAX(tb)) * 0.5 AS tvd
+      |  FROM g CROSS JOIN tot)
+      |SELECT bin, cnt_a, cnt_b, frac_a, frac_b, abs_diff, tvd
+      |FROM f2 CROSS JOIN tvd ORDER BY bin""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    Stats.driftReport(t("events"), "value", "ts_sec", bins = 20)
+  }
+
   val catalog: Seq[(String, QueryDef)] =
-    Seq(q129WindowDedup, q130MixtureWeights)
+    Seq(q129WindowDedup, q130MixtureWeights, q131DriftReport)
 }

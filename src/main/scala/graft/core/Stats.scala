@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Derived statistics over aggregation results — the reference's library
   * layer (src/lib/stats.go). */
@@ -525,5 +525,80 @@ object Stats {
       profileHalf(strCols, _.cast("string"), numeric = false).toSeq
     require(halves.nonEmpty, "columnProfile: no columns given")
     halves.reduce(_.unionByName(_))
+  }
+
+  /** Two-period distribution-drift report: split the rows at the midpoint
+    * of the time range, bin `valueCol` into `bins` equal-width buckets
+    * over the GLOBAL min/max (both periods share one grid — drift must be
+    * read off comparable bins), and report each bin's count and share per
+    * period, the per-bin share gap, and the total variation distance
+    * `TVD = ½ Σ |frac_a − frac_b|` as a constant column. The monitoring
+    * primitive for "did this feed's distribution move?" — PSI without the
+    * logarithm, because TVD's arithmetic (exact-integer divisions, one
+    * subtraction, a DECIMAL-accumulated sum) is bit-identical across
+    * engines while `ln` is not ULP-stable and would break result-hash
+    * parity; the two statistics order drifts identically for
+    * equal-granularity grids.
+    *
+    * Degenerate guards: a constant column collapses to bin 0; a period
+    * with zero rows reports zero shares (not NaN). Values at the global
+    * max clamp into the last bin.
+    *
+    * Scale: two scans (one for the four global extremes, one for the
+    * binned counts — the stats row broadcasts), one partial-aggregated
+    * shuffle keyed by bin (≤ `bins` groups), then single-row broadcasts
+    * for totals and the TVD. No window over raw rows, nothing
+    * driver-side.
+    */
+  def driftReport(df: DataFrame, valueCol: String, tsCol: String,
+      bins: Int = 20): DataFrame = {
+    require(bins >= 1, "driftReport: bins must be >= 1")
+    val st = df.agg(
+      min(col(tsCol)).as("__tmin"), max(col(tsCol)).as("__tmax"),
+      min(col(valueCol)).as("__vmin"), max(col(valueCol)).as("__vmax"))
+    val j = df.select(col(valueCol).as("__v"), col(tsCol).as("__t"))
+      .crossJoin(broadcast(st))
+    // integer midpoint (ts columns are integral seconds/nanos); rows at
+    // exactly the midpoint belong to the later period
+    val period = when(col("__t") < expr("(__tmin + __tmax) div 2"), "a")
+      .otherwise("b")
+    // pinned float composition: ((v - vmin) / (vmax - vmin)) * bins —
+    // the oracle spells the same parenthesization
+    val bin = when(col("__vmax") === col("__vmin"), lit(0L))
+      .otherwise(least(lit(bins - 1L),
+        floor(((col("__v") - col("__vmin")) /
+          (col("__vmax") - col("__vmin"))) * lit(bins.toDouble))
+          .cast("long")))
+    val g = j.select(bin.as("bin"), period.as("__p"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("__p") === "a", 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("__p") === "b", 1L).otherwise(0L)).as("cnt_b"))
+    val tot = g.agg(sum(col("cnt_a")).as("__ta"), sum(col("cnt_b")).as("__tb"))
+    val g2 = g.crossJoin(broadcast(tot))
+    val fr = g2
+      .select(col("bin"), col("cnt_a"), col("cnt_b"),
+        when(col("__ta") > 0, col("cnt_a").cast(DoubleType) / col("__ta"))
+          .otherwise(lit(0.0)).as("frac_a"),
+        when(col("__tb") > 0, col("cnt_b").cast(DoubleType) / col("__tb"))
+          .otherwise(lit(0.0)).as("frac_b"))
+      .withColumn("abs_diff", abs(col("frac_a") - col("frac_b")))
+    // TVD over a common denominator: ½ Σ |cnt_a·tb − cnt_b·ta| / (ta·tb).
+    // The numerator is an EXACT integer sum (decimal-typed — the products
+    // overflow int64 on a 10¹²-row period), divided once at the end, so
+    // the statistic never sums doubles. Summing the per-bin abs_diff
+    // doubles instead would round each sub-1 term inside its significant
+    // digits when cast to a fixed decimal scale — the one place the two
+    // engines' double→decimal conventions can disagree by an ULP.
+    val dec = (c: Column) => c.cast(DecimalType(20, 0))
+    val tvd = g2.agg(
+        sum(abs(dec(col("cnt_a")) * dec(col("__tb")) -
+          dec(col("cnt_b")) * dec(col("__ta")))).as("__num"),
+        max(col("__ta")).as("__ta"), max(col("__tb")).as("__tb"))
+      .select(
+        when(col("__ta") > 0 && col("__tb") > 0,
+          ((col("__num").cast(DoubleType) / col("__ta")) / col("__tb")) *
+            lit(0.5))
+          .otherwise(lit(0.5)).as("tvd"))
+    fr.crossJoin(broadcast(tvd)).orderBy(col("bin"))
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.core.Stats
 import graft.operators.{Dedup, Sampling}
 
 /** Round-9 additions: substring-window dedup, temperature-scaled mixture
@@ -123,5 +124,51 @@ class Round9OpsSpec extends SparkSpec {
       assert(m.values.map(_._3).sum <= 1000000L)
       assert(math.abs(m.values.map(_._2).sum - 1.0) < 1e-12)
     }
+  }
+
+  // ---- driftReport -------------------------------------------------------
+
+  test("driftReport: hand-checked bins, shares, and TVD") {
+    // time range [0, 100], midpoint 50: rows at t<50 are period a.
+    // values span [0, 10]; 2 bins -> bin 0 = [0,5), bin 1 = [5,10].
+    // period a: values 0, 2, 8      -> bins 0,0,1
+    // period b: values 5, 10, 50->? (t=50 is period b), value 4 -> bin 0
+    val df = Seq(
+      (0L, 0.0), (10L, 2.0), (49L, 8.0),
+      (50L, 4.0), (80L, 5.0), (100L, 10.0)
+    ).toDF("t", "v")
+    val out = Stats.driftReport(df, "v", "t", bins = 2).collect()
+    assert(out.length === 2)
+    val b0 = out(0); val b1 = out(1)
+    assert((b0.getLong(0), b0.getLong(1), b0.getLong(2)) === ((0L, 2L, 1L)))
+    assert((b1.getLong(0), b1.getLong(1), b1.getLong(2)) === ((1L, 1L, 2L)))
+    assert(b0.getDouble(3) === 2.0 / 3) // frac_a bin 0
+    assert(b0.getDouble(4) === 1.0 / 3)
+    // TVD = 0.5 * (|2/3-1/3| + |1/3-2/3|) = 1/3; constant on every row
+    assert(math.abs(b0.getDouble(6) - 1.0 / 3) < 1e-15)
+    assert(b0.getDouble(6) === b1.getDouble(6))
+  }
+
+  test("driftReport: max value clamps into the last bin; constant column is bin 0") {
+    val df = Seq((0L, 1.0), (10L, 1.0), (100L, 1.0)).toDF("t", "v")
+    val out = Stats.driftReport(df, "v", "t", bins = 5).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 0L)
+    // identical distributions -> zero drift
+    assert(out(0).getDouble(6) === 0.0)
+    // clamp: v == vmax lands in bins-1, not bins
+    val df2 = Seq((0L, 0.0), (100L, 10.0)).toDF("t", "v")
+    val bins = Stats.driftReport(df2, "v", "t", bins = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(bins === Set(0L, 3L))
+  }
+
+  test("driftReport: empty period reports zero shares, not NaN") {
+    // tmin == tmax -> midpoint == t -> everything lands in period b
+    val df = Seq((5L, 1.0), (5L, 2.0)).toDF("t", "v")
+    val out = Stats.driftReport(df, "v", "t", bins = 2).collect()
+    assert(out.forall(_.getDouble(3) === 0.0)) // frac_a
+    assert(out.map(r => r.getLong(2)).sum === 2L)
+    assert(out.forall(r => !r.getDouble(6).isNaN))
   }
 }
