@@ -521,12 +521,14 @@ object Dedup {
     * same codegen stage as the explode, so `sampleMod` divides the
     * SHUFFLE volume (the real bottleneck; the paper's corpora tolerate
     * aggressive thinning because real duplicated runs are much longer
-    * than one window). Occurrence counts partial-aggregate map-side, so a
-    * viral window's million occurrences reduce before the shuffle; the
-    * join back to attribute verdicts is a sort-merge on the same
-    * uniform hash key (no broadcast — the duplicated-window set is
-    * unbounded); the per-document rollup is the only other shuffle.
-    * Nothing global, nothing driver-side.
+    * than one window). The corpus is scanned and exploded ONCE: the
+    * occurrence stream partial-aggregates map-side into `(hash, id)`
+    * rollup rows (a viral window's million within-document repeats
+    * collapse before the shuffle), per-hash totals come from one window
+    * over that rollup — the same rollup-then-window shape as the exact
+    * quantile family, sized by distinct (window, document) pairs, never
+    * raw occurrences — and the per-document rollup is the only other
+    * shuffle. No join, nothing global, nothing driver-side.
     */
   def windowDedup(docs: DataFrame, idCol: String, textCol: String,
       windowTokens: Int, sampleMod: Int = 1): DataFrame = {
@@ -542,11 +544,15 @@ object Dedup {
           s"p -> md5(array_join(slice(tk, p + 1, $k), ' ')))")).as("h"))
       .filter(expr("(locate(substring(h, 1, 1), '0123456789abcdef') - 1)" +
         s" % $sampleMod = 0"))
-    val counts = windows.groupBy(col("h")).agg(count(lit(1)).as("__c"))
-    val perDoc = windows.join(counts, "h")
+    val grouped = windows.groupBy(col("h"), col(idCol))
+      .agg(count(lit(1)).as("__c"))
+    val total = sum(col("__c"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h")))
+    val perDoc = grouped.withColumn("__tot", total)
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .agg(sum(col("__c")).as("n_windows"),
+        sum(when(col("__tot") > 1, col("__c")).otherwise(0L))
+          .as("n_dup_windows"))
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
