@@ -57,11 +57,9 @@ object Queries14 {
       |FROM d LEFT JOIN pd USING (doc_id)
       |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
     implicit val env: (SparkSession, String) = (s, dir)
-    val docs = t("documents")
-    val perDoc = Dedup.windowDedup(docs, "doc_id", "text",
-      windowTokens = 8, sampleMod = 2)
-    docs.select(col("doc_id"), col("source")).join(perDoc, "doc_id")
-      .groupBy(col("source"))
+    val perDoc = Dedup.windowDedup(t("documents"), "doc_id", "text",
+      windowTokens = 8, sampleMod = 2, keepCols = Seq("source"))
+    perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_windows")).as("n_windows"),
         sum(col("n_dup_windows")).as("n_dup_windows"))

@@ -531,7 +531,8 @@ object Dedup {
     * shuffle. No join, nothing global, nothing driver-side.
     */
   def windowDedup(docs: DataFrame, idCol: String, textCol: String,
-      windowTokens: Int, sampleMod: Int = 1): DataFrame = {
+      windowTokens: Int, sampleMod: Int = 1,
+      keepCols: Seq[String] = Nil): DataFrame = {
     val k = windowTokens
     require(k >= 1, "windowDedup: windowTokens must be >= 1")
     require(sampleMod >= 1 && 16 % sampleMod == 0,
@@ -553,10 +554,14 @@ object Dedup {
       .agg(sum(col("__c")).as("n_windows"),
         sum(when(col("__tot") > 1, col("__c")).otherwise(0L))
           .as("n_dup_windows"))
-    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
-      .select(col(idCol),
+    // completion join re-attaches zero-window docs; `keepCols` ride along
+    // so callers grouping the report (per source/lang) don't need a
+    // second scan of the corpus
+    docs.select((idCol +: keepCols).map(col): _*)
+      .join(perDoc, Seq(idCol), "left")
+      .select((idCol +: keepCols).map(col) ++ Seq(
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
-        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows")): _*)
       .withColumn("dup_frac",
         when(col("n_windows") > 0,
           col("n_dup_windows").cast("double") / col("n_windows"))

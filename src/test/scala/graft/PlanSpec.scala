@@ -304,4 +304,37 @@ class PlanSpec extends SparkSpec {
       "exact distincts must come from the (col,value) rollup, not multi-distinct Expand")
     assert(!p.contains("l_orderkey"), "unprofiled columns must be pruned")
   }
+
+  test("window dedup: ONE corpus scan, totals window over the (hash,id) rollup, no join (q129)") {
+    val p = plan("q129_window_dedup")
+    // windows must not be materialized twice: the per-source report joins
+    // documents once, so at most 2 scans (window stream + source lookup)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"expected one exploded scan + source lookup, saw $scans")
+    // the per-hash totals window sits on a HashAggregate rollup
+    assert(p.contains("Window") && p.contains("HashAggregate"),
+      "totals must come from a window over the rollup")
+    assert(!p.contains("NestedLoop"), "no cartesian anywhere")
+  }
+
+  test("mixture weights: denominator rides a one-row broadcast (q130)") {
+    val p = plan("q130_mixture_weights")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "the scalar denominator must broadcast")
+    // one aggregation over the group key feeds everything: exactly one
+    // scan of documents per branch is acceptable, but no shuffle join
+    assert(!p.contains("SortMergeJoin"), "no shuffle join for a scalar")
+  }
+
+  test("drift report: binned counts partial-aggregate; extremes and totals broadcast (q131)") {
+    val p = plan("q131_drift_report")
+    assert(!p.contains("SortMergeJoin"),
+      "scalar stats must broadcast, never shuffle-join")
+    assert(!p.contains("Window "),
+      "no window anywhere — totals come from broadcast aggregates")
+    // the bin rollup partial-aggregates before its exchange
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      "binned counts must partial-aggregate map-side")
+  }
 }
