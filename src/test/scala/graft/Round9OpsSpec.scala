@@ -89,6 +89,34 @@ class Round9OpsSpec extends SparkSpec {
     assert(n(2) <= n(1))
   }
 
+  test("windowDedup matches a brute-force reference on seeded corpora") {
+    for (seed <- Seq(11, 42, 77)) {
+      val rnd = new scala.util.Random(seed)
+      // small vocab + short docs -> plenty of genuine window collisions
+      val corpus = (1L to 40L).map { id =>
+        val n = 4 + rnd.nextInt(12)
+        (id, (1 to n).map(_ => s"w${rnd.nextInt(9)}").mkString(" "))
+      }
+      val k = 3
+      // reference: every doc's sliding k-windows, global multiset count
+      val wins = corpus.map { case (id, text) =>
+        id -> text.split(" ").sliding(k).filter(_.length == k)
+          .map(_.mkString(" ")).toSeq
+      }.toMap
+      val global = wins.values.flatten
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val expected = corpus.map { case (id, _) =>
+        val w = wins(id)
+        (id, w.size.toLong, w.count(global(_) > 1).toLong)
+      }.sortBy(_._1)
+      val got = Dedup.windowDedup(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", k)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
   // ---- mixtureWeights ----------------------------------------------------
 
   private def mixDocs = Seq(
