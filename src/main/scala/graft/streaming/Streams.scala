@@ -339,6 +339,56 @@ object Streams {
       .select(col("window.start").cast(LongType).as("time_bucket"),
         col("n_distinct"))
 
+  /** Streaming distribution-drift monitor: the live twin of
+    * [[graft.core.Stats.driftReport]]. Each event-time window's values
+    * are binned onto a FIXED equal-width grid (`vmin`/`vmax`/`bins` come
+    * from a batch profile — a stream cannot know its global extremes, and
+    * drift must be read off a stable grid anyway) inside ONE watermarked
+    * aggregation that builds the whole bin vector as `bins` conditional
+    * sums — streaming forbids a second aggregation over a per-(window,
+    * bin) rollup, and the vector form keeps state at one fixed-width row
+    * per window. The total-variation distance against the `baseline` bin
+    * shares (broadcast as plan literals) is then a pure projection:
+    * `TVD = ½ Σ |cnt_i/n − baseline_i|`, evaluated in one fixed fold
+    * order, so live and batch-backfill reports agree bit-for-bit for the
+    * same rows (spec).
+    *
+    * Output per closed window: `(time_bucket, n, tvd, bin_counts)`.
+    */
+  def streamingDrift(
+      events: DataFrame, // (tsCol, valueCol)
+      tsCol: String,
+      valueCol: String,
+      bucketSecs: Long,
+      vmin: Double,
+      vmax: Double,
+      baseline: Seq[Double],
+      watermark: String = "10 minutes"): DataFrame = {
+    val bins = baseline.size
+    require(bins >= 1, "streamingDrift: baseline must have >= 1 bins")
+    require(vmax > vmin, "streamingDrift: vmax must exceed vmin")
+    val bin = least(lit(bins - 1L),
+      floor(((col(valueCol) - lit(vmin)) / (lit(vmax) - lit(vmin))) *
+        lit(bins.toDouble)).cast(LongType))
+    val counts = (0 until bins).map(i =>
+      sum(when(col("__bin") === i, 1L).otherwise(0L)).as(s"__c$i"))
+    val n = (0 until bins).map(i => col(s"__c$i")).reduce(_ + _)
+    val tvd = (0 until bins).map { i =>
+      abs(when(col("n") > 0, col(s"__c$i").cast("double") / col("n"))
+        .otherwise(lit(0.0)) - lit(baseline(i)))
+    }.reduce(_ + _) * lit(0.5)
+    events
+      .withColumn("__ts", timestamp_seconds(col(tsCol).cast(LongType)))
+      .withColumn("__bin", bin)
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), s"$bucketSecs seconds"))
+      .agg(counts.head, counts.tail: _*)
+      .withColumn("n", n)
+      .select(col("window.start").cast(LongType).as("time_bucket"),
+        col("n"), tvd.as("tvd"),
+        array((0 until bins).map(i => col(s"__c$i")): _*).as("bin_counts"))
+  }
+
   /** Streaming digest loop: drain a JSON-lines directory into a GraftTable
     * with `Trigger.AvailableNow` — the reference's `sybil digest` cycle
     * (table_ingest.go:287-331) as an incremental job with checkpointed

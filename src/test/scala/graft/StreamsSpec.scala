@@ -313,6 +313,47 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming drift TVD equals the batch formula across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val base = 1700000400L // multiple of 600: windows align with the data
+    // two windows; the second skews high vs the uniform baseline
+    val rows = (0 until 200).map(i => (base + i * 3, (i % 10).toDouble)) ++
+      (0 until 100).map(i => (base + 600 + i * 3, 8.0 + (i % 2)))
+    mem.addData(rows.take(120): _*)
+    val baseline = Seq.fill(5)(0.2) // uniform over 5 bins
+    val streamDf = mem.toDF().toDF("ts_sec", "v")
+    val out = Streams.streamingDrift(streamDf, "ts_sec", "v", 600,
+      vmin = 0.0, vmax = 10.0, baseline = baseline)
+    val q = out.writeStream.format("memory").queryName("sdrift")
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable()
+    mem.addData(rows.drop(120): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sdrift")
+      .groupBy("time_bucket").agg(max("n").as("n"), max("tvd").as("tvd"))
+      .orderBy("time_bucket").collect()
+    // batch reference: same fixed grid, same fold order
+    def refTvd(vs: Seq[Double]): Double = {
+      val cnt = Array.fill(5)(0L)
+      vs.foreach { v =>
+        cnt(math.min(4, math.floor(((v - 0.0) / 10.0) * 5.0).toInt)) += 1
+      }
+      (0 until 5).map(i => math.abs(cnt(i).toDouble / vs.size - 0.2))
+        .foldLeft(0.0)(_ + _) * 0.5
+    }
+    val byWin = rows.groupBy(r => r._1 / 600 * 600).toSeq.sortBy(_._1)
+    assert(streamed.length === byWin.length)
+    for ((row, (_, wrows)) <- streamed.zip(byWin)) {
+      assert(row.getLong(1) === wrows.length.toLong)
+      assert(row.getDouble(2) === refTvd(wrows.map(_._2)))
+    }
+    // window 1 is exactly uniform -> zero drift; window 2 skews high
+    assert(streamed(0).getDouble(2) === 0.0)
+    assert(streamed(1).getDouble(2) > 0.5)
+  }
+
   test("streaming CMS matrices equal the batch sketch (state-store merge parity)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
