@@ -149,6 +149,80 @@ object Queries14 {
     Stats.driftReport(t("events"), "value", "ts_sec", bins = 20)
   }
 
+  /** Mixture DRAW ([[Sampling.mixtureWeights]] composed with the
+    * [[Sampling.hashBucket]] membership predicate): q130's α = ¾ weights
+    * become per-source basis-point keep thresholds
+    * (`⌊(target/tokens)·10⁴⌋`, capped at 100%), the sample is drawn by
+    * the engine-portable md5 bucket, and the Horvitz-Thompson token
+    * estimate lands next to the target — the end-to-end "compute the
+    * mixture, then actually draw it" pipeline with its own calibration
+    * readout. Every float step is the q130/q127 composition already
+    * proven bit-stable (sqrt-composed power, DECIMAL denominator, pinned
+    * multiply/divide order, exact-int HT scaling). */
+  val q132MixtureDraw: (String, QueryDef) = q(
+    "q132_mixture_draw",
+    """WITH g AS (
+      |  SELECT source,
+      |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+      |      AS tokens
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT *, SQRT(SQRT(CAST(tokens AS DOUBLE))) *
+      |    SQRT(CAST(tokens AS DOUBLE)) AS wr FROM g),
+      |d AS (
+      |  SELECT CAST(SUM(CAST(wr AS DECIMAL(38,18))) AS DOUBLE) AS den
+      |  FROM w),
+      |th AS (
+      |  SELECT source,
+      |    CAST(FLOOR((wr / den) * 10000.0) AS BIGINT) AS target_tokens,
+      |    LEAST(CAST(10000 AS BIGINT),
+      |      CAST(FLOOR((((wr / den) * 10000.0) / CAST(tokens AS DOUBLE))
+      |        * 10000.0) AS BIGINT)) AS bp
+      |  FROM w CROSS JOIN d),
+      |s AS (
+      |  SELECT d2.source, th.bp, th.target_tokens,
+      |    CAST(len(string_split(d2.text, ' ')) AS BIGINT) AS tok,
+      |    CAST('0x' || substring(md5('mix2' || CAST(d2.doc_id AS VARCHAR)),
+      |      1, 8) AS BIGINT) % 10000 AS bucket
+      |  FROM documents d2 JOIN th ON d2.source = th.source)
+      |SELECT source, MAX(bp) AS bp, MAX(target_tokens) AS target_tokens,
+      |  CAST(SUM(CASE WHEN bucket < bp THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_sampled,
+      |  CAST(SUM(CASE WHEN bucket < bp THEN tok ELSE 0 END) AS BIGINT)
+      |    AS sampled_tokens,
+      |  CASE WHEN MAX(bp) > 0 THEN
+      |    (CAST(SUM(CASE WHEN bucket < bp THEN tok ELSE 0 END) AS DOUBLE)
+      |      * 10000.0) / MAX(bp)
+      |  ELSE 0.0 END AS est_tokens
+      |FROM s GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val docs = t("documents")
+    val budget = 10000L
+    val mw = Sampling.mixtureWeights(docs, "source",
+      size(split(col("text"), " ")), budget, temperatureQuarters = 3)
+    val th = mw.select(col("source"), col("target_tokens"),
+      least(lit(10000L),
+        floor(((col("weight") * lit(budget.toDouble)) /
+          col("tokens").cast("double")) * lit(10000.0)).cast("long"))
+        .as("bp"))
+    docs.select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .join(broadcast(th), "source")
+      .withColumn("bucket", Sampling.hashBucket(col("doc_id"), "mix2"))
+      .groupBy(col("source"))
+      .agg(max(col("bp")).as("bp"),
+        max(col("target_tokens")).as("target_tokens"),
+        sum(when(col("bucket") < col("bp"), 1L).otherwise(0L))
+          .as("n_sampled"),
+        sum(when(col("bucket") < col("bp"), col("tok")).otherwise(0L))
+          .as("sampled_tokens"))
+      .withColumn("est_tokens",
+        when(col("bp") > 0,
+          (col("sampled_tokens").cast("double") * lit(10000.0)) / col("bp"))
+          .otherwise(lit(0.0)))
+      .orderBy(col("source"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
-    Seq(q129WindowDedup, q130MixtureWeights, q131DriftReport)
+    Seq(q129WindowDedup, q130MixtureWeights, q131DriftReport, q132MixtureDraw)
 }
