@@ -192,62 +192,60 @@ class GraftTable(spark: SparkSession, root: String) {
     * extreme > 1000 sigma from the merged mean is ignored unless every
     * segment is an outlier). Pure driver-side arithmetic — no jobs. */
   private def derive(registry: Seq[ColumnInfo], segments: Seq[SegmentInfo]): TableInfo = {
-    val byCol = segments.flatMap(_.stats).groupBy(_.name)
+    val byCol = segments.flatMap(seg => seg.stats.map(st => (seg.kind, st)))
+      .groupBy(_._2.name)
     val cols = registry.map { c =>
       byCol.get(c.name) match {
         case None => c.copy(min = None, max = None)
         case Some(ss) =>
-          val totCnt = ss.map(_.cnt).sum
-          val totSum = ss.map(_.sum).sum
-          val totSq = ss.map(_.sumsq).sum
+          val totCnt = ss.map(_._2.cnt).sum
+          val totSum = ss.map(_._2.sum).sum
+          val totSq = ss.map(_._2.sumsq).sum
           // outlier-resistant extent (table_column_info.go:72-131): a
           // segment extreme > 1000 sigma from the REST of the data's mean
           // does not widen the table extents. Leave-one-out, so a corrupt
-          // segment cannot inflate sigma enough to admit itself.
-          def admissible(s: ColStat, v: Long, isMin: Boolean): Boolean = {
+          // segment cannot inflate sigma enough to admit itself. When the
+          // counter-evidence is too thin for a sigma test (rest <= 100
+          // rows or sigma = 0), admission depends on where the extreme
+          // came from: a "log" segment is FRESH evidence and admits
+          // freely (the reference also skips the cutoff at small counts),
+          // but a "block" segment is digest-RECYCLED rows the table has
+          // already arbitrated — there the PERSISTED registry extents
+          // stand, so an extreme the table once rejected cannot launder
+          // itself back in via compaction folding the table into one
+          // segment (where rest is always empty). The reference's IntInfo
+          // record is one-way too. Segment stats themselves stay RAW:
+          // trim-by-age and zone-map block skipping need sound per-block
+          // bounds, so the rejection lives only in the table-level record.
+          def admissible(kind: String, s: ColStat, v: Long, isMin: Boolean): Boolean = {
             val cnt = totCnt - s.cnt
-            if (cnt <= 100) return true
+            def thinVerdict: Boolean =
+              kind != "block" ||
+                (if (isMin) c.min.forall(v >= _) else c.max.forall(v <= _))
+            if (cnt <= 100) return thinVerdict
             val mean = (totSum - s.sum) / cnt
             val variance = math.max(0.0, (totSq - s.sumsq) / cnt - mean * mean)
             val sigma = math.sqrt(variance)
-            if (sigma <= 0) return true
+            if (sigma <= 0) return thinVerdict
             if (isMin) v.toDouble >= mean - StdCutoff * sigma
             else v.toDouble <= mean + StdCutoff * sigma
           }
-          val mins = ss.flatMap(s => s.min.map(v => (s, v)))
-          val maxs = ss.flatMap(s => s.max.map(v => (s, v)))
-          val okMins = mins.filter { case (s, v) => admissible(s, v, isMin = true) }
-          val okMaxs = maxs.filter { case (s, v) => admissible(s, v, isMin = false) }
+          val mins = ss.flatMap { case (k, s) => s.min.map(v => (k, s, v)) }
+          val maxs = ss.flatMap { case (k, s) => s.max.map(v => (k, s, v)) }
+          val okMins = mins.filter { case (k, s, v) => admissible(k, s, v, isMin = true) }
+          val okMaxs = maxs.filter { case (k, s, v) => admissible(k, s, v, isMin = false) }
+          // Every candidate rejected: the persisted record (if any) stands —
+          // this is exactly the post-compaction case where the lone merged
+          // segment's raw extreme was rejected against the record. Raw
+          // extents are the fallback only when there is no record to stand.
           c.copy(
-            min = (if (okMins.nonEmpty) okMins else mins).map(_._2).minOption,
-            max = (if (okMaxs.nonEmpty) okMaxs else maxs).map(_._2).maxOption)
+            min = okMins.map(_._3).minOption
+              .orElse(if (mins.nonEmpty) c.min.orElse(mins.map(_._3).minOption) else None),
+            max = okMaxs.map(_._3).maxOption
+              .orElse(if (maxs.nonEmpty) c.max.orElse(maxs.map(_._3).maxOption) else None))
       }
     }
     TableInfo(segments.map(_.rows).sum, cols, segments)
-  }
-
-  /** Clamp a freshly-scanned MERGED segment's recorded extents to the
-    * pre-merge table-level (outlier-resistant) extents. Without this,
-    * compaction launders a rejected extreme into the stats: the 1000σ
-    * guard is leave-one-out across segments, but a digest that folds the
-    * corrupt segment into one merged block re-scans it as a single
-    * segment whose raw min/max then stand unopposed. The reference never
-    * re-admits a rejected extreme either — its IntInfo update is one-way
-    * (table_column_info.go:72-131). The value itself stays in the block;
-    * only the recorded extents (which drive hist bucket layouts and
-    * block skipping) exclude it. Moments (cnt/sum/sumsq) stay raw, like
-    * the reference's Welford update which includes outliers.
-    */
-  private def clampSegStats(seg: SegmentInfo, table: Seq[ColumnInfo]): SegmentInfo = {
-    val byName = table.map(c => c.name -> c).toMap
-    seg.copy(stats = seg.stats.map { s =>
-      byName.get(s.name) match {
-        case Some(ci) => s.copy(
-          min = s.min.map(v => ci.min.map(t => math.max(v, t)).getOrElse(v)),
-          max = s.max.map(v => ci.max.map(t => math.min(v, t)).getOrElse(v)))
-        case None => s
-      }
-    })
   }
 
   /** Update the column registry with any new columns from a batch. */
@@ -658,8 +656,7 @@ class GraftTable(spark: SparkSession, root: String) {
     writeDigestJournal(blockId, consumedIds.toSeq,
       logs.map(_.getFileName.toString))
     Files.move(tmp, blocksP.resolve(blockId), StandardCopyOption.ATOMIC_MOVE)
-    val seg = clampSegStats(segmentStats(blocksP.resolve(blockId), "block"),
-      i.columns)
+    val seg = segmentStats(blocksP.resolve(blockId), "block")
     logs.foreach(deleteRecursively)
     consumedBlocks.foreach(deleteRecursively)
     dropCachedPartials(consumedIds.toSeq)
@@ -720,8 +717,7 @@ class GraftTable(spark: SparkSession, root: String) {
       val blockId = java.util.UUID.randomUUID().toString
       writeDigestJournal(blockId, consumed, Nil)
       Files.move(tmp, blocksP.resolve(blockId), StandardCopyOption.ATOMIC_MOVE)
-      val seg = clampSegStats(segmentStats(blocksP.resolve(blockId), "block"),
-        i.columns)
+      val seg = segmentStats(blocksP.resolve(blockId), "block")
       consumed.map(blocksP.resolve).foreach(deleteRecursively)
       dropCachedPartials(consumed)
       val kept = i.segments.filterNot(s => s.kind == "block")
