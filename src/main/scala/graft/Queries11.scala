@@ -90,7 +90,8 @@ object Queries11 {
       |FROM cum WHERE cm * 2 >= n GROUP BY source ORDER BY source""".stripMargin) {
     (s, dir) =>
       implicit val env: (SparkSession, String) = (s, dir)
-      Stats.groupedMedian(t("documents"), "source", "n_chars")
+      Stats.groupedMedian(t("documents"), "source", "n_chars",
+          distributedCum = Some(false))
         .orderBy(col("source"))
   }
 

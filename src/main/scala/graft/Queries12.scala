@@ -539,7 +539,7 @@ object Queries12 {
       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     implicit val env: (SparkSession, String) = (s, dir)
     graft.core.Stats.groupedWeightedMedian(t("lineitem"), "l_returnflag",
-        "l_extendedprice", "l_quantity")
+        "l_extendedprice", "l_quantity", distributedCum = Some(false))
       .orderBy(col("l_returnflag"))
   }
 

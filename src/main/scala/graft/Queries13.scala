@@ -132,7 +132,8 @@ object Queries13 {
       |FROM dev JOIN mad ON dev.grp = mad.grp
       |GROUP BY dev.grp ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     implicit val env: (SparkSession, String) = (s, dir)
-    Stats.madOutliers(t("lineitem"), "l_returnflag", "l_extendedprice", k = 3.0)
+    Stats.madOutliers(t("lineitem"), "l_returnflag", "l_extendedprice",
+        k = 3.0, distributedCum = Some(false))
       .orderBy(col("l_returnflag"))
   }
 
@@ -289,7 +290,8 @@ object Queries13 {
        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin) {
     (s, dir) =>
       implicit val env: (SparkSession, String) = (s, dir)
-      Stats.winsorize(t("lineitem"), "l_returnflag", "l_extendedprice")
+      Stats.winsorize(t("lineitem"), "l_returnflag", "l_extendedprice",
+          distributedCum = Some(false))
         .orderBy(col("l_returnflag"))
   }
 
@@ -312,7 +314,8 @@ object Queries13 {
       |FROM cum GROUP BY 1, 2
       |ORDER BY l_returnflag, bucket""".stripMargin) { (s, dir) =>
     implicit val env: (SparkSession, String) = (s, dir)
-    Stats.equidepthHist(t("lineitem"), "l_returnflag", "l_quantity", 8)
+    Stats.equidepthHist(t("lineitem"), "l_returnflag", "l_quantity", 8,
+        distributedCum = Some(false))
       .orderBy(col("l_returnflag"), col("bucket"))
   }
 
@@ -715,7 +718,8 @@ object Queries13 {
     val hist = SybilQuery().groupBy("event_type").aggregate("user_id")
       .withOp(AggOp.HistOp).limitTo(100).run(ev)
       .selectExpr("event_type", "user_id_hist.percentiles[50] AS hist_p50")
-    val exact = Stats.groupedMedian(ev, "event_type", "user_id")
+    val exact = Stats.groupedMedian(ev, "event_type", "user_id",
+        distributedCum = Some(false))
       .select(col("event_type"), col("median").as("exact_p50"))
     val par = ev.agg(greatest(lit(1L),
       expr("(CAST(MAX(user_id) - MIN(user_id) AS BIGINT) + 999) DIV 1000"))

@@ -139,9 +139,11 @@ object Queries14 {
       |  FROM g CROSS JOIN tot),
       |f2 AS (SELECT *, ABS(frac_a - frac_b) AS abs_diff FROM fr),
       |tvd AS (
-      |  SELECT ((CAST(SUM(ABS(CAST(cnt_a AS HUGEINT) * tb -
-      |                        CAST(cnt_b AS HUGEINT) * ta)) AS DOUBLE)
-      |    / MAX(ta)) / MAX(tb)) * 0.5 AS tvd
+      |  SELECT CASE WHEN MAX(ta) > 0 AND MAX(tb) > 0 THEN
+      |      ((CAST(SUM(ABS(CAST(cnt_a AS HUGEINT) * tb -
+      |                     CAST(cnt_b AS HUGEINT) * ta)) AS DOUBLE)
+      |        / MAX(ta)) / MAX(tb)) * 0.5
+      |    ELSE 0.5 END AS tvd
       |  FROM g CROSS JOIN tot)
       |SELECT bin, cnt_a, cnt_b, frac_a, frac_b, abs_diff, tvd
       |FROM f2 CROSS JOIN tvd ORDER BY bin""".stripMargin) { (s, dir) =>

@@ -103,7 +103,12 @@ object Stats {
     val aggs = Seq(
       d(x, sc).as("sx"), d(y, sc).as("sy"),
       d(x * y, sc2).as("sxy"), d(x * x, sc2).as("sxx")) ++
-      (if (exact) Seq(sum(when(x =!= floor(x) || y =!= floor(y), 1L)
+      // NULLs are violations too, not just fractions: `x =!= floor(x)`
+      // is NULL for a NULL input and would slip to otherwise(0), yet
+      // n = count(*) counts the row while the sums skip it — exactly the
+      // plausible-but-wrong numerators the guard exists to prevent
+      (if (exact) Seq(sum(when(x.isNull || y.isNull ||
+        x =!= floor(x) || y =!= floor(y), 1L)
         .otherwise(0L)).as("__nonint"))
        else Nil)
     val m = df.groupBy(col(groupCol))
@@ -117,8 +122,9 @@ object Stats {
       if (!exact) col("n")
       else coalesce(
         assert_true(col("__nonint") === 0, lit(
-          s"groupedTrend(exact=true) requires integer-valued $xCol/$yCol:" +
-            " scale-0 exact sums truncate fractional inputs")).cast("long"),
+          s"groupedTrend(exact=true) requires non-null integer-valued " +
+            s"$xCol/$yCol: scale-0 exact sums truncate fractions, and " +
+            "null rows would count in n but not in the moments")).cast("long"),
         col("n")).as("n")
     if (exact)
       // integer-valued inputs make slope/intercept RATIONALS whose
@@ -223,6 +229,40 @@ object Stats {
       vCol: String, distributed: Boolean = false): DataFrame =
     withGroupedCumSumResolved(in, groupCol, vCol, distributed)
 
+  /** Bounded registry for the plan-cache entries the rollup probes create
+    * ([[resolveCum]]'s shared-scan persist, [[madOutliers]]'s deviation
+    * rollup). Identical plans dedup inside Spark's CacheManager, but
+    * DISTINCT queries would otherwise accumulate MEMORY_AND_DISK entries
+    * for the session's lifetime; this FIFO unpersists the oldest once
+    * more than `spark.graft.cache.maxPlans` (default 8) are live.
+    * Eviction is correctness-free — an evicted entry still referenced by
+    * an unexecuted plan simply recomputes on use — and a re-registered
+    * plan (same canonicalized form) refreshes its slot instead of
+    * double-entering, so one hot query cannot evict itself.
+    */
+  private[graft] object PlanCache {
+    private val live = scala.collection.mutable.ArrayDeque
+      .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
+    private[graft] def size: Int = synchronized(live.size)
+    def register(df: DataFrame): DataFrame = synchronized {
+      val key = df.queryExecution.logical.canonicalized
+      val idx = live.indexWhere(_._1 == key)
+      if (idx >= 0) {
+        // already a live cache entry: CacheManager substitutes it into
+        // THIS plan at execution time, so no second persist call needed
+        val e = live.remove(idx); live.append(e); df
+      } else {
+        val cached = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        live.append((key, cached))
+        val cap = df.sparkSession.conf.getOption("spark.graft.cache.maxPlans")
+          .map(_.toInt).getOrElse(8)
+        while (live.size > cap) live.removeHead()._2.unpersist(blocking = false)
+        cached
+      }
+    }
+  }
+
   /** Auto-selection for the serial-vs-distributed cumulative sum
     * (the sybil analog: bucket-vs-flat encoding picked by cardinality,
     * column_store_io.go:17-38). `choice = None` probes the rollup's max
@@ -254,10 +294,9 @@ object Stats {
       if (inputBytes < BigInt(probeMin)) return (rollup, false)
       val threshold = conf.getOption("spark.graft.cum.serialMaxDistinct")
         .map(_.toLong).getOrElse(4000000L)
-      // MEMORY_AND_DISK: identical plans dedup in the CacheManager, so
-      // repeated runs of the same query reuse one entry rather than leak
-      val cached = rollup.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // MEMORY_AND_DISK via the bounded [[PlanCache]]: identical plans
+      // dedup in the CacheManager, distinct ones rotate out FIFO
+      val cached = PlanCache.register(rollup)
       val maxDistinct = cached.groupBy(col(groupCol))
         .agg(count(lit(1)).as("__d")).agg(max(col("__d"))).collect()
         .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
@@ -364,14 +403,14 @@ object Stats {
         .agg(min(col(vCol)).as(out))
     val med = lowerMedian(g, valueCol, "median")
     // deviations of DISTINCT values, re-merged (v and 2·med−v collide);
-    // persisted like g — it too has two consumers (mad + final agg), and
-    // it is bounded by the distinct-value count
-    val devG = g.join(broadcast(med), groupCol)
+    // cached like g — it too has two consumers (mad + final agg), is
+    // bounded by the distinct-value count, and rotates out of the
+    // bounded [[PlanCache]] instead of leaking per query
+    val devG = PlanCache.register(g.join(broadcast(med), groupCol)
       .select(col(groupCol), abs(col(valueCol) - col("median")).as("__dev"),
         col("median"), col("__c"))
       .groupBy(col(groupCol), col("__dev"))
-      .agg(max(col("median")).as("median"), sum(col("__c")).as("__c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg(max(col("median")).as("median"), sum(col("__c")).as("__c")))
     val mad = lowerMedian(devG, "__dev", "mad")
     devG.join(broadcast(mad), groupCol)
       .groupBy(col(groupCol))
@@ -417,9 +456,10 @@ object Stats {
     * |groups| rows.
     */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
-      loNum: Int = 5, hiNum: Int = 95, den: Int = 100): DataFrame = {
+      loNum: Int = 5, hiNum: Int = 95, den: Int = 100,
+      distributedCum: Option[Boolean] = None): DataFrame = {
     val th = lowerQuantiles(df, groupCol, valueCol,
-      Seq(("p_lo", loNum, den), ("p_hi", hiNum, den)))
+      Seq(("p_lo", loNum, den), ("p_hi", hiNum, den)), distributedCum)
     def dsum(c: Column) = call_function("graft_dsum", c, lit(4))
     df.join(broadcast(th), groupCol)
       .withColumn("__clip",

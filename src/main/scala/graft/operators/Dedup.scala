@@ -245,20 +245,27 @@ object Dedup {
     var prevSum = checksum(labels)
     var iter = 1
     var converged = false
-    while (!converged && iter < maxIter) {
-      // each node adopts min(own label, labels seen from its neighbors)
-      val fromNbrs = pinnedEdges
-        .join(labels.select(col("id").as("src"), col("cluster_id")), "src")
-        .select(col("dst").as("id"), col("cluster_id"))
-      labels = graft.core.Checkpoints.pin(
-        labels.select(col("id"), col("cluster_id"))
-          .union(fromNbrs)
-          .groupBy("id").agg(min("cluster_id").as("cluster_id")))
-      val s = checksum(labels)
-      converged = s == prevSum
-      prevSum = s
-      iter += 1
-    }
+    try {
+      while (!converged && iter < maxIter) {
+        // each node adopts min(own label, labels seen from its neighbors)
+        val fromNbrs = pinnedEdges
+          .join(labels.select(col("id").as("src"), col("cluster_id")), "src")
+          .select(col("dst").as("id"), col("cluster_id"))
+        val next = graft.core.Checkpoints.pin(
+          labels.select(col("id"), col("cluster_id"))
+            .union(fromNbrs)
+            .groupBy("id").agg(min("cluster_id").as("cluster_id")))
+        // the old front is superseded the moment the new pin materializes
+        // (pin is eager): release it, or the checkpoint dir / block store
+        // grows by one full label copy per iteration
+        graft.core.Checkpoints.release(labels)
+        labels = next
+        val s = checksum(labels)
+        converged = s == prevSum
+        prevSum = s
+        iter += 1
+      }
+    } finally graft.core.Checkpoints.release(pinnedEdges)
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter iterations")
     labels

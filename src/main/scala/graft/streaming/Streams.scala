@@ -367,9 +367,13 @@ object Streams {
     val bins = baseline.size
     require(bins >= 1, "streamingDrift: baseline must have >= 1 bins")
     require(vmax > vmin, "streamingDrift: vmax must exceed vmin")
-    val bin = least(lit(bins - 1L),
+    // clamp BOTH ends of the profiled grid: live values can fall outside
+    // the batch profile's [vmin, vmax] in either direction, and a negative
+    // bin would match no count column — below-range rows (downward drift,
+    // the monitor's main quarry) would silently vanish from n and the TVD
+    val bin = greatest(lit(0L), least(lit(bins - 1L),
       floor(((col(valueCol) - lit(vmin)) / (lit(vmax) - lit(vmin))) *
-        lit(bins.toDouble)).cast(LongType))
+        lit(bins.toDouble)).cast(LongType)))
     val counts = (0 until bins).map(i =>
       sum(when(col("__bin") === i, 1L).otherwise(0L)).as(s"__c$i"))
     val n = (0 until bins).map(i => col(s"__c$i")).reduce(_ + _)

@@ -61,6 +61,36 @@ class CheckpointSpec extends SparkSpec {
     assert(nFiles(ckptDir) > before)
   }
 
+  test("connectedComponents: superseded iteration checkpoints are deleted") {
+    // a 5-node chain needs several label rounds; every superseded front
+    // (and the pinned edge list) must release its rdd-N dir — only the
+    // FINAL labels' checkpoint may remain on disk
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("d1", "d2")
+    def rddDirs(dir: Path): Set[String] =
+      if (!Files.isDirectory(dir)) Set.empty
+      else Files.walk(dir).iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("rdd-"))
+        .map(_.toString).toSet
+    val before = rddDirs(ckptDir)
+    val out = withReliable {
+      Dedup.connectedComponents(pairs).collect()
+    }
+    assert(out.forall(_.getLong(1) == 1L)) // one chain, min-id root
+    val added = rddDirs(ckptDir) -- before
+    assert(added.size <= 1,
+      s"only the final label front may keep its checkpoint (got $added)")
+  }
+
+  test("connectedComponents: local flavor releases superseded blocks") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("d1", "d2")
+    Dedup.connectedComponents(pairs).collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"superseded localCheckpoint blocks must unpersist (delta ${after - before})")
+  }
+
   test("without the option, pin stays executor-local (no files written)") {
     val before = nFiles(ckptDir)
     val df = (1 to 100).map(i => (i % 5, i.toLong)).toDF("k", "id")

@@ -345,6 +345,40 @@ class Round8OpsSpec extends SparkSpec {
     assert(Stats.groupedTrend(frac, "grp", "x", "y").count() == 1)
   }
 
+  test("probe/deviation cache entries are bounded, not per-query leaks") {
+    // every distinct auto-mode query persists its rollup (and madOutliers
+    // its deviation rollup); the PlanCache FIFO must rotate old entries
+    // out instead of accumulating MEMORY_AND_DISK entries for the
+    // session's lifetime
+    spark.conf.set("spark.graft.cum.probeMinInputBytes", "0")
+    spark.conf.set("spark.graft.cache.maxPlans", "4")
+    try {
+      for (i <- 0 until 10) { // 10 distinct plans -> 20 registrations
+        val df = (0 until 200).map(j => (s"g${j % 3}", (j % (17 + i)).toDouble))
+          .toDF("grp", "v")
+        Stats.madOutliers(df, "grp", "v").collect()
+      }
+      assert(Stats.PlanCache.size <= 4,
+        s"plan cache must stay bounded (got ${Stats.PlanCache.size})")
+    } finally {
+      spark.conf.unset("spark.graft.cum.probeMinInputBytes")
+      spark.conf.unset("spark.graft.cache.maxPlans")
+    }
+  }
+
+  test("groupedTrend: exact mode rejects NULL inputs loudly too") {
+    // a NULL y is NULL in `y =!= floor(y)` and would slip past a
+    // fraction-only guard into otherwise(0); but n = count(*) counts the
+    // row while the sums skip it -> silently wrong exact numerators
+    val rows = Seq(("g", Some(1.0), Some(2.0)), ("g", Some(2.0), None))
+    val withNull = rows.toDF("grp", "x", "y")
+    val ex = intercept[Exception] {
+      Stats.groupedTrend(withNull, "grp", "x", "y", exact = true).collect()
+    }
+    assert(ex.getMessage.contains("non-null") ||
+      Option(ex.getCause).exists(_.getMessage.contains("non-null")))
+  }
+
   // ---- topPaths ----------------------------------------------------------
 
   test("topPaths: k-step runs stay within a user and count exactly") {

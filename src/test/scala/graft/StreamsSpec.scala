@@ -317,9 +317,13 @@ class StreamsSpec extends SparkSpec {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
     val base = 1700000400L // multiple of 600: windows align with the data
-    // two windows; the second skews high vs the uniform baseline
+    // three windows: the second skews high vs the uniform baseline; the
+    // third drifts BELOW the profiled vmin (and a bit above vmax) — the
+    // out-of-range rows must clamp into the edge bins, not vanish
     val rows = (0 until 200).map(i => (base + i * 3, (i % 10).toDouble)) ++
-      (0 until 100).map(i => (base + 600 + i * 3, 8.0 + (i % 2)))
+      (0 until 100).map(i => (base + 600 + i * 3, 8.0 + (i % 2))) ++
+      (0 until 80).map(i => (base + 1200 + i * 3,
+        if (i % 4 == 3) 12.5 else -3.0 - (i % 3)))
     mem.addData(rows.take(120): _*)
     val baseline = Seq.fill(5)(0.2) // uniform over 5 bins
     val streamDf = mem.toDF().toDF("ts_sec", "v")
@@ -338,7 +342,7 @@ class StreamsSpec extends SparkSpec {
     def refTvd(vs: Seq[Double]): Double = {
       val cnt = Array.fill(5)(0L)
       vs.foreach { v =>
-        cnt(math.min(4, math.floor(((v - 0.0) / 10.0) * 5.0).toInt)) += 1
+        cnt(math.max(0, math.min(4, math.floor(((v - 0.0) / 10.0) * 5.0).toInt))) += 1
       }
       (0 until 5).map(i => math.abs(cnt(i).toDouble / vs.size - 0.2))
         .foldLeft(0.0)(_ + _) * 0.5
@@ -349,9 +353,13 @@ class StreamsSpec extends SparkSpec {
       assert(row.getLong(1) === wrows.length.toLong)
       assert(row.getDouble(2) === refTvd(wrows.map(_._2)))
     }
-    // window 1 is exactly uniform -> zero drift; window 2 skews high
+    // window 1 is exactly uniform -> zero drift; window 2 skews high;
+    // window 3's below-range rows all land in bin 0 -> near-max drift,
+    // and its n counts EVERY row (nothing dropped as a negative bin)
     assert(streamed(0).getDouble(2) === 0.0)
     assert(streamed(1).getDouble(2) > 0.5)
+    assert(streamed(2).getLong(1) === 80L)
+    assert(streamed(2).getDouble(2) > 0.5)
   }
 
   test("streaming CMS matrices equal the batch sketch (state-store merge parity)") {
