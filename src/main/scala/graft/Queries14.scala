@@ -225,6 +225,137 @@ object Queries14 {
       .orderBy(col("source"))
   }
 
+  /** Split-leakage AUDIT ([[Sampling.splitLeakageAudit]]): near-dup pairs
+    * (the proven q35-q37 LSH candidate CTE, confirmed at exact shingle
+    * Jaccard ≥ 0.6) that straddle two splits of a NAIVE id-hash
+    * assignment — the baseline hygiene failure that q116's content keys
+    * and q121's cluster keys exist to prevent (their own leakage is zero
+    * by construction; spec-asserted). Jaccard is a ratio of the same two
+    * ints on both engines, so the ≥ 0.6 verdicts — and the audit rows —
+    * match exactly. */
+  val q133SplitLeakage: (String, QueryDef) = q(
+    "q133_split_leakage",
+    s"""WITH ${Queries8.pairsSql},
+       |shs AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+       |v AS (
+       |  SELECT p.d1, p.d2
+       |  FROM pairs p JOIN shs x ON p.d1 = x.doc_id
+       |    JOIN shs y ON p.d2 = y.doc_id
+       |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(x.sh, y.sh))) >= 0.6),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN CAST('0x' || substring(md5('naive:' ||
+       |        CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80
+       |      THEN 'train'
+       |    WHEN CAST('0x' || substring(md5('naive:' ||
+       |        CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90
+       |      THEN 'val'
+       |    ELSE 'test' END AS split
+       |  FROM documents),
+       |x AS (
+       |  SELECT LEAST(a.split, b.split) AS split_a,
+       |    GREATEST(a.split, b.split) AS split_b, v.d1, v.d2
+       |  FROM v JOIN sp a ON v.d1 = a.doc_id JOIN sp b ON v.d2 = b.doc_id
+       |  WHERE a.split <> b.split),
+       |e AS (SELECT split_a, split_b, unnest([d1, d2]) AS doc FROM x)
+       |SELECT split_a, split_b,
+       |  CAST(COUNT(*) / 2 AS BIGINT) AS n_pairs,
+       |  CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+       |FROM e GROUP BY split_a, split_b
+       |ORDER BY split_a, split_b""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val docs = t("documents")
+    val bucket = conv(substring(md5(concat(lit("naive:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 100L
+    val splits = docs.select(col("doc_id"),
+      when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").as("split"))
+    Sampling.splitLeakageAudit(docs, "doc_id", "text", splits)
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  /** Per-source Gini concentration of document length
+    * ([[Stats.groupedGini]]): the corpus-balance readout next to q130's
+    * mixture weights. The oracle replays the identical pairwise-difference
+    * identity over the same distinct-value window — every intermediate is
+    * exact integer (HUGEINT vs decimal(38,0)); the one float step is the
+    * final division of the two exact integers, correctly rounded on both
+    * engines. */
+  val q134Gini: (String, QueryDef) = q(
+    "q134_gini",
+    """WITH g AS (
+      |  SELECT source, n_chars AS v, CAST(COUNT(*) AS HUGEINT) AS c
+      |  FROM documents GROUP BY source, n_chars),
+      |cum AS (
+      |  SELECT source, v, c,
+      |    SUM(c) OVER w - c AS nlt,
+      |    SUM(c * v) OVER w - c * v AS slt,
+      |    SUM(c) OVER (PARTITION BY source) AS n,
+      |    SUM(c * v) OVER (PARTITION BY source) AS s
+      |  FROM g
+      |  WINDOW w AS (PARTITION BY source ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT source,
+      |  CAST(MAX(n) AS BIGINT) AS n,
+      |  CAST(MAX(s) AS BIGINT) AS total,
+      |  CASE WHEN MAX(n) > 1 AND MAX(s) > 0 THEN
+      |    CAST(SUM(c * (v * nlt - slt)) AS DOUBLE) /
+      |      CAST(MAX(n) * MAX(s) AS DOUBLE)
+      |  ELSE 0.0 END AS gini
+      |FROM cum GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    Stats.groupedGini(t("documents"), "source", "n_chars",
+        distributedCum = Some(false))
+      .orderBy(col("source"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov drift per event type
+    * ([[Stats.ksDrift]]): the bin-free companion to q131's gridded TVD,
+    * over the same early/late midpoint split. The sup CDF gap is attained
+    * at a data value, so the oracle replays the identical distinct-value
+    * window; the max numerator `|cumA·n_b − cumB·n_a|` is exact integer
+    * on both engines (HUGEINT vs decimal(38,0)), divided once. */
+  val q135KsDrift: (String, QueryDef) = q(
+    "q135_ks_drift",
+    """WITH ev AS (
+      |  SELECT event_type, value,
+      |    epoch_ns(ts) // 1000000000 AS ts_sec
+      |  FROM events),
+      |st AS (SELECT (MIN(ts_sec) + MAX(ts_sec)) // 2 AS mid FROM ev),
+      |e AS (
+      |  SELECT event_type, value AS v,
+      |    CASE WHEN ts_sec < mid THEN 1 ELSE 0 END AS ia
+      |  FROM ev CROSS JOIN st),
+      |r AS (
+      |  SELECT event_type, v,
+      |    CAST(SUM(ia) AS HUGEINT) AS ca,
+      |    CAST(SUM(1 - ia) AS HUGEINT) AS cb
+      |  FROM e GROUP BY event_type, v),
+      |cum AS (
+      |  SELECT event_type, v,
+      |    SUM(ca) OVER w AS cca, SUM(cb) OVER w AS ccb,
+      |    SUM(ca) OVER (PARTITION BY event_type) AS na,
+      |    SUM(cb) OVER (PARTITION BY event_type) AS nb
+      |  FROM r
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_type,
+      |  CAST(MAX(na) AS BIGINT) AS n_a,
+      |  CAST(MAX(nb) AS BIGINT) AS n_b,
+      |  CASE WHEN MAX(na) > 0 AND MAX(nb) > 0 THEN
+      |    CAST(MAX(ABS(cca * nb - ccb * na)) AS DOUBLE) /
+      |      CAST(MAX(na) * MAX(nb) AS DOUBLE)
+      |  ELSE 1.0 END AS ks
+      |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, dir) =>
+      implicit val env: (SparkSession, String) = (s, dir)
+      Stats.ksDrift(t("events"), "event_type", "value", "ts_sec",
+          distributedCum = Some(false))
+        .orderBy(col("event_type"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
-    Seq(q129WindowDedup, q130MixtureWeights, q131DriftReport, q132MixtureDraw)
+    Seq(q129WindowDedup, q130MixtureWeights, q131DriftReport, q132MixtureDraw,
+      q133SplitLeakage, q134Gini, q135KsDrift)
 }

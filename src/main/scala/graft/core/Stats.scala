@@ -305,13 +305,30 @@ object Stats {
   }
 
   private def withGroupedCumSumResolved(in: DataFrame, groupCol: String,
-      vCol: String, distributed: Boolean): DataFrame = {
+      vCol: String, distributed: Boolean): DataFrame =
+    withGroupedCumSumsResolved(in, groupCol, vCol, Seq("__c"), distributed)
+      .withColumnRenamed("__cum___c", "__cum")
+      .withColumnRenamed("__tot___c", "__n")
+
+  /** Multi-measure form of the grouped cumulative sum: one value sort per
+    * group yields, for EVERY measure column `m`, the inclusive prefix sum
+    * `__cum_<m>` and the group total `__tot_<m>`. All measures share the
+    * single window (serial) or the single range-partition + offset
+    * broadcast (distributed) — k measures cost one extra running adder
+    * each, never a second sort or shuffle. Callers needing several
+    * aligned prefix sums (Gini needs the running count AND the running
+    * value mass) use this instead of stacking two single-measure passes.
+    */
+  private def withGroupedCumSumsResolved(in: DataFrame, groupCol: String,
+      vCol: String, measures: Seq[String], distributed: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     if (!distributed) {
       val w = Window.partitionBy(col(groupCol)).orderBy(col(vCol))
         .rowsBetween(Window.unboundedPreceding, 0)
-      return in.withColumn("__cum", sum(col("__c")).over(w))
-        .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(groupCol))))
+      val wTot = Window.partitionBy(col(groupCol))
+      return measures.foldLeft(in)((d, m) => d
+        .withColumn(s"__cum_$m", sum(col(m)).over(w))
+        .withColumn(s"__tot_$m", sum(col(m)).over(wTot)))
     }
     // checkpoint pins the sampled range boundaries for both consumers
     // (offsets + output) — see Ranking.globalRowNumber; reliable under
@@ -321,18 +338,26 @@ object Stats {
         .withColumn("__pid", spark_partition_id()))
     val wLocal = Window.partitionBy(col("__pid"), col(groupCol))
       .orderBy(col(vCol)).rowsBetween(Window.unboundedPreceding, 0)
-    val local = ranged.withColumn("__lcum", sum(col("__c")).over(wLocal))
+    val local = measures.foldLeft(ranged)((d, m) =>
+      d.withColumn(s"__lcum_$m", sum(col(m)).over(wLocal)))
+    val pcs = measures.map(m => sum(col(m)).as(s"__pc_$m"))
     val parts = ranged.groupBy(col("__pid"), col(groupCol))
-      .agg(sum(col("__c")).as("__pc"))
+      .agg(pcs.head, pcs.tail: _*)
     val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = parts
-      .withColumn("__off", coalesce(sum(col("__pc")).over(wOff), lit(0L)))
-      .withColumn("__n", sum(col("__pc")).over(Window.partitionBy(col(groupCol))))
-      .select(col("__pid"), col(groupCol), col("__off"), col("__n"))
-    local.join(broadcast(offs), Seq("__pid", groupCol))
-      .withColumn("__cum", col("__lcum") + col("__off"))
-      .drop("__pid", "__lcum", "__off")
+    val wTot = Window.partitionBy(col(groupCol))
+    val offs = measures.foldLeft(parts)((d, m) => d
+      .withColumn(s"__off_$m",
+        coalesce(sum(col(s"__pc_$m")).over(wOff), lit(0).cast(
+          d.schema(s"__pc_$m").dataType)))
+      .withColumn(s"__tot_$m", sum(col(s"__pc_$m")).over(wTot)))
+      .select(col("__pid") +: col(groupCol) +:
+        measures.flatMap(m => Seq(col(s"__off_$m"), col(s"__tot_$m"))): _*)
+    val joined = local.join(broadcast(offs), Seq("__pid", groupCol))
+    measures.foldLeft(joined)((d, m) =>
+        d.withColumn(s"__cum_$m", col(s"__lcum_$m") + col(s"__off_$m")))
+      .drop("__pid" +: measures.flatMap(m =>
+        Seq(s"__lcum_$m", s"__off_$m")): _*)
   }
 
   /** Exact per-group WEIGHTED lower median: the smallest value whose
@@ -497,6 +522,53 @@ object Stats {
       .agg(max(col(valueCol)).as("hi_edge"), sum(col("__c")).as("cnt"))
   }
 
+  /** Exact per-group Gini coefficient of a non-negative integer-valued
+    * column — the standard concentration readout for a training corpus
+    * (how unevenly document length / token mass is spread within each
+    * source). Uses the pairwise-difference identity
+    * `Gini = Σ_{i<j}(x_j − x_i) / (n · Σx)`: for each DISTINCT value v
+    * with multiplicity c, the pairs it closes contribute
+    * `c · (v·N_<v − S_<v)` where `N_<v`/`S_<v` are the count and sum of
+    * strictly smaller values — so the whole statistic is one
+    * distinct-value rollup, ONE value sort per group producing the two
+    * aligned prefix sums ([[withGroupedCumSumsResolved]]), and a
+    * partial-aggregatable finish. Same scale shape as [[groupedMedian]]:
+    * a 10^12-row group with 10^6 distinct values costs 10^6 window rows.
+    *
+    * Every intermediate is exact integer arithmetic in decimal(38,0)
+    * (int128-class, same headroom as the oracle's HUGEINT); the ONLY
+    * float step is the final division of two exact integers — both
+    * correctly rounded to double on both engines, hence bit-identical.
+    * Output: `(group, n, total, gini)`; degenerate groups (n ≤ 1 or
+    * zero mass) report 0.0.
+    */
+  def groupedGini(df: DataFrame, groupCol: String, valueCol: String,
+      distributedCum: Option[Boolean] = None): DataFrame = {
+    val dec = "decimal(38,0)"
+    val (g, dist) = resolveCum(
+      df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c")),
+      groupCol, distributedCum)
+    val g2 = g.withColumn("__w",
+      col("__c").cast(dec) * col(valueCol).cast(dec))
+    val cum = withGroupedCumSumsResolved(g2, groupCol, valueCol,
+      Seq("__c", "__w"), dist)
+    // inclusive prefix − own contribution = strictly-below prefix
+    val contrib = col("__c").cast(dec) *
+      (col(valueCol).cast(dec) *
+        (col("__cum___c") - col("__c")).cast(dec) -
+        (col("__cum___w") - col("__w")))
+    cum.groupBy(col(groupCol))
+      .agg(sum(contrib).as("__num"),
+        max(col("__tot___c")).as("__n"), max(col("__tot___w")).as("__s"))
+      .select(col(groupCol),
+        col("__n").cast("long").as("n"),
+        col("__s").cast("long").as("total"),
+        when(col("__n") > 1 && col("__s") > 0,
+          col("__num").cast("double") /
+            (col("__n").cast(dec) * col("__s")).cast("double"))
+          .otherwise(lit(0.0)).as("gini"))
+  }
+
   /** Column profile — the pre-training data audit: per column, row count,
     * non-null count, exact distinct count, and extents (numeric columns
     * report double extents, string columns string extents). Long format:
@@ -640,5 +712,52 @@ object Stats {
             lit(0.5))
           .otherwise(lit(0.5)).as("tvd"))
     fr.crossJoin(broadcast(tvd)).orderBy(col("bin"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov drift statistic, per group: the
+    * supremum CDF gap `D = sup_v |F_a(v) − F_b(v)|` between the early
+    * period (rows before the integer midpoint of the GLOBAL time range —
+    * [[driftReport]]'s split convention) and the late period. The
+    * bin-free companion to [[driftReport]]'s TVD: no grid to choose, and
+    * D is sensitive to distribution-shape shifts a coarse grid averages
+    * away.
+    *
+    * The sup over a finite sample is attained at a data value, so the
+    * whole statistic is the distinct-value rollup (per-side conditional
+    * counts), ONE value sort per group yielding both aligned prefix
+    * counts ([[withGroupedCumSumsResolved]]), and a partial-aggregatable
+    * `max` of `|cumA·n_b − cumB·n_a|` — an EXACT integer in
+    * decimal(38,0), divided once by `n_a·n_b` at the end. Same scale
+    * shape and float discipline as the rest of the quantile family.
+    * A group empty on one side reports the pinned sentinel `D = 1.0`
+    * (maximal drift), never NaN.
+    */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
+      tsCol: String, distributedCum: Option[Boolean] = None): DataFrame = {
+    val dec = "decimal(38,0)"
+    val st = df.agg(min(col(tsCol)).as("__tmin"), max(col(tsCol)).as("__tmax"))
+    val j = df.select(col(groupCol), col(valueCol), col(tsCol).as("__t"))
+      .crossJoin(broadcast(st))
+    // rows at exactly the midpoint belong to the later period (driftReport)
+    val isA = col("__t") < expr("(__tmin + __tmax) div 2")
+    val (g, dist) = resolveCum(
+      j.groupBy(col(groupCol), col(valueCol))
+        .agg(sum(when(isA, 1L).otherwise(0L)).as("__ca"),
+          sum(when(isA, 0L).otherwise(1L)).as("__cb")),
+      groupCol, distributedCum)
+    val cum = withGroupedCumSumsResolved(g, groupCol, valueCol,
+      Seq("__ca", "__cb"), dist)
+    val dev = abs(
+      col("__cum___ca").cast(dec) * col("__tot___cb").cast(dec) -
+        col("__cum___cb").cast(dec) * col("__tot___ca").cast(dec))
+    cum.groupBy(col(groupCol))
+      .agg(max(dev).as("__dnum"),
+        max(col("__tot___ca")).as("__na"), max(col("__tot___cb")).as("__nb"))
+      .select(col(groupCol),
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        when(col("__na") > 0 && col("__nb") > 0,
+          col("__dnum").cast("double") /
+            (col("__na").cast(dec) * col("__nb").cast(dec)).cast("double"))
+          .otherwise(lit(1.0)).as("ks"))
   }
 }

@@ -210,6 +210,45 @@ object Sampling {
           .otherwise("test").as("split"))
   }
 
+  /** Audit an EXISTING train/val/test assignment for near-duplicate
+    * leakage — the measurement the split constructors
+    * ([[dedupAwareSplit]], [[clusterAwareSplit]]) only promise: how many
+    * verified near-dup pairs straddle two different splits, i.e. how many
+    * eval documents have a paraphrase in train. Pairs are LSH band
+    * collisions ([[graft.operators.Dedup.minhashBands]] →
+    * [[graft.operators.Dedup.lshCandidates]]) confirmed by exact shingle
+    * Jaccard ≥ `threshold` ([[graft.operators.Dedup.jaccardVerify]]), so
+    * the audit never scores all pairs — candidates only.
+    *
+    * Output: one row per unordered split pair `(split_a < split_b)` with
+    * the crossing pair count and the count of distinct documents
+    * involved. Empty output = leak-free (what [[clusterAwareSplit]]
+    * guarantees by construction for its own pairs — spec-asserted).
+    *
+    * Scale: the candidate/verify stages are the proven dedup shapes
+    * (signatures shuffle, text never does); the split lookup is two
+    * id-keyed equi-joins of the (small) verified-pair set against the
+    * assignment; the final rollup groups a handful of split pairs.
+    */
+  def splitLeakageAudit(docs: DataFrame, idCol: String, textCol: String,
+      splits: DataFrame, splitCol: String = "split",
+      threshold: Double = 0.6): DataFrame = {
+    val cand = Dedup.lshCandidates(Dedup.minhashBands(docs, idCol, textCol),
+      idCol)
+    val verified = Dedup.jaccardVerify(docs, cand, idCol, textCol, threshold)
+    val s1 = splits.select(col(idCol).as("d1"), col(splitCol).as("__s1"))
+    val s2 = splits.select(col(idCol).as("d2"), col(splitCol).as("__s2"))
+    verified.join(s1, "d1").join(s2, "d2")
+      .filter(col("__s1") =!= col("__s2"))
+      .select(least(col("__s1"), col("__s2")).as("split_a"),
+        greatest(col("__s1"), col("__s2")).as("split_b"),
+        explode(array(col("d1"), col("d2"))).as("__doc"))
+      .groupBy(col("split_a"), col("split_b"))
+      // every pair explodes into exactly two endpoint rows
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("__doc")).as("n_docs"))
+  }
+
   /** Temperature-scaled corpus mixture weights: per group (source,
     * domain, language), the sampling weight `tokens^α / Σ tokens^α` and
     * its share of a token budget — the standard recipe for rebalancing a

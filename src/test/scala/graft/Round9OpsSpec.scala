@@ -202,4 +202,133 @@ class Round9OpsSpec extends SparkSpec {
     // CTE with the same CASE so a degenerate range can't hash-mismatch
     assert(out.forall(r => r.getDouble(6) === 0.5))
   }
+
+  // ---- groupedGini -------------------------------------------------------
+
+  private def bruteGini(vs: Seq[Long]): Double = {
+    val s = vs.map(BigInt(_)).sum
+    if (vs.size <= 1 || s <= 0) 0.0
+    else {
+      val num = (for (i <- vs.indices; j <- vs.indices if i < j)
+        yield (BigInt(vs(i)) - BigInt(vs(j))).abs).sum
+      BigDecimal(num).toDouble / BigDecimal(BigInt(vs.size) * s).toDouble
+    }
+  }
+
+  test("groupedGini matches the brute-force pairwise definition exactly") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 300).map(_ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(40).toLong))
+    val out = Stats.groupedGini(rows.toDF("grp", "v"), "grp", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val vs = grp.map(_._2)
+      assert(out(g) === ((vs.size.toLong, vs.sum, bruteGini(vs))),
+        s"group $g")
+    }
+  }
+
+  test("groupedGini: distributed and serial cum paths agree") {
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 500).map(_ =>
+      (s"g${rnd.nextInt(2)}", rnd.nextInt(25).toLong)).toDF("grp", "v")
+    val serial = Stats.groupedGini(df, "grp", "v",
+      distributedCum = Some(false)).orderBy("grp").collect()
+    val dist = Stats.groupedGini(df, "grp", "v",
+      distributedCum = Some(true)).orderBy("grp").collect()
+    assert(serial.map(_.toSeq).toSeq === dist.map(_.toSeq).toSeq)
+  }
+
+  test("groupedGini: degenerate groups report 0.0, never NaN") {
+    val df = Seq(("one", 9L), ("zeros", 0L), ("zeros", 0L), ("eq", 4L),
+      ("eq", 4L), ("eq", 4L)).toDF("grp", "v")
+    val out = Stats.groupedGini(df, "grp", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out === Map("one" -> 0.0, "zeros" -> 0.0, "eq" -> 0.0))
+  }
+
+  // ---- ksDrift -----------------------------------------------------------
+
+  test("ksDrift matches the brute-force sup-CDF-gap definition exactly") {
+    val rnd = new scala.util.Random(11)
+    // group g0 drifts (late values shifted +5), g1 is stationary
+    val rows = (0 until 400).map { i =>
+      val t = i.toLong // midpoint: (0 + 399) div 2 = 199
+      val g = s"g${i % 2}"
+      val v = if (g == "g0" && t >= 199) rnd.nextInt(20) + 5.0
+      else rnd.nextInt(20).toDouble
+      (g, v, t)
+    }
+    val out = Stats.ksDrift(rows.toDF("grp", "v", "t"), "grp", "v", "t")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def brute(grp: Seq[(String, Double, Long)]): (Long, Long, Double) = {
+      val (a, b) = grp.partition(_._3 < 199)
+      val d = (a.map(_._2) ++ b.map(_._2)).distinct.map { v =>
+        math.abs(
+          a.count(_._2 <= v).toLong * b.size - b.count(_._2 <= v).toLong * a.size)
+      }.max
+      (a.size.toLong, b.size.toLong, d.toDouble / (a.size.toLong * b.size))
+    }
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      assert(out(g) === brute(grp), s"group $g")
+    }
+    assert(out("g0")._3 > out("g1")._3) // the planted drift is visible
+  }
+
+  test("ksDrift: distributed and serial cum paths agree") {
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 600).map(i =>
+      (s"g${i % 3}", rnd.nextInt(30).toDouble, i.toLong)).toDF("g", "v", "t")
+    val serial = Stats.ksDrift(df, "g", "v", "t",
+      distributedCum = Some(false)).orderBy("g").collect()
+    val dist = Stats.ksDrift(df, "g", "v", "t",
+      distributedCum = Some(true)).orderBy("g").collect()
+    assert(serial.map(_.toSeq).toSeq === dist.map(_.toSeq).toSeq)
+  }
+
+  test("ksDrift: a group empty on one side reports the 1.0 sentinel") {
+    // all of g's rows sit at/after the global midpoint -> side a empty
+    val df = Seq(("g", 1.0, 100L), ("g", 2.0, 100L),
+      ("h", 1.0, 0L), ("h", 3.0, 100L)).toDF("g", "v", "t")
+    val out = Stats.ksDrift(df, "g", "v", "t").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(out("g") === ((0L, 1.0)))
+    assert(out("h")._2 === 1.0) // 1 vs 1 row, disjoint values -> D = 1
+  }
+
+  // ---- splitLeakageAudit -------------------------------------------------
+
+  test("splitLeakageAudit counts exactly the verified pairs that straddle") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high today"),
+      (2L, "the quick brown fox jumps high today"), // dup of 1
+      (3L, "completely different words appear here now"),
+      (4L, "completely different words appear here now"), // dup of 3
+      (5L, "unrelated single document nothing shared at")
+    ).toDF("doc_id", "text")
+    val splits = Seq((1L, "train"), (2L, "test"), (3L, "train"),
+      (4L, "train"), (5L, "val")).toDF("doc_id", "split")
+    val out = Sampling.splitLeakageAudit(docs, "doc_id", "text", splits)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    // pair (1,2) straddles train/test; pair (3,4) is train-internal;
+    // doc 5 pairs with nobody — one leaked split pair, two leaked docs
+    assert(out.toSeq === Seq(("test", "train", 1L, 2L)))
+  }
+
+  test("clusterAwareSplit's own assignment audits leak-free") {
+    // near-dup clusters (exact dups band-collide trivially) plus
+    // singletons: the cluster-keyed split must produce ZERO crossing
+    // verified pairs — the guarantee q121 constructs, audited by q133
+    val docs = (0 until 30).map { i =>
+      val cluster = i % 6
+      (i.toLong, s"cluster $cluster shares this exact sentence body")
+    }.toDF("doc_id", "text")
+    val assign = Sampling.clusterAwareSplit(docs, "doc_id", "text")
+      .select(col("doc_id"), col("split"))
+    assert(Sampling.splitLeakageAudit(docs, "doc_id", "text", assign)
+      .count() === 0L)
+  }
 }
