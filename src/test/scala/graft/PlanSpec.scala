@@ -337,4 +337,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("HashAggregate"),
       "binned counts must partial-aggregate map-side")
   }
+
+  test("gini and KS run their window over the distinct-value rollup (q134/q135)") {
+    for (name <- Seq("q134_gini", "q135_ks_drift")) {
+      val p = plan(name)
+      assert(p.contains("Window") && p.contains("HashAggregate"),
+        s"$name: prefix sums must consume the rollup aggregate")
+      // the raw table is scanned once for the rollup (q135 reads events
+      // a second time only for the 2-column global time extent)
+      val scans = "Scan parquet".r.findAllIn(p).size
+      assert(scans <= 2, s"$name: expected rollup scan (+ extent), saw $scans")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: scalar/extent lookups must broadcast")
+    }
+  }
+
+  test("split-leakage audit ships signatures and hashed shingles, never text (q133)") {
+    val p = plan("q133_split_leakage")
+    // candidate generation + verify reuse the dedup shapes: every exchange
+    // must carry minhash/shingle-hash/split columns — the raw text column
+    // stays inside scan-side projections and never crosses a shuffle
+    val exchanges = "Exchange (hashpartitioning|rangepartitioning)[^\\n]*"
+      .r.findAllIn(p).toList
+    assert(exchanges.nonEmpty, "expected shuffles in the dedup stages")
+    assert(!exchanges.exists(_.contains("text")),
+      s"text must never be a shuffle key/payload: $exchanges")
+  }
 }
