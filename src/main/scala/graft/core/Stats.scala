@@ -2,7 +2,8 @@ package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType,
+  IntegerType, LongType, ShortType}
 
 /** Derived statistics over aggregation results — the reference's library
   * layer (src/lib/stats.go). */
@@ -544,6 +545,17 @@ object Stats {
     */
   def groupedGini(df: DataFrame, groupCol: String, valueCol: String,
       distributedCum: Option[Boolean] = None): DataFrame = {
+    // the decimal(38,0) mass sums TRUNCATE fractional inputs — the same
+    // silently-wrong-numerators trap groupedTrend's exact mode guards
+    // against at runtime; here the value type is known at plan time, so
+    // reject non-integral columns before any job runs
+    df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case d: DecimalType if d.scale == 0 => ()
+      case other => throw new IllegalArgumentException(
+        s"groupedGini requires an integer-valued column; $valueCol is " +
+          s"$other (exact decimal(38,0) mass sums would truncate fractions)")
+    }
     val dec = "decimal(38,0)"
     val (g, dist) = resolveCum(
       df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c")),

@@ -240,6 +240,14 @@ class Round9OpsSpec extends SparkSpec {
     assert(serial.map(_.toSeq).toSeq === dist.map(_.toSeq).toSeq)
   }
 
+  test("groupedGini rejects non-integral value columns at plan time") {
+    val df = Seq(("g", 1.5), ("g", 2.5)).toDF("grp", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Stats.groupedGini(df, "grp", "v")
+    }
+    assert(ex.getMessage.contains("integer-valued"))
+  }
+
   test("groupedGini: degenerate groups report 0.0, never NaN") {
     val df = Seq(("one", 9L), ("zeros", 0L), ("zeros", 0L), ("eq", 4L),
       ("eq", 4L), ("eq", 4L)).toDF("grp", "v")
