@@ -355,7 +355,63 @@ object Queries14 {
         .orderBy(col("event_type"))
   }
 
+  /** Embedding-centroid drift per label
+    * ([[graft.operators.Similarity.embeddingDrift]]): cosine between each
+    * label's early-half and late-half centroid sum-vectors. The oracle
+    * mirrors the float discipline step for step — exact micro-unit
+    * component sums (`⌊x·10⁶⌋`, floor being convention-free where
+    * double→DECIMAL rounding is not), one cast to double per
+    * (label, dim), then q33's proven left-fold list arithmetic for dot
+    * and norms. */
+  val q136EmbeddingDrift: (String, QueryDef) = q(
+    "q136_embedding_drift",
+    """WITH st AS (
+      |  SELECT (MIN(vec_id) + MAX(vec_id)) // 2 AS mid FROM embeddings),
+      |b AS (
+      |  SELECT label, CASE WHEN vec_id < mid THEN 1 ELSE 0 END AS ia,
+      |    embedding
+      |  FROM embeddings CROSS JOIN st),
+      |n AS (
+      |  SELECT label, CAST(SUM(ia) AS BIGINT) AS n_a,
+      |    CAST(SUM(1 - ia) AS BIGINT) AS n_b
+      |  FROM b GROUP BY label),
+      |e AS (
+      |  SELECT label, ia, dim,
+      |    CAST(embedding[dim] AS DOUBLE) AS x
+      |  FROM (SELECT label, ia,
+      |          unnest(generate_series(1, len(embedding))) AS dim, embedding
+      |        FROM b)),
+      |s AS (
+      |  SELECT label, dim,
+      |    CAST(SUM(CASE WHEN ia = 1
+      |      THEN CAST(FLOOR(x * 1000000.0) AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS DOUBLE) AS sa,
+      |    CAST(SUM(CASE WHEN ia = 0
+      |      THEN CAST(FLOOR(x * 1000000.0) AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS DOUBLE) AS sb
+      |  FROM e GROUP BY label, dim),
+      |v AS (
+      |  SELECT label, list(sa ORDER BY dim) AS va, list(sb ORDER BY dim) AS vb
+      |  FROM s GROUP BY label),
+      |d AS (
+      |  SELECT label,
+      |    list_reduce(list_transform(generate_series(1, len(va)),
+      |      i -> va[i] * vb[i]), (x, y) -> x + y) AS dot,
+      |    list_reduce(list_transform(va, x -> x * x), (x, y) -> x + y) AS na2,
+      |    list_reduce(list_transform(vb, x -> x * x), (x, y) -> x + y) AS nb2
+      |  FROM v)
+      |SELECT d.label, n.n_a, n.n_b,
+      |  CASE WHEN n.n_a > 0 AND n.n_b > 0 AND d.na2 > 0 AND d.nb2 > 0
+      |    THEN d.dot / (SQRT(d.na2) * SQRT(d.nb2))
+      |    ELSE NULL END AS centroid_cos
+      |FROM d JOIN n USING (label) ORDER BY label""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.operators.Similarity.embeddingDrift(
+        t("embeddings"), "vec_id", "embedding", "label")
+      .orderBy(col("label"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q129WindowDedup, q130MixtureWeights, q131DriftReport, q132MixtureDraw,
-      q133SplitLeakage, q134Gini, q135KsDrift)
+      q133SplitLeakage, q134Gini, q135KsDrift, q136EmbeddingDrift)
 }

@@ -556,4 +556,75 @@ object Similarity {
       .filter(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Embedding-space drift between the early and late halves of the id
+    * range, per label: how far each cluster's CENTROID direction moved
+    * (cosine between the two per-label sum-vectors — scale-invariant, so
+    * no mean division is needed) next to the side populations. The
+    * vector-space companion to the scalar drift family
+    * ([[graft.core.Stats.driftReport]] / `ksDrift`): a corpus refresh
+    * that re-embeds or re-balances a cluster shows up as
+    * `centroid_cos < 1` long before scalar stats move.
+    *
+    * Float discipline, engine-portable: each component is quantized to
+    * exact integer micro-units (`⌊x·10⁶⌋` — the floor of an identical
+    * double is identical on every engine, unlike double→decimal
+    * rounding, whose HALF_UP/HALF_EVEN convention differs) and the
+    * per-dimension sums accumulate those integers in decimal(38,0) —
+    * exact, hence ORDER-INDEPENDENT under any partitioning (a naive
+    * double sum is not). One correctly-rounded cast to double per
+    * (label, dim), then the final cosine folds the assembled per-label
+    * vectors left-to-right exactly like the oracle's `list_reduce`. The
+    * 1e-6 quantization is orders of magnitude below any drift signal;
+    * what it buys is bit-identical output across engines. Groups empty
+    * on one side (or with a zero centroid) report NULL, never NaN.
+    *
+    * Scale: the exploded stream is rows × dims but carries only
+    * `(label, dim, decimal)` triples that partial-aggregate map-side
+    * into |labels|·dims rows; the per-label finish assembles dims-length
+    * arrays — broadcast-scale — and the id-extent scalar rides one
+    * broadcast. No shuffle ever carries a raw vector.
+    */
+  def embeddingDrift(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val st = emb.agg(min(col(idCol)).as("__imin"), max(col(idCol)).as("__imax"))
+    // rows at exactly the midpoint belong to the later period (driftReport)
+    val j = emb.select(col(labelCol), col(idCol).as("__id"),
+        col(vecCol).as("__v"))
+      .crossJoin(broadcast(st))
+      .withColumn("__ia",
+        when(col("__id") < expr("(__imin + __imax) div 2"), 1).otherwise(0))
+    val n = j.groupBy(col(labelCol))
+      .agg(sum(col("__ia")).as("n_a"),
+        sum(lit(1) - col("__ia")).as("n_b"))
+    val e = j.select(col(labelCol), col("__ia"),
+      posexplode(col("__v")).as(Seq("__dim", "__x")))
+    val qx = floor(col("__x").cast("double") * lit(1000000.0)).cast(dec)
+    val s = e.groupBy(col(labelCol), col("__dim"))
+      .agg(
+        sum(when(col("__ia") === 1, qx).otherwise(lit(0).cast(dec)))
+          .cast("double").as("__sa"),
+        sum(when(col("__ia") === 0, qx).otherwise(lit(0).cast(dec)))
+          .cast("double").as("__sb"))
+    val v = s.groupBy(col(labelCol))
+      .agg(collect_list(struct(col("__dim"), col("__sa"))).as("__pa"),
+        collect_list(struct(col("__dim"), col("__sb"))).as("__pb"))
+      .select(col(labelCol),
+        expr("transform(array_sort(__pa), p -> p.__sa)").as("__va"),
+        expr("transform(array_sort(__pb), p -> p.__sb)").as("__vb"))
+    v.join(n, labelCol)
+      .withColumn("__dot", expr(
+        "aggregate(zip_with(__va, __vb, (a, b) -> a * b), 0D, (x, y) -> x + y)"))
+      .withColumn("__na2", expr(
+        "aggregate(transform(__va, x -> x * x), 0D, (x, y) -> x + y)"))
+      .withColumn("__nb2", expr(
+        "aggregate(transform(__vb, x -> x * x), 0D, (x, y) -> x + y)"))
+      .select(col(labelCol),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+          col("__na2") > 0 && col("__nb2") > 0,
+          col("__dot") / (sqrt(col("__na2")) * sqrt(col("__nb2"))))
+          .otherwise(lit(null).cast("double")).as("centroid_cos"))
+  }
 }

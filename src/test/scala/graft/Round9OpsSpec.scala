@@ -306,6 +306,55 @@ class Round9OpsSpec extends SparkSpec {
     assert(out("h")._2 === 1.0) // 1 vs 1 row, disjoint values -> D = 1
   }
 
+  // ---- embeddingDrift ----------------------------------------------------
+
+  test("embeddingDrift matches the brute-force quantized-centroid cosine") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(5)
+    // label 0: late half flipped against the shared bias (drift);
+    // label 1: same distribution both halves. The bias dominates the
+    // noise so the planted flip must show as centroid_cos ≈ -1.
+    val bias = Array(1.0f, 0.5f, -0.25f, 0.75f)
+    val rows = (0 until 80).map { i =>
+      val label = i % 2
+      val base = bias.map(b => b + rnd.nextGaussian().toFloat * 0.1f)
+      val v = if (label == 0 && i >= 40) base.map(x => -x) else base
+      (i.toLong, v.toSeq, label)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingDrift(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def brute(label: Int): (Long, Long, Double) = {
+      val mine = rows.filter(_._3 == label)
+      val (a, b) = mine.partition(_._1 < (0L + 79L) / 2L)
+      def sums(side: Seq[(Long, Seq[Float], Int)]): Seq[Double] =
+        (0 until 4).map(d => side.map(r =>
+          BigInt(math.floor(r._2(d).toDouble * 1000000.0).toLong))
+          .sum.toDouble)
+      val (va, vb) = (sums(a), sums(b))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+      val na2 = va.map(x => x * x).foldLeft(0.0)(_ + _)
+      val nb2 = vb.map(x => x * x).foldLeft(0.0)(_ + _)
+      (a.size.toLong, b.size.toLong, dot / (math.sqrt(na2) * math.sqrt(nb2)))
+    }
+    for (l <- Seq(0, 1)) assert(out(l) === brute(l), s"label $l")
+    assert(out(0)._3 < -0.5 && out(1)._3 > 0.5) // planted flip is visible
+  }
+
+  test("embeddingDrift: a label empty on one side reports NULL, not NaN") {
+    // ids 50/60 both >= midpoint (0+60)/2=30 -> label 9 has no early rows
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f), 1), (60L, Seq(1.0f, 0.1f), 1),
+      (50L, Seq(0.5f, 0.5f), 9), (55L, Seq(0.5f, 0.4f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity
+      .embeddingDrift(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(9).isNullAt(3))
+    assert(!out(1).isNullAt(3))
+  }
+
   // ---- splitLeakageAudit -------------------------------------------------
 
   test("splitLeakageAudit counts exactly the verified pairs that straddle") {
