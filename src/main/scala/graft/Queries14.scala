@@ -266,11 +266,9 @@ object Queries14 {
        |ORDER BY split_a, split_b""".stripMargin) { (s, dir) =>
     implicit val env: (SparkSession, String) = (s, dir)
     val docs = t("documents")
-    val bucket = conv(substring(md5(concat(lit("naive:"),
-      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 100L
     val splits = docs.select(col("doc_id"),
-      when(bucket < 80, "train").when(bucket < 90, "val")
-        .otherwise("test").as("split"))
+      Sampling.pctSplit(col("doc_id").cast("string"), "naive", 80, 10)
+        .as("split"))
     Sampling.splitLeakageAudit(docs, "doc_id", "text", splits)
       .orderBy(col("split_a"), col("split_b"))
   }

@@ -246,11 +246,18 @@ object Stats {
       .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
     private[graft] def size: Int = synchronized(live.size)
     def register(df: DataFrame): DataFrame = synchronized {
+      // the registry is JVM-global but cache entries are session-scoped:
+      // entries from a stopped context are dead weight (their unpersist
+      // would throw assertNotStopped), and a live entry from a DIFFERENT
+      // session must not satisfy a hit — its persist lives in the other
+      // session's CacheManager, so this plan would silently never cache
+      live.filterInPlace(!_._2.sparkSession.sparkContext.isStopped)
       val key = df.queryExecution.logical.canonicalized
-      val idx = live.indexWhere(_._1 == key)
+      val idx = live.indexWhere(e =>
+        e._1 == key && (e._2.sparkSession eq df.sparkSession))
       if (idx >= 0) {
-        // already a live cache entry: CacheManager substitutes it into
-        // THIS plan at execution time, so no second persist call needed
+        // already a live cache entry in THIS session: CacheManager
+        // substitutes it into this plan at execution, no second persist
         val e = live.remove(idx); live.append(e); df
       } else {
         val cached = df.persist(
@@ -416,11 +423,15 @@ object Stats {
     */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       k: Double = 3.0, distributedCum: Option[Boolean] = None): DataFrame = {
-    // the rollup feeds BOTH lower medians and the outlier count, so the
-    // auto path's persist pays for itself even before the probe
-    val (g, dist) = resolveCum(
+    // the rollup feeds BOTH lower medians and the outlier count, so it
+    // is always PlanCache-registered — on the auto path resolveCum
+    // already did it (register is idempotent on the canonicalized plan);
+    // with an explicit Some(…) regime this is the only persist, and
+    // skipping it would re-scan the raw data once per consumer
+    val (g0, dist) = resolveCum(
       df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c")),
       groupCol, distributedCum)
+    val g = PlanCache.register(g0)
     // in: (groupCol, vCol, "__c") pre-counted; weighted lower median per group
     def lowerMedian(in: DataFrame, vCol: String, out: String): DataFrame =
       withGroupedCumSum(in, groupCol, vCol, dist)
@@ -569,11 +580,23 @@ object Stats {
       (col(valueCol).cast(dec) *
         (col("__cum___c") - col("__c")).cast(dec) -
         (col("__cum___w") - col("__w")))
+    // `n`/`total` report as long: the OUTPUT envelope is Σx < 2^63 (the
+    // gini itself is int128 throughout). The identity additionally
+    // requires non-negative values — with mixed signs Σx stops being a
+    // scale and the coefficient is meaningless — and sign is a data
+    // property, so it is checked at runtime on the |groups| finish rows
+    // (same loud-failure pattern as groupedTrend's exact mode).
     cum.groupBy(col(groupCol))
       .agg(sum(contrib).as("__num"),
-        max(col("__tot___c")).as("__n"), max(col("__tot___w")).as("__s"))
+        max(col("__tot___c")).as("__n"), max(col("__tot___w")).as("__s"),
+        min(col(valueCol)).as("__vmin"))
       .select(col(groupCol),
-        col("__n").cast("long").as("n"),
+        coalesce(
+          assert_true(col("__vmin").isNotNull && col("__vmin") >= 0, lit(
+            s"groupedGini requires non-null non-negative $valueCol: " +
+              "with mixed signs the pairwise-difference identity no " +
+              "longer yields a concentration coefficient")).cast("long"),
+          col("__n").cast("long")).as("n"),
         col("__s").cast("long").as("total"),
         when(col("__n") > 1 && col("__s") > 0,
           col("__num").cast("double") /

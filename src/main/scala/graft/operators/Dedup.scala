@@ -265,9 +265,19 @@ object Dedup {
         prevSum = s
         iter += 1
       }
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations")
+    } catch { case t: Throwable =>
+      // abnormal exit (mid-iteration failure or non-convergence): the
+      // in-flight front has no consumer left — release it, or its
+      // checkpoint dir / block store leaks past the failed call
+      try graft.core.Checkpoints.release(labels)
+      catch { case e: Throwable => t.addSuppressed(e) }
+      throw t
     } finally graft.core.Checkpoints.release(pinnedEdges)
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter iterations")
+    // the FINAL front stays pinned — it backs the returned DataFrame.
+    // Its storage is caller-owned: a long-lived session issuing many
+    // calls can Checkpoints.release(result) once consumers are done.
     labels
   }
 

@@ -162,17 +162,26 @@ object Sampling {
     * (same convention as [[hashBucket]]), and a pure per-row map — no
     * shuffle, fuses into the scan at any scale.
     */
-  def dedupAwareSplit(docs: DataFrame, idCol: String, textCol: String,
-      trainPct: Int = 80, valPct: Int = 10, salt: String = "split"): DataFrame = {
+  /** Deterministic percent split label from any key column: md5 bucket
+    * in [0, 100) keyed `salt:key`, then the train/val/test cut — the
+    * single home for the bucket convention every split constructor (and
+    * the q133 naive-split audit) shares, so the engine-side expression
+    * and its SQL mirrors cannot silently diverge. */
+  def pctSplit(key: Column, salt: String, trainPct: Int,
+      valPct: Int): Column = {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
-      "dedupAwareSplit: percentages must be non-negative and sum <= 100")
-    val bucket = conv(substring(md5(concat(lit(salt), lit(":"), md5(col(textCol)))),
+      "pctSplit: percentages must be non-negative and sum <= 100")
+    val bucket = conv(substring(md5(concat(lit(salt), lit(":"), key)),
       1, 8), 16, 10).cast(LongType) % 100L
-    docs.select(col(idCol), md5(col(textCol)).as("content_hash"),
-      when(bucket < trainPct, "train")
-        .when(bucket < trainPct + valPct, "val")
-        .otherwise("test").as("split"))
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
   }
+
+  def dedupAwareSplit(docs: DataFrame, idCol: String, textCol: String,
+      trainPct: Int = 80, valPct: Int = 10, salt: String = "split"): DataFrame =
+    docs.select(col(idCol), md5(col(textCol)).as("content_hash"),
+      pctSplit(md5(col(textCol)), salt, trainPct, valPct).as("split"))
 
   /** Cluster-aware train/val/test split — [[dedupAwareSplit]] upgraded
     * from exact-dup hygiene to NEAR-dup hygiene: the split keys on the
@@ -198,16 +207,11 @@ object Sampling {
       Dedup.lshCandidates(Dedup.minhashBands(docs, idCol, textCol), idCol))
     val key = coalesce(col("cluster_id").cast("string"), md5(col(textCol)))
       .as("cluster_key")
-    val bucket = conv(substring(md5(concat(lit(salt), lit(":"),
-      col("cluster_key"))), 1, 8), 16, 10)
-      .cast(LongType) % 100L
     docs.select(col(idCol), col(textCol))
       .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), key)
       .select(col(idCol), col("cluster_key"),
-        when(bucket < trainPct, "train")
-          .when(bucket < trainPct + valPct, "val")
-          .otherwise("test").as("split"))
+        pctSplit(col("cluster_key"), salt, trainPct, valPct).as("split"))
   }
 
   /** Audit an EXISTING train/val/test assignment for near-duplicate

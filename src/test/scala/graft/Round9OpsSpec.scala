@@ -248,6 +248,18 @@ class Round9OpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("integer-valued"))
   }
 
+  test("groupedGini rejects negative values loudly at runtime") {
+    // mixed signs break the pairwise-difference identity (Σx is no
+    // longer a scale) — must fail, not report a plausible coefficient
+    val df = Seq(("g", 5L), ("g", -3L), ("g", 2L)).toDF("grp", "v")
+    val ex = intercept[Exception] {
+      Stats.groupedGini(df, "grp", "v").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("non-negative")))
+  }
+
   test("groupedGini: degenerate groups report 0.0, never NaN") {
     val df = Seq(("one", 9L), ("zeros", 0L), ("zeros", 0L), ("eq", 4L),
       ("eq", 4L), ("eq", 4L)).toDF("grp", "v")
