@@ -82,6 +82,26 @@ class CheckpointSpec extends SparkSpec {
       s"only the final label front may keep its checkpoint (got $added)")
   }
 
+  test("connectedComponents: non-convergence releases EVERY checkpoint") {
+    // a 6-node chain cannot converge in one propagation round; the
+    // abnormal exit must leave nothing behind — superseded fronts, the
+    // in-flight front, and the pinned edge list all release
+    def rddDirs(dir: Path): Set[String] =
+      if (!Files.isDirectory(dir)) Set.empty
+      else Files.walk(dir).iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("rdd-"))
+        .map(_.toString).toSet
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("d1", "d2")
+    val before = rddDirs(ckptDir)
+    intercept[IllegalStateException] {
+      withReliable { Dedup.connectedComponents(pairs, maxIter = 2) }
+    }
+    assert((rddDirs(ckptDir) -- before).isEmpty,
+      "abnormal exit must not orphan any rdd-N checkpoint dir")
+  }
+
   test("connectedComponents: local flavor releases superseded blocks") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("d1", "d2")
