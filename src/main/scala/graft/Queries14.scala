@@ -409,7 +409,49 @@ object Queries14 {
       .orderBy(col("label"))
   }
 
+  /** Image resize-to-fit ([[graft.operators.Multimodal.resizeImages]]):
+    * the q95 synthesized payloads squeezed into a 256 px box. The ENGINE
+    * does the full binary round-trip — synthesize header → parse dims →
+    * integer scale → re-synthesize → re-parse the RESIZED payload for
+    * the output dims; the oracle computes the same integer dimension
+    * math from the q95 dim formulas (floor of an exact double ratio,
+    * identical on both engines). */
+  val q137ImageResize: (String, QueryDef) = q(
+    "q137_image_resize",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(100 + doc_id % 512 AS BIGINT) AS w,
+      |    CAST(100 + (doc_id * 7) % 512 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id < 200),
+      |r AS (
+      |  SELECT doc_id, w, h, GREATEST(w, h) AS m,
+      |    GREATEST(w, h) > 256 AS resized
+      |  FROM d)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN resized
+      |    THEN GREATEST(1, CAST(FLOOR((w * 256) / CAST(m AS DOUBLE))
+      |      AS BIGINT))
+      |    ELSE w END AS INT) AS width,
+      |  CAST(CASE WHEN resized
+      |    THEN GREATEST(1, CAST(FLOOR((h * 256) / CAST(m AS DOUBLE))
+      |      AS BIGINT))
+      |    ELSE h END AS INT) AS height,
+      |  resized
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    import graft.operators.Multimodal
+    val d = col("doc_id")
+    val withPayload = t("documents").filter(d < 200)
+      .select(d, Multimodal.synthPngHeader(
+        lit(100L) + d % 512, lit(100L) + (d * 7) % 512).as("payload"))
+    Multimodal.decodeDims(Multimodal.resizeImages(withPayload, maxDim = 256))
+      .select(d, col("decoded_dims.width").as("width"),
+        col("decoded_dims.height").as("height"), col("resized"))
+      .orderBy(d)
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q129WindowDedup, q130MixtureWeights, q131DriftReport, q132MixtureDraw,
-      q133SplitLeakage, q134Gini, q135KsDrift, q136EmbeddingDrift)
+      q133SplitLeakage, q134Gini, q135KsDrift, q136EmbeddingDrift,
+      q137ImageResize)
 }

@@ -83,6 +83,43 @@ object Multimodal {
     media.withColumn("decoded_dims",
       call_function("graft_image_dims", col(payloadCol)))
 
+  /** Resize-to-fit for image payloads: scale the longer side down to
+    * `maxDim` preserving aspect ratio (never upscale, floor division,
+    * ≥ 1 px), replacing `payloadCol` with a payload carrying the NEW
+    * dimensions and appending `resized: boolean`. The dimension math and
+    * the binary round-trip (header parse → integer scale → header
+    * re-synthesis, re-parseable by [[decodeDims]]) are real; only the
+    * pixel re-encode is synthesized — this container has no image codec,
+    * and a real pipeline swaps [[synthPngHeader]] for one. Unparseable
+    * payloads pass through unchanged with `resized = false`.
+    *
+    * Pure column expressions fused into the scan — at 100 TB, resize
+    * planning (which rows need work, what the target dims are) is a
+    * shuffle-free projection; only the codec byte-work itself would move
+    * to a [[extractFeatures]]-style partition-local batch. */
+  def resizeImages(media: DataFrame, maxDim: Int,
+      payloadCol: String = "payload"): DataFrame = {
+    require(maxDim >= 1, "resizeImages: maxDim must be >= 1")
+    val d = call_function("graft_image_dims", col(payloadCol))
+    val w = d.getField("width").cast("long")
+    val h = d.getField("height").cast("long")
+    val m = greatest(w, h)
+    // exact integer scale: floor(side · maxDim / m), clamped to >= 1 —
+    // the double ratio is exact for header-range dims, so floor == DIV
+    def fit(side: Column) =
+      greatest(lit(1L), floor((side * lit(maxDim.toLong)) / m).cast("long"))
+    val needs = m > maxDim
+    // one withColumns call: both outputs evaluate against the ORIGINAL
+    // payload (chained withColumn would re-parse the replaced bytes and
+    // always report resized = false)
+    media.withColumns(Map(
+      payloadCol ->
+        when(w.isNull || h.isNull || !needs, col(payloadCol))
+          .otherwise(synthPngHeader(fit(w), fit(h))),
+      "resized" ->
+        when(w.isNull || h.isNull, lit(false)).otherwise(needs)))
+  }
+
   /** REAL audio-metadata decode from payload bytes (WAV/RIFF header walk —
     * expressions/AudioMeta.scala): appends `decoded_audio
     * struct<channels,sample_rate,bits,duration_ms>` (null when not

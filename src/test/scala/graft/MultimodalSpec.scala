@@ -184,4 +184,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) === None, "missing ftyp must not parse")
     assert(out(4L) === None && out(5L) === None)
   }
+
+  test("resizeImages: aspect-preserving fit, no upscale, garbage untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 800L, 200L),   // landscape, needs resize -> (512, 128)
+      (2L, 200L, 800L),   // portrait -> (128, 512)
+      (3L, 300L, 400L),   // fits -> unchanged
+      (4L, 10000L, 1L)    // extreme ratio -> short side clamps to 1
+    ).toDF("id", "w", "h")
+      .select(col("id"), Multimodal.synthPngHeader(col("w"), col("h"))
+        .as("payload"))
+      .union(Seq(5L).toDF("id")
+        .select(col("id"), lit(Array[Byte](1, 2, 3)).as("payload")))
+    val out = Multimodal.decodeDims(Multimodal.resizeImages(df, maxDim = 512))
+      .select(col("id"), col("decoded_dims.width"),
+        col("decoded_dims.height"), col("resized"), col("payload"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((Some(512), Some(128), true)))
+    assert(out(2L) === ((Some(128), Some(512), true)))
+    assert(out(3L) === ((Some(300), Some(400), false)))
+    assert(out(4L) === ((Some(512), Some(1), true)))
+    assert(out(5L) === ((None, None, false)), "garbage passes through")
+  }
 }
