@@ -366,6 +366,27 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("PlanCache: an identical plan from a DIFFERENT session gets its own entry") {
+    // a hit on another session's entry would return df with NO persist
+    // in this session's CacheManager — the probe and every consumer
+    // would silently recompute; the registry must key on (session, plan)
+    val data = (0 until 50).map(i => (s"g${i % 3}", i.toLong))
+    val df1 = data.toDF("grp", "v").groupBy("grp").count()
+    val s2 = spark.newSession()
+    val df2 = { import s2.implicits._
+      data.toDF("grp", "v").groupBy("grp").count() }
+    // precondition: the two plans canonicalize identically — otherwise
+    // this test would pass vacuously without exercising the guard
+    assert(df1.queryExecution.logical.canonicalized ==
+      df2.queryExecution.logical.canonicalized)
+    Stats.PlanCache.register(df1)
+    val before = Stats.PlanCache.size
+    Stats.PlanCache.register(df2)
+    assert(Stats.PlanCache.size === before + 1,
+      "cross-session plans must not collapse onto one entry")
+    df1.unpersist(); df2.unpersist()
+  }
+
   test("groupedTrend: exact mode rejects NULL inputs loudly too") {
     // a NULL y is NULL in `y =!= floor(y)` and would slip past a
     // fraction-only guard into otherwise(0); but n = count(*) counts the
