@@ -319,7 +319,7 @@ object Queries14 {
     """WITH ev AS (
       |  SELECT event_type, value,
       |    epoch_ns(ts) // 1000000000 AS ts_sec
-      |  FROM events),
+      |  FROM events WHERE value IS NOT NULL),
       |st AS (SELECT (MIN(ts_sec) + MAX(ts_sec)) // 2 AS mid FROM ev),
       |e AS (
       |  SELECT event_type, value AS v,

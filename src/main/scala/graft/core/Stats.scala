@@ -246,15 +246,18 @@ object Stats {
       .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
     private[graft] def size: Int = synchronized(live.size)
     def register(df: DataFrame): DataFrame = synchronized {
-      // the registry is JVM-global but cache entries are session-scoped:
-      // entries from a stopped context are dead weight (their unpersist
-      // would throw assertNotStopped), and a live entry from a DIFFERENT
-      // session must not satisfy a hit — its persist lives in the other
-      // session's CacheManager, so this plan would silently never cache
+      // the registry is JVM-global; entries from a STOPPED context are
+      // dead weight (their unpersist would throw assertNotStopped) and
+      // are dropped first. Within a running context a plan-keyed hit is
+      // correct across sessions too: the CacheManager lives in
+      // SharedState, which every session of the context shares, so any
+      // session's persist substitutes into any session's plan — keying
+      // hits by session would create two registry entries aliasing ONE
+      // cache entry, and evicting either would silently un-cache the
+      // survivor
       live.filterInPlace(!_._2.sparkSession.sparkContext.isStopped)
       val key = df.queryExecution.logical.canonicalized
-      val idx = live.indexWhere(e =>
-        e._1 == key && (e._2.sparkSession eq df.sparkSession))
+      val idx = live.indexWhere(_._1 == key)
       if (idx >= 0) {
         // already a live cache entry in THIS session: CacheManager
         // substitutes it into this plan at execution, no second persist
@@ -586,14 +589,21 @@ object Stats {
     // scale and the coefficient is meaningless — and sign is a data
     // property, so it is checked at runtime on the |groups| finish rows
     // (same loud-failure pattern as groupedTrend's exact mode).
+    // null rollup rows need their own counter: min() skips NULLs, so a
+    // group mixing NULL and non-negative values would pass a vmin-only
+    // check while its nulls count in n but drop out of the moments
     cum.groupBy(col(groupCol))
       .agg(sum(contrib).as("__num"),
         max(col("__tot___c")).as("__n"), max(col("__tot___w")).as("__s"),
-        min(col(valueCol)).as("__vmin"))
+        min(col(valueCol)).as("__vmin"),
+        sum(when(col(valueCol).isNull, col("__c")).otherwise(0L))
+          .as("__nnull"))
       .select(col(groupCol),
         coalesce(
-          assert_true(col("__vmin").isNotNull && col("__vmin") >= 0, lit(
+          assert_true(col("__nnull") === 0 &&
+            col("__vmin").isNotNull && col("__vmin") >= 0, lit(
             s"groupedGini requires non-null non-negative $valueCol: " +
+              "null rows would count in n but not in the moments, and " +
               "with mixed signs the pairwise-difference identity no " +
               "longer yields a concentration coefficient")).cast("long"),
           col("__n").cast("long")).as("n"),
@@ -771,7 +781,11 @@ object Stats {
       tsCol: String, distributedCum: Option[Boolean] = None): DataFrame = {
     val dec = "decimal(38,0)"
     val st = df.agg(min(col(tsCol)).as("__tmin"), max(col(tsCol)).as("__tmax"))
+    // NULL values are excluded from both sides — a CDF ranges over
+    // observed values, and engines disagree on where NULLs sort in the
+    // value window (Spark first, DuckDB last); n_a/n_b count non-null rows
     val j = df.select(col(groupCol), col(valueCol), col(tsCol).as("__t"))
+      .filter(col(valueCol).isNotNull)
       .crossJoin(broadcast(st))
     // rows at exactly the midpoint belong to the later period (driftReport)
     val isA = col("__t") < expr("(__tmin + __tmax) div 2")

@@ -232,20 +232,24 @@ object Dedup {
       .union(pairs.select(col(bCol).cast("long"), col(aCol).cast("long")))
       .distinct()
     val pinnedEdges = graft.core.Checkpoints.pin(edges)
-    // seed = iteration one computed directly on edges: min(id, neighbors)
-    var labels = graft.core.Checkpoints.pin(
-      pinnedEdges.groupBy(col("src"))
-        .agg(least(min(col("dst")), col("src")).as("cluster_id"))
-        .select(col("src").as("id"), col("cluster_id")))
     // labels only ever DECREASE (min over a set containing the old label),
     // so sum(cluster_id) is strictly monotone until fixpoint — an agg on
     // the fresh labels alone detects convergence with no labels⋈labels join
     def checksum(l: org.apache.spark.sql.DataFrame): Long =
       l.agg(coalesce(sum("cluster_id"), lit(0L))).collect()(0).getLong(0)
-    var prevSum = checksum(labels)
+    // the seed pin and its checksum job sit INSIDE the guarded region:
+    // a failure there must still release whatever got pinned
+    var labels: org.apache.spark.sql.DataFrame = null
+    var prevSum = 0L
     var iter = 1
     var converged = false
     try {
+      // seed = iteration one computed directly on edges: min(id, neighbors)
+      labels = graft.core.Checkpoints.pin(
+        pinnedEdges.groupBy(col("src"))
+          .agg(least(min(col("dst")), col("src")).as("cluster_id"))
+          .select(col("src").as("id"), col("cluster_id")))
+      prevSum = checksum(labels)
       while (!converged && iter < maxIter) {
         // each node adopts min(own label, labels seen from its neighbors)
         val fromNbrs = pinnedEdges
@@ -268,11 +272,14 @@ object Dedup {
       if (!converged) throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations")
     } catch { case t: Throwable =>
-      // abnormal exit (mid-iteration failure or non-convergence): the
-      // in-flight front has no consumer left — release it, or its
-      // checkpoint dir / block store leaks past the failed call
-      try graft.core.Checkpoints.release(labels)
-      catch { case e: Throwable => t.addSuppressed(e) }
+      // abnormal exit (seed/checksum failure, mid-iteration failure, or
+      // non-convergence): the in-flight front has no consumer left —
+      // release it, or its checkpoint dir / block store leaks past the
+      // failed call
+      if (labels != null) {
+        try graft.core.Checkpoints.release(labels)
+        catch { case e: Throwable => t.addSuppressed(e) }
+      }
       throw t
     } finally graft.core.Checkpoints.release(pinnedEdges)
     // the FINAL front stays pinned — it backs the returned DataFrame.

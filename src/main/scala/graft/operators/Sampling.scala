@@ -150,18 +150,6 @@ object Sampling {
         (col("__start") % budget).as("bin_offset"))
   }
 
-  /** Leakage-free train/val/test split: the split is keyed on the
-    * CONTENT hash, not the row id, so byte-identical documents always
-    * land in the same split — the minimum hygiene bar before training
-    * (an id-keyed split leaks every exact duplicate across the
-    * boundary; extend the same idea to near-dup cluster ids from
-    * [[Dedup.connectedComponents]] when fuzzy leakage matters).
-    *
-    * `train`/`val` are percent cut points on the md5 bucket of the
-    * content (e.g. 80/10 → 80/10/10). Deterministic, engine-portable
-    * (same convention as [[hashBucket]]), and a pure per-row map — no
-    * shuffle, fuses into the scan at any scale.
-    */
   /** Deterministic percent split label from any key column: md5 bucket
     * in [0, 100) keyed `salt:key`, then the train/val/test cut — the
     * single home for the bucket convention every split constructor (and
@@ -178,6 +166,18 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** Leakage-free train/val/test split: the split is keyed on the
+    * CONTENT hash, not the row id, so byte-identical documents always
+    * land in the same split — the minimum hygiene bar before training
+    * (an id-keyed split leaks every exact duplicate across the
+    * boundary; extend the same idea to near-dup cluster ids from
+    * [[Dedup.connectedComponents]] when fuzzy leakage matters).
+    *
+    * `train`/`val` are percent cut points on the md5 bucket of the
+    * content (e.g. 80/10 → 80/10/10) via [[pctSplit]]. Deterministic,
+    * engine-portable (same convention as [[hashBucket]]), and a pure
+    * per-row map — no shuffle, fuses into the scan at any scale.
+    */
   def dedupAwareSplit(docs: DataFrame, idCol: String, textCol: String,
       trainPct: Int = 80, valPct: Int = 10, salt: String = "split"): DataFrame =
     docs.select(col(idCol), md5(col(textCol)).as("content_hash"),

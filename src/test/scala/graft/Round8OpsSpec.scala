@@ -366,25 +366,25 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
-  test("PlanCache: an identical plan from a DIFFERENT session gets its own entry") {
-    // a hit on another session's entry would return df with NO persist
-    // in this session's CacheManager — the probe and every consumer
-    // would silently recompute; the registry must key on (session, plan)
+  test("PlanCache: an identical plan from a sibling session HITS one entry") {
+    // sessions of one context share SharedState's CacheManager, so one
+    // persist serves every session — a second registry entry would alias
+    // the same cache entry and eviction of either would silently
+    // un-cache the survivor
     val data = (0 until 50).map(i => (s"g${i % 3}", i.toLong))
     val df1 = data.toDF("grp", "v").groupBy("grp").count()
     val s2 = spark.newSession()
     val df2 = { import s2.implicits._
       data.toDF("grp", "v").groupBy("grp").count() }
     // precondition: the two plans canonicalize identically — otherwise
-    // this test would pass vacuously without exercising the guard
+    // this test would pass vacuously without exercising the hit path
     assert(df1.queryExecution.logical.canonicalized ==
       df2.queryExecution.logical.canonicalized)
     Stats.PlanCache.register(df1)
     val before = Stats.PlanCache.size
     Stats.PlanCache.register(df2)
-    assert(Stats.PlanCache.size === before + 1,
-      "cross-session plans must not collapse onto one entry")
-    df1.unpersist(); df2.unpersist()
+    assert(Stats.PlanCache.size === before,
+      "a sibling session's identical plan must reuse the live entry")
   }
 
   test("groupedTrend: exact mode rejects NULL inputs loudly too") {

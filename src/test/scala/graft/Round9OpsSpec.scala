@@ -248,6 +248,19 @@ class Round9OpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("integer-valued"))
   }
 
+  test("groupedGini rejects NULL values mixed into a group loudly") {
+    // min() skips NULLs, so a vmin-only guard would pass while the null
+    // rows count in n but drop out of the moments — silently wrong
+    val df = Seq(("g", Some(5L)), ("g", None), ("g", Some(2L)))
+      .toDF("grp", "v")
+    val ex = intercept[Exception] {
+      Stats.groupedGini(df, "grp", "v").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("non-null")))
+  }
+
   test("groupedGini rejects negative values loudly at runtime") {
     // mixed signs break the pairwise-difference identity (Σx is no
     // longer a scale) — must fail, not report a plausible coefficient
