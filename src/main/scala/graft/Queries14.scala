@@ -450,8 +450,39 @@ object Queries14 {
       .orderBy(d)
   }
 
+  /** Cross-corpus near-dup check
+    * ([[graft.operators.Dedup.crossCorpusNearDups]]): odd doc_ids as the
+    * incoming crawl, even doc_ids as the standing corpus — which new
+    * docs near-duplicate an existing one. Reuses the proven q35-q37
+    * CTE family for signatures/bands; the candidate join is new×old
+    * (both orders preserved, unlike the self-join's `d1 < d2`), and the
+    * Jaccard verdicts are ratios of the same two ints on both engines. */
+  val q138CrossCorpus: (String, QueryDef) = q(
+    "q138_cross_corpus_dups",
+    s"""WITH ${Queries8.pairsSql},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.mh = b.mh
+       |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+       |shs AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+       |v AS (
+       |  SELECT c.d1 AS new_id, c.d2 AS old_id,
+       |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+       |  FROM cand c JOIN shs x ON c.d1 = x.doc_id
+       |    JOIN shs y ON c.d2 = y.doc_id)
+       |SELECT new_id, old_id, jaccard FROM v WHERE jaccard >= 0.6
+       |ORDER BY new_id, old_id""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val docs = t("documents")
+    Dedup.crossCorpusNearDups(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      .orderBy(col("new_id"), col("old_id"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q129WindowDedup, q130MixtureWeights, q131DriftReport, q132MixtureDraw,
       q133SplitLeakage, q134Gini, q135KsDrift, q136EmbeddingDrift,
-      q137ImageResize)
+      q137ImageResize, q138CrossCorpus)
 }

@@ -85,6 +85,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental-ingest near-dup check: for each NEW document, the
+    * EXISTING documents it near-duplicates — the cross-corpus form of the
+    * LSH pipeline (a fresh crawl against the standing corpus), which the
+    * intra-corpus self-join family cannot express: [[lshCandidates]]'
+    * `d1 < d2` dedup would drop half the cross pairs and the self-join
+    * would waste time on new×new and old×old collisions nobody asked for.
+    *
+    * Bands compute per side ([[minhashBands]] — signatures shuffle, text
+    * never does), candidates are ONE new×old equi-join on `(band, mh)`,
+    * and verification is exact shingle Jaccard on candidates only, each
+    * side bringing its own shingle-set source (so the two corpora may
+    * even share id values). Output: `(new_id, old_id, jaccard)`.
+    *
+    * Scale: the old side's bands are a materialize-once artifact in a
+    * real pipeline — band rows are tiny (id + ~32 B), so the standing
+    * corpus index is a fraction of corpus bytes and the per-crawl cost
+    * is bands(new) + one equi-join + candidate verification.
+    */
+  def crossCorpusNearDups(newDocs: DataFrame, oldDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.6): DataFrame = {
+    val nb = minhashBands(newDocs, idCol, textCol)
+      .select(col(idCol).as("d1"), col("band"), col("mh"))
+    val ob = minhashBands(oldDocs, idCol, textCol)
+      .select(col(idCol).as("d2"), col("band").as("band2"),
+        col("mh").as("mh2"))
+    val cand = nb.join(ob,
+        col("band") === col("band2") && col("mh") === col("mh2"))
+      .select(col("d1"), col("d2")).distinct()
+    val shNew = newDocs.select(col(idCol).as("xid"),
+      call_function("graft_shingle_hash", split(col(textCol), " ")).as("sh1"))
+    val shOld = oldDocs.select(col(idCol).as("yid"),
+      call_function("graft_shingle_hash", split(col(textCol), " ")).as("sh2"))
+    val inter = size(array_intersect(col("sh1"), col("sh2")))
+    val union = size(array_distinct(concat(col("sh1"), col("sh2"))))
+    cand
+      .join(shNew, col("xid") === col("d1"))
+      .join(shOld, col("yid") === col("d2"))
+      .select(col("d1").as("new_id"), col("d2").as("old_id"),
+        (inter.cast("double") / union).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Edit-distance verify for candidate pairs: exact Levenshtein distance,
     * computed ONLY on pairs the LSH front end surfaced — never all-pairs
     * (Levenshtein is O(len²) per pair; the candidate restriction is what

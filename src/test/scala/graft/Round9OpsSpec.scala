@@ -331,6 +331,26 @@ class Round9OpsSpec extends SparkSpec {
     assert(out("h")._2 === 1.0) // 1 vs 1 row, disjoint values -> D = 1
   }
 
+  // ---- crossCorpusNearDups -----------------------------------------------
+
+  test("crossCorpusNearDups reports only new-against-old matches") {
+    val newD = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally different content with no match"),
+      (3L, "alpha beta gamma delta epsilon zeta") // new×new dup of 1
+    ).toDF("doc_id", "text")
+    val oldD = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // matches new 1 and 3
+      (2L, "some other unrelated existing body")    // id collides with new 2
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossCorpusNearDups(newD, oldD, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // new×new and old×old pairs never appear; colliding ids are harmless
+    // (each side brings its own shingle source)
+    assert(out.map(p => (p._1, p._2)).toSet === Set((1L, 10L), (3L, 10L)))
+    assert(out.forall(_._3 === 1.0))
+  }
+
   // ---- embeddingDrift ----------------------------------------------------
 
   test("embeddingDrift matches the brute-force quantized-centroid cosine") {
