@@ -352,6 +352,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("embedding drift: dim sums partial-aggregate; no raw-vector shuffle keys (q136)") {
+    val p = plan("q136_embedding_drift")
+    // the exploded (label, dim, micro-int) stream must combine map-side
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      "component sums must partial-aggregate before their exchange")
+    assert(!p.contains("SortMergeJoin"),
+      "the id-extent scalar and per-label finish must broadcast")
+  }
+
+  test("image resize is a pure scan-side projection: zero exchanges before sort (q137)") {
+    val p = plan("q137_image_resize")
+    // parse → scale → re-synthesize → re-parse all fuse into the scan;
+    // the only exchange allowed is the final presentation sort
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"resize must not shuffle, saw $exchanges")
+    assert(!p.contains("Window ") && !p.contains("SortMergeJoin"))
+  }
+
+  test("cross-corpus dups: band join is an equi-join; text never shuffles (q138)") {
+    val p = plan("q138_cross_corpus_dups")
+    val exchanges = "Exchange (hashpartitioning|rangepartitioning)[^\\n]*"
+      .r.findAllIn(p).toList
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text")),
+      s"text must never cross a shuffle: $exchanges")
+    assert(!p.contains("NestedLoop"), "band collision must be an equi-join")
+  }
+
   test("split-leakage audit ships signatures and hashed shingles, never text (q133)") {
     val p = plan("q133_split_leakage")
     // candidate generation + verify reuse the dedup shapes: every exchange
