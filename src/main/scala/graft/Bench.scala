@@ -20,6 +20,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * is a JVM property, not a plan property. Warm-up failures are recorded
   * in `failed` exactly like timed-run failures (nothing is hidden by the
   * warm-up pass).
+  *
+  * Output: the final stdout line is a bounded-length JSON summary (total,
+  * failures, the slowest queries that fit a ~1.1 KB budget) so a collector
+  * that keeps only a tail of the output still gets a parseable record; the
+  * complete per-query map is written to `BENCH_FULL.json` in the working
+  * directory.
   */
 object Bench {
   private def materialize(df: DataFrame): Unit =
@@ -60,11 +66,38 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val fj = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
+    def sec(v: Double): String = f"$v%.3f"
+
+    // Full per-query detail goes to a file: the harness that collects the
+    // bench keeps only a bounded tail of stdout, and a 130+-entry map does
+    // not fit in it. Anyone (or any tool) wanting every number reads the
+    // file; the stdout line stays the machine-readable summary.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"failed":$fj,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+
+    // Final stdout line: summary + as many of the slowest queries as fit a
+    // conservative length budget (the collector's tail window is ~2000
+    // chars and other lines follow ours). Slowest-first is the subset a
+    // reader acts on; the complete map is in BENCH_FULL.json.
+    val budget = 1100
+    val slowest = results.sortBy(-_._2)
+    val picked = scala.collection.mutable.ListBuffer.empty[String]
+    var used = 0
+    slowest.foreach { case (k, v) =>
+      val entry = "\"" + k + "\":" + sec(v)
+      if (used + entry.length + 1 <= budget) { picked += entry; used += entry.length + 1 }
+    }
+    val qs = picked.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"queries_truncated":${picked.size < results.size},"detail":"BENCH_FULL.json","failed":$fj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
