@@ -241,6 +241,20 @@ object Stats {
     * plan (same canonicalized form) refreshes its slot instead of
     * double-entering, so one hot query cannot evict itself.
     */
+  /** Session-conf integer with a named-key error: a malformed value must
+    * say WHICH conf key is bad, not surface as a bare
+    * NumberFormatException from inside query construction.
+    */
+  private def confLong(conf: org.apache.spark.sql.RuntimeConfig,
+      key: String, default: Long): Long =
+    conf.getOption(key).map { v =>
+      try v.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$key must be an integer, got '$v'")
+      }
+    }.getOrElse(default)
+
   private[graft] object PlanCache {
     private val live = scala.collection.mutable.ArrayDeque
       .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
@@ -266,8 +280,8 @@ object Stats {
         val cached = df.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         live.append((key, cached))
-        val cap = df.sparkSession.conf.getOption("spark.graft.cache.maxPlans")
-          .map(_.toInt).getOrElse(8)
+        val cap = confLong(df.sparkSession.conf,
+          "spark.graft.cache.maxPlans", 8L).toInt
         while (live.size > cap) live.removeHead()._2.unpersist(blocking = false)
         cached
       }
@@ -298,13 +312,22 @@ object Stats {
       // straggler anyway and the fixed overhead would triple a
       // sub-second query, so tiny inputs skip straight to serial.
       // Driver-side plan arithmetic — leaf stats are file sizes.
-      val probeMin = conf.getOption("spark.graft.cum.probeMinInputBytes")
-        .map(_.toLong).getOrElse(8L * 1024 * 1024)
-      val inputBytes = rollup.queryExecution.optimizedPlan.collectLeaves()
-        .map(_.stats.sizeInBytes).sum
-      if (inputBytes < BigInt(probeMin)) return (rollup, false)
-      val threshold = conf.getOption("spark.graft.cum.serialMaxDistinct")
-        .map(_.toLong).getOrElse(4000000L)
+      val probeMin = confLong(conf,
+        "spark.graft.cum.probeMinInputBytes", 8L * 1024 * 1024)
+      // RDD/LocalRelation-backed leaves report the defaultSizeInBytes
+      // SENTINEL (conf default Long.MaxValue), not a measurement — a tiny
+      // in-memory frame would look huge and pay the probe jobs the
+      // heuristic exists to avoid. Unknown size ⇒ serial without probing:
+      // the auto path is sized for file-backed tables, whose leaves carry
+      // real file sizes.
+      val sentinel = BigInt(
+        rollup.sparkSession.sessionState.conf.defaultSizeInBytes)
+      val leafSizes = rollup.queryExecution.optimizedPlan.collectLeaves()
+        .map(_.stats.sizeInBytes)
+      if (leafSizes.contains(sentinel)) return (rollup, false)
+      if (leafSizes.sum < BigInt(probeMin)) return (rollup, false)
+      val threshold = confLong(conf,
+        "spark.graft.cum.serialMaxDistinct", 4000000L)
       // MEMORY_AND_DISK via the bounded [[PlanCache]]: identical plans
       // dedup in the CacheManager, distinct ones rotate out FIFO
       val cached = PlanCache.register(rollup)

@@ -303,9 +303,13 @@ object Dedup {
             .groupBy("id").agg(min("cluster_id").as("cluster_id")))
         // the old front is superseded the moment the new pin materializes
         // (pin is eager): release it, or the checkpoint dir / block store
-        // grows by one full label copy per iteration
-        graft.core.Checkpoints.release(labels)
+        // grows by one full label copy per iteration. `labels` must point
+        // at the NEW front before the old one is released — if release
+        // throws, the catch block frees whatever `labels` holds, and that
+        // must be the still-pinned new front, not the half-released old one
+        val old = labels
         labels = next
+        graft.core.Checkpoints.release(old)
         val s = checksum(labels)
         converged = s == prevSum
         prevSum = s

@@ -294,10 +294,19 @@ object Sampling {
     val raw = g.withColumn("__w", wr)
     val den = raw.agg(
       call_function("graft_dsum", col("__w"), lit(18)).as("__den"))
+    // degenerate-corpus guard (empty input, or every group at 0 tokens):
+    // a zero denominator would silently turn every weight into NaN/null.
+    // assert_true is null on pass, so the coalesce keeps it in the plan
+    // (same pattern as groupedTrend/groupedGini's loud preconditions)
+    val denGuarded = coalesce(
+      assert_true(col("__den") > 0d, lit(
+        "mixtureWeights: total corpus weight is zero (empty input or " +
+          "all-zero token counts) — weights are undefined")).cast("double"),
+      col("__den"))
     raw.crossJoin(broadcast(den))
       .select(col(groupCol), col("n_docs"), col("tokens"),
-        (col("__w") / col("__den")).as("weight"),
-        floor((col("__w") / col("__den")) * lit(budgetTokens.toDouble))
+        (col("__w") / denGuarded).as("weight"),
+        floor((col("__w") / denGuarded) * lit(budgetTokens.toDouble))
           .cast("long").as("target_tokens"))
   }
 }
