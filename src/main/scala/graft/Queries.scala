@@ -437,7 +437,8 @@ object Queries {
     Queries2.catalog ++ Queries3.catalog ++ Queries4.catalog ++ Queries5.catalog ++
     Queries6.catalog ++ Queries7.catalog ++ Queries8.catalog ++
     Queries9.catalog ++ Queries10.catalog ++ Queries11.catalog ++
-    Queries12.catalog ++ Queries13.catalog ++ Queries14.catalog
+    Queries12.catalog ++ Queries13.catalog ++ Queries14.catalog ++
+    Queries15.catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map { case (n, d) => n -> d.fn }.toMap

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Sampling, TextAnalysis}
+
+/** Catalog entries: round-10 additions — pairwise corpus-overlap report,
+  * DSIR-style domain-relevance selection, vocabulary-coverage (OOV) audit,
+  * and bounded-size priority sampling.
+  */
+object Queries15 {
+
+  private def t(name: String)(implicit env: (SparkSession, String)): DataFrame =
+    Tables.load(env._1, env._2, name)
+
+  private def q(name: String, sql: String = null)(
+      body: (SparkSession, String) => DataFrame): (String, QueryDef) =
+    name -> QueryDef(body, Option(sql))
+
+  /** Pairwise corpus-overlap report ([[TextAnalysis.corpusOverlap]]):
+    * for every pair of sources, exact bigram-vocabulary sizes, shared
+    * bigrams, vocabulary Jaccard, and byte-identical shared documents —
+    * the before-you-merge audit for combining crawls. Bigrams (n = 2)
+    * because this corpus shares one unigram vocabulary: phrase-level
+    * overlap is what actually separates the sources. All integers exact;
+    * `vocab_jaccard` is the single IEEE division. */
+  val q139CorpusOverlap: (String, QueryDef) = q(
+    "q139_corpus_overlap",
+    """WITH d AS (SELECT source, string_split(text, ' ') AS w, text
+      |           FROM documents),
+      |tok AS (
+      |  SELECT DISTINCT source AS g, token FROM (
+      |    SELECT source, unnest(list_transform(
+      |      generate_series(1, len(w) - 1),
+      |      i -> array_to_string(w[i:i+1], ' '))) AS token
+      |    FROM d WHERE len(w) >= 2)),
+      |sizes AS (SELECT g, COUNT(*) AS vocab FROM tok GROUP BY g),
+      |vc AS (
+      |  SELECT a.g AS ga, b.g AS gb, COUNT(*) AS vocab_common
+      |  FROM tok a JOIN tok b ON a.token = b.token AND a.g < b.g
+      |  GROUP BY 1, 2),
+      |ch AS (SELECT DISTINCT source AS g, md5(text) AS h FROM d),
+      |cc AS (
+      |  SELECT a.g AS ga, b.g AS gb, COUNT(*) AS content_common
+      |  FROM ch a JOIN ch b ON a.h = b.h AND a.g < b.g
+      |  GROUP BY 1, 2)
+      |SELECT x.g AS src_a, y.g AS src_b,
+      |  CAST(x.vocab AS BIGINT) AS vocab_a,
+      |  CAST(y.vocab AS BIGINT) AS vocab_b,
+      |  CAST(COALESCE(vc.vocab_common, 0) AS BIGINT) AS vocab_common,
+      |  CAST(COALESCE(vc.vocab_common, 0) AS DOUBLE) /
+      |    CAST(x.vocab + y.vocab - COALESCE(vc.vocab_common, 0) AS DOUBLE)
+      |    AS vocab_jaccard,
+      |  CAST(COALESCE(cc.content_common, 0) AS BIGINT) AS content_common
+      |FROM sizes x JOIN sizes y ON x.g < y.g
+      |LEFT JOIN vc ON vc.ga = x.g AND vc.gb = y.g
+      |LEFT JOIN cc ON cc.ga = x.g AND cc.gb = y.g
+      |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    TextAnalysis.corpusOverlap(t("documents"), "source", "text", n = 2)
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Domain-relevance selection ([[TextAnalysis.domainRelevance]]): rank
+    * the non-src0 corpus by how much its vocabulary leans toward src0 —
+    * the log-free exact form of DSIR importance weighting (per-token
+    * integer cross-difference of document-frequency rates, summed). Top
+    * 40 by score with id tiebreak; every value an exact integer. */
+  val q140DomainRelevance: (String, QueryDef) = q(
+    "q140_domain_relevance",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, is_t, token FROM (
+      |    SELECT doc_id, (source = 'src0') AS is_t,
+      |      unnest(string_split(text, ' ')) AS token
+      |    FROM documents)),
+      |df AS (
+      |  SELECT token,
+      |    CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS df_t,
+      |    CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS df_r
+      |  FROM tok GROUP BY token),
+      |tot AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_t,
+      |    CAST(SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS n_r
+      |  FROM documents)
+      |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  CAST(SUM(df.df_t * tot.n_r - df.df_r * tot.n_t) AS BIGINT) AS score
+      |FROM tok t JOIN df USING (token) CROSS JOIN tot
+      |WHERE NOT t.is_t
+      |GROUP BY t.doc_id
+      |ORDER BY score DESC, t.doc_id LIMIT 40""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    TextAnalysis.domainRelevance(t("documents"), "doc_id", "text",
+        col("source") === "src0")
+      .orderBy(col("score").desc, col("doc_id").asc).limit(40)
+  }
+
+  /** Vocabulary-coverage audit ([[TextAnalysis.vocabCoverage]]): build
+    * the top-20 token vocabulary (count desc, token tiebreak — the cut is
+    * deterministic) and report per source the occurrence totals, OOV
+    * occurrences, and OOV fraction — the tokenizer-coverage check run
+    * before committing a vocab to a corpus mix. Counts exact; `oov_frac`
+    * one IEEE division. */
+  val q141VocabCoverage: (String, QueryDef) = q(
+    "q141_vocab_coverage",
+    """WITH occ AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT token FROM (
+      |    SELECT token, COUNT(*) AS cnt FROM occ GROUP BY token
+      |    ORDER BY cnt DESC, token LIMIT 20))
+      |SELECT occ.source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_oov,
+      |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS oov_frac
+      |FROM occ LEFT JOIN vocab v ON occ.token = v.token
+      |GROUP BY occ.source ORDER BY occ.source""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    TextAnalysis.vocabCoverage(t("documents"), "source", "text",
+        vocabSize = 20)
+      .orderBy(col("source"))
+  }
+
+  /** Priority sampling ([[Sampling.prioritySample]]): a 60-row weighted
+    * sample of orders (weight = total price in cents) with
+    * Duffield–Lund–Thorup estimator weights. The priority is ONE IEEE
+    * division of two exact integers (`w·2³² / (md5bucket+1)`) and the
+    * cents weight is `floor(price·100)` — floor of the same IEEE product
+    * in both engines (a double→int CAST would round differently across
+    * engines) — so sample membership, order, and estimator weights all
+    * hash-match. */
+  val q142PrioritySample: (String, QueryDef) = q(
+    "q142_priority_sample",
+    """WITH s AS (
+      |  SELECT o_orderkey,
+      |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS w,
+      |    CAST('0x' || substring(md5('prio1' || CAST(o_orderkey AS VARCHAR)),
+      |         1, 8) AS BIGINT) AS b
+      |  FROM orders),
+      |p AS (
+      |  SELECT o_orderkey, w,
+      |    CAST(w * 4294967296 AS DOUBLE) / CAST(b + 1 AS DOUBLE) AS q,
+      |    ROW_NUMBER() OVER (ORDER BY
+      |      CAST(w * 4294967296 AS DOUBLE) / CAST(b + 1 AS DOUBLE) DESC,
+      |      o_orderkey) AS rn
+      |  FROM s),
+      |tau AS (
+      |  SELECT COALESCE(MAX(CASE WHEN rn = 61 THEN q END), 0.0) AS tau
+      |  FROM p)
+      |SELECT o_orderkey, w AS weight, q AS priority,
+      |  GREATEST(CAST(w AS DOUBLE), tau.tau) AS est_weight
+      |FROM p CROSS JOIN tau
+      |WHERE rn <= 60
+      |ORDER BY priority DESC, o_orderkey""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    Sampling.prioritySample(t("orders"), "o_orderkey",
+      floor(col("o_totalprice") * lit(100)), n = 60, salt = "prio1")
+  }
+
+  val catalog: Seq[(String, QueryDef)] =
+    Seq(q139CorpusOverlap, q140DomainRelevance, q141VocabCoverage,
+      q142PrioritySample)
+}

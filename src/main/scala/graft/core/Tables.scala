@@ -24,13 +24,30 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events with `ts` normalized: raw file stores TIMESTAMP(NANOS) which we
-    * read as a long (nanosAsLong); expose both epoch-second `ts_sec` (the
-    * sybil time-column convention — int64 unix seconds,
-    * /root/reference/src/lib/record.go:12) and a proper timestamp `ts_t`.
+  /** events with `ts` normalized to EPOCH NANOSECONDS (long) regardless of
+    * the file's physical type — the generator has shipped both
+    * TIMESTAMP(NANOS) (which Spark reads as a long already) and
+    * micro-precision TIMESTAMP/TIMESTAMP_NTZ (which convert exactly via
+    * `unix_micros · 1000`; the session timezone is pinned UTC so the NTZ
+    * cast is wall-clock-identity). Downstream code and the DuckDB oracles
+    * (`epoch_ns(ts)`) both see the same nano longs either way. Also
+    * exposes epoch-second `ts_sec` (the sybil time-column convention —
+    * int64 unix seconds, /root/reference/src/lib/record.go:12) and a
+    * proper timestamp `ts_t`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val df = load(spark, dir, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = load(spark, dir, "events")
+    val df = raw.schema("ts").dataType match {
+      case LongType => raw
+      case TimestampType =>
+        raw.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported physical type $other")
+    }
     // integer floor-div keeps this exact (double division would round at
     // 2^53); matches DuckDB `epoch_ns(ts) // 1000000000` in the oracle SQL
     val tsSec = expr("ts div 1000000000")

@@ -309,4 +309,60 @@ object Sampling {
         floor((col("__w") / denGuarded) * lit(budgetTokens.toDouble))
           .cast("long").as("target_tokens"))
   }
+
+  /** Priority sampling (Duffield–Lund–Thorup, JACM 2007): a weighted
+    * sample of exactly `n` rows WITHOUT replacement, with near-optimal
+    * variance for subset-sum estimation — the bounded-size alternative to
+    * [[weightedHashSample]]'s Bernoulli draw (whose size is random).
+    *
+    * Each row gets priority `q = w / u` with `u` uniform in (0, 1]; the
+    * sample is the top-`n` priorities and the estimator weight is
+    * `max(w, τ)` where the threshold τ is the (n+1)-th priority
+    * (Σ max(w,τ) over the sample is unbiased for Σ w). Determinism and
+    * cross-engine replay: `u = (md5bucket + 1)/2³²` from the salted row
+    * id (the md5 32-bit prefix, so `u` is exact and never 0), and
+    * `q = (w·2³²)/(bucket+1)` is ONE IEEE division of two exact integers
+    * — bit-identical anywhere; ties cannot occur at distinct buckets with
+    * equal weights but ordering still pins the id as tiebreak. Weights
+    * must be positive integers below 2³¹ so `w·2³²` stays in a long.
+    *
+    * Output: `(idCol, weight, priority, est_weight)` for the `n` sampled
+    * rows, ordered by priority descending. If the input has ≤ n rows,
+    * every row is kept with `est_weight = weight` (τ = 0).
+    *
+    * Scale shape: priorities are a scan-side projection; both the
+    * sample and the threshold come from `TakeOrderedAndProject` over
+    * n+1 rows — map-side partial top-k, never a global sort — and τ
+    * rides a one-row broadcast (no driver collect). The top-(n+1) scan
+    * executes twice (once for τ, once for the sample); both are the
+    * same bounded partial-top-k job.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: Column,
+      n: Int, salt: String): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val bucket = conv(
+      substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast(LongType)
+    val w = weightCol.cast(LongType)
+    // positive-weight guard: w ≤ 0 makes the priority meaningless (and
+    // the estimator biased) — fail loudly, like mixtureWeights
+    val wGuarded = coalesce(
+      assert_true(w > 0L, lit(
+        "prioritySample: weights must be positive integers")).cast("long"),
+      w)
+    val scored = df
+      .withColumn("__w", wGuarded)
+      .withColumn("__q",
+        (col("__w") * lit(4294967296L)).cast("double") /
+          (bucket + lit(1L)).cast("double"))
+    val top = scored.orderBy(col("__q").desc, col(idCol).asc).limit(n + 1)
+    val tau = top.agg(
+      when(count(lit(1)) === (n + 1), min(col("__q")))
+        .otherwise(lit(0.0)).as("__tau"))
+    top.orderBy(col("__q").desc, col(idCol).asc).limit(n)
+      .crossJoin(broadcast(tau))
+      .select(col(idCol), col("__w").as("weight"), col("__q").as("priority"),
+        greatest(col("__w").cast("double"), col("__tau")).as("est_weight"))
+      .orderBy(col("priority").desc, col(idCol).asc)
+  }
 }

@@ -287,4 +287,151 @@ object TextAnalysis {
           _.cast("string")), ",").as("postings"))
       .filter(col("df") >= minDf)
   }
+
+  /** Pairwise corpus-overlap report: for every ordered pair of `groupCol`
+    * values (a < b), the exact vocabulary sizes, shared-vocabulary count,
+    * vocabulary Jaccard, and the number of byte-identical documents
+    * (distinct md5 content hashes present on both sides) — the
+    * before-you-merge measurement for combining crawls/sources: high
+    * vocab Jaccard with low content overlap means same domain, new text;
+    * high content overlap means the merge needs [[Dedup]] first.
+    *
+    * Output: `(src_a, src_b, vocab_a, vocab_b, vocab_common,
+    * vocab_jaccard, content_common)`, one row per unordered pair
+    * (including zero-overlap pairs), ordered (src_a, src_b).
+    *
+    * Everything is exact integers until `vocab_jaccard`, one IEEE
+    * division — bit-identical cross-engine.
+    *
+    * The vocabulary is the distinct `n`-gram set (n = 1 for unigrams;
+    * larger n measures phrase-level overlap, which separates corpora a
+    * shared unigram vocabulary cannot).
+    *
+    * Scale shape: the (group, term) / (group, hash) rollups partial-
+    * aggregate on uniform keys; the overlap self-joins key on term/hash,
+    * and a term present in g groups fans out to at most g·(g−1)/2 pair
+    * rows — bounded by the (small) number of corpora, never by corpus
+    * size. The per-group size frames are |G| rows, broadcast onto the
+    * |G|² pair skeleton so zero-overlap pairs still appear. No raw text
+    * crosses a shuffle: terms and md5 hashes only.
+    */
+  def corpusOverlap(docs: DataFrame, groupCol: String,
+      textCol: String, n: Int = 1): DataFrame = {
+    require(n >= 1, "n-gram order must be >= 1")
+    val tok = docs
+      .select(col(groupCol).as("g"),
+        explode(Decontam.ngrams(col(textCol), n)).as("token"))
+      .distinct()
+    val sizes = tok.groupBy("g").agg(count(lit(1)).as("vocab"))
+    val vocabCommon = tok.as("a")
+      .join(tok.as("b"),
+        col("a.token") === col("b.token") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("ga"), col("b.g").as("gb"))
+      .agg(count(lit(1)).as("vocab_common"))
+    val ch = docs
+      .select(col(groupCol).as("g"), md5(col(textCol)).as("h")).distinct()
+    val contentCommon = ch.as("a")
+      .join(ch.as("b"), col("a.h") === col("b.h") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("ga"), col("b.g").as("gb"))
+      .agg(count(lit(1)).as("content_common"))
+    val pairs = sizes
+      .select(col("g").as("src_a"), col("vocab").as("vocab_a"))
+      .join(broadcast(
+        sizes.select(col("g").as("src_b"), col("vocab").as("vocab_b"))),
+        col("src_a") < col("src_b"))
+    pairs
+      .join(broadcast(vocabCommon),
+        pairs("src_a") === vocabCommon("ga") &&
+          pairs("src_b") === vocabCommon("gb"), "left")
+      .drop("ga", "gb")
+      .join(broadcast(contentCommon),
+        pairs("src_a") === contentCommon("ga") &&
+          pairs("src_b") === contentCommon("gb"), "left")
+      .drop("ga", "gb")
+      .select(col("src_a"), col("src_b"), col("vocab_a"), col("vocab_b"),
+        coalesce(col("vocab_common"), lit(0L)).as("vocab_common"),
+        (coalesce(col("vocab_common"), lit(0L)).cast("double") /
+          (col("vocab_a") + col("vocab_b") -
+            coalesce(col("vocab_common"), lit(0L))).cast("double"))
+          .as("vocab_jaccard"),
+        coalesce(col("content_common"), lit(0L)).as("content_common"))
+  }
+
+  /** Domain-relevance score — the log-free exact form of DSIR-style
+    * importance weighting (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): score each
+    * NON-target document by how much its vocabulary leans toward the
+    * target slice. Per distinct token w of the doc, the vote is the
+    * exact integer cross-difference of document-frequency rates,
+    * `df_t(w)·N_r − df_r(w)·N_t` (positive iff w is relatively more
+    * common in the target), and the doc's score is the sum of its votes.
+    * Ordering docs by this score is the importance-sampling readout with
+    * no `ln`/`pow` anywhere — hash-checkable cross-engine where a
+    * log-likelihood ratio is not ULP-stable.
+    *
+    * Output: one row per non-target doc, `(id, n_terms, score)`.
+    *
+    * Scale shape: one (doc, token) distinct rollup, one token-keyed
+    * aggregation for the df table, one token-keyed join back, one doc
+    * rollup — all partial-aggregated on uniform keys. The corpus totals
+    * ride a 1-row broadcast (no driver collect). Votes accumulate in
+    * decimal(38,0): per-token products reach N_t·N_r (~10¹⁸ at
+    * billion-doc scale), so a long accumulator could overflow mid-sum;
+    * the final score is cast back to long (callers at extreme scale keep
+    * the decimal).
+    */
+  def domainRelevance(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc"), isTarget.as("is_t"),
+        explode(tokens(col(textCol))).as("token"))
+      .distinct()
+    val dfTable = tok.groupBy("token").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("df_t"),
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("df_r"))
+    val totals = docs.agg(
+      sum(when(isTarget, 1L).otherwise(0L)).as("n_t"),
+      sum(when(isTarget, 0L).otherwise(1L)).as("n_r"))
+    tok.filter(!col("is_t"))
+      .join(dfTable, "token")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        sum((col("df_t") * col("n_r") - col("df_r") * col("n_t"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("score"))
+  }
+
+  /** Vocabulary coverage / out-of-vocabulary rate: build the top-`vocabSize`
+    * token vocabulary of the corpus (by occurrence count, ties broken by
+    * token — fully deterministic), then report per `groupCol` the total
+    * token occurrences, the occurrences not covered by that vocabulary,
+    * and the OOV fraction — the tokenizer-coverage audit run before
+    * committing a vocab/tokenizer to a corpus mix.
+    *
+    * Output: `(groupCol, n_tokens, n_oov, oov_frac)` ordered by group.
+    * Counts are exact integers; `oov_frac` is one IEEE division.
+    *
+    * Scale shape: the token-count rollup partial-aggregates on uniform
+    * token keys; the top-V selection is `TakeOrderedAndProject` (map-side
+    * partial top-k, never a global sort); the vocabulary (bounded at
+    * `vocabSize` rows) broadcasts back onto the occurrence stream, so the
+    * corpus-side scan joins against a hash set and aggregates — no
+    * corpus-sized shuffle beyond the token counts.
+    */
+  def vocabCoverage(docs: DataFrame, groupCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val occ = docs
+      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+    val vocab = occ.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(vocabSize)
+      .select(col("token"), lit(1L).as("__in"))
+    occ.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
 }
