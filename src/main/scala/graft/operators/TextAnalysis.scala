@@ -315,6 +315,58 @@ object TextAnalysis {
     * |G|² pair skeleton so zero-overlap pairs still appear. No raw text
     * crosses a shuffle: terms and md5 hashes only.
     */
+  /** Sketch-mode [[corpusOverlap]] — the 100 TB form. One HLL sketch per
+    * group replaces the distinct-vocabulary rollup, and the pairwise
+    * shared-vocabulary count comes from inclusion–exclusion over a sketch
+    * union (`|A∩B| ≈ |A| + |B| − |A∪B|`, DataSketches HLL union is
+    * lossless over sketches). The whole report becomes ONE aggregation
+    * over the term stream producing |G| sketch rows, then driver-light
+    * pairwise arithmetic on broadcast-sized frames — no term-keyed
+    * self-join at all. Estimates carry HLL error (~2% per term at
+    * lgK 12), amplified by the subtraction for low-overlap pairs —
+    * numbers are for dashboards/merge triage; the exact mode is the
+    * oracle. Content overlap stays exact (md5-hash rollup — doc counts
+    * are orders of magnitude below vocab counts).
+    *
+    * Output schema matches [[corpusOverlap]] with `vocab_*` columns as
+    * estimate doubles (`content_common` stays an exact long).
+    */
+  def corpusOverlapApprox(docs: DataFrame, groupCol: String,
+      textCol: String, n: Int = 1): DataFrame = {
+    require(n >= 1, "n-gram order must be >= 1")
+    val sk = docs
+      .select(col(groupCol).as("g"),
+        explode(Decontam.ngrams(col(textCol), n)).as("token"))
+      .groupBy("g")
+      .agg(hll_sketch_agg(col("token")).as("sk"))
+    val pairs = sk
+      .select(col("g").as("src_a"), col("sk").as("sk_a"))
+      .join(broadcast(sk.select(col("g").as("src_b"), col("sk").as("sk_b"))),
+        col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        hll_sketch_estimate(col("sk_a")).cast("double").as("vocab_a"),
+        hll_sketch_estimate(col("sk_b")).cast("double").as("vocab_b"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+          .cast("double").as("vocab_union"))
+    val common = greatest(
+      col("vocab_a") + col("vocab_b") - col("vocab_union"), lit(0.0))
+    val ch = docs
+      .select(col(groupCol).as("g"), md5(col(textCol)).as("h")).distinct()
+    val contentCommon = ch.as("a")
+      .join(ch.as("b"), col("a.h") === col("b.h") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("ga"), col("b.g").as("gb"))
+      .agg(count(lit(1)).as("content_common"))
+    pairs
+      .join(broadcast(contentCommon),
+        pairs("src_a") === contentCommon("ga") &&
+          pairs("src_b") === contentCommon("gb"), "left")
+      .select(col("src_a"), col("src_b"), col("vocab_a"), col("vocab_b"),
+        common.as("vocab_common"),
+        (common / (col("vocab_a") + col("vocab_b") - common))
+          .as("vocab_jaccard"),
+        coalesce(col("content_common"), lit(0L)).as("content_common"))
+  }
+
   def corpusOverlap(docs: DataFrame, groupCol: String,
       textCol: String, n: Int = 1): DataFrame = {
     require(n >= 1, "n-gram order must be >= 1")

@@ -391,4 +391,39 @@ class PlanSpec extends SparkSpec {
     assert(!exchanges.exists(_.contains("text")),
       s"text must never be a shuffle key/payload: $exchanges")
   }
+
+  test("corpus overlap: terms/hashes shuffle, raw text never does (q139)") {
+    val p = plan("q139_corpus_overlap")
+    val exchanges = "Exchange (hashpartitioning|rangepartitioning)[^\\n]*"
+      .r.findAllIn(p).toList
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"text must stay in scan-side projections: $exchanges")
+  }
+
+  test("domain relevance: totals ride a broadcast, no driver collect shape (q140)") {
+    val p = plan("q140_domain_relevance")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row totals frame must broadcast onto the token stream")
+    assert(!"Exchange (hashpartitioning|rangepartitioning)[^\\n]*"
+      .r.findAllIn(p).exists(_.contains("text#")),
+      "raw text never crosses a shuffle")
+  }
+
+  test("vocab coverage: top-V is partial top-k and the vocab broadcasts (q141)") {
+    val p = plan("q141_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the vocabulary cut must be a partial top-k, not a global sort")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bounded vocabulary must broadcast onto the occurrence stream")
+  }
+
+  test("priority sample: partial top-k, no global window over the table (q142)") {
+    val p = plan("q142_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "sample + threshold must come from partial top-k")
+    assert(!p.contains("Window"),
+      "a single-partition ranking window would serialize the table")
+  }
 }

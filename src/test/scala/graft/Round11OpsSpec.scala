@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.core.Tables
+import graft.operators.{Sampling, TextAnalysis}
+
+/** Round-11 operators: corpus-overlap report, DSIR-style domain relevance,
+  * vocabulary-coverage audit, priority sampling — plus the events `ts`
+  * physical-type normalization they all sit on top of.
+  */
+class Round11OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- events ts normalization -------------------------------------------
+
+  test("Tables.events normalizes ts to epoch-nano longs on the shipped file") {
+    val ev = Tables.events(spark, sfDir)
+    assert(ev.schema("ts").dataType === LongType,
+      "ts must be epoch nanos regardless of the file's physical type")
+    // ts_sec is the exact floor of the nano value, and the range is sane
+    // (the generator writes 2024 timestamps: seconds ~1.7e9, nanos ~1.7e18)
+    val row = ev.select(min(col("ts")), max(col("ts")),
+      sum((col("ts_sec") - expr("ts div 1000000000")).cast("long"))).head()
+    assert(row.getLong(0) > 1500000000L * 1000000000L,
+      s"nanos lower bound looks wrong: ${row.getLong(0)}")
+    assert(row.getLong(1) < 2200000000L * 1000000000L,
+      s"nanos upper bound looks wrong: ${row.getLong(1)}")
+    assert(row.getLong(2) === 0L, "ts_sec must equal ts div 1e9 exactly")
+  }
+
+  // ---- corpusOverlap ------------------------------------------------------
+
+  private val overlapDocs = Seq(
+    (1L, "g1", "a b"), (2L, "g1", "b c"),
+    (3L, "g2", "b c"), (4L, "g2", "c d"),
+    (5L, "g3", "x y")
+  ).toDF("doc_id", "grp", "text")
+
+  test("corpusOverlap: exact vocab sizes, shared terms, jaccard, content dups") {
+    val rows = TextAnalysis.corpusOverlap(overlapDocs, "grp", "text", n = 1)
+      .orderBy("src_a", "src_b").collect()
+    assert(rows.length === 3, "all pairs appear, including zero-overlap ones")
+    val byPair = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val r12 = byPair(("g1", "g2"))
+    // g1 vocab {a,b,c}, g2 vocab {b,c,d}: common {b,c}, jaccard 2/4
+    assert(r12.getLong(2) === 3L && r12.getLong(3) === 3L)
+    assert(r12.getLong(4) === 2L)
+    assert(r12.getDouble(5) === 0.5)
+    // doc 2 and doc 3 are byte-identical across g1/g2
+    assert(r12.getLong(6) === 1L)
+    val r13 = byPair(("g1", "g3"))
+    assert(r13.getLong(4) === 0L && r13.getDouble(5) === 0.0 &&
+      r13.getLong(6) === 0L)
+  }
+
+  test("corpusOverlap: bigram mode separates groups a shared unigram vocab cannot") {
+    val docs = Seq(
+      (1L, "g1", "a b c"), (2L, "g2", "a b c"), (3L, "g3", "c b a")
+    ).toDF("doc_id", "grp", "text")
+    val rows = TextAnalysis.corpusOverlap(docs, "grp", "text", n = 2)
+      .orderBy("src_a", "src_b").collect()
+    val byPair = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // g1/g2 share both bigrams {"a b","b c"}; g3's bigrams {"c b","b a"}
+    // share nothing despite the identical unigram vocabulary
+    assert(byPair(("g1", "g2")).getDouble(5) === 1.0)
+    assert(byPair(("g1", "g3")).getDouble(5) === 0.0)
+    assert(byPair(("g2", "g3")).getDouble(5) === 0.0)
+  }
+
+  test("corpusOverlapApprox tracks the exact report within HLL tolerance") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val key = (r: org.apache.spark.sql.Row) => (r.getString(0), r.getString(1))
+    val exact = TextAnalysis.corpusOverlap(docs, "lang", "text", n = 2)
+      .collect().map(r => key(r) -> r).toMap
+    val approx = TextAnalysis.corpusOverlapApprox(docs, "lang", "text", n = 2)
+      .collect().map(r => key(r) -> r).toMap
+    assert(approx.keySet === exact.keySet, "same pair skeleton")
+    for ((k, a) <- approx) {
+      val e = exact(k)
+      // per-sketch HLL error is ~2%; the inclusion–exclusion subtraction
+      // amplifies it, so the bound here is deliberately loose (10%)
+      def within(est: Double, want: Long): Unit =
+        assert(math.abs(est - want) <= math.max(5.0, 0.10 * want),
+          s"$k: estimate $est too far from exact $want")
+      within(a.getDouble(2), e.getLong(2))
+      within(a.getDouble(3), e.getLong(3))
+      within(a.getDouble(4), e.getLong(4))
+      // content overlap is exact in BOTH modes
+      assert(a.getLong(6) === e.getLong(6))
+    }
+  }
+
+  // ---- domainRelevance ----------------------------------------------------
+
+  test("domainRelevance: exact df-rate votes, target docs excluded") {
+    // target (2 docs): both contain "t"; one contains "shared"
+    // raw (2 docs): A has {t, shared}, B has {shared, other}
+    val docs = Seq(
+      (1L, true, "t shared"), (2L, true, "t t"),
+      (10L, false, "t shared"), (11L, false, "shared other")
+    ).toDF("doc_id", "is_t", "text")
+    val out = TextAnalysis.domainRelevance(docs, "doc_id", "text", col("is_t"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(10L, 11L),
+      "only non-target docs are scored")
+    // N_t = 2, N_r = 2. df_t: t→2, shared→1, other→0. df_r: t→1, shared→2,
+    // other→1. vote(w) = df_t·N_r − df_r·N_t:
+    //   t: 2·2−1·2 = 2; shared: 1·2−2·2 = −2; other: 0·2−1·2 = −2
+    val scores = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scores(10L) === 0L, "doc 10: t(+2) + shared(−2) = 0")
+    assert(scores(11L) === -4L, "doc 11: shared(−2) + other(−2) = −4")
+    // the doc leaning toward the target vocabulary outranks the one that
+    // does not — the importance-resampling readout
+    assert(scores(10L) > scores(11L))
+  }
+
+  // ---- vocabCoverage ------------------------------------------------------
+
+  test("vocabCoverage: top-V cut with deterministic tiebreak, exact OOV rates") {
+    // counts: a×4, b×3, c×3, z×1 — V=2 keeps {a, b} (b beats c on the
+    // token tiebreak at equal count)
+    val docs = Seq(
+      (1L, "g1", "a a b c"), (2L, "g1", "a b"),
+      (3L, "g2", "a b c c z")
+    ).toDF("doc_id", "grp", "text")
+    val rows = TextAnalysis.vocabCoverage(docs, "grp", "text", vocabSize = 2)
+      .orderBy("grp").collect()
+    val g1 = rows(0); val g2 = rows(1)
+    // g1: 6 tokens, OOV = {c} → 1
+    assert(g1.getLong(1) === 6L && g1.getLong(2) === 1L)
+    assert(g1.getDouble(3) === 1.0 / 6.0)
+    // g2: 5 tokens, OOV = {c,c,z} → 3
+    assert(g2.getLong(1) === 5L && g2.getLong(2) === 3L)
+    assert(g2.getDouble(3) === 3.0 / 5.0)
+  }
+
+  // ---- prioritySample -----------------------------------------------------
+
+  test("prioritySample equals an independent window-based formulation") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val n = 25
+    val got = Sampling.prioritySample(orders, "o_orderkey",
+      floor(col("o_totalprice") * lit(100)), n = n, salt = "prio1")
+    // naive reference: same priority expression, one global window
+    val b = conv(substring(
+      md5(concat(lit("prio1"), col("o_orderkey").cast("string"))), 1, 8),
+      16, 10).cast(LongType)
+    val w = floor(col("o_totalprice") * lit(100)).cast(LongType)
+    val q = (w * lit(4294967296L)).cast("double") /
+      (b + lit(1L)).cast("double")
+    val ranked = orders.select(col("o_orderkey"), w.as("w"), q.as("q"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("q").desc, col("o_orderkey").asc)))
+    val tau = ranked.filter(col("rn") === n + 1).select("q").head().getDouble(0)
+    val want = ranked.filter(col("rn") <= n)
+      .select(col("o_orderkey"), col("w").as("weight"), col("q").as("priority"),
+        greatest(col("w").cast("double"), lit(tau)).as("est_weight"))
+      .orderBy(col("priority").desc, col("o_orderkey").asc)
+      .collect().toSeq
+    assert(got.collect().toSeq === want)
+    // DLT invariant: the estimator weight never shrinks a sampled row
+    assert(want.forall(r => r.getDouble(3) >= r.getLong(1).toDouble))
+  }
+
+  test("prioritySample keeps everything when the input fits the sample") {
+    val tiny = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "w")
+    val out = Sampling.prioritySample(tiny, "id", col("w"), n = 5,
+      salt = "s").collect()
+    assert(out.length === 3)
+    // τ = 0 ⇒ est_weight is the raw weight: the sample is a census
+    assert(out.forall(r => r.getDouble(3) === r.getLong(1).toDouble))
+  }
+
+  test("prioritySample fails loudly on non-positive weights") {
+    val bad = Seq((1L, 5L), (2L, 0L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.prioritySample(bad, "id", col("w"), n = 1, salt = "s").collect()
+    }
+    assert(e.getMessage != null &&
+      e.toString.contains("prioritySample") ||
+      e.getCause != null && e.getCause.toString.contains("prioritySample"),
+      s"expected the named guard, got: $e")
+  }
+}
