@@ -164,7 +164,41 @@ object Queries15 {
       floor(col("o_totalprice") * lit(100)), n = 60, salt = "prio1")
   }
 
+  /** Per-source priority sampling ([[Sampling.prioritySamplePerGroup]]):
+    * exactly 5 weighted docs per source with per-group DLT thresholds and
+    * estimator weights — the balanced per-domain draw. `n_chars` is
+    * already an exact integer weight; the oracle replays the identical
+    * priority (one exact-int IEEE division) through a per-source window,
+    * with the rank-(n+1) τ as a MAX-CASE (absent rank ⇒ census group,
+    * τ = 0). */
+  val q143GroupPrioritySample: (String, QueryDef) = q(
+    "q143_group_priority_sample",
+    """WITH s AS (
+      |  SELECT source, doc_id, n_chars AS w,
+      |    CAST('0x' || substring(md5('prio2' || CAST(doc_id AS VARCHAR)),
+      |         1, 8) AS BIGINT) AS b
+      |  FROM documents),
+      |p AS (
+      |  SELECT source, doc_id, w,
+      |    CAST(w * 4294967296 AS DOUBLE) / CAST(b + 1 AS DOUBLE) AS q,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+      |      CAST(w * 4294967296 AS DOUBLE) / CAST(b + 1 AS DOUBLE) DESC,
+      |      doc_id) AS rn
+      |  FROM s),
+      |tau AS (
+      |  SELECT source, COALESCE(MAX(CASE WHEN rn = 6 THEN q END), 0.0) AS tau
+      |  FROM p WHERE rn <= 6 GROUP BY source)
+      |SELECT p.source, p.doc_id, p.w AS weight, p.q AS priority,
+      |  GREATEST(CAST(p.w AS DOUBLE), tau.tau) AS est_weight
+      |FROM p JOIN tau USING (source)
+      |WHERE p.rn <= 5
+      |ORDER BY p.source, p.q DESC, p.doc_id""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    Sampling.prioritySamplePerGroup(t("documents"), "source", "doc_id",
+      col("n_chars"), n = 5, salt = "prio2")
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q139CorpusOverlap, q140DomainRelevance, q141VocabCoverage,
-      q142PrioritySample)
+      q142PrioritySample, q143GroupPrioritySample)
 }

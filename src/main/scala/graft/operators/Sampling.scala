@@ -337,24 +337,32 @@ object Sampling {
     * executes twice (once for τ, once for the sample); both are the
     * same bounded partial-top-k job.
     */
-  def prioritySample(df: DataFrame, idCol: String, weightCol: Column,
-      n: Int, salt: String): DataFrame = {
-    require(n > 0, "sample size must be positive")
+  /** The salted-id priority shared by [[prioritySample]] and
+    * [[prioritySamplePerGroup]]: `q = w·2³² / (md5bucket+1)` — one IEEE
+    * division of two exact integers, deterministic and engine-portable —
+    * with a loud positive-weight guard (w ≤ 0 makes the priority
+    * meaningless and the estimator biased; same pattern as
+    * mixtureWeights). Adds `__w` (long weight) and `__q` (priority). */
+  private def priorityCols(df: DataFrame, idCol: String,
+      weightCol: Column, salt: String): DataFrame = {
     val bucket = conv(
       substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
       16, 10).cast(LongType)
     val w = weightCol.cast(LongType)
-    // positive-weight guard: w ≤ 0 makes the priority meaningless (and
-    // the estimator biased) — fail loudly, like mixtureWeights
     val wGuarded = coalesce(
       assert_true(w > 0L, lit(
         "prioritySample: weights must be positive integers")).cast("long"),
       w)
-    val scored = df
-      .withColumn("__w", wGuarded)
+    df.withColumn("__w", wGuarded)
       .withColumn("__q",
         (col("__w") * lit(4294967296L)).cast("double") /
           (bucket + lit(1L)).cast("double"))
+  }
+
+  def prioritySample(df: DataFrame, idCol: String, weightCol: Column,
+      n: Int, salt: String): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val scored = priorityCols(df, idCol, weightCol, salt)
     val top = scored.orderBy(col("__q").desc, col(idCol).asc).limit(n + 1)
     val tau = top.agg(
       when(count(lit(1)) === (n + 1), min(col("__q")))
@@ -364,5 +372,50 @@ object Sampling {
       .select(col(idCol), col("__w").as("weight"), col("__q").as("priority"),
         greatest(col("__w").cast("double"), col("__tau")).as("est_weight"))
       .orderBy(col("priority").desc, col(idCol).asc)
+  }
+
+  /** Per-group [[prioritySample]]: exactly `n` weighted rows from EVERY
+    * `groupCol` value (fewer only when a group is smaller than n), each
+    * group carrying its own Duffield–Lund–Thorup threshold τ_g and
+    * estimator weights — the balanced per-domain weighted draw that one
+    * global sample cannot give (a heavy domain would crowd out the rest),
+    * and the per-stratum subset-sum estimator that [[quotaCap]]'s plain
+    * top-k cannot give.
+    *
+    * Output: `(groupCol, idCol, weight, priority, est_weight)` ordered by
+    * (group, priority desc, id).
+    *
+    * Scale shape: priorities are scan-side; the per-group top-(n+1) runs
+    * the two-phase trick of [[quotaCapTwoPhase]] — a salted pre-cap
+    * bounds every task's sort at n+1 rows per (group, salt) even when one
+    * domain holds billions of rows, then the exact window ranks
+    * ≤ buckets·(n+1) survivors per group (provably the true top-(n+1):
+    * any row in a group's true top-k is in its salt bucket's top-k). τ_g
+    * comes from a |groups|-row aggregation broadcast back onto the
+    * sample. Nothing scans twice and nothing collects.
+    */
+  def prioritySamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: Column, n: Int, salt: String,
+      buckets: Int = 32): DataFrame = {
+    require(n > 0 && buckets > 0, "sample size and buckets must be positive")
+    val scored = priorityCols(df, idCol, weightCol, salt)
+    val order = Seq(col("__q").desc, col(idCol).asc)
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("__sb")).orderBy(order: _*)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(order: _*)
+    val ranked = scored
+      .withColumn("__sb", pmod(xxhash64(col(idCol)), lit(buckets.toLong)))
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= n + 1)
+      .withColumn("__rn", row_number().over(w2)).filter(col("__rn") <= n + 1)
+    val tauG = ranked.groupBy(col(groupCol)).agg(
+      when(count(lit(1)) === (n + 1), min(col("__q")))
+        .otherwise(lit(0.0)).as("__tau"))
+    ranked.filter(col("__rn") <= n)
+      .join(broadcast(tauG), Seq(groupCol))
+      .select(col(groupCol), col(idCol), col("__w").as("weight"),
+        col("__q").as("priority"),
+        greatest(col("__w").cast("double"), col("__tau")).as("est_weight"))
+      .orderBy(col(groupCol).asc, col("priority").desc, col(idCol).asc)
   }
 }

@@ -174,6 +174,55 @@ class Round11OpsSpec extends SparkSpec {
     assert(out.forall(r => r.getDouble(3) === r.getLong(1).toDouble))
   }
 
+  test("prioritySamplePerGroup equals a single-window formulation, salt-invariant") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val n = 3
+    val got = Sampling.prioritySamplePerGroup(docs, "source", "doc_id",
+      col("n_chars"), n = n, salt = "prio2")
+    // independent reference: one global window per group, no pre-cap
+    val b = conv(substring(
+      md5(concat(lit("prio2"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast(LongType)
+    val w = col("n_chars").cast(LongType)
+    val q = (w * lit(4294967296L)).cast("double") / (b + lit(1L)).cast("double")
+    val winG = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("q").desc, col("doc_id").asc)
+    val ranked = docs.select(col("source"), col("doc_id"), w.as("w"), q.as("q"))
+      .withColumn("rn", row_number().over(winG))
+    val tauG = ranked.filter(col("rn") === n + 1)
+      .select(col("source"), col("q").as("tau"))
+    val want = ranked.filter(col("rn") <= n)
+      .join(tauG, Seq("source"), "left")
+      .select(col("source"), col("doc_id"), col("w").as("weight"),
+        col("q").as("priority"),
+        greatest(col("w").cast("double"),
+          coalesce(col("tau"), lit(0.0))).as("est_weight"))
+      .orderBy(col("source").asc, col("priority").desc, col("doc_id").asc)
+      .collect().toSeq
+    assert(got.collect().toSeq === want)
+    // the two-phase pre-cap is exact: any bucketing gives the same answer
+    val oneBucket = Sampling.prioritySamplePerGroup(docs, "source", "doc_id",
+      col("n_chars"), n = n, salt = "prio2", buckets = 1)
+    assert(oneBucket.collect().toSeq === want)
+    // every source contributes exactly n (all sf0.001 sources have > n docs)
+    val sizes = got.groupBy("source").count().collect()
+    assert(sizes.forall(_.getLong(1) === n.toLong))
+  }
+
+  test("prioritySamplePerGroup: undersized groups are a census with tau 0") {
+    val tiny = Seq(
+      ("g1", 1L, 10L), ("g1", 2L, 20L),
+      ("g2", 3L, 30L), ("g2", 4L, 40L), ("g2", 5L, 50L), ("g2", 6L, 60L)
+    ).toDF("grp", "id", "w")
+    val out = Sampling.prioritySamplePerGroup(tiny, "grp", "id", col("w"),
+      n = 3, salt = "s").collect()
+    val g1 = out.filter(_.getString(0) == "g1")
+    assert(g1.length === 2, "a group smaller than n is kept whole")
+    assert(g1.forall(r => r.getDouble(4) === r.getLong(2).toDouble),
+      "census group: est_weight is the raw weight")
+    assert(out.count(_.getString(0) == "g2") === 3)
+  }
+
   test("prioritySample fails loudly on non-positive weights") {
     val bad = Seq((1L, 5L), (2L, 0L)).toDF("id", "w")
     val e = intercept[Exception] {
