@@ -427,6 +427,43 @@ object Streams {
     table.digest()
   }
 
+  /** Streaming vocabulary-coverage (OOV-rate) monitor: the live twin of
+    * [[graft.operators.TextAnalysis.vocabCoverage]]. The vocabulary is a
+    * FIXED static frame (one `token` column — from a batch top-V build or
+    * the tokenizer's actual vocab file): a stream cannot rank its own
+    * global top-V, and a drifting cut would make windows incomparable —
+    * same reasoning as [[streamingDrift]]'s fixed grid. Per event-time
+    * window: total token occurrences, OOV occurrences, and the OOV
+    * fraction (exact counts, one IEEE division — equal to the batch
+    * formula on the same rows, spec-asserted).
+    *
+    * Scale shape: tokens explode scan-side; the vocabulary joins as a
+    * stream-static broadcast hash join (bounded at V rows — tokenizer
+    * vocabs are 32k–256k); the windowed aggregation keeps three longs
+    * per open window. A rising OOV rate is the live signal that the
+    * incoming crawl drifted away from the tokenizer.
+    */
+  def streamingOovRate(
+      docs: DataFrame, // (tsCol, textCol)
+      tsCol: String,
+      textCol: String,
+      vocab: DataFrame, // static, one `token` column
+      bucketSecs: Long,
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__ts", timestamp_seconds(col(tsCol).cast(LongType)))
+      .withWatermark("__ts", watermark)
+      .select(col("__ts"), explode(split(col(textCol), " ")).as("token"))
+      .join(broadcast(vocab.select(col("token"), lit(1L).as("__in"))),
+        Seq("token"), "left")
+      .groupBy(window(col("__ts"), s"$bucketSecs seconds"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("window.start").cast(LongType).as("time_bucket"),
+        col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_frac"))
+
   /** Continuous table writer: append every micro-batch of `stream` to a
     * [[GraftTable]], exactly-once under replays (idempotent token =
     * (checkpoint, batchId)). Returns the running query — callers own its

@@ -313,6 +313,40 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming OOV rate equals the batch coverage formula per window") {
+    implicit val sq = spark.sqlContext
+    val vocab = Seq("a", "b", "c").toDF("token")
+    val base = 1700000000L
+    // window 1: 2 docs (7 tokens, 1 OOV); window 2: 1 doc (3 tokens, 2 OOV)
+    // split mid-window across micro-batches so state must merge
+    val rows = Seq(
+      (base + 10L, "a b z c"), (base + 20L, "a a b"),
+      (base + 610L, "z q a"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows.take(1): _*)
+    val streamDf = mem.toDF().toDF("ts_sec", "text")
+    val out = Streams.streamingOovRate(streamDf, "ts_sec", "text", vocab, 600)
+    val q = out.writeStream.format("memory").queryName("soov")
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable()
+    mem.addData(rows.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    // Update mode re-emits a window as it grows: keep the final row per
+    // window (max n_tokens) and compare against the batch formula
+    val streamed = spark.table("soov")
+      .groupBy("time_bucket")
+      .agg(max(struct(col("n_tokens"), col("n_oov"), col("oov_frac")))
+        .as("s"))
+      .select(col("time_bucket"), col("s.n_tokens"), col("s.n_oov"),
+        col("s.oov_frac"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    assert(streamed === Map(
+      (base + 10 - (base + 10) % 600) -> ((7L, 1L, 1.0 / 7.0)),
+      (base + 610 - (base + 610) % 600) -> ((3L, 2L, 2.0 / 3.0))))
+  }
+
   test("streaming drift TVD equals the batch formula across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
