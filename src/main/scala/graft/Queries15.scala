@@ -198,7 +198,38 @@ object Queries15 {
       col("n_chars"), n = 5, salt = "prio2")
   }
 
+  /** Exact filter-calibration AUC ([[graft.core.Stats.groupedAuc]]): per
+    * source, how well document length separates English docs — the
+    * tie-corrected Mann–Whitney rank-sum over the distinct-value rollup,
+    * exact integers end-to-end, one final IEEE division. The oracle
+    * replays the identical doubled-rank arithmetic; single-class groups
+    * are NULL in both engines. */
+  val q144FilterAuc: (String, QueryDef) = q(
+    "q144_filter_auc",
+    """WITH r AS (
+      |  SELECT source, n_chars AS s, COUNT(*) AS c,
+      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p
+      |  FROM documents GROUP BY 1, 2),
+      |cw AS (
+      |  SELECT source, s, c, p,
+      |    SUM(c) OVER (PARTITION BY source ORDER BY s) AS cum
+      |  FROM r)
+      |SELECT source,
+      |  CAST(SUM(p) AS BIGINT) AS n_pos,
+      |  CAST(SUM(c) - SUM(p) AS BIGINT) AS n_neg,
+      |  CASE WHEN SUM(p) > 0 AND SUM(c) - SUM(p) > 0 THEN
+      |    CAST(SUM(p * (2 * (cum - c) + c + 1)) - SUM(p) * (SUM(p) + 1)
+      |         AS DOUBLE) /
+      |    CAST(2 * SUM(p) * (SUM(c) - SUM(p)) AS DOUBLE)
+      |  ELSE NULL END AS auc
+      |FROM cw GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.core.Stats.groupedAuc(t("documents"), "source", "n_chars",
+        col("lang") === "en")
+      .orderBy(col("source"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q139CorpusOverlap, q140DomainRelevance, q141VocabCoverage,
-      q142PrioritySample, q143GroupPrioritySample)
+      q142PrioritySample, q143GroupPrioritySample, q144FilterAuc)
 }

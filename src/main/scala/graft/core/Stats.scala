@@ -637,6 +637,69 @@ object Stats {
           .otherwise(lit(0.0)).as("gini"))
   }
 
+  /** Exact per-group ROC AUC of a score against a boolean label — the
+    * filter-calibration readout: how well does a heuristic quality score
+    * actually separate the positive class before you commit it as a
+    * corpus filter. Computed as the tie-corrected Mann–Whitney rank-sum:
+    * rows at DISTINCT score v (cnt rows, p positive) share the average
+    * rank `below + (cnt+1)/2`, so the doubled positive rank-sum is
+    * `Σ p·(2·below + cnt + 1)` and
+    * `AUC = (2·R_P − n_P(n_P+1)) / (2·n_P·n_N)` — ties contribute the
+    * standard ½ credit with NO floats: every intermediate is exact
+    * integer in decimal(38,0), and the only IEEE step is the final
+    * division of two exact integers (bit-identical cross-engine). Unlike
+    * [[groupedGini]] the score's TYPE is unconstrained (ranks only use
+    * order, never value mass): doubles rank fine.
+    *
+    * Output: `(group, n_pos, n_neg, auc)`; a single-class group has no
+    * ranking to measure and reports null. Null scores/labels fail loudly
+    * (a null would take a rank but drop out of the classes — the same
+    * count-vs-moment mismatch groupedGini guards against).
+    *
+    * Scale shape: the [[groupedMedian]] family's — distinct-value rollup,
+    * ONE value-ordered prefix sum per group ([[resolveCum]] auto-selects
+    * the distributed form past the probe threshold), partial-aggregatable
+    * finish. A 10^12-row group with 10^6 distinct scores costs 10^6
+    * window rows.
+    */
+  def groupedAuc(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: Column,
+      distributedCum: Option[Boolean] = None): DataFrame = {
+    val dec = "decimal(38,0)"
+    val (g, dist) = resolveCum(
+      df.groupBy(col(groupCol), col(scoreCol)).agg(
+        count(lit(1)).as("__c"),
+        sum(when(labelCol, 1L).otherwise(0L)).as("__p"),
+        sum(when(!labelCol, 1L).otherwise(0L)).as("__l0")),
+      groupCol, distributedCum)
+    val cum = withGroupedCumSumsResolved(g, groupCol, scoreCol,
+      Seq("__c"), dist)
+    // doubled average-rank contribution of this distinct score's positives
+    val contrib = col("__p").cast(dec) *
+      (lit(2).cast(dec) * (col("__cum___c") - col("__c")).cast(dec) +
+        col("__c").cast(dec) + lit(1).cast(dec))
+    cum.groupBy(col(groupCol))
+      .agg(sum(contrib).as("__r2"),
+        sum(col("__p")).as("__np"), sum(col("__l0")).as("__nn"),
+        sum(col("__c")).as("__call"),
+        sum(when(col(scoreCol).isNull, col("__c")).otherwise(0L))
+          .as("__nullscore"))
+      .select(col(groupCol),
+        coalesce(
+          assert_true(col("__nullscore") === 0 &&
+            col("__np") + col("__nn") === col("__call"), lit(
+            "groupedAuc requires non-null scores and labels: a null " +
+              "would take a rank but belong to neither class")).cast("long"),
+          col("__np").cast("long")).as("n_pos"),
+        col("__nn").cast("long").as("n_neg"),
+        when(col("__np") > 0 && col("__nn") > 0,
+          (col("__r2") - col("__np").cast(dec) *
+            (col("__np").cast(dec) + lit(1).cast(dec))).cast("double") /
+            (lit(2).cast(dec) * col("__np").cast(dec) *
+              col("__nn").cast(dec)).cast("double"))
+          .otherwise(lit(null).cast("double")).as("auc"))
+  }
+
   /** Column profile — the pre-training data audit: per column, row count,
     * non-null count, exact distinct count, and extents (numeric columns
     * report double extents, string columns string extents). Long format:

@@ -223,6 +223,65 @@ class Round11OpsSpec extends SparkSpec {
     assert(out.count(_.getString(0) == "g2") === 3)
   }
 
+  // ---- groupedAuc ---------------------------------------------------------
+
+  test("groupedAuc: perfect, inverted, and all-tied separations") {
+    val df = Seq(
+      // g1: every positive scores above every negative -> 1.0
+      ("g1", 10, true), ("g1", 9, true), ("g1", 2, false), ("g1", 1, false),
+      // g2: every positive scores below every negative -> 0.0
+      ("g2", 1, true), ("g2", 2, true), ("g2", 9, false), ("g2", 10, false),
+      // g3: one score for everyone -> ties only -> 0.5
+      ("g3", 5, true), ("g3", 5, true), ("g3", 5, false),
+      // g4: single class -> undefined
+      ("g4", 3, true), ("g4", 4, true)
+    ).toDF("grp", "s", "y")
+    val got = graft.core.Stats.groupedAuc(df, "grp", "s", col("y"))
+      .orderBy("grp").collect()
+    val byG = got.map(r => r.getString(0) -> r).toMap
+    assert(byG("g1").getDouble(3) === 1.0)
+    assert(byG("g2").getDouble(3) === 0.0)
+    assert(byG("g3").getDouble(3) === 0.5)
+    assert(byG("g4").isNullAt(3), "single-class AUC is undefined")
+    assert(byG("g1").getLong(1) === 2L && byG("g1").getLong(2) === 2L)
+  }
+
+  test("groupedAuc equals brute-force pair counting; serial == distributed") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { i =>
+      val g = s"g${i % 3}"
+      val s = rnd.nextInt(12) // heavy ties on purpose
+      val y = rnd.nextDouble() < (0.2 + 0.05 * s) // correlated label
+      (g, s, y)
+    }
+    val df = rows.toDF("grp", "s", "y")
+    def brute(g: String): Double = {
+      val in = rows.filter(_._1 == g)
+      val pos = in.filter(_._3).map(_._2); val neg = in.filterNot(_._3).map(_._2)
+      val wins = (for (p <- pos; n <- neg)
+        yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+      wins / (pos.size.toDouble * neg.size.toDouble)
+    }
+    for (dist <- Seq(Some(false), Some(true))) {
+      val got = graft.core.Stats.groupedAuc(df, "grp", "s", col("y"), dist)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      for (g <- Seq("g0", "g1", "g2"))
+        assert(math.abs(got(g) - brute(g)) < 1e-12,
+          s"$g dist=$dist: ${got(g)} vs brute ${brute(g)}")
+    }
+  }
+
+  test("groupedAuc fails loudly on null labels") {
+    val df = Seq(("g", 1, java.lang.Boolean.TRUE),
+      ("g", 2, null.asInstanceOf[java.lang.Boolean])).toDF("grp", "s", "y")
+    val e = intercept[Exception] {
+      graft.core.Stats.groupedAuc(df, "grp", "s", col("y")).collect()
+    }
+    assert(e.toString.contains("groupedAuc") ||
+      (e.getCause != null && e.getCause.toString.contains("groupedAuc")),
+      s"expected the named guard, got: $e")
+  }
+
   test("prioritySample fails loudly on non-positive weights") {
     val bad = Seq((1L, 5L), (2L, 0L)).toDF("id", "w")
     val e = intercept[Exception] {
