@@ -229,7 +229,66 @@ object Queries15 {
       .orderBy(col("source"))
   }
 
+  /** Precision/recall reliability curve over exact score deciles
+    * ([[graft.operators.Curation.exactScoreBands]] + q144's label): per
+    * decile of n_chars (bucket 0 = highest scores), the empirical
+    * positive rate, plus cumulative-from-the-top precision and recall —
+    * the threshold-sweep companion to q144's single-number AUC, telling
+    * you WHERE to put the filter cutoff. Counts exact; each rate is one
+    * IEEE division of exact integers; the cum windows run over ≤ 10
+    * decile rows, never documents. */
+  val q145ReliabilityCurve: (String, QueryDef) = q(
+    "q145_reliability_curve",
+    """WITH g AS (SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY n_chars),
+      |cum AS (
+      |  SELECT n_chars,
+      |    COALESCE(SUM(c) OVER (ORDER BY n_chars DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS higher,
+      |    SUM(c) OVER () AS total
+      |  FROM g),
+      |b AS (
+      |  SELECT d.doc_id, CAST((10 * cum.higher) // cum.total AS BIGINT)
+      |      AS bucket,
+      |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM documents d JOIN cum USING (n_chars)),
+      |per AS (
+      |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(pos) AS BIGINT) AS n_pos
+      |  FROM b GROUP BY bucket)
+      |SELECT bucket, n, n_pos,
+      |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+      |  CAST(SUM(n_pos) OVER (ORDER BY bucket) AS DOUBLE) /
+      |    CAST(SUM(n) OVER (ORDER BY bucket) AS DOUBLE) AS cum_precision,
+      |  CAST(SUM(n_pos) OVER (ORDER BY bucket) AS DOUBLE) /
+      |    CAST(SUM(n_pos) OVER () AS DOUBLE) AS cum_recall
+      |FROM per ORDER BY bucket""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    import org.apache.spark.sql.expressions.Window
+    val docs = t("documents")
+    val bands = graft.operators.Curation.exactScoreBands(
+      docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars",
+      buckets = 10)
+    val per = bands
+      .join(docs.select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos")), Seq("doc_id"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    per.select(col("bucket"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("pos_rate"),
+        (sum(col("n_pos")).over(wCum).cast("double") /
+          sum(col("n")).over(wCum).cast("double")).as("cum_precision"),
+        (sum(col("n_pos")).over(wCum).cast("double") /
+          sum(col("n_pos")).over(wAll).cast("double")).as("cum_recall"))
+      .orderBy(col("bucket"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q139CorpusOverlap, q140DomainRelevance, q141VocabCoverage,
-      q142PrioritySample, q143GroupPrioritySample, q144FilterAuc)
+      q142PrioritySample, q143GroupPrioritySample, q144FilterAuc,
+      q145ReliabilityCurve)
 }

@@ -338,8 +338,8 @@ class PlanSpec extends SparkSpec {
       "binned counts must partial-aggregate map-side")
   }
 
-  test("gini and KS run their window over the distinct-value rollup (q134/q135)") {
-    for (name <- Seq("q134_gini", "q135_ks_drift")) {
+  test("gini, KS, and AUC run their window over the distinct-value rollup (q134/q135/q144)") {
+    for (name <- Seq("q134_gini", "q135_ks_drift", "q144_filter_auc")) {
       val p = plan(name)
       assert(p.contains("Window") && p.contains("HashAggregate"),
         s"$name: prefix sums must consume the rollup aggregate")
