@@ -287,8 +287,44 @@ object Queries15 {
       .orderBy(col("bucket"))
   }
 
+  /** Corpus snapshot diff ([[graft.operators.Curation.snapshotDiff]]):
+    * synthesize two snapshot views of the documents table in-plan — the
+    * "old" snapshot drops ids ≡ 0 (mod 7), the "new" one drops ids ≡ 0
+    * (mod 10) and edits the text of ids ≡ 0 (mod 5) — then report how
+    * much moved, per status. The diff itself is hash-only: one
+    * full-outer equi-join of (id, md5) frames. */
+  val q146SnapshotDiff: (String, QueryDef) = q(
+    "q146_snapshot_diff",
+    """WITH old AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+      |new AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 10 <> 0),
+      |d AS (
+      |  SELECT COALESCE(old.doc_id, new.doc_id) AS id,
+      |    CASE WHEN old.doc_id IS NULL THEN 'added'
+      |         WHEN new.doc_id IS NULL THEN 'removed'
+      |         WHEN md5(old.text) = md5(new.text) THEN 'unchanged'
+      |         ELSE 'changed' END AS status
+      |  FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+      |SELECT status, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM d GROUP BY status ORDER BY status""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val docs = t("documents")
+    val oldSnap = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select(col("doc_id"), col("text"))
+    val newSnap = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+    graft.operators.Curation.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .orderBy(col("status"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q139CorpusOverlap, q140DomainRelevance, q141VocabCoverage,
       q142PrioritySample, q143GroupPrioritySample, q144FilterAuc,
-      q145ReliabilityCurve)
+      q145ReliabilityCurve, q146SnapshotDiff)
 }

@@ -58,6 +58,33 @@ object Curation {
     * the table. For unbounded-cardinality double scores, quantize the
     * score into integer bands first.
     */
+  /** Corpus snapshot diff: per document id, whether the new snapshot
+    * `added` it, `removed` it, `changed` its bytes, or left it
+    * `unchanged` — the audit run between two crawl/ingest versions before
+    * retraining decisions ("how much actually moved?"). Comparison is by
+    * content hash, so moved/recompressed storage reads as unchanged.
+    *
+    * Output: `(id, status)`, one row per id present in either snapshot.
+    *
+    * Scale shape: each side reduces to `(id, md5)` in its scan
+    * projection — raw text never crosses the shuffle — then ONE
+    * full-outer equi-join on the id. Both sides shuffle once on the same
+    * uniform key (or zero times if both snapshots are bucketed on id,
+    * the layout [[graft.sources.Bucketing]] writes); the status is a
+    * null-pattern projection on the joined row.
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("id"), md5(col(textCol)).as("__ho"))
+    val n = newDocs.select(col(idCol).as("id"), md5(col(textCol)).as("__hn"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__ho").isNull, lit("added"))
+          .when(col("__hn").isNull, lit("removed"))
+          .when(col("__ho") === col("__hn"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   def exactScoreBands(df: DataFrame, idCol: String, scoreCol: String,
       buckets: Int = 10): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")

@@ -419,6 +419,15 @@ class PlanSpec extends SparkSpec {
       "the bounded vocabulary must broadcast onto the occurrence stream")
   }
 
+  test("snapshot diff joins hashes, never text (q146)") {
+    val p = plan("q146_snapshot_diff")
+    val exchanges = "Exchange (hashpartitioning|rangepartitioning)[^\\n]*"
+      .r.findAllIn(p).toList
+    assert(exchanges.nonEmpty, "full-outer diff join shuffles on the id")
+    assert(!exchanges.exists(_.contains("text#")),
+      s"each side must reduce to (id, md5) before the shuffle: $exchanges")
+  }
+
   test("priority sample: partial top-k, no global window over the table (q142)") {
     val p = plan("q142_priority_sample")
     assert(p.contains("TakeOrderedAndProject"),

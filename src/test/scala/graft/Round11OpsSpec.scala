@@ -223,6 +223,17 @@ class Round11OpsSpec extends SparkSpec {
     assert(out.count(_.getString(0) == "g2") === 3)
   }
 
+  // ---- snapshotDiff -------------------------------------------------------
+
+  test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val nw = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("id", "text")
+    val got = graft.operators.Curation.snapshotDiff(old, nw, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   // ---- groupedAuc ---------------------------------------------------------
 
   test("groupedAuc: perfect, inverted, and all-tied separations") {
