@@ -47,6 +47,12 @@ object Bench {
     try materialize(SparkEntry.queries("q01_pricing_summary")(spark, sfDir))
     catch { case _: Throwable => }
 
+    // measurement isolation: collect the PREVIOUS queries' garbage before
+    // each timed run, or a heavy predecessor's heap debt lands in an
+    // innocent query's pause time (observed 3x inflation of sub-2s
+    // queries mid-suite vs steady-state). Untimed, so totals stay
+    // comparable; disable with SPARK_GRAFT_BENCH_GC=0.
+    val gcBetween = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") != "0"
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var ok = true
@@ -56,6 +62,7 @@ object Bench {
         failed ::= name
         System.err.println(s"[bench] $name FAILED (warm-up): ${e.getMessage}")
       }
+      if (gcBetween) System.gc()
       val t0 = System.nanoTime()
       if (ok) {
         try materialize(fn(spark, sfDir))
