@@ -323,8 +323,26 @@ object Queries15 {
       .orderBy(col("status"))
   }
 
+  /** Compression-ratio quality signal
+    * ([[TextAnalysis.compressionRatio]], native `graft_deflate_len`):
+    * per-document DEFLATE ratio with the corpus ranked worst-first on
+    * each end. Rows-only in the driver gate (DEFLATE output is
+    * implementation-defined; DuckDB has no compressor) — the signal's
+    * properties are spec-verified instead (exact lengths on known
+    * streams, determinism, repetitive < natural < noise ordering). */
+  val q147CompressionRatio: (String, QueryDef) = q(
+    "q147_compression_ratio") { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    t("documents")
+      .select(col("doc_id"), col("source"),
+        octet_length(col("text")).as("raw_len"),
+        call_function("graft_deflate_len", col("text")).as("deflate_len"),
+        TextAnalysis.compressionRatio(col("text")).as("ratio"))
+      .orderBy(col("ratio").asc, col("doc_id").asc)
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q139CorpusOverlap, q140DomainRelevance, q141VocabCoverage,
       q142PrioritySample, q143GroupPrioritySample, q144FilterAuc,
-      q145ReliabilityCurve, q146SnapshotDiff)
+      q145ReliabilityCurve, q146SnapshotDiff, q147CompressionRatio)
 }

@@ -288,6 +288,19 @@ object TextAnalysis {
       .filter(col("df") >= minDf)
   }
 
+  /** Compression-ratio quality signal (`deflate_len/raw_len`, raw DEFLATE
+    * level 6 via the native `graft_deflate_len` expression): near 0 =
+    * template/repetition-heavy (long-range structure n-gram counters
+    * miss), near 1 = high-entropy junk; both ends are cut candidates.
+    * Empty text reports 1.0 (nothing to compress, nothing to flag). Pure
+    * scan-side projection. No cross-engine oracle exists (DEFLATE bytes
+    * are implementation-defined) — spec-verified, rows-only in the
+    * catalog. */
+  def compressionRatio(text: Column): Column =
+    when(octet_length(text) === 0, lit(1.0)).otherwise(
+      call_function("graft_deflate_len", text).cast("double") /
+        octet_length(text).cast("double"))
+
   /** Pairwise corpus-overlap report: for every ordered pair of `groupCol`
     * values (a < b), the exact vocabulary sizes, shared-vocabulary count,
     * vocabulary Jaccard, and the number of byte-identical documents

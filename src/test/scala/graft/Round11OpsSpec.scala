@@ -223,6 +223,63 @@ class Round11OpsSpec extends SparkSpec {
     assert(out.count(_.getString(0) == "g2") === 3)
   }
 
+  // ---- compressionRatio ---------------------------------------------------
+
+  test("graft_deflate_len: exact round-trip lengths, determinism, null") {
+    // correctness of the length: inflating the deflated stream must give
+    // the bytes back — checked against a driver-side Deflater/Inflater
+    // round trip using the expression's own helper
+    val samples = Seq("", "a", "abab" * 50, "the quick brown fox",
+      (1 to 200).map(i => (i * 2654435761L % 251).toChar).mkString)
+    for (s <- samples) {
+      val bytes = s.getBytes("UTF-8")
+      val n = graft.expressions.DeflateLen.lengthOf(bytes)
+      assert(n === graft.expressions.DeflateLen.lengthOf(bytes),
+        "deterministic")
+      // independent round trip: re-deflate with a fresh raw Deflater at
+      // the same level and inflate back
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(bytes); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      assert(out.size === n, s"helper length must equal a fresh stream's")
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(out.toByteArray)
+      val back = new java.io.ByteArrayOutputStream()
+      while (!inf.finished()) back.write(buf, 0, inf.inflate(buf))
+      inf.end()
+      assert(back.toByteArray.toSeq === bytes.toSeq, "lossless stream")
+    }
+    val viaSql = spark.sql(
+      "SELECT graft_deflate_len('abababab'), " +
+        "graft_deflate_len(CAST(NULL AS STRING))").head()
+    assert(viaSql.getInt(0) ===
+      graft.expressions.DeflateLen.lengthOf("abababab".getBytes("UTF-8")))
+    assert(viaSql.isNullAt(1))
+  }
+
+  test("compressionRatio orders repetitive < natural < noise") {
+    val rnd = new scala.util.Random(11)
+    val docs = Seq(
+      (1L, "rep", "spam spam spam spam " * 40),
+      (2L, "nat", "the quick brown fox jumps over the lazy dog and " +
+        "then wanders off looking for something new to chase " * 8),
+      (3L, "noise", (1 to 800).map(_ => (33 + rnd.nextInt(94)).toChar)
+        .mkString),
+      (4L, "empty", "")
+    ).toDF("id", "kind", "text")
+    val r = docs.select(col("kind"),
+        graft.operators.TextAnalysis.compressionRatio(col("text")).as("r"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("rep") < r("nat") && r("nat") < r("noise"),
+      s"expected rep < nat < noise, got $r")
+    assert(r("rep") < 0.1, s"heavy repetition must compress hard: ${r("rep")}")
+    assert(r("noise") > 0.8, s"printable noise barely compresses: ${r("noise")}")
+    assert(r("empty") === 1.0, "empty text is defined as 1.0")
+  }
+
   // ---- snapshotDiff -------------------------------------------------------
 
   test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
