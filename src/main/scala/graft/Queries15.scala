@@ -341,8 +341,45 @@ object Queries15 {
       .orderBy(col("ratio").asc, col("doc_id").asc)
   }
 
+  /** Deterministic Poisson bootstrap
+    * ([[graft.core.Stats.bootstrapMeans]]): 40 replicate means of
+    * l_extendedprice (in cents) — the sampling distribution behind an
+    * error bar, computed in one pass with md5-replayable draws. The
+    * oracle regenerates the identical replicate fan-out, buckets, pinned
+    * Poisson thresholds, and exact integer sums; each mean is one IEEE
+    * division. */
+  val q148Bootstrap: (String, QueryDef) = q(
+    "q148_bootstrap_means",
+    """WITH r AS (SELECT unnest(generate_series(0, 39)) AS rep),
+      |e AS (
+      |  SELECT r.rep,
+      |    CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT) AS v,
+      |    CAST('0x' || substring(md5(
+      |      'boot1' || '|' || (l.l_orderkey || '-' || l.l_linenumber)
+      |        || '|' || r.rep), 1, 8) AS BIGINT) % 10000 AS b
+      |  FROM lineitem l CROSS JOIN r),
+      |d AS (
+      |  SELECT rep, v,
+      |    CASE WHEN b < 3679 THEN 0 WHEN b < 7358 THEN 1
+      |         WHEN b < 9197 THEN 2 WHEN b < 9810 THEN 3
+      |         WHEN b < 9963 THEN 4 ELSE 5 END AS c
+      |  FROM e)
+      |SELECT rep, CAST(SUM(c) AS BIGINT) AS n_drawn,
+      |  CASE WHEN SUM(c) > 0 THEN
+      |    CAST(SUM(c * v) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+      |  ELSE NULL END AS mean
+      |FROM d GROUP BY rep ORDER BY rep""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.core.Stats.bootstrapMeans(t("lineitem"),
+        concat(col("l_orderkey"), lit("-"), col("l_linenumber")),
+        floor(col("l_extendedprice") * lit(100)),
+        reps = 40, salt = "boot1")
+      .orderBy(col("rep"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q139CorpusOverlap, q140DomainRelevance, q141VocabCoverage,
       q142PrioritySample, q143GroupPrioritySample, q144FilterAuc,
-      q145ReliabilityCurve, q146SnapshotDiff, q147CompressionRatio)
+      q145ReliabilityCurve, q146SnapshotDiff, q147CompressionRatio,
+      q148Bootstrap)
 }

@@ -700,6 +700,54 @@ object Stats {
           .otherwise(lit(null).cast("double")).as("auc"))
   }
 
+  /** Deterministic Poisson bootstrap of a mean (Chamandy et al.,
+    * "Estimating Uncertainty for Massive Data Streams", Google 2012; the
+    * resampling scheme that works when rows live on a thousand
+    * executors): every (row, replicate) pair draws a Poisson(1)-ish
+    * count from the salted md5 bucket of the ROW ID — membership is a
+    * pure function of the row, so the same replicates replay
+    * bit-identically in any engine, any partitioning, any run — and each
+    * replicate's mean is Σc·v / Σc. The spread of the `reps` means IS
+    * the sampling distribution: read the CI off the sorted replicate
+    * table. The Poisson pmf is pinned as integer basis-point thresholds
+    * (3679/3679/1839/613/153, tail capped at 5 draws — E[c] ≈ 0.9997);
+    * no transcendentals anywhere, the only float is each replicate's one
+    * final division of exact integer sums.
+    *
+    * Output: `(rep, n_drawn, mean)`, one row per replicate; an empty
+    * replicate (possible only on tiny inputs) reports null.
+    *
+    * Scale shape: the replicate fan-out is a scan-side explode (rows ×
+    * reps, generated map-side, no shuffle) feeding ONE partial-aggregated
+    * groupBy on the uniform `rep` key — the classic Poisson-bootstrap
+    * trade: reps× scan work buys a full sampling distribution in one
+    * pass with |reps| rows of state. Long sums are exact to 2^63 (cents
+    * × corpus ≈ 10^13 at sf0.1; switch the accumulator to decimal via
+    * `graft_dsum` past ~10^17).
+    */
+  def bootstrapMeans(df: DataFrame, idCol: Column, valueCol: Column,
+      reps: Int = 40, salt: String = "boot"): DataFrame = {
+    require(reps >= 1, "bootstrapMeans: need at least one replicate")
+    val e = df
+      .select(idCol.cast("string").as("__id"), valueCol.cast(LongType).as("__v"))
+      .select(col("__id"), col("__v"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+    val bucket = conv(substring(md5(concat_ws("|",
+      lit(salt), col("__id"), col("rep").cast("string"))), 1, 8),
+      16, 10).cast(LongType) % 10000L
+    val c = when(bucket < 3679, 0L).when(bucket < 7358, 1L)
+      .when(bucket < 9197, 2L).when(bucket < 9810, 3L)
+      .when(bucket < 9963, 4L).otherwise(5L)
+    e.withColumn("__c", c)
+      .groupBy(col("rep"))
+      .agg(sum(col("__c")).as("n_drawn"),
+        sum(col("__c") * col("__v")).as("__sv"))
+      .select(col("rep"), col("n_drawn"),
+        when(col("n_drawn") > 0,
+          col("__sv").cast("double") / col("n_drawn").cast("double"))
+          .otherwise(lit(null).cast("double")).as("mean"))
+  }
+
   /** Column profile — the pre-training data audit: per column, row count,
     * non-null count, exact distinct count, and extents (numeric columns
     * report double extents, string columns string extents). Long format:

@@ -280,6 +280,35 @@ class Round11OpsSpec extends SparkSpec {
     assert(r("empty") === 1.0, "empty text is defined as 1.0")
   }
 
+  // ---- bootstrapMeans -----------------------------------------------------
+
+  test("bootstrapMeans: partitioning-invariant, unbiased, real spread") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.core.Stats.bootstrapMeans(df,
+        concat(col("l_orderkey"), lit("-"), col("l_linenumber")),
+        floor(col("l_extendedprice") * lit(100)), reps = 30, salt = "t")
+        .orderBy("rep").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val a = run(li.repartition(1))
+    val b = run(li.repartition(13))
+    assert(a === b, "draws are a pure function of the row, not the layout")
+    assert(a.length === 30)
+    val nRows = li.count()
+    // E[n_drawn] = 0.9997·rows: each replicate within a few percent
+    assert(a.forall(r => math.abs(r._2 - nRows) < 0.1 * nRows),
+      s"replicate sizes should hover near $nRows: ${a.map(_._2).toList}")
+    val trueMean = li.select(
+      (sum(floor(col("l_extendedprice") * lit(100))).cast("double") /
+        count(lit(1)).cast("double")).as("m")).head().getDouble(0)
+    val means = a.map(_._3)
+    val grand = means.sum / means.length
+    // CLT sanity: sd of a replicate mean ≈ sd/sqrt(n) — percent-level here
+    assert(math.abs(grand - trueMean) / trueMean < 0.01,
+      s"grand mean $grand vs true $trueMean")
+    assert(means.max > means.min, "replicates must actually vary")
+  }
+
   // ---- snapshotDiff -------------------------------------------------------
 
   test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
