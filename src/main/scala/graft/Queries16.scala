@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.TextAnalysis
+
+/** Catalog entries: round-11 additions — collocation mining and further
+  * training-data-pipeline audits.
+  */
+object Queries16 {
+
+  private def t(name: String)(implicit env: (SparkSession, String)): DataFrame =
+    Tables.load(env._1, env._2, name)
+
+  private def q(name: String, sql: String = null)(
+      body: (SparkSession, String) => DataFrame): (String, QueryDef) =
+    name -> QueryDef(body, Option(sql))
+
+  /** Collocation mining ([[TextAnalysis.pmiCollocations]]): top adjacent
+    * token pairs by PMI-lift `p(ab)/(p(a)p(b))`. Lift, not `log(lift)`,
+    * so every arithmetic step is one IEEE division/multiply and the score
+    * hash-checks bit-for-bit (log is monotone — same ranking). */
+  val q149PmiCollocations: (String, QueryDef) = q(
+    "q149_pmi_collocations",
+    """WITH w AS (SELECT string_split(text, ' ') AS tk FROM documents),
+      |u AS (SELECT unnest(tk) AS t FROM w),
+      |c1 AS (SELECT t, COUNT(*) AS c FROM u GROUP BY t),
+      |nt AS (SELECT COUNT(*) AS n_tok FROM u),
+      |bg AS (
+      |  SELECT x.w1 AS w1, x.w2 AS w2 FROM (
+      |    SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+      |      i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS x
+      |    FROM w WHERE len(tk) >= 2)),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bg GROUP BY w1, w2),
+      |nb AS (SELECT COUNT(*) AS n_bg FROM bg)
+      |SELECT w1, w2, n_pair,
+      |  (CAST(n_pair AS DOUBLE) / n_bg) /
+      |    ((CAST(a.c AS DOUBLE) / n_tok) * (CAST(b.c AS DOUBLE) / n_tok))
+      |    AS lift
+      |FROM c2 JOIN c1 a ON c2.w1 = a.t JOIN c1 b ON c2.w2 = b.t
+      |CROSS JOIN nt CROSS JOIN nb
+      |WHERE n_pair >= 5
+      |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    TextAnalysis.pmiCollocations(t("documents"), "text",
+      minCount = 5L, topK = 50)
+  }
+
+  /** Weak-label Naive Bayes classifier ([[Classifier.naiveBayesScore]]):
+    * train a fasttext-style token classifier on the `lang = 'en'` weak
+    * label and score every document with its smoothed log-odds, all in
+    * one plan. Scores fold in token order and round to 6 decimals (the
+    * q75/q108 determinism discipline), so the per-doc output hash-checks.
+    */
+  val q150NbClassifier: (String, QueryDef) = q(
+    "q150_nb_classifier",
+    """WITH base AS (
+      |  SELECT doc_id, lang = 'en' AS is_pos, string_split(text, ' ') AS tk
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+      |toks AS (
+      |  SELECT doc_id, is_pos, x.pos AS pos, x.t AS t FROM (
+      |    SELECT doc_id, is_pos, unnest(list_transform(
+      |      generate_series(1, len(tk)),
+      |      i -> struct_pack(pos := i, t := tk[i]))) AS x
+      |    FROM base)),
+      |counts AS (
+      |  SELECT t,
+      |    CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+      |    CAST(SUM(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+      |  FROM toks GROUP BY t),
+      |totals AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |    CAST(SUM(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+      |    COUNT(DISTINCT t) AS v
+      |  FROM toks),
+      |priors AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS d_pos,
+      |    CAST(SUM(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS BIGINT) AS d_neg
+      |  FROM base),
+      |model AS (
+      |  SELECT t,
+      |    ln(CAST(c_pos + 1 AS DOUBLE) / (n_pos + v)) -
+      |      ln(CAST(c_neg + 1 AS DOUBLE) / (n_neg + v)) AS lr
+      |  FROM counts CROSS JOIN totals),
+      |agg AS (
+      |  SELECT doc_id, is_pos, COUNT(*) AS n_tokens,
+      |    list_reduce(list(lr ORDER BY pos), (x, y) -> x + y) AS s
+      |  FROM toks JOIN model USING (t) GROUP BY doc_id, is_pos)
+      |SELECT doc_id, is_pos, n_tokens,
+      |  ROUND(ln(CAST(d_pos AS DOUBLE) / d_neg) + s, 6) AS score,
+      |  ROUND(ln(CAST(d_pos AS DOUBLE) / d_neg) + s, 6) > 0 AS pred
+      |FROM agg CROSS JOIN priors ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.operators.Classifier.naiveBayesScore(
+        t("documents"), "doc_id", "text", col("lang") === "en")
+      .orderBy(col("doc_id"))
+  }
+
+  val catalog: Seq[(String, QueryDef)] =
+    Seq(q149PmiCollocations, q150NbClassifier)
+}

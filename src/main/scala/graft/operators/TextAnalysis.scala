@@ -499,4 +499,60 @@ object TextAnalysis {
       .withColumn("oov_frac",
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
   }
+
+  /** Collocation mining: adjacent token pairs ranked by PMI's monotone
+    * exponential, the lift `p(ab) / (p(a)·p(b))` — how much more often the
+    * pair co-occurs than independence predicts. Lift is reported instead
+    * of `log2(lift)` (PMI proper) deliberately: every arithmetic step is
+    * then a single IEEE division/multiply reproducible bit-for-bit by the
+    * SQL oracle, whereas `ln` is not correctly-rounded and differs across
+    * libm implementations (same reasoning as [[LanguageModel.bigramScore]];
+    * the ranking is identical because log is monotone). `minCount` drops
+    * rare-pair noise (hapax pairs have huge, meaningless lift); ties break
+    * on `(w1, w2)` ascending so the top-k frontier is deterministic.
+    *
+    * Output: `(w1, w2, n_pair, lift)`, the `topK` highest-lift pairs.
+    *
+    * Plan shape at 100 TB: bigram and unigram counts each shuffle once on
+    * a token key with full map-side partial aggregation (Zipf head keys
+    * partial-aggregate away; the reduce side sees vocabulary-bounded
+    * cardinality). The unigram table — vocab-sized, tiny next to the
+    * corpus — broadcasts onto both sides of the pair join; the corpus
+    * totals ride along as broadcast singletons so no count() action runs
+    * driver-side. The final top-k is a `TakeOrderedAndProject` over the
+    * vocab²-bounded (minCount-pruned) pair table, never a global sort of
+    * corpus-sized data.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(topK > 0, "topK must be positive")
+    val tk = docs.select(tokens(col(textCol)).as("tk"))
+    val uni = tk.select(explode(col("tk")).as("t"))
+    val c1 = uni.groupBy("t").agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(count(lit(1)).as("n_tok"))
+    // guard: Spark's sequence(0, -1) would generate DESCENDING; docs with
+    // fewer than 2 tokens have no pairs
+    val bg = tk.filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS w1, tk[i+1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val nBg = bg.agg(count(lit(1)).as("n_bg"))
+    // lift = (n_pair/N_bg) / ((c_a/N_tok) * (c_b/N_tok)): three divisions
+    // and one multiply, each a single IEEE op in a fixed order — the SQL
+    // oracle evaluates the identical expression tree
+    c2.join(broadcast(c1.select(col("t").as("w1"), col("c").as("__ca"))), "w1")
+      .join(broadcast(c1.select(col("t").as("w2"), col("c").as("__cb"))), "w2")
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nBg))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        ((col("n_pair").cast("double") / col("n_bg")) /
+          ((col("__ca").cast("double") / col("n_tok")) *
+            (col("__cb").cast("double") / col("n_tok")))).as("lift"))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
 }

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Round-12 operators: collocation mining (PMI-lift) and the further
+  * pipeline audits added this round.
+  */
+class Round12OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- pmiCollocations ----------------------------------------------------
+
+  test("pmiCollocations: exact lift values, minCount prune, tie-safe order") {
+    // tokens: x appears 4x, y 3x, z 1x (N_tok = 8)
+    // bigrams: (x,y)x3, (y,x)x2, (x,z)x1 (N_bg = 6)
+    val docs = Seq("x y x y x y", "x z").toDF("text")
+    val rows = TextAnalysis.pmiCollocations(docs, "text",
+      minCount = 2L, topK = 10).collect()
+    assert(rows.length === 2, "the hapax pair (x,z) is pruned by minCount")
+    // lift(x,y) = (3/6) / ((4/8)*(3/8)); lift(y,x) = (2/6) / ((3/8)*(4/8))
+    val lxy = (3.0 / 6) / ((4.0 / 8) * (3.0 / 8))
+    val lyx = (2.0 / 6) / ((3.0 / 8) * (4.0 / 8))
+    assert(rows(0).getString(0) === "x" && rows(0).getString(1) === "y")
+    assert(rows(0).getLong(2) === 3L)
+    assert(rows(0).getDouble(3) === lxy, "lift is IEEE-exact, not approximate")
+    assert(rows(1).getString(0) === "y" && rows(1).getString(1) === "x")
+    assert(rows(1).getDouble(3) === lyx)
+  }
+
+  test("pmiCollocations: single-token docs contribute unigrams, no pairs") {
+    val docs = Seq("a", "a", "a b", "a b").toDF("text")
+    val rows = TextAnalysis.pmiCollocations(docs, "text",
+      minCount = 2L, topK = 10).collect()
+    assert(rows.length === 1)
+    // c(a)=4 of N_tok=6, c(b)=2; pair (a,b)x2 of N_bg=2
+    val lab = (2.0 / 2) / ((4.0 / 6) * (2.0 / 6))
+    assert(rows(0).getString(0) === "a" && rows(0).getString(1) === "b")
+    assert(rows(0).getLong(2) === 2L)
+    assert(rows(0).getDouble(3) === lab)
+  }
+
+  // ---- naiveBayesScore ----------------------------------------------------
+
+  test("naiveBayesScore: hand-computed log-odds on a 4-doc corpus") {
+    val docs = Seq(
+      (1L, "en", "good good"), (2L, "en", "good bad"),
+      (3L, "de", "bad bad"), (4L, "de", "bad")
+    ).toDF("doc_id", "lang", "text")
+    val rows = graft.operators.Classifier
+      .naiveBayesScore(docs, "doc_id", "text", col("lang") === "en")
+      .orderBy("doc_id").collect()
+    assert(rows.length === 4)
+    // pos tokens: good,good,good,bad (n_pos=4); neg: bad,bad,bad (n_neg=3)
+    // V=2; c_pos(good)=3,c_neg(good)=0; c_pos(bad)=1,c_neg(bad)=3
+    val lrGood = math.log(4.0 / 6) - math.log(1.0 / 5)
+    val lrBad = math.log(2.0 / 6) - math.log(4.0 / 5)
+    val prior = math.log(2.0 / 2)
+    def score(terms: Double*): Double = {
+      val s = terms.foldLeft(0.0)(_ + _)
+      BigDecimal(prior + s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    assert(rows(0).getDouble(3) === score(lrGood, lrGood))
+    assert(rows(0).getBoolean(4), "all-good doc predicts positive")
+    assert(rows(1).getDouble(3) === score(lrGood, lrBad))
+    assert(rows(3).getDouble(3) === score(lrBad))
+    assert(!rows(3).getBoolean(4), "all-bad doc predicts negative")
+    assert(rows.forall(_.getLong(2) > 0))
+  }
+
+  test("naiveBayesScore: separable corpus classifies itself correctly") {
+    val docs = (1L to 40L).map { i =>
+      if (i % 2 == 0) (i, "en", s"alpha beta common")
+      else (i, "de", s"gamma delta common")
+    }.toDF("doc_id", "lang", "text")
+    val scored = graft.operators.Classifier
+      .naiveBayesScore(docs, "doc_id", "text", col("lang") === "en")
+    val agree = scored.filter(col("pred") === col("is_pos")).count()
+    assert(agree === 40L, "fully separable vocab must classify exactly")
+    val rep = graft.operators.Classifier.naiveBayesReport(scored)
+      .orderBy("is_pos", "pred").collect()
+    assert(rep.length === 2, "only the two diagonal confusion cells exist")
+    assert(rep.forall(_.getLong(2) === 20L))
+  }
+
+  test("naiveBayesScore: single-class corpus fails loudly") {
+    val docs = Seq((1L, "en", "a b"), (2L, "en", "c")).toDF(
+      "doc_id", "lang", "text")
+    val e = intercept[Exception] {
+      graft.operators.Classifier
+        .naiveBayesScore(docs, "doc_id", "text", col("lang") === "en")
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("pmiCollocations: topK truncates on the deterministic tie order") {
+    // two pairs with IDENTICAL lift: (a,b) and (c,d) are symmetric worlds
+    val docs = Seq("a b", "a b", "c d", "c d").toDF("text")
+    val one = TextAnalysis.pmiCollocations(docs, "text",
+      minCount = 2L, topK = 1).collect()
+    assert(one.length === 1)
+    // tie broken by (w1, w2) ascending: (a,b) wins
+    assert(one(0).getString(0) === "a" && one(0).getString(1) === "b")
+  }
+}
