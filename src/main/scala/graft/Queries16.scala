@@ -100,6 +100,44 @@ object Queries16 {
       .orderBy(col("doc_id"))
   }
 
+  /** Length-bucketed batch shaping ([[Sampling.lengthBucketBatches]]):
+    * token-length buckets of width 32, deterministic md5 shuffle, batches
+    * of 16, per-batch padding-waste report. The oracle uses the naive
+    * per-bucket window; the Spark plan is the two-phase range-partition
+    * rank (same result, no single-task window). */
+  val q151LengthBatches: (String, QueryDef) = q(
+    "q151_length_batches",
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, len, len // 32 AS bucket,
+      |    md5('pack8:' || CAST(doc_id AS VARCHAR)) AS k
+      |  FROM base),
+      |r AS (
+      |  SELECT bucket, len,
+      |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY k, doc_id) AS rn
+      |  FROM b),
+      |g AS (
+      |  SELECT bucket, (rn - 1) // 16 AS batch,
+      |    COUNT(*) AS n_seqs, MAX(len) AS max_len,
+      |    CAST(SUM(len) AS BIGINT) AS sum_len
+      |  FROM r GROUP BY 1, 2)
+      |SELECT bucket, batch, n_seqs, max_len, sum_len,
+      |  CAST(n_seqs * max_len - sum_len AS BIGINT) AS pad_tokens,
+      |  CASE WHEN n_seqs * max_len > 0 THEN
+      |    CAST(n_seqs * max_len - sum_len AS DOUBLE) / (n_seqs * max_len)
+      |  ELSE 0.0 END AS pad_frac
+      |FROM g ORDER BY bucket, batch""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.operators.Sampling.lengthBucketBatches(
+        t("documents"), "doc_id",
+        size(split(col("text"), " ")), bucketWidth = 32, batchSize = 16,
+        salt = "pack8")
+      .orderBy(col("bucket"), col("batch"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
-    Seq(q149PmiCollocations, q150NbClassifier)
+    Seq(q149PmiCollocations, q150NbClassifier, q151LengthBatches)
 }

@@ -418,4 +418,52 @@ object Sampling {
         greatest(col("__w").cast("double"), col("__tau")).as("est_weight"))
       .orderBy(col(groupCol).asc, col("priority").desc, col(idCol).asc)
   }
+
+  /** Length-bucketed batch assignment with a padding-efficiency report —
+    * the batch shaper every fixed-shape training loop runs (fairseq's
+    * `--max-tokens` bucketing): sequences of similar length batch
+    * together so per-batch padding to `max_len` wastes little compute.
+    *
+    * Each row lands in length bucket `len div bucketWidth`; within a
+    * bucket, rows are shuffled by the deterministic hash
+    * `md5(salt:id)` (a reproducible epoch permutation — change `salt` to
+    * reshuffle) and cut into batches of `batchSize`. Output, per
+    * (bucket, batch): sequence count, max/total length, absolute padding
+    * waste `n·max − Σlen`, and the padded-token fraction.
+    *
+    * Scale shape: the per-bucket order is NOT a
+    * `Window.partitionBy(bucket)` — one popular length bucket would
+    * collapse into a single window task. Instead [[Ranking.globalRowNumber]]
+    * range-partitions on `(bucket, hash, id)` and ranks with per-range
+    * offsets, so parallelism tracks data volume, not bucket count;
+    * per-bucket positions are recovered by subtracting the bucket's min
+    * rank (a bucket-count-sized aggregate, broadcast back). The report
+    * aggregation shuffles once on (bucket, batch) with map-side partials.
+    */
+  def lengthBucketBatches(docs: DataFrame, idCol: String, lenExpr: Column,
+      bucketWidth: Int, batchSize: Int, salt: String): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(batchSize > 0, "batchSize must be positive")
+    val base = docs
+      .select(col(idCol), lenExpr.cast("long").as("len"))
+      .withColumn("bucket", expr(s"len div $bucketWidth"))
+      .withColumn("__k",
+        md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))))
+    val ranked = Ranking.globalRowNumber(base,
+      Seq(col("bucket"), col("__k"), col(idCol)), "__rn")
+    val starts = ranked.groupBy("bucket").agg(min("__rn").as("__b0"))
+    ranked.join(broadcast(starts), "bucket")
+      .withColumn("batch", expr(s"(__rn - __b0) div $batchSize"))
+      .groupBy(col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("n_seqs"),
+        max(col("len")).as("max_len"),
+        sum(col("len")).as("sum_len"))
+      .withColumn("pad_tokens",
+        col("n_seqs") * col("max_len") - col("sum_len"))
+      .withColumn("pad_frac",
+        when(col("n_seqs") * col("max_len") > 0,
+          col("pad_tokens").cast("double") /
+            (col("n_seqs") * col("max_len")))
+          .otherwise(lit(0.0)))
+  }
 }

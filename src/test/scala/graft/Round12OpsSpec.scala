@@ -96,6 +96,55 @@ class Round12OpsSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  // ---- lengthBucketBatches ------------------------------------------------
+
+  test("lengthBucketBatches: matches the naive per-bucket window on 500 docs") {
+    val docs = (1L to 500L).map(i => (i, "w " * (i % 90).toInt + "end"))
+      .toDF("doc_id", "text")
+    val lenE = size(split(col("text"), " "))
+    val got = graft.operators.Sampling.lengthBucketBatches(
+        docs, "doc_id", lenE, bucketWidth = 8, batchSize = 4, salt = "s1")
+      .orderBy("bucket", "batch").collect()
+    // naive reference: one global window per bucket
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("__k"), col("doc_id"))
+    val want = docs.select(col("doc_id"), lenE.cast("long").as("len"))
+      .withColumn("bucket", expr("len div 8"))
+      .withColumn("__k", md5(concat(lit("s1:"), col("doc_id").cast("string"))))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch", expr("(rn - 1) div 4"))
+      .groupBy("bucket", "batch")
+      .agg(count(lit(1)).as("n_seqs"), max("len").as("max_len"),
+        sum("len").as("sum_len"))
+      .orderBy("bucket", "batch").collect()
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, e) =>
+      assert(g.getLong(0) === e.getLong(0) && g.getLong(1) === e.getLong(1))
+      assert(g.getLong(2) === e.getLong(2), s"n_seqs for bucket ${g.getLong(0)}")
+      assert(g.getLong(3) === e.getLong(3) && g.getLong(4) === e.getLong(4))
+      // padding identities
+      assert(g.getLong(5) === g.getLong(2) * g.getLong(3) - g.getLong(4))
+    }
+    // every batch holds at most batchSize sequences and padding is sane
+    assert(got.forall(r => r.getLong(2) <= 4 && r.getLong(5) >= 0))
+    assert(got.forall(r => r.getDouble(6) >= 0.0 && r.getDouble(6) < 1.0))
+  }
+
+  test("lengthBucketBatches: salt changes the permutation, not the shape") {
+    val docs = (1L to 200L).map(i => (i, ("w " * 20) + "end"))
+      .toDF("doc_id", "text")
+    val lenE = size(split(col("text"), " "))
+    def run(salt: String) = graft.operators.Sampling.lengthBucketBatches(
+      docs, "doc_id", lenE, 8, 16, salt).orderBy("bucket", "batch").collect()
+    val a = run("epoch1")
+    val b = run("epoch1")
+    assert(a.toSeq === b.toSeq, "same salt is bit-reproducible")
+    // equal-length corpus: padding is zero regardless of permutation
+    assert(a.forall(_.getLong(5) === 0L))
+    // 200 docs, batch 16 -> 13 batches, last holds 8
+    assert(a.length === 13 && a.last.getLong(2) === 8L)
+  }
+
   test("pmiCollocations: topK truncates on the deterministic tie order") {
     // two pairs with IDENTICAL lift: (a,b) and (c,d) are symmetric worlds
     val docs = Seq("a b", "a b", "c d", "c d").toDF("text")
