@@ -138,6 +138,48 @@ object Queries16 {
       .orderBy(col("bucket"), col("batch"))
   }
 
+  /** Winnowing substring-copy report ([[Dedup.winnowPairs]], the MOSS
+    * algorithm): per-window minimum gram hashes select position-robust
+    * fingerprints; pairs sharing fingerprints rank by count with the
+    * overlap coefficient. k=3, w=4: any shared run of ≥ 6 tokens is
+    * guaranteed to produce a common fingerprint. */
+  val q152WinnowPairs: (String, QueryDef) = q(
+    "q152_winnow_pairs",
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |h AS (
+      |  SELECT doc_id, list_transform(generate_series(1, len(tk) - 2),
+      |    i -> md5('win:' || array_to_string(tk[i:i+2], ' '))) AS hs
+      |  FROM d),
+      |fp AS (
+      |  SELECT DISTINCT doc_id, fp FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, greatest(len(hs) - 3, 1)),
+      |      j -> list_min(hs[j:j+3]))) AS fp
+      |    FROM h)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY doc_id),
+      |dfreq AS (SELECT fp, COUNT(*) AS df FROM fp GROUP BY fp),
+      |kept AS (
+      |  SELECT f.doc_id, f.fp FROM fp f JOIN dfreq USING (fp)
+      |  WHERE df <= 20),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT id_a, id_b, n_shared,
+      |  CAST(n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp) AS overlap
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |ORDER BY n_shared DESC, id_a, id_b LIMIT 100""".stripMargin) {
+    (s, dir) =>
+      implicit val env: (SparkSession, String) = (s, dir)
+      graft.operators.Dedup.winnowPairs(t("documents"), "doc_id", "text",
+        k = 3, w = 4, maxDf = 20L, minShared = 2L, topK = 100)
+  }
+
   val catalog: Seq[(String, QueryDef)] =
-    Seq(q149PmiCollocations, q150NbClassifier, q151LengthBatches)
+    Seq(q149PmiCollocations, q150NbClassifier, q151LengthBatches,
+      q152WinnowPairs)
 }

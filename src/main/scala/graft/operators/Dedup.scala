@@ -637,4 +637,79 @@ object Dedup {
           col("n_dup_windows").cast("double") / col("n_windows"))
           .otherwise(lit(0.0)))
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+    * MOSS algorithm): per document, hash every `k`-token gram, slide a
+    * window of `w` hashes, and keep each window's MINIMUM hash. The
+    * selected set is position-robust — any shared substring of at least
+    * `k + w − 1` tokens is guaranteed to contribute at least one COMMON
+    * fingerprint to both documents — so matching on fingerprints finds
+    * substring-level copies that whole-doc MinHash dilutes away.
+    *
+    * Returns `(id, fp)` distinct fingerprint rows (md5-hex strings; the
+    * min is the lexicographic min, reproducible in any engine).
+    *
+    * Documents shorter than `k` tokens produce no grams and are absent; a
+    * doc with fewer than `w` grams yields one fingerprint (the min of
+    * what exists) — the guarantee above still holds.
+    *
+    * Scale: selection is entirely row-local (one HOF pipeline fused into
+    * the scan, no shuffle); output size is ~`n_grams / ((w+1)/2)` per doc
+    * (winnowing's expected density), distinct-ed per doc before any
+    * downstream join.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, salt: String = "win"): DataFrame = {
+    require(k >= 1, "winnowFingerprints: k must be >= 1")
+    require(w >= 1, "winnowFingerprints: w must be >= 1")
+    docs.select(col(idCol), split(col(textCol), " ").as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col(idCol), expr(
+        // gram hashes (one per start position), then per-window minima;
+        // greatest(…, 1) keeps one window when n_grams < w (slice clamps
+        // to the array tail)
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(size(tk) - ${k - 1} - ${w - 1}, 1)),
+           |  j -> array_min(slice(
+           |    transform(sequence(1, size(tk) - ${k - 1}),
+           |      i -> md5(concat('$salt:', array_join(slice(tk, i, $k), ' ')))),
+           |    j, $w))))""".stripMargin).as("fps"))
+      .select(col(idCol), explode(col("fps")).as("fp"))
+  }
+
+  /** Cross-document substring-copy report over [[winnowFingerprints]]:
+    * document pairs ranked by shared fingerprints, with the overlap
+    * coefficient `n_shared / min(|A|, |B|)` (1.0 = the smaller doc's
+    * selected substrings all appear in the larger — containment, which
+    * Jaccard under-scores for asymmetric sizes).
+    *
+    * `maxDf` drops fingerprints appearing in more than that many docs
+    * BEFORE the pair join — viral boilerplate grams would otherwise
+    * explode the self-join quadratically (the same bound invertedIndex
+    * places on postings); what remains joins on the fingerprint key with
+    * per-pair counts partial-aggregating map-side. `minShared` prunes the
+    * pair tail, and the final top-k is a bounded TakeOrdered.
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, maxDf: Long = 20L, minShared: Long = 2L,
+      topK: Int = 100, salt: String = "win"): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w, salt)
+    val sizes = fps.groupBy(col(idCol)).agg(count(lit(1)).as("n_fp"))
+    val dfreq = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+    val kept = fps.join(dfreq.filter(col("__df") <= maxDf), "fp")
+    val pairs = kept.select(col("fp"), col(idCol).as("id_a"))
+      .join(kept.select(col("fp"), col(idCol).as("id_b")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(sizes.select(col(idCol).as("id_a"), col("n_fp").as("__na")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n_fp").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          least(col("__na"), col("__nb"))).as("overlap"))
+      .orderBy(col("n_shared").desc, col("id_a").asc, col("id_b").asc)
+      .limit(topK)
+  }
 }

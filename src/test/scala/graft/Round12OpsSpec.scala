@@ -145,6 +145,55 @@ class Round12OpsSpec extends SparkSpec {
     assert(a.length === 13 && a.last.getLong(2) === 8L)
   }
 
+  // ---- winnowing ----------------------------------------------------------
+
+  test("winnowFingerprints: the k+w-1 shared-substring guarantee holds") {
+    // doc 1 and 2 share the 6-token run "a b c d e f" (k=3, w=4:
+    // guarantee kicks in at k+w-1 = 6); doc 3 shares nothing
+    val docs = Seq(
+      (1L, "a b c d e f p q r s t u"),
+      (2L, "x y z a b c d e f m n"),
+      (3L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val fps = graft.operators.Dedup
+      .winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "a shared 6-token substring must yield a common fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    assert((byDoc(2L) & byDoc(3L)).isEmpty)
+  }
+
+  test("winnowFingerprints: short docs — none below k, one window under w") {
+    val docs = Seq(
+      (1L, "a b"),          // < k tokens: absent
+      (2L, "a b c"),        // exactly one gram: one fingerprint
+      (3L, "a b c d")       // two grams < w windows: still one window
+    ).toDF("doc_id", "text")
+    val fps = graft.operators.Dedup
+      .winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4).collect()
+    val byDoc = fps.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(!byDoc.contains(1L))
+    assert(byDoc(2L) === 1)
+    assert(byDoc(3L) === 1, "min over the clamped tail window")
+  }
+
+  test("winnowPairs: copies rank first; overlap is the containment ratio") {
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " uniq1 uniq2 uniq3"),
+      (2L, shared + " other4 other5 other6"),
+      (3L, "completely different words here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.Dedup.winnowPairs(docs, "doc_id", "text",
+      k = 3, w = 4, maxDf = 20L, minShared = 1L, topK = 10).collect()
+    assert(rows.nonEmpty)
+    assert(rows(0).getLong(0) === 1L && rows(0).getLong(1) === 2L)
+    assert(rows(0).getDouble(3) > 0 && rows(0).getDouble(3) <= 1.0)
+    assert(!rows.exists(r => r.getLong(0) === 3L || r.getLong(1) === 3L))
+  }
+
   test("pmiCollocations: topK truncates on the deterministic tie order") {
     // two pairs with IDENTICAL lift: (a,b) and (c,d) are symmetric worlds
     val docs = Seq("a b", "a b", "c d", "c d").toDF("text")
