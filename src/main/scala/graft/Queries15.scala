@@ -356,13 +356,14 @@ object Queries15 {
       |    CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT) AS v,
       |    CAST('0x' || substring(md5(
       |      'boot1' || '|' || (l.l_orderkey || '-' || l.l_linenumber)
-      |        || '|' || r.rep), 1, 8) AS BIGINT) % 10000 AS b
+      |        || '#' || CAST(r.rep // 8 AS VARCHAR)),
+      |      (r.rep % 8) * 4 + 1, 4) AS BIGINT) AS b
       |  FROM lineitem l CROSS JOIN r),
       |d AS (
       |  SELECT rep, v,
-      |    CASE WHEN b < 3679 THEN 0 WHEN b < 7358 THEN 1
-      |         WHEN b < 9197 THEN 2 WHEN b < 9810 THEN 3
-      |         WHEN b < 9963 THEN 4 ELSE 5 END AS c
+      |    CASE WHEN b < 24109 THEN 0 WHEN b < 48219 THEN 1
+      |         WHEN b < 60273 THEN 2 WHEN b < 64292 THEN 3
+      |         WHEN b < 65296 THEN 4 ELSE 5 END AS c
       |  FROM e)
       |SELECT rep, CAST(SUM(c) AS BIGINT) AS n_drawn,
       |  CASE WHEN SUM(c) > 0 THEN

@@ -201,5 +201,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_deflate_len"),
       new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
       (children: Seq[Expression]) => DeflateLen(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_boot_counts"),
+      new ExpressionInfo(classOf[GraftBootCounts].getName, "graft_boot_counts"),
+      (children: Seq[Expression]) => GraftBootCounts(children(0), children(1),
+        children(2))))
   }
 }

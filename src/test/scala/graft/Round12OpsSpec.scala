@@ -145,6 +145,38 @@ class Round12OpsSpec extends SparkSpec {
     assert(a.length === 13 && a.last.getLong(2) === 8L)
   }
 
+  // ---- graft_boot_counts --------------------------------------------------
+
+  test("graft_boot_counts matches the md5 hex-quad reference definition") {
+    // reference: draw r reads hex quad (r%8) of md5(salt|id#(r/8)),
+    // thresholds round(CDF(k)*65536)
+    def ref(id: String, salt: String, reps: Int): Seq[Int] =
+      (0 until reps).map { r =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$salt|$id#${r / 8}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val b = Integer.parseInt(hex.substring((r % 8) * 4, (r % 8) * 4 + 4), 16)
+        if (b < 24109) 0 else if (b < 48219) 1 else if (b < 60273) 2
+        else if (b < 64292) 3 else if (b < 65296) 4 else 5
+      }
+    val ids = Seq("1-1", "42-7", "xyz", "")
+    val got = ids.toDF("id")
+      .select(col("id"), call_function("graft_boot_counts",
+        col("id"), lit("boot1"), lit(19)).as("cs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    ids.foreach { id =>
+      assert(got(id) === ref(id, "boot1", 19), s"id=$id")
+    }
+    // distribution sanity on many ids: mean count ~ 0.9997
+    val n = 20000
+    val big = (1 to n).map(_.toString).toDF("id")
+      .select(explode(call_function("graft_boot_counts",
+        col("id"), lit("s"), lit(8))).as("c"))
+      .agg(sum(col("c")), count(lit(1))).head()
+    val mean = big.getLong(0).toDouble / big.getLong(1)
+    assert(math.abs(mean - 1.0) < 0.02, s"mean draw $mean should be ~1")
+  }
+
   // ---- winnowing ----------------------------------------------------------
 
   test("winnowFingerprints: the k+w-1 shared-substring guarantee holds") {
