@@ -179,7 +179,62 @@ object Queries16 {
         k = 3, w = 4, maxDf = 20L, minShared = 2L, topK = 100)
   }
 
+  /** Per-source bootstrap CI ([[graft.core.Stats.bootstrapGroupCi]]):
+    * deterministic Poisson bootstrap of each source's mean doc length,
+    * 95% percentile CI from the sorted replicate means — the
+    * quality-monitoring form ("did source X's length distribution move
+    * beyond its own sampling noise?"). Draws batch through the native
+    * `graft_boot_counts`; the oracle replays them from the same md5
+    * quads. */
+  val q153BootstrapCi: (String, QueryDef) = q(
+    "q153_bootstrap_ci",
+    """WITH r AS (SELECT unnest(generate_series(0, 39)) AS rep),
+      |e AS (
+      |  SELECT d.source, r.rep, d.n_chars AS v,
+      |    CAST('0x' || substring(md5(
+      |      'bsrc' || '|' || CAST(d.doc_id AS VARCHAR)
+      |        || '#' || CAST(r.rep // 8 AS VARCHAR)),
+      |      (r.rep % 8) * 4 + 1, 4) AS BIGINT) AS b
+      |  FROM documents d CROSS JOIN r),
+      |d2 AS (
+      |  SELECT source, rep, v,
+      |    CASE WHEN b < 24109 THEN 0 WHEN b < 48219 THEN 1
+      |         WHEN b < 60273 THEN 2 WHEN b < 64292 THEN 3
+      |         WHEN b < 65296 THEN 4 ELSE 5 END AS c
+      |  FROM e),
+      |m AS (
+      |  SELECT source, rep, CAST(SUM(c) AS BIGINT) AS n_drawn,
+      |    CASE WHEN SUM(c) > 0 THEN
+      |      CAST(SUM(c * v) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+      |    ELSE NULL END AS mean
+      |  FROM d2 GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT source, mean,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY mean) AS rk,
+      |    COUNT(mean) OVER (PARTITION BY source) AS n_reps
+      |  FROM m WHERE mean IS NOT NULL),
+      |ci AS (
+      |  SELECT source, MAX(n_reps) AS n_reps,
+      |    CASE WHEN MAX(n_reps) > 38 THEN
+      |      MAX(CASE WHEN rk = 2 THEN mean END) END AS ci_lo,
+      |    CASE WHEN MAX(n_reps) > 38 THEN
+      |      MAX(CASE WHEN rk = 39 THEN mean END) END AS ci_hi
+      |  FROM ranked GROUP BY source),
+      |pt AS (
+      |  SELECT source,
+      |    CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) /
+      |      CAST(COUNT(*) AS DOUBLE) AS mean_est
+      |  FROM documents GROUP BY source)
+      |SELECT ci.source AS grp, n_reps, mean_est, ci_lo, ci_hi
+      |FROM ci JOIN pt USING (source) ORDER BY grp""".stripMargin) {
+    (s, dir) =>
+      implicit val env: (SparkSession, String) = (s, dir)
+      graft.core.Stats.bootstrapGroupCi(t("documents"), col("source"),
+          col("doc_id"), col("n_chars"), reps = 40, salt = "bsrc")
+        .orderBy(col("grp"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q149PmiCollocations, q150NbClassifier, q151LengthBatches,
-      q152WinnowPairs)
+      q152WinnowPairs, q153BootstrapCi)
 }

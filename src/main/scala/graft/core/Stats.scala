@@ -750,6 +750,67 @@ object Stats {
           .otherwise(lit(null).cast("double")).as("mean"))
   }
 
+  /** Per-group [[bootstrapMeans]]: one replicate table per group key, in
+    * the same single pass — the groupBy key is `(group, rep)` instead of
+    * `rep`, everything else is identical (and identically exact). Output:
+    * `(group, rep, n_drawn, mean)`.
+    *
+    * Scale: |groups|·reps result rows; the fan-out is still scan-side
+    * and the single shuffle partial-aggregates map-side on a key whose
+    * cardinality is groups×reps — the cheap direction of the bootstrap
+    * at any corpus size.
+    */
+  def bootstrapGroupMeans(df: DataFrame, groupCol: Column, idCol: Column,
+      valueCol: Column, reps: Int = 40, salt: String = "boot"): DataFrame = {
+    require(reps >= 1, "bootstrapGroupMeans: need at least one replicate")
+    df.select(groupCol.as("grp"), valueCol.cast(LongType).as("__v"),
+        call_function("graft_boot_counts", idCol.cast("string"),
+          lit(salt), lit(reps)).as("__cs"))
+      .select(col("grp"), col("__v"),
+        posexplode(col("__cs")).as(Seq("rep", "__c")))
+      .groupBy(col("grp"), col("rep"))
+      .agg(sum(col("__c").cast(LongType)).as("n_drawn"),
+        sum(col("__c").cast(LongType) * col("__v")).as("__sv"))
+      .select(col("grp"), col("rep"), col("n_drawn"),
+        when(col("n_drawn") > 0,
+          col("__sv").cast("double") / col("n_drawn").cast("double"))
+          .otherwise(lit(null).cast("double")).as("mean"))
+  }
+
+  /** Bootstrap CI report over [[bootstrapGroupMeans]]'s replicate table:
+    * per group, the point estimate (full-sample mean) and the percentile
+    * CI read off the SORTED replicate means at 0-based ranks
+    * `floor(α·reps)` and `ceil((1−α)·reps)−1` (α = 0.025, reps = 40 →
+    * ranks 1 and 38). The replicate list is reps-bounded, so the
+    * per-group `array_sort(collect_list(…))` holds ≤ reps doubles —
+    * bounded state, not a data-sized sort; null (empty-replicate) means
+    * only occur on near-empty groups and are excluded from the order
+    * with their count reported. */
+  def bootstrapGroupCi(df: DataFrame, groupCol: Column, idCol: Column,
+      valueCol: Column, reps: Int = 40, salt: String = "boot",
+      alpha: Double = 0.025): DataFrame = {
+    val loIdx = math.floor(alpha * reps).toInt
+    val hiIdx = math.ceil((1.0 - alpha) * reps).toInt - 1
+    val repsTab = bootstrapGroupMeans(df, groupCol, idCol, valueCol, reps, salt)
+    val point = df.groupBy(groupCol.as("grp"))
+      .agg((sum(valueCol.cast(LongType)).cast("double") /
+        count(lit(1)).cast("double")).as("mean_est"))
+    repsTab.groupBy(col("grp"))
+      .agg(count(col("mean")).as("n_reps"),
+        array_sort(collect_list(col("mean"))).as("__ms"))
+      .select(col("grp"), col("n_reps"),
+        // ANSI mode errors on out-of-bounds element_at: a group whose
+        // non-null replicate count falls short of the rank (possible
+        // only on near-empty groups) reports a null bound instead
+        when(col("n_reps") > hiIdx,
+          element_at(col("__ms"), loIdx + 1)).as("ci_lo"),
+        when(col("n_reps") > hiIdx,
+          element_at(col("__ms"), hiIdx + 1)).as("ci_hi"))
+      .join(point, "grp")
+      .select(col("grp"), col("n_reps"), col("mean_est"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
   /** Column profile — the pre-training data audit: per column, row count,
     * non-null count, exact distinct count, and extents (numeric columns
     * report double extents, string columns string extents). Long format:

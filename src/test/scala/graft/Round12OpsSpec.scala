@@ -177,6 +177,39 @@ class Round12OpsSpec extends SparkSpec {
     assert(math.abs(mean - 1.0) < 0.02, s"mean draw $mean should be ~1")
   }
 
+  // ---- grouped bootstrap --------------------------------------------------
+
+  test("bootstrapGroupMeans slices the global bootstrap by group") {
+    val df = (1L to 4000L).map(i => (if (i % 2 == 0) "a" else "b", i, i % 97))
+      .toDF("g", "id", "v")
+    val rows = graft.core.Stats.bootstrapGroupMeans(df, col("g"), col("id"),
+      col("v"), reps = 10, salt = "t").collect()
+    assert(rows.length === 20, "2 groups x 10 reps")
+    // per-group draws equal the single-group bootstrap run on that slice
+    val aOnly = graft.core.Stats.bootstrapMeans(df.filter(col("g") === "a"),
+      col("id"), col("v"), reps = 10, salt = "t")
+      .orderBy("rep").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val aGrouped = rows.filter(_.getString(0) == "a").sortBy(_.getInt(1))
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(aGrouped.toSeq === aOnly.toSeq)
+  }
+
+  test("bootstrapGroupCi: CI brackets the point estimate, bounds ordered") {
+    val df = (1L to 6000L).map(i =>
+      (s"g${i % 3}", i, 100 + (i * 37) % 1000)).toDF("g", "id", "v")
+    val rows = graft.core.Stats.bootstrapGroupCi(df, col("g"), col("id"),
+      col("v"), reps = 40, salt = "ci").orderBy("grp").collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val (nReps, est, lo, hi) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(nReps === 40L)
+      assert(lo < hi, "a real sampling distribution has width")
+      assert(lo < est && est < hi,
+        s"point $est should fall inside [$lo, $hi] for 2000-row groups")
+    }
+  }
+
   // ---- winnowing ----------------------------------------------------------
 
   test("winnowFingerprints: the k+w-1 shared-substring guarantee holds") {
