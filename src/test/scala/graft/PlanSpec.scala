@@ -435,4 +435,55 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"),
       "a single-partition ranking window would serialize the table")
   }
+
+  test("PMI collocations: unigram model broadcasts, top-k is partial (q149)") {
+    val p = plan("q149_pmi_collocations")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocab-sized unigram table must broadcast onto the pair table")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k lift must be a bounded TakeOrdered, not a global sort")
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-sized shuffle join belongs in this plan")
+  }
+
+  test("NB classifier: model broadcasts; the only corpus shuffles are " +
+      "token counts and the doc rollup (q150)") {
+    val p = plan("q150_nb_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      "the V-row model must broadcast onto the exploded corpus")
+    assert(!p.contains("CartesianProduct"),
+      "singleton totals must ride BroadcastNestedLoopJoin, never cartesian")
+  }
+
+  test("length batches: two-phase rank, no whole-table window partition (q151)") {
+    val p = plan("q151_length_batches")
+    // the ONLY unpartitioned window allowed is the |partitions|-row offset
+    // ladder inside globalRowNumber; per-bucket ranking must come from the
+    // range-partitioned two-phase rank, so no Window node may scan parquet
+    // directly below itself
+    assert(p.contains("RangePartitioning") || p.contains("rangepartitioning"),
+      "phase 1 must range-partition on (bucket, key)")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket starts and partition offsets must broadcast back")
+  }
+
+  test("winnow pairs: fingerprints join on the hash, text never shuffles (q152)") {
+    val p = plan("q152_winnow_pairs")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).toList
+    assert(exchanges.nonEmpty, "pair generation is a fingerprint equi-join")
+    assert(!p.contains("Exchange hashpartitioning(text"),
+      "raw text must never be a shuffle key")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the pair report is a bounded top-k")
+  }
+
+  test("bootstrap: draw fan-out is scan-side; one partial-agg shuffle (q148/q153)") {
+    for (q <- Seq("q148_bootstrap_means", "q153_bootstrap_ci")) {
+      val p = plan(q)
+      assert(p.contains("graft_boot_counts"),
+        s"$q must use the native batched-draw expression")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: the replicate fan-out must be a generator, not a join")
+    }
+  }
 }
