@@ -234,7 +234,63 @@ object Queries16 {
         .orderBy(col("grp"))
   }
 
+  /** Unicode-script composition per language label
+    * ([[TextAnalysis.scriptMix]]): the router-audit signal — a `zh` slice
+    * that is mostly Latin, or an `en` slice growing CJK, is mislabeled.
+    * Char-class counts use `\x{…}` ranges that Java regex and RE2 parse
+    * identically; fractions are exact counts with one division each. */
+  val q154ScriptMix: (String, QueryDef) = q(
+    "q154_script_mix",
+    """WITH p AS (
+      |  SELECT lang, length(text) AS n_chars,
+      |    len(regexp_extract_all(text, '[A-Za-z]')) AS c_latin,
+      |    len(regexp_extract_all(text, '[\x{00C0}-\x{024F}]')) AS c_acc,
+      |    len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS c_cjk,
+      |    len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS c_cyr,
+      |    len(regexp_extract_all(text, '[0-9]')) AS c_dig,
+      |    len(regexp_extract_all(text, '[ ]')) AS c_sp
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |    CAST(SUM(c_latin) AS BIGINT) AS s_latin,
+      |    CAST(SUM(c_acc) AS BIGINT) AS s_acc,
+      |    CAST(SUM(c_cjk) AS BIGINT) AS s_cjk,
+      |    CAST(SUM(c_cyr) AS BIGINT) AS s_cyr,
+      |    CAST(SUM(c_dig) AS BIGINT) AS s_dig,
+      |    CAST(SUM(c_sp) AS BIGINT) AS s_sp,
+      |    CAST(SUM(n_chars - c_latin - c_acc - c_cjk - c_cyr - c_dig - c_sp)
+      |      AS BIGINT) AS s_other
+      |  FROM p GROUP BY lang)
+      |SELECT lang, n_docs, n_chars,
+      |  CASE WHEN n_chars > 0 THEN
+      |    CAST(s_latin AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END
+      |    AS latin_frac,
+      |  CASE WHEN n_chars > 0 THEN
+      |    CAST(s_acc AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END
+      |    AS accented_frac,
+      |  CASE WHEN n_chars > 0 THEN
+      |    CAST(s_cjk AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END
+      |    AS cjk_frac,
+      |  CASE WHEN n_chars > 0 THEN
+      |    CAST(s_cyr AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END
+      |    AS cyrillic_frac,
+      |  CASE WHEN n_chars > 0 THEN
+      |    CAST(s_dig AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END
+      |    AS digit_frac,
+      |  CASE WHEN n_chars > 0 THEN
+      |    CAST(s_sp AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END
+      |    AS space_frac,
+      |  CASE WHEN n_chars > 0 THEN
+      |    CAST(s_other AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END
+      |    AS other_frac
+      |FROM g ORDER BY lang""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    TextAnalysis.scriptMix(t("documents"), "lang", "text")
+      .orderBy(col("lang"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q149PmiCollocations, q150NbClassifier, q151LengthBatches,
-      q152WinnowPairs, q153BootstrapCi)
+      q152WinnowPairs, q153BootstrapCi, q154ScriptMix)
 }

@@ -555,4 +555,51 @@ object TextAnalysis {
       .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
       .limit(topK)
   }
+
+  /** Unicode-script composition per group — the language-ID support
+    * signal: what fraction of each group's characters is basic Latin,
+    * accented Latin, CJK, Cyrillic, digits, whitespace, other? A corpus
+    * labeled `lang=en` with a rising CJK fraction has a router bug; a
+    * `zh` slice that is mostly Latin is transliteration or mislabeling.
+    *
+    * Counting is `regexp_count` over character-class ranges written in
+    * `\x{…}` syntax — the one code-point escape both Java regex (Spark)
+    * and RE2 (the DuckDB oracle) parse identically; all fractions are
+    * exact-integer counts with one final IEEE division each.
+    *
+    * Scale: char counts are row-local scan-side work; the group rollup is
+    * one partial-aggregated shuffle on the group key. |groups| output
+    * rows.
+    */
+  def scriptMix(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(pattern: String): Column =
+      regexp_count(t, lit(pattern)).cast("long")
+    val classes = Seq(
+      "latin" -> "[A-Za-z]",
+      "accented" -> "[\\x{00C0}-\\x{024F}]",
+      "cjk" -> "[\\x{4E00}-\\x{9FFF}]",
+      "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+      "digit" -> "[0-9]",
+      "space" -> "[ ]")
+    val perDoc = docs.select(
+      (col(groupCol) +: (length(t).cast("long").as("n_chars") +:
+        classes.map { case (name, p) => cnt(p).as(s"__$name") })): _*)
+    val known = classes.map(c => col(s"__${c._1}")).reduce(_ + _)
+    val aggExprs: Seq[Column] =
+      count(lit(1)).as("n_docs") +: sum(col("n_chars")).as("n_chars") +:
+        (classes.map(c => sum(col(s"__${c._1}")).as(s"__s${c._1}")) :+
+          sum(col("__other")).as("__sother"))
+    val agged = perDoc
+      .withColumn("__other", col("n_chars") - known)
+      .groupBy(col(groupCol))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    val fracs = (classes.map(_._1) :+ "other").map(name =>
+      when(col("n_chars") > 0,
+        col(s"__s$name").cast("double") / col("n_chars").cast("double"))
+        .otherwise(lit(0.0)).as(s"${name}_frac"))
+    agged.select((col(groupCol) +: col("n_docs") +: col("n_chars") +:
+      fracs): _*)
+  }
 }

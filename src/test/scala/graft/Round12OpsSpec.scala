@@ -177,6 +177,36 @@ class Round12OpsSpec extends SparkSpec {
     assert(math.abs(mean - 1.0) < 0.02, s"mean draw $mean should be ~1")
   }
 
+  // ---- scriptMix ----------------------------------------------------------
+
+  test("scriptMix: exact char-class fractions on known mixed-script text") {
+    val docs = Seq(
+      ("en", "ab 12"),          // 2 latin, 2 digit, 1 space
+      ("zh", "你好 a"), // 2 cjk, 1 latin, 1 space
+      ("ru", "да")    // 2 cyrillic
+    ).toDF("lang", "text")
+    val rows = graft.operators.TextAnalysis.scriptMix(docs, "lang", "text")
+      .orderBy("lang").collect()
+    val byLang = rows.map(r => r.getString(0) -> r).toMap
+    val en = byLang("en")
+    assert(en.getLong(2) === 5L)
+    assert(en.getDouble(3) === 2.0 / 5) // latin
+    assert(en.getDouble(7) === 2.0 / 5) // digit
+    assert(en.getDouble(8) === 1.0 / 5) // space
+    assert(en.getDouble(9) === 0.0)     // other
+    val zh = byLang("zh")
+    assert(zh.getLong(2) === 4L)
+    assert(zh.getDouble(5) === 2.0 / 4) // cjk
+    assert(zh.getDouble(3) === 1.0 / 4) // latin
+    val ru = byLang("ru")
+    assert(ru.getDouble(6) === 1.0)     // cyrillic
+    // fractions partition the text: sum of all classes = 1 for each group
+    rows.foreach { r =>
+      val total = (3 to 9).map(r.getDouble).sum
+      assert(math.abs(total - 1.0) < 1e-12, s"lang ${r.getString(0)}")
+    }
+  }
+
   // ---- grouped bootstrap --------------------------------------------------
 
   test("bootstrapGroupMeans slices the global bootstrap by group") {
