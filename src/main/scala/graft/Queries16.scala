@@ -290,7 +290,42 @@ object Queries16 {
       .orderBy(col("lang"))
   }
 
+  /** Corpus self-similarity probe ([[TextAnalysis.selfSimilarity]]):
+    * deterministic 100-doc sample, all pairwise bigram Jaccards, exact
+    * mean via decimal accumulation — the bounded-cost diversity gauge
+    * (O(scan) + O(k²) at any corpus size). */
+  val q155SelfSimilarity: (String, QueryDef) = q(
+    "q155_self_similarity",
+    """WITH s0 AS (
+      |  SELECT doc_id AS id,
+      |    md5('selfsim:' || CAST(doc_id AS VARCHAR)) AS key,
+      |    string_split(text, ' ') AS tk
+      |  FROM documents),
+      |s AS (SELECT id, tk FROM s0 ORDER BY key, id LIMIT 100),
+      |g AS (
+      |  SELECT id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(tk) - 1, 0)),
+      |    i -> array_to_string(tk[i:i+1], ' '))) AS gs
+      |  FROM s),
+      |p AS (
+      |  SELECT len(list_filter(a.gs, x -> list_contains(b.gs, x))) AS i,
+      |    len(a.gs) + len(b.gs) AS ab
+      |  FROM g a JOIN g b ON a.id < b.id),
+      |j AS (
+      |  SELECT CASE WHEN ab - i > 0 THEN
+      |    CAST(i AS DOUBLE) / CAST(ab - i AS DOUBLE) ELSE 0.0 END AS j
+      |  FROM p)
+      |SELECT COUNT(*) AS n_pairs,
+      |  CAST(SUM(CAST(j AS DECIMAL(38, 9))) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS mean_jaccard,
+      |  MIN(j) AS min_jaccard, MAX(j) AS max_jaccard
+      |FROM j""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    TextAnalysis.selfSimilarity(t("documents"), "doc_id", "text",
+      k = 100, n = 2, salt = "selfsim")
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q149PmiCollocations, q150NbClassifier, q151LengthBatches,
-      q152WinnowPairs, q153BootstrapCi, q154ScriptMix)
+      q152WinnowPairs, q153BootstrapCi, q154ScriptMix, q155SelfSimilarity)
 }

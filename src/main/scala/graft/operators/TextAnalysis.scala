@@ -602,4 +602,52 @@ object TextAnalysis {
     agged.select((col(groupCol) +: col("n_docs") +: col("n_chars") +:
       fracs): _*)
   }
+
+  /** Corpus self-similarity probe (the self-BLEU idea, Jaccard form): how
+    * alike is the corpus to ITSELF? Draw a deterministic `k`-doc sample
+    * (the k smallest `md5(salt:id)` — reproducible, uniform), compute all
+    * k·(k−1)/2 pairwise Jaccards over distinct token `n`-grams, and
+    * report the count, mean, min and max. A healthy diverse corpus sits
+    * near 0; a climbing mean is template flooding that per-pair dedup
+    * thresholds (q35-style, tuned for near-dups) never fire on.
+    *
+    * The mean folds through `graft_dsum` (exact decimal accumulation), so
+    * the report is hash-exact under any partitioning/evaluation order.
+    *
+    * Scale: the sample is a bounded `TakeOrdered` over scan-side keys
+    * (never a global sort); the k sampled docs' gram sets broadcast into
+    * a k×k self-join — k² stays a few thousand pairs for k ≤ 100
+    * regardless of corpus size, which is the entire point: the probe's
+    * cost is O(corpus scan) + O(k²), not O(corpus²). Gram sets compare as
+    * STRINGS here because the report is oracle-checked; swap in
+    * `graft_shingle_hash` sets for a faster engine-only variant.
+    */
+  def selfSimilarity(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 100, n: Int = 2, salt: String = "selfsim"): DataFrame = {
+    require(k >= 2, "selfSimilarity: need at least 2 sampled docs")
+    val grams = array_distinct(expr(
+      s"transform(sequence(1, greatest(size(__tk) - ${n - 1}, 0)), " +
+        s"i -> array_join(slice(__tk, i, $n), ' '))"))
+    val sampled = docs
+      .select(col(idCol).as("__id"),
+        md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))).as("__key"),
+        split(col(textCol), " ").as("__tk"))
+      .orderBy(col("__key"), col("__id")).limit(k)
+      .select(col("__id"), grams.as("__g"))
+    val a = sampled.select(col("__id").as("id_a"), col("__g").as("ga"))
+    val b = sampled.select(col("__id").as("id_b"), col("__g").as("gb"))
+    val inter = size(array_intersect(col("ga"), col("gb")))
+    val uni = size(col("ga")) + size(col("gb")) - inter
+    val jac = when(uni > 0, inter.cast("double") / uni.cast("double"))
+      .otherwise(lit(0.0))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(jac.as("__j"))
+      .agg(count(lit(1)).as("n_pairs"),
+        call_function("graft_dsum", col("__j"), lit(9)).as("__s"),
+        min(col("__j")).as("min_jaccard"),
+        max(col("__j")).as("max_jaccard"))
+      .select(col("n_pairs"),
+        (col("__s") / col("n_pairs").cast("double")).as("mean_jaccard"),
+        col("min_jaccard"), col("max_jaccard"))
+  }
 }

@@ -207,6 +207,32 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- selfSimilarity -----------------------------------------------------
+
+  test("selfSimilarity: identical docs -> 1.0, disjoint docs -> 0.0") {
+    val twins = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val r1 = graft.operators.TextAnalysis
+      .selfSimilarity(twins, "doc_id", "text", k = 2, n = 2).head()
+    assert(r1.getLong(0) === 1L)
+    assert(r1.getDouble(1) === 1.0 && r1.getDouble(2) === 1.0)
+    val disjoint = Seq((1L, "a b c"), (2L, "x y z")).toDF("doc_id", "text")
+    val r2 = graft.operators.TextAnalysis
+      .selfSimilarity(disjoint, "doc_id", "text", k = 2, n = 2).head()
+    assert(r2.getDouble(1) === 0.0 && r2.getDouble(3) === 0.0)
+  }
+
+  test("selfSimilarity: k caps the pair count; sample is deterministic") {
+    val docs = (1L to 50L).map(i => (i, s"w$i x$i y$i z$i common tail"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis
+      .selfSimilarity(docs, "doc_id", "text", k = 10, n = 2)
+    val row = r.head()
+    assert(row.getLong(0) === 45L, "10 sampled docs -> 45 pairs")
+    // shared 'common tail' bigram: strictly between 0 and 1
+    assert(row.getDouble(1) > 0.0 && row.getDouble(1) < 1.0)
+    assert(r.head() === row, "re-evaluation is bit-identical")
+  }
+
   // ---- grouped bootstrap --------------------------------------------------
 
   test("bootstrapGroupMeans slices the global bootstrap by group") {
