@@ -325,7 +325,47 @@ object Queries16 {
       k = 100, n = 2, salt = "selfsim")
   }
 
+  /** Epoch planner ([[Sampling.epochPlan]]): the repeat-data audit — a
+    * 2M-token budget at temperature 3/4 against per-source token counts;
+    * epochs implied, 4-epoch cap, forfeited token mass. Tight budget on
+    * a small corpus makes several sources exceed the cap, so the flag
+    * path is exercised. */
+  val q156EpochPlan: (String, QueryDef) = q(
+    "q156_epoch_plan",
+    """WITH g AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+      |      AS tokens
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT *, SQRT(SQRT(CAST(tokens AS DOUBLE))) *
+      |    SQRT(CAST(tokens AS DOUBLE)) AS wr FROM g),
+      |d AS (
+      |  SELECT CAST(SUM(CAST(wr AS DECIMAL(38,18))) AS DOUBLE) AS den
+      |  FROM w),
+      |t AS (
+      |  SELECT source, n_docs, tokens, (wr / den) AS weight,
+      |    CAST(FLOOR((wr / den) * 2000000.0) AS BIGINT) AS target_tokens
+      |  FROM w CROSS JOIN d)
+      |SELECT source, n_docs, tokens, weight, target_tokens,
+      |  CASE WHEN tokens > 0 THEN
+      |    CAST(target_tokens AS DOUBLE) / CAST(tokens AS DOUBLE) END
+      |    AS epochs,
+      |  COALESCE(CASE WHEN tokens > 0 THEN
+      |    CAST(target_tokens AS DOUBLE) / CAST(tokens AS DOUBLE) END > 4.0,
+      |    FALSE) AS over_cap,
+      |  LEAST(target_tokens, tokens * 4) AS granted_tokens,
+      |  target_tokens - LEAST(target_tokens, tokens * 4) AS deficit_tokens
+      |FROM t ORDER BY source""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.operators.Sampling.epochPlan(t("documents"), "source",
+        size(split(col("text"), " ")), budgetTokens = 2000000L,
+        temperatureQuarters = 3, maxEpochs = 4)
+      .orderBy(col("source"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q149PmiCollocations, q150NbClassifier, q151LengthBatches,
-      q152WinnowPairs, q153BootstrapCi, q154ScriptMix, q155SelfSimilarity)
+      q152WinnowPairs, q153BootstrapCi, q154ScriptMix, q155SelfSimilarity,
+      q156EpochPlan)
 }

@@ -419,6 +419,37 @@ object Sampling {
       .orderBy(col(groupCol).asc, col("priority").desc, col(idCol).asc)
   }
 
+  /** Epoch planner over [[mixtureWeights]] — the repeat-data audit
+    * (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models": repeating past ~4 epochs stops buying loss): given the
+    * temperature-weighted token targets, how many EPOCHS of each source
+    * does the budget imply, which sources exceed `maxEpochs`, and how
+    * many target tokens the cap forfeits (`deficit_tokens` — the mass to
+    * re-spread or cut).
+    *
+    * Pure projection over the mixture-weight rollup (|groups| rows):
+    * `epochs = target/tokens` (one IEEE division), `granted =
+    * min(target, tokens·maxEpochs)` in exact integers.
+    */
+  def epochPlan(df: DataFrame, groupCol: String, tokenCountCol: Column,
+      budgetTokens: Long, temperatureQuarters: Int = 3,
+      maxEpochs: Int = 4): DataFrame = {
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    val w = mixtureWeights(df, groupCol, tokenCountCol, budgetTokens,
+      temperatureQuarters)
+    w.select(col(groupCol), col("n_docs"), col("tokens"), col("weight"),
+        col("target_tokens"))
+      .withColumn("epochs",
+        when(col("tokens") > 0,
+          col("target_tokens").cast("double") / col("tokens").cast("double")))
+      .withColumn("over_cap",
+        coalesce(col("epochs") > lit(maxEpochs.toDouble), lit(false)))
+      .withColumn("granted_tokens",
+        least(col("target_tokens"), col("tokens") * lit(maxEpochs.toLong)))
+      .withColumn("deficit_tokens",
+        col("target_tokens") - col("granted_tokens"))
+  }
+
   /** Length-bucketed batch assignment with a padding-efficiency report —
     * the batch shaper every fixed-shape training loop runs (fairseq's
     * `--max-tokens` bucketing): sequences of similar length batch

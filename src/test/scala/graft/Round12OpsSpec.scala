@@ -207,6 +207,31 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- epochPlan ----------------------------------------------------------
+
+  test("epochPlan: cap binds exactly where epochs exceed it; integers exact") {
+    // source a: 10 tokens, source b: 1000 tokens; budget 2000 at
+    // temperature 4/4 (proportional): a gets ~2000*10/1010=19 tokens
+    // -> 1.9 epochs? No: proportional weights keep epochs equal (~1.98),
+    // so use temperature 0 (uniform): each source targets 1000 tokens ->
+    // a needs 100 epochs (capped at 4 -> granted 40), b needs 1 epoch.
+    val docs = (1 to 1).map(i => ("a", ("w " * 9) + "w")) ++
+      (1 to 100).map(i => ("b", ("w " * 9) + "w"))
+    val df = docs.toDF("source", "text")
+    val rows = graft.operators.Sampling.epochPlan(df, "source",
+        size(split(col("text"), " ")), budgetTokens = 2000L,
+        temperatureQuarters = 0, maxEpochs = 4)
+      .orderBy("source").collect()
+    val a = rows(0); val b = rows(1)
+    assert(a.getLong(2) === 10L && b.getLong(2) === 1000L)
+    assert(a.getLong(4) === 1000L, "uniform weights split the budget evenly")
+    assert(a.getDouble(5) === 100.0)
+    assert(a.getBoolean(6), "100 epochs exceeds the 4-epoch cap")
+    assert(a.getLong(7) === 40L && a.getLong(8) === 960L)
+    assert(b.getDouble(5) === 1.0 && !b.getBoolean(6))
+    assert(b.getLong(7) === 1000L && b.getLong(8) === 0L)
+  }
+
   // ---- selfSimilarity -----------------------------------------------------
 
   test("selfSimilarity: identical docs -> 1.0, disjoint docs -> 0.0") {
