@@ -364,8 +364,58 @@ object Queries16 {
       .orderBy(col("source"))
   }
 
+  /** The BPE learner's oracle, generated per merge level: each level
+    * recounts weighted adjacent symbol pairs, picks the argmax
+    * deterministically, and applies it with the SAME `replace` call the
+    * engine uses (identical left-to-right non-overlap semantics), so the
+    * data-dependent iteration itself is hash-checked. */
+  private def bpeOracleSql(merges: Int): String = {
+    val base =
+      """WITH wd AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |w0 AS MATERIALIZED (
+        |  SELECT freq, chr(1) || array_to_string(
+        |    list_transform(generate_series(1, length(w)), i -> w[i])
+        |      || ['</w>'], chr(1)) || chr(1) AS s
+        |  FROM wd)""".stripMargin
+    val levels = (1 to merges).map { i =>
+      s"""p$i AS (
+         |  SELECT arr[j] AS a, arr[j + 1] AS b,
+         |    CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT freq, string_split(s, chr(1)) AS arr,
+         |      unnest(generate_series(2, len(string_split(s, chr(1))) - 2))
+         |        AS j
+         |    FROM w${i - 1})
+         |  GROUP BY 1, 2),
+         |t$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT freq, replace(s,
+         |    chr(1) || (SELECT a FROM t$i) || chr(1) ||
+         |      (SELECT b FROM t$i) || chr(1),
+         |    chr(1) || (SELECT a || b FROM t$i) || chr(1)) AS s
+         |  FROM w${i - 1})""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val union = (1 to merges).map(i =>
+      s"SELECT $i AS rank, a AS lhs, b AS rhs, cnt AS pair_count FROM t$i")
+      .mkString("\nUNION ALL ")
+    s"$base$levels\n$union\nORDER BY rank"
+  }
+
+  /** BPE merge learning ([[graft.operators.Bpe.learnMerges]]): 8 merges
+    * trained on the word-frequency dictionary. The oracle replays the
+    * full iterative learner — pair counts, deterministic argmax, and the
+    * engine's exact `replace` merge — level by level. */
+  val q157BpeMerges: (String, QueryDef) = q(
+    "q157_bpe_merges", bpeOracleSql(8)) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.operators.Bpe.learnMerges(t("documents"), "text", merges = 8)
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q149PmiCollocations, q150NbClassifier, q151LengthBatches,
       q152WinnowPairs, q153BootstrapCi, q154ScriptMix, q155SelfSimilarity,
-      q156EpochPlan)
+      q156EpochPlan, q157BpeMerges)
 }

@@ -207,6 +207,48 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- BPE ----------------------------------------------------------------
+
+  test("learnMerges: hand-computed merges on the classic low/lower corpus") {
+    // word freqs: low x3, lower x2, newest x4, widest x1
+    val docs = Seq(
+      "low low low lower lower newest newest newest newest widest"
+    ).toDF("text")
+    val got = graft.operators.Bpe.learnMerges(docs, "text", merges = 4)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // pair counts by hand: (w,e)=lower2+newest4=6 first; then the 5-count
+    // tie (l,o) vs (s,t) breaks lexicographically; after (s,t) the merged
+    // 'st' pairs with the end marker at 5
+    assert(got(0) === ((1L, "w", "e", 6L)))
+    assert(got(1) === ((2L, "l", "o", 5L)))
+    assert(got(2) === ((3L, "s", "t", 5L)))
+    assert(got(3) === ((4L, "st", "</w>", 5L)))
+  }
+
+  test("segmentStats: fertility from the learned merges, weighted by freq") {
+    val docs = Seq(("all",
+      "low low low lower lower newest newest newest newest widest"
+    )).toDF("g", "text")
+    val merges = Seq(("w", "e"), ("l", "o"), ("s", "t"), ("st", "</w>"))
+    val r = graft.operators.Bpe.segmentStats(docs, "g", "text", merges)
+      .head()
+    // pieces incl. end marker: low->3 (lo,w,</w>), lower->4 (lo,we,r,</w>),
+    // newest->4 (n,e,we,st</w>), widest->5 (w,i,d,e,st</w>)
+    assert(r.getLong(1) === 10L)
+    assert(r.getLong(2) === (3 * 3 + 4 * 2 + 4 * 4 + 5 * 1).toLong)
+    assert(r.getDouble(3) === 3.8)
+  }
+
+  test("learnMerges stops early when the dictionary runs out of pairs") {
+    val docs = Seq("a a a").toDF("text") // one word 'a': single pair (a,</w>)
+    val got = graft.operators.Bpe.learnMerges(docs, "text", merges = 5)
+      .collect()
+    // merge 1: (a,</w>); then every word is one symbol -> no pairs left
+    assert(got.length === 1)
+    assert(got(0).getString(1) === "a" && got(0).getString(2) === "</w>")
+  }
+
   // ---- epochPlan ----------------------------------------------------------
 
   test("epochPlan: cap binds exactly where epochs exceed it; integers exact") {
