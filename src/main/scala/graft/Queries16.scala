@@ -414,8 +414,48 @@ object Queries16 {
     graft.operators.Bpe.learnMerges(t("documents"), "text", merges = 8)
   }
 
+  /** Content-defined chunk dedup ([[Dedup.cdcChunkDedup]]): boundaries
+    * from token hashes (`md5 quad % 8 == 0`), so chunk identity survives
+    * insertions that shift positions — the CDC upgrade of q76's fixed
+    * stride. Per-doc dup-chunk report, every count exact. */
+  val q158CdcDedup: (String, QueryDef) = q(
+    "q158_cdc_dedup",
+    """WITH tk AS (
+      |  SELECT doc_id, x.pos AS pos, x.t AS t FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, len(w)),
+      |      i -> struct_pack(pos := i, t := w[i]))) AS x
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+      |m AS (
+      |  SELECT doc_id, pos, t,
+      |    CASE WHEN CAST('0x' || substring(md5(t), 1, 4) AS BIGINT) % 8 = 0
+      |      THEN 1 ELSE 0 END AS mk
+      |  FROM tk),
+      |c AS (
+      |  SELECT doc_id, pos, t,
+      |    COALESCE(SUM(mk) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+      |  FROM m),
+      |ch AS (
+      |  SELECT doc_id, chunk,
+      |    md5(string_agg(t, ' ' ORDER BY pos)) AS h
+      |  FROM c GROUP BY doc_id, chunk),
+      |f AS (SELECT h, COUNT(*) AS fr FROM ch GROUP BY h)
+      |SELECT ch.doc_id, COUNT(*) AS n_chunks,
+      |  CAST(SUM(CASE WHEN f.fr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_chunks,
+      |  CAST(SUM(CASE WHEN f.fr > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS dup_frac
+      |FROM ch JOIN f USING (h)
+      |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.operators.Dedup.cdcChunkDedup(t("documents"), "doc_id", "text",
+        avgTokens = 8)
+      .orderBy(col("doc_id"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q149PmiCollocations, q150NbClassifier, q151LengthBatches,
       q152WinnowPairs, q153BootstrapCi, q154ScriptMix, q155SelfSimilarity,
-      q156EpochPlan, q157BpeMerges)
+      q156EpochPlan, q157BpeMerges, q158CdcDedup)
 }

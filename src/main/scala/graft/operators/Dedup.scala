@@ -638,6 +638,54 @@ object Dedup {
           .otherwise(lit(0.0)))
   }
 
+  /** Content-defined chunk dedup (the rsync/LBFS boundary trick): chunk
+    * boundaries fall where a TOKEN's hash satisfies `h % avgTokens == 0`,
+    * so boundaries are a function of content, not position — insert a
+    * paragraph at the top of a page and every downstream chunk still
+    * starts at the same tokens, which is exactly what fixed-stride
+    * chunking ([[chunkDedupGlobal]]) loses (one token of shift re-keys
+    * every chunk). Expected chunk length ≈ `avgTokens` tokens; a boundary
+    * token CLOSES its chunk.
+    *
+    * Output per document: `(id, n_chunks, n_dup_chunks, dup_frac)` where
+    * a chunk is dup if its exact text occurs anywhere else in the corpus
+    * (including elsewhere in the same document).
+    *
+    * Scale shape: the chunk-id assignment is a per-document running sum —
+    * a document-keyed window, parallel across docs (the q54-sessionize
+    * pattern; one doc's tokens sort in one task, bounded by doc length).
+    * Chunk reassembly groups on (doc, chunk); the dup count shuffles md5
+    * keys (uniform); the report rolls up on the doc id. Chunk TEXT never
+    * shuffles beyond its own doc's reassembly — the global frequency
+    * table carries 16-byte hashes.
+    */
+  def cdcChunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      avgTokens: Int = 8): DataFrame = {
+    require(avgTokens >= 2, "cdcChunkDedup: avgTokens must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol), posexplode(split(col(textCol), " "))
+        .as(Seq("pos", "t")))
+      .withColumn("__m",
+        when(conv(substring(md5(col("t")), 1, 4), 16, 10)
+          .cast("long") % avgTokens === 0L, 1L).otherwise(0L))
+    val prior = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = toks
+      .withColumn("chunk", coalesce(sum(col("__m")).over(prior), lit(0L)))
+      .groupBy(col(idCol), col("chunk"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("t")))),
+        x => x.getField("t")), " ")).as("__h"))
+    val freq = chunks.groupBy(col("__h")).agg(count(lit(1)).as("__f"))
+    chunks.join(freq, "__h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__f") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
     * MOSS algorithm): per document, hash every `k`-token gram, slide a
     * window of `w` hashes, and keep each window's MINIMUM hash. The

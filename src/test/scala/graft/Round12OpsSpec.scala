@@ -207,6 +207,39 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- cdcChunkDedup ------------------------------------------------------
+
+  test("cdcChunkDedup: boundaries survive a prefix insertion (shift-proof)") {
+    val text = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "inserted prefix paragraph " + text))
+      .toDF("doc_id", "text")
+    val rows = graft.operators.Dedup
+      .cdcChunkDedup(docs, "doc_id", "text", avgTokens = 8)
+      .orderBy("doc_id").collect()
+    // every chunk of doc 1 that starts after doc 2's first boundary is
+    // byte-identical in doc 2 -> most of doc 1 must be flagged dup
+    assert(rows(0).getDouble(3) > 0.5,
+      s"shifted copy should share most chunks, got ${rows(0).getDouble(3)}")
+    // sanity: fixed-stride chunking (q76 semantics, 3-token chunks at a
+    // 3-token shift... use 8) on the same pair shares NO chunk because
+    // the prefix shifts every stride window by 3 tokens
+    val fixedShared = graft.operators.Dedup
+      .chunkDedupGlobal(docs, "doc_id", "text", chunkTokens = 8)
+      .filter(col("doc_id") === 2L).head().getLong(3) // n_dropped
+    assert(fixedShared === 0L,
+      "fixed-stride chunking must miss every shifted duplicate here")
+  }
+
+  test("cdcChunkDedup: chunk counts partition the tokens; unique corpus -> 0") {
+    val docs = (1L to 20L).map(i =>
+      (i, (1 to 30).map(j => s"u${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val rows = graft.operators.Dedup
+      .cdcChunkDedup(docs, "doc_id", "text", avgTokens = 8).collect()
+    assert(rows.length === 20)
+    assert(rows.forall(_.getLong(2) === 0L), "all-unique corpus has no dups")
+    assert(rows.forall(r => r.getLong(1) >= 1L))
+  }
+
   // ---- BPE ----------------------------------------------------------------
 
   test("learnMerges: hand-computed merges on the classic low/lower corpus") {
