@@ -454,8 +454,48 @@ object Queries16 {
       .orderBy(col("doc_id"))
   }
 
+  /** Label geometry ([[graft.operators.Similarity.labelCentroidCosines]]):
+    * pairwise centroid-direction cosines — which embedding classes are
+    * confusable. Exact-integer micro-unit sums (q136 float discipline),
+    * dim-ordered folds, one sqrt/division finish. */
+  val q159LabelGeometry: (String, QueryDef) = q(
+    "q159_label_geometry",
+    """WITH e AS (
+      |  SELECT label, dim, CAST(embedding[dim] AS DOUBLE) AS x
+      |  FROM (SELECT label, unnest(generate_series(1, len(embedding)))
+      |          AS dim, embedding
+      |        FROM embeddings)),
+      |s AS (
+      |  SELECT label, dim,
+      |    CAST(SUM(CAST(FLOOR(x * 1000000.0) AS HUGEINT)) AS DOUBLE) AS sv
+      |  FROM e GROUP BY label, dim),
+      |n AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+      |v AS (
+      |  SELECT label, list(sv ORDER BY dim) AS vec FROM s GROUP BY label),
+      |p AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |    na.n AS n_a, nb.n AS n_b,
+      |    list_reduce(list_transform(generate_series(1, len(a.vec)),
+      |      i -> a.vec[i] * b.vec[i]), (x, y) -> x + y) AS dot,
+      |    list_reduce(list_transform(a.vec, x -> x * x),
+      |      (x, y) -> x + y) AS na2,
+      |    list_reduce(list_transform(b.vec, x -> x * x),
+      |      (x, y) -> x + y) AS nb2
+      |  FROM v a JOIN v b ON a.label < b.label
+      |  JOIN n na ON na.label = a.label
+      |  JOIN n nb ON nb.label = b.label)
+      |SELECT label_a, label_b, n_a, n_b,
+      |  CASE WHEN na2 > 0 AND nb2 > 0 THEN
+      |    dot / (sqrt(na2) * sqrt(nb2)) END AS centroid_cos
+      |FROM p ORDER BY label_a, label_b""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.operators.Similarity.labelCentroidCosines(
+        t("embeddings"), "label", "embedding")
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q149PmiCollocations, q150NbClassifier, q151LengthBatches,
       q152WinnowPairs, q153BootstrapCi, q154ScriptMix, q155SelfSimilarity,
-      q156EpochPlan, q157BpeMerges, q158CdcDedup)
+      q156EpochPlan, q157BpeMerges, q158CdcDedup, q159LabelGeometry)
 }

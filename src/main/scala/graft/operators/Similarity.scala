@@ -627,4 +627,50 @@ object Similarity {
           col("__dot") / (sqrt(col("__na2")) * sqrt(col("__nb2"))))
           .otherwise(lit(null).cast("double")).as("centroid_cos"))
   }
+
+  /** Label geometry report: the pairwise cosine matrix of per-label
+    * centroid DIRECTIONS — which classes sit on top of each other in
+    * embedding space (cosine near 1 = the labels are geometrically
+    * confusable; a classifier or router built on these embeddings will
+    * mix them). Cosine of the per-label SUM vectors — scale-invariant,
+    * so no mean division — under the same exact-integer float discipline
+    * as [[embeddingDrift]]: `⌊x·10⁶⌋` micro-units, decimal(38,0)
+    * order-independent sums, one cast per (label, dim), dim-ordered
+    * folds. Zero-vector labels report NULL cosine.
+    *
+    * Scale: the per-(label, dim) rollup partial-aggregates map-side;
+    * assembled vectors are |labels|·dims — broadcast-scale — and the
+    * pair join is a |labels|² self-join of that tiny table. No shuffle
+    * carries a raw vector.
+    */
+  def labelCentroidCosines(emb: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = emb.select(col(labelCol),
+      posexplode(col(vecCol)).as(Seq("__dim", "__x")))
+    val qx = floor(col("__x").cast("double") * lit(1000000.0)).cast(dec)
+    val s = e.groupBy(col(labelCol), col("__dim"))
+      .agg(sum(qx).cast("double").as("__s"))
+    val n = emb.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
+    val v = s.groupBy(col(labelCol))
+      .agg(collect_list(struct(col("__dim"), col("__s"))).as("__p"))
+      .select(col(labelCol),
+        expr("transform(array_sort(__p), p -> p.__s)").as("__v"))
+      .join(n, labelCol)
+    val a = v.select(col(labelCol).as("label_a"), col("__v").as("__va"),
+      col("n").as("n_a"))
+    val b = v.select(col(labelCol).as("label_b"), col("__v").as("__vb"),
+      col("n").as("n_b"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .withColumn("__dot", expr(
+        "aggregate(zip_with(__va, __vb, (x, y) -> x * y), 0D, (x, y) -> x + y)"))
+      .withColumn("__na2", expr(
+        "aggregate(transform(__va, x -> x * x), 0D, (x, y) -> x + y)"))
+      .withColumn("__nb2", expr(
+        "aggregate(transform(__vb, x -> x * x), 0D, (x, y) -> x + y)"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        when(col("__na2") > 0 && col("__nb2") > 0,
+          col("__dot") / (sqrt(col("__na2")) * sqrt(col("__nb2"))))
+          .otherwise(lit(null).cast("double")).as("centroid_cos"))
+  }
 }

@@ -207,6 +207,26 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- labelCentroidCosines -----------------------------------------------
+
+  test("labelCentroidCosines: aligned, orthogonal, and opposite classes") {
+    val emb = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(2.0f, 0.0f)),   // centroid +x
+      (1, Array(0.0f, 3.0f)),                            // centroid +y
+      (2, Array(-1.0f, 0.0f)),                           // centroid -x
+      (3, Array(4.0f, 0.0f))                             // centroid +x
+    ).toDF("label", "embedding")
+    val rows = graft.operators.Similarity
+      .labelCentroidCosines(emb, "label", "embedding")
+      .orderBy("label_a", "label_b").collect()
+    assert(rows.length === 6, "4 labels -> 6 pairs")
+    val byPair = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    assert(math.abs(byPair((0, 1))) < 1e-12, "x vs y is orthogonal")
+    assert(math.abs(byPair((0, 2)) + 1.0) < 1e-12, "x vs -x is opposite")
+    assert(math.abs(byPair((0, 3)) - 1.0) < 1e-12, "same direction -> 1")
+    assert(rows.find(r => r.getInt(0) == 0).get.getLong(2) === 2L)
+  }
+
   // ---- cdcChunkDedup ------------------------------------------------------
 
   test("cdcChunkDedup: boundaries survive a prefix insertion (shift-proof)") {
