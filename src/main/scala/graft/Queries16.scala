@@ -494,8 +494,48 @@ object Queries16 {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** Normalized near-exact dedup ([[Dedup.normalizedDedup]]): duplicate
+    * groups on the case/accent/punctuation/whitespace-insensitive key,
+    * flagging the groups raw-byte dedup cannot see. This corpus has no
+    * byte-identical docs, so the entry simulates the classic re-crawl
+    * scenario in-plan (the q138 snapshot pattern): every 10th document
+    * re-ingested UPPERCASED with extra spacing — invisible to exact
+    * dedup, caught by the normalized key. */
+  val q160NormalizedDedup: (String, QueryDef) = q(
+    "q160_normalized_dedup",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, upper(text) || '  '
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |k AS (
+      |  SELECT doc_id, md5(text) AS raw,
+      |    md5(trim(regexp_replace(regexp_replace(
+      |      translate(lower(text),
+      |        'áàâäãåéèêëíìîïóòôöõúùûüñçý',
+      |        'aaaaaaeeeeiiiiooooouuuuncy'),
+      |      '[.,!?;:()\-]', '', 'g'), ' +', ' ', 'g'))) AS key_hash
+      |  FROM corpus)
+      |SELECT key_hash, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT raw) AS n_raw_variants,
+      |  COUNT(DISTINCT raw) > 1 AS near_exact_only
+      |FROM k GROUP BY key_hash HAVING COUNT(*) > 1
+      |ORDER BY key_hash""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val base = t("documents")
+    val recrawl = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(upper(col("text")), lit("  ")).as("text"))
+    graft.operators.Dedup.normalizedDedup(
+        base.select(col("doc_id"), col("text")).unionAll(recrawl),
+        "doc_id", "text")
+      .orderBy(col("key_hash"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q149PmiCollocations, q150NbClassifier, q151LengthBatches,
       q152WinnowPairs, q153BootstrapCi, q154ScriptMix, q155SelfSimilarity,
-      q156EpochPlan, q157BpeMerges, q158CdcDedup, q159LabelGeometry)
+      q156EpochPlan, q157BpeMerges, q158CdcDedup, q159LabelGeometry,
+      q160NormalizedDedup)
 }

@@ -638,6 +638,42 @@ object Dedup {
           .otherwise(lit(0.0)))
   }
 
+  /** Aggressive normalization for near-exact dedup keys (the CCNet
+    * pre-dedup normalization): lowercase → strip common accents →
+    * drop punctuation → collapse whitespace → trim. Two documents that
+    * differ only in case, accents, punctuation, or spacing map to one
+    * key. Every step is engine-portable (`lower`/`translate`/
+    * `regexp_replace` behave identically in Spark and DuckDB), so the
+    * keys — and the dedup verdicts built on them — hash-check. */
+  def normalizeForDedup(text: Column): Column = {
+    val accFrom = "áàâäãåéèêëíìîïóòôöõúùûüñçý"
+    val accTo = "aaaaaaeeeeiiiiooooouuuuncy"
+    trim(regexp_replace(
+      regexp_replace(translate(lower(text), accFrom, accTo),
+        "[.,!?;:()\\-]", ""),
+      " +", " "))
+  }
+
+  /** Near-exact duplicate report on the normalized key: groups of
+    * documents identical AFTER [[normalizeForDedup]], with how many RAW
+    * variants each group holds — `near_exact_only = true` marks groups
+    * exact dedup ([[exactDedup]]) cannot see (raw bytes differ, content
+    * doesn't). Output per dup group: `(key_hash, keep_id, n_docs,
+    * n_raw_variants, near_exact_only)`.
+    *
+    * Scale: normalization fuses into the scan; ONE shuffle on the
+    * 16-byte key hash with map-side partials; raw text never shuffles.
+    */
+  def normalizedDedup(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol), md5(col(textCol)).as("__raw"),
+        md5(normalizeForDedup(col(textCol))).as("key_hash"))
+      .groupBy(col("key_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"),
+        count_distinct(col("__raw")).as("n_raw_variants"))
+      .filter(col("n_docs") > 1)
+      .withColumn("near_exact_only", col("n_raw_variants") > 1)
+
   /** Content-defined chunk dedup (the rsync/LBFS boundary trick): chunk
     * boundaries fall where a TOKEN's hash satisfies `h % avgTokens == 0`,
     * so boundaries are a function of content, not position — insert a

@@ -207,6 +207,25 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- normalizedDedup ----------------------------------------------------
+
+  test("normalizedDedup: case/accent/punct/space variants collapse; " +
+      "near-exact-only flag set where raw bytes differ") {
+    val docs = Seq(
+      (1L, "Héllo,  World!"),
+      (2L, "hello world"),       // same after normalization, raw differs
+      (3L, "hello world"),       // exact dup of 2
+      (4L, "something else")
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.Dedup.normalizedDedup(docs, "doc_id", "text")
+      .collect()
+    assert(rows.length === 1, "one dup group; the unique doc is absent")
+    val r = rows(0)
+    assert(r.getLong(1) === 1L, "keeper is the smallest id")
+    assert(r.getLong(2) === 3L && r.getLong(3) === 2L)
+    assert(r.getBoolean(4), "raw variants differ -> invisible to exact dedup")
+  }
+
   // ---- labelCentroidCosines -----------------------------------------------
 
   test("labelCentroidCosines: aligned, orthogonal, and opposite classes") {
