@@ -533,9 +533,64 @@ object Queries16 {
       .orderBy(col("key_hash"))
   }
 
+  /** Per-source data card ([[graft.operators.Curation.dataCard]]):
+    * volume, shape, within-source duplication, and language mix
+    * (majority share + Gini–Simpson diversity) in one row per source —
+    * the report a corpus slice ships with. */
+  val q161DataCard: (String, QueryDef) = q(
+    "q161_data_card",
+    """WITH base AS (
+      |  SELECT source, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+      |    CAST(length(text) AS BIGINT) AS c,
+      |    md5(text) AS h
+      |  FROM documents),
+      |vol AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(t) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(c) AS BIGINT) AS n_chars,
+      |    CAST(SUM(CASE WHEN t < 50 THEN 1 ELSE 0 END) AS BIGINT) AS short
+      |  FROM base GROUP BY source),
+      |lc AS (
+      |  SELECT source, lang, COUNT(*) AS lcnt
+      |  FROM base GROUP BY source, lang),
+      |lg AS (
+      |  SELECT source, COUNT(*) AS n_langs,
+      |    CAST(SUM(lcnt * lcnt) AS BIGINT) AS sumc2
+      |  FROM lc GROUP BY source),
+      |top AS (
+      |  SELECT source, lang AS top_lang, lcnt AS topc FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY lcnt DESC, lang ASC) AS rn FROM lc)
+      |  WHERE rn = 1),
+      |dup AS (
+      |  SELECT source,
+      |    CAST(SUM(CASE WHEN dc > 1 THEN dc ELSE 0 END) AS BIGINT) AS dupd
+      |  FROM (SELECT source, h, COUNT(*) AS dc FROM base GROUP BY source, h)
+      |  GROUP BY source)
+      |SELECT vol.source AS source, n_docs, n_tokens, n_chars,
+      |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS tokens_per_doc,
+      |  CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS chars_per_token,
+      |  CAST(short AS DOUBLE) / CAST(n_docs AS DOUBLE) AS short_doc_frac,
+      |  CAST(dupd AS DOUBLE) / CAST(n_docs AS DOUBLE) AS exact_dup_frac,
+      |  n_langs, top_lang,
+      |  CAST(topc AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_lang_frac,
+      |  1.0 - CAST(sumc2 AS DOUBLE) /
+      |    (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) AS lang_simpson
+      |FROM vol
+      |JOIN lg ON lg.source = vol.source
+      |JOIN top ON top.source = vol.source
+      |JOIN dup ON dup.source = vol.source
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.operators.Curation.dataCard(t("documents"), "source", "lang",
+        "text", shortTokens = 50)
+      .orderBy(col("source"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q149PmiCollocations, q150NbClassifier, q151LengthBatches,
       q152WinnowPairs, q153BootstrapCi, q154ScriptMix, q155SelfSimilarity,
       q156EpochPlan, q157BpeMerges, q158CdcDedup, q159LabelGeometry,
-      q160NormalizedDedup)
+      q160NormalizedDedup, q161DataCard)
 }

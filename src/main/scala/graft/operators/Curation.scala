@@ -99,4 +99,62 @@ object Curation {
       .select(col(idCol), col(scoreCol),
         expr(s"($buckets * __higher) div __total").as("bucket"))
   }
+
+  /** Per-source data card — the one-row-per-slice report card a corpus
+    * ships with: volume (docs/tokens/chars), shape (tokens per doc,
+    * chars per token, short-doc fraction), duplication (fraction of docs
+    * in byte-identical groups within the source), and language mix
+    * (count, majority language with its share, and the Gini–Simpson
+    * diversity `1 − Σ share²`). Simpson avoids entropy's `ln`
+    * deliberately: `Σ c²` stays an exact integer and the index needs one
+    * multiply + one division, so the card hash-checks bit-for-bit.
+    *
+    * Scale: three aggregations over one scan pattern — per-source sums,
+    * per-(source, lang) counts, per-(source, content-hash) counts — each
+    * partial-aggregating map-side; the per-source finishers join
+    * |sources|-row tables. The majority pick runs its window over the
+    * lang-count table (|sources|·|langs| rows), never the corpus.
+    */
+  def dataCard(docs: DataFrame, sourceCol: String, langCol: String,
+      textCol: String, shortTokens: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = col(sourceCol)
+    val nTok = size(split(col(textCol), " ")).cast("long")
+    val base = docs.select(src, col(langCol).as("__lang"),
+      nTok.as("__t"), length(col(textCol)).cast("long").as("__c"),
+      md5(col(textCol)).as("__h"))
+    val vol = base.groupBy(src).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__t")).as("n_tokens"),
+      sum(col("__c")).as("n_chars"),
+      sum(when(col("__t") < shortTokens, 1L).otherwise(0L)).as("__short"))
+    val lc = base.groupBy(src, col("__lang"))
+      .agg(count(lit(1)).as("__lc"))
+    val lang = lc.groupBy(src).agg(
+      count(lit(1)).as("n_langs"),
+      sum(col("__lc") * col("__lc")).as("__sumc2"))
+    val top = lc.withColumn("__rn", row_number().over(
+        Window.partitionBy(src).orderBy(col("__lc").desc, col("__lang").asc)))
+      .filter(col("__rn") === 1)
+      .select(src, col("__lang").as("top_lang"), col("__lc").as("__topc"))
+    val dup = base.groupBy(src, col("__h")).agg(count(lit(1)).as("__dc"))
+      .groupBy(src)
+      .agg(sum(when(col("__dc") > 1, col("__dc")).otherwise(0L)).as("__dup"))
+    vol.join(lang, sourceCol).join(top, sourceCol).join(dup, sourceCol)
+      .select(src, col("n_docs"), col("n_tokens"), col("n_chars"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("tokens_per_doc"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"),
+        (col("__short").cast("double") / col("n_docs").cast("double"))
+          .as("short_doc_frac"),
+        (col("__dup").cast("double") / col("n_docs").cast("double"))
+          .as("exact_dup_frac"),
+        col("n_langs"), col("top_lang"),
+        (col("__topc").cast("double") / col("n_docs").cast("double"))
+          .as("top_lang_frac"),
+        (lit(1.0) - col("__sumc2").cast("double") /
+          (col("n_docs").cast("double") * col("n_docs").cast("double")))
+          .as("lang_simpson"))
+  }
 }

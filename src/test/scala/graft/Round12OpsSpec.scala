@@ -207,6 +207,31 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- dataCard -----------------------------------------------------------
+
+  test("dataCard: exact volumes, majority lang, Simpson, dup fraction") {
+    val docs = Seq(
+      ("s1", "en", "one two three"),        // 3 tokens
+      ("s1", "en", "dup dup dup dup"),      // 4 tokens, duplicated below
+      ("s1", "de", "dup dup dup dup"),
+      ("s2", "zh", "a b")
+    ).toDF("source", "lang", "text")
+    val rows = graft.operators.Curation
+      .dataCard(docs, "source", "lang", "text", shortTokens = 4)
+      .orderBy("source").collect()
+    val s1 = rows(0)
+    assert(s1.getLong(1) === 3L && s1.getLong(2) === 11L)
+    assert(s1.getDouble(4) === 11.0 / 3)
+    assert(s1.getDouble(6) === 1.0 / 3, "one doc under 4 tokens")
+    assert(s1.getDouble(7) === 2.0 / 3, "two docs share identical bytes")
+    assert(s1.getLong(8) === 2L && s1.getString(9) === "en")
+    assert(s1.getDouble(10) === 2.0 / 3)
+    // Simpson: 1 - (2^2 + 1^2)/3^2 = 4/9
+    assert(s1.getDouble(11) === 1.0 - 5.0 / 9)
+    val s2 = rows(1)
+    assert(s2.getLong(1) === 1L && s2.getDouble(11) === 0.0)
+  }
+
   // ---- normalizedDedup ----------------------------------------------------
 
   test("normalizedDedup: case/accent/punct/space variants collapse; " +
