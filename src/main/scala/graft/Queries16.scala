@@ -588,9 +588,58 @@ object Queries16 {
       .orderBy(col("source"))
   }
 
+  /** CMS join-size estimation ([[graft.operators.Joins.cmsJoinSizeEstimate]]):
+    * predict |first-half ⋈ second-half| of the event log on `user_id`
+    * from two 4×512 Count-Min matrices (sketch inner product, one-sided
+    * ≥), reported against the exact join size. The planner-probe shape:
+    * matrices shuffle, keys don't. */
+  val q162JoinEstimate: (String, QueryDef) = q(
+    "q162_join_estimate",
+    """WITH st AS (
+      |  SELECT (MIN(event_id) + MAX(event_id)) // 2 AS mid FROM events),
+      |e AS (
+      |  SELECT CASE WHEN event_id < mid THEN 0 ELSE 1 END AS side,
+      |    CAST(user_id AS VARCHAR) AS item
+      |  FROM events CROSS JOIN st),
+      |r AS (SELECT unnest(generate_series(0, 3)) AS r),
+      |bu AS (
+      |  SELECT side, r.r AS r,
+      |    CAST('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || item),
+      |      1, 8) AS BIGINT) % 512 AS b
+      |  FROM e CROSS JOIN r),
+      |m AS (SELECT side, r, b, COUNT(*) AS c FROM bu GROUP BY 1, 2, 3),
+      |ip AS (
+      |  SELECT a.r AS r, CAST(SUM(a.c * b.c) AS BIGINT) AS p
+      |  FROM m a JOIN m b ON a.r = b.r AND a.b = b.b
+      |  WHERE a.side = 0 AND b.side = 1
+      |  GROUP BY a.r),
+      |est AS (SELECT MIN(p) AS cms_est FROM ip),
+      |ex AS (
+      |  SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS exact_pairs
+      |  FROM (
+      |    SELECT item,
+      |      CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |      CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |    FROM e GROUP BY item)
+      |  WHERE ca > 0 AND cb > 0)
+      |SELECT exact_pairs, cms_est,
+      |  CASE WHEN exact_pairs > 0 THEN
+      |    CAST(cms_est AS DOUBLE) / CAST(exact_pairs AS DOUBLE) END
+      |    AS overestimate
+      |FROM ex CROSS JOIN est""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val ev = Tables.events(s, dir)
+    val st = ev.agg(expr("(min(event_id) + max(event_id)) div 2").as("__mid"))
+    val sided = ev.crossJoin(broadcast(st))
+    graft.operators.Joins.cmsJoinSizeEstimate(
+      sided.filter(col("event_id") < col("__mid")), col("user_id"),
+      sided.filter(col("event_id") >= col("__mid")), col("user_id"),
+      depth = 4, width = 512)
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q149PmiCollocations, q150NbClassifier, q151LengthBatches,
       q152WinnowPairs, q153BootstrapCi, q154ScriptMix, q155SelfSimilarity,
       q156EpochPlan, q157BpeMerges, q158CdcDedup, q159LabelGeometry,
-      q160NormalizedDedup, q161DataCard)
+      q160NormalizedDedup, q161DataCard, q162JoinEstimate)
 }

@@ -97,4 +97,27 @@ object CmsSketch {
     }
     least(rows: _*)
   }
+
+  /** Inner-product estimate from TWO sketches (Cormode & Muthukrishnan
+    * §4.2): `min over rows r of Σ_w A[r][w]·B[r][w]` estimates
+    * `Σ_key count_A(key)·count_B(key)` — the EQUI-JOIN SIZE of the two
+    * relations on the sketched key, one-sided (`est ≥ exact`) with
+    * `ε·N_A·N_B` error w.h.p. This is the planner's tool: predict a
+    * join's output cardinality from two `depth·width` matrices without
+    * shuffling either input. Products and row sums fold in decimal(38,0)
+    * (counter products at 10^12-row scale overflow a long), finished
+    * with one exact cast back. */
+  def innerProductExpr(a: Column, b: Column, depth: Int,
+      width: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val dec = "decimal(38,0)"
+    val rows = (0 until depth).map { r =>
+      aggregate(
+        zip_with(slice(a, r * width + 1, width), slice(b, r * width + 1, width),
+          (x, y) => x.cast(dec) * y.cast(dec)),
+        lit(0).cast(dec),
+        (acc, x) => acc + x).cast("long")
+    }
+    least(rows: _*)
+  }
 }

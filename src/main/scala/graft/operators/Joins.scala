@@ -44,4 +44,44 @@ object Joins {
     f.join(d, f(factKey) === d(dimKey) && f("__salt") === d("__salt"))
       .drop("__salt")
   }
+
+  /** Join-size estimation without the join: sketch both relations' join
+    * keys into Count-Min matrices and take the sketch inner product
+    * ([[graft.functions.CmsSketch.innerProductExpr]]) — the planner
+    * probe that answers "how big would `A ⋈ B` on this key be?" from
+    * two `depth·width` matrices. The estimate is one-sided
+    * (`est ≥ exact`); the output reports it next to the EXACT join size
+    * (one aggregation — the audit this operator exists to avoid at
+    * scale) with the overestimate ratio.
+    *
+    * Output: one row `(exact_pairs, cms_est, overestimate)`.
+    *
+    * Scale: each side reduces map-side into per-partition matrices — the
+    * shuffle carries `partitions · depth · width` longs, never keys. The
+    * exact audit column is the only part that aggregates per-key; drop
+    * it in production use (it is here so the estimate is verifiable).
+    */
+  def cmsJoinSizeEstimate(left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column,
+      depth: Int = 4, width: Int = 512): DataFrame = {
+    import graft.functions.CmsSketch
+    val a = left.select(leftKey.cast("string").as("item"))
+      .agg(CmsSketch.sketch(col("item"), depth, width).as("ma"))
+    val b = right.select(rightKey.cast("string").as("item"))
+      .agg(CmsSketch.sketch(col("item"), depth, width).as("mb"))
+    val ca = left.select(leftKey.cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("ca"))
+    val cb = right.select(rightKey.cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cb"))
+    val exact = ca.join(cb, "k")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_pairs"))
+    a.crossJoin(broadcast(b))
+      .select(CmsSketch.innerProductExpr(col("ma"), col("mb"), depth, width)
+        .as("cms_est"))
+      .crossJoin(broadcast(exact))
+      .select(col("exact_pairs"), col("cms_est"),
+        when(col("exact_pairs") > 0,
+          col("cms_est").cast("double") / col("exact_pairs").cast("double"))
+          .as("overestimate"))
+  }
 }

@@ -207,6 +207,27 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- cmsJoinSizeEstimate ------------------------------------------------
+
+  test("cmsJoinSizeEstimate: one-sided, exact on wide sketches, 0 on disjoint") {
+    val a = (1L to 300L).map(i => i % 50).toDF("k")
+    val b = (1L to 200L).map(i => i % 50).toDF("k")
+    // exact join size: sum over keys of ca*cb = 50 * 6 * 4 = 1200
+    val r = graft.operators.Joins.cmsJoinSizeEstimate(
+      a, col("k"), b, col("k"), depth = 4, width = 512).head()
+    assert(r.getLong(0) === 1200L)
+    assert(r.getLong(1) >= 1200L, "CMS inner product is one-sided (>= exact)")
+    // 50 keys in 512 buckets: collisions possible but bounded; the
+    // estimate must stay within the epsilon*Na*Nb CMS bound
+    assert(r.getLong(1) <= 1200L + (300L * 200L * 4) / 512,
+      s"estimate ${r.getLong(1)} exceeds the CMS error bound")
+    val disjoint = graft.operators.Joins.cmsJoinSizeEstimate(
+      (1L to 50L).toDF("k"), col("k"),
+      (1000L to 1050L).toDF("k"), col("k"), depth = 4, width = 2048).head()
+    assert(disjoint.getLong(0) === 0L)
+    assert(disjoint.isNullAt(2), "zero exact -> null ratio, never NaN")
+  }
+
   // ---- dataCard -----------------------------------------------------------
 
   test("dataCard: exact volumes, majority lang, Simpson, dup fraction") {
