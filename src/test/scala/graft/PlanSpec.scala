@@ -486,4 +486,31 @@ class PlanSpec extends SparkSpec {
         s"$q: the replicate fan-out must be a generator, not a join")
     }
   }
+
+  test("CDC chunking: dup counts join 16-byte hashes, chunk text never " +
+      "shuffles past its own doc (q158)") {
+    val p = plan("q158_cdc_dedup")
+    assert(!p.contains("Exchange hashpartitioning(t#") &&
+      !p.contains("Exchange hashpartitioning(text"),
+      "raw token/text columns must not be shuffle keys")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("data card: every finisher joins source-keyed rollups; the majority " +
+      "window runs over lang counts, not the corpus (q161)") {
+    val p = plan("q161_data_card")
+    // the only Window in the plan must sit above an aggregate (lang
+    // counts), never directly above the parquet scan
+    assert(p.contains("Window"), "majority-language pick uses a window")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("join estimate: sketches reduce map-side; matrices ride broadcasts " +
+      "(q162)") {
+    val p = plan("q162_join_estimate")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate") ||
+      p.contains("HashAggregate"), "CMS matrices come from partial aggregation")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "1-row matrices and audits must ride broadcasts")
+  }
 }
