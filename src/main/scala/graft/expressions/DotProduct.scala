@@ -206,5 +206,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftBootCounts].getName, "graft_boot_counts"),
       (children: Seq[Expression]) => GraftBootCounts(children(0), children(1),
         children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[GraftWinnow].getName, "graft_winnow"),
+      (children: Seq[Expression]) => GraftWinnow(children(0), children(1),
+        children(2), children(3))))
   }
 }

@@ -737,27 +737,25 @@ object Dedup {
     * doc with fewer than `w` grams yields one fingerprint (the min of
     * what exists) — the guarantee above still holds.
     *
-    * Scale: selection is entirely row-local (one HOF pipeline fused into
-    * the scan, no shuffle); output size is ~`n_grams / ((w+1)/2)` per doc
-    * (winnowing's expected density), distinct-ed per doc before any
-    * downstream join.
+    * Scale: selection is entirely row-local through the native
+    * `graft_winnow` expression — each gram hashed ONCE, window minima
+    * via a monotonic deque, O(n) per document. The equivalent HOF
+    * formulation (`array_min` over slices of a gram-hash `transform`)
+    * is the trap this expression exists to avoid: CollapseProject
+    * substitutes the single-use hash array into the per-window lambda
+    * and every window re-hashes every gram — O(n²·w) md5 calls, a
+    * measured 100× blowup at sf0.1. Output size is ~`2·n_grams/(w+1)`
+    * per doc (winnowing's expected density), distinct-ed per doc before
+    * any downstream join.
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4, salt: String = "win"): DataFrame = {
     require(k >= 1, "winnowFingerprints: k must be >= 1")
     require(w >= 1, "winnowFingerprints: w must be >= 1")
-    docs.select(col(idCol), split(col(textCol), " ").as("tk"))
-      .filter(size(col("tk")) >= k)
-      .select(col(idCol), expr(
-        // gram hashes (one per start position), then per-window minima;
-        // greatest(…, 1) keeps one window when n_grams < w (slice clamps
-        // to the array tail)
-        s"""array_distinct(transform(
-           |  sequence(1, greatest(size(tk) - ${k - 1} - ${w - 1}, 1)),
-           |  j -> array_min(slice(
-           |    transform(sequence(1, size(tk) - ${k - 1}),
-           |      i -> md5(concat('$salt:', array_join(slice(tk, i, $k), ' ')))),
-           |    j, $w))))""".stripMargin).as("fps"))
+    docs.select(col(idCol),
+        call_function("graft_winnow", split(col(textCol), " "),
+          lit(k), lit(w), lit(salt)).as("fps"))
+      .filter(size(col("fps")) > 0)
       .select(col(idCol), explode(col("fps")).as("fp"))
   }
 

@@ -485,6 +485,31 @@ class Round12OpsSpec extends SparkSpec {
     assert(byDoc(3L) === 1, "min over the clamped tail window")
   }
 
+  test("graft_winnow matches the HOF reference formulation bit-for-bit") {
+    // the HOF form is O(n^2) (CollapseProject inlines the hash array into
+    // the window lambda) — correct on small inputs, which makes it the
+    // reference the native O(n) deque implementation must match
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"t${i % 17}").mkString(" ")),
+      (2L, "a b c"), (3L, "a b c d e"), (4L, "x")
+    ).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val native = norm(graft.operators.Dedup
+      .winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4, salt = "win"))
+    val hof = norm(docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(
+          |  sequence(1, greatest(size(tk) - 2 - 3, 1)),
+          |  j -> array_min(slice(
+          |    transform(sequence(1, size(tk) - 2),
+          |      i -> md5(concat('win:', array_join(slice(tk, i, 3), ' ')))),
+          |    j, 4))))""".stripMargin)).as("fp")))
+    assert(native === hof)
+  }
+
   test("winnowPairs: copies rank first; overlap is the containment ratio") {
     val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
     val docs = Seq(
