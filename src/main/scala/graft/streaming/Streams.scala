@@ -120,6 +120,41 @@ object Streams {
       .withWatermark("__ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming duplicate-rate monitor: per event-time window, how many
+    * incoming documents repeat content ALREADY ADMITTED inside the
+    * watermark horizon — the live twin of the batch dup-fraction audits
+    * (q161's `exact_dup_frac`): a crawler loop or a re-queued shard
+    * shows up as a dup-rate spike in the window it happens, not in next
+    * week's batch sweep. Composes the two bounded-state primitives:
+    * [[streamingDedup]]'s keep-side count vs the raw per-window count —
+    * `n_dups = n_docs − n_kept`, `dup_frac` one IEEE division.
+    *
+    * Returned as TWO streaming frames `(raw, kept)` aggregated on the
+    * same windows; the caller joins them on `window_start` at sink time
+    * (two independent watermarked aggs — Spark disallows a stream-stream
+    * join above a dropDuplicates in one query, and the sink-side join of
+    * two complete window rows is exact).
+    */
+  def streamingDupRate(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String,
+      windowLen: String = "10 minutes",
+      watermark: String = "1 hour"): (DataFrame, DataFrame) = {
+    def windowed(df: DataFrame, cnt: String): DataFrame = df
+      .groupBy(window(col("__ts"), windowLen).as("__w"))
+      .agg(count(lit(1)).as(cnt))
+      .select(col("__w.start").as("window_start"), col(cnt))
+    val base = docs
+      .withColumn("__ts", timestamp_seconds(col(tsCol).cast(LongType)))
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark("__ts", watermark)
+    val raw = windowed(base, "n_docs")
+    val kept = windowed(
+      base.dropDuplicatesWithinWatermark("content_hash"), "n_kept")
+    (raw, kept)
+  }
+
   /** Streaming decontamination: per incoming document, count distinct
     * n-grams shared with a STATIC benchmark set — the stream-static join
     * form of [[graft.operators.Decontam.overlapWithBenchmark]], for

@@ -108,6 +108,38 @@ class StreamsSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 3L)) // dup doc 2 dropped
   }
 
+  test("streaming dup rate: window counts reconcile to the batch dup audit") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val base = 1700000000L // window-aligned epoch
+    // window 1: 3 docs, one dup pair -> 1 dup; window 2: 2 docs, 0 dups
+    // (same content as window 1 but still inside the 1h watermark state,
+    // so it is a dup of ADMITTED content -> counted)
+    mem.addData(
+      (1L, base, "aaa"), (2L, base + 10, "aaa"), (3L, base + 20, "bbb"),
+      (4L, base + 600, "ccc"), (5L, base + 610, "aaa"))
+    val streamDf = mem.toDF().toDF("doc_id", "ts_sec", "text")
+    val (raw, kept) = Streams.streamingDupRate(
+      streamDf, "ts_sec", "text", windowLen = "10 minutes")
+    def run(df: org.apache.spark.sql.DataFrame, name: String) = {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete()).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name).collect()
+        .map(r => r.getTimestamp(0).getTime / 1000 -> r.getLong(1)).toMap
+    }
+    val rawM = run(raw, "sdup_raw")
+    val keptM = run(kept, "sdup_kept")
+    val w1 = base - base % 600
+    val w2 = w1 + 600
+    assert(rawM(w1) === 3L && rawM(w2) === 2L)
+    assert(keptM(w1) === 2L, "the in-window dup is dropped")
+    assert(keptM(w2) === 1L,
+      "content admitted in an earlier window still counts as dup state")
+    // sink-side reconciliation: n_dups = n_docs - n_kept per window
+    assert(rawM(w1) - keptM(w1) === 1L && rawM(w2) - keptM(w2) === 1L)
+  }
+
   test("streaming decontam matches the batch overlap counts (stream-static join)") {
     implicit val sq = spark.sqlContext
     val bench = Seq((100L, "alpha beta gamma delta"), (101L, "one two three four"))
