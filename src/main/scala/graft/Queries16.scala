@@ -637,9 +637,54 @@ object Queries16 {
       depth = 4, width = 512)
   }
 
+  /** Span-excision decontamination
+    * ([[graft.operators.Decontam.exciseBenchmarkSpans]]): tokens covered
+    * by a benchmark 3-gram are removed, the rest of the document
+    * survives — the surgical alternative to q57's doc-level verdict.
+    * Benchmark = every 50th doc (the q57 convention); train side
+    * excludes it. */
+  val q163DecontamExcise: (String, QueryDef) = q(
+    "q163_decontam_excise",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |           FROM documents),
+      |bg AS (
+      |  SELECT DISTINCT array_to_string(tk[i:i+2], ' ') AS g FROM (
+      |    SELECT tk, unnest(generate_series(1, len(tk) - 2)) AS i
+      |    FROM w WHERE doc_id % 50 = 0)),
+      |cg AS (
+      |  SELECT doc_id, i, array_to_string(tk[i:i+2], ' ') AS g FROM (
+      |    SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+      |    FROM w WHERE doc_id % 50 <> 0)),
+      |st AS (
+      |  SELECT doc_id, list(i ORDER BY i) AS ss
+      |  FROM cg JOIN bg USING (g) GROUP BY doc_id),
+      |x AS (
+      |  SELECT w.doc_id, tk, COALESCE(ss, []) AS ss
+      |  FROM w LEFT JOIN st USING (doc_id)
+      |  WHERE doc_id % 50 <> 0)
+      |SELECT doc_id,
+      |  array_to_string(list_filter(tk, (x, j) ->
+      |    len(list_filter(ss, s -> s <= j AND j <= s + 2)) = 0), ' ')
+      |    AS cleaned,
+      |  CAST(len(tk) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(tk, (x, j) ->
+      |    len(list_filter(ss, s -> s <= j AND j <= s + 2)) > 0))
+      |    AS BIGINT) AS n_removed,
+      |  CAST(len(ss) AS BIGINT) AS n_matches
+      |FROM x ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val docs = t("documents")
+    graft.operators.Decontam.exciseBenchmarkSpans(
+        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q149PmiCollocations, q150NbClassifier, q151LengthBatches,
       q152WinnowPairs, q153BootstrapCi, q154ScriptMix, q155SelfSimilarity,
       q156EpochPlan, q157BpeMerges, q158CdcDedup, q159LabelGeometry,
-      q160NormalizedDedup, q161DataCard, q162JoinEstimate)
+      q160NormalizedDedup, q161DataCard, q162JoinEstimate,
+      q163DecontamExcise)
 }

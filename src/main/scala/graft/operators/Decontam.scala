@@ -178,4 +178,53 @@ object Decontam {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("__n_units") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
+
+  /** Span EXCISION decontamination — the surgical alternative to
+    * dropping whole documents ([[overlapWithBenchmark]] + filter): every
+    * token covered by an `n`-gram that appears in the benchmark is
+    * removed and the survivors reassemble in order. A doc that quotes
+    * one eval question keeps its other 5 000 tokens; the quote itself is
+    * gone. Output: `(id, cleaned, n_tokens, n_removed, n_matches)`.
+    *
+    * Gram equality is on the literal token strings (the benchmark side
+    * is DISTINCT n-gram strings — bounded by the benchmark, broadcast),
+    * so the oracle replays it without any hash convention. Matched START
+    * positions aggregate per doc (bounded by that doc's match count) and
+    * the excision is one row-local pass: token `i` is dropped iff some
+    * matched start `s` satisfies `s ≤ i < s+n`.
+    *
+    * Scale: the corpus-side gram explode is scan-side; the only join is
+    * against the broadcast benchmark gram set; matched starts shuffle
+    * once on the doc id (match-count-sized, not corpus-sized); the
+    * rebuild is a projection on the docs table itself.
+    */
+  def exciseBenchmarkSpans(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, "exciseBenchmarkSpans: n must be >= 1")
+    def grams(df: DataFrame, cols: Column*): DataFrame = df
+      .select((cols :+ split(col(textCol), " ").as("__tk")): _*)
+      .filter(size(col("__tk")) >= n)
+      .select((cols :+ posexplode(expr(
+        s"transform(sequence(1, size(__tk) - ${n - 1}), " +
+          s"i -> array_join(slice(__tk, i, $n), ' '))"))
+        .as(Seq("__s", "__g"))): _*)
+    val bench = grams(benchmark).select(col("__g")).distinct()
+    val starts = grams(corpus, col(idCol))
+      .join(broadcast(bench), "__g")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__s"))).as("__starts"))
+    corpus.select(col(idCol), split(col(textCol), " ").as("__tk"))
+      .join(starts, Seq(idCol), "left")
+      .withColumn("__starts",
+        coalesce(col("__starts"), expr("array()")))
+      .select(col(idCol),
+        expr(s"array_join(filter(__tk, (x, i) -> " +
+          s"NOT exists(__starts, s -> s <= i AND i < s + $n)), ' ')")
+          .as("cleaned"),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        expr(s"size(filter(__tk, (x, i) -> " +
+          s"exists(__starts, s -> s <= i AND i < s + $n)))")
+          .cast("long").as("n_removed"),
+        size(col("__starts")).cast("long").as("n_matches"))
+  }
 }

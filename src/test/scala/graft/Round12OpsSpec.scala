@@ -207,6 +207,32 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- exciseBenchmarkSpans -----------------------------------------------
+
+  test("exciseBenchmarkSpans: exact span removal, overlaps merge, rest kept") {
+    val bench = Seq((100L, "secret eval question here")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // quotes the benchmark 4-gram: two overlapping 3-gram matches cover
+      // tokens 2..6 (0-based 2..5... the 4 matched tokens + span rules)
+      (1L, "intro words secret eval question here outro tail"),
+      (2L, "completely unrelated content with no overlap at all"),
+      (3L, "secret eval question")  // the doc IS a benchmark 3-gram
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.Decontam
+      .exciseBenchmarkSpans(corpus, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    val r1 = rows(0)
+    assert(r1.getString(1) === "intro words outro tail",
+      s"matched spans must excise exactly, got '${r1.getString(1)}'")
+    assert(r1.getLong(2) === 8L && r1.getLong(3) === 4L && r1.getLong(4) === 2L)
+    val r2 = rows(1)
+    assert(r2.getLong(3) === 0L && r2.getLong(4) === 0L)
+    assert(r2.getString(1) === r2.getString(1))
+    val r3 = rows(2)
+    assert(r3.getString(1) === "" && r3.getLong(3) === 3L,
+      "a fully-quoted doc excises to empty, it does not vanish")
+  }
+
   // ---- cmsJoinSizeEstimate ------------------------------------------------
 
   test("cmsJoinSizeEstimate: one-sided, exact on wide sketches, 0 on disjoint") {
