@@ -681,10 +681,38 @@ object Queries16 {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-doc TF-IDF keywords ([[TextAnalysis.tfidfKeywords]]): top-3
+    * terms per document by smoothed tf-idf, 6-decimal-rounded scores,
+    * term-tie-broken ranks — the per-document tagging complement of
+    * q53's group-level distinctive terms. */
+  val q164TfidfKeywords: (String, QueryDef) = q(
+    "q164_tfidf_keywords",
+    """WITH tf AS (
+      |  SELECT doc_id, t AS term, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS nd FROM documents),
+      |sc AS (
+      |  SELECT doc_id, term, tf,
+      |    ROUND(tf * ln(CAST(nd + 1 AS DOUBLE) / (df + 1)), 6) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, term ASC) AS rank FROM sc)
+      |SELECT doc_id, term, tf, score, rank
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) {
+    (s, dir) =>
+      implicit val env: (SparkSession, String) = (s, dir)
+      TextAnalysis.tfidfKeywords(t("documents"), "doc_id", "text", topK = 3)
+        .orderBy(col("doc_id"), col("rank"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q149PmiCollocations, q150NbClassifier, q151LengthBatches,
       q152WinnowPairs, q153BootstrapCi, q154ScriptMix, q155SelfSimilarity,
       q156EpochPlan, q157BpeMerges, q158CdcDedup, q159LabelGeometry,
       q160NormalizedDedup, q161DataCard, q162JoinEstimate,
-      q163DecontamExcise)
+      q163DecontamExcise, q164TfidfKeywords)
 }

@@ -603,6 +603,42 @@ object TextAnalysis {
       fracs): _*)
   }
 
+  /** Per-document keyword extraction: top-`topK` terms by TF-IDF
+    * (`tf · ln((N+1)/(df+1))`, the smoothed form). The complement of
+    * [[distinctiveTerms]] (which ranks a GROUP's terms against the rest
+    * of the corpus): this tags every individual document. Scores round
+    * to 6 decimals before ranking (the q108 determinism discipline —
+    * `ln` agrees across engines at that precision) and ties break on the
+    * term, so the cut is reproducible.
+    *
+    * Scale: tf and df are one token-keyed shuffle each with map-side
+    * partials; the doc count rides a broadcast singleton; df broadcasts
+    * back onto the tf table (vocab-bounded). The top-k window partitions
+    * by DOC id — millions of small partitions, the well-conditioned
+    * direction (no giant single partition exists by construction).
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 3): DataFrame = {
+    require(topK >= 1, "tfidfKeywords: topK must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") *
+        log((col("__n") + lit(1L)).cast("double") / (col("df") + lit(1L))),
+        6))
+    scored.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("__rn") <= topK)
+      .select(col(idCol), col("term"), col("tf"), col("score"),
+        col("__rn").cast("long").as("rank"))
+  }
+
   /** Corpus self-similarity probe (the self-BLEU idea, Jaccard form): how
     * alike is the corpus to ITSELF? Draw a deterministic `k`-doc sample
     * (the k smallest `md5(salt:id)` — reproducible, uniform), compute all

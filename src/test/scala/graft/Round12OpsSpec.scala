@@ -207,6 +207,29 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- tfidfKeywords ------------------------------------------------------
+
+  test("tfidfKeywords: rare repeated terms outrank common ones; k caps rows") {
+    val docs = Seq(
+      (1L, "rare rare rare common filler"),
+      (2L, "common filler other words"),
+      (3L, "common filler more stuff here")
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.TextAnalysis
+      .tfidfKeywords(docs, "doc_id", "text", topK = 2)
+      .orderBy("doc_id", "rank").collect()
+    assert(rows.count(_.getLong(0) == 1L) === 2)
+    val top1 = rows.find(_.getLong(0) == 1L).get
+    assert(top1.getString(1) === "rare",
+      "tf=3 on a df=1 term must outrank corpus-wide terms")
+    assert(top1.getLong(2) === 3L)
+    // 'common'/'filler' appear in all docs: idf = ln(4/4) = 0 -> score 0;
+    // every doc's top terms are its own distinctive ones
+    assert(rows.filter(_.getLong(0) == 1L).forall(r =>
+      r.getString(1) != "common" || r.getDouble(3) === 0.0))
+    assert(rows.forall(_.getLong(4) <= 2L))
+  }
+
   // ---- exciseBenchmarkSpans -----------------------------------------------
 
   test("exciseBenchmarkSpans: exact span removal, overlaps merge, rest kept") {
