@@ -709,10 +709,36 @@ object Queries16 {
         .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Quantile normalization ([[graft.core.Stats.quantileNormalize]]):
+    * the exact per-source ECDF table for doc length — the map that puts
+    * incomparable per-source score scales on one uniform [0,1] axis
+    * before mixing. Distinct-value rollup + one cum window, auto
+    * serial/distributed. */
+  val q165QuantileNormalize: (String, QueryDef) = q(
+    "q165_quantile_normalize",
+    """WITH r AS (
+      |  SELECT source, n_chars AS v, COUNT(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |c AS (
+      |  SELECT source, v,
+      |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT)
+      |      AS n_le,
+      |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+      |  FROM r)
+      |SELECT source, v, n_le, n,
+      |  CAST(n_le AS DOUBLE) / CAST(n AS DOUBLE) AS ecdf
+      |FROM c ORDER BY source, v""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.core.Stats.quantileNormalize(
+        t("documents").select(col("source"), col("n_chars").as("v")),
+        "source", "v")
+      .orderBy(col("source"), col("v"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q149PmiCollocations, q150NbClassifier, q151LengthBatches,
       q152WinnowPairs, q153BootstrapCi, q154ScriptMix, q155SelfSimilarity,
       q156EpochPlan, q157BpeMerges, q158CdcDedup, q159LabelGeometry,
       q160NormalizedDedup, q161DataCard, q162JoinEstimate,
-      q163DecontamExcise, q164TfidfKeywords)
+      q163DecontamExcise, q164TfidfKeywords, q165QuantileNormalize)
 }

@@ -510,6 +510,31 @@ object Stats {
       .agg(max(col("__n")).as("n"), aggs: _*)
   }
 
+  /** Exact per-group quantile normalization: the empirical CDF table
+    * `(group, v, n_le, n, ecdf = n_le/n)` over DISTINCT values — the
+    * map that sends a raw score to its uniform-[0,1] quantile position.
+    * The cross-corpus mixing tool: two sources' quality scores live on
+    * incomparable scales, their ECDFs don't ("keep the top 20%" means
+    * the same thing everywhere). Joining this table back on
+    * `(group, v)` (broadcast at distinct-value scale) normalizes the
+    * corpus; the table itself is the deliverable here.
+    *
+    * Same machinery as the rest of the exact quantile family: one
+    * distinct-value rollup, one cumulative sum over it (serial window or
+    * distributed prefix-sum, auto-selected by [[resolveCum]]), one IEEE
+    * division per distinct value.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+      distributedCum: Option[Boolean] = None): DataFrame = {
+    val (g, dist) = resolveCum(
+      df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c")),
+      groupCol, distributedCum)
+    withGroupedCumSum(g, groupCol, valueCol, dist)
+      .select(col(groupCol), col(valueCol),
+        col("__cum").as("n_le"), col("__n").as("n"),
+        (col("__cum").cast("double") / col("__n").cast("double")).as("ecdf"))
+  }
+
   /** Winsorized per-group summary: clip values to the exact lower
     * [lo, hi] quantiles (default p05/p95) and report both the raw and
     * winsorized means — the standard tail-robust mean for metrics with

@@ -207,6 +207,28 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- quantileNormalize --------------------------------------------------
+
+  test("quantileNormalize: exact ECDF per group, ties share a position") {
+    val df = Seq(("g", 10), ("g", 10), ("g", 20), ("g", 30),
+      ("h", 5)).toDF("grp", "v")
+    val rows = graft.core.Stats.quantileNormalize(df, "grp", "v")
+      .orderBy("grp", "v").collect()
+    val g = rows.filter(_.getString(0) == "g")
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(4))).toMap
+    assert(g(10) === ((2L, 0.5)), "both tied rows count below-or-equal")
+    assert(g(20) === ((3L, 0.75)))
+    assert(g(30) === ((4L, 1.0)), "the max always normalizes to exactly 1")
+    val h = rows.find(_.getString(0) == "h").get
+    assert(h.getDouble(4) === 1.0)
+    // serial and distributed paths agree
+    val ser = graft.core.Stats.quantileNormalize(df, "grp", "v",
+      distributedCum = Some(false)).orderBy("grp", "v").collect()
+    val dist = graft.core.Stats.quantileNormalize(df, "grp", "v",
+      distributedCum = Some(true)).orderBy("grp", "v").collect()
+    assert(ser.toSeq === dist.toSeq)
+  }
+
   // ---- tfidfKeywords ------------------------------------------------------
 
   test("tfidfKeywords: rare repeated terms outrank common ones; k caps rows") {
