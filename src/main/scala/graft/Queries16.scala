@@ -735,10 +735,82 @@ object Queries16 {
       .orderBy(col("source"), col("v"))
   }
 
+  /** Multi-probe LSH ANN ([[graft.operators.Similarity.annMultiProbe]]):
+    * one signature per indexed vector, each query probes its own bucket
+    * plus the 3 smallest-margin bit flips — multi-table recall at 1×
+    * index cost. The oracle replays the hyperplane literals, the probe
+    * ranking, and the candidate join. */
+  val q166AnnMultiProbe: (String, QueryDef) = q(
+    "q166_ann_multiprobe", {
+      import graft.operators.Similarity.planeWeight
+      def dotSql(a: String, b: String): String =
+        s"list_reduce(list_transform(generate_series(1, 64), " +
+          s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), " +
+          "(x, y) -> x + y)"
+      def projSql(p: Int): String = {
+        val w = (0 until 64).map(d =>
+          java.lang.Double.toString(planeWeight(42, p, d)))
+          .mkString("[", ",", "]")
+        s"list_reduce(list_transform(generate_series(1, 64), " +
+          s"i -> CAST(embedding[i] AS DOUBLE) * ($w)[i]), (a, b) -> a + b)"
+      }
+      val bucketSql = (0 until 8).map(p =>
+        s"(CASE WHEN ${projSql(p)} > 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      val qprojSelects = (0 until 8).map(p =>
+        s"SELECT vec_id AS qid, $p AS p, ${projSql(p)} AS prj " +
+          "FROM embeddings WHERE vec_id IN (0,1,2,3,4,5,6,7)")
+        .mkString("\nUNION ALL\n")
+      s"""WITH sigs AS (
+         |  SELECT vec_id, CAST($bucketSql AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |qb AS (SELECT vec_id AS qid, bucket AS b0 FROM sigs
+         |       WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+         |qp AS (
+         |$qprojSelects
+         |),
+         |rankp AS (
+         |  SELECT qid, p,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY abs(prj), p) AS rk
+         |  FROM qp),
+         |probes AS (
+         |  SELECT qid, b0 AS bucket FROM qb
+         |  UNION ALL
+         |  SELECT r.qid, xor(b.b0, CAST(1 AS BIGINT) << r.p) AS bucket
+         |  FROM rankp r JOIN qb b ON b.qid = r.qid WHERE r.rk <= 3),
+         |cand AS (
+         |  SELECT DISTINCT pr.qid, s.vec_id
+         |  FROM sigs s JOIN probes pr
+         |    ON s.bucket = pr.bucket AND s.vec_id <> pr.qid),
+         |scored AS (
+         |  SELECT c.qid, c.vec_id,
+         |    ${dotSql("e.embedding", "qe.embedding")} /
+         |    (SQRT(${dotSql("e.embedding", "e.embedding")}) *
+         |     SQRT(${dotSql("qe.embedding", "qe.embedding")})) AS sim
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = c.qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT qid, vec_id, sim FROM ranked WHERE rk <= 10
+         |ORDER BY qid, sim DESC, vec_id""".stripMargin
+    }) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.operators.Similarity.annMultiProbe(
+        t("embeddings"), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L), k = 10,
+        planes = 8, seed = 42, dims = 64, probes = 3)
+      .orderBy(col("qid"), col("sim").desc, col("vec_id"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q149PmiCollocations, q150NbClassifier, q151LengthBatches,
       q152WinnowPairs, q153BootstrapCi, q154ScriptMix, q155SelfSimilarity,
       q156EpochPlan, q157BpeMerges, q158CdcDedup, q159LabelGeometry,
       q160NormalizedDedup, q161DataCard, q162JoinEstimate,
-      q163DecontamExcise, q164TfidfKeywords, q165QuantileNormalize)
+      q163DecontamExcise, q164TfidfKeywords, q165QuantileNormalize,
+      q166AnnMultiProbe)
 }

@@ -246,6 +246,63 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
   }
 
+  /** Multi-probe LSH ANN (Lv et al., VLDB 2007): instead of replicating
+    * the index into `tables` signature copies ([[annTopK]]), keep ONE
+    * signature per vector and let each QUERY probe `probes` extra
+    * buckets — the neighbors of its own bucket reached by flipping the
+    * sign bits with the smallest projection margins (the planes the
+    * query sits closest to, exactly where near neighbors fall on the
+    * other side). Same recall lever, index cost 1× instead of tables×:
+    * the trade that matters when the index is 100 TB and the queries are
+    * thousands.
+    *
+    * Probe order is deterministic: planes sort by `(|projection|, plane
+    * index)`, single-bit flips only (the classic perturbation depth-1
+    * sequence; deeper perturbation sets compose by raising `probes`).
+    *
+    * Scale shape: the data side computes ONE bucket per vector (scan-side
+    * projection, no replication, no shuffle); the probe fan-out explodes
+    * only the bounded query set, which then broadcasts into the candidate
+    * join on the uniform bucket key; exact cosine runs on candidates
+    * only; per-query top-k windows partition on the bounded query ids.
+    */
+  def annMultiProbe(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, planes: Int = 8, seed: Int = 42,
+      dims: Int = 64, probes: Int = 3): DataFrame = {
+    require(probes >= 0 && probes <= planes,
+      "annMultiProbe: probes must be in [0, planes]")
+    val data = emb.select(col(idCol),
+      bucketCol(vecCol, planes, seed, dims).as("__bk"))
+    val projArr = array((0 until planes).map { p =>
+      val weights = array((0 until dims).map(d =>
+        lit(planeWeight(seed, p, d))): _*)
+      call_function("graft_dotw", col(vecCol), weights)
+    }: _*)
+    val qprobes = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), projArr.as("__pj"))
+      .withColumn("__bk0", (0 until planes).map(p =>
+        when(element_at(col("__pj"), p + 1) > 0, lit(1L << p))
+          .otherwise(lit(0L))).reduce(_ + _))
+      .select(col("qid"), explode(expr(
+        s"""concat(array(__bk0), transform(
+           |  slice(array_sort(transform(sequence(1, $planes),
+           |    p -> struct(abs(__pj[p - 1]) AS a, p AS p))), 1, $probes),
+           |  s -> __bk0 ^ shiftleft(CAST(1 AS BIGINT), s.p - 1)))"""
+          .stripMargin)).as("__bk"))
+    val cands = data.join(broadcast(qprobes), Seq("__bk"))
+      .filter(col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol)).distinct()
+    val qvecs = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid2"), col(vecCol).as("qv"))
+    val scored = cands
+      .join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(qvecs), col("qid") === col("qid2"))
+      .select(col("qid"), col(idCol), cosine(col(vecCol), col("qv")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+  }
+
   /** Lloyd k-means refinement of the IVF codebook — turns [[ivfAssign]]'s
     * seeded centroids into trained ones. Each iteration: (1) nearest-
     * centroid assignment as a shuffle-free projection (broadcast centroid

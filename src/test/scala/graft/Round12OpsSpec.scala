@@ -207,6 +207,48 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- annMultiProbe ------------------------------------------------------
+
+  test("annMultiProbe: probing raises recall over the single bucket at " +
+      "1x index cost") {
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val qids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L)
+    val truth = qids.flatMap { q =>
+      graft.operators.Similarity
+        .cosineTopK(emb, "vec_id", "embedding", q, k = 4)
+        .collect().map(r => (q, r.getLong(0)))
+    }.toSet
+    def recall(probes: Int): Double = {
+      val got = graft.operators.Similarity
+        .annMultiProbe(emb, "vec_id", "embedding", qids, k = 4,
+          planes = 8, probes = probes)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val r0 = recall(0)
+    val r3 = recall(3)
+    assert(r3 >= r0, s"probing must not lose candidates: $r3 vs $r0")
+    assert(r3 > 0.0, "some true neighbors must be found")
+  }
+
+  test("annMultiProbe: probes=0 equals the plain single-bucket LSH join") {
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val qids = Seq(0L, 1L, 2L)
+    val multi = graft.operators.Similarity
+      .annMultiProbe(emb, "vec_id", "embedding", qids, k = 5,
+        planes = 8, probes = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference: same-bucket candidates via lshBuckets + exact cosine
+    val b = graft.operators.Similarity
+      .lshBuckets(emb, "vec_id", "embedding", planes = 8)
+    val qb = b.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("bucket"))
+    val cands = b.join(qb, Seq("bucket")).filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"))
+    assert(multi.map(t => (t._1, t._2)).subsetOf(
+      cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet))
+  }
+
   // ---- quantileNormalize --------------------------------------------------
 
   test("quantileNormalize: exact ECDF per group, ties share a position") {
