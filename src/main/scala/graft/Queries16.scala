@@ -806,11 +806,39 @@ object Queries16 {
       .orderBy(col("qid"), col("sim").desc, col("vec_id"))
   }
 
+  /** Recency-weighted engagement
+    * ([[graft.operators.Events.decayedScore]]): per-user value decayed by
+    * exact power-of-two half-life factors (no `exp`, hash-exact), decimal
+    * accumulation, top 100 — the churned-heavy-user detector. */
+  val q167DecayedScore: (String, QueryDef) = q(
+    "q167_decayed_score",
+    """WITH e AS (
+      |  SELECT user_id, value, epoch_ns(ts) // 1000000000 AS s
+      |  FROM events),
+      |mx AS (SELECT MAX(s) AS tmax FROM e),
+      |w AS (
+      |  SELECT user_id, value,
+      |    value / CAST(1 << CAST(LEAST((tmax - s) // 604800, 62) AS INTEGER)
+      |      AS DOUBLE) AS wv
+      |  FROM e CROSS JOIN mx)
+      |SELECT user_id,
+      |  CAST(SUM(CAST(wv AS DECIMAL(38, 9))) AS DOUBLE) AS decayed_score,
+      |  CAST(SUM(CAST(value AS DECIMAL(38, 4))) AS DOUBLE) AS raw_sum,
+      |  COUNT(*) AS n_events
+      |FROM w GROUP BY user_id
+      |ORDER BY decayed_score DESC, user_id LIMIT 100""".stripMargin) {
+    (s, dir) =>
+      implicit val env: (SparkSession, String) = (s, dir)
+      graft.operators.Events.decayedScore(
+        Tables.events(s, dir), "user_id", "ts_sec", "value",
+        halfLifeSec = 604800L, topK = 100)
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q149PmiCollocations, q150NbClassifier, q151LengthBatches,
       q152WinnowPairs, q153BootstrapCi, q154ScriptMix, q155SelfSimilarity,
       q156EpochPlan, q157BpeMerges, q158CdcDedup, q159LabelGeometry,
       q160NormalizedDedup, q161DataCard, q162JoinEstimate,
       q163DecontamExcise, q164TfidfKeywords, q165QuantileNormalize,
-      q166AnnMultiProbe)
+      q166AnnMultiProbe, q167DecayedScore)
 }

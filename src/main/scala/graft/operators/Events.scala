@@ -360,4 +360,41 @@ object Events {
       .groupBy(col("bucket"))
       .agg(count_distinct(col(userCol)).as("n_users"))
   }
+
+  /** Recency-weighted engagement score per user: each event contributes
+    * `value · 2^(−age/halfLife)` with the age bucketed to whole
+    * half-lives — a week-old event counts half, a month-old a sixteenth.
+    * The decay is a POWER OF TWO with an integer exponent
+    * (`1 / (1 << k)`, k clamped to 62), so the factor is EXACTLY
+    * representable and the weighting is one IEEE multiply — no `exp`,
+    * no rounding convention, hash-exact in any engine. Scores accumulate
+    * through `graft_dsum` (order-independent decimal), so the ranking is
+    * partitioning-proof. "Now" is the data's max timestamp (a broadcast
+    * singleton — no wall-clock nondeterminism).
+    *
+    * Output: top `topK` users by decayed score, with the raw value sum
+    * and event count alongside (the decay-vs-volume contrast IS the
+    * signal: high raw / low decayed = churned heavy user).
+    *
+    * Scale: one scan + one user-keyed partial-aggregated shuffle + a
+    * bounded TakeOrdered. The max-ts singleton broadcasts.
+    */
+  def decayedScore(events: DataFrame, userCol: String, tsSecCol: String,
+      valueCol: String, halfLifeSec: Long, topK: Int = 100): DataFrame = {
+    require(halfLifeSec > 0, "decayedScore: halfLifeSec must be positive")
+    require(topK > 0, "decayedScore: topK must be positive")
+    val mx = events.agg(max(col(tsSecCol)).as("__tmax"))
+    events.crossJoin(broadcast(mx))
+      .withColumn("__k",
+        least(expr(s"(__tmax - $tsSecCol) div $halfLifeSec"), lit(62L)))
+      .withColumn("__w", col(valueCol) /
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(__k AS INT)) AS DOUBLE)"))
+      .groupBy(col(userCol))
+      .agg(
+        call_function("graft_dsum", col("__w"), lit(9)).as("decayed_score"),
+        call_function("graft_dsum", col(valueCol), lit(4)).as("raw_sum"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("decayed_score").desc, col(userCol).asc)
+      .limit(topK)
+  }
 }

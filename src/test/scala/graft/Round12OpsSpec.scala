@@ -207,6 +207,31 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- decayedScore -------------------------------------------------------
+
+  test("decayedScore: exact power-of-two half-life weighting, ranked") {
+    val hl = 100L
+    val base = 1000000L
+    val ev = Seq(
+      // user 1: 8.0 now, 8.0 one half-life ago -> 8 + 4 = 12
+      (1L, base, 8.0), (1L, base - 100, 8.0),
+      // user 2: 16.0 two half-lives ago -> 4; raw 16
+      (2L, base - 200, 16.0),
+      // user 3: huge but ancient (clamped at 2^-62) -> ~0
+      (3L, base - 100 * 1000, 1e6)
+    ).toDF("user_id", "ts_sec", "value")
+    val rows = graft.operators.Events
+      .decayedScore(ev, "user_id", "ts_sec", "value", hl, topK = 10)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L),
+      "ranking follows the decayed score, not the raw sum")
+    assert(rows(0).getDouble(1) === 12.0, "halving is exact, not approximate")
+    assert(rows(1).getDouble(1) === 4.0)
+    assert(rows(1).getDouble(2) === 16.0)
+    assert(rows(2).getDouble(1) < 1e-9,
+      "ancient events clamp to 2^-62, they never overflow the shift")
+  }
+
   // ---- annMultiProbe ------------------------------------------------------
 
   test("annMultiProbe: probing raises recall over the single bucket at " +
