@@ -834,11 +834,46 @@ object Queries16 {
         halfLifeSec = 604800L, topK = 100)
   }
 
+  /** Rank-biased overlap ([[graft.core.Stats.rankBiasedOverlap]]):
+    * top-weighted agreement between the char-length and token-count
+    * rankings at depth 50, p = 1/2 — power-of-two weights embedded as
+    * build-time literals so both engines read identical doubles. */
+  val q168Rbo: (String, QueryDef) = q(
+    "q168_rank_overlap", {
+      val k = 50
+      val c = new Array[Double](k + 1)
+      for (m <- k to 1 by -1)
+        c(m) = (if (m + 1 <= k) c(m + 1) else 0.0) +
+          math.pow(2.0, -(m - 1)) / m
+      val cLits = (1 to k).map(m => java.lang.Double.toString(c(m)))
+        .mkString("[", ",", "]")
+      s"""WITH ta AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS ra
+         |  FROM (SELECT doc_id, n_chars AS s FROM documents
+         |        ORDER BY s DESC, doc_id LIMIT $k)),
+         |tb AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rb
+         |  FROM (SELECT doc_id,
+         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS s
+         |        FROM documents ORDER BY s DESC, doc_id LIMIT $k)),
+         |j AS (
+         |  SELECT GREATEST(ra, rb) AS m FROM ta JOIN tb USING (doc_id))
+         |SELECT
+         |  ROUND(0.5 * COALESCE(CAST(SUM(CAST(($cLits)[m]
+         |    AS DECIMAL(38, 12))) AS DOUBLE), 0.0), 9) AS rbo,
+         |  COUNT(*) AS overlap_at_k, CAST($k AS BIGINT) AS k
+         |FROM j""".stripMargin
+    }) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.core.Stats.rankBiasedOverlap(t("documents"), "doc_id",
+      col("n_chars"), size(split(col("text"), " ")).cast("long"), k = 50)
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q149PmiCollocations, q150NbClassifier, q151LengthBatches,
       q152WinnowPairs, q153BootstrapCi, q154ScriptMix, q155SelfSimilarity,
       q156EpochPlan, q157BpeMerges, q158CdcDedup, q159LabelGeometry,
       q160NormalizedDedup, q161DataCard, q162JoinEstimate,
       q163DecontamExcise, q164TfidfKeywords, q165QuantileNormalize,
-      q166AnnMultiProbe, q167DecayedScore)
+      q166AnnMultiProbe, q167DecayedScore, q168Rbo)
 }

@@ -535,6 +535,47 @@ object Stats {
         (col("__cum").cast("double") / col("__n").cast("double")).as("ecdf"))
   }
 
+  /** Rank-biased overlap (Webber et al., TOIS 2010) at depth `k` with
+    * persistence `p = 1/2` between two rankings of the same table —
+    * "do these two curation policies keep the same documents?", weighted
+    * toward the top where it matters. `RBO@k = (1−p)·Σ_{d=1..k}
+    * p^{d−1}·|A∩B|@d / d`; with `p = 1/2` every weight is a power of
+    * two, and each id's total contribution collapses to a PRECOMPUTED
+    * constant `C[m] = Σ_{d=m..k} 2^{−(d−1)}/d` indexed by
+    * `m = max(rank_A, rank_B)` — the constants are embedded as literals
+    * (summed at build time, highest depth first) so both engines read
+    * identical doubles and the only runtime float work is one decimal
+    * accumulation and one multiply. Also reports the plain overlap@k.
+    *
+    * Scale: each ranking is a bounded `TakeOrdered` top-k (never a
+    * global sort); ranks attach with a k-row window; the join and sum
+    * run over ≤ 2k rows. Output: one row `(rbo, overlap_at_k, k)`.
+    */
+  def rankBiasedOverlap(df: DataFrame, idCol: String, scoreA: Column,
+      scoreB: Column, k: Int = 50): DataFrame = {
+    require(k >= 1, "rankBiasedOverlap: k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    // C[m] = sum_{d=m..k} 2^-(d-1)/d, accumulated from depth k upward
+    val c = new Array[Double](k + 1)
+    for (m <- k to 1 by -1)
+      c(m) = c.lift(m + 1).getOrElse(0.0) + math.pow(2.0, -(m - 1)) / m
+    val cArr = array((1 to k).map(m => lit(c(m))): _*)
+    def top(score: Column, rk: String) =
+      df.select(col(idCol), score.as("__s"))
+        .orderBy(col("__s").desc, col(idCol).asc).limit(k)
+        .select(col(idCol), row_number().over(
+          Window.orderBy(col("__s").desc, col(idCol).asc)).as(rk))
+    top(scoreA, "__ra").join(top(scoreB, "__rb"), idCol)
+      .select(greatest(col("__ra"), col("__rb")).as("__m"))
+      .agg(
+        call_function("graft_dsum",
+          element_at(cArr, col("__m")), lit(12)).as("__sum"),
+        count(lit(1)).as("overlap_at_k"))
+      .select(
+        round(lit(0.5) * coalesce(col("__sum"), lit(0.0)), 9).as("rbo"),
+        col("overlap_at_k"), lit(k.toLong).as("k"))
+  }
+
   /** Winsorized per-group summary: clip values to the exact lower
     * [lo, hi] quantiles (default p05/p95) and report both the raw and
     * winsorized means — the standard tail-robust mean for metrics with

@@ -207,6 +207,30 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- rankBiasedOverlap --------------------------------------------------
+
+  test("rankBiasedOverlap: identical rankings -> 1, disjoint -> 0, " +
+      "top-heavy in between") {
+    val df = (1L to 100L).map(i => (i, i.toDouble, 101.0 - i, i.toDouble))
+      .toDF("id", "s1", "s2", "s3")
+    def rbo(a: String, b: String): Double =
+      graft.core.Stats.rankBiasedOverlap(df, "id", col(a), col(b), k = 10)
+        .head().getDouble(0)
+    val same = rbo("s1", "s3")
+    // sum_{d=1..k} 2^-(d-1)/d * d/d ... identical lists: overlap@d = d, so
+    // RBO@10 = 0.5 * sum 2^-(d-1) * 1 -> 0.5 * (2 - 2^-9) ~ 0.999
+    assert(same > 0.99 && same <= 1.0, s"identical rankings gave $same")
+    assert(rbo("s1", "s2") === 0.0, "reversed top-100: top-10s are disjoint")
+    // swap two mid elements: rbo dips below identical but stays high
+    val df2 = df.withColumn("s4",
+      when(col("id") === 95L, 96.0).when(col("id") === 96L, 95.0)
+        .otherwise(col("s1")))
+    val swapped = graft.core.Stats
+      .rankBiasedOverlap(df2, "id", col("s1"), col("s4"), k = 10)
+      .head().getDouble(0)
+    assert(swapped < same && swapped > 0.9)
+  }
+
   // ---- decayedScore -------------------------------------------------------
 
   test("decayedScore: exact power-of-two half-life weighting, ranked") {
