@@ -875,5 +875,42 @@ object Queries16 {
       q156EpochPlan, q157BpeMerges, q158CdcDedup, q159LabelGeometry,
       q160NormalizedDedup, q161DataCard, q162JoinEstimate,
       q163DecontamExcise, q164TfidfKeywords, q165QuantileNormalize,
-      q166AnnMultiProbe, q167DecayedScore, q168Rbo)
+      q166AnnMultiProbe, q167DecayedScore, q168Rbo, q169Burstiness)
+
+  /** Per-user burstiness ([[graft.operators.Events.burstiness]]):
+    * `(σ−μ)/(σ+μ)` over inter-event gaps — scripted-client vs organic
+    * cadence. Exact integer gap sums; the float finish mirrors the
+    * oracle op-for-op. */
+  lazy val q169Burstiness: (String, QueryDef) = q(
+    "q169_burstiness",
+    """WITH t AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000000000 AS s FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |    s - LAG(s) OVER (PARTITION BY user_id ORDER BY s) AS gp
+      |  FROM t),
+      |a AS (
+      |  SELECT user_id, COUNT(*) AS n_gaps,
+      |    CAST(SUM(gp) AS BIGINT) AS sg,
+      |    CAST(SUM(gp * gp) AS BIGINT) AS s2
+      |  FROM g WHERE gp IS NOT NULL
+      |  GROUP BY user_id HAVING COUNT(*) >= 5),
+      |b AS (
+      |  SELECT user_id, n_gaps,
+      |    CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap,
+      |    SQRT(GREATEST(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE) -
+      |      (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) *
+      |      (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 0.0)) AS sd_gap
+      |  FROM a)
+      |SELECT user_id, n_gaps, mean_gap, sd_gap,
+      |  CASE WHEN sd_gap + mean_gap > 0 THEN
+      |    (sd_gap - mean_gap) / (sd_gap + mean_gap) ELSE 0.0 END
+      |    AS burstiness
+      |FROM b ORDER BY burstiness DESC, user_id LIMIT 100""".stripMargin) {
+    (s, dir) =>
+      implicit val env: (SparkSession, String) = (s, dir)
+      graft.operators.Events.burstiness(
+        Tables.events(s, dir), "user_id", "ts_sec", minGaps = 5L,
+        topK = 100)
+  }
 }

@@ -379,6 +379,54 @@ object Events {
     * Scale: one scan + one user-keyed partial-aggregated shuffle + a
     * bounded TakeOrdered. The max-ts singleton broadcasts.
     */
+  /** Burstiness of each user's inter-event gaps (Goh & Barabási 2008):
+    * `B = (σ−μ)/(σ+μ)` over the gap distribution — −1 = metronome
+    * (periodic, the scripted-client signature), 0 = Poisson (organic),
+    * +1 = extreme bursts. The gap MULTISET is order-invariant under
+    * timestamp ties (equal timestamps contribute the same gaps whichever
+    * order the window visits them), so the exact integer sums `Σg, Σg²`
+    * — and everything derived — are deterministic. The float finish is
+    * three divisions, one subtract, one sqrt, mirrored op-for-op by the
+    * oracle; variance clamps at 0 before the sqrt.
+    *
+    * Output: top `topK` most bursty users with `minGaps`+ gaps.
+    *
+    * Scale: one user-keyed window (parallel across users), one
+    * partial-aggregated rollup on the user, a bounded TakeOrdered. `Σg²`
+    * stays in long — exact to ~3·10⁹-second gaps at 10⁶ events/user;
+    * swap the accumulator to `graft_dsum` decimals beyond that.
+    */
+  def burstiness(events: DataFrame, userCol: String, tsSecCol: String,
+      minGaps: Long = 5L, topK: Int = 100): DataFrame = {
+    require(minGaps >= 2, "burstiness: need at least 2 gaps for a spread")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__t"))
+    val gaps = events
+      .select(col(userCol), col(tsSecCol).cast("long").as("__t"))
+      .withColumn("__g", col("__t") - lag(col("__t"), 1).over(w))
+      .filter(col("__g").isNotNull)
+    val agg = gaps.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__g")).as("__sg"),
+        sum(col("__g") * col("__g")).as("__s2"))
+      .filter(col("n_gaps") >= minGaps)
+    val mean = col("__sg").cast("double") / col("n_gaps").cast("double")
+    val varE = greatest(
+      col("__s2").cast("double") / col("n_gaps").cast("double") -
+        mean * mean, lit(0.0))
+    agg
+      .withColumn("mean_gap", mean)
+      .withColumn("sd_gap", sqrt(varE))
+      .withColumn("burstiness",
+        when(col("sd_gap") + col("mean_gap") > 0,
+          (col("sd_gap") - col("mean_gap")) /
+            (col("sd_gap") + col("mean_gap"))).otherwise(lit(0.0)))
+      .select(col(userCol), col("n_gaps"), col("mean_gap"), col("sd_gap"),
+        col("burstiness"))
+      .orderBy(col("burstiness").desc, col(userCol).asc)
+      .limit(topK)
+  }
+
   def decayedScore(events: DataFrame, userCol: String, tsSecCol: String,
       valueCol: String, halfLifeSec: Long, topK: Int = 100): DataFrame = {
     require(halfLifeSec > 0, "decayedScore: halfLifeSec must be positive")

@@ -207,6 +207,28 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- burstiness ---------------------------------------------------------
+
+  test("burstiness: periodic -> -1, bursty > 0, gap multiset is tie-proof") {
+    val ev =
+      // user 1: metronome every 10s (sd 0 -> B = -1)
+      (0 to 10).map(i => (1L, 1000L + 10L * i)) ++
+      // user 2: burst of 1s gaps then one huge gap -> B > 0
+      ((0 to 8).map(i => (2L, 2000L + i)) :+ ((2L, 20000L))) ++
+      // user 3: ties at the same second plus spread
+      Seq((3L, 100L), (3L, 100L), (3L, 100L), (3L, 200L), (3L, 300L),
+        (3L, 400L))
+    val df = ev.toDF("user_id", "ts_sec")
+    val rows = graft.operators.Events
+      .burstiness(df, "user_id", "ts_sec", minGaps = 5L, topK = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(4))).toMap
+    assert(rows(1L)._3 === -1.0, "zero variance is exactly -1")
+    assert(rows(1L)._2 === 10.0)
+    assert(rows(2L)._3 > 0.5, s"burst pattern should score high: ${rows(2L)}")
+    assert(rows(3L)._1 === 5L, "ties produce zero-gaps, not lost events")
+  }
+
   // ---- rankBiasedOverlap --------------------------------------------------
 
   test("rankBiasedOverlap: identical rankings -> 1, disjoint -> 0, " +
