@@ -875,7 +875,69 @@ object Queries16 {
       q156EpochPlan, q157BpeMerges, q158CdcDedup, q159LabelGeometry,
       q160NormalizedDedup, q161DataCard, q162JoinEstimate,
       q163DecontamExcise, q164TfidfKeywords, q165QuantileNormalize,
-      q166AnnMultiProbe, q167DecayedScore, q168Rbo, q169Burstiness)
+      q166AnnMultiProbe, q167DecayedScore, q168Rbo, q169Burstiness,
+      q170Survival)
+
+  /** Kaplan–Meier time-to-conversion
+    * ([[graft.operators.Events.survivalCurve]]): signup → first purchase,
+    * hour buckets, censoring at the corpus horizon; the running product
+    * folds the assembled curve in time order — hash-exact. */
+  lazy val q170Survival: (String, QueryDef) = q(
+    "q170_survival",
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS s
+      |  FROM events),
+      |fs AS (
+      |  SELECT user_id, MIN(s) AS fs FROM e
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |cv AS (
+      |  SELECT e.user_id, MIN(CASE WHEN s >= fs THEN s END) AS fp
+      |  FROM e JOIN fs USING (user_id)
+      |  WHERE event_type = 'purchase' GROUP BY e.user_id),
+      |hz AS (SELECT MAX(s) AS tmax FROM e),
+      |co AS (
+      |  SELECT fs.user_id,
+      |    CASE WHEN fp IS NOT NULL THEN (fp - fs) // 3600 END AS t,
+      |    (tmax - fs) // 3600 AS c
+      |  FROM fs LEFT JOIN cv USING (user_id) CROSS JOIN hz),
+      |n AS (SELECT COUNT(*) AS nn FROM co),
+      |ev AS (SELECT t, COUNT(*) AS d FROM co WHERE t IS NOT NULL
+      |       GROUP BY t),
+      |ce AS (SELECT c AS t, COUNT(*) AS cens FROM co WHERE t IS NULL
+      |       GROUP BY c),
+      |tl AS (
+      |  SELECT COALESCE(ev.t, ce.t) AS t, COALESCE(d, 0) AS d,
+      |    COALESCE(cens, 0) AS cens
+      |  FROM ev FULL OUTER JOIN ce ON ev.t = ce.t),
+      |cu AS (
+      |  SELECT t, d,
+      |    COALESCE(SUM(d + cens) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS dep
+      |  FROM tl),
+      |cf AS (
+      |  SELECT t, CAST(nn - dep AS BIGINT) AS n_risk,
+      |    CAST(d AS BIGINT) AS n_events,
+      |    1.0 - CAST(d AS DOUBLE) / CAST(nn - dep AS DOUBLE) AS f
+      |  FROM cu CROSS JOIN n WHERE d > 0),
+      |lst AS (
+      |  SELECT list(struct_pack(t := t, n_risk := n_risk,
+      |    n_events := n_events, f := f) ORDER BY t) AS cvl FROM cf)
+      |SELECT x.t AS t, x.n_risk AS n_risk, x.n_events AS n_events,
+      |  x.survival AS survival
+      |FROM (
+      |  SELECT unnest(list_transform(generate_series(1, len(cvl)),
+      |    i -> struct_pack(t := cvl[i].t, n_risk := cvl[i].n_risk,
+      |      n_events := cvl[i].n_events,
+      |      survival := list_reduce(list_transform(cvl[1:i], x -> x.f),
+      |        (a, b) -> a * b)))) AS x
+      |  FROM lst WHERE len(cvl) > 0)
+      |ORDER BY t""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.operators.Events.survivalCurve(
+        Tables.events(s, dir), "user_id", "ts_sec", "event_type",
+        startType = "signup", eventType = "purchase", bucketSec = 3600L)
+      .orderBy(col("t"))
+  }
 
   /** Per-user burstiness ([[graft.operators.Events.burstiness]]):
     * `(σ−μ)/(σ+μ)` over inter-event gaps — scripted-client vs organic

@@ -379,6 +379,86 @@ object Events {
     * Scale: one scan + one user-keyed partial-aggregated shuffle + a
     * bounded TakeOrdered. The max-ts singleton broadcasts.
     */
+  /** Kaplan–Meier survival curve for time-to-conversion: from each
+    * user's first `startType` event to their first at-or-after
+    * `eventType` event, users who never convert CENSORED at the corpus
+    * horizon — the estimator that handles "hasn't converted YET"
+    * correctly, which a naive mean-time-to-convert silently gets wrong.
+    * `S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ)` over distinct conversion times
+    * (bucketed to `bucketSec`), with the risk set nᵢ shrinking by both
+    * conversions and censorings.
+    *
+    * Determinism: dᵢ, nᵢ are exact integers; each factor is one IEEE
+    * division+subtract; the running product folds in time order over the
+    * assembled curve (bounded by distinct buckets), bit-identical to the
+    * oracle's ordered `list_reduce`.
+    *
+    * Output: `(t, n_risk, n_events, survival)` per conversion bucket.
+    *
+    * Scale: per-user firsts are two partial-aggregated rollups; the
+    * timeline cum-window runs over the DISTINCT-bucket rollup (the
+    * quantile-family shape, never raw events); the curve assembly is a
+    * bounded single-row fold. The horizon and cohort size ride
+    * broadcasts.
+    */
+  def survivalCurve(events: DataFrame, userCol: String, tsSecCol: String,
+      typeCol: String, startType: String, eventType: String,
+      bucketSec: Long = 3600L): DataFrame = {
+    require(bucketSec > 0, "survivalCurve: bucketSec must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val fs = events.filter(col(typeCol) === startType)
+      .groupBy(col(userCol)).agg(min(col(tsSecCol)).as("__fs"))
+    val conv = events.filter(col(typeCol) === eventType)
+      .join(fs, userCol)
+      .groupBy(col(userCol))
+      .agg(min(when(col(tsSecCol) >= col("__fs"), col(tsSecCol)))
+        .as("__fp"))
+    val horizon = events.agg(max(col(tsSecCol)).as("__tmax"))
+    val cohort = fs.join(conv, Seq(userCol), "left")
+      .crossJoin(broadcast(horizon))
+      .select(col(userCol),
+        when(col("__fp").isNotNull,
+          expr(s"(__fp - __fs) div $bucketSec")).as("__t"),
+        expr(s"(__tmax - __fs) div $bucketSec").as("__c"))
+    val n = cohort.agg(count(lit(1)).as("__n"))
+    val evRoll = cohort.filter(col("__t").isNotNull)
+      .groupBy(col("__t").as("t")).agg(count(lit(1)).as("d"))
+    val censRoll = cohort.filter(col("__t").isNull)
+      .groupBy(col("__c").as("t")).agg(count(lit(1)).as("cens"))
+    val timeline = evRoll.join(censRoll, Seq("t"), "full_outer")
+      .select(col("t"), coalesce(col("d"), lit(0L)).as("d"),
+        coalesce(col("cens"), lit(0L)).as("cens"))
+    // departures BEFORE t shrink the risk set; the window runs over the
+    // distinct-bucket rollup, not events
+    val wB = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val curve = timeline
+      .withColumn("__dep", coalesce(sum(col("d") + col("cens")).over(wB),
+        lit(0L)))
+      .crossJoin(broadcast(n))
+      .filter(col("d") > 0)
+      .select(col("t"), (col("__n") - col("__dep")).as("n_risk"),
+        col("d").as("n_events"),
+        (lit(1.0) - col("d").cast("double") /
+          (col("__n") - col("__dep")).cast("double")).as("__f"))
+    curve.agg(array_sort(collect_list(
+        struct(col("t"), col("n_risk"), col("n_events"), col("__f"))))
+        .as("__cv"))
+      // a conversionless cohort yields an empty curve — and sequence(1, 0)
+      // would generate DESCENDING, so the empty case exits here
+      .filter(size(col("__cv")) > 0)
+      .select(posexplode(expr(
+        """transform(sequence(1, size(__cv)), i -> struct(
+          |  __cv[i - 1].t AS t, __cv[i - 1].n_risk AS n_risk,
+          |  __cv[i - 1].n_events AS n_events,
+          |  aggregate(transform(slice(__cv, 1, i), x -> x.__f),
+          |    CAST(1.0 AS DOUBLE), (a, x) -> a * x) AS survival))"""
+          .stripMargin)).as(Seq("__p", "__r")))
+      .select(col("__r.t").as("t"), col("__r.n_risk").as("n_risk"),
+        col("__r.n_events").as("n_events"),
+        col("__r.survival").as("survival"))
+  }
+
   /** Burstiness of each user's inter-event gaps (Goh & Barabási 2008):
     * `B = (σ−μ)/(σ+μ)` over the gap distribution — −1 = metronome
     * (periodic, the scripted-client signature), 0 = Poisson (organic),

@@ -207,6 +207,42 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- survivalCurve ------------------------------------------------------
+
+  test("survivalCurve: hand-computed KM with censoring") {
+    // horizon = 5000. users: A converts at +1h, B at +2h, C never
+    // (censored), D signs up late and never converts (censored early)
+    val ev = Seq(
+      (1L, 0L, "signup"), (1L, 3600L, "purchase"),
+      (2L, 0L, "signup"), (2L, 7200L, "purchase"),
+      (3L, 0L, "signup"),
+      (4L, 3600L, "signup"),
+      (9L, 10800L, "click") // horizon carrier, no cohort membership
+    ).toDF("user_id", "ts_sec", "event_type")
+    val rows = graft.operators.Events.survivalCurve(
+        ev, "user_id", "ts_sec", "event_type", "signup", "purchase",
+        bucketSec = 3600L)
+      .orderBy("t").collect()
+    // t=1: risk {A,B,C,D} minus departures before 1h: D censors at
+    // (10800-3600)/3600 = 2, C at 3, so none depart before t=1 -> n=4,
+    // d=1, S = 3/4. t=2: departures before 2h: A(converted at 1) -> n=3,
+    // d=1, S = 3/4 * 2/3 = 1/2
+    assert(rows.length === 2)
+    assert(rows(0).getLong(0) === 1L && rows(0).getLong(1) === 4L)
+    assert(rows(0).getDouble(3) === 0.75)
+    assert(rows(1).getLong(0) === 2L && rows(1).getLong(1) === 3L)
+    assert(rows(1).getDouble(3) === 0.75 * (1.0 - 1.0 / 3))
+  }
+
+  test("survivalCurve: conversionless cohort yields an empty curve, not " +
+      "a crash") {
+    val ev = Seq((1L, 0L, "signup"), (2L, 100L, "signup"))
+      .toDF("user_id", "ts_sec", "event_type")
+    val rows = graft.operators.Events.survivalCurve(
+      ev, "user_id", "ts_sec", "event_type", "signup", "purchase").collect()
+    assert(rows.isEmpty)
+  }
+
   // ---- burstiness ---------------------------------------------------------
 
   test("burstiness: periodic -> -1, bursty > 0, gap multiset is tie-proof") {
