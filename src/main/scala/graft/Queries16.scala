@@ -876,7 +876,36 @@ object Queries16 {
       q160NormalizedDedup, q161DataCard, q162JoinEstimate,
       q163DecontamExcise, q164TfidfKeywords, q165QuantileNormalize,
       q166AnnMultiProbe, q167DecayedScore, q168Rbo, q169Burstiness,
-      q170Survival)
+      q170Survival, q171TokenBudget)
+
+  /** Token-budget threshold
+    * ([[graft.operators.Curation.tokenBudgetThreshold]]): the exact
+    * score cut a 300k-token budget implies on the length-scored corpus —
+    * distinct-score rollup + one cum window, whole groups admitted. */
+  lazy val q171TokenBudget: (String, QueryDef) = q(
+    "q171_token_budget",
+    """WITH r AS (
+      |  SELECT n_chars AS s,
+      |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+      |      AS gt,
+      |    COUNT(*) AS gn
+      |  FROM documents GROUP BY n_chars),
+      |c AS (
+      |  SELECT s, gn,
+      |    CAST(SUM(gt) OVER (ORDER BY s DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM r)
+      |SELECT MIN(s) AS threshold,
+      |  CAST(COALESCE(SUM(gn), 0) AS BIGINT) AS n_docs_kept,
+      |  COALESCE(MAX(cum), 0) AS tokens_kept,
+      |  CAST(300000 AS BIGINT) AS budget
+      |FROM c WHERE cum <= 300000""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.operators.Curation.tokenBudgetThreshold(t("documents"),
+      col("n_chars"), size(split(col("text"), " ")),
+      budgetTokens = 300000L)
+  }
 
   /** Kaplan–Meier time-to-conversion
     * ([[graft.operators.Events.survivalCurve]]): signup → first purchase,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -98,6 +98,41 @@ object Curation {
       .join(broadcast(cum), Seq(scoreCol))
       .select(col(idCol), col(scoreCol),
         expr(s"($buckets * __higher) div __total").as("bucket"))
+  }
+
+  /** Exact token-budget threshold: the highest-score-first greedy cut —
+    * "admit documents from the top score down until the token budget is
+    * spent" — answered EXACTLY in one pass: what score threshold does
+    * the budget imply, how many documents and tokens does it admit?
+    * (The planner's question behind every "keep the top X%" rule: X is
+    * an output here, not a guess.) Whole score-groups are admitted
+    * atomically (same-score docs are indistinguishable; the first group
+    * overflowing the budget is excluded, the standard conservative cut).
+    *
+    * Output: one row `(threshold, n_docs_kept, tokens_kept, budget)`;
+    * an unspendable budget (even the top group overflows) reports a
+    * null threshold and zero counts.
+    *
+    * Scale: the cum-window runs over the DISTINCT-SCORE rollup (the
+    * quantile-family shape), never documents; the finish is a bounded
+    * aggregation of that rollup.
+    */
+  def tokenBudgetThreshold(docs: DataFrame, scoreCol: Column,
+      tokenCol: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, "tokenBudgetThreshold: budget must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val rollup = docs.select(scoreCol.as("__s"),
+        tokenCol.cast("long").as("__tk"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__tk")).as("__gt"), count(lit(1)).as("__gn"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rollup.withColumn("__cum", sum(col("__gt")).over(w))
+      .filter(col("__cum") <= budgetTokens)
+      .agg(min(col("__s")).as("threshold"),
+        coalesce(sum(col("__gn")), lit(0L)).as("n_docs_kept"),
+        coalesce(max(col("__cum")), lit(0L)).as("tokens_kept"))
+      .withColumn("budget", lit(budgetTokens))
   }
 
   /** Per-source data card — the one-row-per-slice report card a corpus

@@ -207,6 +207,26 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- tokenBudgetThreshold -----------------------------------------------
+
+  test("tokenBudgetThreshold: greedy group-atomic cut, exact counts") {
+    // scores 3,2,1 with token masses 10, 10, 10 (two docs of 5 at s=2)
+    val docs = Seq((3, 10L), (2, 5L), (2, 5L), (1, 10L)).toDF("s", "tk")
+    def run(b: Long) = graft.operators.Curation
+      .tokenBudgetThreshold(docs, col("s"), col("tk"), b).head()
+    val r20 = run(20L)
+    assert(r20.getInt(0) === 2 && r20.getLong(1) === 3L &&
+      r20.getLong(2) === 20L)
+    val r25 = run(25L)
+    assert(r25.getInt(0) === 2 && r25.getLong(2) === 20L,
+      "the s=1 group overflows 25 and is excluded atomically")
+    val r5 = run(5L)
+    assert(r5.isNullAt(0) && r5.getLong(1) === 0L,
+      "an unspendable budget reports null threshold, zero kept")
+    val rAll = run(100L)
+    assert(rAll.getInt(0) === 1 && rAll.getLong(2) === 30L)
+  }
+
   // ---- survivalCurve ------------------------------------------------------
 
   test("survivalCurve: hand-computed KM with censoring") {
