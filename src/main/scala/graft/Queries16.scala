@@ -876,7 +876,28 @@ object Queries16 {
       q160NormalizedDedup, q161DataCard, q162JoinEstimate,
       q163DecontamExcise, q164TfidfKeywords, q165QuantileNormalize,
       q166AnnMultiProbe, q167DecayedScore, q168Rbo, q169Burstiness,
-      q170Survival, q171TokenBudget)
+      q170Survival, q171TokenBudget, q172Kwic)
+
+  /** KWIC audit surface ([[TextAnalysis.keywordInContext]]): every
+    * occurrence of 'table' with ±3 tokens of edge-clamped context,
+    * first 200 by (doc, position). */
+  lazy val q172Kwic: (String, QueryDef) = q(
+    "q172_kwic",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |o AS (
+      |  SELECT doc_id, tk, i - 1 AS pos FROM (
+      |    SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+      |    FROM t)
+      |  WHERE tk[i] = 'table')
+      |SELECT doc_id, CAST(pos AS INT) AS pos,
+      |  array_to_string(tk[greatest(pos + 1 - 3, 1):
+      |    least(pos + 1 + 3, len(tk))], ' ') AS context
+      |FROM o ORDER BY doc_id, pos LIMIT 200""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    TextAnalysis.keywordInContext(t("documents"), "doc_id", "text",
+      term = "table", window = 3, topK = 200)
+  }
 
   /** Token-budget threshold
     * ([[graft.operators.Curation.tokenBudgetThreshold]]): the exact

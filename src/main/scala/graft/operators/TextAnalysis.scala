@@ -639,6 +639,35 @@ object TextAnalysis {
         col("__rn").cast("long").as("rank"))
   }
 
+  /** Keyword-in-context (KWIC) extraction — the audit surface behind
+    * every "show me how this token is actually used" review (PII
+    * candidates, policy terms, suspicious boilerplate): every occurrence
+    * of `term` with `window` tokens of context on each side, clamped at
+    * document edges. Output: `(id, pos, context)` (`pos` = 0-based token
+    * position), first `topK` occurrences by (id, pos).
+    *
+    * Scale: occurrence detection is a scan-side explode + pushable
+    * equality filter; context assembly is row-local slicing; the bounded
+    * top-k is a TakeOrdered. Nothing shuffles except the k survivors.
+    */
+  def keywordInContext(docs: DataFrame, idCol: String, textCol: String,
+      term: String, window: Int = 3, topK: Int = 200): DataFrame = {
+    require(window >= 0, "keywordInContext: window must be >= 0")
+    require(topK >= 1, "keywordInContext: topK must be >= 1")
+    docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), col("__tk"),
+        posexplode(col("__tk")).as(Seq("pos", "__t")))
+      .filter(col("__t") === term)
+      .select(col(idCol), col("pos"),
+        expr(s"""array_join(slice(__tk,
+          |  greatest(pos + 1 - $window, 1),
+          |  least(pos + 1 + $window, size(__tk)) -
+          |    greatest(pos + 1 - $window, 1) + 1), ' ')""".stripMargin)
+          .as("context"))
+      .orderBy(col(idCol), col("pos"))
+      .limit(topK)
+  }
+
   /** Corpus self-similarity probe (the self-BLEU idea, Jaccard form): how
     * alike is the corpus to ITSELF? Draw a deterministic `k`-doc sample
     * (the k smallest `md5(salt:id)` — reproducible, uniform), compute all

@@ -207,6 +207,22 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- keywordInContext ---------------------------------------------------
+
+  test("keywordInContext: edge clamps, every occurrence, window shape") {
+    val docs = Seq(
+      (1L, "hit a b c hit d e f g hit"),
+      (2L, "nothing here at all")
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.TextAnalysis
+      .keywordInContext(docs, "doc_id", "text", "hit", window = 2, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(rows.length === 3, "all three occurrences surface")
+    assert(rows(0) === ((1L, 0, "hit a b")), "left edge clamps")
+    assert(rows(1) === ((1L, 4, "b c hit d e")), "interior is symmetric")
+    assert(rows(2) === ((1L, 9, "f g hit")), "right edge clamps")
+  }
+
   // ---- tokenBudgetThreshold -----------------------------------------------
 
   test("tokenBudgetThreshold: greedy group-atomic cut, exact counts") {
