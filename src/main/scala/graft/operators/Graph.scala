@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Link analysis over an edge list — the corpus-graph stage of a training
+  * pipeline (rank domains/hosts by citation structure, weight documents by
+  * the authority of what links to them, find hub accounts in an event
+  * graph).
+  *
+  * PageRank here runs a FIXED iteration count rather than to a
+  * convergence tolerance: the result is then a pure deterministic function
+  * of the edge list, which is what lets the SQL oracle replay it
+  * level-by-level (the same reason q157's BPE learner fixes its merge
+  * count). Production runs pick the count by graph diameter (web-graph
+  * practice: 10-20 rounds); the plan per round is identical either way.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over `(src, dst)` edges. Parallel edges are
+    * honored as weight (two links = twice the contribution); callers
+    * wanting simple-graph semantics `.distinct()` first.
+    *
+    * Determinism (the driver hash-compares against DuckDB): per-edge
+    * contributions are one IEEE division each (`rank/outdeg`), per-node
+    * inflow accumulates EXACTLY in DECIMAL(38,12) — order- and
+    * partitioning-independent — and converts to double once; the damping
+    * update is the same literal arithmetic in both engines. Scale 12,
+    * not 18: contributions are ≤ 1, so scaled sums stay far below 2^53
+    * (where both engines' decimal→double finish is exact-int division,
+    * bit-identical), and the per-term double→decimal rounding grain
+    * (1e-12) towers over the gap between a double's exact binary value
+    * (DuckDB's cast rounds this) and its shortest decimal repr (Spark's
+    * cast rounds this) — at scale 18 that gap straddles rounding
+    * boundaries often enough to flip hashes. Dangling
+    * nodes (no out-edges) leak their mass, the classic simplification;
+    * ranks then sum to < 1, which is fine for ranking use.
+    *
+    * Scale shape per iteration: one shuffle of the node-sized rank table
+    * onto the out-degree table (both keyed by node, AQE co-partitions),
+    * one shuffle of the edge list on `src` for the contribution join, and
+    * one partial-aggregated shuffle on `dst` for the inflow sum — the
+    * textbook distributed PR round, nothing quadratic, nothing collected
+    * to the driver except the node count. The edge list and degree table
+    * are registered in the bounded plan cache so the 2·iterations
+    * consumers share one scan instead of re-reading the source each
+    * round.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"pageRank: iterations must be in 1..50, got $iterations")
+    require(damping > 0.0 && damping < 1.0,
+      s"pageRank: damping must be in (0, 1), got $damping")
+    val e = graft.core.Stats.PlanCache.register(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // the only driver-side value: the node count (one long)
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val outdeg = graft.core.Stats.PlanCache.register(
+      e.groupBy(col("src")).agg(count(lit(1)).as("__deg")))
+    val base = (1.0 - damping) / n.toDouble
+    var ranks = nodes.select(col("node"), lit(1.0 / n.toDouble).as("rank"))
+    for (_ <- 1 to iterations) {
+      // rank ⋈ degree is node-sized on both sides; edges then pick up
+      // each source's per-edge share and route it to dst. The rename
+      // mints fresh attribute ids — outdeg and e share lineage, and a
+      // same-id `src` on both sides of the edge join would be rejected
+      // as an ambiguous self-join.
+      val share = ranks
+        .join(outdeg.withColumnRenamed("src", "__sn"),
+          col("node") === col("__sn"))
+        .select(col("__sn").as("src"),
+          (col("rank") / col("__deg").cast("double")).as("__c"))
+      val inflow = e.join(share, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("__c").cast(DecimalType(38, 12))).as("__s"))
+        .select(col("node"), col("__s").cast("double").as("__s"))
+      ranks = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + lit(damping) * coalesce(col("__s"), lit(0.0)))
+            .as("rank"))
+    }
+    ranks
+  }
+}

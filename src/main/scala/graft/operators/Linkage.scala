@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Record linkage — match rows of two registries that describe the same
+  * real-world entity despite field noise (the entity-resolution stage a
+  * pipeline runs when two crawls/feeds overlap without a shared key).
+  *
+  * Fellegi–Sunter shape, integer-weighted: candidate pairs come from
+  * equi-join BLOCKING (never the cross product), each configured field
+  * comparison contributes an agreement or disagreement weight, and pairs
+  * at or above the decision threshold come back scored. Classic F-S
+  * derives the weights from m/u probabilities via EM; here they are
+  * caller-supplied integers, which keeps every score an exact BIGINT the
+  * SQL oracle reproduces — the decision structure (block → compare →
+  * weight → threshold) is the algorithm's load-bearing part.
+  */
+object Linkage {
+
+  /** One field comparison: `pred` evaluates on the joined pair frame
+    * (columns of `a` keep their names, columns of `b` are suffixed
+    * `_b`), contributing `agree` when true and `disagree` when false.
+    */
+  final case class FieldRule(name: String, pred: Column,
+      agree: Int, disagree: Int)
+
+  /** Blocked, weighted linkage of `a` (left, id `idA`) to `b` (right, id
+    * `idB`). `blockCols` must exist on both sides (the b-side suffixed
+    * copies are matched automatically). Emits one row per candidate pair
+    * with per-rule agreement flags, the total score, and `is_match` at
+    * `threshold`.
+    *
+    * Scale: the blocking equi-join is THE cost — a shuffle on the block
+    * key; a skewed block (one giant city/segment) is the classic
+    * failure, handled the same way as any skewed join (salt the block
+    * key, or tighten blocking — that is a data decision, not an engine
+    * one). Comparisons are scan-side expressions on the joined pairs; no
+    * state, no driver collection.
+    */
+  def fsLink(a: DataFrame, idA: String, b: DataFrame, idB: String,
+      blockCols: Seq[String], rules: Seq[FieldRule],
+      threshold: Int): DataFrame = {
+    require(blockCols.nonEmpty, "fsLink: at least one blocking column")
+    require(rules.nonEmpty, "fsLink: at least one field rule")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "fsLink: duplicate rule names")
+    val bSuffixed = b.toDF(b.columns.map(c =>
+      if (blockCols.contains(c)) c else c + "_b").toIndexedSeq: _*)
+    val joined = a.join(bSuffixed, blockCols)
+    val flagged = rules.foldLeft(joined)((d, r) =>
+      d.withColumn(s"agree_${r.name}", r.pred))
+    val score = rules.map(r =>
+      when(col(s"agree_${r.name}"), lit(r.agree.toLong))
+        .otherwise(lit(r.disagree.toLong))).reduce(_ + _)
+    flagged
+      .withColumn("score", score)
+      .withColumn("is_match", col("score") >= threshold)
+      .select((col(idA).as("id_a") +: col(s"${idB}_b").as("id_b") +:
+        rules.map(r => col(s"agree_${r.name}"))) :+
+        col("score") :+ col("is_match"): _*)
+  }
+}

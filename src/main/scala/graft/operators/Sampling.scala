@@ -497,4 +497,126 @@ object Sampling {
             (col("n_seqs") * col("max_len")))
           .otherwise(lit(0.0)))
   }
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every document by how much its
+    * hashed-feature profile looks like a TARGET slice relative to the raw
+    * corpus, so the high scorers can be upsampled toward the target
+    * distribution.
+    *
+    * Features are token unigrams hashed into `buckets` buckets (the
+    * paper's hashed n-gram trick — fixed-size model at any vocabulary).
+    * The classic score is the log-likelihood ratio
+    * `Σ_f c_f·log(p_target(f)/p_raw(f))`; this implementation uses the
+    * linear likelihood-ratio form instead — with add-one smoothing,
+    *
+    *   num = Σ_f c_f·(t_f + 1)        (exact BIGINT)
+    *   den = Σ_f c_f·(r_f + 1)        (exact BIGINT)
+    *   score = (num / (T + B)) / (den / (R + B))   (three IEEE ops)
+    *
+    * — because every step is then integer-exact or a single IEEE
+    * division, reproducible bit-for-bit by the SQL oracle (`ln` is not
+    * correctly rounded across libms — the q75/q149 discipline). The
+    * signal is the same "target-like vs typical" ratio.
+    *
+    * Scale shape: the two feature tables are ≤ `buckets` rows — they
+    * reduce map-side and BROADCAST onto the per-doc bucket counts; the
+    * only corpus-sized shuffles are the (doc, bucket) partial-agg
+    * group-by and the final per-doc reassembly. Nothing quadratic, no
+    * model state beyond 2·buckets longs.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 256, salt: String = "dsir",
+      topK: Int = 100): DataFrame = {
+    require(buckets > 0, "dsirWeights: buckets must be positive")
+    require(topK > 0, "dsirWeights: topK must be positive")
+    val toks = docs
+      .select(col(idCol), targetPred.as("__tgt"),
+        explode(split(col(textCol), " ")).as("__t"))
+      .withColumn("__b",
+        conv(substring(md5(concat(lit(salt), lit(":"), col("__t"))), 1, 8),
+          16, 10).cast(LongType) % buckets.toLong)
+    // per-doc hashed-feature counts: one partial-agg shuffle on (doc, b)
+    val docCounts = toks.groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    // feature tables: ≤ `buckets` rows each, reduce map-side
+    val rawF = toks.groupBy(col("__b")).agg(count(lit(1)).as("__r"))
+    val tgtF = toks.filter(col("__tgt")).groupBy(col("__b"))
+      .agg(count(lit(1)).as("__tf"))
+    val totals = toks.agg(
+      count(lit(1)).as("__R"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__T"))
+    val scored = docCounts
+      .join(broadcast(rawF), Seq("__b"))
+      .join(broadcast(tgtF), Seq("__b"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(col("__c") * (coalesce(col("__tf"), lit(0L)) + lit(1L)))
+          .as("num"),
+        sum(col("__c") * (col("__r") + lit(1L))).as("den"))
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), col("n_tokens"), col("num"), col("den"),
+        ((col("num").cast("double") /
+            (col("__T") + lit(buckets.toLong)).cast("double")) /
+          (col("den").cast("double") /
+            (col("__R") + lit(buckets.toLong)).cast("double"))).as("score"))
+    scored.orderBy(col("score").desc, col(idCol)).limit(topK)
+  }
+
+  /** Purged temporal split (the time-series "embargo" split, de Prado's
+    * purged CV adapted to event logs): train = rows at or before the
+    * cut, test = rows at or after cut + embargo, and any entity with
+    * activity INSIDE the embargo window is purged from the test side
+    * entirely — its post-embargo rows are correlated with training-time
+    * state, the leak this split exists to stop.
+    *
+    * The cut and embargo are integer fractions of the observed time span
+    * (exact integer arithmetic, engine-portable). Returns one row per
+    * `labelCol` value with train/test/embargo counts and the purged test
+    * rows, plus the resolved boundaries for auditability.
+    *
+    * Scale: two scans (one for the min/max bounds — a 2-long broadcast —
+    * one for the classification), one partial-agg shuffle on the
+    * entity key for the purge set (broadcast back), one on the label for
+    * the report. The purge set is |entities-in-embargo| — bounded by the
+    * embargo width, naturally small; at pathological widths it degrades
+    * to a shuffle join, same semantics.
+    */
+  def purgedTemporalSplit(events: DataFrame, entityCol: String,
+      tsSecCol: Column, labelCol: String,
+      trainPctOfSpan: Int = 60, embargoPctOfSpan: Int = 5): DataFrame = {
+    require(trainPctOfSpan > 0 && embargoPctOfSpan >= 0 &&
+      trainPctOfSpan + embargoPctOfSpan < 100,
+      "purgedTemporalSplit: need 0 < train, 0 <= embargo, train+embargo < 100")
+    val bounds = events.agg(min(tsSecCol).as("__lo"), max(tsSecCol).as("__hi"))
+      .select(col("__lo"),
+        (col("__lo") +
+          expr(s"((__hi - __lo) * $trainPctOfSpan) div 100")).as("__t1"),
+        (col("__lo") + expr(
+          s"((__hi - __lo) * ${trainPctOfSpan + embargoPctOfSpan}) div 100"))
+          .as("__t2"))
+    val tagged = events
+      .select(col(entityCol).as("__e"), tsSecCol.as("__s"),
+        col(labelCol).as("__lbl"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("__zone",
+        when(col("__s") <= col("__t1"), "train")
+          .when(col("__s") < col("__t2"), "embargo")
+          .otherwise("test"))
+    val purged = tagged.filter(col("__zone") === "embargo")
+      .select(col("__e")).distinct().withColumn("__purge", lit(true))
+    tagged.join(broadcast(purged), Seq("__e"), "left")
+      .groupBy(col("__lbl").as(labelCol))
+      .agg(
+        sum(when(col("__zone") === "train", 1L).otherwise(0L))
+          .as("n_train"),
+        sum(when(col("__zone") === "embargo", 1L).otherwise(0L))
+          .as("n_embargo"),
+        sum(when(col("__zone") === "test" && col("__purge").isNull, 1L)
+          .otherwise(0L)).as("n_test"),
+        sum(when(col("__zone") === "test" && col("__purge").isNotNull, 1L)
+          .otherwise(0L)).as("n_test_purged"),
+        min(col("__t1")).as("t_cut"),
+        min(col("__t2")).as("t_test_start"))
+  }
 }

@@ -730,4 +730,82 @@ object Similarity {
           col("__dot") / (sqrt(col("__na2")) * sqrt(col("__nb2"))))
           .otherwise(lit(null).cast("double")).as("centroid_cos"))
   }
+
+  /** Johnson–Lindenstrauss projection distortion audit: project the
+    * embeddings down to `outDims` with the deterministic [[planeWeight]]
+    * matrix (uniform in [-1, 1) ⇒ per-entry variance 1/3, so the
+    * unbiased squared-distance estimator is `(3/outDims)·‖Pa − Pb‖²`)
+    * and report, for every pair of a deterministic probe set, how far
+    * the projected squared distance strays from the true one. This is
+    * the acceptance gauge run before swapping a cheap projected index in
+    * for full-width vectors (the JL lemma promises ratios near 1; the
+    * audit measures the actual spread on YOUR data).
+    *
+    * Determinism: the projection and squared-distance folds accumulate
+    * per-element terms in exact DECIMAL(38,12) via `graft_dsum` and
+    * convert to double once — order- and engine-independent. (A plain
+    * double fold is NOT oracle-safe here: DuckDB's `list_reduce` does
+    * not accumulate strictly left-to-right on computed double lists —
+    * observed 1-ULP drift vs the unrolled left chain — so any oracle
+    * that hash-checks a raw 64-term double fold is betting on luck.
+    * The sign-only LSH folds in [[lshBuckets]] are immune; exact-value
+    * folds are not.) The remaining per-pair arithmetic is a short fixed
+    * chain of IEEE ops identical in both engines.
+    *
+    * Scale: the probe set (`probeIds`, bounded) is filtered with id
+    * pushdown, exploded to (id, dim, x) — |probe|·dims rows — and
+    * everything after is O(|probe|²·dims) on tiny frames; the corpus is
+    * touched once.
+    */
+  def jlDistortion(emb: DataFrame, idCol: String, vecCol: String,
+      probeIds: Seq[Long], outDims: Int = 16, seed: Int = 7,
+      dims: Int = 64): DataFrame = {
+    require(outDims > 0 && outDims <= dims,
+      s"jlDistortion: outDims must be in 1..$dims")
+    require(probeIds.nonEmpty, "jlDistortion: empty probe set")
+    val scale = 3.0 / outDims.toDouble
+    def dsum(c: Column): Column =
+      call_function("graft_dsum", c, lit(12))
+    val ex = emb.filter(col(idCol).isin(probeIds: _*))
+      .select(col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("__dim", "__x")))
+      .select(col("__id"), col("__dim"),
+        col("__x").cast("double").as("__xd"))
+    // per-row projections: y_p = Σ_d x_d·w_pd, each term rounded into
+    // DECIMAL(38,12) and summed exactly (element_at is 1-based;
+    // scale 12 keeps the scaled sum below 2^53, where the decimal→double
+    // finish is a single exact-int division both engines round identically)
+    val ys = ex.groupBy(col("__id"))
+      .agg(dsum(col("__xd") *
+          element_at(array((0 until dims).map(d =>
+            lit(planeWeight(seed, 0, d))): _*), col("__dim") + 1))
+          .as("__y0"),
+        (1 until outDims).map { p =>
+          val w = array((0 until dims).map(d =>
+            lit(planeWeight(seed, p, d))): _*)
+          dsum(col("__xd") * element_at(w, col("__dim") + 1)).as(s"__y$p")
+        }: _*)
+    // exact pairwise original distance from the exploded form
+    val ea = ex.toDF("__ida", "__dima", "__xa")
+    val eb = ex.toDF("__idb", "__dimb", "__xb")
+    val d2o = ea.join(eb,
+        col("__dima") === col("__dimb") && col("__ida") < col("__idb"))
+      .groupBy(col("__ida"), col("__idb"))
+      .agg(dsum((col("__xa") - col("__xb")) * (col("__xa") - col("__xb")))
+        .as("d2_orig"))
+    val ya = ys.toDF(ys.columns.map(_ + "_a").toIndexedSeq: _*)
+    val yb = ys.toDF(ys.columns.map(_ + "_b").toIndexedSeq: _*)
+    val d2p = (0 until outDims).map { p =>
+      val d = col(s"__y${p}_a") - col(s"__y${p}_b")
+      d * d
+    }.reduce(_ + _)
+    d2o
+      .join(broadcast(ya), col("__ida") === col("__id_a"))
+      .join(broadcast(yb), col("__idb") === col("__id_b"))
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
+        col("d2_orig"), (d2p * lit(scale)).as("d2_proj"))
+      .withColumn("ratio",
+        when(col("d2_orig") > 0, col("d2_proj") / col("d2_orig"))
+          .otherwise(lit(null).cast("double")))
+  }
 }
