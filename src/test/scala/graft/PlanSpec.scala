@@ -513,4 +513,47 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "1-row matrices and audits must ride broadcasts")
   }
+
+  test("DSIR: bounded feature tables broadcast; no cartesian shapes (q173)") {
+    val p = plan("q173_dsir_weights")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      "target/raw feature tables (<= buckets rows) and totals must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"), "top-k is partial, not a global sort")
+  }
+
+  test("PageRank: inflow sums partial-aggregate; only equi-joins (q174)") {
+    val p = plan("q174_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "every PR round is equi-join + partial agg — nothing quadratic")
+    assert(p.contains("TakeOrderedAndProject"))
+    // the damping update must not re-derive the node count per row: the
+    // count is a driver literal, so no scalar-subquery node survives
+    assert(!p.toLowerCase.contains("subquery"), "node count is a driver literal")
+  }
+
+  test("JL distortion: probe filter pushes to the scan; corpus read once " +
+      "per consumer, never joined at full width (q175)") {
+    val p = plan("q175_jl_distortion")
+    assert("PushedFilters: \\[In\\(vec_id".r.findFirstIn(p).nonEmpty ||
+      p.contains("vec_id IN"), "probe-id filter must reach the parquet scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("purged split: bounds and purge set ride broadcasts; one label " +
+      "rollup shuffle (q176)") {
+    val p = plan("q176_purged_split")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      "2-long bounds and the embargo-entity set must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("record linkage: blocking is an equi-join, comparisons are " +
+      "scan-side (q177)") {
+    val p = plan("q177_record_linkage")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "the block key must drive an equi-join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no all-pairs shapes — blocking bounds the candidate set")
+  }
 }
