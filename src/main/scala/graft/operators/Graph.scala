@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Link analysis over an edge list — the corpus-graph stage of a training
   * pipeline (rank domains/hosts by citation structure, weight documents by
@@ -56,8 +55,11 @@ object Graph {
     val e = graft.core.Stats.PlanCache.register(
       edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst")))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // nodes feed iterations+1 consumers plus the count — cache alongside
+    // the edge list
+    val nodes = graft.core.Stats.PlanCache.register(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
     // the only driver-side value: the node count (one long)
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
@@ -76,10 +78,12 @@ object Graph {
           col("node") === col("__sn"))
         .select(col("__sn").as("src"),
           (col("rank") / col("__deg").cast("double")).as("__c"))
+      // graft_dsum = the int128 exact-decimal sum, bit-identical to
+      // SUM(CAST(__c AS DECIMAL(38,12))) cast back to double but ~3.5x
+      // faster (expressions/DecimalSum.scala)
       val inflow = e.join(share, "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("__c").cast(DecimalType(38, 12))).as("__s"))
-        .select(col("node"), col("__s").cast("double").as("__s"))
+        .agg(call_function("graft_dsum", col("__c"), lit(12)).as("__s"))
       ranks = nodes.join(inflow, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + lit(damping) * coalesce(col("__s"), lit(0.0)))
