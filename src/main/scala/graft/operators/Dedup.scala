@@ -794,4 +794,101 @@ object Dedup {
       .orderBy(col("n_shared").desc, col("id_a").asc, col("id_b").asc)
       .limit(topK)
   }
+
+  /** Exact duplicated-span report (the k-gram-resolution form of
+    * suffix-array substring dedup, Lee et al. "Deduplicating Training
+    * Data Makes Language Models Better"): every position whose k-gram
+    * occurs elsewhere in the corpus is "duplicated"; overlapping
+    * duplicated k-grams merge into MAXIMAL spans, reported per document
+    * (count, token mass, longest). This is the report that drives span
+    * excision / memorization audits — a shared run of length L ≥ k
+    * produces L − k + 1 duplicated starts that merge into one span of
+    * exactly L tokens.
+    *
+    * Interval merging needs no fold: start positions are sorted per doc
+    * and all intervals have length k, so ends are monotone and a span
+    * breaks exactly where `pos − lag(pos) > k − 1` — one doc-partitioned
+    * window, integers only.
+    *
+    * Scale: grams ship as md5 hashes (16 B), the df count reduces
+    * map-side on a uniform key, the dup-start join is hash-keyed, and
+    * every window partitions by doc — millions of small partitions. Text
+    * never shuffles.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minDf: Long = 2L): DataFrame = {
+    require(k >= 2, s"dupSpans: k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol), split(col(textCol), " ").as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col(idCol), size(col("tk")).cast("long").as("n_tokens"),
+        posexplode(expr(
+          s"transform(sequence(0, size(tk) - $k), " +
+            s"i -> md5(array_join(slice(tk, i + 1, $k), ' ')))"))
+          .as(Seq("pos", "h")))
+    val df = grams.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+    val dupStarts = grams.join(df.filter(col("__df") >= minDf), "h")
+      .select(col(idCol), col("n_tokens"), col("pos"))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = dupStarts
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(wDoc) <= k - 1, 0L)
+          .otherwise(1L))
+      .withColumn("__span", sum(col("__new")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__span"))
+      .agg(min(col("n_tokens")).as("n_tokens"),
+        (max(col("pos")).cast("long") - min(col("pos")).cast("long") +
+          lit(k.toLong)).as("__len"))
+    spans.groupBy(col(idCol))
+      .agg(min(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_spans"),
+        sum(col("__len")).as("dup_tokens"),
+        max(col("__len")).as("longest_span"))
+      .withColumn("dup_frac",
+        col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Directional containment pairs: `|grams(a) ∩ grams(b)| / |grams(a)|`
+    * — the asymmetric near-dup relation Jaccard misses (a tweet quoted
+    * inside an article has tiny Jaccard but containment ≈ 1). Candidates
+    * come from shared distinct n-gram hashes with a document-frequency
+    * cap (a gram in more than `maxDf` docs is boilerplate, not evidence,
+    * and would otherwise quadratically blow up the pair fan-out — the
+    * PPJoin-style frequency prune).
+    *
+    * Counts are exact integers over the KEPT grams on both sides of the
+    * ratio, so the df cap changes candidate recall, never correctness of
+    * the reported ratio; one IEEE division finishes.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxDf: Long = 50L, minContainment: Double = 0.5,
+      topK: Int = 100): DataFrame = {
+    require(n >= 1, s"containmentPairs: n must be >= 1, got $n")
+    val grams = docs
+      .select(col(idCol), split(col(textCol), " ").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col(idCol), explode(expr(
+        s"array_distinct(transform(sequence(0, size(tk) - $n), " +
+          s"i -> md5(array_join(slice(tk, i + 1, $n), ' '))))")).as("h"))
+    val df = grams.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+    val kept = grams.join(df.filter(col("__df") <= maxDf), "h")
+    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val inter = kept.select(col("h"), col(idCol).as("id_a"))
+      .join(kept.select(col("h"), col(idCol).as("id_b")), "h")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
+        col("n_b"),
+        (col("n_common").cast("double") / col("n_a").cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+      .orderBy(col("containment").desc, col("id_a"), col("id_b"))
+      .limit(topK)
+  }
 }

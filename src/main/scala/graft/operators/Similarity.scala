@@ -808,4 +808,130 @@ object Similarity {
         when(col("d2_orig") > 0, col("d2_proj") / col("d2_orig"))
           .otherwise(lit(null).cast("double")))
   }
+
+  /** Centroid silhouette — the clustering-quality audit in its
+    * scale-honest form: the classic silhouette needs all pairwise
+    * point-to-point distances (O(n²), dead at corpus size), so this uses
+    * the standard centroid approximation — `a` = distance to the nearest
+    * centroid (the assignment), `b` = distance to the second-nearest,
+    * `s = (b − a) / max(a, b)` — one number per cluster telling you
+    * which clusters are well-separated and which are mush. Centroids are
+    * the `nClusters` lowest-id vectors (the [[ivfAssign]] seed
+    * convention, SQL-replicable — no trained state in the oracle path).
+    *
+    * Determinism: squared distances fold per (point, centroid) through
+    * exact `graft_dsum` DECIMAL(38,12) on the exploded dim join (the
+    * [[jlDistortion]] discipline); sqrt / subtract / divide / compare
+    * finish per point; per-cluster means accumulate the silhouettes in
+    * decimal again.
+    *
+    * Scale: the dim-level join fans out n·dims·k rows but reduces
+    * map-side into n·k sums; the per-point top-2 is a k-bounded sort
+    * inside one row group; nothing collects, centroids broadcast.
+    */
+  def centroidSilhouette(emb: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int): DataFrame = {
+    require(nClusters >= 2, "centroidSilhouette: need >= 2 clusters")
+    import org.apache.spark.sql.expressions.Window
+    def dsum(c: Column): Column = call_function("graft_dsum", c, lit(12))
+    val ex = emb.select(col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("__dim", "__x")))
+      .select(col("__id"), col("__dim"), col("__x").cast("double").as("__x"))
+    val cx = emb.filter(col(idCol) < nClusters)
+      .select(col(idCol).as("__cid"),
+        posexplode(col(vecCol)).as(Seq("__cdim", "__c")))
+      .select(col("__cid"), col("__cdim"), col("__c").cast("double").as("__c"))
+    val d2 = ex.join(broadcast(cx), col("__dim") === col("__cdim"))
+      .groupBy(col("__id"), col("__cid"))
+      .agg(dsum((col("__x") - col("__c")) * (col("__x") - col("__c")))
+        .as("__d2"))
+    val wPt = Window.partitionBy(col("__id"))
+      .orderBy(col("__d2"), col("__cid"))
+    val ranked = d2.withColumn("__rk", row_number().over(wPt))
+      .filter(col("__rk") <= 2)
+    val a = ranked.filter(col("__rk") === 1)
+      .select(col("__id"), col("__cid").as("cluster"),
+        sqrt(col("__d2")).as("__a"))
+    val b = ranked.filter(col("__rk") === 2)
+      .select(col("__id"), sqrt(col("__d2")).as("__b"))
+    val sil = a.join(b, "__id")
+      .select(col("cluster"),
+        when(greatest(col("__a"), col("__b")) > 0,
+          (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+          .otherwise(lit(0.0)).as("__s"))
+    sil.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        (dsum(col("__s")) / count(lit(1)).cast("double"))
+          .as("mean_silhouette"),
+        min(col("__s")).as("min_silhouette"),
+        max(col("__s")).as("max_silhouette"))
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019): score a
+    * cross-corpus pair not by raw cosine but by how much it stands out
+    * against each side's OTHER nearest neighbors —
+    * `margin(x,y) = cos(x,y) / (0.5·(rx + ry))`, where `rx`/`ry` are the
+    * mean top-`kNeigh` cosines of x into the target side and y into the
+    * source side. Hub vectors (close to everything) get discounted;
+    * genuine translation/near-duplicate pairs across shards stand out.
+    *
+    * Determinism: cosines build from `graft_dsum` DECIMAL(38,12) folds
+    * of the exploded dim join (dot and both norms), the top-k means
+    * accumulate in decimal, and the margin is a fixed chain of IEEE ops.
+    *
+    * Scale: this exact form scores |S|·|T| pairs — the audit/recall-
+    * ceiling configuration for bounded slices. The production path at
+    * corpus size generates candidates first (LSH buckets or IVF probes,
+    * [[annMultiProbe]]) and applies the same margin to candidates only;
+    * the scoring plan is identical, only the pair source changes.
+    */
+  def marginMining(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, srcLabel: Int, tgtLabel: Int, kNeigh: Int = 4,
+      topK: Int = 50): DataFrame = {
+    require(kNeigh >= 1 && topK >= 1, "marginMining: kNeigh, topK >= 1")
+    import org.apache.spark.sql.expressions.Window
+    def dsum(c: Column): Column = call_function("graft_dsum", c, lit(12))
+    def side(label: Int, pre: String): DataFrame =
+      emb.filter(col(labelCol) === label)
+        .select(col(idCol).as(s"${pre}id"),
+          posexplode(col(vecCol)).as(Seq(s"${pre}dim", s"${pre}x")))
+        .select(col(s"${pre}id"), col(s"${pre}dim"),
+          col(s"${pre}x").cast("double").as(s"${pre}x"))
+    val sx = side(srcLabel, "s_")
+    val tx = side(tgtLabel, "t_")
+    val norms = emb.filter(col(labelCol).isin(srcLabel, tgtLabel))
+      .select(col(idCol).as("__nid"),
+        posexplode(col(vecCol)).as(Seq("__ndim", "__nx")))
+      .groupBy(col("__nid"))
+      .agg(sqrt(dsum(col("__nx").cast("double") * col("__nx").cast("double")))
+        .as("__norm"))
+    val cos = sx.join(tx, col("s_dim") === col("t_dim"))
+      .groupBy(col("s_id"), col("t_id"))
+      .agg(dsum(col("s_x") * col("t_x")).as("__dot"))
+      .join(broadcast(norms.select(col("__nid").as("s_id"),
+        col("__norm").as("__ns"))), "s_id")
+      .join(broadcast(norms.select(col("__nid").as("t_id"),
+        col("__norm").as("__nt"))), "t_id")
+      .select(col("s_id"), col("t_id"),
+        (col("__dot") / (col("__ns") * col("__nt"))).as("cos"))
+    val wS = Window.partitionBy(col("s_id"))
+      .orderBy(col("cos").desc, col("t_id"))
+    val wT = Window.partitionBy(col("t_id"))
+      .orderBy(col("cos").desc, col("s_id"))
+    val flagged = cos
+      .withColumn("__rs", row_number().over(wS))
+      .withColumn("__rt", row_number().over(wT))
+    val rx = flagged.filter(col("__rs") <= kNeigh)
+      .groupBy(col("s_id"))
+      .agg((dsum(col("cos")) / count(lit(1)).cast("double")).as("__rx"))
+    val ry = flagged.filter(col("__rt") <= kNeigh)
+      .groupBy(col("t_id"))
+      .agg((dsum(col("cos")) / count(lit(1)).cast("double")).as("__ry"))
+    cos.join(broadcast(rx), "s_id").join(broadcast(ry), "t_id")
+      .select(col("s_id"), col("t_id"), col("cos"),
+        (col("cos") / ((col("__rx") + col("__ry")) * lit(0.5)))
+          .as("margin"))
+      .orderBy(col("margin").desc, col("s_id"), col("t_id"))
+      .limit(topK)
+  }
 }

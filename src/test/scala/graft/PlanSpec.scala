@@ -556,4 +556,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "no all-pairs shapes — blocking bounds the candidate set")
   }
+
+  test("dup spans: grams ship as md5 hashes, text never shuffles; windows " +
+      "partition by doc (q178)") {
+    val p = plan("q178_dup_spans")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.toLowerCase.contains("no partition defined"),
+      "span windows must be doc-partitioned")
+    // the df join keys on the 32-char hash, not raw text: no `text` column
+    // survives past the scan projection into an Exchange
+    val exchanges = p.split("Exchange").drop(1)
+    assert(exchanges.forall(e => !e.take(200).contains("text#")),
+      "shuffles must carry hashes and positions, never document text")
+  }
+
+  test("containment: pair fan-out is hash-keyed; df cap applies before " +
+      "the pair join (q180)") {
+    val p = plan("q180_containment")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("silhouette: centroid rows broadcast; distances partial-aggregate " +
+      "(q179)") {
+    val p = plan("q179_silhouette")
+    assert(p.contains("BroadcastExchange"), "8 centroid rows must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert("PushedFilters: \\[.*LessThan\\(vec_id".r.findFirstIn(p).nonEmpty ||
+      p.contains("vec_id <"), "centroid-seed filter pushes to the scan")
+  }
+
+  test("margin mining: neighborhood means ride broadcasts; no quadratic " +
+      "join beyond the bounded side pair (q181)") {
+    val p = plan("q181_margin_mining")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      "norms and top-k means are side-sized — they must broadcast")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
 }
