@@ -1072,4 +1072,43 @@ object Stats {
             (col("__na").cast(dec) * col("__nb").cast(dec)).cast("double"))
           .otherwise(lit(1.0)).as("ks"))
   }
+
+  /** Theil–Sen robust trend per group: the MEDIAN of all pairwise slopes
+    * `(y_j − y_i)/(x_j − x_i)` over the group's (x, y) rollup points —
+    * immune to the outlier days that wreck [[groupedTrend]]'s
+    * least-squares slope (breakdown point 29%). Exact: each slope is one
+    * IEEE division of exact aggregates, the median is the exact middle
+    * slope (odd count) or the mean of the two middles (one add + one
+    * halving).
+    *
+    * Scale: the input must already be a bounded-cardinality rollup (days,
+    * hours, buckets — the same contract as groupedTrend); the pair join
+    * is per-group O(D²) on those rollup rows, never on raw events, and
+    * the median window sorts ≤ D² slopes per group. For D in the
+    * thousands, sample the x domain first — the estimator is defined on
+    * any x subset.
+    */
+  def theilSenTrend(rollup: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = rollup.select(col(groupCol).as("__g"), col(xCol).as("__xa"),
+      col(yCol).as("__ya"))
+    val b = rollup.select(col(groupCol).as("__g"), col(xCol).as("__xb"),
+      col(yCol).as("__yb"))
+    val slopes = a.join(b, Seq("__g"))
+      .filter(col("__xa") < col("__xb"))
+      .select(col("__g"),
+        ((col("__yb") - col("__ya")).cast("double") /
+          (col("__xb") - col("__xa")).cast("double")).as("__s"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__s"))
+    val ranked = slopes
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
+    ranked
+      .filter(col("__rk") === expr("(__n + 1) div 2") ||
+        col("__rk") === expr("__n div 2 + 1"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(min(col("__n")).as("n_slopes"),
+        ((min(col("__s")) + max(col("__s"))) / 2.0).as("theil_sen_slope"))
+  }
 }

@@ -891,4 +891,43 @@ object Dedup {
       .orderBy(col("containment").desc, col("id_a"), col("id_b"))
       .limit(topK)
   }
+
+  /** Cross-source duplication matrix: for every pair of corpus slices,
+    * how many distinct n-gram shingles they share — the all-pairs form of
+    * the per-source data card's dup column, pointing at which feeds are
+    * re-crawling each other. Overlap coefficient `|∩|/min(|A|,|B|)` so a
+    * small feed fully contained in a big one reads 1.0.
+    *
+    * Scale: gram sets reduce to (source, hash) DISTINCT rows — the join
+    * fans out per shared gram but sources are few, and the per-pair
+    * aggregate is |sources|²-bounded. A gram present in many sources
+    * contributes one row per source pair sharing it — cap pathological
+    * grams upstream with [[containmentPairs]]' df prune if slices share
+    * boilerplate.
+    */
+  def crossSourceDupMatrix(docs: DataFrame, sourceCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"crossSourceDupMatrix: n must be >= 1, got $n")
+    val grams = docs
+      .select(col(sourceCol).as("__src"), split(col(textCol), " ").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("__src"), explode(expr(
+        s"array_distinct(transform(sequence(0, size(tk) - $n), " +
+          s"i -> md5(array_join(slice(tk, i + 1, $n), ' '))))")).as("h"))
+      .distinct()
+    val sizes = grams.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+    grams.select(col("h"), col("__src").as("src_a"))
+      .join(grams.select(col("h"), col("__src").as("src_b")), "h")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("__src").as("src_a"),
+        col("__n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("__src").as("src_b"),
+        col("__n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        (col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("overlap"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -524,5 +524,35 @@ object Events {
         count(lit(1)).as("n_events"))
       .orderBy(col("decayed_score").desc, col(userCol).asc)
       .limit(topK)
+  }
+
+  /** Hour-of-week seasonality profile: per (label, hour-of-week 0..167)
+    * the event count, exact mean value, and the LIFT of that hour against
+    * the label's flat-profile expectation (`168·n_hour / n_label`) — the
+    * load-shape fingerprint that separates organic diurnal traffic from
+    * scripted flat-rate clients, and the baseline a rate-anomaly monitor
+    * normalizes against. Hours are epoch-aligned (hour 0 = Thursday
+    * 00:00 UTC), which is a labeling convention, not a semantic choice.
+    *
+    * Everything is exact integers plus one division per output; the plan
+    * is one partial-aggregated rollup on (label, hour) joined to the
+    * label totals (broadcast — label cardinality is small by
+    * construction).
+    */
+  def hourOfWeekProfile(events: DataFrame, labelCol: String,
+      tsSecCol: Column, valueCol: Column): DataFrame = {
+    val base = events.select(col(labelCol).as("__lbl"),
+        tsSecCol.cast("long").as("__s"), valueCol.cast("double").as("__v"))
+      .withColumn("how", expr("(__s div 3600) % 168"))
+    val per = base.groupBy(col("__lbl"), col("how"))
+      .agg(count(lit(1)).as("n"),
+        call_function("graft_dsum", col("__v"), lit(6)).as("__sv"))
+    val tot = base.groupBy(col("__lbl"))
+      .agg(count(lit(1)).as("__ntot"))
+    per.join(broadcast(tot), "__lbl")
+      .select(col("__lbl").as(labelCol), col("how"), col("n"),
+        (col("__sv") / col("n").cast("double")).as("mean_value"),
+        ((lit(168L) * col("n")).cast("double") /
+          col("__ntot").cast("double")).as("lift"))
   }
 }

@@ -126,4 +126,70 @@ class Round14OpsSpec extends SparkSpec {
     assert(r(0).getDouble(2) > 0.99, "twin cosine ~1")
     assert(r(0).getDouble(3) > 1.0, "margin > 1 = stands out from neighbors")
   }
+
+  // ---- Dedup.crossSourceDupMatrix -----------------------------------------
+
+  test("crossSourceDupMatrix: shared grams count once, disjoint pairs absent") {
+    val docs = Seq(
+      ("a", "one two three four"),
+      ("a", "one two three five"),   // re-states a's "one two three"
+      ("b", "zz one two three ww"),
+      ("c", "totally different text here")).toDF("source", "text")
+    val r = Dedup.crossSourceDupMatrix(docs, "source", "text", n = 3)
+      .orderBy("src_a", "src_b").collect()
+    assert(r.length === 1, "only (a,b) share grams")
+    val ab = r(0)
+    assert(ab.getString(0) === "a" && ab.getString(1) === "b")
+    assert(ab.getLong(2) === 1L, "the one shared gram is 'one two three'")
+    // a: {one two three, two three four, two three five} = 3 distinct
+    // b: {zz one two, one two three, two three ww} = 3 distinct
+    assert(ab.getLong(3) === 3L && ab.getLong(4) === 3L)
+    assert(ab.getDouble(5) === 1.0 / 3.0)
+  }
+
+  // ---- Stats.theilSenTrend ------------------------------------------------
+
+  test("theilSenTrend: one wild outlier day cannot move the median slope") {
+    val roll = (Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L), (4L, 1000L))
+      .map { case (x, y) => ("g", x, y) })
+      .toDF("grp", "x", "y")
+    val r = graft.core.Stats.theilSenTrend(roll, "grp", "x", "y").collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 10L, "C(5,2) pairwise slopes")
+    assert(r(0).getDouble(2) === 1.0,
+      "median of [1x6, 250, 333, 499, 997] is exactly 1")
+    // least squares on the same points is dragged far above 1
+    val ls = graft.core.Stats.groupedTrend(roll, "grp", "x", "y").collect()
+    assert(ls(0).getDouble(ls(0).fieldIndex("slope")) > 100.0)
+  }
+
+  test("theilSenTrend: even slope count averages the two middles") {
+    // points (0,0),(1,0),(2,6): slopes 0, 3, 6 → median 3 (odd);
+    // add (3,6): slopes 0,3,2,6,3,0 sorted [0,0,2,3,3,6] → (2+3)/2
+    val roll = Seq(("g", 0L, 0L), ("g", 1L, 0L), ("g", 2L, 6L),
+      ("g", 3L, 6L)).toDF("grp", "x", "y")
+    val r = graft.core.Stats.theilSenTrend(roll, "grp", "x", "y").collect()
+    assert(r(0).getLong(1) === 6L && r(0).getDouble(2) === 2.5)
+  }
+
+  // ---- Events.hourOfWeekProfile -------------------------------------------
+
+  test("hourOfWeekProfile: exact lifts and means on a hand profile") {
+    val ev = Seq(
+      ("x", 5L * 3600 + 10, 2.0), ("x", 5L * 3600 + 900, 4.0),
+      ("x", 173L * 3600, 6.0),   // 173 % 168 = 5 → same hour-of-week
+      ("x", 10L * 3600, 10.0))
+      .toDF("event_type", "s", "value")
+    val r = graft.operators.Events.hourOfWeekProfile(ev, "event_type",
+      org.apache.spark.sql.functions.col("s"),
+      org.apache.spark.sql.functions.col("value"))
+      .orderBy("how").collect()
+    assert(r.length === 2)
+    val h5 = r(0)
+    assert(h5.getLong(1) === 5L && h5.getLong(2) === 3L)
+    assert(h5.getDouble(3) === 4.0, "(2+4+6)/3 exactly")
+    assert(h5.getDouble(4) === 168.0 * 3 / 4)
+    val h10 = r(1)
+    assert(h10.getLong(1) === 10L && h10.getDouble(4) === 42.0)
+  }
 }
