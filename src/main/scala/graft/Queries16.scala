@@ -341,7 +341,7 @@ object Queries16 {
       |  SELECT *, SQRT(SQRT(CAST(tokens AS DOUBLE))) *
       |    SQRT(CAST(tokens AS DOUBLE)) AS wr FROM g),
       |d AS (
-      |  SELECT CAST(SUM(CAST(wr AS DECIMAL(38,18))) AS DOUBLE) AS den
+      |  SELECT CAST(SUM(CAST(CAST(wr AS VARCHAR) AS DECIMAL(38,9))) AS DOUBLE) AS den
       |  FROM w),
       |t AS (
       |  SELECT source, n_docs, tokens, (wr / den) AS weight,

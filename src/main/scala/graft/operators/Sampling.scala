@@ -292,8 +292,13 @@ object Sampling {
       case 4 => x
     }
     val raw = g.withColumn("__w", wr)
+    // scale 9, not 18: wr values are O(10²-10⁵), so the scaled int sum
+    // stays far below 2^53 — the decimal→double finish is then a single
+    // exact-int division both engines round identically, and the 1e-9
+    // grain towers over the repr-vs-binary cast gap (the q174/q175
+    // lesson: deep scales turn each cast into a cross-engine lottery)
     val den = raw.agg(
-      call_function("graft_dsum", col("__w"), lit(18)).as("__den"))
+      call_function("graft_dsum", col("__w"), lit(9)).as("__den"))
     // degenerate-corpus guard (empty input, or every group at 0 tokens):
     // a zero denominator would silently turn every weight into NaN/null.
     // assert_true is null on pass, so the coalesce keeps it in the plan
