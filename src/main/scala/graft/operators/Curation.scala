@@ -192,4 +192,45 @@ object Curation {
           (col("n_docs").cast("double") * col("n_docs").cast("double")))
           .as("lang_simpson"))
   }
+
+  /** Curation waterfall: how many documents (and how much token mass)
+    * survive each successive filter stage — the report every corpus
+    * build publishes. `stageCols` are pre-computed boolean columns on
+    * `df` in pipeline order; stage `i`'s survivors are the docs passing
+    * stages 1..i CONJUNCTIVELY (a doc dropped at stage 2 never reaches
+    * stage 3, like the real pipeline), and stage 0 is the unfiltered
+    * input.
+    *
+    * One aggregation computes every stage's counters in a single pass
+    * (no per-stage scans), then a bounded `stack` unpivots them into one
+    * row per stage with the retention fraction against the previous
+    * stage. Exact integers; two divisions per row.
+    */
+  def waterfall(df: DataFrame, tokenCol: Column,
+      stageCols: Seq[String]): DataFrame = {
+    require(stageCols.nonEmpty, "waterfall: at least one stage")
+    val cums = stageCols.scanLeft(lit(true))((acc, c) => acc && col(c)).tail
+    val aggCols =
+      (count(lit(1)).as("n0") +: sum(tokenCol.cast("long")).as("t0") +:
+        cums.zipWithIndex.flatMap { case (c, i) =>
+          Seq(sum(when(c, 1L).otherwise(0L)).as(s"n${i + 1}"),
+            sum(when(c, tokenCol.cast("long")).otherwise(0L))
+              .as(s"t${i + 1}"))
+        })
+    val one = df.agg(aggCols.head, aggCols.tail: _*)
+    val names = "input" +: stageCols
+    val stackArgs = names.zipWithIndex.map { case (nm, i) =>
+      s"${i}L, '$nm', n$i, t$i"
+    }.mkString(", ")
+    one.select(expr(
+        s"stack(${names.size}, $stackArgs) AS (stage, stage_name, n_docs, n_tokens)"))
+      .withColumn("prev_docs",
+        lag(col("n_docs"), 1).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("stage"))))
+      .select(col("stage"), col("stage_name"), col("n_docs"),
+        col("n_tokens"),
+        when(col("prev_docs") > 0,
+          col("n_docs").cast("double") / col("prev_docs").cast("double"))
+          .otherwise(lit(null).cast("double")).as("retention"))
+  }
 }

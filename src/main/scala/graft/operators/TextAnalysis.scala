@@ -715,4 +715,72 @@ object TextAnalysis {
         (col("__s") / col("n_pairs").cast("double")).as("mean_jaccard"),
         col("min_jaccard"), col("max_jaccard"))
   }
+
+  /** Gopher-style rule report (Rae et al. 2021 §A1.1, the rule bundle
+    * most production corpora are filtered with): per-document metrics and
+    * a boolean per rule, plus the conjunctive `keep` verdict. Emitting
+    * the FLAGS (not just the verdict) is the point — the report shows
+    * which rule is doing the killing, the first thing a curation review
+    * asks.
+    *
+    * Every metric is exact-integer counting plus at most one IEEE
+    * division; rules compare those exact values to literal thresholds,
+    * so the verdict is bit-deterministic. All row-local — a pure
+    * scan-side projection at any scale (the one aggregate-ish piece, the
+    * top-bigram share, is a per-row HOF over the doc's own tokens).
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 5, maxWords: Int = 100000,
+      minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 10.0,
+      minDistinctStopwords: Int = 2, minAlphaWordFrac: Double = 0.8,
+      maxTopBigramFrac: Double = 0.2,
+      stopwords: Seq[String] =
+        Seq("the", "a", "of", "to", "and", "in", "is", "that")): DataFrame = {
+    val tk = split(col("__text"), " ")
+    val nWords = size(tk).cast("long")
+    val charSum = expr(
+      "aggregate(split(__text, ' '), 0L, (s, w) -> s + length(w))")
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(array_intersect(array_distinct(tk), stopArr)).cast("long")
+    val nAlpha = expr(
+      "size(filter(split(__text, ' '), w -> w rlike '[A-Za-z]'))")
+      .cast("long")
+    // the doc's own most frequent adjacent bigram share: sort the bigram
+    // list, then the longest run of equal neighbors is the max count
+    val topBigram = expr(
+      """aggregate(
+        |  array_sort(transform(sequence(0, size(split(__text, ' ')) - 2),
+        |    i -> concat(split(__text, ' ')[i], ' ',
+        |                split(__text, ' ')[i + 1]))),
+        |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+        |  (s, g) -> named_struct(
+        |    'prev', g,
+        |    'run', IF(s.prev IS NOT NULL AND s.prev = g, s.run + 1L, 1L),
+        |    'best', GREATEST(s.best,
+        |      IF(s.prev IS NOT NULL AND s.prev = g, s.run + 1L, 1L))),
+        |  s -> s.best)""".stripMargin).cast("long")
+    val base = docs.select(col(idCol), col(textCol).as("__text"))
+      .select(col(idCol),
+        nWords.as("n_words"),
+        (charSum.cast("double") / nWords.cast("double"))
+          .as("mean_word_len"),
+        nStop.as("n_stopwords"),
+        (nAlpha.cast("double") / nWords.cast("double"))
+          .as("alpha_word_frac"),
+        when(nWords >= 2,
+          topBigram.cast("double") / (nWords - 1L).cast("double"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+    base.select(col(idCol), col("n_words"), col("mean_word_len"),
+        col("n_stopwords"), col("alpha_word_frac"), col("top_bigram_frac"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("pass_words"),
+        (col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen).as("pass_word_len"),
+        (col("n_stopwords") >= minDistinctStopwords).as("pass_stopwords"),
+        (col("alpha_word_frac") >= minAlphaWordFrac).as("pass_alpha"),
+        (col("top_bigram_frac") <= maxTopBigramFrac).as("pass_repetition"))
+      .withColumn("keep",
+        col("pass_words") && col("pass_word_len") && col("pass_stopwords") &&
+          col("pass_alpha") && col("pass_repetition"))
+  }
 }
