@@ -439,7 +439,8 @@ object Queries {
     Queries9.catalog ++ Queries10.catalog ++ Queries11.catalog ++
     Queries12.catalog ++ Queries13.catalog ++ Queries14.catalog ++
     Queries15.catalog ++ Queries16.catalog ++ Queries17.catalog ++
-    Queries18.catalog ++ Queries19.catalog ++ Queries20.catalog
+    Queries18.catalog ++ Queries19.catalog ++ Queries20.catalog ++
+    Queries21.catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map { case (n, d) => n -> d.fn }.toMap

@@ -873,7 +873,11 @@ object Dedup {
         s"array_distinct(transform(sequence(0, size(tk) - $n), " +
           s"i -> md5(array_join(slice(tk, i + 1, $n), ' '))))")).as("h"))
     val df = grams.groupBy(col("h")).agg(count(lit(1)).as("__df"))
-    val kept = grams.join(df.filter(col("__df") <= maxDf), "h")
+    // kept feeds three consumers (sizes + both pair-join sides); the
+    // bounded PlanCache pins the (id, 16-byte-hash) rows — far smaller
+    // than the text they came from — so the corpus scans once
+    val kept = graft.core.Stats.PlanCache.register(
+      grams.join(df.filter(col("__df") <= maxDf), "h"))
     val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val inter = kept.select(col("h"), col(idCol).as("id_a"))
       .join(kept.select(col("h"), col(idCol).as("id_b")), "h")
@@ -915,9 +919,10 @@ object Dedup {
         s"array_distinct(transform(sequence(0, size(tk) - $n), " +
           s"i -> md5(array_join(slice(tk, i + 1, $n), ' '))))")).as("h"))
       .distinct()
-    val sizes = grams.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
-    grams.select(col("h"), col("__src").as("src_a"))
-      .join(grams.select(col("h"), col("__src").as("src_b")), "h")
+    val cached = graft.core.Stats.PlanCache.register(grams)
+    val sizes = cached.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+    cached.select(col("h"), col("__src").as("src_a"))
+      .join(cached.select(col("h"), col("__src").as("src_b")), "h")
       .filter(col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_shared"))

@@ -555,4 +555,90 @@ object Events {
         ((lit(168L) * col("n")).cast("double") /
           col("__ntot").cast("double")).as("lift"))
   }
+
+  /** Exact-integer CUSUM changepoint scan per label: over the label's
+    * time-bucket counts (in bucket order), the classic one-sided CUSUM
+    * statistics for a rate INCREASE and DECREASE against the label's own
+    * flat baseline — but kept in pure integers by scaling through the
+    * bucket count: with `D` buckets and `T` total events,
+    * `s⁺_t = max(0, s⁺_{t-1} + (c_t·D − T))` accumulates `D·Σ(c − mean)`
+    * without ever forming the fractional mean, and the alarm fires when
+    * `s⁺ > h·T` (an `h`-mean-days cumulative excess). No floats anywhere
+    * — the whole scan is hash-exact by construction.
+    *
+    * Output per label: bucket span, totals, the max CUSUM in each
+    * direction and the FIRST alarm bucket (null if never). The fold runs
+    * over the label's assembled bucket array — per-label state is one
+    * six-long struct, and the array is rollup-sized (buckets, not
+    * events).
+    */
+  def cusumChangepoint(events: DataFrame, labelCol: String,
+      tsSecCol: Column, bucketSec: Long, h: Long = 2L): DataFrame = {
+    require(bucketSec > 0 && h > 0, "cusumChangepoint: bucketSec, h > 0")
+    val buck = events
+      .select(col(labelCol).as("__lbl"), tsSecCol.cast("long").as("__s"))
+      .withColumn("__b", expr(s"__s div $bucketSec"))
+      .groupBy(col("__lbl"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val folded = buck.groupBy(col("__lbl"))
+      .agg(sort_array(collect_list(struct(col("__b"), col("__c"))))
+        .as("__arr"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("__c")).as("total"))
+      .withColumn("__st", expr(
+        s"""aggregate(__arr,
+           |  named_struct('su', 0L, 'mu', 0L, 'fu', -1L,
+           |               'sd', 0L, 'md', 0L, 'fd', -1L),
+           |  (s, x) -> named_struct(
+           |    'su', GREATEST(0L, s.su + (x.__c * n_buckets - total)),
+           |    'mu', GREATEST(s.mu,
+           |      GREATEST(0L, s.su + (x.__c * n_buckets - total))),
+           |    'fu', IF(s.fu >= 0L, s.fu,
+           |      IF(GREATEST(0L, s.su + (x.__c * n_buckets - total)) >
+           |         $h * total, x.__b, -1L)),
+           |    'sd', GREATEST(0L, s.sd + (total - x.__c * n_buckets)),
+           |    'md', GREATEST(s.md,
+           |      GREATEST(0L, s.sd + (total - x.__c * n_buckets))),
+           |    'fd', IF(s.fd >= 0L, s.fd,
+           |      IF(GREATEST(0L, s.sd + (total - x.__c * n_buckets)) >
+           |         $h * total, x.__b, -1L))))""".stripMargin))
+    folded.select(col("__lbl").as(labelCol), col("n_buckets"), col("total"),
+      col("__st.mu").as("max_cusum_up"),
+      nullif(col("__st.fu"), lit(-1L)).as("up_changepoint"),
+      col("__st.md").as("max_cusum_down"),
+      nullif(col("__st.fd"), lit(-1L)).as("down_changepoint"))
+  }
+
+  /** Session sequence export: the per-session ORDERED event-type string
+    * (`view>click>purchase`) with size and duration — the
+    * behavioral-cloning / next-action training row an event log turns
+    * into. Sessions are the same gap-based windows as [[sessionize]];
+    * the sequence assembles from a sorted (ts, tiebreak, type) struct
+    * array, so it is deterministic under any partitioning.
+    *
+    * Scale: one user-key window + one session group-by; the sequence
+    * string lives only inside its own session row. Pathological sessions
+    * (bot streams) are the caller's gap/cap decision — compose with
+    * [[graft.operators.Sampling.quotaCap]] upstream when needed.
+    */
+  def sessionSequences(events: DataFrame, userCol: String,
+      tsSecCol: String, orderCol: String, typeCol: String, gapSecs: Long,
+      topK: Int = 100): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsSecCol), col(orderCol))
+    val gap = col(tsSecCol) - lag(col(tsSecCol), 1).over(w)
+    val isNew = when(gap.isNull || gap > gapSecs, 1L).otherwise(0L)
+    events
+      .withColumn("__new", isNew)
+      .withColumn("session_idx", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col(tsSecCol)) - min(col(tsSecCol))).as("duration_secs"),
+        expr(s"array_join(transform(array_sort(collect_list(" +
+          s"struct($tsSecCol, $orderCol, $typeCol))), x -> x.$typeCol)," +
+          " '>')").as("sequence"))
+      .orderBy(col("n_events").desc, col(userCol), col("session_idx"))
+      .limit(topK)
+  }
 }

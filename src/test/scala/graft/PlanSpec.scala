@@ -593,4 +593,47 @@ class PlanSpec extends SparkSpec {
       "norms and top-k means are side-sized — they must broadcast")
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("gopher rules are a pure scan-side projection: no joins, no " +
+      "aggregation (q185)") {
+    val p = plan("q185_gopher_rules")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "every rule metric is row-local")
+  }
+
+  test("waterfall computes all stages in ONE aggregation pass (q186)") {
+    val p = plan("q186_curation_waterfall")
+    assert(!p.contains("CartesianProduct"))
+    // every stage's counters come from ONE aggregation over the flag
+    // frame (the bounded stack unpivots its single row) — never a
+    // per-stage re-scan of the corpus
+    assert(p.contains("Generate") || p.contains("stack"),
+      "stage rows come from the stack unpivot")
+    // the containment stage's gram frame is pinned in the plan cache —
+    // its three consumers read cached (id, hash) rows, not re-derived text
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "hashed grams must come from the plan cache")
+  }
+
+  test("CUSUM folds over the bucket rollup in the aggregate — no window " +
+      "over raw events (q187)") {
+    val p = plan("q187_cusum_changepoint")
+    assert(!p.contains("Window"), "the scan state lives in the fold, not a window")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("session sequences: one user-partitioned window, counts partial-" +
+      "aggregate (q188)") {
+    val p = plan("q188_session_sequences")
+    assert(p.contains("Window"))
+    assert(!p.toLowerCase.contains("no partition defined"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("triangles: ordered two-join enumeration, equi-joins only (q189)") {
+    val p = plan("q189_triangles")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
 }

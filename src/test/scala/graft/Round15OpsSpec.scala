@@ -65,4 +65,62 @@ class Round15OpsSpec extends SparkSpec {
     assert(r(2).getDouble(4) === 2.0 / 3.0)
     assert(r(3).getDouble(4) === 0.5)
   }
+
+  test("cusumChangepoint: hand-walked step series, exact integer alarms") {
+    // 8 days: [1,1,1,1,5,5,5,5] → D=8, T=24, c·D−T = ±16
+    // up path:   0,0,0,0,16,32,48,64 → alarm (>2T=48) at day 7
+    // down path: 16,32,48,64,48,32,16,0 → alarm at day 3
+    val ev = (0 until 4).flatMap(d => Seq(("x", d.toLong * 86400))) ++
+      (4 until 8).flatMap(d => (0 until 5).map(_ => ("x", d.toLong * 86400)))
+    val df = ev.toDF("event_type", "s")
+    val r = graft.operators.Events.cusumChangepoint(df, "event_type",
+      col("s"), bucketSec = 86400L, h = 2L).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 8L && r(0).getLong(2) === 24L)
+    assert(r(0).getLong(3) === 64L, "max up CUSUM")
+    assert(r(0).getLong(4) === 7L, "up alarm on the last step day")
+    assert(r(0).getLong(5) === 64L, "max down CUSUM")
+    assert(r(0).getLong(6) === 3L, "down alarm before the rate recovers")
+  }
+
+  test("cusumChangepoint: a flat series never alarms") {
+    val ev = (0 until 10).map(d => ("x", d.toLong * 86400))
+      .toDF("event_type", "s")
+    val r = graft.operators.Events.cusumChangepoint(ev, "event_type",
+      col("s"), bucketSec = 86400L).collect()
+    assert(r(0).getLong(3) === 0L && r(0).isNullAt(4))
+    assert(r(0).getLong(5) === 0L && r(0).isNullAt(6))
+  }
+
+  test("sessionSequences: gap split, ordered sequence string, duration") {
+    val ev = Seq(
+      (1L, 0L, 100L, "view"), (1L, 10L, 101L, "click"),
+      (1L, 20L, 102L, "purchase"),
+      (1L, 4000L, 103L, "view"),
+      (2L, 5L, 200L, "error"))
+      .toDF("user_id", "s", "event_id", "event_type")
+    val r = graft.operators.Events.sessionSequences(ev, "user_id", "s",
+      "event_id", "event_type", gapSecs = 1800L, topK = 10)
+      .collect()
+    assert(r.length === 3)
+    assert(r(0).getLong(2) === 3L &&
+      r(0).getString(4) === "view>click>purchase")
+    assert(r(0).getLong(3) === 20L)
+    val singles = r.drop(1).map(_.getString(4)).toSet
+    assert(singles === Set("view", "error"))
+  }
+
+  test("triangleCounts: K4 yields 4 triangles, every node in 3") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("src", "dst")
+    val r = graft.operators.Graph.triangleCounts(k4, "src", "dst")
+      .orderBy("node").collect()
+    assert(r.length === 4)
+    assert(r.forall(_.getLong(1) === 3L))
+    // duplicate + reversed edges change nothing
+    val noisy = k4.unionAll(Seq((2L, 1L), (3L, 1L)).toDF("src", "dst"))
+    val r2 = graft.operators.Graph.triangleCounts(noisy, "src", "dst")
+      .orderBy("node").collect()
+    assert(r2.map(_.getLong(1)).toSeq === r.map(_.getLong(1)).toSeq)
+  }
 }
