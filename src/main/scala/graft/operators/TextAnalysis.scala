@@ -736,30 +736,23 @@ object TextAnalysis {
       maxTopBigramFrac: Double = 0.2,
       stopwords: Seq[String] =
         Seq("the", "a", "of", "to", "and", "in", "is", "that")): DataFrame = {
-    val tk = split(col("__text"), " ")
-    val nWords = size(tk).cast("long")
+    // n_words and the top-bigram count come from the native one-pass
+    // graft_repetition expression (expressions/TextStats.scala) — the
+    // interpreted sort+fold formulation of the bigram mode measured ~5 s
+    // at sf0.1 where the fused pass is sub-second; the remaining HOFs are
+    // linear scans. The __rep struct is one evaluation under codegen CSE.
     val charSum = expr(
       "aggregate(split(__text, ' '), 0L, (s, w) -> s + length(w))")
     val stopArr = array(stopwords.map(lit): _*)
-    val nStop = size(array_intersect(array_distinct(tk), stopArr)).cast("long")
+    val nStop = size(array_intersect(
+      array_distinct(split(col("__text"), " ")), stopArr)).cast("long")
     val nAlpha = expr(
       "size(filter(split(__text, ' '), w -> w rlike '[A-Za-z]'))")
       .cast("long")
-    // the doc's own most frequent adjacent bigram share: sort the bigram
-    // list, then the longest run of equal neighbors is the max count
-    val topBigram = expr(
-      """aggregate(
-        |  array_sort(transform(sequence(0, size(split(__text, ' ')) - 2),
-        |    i -> concat(split(__text, ' ')[i], ' ',
-        |                split(__text, ' ')[i + 1]))),
-        |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
-        |  (s, g) -> named_struct(
-        |    'prev', g,
-        |    'run', IF(s.prev IS NOT NULL AND s.prev = g, s.run + 1L, 1L),
-        |    'best', GREATEST(s.best,
-        |      IF(s.prev IS NOT NULL AND s.prev = g, s.run + 1L, 1L))),
-        |  s -> s.best)""".stripMargin).cast("long")
+    val nWords = col("__rep.n_words")
     val base = docs.select(col(idCol), col(textCol).as("__text"))
+      .withColumn("__rep",
+        call_function("graft_repetition", split(col("__text"), " ")))
       .select(col(idCol),
         nWords.as("n_words"),
         (charSum.cast("double") / nWords.cast("double"))
@@ -768,7 +761,8 @@ object TextAnalysis {
         (nAlpha.cast("double") / nWords.cast("double"))
           .as("alpha_word_frac"),
         when(nWords >= 2,
-          topBigram.cast("double") / (nWords - 1L).cast("double"))
+          col("__rep.top_bigram").cast("double") /
+            (nWords - 1L).cast("double"))
           .otherwise(lit(0.0)).as("top_bigram_frac"))
     base.select(col(idCol), col("n_words"), col("mean_word_len"),
         col("n_stopwords"), col("alpha_word_frac"), col("top_bigram_frac"),
