@@ -47,7 +47,7 @@ class CmsAggregator(depth: Int, width: Int)
 
   @inline private def bucket(r: Int, item: String): Int = {
     val md = mdLocal.get()
-    val hex = md.digest((r + ":" + item).getBytes(StandardCharsets.UTF_8))
+    val hex = md.digest(s"$r:$item".getBytes(StandardCharsets.UTF_8))
     // first 8 hex chars = first 4 bytes, as an unsigned 32-bit value
     val v = ((hex(0) & 0xffL) << 24) | ((hex(1) & 0xffL) << 16) |
       ((hex(2) & 0xffL) << 8) | (hex(3) & 0xffL)
