@@ -148,6 +148,71 @@ object Queries21 {
         .orderBy(col("n_triangles").desc, col("node")).limit(100)
   }
 
+  /** The q157 BPE level CTEs, regenerated here carrying the WORD column
+    * through every merge level so the segmented dictionary can join back
+    * onto the corpus. */
+  private def bpeSegmentOracleSql(merges: Int): String = {
+    val base =
+      """WITH wd AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |w0 AS MATERIALIZED (
+        |  SELECT w, freq, chr(1) || array_to_string(
+        |    list_transform(generate_series(1, length(w)), i -> w[i]) ||
+        |    ['</w>'], chr(1)) || chr(1) AS s
+        |  FROM wd)""".stripMargin
+    val levels = (1 to merges).map { i =>
+      s"""p$i AS (
+         |  SELECT arr[j] AS a, arr[j + 1] AS b,
+         |    CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT freq, string_split(s, chr(1)) AS arr,
+         |      unnest(generate_series(2, len(string_split(s, chr(1))) - 2))
+         |        AS j
+         |    FROM w${i - 1})
+         |  GROUP BY 1, 2),
+         |t$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT w, freq, replace(s,
+         |    chr(1) || (SELECT a FROM t$i) || chr(1) ||
+         |      (SELECT b FROM t$i) || chr(1),
+         |    chr(1) || (SELECT a || b FROM t$i) || chr(1)) AS s
+         |  FROM w${i - 1})""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$base$levels,
+       |seg AS (
+       |  SELECT w,
+       |    CAST(len(string_split(s, chr(1))) - 2 AS BIGINT) AS pieces
+       |  FROM w$merges),
+       |cw AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+       |       FROM documents)
+       |SELECT lang, COUNT(*) AS n_words,
+       |  CAST(SUM(pieces) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(pieces) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS pieces_per_word
+       |FROM cw JOIN seg USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** Tokenizer fertility per language
+    * ([[graft.operators.Bpe.learnMerges]] →
+    * [[graft.operators.Bpe.segmentStats]]): train 8 merges on the corpus
+    * word dictionary, segment every language slice with them, report
+    * pieces-per-word — the "which slice does my tokenizer hurt" audit.
+    * The oracle replays the full data-dependent learner (q157) AND the
+    * segmentation join. */
+  val q190BpeFertility: (String, QueryDef) = q(
+    "q190_bpe_fertility", bpeSegmentOracleSql(8)) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val docs = t("documents")
+    val merges = graft.operators.Bpe.learnMerges(docs, "text", merges = 8)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Bpe.segmentStats(docs, "lang", "text", merges)
+      .orderBy(col("lang"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
-    Seq(q187Cusum, q188SessionSequences, q189Triangles)
+    Seq(q187Cusum, q188SessionSequences, q189Triangles, q190BpeFertility)
 }
