@@ -93,8 +93,10 @@ object Queries21 {
       |    THEN 1 ELSE 0 END AS nw
       |  FROM e),
       |t2 AS (
-      |  SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY s, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  SELECT *, CAST(SUM(nw) OVER (PARTITION BY user_id
+      |    ORDER BY s, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS sid
       |  FROM t),
       |g AS (
       |  SELECT user_id, sid AS session_idx, COUNT(*) AS n_events,
