@@ -127,6 +127,31 @@ class Round14OpsSpec extends SparkSpec {
     assert(r(0).getDouble(3) > 1.0, "margin > 1 = stands out from neighbors")
   }
 
+  test("dupSpans: span algebra invariants hold on a randomized corpus") {
+    // deterministic "random" corpus: overlapping slices of a shared
+    // token pool force repeated k-grams at varying offsets
+    val pool = (0 until 120).map(i =>
+      s"w${(i * 2654435761L % 37).toInt}")
+    val docs = (0 until 40).map { d =>
+      val start = (d * 7) % 60
+      val len = 20 + (d % 11)
+      (d.toLong, pool.slice(start, start + len).mkString(" "))
+    }.toDF("doc_id", "text")
+    val r = Dedup.dupSpans(docs, "doc_id", "text", k = 5, minDf = 2L)
+      .collect()
+    assert(r.nonEmpty, "overlapping slices must produce duplicated spans")
+    r.foreach { row =>
+      val (n, spans, dup, longest) = (row.getLong(1), row.getLong(2),
+        row.getLong(3), row.getLong(4))
+      assert(dup <= n, "span token mass cannot exceed the doc")
+      assert(longest <= dup && longest >= 5,
+        "longest span is at least one k-gram and within the mass")
+      assert(spans >= 1 && dup >= spans * 5,
+        "every span covers at least k tokens")
+      assert(row.getDouble(5) === dup.toDouble / n.toDouble)
+    }
+  }
+
   // ---- Dedup.crossSourceDupMatrix -----------------------------------------
 
   test("crossSourceDupMatrix: shared grams count once, disjoint pairs absent") {
