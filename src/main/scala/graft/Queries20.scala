@@ -169,16 +169,14 @@ object Queries20 {
     val benchGrams = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(explode(expr(
-        "array_distinct(transform(sequence(0, size(tk) - 3), " +
-          "i -> md5(array_join(slice(tk, i + 1, 3), ' '))))")).as("h"))
+      .select(explode(call_function("graft_shingle_hash",
+        col("tk"), lit(3))).as("h"))
       .distinct()
     val corpusGrams = corpus
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(0, size(tk) - 3), " +
-          "i -> md5(array_join(slice(tk, i + 1, 3), ' '))))")).as("h"))
+      .select(col("doc_id"), explode(call_function("graft_shingle_hash",
+        col("tk"), lit(3))).as("h"))
     val contaminated = corpusGrams.join(benchGrams, "h")
       .select(col("doc_id")).distinct().withColumn("__ctm", lit(true))
     val enriched = corpus

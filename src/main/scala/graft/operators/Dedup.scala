@@ -866,12 +866,16 @@ object Dedup {
       n: Int = 3, maxDf: Long = 50L, minContainment: Double = 0.5,
       topK: Int = 100): DataFrame = {
     require(n >= 1, s"containmentPairs: n must be >= 1, got $n")
+    // distinct n-gram identity travels as native 64-bit hashes
+    // (graft_shingle_hash, one fused pass) — longs shuffle 4x smaller
+    // than md5 hex strings and the counts equal the string-set counts
+    // barring ~1e-13 collisions; the oracle counts STRING n-grams, so
+    // hash equality doubles as the no-collision check (q37/q57 pattern)
     val grams = docs
       .select(col(idCol), split(col(textCol), " ").as("tk"))
       .filter(size(col("tk")) >= n)
-      .select(col(idCol), explode(expr(
-        s"array_distinct(transform(sequence(0, size(tk) - $n), " +
-          s"i -> md5(array_join(slice(tk, i + 1, $n), ' '))))")).as("h"))
+      .select(col(idCol), explode(call_function("graft_shingle_hash",
+        col("tk"), lit(n))).as("h"))
     val df = grams.groupBy(col("h")).agg(count(lit(1)).as("__df"))
     // kept feeds three consumers (sizes + both pair-join sides); the
     // bounded PlanCache pins the (id, 16-byte-hash) rows — far smaller
@@ -912,12 +916,13 @@ object Dedup {
   def crossSourceDupMatrix(docs: DataFrame, sourceCol: String,
       textCol: String, n: Int = 3): DataFrame = {
     require(n >= 1, s"crossSourceDupMatrix: n must be >= 1, got $n")
+    // native 64-bit gram hashes (see containmentPairs) — the oracle's
+    // string grams make equality the no-collision check
     val grams = docs
       .select(col(sourceCol).as("__src"), split(col(textCol), " ").as("tk"))
       .filter(size(col("tk")) >= n)
-      .select(col("__src"), explode(expr(
-        s"array_distinct(transform(sequence(0, size(tk) - $n), " +
-          s"i -> md5(array_join(slice(tk, i + 1, $n), ' '))))")).as("h"))
+      .select(col("__src"), explode(call_function("graft_shingle_hash",
+        col("tk"), lit(n))).as("h"))
       .distinct()
     val cached = graft.core.Stats.PlanCache.register(grams)
     val sizes = cached.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
