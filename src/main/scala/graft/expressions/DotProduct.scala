@@ -153,6 +153,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children(1).eval().asInstanceOf[Number].intValue()
         else 3)))
     ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hash_all"),
+      new ExpressionInfo(classOf[GraftShingleHashAll].getName,
+        "graft_shingle_hash_all"),
+      (children: Seq[Expression]) => GraftShingleHashAll(children(0),
+        if (children.length > 1)
+          children(1).eval().asInstanceOf[Number].intValue()
+        else 3)))
+    ext.injectFunction((
       FunctionIdentifier("graft_image_dims"),
       new ExpressionInfo(classOf[ImageDims].getName, "graft_image_dims"),
       (children: Seq[Expression]) => ImageDims(children(0))))

@@ -74,3 +74,64 @@ case class GraftShingleHash(child: Expression, n: Int = 3) extends UnaryExpressi
   override protected def withNewChildInternal(newChild: Expression): GraftShingleHash =
     copy(child = newChild)
 }
+
+/** [[GraftShingleHash]]'s POSITIONAL sibling: every n-gram's 64-bit hash
+  * in token order, NOT deduped — element `i` is the hash of the gram
+  * starting at token `i`, so `posexplode` recovers (position, hash)
+  * pairs. The form span-level consumers need (duplicated-span merging
+  * keys on start positions, where dedup would destroy the alignment);
+  * same streamed FNV-1a, same string-oracle no-collision argument.
+  */
+case class GraftShingleHashAll(child: Expression, n: Int = 3)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if n < 1 => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hash_all shingle width must be >= 1, got $n")
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hash_all expects array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hash_all"
+
+  override protected def nullSafeEval(toks: Any): Any =
+    compute(toks.asInstanceOf[ArrayData])
+
+  private val FnvOffset = 0xcbf29ce484222325L
+  private val FnvPrime = 0x100000001b3L
+
+  def compute(toks: ArrayData): ArrayData = {
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      var h = FnvOffset
+      var j = 0
+      while (j < n) {
+        if (j > 0) { h ^= ' '.toLong; h *= FnvPrime }
+        if (!toks.isNullAt(i + j)) {
+          val b = toks.getUTF8String(i + j).getBytes
+          var k = 0
+          while (k < b.length) { h ^= (b(k) & 0xffL); h *= FnvPrime; k += 1 }
+        }
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftShingleHashAll", this,
+      classOf[GraftShingleHashAll].getName)
+    nullSafeCodeGen(ctx, ev, toks => s"${ev.value} = $ref.compute($toks);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GraftShingleHashAll =
+    copy(child = newChild)
+}

@@ -823,10 +823,13 @@ object Dedup {
       .select(col(idCol), split(col(textCol), " ").as("tk"))
       .filter(size(col("tk")) >= k)
       .select(col(idCol), size(col("tk")).cast("long").as("n_tokens"),
-        posexplode(expr(
-          s"transform(sequence(0, size(tk) - $k), " +
-            s"i -> md5(array_join(slice(tk, i + 1, $k), ' ')))"))
-          .as(Seq("pos", "h")))
+        // positional 64-bit gram hashes (graft_shingle_hash_all, one
+        // fused pass): element i = gram starting at token i, so
+        // posexplode recovers the start positions the span merge keys
+        // on; longs shuffle 4x smaller than the md5 hex formulation and
+        // the string-gram oracle doubles as the no-collision check
+        posexplode(call_function("graft_shingle_hash_all",
+          col("tk"), lit(k))).as(Seq("pos", "h")))
     val df = grams.groupBy(col("h")).agg(count(lit(1)).as("__df"))
     val dupStarts = grams.join(df.filter(col("__df") >= minDf), "h")
       .select(col(idCol), col("n_tokens"), col("pos"))

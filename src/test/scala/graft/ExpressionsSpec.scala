@@ -177,6 +177,40 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_shingle_hash_all: positional, aligned, distinct == set form") {
+    val rnd = new scala.util.Random(29)
+    val vocab = Seq("aa", "b", "cc c", "", "dd")
+    val docs = Seq.tabulate(150) { i =>
+      val n = rnd.nextInt(14)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (ng <- Seq(2, 3, 5)) {
+      val w = split(col("text"), " ")
+      val rows = docs.select(col("doc_id"), size(w).as("len"),
+        call_function("graft_shingle_hash_all", w, lit(ng)).as("all"),
+        call_function("graft_shingle_hash", w, lit(ng)).as("set"))
+        .collect()
+      rows.foreach { r =>
+        val len = r.getInt(1)
+        val all = r.getSeq[Long](2)
+        val set = r.getSeq[Long](3)
+        assert(all.length === math.max(len - ng + 1, 0),
+          s"one hash per start position (n=$ng)")
+        assert(all.distinct.toSet === set.toSet,
+          s"positional stream dedups to the set form (n=$ng)")
+      }
+    }
+    // alignment law: the hash at position i is the hash of the i-slice
+    val one = Seq((1L, "p q r s t")).toDF("doc_id", "text")
+    val aligned = one.select(
+      element_at(call_function("graft_shingle_hash_all",
+        split(col("text"), " "), lit(3)), 3).as("h_at_2"),
+      element_at(call_function("graft_shingle_hash",
+        split(lit("r s t"), " "), lit(3)), 1).as("h_slice"))
+      .collect()(0)
+    assert(aligned.getLong(0) === aligned.getLong(1))
+  }
+
   test("graft_dsum transient int128 excursion cancels; net overflow throws") {
     // 6e31 at scale 6 scales to 6e37; three in a row pass 2^127 ~ 1.70e38,
     // then the negatives bring the total back to exactly 0 — wrapping adds
