@@ -215,6 +215,56 @@ object Queries21 {
       .orderBy(col("lang"))
   }
 
+  /** Burrows' Delta stylometry
+    * ([[graft.operators.TextAnalysis.burrowsDelta]]): pairwise style
+    * distance between sources over the top-20 function-word rates —
+    * `|z_a − z_b|` collapses to `|f_a − f_b|/σ_w` so every term is exact
+    * ratios + two IEEE ops; decimal-exact moments and means. */
+  val q191BurrowsDelta: (String, QueryDef) = q(
+    "q191_burrows_delta",
+    """WITH toks AS (
+      |  SELECT source AS src, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |counts AS (SELECT src, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      |totals AS (SELECT src, CAST(SUM(c) AS BIGINT) AS t FROM counts
+      |           GROUP BY src),
+      |top AS (
+      |  SELECT w FROM (
+      |    SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM counts GROUP BY w)
+      |  ORDER BY cw DESC, w LIMIT 20),
+      |grid AS (
+      |  SELECT totals.src, top.w,
+      |    CAST(COALESCE(c, 0) AS DOUBLE) / CAST(t AS DOUBLE) AS f
+      |  FROM totals CROSS JOIN top
+      |  LEFT JOIN counts ON counts.src = totals.src AND counts.w = top.w),
+      |nn AS (SELECT COUNT(*) AS ns FROM totals),
+      |sig AS (
+      |  SELECT w, SQRT(GREATEST(0.0,
+      |    CAST(SUM(CAST(CAST(f * f AS VARCHAR) AS DECIMAL(38,12)))
+      |      AS DOUBLE) / CAST(ns AS DOUBLE) -
+      |    (CAST(SUM(CAST(CAST(f AS VARCHAR) AS DECIMAL(38,12)))
+      |      AS DOUBLE) / CAST(ns AS DOUBLE)) *
+      |    (CAST(SUM(CAST(CAST(f AS VARCHAR) AS DECIMAL(38,12)))
+      |      AS DOUBLE) / CAST(ns AS DOUBLE)))) AS sig
+      |  FROM grid CROSS JOIN nn GROUP BY w, ns),
+      |pairs AS (
+      |  SELECT a.src AS src_a, b.src AS src_b,
+      |    CASE WHEN sig > 0 THEN abs(a.f - b.f) / sig ELSE 0.0 END AS dz
+      |  FROM grid a
+      |  JOIN grid b ON a.w = b.w AND a.src < b.src
+      |  JOIN sig ON sig.w = a.w)
+      |SELECT src_a, src_b, COUNT(*) AS n_words,
+      |  CAST(SUM(CAST(CAST(dz AS VARCHAR) AS DECIMAL(38,12))) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS delta
+      |FROM pairs GROUP BY 1, 2
+      |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.operators.TextAnalysis.burrowsDelta(t("documents"), "source",
+        "text", topWords = 20)
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
-    Seq(q187Cusum, q188SessionSequences, q189Triangles, q190BpeFertility)
+    Seq(q187Cusum, q188SessionSequences, q189Triangles, q190BpeFertility,
+      q191BurrowsDelta)
 }

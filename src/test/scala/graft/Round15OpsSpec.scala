@@ -110,6 +110,27 @@ class Round15OpsSpec extends SparkSpec {
     assert(singles === Set("view", "error"))
   }
 
+  test("burrowsDelta: the style-shifted slice stands apart, twins sit at 0") {
+    // a and b share identical function-word rates; c doubles up on "the"
+    val docs = Seq(
+      ("a", "the cat of the mat"), ("a", "the dog of a hill"),
+      ("b", "the cow of the barn"), ("b", "the hen of a coop"),
+      ("c", "the the the the fox"), ("c", "the the the a den"))
+      .toDF("source", "text")
+    val r = graft.operators.TextAnalysis.burrowsDelta(docs, "source",
+      "text", topWords = 3).orderBy("src_a", "src_b").collect()
+    assert(r.length === 3)
+    val d = r.map(x => (x.getString(0), x.getString(1)) -> x.getDouble(3))
+      .toMap
+    assert(d(("a", "b")) === 0.0,
+      "identical top-word rates → Delta exactly 0")
+    assert(d(("a", "c")) > 1.0 && d(("b", "c")) > 1.0,
+      "the shifted slice is far from both twins")
+    assert(d(("a", "c")) === d(("b", "c")),
+      "twins are equidistant from the outlier")
+    assert(r.forall(_.getLong(2) === 3L))
+  }
+
   test("triangleCounts: K4 yields 4 triangles, every node in 3") {
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
       (3L, 4L)).toDF("src", "dst")
