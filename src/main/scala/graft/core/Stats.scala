@@ -802,17 +802,25 @@ object Stats {
   def bootstrapMeans(df: DataFrame, idCol: Column, valueCol: Column,
       reps: Int = 40, salt: String = "boot"): DataFrame = {
     require(reps >= 1, "bootstrapMeans: need at least one replicate")
-    df.select(valueCol.cast(LongType).as("__v"),
-        call_function("graft_boot_counts", idCol.cast("string"),
+    // same two scale measures as [[bootstrapGroupMeans]]: spread a
+    // narrow scan (one row group serializes the md5-bound draws) and
+    // keep the replicate counters vectorized through graft_vecsum
+    // instead of exploding reps rows per input row
+    val src = df.select(valueCol.cast(LongType).as("__v"),
+      idCol.cast("string").as("__id"))
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val spread = if (src.rdd.getNumPartitions * 2 < cores)
+      src.repartition(cores) else src
+    spread.select(col("__v"),
+        call_function("graft_boot_counts", col("__id"),
           lit(salt), lit(reps)).as("__cs"))
-      .select(col("__v"),
-        posexplode(col("__cs")).as(Seq("rep", "__c")))
-      .groupBy(col("rep"))
-      .agg(sum(col("__c").cast(LongType)).as("n_drawn"),
-        sum(col("__c").cast(LongType) * col("__v")).as("__sv"))
-      .select(col("rep"), col("n_drawn"),
-        when(col("n_drawn") > 0,
-          col("__sv").cast("double") / col("n_drawn").cast("double"))
+      .agg(call_function("graft_vecsum", col("__cs")).as("__ns"),
+        call_function("graft_vecsum",
+          expr("transform(__cs, c -> CAST(c AS BIGINT) * __v)")).as("__svs"))
+      .select(posexplode(expr("arrays_zip(__ns, __svs)")).as(Seq("rep", "__z")))
+      .select(col("rep"), col("__z.__ns").as("n_drawn"),
+        when(col("__z.__ns") > 0,
+          col("__z.__svs").cast("double") / col("__z.__ns").cast("double"))
           .otherwise(lit(null).cast("double")).as("mean"))
   }
 
@@ -829,17 +837,36 @@ object Stats {
   def bootstrapGroupMeans(df: DataFrame, groupCol: Column, idCol: Column,
       valueCol: Column, reps: Int = 40, salt: String = "boot"): DataFrame = {
     require(reps >= 1, "bootstrapGroupMeans: need at least one replicate")
-    df.select(groupCol.as("grp"), valueCol.cast(LongType).as("__v"),
-        call_function("graft_boot_counts", idCol.cast("string"),
+    // the k replicate counters stay INSIDE their row: graft_vecsum adds
+    // the count vector and the value-weighted vector elementwise per
+    // group (map-side combine applies), and the per-replicate fan-out
+    // happens after aggregation on |groups| rows — the explode-then-
+    // group formulation pushed reps·rows in-flight rows (24M at sf0.1)
+    // through the hash aggregate for what is a vector add
+    // the draws are CPU-bound (reps/8 md5 digests per row) and computed
+    // scan-side; a narrow input — one small file is ONE row group, and
+    // parquet cannot split below a row group — would serialize them into
+    // a single task. Spread to the session's parallelism first when the
+    // scan is narrower than half the cores; at real scale inputs carry
+    // thousands of row groups and the floor never triggers.
+    val src = df.select(groupCol.as("grp"), valueCol.cast(LongType).as("__v"),
+      idCol.cast("string").as("__id"))
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val spread = if (src.rdd.getNumPartitions * 2 < cores)
+      src.repartition(cores) else src
+    spread.select(col("grp"), col("__v"),
+        call_function("graft_boot_counts", col("__id"),
           lit(salt), lit(reps)).as("__cs"))
-      .select(col("grp"), col("__v"),
-        posexplode(col("__cs")).as(Seq("rep", "__c")))
-      .groupBy(col("grp"), col("rep"))
-      .agg(sum(col("__c").cast(LongType)).as("n_drawn"),
-        sum(col("__c").cast(LongType) * col("__v")).as("__sv"))
-      .select(col("grp"), col("rep"), col("n_drawn"),
-        when(col("n_drawn") > 0,
-          col("__sv").cast("double") / col("n_drawn").cast("double"))
+      .groupBy(col("grp"))
+      .agg(call_function("graft_vecsum", col("__cs")).as("__ns"),
+        call_function("graft_vecsum",
+          expr("transform(__cs, c -> CAST(c AS BIGINT) * __v)")).as("__svs"))
+      .select(col("grp"),
+        posexplode(expr("arrays_zip(__ns, __svs)")).as(Seq("rep", "__z")))
+      .select(col("grp"), col("rep"),
+        col("__z.__ns").as("n_drawn"),
+        when(col("__z.__ns") > 0,
+          col("__z.__svs").cast("double") / col("__z.__ns").cast("double"))
           .otherwise(lit(null).cast("double")).as("mean"))
   }
 

@@ -202,6 +202,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(1).eval().asInstanceOf[Number].intValue(),
         weight = children.drop(2).headOption)))
     ext.injectFunction((
+      FunctionIdentifier("graft_vecsum"),
+      new ExpressionInfo(classOf[GraftVecSum].getName, "graft_vecsum"),
+      (children: Seq[Expression]) => GraftVecSum(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => NfcNormalize(children(0))))
