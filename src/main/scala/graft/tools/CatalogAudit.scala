@@ -56,6 +56,9 @@ object CatalogAudit {
     "q171_token_budget" -> (0, 1),
     "q186_curation_waterfall" -> (0, 1),
     "q113_cms_estimates" -> (1, 0),
+    //  - q191: the |slices| × topWords grid cross join — both sides are
+    //    bounded tables (per-slice totals, the top-F word list).
+    "q191_burrows_delta" -> (1, 0),
     "q142_priority_sample" -> (1, 0),
     "q150_nb_classifier" -> (1, 0),
     "q162_join_estimate" -> (2, 0))
