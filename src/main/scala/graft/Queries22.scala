@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Events, Similarity}
+
+/** Catalog entries: round-13 additions (continued) — exponential
+  * smoothing and label-noise auditing.
+  */
+object Queries22 {
+
+  private def t(name: String)(implicit env: (SparkSession, String)): DataFrame =
+    Tables.load(env._1, env._2, name)
+
+  private def q(name: String, sql: String = null)(
+      body: (SparkSession, String) => DataFrame): (String, QueryDef) =
+    name -> QueryDef(body, Option(sql))
+
+  /** Halving EWMA ([[Events.ewmaLevel]]): α = ½ exponential smoothing of
+    * daily counts per event type — every step one IEEE add plus an exact
+    * halving, hash-deterministic end to end. Non-associative recurrence
+    * ⇒ recursive-CTE oracle (the q187 rule). */
+  val q192Ewma: (String, QueryDef) = q(
+    "q192_ewma_level",
+    """WITH RECURSIVE e AS (
+      |  SELECT event_type,
+      |    (epoch_ns(ts) // 1000000000) // 86400 AS b
+      |  FROM events),
+      |bc0 AS (SELECT event_type, b, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      |bc AS (
+      |  SELECT event_type, b, CAST(c AS BIGINT) AS c,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY b) AS rn
+      |  FROM bc0),
+      |g AS (
+      |  SELECT event_type, COUNT(*) AS n_buckets,
+      |    CAST(SUM(c) AS BIGINT) AS total
+      |  FROM bc0 GROUP BY event_type),
+      |walk AS (
+      |  SELECT event_type, CAST(0 AS BIGINT) AS rn,
+      |    CAST(0.0 AS DOUBLE) AS s, FALSE AS init,
+      |    CAST(0 AS BIGINT) AS last
+      |  FROM g
+      |  UNION ALL
+      |  SELECT w.event_type, w.rn + 1,
+      |    CASE WHEN w.init THEN (w.s + CAST(bc.c AS DOUBLE)) / 2.0
+      |         ELSE CAST(bc.c AS DOUBLE) END,
+      |    TRUE, bc.c
+      |  FROM walk w
+      |  JOIN bc ON bc.event_type = w.event_type AND bc.rn = w.rn + 1)
+      |SELECT g.event_type AS event_type, g.n_buckets, g.total,
+      |  w.s AS ewma_level, w.last AS last_count,
+      |  CASE WHEN w.s > 0 THEN CAST(w.last AS DOUBLE) / w.s END
+      |    AS last_over_level
+      |FROM g JOIN walk w
+      |  ON w.event_type = g.event_type AND w.rn = g.n_buckets
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    Events.ewmaLevel(Tables.events(s, dir), "event_type", col("ts_sec"),
+        bucketSec = 86400L)
+      .orderBy(col("event_type"))
+  }
+
+  /** kNN label consistency ([[Similarity.labelConsistency]]): for 24
+    * probe vectors, the share of their 8 exact nearest neighbors with
+    * the same label — the label-noise review queue. Exact-decimal
+    * cosine folds (a raw double fold could flip a near-tie neighbor
+    * cross-engine). */
+  val q193LabelConsistency: (String, QueryDef) = q(
+    "q193_label_consistency", {
+      def fold(term: String): String =
+        "CAST(list_reduce(list_transform(generate_series(1, 64), " +
+          s"i -> CAST(CAST($term AS VARCHAR) AS DECIMAL(38,12))), " +
+          "(x, y) -> x + y) AS DOUBLE)"
+      val sq = fold("CAST(embedding[i] AS DOUBLE) * " +
+        "CAST(embedding[i] AS DOUBLE)")
+      val dot = fold("CAST(e.embedding[i] AS DOUBLE) * " +
+        "CAST(p.pe[i] AS DOUBLE)")
+      val ids = (0 until 24).mkString(",")
+      s"""WITH nm AS (
+         |  SELECT vec_id, sqrt($sq) AS nrm FROM embeddings),
+         |p AS (SELECT vec_id AS pid, label AS plbl, embedding AS pe
+         |      FROM embeddings WHERE vec_id IN ($ids)),
+         |cs AS (
+         |  SELECT p.pid, p.plbl, e.vec_id AS nid, e.label AS nlbl,
+         |    $dot / (np.nrm * ne.nrm) AS c
+         |  FROM embeddings e CROSS JOIN p
+         |  JOIN nm np ON np.vec_id = p.pid
+         |  JOIN nm ne ON ne.vec_id = e.vec_id
+         |  WHERE e.vec_id <> p.pid),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY pid
+         |    ORDER BY c DESC, nid) AS rk
+         |  FROM cs)
+         |SELECT pid AS probe_id, plbl AS probe_label,
+         |  COUNT(*) AS k_found,
+         |  CAST(SUM(CASE WHEN nlbl = plbl THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_same_label,
+         |  CAST(SUM(CASE WHEN nlbl = plbl THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE) AS consistency
+         |FROM r WHERE rk <= 8 GROUP BY 1, 2
+         |ORDER BY probe_id""".stripMargin
+    }) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    Similarity.labelConsistency(t("embeddings"), "vec_id", "embedding",
+        "label", probeIds = (0L until 24L).toSeq, k = 8)
+      .orderBy(col("probe_id"))
+  }
+
+  val catalog: Seq[(String, QueryDef)] =
+    Seq(q192Ewma, q193LabelConsistency)
+}

@@ -609,6 +609,49 @@ object Events {
       nullif(col("__st.fd"), lit(-1L)).as("down_changepoint"))
   }
 
+  /** Halving EWMA over per-label bucket counts: `s_t = (s_{t-1}+x_t)/2`
+    * — the α = ½ exponential smoother whose every step is one IEEE add
+    * plus an EXACT halving, so the whole recurrence is bit-deterministic
+    * (no α·x products to round differently). Reports the smoothed level
+    * against the latest bucket — the "is today hot relative to decayed
+    * history" monitor that complements [[cusumChangepoint]]'s alarm.
+    *
+    * The recurrence is non-associative (same class as CUSUM), so the
+    * oracle must walk it with a recursive CTE; the engine folds the
+    * label's bucket array inside the aggregate — rollup-sized state, no
+    * window, no per-event state.
+    */
+  def ewmaLevel(events: DataFrame, labelCol: String, tsSecCol: Column,
+      bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, "ewmaLevel: bucketSec > 0")
+    val buck = events
+      .select(col(labelCol).as("__lbl"), tsSecCol.cast("long").as("__s"))
+      .withColumn("__b", expr(s"__s div $bucketSec"))
+      .groupBy(col("__lbl"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    buck.groupBy(col("__lbl"))
+      .agg(sort_array(collect_list(struct(col("__b"), col("__c"))))
+        .as("__arr"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("__c")).as("total"),
+        max(col("__b")).as("__lastb"))
+      .withColumn("__st", expr(
+        """aggregate(__arr,
+          |  named_struct('init', false, 's', 0.0D, 'last', 0L),
+          |  (s, x) -> named_struct(
+          |    'init', true,
+          |    's', IF(s.init,
+          |      (s.s + CAST(x.__c AS DOUBLE)) / 2.0D,
+          |      CAST(x.__c AS DOUBLE)),
+          |    'last', x.__c))""".stripMargin))
+      .select(col("__lbl").as(labelCol), col("n_buckets"), col("total"),
+        col("__st.s").as("ewma_level"),
+        col("__st.last").as("last_count"),
+        when(col("__st.s") > 0,
+          col("__st.last").cast("double") / col("__st.s"))
+          .otherwise(lit(null).cast("double")).as("last_over_level"))
+  }
+
   /** Session sequence export: the per-session ORDERED event-type string
     * (`view>click>purchase`) with size and duration — the
     * behavioral-cloning / next-action training row an event log turns

@@ -867,6 +867,58 @@ object Similarity {
         max(col("__s")).as("max_silhouette"))
   }
 
+  /** kNN label-consistency audit ("confident learning" lite): for each
+    * probe vector, the fraction of its k exact nearest neighbors (by
+    * cosine, self excluded) sharing its label — rows near 0 are the
+    * mislabeled/boundary candidates a label-cleaning pass reviews first.
+    *
+    * Determinism: cosines build from exact `graft_dsum` DECIMAL(38,12)
+    * folds of the exploded dim join (the [[jlDistortion]] discipline) —
+    * a raw double fold would let a 1-ULP cross-engine drift flip a
+    * near-tie neighbor and change the reported fraction. Ranking ties
+    * break on the neighbor id.
+    *
+    * Scale: probes are a bounded set (id-pushdown filter); the dim join
+    * fans out |probe|·n·dims rows but reduces map-side into |probe|·n
+    * sums; the per-probe top-k is a k-bounded window within one probe's
+    * rows. The corpus scans once.
+    */
+  def labelConsistency(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, probeIds: Seq[Long], k: Int = 8): DataFrame = {
+    require(probeIds.nonEmpty && k >= 1, "labelConsistency: probes, k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    def dsum(c: Column): Column = call_function("graft_dsum", c, lit(12))
+    val ex = emb.select(col(idCol).as("__id"), col(labelCol).as("__lbl"),
+        posexplode(col(vecCol)).as(Seq("__dim", "__x")))
+      .select(col("__id"), col("__lbl"), col("__dim"),
+        col("__x").cast("double").as("__x"))
+    val norms = ex.groupBy(col("__id"))
+      .agg(sqrt(dsum(col("__x") * col("__x"))).as("__norm"))
+    val px = ex.filter(col("__id").isin(probeIds: _*))
+      .toDF("__pid", "__plbl", "__pdim", "__px")
+    val dots = ex.join(broadcast(px), col("__dim") === col("__pdim"))
+      .filter(col("__id") =!= col("__pid"))
+      .groupBy(col("__pid"), col("__plbl"), col("__id"), col("__lbl"))
+      .agg(dsum(col("__x") * col("__px")).as("__dot"))
+    val cos = dots
+      .join(broadcast(norms.toDF("__pid2", "__pnorm")),
+        col("__pid") === col("__pid2"))
+      .join(broadcast(norms.toDF("__id2", "__nnorm")),
+        col("__id") === col("__id2"))
+      .select(col("__pid"), col("__plbl"), col("__id"), col("__lbl"),
+        (col("__dot") / (col("__pnorm") * col("__nnorm"))).as("__cos"))
+    val wP = Window.partitionBy(col("__pid"))
+      .orderBy(col("__cos").desc, col("__id"))
+    cos.withColumn("__rk", row_number().over(wP))
+      .filter(col("__rk") <= k)
+      .groupBy(col("__pid").as("probe_id"), col("__plbl").as("probe_label"))
+      .agg(count(lit(1)).as("k_found"),
+        sum(when(col("__lbl") === col("__plbl"), 1L).otherwise(0L))
+          .as("n_same_label"))
+      .withColumn("consistency",
+        col("n_same_label").cast("double") / col("k_found").cast("double"))
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019): score a
     * cross-corpus pair not by raw cosine but by how much it stands out
     * against each side's OTHER nearest neighbors —

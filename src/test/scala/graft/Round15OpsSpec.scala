@@ -131,6 +131,46 @@ class Round15OpsSpec extends SparkSpec {
     assert(r.forall(_.getLong(2) === 3L))
   }
 
+  test("ewmaLevel: exact halving walk, first bucket seeds the level") {
+    // daily counts 4, 8, 2: s = 4 → (4+8)/2 = 6 → (6+2)/2 = 4
+    val ev = (Seq.fill(4)(0L) ++ Seq.fill(8)(86400L) ++
+      Seq.fill(2)(2 * 86400L)).map(("x", _)).toDF("event_type", "s")
+    val r = graft.operators.Events.ewmaLevel(ev, "event_type", col("s"),
+      bucketSec = 86400L).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 3L && r(0).getLong(2) === 14L)
+    assert(r(0).getDouble(3) === 4.0, "every step is exact at halving alpha")
+    assert(r(0).getLong(4) === 2L)
+    assert(r(0).getDouble(5) === 0.5, "last/level = 2/4 exactly")
+  }
+
+  test("labelConsistency: planted tight clusters read 1, a mislabeled " +
+      "point reads 0") {
+    def around(center: Int, jitterDim: Int): Array[Float] = {
+      val a = (0 until 64).map(d =>
+        Similarity_planeW(center, d).toFloat).toArray
+      a(jitterDim) = a(jitterDim) + 0.01f; a
+    }
+    // cluster A = label 0 (ids 0..4), cluster B = label 1 (ids 5..9),
+    // id 0 probes A, id 5 probes B; id 9 carries label 0 but sits in B
+    val rows = ((0L to 4L).map(i => (i, 0, around(1, i.toInt))) ++
+      (5L to 8L).map(i => (i, 1, around(2, i.toInt))) ++
+      Seq((9L, 0, around(2, 9)))).toDF("vec_id", "label", "embedding")
+    val r = graft.operators.Similarity.labelConsistency(rows, "vec_id",
+      "embedding", "label", probeIds = Seq(0L, 5L, 9L), k = 4)
+      .orderBy("probe_id").collect()
+    assert(r.length === 3)
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    assert(byId(0L).getDouble(4) === 1.0, "probe inside its own cluster")
+    // probe 5's 4 nearest: ids 6,7,8 (label 1) and 9 (label 0) → 3/4
+    assert(byId(5L).getDouble(4) === 0.75)
+    assert(byId(9L).getDouble(4) === 0.0,
+      "the mislabeled point's neighborhood disagrees entirely")
+  }
+
+  private def Similarity_planeW(seed: Int, d: Int): Double =
+    graft.operators.Similarity.planeWeight(seed, 1, d)
+
   test("triangleCounts: K4 yields 4 triangles, every node in 3") {
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
       (3L, 4L)).toDF("src", "dst")
