@@ -148,7 +148,7 @@ class Round15OpsSpec extends SparkSpec {
       "point reads 0") {
     def around(center: Int, jitterDim: Int): Array[Float] = {
       val a = (0 until 64).map(d =>
-        Similarity_planeW(center, d).toFloat).toArray
+        planeW(center, d).toFloat).toArray
       a(jitterDim) = a(jitterDim) + 0.01f; a
     }
     // cluster A = label 0 (ids 0..4), cluster B = label 1 (ids 5..9),
@@ -168,7 +168,7 @@ class Round15OpsSpec extends SparkSpec {
       "the mislabeled point's neighborhood disagrees entirely")
   }
 
-  private def Similarity_planeW(seed: Int, d: Int): Double =
+  private def planeW(seed: Int, d: Int): Double =
     graft.operators.Similarity.planeWeight(seed, 1, d)
 
   test("triangleCounts: K4 yields 4 triangles, every node in 3") {
