@@ -152,6 +152,32 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("containment and jaccardVerify agree on the same gram sets " +
+      "(cross-operator law)") {
+    val pool = (0 until 90).map(i => s"t${(i * 2654435761L % 23).toInt}")
+    val docs = (0 until 25).map { d =>
+      (d.toLong, pool.slice((d * 5) % 50, (d * 5) % 50 + 18 + d % 7)
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val cp = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, maxDf = 1000000L, minContainment = 0.0, topK = 1000000)
+      .filter(col("id_a") < col("id_b"))
+    val cand = cp.select(col("id_a").as("d1"), col("id_b").as("d2"))
+    val jv = Dedup.jaccardVerify(docs, cand, "doc_id", "text",
+      threshold = 0.0)
+    val joined = cp.join(jv,
+      cp("id_a") === jv("d1") && cp("id_b") === jv("d2")).collect()
+    assert(joined.nonEmpty, "overlapping slices must produce pairs")
+    joined.foreach { r =>
+      val (common, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val expected = common.toDouble / (na + nb - common).toDouble
+      assert(r.getDouble(r.fieldIndex("jaccard")) === expected,
+        "identical hashed gram sets ⇒ jaccard derives exactly from " +
+          "containment's intersection and sizes")
+      assert(common <= math.min(na, nb))
+    }
+  }
+
   // ---- Dedup.crossSourceDupMatrix -----------------------------------------
 
   test("crossSourceDupMatrix: shared grams count once, disjoint pairs absent") {
