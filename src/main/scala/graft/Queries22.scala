@@ -108,6 +108,92 @@ object Queries22 {
       .orderBy(col("probe_id"))
   }
 
+  /** LSH candidate recall ([[Similarity.lshCandidateRecall]]): the ANN
+    * index review as a query — per probe, how many of the exact top-10
+    * neighbors the multi-probe bucket front end even surfaces. The
+    * oracle replays BOTH pipelines: the q166 signature/margin-flip
+    * candidate CTEs and the q193 exact-decimal top-k. */
+  val q194LshRecall: (String, QueryDef) = q(
+    "q194_lsh_recall", {
+      import graft.operators.Similarity.planeWeight
+      def projSql(p: Int): String = {
+        val w = (0 until 64).map(d =>
+          java.lang.Double.toString(planeWeight(42, p, d)))
+          .mkString("[", ",", "]")
+        s"list_reduce(list_transform(generate_series(1, 64), " +
+          s"i -> CAST(embedding[i] AS DOUBLE) * ($w)[i]), (a, b) -> a + b)"
+      }
+      val bucketSql = (0 until 8).map(p =>
+        s"(CASE WHEN ${projSql(p)} > 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      val qprojSelects = (0 until 8).map(p =>
+        s"SELECT vec_id AS qid, $p AS p, ${projSql(p)} AS prj " +
+          "FROM embeddings WHERE vec_id IN (0,1,2,3,4,5,6,7)")
+        .mkString("\nUNION ALL\n")
+      def fold(term: String): String =
+        "CAST(list_reduce(list_transform(generate_series(1, 64), " +
+          s"i -> CAST(CAST($term AS VARCHAR) AS DECIMAL(38,12))), " +
+          "(x, y) -> x + y) AS DOUBLE)"
+      val sq = fold("CAST(embedding[i] AS DOUBLE) * " +
+        "CAST(embedding[i] AS DOUBLE)")
+      val dot = fold("CAST(e.embedding[i] AS DOUBLE) * " +
+        "CAST(p2.pe[i] AS DOUBLE)")
+      s"""WITH sigs AS (
+         |  SELECT vec_id, CAST($bucketSql AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |qb AS (SELECT vec_id AS qid, bucket AS b0 FROM sigs
+         |       WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+         |qp AS (
+         |$qprojSelects
+         |),
+         |rankp AS (
+         |  SELECT qid, p,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY abs(prj), p) AS rk
+         |  FROM qp),
+         |probes AS (
+         |  SELECT qid, b0 AS bucket FROM qb
+         |  UNION ALL
+         |  SELECT r.qid, xor(b.b0, CAST(1 AS BIGINT) << r.p) AS bucket
+         |  FROM rankp r JOIN qb b ON b.qid = r.qid WHERE r.rk <= 3),
+         |cand AS (
+         |  SELECT DISTINCT pr.qid, s.vec_id AS nid
+         |  FROM sigs s JOIN probes pr
+         |    ON s.bucket = pr.bucket AND s.vec_id <> pr.qid),
+         |nm AS (SELECT vec_id, sqrt($sq) AS nrm FROM embeddings),
+         |p2 AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
+         |       WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+         |cs AS (
+         |  SELECT p2.pid, e.vec_id AS nid, $dot / (np.nrm * ne.nrm) AS c
+         |  FROM embeddings e CROSS JOIN p2
+         |  JOIN nm np ON np.vec_id = p2.pid
+         |  JOIN nm ne ON ne.vec_id = e.vec_id
+         |  WHERE e.vec_id <> p2.pid),
+         |ek AS (
+         |  SELECT pid AS qid, nid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY pid
+         |      ORDER BY c DESC, nid) AS rk
+         |    FROM cs)
+         |  WHERE rk <= 10),
+         |cc AS (SELECT qid, COUNT(*) AS n_candidates FROM cand
+         |       GROUP BY qid),
+         |j AS (
+         |  SELECT ek.qid,
+         |    CASE WHEN cand.nid IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM ek LEFT JOIN cand
+         |    ON cand.qid = ek.qid AND cand.nid = ek.nid)
+         |SELECT j.qid AS qid, COALESCE(cc.n_candidates, 0) AS n_candidates,
+         |  COUNT(*) AS k_found, CAST(SUM(hit) AS BIGINT) AS hits,
+         |  CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+         |FROM j LEFT JOIN cc ON cc.qid = j.qid
+         |GROUP BY j.qid, cc.n_candidates ORDER BY qid""".stripMargin
+    }) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    Similarity.lshCandidateRecall(t("embeddings"), "vec_id", "embedding",
+        queryIds = (0L until 8L).toSeq, k = 10, planes = 8, seed = 42,
+        dims = 64, probes = 3)
+      .orderBy(col("qid"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
-    Seq(q192Ewma, q193LabelConsistency)
+    Seq(q192Ewma, q193LabelConsistency, q194LshRecall)
 }

@@ -303,6 +303,91 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
   }
 
+  /** ANN index quality as a QUERY — per-probe candidate recall of the
+    * multi-probe LSH front end against the exact top-k: did the true
+    * nearest neighbors land in the probed buckets at all? Candidate
+    * recall upper-bounds anything the rerank stage can deliver, so this
+    * is the number an index design review starts from (the recall
+    * harness in OperatorsSpec measures end recall; this makes the audit
+    * a catalog citizen with an oracle).
+    *
+    * Determinism: the exact side ranks by `graft_dsum` DECIMAL(38,12)
+    * cosine folds (the [[labelConsistency]] discipline — a ULP cannot
+    * flip a near-tie neighbor); the candidate side reuses [[lshBuckets]]'
+    * sign folds and [[annMultiProbe]]'s margin-ordered bit flips
+    * (sign/margin stability across engines established by q47/q166).
+    *
+    * Scale: the probe set is bounded; signatures are a scan-side
+    * projection; candidates join on the uniform bucket key; the exact
+    * side's dim join reduces map-side into |probe|·n sums. One corpus
+    * scan per side.
+    */
+  def lshCandidateRecall(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int = 10, planes: Int = 8, seed: Int = 42,
+      dims: Int = 64, probes: Int = 3): DataFrame = {
+    require(queryIds.nonEmpty && k >= 1, "lshCandidateRecall: probes, k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    def dsum(c: Column): Column = call_function("graft_dsum", c, lit(12))
+    // exact top-k by decimal-fold cosine
+    val ex = emb.select(col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("__dim", "__x")))
+      .select(col("__id"), col("__dim"), col("__x").cast("double").as("__x"))
+    val norms = ex.groupBy(col("__id"))
+      .agg(sqrt(dsum(col("__x") * col("__x"))).as("__norm"))
+    val px = ex.filter(col("__id").isin(queryIds: _*))
+      .toDF("__pid", "__pdim", "__px")
+    val cosv = ex.join(broadcast(px), col("__dim") === col("__pdim"))
+      .filter(col("__id") =!= col("__pid"))
+      .groupBy(col("__pid"), col("__id"))
+      .agg(dsum(col("__x") * col("__px")).as("__dot"))
+      .join(broadcast(norms.toDF("__pid2", "__pn")),
+        col("__pid") === col("__pid2"))
+      .join(broadcast(norms.toDF("__id2", "__nn")),
+        col("__id") === col("__id2"))
+      .select(col("__pid"), col("__id"),
+        (col("__dot") / (col("__pn") * col("__nn"))).as("__cos"))
+    val wP = Window.partitionBy(col("__pid"))
+      .orderBy(col("__cos").desc, col("__id"))
+    val exact = cosv.withColumn("__rk", row_number().over(wP))
+      .filter(col("__rk") <= k)
+      .select(col("__pid").as("qid"), col("__id").as("nid"))
+    // candidate sets: the annMultiProbe front end (signature + flips)
+    val data = emb.select(col(idCol).as("nid"),
+      bucketCol(vecCol, planes, seed, dims).as("__bk"))
+    val projArr = array((0 until planes).map { p =>
+      val weights = array((0 until dims).map(d =>
+        lit(planeWeight(seed, p, d))): _*)
+      call_function("graft_dotw", col(vecCol), weights)
+    }: _*)
+    val qprobes = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), projArr.as("__pj"))
+      .withColumn("__bk0", (0 until planes).map(p =>
+        when(element_at(col("__pj"), p + 1) > 0, lit(1L << p))
+          .otherwise(lit(0L))).reduce(_ + _))
+      .select(col("qid"), explode(expr(
+        s"""concat(array(__bk0), transform(
+           |  slice(array_sort(transform(sequence(1, $planes),
+           |    p -> struct(abs(__pj[p - 1]) AS a, p AS p))), 1, $probes),
+           |  s -> __bk0 ^ shiftleft(CAST(1 AS BIGINT), s.p - 1)))"""
+          .stripMargin)).as("__bk"))
+    val cands = data.join(broadcast(qprobes), Seq("__bk"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid")).distinct()
+    val candCounts = cands.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_candidates"))
+    exact
+      .join(cands.withColumn("__hit", lit(1L)), Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k_found"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .join(broadcast(candCounts), Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_candidates"), lit(0L))
+          .as("n_candidates"),
+        col("k_found"), col("hits"),
+        (col("hits").cast("double") / col("k_found").cast("double"))
+          .as("recall"))
+  }
+
   /** Lloyd k-means refinement of the IVF codebook — turns [[ivfAssign]]'s
     * seeded centroids into trained ones. Each iteration: (1) nearest-
     * centroid assignment as a shuffle-free projection (broadcast centroid

@@ -171,6 +171,25 @@ class Round15OpsSpec extends SparkSpec {
   private def planeW(seed: Int, d: Int): Double =
     graft.operators.Similarity.planeWeight(seed, 1, d)
 
+  test("lshCandidateRecall: the planted same-bucket twin is always recalled") {
+    val base = (0 until 64).map(d => planeW(333, d).toFloat).toArray
+    val rows = (Seq(
+      (0L, base),
+      (1L, base.map(_ * 1.001f))) ++          // twin: identical signs
+      (2L to 9L).map(i => (i,
+        (0 until 64).map(d => planeW(400 + i.toInt, d).toFloat).toArray)))
+      .toDF("vec_id", "embedding")
+    val r = graft.operators.Similarity.lshCandidateRecall(rows, "vec_id",
+      "embedding", queryIds = Seq(0L), k = 1, planes = 6, seed = 42,
+      dims = 64, probes = 2).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(2) === 1L && r(0).getLong(3) === 1L)
+    assert(r(0).getDouble(4) === 1.0,
+      "the scaled twin shares every projection sign, so bucket recall " +
+        "at k=1 is exact")
+    assert(r(0).getLong(1) >= 1L, "the twin is among the candidates")
+  }
+
   test("triangleCounts: K4 yields 4 triangles, every node in 3") {
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
       (3L, 4L)).toDF("src", "dst")
