@@ -325,20 +325,31 @@ object Queries15 {
 
   /** Compression-ratio quality signal
     * ([[TextAnalysis.compressionRatio]], native `graft_deflate_len`):
-    * per-document DEFLATE ratio with the corpus ranked worst-first on
-    * each end. Rows-only in the driver gate (DEFLATE output is
-    * implementation-defined; DuckDB has no compressor) — the signal's
-    * properties are spec-verified instead (exact lengths on known
-    * streams, determinism, repetitive < natural < noise ordering). */
+    * per-document DEFLATE ratio. DEFLATE output is implementation-defined
+    * and DuckDB has no compressor, so the catalog output is the exact byte
+    * length plus a *hash-stateable bound assertion*: the ratio is a
+    * deterministic function of the data, and the query emits
+    * `ratio_in_bounds = 1` iff `0.25 < deflate/raw <= 1.1` (natural text
+    * compresses but never pathologically; DEFLATE expansion is capped near
+    * raw+5/16KiB). The oracle states the exact lengths and the literal
+    * `1` — a broken or drifting compressor flips flags and fails the hash
+    * gate. The signal's finer properties stay spec-verified (exact lengths
+    * on known streams, determinism, repetitive < natural < noise
+    * ordering). */
   val q147CompressionRatio: (String, QueryDef) = q(
-    "q147_compression_ratio") { (s, dir) =>
+    "q147_compression_ratio",
+    """SELECT doc_id, source, CAST(strlen(text) AS BIGINT) AS raw_len,
+      |  CAST(1 AS BIGINT) AS ratio_in_bounds
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     implicit val env: (SparkSession, String) = (s, dir)
     t("documents")
       .select(col("doc_id"), col("source"),
-        octet_length(col("text")).as("raw_len"),
-        call_function("graft_deflate_len", col("text")).as("deflate_len"),
+        octet_length(col("text")).cast("long").as("raw_len"),
         TextAnalysis.compressionRatio(col("text")).as("ratio"))
-      .orderBy(col("ratio").asc, col("doc_id").asc)
+      .select(col("doc_id"), col("source"), col("raw_len"),
+        when(col("ratio") > 0.25 && col("ratio") <= 1.1, 1L)
+          .otherwise(0L).as("ratio_in_bounds"))
+      .orderBy(col("doc_id"))
   }
 
   /** Deterministic Poisson bootstrap

@@ -161,11 +161,26 @@ object Queries2 {
   }
 
   /** Approximate count-distinct (HLL, sybil `-op distinct` — printer.go HLL
-    * path). Sketch internals differ per engine → rows-only check. */
-  val q32ApproxDistinct: (String, QueryDef) = q("q32_approx_distinct") { (s, dir) =>
+    * path). The sketch estimate is engine-specific, so the catalog output is
+    * the exact count plus a *hash-stateable bound assertion*: the HLL
+    * estimate is a deterministic function of the data, and the query emits
+    * `approx_within_tol = 1` iff `abs(est/exact - 1) <= 0.1`. The oracle
+    * states the same exact counts and the literal `1` — a drifting or
+    * broken sketch flips the flag and fails the hash gate. */
+  val q32ApproxDistinct: (String, QueryDef) = q(
+    "q32_approx_distinct",
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  CAST(1 AS BIGINT) AS approx_within_tol
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
     implicit val env: (SparkSession, String) = (s, dir)
     t("events").groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_users"))
+      .select(col("event_type"), col("exact_users"),
+        when(abs(col("approx_users") /
+            col("exact_users").cast("double") - 1.0) <= 0.1, 1L)
+          .otherwise(0L).as("approx_within_tol"))
       .orderBy(col("event_type"))
   }
 
