@@ -805,9 +805,14 @@ object Stats {
     // same two scale measures as [[bootstrapGroupMeans]]: spread a
     // narrow scan (one row group serializes the md5-bound draws) and
     // keep the replicate counters vectorized through graft_vecsum
-    // instead of exploding reps rows per input row
+    // instead of exploding reps rows per input row.
+    // Null values (or values whose long cast fails) are excluded from
+    // the resample entirely — they contribute to neither n_drawn nor the
+    // sums, so the output is the bootstrap of the non-null population; a
+    // null element reaching graft_vecsum would otherwise abort the query.
     val src = df.select(valueCol.cast(LongType).as("__v"),
       idCol.cast("string").as("__id"))
+      .filter(col("__v").isNotNull)
     val cores = df.sparkSession.sparkContext.defaultParallelism
     val spread = if (src.rdd.getNumPartitions * 2 < cores)
       src.repartition(cores) else src
@@ -849,8 +854,11 @@ object Stats {
     // a single task. Spread to the session's parallelism first when the
     // scan is narrower than half the cores; at real scale inputs carry
     // thousands of row groups and the floor never triggers.
+    // null/uncastable values excluded as in [[bootstrapMeans]] — the
+    // per-group resample covers the non-null population only
     val src = df.select(groupCol.as("grp"), valueCol.cast(LongType).as("__v"),
       idCol.cast("string").as("__id"))
+      .filter(col("__v").isNotNull)
     val cores = df.sparkSession.sparkContext.defaultParallelism
     val spread = if (src.rdd.getNumPartitions * 2 < cores)
       src.repartition(cores) else src
@@ -885,9 +893,11 @@ object Stats {
     val loIdx = math.floor(alpha * reps).toInt
     val hiIdx = math.ceil((1.0 - alpha) * reps).toInt - 1
     val repsTab = bootstrapGroupMeans(df, groupCol, idCol, valueCol, reps, salt)
+    // count non-null values only, matching the replicate tables'
+    // non-null-population contract
     val point = df.groupBy(groupCol.as("grp"))
       .agg((sum(valueCol.cast(LongType)).cast("double") /
-        count(lit(1)).cast("double")).as("mean_est"))
+        count(valueCol.cast(LongType)).cast("double")).as("mean_est"))
     repsTab.groupBy(col("grp"))
       .agg(count(col("mean")).as("n_reps"),
         array_sort(collect_list(col("mean"))).as("__ms"))

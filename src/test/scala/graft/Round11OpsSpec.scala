@@ -309,6 +309,28 @@ class Round11OpsSpec extends SparkSpec {
     assert(means.max > means.min, "replicates must actually vary")
   }
 
+  test("bootstrapMeans: null values are excluded, not a crash") {
+    // a null value (or failed long cast) used to reach graft_vecsum as a
+    // null array element and abort the query — the contract is that the
+    // resample covers the non-null population only
+    val df = Seq(("a", Some(10L)), ("b", None), ("c", Some(30L)),
+      ("d", None), ("e", Some(50L))).toDF("id", "v")
+    val got = graft.core.Stats.bootstrapMeans(df, col("id"), col("v"),
+      reps = 8, salt = "n").orderBy("rep").collect()
+      .map(r => (r.getInt(0), r.getLong(1), Option(r.get(2)))).toSeq
+    val nonNull = graft.core.Stats.bootstrapMeans(
+      df.filter(col("v").isNotNull), col("id"), col("v"),
+      reps = 8, salt = "n").orderBy("rep").collect()
+      .map(r => (r.getInt(0), r.getLong(1), Option(r.get(2)))).toSeq
+    assert(got === nonNull, "null rows must contribute to neither count nor sum")
+    val ci = graft.core.Stats.bootstrapGroupCi(
+      df.withColumn("g", lit("g")), col("g"), col("id"), col("v"),
+      reps = 8, salt = "n").collect()
+    assert(ci.length === 1)
+    // point estimate divides by the non-null count (3), not the row count
+    assert(ci.head.getAs[Double]("mean_est") === 30.0)
+  }
+
   // ---- snapshotDiff -------------------------------------------------------
 
   test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
