@@ -354,10 +354,15 @@ object Stats {
     * value mass) use this instead of stacking two single-measure passes.
     */
   private def withGroupedCumSumsResolved(in: DataFrame, groupCol: String,
-      vCol: String, measures: Seq[String], distributed: Boolean): DataFrame = {
+      vCol: String, measures: Seq[String], distributed: Boolean,
+      asc: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // one sort direction everywhere: the serial window, the range
+    // partitioner, and the per-partition window must agree or the
+    // distributed offsets would not be prefix sums of the same order
+    val ord = if (asc) col(vCol).asc else col(vCol).desc
     if (!distributed) {
-      val w = Window.partitionBy(col(groupCol)).orderBy(col(vCol))
+      val w = Window.partitionBy(col(groupCol)).orderBy(ord)
         .rowsBetween(Window.unboundedPreceding, 0)
       val wTot = Window.partitionBy(col(groupCol))
       return measures.foldLeft(in)((d, m) => d
@@ -368,10 +373,10 @@ object Stats {
     // (offsets + output) — see Ranking.globalRowNumber; reliable under
     // spark.graft.checkpointDir (Checkpoints.pin)
     val ranged = Checkpoints.pin(
-      in.repartitionByRange(col(groupCol), col(vCol))
+      in.repartitionByRange(col(groupCol), ord)
         .withColumn("__pid", spark_partition_id()))
     val wLocal = Window.partitionBy(col("__pid"), col(groupCol))
-      .orderBy(col(vCol)).rowsBetween(Window.unboundedPreceding, 0)
+      .orderBy(ord).rowsBetween(Window.unboundedPreceding, 0)
     val local = measures.foldLeft(ranged)((d, m) =>
       d.withColumn(s"__lcum_$m", sum(col(m)).over(wLocal)))
     val pcs = measures.map(m => sum(col(m)).as(s"__pc_$m"))
@@ -392,6 +397,26 @@ object Stats {
         d.withColumn(s"__cum_$m", col(s"__lcum_$m") + col(s"__off_$m")))
       .drop("__pid" +: measures.flatMap(m =>
         Seq(s"__lcum_$m", s"__off_$m")): _*)
+  }
+
+  /** Ungrouped DESCENDING cumulative sums over a rollup — the shape behind
+    * "from the top score down" cuts ([[graft.operators.Curation
+    * .exactScoreBands]], [[graft.operators.Curation.tokenBudgetThreshold]]):
+    * for each measure `m`, the inclusive prefix sum `__cum_<m>` walking
+    * `vCol` highest-first, plus the total `__tot_<m>`. `choice = None`
+    * auto-probes cardinality via [[resolveCum]]: an integer-score rollup
+    * (thousands of rows) takes the serial window, a continuous-score
+    * rollup (≈ row count) takes the range-partitioned distributed prefix
+    * sum — the latter is what keeps a 100 TB quality-score sweep off a
+    * single sort task. Returns the (possibly cached) frame and the
+    * resolved flag so the caller can match its join strategy to the
+    * regime. */
+  private[graft] def resolvedCumSumsDesc(rollup: DataFrame, vCol: String,
+      measures: Seq[String], choice: Option[Boolean]): (DataFrame, Boolean) = {
+    val withG = rollup.withColumn("__cg", lit(1))
+    val (g, dist) = resolveCum(withG, "__cg", choice)
+    (withGroupedCumSumsResolved(g, "__cg", vCol, measures, dist, asc = false)
+      .drop("__cg"), dist)
   }
 
   /** Exact per-group WEIGHTED lower median: the smallest value whose

@@ -44,20 +44,6 @@ object Curation {
       .drop("__fp")
   }
 
-  /** Exact score-band bucketing (decile/percentile assignment) without a
-    * global row sort. `NTILE`/`row_number` over the whole table would pull
-    * every row through one window task — the canonical scale-killer. This
-    * instead computes, per DISTINCT score value, how many rows score
-    * strictly higher, and assigns `bucket = (buckets · higher) div total`
-    * — integer arithmetic only, ties share a bucket (so boundaries shift
-    * by tie mass rather than splitting ties arbitrarily).
-    *
-    * The window runs over the distinct-value AGGREGATE (bounded by the
-    * score's value range, e.g. ≤ a few thousand for integer length
-    * scores), never over rows; the per-value cutoffs broadcast back onto
-    * the table. For unbounded-cardinality double scores, quantize the
-    * score into integer bands first.
-    */
   /** Corpus snapshot diff: per document id, whether the new snapshot
     * `added` it, `removed` it, `changed` its bytes, or left it
     * `unchanged` — the audit run between two crawl/ingest versions before
@@ -85,17 +71,39 @@ object Curation {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Exact score-band bucketing (decile/percentile assignment) without a
+    * global row sort. `NTILE`/`row_number` over the whole table would pull
+    * every row through one window task — the canonical scale-killer. This
+    * instead computes, per DISTINCT score value, how many rows score
+    * strictly higher, and assigns `bucket = (buckets · higher) div total`
+    * — integer arithmetic only, ties share a bucket (so boundaries shift
+    * by tie mass rather than splitting ties arbitrarily).
+    *
+    * The cum runs over the distinct-value AGGREGATE through
+    * [[graft.core.Stats.resolvedCumSumsDesc]]: a bounded integer-score
+    * rollup takes one small window and the cutoffs broadcast back; a
+    * continuous-score rollup (≈ row count) auto-selects the
+    * range-partitioned distributed prefix sum, and the join back flips
+    * to a shuffle join on the score key. `distributedCum = Some(…)` pins
+    * the regime and skips the probe (the 100 TB-job setting). */
   def exactScoreBands(df: DataFrame, idCol: String, scoreCol: String,
-      buckets: Int = 10): DataFrame = {
+      buckets: Int = 10,
+      distributedCum: Option[Boolean] = None): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
     val g = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
-    val w = Window.orderBy(col(scoreCol).desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = g.select(col(scoreCol),
-        coalesce(sum(col("__c")).over(w), lit(0L)).as("__higher"))
-      .crossJoin(broadcast(df.agg(count(lit(1)).as("__total"))))
+    // descending cum over the distinct-score rollup via the shared
+    // serial-vs-distributed prefix-sum machinery: an integer-score rollup
+    // stays a bounded window, a continuous-score rollup (≈ row count)
+    // takes the range-partitioned path — and then the cutoff table is no
+    // longer broadcast-sized either, so the join back flips to a shuffle
+    // join on the same key
+    val (cum0, dist) = graft.core.Stats.resolvedCumSumsDesc(
+      g, scoreCol, Seq("__c"), distributedCum)
+    val cum = cum0.select(col(scoreCol),
+      (col("__cum___c") - col("__c")).as("__higher"),
+      col("__tot___c").as("__total"))
     df.select(col(idCol), col(scoreCol))
-      .join(broadcast(cum), Seq(scoreCol))
+      .join(if (dist) cum else broadcast(cum), Seq(scoreCol))
       .select(col(idCol), col(scoreCol),
         expr(s"($buckets * __higher) div __total").as("bucket"))
   }
@@ -118,20 +126,23 @@ object Curation {
     * aggregation of that rollup.
     */
   def tokenBudgetThreshold(docs: DataFrame, scoreCol: Column,
-      tokenCol: Column, budgetTokens: Long): DataFrame = {
+      tokenCol: Column, budgetTokens: Long,
+      distributedCum: Option[Boolean] = None): DataFrame = {
     require(budgetTokens >= 0, "tokenBudgetThreshold: budget must be >= 0")
-    import org.apache.spark.sql.expressions.Window
     val rollup = docs.select(scoreCol.as("__s"),
         tokenCol.cast("long").as("__tk"))
       .groupBy(col("__s"))
       .agg(sum(col("__tk")).as("__gt"), count(lit(1)).as("__gn"))
-    val w = Window.orderBy(col("__s").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rollup.withColumn("__cum", sum(col("__gt")).over(w))
-      .filter(col("__cum") <= budgetTokens)
+    // descending cum over the distinct-score rollup through the shared
+    // serial-vs-distributed prefix-sum machinery (continuous scores would
+    // otherwise serialize a row-count-sized window into one task); the
+    // finish is a bounded aggregation either way
+    val (cum, _) = graft.core.Stats.resolvedCumSumsDesc(
+      rollup, "__s", Seq("__gt"), distributedCum)
+    cum.filter(col("__cum___gt") <= budgetTokens)
       .agg(min(col("__s")).as("threshold"),
         coalesce(sum(col("__gn")), lit(0L)).as("n_docs_kept"),
-        coalesce(max(col("__cum")), lit(0L)).as("tokens_kept"))
+        coalesce(max(col("__cum___gt")), lit(0L)).as("tokens_kept"))
       .withColumn("budget", lit(budgetTokens))
   }
 
