@@ -1,5 +1,6 @@
 package graft.tools
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.{SortExec, SparkPlan}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
@@ -16,13 +17,15 @@ import graft.core.GraftSession
   *  - `WindowExec` with an EMPTY partition spec (single-task window over
   *    the whole input — fine over stage-bounded rollups, fatal over raw
   *    corpus rows),
-  *  - global `SortExec` that does not feed a limit (full-sort output).
+  *  - global `SortExec` over KNOWN-big RAW (non-derived) input that does
+  *    not feed a limit — the full-table sort; bounded rollup sorts,
+  *    derived-result gate orderings, and top-k are fine.
   *
   * The per-query PlanSpec assertions pin the load-bearing cases; this
-  * sweep is the safety net that new catalog entries cannot dodge.
-  * `runMain graft.tools.CatalogAudit [sfDir]` prints one line per flagged
-  * query; exit code 0 always (a reviewing tool, not a gate — some flags
-  * are deliberate and documented where they occur).
+  * sweep is the safety net that new catalog entries cannot dodge: it runs
+  * as a test gate ([[graft.CatalogAuditSpec]]) that fails on any
+  * non-allowlisted finding. `runMain graft.tools.CatalogAudit [sfDir]`
+  * prints the same findings for interactive review (exit 0 always).
   */
 object CatalogAudit {
   /** Size below which a join side / window input counts as a bounded
@@ -31,10 +34,11 @@ object CatalogAudit {
     * corpus-sized frame sits far over). */
   private val BoundedBytes = BigInt(64L * 1024 * 1024)
 
-  /** Hand-audited exceptions: (cartesian, partitionlessWindow) node
-    * counts whose inputs are bounded BY CONSTRUCTION but whose
-    * post-aggregation stats are unknown to the estimator (unknown counts
-    * as big — the loud default). Every entry names why it is safe:
+  /** Hand-audited exceptions: (cartesian, partitionlessWindow,
+    * unlimitedGlobalSort) node counts whose inputs are bounded BY
+    * CONSTRUCTION but whose post-aggregation stats are unknown to the
+    * estimator (unknown counts as big — the loud default). Every entry
+    * names why it is safe:
     *
     *  - q111/q151: [[graft.operators.Ranking.globalRowNumber]]'s offset
     *    window runs over the |partitions|-row count table (plus q151's
@@ -46,79 +50,131 @@ object CatalogAudit {
     *    scalar frames (CMS matrices, priority threshold, NB priors,
     *    sketch audit row) whose post-agg size the estimator can't see.
     */
-  private val Allowlist: Map[String, (Int, Int)] = Map(
-    "q111_sorted_neighborhood" -> (0, 2),
-    "q151_length_batches" -> (0, 2),
-    "q145_reliability_curve" -> (0, 3),
-    "q79_score_deciles" -> (0, 1),
-    "q90_cumulative_users" -> (0, 1),
-    "q170_survival" -> (0, 1),
-    "q171_token_budget" -> (0, 1),
-    "q186_curation_waterfall" -> (0, 1),
-    "q113_cms_estimates" -> (1, 0),
+  private val Allowlist: Map[String, (Int, Int, Int)] = Map(
+    "q111_sorted_neighborhood" -> (0, 2, 0),
+    "q151_length_batches" -> (0, 2, 0),
+    "q145_reliability_curve" -> (0, 3, 0),
+    "q79_score_deciles" -> (0, 1, 0),
+    "q90_cumulative_users" -> (0, 1, 0),
+    "q170_survival" -> (0, 1, 0),
+    "q171_token_budget" -> (0, 1, 0),
+    "q186_curation_waterfall" -> (0, 1, 0),
+    //  - q60: the gate ordering sorts the pinned connected-components
+    //    label front (one row per node, bounded by doc count). The pin
+    //    makes its logical leaf an InMemoryRelation, which hides the
+    //    groupBy that bounds it from the derived-result exclusion, and
+    //    the pre-materialization estimate is the LSH join-product guess.
+    "q60_dup_clusters" -> (0, 0, 1),
+    "q113_cms_estimates" -> (1, 0, 0),
     //  - q191: the |slices| × topWords grid cross join — both sides are
     //    bounded tables (per-slice totals, the top-F word list).
-    "q191_burrows_delta" -> (1, 0),
-    "q142_priority_sample" -> (1, 0),
-    "q150_nb_classifier" -> (1, 0),
-    "q162_join_estimate" -> (2, 0))
+    "q191_burrows_delta" -> (1, 0, 0),
+    "q142_priority_sample" -> (1, 0, 0),
+    "q150_nb_classifier" -> (1, 0, 0),
+    "q162_join_estimate" -> (2, 0, 0))
+
+  /** One audited query: observed counts vs allowlisted counts, plus any
+    * plan-construction error. `ok` iff within allowance and error-free. */
+  final case class Finding(name: String, bigCart: Int, bigWin: Int,
+      bigSort: Int, allowed: (Int, Int, Int), error: Option[String]) {
+    def ok: Boolean = error.isEmpty && bigCart <= allowed._1 &&
+      bigWin <= allowed._2 && bigSort <= allowed._3
+    override def toString: String =
+      if (error.isDefined) s"$name ERROR ${error.get.take(100)}"
+      else f"$name%-28s unboundedCartesian=$bigCart " +
+        s"unboundedPartitionlessWindows=$bigWin " +
+        s"unboundedUnlimitedSorts=$bigSort (allowed=$allowed)"
+  }
+
+  /** Audit one plan-producing query body against its allowance. */
+  def auditOne(name: String, spark: SparkSession, dir: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : Finding = {
+    val allowed = Allowlist.getOrElse(name, (0, 0, 0))
+    try {
+      val plan = fn(spark, dir).queryExecution.executedPlan
+      def collect(p: SparkPlan): Seq[SparkPlan] =
+        p +: (p.children ++ p.subqueries).flatMap(collect)
+      val nodes = collect(plan)
+      // logical-stats size estimate for a physical subtree (bytes);
+      // MaxValue when unknown — unknown counts as big (loud default)
+      def estBytes(p: SparkPlan): BigInt =
+        p.logicalLink.map(_.stats.sizeInBytes).getOrElse(
+          BigInt(Long.MaxValue))
+      // a pair/nested-loop shape is fine iff one side is model-sized:
+      // query vectors, scalar totals, sketch matrices, probe sets
+      val bigCart = nodes.count {
+        case j: CartesianProductExec =>
+          j.children.forall(c => estBytes(c) > BoundedBytes)
+        case j: BroadcastNestedLoopJoinExec =>
+          j.children.forall(c => estBytes(c) > BoundedBytes)
+        case _ => false
+      }
+      // a partitionless window is fine iff its input is a bounded
+      // rollup (deciles, top-k boundaries, bucket tables)
+      val bigWin = nodes.count {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          estBytes(w.child) > BoundedBytes
+        case _ => false
+      }
+      // a global sort flags only on a KNOWN-big input — the opposite
+      // default from the shapes above, deliberately: every catalog query
+      // ends in a deterministic ORDER BY of its (usually aggregate)
+      // result for the oracle compare, and post-aggregation stats are
+      // unknown to the estimator, so a loud-unknown default would flag
+      // the entire catalog for its gate ordering. What this still
+      // catches is the real killer: a global sort directly over
+      // scan/join-sized data, whose size the estimator DOES know
+      // (leaves carry file sizes, joins multiply them). Top-k never
+      // reaches here (orderBy+limit compiles to TakeOrdered).
+      // The size is read off the sort's OWN logical link (logical Sort
+      // output = input size): its physical child is the range exchange,
+      // which carries no link. A further restriction keeps join-estimate
+      // inflation out: the flag applies only to sorts over RAW
+      // (scan/filter/project-shaped) input — a sort above an aggregate,
+      // join, or window orders a derived result (the catalog's gate
+      // ordering), and its estimate is a multiplied-out join guess with
+      // no relation to the actual bounded candidate set. Sorting a big
+      // joined output badly is caught by the cartesian check instead.
+      val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+      val bigSort = nodes.count {
+        case s: SortExec if s.global =>
+          s.logicalLink.exists { l =>
+            import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window => LWindow}
+            val derived = l.children.exists(_.collectFirst {
+              case _: Aggregate => (); case _: Join => ()
+              case _: LWindow => ()
+            }.isDefined)
+            val e = l.stats.sizeInBytes
+            !derived && e > BoundedBytes && e < sentinel
+          }
+        case _ => false
+      }
+      Finding(name, bigCart, bigWin, bigSort, allowed, None)
+    } catch {
+      case e: Throwable =>
+        Finding(name, 0, 0, 0, allowed,
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+    }
+  }
+
+  /** Audit the whole catalog (sorted by name). AQE must be disabled by
+    * the caller: an AdaptiveSparkPlanExec root hides its children until
+    * execution, so the walk would see only the opaque root. */
+  def auditAll(spark: SparkSession, dir: String): Seq[Finding] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      auditOne(name, spark, dir, fn)
+    }
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
     spark.sparkContext.setLogLevel("ERROR")
-    // AQE wraps the physical plan in an AdaptiveSparkPlanExec whose
-    // children are not populated until execution — the walk would see
-    // only the opaque root. The audit inspects the static plan.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    var flagged = 0
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      try {
-        val plan = fn(spark, dir).queryExecution.executedPlan
-        def collect(p: SparkPlan): Seq[SparkPlan] =
-          p +: (p.children ++ p.subqueries).flatMap(collect)
-        val nodes = collect(plan)
-        // logical-stats size estimate for a physical subtree (bytes);
-        // MaxValue when unknown — unknown counts as big (loud default)
-        def estBytes(p: SparkPlan): BigInt =
-          p.logicalLink.map(_.stats.sizeInBytes).getOrElse(
-            BigInt(Long.MaxValue))
-        // a pair/nested-loop shape is fine iff one side is model-sized:
-        // query vectors, scalar totals, sketch matrices, probe sets
-        val bigCart = nodes.count {
-          case j: CartesianProductExec =>
-            j.children.forall(c => estBytes(c) > BoundedBytes)
-          case j: BroadcastNestedLoopJoinExec =>
-            j.children.forall(c => estBytes(c) > BoundedBytes)
-          case _ => false
-        }
-        // a partitionless window is fine iff its input is a bounded
-        // rollup (deciles, top-k boundaries, bucket tables)
-        val bigWin = nodes.count {
-          case w: WindowExec if w.partitionSpec.isEmpty =>
-            estBytes(w.child) > BoundedBytes
-          case _ => false
-        }
-        val globalSorts = nodes.count {
-          case s: SortExec => s.global
-          case _ => false
-        }
-        val topk = nodes.exists(
-          _.getClass.getSimpleName.startsWith("TakeOrdered"))
-        val unlimitedSort = if (topk) 0 else globalSorts
-        val allowed = Allowlist.getOrElse(name, (0, 0))
-        if (bigCart > allowed._1 || bigWin > allowed._2)
-          { flagged += 1
-            println(f"AUDIT $name%-28s unboundedCartesian=$bigCart " +
-              s"unboundedPartitionlessWindows=$bigWin " +
-              s"globalSorts=$unlimitedSort (allowed=$allowed)") }
-      } catch {
-        case e: Throwable =>
-          flagged += 1
-          println(s"AUDIT $name ERROR ${e.getMessage.take(100)}")
-      }
-    }
-    println(s"AUDIT done: $flagged flagged of ${SparkEntry.queries.size}")
+    val findings = auditAll(spark, dir)
+    findings.filterNot(_.ok).foreach(f => println(s"AUDIT $f"))
+    println(
+      s"AUDIT done: ${findings.count(!_.ok)} flagged of ${findings.size}")
     spark.stop()
   }
 }
