@@ -60,7 +60,34 @@ object Bpe {
 
   /** Learn `merges` BPE merges; returns `(rank, lhs, rhs, pair_count)`
     * with rank 1 = first (most frequent) merge. Stops early if the
-    * dictionary runs out of pairs. */
+    * dictionary runs out of pairs.
+    *
+    * Rounds are BATCHED: each Spark job collects the top-B pair counts
+    * (a bounded model frame) and the driver then accepts a PREFIX of
+    * candidates that is provably identical to running the classic
+    * one-merge-per-job loop — so a 32k-merge study launches jobs
+    * proportional to the conflict structure of the data, not 32k of
+    * them, while every output stays bit-equal to the sequential learner
+    * (the DuckDB oracle replays that sequential learner level by
+    * level). Acceptance of candidate i after earlier in-batch merges is
+    * allowed only when the sequential learner would certainly still
+    * pick it:
+    *
+    *  - it shares NO symbol with an accepted merge (its count is then
+    *    provably unchanged by them), and the scan stops at the first
+    *    sharing candidate (whose stale count can no longer be ranked);
+    *  - its count strictly exceeds an upper bound on every count an
+    *    accepted merge can have changed or created: a merge (a,b)→S can
+    *    only create pairs (x,S)/(S,y) with multiplicity ≤ the old
+    *    (x,a)/(b,y) counts, on top of any pre-existing pairs touching
+    *    S — all bounded by collected counts of rows touching those
+    *    symbols, with `cLast` (the B-th count) bounding anything
+    *    uncollected.
+    *
+    * A stop just ends the round — the next job recounts exactly, so the
+    * bound is a THROUGHPUT heuristic, never a correctness assumption.
+    * Each round accepts at least one merge (the global argmax is always
+    * exact), so job count never exceeds the sequential learner's. */
   def learnMerges(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
     require(merges >= 1, "learnMerges: need at least one merge")
     val spark = docs.sparkSession
@@ -71,18 +98,59 @@ object Bpe {
       var rank = 1
       var exhausted = false
       while (rank <= merges && !exhausted) {
+        val remaining = merges - rank + 1
+        // bounded model fetch: B rows of (a, b, cnt), not data
+        val batchSize = math.min(math.max(256, 4 * remaining), 4096)
         val top = pairCounts(dict)
           .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-          .limit(1).collect()
+          .limit(batchSize).collect()
         if (top.isEmpty) exhausted = true
         else {
-          val (a, b, cnt) =
-            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          learned += Row(rank.toLong, a, b, cnt)
-          dict = dict.withColumn("s",
-            call_function("replace", col("s"),
-              lit(Sep + a + Sep + b + Sep), lit(Sep + a + b + Sep)))
-          rank += 1
+          // anything uncollected has count <= the last collected count
+          val cLast = if (top.length == batchSize)
+            top.last.getLong(2) else 0L
+          val rows = top.map(r =>
+            (r.getString(0), r.getString(1), r.getLong(2)))
+          // directional count bounds from the collected frame, floored
+          // by cLast for anything uncollected: a merge (a,b)→S creates
+          // (x,S) pairs with multiplicity ≤ the old (x,a) counts (a as
+          // RIGHT element) and (S,y) pairs ≤ the old (b,y) counts (b as
+          // LEFT element)
+          def maxAsRight(sym: String): Long = rows.iterator
+            .filter(_._2 == sym).map(_._3)
+            .foldLeft(cLast)(math.max)
+          def maxAsLeft(sym: String): Long = rows.iterator
+            .filter(_._1 == sym).map(_._3)
+            .foldLeft(cLast)(math.max)
+          val accepted = scala.collection.mutable
+            .ListBuffer.empty[(String, String, Long)]
+          val dirty = scala.collection.mutable.Set.empty[String]
+          // Σ over accepted merges of their max creation mass, plus the
+          // largest pre-existing count touching a created symbol
+          var createSum = 0L
+          var preExist = 0L
+          var stopped = false
+          val it = rows.iterator
+          while (!stopped && accepted.size < remaining && it.hasNext) {
+            val (a, b, c) = it.next()
+            if (dirty.contains(a) || dirty.contains(b)) stopped = true
+            else if (accepted.nonEmpty && c <= preExist + createSum)
+              stopped = true
+            else {
+              accepted += ((a, b, c))
+              dirty ++= Seq(a, b, a + b)
+              createSum += math.max(maxAsRight(a), maxAsLeft(b))
+              preExist = math.max(preExist,
+                math.max(maxAsRight(a + b), maxAsLeft(a + b)))
+            }
+          }
+          for ((a, b, c) <- accepted) {
+            learned += Row(rank.toLong, a, b, c)
+            dict = dict.withColumn("s",
+              call_function("replace", col("s"),
+                lit(Sep + a + Sep + b + Sep), lit(Sep + a + b + Sep)))
+            rank += 1
+          }
         }
       }
     } finally dict.unpersist(blocking = false)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.core.Stats
+import graft.core.{Stats, Tables}
 import graft.operators.Curation
 
 /** Round-16 hardening: the descending distributed prefix-sum path under
@@ -80,5 +80,103 @@ class Round16OpsSpec extends SparkSpec {
       distributedCum = Some(true)).head()
     assert(r.getDouble(0) === 3.0 && r.getLong(1) === 2L &&
       r.getLong(2) === 20L)
+  }
+
+  // ---- batched BPE learning ----------------------------------------------
+
+  /** In-memory reference of the classic one-merge-at-a-time BPE learner,
+    * with the same symbol representation, pair extraction, argmax
+    * tie-break, and left-to-right non-overlapping replace semantics as
+    * [[graft.operators.Bpe]] — the ground truth the batched learner must
+    * equal bit-for-bit. */
+  private def refLearnMerges(texts: Seq[String],
+      merges: Int): Seq[(Long, String, String, Long)] = {
+    import graft.operators.Bpe.{EndMark, Sep}
+    val freqs = texts.flatMap(_.split(" ", -1)).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    def sym(w: String): String =
+      Sep + (w.map(_.toString) :+ EndMark).mkString(Sep) + Sep
+    var dict: Seq[(String, Long)] =
+      freqs.toSeq.map { case (w, f) => (sym(w), f) }
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(Long, String, String, Long)]
+    var rank = 1L
+    var exhausted = false
+    while (rank <= merges && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((s, f) <- dict;
+           Array(a, b) <- s.split(Sep).filter(_.nonEmpty).sliding(2)
+             .filter(_.length == 2))
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((rank, a, b, c))
+        dict = dict.map { case (s, f) =>
+          (s.replace(Sep + a + Sep + b + Sep, Sep + a + b + Sep), f) }
+        rank += 1
+      }
+    }
+    out.toList
+  }
+
+  private def countJobs[T](body: => T): (T, Int) = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val r = try {
+      val r = body
+      Thread.sleep(500) // listener bus drain
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    (r, jobs.get())
+  }
+
+  /** Diverse-context corpus where batching provably triggers: each
+    * region k embeds its pair (e.g. "ab") in a 10×10 grid of shared
+    * context chars, so the top pairs' counts tower over every
+    * neighbor-pair count and several merges are accepted per job. */
+  private def batchableCorpus: Seq[String] = {
+    val regions = Seq(("ab", 100), ("cd", 50), ("ef", 25), ("gh", 12))
+    val lefts = "0123456789"
+    for {
+      (p, f) <- regions
+      l <- lefts.map(_.toString)
+      r <- ('q' to 'z').map(_.toString)
+      _ <- 1 to f
+    } yield l + p + r
+  }
+
+  test("learnMerges batched rounds equal the sequential reference " +
+      "(crafted corpus and real documents)") {
+    def got(texts: Seq[String], merges: Int) =
+      graft.operators.Bpe.learnMerges(
+          texts.toDF("text"), "text", merges)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+    assert(got(batchableCorpus, 6) === refLearnMerges(batchableCorpus, 6))
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("text").collect().map(_.getString(0)).toSeq
+    assert(got(docs, 12) === refLearnMerges(docs, 12))
+  }
+
+  test("learnMerges job count grows sub-linearly in merges") {
+    val df = batchableCorpus.toDF("text")
+    // warm once so codegen/scan setup doesn't skew the counts
+    graft.operators.Bpe.learnMerges(df, "text", 1).collect()
+    val (_, jobs1) = countJobs(
+      graft.operators.Bpe.learnMerges(df, "text", 1).collect())
+    val (_, jobs4) = countJobs(
+      graft.operators.Bpe.learnMerges(df, "text", 4).collect())
+    // crafted counts: round 1 accepts (a,b),(c,d),(e,f); round 2 takes
+    // (g,h) — 2 rounds for 4 merges, where the per-merge loop needs 4
+    assert(jobs4 <= 2 * jobs1,
+      s"expected ≤2 rounds of jobs for 4 merges, got $jobs4 (1 merge = $jobs1)")
   }
 }
