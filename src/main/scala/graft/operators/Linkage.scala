@@ -33,21 +33,34 @@ object Linkage {
     *
     * Scale: the blocking equi-join is THE cost — a shuffle on the block
     * key; a skewed block (one giant city/segment) is the classic
-    * failure, handled the same way as any skewed join (salt the block
-    * key, or tighten blocking — that is a data decision, not an engine
-    * one). Comparisons are scan-side expressions on the joined pairs; no
-    * state, no driver collection.
+    * failure. `salts > 1` applies [[Joins.saltedJoin]]'s scatter to it:
+    * the `a` side spreads each block over `salts` sub-keys by row hash
+    * and the `b` side replicates to every sub-key, so a hot block's
+    * pairs land on `salts` tasks instead of one — output identical to
+    * the unsalted join by construction (each sub-join sees the complete
+    * b partition for its block). Tightening the blocking remains the
+    * better fix when the data allows it; salting is the engine-side
+    * relief when it does not. Comparisons are scan-side expressions on
+    * the joined pairs; no state, no driver collection.
     */
   def fsLink(a: DataFrame, idA: String, b: DataFrame, idB: String,
       blockCols: Seq[String], rules: Seq[FieldRule],
-      threshold: Int): DataFrame = {
+      threshold: Int, salts: Int = 1): DataFrame = {
     require(blockCols.nonEmpty, "fsLink: at least one blocking column")
     require(rules.nonEmpty, "fsLink: at least one field rule")
     require(rules.map(_.name).distinct.size == rules.size,
       "fsLink: duplicate rule names")
+    require(salts >= 1, s"fsLink: salts must be >= 1, got $salts")
     val bSuffixed = b.toDF(b.columns.map(c =>
       if (blockCols.contains(c)) c else c + "_b").toIndexedSeq: _*)
-    val joined = a.join(bSuffixed, blockCols)
+    val joined = if (salts == 1) a.join(bSuffixed, blockCols)
+    else {
+      val aCols = a.columns.map(col).toSeq
+      val aS = a.withColumn("__salt", pmod(hash(aCols: _*), lit(salts)))
+      val bS = bSuffixed.withColumn("__salt",
+        explode(sequence(lit(0), lit(salts - 1))))
+      aS.join(bS, blockCols :+ "__salt").drop("__salt")
+    }
     val flagged = rules.foldLeft(joined)((d, r) =>
       d.withColumn(s"agree_${r.name}", r.pred))
     val score = rules.map(r =>

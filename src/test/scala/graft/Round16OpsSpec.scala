@@ -179,4 +179,31 @@ class Round16OpsSpec extends SparkSpec {
     assert(jobs4 <= 2 * jobs1,
       s"expected ≤2 rounds of jobs for 4 merges, got $jobs4 (1 merge = $jobs1)")
   }
+
+  // ---- salted record linkage ---------------------------------------------
+
+  test("fsLink: salted block join equals unsalted on a 90%-hot block") {
+    import graft.operators.Linkage
+    val rnd = new scala.util.Random(5)
+    // 90% of the left registry lands in one block
+    val a = (1L to 1000L).map { i =>
+      val blk = if (i <= 900) "HOT" else s"c${i % 7}"
+      (i, s"n${rnd.nextInt(40)}", rnd.nextInt(10).toLong, blk)
+    }.toDF("id", "name", "v", "block")
+    val b = (1L to 300L).map { i =>
+      val blk = if (i <= 200) "HOT" else s"c${i % 7}"
+      (1000L + i, s"n${rnd.nextInt(40)}", rnd.nextInt(10).toLong, blk)
+    }.toDF("rid", "name", "v", "block")
+    val rules = Seq(
+      Linkage.FieldRule("name", col("name") === col("name_b"), 4, -2),
+      Linkage.FieldRule("v", col("v") === col("v_b"), 2, -1))
+    def canonOut(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    val unsalted = canonOut(
+      Linkage.fsLink(a, "id", b, "rid", Seq("block"), rules, threshold = 5))
+    val salted = canonOut(Linkage.fsLink(
+      a, "id", b, "rid", Seq("block"), rules, threshold = 5, salts = 8))
+    assert(salted === unsalted)
+    assert(unsalted.size >= 900 * 200, "hot block must dominate the pairs")
+  }
 }
