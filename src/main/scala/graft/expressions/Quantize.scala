@@ -33,11 +33,29 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
     new GenericArrayData(out)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftL2", this, classOf[L2Normalize].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = (ArrayData) $ref.nullSafeEvalPub($a);")
-  }
-  def nullSafeEvalPub(input: Any): Any = nullSafeEval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val norm = ctx.freshName("norm")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double __x = (double) $a.getFloat($i);
+         |  $sum += __x * __x;
+         |}
+         |double $norm = Math.sqrt($sum);
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = ((double) $a.getFloat($i)) / $norm;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): L2Normalize =
     copy(child = newChild)
@@ -82,11 +100,40 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
       new GenericArrayData(q)))
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftQ8", this, classOf[QuantizeInt8].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = (InternalRow) $ref.nullSafeEvalPub($a);")
-  }
-  def nullSafeEvalPub(input: Any): Any = nullSafeEval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val maxAbs = ctx.freshName("maxAbs")
+      val scale = ctx.freshName("scale")
+      val q = ctx.freshName("q")
+      val fields = ctx.freshName("fields")
+      // (byte)(int) Math.floor(...) mirrors Scala's Double.toByte
+      // truncation in nullSafeEval exactly (values are in [-127.5,
+      // 127.5], so the int cast never clamps)
+      s"""
+         |int $n = $a.numElements();
+         |double $maxAbs = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double __x = Math.abs((double) $a.getFloat($i));
+         |  if (__x > $maxAbs) $maxAbs = __x;
+         |}
+         |double $scale = 127.0 / $maxAbs;
+         |byte[] $q = new byte[$n];
+         |if ($maxAbs != 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $q[$i] = (byte)(int) Math.floor(
+         |      ((double) $a.getFloat($i)) * $scale + 0.5);
+         |  }
+         |}
+         |Object[] $fields = new Object[2];
+         |$fields[0] = Double.valueOf($maxAbs == 0.0 ? 0.0 : $scale);
+         |$fields[1] = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($q);
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions
+         |  .GenericInternalRow($fields);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
     copy(child = newChild)

@@ -254,4 +254,51 @@ class ExpressionsSpec extends SparkSpec {
     assert(Seq((null: String)).toDF("s")
       .select(call_function("graft_nfc", col("s"))).collect()(0).isNullAt(0))
   }
+
+  test("l2_normalize / quantize8 generate real inline loops, not an " +
+      "eval callback") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val in = BoundReference(0, ArrayType(FloatType), nullable = true)
+    val l2 = graft.expressions.L2Normalize(in)
+      .genCode(new CodegenContext).code.toString
+    assert(l2.contains("Math.sqrt") && l2.contains("for ("),
+      "L2Normalize must inline its norm loop")
+    assert(!l2.contains("nullSafeEvalPub"),
+      "L2Normalize must not call back into the interpreter")
+    val q8 = graft.expressions.QuantizeInt8(in)
+      .genCode(new CodegenContext).code.toString
+    assert(q8.contains("Math.floor") && q8.contains("127.0"),
+      "QuantizeInt8 must inline its rounding loop")
+    assert(!q8.contains("nullSafeEvalPub"),
+      "QuantizeInt8 must not call back into the interpreter")
+  }
+
+  test("l2_normalize / quantize8: codegen and interpreted paths agree") {
+    val df = Seq(
+      Seq(0.1f, -2.5f, 3.0f, 0.0f),
+      Seq(127.0f),
+      Seq(0.0f, 0.0f),                 // zero vector: scale 0, q all 0
+      Seq(-1e-6f, 1e-6f, 5.5f, -5.5f)  // tie at .5 rounding both signs
+    ).toDF("v")
+    def run(): Seq[Seq[String]] = df.select(
+        call_function("graft_l2_normalize", col("v")).as("n"),
+        call_function("graft_quantize8", col("v")).as("q"))
+      .collect().map(_.toSeq.map(String.valueOf)).toSeq
+    val gen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = try run() finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(gen === interp)
+    // spot-check the quantized values themselves
+    val q = df.select(call_function("graft_quantize8", col("v")).as("q"))
+      .selectExpr("q.scale", "q.q").collect()
+    assert(q(1).getDouble(0) === 1.0 && q(1).getSeq[Byte](1) === Seq(127.toByte))
+    assert(q(2).getDouble(0) === 0.0 &&
+      q(2).getSeq[Byte](1) === Seq(0.toByte, 0.toByte))
+  }
 }
