@@ -21,7 +21,7 @@ import graft.sources.{GraftTable, Ingest, QueryCache}
   *   graft query   -dir DB -table T [-group a,b] [-int x,y] [-op avg|sum|hist|count]
   *                 [-int-filter c:gt:5] [-str-filter c:re:pat] [-set-filter c:in:v]
   *                 [-time] [-time-col c] [-time-bucket secs] [-weight-col w]
-  *                 [-distinct cols] [-loghist] [-nested-hist] [-samples]
+  *                 [-distinct cols] [-loghist] [-nested-hist] [-tdigest] [-samples]
   *                 [-sample-cols a,b] [-str-replace col:find:replace]
   *                 [-sort col] [-sort-asc] [-limit n] [-read-log] [-json]
   *                 [-cache-queries]
@@ -41,7 +41,7 @@ object Cli {
 
   private val boolFlags = Set("csv", "json", "samples", "read-log", "sort-asc",
     "time", "delete", "really", "info", "tables", "cache-queries", "loghist",
-    "nested-hist", "export", "print", "update-info", "skip-compact")
+    "nested-hist", "tdigest", "export", "print", "update-info", "skip-compact")
 
   /** `-flag value` / `-flag=value` / boolean `-flag`. */
   private[graft] def parseFlags(args: Seq[String]): Map[String, String] = {
@@ -88,6 +88,7 @@ object Cli {
     }
     if (f.contains("loghist")) q = q.logHistogram
     if (f.contains("nested-hist")) q = q.nestedHistogram // true MultiHist structure
+    if (f.contains("tdigest")) q = q.tDigestHistogram // quantile-sketch flavor
     f.get("int-bucket").foreach(n => q = q.bucketCount(n.toInt))
     f.get("distinct").foreach(c => q = q.distinct(splitList(c): _*))
     f.get("int-filter").foreach(filterTriples(_).foreach { case (c, op, v) =>

@@ -80,7 +80,8 @@ final case class SybilQuery(
     histBuckets: Int = 1000,
     histExtents: Map[String, (Long, Long)] = Map.empty,
     useLogHist: Boolean = false,
-    useNestedHist: Boolean = false) {
+    useNestedHist: Boolean = false,
+    useTDigest: Boolean = false) {
 
   def groupBy(cols: String*): SybilQuery = copy(groups = groups ++ cols)
   def aggregate(cols: String*): SybilQuery = copy(aggCols = aggCols ++ cols)
@@ -122,6 +123,20 @@ final case class SybilQuery(
   def nestedHistogram: SybilQuery = copy(op = AggOp.HistOp, useNestedHist = true)
   /** `-int-bucket` (cmd_query.go:52): hist bucket count override. */
   def bucketCount(n: Int): SybilQuery = copy(histBuckets = n)
+  /** `-tdigest` (hist_tdigest.go): the hist op's quantile-sketch flavor,
+    * mapped onto Spark's mergeable Greenwald–Khanna sketch
+    * (`percentile_approx`) — the same role the reference's t-digest
+    * plays (a compact mergeable percentile summary; the sketch bytes
+    * differ by design). The output surface mirrors hist_tdigest.go
+    * faithfully, quirks included: `percentiles` = approx q(0.00..0.99)
+    * (GetPercentiles, hist_tdigest.go:97-106), `mean` = the approx
+    * MEDIAN (Mean() returns Quantile(0.5), hist_tdigest.go:62-64),
+    * `min`/`max` = q(0)/q(1) (hist_tdigest.go:49-56), `stddev` = 0
+    * (unimplemented there, hist_tdigest.go:93-95); `count`/`samples`
+    * exact. Weighted queries must use the exact hist flavors —
+    * Spark's sketch takes no weight, and a silently unweighted
+    * quantile would be wrong, so the combination throws. */
+  def tDigestHistogram: SybilQuery = copy(op = AggOp.HistOp, useTDigest = true)
 
   /** Compile and run against a table DataFrame. */
   def run(df: DataFrame): DataFrame = {
@@ -191,6 +206,20 @@ final case class SybilQuery(
         Seq(countAgg, samplesAgg) ++ aggCols.map { c =>
           wsum(c).cast(DoubleType).as(s"${c}_sum")
         }
+      case AggOp.HistOp if useTDigest =>
+        // quantile-sketch flavor: no extent pre-scan at all (the sketch
+        // needs no bounds — the property the reference's t-digest flavor
+        // exists for); one mergeable GK sketch per agg column, reshaped
+        // into the hist surface after aggregation (see below)
+        require(weightCol.isEmpty,
+          "-tdigest does not support -weight-col (the quantile sketch " +
+            "takes no weight); use the exact hist flavors for weighted " +
+            "histograms")
+        val fracs = array((0 until 100).map(i => lit(i / 100.0)) :+ lit(1.0): _*)
+        Seq(countAgg, samplesAgg) ++ aggCols.map { c =>
+          percentile_approx(col(c).cast(LongType), fracs, lit(10000))
+            .as(s"__pcts_$c")
+        }
       case AggOp.HistOp =>
         // extents from the sidecar when supplied (GraftTable.query — the
         // reference's stored IntInfo, table_column_info.go); otherwise ONE
@@ -235,9 +264,26 @@ final case class SybilQuery(
             .as("Distinct"))
     }
 
-    val grouped =
+    val grouped0 =
       if (allKeys.nonEmpty) d.groupBy(allKeys: _*).agg(aggs.head, aggs.tail: _*)
       else d.agg(aggs.head, aggs.tail: _*)
+
+    // tdigest flavor: reshape each column's 101-quantile array into the
+    // hist output surface (one sketch per column feeds every field —
+    // aggregating mean/min/max separately would triple the sketch work)
+    val grouped =
+      if (op == AggOp.HistOp && useTDigest)
+        aggCols.foldLeft(grouped0)((g, c) => g
+          .withColumn(s"${c}_hist", struct(
+            col("Count").as("count"),
+            col("Samples").as("samples"),
+            element_at(col(s"__pcts_$c"), 51).cast(DoubleType).as("mean"),
+            element_at(col(s"__pcts_$c"), 1).as("min"),
+            element_at(col(s"__pcts_$c"), 101).as("max"),
+            lit(0.0).as("stddev"),
+            slice(col(s"__pcts_$c"), 1, 100).as("percentiles")))
+          .drop(s"__pcts_$c"))
+      else grouped0
 
     // order: by $COUNT desc by default (aggregate.go:33-54), -sort-asc flips
     val sortCol = sortBy match {

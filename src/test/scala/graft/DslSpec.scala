@@ -166,4 +166,33 @@ class DslSpec extends SparkSpec {
       assert(pcts(25) === expected && pcts(50) === expected && pcts(75) === expected)
     }
   }
+
+  test("tdigest hist flavor: percentiles within sketch tolerance of exact") {
+    // the -tdigest flavor of the hist op (hist_tdigest.go) mapped onto
+    // percentile_approx: same output surface, quantiles from the
+    // mergeable sketch. At accuracy 10000 the rank error bound is
+    // 1/10000, far under one value step on this fixture, so every
+    // reported percentile must equal the exact one.
+    val rows = SybilQuery().aggregate("age").tDigestHistogram
+      .limitTo(10).run(df).collect()
+    assert(rows.length === 1)
+    val h = rows(0).getAs[Row]("age_hist")
+    assert(h.getAs[Long]("count") === 2000L)
+    assert(h.getAs[Long]("samples") === 2000L)
+    assert(h.getAs[Double]("stddev") === 0.0, "hist_tdigest.go:93-95 surface")
+    val pcts = h.getAs[collection.Seq[Long]]("percentiles")
+    assert(pcts.length === 100)
+    val exact = df.stat.approxQuantile("age", (0 until 100).map(_ / 100.0).toArray, 0.0)
+    for (i <- 0 until 100)
+      assert(pcts(i) === exact(i).toLong, s"p$i")
+    // mean mirrors the reference's Quantile(0.5) quirk
+    assert(h.getAs[Double]("mean") === exact(50))
+    assert(h.getAs[Long]("min") === df.agg(min("age")).head().getLong(0))
+    assert(h.getAs[Long]("max") === df.agg(max("age")).head().getLong(0))
+    // weighted + tdigest is a loud error, never a silently unweighted sketch
+    intercept[IllegalArgumentException] {
+      SybilQuery().aggregate("age").weighted("weight")
+        .tDigestHistogram.run(df).collect()
+    }
+  }
 }
