@@ -118,4 +118,34 @@ class CheckpointSpec extends SparkSpec {
     assert(nFiles(ckptDir) == before,
       "local flavor must not touch the checkpoint dir")
   }
+
+  test("reliable pin survives block eviction: re-reads files, never " +
+      "recomputes") {
+    // the cluster-mode failure this flavor exists for: executor memory
+    // (block-manager state) vanishes mid-query. A rand() column makes
+    // recomputation DETECTABLE — a recomputed partition would draw new
+    // values — so value equality across an aggressive unpersist of every
+    // persistent RDD proves the second consumer re-read checkpoint
+    // FILES.
+    val before = nFiles(ckptDir)
+    val pinned = withReliable {
+      Checkpoints.pin(
+        (1 to 5000).toDF("id").repartition(8).withColumn("r", rand()))
+    }
+    assert(nFiles(ckptDir) > before, "the pin must write checkpoint files")
+    try {
+      val first = pinned.collect().map(_.toSeq.map(String.valueOf))
+        .sortBy(_.mkString("|"))
+      // simulate executor loss: evict every block-manager entry the JVM
+      // holds (this is what destroys a localCheckpoint pin)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      val second = pinned.collect().map(_.toSeq.map(String.valueOf))
+        .sortBy(_.mkString("|"))
+      assert(second === first,
+        "post-eviction read must come from checkpoint files bit-for-bit")
+    } finally Checkpoints.release(pinned)
+    assert(nFiles(ckptDir) == before,
+      "release() must delete the pin's rdd-N checkpoint directory")
+  }
 }
