@@ -14,7 +14,7 @@ run / fork := true
 // The bench/verify harness parses the LAST stdout line as JSON; sbt's
 // trailing "[success] Total time: ..." line would shadow it. Timing
 // still reaches the harness inside the JSON itself.
-ThisBuild / showSuccess := false
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -162,8 +162,11 @@ object Queries20 {
     val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
     val gopher = TextAnalysis.gopherRules(corpus, "doc_id", "text")
       .select(col("doc_id"), col("keep").as("s_quality"))
-    val contained = Dedup.containmentPairs(corpus, "doc_id", "text",
-        n = 3, maxDf = 50L, minContainment = 0.6, topK = 1000000)
+    // set-complete (uncapped, unsorted) pair frame: the purge set must
+    // never silently truncate, and this consumer only feeds a distinct
+    // semi-join — no report ordering needed
+    val contained = Dedup.containmentPairsAll(corpus, "doc_id", "text",
+        n = 3, maxDf = 50L, minContainment = 0.6)
       .select(col("id_a").as("doc_id")).distinct()
       .withColumn("__cont", lit(true))
     val benchGrams = docs.filter(pmod(col("doc_id"), lit(50)) === 0)

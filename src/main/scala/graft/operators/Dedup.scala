@@ -867,7 +867,24 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxDf: Long = 50L, minContainment: Double = 0.5,
-      topK: Int = 100): DataFrame = {
+      topK: Int = 100): DataFrame =
+    containmentScored(docs, idCol, textCol, n, maxDf, minContainment)
+      .orderBy(col("containment").desc, col("id_a"), col("id_b"))
+      .limit(topK)
+
+  /** [[containmentPairs]] without the report cap: the SET-COMPLETE pair
+    * frame for waterfall/purge composition, where a top-k would silently
+    * truncate the purge set on a duplicate-heavy corpus and the global
+    * sort behind it is wasted work for a consumer that only feeds a
+    * distinct semi-join. */
+  def containmentPairsAll(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxDf: Long = 50L,
+      minContainment: Double = 0.5): DataFrame =
+    containmentScored(docs, idCol, textCol, n, maxDf, minContainment)
+
+  private def containmentScored(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, maxDf: Long,
+      minContainment: Double): DataFrame = {
     require(n >= 1, s"containmentPairs: n must be >= 1, got $n")
     // distinct n-gram identity travels as native 64-bit hashes
     // (graft_shingle_hash, one fused pass) — longs shuffle 4x smaller
@@ -899,8 +916,6 @@ object Dedup {
         (col("n_common").cast("double") / col("n_a").cast("double"))
           .as("containment"))
       .filter(col("containment") >= minContainment)
-      .orderBy(col("containment").desc, col("id_a"), col("id_b"))
-      .limit(topK)
   }
 
   /** Cross-source duplication matrix: for every pair of corpus slices,

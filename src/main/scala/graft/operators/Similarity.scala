@@ -325,7 +325,12 @@ object Similarity {
   def lshCandidateRecall(emb: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int = 10, planes: Int = 8, seed: Int = 42,
       dims: Int = 64, probes: Int = 3): DataFrame = {
-    require(queryIds.nonEmpty && k >= 1, "lshCandidateRecall: probes, k >= 1")
+    require(queryIds.nonEmpty && k >= 1, "lshCandidateRecall: queryIds nonempty, k >= 1")
+    // probes <= 0 would silently degrade to home-bucket-only candidates
+    // and probes > planes would silently clamp via the flip slice — both
+    // are caller bugs, not recall settings
+    require(probes >= 1 && probes <= planes,
+      s"lshCandidateRecall: probes must be in [1, planes=$planes], got $probes")
     import org.apache.spark.sql.expressions.Window
     def dsum(c: Column): Column = call_function("graft_dsum", c, lit(12))
     // exact top-k by decimal-fold cosine
