@@ -15,6 +15,9 @@ run / fork := true
 // trailing "[success] Total time: ..." line would shadow it. Timing
 // still reaches the harness inside the JSON itself.
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another setting —
+// exclude it from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
