@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Events, Similarity}
+import graft.operators.{Dedup, Events, Similarity}
 
 /** Catalog entries: round-13 additions (continued) — exponential
   * smoothing and label-noise auditing.
@@ -194,6 +194,33 @@ object Queries22 {
       .orderBy(col("qid"))
   }
 
+  /** Exact asymmetric containment self-join below threshold 0.5
+    * ([[Dedup.containmentJoin]]) — the low-threshold dedup gap: the
+    * rarest-first asymmetric prefix must lose NOTHING, so the oracle IS
+    * the brute-force all-pairs containment join. */
+  val q195ContainmentJoin: (String, QueryDef) = q(
+    "q195_containment_join",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tk AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(w) - 3),
+      |    i -> array_to_string(w[i:i+3], ' '))) AS tk
+      |  FROM w WHERE len(w) >= 4),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS n_common,
+      |    CAST(len(a.tk) AS BIGINT) AS n_a
+      |  FROM tk a JOIN tk b ON a.doc_id <> b.doc_id)
+      |SELECT id_a, id_b, n_common, n_a,
+      |  CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+      |FROM pairs WHERE CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    Dedup.containmentJoin(t("documents"), "doc_id", "text",
+        n = 4, minContainment = 0.35)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
-    Seq(q192Ewma, q193LabelConsistency, q194LshRecall)
+    Seq(q192Ewma, q193LabelConsistency, q194LshRecall, q195ContainmentJoin)
 }

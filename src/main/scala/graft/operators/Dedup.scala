@@ -918,6 +918,92 @@ object Dedup {
       .filter(col("containment") >= minContainment)
   }
 
+  /** EXACT asymmetric containment self-join at ANY threshold — the
+    * low-threshold companion that rounds out the family: PPJoin
+    * ([[setSimJoin]]) is exact for high Jaccard, LSH covers mid, and
+    * [[containmentPairs]]' df cap trades recall for fan-out; this one is
+    * candidate-COMPLETE even below containment 0.5, where symmetric
+    * prefixes stop working.
+    *
+    * The asymmetric prefix filter: `c(a→b) = |A∩B|/|A| ≥ t` means at
+    * most `⌊(1−t)·|A|⌋` of A's grams are missing from B, so the
+    * `⌊(1−t)·|A|⌋ + 1` globally RAREST grams of A (document-frequency
+    * order) must include at least one gram present in B — joining just
+    * that prefix against the full gram lists loses nothing, at any `t`.
+    * Exact intersection counts verify every candidate, so the output
+    * equals the brute-force all-pairs join (the oracle IS that brute
+    * force). The bound takes a 1e-9 slack so double rounding can only
+    * ADD prefix grams, never drop a boundary pair.
+    *
+    * Scale shape: the prefix is rarest-first, so join keys are the
+    * grams with the SMALLEST df wherever the data allows — boilerplate
+    * grams enter a prefix only for documents that consist mostly of
+    * boilerplate (where they genuinely are the evidence). At low `t`
+    * the prefix approaches the whole gram set — that is the price of
+    * exactness at low thresholds, paid in join fan-out bounded by each
+    * prefix gram's df, never in lost pairs. The per-doc rarest-first
+    * sort is a doc-partitioned window (each doc sorts its own grams,
+    * the [[setSimJoin]] discipline); verification touches candidates
+    * only. Tie order within equal df is by hash — any complete prefix
+    * yields the same verified output, so the tie-break never needs
+    * cross-engine replay.
+    */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minContainment: Double = 0.35): DataFrame = {
+    require(n >= 1, s"containmentJoin: n must be >= 1, got $n")
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"containmentJoin: threshold must be in (0, 1], got $minContainment")
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol), split(col(textCol), " ").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col(idCol), explode(call_function("graft_shingle_hash",
+        col("tk"), lit(n))).as("h"))
+    val dfreq = grams.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+    // (id, h, df) feeds four consumers (sizes, prefix, join side, verify
+    // sides); the bounded PlanCache pins it so the corpus scans once
+    val kept = graft.core.Stats.PlanCache.register(grams.join(dfreq, "h"))
+    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val wDoc = Window.partitionBy(col(idCol))
+      .orderBy(col("__df").asc, col("h").asc)
+    val prefix = kept
+      .withColumn("__rk", row_number().over(wDoc))
+      .join(sizes, idCol)
+      .filter(col("__rk") <= floor(
+        (lit(1.0) - lit(minContainment)) * col("__n") + lit(1e-9)) + 1)
+      .select(col(idCol).as("id_a"), col("h"))
+    val cands = prefix
+      .join(kept.select(col("h"), col(idCol).as("id_b")), "h")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // size prune before verification: n_common <= |B|, so c >= t forces
+    // |B| >= t·|A| (1e-9 slack keeps boundary pairs); then ONE
+    // array_intersect per surviving candidate — candidate-count work,
+    // not candidate×|A| explode-join rows
+    val pruned = cands
+      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("n_b")), "id_b")
+      .filter(col("n_b").cast("double") >=
+        lit(minContainment) * col("n_a").cast("double") - lit(1e-9))
+    val shset = docs
+      .select(col(idCol), split(col(textCol), " ").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col(idCol), call_function("graft_shingle_hash",
+        col("tk"), lit(n)).as("sh"))
+    pruned
+      .join(shset.select(col(idCol).as("id_a"), col("sh").as("__sha")),
+        "id_a")
+      .join(shset.select(col(idCol).as("id_b"), col("sh").as("__shb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__sha"), col("__shb"))).cast("long")
+          .as("n_common"),
+        col("n_a"),
+        (size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
+          col("n_a").cast("double")).as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** Cross-source duplication matrix: for every pair of corpus slices,
     * how many distinct n-gram shingles they share — the all-pairs form of
     * the per-source data card's dup column, pointing at which feeds are

@@ -206,4 +206,52 @@ class Round16OpsSpec extends SparkSpec {
     assert(salted === unsalted)
     assert(unsalted.size >= 900 * 200, "hot block must dominate the pairs")
   }
+
+  // ---- exact low-threshold containment join ------------------------------
+
+  test("containmentJoin equals brute force at thresholds below 0.5") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(3)
+    def sentence(k: Int) =
+      Seq.fill(k)(s"w${rnd.nextInt(120)}").mkString(" ")
+    val tweet = sentence(12)
+    val docs = (
+      // the asymmetric case Jaccard misses: a short text quoted inside
+      // long articles — containment(tweet → article) ≈ 1, Jaccard tiny
+      Seq((1L, tweet), (2L, sentence(150) + " " + tweet + " " + sentence(150)),
+        (3L, sentence(140) + " " + tweet)) ++
+      (4L to 60L).map(i => (i, sentence(30 + rnd.nextInt(40))))
+    ).toDF("doc_id", "text")
+    // brute force via the verified distinct-gram sets
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"),
+        explode(call_function("graft_shingle_hash", col("tk"), lit(3)))
+          .as("h"))
+    val brute = grams.select(col("doc_id").as("id_a"), col("h"))
+      .join(grams.select(col("doc_id").as("id_b"), col("h")), "h")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+      .join(grams.groupBy(col("doc_id").as("id_a"))
+        .agg(count(lit(1)).as("n_a")), "id_a")
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_a").cast("double"))
+    for (t <- Seq(0.2, 0.35, 0.5, 0.9)) {
+      val got = canon(Dedup.containmentJoin(docs, "doc_id", "text",
+        n = 3, minContainment = t))
+      val want = canon(brute.filter(col("containment") >= t)
+        .select("id_a", "id_b", "n_common", "n_a", "containment"))
+      assert(got === want, s"threshold $t")
+    }
+    // the quoted tweet is contained in both articles at ~1.0
+    val hits = Dedup.containmentJoin(docs, "doc_id", "text",
+        n = 3, minContainment = 0.9)
+      .filter(col("id_a") === 1L).select("id_b")
+      .collect().map(_.getLong(0)).toSet
+    assert(hits === Set(2L, 3L), s"got $hits")
+    intercept[IllegalArgumentException] {
+      Dedup.containmentJoin(docs, "doc_id", "text", minContainment = 0.0)
+    }
+  }
 }
