@@ -636,4 +636,20 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("containment join: candidates key on gram hashes, equi-joins only, " +
+      "text never shuffles (q195)") {
+    val p = plan("q195_containment_join")
+    assert(p.contains("graft_shingle_hash"),
+      "grams must be the fused native hash pass")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "prefix filtering must keep every join an equi-join")
+    // the raw text column exists only below scan-side projections — no
+    // Exchange in the plan may carry it
+    val shuffled = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .exists(_.contains("text"))
+    assert(!shuffled, "raw text must never cross a shuffle")
+  }
 }

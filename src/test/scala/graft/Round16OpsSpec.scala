@@ -166,6 +166,21 @@ class Round16OpsSpec extends SparkSpec {
     assert(got(docs, 12) === refLearnMerges(docs, 12))
   }
 
+  test("learnMerges: exhaustion under batching stops at the sequential " +
+      "learner's merge list") {
+    // tiny dictionary: the request outruns the available pairs and the
+    // batched learner must stop exactly where the sequential one does
+    val texts = Seq("a b", "a b", "a b", "c d", "e")
+    val got = graft.operators.Bpe.learnMerges(
+        texts.toDF("text"), "text", merges = 50)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    val want = refLearnMerges(texts, 50)
+    assert(got === want)
+    assert(got.size < 50, "must stop early when pairs run out")
+  }
+
   test("learnMerges job count grows sub-linearly in merges") {
     val df = batchableCorpus.toDF("text")
     // warm once so codegen/scan setup doesn't skew the counts
