@@ -143,9 +143,13 @@ object Queries10 {
       |FROM documents d JOIN cum USING (n_chars) ORDER BY doc_id""".stripMargin) {
     (s, dir) =>
       implicit val env: (SparkSession, String) = (s, dir)
+      // n_chars is a bounded integer score: pin the serial regime and
+      // skip resolveCum's probe jobs (the catalog-entry setting its
+      // scaladoc prescribes)
       Curation.exactScoreBands(
           t("documents").select(col("doc_id"), col("n_chars")),
-          "doc_id", "n_chars", buckets = 10)
+          "doc_id", "n_chars", buckets = 10,
+          distributedCum = Some(false))
         .select(col("doc_id"), col("n_chars"), col("bucket"))
         .orderBy(col("doc_id"))
   }

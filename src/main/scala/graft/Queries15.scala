@@ -265,9 +265,10 @@ object Queries15 {
     implicit val env: (SparkSession, String) = (s, dir)
     import org.apache.spark.sql.expressions.Window
     val docs = t("documents")
+    // bounded integer score: pin serial, skip the resolveCum probe
     val bands = graft.operators.Curation.exactScoreBands(
       docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars",
-      buckets = 10)
+      buckets = 10, distributedCum = Some(false))
     val per = bands
       .join(docs.select(col("doc_id"),
         when(col("lang") === "en", 1L).otherwise(0L).as("pos")), Seq("doc_id"))

@@ -923,9 +923,10 @@ object Queries16 {
       |  CAST(300000 AS BIGINT) AS budget
       |FROM c WHERE cum <= 300000""".stripMargin) { (s, dir) =>
     implicit val env: (SparkSession, String) = (s, dir)
+    // bounded integer score: pin serial, skip the resolveCum probe
     graft.operators.Curation.tokenBudgetThreshold(t("documents"),
       col("n_chars"), size(split(col("text"), " ")),
-      budgetTokens = 300000L)
+      budgetTokens = 300000L, distributedCum = Some(false))
   }
 
   /** Kaplan–Meier time-to-conversion

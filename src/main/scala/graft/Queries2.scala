@@ -178,7 +178,12 @@ object Queries2 {
       .agg(countDistinct(col("user_id")).as("exact_users"),
         hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_users"))
       .select(col("event_type"), col("exact_users"),
-        when(abs(col("approx_users") /
+        // an all-null group has exact 0: the ratio would be null/NaN and
+        // the flag would falsely fail — an empty set's estimate must
+        // simply be 0
+        when(col("exact_users") === 0L,
+            when(col("approx_users") === 0.0, 1L).otherwise(0L))
+          .when(abs(col("approx_users") /
             col("exact_users").cast("double") - 1.0) <= 0.1, 1L)
           .otherwise(0L).as("approx_within_tol"))
       .orderBy(col("event_type"))

@@ -215,6 +215,11 @@ final case class SybilQuery(
           "-tdigest does not support -weight-col (the quantile sketch " +
             "takes no weight); use the exact hist flavors for weighted " +
             "histograms")
+        // one flavor at a time — silently preferring the sketch over a
+        // requested bucket structure would be wrong twice over
+        require(!useLogHist && !useNestedHist,
+          "-tdigest cannot combine with -loghist/-nested-hist: pick one " +
+            "hist flavor")
         val fracs = array((0 until 100).map(i => lit(i / 100.0)) :+ lit(1.0): _*)
         Seq(countAgg, samplesAgg) ++ aggCols.map { c =>
           percentile_approx(col(c).cast(LongType), fracs, lit(10000))

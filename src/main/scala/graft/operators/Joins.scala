@@ -31,16 +31,25 @@ object Joins {
     * One shuffle each side on (key, salt); output is exactly the rows of
     * the unsalted join (the salt column never escapes).
     */
+  /** The scattered (fact) side of a salted join: a deterministic
+    * per-row salt from a hash of ALL columns. Shared by [[saltedJoin]]
+    * and [[graft.operators.Linkage.fsLink]]. */
+  private[operators] def saltFact(fact: DataFrame, salts: Int): DataFrame =
+    fact.withColumn("__salt",
+      pmod(hash(fact.columns.map(col).toSeq: _*), lit(salts)))
+
+  /** The replicated (dim) side: every row copied to every salt value.
+    * sequence() is per-row codegen; the explode multiplies the dim side
+    * BEFORE its shuffle so each replica lands directly on its
+    * (key, salt) reducer — no second redistribution. */
+  private[operators] def replicateDim(dim: DataFrame, salts: Int): DataFrame =
+    dim.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, salts: Int = 8): DataFrame = {
     require(salts >= 1, s"saltedJoin: salts must be >= 1, got $salts")
-    val fCols = fact.columns.map(col).toSeq
-    val f = fact.withColumn("__salt", pmod(hash(fCols: _*), lit(salts)))
-    // sequence() is per-row codegen; the explode multiplies the dim side
-    // BEFORE its shuffle so each replica lands directly on its (key, salt)
-    // reducer — no second redistribution.
-    val d = dim.withColumn("__salt",
-      explode(sequence(lit(0), lit(salts - 1))))
+    val f = saltFact(fact, salts)
+    val d = replicateDim(dim, salts)
     f.join(d, f(factKey) === d(dimKey) && f("__salt") === d("__salt"))
       .drop("__salt")
   }

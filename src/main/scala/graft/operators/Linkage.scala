@@ -54,13 +54,9 @@ object Linkage {
     val bSuffixed = b.toDF(b.columns.map(c =>
       if (blockCols.contains(c)) c else c + "_b").toIndexedSeq: _*)
     val joined = if (salts == 1) a.join(bSuffixed, blockCols)
-    else {
-      val aCols = a.columns.map(col).toSeq
-      val aS = a.withColumn("__salt", pmod(hash(aCols: _*), lit(salts)))
-      val bS = bSuffixed.withColumn("__salt",
-        explode(sequence(lit(0), lit(salts - 1))))
-      aS.join(bS, blockCols :+ "__salt").drop("__salt")
-    }
+    else Joins.saltFact(a, salts)
+      .join(Joins.replicateDim(bSuffixed, salts), blockCols :+ "__salt")
+      .drop("__salt")
     val flagged = rules.foldLeft(joined)((d, r) =>
       d.withColumn(s"agree_${r.name}", r.pred))
     val score = rules.map(r =>

@@ -111,9 +111,13 @@ object CatalogAudit {
         case _ => false
       }
       // a partitionless window is fine iff its input is a bounded
-      // rollup (deciles, top-k boundaries, bucket tables)
+      // rollup (deciles, top-k boundaries, bucket tables). A spec made
+      // of only FOLDABLE expressions (a constant group key, e.g. the
+      // ungrouped descending-cum helper's lit(1)) is physically the
+      // same single task and counts the same.
       val bigWin = nodes.count {
-        case w: WindowExec if w.partitionSpec.isEmpty =>
+        case w: WindowExec
+            if w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable) =>
           estBytes(w.child) > BoundedBytes
         case _ => false
       }
@@ -130,20 +134,23 @@ object CatalogAudit {
       // The size is read off the sort's OWN logical link (logical Sort
       // output = input size): its physical child is the range exchange,
       // which carries no link. A further restriction keeps join-estimate
-      // inflation out: the flag applies only to sorts over RAW
-      // (scan/filter/project-shaped) input — a sort above an aggregate,
-      // join, or window orders a derived result (the catalog's gate
-      // ordering), and its estimate is a multiplied-out join guess with
-      // no relation to the actual bounded candidate set. Sorting a big
-      // joined output badly is caught by the cartesian check instead.
+      // inflation out: sorts above an Aggregate or Join are exempt.
+      // Aggregates genuinely bound their output; join outputs are NOT
+      // genuinely bounded, but their size estimates are multiplied-out
+      // guesses with no relation to the actual candidate sets the
+      // catalog's equi-joins produce, so flagging on them is pure noise
+      // — a sort above a join is accepted as gate ordering here and the
+      // join's own fan-out is what the per-query PlanSpec assertions
+      // and the cartesian check review. Window does NOT exempt: a
+      // window preserves cardinality, so sorting its output is exactly
+      // as big as sorting its input.
       val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
       val bigSort = nodes.count {
         case s: SortExec if s.global =>
           s.logicalLink.exists { l =>
-            import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window => LWindow}
+            import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
             val derived = l.children.exists(_.collectFirst {
               case _: Aggregate => (); case _: Join => ()
-              case _: LWindow => ()
             }.isDefined)
             val e = l.stats.sizeInBytes
             !derived && e > BoundedBytes && e < sentinel

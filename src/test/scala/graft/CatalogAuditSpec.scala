@@ -41,6 +41,18 @@ class CatalogAuditSpec extends SparkSpec {
       s"expected a window flag, got $f")
   }
 
+  test("the detector fires on a constant-partition (foldable) window") {
+    // partitionBy(lit(1)) is physically the same single task as no
+    // partition at all and must count the same
+    val f = withStaticPlans(CatalogAudit.auditOne(
+      "injected_const_window", spark, sfDir, (s, _) =>
+        s.range(100000000L).withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(1)).orderBy(col("id"))))))
+    assert(f.error.isEmpty && f.bigWin >= 1 && !f.ok,
+      s"expected a window flag, got $f")
+  }
+
   test("the detector fires on an injected unbounded global sort") {
     val f = withStaticPlans(CatalogAudit.auditOne(
       "injected_sort", spark, sfDir, (s, _) =>
