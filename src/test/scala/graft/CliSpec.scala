@@ -106,6 +106,19 @@ class CliSpec extends SparkSpec {
     }
     assert(nh.contains("r0 (30)") && nh.contains("amount"))
 
+    // tdigest (quantile-sketch) flavor shares the console surface; the
+    // flavor-combination guard throws loudly
+    val td = captureOut {
+      Cli.main(Array("query", "-dir", db, "-table", "sales",
+        "-group", "region", "-int", "amount", "-op", "hist", "-tdigest"))
+    }
+    assert(td.contains("r0 (30)") && td.contains("amount"))
+    intercept[IllegalArgumentException] {
+      Cli.main(Array("query", "-dir", db, "-table", "sales",
+        "-group", "region", "-int", "amount", "-op", "hist", "-tdigest",
+        "-loghist"))
+    }
+
     // -cache-queries: second run must produce identical JSON
     def cached() = captureOut {
       Cli.main(Array("query", "-dir", db, "-table", "sales",
