@@ -269,4 +269,49 @@ class Round16OpsSpec extends SparkSpec {
       Dedup.containmentJoin(docs, "doc_id", "text", minContainment = 0.0)
     }
   }
+
+  test("containmentJoin fuzz: brute-force equality over random corpora " +
+      "and thresholds") {
+    import graft.operators.Dedup
+    // varied vocab densities (dense = heavy chance-sharing, sparse =
+    // mostly planted structure) × spliced substrings of other docs, so
+    // boundary pairs land on every threshold
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = 20 + rnd.nextInt(300)
+      val base = (1L to 40L).map { i =>
+        (i, Seq.fill(8 + rnd.nextInt(40))(s"v${rnd.nextInt(vocab)}")
+          .mkString(" "))
+      }
+      val spliced = (41L to 55L).map { i =>
+        val src = base(rnd.nextInt(base.size))._2.split(" ")
+        val take = src.slice(rnd.nextInt(math.max(1, src.length - 4)),
+          src.length)
+        val pad = Seq.fill(rnd.nextInt(25))(s"v${rnd.nextInt(vocab)}")
+        (i, (take ++ pad).mkString(" "))
+      }
+      val docs = (base ++ spliced).toDF("doc_id", "text")
+      val grams = docs
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"),
+          explode(call_function("graft_shingle_hash", col("tk"), lit(3)))
+            .as("h"))
+      val brute = grams.select(col("doc_id").as("id_a"), col("h"))
+        .join(grams.select(col("doc_id").as("id_b"), col("h")), "h")
+        .filter(col("id_a") =!= col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+        .join(grams.groupBy(col("doc_id").as("id_a"))
+          .agg(count(lit(1)).as("n_a")), "id_a")
+        .withColumn("containment",
+          col("n_common").cast("double") / col("n_a").cast("double"))
+      for (t <- Seq(0.25, 0.45, 0.7)) {
+        val got = canon(Dedup.containmentJoin(docs, "doc_id", "text",
+          n = 3, minContainment = t))
+        val want = canon(brute.filter(col("containment") >= t)
+          .select("id_a", "id_b", "n_common", "n_a", "containment"))
+        assert(got === want, s"seed $seed threshold $t")
+      }
+    }
+  }
 }
