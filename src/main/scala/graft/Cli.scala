@@ -21,7 +21,8 @@ import graft.sources.{GraftTable, Ingest, QueryCache}
   *   graft query   -dir DB -table T [-group a,b] [-int x,y] [-op avg|sum|hist|count]
   *                 [-int-filter c:gt:5] [-str-filter c:re:pat] [-set-filter c:in:v]
   *                 [-time] [-time-col c] [-time-bucket secs] [-weight-col w]
-  *                 [-distinct cols] [-loghist] [-nested-hist] [-tdigest] [-samples]
+  *                 [-distinct cols] [-distinct-limit n] [-loghist]
+  *                 [-nested-hist] [-tdigest] [-samples]
   *                 [-sample-cols a,b] [-str-replace col:find:replace]
   *                 [-sort col] [-sort-asc] [-limit n] [-read-log] [-json]
   *                 [-cache-queries]
@@ -91,6 +92,7 @@ object Cli {
     if (f.contains("tdigest")) q = q.tDigestHistogram // quantile-sketch flavor
     f.get("int-bucket").foreach(n => q = q.bucketCount(n.toInt))
     f.get("distinct").foreach(c => q = q.distinct(splitList(c): _*))
+    f.get("distinct-limit").foreach(n => q = q.distinctLimitTo(n.toInt))
     f.get("int-filter").foreach(filterTriples(_).foreach { case (c, op, v) =>
       q = q.copy(filters = q.filters :+ graft.dsl.IntFilter(c, op, v.toLong))
     })
@@ -255,7 +257,7 @@ object Cli {
         if (f.contains("update-info")) table.rebuild()
         val q = buildQuery(f)
         val cacheable = f.contains("cache-queries") && !q.samples &&
-          q.timeBucket.isEmpty &&
+          q.timeBucket.isEmpty && q.distinctLimit.isEmpty &&
           (q.op == AggOp.CountOp || q.op == AggOp.AvgOp || q.op == AggOp.SumOp ||
             q.op == AggOp.HistOp)
         val result =

@@ -221,6 +221,25 @@ object Queries22 {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** `-distinct-limit` early-exit distinct sample
+    * ([[graft.operators.Sampling.distinctSample]], sybil
+    * aggregate.go:19): the catalog pins `n` >= the fixture's distinct
+    * count, where the scan-order-dependent sample becomes the complete
+    * (deterministic) distinct set — the early-exit behavior itself is
+    * listener-asserted in Round16OpsSpec. */
+  val q196DistinctLimit: (String, QueryDef) = q(
+    "q196_distinct_limit",
+    """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.dsl.SybilQuery()
+      .distinct("c_mktsegment", "c_nationkey")
+      .distinctLimitTo(100000)
+      .run(t("customer"))
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
-    Seq(q192Ewma, q193LabelConsistency, q194LshRecall, q195ContainmentJoin)
+    Seq(q192Ewma, q193LabelConsistency, q194LshRecall, q195ContainmentJoin,
+      q196DistinctLimit)
 }

@@ -81,7 +81,8 @@ final case class SybilQuery(
     histExtents: Map[String, (Long, Long)] = Map.empty,
     useLogHist: Boolean = false,
     useNestedHist: Boolean = false,
-    useTDigest: Boolean = false) {
+    useTDigest: Boolean = false,
+    distinctLimit: Option[Int] = None) {
 
   def groupBy(cols: String*): SybilQuery = copy(groups = groups ++ cols)
   def aggregate(cols: String*): SybilQuery = copy(aggCols = aggCols ++ cols)
@@ -97,6 +98,14 @@ final case class SybilQuery(
   def setFilterIn(c: String, v: String): SybilQuery = copy(filters = filters :+ SetFilter(c, "in", v))
   def setFilterNin(c: String, v: String): SybilQuery = copy(filters = filters :+ SetFilter(c, "nin", v))
   def distinct(cols: String*): SybilQuery = copy(distinctCols = cols, op = AggOp.DistinctOp())
+  /** `-distinct-limit` (aggregate.go:19; table_query.go:259-280): short
+    * the distinct query at `n` elements — returns the distinct KEY
+    * tuples themselves (up to n, early-exit per scan partition via
+    * [[graft.operators.Sampling.distinctSample]]), not counts. Which
+    * tuples come back is scan-order dependent, as in the reference;
+    * `n >= `#distinct is deterministic. */
+  def distinctLimitTo(n: Int): SybilQuery =
+    copy(op = AggOp.DistinctOp(), distinctLimit = Some(n))
   def timeSeries(col: String, bucketSecs: Long): SybilQuery =
     copy(timeCol = col, timeBucket = Some(bucketSecs))
   /** Designate the time column without turning on time-series bucketing
@@ -176,6 +185,16 @@ final case class SybilQuery(
       return d.select(names.map(col): _*)
         .orderBy(head +: names.filterNot(_ == primary).map(col(_).asc): _*)
         .limit(limit.getOrElse(100))
+    }
+
+    // `-distinct-limit`: early-exit distinct key sample — bypasses the
+    // aggregate machinery entirely (the reference shorts its group-by
+    // block loop; we short each scan partition's iterator)
+    for (n <- distinctLimit) {
+      val cols = if (distinctCols.nonEmpty) distinctCols else aggCols
+      require(cols.nonEmpty,
+        "-distinct-limit needs -distinct (or agg) columns")
+      return graft.operators.Sampling.distinctSample(d, cols, n)
     }
 
     val w: Column = weightCol.map(col).getOrElse(lit(1L))

@@ -23,6 +23,42 @@ object Sampling {
     conv(substring(md5(concat(lit(salt), idCol.cast("string"))), 1, 8), 16, 10)
       .cast(LongType) % 10000L
 
+  /** Early-exit distinct sample — sybil `-distinct-limit`
+    * (src/lib/aggregate.go:19, table_query.go:259-280: "find x distinct
+    * samples that fit some filter set and exit early"): up to `n`
+    * distinct key tuples, with each scan partition STOPPING as soon as
+    * it has collected `n` local distinct tuples. Any `n` global distinct
+    * tuples exist within the per-partition samples (global distinct ⊆
+    * union of partition keys, and every partition returns all its keys
+    * until it hits `n`), so the final `distinct().limit(n)` is complete.
+    *
+    * WHICH tuples come back depends on scan order — exactly like the
+    * reference, whose result depends on block visit order; pass
+    * `n >= `#distinct for a deterministic (complete) answer. Unlike the
+    * reference, the returned tuples are never accompanied by partial
+    * aggregates — this surface answers the flag's documented use case
+    * (distinct samples under a filter) and nothing mushier.
+    *
+    * Scale: the one deliberate `mapPartitions` in the engine — Catalyst
+    * cannot express "stop consuming this partition's iterator", and
+    * stopping is the point: remaining columnar batches in a satisfied
+    * partition are never decoded (spec asserts records-read shrinks).
+    * The shuffle carries ≤ n·partitions key tuples, never data.
+    */
+  def distinctSample(df: DataFrame, cols: Seq[String], n: Int): DataFrame = {
+    require(cols.nonEmpty, "distinctSample: at least one key column")
+    require(n >= 1, s"distinctSample: n must be >= 1, got $n")
+    val keyed = df.select(cols.map(col): _*)
+    val enc = org.apache.spark.sql.Encoders.row(keyed.schema)
+    keyed.mapPartitions { it =>
+      val seen = scala.collection.mutable.LinkedHashSet
+        .empty[org.apache.spark.sql.Row]
+      while (it.hasNext && seen.size < n) seen += it.next()
+      seen.iterator
+    }(enc)
+      .distinct().limit(n)
+  }
+
   /** Stratified deterministic sample: keep a row iff its hash bucket falls
     * below the stratum's threshold (in basis points: 10000 = keep all,
     * 2500 = keep 25%). Adds `sample_weight` = 10000/threshold for unbiased

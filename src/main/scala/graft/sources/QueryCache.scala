@@ -149,6 +149,12 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
     */
   def run(q: SybilQuery): (DataFrame, CacheOutcome) = {
     require(!q.samples && q.timeBucket.isEmpty, "cache supports plain aggregations")
+    // distinct-limit returns scan-order-dependent key tuples, not a
+    // mergeable partial — caching per-block HLL partials for it would
+    // silently answer the wrong query shape
+    require(q.distinctLimit.isEmpty,
+      "-distinct-limit is not cacheable (early-exit key sample, not an " +
+        "aggregate); run uncached")
     require(q.op == AggOp.CountOp || q.op == AggOp.AvgOp || q.op == AggOp.SumOp ||
       q.op == AggOp.HistOp || q.op == AggOp.DistinctOp(false),
       s"op ${q.op} not cacheable (exact distinct partials are the full value" +

@@ -270,6 +270,54 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- early-exit distinct sample (-distinct-limit) ----------------------
+
+  test("distinctSample: n valid distinct tuples; complete when n covers " +
+      "the key space; scan partitions stop early") {
+    import graft.operators.Sampling
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val cols = Seq("l_returnflag", "l_linestatus")
+    val full = li.select(cols.map(col): _*).distinct()
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    // n >= #distinct: the sample IS the complete distinct set
+    val all = Sampling.distinctSample(li, cols, 1000)
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(all === full)
+    // small n: exactly n rows, all distinct, all genuinely present
+    val five = Sampling.distinctSample(li, cols, 3)
+      .collect().map(_.toSeq.map(String.valueOf))
+    assert(five.length === 3 && five.toSet.size === 3)
+    assert(five.toSet.subsetOf(full))
+    // early exit: a satisfied partition stops consuming its iterator, so
+    // the vectorized reader never decodes the remaining batches —
+    // records read must shrink vs the full distinct
+    def recordsRead(body: => Unit): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          n.addAndGet(t.taskMetrics.inputMetrics.recordsRead); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(500) }
+      finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    val fullRead = recordsRead(
+      li.select(cols.map(col): _*).distinct().count())
+    val earlyRead = recordsRead(
+      Sampling.distinctSample(li, cols, 1).collect())
+    assert(earlyRead < fullRead,
+      s"early exit must read fewer records ($earlyRead vs $fullRead)")
+    // DSL surface: n past the key space returns the complete set
+    val viaDsl = graft.dsl.SybilQuery().distinct("l_returnflag")
+      .distinctLimitTo(100).run(li)
+      .collect().map(_.getString(0)).toSet
+    assert(viaDsl === li.select("l_returnflag").distinct()
+      .collect().map(_.getString(0)).toSet)
+  }
+
   test("containmentJoin fuzz: brute-force equality over random corpora " +
       "and thresholds") {
     import graft.operators.Dedup
