@@ -158,11 +158,11 @@ object Queries16 {
       |      generate_series(1, greatest(len(hs) - 3, 1)),
       |      j -> list_min(hs[j:j+3]))) AS fp
       |    FROM h)),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY doc_id),
       |dfreq AS (SELECT fp, COUNT(*) AS df FROM fp GROUP BY fp),
       |kept AS (
       |  SELECT f.doc_id, f.fp FROM fp f JOIN dfreq USING (fp)
       |  WHERE df <= 20),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM kept GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
       |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -514,7 +514,7 @@ object Queries16 {
       |      translate(lower(text),
       |        'áàâäãåéèêëíìîïóòôöõúùûüñçý',
       |        'aaaaaaeeeeiiiiooooouuuuncy'),
-      |      '[.,!?;:()\-]', '', 'g'), ' +', ' ', 'g'))) AS key_hash
+      |      '[.,!?;:()\-]', '', 'g'), '[ \t\n\r]+', ' ', 'g'))) AS key_hash
       |  FROM corpus)
       |SELECT key_hash, MIN(doc_id) AS keep_id,
       |  COUNT(*) AS n_docs,

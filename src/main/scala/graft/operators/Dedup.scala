@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: keep the lowest-id row per content hash. Returns the
-    * keeper assignment (doc_id → keep_id). */
+  /** Exact dedup: keep the lowest-id row per content hash. Returns one
+    * row per distinct content: `(content_hash, keep_id, copies)` — join
+    * back on `md5(text)` (or semi-join `keep_id`) to materialize the
+    * deduped corpus. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val h = md5(col(textCol))
     docs.select(col(idCol), h.as("content_hash"))
@@ -71,11 +73,20 @@ object Dedup {
     * and the joins shuffle long arrays instead of rebuilt shingle strings.
     */
   def jaccardVerify(docs: DataFrame, candidates: DataFrame,
-      idCol: String, textCol: String, threshold: Double): DataFrame = {
-    val shset = docs.select(col(idCol).as("__jid"),
-      call_function("graft_shingle_hash", split(col(textCol), " ")).as("shd"))
-    val x = shset.select(col("__jid").as("xid"), col("shd").as("sh1"))
-    val y = shset.select(col("__jid").as("yid"), col("shd").as("sh2"))
+      idCol: String, textCol: String, threshold: Double): DataFrame =
+    jaccardVerifyTwoSided(docs, docs, candidates, idCol, textCol, threshold)
+
+  /** Two-frame form of [[jaccardVerify]] — each pair side brings its own
+    * shingle-set source (the cross-corpus case, where the corpora may
+    * even share id values). ONE copy of the verification convention:
+    * the self-join form above delegates here. */
+  private def jaccardVerifyTwoSided(docsX: DataFrame, docsY: DataFrame,
+      candidates: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val x = docsX.select(col(idCol).as("xid"),
+      call_function("graft_shingle_hash", split(col(textCol), " ")).as("sh1"))
+    val y = docsY.select(col(idCol).as("yid"),
+      call_function("graft_shingle_hash", split(col(textCol), " ")).as("sh2"))
     val inter = size(array_intersect(col("sh1"), col("sh2")))
     val union = size(array_distinct(concat(col("sh1"), col("sh2"))))
     candidates
@@ -113,18 +124,11 @@ object Dedup {
     val cand = nb.join(ob,
         col("band") === col("band2") && col("mh") === col("mh2"))
       .select(col("d1"), col("d2")).distinct()
-    val shNew = newDocs.select(col(idCol).as("xid"),
-      call_function("graft_shingle_hash", split(col(textCol), " ")).as("sh1"))
-    val shOld = oldDocs.select(col(idCol).as("yid"),
-      call_function("graft_shingle_hash", split(col(textCol), " ")).as("sh2"))
-    val inter = size(array_intersect(col("sh1"), col("sh2")))
-    val union = size(array_distinct(concat(col("sh1"), col("sh2"))))
-    cand
-      .join(shNew, col("xid") === col("d1"))
-      .join(shOld, col("yid") === col("d2"))
+    // the SHARED verification convention (jaccardVerifyTwoSided) — a
+    // drifting copy here would silently diverge the cross-corpus path
+    jaccardVerifyTwoSided(newDocs, oldDocs, cand, idCol, textCol, threshold)
       .select(col("d1").as("new_id"), col("d2").as("old_id"),
-        (inter.cast("double") / union).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        col("jaccard"))
   }
 
   /** Edit-distance verify for candidate pairs: exact Levenshtein distance,
@@ -276,13 +280,21 @@ object Dedup {
     val pinnedEdges = graft.core.Checkpoints.pin(edges)
     // labels only ever DECREASE (min over a set containing the old label),
     // so sum(cluster_id) is strictly monotone until fixpoint — an agg on
-    // the fresh labels alone detects convergence with no labels⋈labels join
-    def checksum(l: org.apache.spark.sql.DataFrame): Long =
-      l.agg(coalesce(sum("cluster_id"), lit(0L))).collect()(0).getLong(0)
+    // the fresh labels alone detects convergence with no labels⋈labels
+    // join. DECIMAL(38,0) accumulation: ids from a 64-bit hash space over
+    // millions of nodes overflow a long sum (ANSI mode would abort the
+    // query mid-iteration; wraparound would void the monotonicity
+    // argument entirely).
+    def checksum(l: org.apache.spark.sql.DataFrame): BigDecimal =
+      BigDecimal(l.agg(coalesce(
+          sum(col("cluster_id").cast(org.apache.spark.sql.types
+            .DecimalType(38, 0))), lit(0).cast(org.apache.spark.sql.types
+            .DecimalType(38, 0))))
+        .collect()(0).getDecimal(0))
     // the seed pin and its checksum job sit INSIDE the guarded region:
     // a failure there must still release whatever got pinned
     var labels: org.apache.spark.sql.DataFrame = null
-    var prevSum = 0L
+    var prevSum = BigDecimal(0)
     var iter = 1
     var converged = false
     try {
@@ -465,13 +477,17 @@ object Dedup {
     val c = chunkTokens
     require(c >= 1, "chunkTokens must be >= 1")
     // size(tk) >= 1 always (split of "" is [""]), so the sequence upper
-    // bound ceil(size/c)-1 >= 0 and never triggers descending generation
-    val chunks = docs
+    // bound ceil(size/c)-1 >= 0 and never triggers descending generation.
+    // chunks feeds THREE consumers (first-occurrence agg, the kept join,
+    // the per-doc chunk count): the bounded PlanCache pins it so the
+    // corpus is scanned and re-chunked once, not three times — the
+    // containmentScored discipline.
+    val chunks = graft.core.Stats.PlanCache.register(docs
       .select(col(idCol), split(col(textCol), " ").as("tk"))
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(0, cast(ceil(size(tk) / $c.0) as int) - 1), " +
           s"i -> array_join(slice(tk, i * $c + 1, $c), ' '))"))
-        .as(Seq("pos", "chunk")))
+        .as(Seq("pos", "chunk"))))
     val first = chunks.groupBy(col("chunk"))
       .agg(min(struct(col(idCol), col("pos"))).as("f"))
     val kept = chunks.join(first, "chunk")
@@ -648,10 +664,14 @@ object Dedup {
   def normalizeForDedup(text: Column): Column = {
     val accFrom = "áàâäãåéèêëíìîïóòôöõúùûüñçý"
     val accTo = "aaaaaaeeeeiiiiooooouuuuncy"
+    // the whitespace class is spelled out (not \s) so the Spark-side
+    // Java regex and the oracle's RE2 agree character-for-character;
+    // tabs/newlines must collapse too or two docs differing only in the
+    // whitespace KIND would keep distinct keys
     trim(regexp_replace(
       regexp_replace(translate(lower(text), accFrom, accTo),
         "[.,!?;:()\\-]", ""),
-      " +", " "))
+      "[ \\t\\n\\r]+", " "))
   }
 
   /** Near-exact duplicate report on the normalized key: groups of
@@ -761,9 +781,12 @@ object Dedup {
 
   /** Cross-document substring-copy report over [[winnowFingerprints]]:
     * document pairs ranked by shared fingerprints, with the overlap
-    * coefficient `n_shared / min(|A|, |B|)` (1.0 = the smaller doc's
-    * selected substrings all appear in the larger — containment, which
-    * Jaccard under-scores for asymmetric sizes).
+    * coefficient `n_shared / min(|A|, |B|)` computed over the df-KEPT
+    * fingerprint sets on both sides of the ratio (1.0 = every retained
+    * selected substring of the smaller doc appears in the larger —
+    * containment, which Jaccard under-scores for asymmetric sizes; the
+    * df cap changes which fingerprints count, never the ratio's
+    * internal consistency).
     *
     * `maxDf` drops fingerprints appearing in more than that many docs
     * BEFORE the pair join — viral boilerplate grams would otherwise
@@ -776,9 +799,13 @@ object Dedup {
       k: Int = 3, w: Int = 4, maxDf: Long = 20L, minShared: Long = 2L,
       topK: Int = 100, salt: String = "win"): DataFrame = {
     val fps = winnowFingerprints(docs, idCol, textCol, k, w, salt)
-    val sizes = fps.groupBy(col(idCol)).agg(count(lit(1)).as("n_fp"))
     val dfreq = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
     val kept = fps.join(dfreq.filter(col("__df") <= maxDf), "fp")
+    // sizes over the KEPT fingerprints: numerator and denominator must
+    // see the same df cap, or a fully-contained doc whose boilerplate
+    // fingerprints were dropped could never reach the documented 1.0
+    // (the ratio-consistency rule containmentScored states)
+    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("n_fp"))
     val pairs = kept.select(col("fp"), col(idCol).as("id_a"))
       .join(kept.select(col("fp"), col(idCol).as("id_b")), "fp")
       .filter(col("id_a") < col("id_b"))

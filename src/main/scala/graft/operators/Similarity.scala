@@ -266,19 +266,21 @@ object Similarity {
     * join on the uniform bucket key; exact cosine runs on candidates
     * only; per-query top-k windows partition on the bounded query ids.
     */
-  def annMultiProbe(emb: DataFrame, idCol: String, vecCol: String,
-      queryIds: Seq[Long], k: Int, planes: Int = 8, seed: Int = 42,
-      dims: Int = 64, probes: Int = 3): DataFrame = {
-    require(probes >= 0 && probes <= planes,
-      "annMultiProbe: probes must be in [0, planes]")
-    val data = emb.select(col(idCol),
-      bucketCol(vecCol, planes, seed, dims).as("__bk"))
+  /** `(qid, __bk)` probe rows for the bounded query set: the home bucket
+    * plus `probes` single-bit margin-ordered flips — THE multi-probe
+    * front end, in exactly one place: [[annMultiProbe]] serves queries
+    * with it and [[lshCandidateRecall]] audits the SAME code path (an
+    * audit of a copy would silently measure a different front end than
+    * production the moment either drifted). */
+  private def probeBuckets(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], planes: Int, seed: Int, dims: Int,
+      probes: Int): DataFrame = {
     val projArr = array((0 until planes).map { p =>
       val weights = array((0 until dims).map(d =>
         lit(planeWeight(seed, p, d))): _*)
       call_function("graft_dotw", col(vecCol), weights)
     }: _*)
-    val qprobes = emb.filter(col(idCol).isin(queryIds: _*))
+    emb.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("qid"), projArr.as("__pj"))
       .withColumn("__bk0", (0 until planes).map(p =>
         when(element_at(col("__pj"), p + 1) > 0, lit(1L << p))
@@ -289,6 +291,17 @@ object Similarity {
            |    p -> struct(abs(__pj[p - 1]) AS a, p AS p))), 1, $probes),
            |  s -> __bk0 ^ shiftleft(CAST(1 AS BIGINT), s.p - 1)))"""
           .stripMargin)).as("__bk"))
+  }
+
+  def annMultiProbe(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, planes: Int = 8, seed: Int = 42,
+      dims: Int = 64, probes: Int = 3): DataFrame = {
+    require(probes >= 0 && probes <= planes,
+      "annMultiProbe: probes must be in [0, planes]")
+    val data = emb.select(col(idCol),
+      bucketCol(vecCol, planes, seed, dims).as("__bk"))
+    val qprobes = probeBuckets(emb, idCol, vecCol, queryIds, planes, seed,
+      dims, probes)
     val cands = data.join(broadcast(qprobes), Seq("__bk"))
       .filter(col("qid") =!= col(idCol))
       .select(col("qid"), col(idCol)).distinct()
@@ -356,25 +369,12 @@ object Similarity {
     val exact = cosv.withColumn("__rk", row_number().over(wP))
       .filter(col("__rk") <= k)
       .select(col("__pid").as("qid"), col("__id").as("nid"))
-    // candidate sets: the annMultiProbe front end (signature + flips)
+    // candidate sets: the annMultiProbe front end — the SHARED
+    // probeBuckets helper, so the audit measures production's code path
     val data = emb.select(col(idCol).as("nid"),
       bucketCol(vecCol, planes, seed, dims).as("__bk"))
-    val projArr = array((0 until planes).map { p =>
-      val weights = array((0 until dims).map(d =>
-        lit(planeWeight(seed, p, d))): _*)
-      call_function("graft_dotw", col(vecCol), weights)
-    }: _*)
-    val qprobes = emb.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("qid"), projArr.as("__pj"))
-      .withColumn("__bk0", (0 until planes).map(p =>
-        when(element_at(col("__pj"), p + 1) > 0, lit(1L << p))
-          .otherwise(lit(0L))).reduce(_ + _))
-      .select(col("qid"), explode(expr(
-        s"""concat(array(__bk0), transform(
-           |  slice(array_sort(transform(sequence(1, $planes),
-           |    p -> struct(abs(__pj[p - 1]) AS a, p AS p))), 1, $probes),
-           |  s -> __bk0 ^ shiftleft(CAST(1 AS BIGINT), s.p - 1)))"""
-          .stripMargin)).as("__bk"))
+    val qprobes = probeBuckets(emb, idCol, vecCol, queryIds, planes, seed,
+      dims, probes)
     val cands = data.join(broadcast(qprobes), Seq("__bk"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid")).distinct()
@@ -538,7 +538,14 @@ object Similarity {
         r.getAs[collection.Seq[Float]](1).toSeq.map(_.toDouble)))
       .sortBy(_._1)
     require(seeds.size == k, s"PQ needs $k seed vectors with $idCol < $k")
-    val sub = seeds.head._2.size / m
+    // m must tile the embedding exactly: a remainder would silently drop
+    // tail dimensions from every code and every ADC lookup, and m > dims
+    // would degenerate every slice to empty (all codes 0, all scores
+    // equal) with no diagnostic
+    val dims = seeds.head._2.size
+    require(m >= 1 && dims % m == 0,
+      s"PQ subspace count m=$m must divide the embedding width $dims")
+    val sub = dims / m
     for ((j, v) <- seeds; s <- 0 until m)
       yield (s, j, v.slice(s * sub, (s + 1) * sub))
   }
@@ -922,6 +929,13 @@ object Similarity {
   def centroidSilhouette(emb: DataFrame, idCol: String, vecCol: String,
       nClusters: Int): DataFrame = {
     require(nClusters >= 2, "centroidSilhouette: need >= 2 clusters")
+    // fail fast like the seedCentroids path instead of returning a
+    // silently empty report when ids don't start at 0 (post-dedup or
+    // hash-derived id spaces); one pushed-filter count, bounded work
+    val nSeeds = emb.filter(col(idCol) < nClusters).count()
+    require(nSeeds == nClusters,
+      s"centroidSilhouette: needs $nClusters seed rows with $idCol in " +
+        s"[0, $nClusters); found $nSeeds")
     import org.apache.spark.sql.expressions.Window
     def dsum(c: Column): Column = call_function("graft_dsum", c, lit(12))
     val ex = emb.select(col(idCol).as("__id"),
@@ -1071,7 +1085,12 @@ object Similarity {
       .agg((dsum(col("cos")) / count(lit(1)).cast("double")).as("__ry"))
     cos.join(broadcast(rx), "s_id").join(broadcast(ry), "t_id")
       .select(col("s_id"), col("t_id"), col("cos"),
-        (col("cos") / ((col("__rx") + col("__ry")) * lit(0.5)))
+        // guard the ratio like the file's other reports (embeddingDrift,
+        // jlDistortion): a zero/negative neighborhood mean would put
+        // NaN/Infinity margins at the top of the ranking — report null
+        // instead, which desc ordering sorts last
+        when((col("__rx") + col("__ry")) > 0.0,
+          col("cos") / ((col("__rx") + col("__ry")) * lit(0.5)))
           .as("margin"))
       .orderBy(col("margin").desc, col("s_id"), col("t_id"))
       .limit(topK)
