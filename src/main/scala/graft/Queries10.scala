@@ -166,7 +166,9 @@ object Queries10 {
       |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
       |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
       |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS syy
-      |  FROM lineitem GROUP BY l_returnflag)
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      |  GROUP BY l_returnflag)
       |SELECT l_returnflag, n,
       |  ROUND((n * sxy - sx * sy) /
       |    (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr_xy

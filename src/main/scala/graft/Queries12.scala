@@ -501,7 +501,9 @@ object Queries12 {
       |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sp_qe,
       |    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS sp_qd,
       |    CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS sp_ed
-      |  FROM lineitem)
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      |    AND l_discount IS NOT NULL)
       |SELECT x, y, ROUND((n * sp - sx * sy) /
       |  (SQRT(n * ssx - sx * sx) * SQRT(n * ssy - sy * sy)), 6) AS corr_xy
       |FROM (

@@ -300,7 +300,8 @@ object Queries16 {
       |  SELECT doc_id AS id,
       |    md5('selfsim:' || CAST(doc_id AS VARCHAR)) AS key,
       |    string_split(text, ' ') AS tk
-      |  FROM documents),
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
       |s AS (SELECT id, tk FROM s0 ORDER BY key, id LIMIT 100),
       |g AS (
       |  SELECT id, list_distinct(list_transform(

@@ -100,7 +100,7 @@ object Queries4 {
        |  SELECT event_type, COUNT(*) AS n_g,
        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_g,
        |    CAST(SUM(CAST(value*value AS DECIMAL(38,8))) AS DOUBLE) AS sumsq_g
-       |  FROM events GROUP BY event_type),
+       |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
        |t AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
        |    CAST(SUM(CAST(sum_g AS DECIMAL(38,10))) AS DOUBLE) AS sum_all,

@@ -24,7 +24,9 @@ object Stats {
     val dsum = call_function("graft_dsum", col(valueCol), lit(6))
     val dsumsq = call_function("graft_dsum", col(valueCol) * col(valueCol), lit(8))
     def dsum2(c: Column) = call_function("graft_dsum", c, lit(10))
-    val g = df.groupBy(col(groupCol))
+    // null values would count in n_g but not the sums (see pearson)
+    val g = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_g"), dsum.as("sum_g"), dsumsq.as("sumsq_g"))
     g.select(
         count(lit(1)).as("k"),
@@ -65,7 +67,11 @@ object Stats {
     def d(c: Column, s: Int) = call_function("graft_dsum", c, lit(s))
     val x = col(xCol).cast(DoubleType)
     val y = col(yCol).cast(DoubleType)
-    df.groupBy(col(groupCol))
+    // complete-case only: a null x or y would count in n but not in the
+    // moments — the plausible-but-wrong-numerators hazard groupedTrend's
+    // exact guard documents; the oracle states the same WHERE
+    df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         d(x, scale).as("sx"), d(y, scale).as("sy"),
         d(x * y, scale * 2).as("sxy"),
@@ -112,7 +118,10 @@ object Stats {
         x =!= floor(x) || y =!= floor(y), 1L)
         .otherwise(0L)).as("__nonint"))
        else Nil)
-    val m = df.groupBy(col(groupCol))
+    // non-exact mode drops incomplete pairs for the same n-vs-moments
+    // consistency the exact guard enforces loudly
+    val src = if (exact) df else df.filter(x.isNotNull && y.isNotNull)
+    val m = src.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), aggs: _*)
     val slopeNum = col("n") * col("sxy") - col("sx") * col("sy")
     val interNum = col("sy") * col("sxx") - col("sx") * col("sxy")
@@ -164,7 +173,11 @@ object Stats {
       cols.combinations(2).toSeq.map { case Seq(a, b) =>
         d(v(a) * v(b), scale * 2).as(s"sp_${a}_$b")
       }
-    val m = df.agg(aggs.head, aggs.tail: _*)
+    // listwise deletion: one shared n must match every pair's moments, so
+    // a row with ANY null column drops entirely (the standard
+    // complete-case correlation matrix); the oracle states the same WHERE
+    val m = df.filter(cols.map(c => v(c).isNotNull).reduce(_ && _))
+      .agg(aggs.head, aggs.tail: _*)
     // one exploded projection over the single agg row — the union-per-pair
     // alternative would plant k(k-1)/2 copies of the aggregation subtree
     val pairStructs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
@@ -425,16 +438,54 @@ object Stats {
     * -window shape: the window runs over distinct (group, value) pairs
     * after a partial-aggregated weight rollup, never over raw rows.
     */
+  /** Distinct-(group, value) rollup with weights — the quantile family's
+    * shared input, with NULL VALUES EXCLUDED: a null value row would
+    * otherwise enter the cum window as the smallest value (Spark sorts
+    * nulls first), shifting every crossing, and engines disagree on null
+    * sort order (the [[ksDrift]] note) so results would also diverge
+    * cross-engine. The family's semantics are therefore "over non-null
+    * values" — matching both engines' own median/quantile builtins. */
+  private def valueRollup(df: DataFrame, groupCol: String,
+      valueCol: String, weight: Column): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(weight).as("__c"))
+
   def groupedWeightedMedian(df: DataFrame, groupCol: String, valueCol: String,
       weightCol: String, distributedCum: Option[Boolean] = None): DataFrame = {
-    val (g, dist) = resolveCum(
-      df.groupBy(col(groupCol), col(valueCol))
-        .agg(sum(col(weightCol).cast("long")).as("__c")),
-      groupCol, distributedCum)
-    withGroupedCumSum(g, groupCol, valueCol, dist)
-      .filter(col("__cum") * 2 >= col("__n"))
+    // integer-VALUED weights only: the long cast would silently truncate
+    // fractional weights (normalized doubles in (0,1) all become 0 and
+    // the "median" degenerates to the group min). The weight column's
+    // TYPE may be floating (TPC-H quantities are integral doubles), so
+    // the guard is groupedTrend's runtime assert: violations ride the
+    // rollup as a second cum measure whose per-group TOTAL reaches every
+    // surviving row, and the job fails loudly instead of reporting a
+    // plausible wrong median.
+    df.schema(weightCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case other => throw new IllegalArgumentException(
+        s"groupedWeightedMedian requires a numeric weight column; " +
+          s"$weightCol is $other")
+    }
+    val w = col(weightCol)
+    val rollup = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(w.cast("long")).as("__c"),
+        sum(when(w.isNull ||
+            w.cast(DoubleType) =!= floor(w.cast(DoubleType)), 1L)
+          .otherwise(0L)).as("__bad"))
+    val (g, dist) = resolveCum(rollup, groupCol, distributedCum)
+    withGroupedCumSumsResolved(g, groupCol, valueCol, Seq("__c", "__bad"),
+        dist)
+      .filter(col("__cum___c") * 2 >= col("__tot___c"))
       .groupBy(col(groupCol))
-      .agg(max(col("__n")).as("total_weight"), min(col(valueCol)).as("median"))
+      .agg(
+        coalesce(assert_true(max(col("__tot___bad")) === 0, lit(
+            s"groupedWeightedMedian requires non-null integer-valued " +
+              s"$weightCol: the long cast would truncate fractions"))
+            .cast("long"),
+          max(col("__tot___c"))).as("total_weight"),
+        min(col(valueCol)).as("median"))
   }
 
   /** Exact per-group lower median of an integer-valued column — the
@@ -449,7 +500,7 @@ object Stats {
   def groupedMedian(df: DataFrame, groupCol: String, valueCol: String,
       distributedCum: Option[Boolean] = None): DataFrame = {
     val (g, dist) = resolveCum(
-      df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c")),
+      valueRollup(df, groupCol, valueCol, lit(1L)),
       groupCol, distributedCum)
     withGroupedCumSum(g, groupCol, valueCol, dist)
       .filter(col("__cum") * 2 >= col("__n"))
@@ -480,7 +531,7 @@ object Stats {
     // with an explicit Some(…) regime this is the only persist, and
     // skipping it would re-scan the raw data once per consumer
     val (g0, dist) = resolveCum(
-      df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c")),
+      valueRollup(df, groupCol, valueCol, lit(1L)),
       groupCol, distributedCum)
     val g = PlanCache.register(g0)
     // in: (groupCol, vCol, "__c") pre-counted; weighted lower median per group
@@ -525,7 +576,7 @@ object Stats {
     require(qs.nonEmpty && qs.forall { case (_, n, d) => n >= 0 && n <= d && d > 0 },
       "quantiles must be fractions in [0, 1]")
     val (g, dist) = resolveCum(
-      df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c")),
+      valueRollup(df, groupCol, valueCol, lit(1L)),
       groupCol, distributedCum)
     val cum = withGroupedCumSum(g, groupCol, valueCol, dist)
     val aggs = qs.map { case (name, num, den) =>
@@ -552,7 +603,7 @@ object Stats {
   def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
       distributedCum: Option[Boolean] = None): DataFrame = {
     val (g, dist) = resolveCum(
-      df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c")),
+      valueRollup(df, groupCol, valueCol, lit(1L)),
       groupCol, distributedCum)
     withGroupedCumSum(g, groupCol, valueCol, dist)
       .select(col(groupCol), col(valueCol),
@@ -615,7 +666,10 @@ object Stats {
     val th = lowerQuantiles(df, groupCol, valueCol,
       Seq(("p_lo", loNum, den), ("p_hi", hiNum, den)), distributedCum)
     def dsum(c: Column) = call_function("graft_dsum", c, lit(4))
-    df.join(broadcast(th), groupCol)
+    // same non-null population as the quantile thresholds (valueRollup):
+    // null rows would count in n but not in either decimal mean
+    df.filter(col(valueCol).isNotNull)
+      .join(broadcast(th), groupCol)
       .withColumn("__clip",
         least(greatest(col(valueCol), col("p_lo")), col("p_hi")))
       .groupBy(col(groupCol))
@@ -642,7 +696,7 @@ object Stats {
       buckets: Int = 8, distributedCum: Option[Boolean] = None): DataFrame = {
     require(buckets >= 1, "equidepthHist: buckets must be >= 1")
     val (g, dist) = resolveCum(
-      df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c")),
+      valueRollup(df, groupCol, valueCol, lit(1L)),
       groupCol, distributedCum)
     withGroupedCumSum(g, groupCol, valueCol, dist)
       .withColumn("bucket",
@@ -685,6 +739,10 @@ object Stats {
           s"$other (exact decimal(38,0) mass sums would truncate fractions)")
     }
     val dec = "decimal(38,0)"
+    // deliberately NOT the null-dropping valueRollup: Gini over a
+    // partial population is a DIFFERENT statistic (n changes the
+    // denominator), so nulls must reach the loud runtime guard below
+    // rather than silently shrinking the population
     val (g, dist) = resolveCum(
       df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c")),
       groupCol, distributedCum)
@@ -1077,6 +1135,13 @@ object Stats {
           dec(col("cnt_b")) * dec(col("__ta")))).as("__num"),
         max(col("__ta")).as("__ta"), max(col("__tb")).as("__tb"))
       .select(
+        // one-side-empty reports 0.5 — NOT an arbitrary sentinel: it is
+        // the TVD formula's own value under the report's zero-shares
+        // convention (the empty side's fracs are pinned 0.0 above, so
+        // ½·Σ|0 − q| = ½). ksDrift pins 1.0 for the same condition
+        // because a CDF gap has no zero-shares convention to follow —
+        // the two conventions are each internally consistent and both
+        // oracle-stated.
         when(col("__ta") > 0 && col("__tb") > 0,
           ((col("__num").cast(DoubleType) / col("__ta")) / col("__tb")) *
             lit(0.5))

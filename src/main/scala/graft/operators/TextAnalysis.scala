@@ -10,12 +10,22 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenizer (the baseline every stat below shares). */
+  /** The engine-wide tokenizer: SINGLE-SPACE split, deliberately — every
+    * DuckDB oracle states the identical `string_split(text, ' ')`, so the
+    * convention must stay byte-for-byte cross-engine (a `\s`-class split
+    * would diverge: the engines' class semantics differ and dozens of
+    * oracles would need lockstep edits). Corpus text is expected to be
+    * space-normalized upstream (ingest, or [[normalizeText]] /
+    * [[graft.operators.Dedup.normalizeForDedup]] which do collapse
+    * tabs/newlines); a raw newline-y document tokenizes coarsely under
+    * this convention — identically so in both engines. */
   def tokens(text: Column): Column = split(text, " ")
 
   /** BPE-ish subword-count proxy: word-piece regex splits on non-alnum and
     * camel-ish boundaries — a deterministic stand-in for a real tokenizer's
-    * piece count. */
+    * piece count. Java-regex-only surface (the lookarounds have no RE2
+    * equivalent), so unlike the operators above it is deliberately
+    * spec-verified rather than oracle-checked. */
   def subwordCount(text: Column): Column =
     size(split(text, "[^\\p{L}\\p{N}]+|(?<=\\p{Ll})(?=\\p{Lu})"))
 
@@ -60,8 +70,12 @@ object TextAnalysis {
         lit(lang).as("lang"))
     }
     // greatest on struct: lexicographic on (score, lang) — argmax with a
-    // deterministic tiebreak
-    greatest(scores: _*).getField("lang")
+    // deterministic tiebreak. Zero markers means NO evidence: report
+    // "unknown" rather than letting the tiebreak confidently label every
+    // URL/code/short string with the lexicographically largest language.
+    val best = greatest(scores: _*)
+    when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("unknown"))
   }
 
   /** Canonical content fingerprint: hash of the sorted distinct vocabulary
@@ -177,7 +191,7 @@ object TextAnalysis {
   def heavyHitters(docs: DataFrame, groupCol: String, textCol: String,
       k: Int): DataFrame = {
     val counts = docs
-      .select(col(groupCol), explode(split(col(textCol), " ")).as("token"))
+      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(groupCol), col("token"))
       .agg(count(lit(1)).as("cnt"))
     graft.operators.Sampling.quotaCapTwoPhase(counts, groupCol,
@@ -199,7 +213,7 @@ object TextAnalysis {
       "need size >= 1 and 0 <= overlap < size")
     val step = size - overlap
     val chunks = docs
-      .select(col(idCol), split(col(textCol), " ").as("__tk"))
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(0, greatest(0, cast(ceil((size(__tk) - $size) / $step.0) as int))), " +
           s"i -> slice(__tk, i * $step + 1, $size))"))
@@ -696,7 +710,12 @@ object TextAnalysis {
     val sampled = docs
       .select(col(idCol).as("__id"),
         md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))).as("__key"),
-        split(col(textCol), " ").as("__tk"))
+        tokens(col(textCol)).as("__tk"))
+      // docs shorter than one n-gram carry no self-similarity signal —
+      // and the empty-gram guard index would otherwise hit sequence's
+      // descending-generation trap (sequence(1,0) = [1,0] → slice at 0
+      // throws; the pmiCollocations discipline)
+      .filter(size(col("__tk")) >= n)
       .orderBy(col("__key"), col("__id")).limit(k)
       .select(col("__id"), grams.as("__g"))
     val a = sampled.select(col("__id").as("id_a"), col("__g").as("ga"))
@@ -740,7 +759,7 @@ object TextAnalysis {
     require(topWords >= 1, "burrowsDelta: topWords >= 1")
     def dsum(c: Column): Column = call_function("graft_dsum", c, lit(12))
     val toks = docs.select(col(sourceCol).as("__src"),
-      explode(split(col(textCol), " ")).as("__w"))
+      explode(tokens(col(textCol))).as("__w"))
     val counts = graft.core.Stats.PlanCache.register(
       toks.groupBy(col("__src"), col("__w"))
         .agg(count(lit(1)).as("__c")))
@@ -806,14 +825,14 @@ object TextAnalysis {
       "aggregate(split(__text, ' '), 0L, (s, w) -> s + length(w))")
     val stopArr = array(stopwords.map(lit): _*)
     val nStop = size(array_intersect(
-      array_distinct(split(col("__text"), " ")), stopArr)).cast("long")
+      array_distinct(tokens(col("__text"))), stopArr)).cast("long")
     val nAlpha = expr(
       "size(filter(split(__text, ' '), w -> w rlike '[A-Za-z]'))")
       .cast("long")
     val nWords = col("__rep.n_words")
     val base = docs.select(col(idCol), col(textCol).as("__text"))
       .withColumn("__rep",
-        call_function("graft_repetition", split(col("__text"), " ")))
+        call_function("graft_repetition", tokens(col("__text"))))
       .select(col(idCol),
         nWords.as("n_words"),
         (charSum.cast("double") / nWords.cast("double"))

@@ -318,6 +318,83 @@ class Round16OpsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet)
   }
 
+  // ---- null / degenerate-input discipline (deep-review hardening) --------
+
+  test("moment operators are complete-case: null pairs drop from n AND " +
+      "the sums") {
+    val df = Seq(("g", Some(1.0), Some(1.0)), ("g", Some(2.0), Some(2.0)),
+      ("g", None: Option[Double], Some(3.0)), ("g", Some(4.0), None))
+      .toDF("grp", "x", "y")
+    val clean = Seq(("g", 1.0, 1.0), ("g", 2.0, 2.0)).toDF("grp", "x", "y")
+    assert(canon(Stats.pearson(df, "grp", "x", "y")) ===
+      canon(Stats.pearson(clean, "grp", "x", "y")))
+    val iccDf = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", None),
+      ("b", Some(5.0)), ("b", Some(6.0))).toDF("grp", "v")
+    val icc = Stats.icc(iccDf, "grp", "v").head()
+    assert(icc.getAs[Long]("n") === 4L, "null values excluded from n")
+    val m = Stats.pearsonMatrix(df.select(col("x"), col("y")),
+      Seq("x", "y")).head()
+    assert(m.getAs[Double]("corr_xy") === 1.0,
+      "listwise deletion leaves the two perfect pairs")
+  }
+
+  test("quantile family: nulls are excluded, never counted as smallest") {
+    val df = Seq(("g", Some(1L)), ("g", Some(2L)), ("g", Some(3L)),
+      ("g", None: Option[Long]), ("g", None: Option[Long]))
+      .toDF("grp", "v")
+    val med = Stats.groupedMedian(df, "grp", "v").head()
+    assert(med.getAs[Long]("n") === 3L && med.getAs[Long]("median") === 2L,
+      "nulls sorted first would have shifted the median to 1")
+    val q = Stats.lowerQuantiles(df, "grp", "v", Seq(("p50", 1, 2))).head()
+    assert(q.getAs[Long]("p50") === 2L)
+    val w = Stats.winsorize(df, "grp", "v").head()
+    assert(w.getAs[Long]("n") === 3L)
+  }
+
+  test("groupedWeightedMedian rejects fractional weight VALUES loudly, " +
+      "accepts integral doubles") {
+    // fractional weights would all truncate to 0 and the "median" would
+    // silently degenerate to the group min
+    val bad = Seq(("g", 1L, 0.4), ("g", 2L, 0.6)).toDF("grp", "v", "w")
+    val ex = intercept[Exception] {
+      Stats.groupedWeightedMedian(bad, "grp", "v", "w").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("integer-valued")))
+    // integral values in a double-typed column are legitimate (TPC-H
+    // quantities) and must keep working
+    val ok = Seq(("g", 1L, 1.0), ("g", 2L, 3.0)).toDF("grp", "v", "w")
+    val r = Stats.groupedWeightedMedian(ok, "grp", "v", "w").head()
+    assert(r.getAs[Long]("total_weight") === 4L &&
+      r.getAs[Long]("median") === 2L)
+    // non-numeric weight types still fail at plan time
+    val str = Seq(("g", 1L, "x")).toDF("grp", "v", "w")
+    intercept[IllegalArgumentException] {
+      Stats.groupedWeightedMedian(str, "grp", "v", "w")
+    }
+  }
+
+  test("langIdGuess: zero marker hits report unknown, not the tiebreak " +
+      "winner") {
+    import graft.operators.TextAnalysis
+    val r = Seq("the cat and dog", "http://x.test/abc?q=1", "")
+      .toDF("text")
+      .select(TextAnalysis.langIdGuess(col("text")).as("g"))
+      .collect().map(_.getString(0))
+    assert(r(0) === "en" && r(1) === "unknown" && r(2) === "unknown")
+  }
+
+  test("selfSimilarity survives sub-n-token documents") {
+    import graft.operators.TextAnalysis
+    val docs = (Seq((1L, "x"), (2L, "")) ++
+      (3L to 12L).map(i => (i, s"w$i common tail words here")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.selfSimilarity(docs, "doc_id", "text", k = 10).head()
+    // 10 multi-token docs sampled; the 1-token and empty docs are out
+    assert(r.getAs[Long]("n_pairs") === 45L)
+  }
+
   test("containmentJoin fuzz: brute-force equality over random corpora " +
       "and thresholds") {
     import graft.operators.Dedup
