@@ -33,7 +33,15 @@ object Queries21 {
       |  SELECT event_type,
       |    (epoch_ns(ts) // 1000000000) // 86400 AS b
       |  FROM events),
-      |bc0 AS (SELECT event_type, b, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      |obs AS (SELECT event_type, b, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      |spans AS (
+      |  SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM obs GROUP BY 1),
+      |allb AS (
+      |  SELECT event_type, unnest(generate_series(lo, hi)) AS b FROM spans),
+      |bc0 AS (
+      |  SELECT a.event_type, a.b, CAST(COALESCE(o.c, 0) AS BIGINT) AS c
+      |  FROM allb a LEFT JOIN obs o
+      |    ON o.event_type = a.event_type AND o.b = a.b),
       |bc AS (
       |  SELECT event_type, b, CAST(c AS BIGINT) AS c,
       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY b) AS rn

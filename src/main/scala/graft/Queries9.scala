@@ -282,7 +282,7 @@ object Queries9 {
   val q73WeightedSample: (String, QueryDef) = q(
     "q73_weighted_sample",
     """SELECT doc_id, n_chars,
-      |  1000.0 / CAST(n_chars AS DOUBLE) AS sample_weight
+      |  GREATEST(1.0, 1000.0 / CAST(n_chars AS DOUBLE)) AS sample_weight
       |FROM documents
       |WHERE (CAST('0x' || substring(md5('ws1' || CAST(doc_id AS VARCHAR)), 1, 8)
       |       AS BIGINT) % 10000) * 1000 < 10000 * n_chars

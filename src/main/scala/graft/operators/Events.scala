@@ -27,8 +27,13 @@ object Events {
     * (user, session) that reuses the same partitioning — Catalyst plans
     * the aggregation without a second exchange.
     */
-  def sessionize(events: DataFrame, userCol: String, tsSecCol: String,
-      orderCol: String, gapSecs: Long): DataFrame = {
+  /** The ONE gap-based session assignment (shared by [[sessionize]] and
+    * [[sessionSequences]] — a drifting copy of the session rule would
+    * silently diverge their boundaries for the same gapSecs): appends
+    * `session_idx` per user via the running count of gap-exceeding
+    * steps. */
+  private def withSessionIdx(events: DataFrame, userCol: String,
+      tsSecCol: String, orderCol: String, gapSecs: Long): DataFrame = {
     val w = Window.partitionBy(userCol).orderBy(col(tsSecCol), col(orderCol))
     val gap = col(tsSecCol) - lag(col(tsSecCol), 1).over(w)
     val isNew = when(gap.isNull || gap > gapSecs, 1L).otherwise(0L)
@@ -36,6 +41,11 @@ object Events {
       .withColumn("__new", isNew)
       .withColumn("session_idx", sum(col("__new")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def sessionize(events: DataFrame, userCol: String, tsSecCol: String,
+      orderCol: String, gapSecs: Long): DataFrame = {
+    withSessionIdx(events, userCol, tsSecCol, orderCol, gapSecs)
       .groupBy(col(userCol), col("session_idx"))
       .agg(
         min(col(tsSecCol)).as("session_start"),
@@ -575,11 +585,24 @@ object Events {
   def cusumChangepoint(events: DataFrame, labelCol: String,
       tsSecCol: Column, bucketSec: Long, h: Long = 2L): DataFrame = {
     require(bucketSec > 0 && h > 0, "cusumChangepoint: bucketSec, h > 0")
-    val buck = events
+    val obs = events
       .select(col(labelCol).as("__lbl"), tsSecCol.cast("long").as("__s"))
       .withColumn("__b", expr(s"__s div $bucketSec"))
       .groupBy(col("__lbl"), col("__b"))
       .agg(count(lit(1)).as("__c"))
+    // DENSIFY each label's bucket span with zero-count buckets: a rate
+    // dropping to nothing is the canonical down-change and must not be
+    // invisible (the rateAnomalies discipline) — folding only observed
+    // buckets would skip every should-be decrease step through a silent
+    // gap and inflate the per-bucket baseline. Fan-out is the bucket
+    // SPAN per label — rollup-scale by construction.
+    val spans = obs.groupBy(col("__lbl"))
+      .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
+    val buck = spans
+      .select(col("__lbl"), explode(sequence(col("__lo"), col("__hi")))
+        .as("__b"))
+      .join(obs, Seq("__lbl", "__b"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
     val folded = buck.groupBy(col("__lbl"))
       .agg(sort_array(collect_list(struct(col("__b"), col("__c"))))
         .as("__arr"),
@@ -667,13 +690,7 @@ object Events {
   def sessionSequences(events: DataFrame, userCol: String,
       tsSecCol: String, orderCol: String, typeCol: String, gapSecs: Long,
       topK: Int = 100): DataFrame = {
-    val w = Window.partitionBy(userCol).orderBy(col(tsSecCol), col(orderCol))
-    val gap = col(tsSecCol) - lag(col(tsSecCol), 1).over(w)
-    val isNew = when(gap.isNull || gap > gapSecs, 1L).otherwise(0L)
-    events
-      .withColumn("__new", isNew)
-      .withColumn("session_idx", sum(col("__new")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withSessionIdx(events, userCol, tsSecCol, orderCol, gapSecs)
       .groupBy(col(userCol), col("session_idx"))
       .agg(
         count(lit(1)).as("n_events"),

@@ -122,10 +122,18 @@ object Sampling {
   def weightedHashSample(df: DataFrame, idCol: String, weightCol: Column,
       maxWeight: Long, salt: String): DataFrame = {
     require(maxWeight > 0, "maxWeight must be positive")
+    // the membership product 10000·w must stay inside long (the oracle
+    // computes the identical int arithmetic)
+    require(maxWeight < Long.MaxValue / 10000L,
+      "maxWeight too large for integer membership arithmetic")
     val w = weightCol.cast(LongType)
     df.filter(hashBucket(col(idCol), salt) * maxWeight < lit(10000L) * w)
       .withColumn("sample_weight",
-        lit(maxWeight).cast("double") / w.cast("double"))
+        // Horvitz–Thompson: P(keep) = min(1, w/maxWeight), so the weight
+        // floors at 1.0 — a row with w > maxWeight is kept ALWAYS and
+        // must not down-weight downstream sums by maxWeight/w
+        greatest(lit(1.0),
+          lit(maxWeight).cast("double") / w.cast("double")))
   }
 
   /** Skew-resistant [[quotaCap]]: identical output, two phases. Phase 1
@@ -179,7 +187,16 @@ object Sampling {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docs
       .select(col(idCol), tokenCountCol.cast("long").as("n_tokens"))
-      .withColumn("pack_part", pmod(col(idCol).cast("long"), lit(parts.toLong)))
+      // partition key for ANY id type: numeric ids keep the plain modulo
+      // (the oracle's arithmetic); non-numeric ids (UUID strings) take
+      // the engine-portable md5 bucket — the plain cast would abort the
+      // query under ANSI (or, with ANSI off, null out and silently
+      // collapse the whole corpus into ONE window partition, the
+      // single-task shape this pre-partitioning exists to avoid)
+      .withColumn("pack_part", coalesce(
+        pmod(expr(s"try_cast(`$idCol` AS LONG)"), lit(parts.toLong)),
+        pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(parts.toLong))))
       .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col(idCol), col("n_tokens"), col("pack_part"),
         (col("__start") / budget).cast("long").as("bin"),
@@ -390,9 +407,13 @@ object Sampling {
       substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
       16, 10).cast(LongType)
     val w = weightCol.cast(LongType)
+    // upper bound too: __w · 2³² must stay inside long, or a > 2³¹
+    // weight overflows NEGATIVE and the corpus's heaviest rows — the
+    // ones weighted sampling most needs to keep — silently sort last
     val wGuarded = coalesce(
-      assert_true(w > 0L, lit(
-        "prioritySample: weights must be positive integers")).cast("long"),
+      assert_true(w > 0L && w < lit(2147483648L), lit(
+        "prioritySample: weights must be positive integers below 2^31 " +
+          "(the priority product w*2^32 must fit a long)")).cast("long"),
       w)
     df.withColumn("__w", wGuarded)
       .withColumn("__q",

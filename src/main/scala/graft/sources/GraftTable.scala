@@ -426,12 +426,22 @@ class GraftTable(spark: SparkSession, root: String) {
     val have = i.segments.map(s => (s.kind, s.id)).toSet
     val kept = i.segments.filter(s =>
       if (s.kind == "log") logIds.contains(s.id) else blockIdsD.contains(s.id))
+    val freshLogIds = logIds.filterNot(id => have(("log", id)))
+    val freshBlockIds = blockIdsD.filterNot(id => have(("block", id)))
     val fresh =
-      logIds.filterNot(id => have(("log", id)))
-        .map(id => segmentStats(ingestP.resolve(id), "log")) ++
-      blockIdsD.filterNot(id => have(("block", id)))
-        .map(id => segmentStats(blocksP.resolve(id), "block"))
-    val next = derive(i.columns, kept ++ fresh)
+      freshLogIds.map(id => segmentStats(ingestP.resolve(id), "log")) ++
+      freshBlockIds.map(id => segmentStats(blocksP.resolve(id), "block"))
+    // crash-orphaned segments (dir renamed, writeInfo never ran) may
+    // carry columns the registry never saw: extend it from their parquet
+    // schemas (driver-side footer reads), or first-type-wins enforcement
+    // and extent tracking would silently skip those columns — a later
+    // conflicting ingest would then pass checkSchema and break the
+    // merged read
+    val registry = (freshLogIds.map(ingestP.resolve) ++
+        freshBlockIds.map(blocksP.resolve))
+      .foldLeft(i.columns)((reg, dir) =>
+        updatedRegistry(reg, spark.read.parquet(dir.toString).schema))
+    val next = derive(registry, kept ++ fresh)
     if (next != i) writeInfo(next)
     next
   }
@@ -457,8 +467,14 @@ class GraftTable(spark: SparkSession, root: String) {
         val df = readDirs(dirs)
         val schema = df.schema
         val longCols = schema.fields.filter(_.dataType == LongType).map(_.name).toSeq
-        val seg = regexp_extract(input_file_name(), "/(ingest|blocks)/([^/]+)/", 2)
-        val kindC = regexp_extract(input_file_name(), "/(ingest|blocks)/([^/]+)/", 1)
+        // greedy .* pins the match to the LAST /ingest|blocks/ component:
+        // a table ROOTED under a path containing "blocks" or "ingest"
+        // (e.g. /data/blocks/t1) would otherwise match the root component
+        // and collapse every segment into one bogus id
+        val seg = regexp_extract(input_file_name(),
+          ".*/(ingest|blocks)/([^/]+)/", 2)
+        val kindC = regexp_extract(input_file_name(),
+          ".*/(ingest|blocks)/([^/]+)/", 1)
         val aggs = Seq(count(lit(1)).as("__rows")) ++ longCols.flatMap { c =>
           Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
             count(col(c)).as(s"ct_$c"),
@@ -608,11 +624,29 @@ class GraftTable(spark: SparkSession, root: String) {
       case _: java.nio.file.FileAlreadyExistsException =>
         val age = Try(System.currentTimeMillis() -
           Files.getLastModifiedTime(lockP).toMillis).getOrElse(0L)
-        if (age > staleMs) { // break the stale lock and take it
-          Try(Files.deleteIfExists(lockP))
+        if (age > staleMs) {
+          // ATOMIC stale takeover: exactly one breaker wins the rename
+          // of the stale lock to a unique name. The delete-then-create
+          // formulation let TWO breakers both "acquire" — the second's
+          // delete removed the first's freshly-created lock. Winner or
+          // loser, the retry arbitrates through CREATE_NEW.
+          val stale = rootP.resolve(
+            s".stale-lock-${java.util.UUID.randomUUID()}")
+          if (Try(Files.move(lockP, stale)).isSuccess)
+            Try(Files.deleteIfExists(stale))
           grabDigestLock(staleMs)
         } else false
     }
+  }
+
+  /** Refresh the digest lock's mtime. Called around the long-running
+    * parts of a digest/optimize so a compaction legitimately exceeding
+    * `staleMs` is not mistaken for a crashed one and broken mid-write. */
+  private def touchDigestLock(): Unit = {
+    Try(Files.setLastModifiedTime(rootP.resolve("digest.lock"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis())))
+    ()
   }
 
   private def releaseDigestLock(): Unit =
@@ -645,11 +679,15 @@ class GraftTable(spark: SparkSession, root: String) {
     val df = readDirs(logs ++ consumedBlocks)
     val n = math.max(1L, segRows)
     val tmp = blocksP.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    // the Spark write is the long pole: refresh the lock before and
+    // after so a > staleMs compaction isn't broken as "crashed"
+    touchDigestLock()
     df.repartition(math.max(1, (n / ChunkSize).toInt + (if (n % ChunkSize > 0) 1 else 0)))
       .write
       .option("parquet.block.size", (8L * 1024 * 1024).toString)
       .mode(SaveMode.ErrorIfExists)
       .parquet(tmp.toString)
+    touchDigestLock()
     val blockId = java.util.UUID.randomUUID().toString
     // journal first: from the moment the rename lands, the consumed dirs
     // are superseded even if we crash before deleting them
@@ -695,8 +733,12 @@ class GraftTable(spark: SparkSession, root: String) {
       val span = (1L << bits) - 1
       def norm(c: String): Column = extent(c) match {
         case Some((lo, hi)) if hi > lo =>
-          least(lit(span), ((col(c).cast("double") - lo) / (hi - lo) * span)
-            .cast("long"))
+          // clamp BOTH ends: values outside the sidecar extents exist by
+          // design (the extent merge is outlier-rejecting), and an
+          // unclamped v < lo would z-order as sign-extended garbage in
+          // the hottest tile instead of the low edge
+          greatest(lit(0L), least(lit(span),
+            ((col(c).cast("double") - lo) / (hi - lo) * span).cast("long")))
         case _ => lit(0L)
       }
       val consumed = blocks.map(_.id)
@@ -783,7 +825,12 @@ class GraftTable(spark: SparkSession, root: String) {
         try s.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
         finally s.close()
       }
-      var dirs = listDirs(blocksP).sortBy(p => Files.getLastModifiedTime(p).toMillis)
+      // superseded-but-undeleted dirs (crashed digest) are dead weight,
+      // not live data — counting them would over-delete live blocks
+      val (supBlocks, _) = journalSuperseded()
+      var dirs = listDirs(blocksP)
+        .filterNot(d => supBlocks(d.getFileName.toString))
+        .sortBy(p => Files.getLastModifiedTime(p).toMillis)
       var total = dirs.map(size).sum
       while (total > budget && dirs.length > 1) {
         total -= size(dirs.head)
@@ -801,6 +848,21 @@ class GraftTable(spark: SparkSession, root: String) {
     * job, which only happens for pre-upgrade or crash-orphaned blocks). */
   def trim(maxBytes: Option[Long] = None, olderThan: Option[Long] = None,
       timeCol: String = "time"): Seq[String] = {
+    // under the digest lock: an unlocked trim could delete the partial
+    // block a live digest is concurrently folding in (its Spark read
+    // would fail mid-job), and a crashed digest's superseded dirs would
+    // inflate the byte budget. Recovery runs first so the maxBytes loop
+    // only ever sizes live dirs.
+    if (!grabDigestLock()) throw new IllegalStateException(
+      s"table $root: a digest is in progress (digest.lock held); " +
+        "trim would delete blocks it is reading")
+    try trimLocked(maxBytes, olderThan, timeCol)
+    finally releaseDigestLock()
+  }
+
+  private def trimLocked(maxBytes: Option[Long], olderThan: Option[Long],
+      timeCol: String): Seq[String] = {
+    recoverDigestJournal(haveLock = true)
     var removed = List.empty[String]
     val i = reconciled()
     var segments = i.segments

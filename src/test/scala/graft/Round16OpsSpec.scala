@@ -318,6 +318,85 @@ class Round16OpsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet)
   }
 
+  // ---- storage / sampling hardening (deep-review) ------------------------
+
+  test("trim refuses to run while a digest holds the lock") {
+    import graft.sources.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft-trimlock")
+    val t = new GraftTable(spark, root.toString)
+    t.ingest(Seq((1L, 10L)).toDF("id", "v"))
+    val lock = root.resolve("digest.lock")
+    java.nio.file.Files.writeString(lock, "999999",
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    try {
+      val ex = intercept[IllegalStateException] {
+        t.trim(olderThan = Some(Long.MaxValue))
+      }
+      assert(ex.getMessage.contains("digest.lock"))
+    } finally java.nio.file.Files.deleteIfExists(lock)
+    // with the lock released, trim works again
+    t.trim(olderThan = Some(0L))
+  }
+
+  test("weightedHashSample: HT weight floors at 1.0 above maxWeight") {
+    import graft.operators.Sampling
+    val docs = (1L to 50L).map(i => (i, if (i <= 5) 5000L else 100L))
+      .toDF("doc_id", "w")
+    val out = Sampling.weightedHashSample(docs, "doc_id", col("w"),
+      maxWeight = 1000L, salt = "t").collect()
+    val heavy = out.filter(_.getLong(1) === 5000L)
+    assert(heavy.length === 5, "w > maxWeight rows are kept always (P=1)")
+    assert(heavy.forall(_.getAs[Double]("sample_weight") === 1.0),
+      "P=1 rows must carry HT weight 1.0, not maxWeight/w")
+  }
+
+  test("prioritySample rejects weights at or above 2^31 loudly") {
+    import graft.operators.Sampling
+    val df = Seq((1L, 3000000000L), (2L, 5L)).toDF("id", "w")
+    val ex = intercept[Exception] {
+      Sampling.prioritySample(df, "id", col("w"), n = 1, salt = "t")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("2^31")))
+  }
+
+  test("packSequences partitions string (UUID) ids instead of collapsing " +
+      "to one window partition") {
+    import graft.operators.Sampling
+    val docs = (1 to 200).map(i =>
+      (java.util.UUID.nameUUIDFromBytes(Array(i.toByte)).toString, 10L))
+      .toDF("doc_id", "tk")
+    val out = Sampling.packSequences(docs, "doc_id", col("tk"),
+      budget = 50L, parts = 8)
+    val partsUsed = out.select("pack_part").distinct().count()
+    assert(partsUsed > 1, s"string ids must spread over parts, got $partsUsed")
+    assert(out.filter(col("pack_part").isNull).count() === 0)
+    // numeric ids keep the plain modulo (oracle arithmetic unchanged)
+    val num = Sampling.packSequences(
+      (1L to 16L).toDF("doc_id").withColumn("tk", lit(10L)),
+      "doc_id", col("tk"), budget = 50L, parts = 8)
+    assert(num.filter(col("doc_id") === 9L).head().getAs[Long]("pack_part")
+      === 1L)
+  }
+
+  test("cusumChangepoint sees rate drops through silent gaps") {
+    import graft.operators.Events
+    // 10 dense buckets of 100 events, a 10-bucket silent gap, 10 more:
+    // the gap IS the down-change and must fire the down alarm
+    val rows = (for {
+      b <- (0L until 10L) ++ (20L until 30L)
+      i <- 1 to 100
+    } yield ("svc", b * 60L + (i % 60))).toDF("label", "ts")
+    val r = Events.cusumChangepoint(rows, "label", col("ts"),
+      bucketSec = 60L, h = 2L).head()
+    assert(r.getAs[Long]("n_buckets") === 30L,
+      "the span includes the empty buckets")
+    assert(r.get(r.fieldIndex("down_changepoint")) != null,
+      "a silent gap must fire the down-side CUSUM")
+  }
+
   // ---- null / degenerate-input discipline (deep-review hardening) --------
 
   test("moment operators are complete-case: null pairs drop from n AND " +
