@@ -257,7 +257,7 @@ object Cli {
         if (f.contains("update-info")) table.rebuild()
         val q = buildQuery(f)
         val cacheable = f.contains("cache-queries") && !q.samples &&
-          q.timeBucket.isEmpty && q.distinctLimit.isEmpty &&
+          q.timeBucket.isEmpty && q.distinctLimit.isEmpty && !q.useTDigest &&
           (q.op == AggOp.CountOp || q.op == AggOp.AvgOp || q.op == AggOp.SumOp ||
             q.op == AggOp.HistOp)
         val result =

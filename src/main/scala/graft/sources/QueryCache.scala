@@ -159,6 +159,24 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
       q.op == AggOp.HistOp || q.op == AggOp.DistinctOp(false),
       s"op ${q.op} not cacheable (exact distinct partials are the full value" +
         " sets — cache the approx flavor, or run uncached)")
+    // the tdigest flavor has no stable mergeable partial here — caching
+    // it as a flat BasicHist would return the wrong output surface
+    require(!q.useTDigest,
+      "-tdigest is not cacheable (quantile-sketch flavor); run uncached")
+    // weighted parity holds only for integer weights: per-block Counts
+    // are long sums, and a fractional weight would truncate per block
+    // where the uncached run truncates once globally
+    for (wc <- q.weightCol) {
+      val dt = table.read().schema.fields.find(_.name == wc).map(_.dataType)
+      require(dt.forall {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | LongType => true
+        case _ => false
+      }, s"cache requires an integer weight column; $wc is " +
+        s"${dt.getOrElse("missing")} (per-block long truncation would " +
+        "diverge from the uncached run); run uncached")
+    }
     // loghist caches its OWN partial flavor (LogHistPartialAggregator) and
     // the flavor is part of the cache key, so flat and log partials for the
     // same filters can never merge into each other
@@ -196,8 +214,14 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
       val classes = timeFilters.map(f =>
         extent.map { case (lo, hi) => classify(f.asInstanceOf[IntFilter], lo, hi) }
           .getOrElse(Partial))
+      // AlwaysTrue additionally demands a null-free time column in the
+      // block (cnt == rows): the extents describe non-null values only,
+      // and dropping the time filter would admit null-time rows the
+      // batch filter excludes (null-fails-every-filter semantics)
+      val noNullTimes = timeFilters.isEmpty ||
+        s.stat(q.timeCol).exists(_.cnt == s.rows)
       if (classes.contains(AlwaysFalse)) skipped += 1
-      else if (classes.forall(_ == AlwaysTrue)) {
+      else if (classes.forall(_ == AlwaysTrue) && noNullTimes) {
         val dest = table.cacheRoot.resolve(key).resolve(s.id)
         if (Files.exists(dest)) hitPaths ::= dest else missIds ::= s.id
       } else uncacheableIds ::= s.id
@@ -210,13 +234,22 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
       if (missIds.isEmpty) None
       else {
         val dirs = missIds.map(id => table.blockPath(id).toString)
+        // greedy .* pins the LAST /blocks/ component (a table rooted
+        // under a path containing "blocks" would otherwise extract the
+        // root segment and silently drop every miss block's rows — the
+        // GraftTable.rebuild regex discipline)
         val withBlock = spark.read.parquet(dirs: _*)
-          .withColumn("__block", regexp_extract(input_file_name(), "/blocks/([^/]+)/", 1))
+          .withColumn("__block",
+            regexp_extract(input_file_name(), ".*/blocks/([^/]+)/", 1))
         val p = partial(withBlock, q, rest, extents, extraKeys = Seq("__block"))
         val tmp = table.cacheRoot.resolve(key).resolve(s".tmp-${java.util.UUID.randomUUID()}")
         p.write.partitionBy("__block").mode(SaveMode.Overwrite).parquet(tmp.toString)
-        val written = Files.list(tmp).iterator().asScala
-          .filter(d => d.getFileName.toString.startsWith("__block=")).toSeq
+        val written = {
+          val s = Files.list(tmp)
+          try s.iterator().asScala
+            .filter(d => d.getFileName.toString.startsWith("__block=")).toSeq
+          finally s.close()
+        }
         written.foreach { d =>
           val id = d.getFileName.toString.stripPrefix("__block=")
           val dest = table.cacheRoot.resolve(key).resolve(id)
@@ -233,8 +266,12 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
                 if (!Files.exists(dest)) throw e
             }
         }
-        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
-          .iterator().asScala.foreach(Files.delete)
+        locally {
+          val s = Files.walk(tmp)
+          try s.sorted(java.util.Comparator.reverseOrder[Path]())
+            .iterator().asScala.foreach(Files.delete)
+          finally s.close()
+        }
         // a block whose partial has zero groups writes no dir — read only
         // what exists (it will recompute next run; empty is cheap anyway)
         val readable = missIds.map(id => table.cacheRoot.resolve(key).resolve(id))
@@ -253,10 +290,16 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
         spark.read.parquet(uncacheableIds.map(id => table.blockPath(id).toString): _*),
         q, q.filters, extents))
 
-    val parts = Seq(missPartials, hitPartials, uncachedPartials).flatten
-    val out = if (parts.isEmpty) {
-      partial(table.read(), q, q.filters, extents).limit(0)
-    } else {
+    // all-blocks-skipped still takes the normal merge path over an EMPTY
+    // partial frame, so the zero-row result carries the MERGED output
+    // schema (x_avg/x_hist/Distinct), not the partial-stage one — a
+    // caller selecting output columns from an empty result must not
+    // throw
+    val parts0 = Seq(missPartials, hitPartials, uncachedPartials).flatten
+    val parts =
+      if (parts0.nonEmpty) parts0
+      else Seq(partial(table.read().limit(0), q, q.filters, extents))
+    val out = {
       val merged = parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = false))
       val keys = q.groups.map(col)
       val sums =

@@ -82,6 +82,14 @@ object Streams {
       : Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     val timed = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    // only the processing-time flavor arms the gap-close timer;
+    // EventTimeTimeout would be silently ignored (sessions never close,
+    // state grows forever on an unbounded key space) — reject it loudly.
+    // NoTimeout is allowed as an explicit never-auto-close choice for
+    // bounded key spaces.
+    require(timed || timeout == GroupStateTimeout.NoTimeout,
+      s"sessionize supports ProcessingTimeTimeout (gap-close) or an " +
+        s"explicit NoTimeout; $timeout would silently never close sessions")
     events
       .groupByKey(_._1)
       .mapGroupsWithState[(Long, Long, Long), SessionUpdate](timeout) {
@@ -178,9 +186,15 @@ object Streams {
       .select(explode(call_function("graft_shingle_hash",
         split(col(textCol), " "), lit(n))).as("__ng"))
       .distinct()
+    // mirror the batch operator's id exclusion (Decontam
+    // .overlapWithBenchmark): a doc sharing an id with a benchmark row is
+    // excluded there, and the stream must agree for the documented
+    // batch-backfill parity to hold
+    val benchIds = benchmark.select(col(idCol)).distinct()
     docs
       .withColumn("__ts", timestamp_seconds(col(tsCol).cast(LongType)))
       .withWatermark("__ts", watermark)
+      .join(broadcast(benchIds), Seq(idCol), "left_anti")
       .select(col(idCol), col("__ts"),
         explode(call_function("graft_shingle_hash",
           split(col(textCol), " "), lit(n))).as("__ng"))
@@ -211,7 +225,10 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, batch, state: GroupState[Long]) =>
           val admitted = state.getOption.getOrElse(0L)
-          val take = batch.take((k - admitted).max(0L).toInt).toSeq
+          // clamp before toInt: a quota past Int.MaxValue would truncate
+          // NEGATIVE and admit nothing at all
+          val room = (k - admitted).max(0L).min(Int.MaxValue.toLong).toInt
+          val take = batch.take(room).toSeq
           state.update(admitted + take.size)
           take.iterator
       }
@@ -417,6 +434,11 @@ object Streams {
         .otherwise(lit(0.0)) - lit(baseline(i)))
     }.reduce(_ + _) * lit(0.5)
     events
+      // null values would bin into the TOP bin (least/greatest skip null
+      // operands), inflating its share and firing spurious drift alarms —
+      // a distribution profile ranges over observed values (the ksDrift
+      // discipline)
+      .filter(col(valueCol).isNotNull)
       .withColumn("__ts", timestamp_seconds(col(tsCol).cast(LongType)))
       .withColumn("__bin", bin)
       .withWatermark("__ts", watermark)
@@ -489,7 +511,12 @@ object Streams {
       .withColumn("__ts", timestamp_seconds(col(tsCol).cast(LongType)))
       .withWatermark("__ts", watermark)
       .select(col("__ts"), explode(split(col(textCol), " ")).as("token"))
-      .join(broadcast(vocab.select(col("token"), lit(1L).as("__in"))),
+      // defensive distinct: a duplicate vocab token would multiply joined
+      // rows, inflating n_tokens and deflating oov_frac (vocabCoverage's
+      // vocab is distinct by construction; a caller-supplied file may
+      // not be)
+      .join(broadcast(vocab.select(col("token")).distinct()
+          .withColumn("__in", lit(1L))),
         Seq("token"), "left")
       .groupBy(window(col("__ts"), s"$bucketSecs seconds"))
       .agg(count(lit(1)).as("n_tokens"),

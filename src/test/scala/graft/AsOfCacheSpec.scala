@@ -251,4 +251,44 @@ class AsOfCacheSpec extends SparkSpec {
     assert(o2.hits === 3 && o2.misses === 0)
     assert(canon(r2) === canon(r1))
   }
+
+  test("query cache: all-blocks-skipped result carries the merged output " +
+      "schema") {
+    val root = Files.createTempDirectory("graft-qc-skip").toString
+    val t = new GraftTable(spark, root)
+    t.ingest((0 until 200).map(i =>
+      (s"k${i % 3}", i.toLong, (i % 20).toLong)).toDF("k", "time", "v"))
+    t.digest()
+    val cache = new QueryCache(spark, t)
+    val q = SybilQuery().groupBy("k").aggregate("v").withOp(AggOp.AvgOp)
+      .intFilterGt("time", 1000000L).limitTo(10)
+    val (res, o) = cache.run(q)
+    assert(o.skipped === 1 && o.misses === 0)
+    // zero rows, but the MERGED schema: a caller selecting v_avg from an
+    // empty result must not throw
+    assert(res.columns.contains("v_avg"), res.columns.mkString(","))
+    assert(res.select("k", "v_avg").count() === 0)
+  }
+
+  test("query cache: a block with null times is never classified " +
+      "AlwaysTrue (cached == uncached)") {
+    val root = Files.createTempDirectory("graft-qc-null").toString
+    val t = new GraftTable(spark, root)
+    // half the rows carry a NULL time: extents describe non-null values
+    // only, so dropping the time filter for this block would admit rows
+    // the batch filter excludes
+    t.ingest((0 until 200).map(i =>
+      (s"k${i % 3}", if (i % 2 == 0) Some(i.toLong + 100L) else None,
+        (i % 20).toLong)).toDF("k", "time", "v"))
+    t.digest()
+    val cache = new QueryCache(spark, t)
+    val q = SybilQuery().groupBy("k").aggregate("v").withOp(AggOp.CountOp)
+      .intFilterGt("time", 0L).limitTo(10)
+    val (res, o) = cache.run(q)
+    assert(o.uncacheable === 1 && o.hits === 0 && o.misses === 0,
+      s"null-time block must take the full-filter path, got $o")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    assert(canon(res) === canon(q.run(t.read())))
+  }
 }

@@ -147,7 +147,10 @@ class StreamsSpec extends SparkSpec {
     val docRows = Seq(
       (1L, "alpha beta gamma delta epsilon"), // shares 3-grams with bench
       (2L, "zero one two three four five"),   // shares with bench doc 101
-      (3L, "nothing in common here at all"))  // no overlap -> absent
+      (3L, "nothing in common here at all"),  // no overlap -> absent
+      // shares an ID with a benchmark row: the batch operator's anti-join
+      // excludes it, and the stream must agree despite the full overlap
+      (100L, "alpha beta gamma delta"))
     val base = 1700000000L
     val mem = MemoryStream[(Long, Long, String)]
     mem.addData(docRows.map { case (id, t) => (id, base, t) }: _*)
