@@ -39,6 +39,18 @@ object AsOfJoin {
       saltBuckets: Int = 1): DataFrame = {
 
     val lCols = left.columns.toSeq
+    // a payload name colliding with a left column would emit duplicate
+    // output columns (any later by-name reference throws
+    // AMBIGUOUS_REFERENCE); internal scratch names would be silently
+    // overwritten
+    val reserved = Set("__key", "__t", "__side", "__salt", "__p")
+    require(payload.forall(c => !lCols.contains(c) && !reserved(c)),
+      s"asof payload names must not collide with left columns or " +
+        s"internal names: ${payload.filter(c =>
+          lCols.contains(c) || reserved(c)).mkString(", ")}")
+    require(lCols.forall(!reserved(_)),
+      s"left columns must not use reserved names: ${
+        lCols.filter(reserved).mkString(", ")}")
     // all payload columns travel in ONE struct through ONE last(ignoreNulls)
     // window, so every output row stitches from a single right row (mixed-row
     // results were possible with independent per-column windows when payload
@@ -56,7 +68,13 @@ object AsOfJoin {
     val lSalt: Column =
       if (saltBuckets <= 1) lit(0)
       else pmod(hash(lCols.map(col): _*), lit(saltBuckets))
+    // ASOF semantics: null never matches — a null rightTime would sort
+    // NULLS FIRST and become a universal "earliest" match, and null keys
+    // would match each other through the window partition (null == null
+    // in partitionBy, unlike an equi-join). Null-key/time left rows are
+    // unmatchable by definition and drop like any unmatched left row.
     val l = left
+      .filter(col(leftKey).isNotNull && col(leftTime).isNotNull)
       .withColumn("__key", col(leftKey))
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
@@ -64,6 +82,7 @@ object AsOfJoin {
       .select(Seq(col("__key"), col("__t"), col("__side"), col("__salt")) ++
         lCols.map(col) :+ lit(null).cast(pType).as("__p"): _*)
     val rBase = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
       .withColumn("__key", col(rightKey))
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))

@@ -50,24 +50,37 @@ object Classifier {
     val toks = base.select(col(idCol), col("is_pos"),
       posexplode(col("tk")).as(Seq("pos", "t")))
 
-    // per-class token counts; V = distinct tokens (the smoothing support)
-    val counts = toks.groupBy("t").agg(
-      sum(when(col("is_pos"), 1L).otherwise(0L)).as("c_pos"),
-      sum(when(!col("is_pos"), 1L).otherwise(0L)).as("c_neg"))
-    val totals = toks.agg(
-      sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos"),
-      sum(when(!col("is_pos"), 1L).otherwise(0L)).as("n_neg"),
-      count_distinct(col("t")).as("v"))
+    // per-class token counts; V = distinct tokens (the smoothing
+    // support). counts feeds BOTH the model and the totals (derived
+    // below instead of a second full-corpus token shuffle), so the
+    // vocab-sized frame pins in the bounded PlanCache.
+    val counts = graft.core.Stats.PlanCache.register(
+      toks.groupBy("t").agg(
+        sum(when(col("is_pos"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(!col("is_pos"), 1L).otherwise(0L)).as("c_neg")))
+    // n_pos/n_neg/v are exactly derivable from the vocabulary rollup —
+    // aggregating toks again would re-explode and re-shuffle the whole
+    // corpus for numbers the V-row frame already holds
+    val totals = counts.agg(
+      sum(col("c_pos")).as("n_pos"),
+      sum(col("c_neg")).as("n_neg"),
+      count(lit(1)).as("v"))
     val priors = base.agg(
       sum(when(col("is_pos"), 1L).otherwise(0L)).as("d_pos"),
-      sum(when(!col("is_pos"), 1L).otherwise(0L)).as("d_neg"))
+      sum(when(!col("is_pos"), 1L).otherwise(0L)).as("d_neg"),
+      sum(when(col("is_pos").isNull, 1L).otherwise(0L)).as("__null_lbl"))
 
     // degenerate-corpus guard: a single-class corpus has no odds to
-    // learn — fail loudly (assert_true is null on pass; the coalesce
-    // keeps it inside the plan, same pattern as Sampling.mixtureWeights)
-    val dPosG = coalesce(assert_true(col("d_pos") > 0 && col("d_neg") > 0,
-      lit("naiveBayesScore: both label classes must be non-empty — " +
-        "a single-class corpus has no log-odds to train")).cast("long"),
+    // learn, and a NULL weak label trains into NEITHER class while its
+    // tokens still widen V — both fail loudly (assert_true is null on
+    // pass; the coalesce keeps it inside the plan, same pattern as
+    // Sampling.mixtureWeights)
+    val dPosG = coalesce(assert_true(
+      col("d_pos") > 0 && col("d_neg") > 0 && col("__null_lbl") === 0,
+      lit("naiveBayesScore: both label classes must be non-empty and " +
+        "the label expression must be non-null on every doc (a null " +
+        "label trains into neither class but still skews smoothing)"))
+      .cast("long"),
       col("d_pos"))
 
     // one IEEE division + one ln per term, fixed order

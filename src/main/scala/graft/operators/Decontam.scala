@@ -36,11 +36,18 @@ object Decontam {
     * these set sizes); the oracle computes the same counts from string
     * n-grams and must agree.
     */
+  /** One fused explode of a frame's distinct per-doc n-gram hashes — THE
+    * hashing convention both the exact and Bloom overlap variants share
+    * (their outputs are contractually identical, so a drifting copy here
+    * would silently desynchronize them). */
+  private def hashedNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = df.select(col(idCol),
+    explode(call_function("graft_shingle_hash",
+      split(col(textCol), " "), lit(n))).as("__ng"))
+
   def overlapWithBenchmark(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
-    def hashed(df: DataFrame) = df.select(col(idCol),
-      explode(call_function("graft_shingle_hash",
-        split(col(textCol), " "), lit(n))).as("__ng"))
+    def hashed(df: DataFrame) = hashedNgrams(df, idCol, textCol, n)
     val benchNgrams = hashed(benchmark).select(col("__ng")).distinct()
     val benchIds = benchmark.select(col(idCol))
     hashed(corpus)
@@ -66,10 +73,13 @@ object Decontam {
     */
   def overlapViaBloom(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int, fpp: Double = 0.01): DataFrame = {
-    def hashed(df: DataFrame) = df.select(col(idCol),
-      explode(call_function("graft_shingle_hash",
-        split(col(textCol), " "), lit(n))).as("__ng"))
-    val benchNgrams = hashed(benchmark).select(col("__ng")).distinct()
+    def hashed(df: DataFrame) = hashedNgrams(df, idCol, textCol, n)
+    // three consumers (count, bloomFilter treeAggregate, exact join) of
+    // the benchmark's distinct gram set — in the too-big-to-broadcast
+    // regime this operator exists for, recomputing it per consumer means
+    // three full benchmark scans; the bounded PlanCache pins it once
+    val benchNgrams = graft.core.Stats.PlanCache.register(
+      hashed(benchmark).select(col("__ng")).distinct())
     val expected = math.max(benchNgrams.count(), 1L)
     val bloom = benchNgrams.stat.bloomFilter("__ng", expected, fpp)
     val spark = corpus.sparkSession
@@ -120,9 +130,12 @@ object Decontam {
     */
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, commonDf: Long = 5L): DataFrame = {
-    val grams = docs.select(col(idCol),
+    // grams feeds the df rollup AND the join probe side — pin it so the
+    // dominant corpus explode runs once, not twice
+    val grams = graft.core.Stats.PlanCache.register(
+      docs.select(col(idCol),
         explode(call_function("graft_shingle_hash",
-          split(col(textCol), " "), lit(n))).as("__g"))
+          split(col(textCol), " "), lit(n))).as("__g")))
     val dfreq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
     grams.join(dfreq, "__g")
       .groupBy(col(idCol))
@@ -154,9 +167,12 @@ object Decontam {
       sep: String, minDocFrac: Double): DataFrame = {
     require(minDocFrac > 0 && minDocFrac <= 1, "minDocFrac must be in (0,1]")
     val total = docs.agg(count(lit(1)).as("__total"))
-    val units = docs.select(col(idCol),
+    // units feeds the df rollup AND the anti-join kept side — pin it so
+    // the corpus splits once, not twice
+    val units = graft.core.Stats.PlanCache.register(
+      docs.select(col(idCol),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-          .as(Seq("pos", "unit")))
+          .as(Seq("pos", "unit"))))
     val common = units.select(col(idCol), col("unit")).distinct()
       .groupBy(col("unit")).agg(count(lit(1)).as("__df"))
       .crossJoin(broadcast(total))
@@ -170,7 +186,10 @@ object Decontam {
           x => x.getField("unit"))).as("cleaned"),
         count(lit(1)).as("n_kept"))
     docs.select(col(idCol),
-        size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        // null text holds zero units — size(split(null)) is null and
+        // would propagate into n_removed
+        coalesce(size(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))), lit(0))
           .cast("long").as("__n_units"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
@@ -213,7 +232,10 @@ object Decontam {
       .join(broadcast(bench), "__g")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__s"))).as("__starts"))
-    corpus.select(col(idCol), split(col(textCol), " ").as("__tk"))
+    // null text reassembles as the degenerate empty row, not null cells
+    corpus.select(col(idCol),
+        coalesce(split(col(textCol), " "),
+          expr("CAST(array() AS ARRAY<STRING>)")).as("__tk"))
       .join(starts, Seq(idCol), "left")
       .withColumn("__starts",
         coalesce(col("__starts"), expr("array()")))

@@ -52,9 +52,14 @@ object Graph {
       s"pageRank: iterations must be in 1..50, got $iterations")
     require(damping > 0.0 && damping < 1.0,
       s"pageRank: damping must be in (0, 1), got $damping")
+    // null endpoints are not edges: a null src's outdegree group can
+    // never join ranks, inflow routed to a null dst is lost at the left
+    // join (null keys never match), and the output would carry a
+    // nonsense node=null row — drop them before anything counts
     val e = graft.core.Stats.PlanCache.register(
       edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst")))
+          col(dstCol).cast("long").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull))
     // nodes feed iterations+1 consumers plus the count — cache alongside
     // the edge list
     val nodes = graft.core.Stats.PlanCache.register(

@@ -318,6 +318,53 @@ class Round16OpsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet)
   }
 
+  // ---- ASOF / graph / classifier null discipline -------------------------
+
+  test("asof backward: null keys and null times never match") {
+    import graft.operators.AsOfJoin
+    val left = Seq((Some("a"), Some(10L), 1L), (None, Some(10L), 2L),
+      (Some("a"), None, 3L)).toDF("k", "t", "lid")
+    val right = Seq((Some("a"), Some(5L), "x"),
+      (None: Option[String], Some(1L), "nullkey"),
+      (Some("a"), None: Option[Long], "nulltime"))
+      .toDF("k2", "t2", "v")
+    val out = AsOfJoin.backward(left, right, "k", "k2", "t", "t2", Seq("v"))
+      .collect().map(r => (r.getLong(2), r.getString(3)))
+    // only the fully-non-null pair matches; the null-time right row must
+    // not become a universal earliest match, and null keys must not
+    // match each other
+    assert(out.toSeq === Seq((1L, "x")))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left, right, "k", "k2", "t", "t2", Seq("lid"))
+    }
+  }
+
+  test("pageRank drops null-endpoint edges instead of leaking mass") {
+    import graft.operators.Graph
+    val edges = Seq((Some(1L), Some(2L)), (Some(2L), Some(1L)),
+      (Some(1L), None), (None, Some(2L))).toDF("s", "d")
+    val r = Graph.pageRank(edges, "s", "d", iterations = 2)
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(r.map(_._1).toSet === Set(1L, 2L), "no phantom null node")
+    // the 2-cycle conserves mass: ranks sum to ~1
+    assert(math.abs(r.map(_._2).sum - 1.0) < 1e-9)
+  }
+
+  test("naiveBayesScore rejects null weak labels loudly") {
+    import graft.operators.Classifier
+    val docs = Seq((1L, "good great fine", Some(true)),
+      (2L, "bad awful poor", Some(false)),
+      (3L, "mystery tokens here", None))
+      .toDF("doc_id", "text", "lbl")
+    val ex = intercept[Exception] {
+      Classifier.naiveBayesScore(docs, "doc_id", "text", col("lbl"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("non-null")))
+  }
+
   // ---- storage / sampling hardening (deep-review) ------------------------
 
   test("trim refuses to run while a digest holds the lock") {
