@@ -219,7 +219,13 @@ final case class SybilQuery(
       case AggOp.CountOp => Seq(countAgg, samplesAgg)
       case AggOp.AvgOp =>
         Seq(countAgg, samplesAgg) ++ aggCols.map { c =>
-          (wsum(c).cast(DoubleType) / sum(w)).as(s"${c}_avg")
+          // per-column denominator: sybil averages each column over the
+          // records where it is POPULATED (aggregate.go:246-259) — a
+          // whole-group sum(w) denominator would count null rows as
+          // zeros (the numerator's decimal sum skips them)
+          (wsum(c).cast(DoubleType) /
+            sum(when(col(c).isNotNull, w).otherwise(lit(0L))))
+            .as(s"${c}_avg")
         }
       case AggOp.SumOp =>
         Seq(countAgg, samplesAgg) ++ aggCols.map { c =>
@@ -265,16 +271,23 @@ final case class SybilQuery(
         val extents = histExtents ++ scanned
         Seq(countAgg, samplesAgg) ++ aggCols.map { c =>
           val (mn, mx) = extents(c)
+          // null-populated rows reach the typed (Long, Long) aggregator
+          // as weight 0 (which it skips entirely) — a raw null would
+          // crash the tuple deserializer, where sybil silently skips
+          // unpopulated records per column (aggregate.go:246-259)
+          val v = coalesce(col(c).cast(LongType), lit(0L))
+          val wv = when(col(c).isNotNull,
+            coalesce(w.cast(LongType), lit(0L))).otherwise(lit(0L))
           (if (useNestedHist)
-            graft.functions.NestedHist.nestedHist(
-              col(c).cast(LongType), w.cast(LongType), mn, mx, histBuckets)
+            graft.functions.NestedHist.nestedHist(v, wv, mn, mx, histBuckets)
           else if (useLogHist)
-            graft.functions.LogHist.logHist(col(c).cast(LongType), w.cast(LongType), mn, mx)
+            graft.functions.LogHist.logHist(v, wv, mn, mx)
           else
-            BasicHist.hist(col(c).cast(LongType), w.cast(LongType), mn, mx,
-              histBuckets)).as(s"${c}_hist")
+            BasicHist.hist(v, wv, mn, mx, histBuckets)).as(s"${c}_hist")
         }
       case AggOp.DistinctOp(exact) =>
+        require(distinctCols.nonEmpty || aggCols.nonEmpty,
+          "distinct op needs -distinct (or agg) columns")
         val dcols = (if (distinctCols.nonEmpty) distinctCols else aggCols).map(col)
         // approx path: DataSketches HLL (hll_sketch_agg) rather than
         // approx_count_distinct — the binary sketch is a first-class value,
@@ -284,7 +297,13 @@ final case class SybilQuery(
         // bit-for-bit even for the approximate op (AsOfCacheSpec).
         Seq(countAgg, samplesAgg,
           (if (exact) countDistinct(dcols.head, dcols.tail: _*)
-           else hll_sketch_estimate(hll_sketch_agg(concat_ws("\u0001", dcols: _*))))
+           // any-null tuples are EXCLUDED, matching the exact branch
+           // (SQL COUNT DISTINCT skips them) — a bare concat_ws would
+           // silently drop the null component and conflate ('x', null)
+           // with (null, 'x')
+           else hll_sketch_estimate(hll_sketch_agg(
+             when(dcols.map(_.isNotNull).reduce(_ && _),
+               concat_ws("\u0001", dcols: _*)))))
             .as("Distinct"))
     }
 
@@ -315,6 +334,10 @@ final case class SybilQuery(
       case Some(c) =>
         if (grouped.columns.contains(s"${c}_avg")) col(s"${c}_avg")
         else if (grouped.columns.contains(s"${c}_sum")) col(s"${c}_sum")
+        // hist queries sort by the hist's mean (the reference's
+        // SortResults compares Hists[col].Mean(), aggregate.go:51-52)
+        else if (grouped.columns.contains(s"${c}_hist"))
+          col(s"${c}_hist").getField("mean")
         else col(c)
     }
     val keyNames = bucketCol.map(_ => "time_bucket").toSeq ++ groups

@@ -75,10 +75,23 @@ class BasicHistAggregator(
     new Array[Long](numBuckets), 0.0, 0L, 0L,
     Long.MaxValue, Long.MinValue, Array.empty, Array.empty)
 
+  // hist_basic.go:101-109's guard, made total: `max*10` is a nonsense
+  // cutoff for a non-positive max (it drops nearly ALL data) and
+  // overflows past Long.MaxValue/10 — the deviation policy applies
+  // (replicate the intent, not the arithmetic bug)
+  private val upperCutoff: Long =
+    if (infoMax <= 0) Long.MaxValue
+    else if (infoMax > Long.MaxValue / 10) Long.MaxValue
+    else infoMax * 10
+
   def reduce(b: HistBuf, in: (Long, Long)): HistBuf = {
     val (value, weight) = in
+    // weight 0 = skip entirely: the DSL feeds a null-populated row as
+    // weight 0 (sybil skips unpopulated records per column,
+    // aggregate.go:246-259) — it must not touch samples or min/max
+    if (weight == 0L) return b
     // outlier guard: hist_basic.go:101-109
-    if (value > infoMax * 10 || value < infoMin) return b
+    if (value > upperCutoff || value < infoMin) return b
     b.samples += 1
     b.count += weight
     b.avgSum += value.toDouble * weight
@@ -86,6 +99,12 @@ class BasicHistAggregator(
     if (value > b.max) b.max = value
     var bucket = (value - infoMin) / bucketSize
     if (bucket >= b.counts.length) {
+      // the raw side array exists for exact stddev; unbounded growth
+      // (quadratic immutable-array appends) means the sidecar extents
+      // are badly stale — fail loudly rather than melt down
+      if (b.outliers.length >= 10000) throw new IllegalStateException(
+        "hist outlier side array exceeded 10000 values — sidecar " +
+          "extents are far below the data; run rebuild/update-info")
       b.outliers :+= value
       bucket = b.counts.length - 1
     }

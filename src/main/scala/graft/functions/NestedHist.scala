@@ -49,9 +49,16 @@ class NestedHistAggregator(
     new Array[Long](totalSlots), 0.0, 0L, 0L,
     Long.MaxValue, Long.MinValue, Array.empty, Array.empty)
 
+  // total-guard form of hist_multi.go:51-58 (see BasicHistAggregator)
+  private val upperCutoff: Long =
+    if (infoMax <= 0) Long.MaxValue
+    else if (infoMax > Long.MaxValue / 10) Long.MaxValue
+    else infoMax * 10
+
   def reduce(b: HistBuf, in: (Long, Long)): HistBuf = {
     val (value, weight) = in
-    if (value > infoMax * 10 || value < infoMin) return b // hist_multi.go:51-58
+    if (weight == 0L) return b // null-populated row (see BasicHist)
+    if (value > upperCutoff || value < infoMin) return b // hist_multi.go:51-58
     b.samples += 1
     b.count += weight
     b.avgSum += value.toDouble * weight

@@ -62,6 +62,7 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
       extents: Map[String, (Long, Long)] = Map.empty): String = {
     val kept = q.filters.filterNot(dropped.contains)
     md5hex(Seq(
+      "v=2", // partial-format version: bump on schema/convention changes
       "g=" + q.groups.mkString(","),
       "a=" + q.aggCols.mkString(","),
       "d=" + q.distinctCols.mkString(","),
@@ -123,20 +124,34 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
         (q.op match {
           case AggOp.HistOp => q.aggCols.map { c =>
             val (mn, mx) = extents(c)
+            // null-populated rows become weight 0 (skipped by the
+            // aggregator) — the SybilQuery.run convention, kept in
+            // lockstep for cache parity
+            val v = coalesce(col(c).cast(LongType), lit(0L))
+            val wv = when(col(c).isNotNull,
+              coalesce(w.cast(LongType), lit(0L))).otherwise(lit(0L))
             (if (q.useNestedHist)
               graft.functions.NestedHist.nestedHistPartial(
-                col(c).cast(LongType), w.cast(LongType), mn, mx, q.histBuckets)
+                v, wv, mn, mx, q.histBuckets)
             else if (q.useLogHist)
-              graft.functions.LogHist.logHistPartial(
-                col(c).cast(LongType), w.cast(LongType), mn, mx)
+              graft.functions.LogHist.logHistPartial(v, wv, mn, mx)
             else
-              BasicHist.histPartial(col(c).cast(LongType), w.cast(LongType),
-                mn, mx, q.histBuckets)).as(s"__hist_$c")
+              BasicHist.histPartial(v, wv, mn, mx, q.histBuckets))
+              .as(s"__hist_$c")
           }
           case AggOp.DistinctOp(_) =>
             val dcols = (if (q.distinctCols.nonEmpty) q.distinctCols
                          else q.aggCols).map(col)
-            Seq(hll_sketch_agg(concat_ws("\u0001", dcols: _*)).as("__hll"))
+            // any-null tuples excluded, matching SybilQuery.run's convention
+            Seq(hll_sketch_agg(
+              when(dcols.map(_.isNotNull).reduce(_ && _),
+                concat_ws("\u0001", dcols: _*))).as("__hll"))
+          case AggOp.AvgOp => q.aggCols.flatMap(c => Seq(
+            wsum(c).as(s"__sum_$c"),
+            // per-column populated weight: the avg denominator (the
+            // SybilQuery.run convention — null rows are not zeros)
+            sum(when(col(c).isNotNull, w).otherwise(lit(0L)))
+              .as(s"__wn_$c")))
           case _ => q.aggCols.map(c => wsum(c).as(s"__sum_$c"))
         })
     if (keys.nonEmpty) filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
@@ -309,7 +324,8 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
             case AggOp.SumOp => q.aggCols.map(c =>
               sum(col(s"__sum_$c")).cast(DoubleType).as(s"${c}_sum"))
             case AggOp.AvgOp => q.aggCols.map(c =>
-              (sum(col(s"__sum_$c")).cast(DoubleType) / sum(col("Count"))).as(s"${c}_avg"))
+              (sum(col(s"__sum_$c")).cast(DoubleType) /
+                sum(col(s"__wn_$c"))).as(s"${c}_avg"))
             case AggOp.HistOp => q.aggCols.map { c =>
               val (mn, mx) = extents(c)
               (if (q.useNestedHist)

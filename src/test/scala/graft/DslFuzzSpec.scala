@@ -67,7 +67,11 @@ class DslFuzzSpec extends SparkSpec {
       sum(col(c).cast(DecimalType(38, 6)) * w).cast(DoubleType)
     val aggs: Seq[Column] = (q.op match {
       case AggOp.CountOp => Nil
-      case AggOp.AvgOp => q.aggCols.map(c => (dsum(c) / sum(w)).as(s"${c}_avg"))
+      // per-column denominator: the average runs over records where the
+      // column is POPULATED (sybil aggregate.go:246-259) — null rows are
+      // not zeros
+      case AggOp.AvgOp => q.aggCols.map(c => (dsum(c) /
+        sum(when(col(c).isNotNull, w).otherwise(lit(0L)))).as(s"${c}_avg"))
       case AggOp.SumOp => q.aggCols.map(c => dsum(c).as(s"${c}_sum"))
       case AggOp.DistinctOp(true) =>
         val dc = (if (q.distinctCols.nonEmpty) q.distinctCols else q.aggCols).map(col)

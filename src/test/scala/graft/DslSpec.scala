@@ -167,6 +167,42 @@ class DslSpec extends SparkSpec {
     }
   }
 
+  test("null discipline: hist skips unpopulated rows, avg divides by the " +
+      "populated weight, approx distinct excludes any-null tuples") {
+    val nd = Seq(
+      ("g", Some(10L), Some("a"), Some("x")),
+      ("g", Some(20L), Some("a"), None),
+      ("g", None, None, Some("x")),   // unpopulated v
+      ("g", Some(30L), Some("b"), Some("y")))
+      .toDF("g", "v", "s1", "s2")
+    // hist: sybil skips unpopulated records per column
+    // (aggregate.go:246-259) — a null must not crash the typed aggregator
+    // nor pollute min/count
+    val h = SybilQuery().groupBy("g").aggregate("v")
+      .withOp(AggOp.HistOp).limitTo(10).run(nd).collect()(0)
+      .getAs[Row]("v_hist")
+    assert(h.getAs[Long]("count") === 3L && h.getAs[Long]("min") === 10L)
+    assert(h.getAs[Double]("mean") === 20.0)
+    // avg: the populated-rows denominator (20, not 15 over 4 rows)
+    val a = SybilQuery().groupBy("g").aggregate("v")
+      .withOp(AggOp.AvgOp).limitTo(10).run(nd).collect()(0)
+    assert(a.getAs[Double]("v_avg") === 20.0)
+    assert(a.getAs[Long]("Count") === 4L, "Count stays the group weight")
+    // approx distinct matches exact on null-tuple handling: ('a', null)
+    // and (null, 'x') are excluded by both, not conflated
+    val exact = SybilQuery().distinct("s1", "s2")
+      .withOp(AggOp.DistinctOp(exact = true)).limitTo(10).run(nd)
+      .collect()(0).getAs[Long]("Distinct")
+    val approx = SybilQuery().distinct("s1", "s2").limitTo(10).run(nd)
+      .collect()(0).getAs[Long]("Distinct")
+    assert(exact === 2L && approx === 2L)
+    // hist queries sort by the hist mean (reference aggregate.go:51-52)
+    val sorted = SybilQuery().groupBy("age_str").aggregate("age")
+      .withOp(AggOp.HistOp).sort("age").ascending.limitTo(3).run(df)
+      .collect().map(_.getAs[Row]("age_hist").getAs[Double]("mean"))
+    assert(sorted.toSeq === sorted.sorted.toSeq && sorted.head === 10.0)
+  }
+
   test("tdigest hist flavor: percentiles within sketch tolerance of exact") {
     // the -tdigest flavor of the hist op (hist_tdigest.go) mapped onto
     // percentile_approx: same output surface, quantiles from the
