@@ -188,13 +188,14 @@ class BasicHistAggregator(
   def outputEncoder: Encoder[HistResult] = Encoders.product[HistResult]
 }
 
-/** Same reduce/merge as [[BasicHistAggregator]] but finishes with the RAW
-  * buffer — the per-block partial the query cache persists (the
-  * reference's cached SavedQueryResults carry hist buffers the same way,
-  * query_cache.go + hist merge in aggregate.go:326-467). */
-class HistPartialAggregator(infoMin: Long, infoMax: Long, numBuckets: Int = 1000)
+/** Finishes with the RAW buffer instead of the result — the per-block
+  * partial the query cache persists (the reference's cached
+  * SavedQueryResults carry hist buffers the same way, query_cache.go +
+  * hist merge in aggregate.go:326-467). ONE generic wrapper shared by all
+  * three hist flavors: a HistBuf change cannot silently desynchronize
+  * hand-rolled copies. */
+class HistPartialOf(inner: Aggregator[(Long, Long), HistBuf, HistResult])
   extends Aggregator[(Long, Long), HistBuf, HistBuf] with Serializable {
-  private val inner = new BasicHistAggregator(infoMin, infoMax, numBuckets)
   def zero: HistBuf = inner.zero
   def reduce(b: HistBuf, in: (Long, Long)): HistBuf = inner.reduce(b, in)
   def merge(a: HistBuf, c: HistBuf): HistBuf = inner.merge(a, c)
@@ -204,13 +205,12 @@ class HistPartialAggregator(infoMin: Long, infoMax: Long, numBuckets: Int = 1000
 }
 
 /** Folds persisted [[HistBuf]] partials back into one [[HistResult]] —
-  * the final-merge side of the cached-hist path. Correct because the
-  * buffer merge is associative and order-insensitive (HistSpec merge law),
-  * and the buffer keeps the raw outlier side-arrays, so stddev is
-  * identical to the single-pass result. */
-class HistMergeAggregator(infoMin: Long, infoMax: Long, numBuckets: Int = 1000)
+  * the final-merge side of the cached-hist path, generic over the flavor.
+  * Correct because the buffer merge is associative and order-insensitive
+  * (HistSpec merge law), and the buffer keeps the raw outlier
+  * side-arrays, so stddev is identical to the single-pass result. */
+class HistMergeOf(inner: Aggregator[(Long, Long), HistBuf, HistResult])
   extends Aggregator[HistBuf, HistBuf, HistResult] with Serializable {
-  private val inner = new BasicHistAggregator(infoMin, infoMax, numBuckets)
   def zero: HistBuf = inner.zero
   def reduce(b: HistBuf, in: HistBuf): HistBuf = inner.merge(b, in)
   def merge(a: HistBuf, c: HistBuf): HistBuf = inner.merge(a, c)
@@ -219,7 +219,21 @@ class HistMergeAggregator(infoMin: Long, infoMax: Long, numBuckets: Int = 1000)
   def outputEncoder: Encoder[HistResult] = Encoders.product[HistResult]
 }
 
+class HistPartialAggregator(infoMin: Long, infoMax: Long, numBuckets: Int = 1000)
+  extends HistPartialOf(new BasicHistAggregator(infoMin, infoMax, numBuckets))
+
+class HistMergeAggregator(infoMin: Long, infoMax: Long, numBuckets: Int = 1000)
+  extends HistMergeOf(new BasicHistAggregator(infoMin, infoMax, numBuckets))
+
 object BasicHist {
+  /** A persisted [[HistBuf]] struct column flattened to its subfields in
+    * declaration order — the ONE place the udaf-input field order lives
+    * (a HistBuf field rename/reorder must change exactly here). */
+  private[functions] def bufFields(buf: Column): Seq[Column] = Seq(
+    buf.getField("counts"), buf.getField("avgSum"), buf.getField("count"),
+    buf.getField("samples"), buf.getField("min"), buf.getField("max"),
+    buf.getField("outliers"), buf.getField("underliers"))
+
   /** Column expression: histogram of `value` weighted by `weight` with the
     * given column extents. Usable inside any `agg(...)`. */
   def hist(value: Column, weight: Column, infoMin: Long, infoMax: Long,
@@ -236,8 +250,6 @@ object BasicHist {
     * struct column is passed as its subfields in declaration order. */
   def histMerge(buf: Column, infoMin: Long, infoMax: Long,
       buckets: Int = 1000): Column =
-    udaf(new HistMergeAggregator(infoMin, infoMax, buckets)).apply(
-      buf.getField("counts"), buf.getField("avgSum"), buf.getField("count"),
-      buf.getField("samples"), buf.getField("min"), buf.getField("max"),
-      buf.getField("outliers"), buf.getField("underliers"))
+    udaf(new HistMergeAggregator(infoMin, infoMax, buckets))
+      .apply(bufFields(buf): _*)
 }

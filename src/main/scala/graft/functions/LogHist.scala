@@ -107,28 +107,12 @@ class LogHistAggregator(
   * [[HistBuf]] shape as the flat hist; the bucket function is the only
   * difference, pinned by (extents, ticks) in the cache key). */
 class LogHistPartialAggregator(infoMin: Long, infoMax: Long, ticksPerOctave: Int = LogHist.DefaultTicksPerOctave)
-  extends Aggregator[(Long, Long), HistBuf, HistBuf] with Serializable {
-  private val inner = new LogHistAggregator(infoMin, infoMax, ticksPerOctave)
-  def zero: HistBuf = inner.zero
-  def reduce(b: HistBuf, in: (Long, Long)): HistBuf = inner.reduce(b, in)
-  def merge(a: HistBuf, c: HistBuf): HistBuf = inner.merge(a, c)
-  def finish(b: HistBuf): HistBuf = b
-  def bufferEncoder: Encoder[HistBuf] = Encoders.product[HistBuf]
-  def outputEncoder: Encoder[HistBuf] = Encoders.product[HistBuf]
-}
+  extends HistPartialOf(new LogHistAggregator(infoMin, infoMax, ticksPerOctave))
 
 /** Folds persisted log-hist [[HistBuf]] partials into one [[HistResult]]
   * — associative order-insensitive merge, identical to single-pass. */
 class LogHistMergeAggregator(infoMin: Long, infoMax: Long, ticksPerOctave: Int = LogHist.DefaultTicksPerOctave)
-  extends Aggregator[HistBuf, HistBuf, HistResult] with Serializable {
-  private val inner = new LogHistAggregator(infoMin, infoMax, ticksPerOctave)
-  def zero: HistBuf = inner.zero
-  def reduce(b: HistBuf, in: HistBuf): HistBuf = inner.merge(b, in)
-  def merge(a: HistBuf, c: HistBuf): HistBuf = inner.merge(a, c)
-  def finish(b: HistBuf): HistResult = inner.finish(b)
-  def bufferEncoder: Encoder[HistBuf] = Encoders.product[HistBuf]
-  def outputEncoder: Encoder[HistResult] = Encoders.product[HistResult]
-}
+  extends HistMergeOf(new LogHistAggregator(infoMin, infoMax, ticksPerOctave))
 
 object LogHist {
   /** The one source of truth for the default tick layout. The query cache
@@ -150,10 +134,8 @@ object LogHist {
     * as its subfields — udaf flattens product inputs). */
   def logHistMerge(buf: Column, infoMin: Long, infoMax: Long,
       ticksPerOctave: Int = LogHist.DefaultTicksPerOctave): Column =
-    udaf(new LogHistMergeAggregator(infoMin, infoMax, ticksPerOctave)).apply(
-      buf.getField("counts"), buf.getField("avgSum"), buf.getField("count"),
-      buf.getField("samples"), buf.getField("min"), buf.getField("max"),
-      buf.getField("outliers"), buf.getField("underliers"))
+    udaf(new LogHistMergeAggregator(infoMin, infoMax, ticksPerOctave))
+      .apply(BasicHist.bufFields(buf): _*)
 
   /** The bucket function as pure driver-side math, exposed so an oracle SQL
     * twin can precompute the EXACT integer bucket thresholds as literals

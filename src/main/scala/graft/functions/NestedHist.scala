@@ -146,28 +146,12 @@ class NestedHistAggregator(
 /** Mergeable per-block nested-hist partial (cache-persisted form; same
   * [[HistBuf]] shape, halving-subrange bucket function). */
 class NestedHistPartialAggregator(infoMin: Long, infoMax: Long, numBuckets: Int = 1000)
-  extends Aggregator[(Long, Long), HistBuf, HistBuf] with Serializable {
-  private val inner = new NestedHistAggregator(infoMin, infoMax, numBuckets)
-  def zero: HistBuf = inner.zero
-  def reduce(b: HistBuf, in: (Long, Long)): HistBuf = inner.reduce(b, in)
-  def merge(a: HistBuf, c: HistBuf): HistBuf = inner.merge(a, c)
-  def finish(b: HistBuf): HistBuf = b
-  def bufferEncoder: Encoder[HistBuf] = Encoders.product[HistBuf]
-  def outputEncoder: Encoder[HistBuf] = Encoders.product[HistBuf]
-}
+  extends HistPartialOf(new NestedHistAggregator(infoMin, infoMax, numBuckets))
 
 /** Folds persisted nested-hist [[HistBuf]] partials into one
   * [[HistResult]] — associative order-insensitive merge. */
 class NestedHistMergeAggregator(infoMin: Long, infoMax: Long, numBuckets: Int = 1000)
-  extends Aggregator[HistBuf, HistBuf, HistResult] with Serializable {
-  private val inner = new NestedHistAggregator(infoMin, infoMax, numBuckets)
-  def zero: HistBuf = inner.zero
-  def reduce(b: HistBuf, in: HistBuf): HistBuf = inner.merge(b, in)
-  def merge(a: HistBuf, c: HistBuf): HistBuf = inner.merge(a, c)
-  def finish(b: HistBuf): HistResult = inner.finish(b)
-  def bufferEncoder: Encoder[HistBuf] = Encoders.product[HistBuf]
-  def outputEncoder: Encoder[HistResult] = Encoders.product[HistResult]
-}
+  extends HistMergeOf(new NestedHistAggregator(infoMin, infoMax, numBuckets))
 
 object NestedHist {
   def nestedHist(value: Column, weight: Column, infoMin: Long, infoMax: Long,
@@ -182,10 +166,8 @@ object NestedHist {
   /** Merge persisted partials into the final [[HistResult]]. */
   def nestedHistMerge(buf: Column, infoMin: Long, infoMax: Long,
       numBuckets: Int = 1000): Column =
-    udaf(new NestedHistMergeAggregator(infoMin, infoMax, numBuckets)).apply(
-      buf.getField("counts"), buf.getField("avgSum"), buf.getField("count"),
-      buf.getField("samples"), buf.getField("min"), buf.getField("max"),
-      buf.getField("outliers"), buf.getField("underliers"))
+    udaf(new NestedHistMergeAggregator(infoMin, infoMax, numBuckets))
+      .apply(BasicHist.bufFields(buf): _*)
 
   /** Halving subranges from the top (hist_multi.go:225-256), returned
     * ASCENDING by subMin: (subMin, subMax, bucketWidth, slotOffset, slots).
