@@ -70,7 +70,10 @@ object CatalogAudit {
     //    bounded tables (per-slice totals, the top-F word list).
     "q191_burrows_delta" -> (1, 0, 0),
     "q142_priority_sample" -> (1, 0, 0),
-    "q150_nb_classifier" -> (1, 0, 0),
+    //  - q150: TWO one-row scalar broadcasts — the totals frame (now
+    //    derived from the PlanCache-pinned vocabulary rollup, whose
+    //    cached-leaf stats the estimator can't size) and the priors row.
+    "q150_nb_classifier" -> (2, 0, 0),
     "q162_join_estimate" -> (2, 0, 0))
 
   /** One audited query: observed counts vs allowlisted counts, plus any
