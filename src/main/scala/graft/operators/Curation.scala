@@ -26,9 +26,9 @@ object Curation {
   def report(docs: DataFrame, idCol: String, textCol: String,
       minTokens: Long = 5L, minTtr: Double = 0.3): DataFrame = {
     val toks = split(col(textCol), " ")
-    val piiTotal = Seq(Pii.EmailRe, Pii.PhoneRe, Pii.Ipv4Re)
-      .map(re => regexp_count(col(textCol), lit(re)))
-      .reduce(_ + _).cast("long")
+    // single-sourced from Pii's category list: a new category there
+    // reaches this verdict automatically
+    val piiTotal = Pii.totalCol(col(textCol))
     val base = docs.select(
       col(idCol),
       md5(TextAnalysis.normalizeText(col(textCol))).as("__fp"),
@@ -61,13 +61,19 @@ object Curation {
     */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val o = oldDocs.select(col(idCol).as("id"), md5(col(textCol)).as("__ho"))
-    val n = newDocs.select(col(idCol).as("id"), md5(col(textCol)).as("__hn"))
+    // explicit presence flags: a null hash means NULL TEXT, not an
+    // absent id — branching on hash nullness would misclassify a
+    // null-text doc as added/removed (the q146 oracle branches on id
+    // presence, as this now does)
+    val o = oldDocs.select(col(idCol).as("id"), md5(col(textCol)).as("__ho"),
+      lit(true).as("__po"))
+    val n = newDocs.select(col(idCol).as("id"), md5(col(textCol)).as("__hn"),
+      lit(true).as("__pn"))
     o.join(n, Seq("id"), "full_outer")
       .select(col("id"),
-        when(col("__ho").isNull, lit("added"))
-          .when(col("__hn").isNull, lit("removed"))
-          .when(col("__ho") === col("__hn"), lit("unchanged"))
+        when(col("__po").isNull, lit("added"))
+          .when(col("__pn").isNull, lit("removed"))
+          .when(col("__ho") <=> col("__hn"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 
@@ -90,7 +96,12 @@ object Curation {
       buckets: Int = 10,
       distributedCum: Option[Boolean] = None): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
-    val g = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
+    // null scores carry no rank: excluding them from BOTH the rollup and
+    // the total keeps every bucket id honest (a null group in the total
+    // would shift every decile down while the equi-join silently dropped
+    // the null rows anyway) — the Stats.valueRollup discipline
+    val g = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
     // descending cum over the distinct-score rollup via the shared
     // serial-vs-distributed prefix-sum machinery: an integer-score rollup
     // stays a bounded window, a continuous-score rollup (≈ row count)
@@ -129,8 +140,13 @@ object Curation {
       tokenCol: Column, budgetTokens: Long,
       distributedCum: Option[Boolean] = None): DataFrame = {
     require(budgetTokens >= 0, "tokenBudgetThreshold: budget must be >= 0")
+    // null-score docs rank below every threshold and null token counts
+    // are unknown cost — both are excluded, or the report would admit
+    // docs a downstream "score >= threshold" filter rejects and count
+    // all-null groups as zero-cost (the Stats.valueRollup discipline)
     val rollup = docs.select(scoreCol.as("__s"),
         tokenCol.cast("long").as("__tk"))
+      .filter(col("__s").isNotNull && col("__tk").isNotNull)
       .groupBy(col("__s"))
       .agg(sum(col("__tk")).as("__gt"), count(lit(1)).as("__gn"))
     // descending cum over the distinct-score rollup through the shared
@@ -231,7 +247,10 @@ object Curation {
     val one = df.agg(aggCols.head, aggCols.tail: _*)
     val names = "input" +: stageCols
     val stackArgs = names.zipWithIndex.map { case (nm, i) =>
-      s"${i}L, '$nm', n$i, t$i"
+      // escape for the SQL string literal: a stage name containing a
+      // quote or backslash must not break the stack() parse
+      val esc = nm.replace("\\", "\\\\").replace("'", "\\'")
+      s"${i}L, '$esc', n$i, t$i"
     }.mkString(", ")
     one.select(expr(
         s"stack(${names.size}, $stackArgs) AS (stage, stage_name, n_docs, n_tokens)"))

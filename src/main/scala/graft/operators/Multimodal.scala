@@ -45,20 +45,26 @@ object Multimodal {
   /** Feature extraction over the payload column: partition-local, batched.
     * Output keeps the key columns and appends `features: array<float>`.
     */
+  /** One codec call per BATCH — the shape a real decoder needs (setup
+    * amortizes across `batch.size` payloads). The stub maps rows 1:1; a
+    * real implementation replaces only this function. */
+  private[operators] def decodeStubBatch(
+      batch: Seq[(String, Array[Byte])]): Seq[Array[Float]] =
+    batch.map { case (kind, bytes) => decodeStub(kind, bytes) }
+
   def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
     val outSchema = StructType(media.schema.fields.toSeq :+
       StructField("features", ArrayType(FloatType, containsNull = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val kindIdx = media.schema.fieldIndex("kind")
     val payloadIdx = media.schema.fieldIndex("payload")
     media.mapPartitions { it =>
-      // batch the iterator: a codec would amortize setup per batch
+      // the per-batch call is REAL (decodeStubBatch receives the whole
+      // batch), so swapping in an actual codec keeps this plumbing
       it.grouped(batchSize).flatMap { batch =>
-        batch.map { r =>
-          val feats = decodeStub(r.getString(kindIdx), r.getAs[Array[Byte]](payloadIdx))
-          Row.fromSeq(r.toSeq :+ feats.toSeq)
-        }
+        val feats = decodeStubBatch(batch.map(r =>
+          (r.getString(kindIdx), r.getAs[Array[Byte]](payloadIdx))))
+        batch.lazyZip(feats).map((r, f) => Row.fromSeq(r.toSeq :+ f.toSeq))
       }
     }(enc)
   }
@@ -67,11 +73,17 @@ object Multimodal {
     * evenly spaced "frames" (real impl: keyframe extraction). Pure column
     * expressions — stays in codegen, no shuffle.
     */
-  def sampleFrames(media: DataFrame, n: Int): DataFrame =
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"sampleFrames: n must be >= 1, got $n")
+    // offsets multiply in BIGINT: i * length(payload) overflows 32-bit
+    // for payloads past ~2 GB/n (ANSI abort; wraparound would emit
+    // garbage frames counted from the END via negative substring starts)
     media.withColumn("frames",
       expr(s"transform(sequence(0, ${n - 1}), i -> " +
-        s"substring(payload, CAST(i * length(payload) / $n AS INT) + 1, " +
+        s"substring(payload, CAST(CAST(i AS BIGINT) * " +
+        s"CAST(length(payload) AS BIGINT) / $n AS INT) + 1, " +
         s"GREATEST(CAST(length(payload) / $n AS INT), 1)))"))
+  }
 
   /** REAL dimension decode from payload bytes (PNG IHDR / JPEG SOF / GIF
     * logical screen — expressions/ImageDims.scala): appends

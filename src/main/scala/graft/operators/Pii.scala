@@ -30,6 +30,13 @@ object Pii {
     * over-matching is the safe direction for redaction.) */
   val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 
+  /** Total PII match count over ALL categories — the single-sourced
+    * composite other modules (e.g. [[Curation.report]]) filter on, so
+    * adding a category here updates every consumer at once. */
+  def totalCol(text: Column): Column =
+    cats.map { case (_, re, _) => regexp_count(text, lit(re)) }
+      .reduce(_ + _).cast("long")
+
   private val cats: Seq[(String, String, String)] = Seq(
     ("email", EmailRe, "<EMAIL>"),
     ("phone", PhoneRe, "<PHONE>"),

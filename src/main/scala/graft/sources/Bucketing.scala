@@ -30,7 +30,12 @@ object Bucketing {
       keyCol: String, buckets: Int): Unit = {
     require(buckets > 0, "buckets must be positive")
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    // quote each PART of a possibly-qualified name: one backtick pair
+    // around db.tbl would drop a table literally named "db.tbl" (a
+    // no-op) while saveAsTable addresses db=db, table=tbl — leaving the
+    // stale bucket-spec registration this drop exists to prevent
+    spark.sql("DROP TABLE IF EXISTS " +
+      name.split('.').map(p => s"`$p`").mkString("."))
     df.write
       .bucketBy(buckets, keyCol)
       .sortBy(keyCol)
@@ -92,6 +97,9 @@ object Bucketing {
         .cast("long"))
     val z = zorder2(norm(col(xCol), xmin, xmax), norm(col(yCol), ymin, ymax),
       bits)
+    require(!df.columns.contains("__z"),
+      "writeZOrdered: input already has a __z column (it would be " +
+        "silently overwritten and dropped)")
     df.withColumn("__z", z)
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions(col("__z"))
