@@ -159,7 +159,12 @@ object Cli {
       "usage: graft <ingest|digest|optimize|trim|query|rebuild|export|inspect|version> [flags]")
     val cmd = args.head
     val f = parseFlags(args.tail.toSeq)
-    if (cmd == "version") { println("graft 0.2 (spark engine)"); return }
+    if (cmd == "version") {
+      // cmd_version.go parity: engine version plus the runtime it rides
+      println(s"graft 0.2 (spark ${org.apache.spark.SPARK_VERSION}, " +
+        s"scala ${scala.util.Properties.versionNumberString})")
+      return
+    }
     val dir = f.getOrElse("dir", "./db")
     lazy val spark = graft.core.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -256,10 +261,22 @@ object Cli {
         // `-update-info` (cmd_query.go:48): recompute the sidecar first
         if (f.contains("update-info")) table.rebuild()
         val q = buildQuery(f)
+        // integer-weight check mirrors QueryCache.run's own gate: a
+        // fractional weight column must fall back to the uncached run,
+        // not abort the CLI with the cache's IllegalArgumentException
+        def intWeight: Boolean = q.weightCol.forall { wc =>
+          table.read().schema.fields.find(_.name == wc).map(_.dataType).forall {
+            case org.apache.spark.sql.types.ByteType |
+                 org.apache.spark.sql.types.ShortType |
+                 org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.LongType => true
+            case _ => false
+          }
+        }
         val cacheable = f.contains("cache-queries") && !q.samples &&
           q.timeBucket.isEmpty && q.distinctLimit.isEmpty && !q.useTDigest &&
           (q.op == AggOp.CountOp || q.op == AggOp.AvgOp || q.op == AggOp.SumOp ||
-            q.op == AggOp.HistOp)
+            q.op == AggOp.HistOp) && intWeight
         val result =
           if (cacheable) new QueryCache(spark, table).run(q)._1
           else table.query(q, readLog = f.contains("read-log"))

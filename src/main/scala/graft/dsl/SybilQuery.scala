@@ -246,9 +246,16 @@ final case class SybilQuery(
           "-tdigest cannot combine with -loghist/-nested-hist: pick one " +
             "hist flavor")
         val fracs = array((0 until 100).map(i => lit(i / 100.0)) :+ lit(1.0): _*)
-        Seq(countAgg, samplesAgg) ++ aggCols.map { c =>
-          percentile_approx(col(c).cast(LongType), fracs, lit(10000))
-            .as(s"__pcts_$c")
+        Seq(countAgg, samplesAgg) ++ aggCols.flatMap { c =>
+          // per-column POPULATED count: the reference's hist_tdigest
+          // increments count/samples once per added sample, so a column
+          // with nulls must not inherit the whole-group Count/Samples.
+          // Populated = the cast succeeds (same rule as the exact hist
+          // flavors); with -tdigest weight is forbidden, so count ==
+          // samples == count(cast).
+          val cv = col(c).cast(LongType)
+          Seq(percentile_approx(cv, fracs, lit(10000)).as(s"__pcts_$c"),
+            count(cv).as(s"__n_$c"))
         }
       case AggOp.HistOp =>
         // extents from the sidecar when supplied (GraftTable.query — the
@@ -272,12 +279,18 @@ final case class SybilQuery(
         Seq(countAgg, samplesAgg) ++ aggCols.map { c =>
           val (mn, mx) = extents(c)
           // null-populated rows reach the typed (Long, Long) aggregator
-          // as weight 0 (which it skips entirely) — a raw null would
-          // crash the tuple deserializer, where sybil silently skips
-          // unpopulated records per column (aggregate.go:246-259)
-          val v = coalesce(col(c).cast(LongType), lit(0L))
-          val wv = when(col(c).isNotNull,
-            coalesce(w.cast(LongType), lit(0L))).otherwise(lit(0L))
+          // as the weight -1 SENTINEL (which it skips entirely) — a raw
+          // null would crash the tuple deserializer, where sybil silently
+          // skips unpopulated records per column (aggregate.go:246-259).
+          // -1, not 0: a genuine zero-weight row in a weighted query is a
+          // real sample (counts toward samples/min/max). "Populated" is
+          // judged on the CAST result, not the raw column — a non-numeric
+          // string casts to null and must take the sentinel path rather
+          // than silently binning at value 0 with full weight.
+          val cv = col(c).cast(LongType)
+          val v = coalesce(cv, lit(0L))
+          val wv = when(cv.isNotNull,
+            coalesce(w.cast(LongType), lit(0L))).otherwise(lit(-1L))
           (if (useNestedHist)
             graft.functions.NestedHist.nestedHist(v, wv, mn, mx, histBuckets)
           else if (useLogHist)
@@ -318,14 +331,14 @@ final case class SybilQuery(
       if (op == AggOp.HistOp && useTDigest)
         aggCols.foldLeft(grouped0)((g, c) => g
           .withColumn(s"${c}_hist", struct(
-            col("Count").as("count"),
-            col("Samples").as("samples"),
+            col(s"__n_$c").as("count"),
+            col(s"__n_$c").as("samples"),
             element_at(col(s"__pcts_$c"), 51).cast(DoubleType).as("mean"),
             element_at(col(s"__pcts_$c"), 1).as("min"),
             element_at(col(s"__pcts_$c"), 101).as("max"),
             lit(0.0).as("stddev"),
             slice(col(s"__pcts_$c"), 1, 100).as("percentiles")))
-          .drop(s"__pcts_$c"))
+          .drop(s"__pcts_$c", s"__n_$c"))
       else grouped0
 
     // order: by $COUNT desc by default (aggregate.go:33-54), -sort-asc flips

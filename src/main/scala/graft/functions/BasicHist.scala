@@ -86,10 +86,13 @@ class BasicHistAggregator(
 
   def reduce(b: HistBuf, in: (Long, Long)): HistBuf = {
     val (value, weight) = in
-    // weight 0 = skip entirely: the DSL feeds a null-populated row as
-    // weight 0 (sybil skips unpopulated records per column,
-    // aggregate.go:246-259) — it must not touch samples or min/max
-    if (weight == 0L) return b
+    // weight < 0 = skip entirely: the DSL encodes a null-populated row
+    // as the -1 sentinel (sybil skips unpopulated records per column,
+    // aggregate.go:246-259) — it must not touch samples or min/max.
+    // A genuine weight-0 row in a weighted query is NOT the sentinel:
+    // it still counts as a sample and updates min/max (it just adds no
+    // weight), matching the reference's per-record bookkeeping.
+    if (weight < 0L) return b
     // outlier guard: hist_basic.go:101-109
     if (value > upperCutoff || value < infoMin) return b
     b.samples += 1

@@ -581,10 +581,21 @@ object Events {
     * over the label's assembled bucket array — per-label state is one
     * six-long struct, and the array is rollup-sized (buckets, not
     * events).
+    *
+    * Densification (and the final per-label fold) materializes the
+    * label's FULL bucket span, so a sparse label over a wide range with
+    * a tiny `bucketSec` is an inherent memory bomb — `maxSpanBuckets`
+    * caps it loudly (in-plan assert, default 2²² ≈ 4.2M buckets ≈ 33 MB
+    * of fold array) instead of letting the executor OOM; callers with a
+    * genuinely wider span must raise it knowingly. Span generation is
+    * chunked through 64Ki-bucket blocks so no single `sequence()` array
+    * exceeds 512 KiB regardless of the cap.
     */
   def cusumChangepoint(events: DataFrame, labelCol: String,
-      tsSecCol: Column, bucketSec: Long, h: Long = 2L): DataFrame = {
+      tsSecCol: Column, bucketSec: Long, h: Long = 2L,
+      maxSpanBuckets: Long = 1L << 22): DataFrame = {
     require(bucketSec > 0 && h > 0, "cusumChangepoint: bucketSec, h > 0")
+    require(maxSpanBuckets > 0, "cusumChangepoint: maxSpanBuckets > 0")
     val obs = events
       .select(col(labelCol).as("__lbl"), tsSecCol.cast("long").as("__s"))
       .withColumn("__b", expr(s"__s div $bucketSec"))
@@ -598,9 +609,28 @@ object Events {
     // SPAN per label — rollup-scale by construction.
     val spans = obs.groupBy(col("__lbl"))
       .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
+    // Loud span cap: assert_true is null on pass, so the coalesce keeps
+    // it in the plan (the mixtureWeights idiom) — a span past the cap
+    // aborts with the label-sizing message instead of OOMing mid-fold.
+    val loGuarded = coalesce(
+      assert_true(col("__hi") - col("__lo") < lit(maxSpanBuckets), lit(
+        s"cusumChangepoint: a label's bucket span exceeds " +
+          s"maxSpanBuckets=$maxSpanBuckets — widen bucketSec or raise " +
+          "the cap knowingly (the fold array is span-sized)")).cast("long"),
+      col("__lo"))
+    // Two-level chunked densify: explode 64Ki-bucket BLOCKS (shiftright
+    // is floor division, correct for negative bucket ids), then sequence
+    // within each block clipped to [lo, hi] — no single sequence() array
+    // ever exceeds 64Ki elements, so a wide-span label costs many small
+    // rows instead of one multi-hundred-MB array row.
     val buck = spans
-      .select(col("__lbl"), explode(sequence(col("__lo"), col("__hi")))
-        .as("__b"))
+      .select(col("__lbl"), col("__lo"), col("__hi"),
+        explode(sequence(shiftright(loGuarded, 16),
+          shiftright(col("__hi"), 16))).as("__blk"))
+      .select(col("__lbl"), explode(sequence(
+        greatest(col("__lo"), shiftleft(col("__blk"), 16)),
+        least(col("__hi"),
+          shiftleft(col("__blk"), 16) + lit(65535L)))).as("__b"))
       .join(obs, Seq("__lbl", "__b"), "left")
       .withColumn("__c", coalesce(col("__c"), lit(0L)))
     val folded = buck.groupBy(col("__lbl"))

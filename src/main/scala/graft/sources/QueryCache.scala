@@ -62,7 +62,8 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
       extents: Map[String, (Long, Long)] = Map.empty): String = {
     val kept = q.filters.filterNot(dropped.contains)
     md5hex(Seq(
-      "v=2", // partial-format version: bump on schema/convention changes
+      "v=3", // partial-format version: bump on schema/convention changes
+             // (v3: hist null-row sentinel -1 / zero-weight rows real)
       "g=" + q.groups.mkString(","),
       "a=" + q.aggCols.mkString(","),
       "d=" + q.distinctCols.mkString(","),
@@ -124,12 +125,14 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
         (q.op match {
           case AggOp.HistOp => q.aggCols.map { c =>
             val (mn, mx) = extents(c)
-            // null-populated rows become weight 0 (skipped by the
-            // aggregator) — the SybilQuery.run convention, kept in
-            // lockstep for cache parity
-            val v = coalesce(col(c).cast(LongType), lit(0L))
-            val wv = when(col(c).isNotNull,
-              coalesce(w.cast(LongType), lit(0L))).otherwise(lit(0L))
+            // null-populated rows become the weight -1 sentinel (skipped
+            // by the aggregator; genuine weight-0 rows stay real samples),
+            // judged on the CAST result — the SybilQuery.run convention,
+            // kept in lockstep for cache parity
+            val cv = col(c).cast(LongType)
+            val v = coalesce(cv, lit(0L))
+            val wv = when(cv.isNotNull,
+              coalesce(w.cast(LongType), lit(0L))).otherwise(lit(-1L))
             (if (q.useNestedHist)
               graft.functions.NestedHist.nestedHistPartial(
                 v, wv, mn, mx, q.histBuckets)

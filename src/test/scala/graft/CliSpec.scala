@@ -200,4 +200,30 @@ class CliSpec extends SparkSpec {
     }
     assert(Files.list(java.nio.file.Paths.get(db, "t", "blocks")).count() === 0)
   }
+
+  test("CLI version prints engine + runtime versions (cmd_version.go parity)") {
+    val out = captureOut { Cli.main(Array("version")) }
+    assert(out.contains("graft 0.2"))
+    assert(out.contains("spark " + org.apache.spark.SPARK_VERSION))
+    assert(out.contains("scala "))
+  }
+
+  test("CLI -cache-queries with a double weight column falls back to uncached") {
+    import spark.implicits._
+    val db = Files.createTempDirectory("graft-cli-dw").toString
+    // CLI ingest truncates floats (sybilCompat), so build the table via
+    // the API — the CLI must still query whatever parquet types it finds
+    val df = (0 until 50).map(i => (i % 5L, (i % 3) + 0.5, 1700000000L + i))
+      .toDF("v", "w", "time")
+    val t = new graft.sources.GraftTable(spark, s"$db/dw")
+    t.ingest(df); t.digest()
+    // QueryCache.run would throw IllegalArgumentException on the
+    // fractional weight; the CLI gate must route around the cache
+    val out = captureOut {
+      Cli.main(Array("query", "-dir", db, "-table", "dw", "-int", "v",
+        "-op", "count", "-weight-col", "w", "-cache-queries", "-json"))
+    }
+    val res = mapper.readTree(out).get("results")
+    assert(res.elements().asScala.hasNext)
+  }
 }

@@ -231,4 +231,51 @@ class DslSpec extends SparkSpec {
         .tDigestHistogram.run(df).collect()
     }
   }
+
+  test("tdigest count/samples are per-column POPULATED, not whole-group") {
+    // hist_tdigest increments per added sample — a null-containing agg
+    // column must not inherit the group's row count
+    val nd = Seq[(String, java.lang.Long)](
+      ("a", 1L), ("a", 2L), ("a", null), ("a", 4L), ("a", null))
+      .toDF("g", "v")
+    val r = SybilQuery().groupBy("g").aggregate("v").tDigestHistogram
+      .limitTo(10).run(nd).collect()(0)
+    assert(r.getAs[Long]("Count") === 5L && r.getAs[Long]("Samples") === 5L)
+    val h = r.getAs[Row]("v_hist")
+    assert(h.getAs[Long]("count") === 3L, "populated rows only")
+    assert(h.getAs[Long]("samples") === 3L)
+  }
+
+  test("hist: a genuine zero-weight row is a real sample (not the null sentinel)") {
+    // a zero weight adds no bucket weight but still counts toward
+    // samples and min/max — only NULL agg values are skipped entirely
+    val zd = Seq(
+      (5L, 0L), (10L, 2L), (20L, 3L), (100L, 0L)) // (v, w)
+      .toDF("v", "w")
+    val r = SybilQuery().aggregate("v").weighted("w")
+      .withOp(AggOp.HistOp).limitTo(10).run(zd).collect()(0)
+    val h = r.getAs[Row]("v_hist")
+    assert(h.getAs[Long]("samples") === 4L, "zero-weight rows are samples")
+    assert(h.getAs[Long]("count") === 5L, "weights still sum to 5")
+    assert(h.getAs[Long]("min") === 5L && h.getAs[Long]("max") === 100L,
+      "zero-weight rows drive min/max")
+  }
+
+  test("hist: a non-castable string agg value takes the null path, not bin 0") {
+    // "populated" is judged on the CAST result: under non-ANSI (where
+    // cast('xyz') nulls instead of throwing) the row must be skipped like
+    // a null, not binned at value 0 with full weight. Under the default
+    // ANSI mode the cast fails loudly — also correct; toggle it off to
+    // exercise the silent path.
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val sd = Seq(("10"), ("20"), ("xyz"), ("30")).toDF("v")
+      val r = SybilQuery().aggregate("v")
+        .withOp(AggOp.HistOp).limitTo(10).run(sd).collect()(0)
+      val h = r.getAs[Row]("v_hist")
+      assert(h.getAs[Long]("samples") === 3L && h.getAs[Long]("count") === 3L)
+      assert(h.getAs[Long]("min") === 10L, "no phantom 0 bin")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
 }
