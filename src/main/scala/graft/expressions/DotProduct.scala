@@ -214,6 +214,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
       (children: Seq[Expression]) => DeflateLen(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[GraftBloomContains].getName,
+        "graft_bloom_contains"),
+      (children: Seq[Expression]) => GraftBloomContains(children(0),
+        children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_boot_counts"),
       new ExpressionInfo(classOf[GraftBootCounts].getName, "graft_boot_counts"),
       (children: Seq[Expression]) => GraftBootCounts(children(0), children(1),

@@ -82,13 +82,21 @@ object Decontam {
       hashed(benchmark).select(col("__ng")).distinct())
     val expected = math.max(benchNgrams.count(), 1L)
     val bloom = benchNgrams.stat.bloomFilter("__ng", expected, fpp)
-    val spark = corpus.sparkSession
-    val bloomB = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    // the finished filter probes via the native graft_bloom_contains
+    // codegen expression (the serialized bytes fold into the plan and
+    // ride the per-stage taskBinary broadcast — same transfer cost as an
+    // explicit broadcast, but the probe stays inside whole-stage codegen
+    // instead of a per-row lambda)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
     val benchIds = benchmark.select(col(idCol))
     hashed(corpus)
       .join(benchIds, Seq(idCol), "left_anti")
-      .filter(mightContain(col("__ng")))
+      .filter(call_function("graft_bloom_contains", lit(bloomBytes),
+        col("__ng")))
       // shuffle-hash, NOT broadcast: this operator exists for the regime
       // where the benchmark n-gram set exceeds the broadcast budget
       .join(benchNgrams.hint("shuffle_hash"), Seq("__ng"))

@@ -301,4 +301,44 @@ class ExpressionsSpec extends SparkSpec {
     assert(q(2).getDouble(0) === 0.0 &&
       q(2).getSeq[Byte](1) === Seq(0.toByte, 0.toByte))
   }
+
+  test("graft_bloom_contains: no false negatives, codegen probe, null semantics") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val bloom = BloomFilter.create(1000, 0.01)
+    (0L until 500L).foreach(i => bloom.putLong(i * 7919L))
+    val bytes = { val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray }
+    val df = (0L until 500L).map(i => i * 7919L)
+      .toDF("h").union(Seq(-1L, -2L).toDF("h"))
+    def hits(): Long = df.filter(call_function(
+      "graft_bloom_contains", lit(bytes), col("h"))).count()
+    val gen = hits()
+    assert(gen >= 500L, "a bloom filter never false-negatives an insert")
+    // codegen and interpreted paths agree
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = try hits() finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(gen === interp)
+    // generated code probes the referenced filter inline — no interpreter
+    // callback, no lambda
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
+    val expr = graft.expressions.GraftBloomContains(
+      Literal(bytes, org.apache.spark.sql.types.BinaryType),
+      BoundReference(0, org.apache.spark.sql.types.LongType, nullable = true))
+    val codeStr = expr.genCode(new CodegenContext).code.toString
+    assert(codeStr.contains("mightContainLong"),
+      "probe must inline against the referenced BloomFilter")
+    assert(!codeStr.contains("nullSafeEvalPub") && !codeStr.contains("eval("),
+      "no interpreter callback")
+    // null probe value -> null (filter drops it), null bloom -> null
+    val nulls = Seq[java.lang.Long](1L, null).toDF("h")
+    assert(nulls.filter(call_function(
+      "graft_bloom_contains", lit(bytes), col("h"))).count() <= 1L)
+    assert(nulls.filter(call_function("graft_bloom_contains",
+      lit(null).cast("binary"), col("h"))).count() === 0L)
+  }
 }

@@ -54,6 +54,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_shingle_hash"))
   }
 
+  test("skewed linkage actually salts: join keys include __salt, dim side " +
+      "replicates (q197)") {
+    val p = plan("q197_skewed_linkage")
+    assert(p.contains("__salt"), "the hot block must scatter over salt keys")
+    assert(!p.contains("CartesianProduct"), "blocking stays an equi-join")
+  }
+
+  test("skew quota cap runs two windows, both partitioned (q198)") {
+    val p = plan("q198_skew_quota_cap")
+    val windows = "row_number".r.findAllIn(p).size
+    assert(windows >= 2, s"expected pre-cap + exact windows, saw $windows")
+    assert(p.contains("__salt"), "phase 1 must partition by (key, salt)")
+  }
+
+  test("bloom decontam probes via codegen, not a row UDF (q78)") {
+    val p = plan("q78_bloom_decontam")
+    assert(p.contains("graft_bloom_contains"),
+      "the probe must be the native expression")
+    assert(!p.toLowerCase.contains("lambdafunction") && !p.contains("UDF("),
+      "no per-row lambda in the bloom probe stage")
+  }
+
   test("PII query takes the top-k BEFORE the regex projection (q61)") {
     // the regex projection commutes with ORDER BY c_custkey LIMIT 200, so
     // the plan must be Project(regex) over TakeOrderedAndProject — the
