@@ -214,6 +214,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
       (children: Seq[Expression]) => DeflateLen(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_synth_ppm"),
+      new ExpressionInfo(classOf[GraftSynthPpm].getName, "graft_synth_ppm"),
+      (children: Seq[Expression]) => GraftSynthPpm(children(0), children(1),
+        children(2), children(3))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ppm_phash"),
+      new ExpressionInfo(classOf[GraftPpmPhash].getName, "graft_ppm_phash"),
+      (children: Seq[Expression]) => GraftPpmPhash(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ppm_resize"),
+      new ExpressionInfo(classOf[GraftPpmResize].getName, "graft_ppm_resize"),
+      (children: Seq[Expression]) => GraftPpmResize(children(0), children(1),
+        children(2))))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[GraftBloomContains].getName,
         "graft_bloom_contains"),

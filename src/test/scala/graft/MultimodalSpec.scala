@@ -208,4 +208,92 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L) === ((Some(512), Some(1), true)))
     assert(out(5L) === ((None, None, false)), "garbage passes through")
   }
+
+  // ---- real pixel kernels (PPM/PGM: decode -> resize -> phash) ---------
+
+  private def p6(w: Int, h: Int, px: Int => Int): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    header ++ (0 until w * h).flatMap(p =>
+      Seq(px(p).toByte, px(p).toByte, px(p).toByte))
+  }
+
+  test("ppm_phash: hand-computed step image — ahash right half, dhash " +
+      "exactly at the step, P5 == P6") {
+    import spark.implicits._
+    // 8x8, left half 0 / right half 255: every grid cell is one pixel
+    val step = p6(8, 8, p => if (p % 8 >= 4) 255 else 0)
+    val p5 = s"P5\n8 8\n255\n".getBytes("US-ASCII") ++
+      (0 until 64).map(p => (if (p % 8 >= 4) 255 else 0).toByte)
+    val rows = Seq((1L, step), (2L, p5)).toDF("id", "payload")
+      .select(col("id"), call_function("graft_ppm_phash", col("payload"))
+        .as("ph"))
+      .select(col("id"), col("ph.width"), col("ph.height"),
+        col("ph.gray_total"), col("ph.ahash"), col("ph.dhash"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val wantA = (0 until 8).map(j => (4 to 7).map(i =>
+      1L << (j * 8 + i)).sum).sum // bits for ci in 4..7, every row
+    val wantD = (0 until 8).map(j => 1L << (j * 7 + 3)).sum // step at i=3
+    assert(rows(1L) === Seq(8, 8, 255L * 32, wantA, wantD))
+    assert(rows(2L) === rows(1L), "P5 grayscale must decode identically")
+  }
+
+  test("ppm_phash: identical images hash identically; shifted gradient " +
+      "stays hamming-close; null for garbage and sub-8x8") {
+    import spark.implicits._
+    def hashes(bytes: Seq[Array[Byte]]): Seq[Option[(Long, Long)]] =
+      bytes.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+        .toDF("id", "payload")
+        .select(col("id"), call_function("graft_ppm_phash", col("payload"))
+          .as("ph")).orderBy(col("id"))
+        .collect().map(r => Option(r.getStruct(1)).map(s =>
+          (s.getAs[Long]("ahash"), s.getAs[Long]("dhash")))).toSeq
+    val base = p6(32, 24, p => (p * 7) % 256)
+    val same = p6(32, 24, p => (p * 7) % 256)
+    val near = p6(32, 24, p => ((p * 7) % 256 + 2) % 256)
+    val Seq(hb, hs, hn, garbage, tiny) = hashes(Seq(base, same, near,
+      Array[Byte](9, 9, 9), p6(4, 4, _ => 7)))
+    assert(hb === hs, "identical pixels, identical hashes")
+    assert(hn.isDefined)
+    val ham = java.lang.Long.bitCount(hb.get._1 ^ hn.get._1)
+    assert(ham <= 16, s"near-identical image drifted $ham ahash bits")
+    assert(garbage === None && tiny === None)
+  }
+
+  test("ppm_resize: exact floor box-filter, format preserved, upscale null") {
+    import spark.implicits._
+    // 4x2 gradient 10,20,30,40 / 50,60,70,80 -> 2x1: means of 4-px cells
+    val img = p6(4, 2, p => 10 * (p + 1))
+    val out = Seq(Tuple1(img)).toDF("payload")
+      .select(call_function("graft_ppm_resize", col("payload"),
+        lit(2L), lit(1L)).as("rz"),
+        call_function("graft_ppm_resize", col("payload"),
+          lit(8L), lit(2L)).as("up"))
+      .head()
+    assert(out.isNullAt(1), "upscale must be null")
+    val rz = out.getAs[Array[Byte]](0)
+    val hd = graft.expressions.PpmRaster.parse(rz)
+    assert(hd.channels === 3 && hd.w === 2 && hd.h === 1)
+    // left cell {10,20,50,60} mean 35, right {30,40,70,80} mean 55
+    assert((rz(hd.off) & 0xff) === 35 && (rz(hd.off + 3) & 0xff) === 55)
+  }
+
+  test("ppm kernels: codegen and interpreted paths agree") {
+    import spark.implicits._
+    def run(): Seq[Seq[String]] = Seq(1L, 2L, 3L).toDF("i")
+      .select(call_function("graft_ppm_phash",
+        call_function("graft_ppm_resize",
+          call_function("graft_synth_ppm", lit(20L) + col("i"),
+            lit(15L), col("i"), lit(3L)),
+          lit(11L), lit(9L))).as("ph"))
+      .collect().map(_.toSeq.map(String.valueOf)).toSeq
+    val gen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = try run() finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(gen === interp)
+    assert(gen.forall(_.head != "null"))
+  }
 }
