@@ -77,6 +77,29 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def sec(v: Double): String = f"$v%.3f"
 
+    // Variance pass: the slowest queries get 2 EXTRA timed reps so
+    // BENCH_FULL.json carries (median, min, max) — the machine-checkable
+    // record that separates a real regression from suite-position /
+    // machine-load noise (the r8→r9 judging lesson: totals alone made
+    // every ±8% drift a judgment call). Untimed relative to `total`, so
+    // round-over-round totals stay comparable.
+    val repN = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "30").toInt
+    val reps = results.filterNot(r => failed.contains(r._1))
+      .sortBy(-_._2).take(repN).map { case (name, first) =>
+        val extra = (1 to 2).flatMap { _ =>
+          if (gcBetween) System.gc()
+          val t0 = System.nanoTime()
+          try { materialize(SparkEntry.queries(name)(spark, sfDir))
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => None }
+        }
+        val ts = (first +: extra).sorted
+        name -> ((ts(ts.size / 2), ts.head, ts.last))
+      }
+    val repsJson = reps.map { case (k, (m, lo, hi)) =>
+      "\"" + k + s"""":{"median":${sec(m)},"min":${sec(lo)},"max":${sec(hi)}}"""
+    }.mkString("{", ",", "}")
+
     // Full per-query detail goes to a file: the harness that collects the
     // bench keeps only a bounded tail of stdout, and a 130+-entry map does
     // not fit in it. Anyone (or any tool) wanting every number reads the
@@ -84,7 +107,7 @@ object Bench {
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"failed":$fj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"reps":$repsJson,"failed":$fj,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

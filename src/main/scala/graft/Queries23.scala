@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Linkage, Sampling}
+import graft.operators.{Linkage, Sampling, Similarity}
 
 /** Catalog entries: round-10 additions — the skew tooling anchored on a
   * deliberately hot-keyed fixture, with the UNSALTED / one-phase SQL as
@@ -171,7 +171,8 @@ object Queries23 {
       |rz AS (SELECT doc_id, SUM(cs // ca) AS rz_total FROM rcell
       |       GROUP BY doc_id)
       |SELECT t.doc_id, CAST(t.w AS INT) AS width, CAST(t.h AS INT) AS height,
-      |  CAST(t.ts AS BIGINT) AS gray_total, ah.ahash, dh.dhash,
+      |  CAST(t.ts AS BIGINT) AS gray_total, CAST(ah.ahash AS BIGINT) AS ahash,
+      |  CAST(dh.dhash AS BIGINT) AS dhash,
       |  CAST(rz.rz_total AS BIGINT) AS rz_total
       |FROM tot t JOIN ah USING (doc_id) JOIN dh USING (doc_id)
       |  JOIN rz USING (doc_id)
@@ -193,6 +194,71 @@ object Queries23 {
       .orderBy(d)
   }
 
+  /** Margin mining, production form ([[Similarity.marginMiningLsh]]):
+    * candidates from shared random-hyperplane LSH buckets instead of the
+    * |S|·|T| cross product (q181 is the exact audit ceiling; its own
+    * scaladoc names this path). The oracle embeds the deterministic
+    * plane-weight literals (q47 convention), replays the bucket join,
+    * the in-order cosine folds, and the decimal neighborhood means. */
+  val q200MarginLsh: (String, QueryDef) = q(
+    "q200_margin_mining_lsh", {
+      def projSql(p: Int): String = {
+        val w = (0 until 64).map(d => java.lang.Double.toString(
+          graft.operators.Similarity.planeWeight(42, p, d)))
+          .mkString("[", ",", "]")
+        s"list_reduce(list_transform(generate_series(1, 64), " +
+          s"i -> CAST(embedding[i] AS DOUBLE) * ($w)[i]), (a, b) -> a + b)"
+      }
+      val bucket = (0 until 8).map(p =>
+        s"(CASE WHEN ${projSql(p)} > 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      val dot =
+        """list_reduce(list_transform(list_zip(s.embedding, t.embedding),
+          |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"""
+          .stripMargin
+      def sq(side: String): String =
+        s"SQRT(list_reduce(list_transform($side.embedding, " +
+          "x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y))"
+      s"""WITH b AS (
+         |  SELECT vec_id, label, embedding, CAST($bucket AS BIGINT) AS bk
+         |  FROM embeddings WHERE label IN (0, 1)),
+         |s AS (SELECT vec_id, embedding, bk FROM b WHERE label = 0),
+         |t AS (SELECT vec_id, embedding, bk FROM b WHERE label = 1),
+         |cs AS (
+         |  SELECT s.vec_id AS s_id, t.vec_id AS t_id,
+         |    $dot / (${sq("s")} * ${sq("t")}) AS cos
+         |  FROM s JOIN t ON s.bk = t.bk),
+         |f AS (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY s_id ORDER BY cos DESC, t_id)
+         |      AS rs,
+         |    ROW_NUMBER() OVER (PARTITION BY t_id ORDER BY cos DESC, s_id)
+         |      AS rt
+         |  FROM cs),
+         |rx AS (
+         |  SELECT s_id,
+         |    CAST(SUM(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,12)))
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rx
+         |  FROM f WHERE rs <= 4 GROUP BY s_id),
+         |ry AS (
+         |  SELECT t_id,
+         |    CAST(SUM(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,12)))
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ry
+         |  FROM f WHERE rt <= 4 GROUP BY t_id)
+         |SELECT c.s_id AS s_id, c.t_id AS t_id, c.cos AS cos,
+         |  CASE WHEN (rx + ry) > 0
+         |    THEN c.cos / ((rx + ry) * 0.5) END AS margin
+         |FROM cs c
+         |JOIN rx ON rx.s_id = c.s_id
+         |JOIN ry ON ry.t_id = c.t_id
+         |ORDER BY margin DESC, s_id, t_id LIMIT 50""".stripMargin
+    }) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.operators.Similarity.marginMiningLsh(t("embeddings"), "vec_id",
+      "embedding", "label", srcLabel = 0, tgtLabel = 1, kNeigh = 4,
+      topK = 50, planes = 8, seed = 42, dims = 64)
+  }
+
   val catalog: Seq[(String, QueryDef)] =
-    Seq(q197SkewedLinkage, q198SkewQuotaCap, q199PpmPhash)
+    Seq(q197SkewedLinkage, q198SkewQuotaCap, q199PpmPhash, q200MarginLsh)
 }

@@ -1070,6 +1070,17 @@ object Similarity {
         col("__norm").as("__nt"))), "t_id")
       .select(col("s_id"), col("t_id"),
         (col("__dot") / (col("__ns") * col("__nt"))).as("cos"))
+    marginScore(cos, kNeigh, topK)
+  }
+
+  /** The margin-scoring tail shared by [[marginMining]] (exact all-pairs
+    * cos) and [[marginMiningLsh]] (LSH candidates): per-side top-`kNeigh`
+    * neighborhood means over whatever pair frame arrives, then the
+    * Artetxe–Schwenk ratio. ONE copy — the exact and candidate paths must
+    * rank identically given the same pairs. */
+  private def marginScore(cos: DataFrame, kNeigh: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dsum(c: Column): Column = call_function("graft_dsum", c, lit(12))
     val wS = Window.partitionBy(col("s_id"))
       .orderBy(col("cos").desc, col("t_id"))
     val wT = Window.partitionBy(col("t_id"))
@@ -1094,5 +1105,39 @@ object Similarity {
           .as("margin"))
       .orderBy(col("margin").desc, col("s_id"), col("t_id"))
       .limit(topK)
+  }
+
+  /** [[marginMining]]'s PRODUCTION form: candidates from shared LSH
+    * buckets instead of the |S|·|T| cross product — the scale path the
+    * exact form's scaladoc promises. Pairs come from one equi-join on the
+    * random-hyperplane bucket ([[lshBuckets]]' deterministic planes, so
+    * the oracle reproduces every sign bit); exact cosine (`graft_dot`
+    * in-order fold) runs on candidates only; the scoring tail is
+    * [[marginScore]], shared with the exact form.
+    *
+    * Neighborhood means `rx`/`ry` are computed over the CANDIDATE
+    * neighbor sets (the standard mined-bitext approximation; the exact
+    * form is the recall/ranking ceiling).
+    *
+    * Scale: candidate count is Θ(|S|·|T| / 2^planes) for near-uniform
+    * buckets — `planes` is the knob that holds per-bucket occupancy flat
+    * as the corpus grows (planes ≈ log₂(n/target_occupancy)); everything
+    * else is linear in candidates. Measured (SCALE.md): at 10× data,
+    * planes 8 → 11 restores sf0.1-level candidate density.
+    */
+  def marginMiningLsh(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, srcLabel: Int, tgtLabel: Int, kNeigh: Int = 4,
+      topK: Int = 50, planes: Int = 8, seed: Int = 42,
+      dims: Int = 64): DataFrame = {
+    require(kNeigh >= 1 && topK >= 1, "marginMiningLsh: kNeigh, topK >= 1")
+    def side(label: Int, pre: String): DataFrame =
+      emb.filter(col(labelCol) === label)
+        .select(col(idCol).as(s"${pre}id"), col(vecCol).as(s"${pre}v"),
+          bucketCol(vecCol, planes, seed, dims).as(s"${pre}bk"))
+    val cos = side(srcLabel, "s_").join(side(tgtLabel, "t_"),
+        col("s_bk") === col("t_bk"))
+      .select(col("s_id"), col("t_id"),
+        cosine(col("s_v"), col("t_v")).as("cos"))
+    marginScore(cos, kNeigh, topK)
   }
 }

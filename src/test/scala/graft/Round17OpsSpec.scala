@@ -24,6 +24,36 @@ class Round17OpsSpec extends SparkSpec {
     assert(r("neg") === ((16L, 4L)), "-6..9 = 16 buckets, 4 events")
   }
 
+  test("marginMiningLsh == exact marginMining when one bucket holds " +
+      "everything (candidate set = cross product)") {
+    import graft.operators.Similarity
+    // near-parallel positive vectors: every plane projection keeps the
+    // direction's sign, so ALL vectors share one LSH bucket and the
+    // candidate join IS the |S|x|T| cross product — the LSH path must
+    // then reproduce the exact form's ranking (shared marginScore tail)
+    val dims = 8
+    val base = (0 until dims).map(_ => 1.0f)
+    val rows = (0 until 12).map { j =>
+      val v = base.zipWithIndex.map { case (x, d) =>
+        x * (1.0f + 0.05f * j) + (if (d == j % dims) 0.01f * j else 0f)
+      }
+      (j.toLong, v, j % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.marginMining(rows, "vec_id", "embedding",
+      "label", srcLabel = 0, tgtLabel = 1, kNeigh = 2, topK = 20)
+    val lsh = Similarity.marginMiningLsh(rows, "vec_id", "embedding",
+      "label", srcLabel = 0, tgtLabel = 1, kNeigh = 2, topK = 20,
+      planes = 4, seed = 42, dims = dims)
+    // single-bucket precondition (else the fixture, not the code, failed)
+    val buckets = Similarity.lshBuckets(rows, "vec_id", "embedding",
+      planes = 4, seed = 42, dims = dims)
+      .select("bucket").distinct().count()
+    assert(buckets === 1L, "fixture must collapse to one bucket")
+    val e = exact.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val l = lsh.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.toSeq === l.toSeq, "identical candidate set -> identical ranking")
+  }
+
   test("cusumChangepoint: a span past maxSpanBuckets aborts loudly") {
     val rows = Seq(("svc", 0L), ("svc", 100L * 60L)).toDF("label", "ts")
     val e = intercept[Exception] {
