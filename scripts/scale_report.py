@@ -21,7 +21,8 @@ def main(p01, p03, p1):
             continue
         ts = [a["queries"][q]["median"], b["queries"][q]["median"],
               c["queries"][q]["median"]]
-        ys = [math.log(t) for t in ts]
+        # %.3f-rounded sub-millisecond medians would be log(0)
+        ys = [math.log(max(t, 0.001)) for t in ts]
         n = 3
         sx, sy = sum(xs), sum(ys)
         sxx = sum(x * x for x in xs)
@@ -46,5 +47,8 @@ def main(p01, p03, p1):
         print("superlinear (> 1.15): none")
 
 if __name__ == "__main__":
-    main(*(sys.argv[1:4] or
+    args = sys.argv[1:4]
+    if args and len(args) != 3:
+        sys.exit("usage: scale_report.py [sf01.json sf03.json sf1.json]")
+    main(*(args or
            ["/tmp/sb_sf01.json", "/tmp/sb_sf03.json", "/tmp/sb_sf1.json"]))

@@ -261,17 +261,13 @@ object Cli {
         // `-update-info` (cmd_query.go:48): recompute the sidecar first
         if (f.contains("update-info")) table.rebuild()
         val q = buildQuery(f)
-        // integer-weight check mirrors QueryCache.run's own gate: a
-        // fractional weight column must fall back to the uncached run,
-        // not abort the CLI with the cache's IllegalArgumentException
+        // integer-weight check: THE shared gate (QueryCache
+        // .integerWeightType) — a fractional weight column must fall
+        // back to the uncached run, not abort the CLI with the cache's
+        // IllegalArgumentException
         def intWeight: Boolean = q.weightCol.forall { wc =>
-          table.read().schema.fields.find(_.name == wc).map(_.dataType).forall {
-            case org.apache.spark.sql.types.ByteType |
-                 org.apache.spark.sql.types.ShortType |
-                 org.apache.spark.sql.types.IntegerType |
-                 org.apache.spark.sql.types.LongType => true
-            case _ => false
-          }
+          QueryCache.integerWeightType(
+            table.read().schema.fields.find(_.name == wc).map(_.dataType))
         }
         val cacheable = f.contains("cache-queries") && !q.samples &&
           q.timeBucket.isEmpty && q.distinctLimit.isEmpty && !q.useTDigest &&

@@ -279,18 +279,21 @@ final case class SybilQuery(
         Seq(countAgg, samplesAgg) ++ aggCols.map { c =>
           val (mn, mx) = extents(c)
           // null-populated rows reach the typed (Long, Long) aggregator
-          // as the weight -1 SENTINEL (which it skips entirely) — a raw
-          // null would crash the tuple deserializer, where sybil silently
-          // skips unpopulated records per column (aggregate.go:246-259).
-          // -1, not 0: a genuine zero-weight row in a weighted query is a
-          // real sample (counts toward samples/min/max). "Populated" is
-          // judged on the CAST result, not the raw column — a non-numeric
-          // string casts to null and must take the sentinel path rather
-          // than silently binning at value 0 with full weight.
+          // as the Long.MinValue SENTINEL (which it skips entirely) — a
+          // raw null would crash the tuple deserializer, where sybil
+          // silently skips unpopulated records per column
+          // (aggregate.go:246-259). Long.MinValue, not 0 or -1: zero and
+          // negative weights are REAL records in a weighted query (they
+          // count toward samples/min/max), so the sentinel must sit
+          // outside the plausible weight range. "Populated" is judged on
+          // the CAST result, not the raw column — a non-numeric string
+          // casts to null and must take the sentinel path rather than
+          // silently binning at value 0 with full weight.
           val cv = col(c).cast(LongType)
           val v = coalesce(cv, lit(0L))
           val wv = when(cv.isNotNull,
-            coalesce(w.cast(LongType), lit(0L))).otherwise(lit(-1L))
+            coalesce(w.cast(LongType), lit(0L)))
+            .otherwise(lit(Long.MinValue))
           (if (useNestedHist)
             graft.functions.NestedHist.nestedHist(v, wv, mn, mx, histBuckets)
           else if (useLogHist)

@@ -28,6 +28,11 @@ object PpmRaster {
     * case); returns null on anything else or a short raster. */
   final case class Header(channels: Int, w: Int, h: Int, off: Int)
 
+  /** Pixel-count cap (2²⁶ ≈ 67 MP — an 8K×8K raster): larger images
+    * parse as NULL. Exists so the phash grid's exact cross-multiplied
+    * integer comparisons can never overflow Long. */
+  val MaxPixels: Long = 1L << 26
+
   def parse(b: Array[Byte]): Header = {
     if (b == null || b.length < 10) return null
     if (b(0) != 'P' || (b(1) != '5' && b(1) != '6')) return null
@@ -59,8 +64,16 @@ object PpmRaster {
     i += 1
     val (w, h, maxval) = (vals(0), vals(1), vals(2))
     if (w <= 0 || h <= 0 || maxval != 255) return null
-    if (w.toLong * h * channels > Int.MaxValue - i) return null
-    if (b.length < i + w.toLong * h * channels) return null
+    // overflow-proof size guards (division, not product: a crafted
+    // 2^31-ish dimension pair would wrap the Long product past both
+    // checks and crash the kernels downstream — malformed must mean
+    // NULL, never garbage). MaxPixels also keeps every cross-multiplied
+    // comparison in GraftPpmPhash inside Long (cellSum·w·h ≤
+    // 255·2²⁶·2²⁶ ≈ 1.1e18 < 2⁶³).
+    if (h.toLong > PpmRaster.MaxPixels / w) return null
+    val raster = w.toLong * h * channels
+    if (raster > Int.MaxValue - i) return null
+    if (b.length < i + raster) return null
     Header(channels, w, h, i)
   }
 
@@ -108,7 +121,9 @@ case class GraftSynthPpm(wE: Expression, hE: Expression, aE: Expression,
   }
 
   def build(w: Long, h: Long, a: Long, b: Long): Array[Byte] = {
-    require(w > 0 && h > 0 && w * h <= (1L << 22),
+    // division form: the product w*h itself can wrap Long for absurd
+    // inputs and sail under the cap
+    require(w > 0 && h > 0 && h <= (1L << 22) / w,
       s"graft_synth_ppm: need 0 < w*h <= 2^22, got ${w}x$h")
     require(a >= 0 && b >= 0, "graft_synth_ppm: a, b must be >= 0")
     val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")

@@ -86,13 +86,16 @@ class BasicHistAggregator(
 
   def reduce(b: HistBuf, in: (Long, Long)): HistBuf = {
     val (value, weight) = in
-    // weight < 0 = skip entirely: the DSL encodes a null-populated row
-    // as the -1 sentinel (sybil skips unpopulated records per column,
-    // aggregate.go:246-259) — it must not touch samples or min/max.
-    // A genuine weight-0 row in a weighted query is NOT the sentinel:
-    // it still counts as a sample and updates min/max (it just adds no
-    // weight), matching the reference's per-record bookkeeping.
-    if (weight < 0L) return b
+    // Long.MinValue = the null-row sentinel: the DSL encodes a
+    // null-populated row with it (sybil skips unpopulated records per
+    // column, aggregate.go:246-259) — it must not touch samples or
+    // min/max. Any OTHER weight — zero or genuinely negative (a
+    // retraction ledger's integer weights pass the cache/CLI gates) —
+    // is a real record: samples and min/max update, count accumulates
+    // the signed weight, matching the reference's per-record
+    // bookkeeping. A genuine Long.MinValue weight is indistinguishable
+    // (accepted: it is not a plausible weight).
+    if (weight == Long.MinValue) return b
     // outlier guard: hist_basic.go:101-109
     if (value > upperCutoff || value < infoMin) return b
     b.samples += 1

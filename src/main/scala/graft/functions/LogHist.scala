@@ -39,7 +39,7 @@ class LogHistAggregator(
 
   def reduce(b: HistBuf, in: (Long, Long)): HistBuf = {
     val (value, weight) = in
-    if (weight < 0L) return b // null-row sentinel (see BasicHist)
+    if (weight == Long.MinValue) return b // null-row sentinel (see BasicHist)
     if (value > upperCutoff || value < infoMin) return b // hist_multi.go:51-58
     b.samples += 1
     b.count += weight

@@ -57,7 +57,7 @@ class NestedHistAggregator(
 
   def reduce(b: HistBuf, in: (Long, Long)): HistBuf = {
     val (value, weight) = in
-    if (weight < 0L) return b // null-row sentinel (see BasicHist)
+    if (weight == Long.MinValue) return b // null-row sentinel (see BasicHist)
     if (value > upperCutoff || value < infoMin) return b // hist_multi.go:51-58
     b.samples += 1
     b.count += weight

@@ -62,8 +62,9 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
       extents: Map[String, (Long, Long)] = Map.empty): String = {
     val kept = q.filters.filterNot(dropped.contains)
     md5hex(Seq(
-      "v=3", // partial-format version: bump on schema/convention changes
-             // (v3: hist null-row sentinel -1 / zero-weight rows real)
+      "v=4", // partial-format version: bump on schema/convention changes
+             // (v4: hist null-row sentinel Long.MinValue; zero and
+             // negative weights are real records)
       "g=" + q.groups.mkString(","),
       "a=" + q.aggCols.mkString(","),
       "d=" + q.distinctCols.mkString(","),
@@ -125,14 +126,15 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
         (q.op match {
           case AggOp.HistOp => q.aggCols.map { c =>
             val (mn, mx) = extents(c)
-            // null-populated rows become the weight -1 sentinel (skipped
-            // by the aggregator; genuine weight-0 rows stay real samples),
-            // judged on the CAST result — the SybilQuery.run convention,
-            // kept in lockstep for cache parity
+            // null-populated rows become the Long.MinValue sentinel
+            // (skipped by the aggregator; zero/negative weights stay real
+            // records), judged on the CAST result — the SybilQuery.run
+            // convention, kept in lockstep for cache parity
             val cv = col(c).cast(LongType)
             val v = coalesce(cv, lit(0L))
             val wv = when(cv.isNotNull,
-              coalesce(w.cast(LongType), lit(0L))).otherwise(lit(-1L))
+              coalesce(w.cast(LongType), lit(0L)))
+              .otherwise(lit(Long.MinValue))
             (if (q.useNestedHist)
               graft.functions.NestedHist.nestedHistPartial(
                 v, wv, mn, mx, q.histBuckets)
@@ -186,12 +188,8 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
     // where the uncached run truncates once globally
     for (wc <- q.weightCol) {
       val dt = table.read().schema.fields.find(_.name == wc).map(_.dataType)
-      require(dt.forall {
-        case org.apache.spark.sql.types.ByteType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.IntegerType | LongType => true
-        case _ => false
-      }, s"cache requires an integer weight column; $wc is " +
+      require(QueryCache.integerWeightType(dt),
+        s"cache requires an integer weight column; $wc is " +
         s"${dt.getOrElse("missing")} (per-block long truncation would " +
         "diverge from the uncached run); run uncached")
     }
@@ -364,4 +362,22 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
     }
     (out, CacheOutcome(hitPaths.size, missIds.size, uncacheableIds.size, skipped))
   }
+}
+
+object QueryCache {
+  /** THE integer-weight type gate — shared by [[QueryCache.run]]'s
+    * loud precondition and Cli's silent fall-back-to-uncached predicate
+    * (one copy: a widened/narrowed cache gate must move both sites or
+    * the CLI either aborts with the cache's exception or needlessly
+    * skips it). Absent column (None) passes — the run will fail on its
+    * own terms. */
+  def integerWeightType(
+      dt: Option[org.apache.spark.sql.types.DataType]): Boolean =
+    dt.forall {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
 }

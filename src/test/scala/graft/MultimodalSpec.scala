@@ -277,6 +277,31 @@ class MultimodalSpec extends SparkSpec {
     assert((rz(hd.off) & 0xff) === 35 && (rz(hd.off + 3) & 0xff) === 55)
   }
 
+  test("ppm kernels: crafted overflow headers yield null, never garbage; " +
+      "synth size cap can't be wrapped past") {
+    import spark.implicits._
+    // 2147483647x2147483647: the naive w*h*3 Long product wraps negative
+    // and would sail under both size guards, then crash grayPlane
+    val crafted = ("P6\n2147483647 2147483647\n255\n" + "x" * 32)
+      .getBytes("US-ASCII")
+    // over the 2^26-pixel cap but under Int ranges: also null
+    val big = s"P5\n100000 100000\n255\nx".getBytes("US-ASCII")
+    val out = Seq((1L, crafted), (2L, big)).toDF("id", "payload")
+      .select(col("id"),
+        call_function("graft_ppm_phash", col("payload")).as("ph"),
+        call_function("graft_ppm_resize", col("payload"), lit(8L), lit(8L))
+          .as("rz"))
+      .collect()
+    assert(out.forall(r => r.isNullAt(1) && r.isNullAt(2)))
+    val e = intercept[Exception] {
+      Seq(1L).toDF("i").select(call_function("graft_synth_ppm",
+        lit(4294967296L), lit(4294967296L), lit(1L), lit(1L))).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " " + msgs(t.getCause)
+    assert(msgs(e).contains("graft_synth_ppm"), "cap must hold under wrap")
+  }
+
   test("ppm kernels: codegen and interpreted paths agree") {
     import spark.implicits._
     def run(): Seq[Seq[String]] = Seq(1L, 2L, 3L).toDF("i")
