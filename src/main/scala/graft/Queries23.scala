@@ -259,6 +259,60 @@ object Queries23 {
       topK = 50, planes = 8, seed = 42, dims = 64)
   }
 
+  /** Perceptual-hash near-dup pairs ([[graft.operators.Dedup.hammingNearDupPairs]]
+    * over `graft_ppm_phash` ahashes): the raster kernels composed into
+    * the dedup machinery — triplets of identical synthesized images must
+    * surface at hamming 0 through the pigeonhole band join (plus whatever
+    * near-misses distinct gradients produce). The oracle replays the
+    * per-pixel hash (q199 convention) and brute-forces ALL pairs — the
+    * banding must lose nothing. */
+  val q201PhashNearDup: (String, QueryDef) = q(
+    "q201_phash_neardup",
+    """WITH p AS (
+      |  SELECT doc_id, doc_id // 3 AS g FROM documents WHERE doc_id < 240),
+      |pp AS (
+      |  SELECT doc_id, 16 + g % 37 AS w, 12 + (g*5) % 23 AS h,
+      |         1 + g % 7 AS a, 1 + g % 11 AS b
+      |  FROM p),
+      |xs AS (SELECT pp.*, unnest(generate_series(0, w-1)) AS x FROM pp),
+      |px AS (SELECT doc_id, w, h, a, b, x,
+      |         unnest(generate_series(0, h-1)) AS y FROM xs),
+      |v AS (SELECT doc_id, w, h, x, y, (x*a + y*b) % 256 AS v,
+      |        (x*8)//w AS ci, (y*8)//h AS cj FROM px),
+      |cells AS (SELECT doc_id, ci, cj, SUM(v) AS cs, COUNT(*) AS ca
+      |          FROM v GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, SUM(v) AS ts, w*h AS ta
+      |        FROM v GROUP BY doc_id, w, h),
+      |ahp AS (SELECT c.doc_id,
+      |  SUM(CASE WHEN c.cj*8+c.ci < 32 AND c.cs * t.ta >= t.ts * c.ca
+      |      THEN CAST(POWER(2, c.cj*8 + c.ci) AS BIGINT) ELSE 0 END) AS lo,
+      |  SUM(CASE WHEN c.cj*8+c.ci >= 32 AND c.cs * t.ta >= t.ts * c.ca
+      |      THEN CAST(POWER(2, c.cj*8 + c.ci - 32) AS BIGINT) ELSE 0 END)
+      |    AS hi
+      |  FROM cells c JOIN tot t USING (doc_id) GROUP BY c.doc_id),
+      |ah AS (SELECT doc_id, CAST(
+      |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+      |    * 4294967296 + lo AS BIGINT) AS ahash FROM ahp)
+      |SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+      |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val g = expr("doc_id DIV 3")
+    val payload = call_function("graft_synth_ppm",
+      lit(16L) + g % 37, lit(12L) + (g * 5) % 23,
+      lit(1L) + g % 7, lit(1L) + g % 11)
+    val hashed = t("documents").filter(d < 240)
+      .select(d, call_function("graft_ppm_phash", payload)
+        .getField("ahash").as("h"))
+    graft.operators.Dedup.hammingNearDupPairs(hashed, "doc_id", "h",
+        bits = 64, maxHamming = 3)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
-    Seq(q197SkewedLinkage, q198SkewQuotaCap, q199PpmPhash, q200MarginLsh)
+    Seq(q197SkewedLinkage, q198SkewQuotaCap, q199PpmPhash, q200MarginLsh,
+      q201PhashNearDup)
 }

@@ -183,10 +183,6 @@ object Dedup {
     */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 16, maxHamming: Int = 3): DataFrame = {
-    val nBands = maxHamming + 1
-    require(bits % nBands == 0,
-      s"bits ($bits) must split evenly into maxHamming+1 = $nBands bands")
-    val w = bits / nBands
     // explicit null filter + coalesce makes the signature NON-NULLABLE:
     // otherwise the null-intolerant band join infers isnotnull(bandBits),
     // which pushes down as isnotnull(graft_simhash(...)) and evaluates the
@@ -194,9 +190,38 @@ object Dedup {
     // — 4 evals per doc instead of 2 (seen in .explain("formatted"))
     val sigs = docs
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).as("__id"),
-        coalesce(TextAnalysis.simhash(col(textCol), bits), lit(0L)).as("sh"))
-      .repartition(col("__id")) // barrier: one fused simhash eval per doc
+      .select(col(idCol).as("__sig_id"),
+        coalesce(TextAnalysis.simhash(col(textCol), bits), lit(0L))
+          .as("__sig"))
+    hammingNearDupPairs(sigs, "__sig_id", "__sig", bits, maxHamming)
+  }
+
+  /** Hamming-tolerant pair join over ANY per-row `bits`-wide hash column
+    * — the pigeonhole banding [[simhashNearDupPairs]] introduced,
+    * factored out so other fixed-width signatures (e.g. the raster
+    * perceptual hashes, `graft_ppm_phash`) reuse the ONE implementation:
+    * split the hash into `maxHamming + 1` equal bands; two hashes within
+    * `maxHamming` must agree on at least one whole band (pigeonhole), so
+    * the band equi-join is guaranteed-complete and the exact popcount
+    * filter on candidates only discards. Null ids/hashes are excluded
+    * (a null hash matches nothing).
+    *
+    * Scale: hashes shuffle (8 B/row·band), never payloads; the join keys
+    * on (band, bits) — uniform; a pair colliding in several bands emits
+    * from its lowest band only (per-row filter, no distinct shuffle).
+    */
+  def hammingNearDupPairs(hashes: DataFrame, idCol: String,
+      hashCol: String, bits: Int, maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    require(bits % nBands == 0,
+      s"bits ($bits) must split evenly into maxHamming+1 = $nBands bands")
+    require(bits >= nBands && bits <= 64,
+      s"bits must be in [$nBands, 64], got $bits")
+    val w = bits / nBands
+    val sigs = hashes
+      .filter(col(idCol).isNotNull && col(hashCol).isNotNull)
+      .select(col(idCol).as("__id"), col(hashCol).cast("long").as("sh"))
+      .repartition(col("__id")) // barrier: one fused hash eval per row
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sh"), b * w).bitwiseAND(lit((1L << w) - 1)).as("bb"))
