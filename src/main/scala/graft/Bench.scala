@@ -100,7 +100,13 @@ object Bench {
             (System.nanoTime() - t0) / 1e9
           }.sorted
           Some(name -> ((ts(ts.size / 2), ts.head, ts.last)))
-        } catch { case _: Throwable => None }
+        } catch { case e: Throwable =>
+          // a query that flakes ONLY under the isolated-reps regime is
+          // exactly what this pass exists to surface — never silent
+          System.err.println(
+            s"[bench] $name FAILED (variance reps): ${e.getMessage}")
+          None
+        }
       }
     val repsJson = reps.map { case (k, (m, lo, hi)) =>
       "\"" + k + s"""":{"median":${sec(m)},"min":${sec(lo)},"max":${sec(hi)}}"""

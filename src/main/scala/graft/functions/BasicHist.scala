@@ -89,13 +89,17 @@ class BasicHistAggregator(
     // Long.MinValue = the null-row sentinel: the DSL encodes a
     // null-populated row with it (sybil skips unpopulated records per
     // column, aggregate.go:246-259) — it must not touch samples or
-    // min/max. Any OTHER weight — zero or genuinely negative (a
-    // retraction ledger's integer weights pass the cache/CLI gates) —
-    // is a real record: samples and min/max update, count accumulates
-    // the signed weight, matching the reference's per-record
-    // bookkeeping. A genuine Long.MinValue weight is indistinguishable
-    // (accepted: it is not a plausible weight).
+    // min/max. A genuine ZERO weight is a real record (samples and
+    // min/max update, no bucket mass) — the sentinel must sit outside
+    // the plausible weight range, hence MinValue and not 0/-1. Negative
+    // weights are REJECTED loudly: every finish() statistic (percentile
+    // walk, stddev, the count==0 empty guard) assumes non-negative
+    // bucket masses, and silently dropping them while Count sums them
+    // would be internally inconsistent.
     if (weight == Long.MinValue) return b
+    if (weight < 0L) throw new IllegalArgumentException(
+      "hist: negative weights are unsupported (bucket masses must be " +
+        s"non-negative); got $weight")
     // outlier guard: hist_basic.go:101-109
     if (value > upperCutoff || value < infoMin) return b
     b.samples += 1

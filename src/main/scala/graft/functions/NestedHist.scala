@@ -58,6 +58,8 @@ class NestedHistAggregator(
   def reduce(b: HistBuf, in: (Long, Long)): HistBuf = {
     val (value, weight) = in
     if (weight == Long.MinValue) return b // null-row sentinel (see BasicHist)
+    if (weight < 0L) throw new IllegalArgumentException( // see BasicHist
+      s"hist: negative weights are unsupported; got $weight")
     if (value > upperCutoff || value < infoMin) return b // hist_multi.go:51-58
     b.samples += 1
     b.count += weight

@@ -218,13 +218,26 @@ object Dedup {
     require(bits >= nBands && bits <= 64,
       s"bits must be in [$nBands, 64], got $bits")
     val w = bits / nBands
+    // w can be 64 (bits=64, maxHamming=0): Scala's shift wraps mod 64,
+    // so (1L<<64)-1 would be 0 and every band key would collapse to the
+    // SAME bucket — a silent full cross join
+    def mask(width: Int): Long = if (width >= 64) -1L else (1L << width) - 1
     val sigs = hashes
       .filter(col(idCol).isNotNull && col(hashCol).isNotNull)
-      .select(col(idCol).as("__id"), col(hashCol).cast("long").as("sh"))
+      // mask to the declared width: a signed narrower hash (int with
+      // bits=32) would sign-extend through the long cast and inflate
+      // hamming distances past the tolerance. coalesce post-filter is a
+      // no-op that flips nullability — without it the null-intolerant
+      // band join infers isnotnull(bb) and re-evaluates an expensive
+      // hash expression in a pushed-down Filter AND the Project (the
+      // 4-evals-vs-2 regression the simhash path documented)
+      .select(col(idCol).as("__id"),
+        coalesce(col(hashCol).cast("long").bitwiseAND(lit(mask(bits))),
+          lit(0L)).as("sh"))
       .repartition(col("__id")) // barrier: one fused hash eval per row
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("sh"), b * w).bitwiseAND(lit((1L << w) - 1)).as("bb"))
+        shiftright(col("sh"), b * w).bitwiseAND(lit(mask(w))).as("bb"))
     }
     val banded = sigs
       .select(col("__id"), col("sh"), explode(array(bandCols: _*)).as("bk"))
@@ -239,10 +252,10 @@ object Dedup {
     // distinct() that would shuffle every matched pair (the dominant cost
     // on dup-heavy corpora where identical signatures collide in ALL bands)
     val lowestCollidingBand = (0 until nBands).map { b =>
-      val mask = lit((1L << w) - 1)
+      val m = lit(mask(w))
       (lit(b) >= col("band")) ||
-        (shiftright(col("sh1"), b * w).bitwiseAND(mask) =!=
-          shiftright(col("sh2"), b * w).bitwiseAND(mask))
+        (shiftright(col("sh1"), b * w).bitwiseAND(m) =!=
+          shiftright(col("sh2"), b * w).bitwiseAND(m))
     }.reduce(_ && _)
     lhs.join(rhs, col("band") === col("band2") && col("bb") === col("bb2") &&
         col("d1") < col("d2"))

@@ -246,16 +246,21 @@ class DslSpec extends SparkSpec {
     assert(h.getAs[Long]("samples") === 3L)
   }
 
-  test("hist: negative integer weights are real records, not the null sentinel") {
-    // retraction-ledger weights pass the integer-weight gates; a -2 row
-    // must keep counting as a sample (and subtract from the weighted
-    // count) rather than vanish into the null-row skip path
+  test("hist: negative integer weights fail LOUDLY, never the silent " +
+      "sentinel path") {
+    // finish()'s percentile walk / stddev / empty guard all assume
+    // non-negative bucket masses — a -2 weight must abort with the
+    // negative-weight message, not vanish into the null-row skip (which
+    // would leave Count summing what hist dropped) and not crash the
+    // percentile walk downstream
     val nd = Seq((10L, 3L), (10L, -2L), (20L, 5L)).toDF("v", "w")
-    val r = SybilQuery().aggregate("v").weighted("w")
-      .withOp(AggOp.HistOp).limitTo(10).run(nd).collect()(0)
-    val h = r.getAs[Row]("v_hist")
-    assert(h.getAs[Long]("samples") === 3L, "the -2 row is a sample")
-    assert(h.getAs[Long]("count") === 6L, "3 - 2 + 5")
+    val e = intercept[Exception] {
+      SybilQuery().aggregate("v").weighted("w")
+        .withOp(AggOp.HistOp).limitTo(10).run(nd).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " " + msgs(t.getCause)
+    assert(msgs(e).contains("negative weights"))
   }
 
   test("hist: a genuine zero-weight row is a real sample (not the null sentinel)") {

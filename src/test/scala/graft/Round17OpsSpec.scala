@@ -54,6 +54,24 @@ class Round17OpsSpec extends SparkSpec {
     assert(e.toSeq === l.toSeq, "identical candidate set -> identical ranking")
   }
 
+  test("hammingNearDupPairs: signed narrow hashes mask to the declared " +
+      "width; bits=64 single-band stays correct") {
+    import graft.operators.Dedup
+    // 0x80000000 as a signed int sign-extends through cast('long'); the
+    // declared 32-bit width must judge hamming on the masked value
+    // (true distance 1), not the sign-extended 64-bit pattern (33)
+    val narrow = Seq((1L, 0x80000000.toInt), (2L, 0)).toDF("id", "h")
+    val got = Dedup.hammingNearDupPairs(narrow, "id", "h",
+      bits = 32, maxHamming = 1).collect()
+    assert(got.length === 1 && got(0).getAs[Long]("hamming") === 1L)
+    // bits=64, maxHamming=0: the (1L<<64) wrap must not zero the band
+    // mask; exact duplicates pair, near-misses don't
+    val wide = Seq((1L, 42L), (2L, 42L), (3L, 43L)).toDF("id", "h")
+    val dup = Dedup.hammingNearDupPairs(wide, "id", "h",
+      bits = 64, maxHamming = 0).collect()
+    assert(dup.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+  }
+
   test("cusumChangepoint: a span past maxSpanBuckets aborts loudly") {
     val rows = Seq(("svc", 0L), ("svc", 100L * 60L)).toDF("label", "ts")
     val e = intercept[Exception] {
