@@ -664,8 +664,12 @@ object Queries16 {
       |  FROM w LEFT JOIN st USING (doc_id)
       |  WHERE doc_id % 50 <> 0)
       |SELECT doc_id,
-      |  array_to_string(list_filter(tk, (x, j) ->
-      |    len(list_filter(ss, s -> s <= j AND j <= s + 2)) = 0), ' ')
+      |  -- COALESCE: DuckDB's array_to_string([]) is NULL, but a fully
+      |  -- excised doc must come back as '' (the engine's concat_ws
+      |  -- convention) — first triggered at sf0.1, where 8 docs lose
+      |  -- every token
+      |  COALESCE(array_to_string(list_filter(tk, (x, j) ->
+      |    len(list_filter(ss, s -> s <= j AND j <= s + 2)) = 0), ' '), '')
       |    AS cleaned,
       |  CAST(len(tk) AS BIGINT) AS n_tokens,
       |  CAST(len(list_filter(tk, (x, j) ->
