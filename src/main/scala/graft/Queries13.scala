@@ -58,9 +58,12 @@ object Queries13 {
       |dl AS (SELECT doc_id, len(tk) AS dl FROM d),
       |corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
       |tf AS (
+      |  -- explicit JOIN, not a comma join: DuckDB's planner materialized
+      |  -- the d x dl cross product before the filter at sf0.1 (a 60 GB
+      |  -- spill); semantically identical
       |  SELECT d.doc_id, dl.dl, u.term, COUNT(*) AS tf
-      |  FROM d, dl, unnest(d.tk) AS u(term)
-      |  WHERE d.doc_id = dl.doc_id AND u.term IN ('spark', 'join', 'window')
+      |  FROM d JOIN dl ON d.doc_id = dl.doc_id, unnest(d.tk) AS u(term)
+      |  WHERE u.term IN ('spark', 'join', 'window')
       |  GROUP BY d.doc_id, dl.dl, u.term),
       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
       |scored AS (
