@@ -44,6 +44,36 @@ class PpmFuzzSpec extends SparkSpec {
       c -> (m.values.map(_.toLong).sum / m.size).toInt
     }
 
+  test("ppm parser: header variants (comments, CRLF, multi-space) parse; " +
+      "truncation and malformed magics are null") {
+    import graft.expressions.PpmRaster
+    val raster = Array.fill(4 * 3 * 3)(7.toByte)
+    def img(header: String): Array[Byte] =
+      header.getBytes("US-ASCII") ++ raster
+    // every legal whitespace/comment arrangement of the same 4x3 image
+    val good = Seq(
+      "P6\n4 3\n255\n",
+      "P6 4 3 255 ",
+      "P6\r\n4\t3\r\n255\n",
+      "P6\n# a comment\n4 3\n# another\n255\n",
+      "P6\n  4   3\n 255\n")
+    for (h <- good) {
+      val hd = PpmRaster.parse(img(h))
+      assert(hd != null && hd.w === 4 && hd.h === 3 && hd.channels === 3, h)
+      assert(img(h).length - hd.off === 36, s"offset wrong for '$h'")
+    }
+    val bad = Seq(
+      img("P6\n4 3\n255\n").dropRight(1),       // short raster
+      img("P4\n4 3\n255\n"),                     // unsupported magic
+      img("P6\n4 3\n65535\n"),                   // 2-byte maxval
+      img("P6\n4 3\n"),                          // missing maxval
+      "P6\n-4 3\n255\n".getBytes("US-ASCII") ++ raster, // negative dim
+      Array[Byte](),
+      null)
+    for ((b, i) <- bad.zipWithIndex)
+      assert(PpmRaster.parse(b) == null, s"bad case $i must be null")
+  }
+
   test("ppm phash/resize fuzz: random dims and gradients == clean-room " +
       "reference, through the full synth->resize->rehash chain") {
     val rnd = new scala.util.Random(7)
