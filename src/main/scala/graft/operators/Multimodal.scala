@@ -8,13 +8,19 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata; decode / feature-extraction /
   * frame-sampling are partition-local batch transforms.
   *
-  * The decode step is a clearly-marked deterministic STUB (no media codecs
-  * in this environment); everything around it — schema, batch shape,
-  * partition-local iteration, column plumbing — is the real production
-  * path: swap `decodeStub` for a JNI/codec call and nothing else changes.
-  * At 100 TB the binary payloads stay columnar in parquet (never collected)
-  * and each task decodes its partition in fixed-size batches to bound peak
-  * memory.
+  * Decode comes in two tiers. Header/metadata decode is REAL for all
+  * three modalities (PNG/JPEG/GIF dims, WAV chunk walk, MP4 box walk —
+  * codegen expressions), and PIXEL decode is real for the codec-free
+  * raster formats (`graft_ppm_phash` / `graft_ppm_resize` over PPM/PGM,
+  * expressions/PpmRaster.scala — exact box-filter resize and perceptual
+  * hashing, oracle-checked q199/q201). Only codec-bound pixel/sample
+  * work (JPEG entropy decoding, audio PCM) is a clearly-marked
+  * deterministic STUB (no media codecs in this environment); everything
+  * around it — schema, batch shape, partition-local iteration, column
+  * plumbing — is the real production path: swap `decodeStub` for a
+  * JNI/codec call and nothing else changes. At 100 TB the binary
+  * payloads stay columnar in parquet (never collected) and each task
+  * decodes its partition in fixed-size batches to bound peak memory.
   */
 object Multimodal {
 
