@@ -312,7 +312,56 @@ object Queries23 {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Missing-fails-filters 3VL, catalog-anchored: sybil's rule that a
+    * NULL column value fails EVERY filter — including negated ones
+    * (filter.go:172-174,200-202; no null-rescue for neq) — previously
+    * spec-only (DslSpec + DslFuzzSpec). Nulls are manufactured in-plan
+    * (`nullif(lang, 'en')` — the fixture is null-free) so the 218 'en'
+    * docs must vanish under `lang2 neq 'de'` in BOTH engines. */
+  val q202Dsl3vl: (String, QueryDef) = q(
+    "q202_dsl_3vl_filters",
+    """SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS Count, COUNT(*) AS Samples
+      |FROM (SELECT source, nullif(lang, 'en') AS lang2 FROM documents)
+      |WHERE lang2 <> 'de'
+      |GROUP BY source
+      |ORDER BY Count DESC, source LIMIT 100""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.dsl.SybilQuery()
+      .groupBy("source")
+      .strFilterNeq("lang2", "de")
+      .limitTo(100)
+      .run(t("documents")
+        .withColumn("lang2", nullif(col("lang"), lit("en"))))
+  }
+
+  /** Time-filter bucket alignment, catalog-anchored (filter.go:86-95;
+    * previously spec-only): an int filter on the TIME column of a
+    * time-series query is floored to the bucket boundary — the DSL
+    * rewrites `ts_sec > 1704100000` to `> 1704099600` under 600 s
+    * buckets, and the oracle states the FLOORED literal (the raw one
+    * would disagree on the 400 s of straddle rows — exactly the
+    * semantic this anchors). */
+  val q203DslTimeAlign: (String, QueryDef) = q(
+    "q203_dsl_time_align",
+    """SELECT ((epoch_ns(ts) // 1000000000) // 600) * 600 AS time_bucket,
+      |  event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS Count, COUNT(*) AS Samples
+      |FROM events
+      |WHERE (epoch_ns(ts) // 1000000000) > 1704099600
+      |GROUP BY time_bucket, event_type
+      |ORDER BY Count DESC, time_bucket, event_type LIMIT 100"""
+      .stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.dsl.SybilQuery()
+      .groupBy("event_type")
+      .timeSeries("ts_sec", 600)
+      .intFilterGt("ts_sec", 1704100000L) // NOT bucket-aligned on purpose
+      .limitTo(100)
+      .run(Tables.events(s, dir))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q197SkewedLinkage, q198SkewQuotaCap, q199PpmPhash, q200MarginLsh,
-      q201PhashNearDup)
+      q201PhashNearDup, q202Dsl3vl, q203DslTimeAlign)
 }
