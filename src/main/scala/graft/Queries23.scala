@@ -361,7 +361,38 @@ object Queries23 {
       .run(Tables.events(s, dir))
   }
 
+  /** Multiple agg columns in one DSL query (previously spec-only): one
+    * `-int value2,user_id -op avg` pass produces BOTH per-column
+    * averages, each over its own POPULATED denominator
+    * (aggregate.go:246-259), plus the shared Count/Samples — sybil's
+    * multi-column aggregate surface. Nulls are manufactured in-plan
+    * (the fixture is null-free) so value2's denominator genuinely
+    * differs from Count — exactly the per-column-denominator semantic
+    * this anchors. */
+  val q204DslMultiAgg: (String, QueryDef) = q(
+    "q204_dsl_multi_agg",
+    """SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS Count, COUNT(*) AS Samples,
+      |  CAST(SUM(CAST(value2 AS DECIMAL(38,6))) AS DOUBLE)
+      |    / COUNT(value2) AS value2_avg,
+      |  CAST(SUM(CAST(user_id AS DECIMAL(38,6))) AS DOUBLE)
+      |    / COUNT(user_id) AS user_id_avg
+      |FROM (SELECT event_type, user_id,
+      |        CASE WHEN user_id % 7 = 0 THEN NULL ELSE value END AS value2
+      |      FROM events)
+      |GROUP BY event_type
+      |ORDER BY Count DESC, event_type LIMIT 100""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.dsl.SybilQuery()
+      .groupBy("event_type")
+      .aggregate("value2", "user_id")
+      .withOp(graft.dsl.AggOp.AvgOp)
+      .limitTo(100)
+      .run(Tables.events(s, dir).withColumn("value2",
+        when(col("user_id") % 7 === 0, lit(null)).otherwise(col("value"))))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q197SkewedLinkage, q198SkewQuotaCap, q199PpmPhash, q200MarginLsh,
-      q201PhashNearDup, q202Dsl3vl, q203DslTimeAlign)
+      q201PhashNearDup, q202Dsl3vl, q203DslTimeAlign, q204DslMultiAgg)
 }
