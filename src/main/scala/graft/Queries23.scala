@@ -392,7 +392,50 @@ object Queries23 {
         when(col("user_id") % 7 === 0, lit(null)).otherwise(col("value"))))
   }
 
+  /** Isotonic calibration curve ([[graft.core.Stats.isotonicCalibration]]):
+    * the monotone PAV fit of P(lang = 'en') against document length over
+    * 12 equal-width n_chars bins — the map a filtering pipeline applies
+    * between a raw quality score and a probability threshold (q144 AUC
+    * diagnoses this score; q145 plots it; this CORRECTS it). The oracle
+    * replays the max-min closed form: identical integer bin ids from the
+    * same extents, every candidate span mean one IEEE division of exact
+    * integer sums, min/max picking among identical doubles. */
+  val q205IsotonicFit: (String, QueryDef) = q(
+    "q205_isotonic_fit",
+    """WITH src AS (
+      |  SELECT CAST(n_chars AS BIGINT) AS s,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |ext AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM src),
+      |b AS (
+      |  SELECT ((s - lo) * 12) // (hi - lo + 1) AS bin,
+      |    COUNT(*) AS n, SUM(y) AS n_pos
+      |  FROM src CROSS JOIN ext GROUP BY 1),
+      |a AS (
+      |  SELECT j.bin AS j, k.bin AS k,
+      |    CAST(SUM(m.n_pos) AS DOUBLE) / CAST(SUM(m.n) AS DOUBLE) AS a
+      |  FROM b j JOIN b k ON j.bin <= k.bin
+      |  JOIN b m ON m.bin >= j.bin AND m.bin <= k.bin
+      |  GROUP BY 1, 2),
+      |f AS (
+      |  SELECT i, MAX(m) AS fitted FROM (
+      |    SELECT a.j AS j, i.bin AS i, MIN(a.a) AS m
+      |    FROM a JOIN b i ON a.j <= i.bin AND a.k >= i.bin
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT b.bin AS bin, CAST(b.n AS BIGINT) AS n,
+      |  CAST(b.n_pos AS BIGINT) AS n_pos,
+      |  CAST(b.n_pos AS DOUBLE) / CAST(b.n AS DOUBLE) AS emp_rate,
+      |  f.fitted AS fitted
+      |FROM b JOIN f ON b.bin = f.i ORDER BY bin""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.core.Stats.isotonicCalibration(t("documents"),
+        col("n_chars"), col("lang") === "en", bins = 12)
+      .orderBy(col("bin"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q197SkewedLinkage, q198SkewQuotaCap, q199PpmPhash, q200MarginLsh,
-      q201PhashNearDup, q202Dsl3vl, q203DslTimeAlign, q204DslMultiAgg)
+      q201PhashNearDup, q202Dsl3vl, q203DslTimeAlign, q204DslMultiAgg,
+      q205IsotonicFit)
 }

@@ -1238,4 +1238,79 @@ object Stats {
       .agg(min(col("__n")).as("n_slopes"),
         ((min(col("__s")) + max(col("__s"))) / 2.0).as("theil_sen_slope"))
   }
+
+  /** Isotonic calibration of a binary outcome against a score: the
+    * monotone least-squares fit (what pool-adjacent-violators computes)
+    * over `bins` equal-width score bins — the calibration map that turns
+    * a raw quality-classifier score into a usable P(label), the step a
+    * filtering pipeline needs between "model says 0.83" and "keep
+    * everything above precision 0.9" (the [[groupedAuc]] / reliability-
+    * curve companion: those DIAGNOSE the score, this one corrects it).
+    *
+    * Computed via the max-min closed form over the bin rollup,
+    * `fitted(i) = max_{j≤i} min_{k≥i} wmean(y, bins j..k)` (Robertson/
+    * Wright/Dykstra, "Order Restricted Statistical Inference", eq. 1.9 —
+    * identical to the PAV recursion, but expressible as three bounded
+    * joins instead of a sequential pooling loop). Exact and engine-
+    * replayable: bin ids are integer arithmetic on the collected [lo, hi]
+    * extents (one scalar row, the SybilQuery extents precedent), every
+    * candidate mean is ONE IEEE division of exact integer sums, and the
+    * min/max lattice picks among identical doubles in any engine.
+    *
+    * Scale shape: ONE partial-aggregated shuffle of the corpus onto ≤bins
+    * keys; everything after runs on the ≤bins-row rollup (the pair/span
+    * frames are ≤bins² and ≤bins³/6 rows — at the default 12 bins, 78 and
+    * ~360 rows), so the minimax lattice costs nothing at any corpus size.
+    * Empty bins simply don't appear: pooling is over OBSERVED bins, which
+    * leaves the fit unchanged (an empty bin contributes weight 0 to every
+    * span containing it).
+    *
+    * Output: `(bin, n, n_pos, emp_rate, fitted)`, fitted non-decreasing
+    * in bin. Null/uncastable scores are excluded (they have no bin);
+    * `labelCond` must be null-free (wrap in `coalesce`/`isNotNull` if the
+    * underlying column can be null — a null condition row would
+    * silently count as negative).
+    */
+  def isotonicCalibration(df: DataFrame, scoreCol: Column, labelCond: Column,
+      bins: Int = 12): DataFrame = {
+    require(bins >= 1 && bins <= 10000,
+      s"isotonicCalibration: bins must be in 1..10000, got $bins")
+    val src = df.select(scoreCol.cast(LongType).as("__s"),
+        when(labelCond, 1L).otherwise(0L).as("__y"))
+      .filter(col("__s").isNotNull)
+    // the only driver-side values: the score extents (one scalar row)
+    val extRow = src.agg(min(col("__s")), max(col("__s"))).collect()(0)
+    require(!extRow.isNullAt(0),
+      "isotonicCalibration: no non-null castable scores")
+    val lo = extRow.getLong(0)
+    val hi = extRow.getLong(1)
+    // overflow guard in exact BigInt (division-form long guards get the
+    // edge cases wrong when lo is very negative)
+    require((BigInt(hi) - BigInt(lo) + 1) * bins <= BigInt(Long.MaxValue),
+      s"isotonicCalibration: score span [$lo, $hi] * $bins bins overflows")
+    val b = PlanCache.register(src
+      .select(expr(s"((__s - ${lo}L) * $bins) div (${hi}L - ${lo}L + 1L)")
+        .as("bin"), col("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos")))
+    // every span's weighted mean: (j, k) pairs joined to their member
+    // bins — bounded theta joins on the rollup, never on data
+    val spanMean = b.select(col("bin").as("j"))
+      .join(b.select(col("bin").as("k")), col("j") <= col("k"))
+      .join(b.select(col("bin").as("m"), col("n"), col("n_pos")),
+        col("m") >= col("j") && col("m") <= col("k"))
+      .groupBy(col("j"), col("k"))
+      .agg((sum(col("n_pos")).cast(DoubleType) /
+        sum(col("n")).cast(DoubleType)).as("a"))
+    val fit = spanMean
+      .join(b.select(col("bin").as("i")),
+        col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("j"), col("i")).agg(min(col("a")).as("__m"))
+      .groupBy(col("i")).agg(max(col("__m")).as("fitted"))
+    b.join(fit, col("bin") === col("i"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("emp_rate"),
+        col("fitted"))
+  }
 }

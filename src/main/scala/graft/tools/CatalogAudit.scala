@@ -70,6 +70,12 @@ object CatalogAudit {
     //    bounded tables (per-slice totals, the top-F word list).
     "q191_burrows_delta" -> (1, 0, 0),
     "q142_priority_sample" -> (1, 0, 0),
+    //  - q205: the isotonic minimax lattice's (j ≤ k) pair and span
+    //    theta joins run on the PlanCache-pinned ≤12-row bin rollup
+    //    (one row per equal-width score bin by construction); the pin's
+    //    InMemoryRelation leaf hides the bounding groupBy from the
+    //    estimator, as in q60/q150.
+    "q205_isotonic_fit" -> (2, 0, 0),
     //  - q150: TWO one-row scalar broadcasts — the totals frame (now
     //    derived from the PlanCache-pinned vocabulary rollup, whose
     //    cached-leaf stats the estimator can't size) and the priors row.
