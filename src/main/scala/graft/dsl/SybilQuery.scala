@@ -291,8 +291,13 @@ final case class SybilQuery(
           // silently binning at value 0 with full weight.
           val cv = col(c).cast(LongType)
           val v = coalesce(cv, lit(0L))
+          // a DATA weight of Long.MinValue would forge the sentinel and
+          // vanish silently (while Count still summed it); remap it to -1
+          // so the aggregator's negative-weight rejection fires loudly
+          // like every other negative
+          val rawW = coalesce(w.cast(LongType), lit(0L))
           val wv = when(cv.isNotNull,
-            coalesce(w.cast(LongType), lit(0L)))
+            when(rawW === lit(Long.MinValue), lit(-1L)).otherwise(rawW))
             .otherwise(lit(Long.MinValue))
           (if (useNestedHist)
             graft.functions.NestedHist.nestedHist(v, wv, mn, mx, histBuckets)

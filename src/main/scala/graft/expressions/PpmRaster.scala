@@ -125,7 +125,12 @@ case class GraftSynthPpm(wE: Expression, hE: Expression, aE: Expression,
     // inputs and sail under the cap
     require(w > 0 && h > 0 && h <= (1L << 22) / w,
       s"graft_synth_ppm: need 0 < w*h <= 2^22, got ${w}x$h")
-    require(a >= 0 && b >= 0, "graft_synth_ppm: a, b must be >= 0")
+    // upper-bounded so x*a + y*b stays exact in Long (x, y < 2^22, so
+    // coefficients up to 2^20 keep each term under 2^42): an unbounded
+    // coefficient would wrap and silently diverge from the documented
+    // (x·a + y·b) mod 256 an oracle replays in HUGEINT
+    require(a >= 0 && b >= 0 && a <= (1L << 20) && b <= (1L << 20),
+      s"graft_synth_ppm: a, b must be in [0, 2^20], got $a, $b")
     val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
     val out = new Array[Byte](header.length + (w * h * 3).toInt)
     System.arraycopy(header, 0, out, 0, header.length)

@@ -137,8 +137,17 @@ class BasicHistAggregator(
   }
 
   def finish(b: HistBuf): HistResult = {
-    if (b.count == 0)
-      return HistResult(0, 0, 0.0, 0, 0, 0.0, Array.empty, Array.empty, Array.empty)
+    if (b.count == 0) {
+      // no mass, but possibly real records: a group whose rows all carry
+      // genuine zero weights still observed samples and extents (reduce
+      // updates them before adding mass) — report those; mean/stddev/
+      // percentiles have no mass to stand on and stay 0/empty. A truly
+      // empty buffer (samples == 0) keeps the all-zero row.
+      val mn = if (b.samples > 0) b.min else 0L
+      val mx = if (b.samples > 0) b.max else 0L
+      return HistResult(0, b.samples, 0.0, mn, mx, 0.0,
+        Array.empty, Array.empty, Array.empty)
+    }
     val mean = b.avgSum / b.count
 
     // percentile walk (hist_basic.go:153-183), with two deviations: no

@@ -61,8 +61,13 @@ class LogHistAggregator(
   }
 
   def finish(b: HistBuf): HistResult = {
-    if (b.count == 0)
-      return HistResult(0, 0, 0.0, 0, 0, 0.0, Array.empty, Array.empty, Array.empty)
+    if (b.count == 0) {
+      // all-zero-weight groups: samples/extents are real (BasicHist rule)
+      val mn = if (b.samples > 0) b.min else 0L
+      val mx = if (b.samples > 0) b.max else 0L
+      return HistResult(0, b.samples, 0.0, mn, mx, 0.0,
+        Array.empty, Array.empty, Array.empty)
+    }
     val mean = b.avgSum / b.count
 
     val pcts = new Array[Long](101)

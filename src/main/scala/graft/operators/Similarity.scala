@@ -1130,14 +1130,20 @@ object Similarity {
       topK: Int = 50, planes: Int = 8, seed: Int = 42,
       dims: Int = 64): DataFrame = {
     require(kNeigh >= 1 && topK >= 1, "marginMiningLsh: kNeigh, topK >= 1")
+    // norms are computed ONCE per row at scan time, not once per joined
+    // candidate (each vector's self-dot would otherwise re-fold per pair
+    // it appears in — 2 of every 3 dot products redundant); sqrt of the
+    // same self-dot multiplied in the same order is bit-identical to the
+    // per-pair cosine() form the oracle replays
     def side(label: Int, pre: String): DataFrame =
       emb.filter(col(labelCol) === label)
         .select(col(idCol).as(s"${pre}id"), col(vecCol).as(s"${pre}v"),
+          norm(col(vecCol)).as(s"${pre}n"),
           bucketCol(vecCol, planes, seed, dims).as(s"${pre}bk"))
     val cos = side(srcLabel, "s_").join(side(tgtLabel, "t_"),
         col("s_bk") === col("t_bk"))
       .select(col("s_id"), col("t_id"),
-        cosine(col("s_v"), col("t_v")).as("cos"))
+        (dot(col("s_v"), col("t_v")) / (col("s_n") * col("t_n"))).as("cos"))
     marginScore(cos, kNeigh, topK)
   }
 }

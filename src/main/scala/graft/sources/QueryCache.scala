@@ -62,9 +62,11 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
       extents: Map[String, (Long, Long)] = Map.empty): String = {
     val kept = q.filters.filterNot(dropped.contains)
     md5hex(Seq(
-      "v=4", // partial-format version: bump on schema/convention changes
+      "v=5", // partial-format version: bump on schema/convention changes
              // (v4: hist null-row sentinel Long.MinValue; zero and
-             // negative weights are real records)
+             // negative weights are real records. v5: a data weight of
+             // Long.MinValue rejects loudly instead of forging the
+             // sentinel; all-zero-weight groups keep samples/extents)
       "g=" + q.groups.mkString(","),
       "a=" + q.aggCols.mkString(","),
       "d=" + q.distinctCols.mkString(","),
@@ -132,8 +134,11 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
             // convention, kept in lockstep for cache parity
             val cv = col(c).cast(LongType)
             val v = coalesce(cv, lit(0L))
+            // sentinel-forgery guard in lockstep with SybilQuery.run: a
+            // data weight of Long.MinValue remaps to -1 (loud rejection)
+            val rawW = coalesce(w.cast(LongType), lit(0L))
             val wv = when(cv.isNotNull,
-              coalesce(w.cast(LongType), lit(0L)))
+              when(rawW === lit(Long.MinValue), lit(-1L)).otherwise(rawW))
               .otherwise(lit(Long.MinValue))
             (if (q.useNestedHist)
               graft.functions.NestedHist.nestedHistPartial(

@@ -77,7 +77,11 @@ object ScaleGen {
     }
     rep("events")((d, k) => d
       .withColumn("event_id", shift("event_id", k))
-      .withColumn("user_id", col("user_id") + lit(k * 10000L)))
+      // same 10^7 stride as every other key: a 10^4 stride would merge
+      // users across shards once the source's user space reaches 10000
+      // (e.g. re-replicating a ScaleGen output), corrupting the event
+      // family's independent-shard property
+      .withColumn("user_id", col("user_id") + lit(k * 10000000L)))
     for (t <- Seq("nation", "region"))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")

@@ -278,6 +278,34 @@ class DslSpec extends SparkSpec {
       "zero-weight rows drive min/max")
   }
 
+  test("hist: an ALL-zero-weight group keeps its samples and extents " +
+      "(count 0, no mass statistics)") {
+    // the empty-buffer guard must not zero a group whose rows are all
+    // real but weightless — samples and observed min/max are data; only
+    // mean/stddev/percentiles have no mass to stand on
+    val zd = Seq((5L, 0L), (100L, 0L)).toDF("v", "w")
+    val r = SybilQuery().aggregate("v").weighted("w")
+      .withOp(AggOp.HistOp).limitTo(10).run(zd).collect()(0)
+    val h = r.getAs[Row]("v_hist")
+    assert(h.getAs[Long]("count") === 0L)
+    assert(h.getAs[Long]("samples") === 2L, "weightless rows are samples")
+    assert(h.getAs[Long]("min") === 5L && h.getAs[Long]("max") === 100L)
+    assert(h.getAs[Double]("mean") === 0.0 &&
+      h.getAs[Double]("stddev") === 0.0)
+  }
+
+  test("hist: a data weight of Long.MinValue cannot forge the null-row " +
+      "sentinel — it rejects like every other negative") {
+    val md = Seq((10L, 3L), (20L, Long.MinValue)).toDF("v", "w")
+    val e = intercept[Exception] {
+      SybilQuery().aggregate("v").weighted("w")
+        .withOp(AggOp.HistOp).limitTo(10).run(md).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " " + msgs(t.getCause)
+    assert(msgs(e).contains("negative weights"))
+  }
+
   test("hist: a non-castable string agg value takes the null path, not bin 0") {
     // "populated" is judged on the CAST result: under non-ANSI (where
     // cast('xyz') nulls instead of throwing) the row must be skipped like
