@@ -434,8 +434,76 @@ object Queries23 {
       .orderBy(col("bin"))
   }
 
+  /** WAV PCM decode round trip ([[graft.expressions.WavPcm]] — the audio
+    * twin of q199's pixel kernels): synthesize a mono 16-bit sawtooth
+    * per document, decode the exact stream statistics an audio-curation
+    * pass filters on (peak / loudness bases / zero crossings), block-mean
+    * decimate 4×, and re-decode. The oracle replays the synthesis formula
+    * arithmetically (generate_series + one lag window per signal) —
+    * every value an exact integer, the container never parsed in SQL. */
+  val q206WavPcm: (String, QueryDef) = q(
+    "q206_wav_pcm",
+    """WITH p AS (
+      |  SELECT doc_id, 64 + (doc_id * 7) % 193 AS n,
+      |    251 + (doc_id * 37) % 997 AS a, (doc_id * 13) % 4096 AS b
+      |  FROM documents WHERE doc_id < 150),
+      |s AS (
+      |  SELECT doc_id, n, i, ((i * a + b) % 65536) - 32768 AS v
+      |  FROM (SELECT p.*, unnest(generate_series(0, CAST(n - 1 AS BIGINT)))
+      |          AS i FROM p)),
+      |sl AS (
+      |  SELECT doc_id, n, i, v,
+      |    LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      |  FROM s),
+      |st AS (
+      |  SELECT doc_id, COUNT(*) AS n_samples, MAX(ABS(v)) AS peak,
+      |    SUM(ABS(v)) AS sum_abs, SUM(v * v) AS sum_sq,
+      |    SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+      |        THEN 1 ELSE 0 END) AS zero_crossings
+      |  FROM sl GROUP BY doc_id),
+      |d AS (
+      |  SELECT doc_id, i // 4 AS j, SUM(v) // 4 AS dv
+      |  FROM s WHERE i // 4 < n // 4 GROUP BY doc_id, i // 4),
+      |dl AS (
+      |  SELECT doc_id, j, dv,
+      |    LAG(dv) OVER (PARTITION BY doc_id ORDER BY j) AS pdv
+      |  FROM d),
+      |dst AS (
+      |  SELECT doc_id, COUNT(*) AS d_n, MAX(ABS(dv)) AS d_peak,
+      |    SUM(CASE WHEN pdv IS NOT NULL AND ((dv < 0) <> (pdv < 0))
+      |        THEN 1 ELSE 0 END) AS d_zc
+      |  FROM dl GROUP BY doc_id)
+      |SELECT st.doc_id AS doc_id,
+      |  CAST(n_samples AS BIGINT) AS n_samples,
+      |  CAST(peak AS BIGINT) AS peak,
+      |  CAST(sum_abs AS BIGINT) AS sum_abs,
+      |  CAST(sum_sq AS BIGINT) AS sum_sq,
+      |  CAST(zero_crossings AS BIGINT) AS zero_crossings,
+      |  CAST(d_n AS BIGINT) AS d_n, CAST(d_peak AS BIGINT) AS d_peak,
+      |  CAST(d_zc AS BIGINT) AS d_zc
+      |FROM st JOIN dst ON st.doc_id = dst.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val payload = call_function("graft_synth_wav",
+      lit(64L) + (d * 7) % 193, lit(8000L),
+      lit(251L) + (d * 37) % 997, (d * 13) % 4096)
+    t("documents").filter(d < 150)
+      .select(d,
+        call_function("graft_wav_pcm_stats", payload).as("st"),
+        call_function("graft_wav_pcm_stats",
+          call_function("graft_wav_decimate", payload, lit(4L))).as("dst"))
+      .select(d,
+        col("st.n_samples").as("n_samples"), col("st.peak").as("peak"),
+        col("st.sum_abs").as("sum_abs"), col("st.sum_sq").as("sum_sq"),
+        col("st.zero_crossings").as("zero_crossings"),
+        col("dst.n_samples").as("d_n"), col("dst.peak").as("d_peak"),
+        col("dst.zero_crossings").as("d_zc"))
+      .orderBy(d)
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q197SkewedLinkage, q198SkewQuotaCap, q199PpmPhash, q200MarginLsh,
       q201PhashNearDup, q202Dsl3vl, q203DslTimeAlign, q204DslMultiAgg,
-      q205IsotonicFit)
+      q205IsotonicFit, q206WavPcm)
 }

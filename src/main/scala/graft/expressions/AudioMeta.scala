@@ -75,13 +75,15 @@ object AudioMeta {
   private def tag(b: Array[Byte], i: Int, t: String): Boolean =
     b(i) == t(0) && b(i + 1) == t(1) && b(i + 2) == t(2) && b(i + 3) == t(3)
 
-  /** [channels, sampleRate, bits, durationMs] or null when the payload is
-    * not a parseable RIFF/WAVE header. */
-  def parse(b: Array[Byte]): Array[Long] = {
+  /** The ONE RIFF/WAVE chunk walk (shared with [[WavPcm]] — a drifting
+    * copy would let the metadata and PCM layers disagree on what parses):
+    * `[channels, rate, bits, byteRate, dataOff, dataSize]` or null when
+    * the payload is not a parseable RIFF/WAVE container. */
+  def chunks(b: Array[Byte]): Array[Long] = {
     if (b == null || b.length < 36) return null
     if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
     var channels = -1L; var rate = -1L; var bits = -1L; var byteRate = -1L
-    var dataSize = -1L
+    var dataSize = -1L; var dataOff = -1L
     var i = 12
     while (i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
       val size = le32(b, i + 4)
@@ -93,6 +95,7 @@ object AudioMeta {
         bits = le16(b, i + 22)
       } else if (tag(b, i, "data")) {
         dataSize = size
+        dataOff = i + 8
       }
       // chunks are word-aligned: odd sizes carry a pad byte
       i += 8 + size.toInt + (size.toInt & 1)
@@ -104,6 +107,14 @@ object AudioMeta {
     // .toInt narrowing in evalBytes — treat it as unparseable instead
     // (documented NULL), like every other malformed header.
     if (rate > Int.MaxValue || byteRate > Int.MaxValue) return null
-    Array(channels, rate, bits, dataSize * 1000L / byteRate)
+    Array(channels, rate, bits, byteRate, dataOff, dataSize)
+  }
+
+  /** [channels, sampleRate, bits, durationMs] or null when the payload is
+    * not a parseable RIFF/WAVE header. */
+  def parse(b: Array[Byte]): Array[Long] = {
+    val c = chunks(b)
+    if (c == null) return null
+    Array(c(0), c(1), c(2), c(5) * 1000L / c(3))
   }
 }

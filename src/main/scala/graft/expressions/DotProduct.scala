@@ -243,5 +243,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftWinnow].getName, "graft_winnow"),
       (children: Seq[Expression]) => GraftWinnow(children(0), children(1),
         children(2), children(3))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_synth_wav"),
+      new ExpressionInfo(classOf[GraftSynthWav].getName, "graft_synth_wav"),
+      (children: Seq[Expression]) => GraftSynthWav(children(0), children(1),
+        children(2), children(3))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_wav_pcm_stats"),
+      new ExpressionInfo(classOf[GraftWavPcmStats].getName,
+        "graft_wav_pcm_stats"),
+      (children: Seq[Expression]) => GraftWavPcmStats(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_wav_decimate"),
+      new ExpressionInfo(classOf[GraftWavDecimate].getName,
+        "graft_wav_decimate"),
+      (children: Seq[Expression]) => GraftWavDecimate(children(0),
+        children(1))))
   }
 }
