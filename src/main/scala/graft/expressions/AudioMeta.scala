@@ -77,18 +77,21 @@ object AudioMeta {
 
   /** The ONE RIFF/WAVE chunk walk (shared with [[WavPcm]] — a drifting
     * copy would let the metadata and PCM layers disagree on what parses):
-    * `[channels, rate, bits, byteRate, dataOff, dataSize]` or null when
-    * the payload is not a parseable RIFF/WAVE container. */
+    * `[channels, rate, bits, byteRate, dataOff, dataSize, format]` or
+    * null when the payload is not a parseable RIFF/WAVE container. The
+    * format tag travels so the PCM layer can refuse non-PCM payloads;
+    * the metadata layer reports any format (duration is rate math). */
   def chunks(b: Array[Byte]): Array[Long] = {
     if (b == null || b.length < 36) return null
     if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
     var channels = -1L; var rate = -1L; var bits = -1L; var byteRate = -1L
-    var dataSize = -1L; var dataOff = -1L
+    var dataSize = -1L; var dataOff = -1L; var format = -1L
     var i = 12
     while (i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
       val size = le32(b, i + 4)
       if (tag(b, i, "fmt ")) {
         if (i + 8 + 16 > b.length) return null
+        format = le16(b, i + 8)
         channels = le16(b, i + 10)
         rate = le32(b, i + 12)
         byteRate = le32(b, i + 16)
@@ -107,7 +110,7 @@ object AudioMeta {
     // .toInt narrowing in evalBytes — treat it as unparseable instead
     // (documented NULL), like every other malformed header.
     if (rate > Int.MaxValue || byteRate > Int.MaxValue) return null
-    Array(channels, rate, bits, byteRate, dataOff, dataSize)
+    Array(channels, rate, bits, byteRate, dataOff, dataSize, format)
   }
 
   /** [channels, sampleRate, bits, durationMs] or null when the payload is

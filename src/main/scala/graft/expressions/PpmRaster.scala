@@ -246,10 +246,14 @@ case class GraftPpmPhash(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftPpmPhash", this,
       classOf[GraftPpmPhash].getName)
+    // fresh local: with a non-nullable child nullSafeCodeGen emits the
+    // snippet unbraced — a fixed name collides when two instances share
+    // one codegen method
+    val r = ctx.freshName("phash")
     nullSafeCodeGen(ctx, ev, b => s"""
-      Object r = $ref.nullSafeEvalPub($b);
-      if (r == null) { ${ev.isNull} = true; } else {
-        ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r;
+      Object $r = $ref.nullSafeEvalPub($b);
+      if ($r == null) { ${ev.isNull} = true; } else {
+        ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $r;
       }""")
   }
   def nullSafeEvalPub(input: Any): Any = nullSafeEval(input)

@@ -34,8 +34,11 @@ object WavPcm {
   def pcm(b: Array[Byte]): Pcm = {
     val c = AudioMeta.chunks(b)
     if (c == null) return null
-    val Array(channels, rate, bits, _, off, size) = c
-    if (bits != 16L || off < 0) return null
+    val Array(channels, rate, bits, _, off, size, format) = c
+    // format tag 1 = integer PCM: an ADPCM/float/extensible payload with
+    // bits=16 would otherwise decode its compressed bytes as samples —
+    // exactly the "garbage, never NULL" outcome the contract forbids
+    if (format != 1L || bits != 16L || off < 0) return null
     if ((size & 1L) == 1L) return null
     if (off + size > b.length) return null
     Pcm(channels.toInt, rate.toInt, off.toInt, (size / 2).toInt)
@@ -195,10 +198,14 @@ case class GraftWavPcmStats(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftWavPcmStats", this,
       classOf[GraftWavPcmStats].getName)
+    // fresh local: with a non-nullable child nullSafeCodeGen emits the
+    // snippet unbraced, so a fixed name would collide when two instances
+    // share one codegen method (the AudioMeta ctx.freshName convention)
+    val r = ctx.freshName("wavStats")
     nullSafeCodeGen(ctx, ev, b => s"""
-      Object r = $ref.nullSafeEvalPub($b);
-      if (r == null) { ${ev.isNull} = true; } else {
-        ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r;
+      Object $r = $ref.nullSafeEvalPub($b);
+      if ($r == null) { ${ev.isNull} = true; } else {
+        ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $r;
       }""")
   }
   def nullSafeEvalPub(input: Any): Any = nullSafeEval(input)

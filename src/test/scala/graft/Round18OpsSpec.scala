@@ -26,7 +26,8 @@ class Round18OpsSpec extends SparkSpec {
       val row = spark.sql(
         s"""SELECT graft_wav_pcm_stats(w) AS st,
            |  graft_wav_pcm_stats(graft_wav_decimate(w, ${k}L)) AS dst,
-           |  graft_audio_meta(w) AS meta
+           |  graft_audio_meta(w) AS meta,
+           |  graft_audio_meta(graft_wav_decimate(w, ${k}L)) AS dmeta
            |FROM (SELECT graft_synth_wav(${n}L, 8000L, ${a}L, ${b}L) AS w)"""
           .stripMargin).collect()(0)
       val st = row.getAs[Row]("st")
@@ -39,11 +40,29 @@ class Round18OpsSpec extends SparkSpec {
         dst.getLong(4)) === ((dn, dp, dsa, dsq, dzc)),
         s"decimated stats n=$n a=$a b=$b k=$k")
       // the container re-enters the metadata layer: mono, 16-bit, the
-      // decimated rate divides down
+      // decimated container's rate field divides down
       val meta = row.getAs[Row]("meta")
       assert(meta.getInt(0) === 1 && meta.getInt(1) === 8000 &&
         meta.getInt(2) === 16)
+      val dmeta = row.getAs[Row]("dmeta")
+      assert(dmeta.getInt(0) === 1 && dmeta.getInt(1) === 8000 / k &&
+        dmeta.getInt(2) === 16, s"decimated rate k=$k")
     }
+  }
+
+  test("WAV PCM codegen: two non-nullable stats in one projection " +
+      "(unbraced nullSafeCodeGen snippets must not collide)") {
+    val r = spark.sql(
+      """SELECT graft_wav_pcm_stats(graft_synth_wav(10L, 8000L, 3L, 1L))
+        |    AS a,
+        |  graft_wav_pcm_stats(graft_synth_wav(20L, 8000L, 5L, 2L)) AS b,
+        |  graft_ppm_phash(graft_synth_ppm(9L, 9L, 1L, 2L)) AS c,
+        |  graft_ppm_phash(graft_synth_ppm(10L, 10L, 2L, 3L)) AS d"""
+        .stripMargin).collect()(0)
+    assert(r.getAs[Row]("a").getLong(0) === 10L)
+    assert(r.getAs[Row]("b").getLong(0) === 20L)
+    assert(r.getAs[Row]("c").getInt(0) === 9)
+    assert(r.getAs[Row]("d").getInt(0) === 10)
   }
 
   test("WAV PCM kernels: malformed, non-PCM16, stereo, and undersized " +
@@ -73,6 +92,22 @@ class Round18OpsSpec extends SparkSpec {
       "graft_wav_decimate(w, 2L) AS d").collect()(0)
     assert(!r2.isNullAt(0), "stream stats decode any channel count")
     assert(r2.isNullAt(1), "decimate is mono-only")
+    // a non-PCM format tag (ADPCM = 2) with bits=16 must NOT decode: the
+    // payload bytes are compressed, not samples — but metadata still
+    // reports the container
+    val wav3 = spark.sql("SELECT graft_synth_wav(10L, 8000L, 3L, 1L) AS w")
+      .collect()(0).getAs[Array[Byte]](0)
+    wav3(20) = 2
+    val df3 = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(wav3)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.BinaryType))))
+    val r3 = df3.selectExpr("graft_wav_pcm_stats(w) AS st",
+      "graft_wav_decimate(w, 2L) AS d",
+      "graft_audio_meta(w) AS m").collect()(0)
+    assert(r3.isNullAt(0) && r3.isNullAt(1), "non-PCM payloads never decode")
+    assert(!r3.isNullAt(2), "metadata reports any format")
   }
 
   test("isotonicCalibration fuzz: minimax lattice == in-memory PAV over " +
