@@ -502,8 +502,54 @@ object Queries23 {
       .orderBy(d)
   }
 
+  /** URL canonicalization + dedup ([[graft.expressions.UrlCanon]]): six
+    * cosmetic variants of each synthesized page URL — uppercase
+    * scheme/host, explicit default port, tracking params, fragment,
+    * trailing slash — collapse onto one canonical dedup key (the C4/CCNet
+    * URL-level dedup the crawl pipeline runs before any content pass).
+    * The oracle rebuilds the canonical form directly from the generating
+    * parts (the q206 convention — replay the formula, never the parse):
+    * five variants fold into the bare page key, the real `?a=1` query
+    * survives as its own key with the tracking params stripped. */
+  val q207UrlCanon: (String, QueryDef) = q(
+    "q207_url_canon_dedup",
+    """WITH p AS (
+      |  SELECT doc_id, doc_id // 6 AS g, doc_id % 6 AS v
+      |  FROM documents WHERE doc_id < 300),
+      |c AS (
+      |  SELECT doc_id,
+      |    'http://ex' || CAST(g % 7 AS VARCHAR) || '.test' ||
+      |    '/p' || CAST(g % 13 AS VARCHAR) || '/page' || CAST(g AS VARCHAR)
+      |    || CASE WHEN v = 3 THEN '?a=1' ELSE '' END AS canon
+      |  FROM p)
+      |SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_variants,
+      |  CAST(MIN(doc_id) AS BIGINT) AS keep_id
+      |FROM c GROUP BY canon ORDER BY canon""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val g = expr("doc_id div 6")
+    val v = d % 6
+    val host = concat(lit("ex"), (g % 7).cast("string"), lit(".test"))
+    val path = concat(lit("/p"), (g % 13).cast("string"),
+      lit("/page"), g.cast("string"))
+    val raw = concat(
+      when(v === 1, concat(lit("HTTP://"), upper(host)))
+        .otherwise(concat(lit("http://"), host)),
+      when(v === 2, lit(":80")).otherwise(lit("")),
+      path,
+      when(v === 3, lit("?a=1&utm_source=x&utm_campaign=y"))
+        .when(v === 4, lit("#frag"))
+        .when(v === 5, lit("/"))
+        .otherwise(lit("")))
+    t("documents").filter(d < 300)
+      .select(d, call_function("graft_canon_url", raw).as("canon"))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_variants"), min(d).as("keep_id"))
+      .orderBy(col("canon"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q197SkewedLinkage, q198SkewQuotaCap, q199PpmPhash, q200MarginLsh,
       q201PhashNearDup, q202Dsl3vl, q203DslTimeAlign, q204DslMultiAgg,
-      q205IsotonicFit, q206WavPcm)
+      q205IsotonicFit, q206WavPcm, q207UrlCanon)
 }

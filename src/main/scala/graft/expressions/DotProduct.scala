@@ -259,5 +259,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_wav_decimate"),
       (children: Seq[Expression]) => GraftWavDecimate(children(0),
         children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_canon_url"),
+      new ExpressionInfo(classOf[GraftCanonUrl].getName, "graft_canon_url"),
+      (children: Seq[Expression]) => GraftCanonUrl(children(0))))
   }
 }

@@ -110,6 +110,32 @@ class Round18OpsSpec extends SparkSpec {
     assert(!r3.isNullAt(2), "metadata reports any format")
   }
 
+  test("graft_canon_url: case, default ports, fragments, tracking " +
+      "params, trailing slashes — and the things it must NOT touch") {
+    import graft.expressions.UrlCanon.canon
+    assert(canon("HTTP://Ex.COM:80/A/b/?utm_source=x&a=1&ref=z#frag")
+      === "http://ex.com/A/b?a=1")
+    assert(canon("https://H.test:443/x") === "https://h.test/x")
+    // non-default ports and non-http(s) schemes keep their port
+    assert(canon("http://h.test:8080/x") === "http://h.test:8080/x")
+    assert(canon("ftp://H.test:80/X") === "ftp://h.test:80/X")
+    // path case and param ORDER are preserved; only tracking keys drop
+    assert(canon("http://h.test/P?b=2&a=1&gclid=g&mc_cid=m")
+      === "http://h.test/P?b=2&a=1")
+    // all-tracking query drops the '?' entirely; root slash folds
+    assert(canon("http://h.test/?utm_campaign=c") === "http://h.test")
+    assert(canon(" http://a.b/c ") === "http://a.b/c")
+    assert(canon("no scheme here") === null)
+    assert(canon("://host/x") === null)
+    assert(canon("http:///path") === null)
+    assert(canon(null) === null)
+    // the expression path agrees with the function
+    val r = spark.sql("""SELECT
+      |graft_canon_url(' HTTPS://WWW.Ex.TEST:443/Page/?fbclid=f&q=1#top')
+      |AS c""".stripMargin).collect()(0)
+    assert(r.getString(0) === "https://www.ex.test/Page?q=1")
+  }
+
   test("isotonicCalibration fuzz: minimax lattice == in-memory PAV over " +
       "random score/label draws, every bin count") {
     for (seed <- Seq(7, 31, 55); bins <- Seq(1, 5, 12)) {
