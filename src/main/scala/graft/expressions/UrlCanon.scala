@@ -54,7 +54,12 @@ object UrlCanon {
     val (hostport, tail) =
       if (pe < 0) (rest, "") else (rest.substring(0, pe), rest.substring(pe))
     if (hostport.isEmpty) return null
-    var host = hostport.toLowerCase
+    // userinfo is CASE-SENSITIVE (RFC 3986 §3.2.1) — only the host part
+    // of the authority lowercases
+    val at = hostport.lastIndexOf('@')
+    val userinfo = if (at >= 0) hostport.substring(0, at + 1) else ""
+    var host = hostport.substring(at + 1).toLowerCase
+    if (host.isEmpty) return null
     val defPort =
       if (scheme == "http") ":80" else if (scheme == "https") ":443" else null
     if (defPort != null && host.endsWith(defPort))
@@ -70,7 +75,7 @@ object UrlCanon {
         val ps = query.split("&", -1).filter(p => p.nonEmpty && !isTracking(p))
         if (ps.isEmpty) "" else "?" + ps.mkString("&")
       }
-    scheme + "://" + host + path + kept
+    scheme + "://" + userinfo + host + path + kept
   }
 }
 

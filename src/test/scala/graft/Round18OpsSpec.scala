@@ -125,6 +125,9 @@ class Round18OpsSpec extends SparkSpec {
     // all-tracking query drops the '?' entirely; root slash folds
     assert(canon("http://h.test/?utm_campaign=c") === "http://h.test")
     assert(canon(" http://a.b/c ") === "http://a.b/c")
+    // userinfo is case-sensitive (RFC 3986): only the host lowercases
+    assert(canon("http://User:Pw@Ex.COM:80/P") === "http://User:Pw@ex.com/P")
+    assert(canon("http://user@/p") === null)
     assert(canon("no scheme here") === null)
     assert(canon("://host/x") === null)
     assert(canon("http:///path") === null)
