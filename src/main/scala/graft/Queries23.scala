@@ -548,8 +548,45 @@ object Queries23 {
       .orderBy(col("canon"))
   }
 
+  /** Unigram-tokenizer seed vocabulary ([[graft.operators.Unigram]] —
+    * the SentencePiece family next to q157's BPE): every 1..4-gram
+    * substring of every corpus word counted by word frequency, all
+    * single characters force-kept (the coverage guarantee), top
+    * multi-character pieces filling the remaining slots under the
+    * (count desc, piece asc) total order. This is the trainer's exact
+    * SQL-replayable stage — the Viterbi EM rounds on top of it are
+    * spec-verified against an in-memory reference (no SQL engine can
+    * replay the DP), the q32 exact-companion convention. */
+  val q208UnigramSeed: (String, QueryDef) = q(
+    "q208_unigram_seed",
+    """WITH w AS (
+      |  SELECT w, COUNT(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) > 0 GROUP BY w),
+      |xs AS (SELECT w, freq, unnest(generate_series(1, length(w))) AS i
+      |       FROM w),
+      |ps AS (SELECT substr(w, CAST(i AS INT), CAST(j - i + 1 AS INT))
+      |         AS piece, freq
+      |       FROM (SELECT w, freq, i,
+      |               unnest(generate_series(i, least(i + 3, length(w))))
+      |                 AS j
+      |             FROM xs)),
+      |c AS (SELECT piece, SUM(freq) AS cnt FROM ps GROUP BY piece),
+      |ch AS (SELECT piece, cnt FROM c WHERE length(piece) = 1),
+      |mu AS (SELECT piece, cnt FROM c WHERE length(piece) > 1
+      |       QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, piece)
+      |         <= 150 - (SELECT COUNT(*) FROM ch))
+      |SELECT piece, CAST(cnt AS BIGINT) AS cnt
+      |FROM (SELECT * FROM ch UNION ALL SELECT * FROM mu)
+      |ORDER BY piece""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    graft.operators.Unigram.seedVocab(t("documents"), "text",
+        maxLen = 4, vocabSize = 150)
+      .orderBy(col("piece"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q197SkewedLinkage, q198SkewQuotaCap, q199PpmPhash, q200MarginLsh,
       q201PhashNearDup, q202Dsl3vl, q203DslTimeAlign, q204DslMultiAgg,
-      q205IsotonicFit, q206WavPcm, q207UrlCanon)
+      q205IsotonicFit, q206WavPcm, q207UrlCanon, q208UnigramSeed)
 }

@@ -263,5 +263,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_canon_url"),
       new ExpressionInfo(classOf[GraftCanonUrl].getName, "graft_canon_url"),
       (children: Seq[Expression]) => GraftCanonUrl(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_viterbi_segment"),
+      new ExpressionInfo(classOf[GraftViterbiSegment].getName,
+        "graft_viterbi_segment"),
+      (children: Seq[Expression]) => GraftViterbiSegment(children(0),
+        children(1), children(2))))
   }
 }
