@@ -139,6 +139,27 @@ class Round18OpsSpec extends SparkSpec {
     assert(r.getString(0) === "https://www.ex.test/Page?q=1")
   }
 
+  test("graft_canon_url fuzz: idempotent on random messy URLs (a " +
+      "canonical form must be its own canonical form)") {
+    val rnd = new scala.util.Random(97)
+    val schemes = Seq("http", "HTTP", "https", "ftp")
+    val hosts = Seq("Ex.COM", "a.b.c", "x", "[::1]", "User:P@H.io")
+    val ports = Seq("", ":80", ":443", ":8080")
+    val paths = Seq("", "/", "/A/b", "/A/b/", "//x")
+    val queries = Seq("", "?a=1", "?utm_source=s", "?b=2&utm_a=1&a=1",
+      "?ref=r&gclid=g", "?&&a=1")
+    val frags = Seq("", "#f", "#a?b=1")
+    for (_ <- 1 to 200) {
+      def pick[T](xs: Seq[T]) = xs(rnd.nextInt(xs.size))
+      val u = s"${pick(schemes)}://${pick(hosts)}${pick(ports)}" +
+        s"${pick(paths)}${pick(queries)}${pick(frags)}"
+      val c = graft.expressions.UrlCanon.canon(u)
+      assert(c != null, s"parseable shape must canon: $u")
+      assert(graft.expressions.UrlCanon.canon(c) === c,
+        s"not idempotent: $u -> $c -> ${graft.expressions.UrlCanon.canon(c)}")
+    }
+  }
+
   test("isotonicCalibration fuzz: minimax lattice == in-memory PAV over " +
       "random score/label draws, every bin count") {
     for (seed <- Seq(7, 31, 55); bins <- Seq(1, 5, 12)) {
