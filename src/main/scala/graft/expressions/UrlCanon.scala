@@ -21,8 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `msclkid`, `mc_cid`, `mc_eid`, `ref`), OTHER params kept in their
   *    original order — reordering would conflate pages whose servers
   *    are order-sensitive;
-  *  - one trailing slash stripped from the path (`/a/` = `/a`, and the
-  *    bare root `/` = empty);
+  *  - trailing slashes stripped from the path (`/a//` = `/a/` = `/a`,
+  *    and the bare root `/` = empty) — all of them, so the output is a
+  *    fixed point of the function;
   *  - surrounding whitespace trimmed.
   *
   * NULL for anything without a `scheme://host` shape — a relative link
@@ -64,10 +65,17 @@ object UrlCanon {
       if (scheme == "http") ":80" else if (scheme == "https") ":443" else null
     if (defPort != null && host.endsWith(defPort))
       host = host.substring(0, host.length - defPort.length)
+    // an authority that was ONLY a default port ("http://:80/x") strips
+    // to an empty host — reject like every other hostless shape rather
+    // than emit a key canon() itself maps to null
+    if (host.isEmpty) return null
     val qi = tail.indexOf('?')
     var path = if (qi < 0) tail else tail.substring(0, qi)
     val query = if (qi < 0) null else tail.substring(qi + 1)
-    if (path.nonEmpty && path.endsWith("/"))
+    // ALL trailing slashes fold, not just one — the output must be a
+    // fixed point (canon(canon(u)) == canon(u)) or '/a//' and '/a' get
+    // different dedup keys
+    while (path.nonEmpty && path.endsWith("/"))
       path = path.substring(0, path.length - 1)
     val kept =
       if (query == null) ""

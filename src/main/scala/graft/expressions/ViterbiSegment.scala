@@ -60,9 +60,14 @@ case class GraftViterbiSegment(wordE: Expression, piecesE: Expression,
     var maxLen = 1
     var i = 0
     while (i < ps.numElements()) {
-      val p = ps.getUTF8String(i).toString
-      m.put(p, ss.getDouble(i))
-      if (p.length > maxLen) maxLen = p.length
+      // null piece/score elements are skipped, not crashed on: the
+      // registered function accepts containsNull arrays (the
+      // ShingleHash/TextStats totality convention)
+      if (!ps.isNullAt(i) && !ss.isNullAt(i)) {
+        val p = ps.getUTF8String(i).toString
+        m.put(p, ss.getDouble(i))
+        if (p.length > maxLen) maxLen = p.length
+      }
       i += 1
     }
     (m, maxLen)

@@ -93,19 +93,26 @@ object Unigram {
     var vocab: Seq[(String, Long)] = seedVocab(docs, textCol, maxLen, vocabSize)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
       .sortBy(_._1)
-    val isChar = vocab.filter(_._1.length == 1).map(_._1).toSet
+    // "single character" means one CODEPOINT — the same rule as
+    // seedVocab's SQL length(). Java String.length counts UTF-16 units,
+    // which would strip supplementary-plane characters (emoji, CJK
+    // ext-B) of their force-keep coverage guarantee and silently drop
+    // every word containing them from the counts.
+    def isOneChar(p: String): Boolean =
+      p.codePointCount(0, p.length) == 1
+    val nChars = vocab.count(v => isOneChar(v._1))
     var lastCounts: Map[String, Long] = vocab.toMap
     for (_ <- 1 to iterations) {
       val counted = segmentCounts(words, vocab)
       // prune: every character survives (coverage); multi-char pieces
       // compete for the remaining slots on their fresh counts
-      val charRows = vocab.collect { case (p, _) if p.length == 1 =>
+      val charRows = vocab.collect { case (p, _) if isOneChar(p) =>
         p -> counted.getOrElse(p, 0L)
       }
-      val multiRows = vocab.collect { case (p, _) if p.length > 1 =>
+      val multiRows = vocab.collect { case (p, _) if !isOneChar(p) =>
         p -> counted.getOrElse(p, 0L)
       }.sortBy { case (p, c) => (-c, p) }
-        .take(vocabSize - isChar.size)
+        .take(vocabSize - nChars)
       vocab = charRows ++ multiRows
       lastCounts = counted
     }

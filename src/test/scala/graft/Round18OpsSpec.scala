@@ -131,6 +131,10 @@ class Round18OpsSpec extends SparkSpec {
     assert(canon("no scheme here") === null)
     assert(canon("://host/x") === null)
     assert(canon("http:///path") === null)
+    // an authority that is ONLY a default port strips to hostless → null
+    assert(canon("http://:80/x") === null)
+    // ALL trailing slashes fold — the output must be a fixed point
+    assert(canon("http://h.test/a//") === "http://h.test/a")
     assert(canon(null) === null)
     // the expression path agrees with the function
     val r = spark.sql("""SELECT
@@ -145,7 +149,7 @@ class Round18OpsSpec extends SparkSpec {
     val schemes = Seq("http", "HTTP", "https", "ftp")
     val hosts = Seq("Ex.COM", "a.b.c", "x", "[::1]", "User:P@H.io")
     val ports = Seq("", ":80", ":443", ":8080")
-    val paths = Seq("", "/", "/A/b", "/A/b/", "//x")
+    val paths = Seq("", "/", "/A/b", "/A/b/", "/A/b//", "//x")
     val queries = Seq("", "?a=1", "?utm_source=s", "?b=2&utm_a=1&a=1",
       "?ref=r&gclid=g", "?&&a=1")
     val frags = Seq("", "#f", "#a?b=1")

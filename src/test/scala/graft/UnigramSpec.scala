@@ -133,6 +133,31 @@ class UnigramSpec extends SparkSpec {
     assert(r.getSeq[String](3) === Seq.empty)
   }
 
+  test("viterbi kernel: null piece/score elements are skipped, not " +
+      "crashed on") {
+    val r = spark.sql(
+      """SELECT graft_viterbi_segment('ab',
+        |  array('a', CAST(NULL AS STRING), 'b'),
+        |  array(-1.0D, -1.0D, -2.0D)) AS s""".stripMargin).collect()(0)
+    assert(r.getSeq[String](0) === Seq("a", "b"))
+  }
+
+  test("supplementary-plane characters keep their force-keep coverage " +
+      "(codepoints, not UTF-16 units)") {
+    // U+1D11E (musical G clef) is 2 UTF-16 units but ONE character: the
+    // trainer must classify it as a force-kept char, or every word
+    // containing it silently drops from the counts after pruning
+    val astral = "𝄞"
+    val docs = Seq.fill(30)(s"abc${astral}d abc abc abc${astral}d")
+    val vocabDf = Unigram.train(docs.toDF("text"), "text",
+      vocabSize = 8, iterations = 2)
+    val rows = vocabDf.collect().map(r =>
+      r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.contains(astral), s"astral char pruned: ${rows.keySet}")
+    // the word containing it was actually counted, not dropped
+    assert(rows(astral) > 0L)
+  }
+
   test("trained tokenizer segments the whole corpus (character coverage " +
       "survives pruning) and conserves counts") {
     val docs = corpus(23)
