@@ -505,12 +505,15 @@ object Queries23 {
   /** URL canonicalization + dedup ([[graft.expressions.UrlCanon]]): six
     * cosmetic variants of each synthesized page URL — uppercase
     * scheme/host, explicit default port, tracking params, fragment,
-    * trailing slash — collapse onto one canonical dedup key (the C4/CCNet
-    * URL-level dedup the crawl pipeline runs before any content pass).
-    * The oracle rebuilds the canonical form directly from the generating
-    * parts (the q206 convention — replay the formula, never the parse):
-    * five variants fold into the bare page key, the real `?a=1` query
-    * survives as its own key with the tracking params stripped. */
+    * trailing slash, and r11's percent-encoding games (unreserved
+    * octets encoded `%61`→`a`, a retained reserved triplet written in
+    * lowercase hex `%3d`→`%3D`) — collapse onto one canonical dedup key
+    * (the C4/CCNet URL-level dedup the crawl pipeline runs before any
+    * content pass). The oracle rebuilds the canonical form directly
+    * from the generating parts (the q206 convention — replay the
+    * formula, never the parse): five variants fold into the bare page
+    * key, the real `?a=1` query survives as its own key with the
+    * tracking params stripped. */
   val q207UrlCanon: (String, QueryDef) = q(
     "q207_url_canon_dedup",
     """WITH p AS (
@@ -519,7 +522,7 @@ object Queries23 {
       |c AS (
       |  SELECT doc_id,
       |    'http://ex' || CAST(g % 7 AS VARCHAR) || '.test' ||
-      |    '/p' || CAST(g % 13 AS VARCHAR) || '/page' || CAST(g AS VARCHAR)
+      |    '/p' || CAST(g % 13 AS VARCHAR) || '/pa%3Dge' || CAST(g AS VARCHAR)
       |    || CASE WHEN v = 3 THEN '?a=1' ELSE '' END AS canon
       |  FROM p)
       |SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_variants,
@@ -530,13 +533,20 @@ object Queries23 {
     val g = expr("doc_id div 6")
     val v = d % 6
     val host = concat(lit("ex"), (g % 7).cast("string"), lit(".test"))
-    val path = concat(lit("/p"), (g % 13).cast("string"),
-      lit("/page"), g.cast("string"))
+    // the canonical path piece is "pa%3Dge" (a RETAINED reserved
+    // triplet); variants re-spell it with lowercase hex (v=1), an
+    // encoded unreserved 'e' (v=2), and an encoded unreserved 'a' (v=4)
+    val pathAs = (piece: String) => concat(lit("/p"),
+      (g % 13).cast("string"), lit("/" + piece), g.cast("string"))
+    val path = pathAs("pa%3Dge")
     val raw = concat(
       when(v === 1, concat(lit("HTTP://"), upper(host)))
         .otherwise(concat(lit("http://"), host)),
       when(v === 2, lit(":80")).otherwise(lit("")),
-      path,
+      when(v === 1, pathAs("pa%3dge"))
+        .when(v === 2, pathAs("pa%3Dg%65"))
+        .when(v === 4, pathAs("p%61%3Dge"))
+        .otherwise(path),
       when(v === 3, lit("?a=1&utm_source=x&utm_campaign=y"))
         .when(v === 4, lit("#frag"))
         .when(v === 5, lit("/"))

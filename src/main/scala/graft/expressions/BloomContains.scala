@@ -47,11 +47,18 @@ case class GraftBloomContains(left: Expression, right: Expression)
   override def nullable: Boolean = bloom == null || right.nullable
 
   /** Deserialized once (driver side at planning/codegen, executor side on
-    * first interpreted eval after deserialization of the references). */
+    * first interpreted eval after deserialization of the references).
+    * Guarded on `left.foldable`: `nullable` runs during ANALYSIS, before
+    * checkInputDataTypes is consulted — forcing `left.eval(null)` on an
+    * attribute child would throw UnsupportedOperationException there and
+    * mask the clean 'must be foldable' type-check error. */
   @transient private lazy val bloom: BloomFilter = {
-    val bytes = left.eval(null).asInstanceOf[Array[Byte]]
-    if (bytes == null) null
-    else BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+    if (!left.foldable) null
+    else {
+      val bytes = left.eval(null).asInstanceOf[Array[Byte]]
+      if (bytes == null) null
+      else BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+    }
   }
 
   override def eval(input: InternalRow): Any = {

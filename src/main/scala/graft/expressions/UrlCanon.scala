@@ -13,9 +13,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * form is a dedup key that agrees across shards, snapshots, and
   * engines:
   *
+  *  - percent-encoding normalized (RFC 3986 §2.3 + §6.2.2.1): a
+  *    `%XX` triplet whose octet is UNRESERVED (ALPHA / DIGIT / `-` `.`
+  *    `_` `~`) decodes to the character; every other valid triplet
+  *    keeps its encoding with the hex digits uppercased (`%3d`→`%3D`);
+  *    a malformed `%` sequence is copied verbatim. Decoding is
+  *    charset-free (single octets) and can never introduce a
+  *    delimiter — `/ ? # @ : %` are all reserved, so the parse below
+  *    is unaffected;
   *  - scheme and host lowercase (RFC 3986 §6.2.2.1 — both are
   *    case-insensitive; paths are NOT touched);
-  *  - default port stripped (`:80` for http, `:443` for https);
+  *  - default port stripped (`80` for http, `443` for https), the
+  *    empty port (`host:`) folded; an authority whose port is not
+  *    `*DIGIT` — a second colon (`h:80:80`), letters — is rejected as
+  *    NULL rather than emitting a key that is not a fixed point;
   *  - fragment dropped (never sent to the server);
   *  - tracking query params removed (`utm_*`, `fbclid`, `gclid`,
   *    `msclkid`, `mc_cid`, `mc_eid`, `ref`), OTHER params kept in their
@@ -27,9 +38,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - surrounding whitespace trimmed.
   *
   * NULL for anything without a `scheme://host` shape — a relative link
-  * is not a canonicalizable document key. Percent-encoding is preserved
-  * untouched (decoding changes the key space and needs charset
-  * assumptions a pipeline should make explicitly).
+  * is not a canonicalizable document key. IDN/punycode host folding
+  * stays out of scope (needs a Unicode table the key should not depend
+  * on); the unreserved-octet rule above covers the deterministic,
+  * charset-free part of encoding normalization.
   */
 object UrlCanon {
   private def isTracking(param: String): Boolean = {
@@ -39,9 +51,41 @@ object UrlCanon {
       k == "msclkid" || k == "mc_cid" || k == "mc_eid" || k == "ref"
   }
 
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  private def isUnreservedOctet(v: Int): Boolean =
+    (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
+      (v >= '0' && v <= '9') || v == '-' || v == '.' || v == '_' || v == '~'
+
+  /** RFC 3986 percent normalization: decode unreserved octets, uppercase
+    * the hex of every other valid triplet, copy malformed `%` verbatim.
+    * Idempotent: a decoded character is unreserved text, `%XX` with
+    * uppercase hex maps to itself, and `%25..` re-encodes to `%25..`. */
+  private def pctNormalize(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length && hexVal(s.charAt(i + 1)) >= 0 &&
+          hexVal(s.charAt(i + 2)) >= 0) {
+        val v = hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2))
+        if (isUnreservedOctet(v)) sb.append(v.toChar)
+        else sb.append('%').append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def canon(u: String): String = {
     if (u == null) return null
-    val t = u.trim
+    val t = pctNormalize(u.trim)
     val si = t.indexOf("://")
     if (si <= 0) return null
     val scheme = t.substring(0, si).toLowerCase
@@ -59,16 +103,34 @@ object UrlCanon {
     // of the authority lowercases
     val at = hostport.lastIndexOf('@')
     val userinfo = if (at >= 0) hostport.substring(0, at + 1) else ""
-    var host = hostport.substring(at + 1).toLowerCase
-    if (host.isEmpty) return null
+    val rawHost = hostport.substring(at + 1).toLowerCase
+    if (rawHost.isEmpty) return null
+    // split the authority into hostname + optional port. RFC 3986 port
+    // is *DIGIT after the one colon outside an IPv6 bracket pair — a
+    // second colon ("h:80:80") or a non-digit port is an invalid
+    // authority and returns null, never a key that is not a fixed point
+    val (hname, port) =
+      if (rawHost.charAt(0) == '[') {
+        val rb = rawHost.indexOf(']')
+        if (rb < 0) return null
+        val after = rawHost.substring(rb + 1)
+        if (after.isEmpty) (rawHost, null)
+        else if (after.charAt(0) == ':')
+          (rawHost.substring(0, rb + 1), after.substring(1))
+        else return null
+      } else {
+        val ci = rawHost.indexOf(':')
+        if (ci < 0) (rawHost, null)
+        else (rawHost.substring(0, ci), rawHost.substring(ci + 1))
+      }
+    if (port != null && !port.forall(c => c >= '0' && c <= '9')) return null
+    // a hostless authority ("http://:8080/x") is not a document key
+    if (hname.isEmpty) return null
     val defPort =
-      if (scheme == "http") ":80" else if (scheme == "https") ":443" else null
-    if (defPort != null && host.endsWith(defPort))
-      host = host.substring(0, host.length - defPort.length)
-    // an authority that was ONLY a default port ("http://:80/x") strips
-    // to an empty host — reject like every other hostless shape rather
-    // than emit a key canon() itself maps to null
-    if (host.isEmpty) return null
+      if (scheme == "http") "80" else if (scheme == "https") "443" else null
+    val host =
+      if (port == null || port.isEmpty || port == defPort) hname
+      else hname + ":" + port
     val qi = tail.indexOf('?')
     var path = if (qi < 0) tail else tail.substring(0, qi)
     val query = if (qi < 0) null else tail.substring(qi + 1)

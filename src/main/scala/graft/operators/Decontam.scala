@@ -86,17 +86,32 @@ object Decontam {
     // codegen expression (the serialized bytes fold into the plan and
     // ride the per-stage taskBinary broadcast — same transfer cost as an
     // explicit broadcast, but the probe stays inside whole-stage codegen
-    // instead of a per-row lambda)
+    // instead of a per-row lambda). BOUNDED: a plan literal is copied on
+    // every tree transform and rendered by explain/plan logging, so past
+    // 16 MB serialized (≈ a 1.4B-gram filter at fpp 0.01) the probe
+    // falls back to an explicit broadcast + UDF — one driver copy, out
+    // of the expression tree — trading codegen for plan hygiene in the
+    // regime where the literal would dominate the plan itself. Both
+    // paths only PRUNE before the exact re-verify join, so the output
+    // contract is identical.
     val bloomBytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)
       bos.toByteArray
     }
+    val maxInlineBloomBytes = 16 << 20
+    val probe: Column => Column =
+      if (bloomBytes.length <= maxInlineBloomBytes)
+        ng => call_function("graft_bloom_contains", lit(bloomBytes), ng)
+      else {
+        val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+        val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+        ng => mightContain(ng)
+      }
     val benchIds = benchmark.select(col(idCol))
     hashed(corpus)
       .join(benchIds, Seq(idCol), "left_anti")
-      .filter(call_function("graft_bloom_contains", lit(bloomBytes),
-        col("__ng")))
+      .filter(probe(col("__ng")))
       // shuffle-hash, NOT broadcast: this operator exists for the regime
       // where the benchmark n-gram set exceeds the broadcast budget
       .join(benchNgrams.hint("shuffle_hash"), Seq("__ng"))

@@ -612,8 +612,13 @@ object Events {
     // Loud span cap: assert_true is null on pass, so the coalesce keeps
     // it in the plan (the mixtureWeights idiom) — a span past the cap
     // aborts with the label-sizing message instead of OOMing mid-fold.
+    // The subtraction runs in DECIMAL(38,0): with extreme cast
+    // timestamps (hi near Long.MaxValue, lo deeply negative) a raw long
+    // difference wraps negative, the assert would pass, and the failure
+    // would surface later as a confusing sequence()-too-long error.
     val loGuarded = coalesce(
-      assert_true(col("__hi") - col("__lo") < lit(maxSpanBuckets), lit(
+      assert_true(col("__hi").cast("decimal(38,0)") -
+        col("__lo").cast("decimal(38,0)") < lit(maxSpanBuckets), lit(
         s"cusumChangepoint: a label's bucket span exceeds " +
           s"maxSpanBuckets=$maxSpanBuckets — widen bucketSec or raise " +
           "the cap knowingly (the fold array is span-sized)")).cast("long"),

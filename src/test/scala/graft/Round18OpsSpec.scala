@@ -136,6 +136,28 @@ class Round18OpsSpec extends SparkSpec {
     // ALL trailing slashes fold — the output must be a fixed point
     assert(canon("http://h.test/a//") === "http://h.test/a")
     assert(canon(null) === null)
+    // invalid port shapes are rejected, not half-stripped (a multi-port
+    // authority must not yield a key whose own canon differs)
+    assert(canon("http://h.test:80:80/x") === null)
+    assert(canon("http://h.test:8o/x") === null)
+    assert(canon("http://:8080/x") === null)
+    // empty port folds; a non-default port with leading zeros is kept
+    assert(canon("http://h.test:/x") === "http://h.test/x")
+    assert(canon("http://h.test:080/x") === "http://h.test:080/x")
+    // IPv6 brackets shield the colons; default port still strips
+    assert(canon("http://[::1]:80/x") === "http://[::1]/x")
+    assert(canon("http://[::1]:8080/x") === "http://[::1]:8080/x")
+    assert(canon("http://[::1/x") === null)
+    // percent normalization: unreserved octets decode (%41→A, %7e→~),
+    // reserved ones keep their encoding with uppercase hex, malformed
+    // and double-encoded sequences are preserved verbatim
+    assert(canon("http://h.test/%7euser/%41%2fb")
+      === "http://h.test/~user/A%2Fb")
+    assert(canon("http://%48.TEST/x") === "http://h.test/x")
+    assert(canon("http://h.test/a%g1") === "http://h.test/a%g1")
+    assert(canon("http://h.test/%2541") === "http://h.test/%2541")
+    assert(canon("http://h.test/p?a=%3d&utm_source=%41")
+      === "http://h.test/p?a=%3D")
     // the expression path agrees with the function
     val r = spark.sql("""SELECT
       |graft_canon_url(' HTTPS://WWW.Ex.TEST:443/Page/?fbclid=f&q=1#top')
@@ -147,11 +169,13 @@ class Round18OpsSpec extends SparkSpec {
       "canonical form must be its own canonical form)") {
     val rnd = new scala.util.Random(97)
     val schemes = Seq("http", "HTTP", "https", "ftp")
-    val hosts = Seq("Ex.COM", "a.b.c", "x", "[::1]", "User:P@H.io")
-    val ports = Seq("", ":80", ":443", ":8080")
-    val paths = Seq("", "/", "/A/b", "/A/b/", "/A/b//", "//x")
+    val hosts = Seq("Ex.COM", "a.b.c", "x", "[::1]", "User:P@H.io",
+      "h%4F.io")
+    val ports = Seq("", ":80", ":443", ":8080", ":", ":080")
+    val paths = Seq("", "/", "/A/b", "/A/b/", "/A/b//", "//x",
+      "/%41b", "/a%2f", "/%7e%2541", "/a%zz", "/p%3dq")
     val queries = Seq("", "?a=1", "?utm_source=s", "?b=2&utm_a=1&a=1",
-      "?ref=r&gclid=g", "?&&a=1")
+      "?ref=r&gclid=g", "?&&a=1", "?k=%3d%41")
     val frags = Seq("", "#f", "#a?b=1")
     for (_ <- 1 to 200) {
       def pick[T](xs: Seq[T]) = xs(rnd.nextInt(xs.size))
