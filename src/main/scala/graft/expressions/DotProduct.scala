@@ -228,6 +228,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => GraftPpmResize(children(0), children(1),
         children(2))))
     ext.injectFunction((
+      FunctionIdentifier("graft_png_to_ppm"),
+      new ExpressionInfo(classOf[GraftPngToPpm].getName, "graft_png_to_ppm"),
+      (children: Seq[Expression]) => GraftPngToPpm(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_synth_png"),
+      new ExpressionInfo(classOf[GraftSynthPng].getName, "graft_synth_png"),
+      (children: Seq[Expression]) => GraftSynthPng(children(0), children(1),
+        children(2), children(3), children(4), children(5))))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[GraftBloomContains].getName,
         "graft_bloom_contains"),

@@ -1,0 +1,198 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import java.util.zip.{CRC32, Deflater}
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.{PngRaster, PpmRaster}
+
+/** Differential fuzz for the zero-dependency PNG decoder, three ways:
+  *
+  *  1. round trip — `toPpm(synth(...))` must equal the P5/P6 bytes the
+  *     PPM synthesizer emits for the same pixel formula, for EVERY
+  *     filter mode (the five predictors + per-row cycling) and both
+  *     color types;
+  *  2. against the JDK's own independent PNG decoder (`javax.imageio`,
+  *     raw raster samples — no alpha compositing) over random-pixel
+  *     PNGs of all five supported color types, produced by a TEST-LOCAL
+  *     clean-room encoder that shares no code with the kernel;
+  *  3. malformed robustness — every truncation of a valid file, plus
+  *     targeted header corruptions, must decode to null, never throw.
+  */
+class PngFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("png round trip: decode(synth) equals the PPM synthesizer's bytes " +
+      "for every filter mode and color type") {
+    for (f <- 0 to 5; c <- Seq(0, 2);
+         (w, h, a, b) <- Seq((16, 12, 3, 5), (9, 8, 1, 1), (33, 21, 7, 11))) {
+      val png = PngRaster.synth(w, h, a, b, f, c)
+      val got = PngRaster.toPpm(png)
+      assert(got != null, s"decode failed f=$f c=$c ${w}x$h")
+      val expected =
+        if (c == 2)
+          graft.expressions.GraftSynthPpm(null, null, null, null)
+            .build(w, h, a, b)
+        else {
+          val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+          header ++ Array.tabulate(w * h) { p =>
+            (((p % w) * a + (p / w) * b) % 256).toByte
+          }
+        }
+      assert(java.util.Arrays.equals(got, expected),
+        s"pixel mismatch f=$f c=$c ${w}x$h")
+    }
+  }
+
+  // test-local clean-room encoder: raw pixels in, one PNG out, with a
+  // CHOSEN filter byte per scanline (filters computed from the spec
+  // text, independently of PngRaster.synth's implementation)
+  private def encodePng(w: Int, h: Int, colorType: Int,
+      pixels: Array[Array[Int]], palette: Array[Int],
+      rowFilter: Int => Int): Array[Byte] = {
+    val bpp = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    }
+    val stride = w * bpp
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new Array[Byte](h * (stride + 1))
+    for (y <- 0 until h) {
+      val f = rowFilter(y)
+      raw(y * (stride + 1)) = f.toByte
+      for (i <- 0 until stride) {
+        val cur = pixels(y)(i)
+        val left = if (i >= bpp) pixels(y)(i - bpp) else 0
+        val up = if (y > 0) pixels(y - 1)(i) else 0
+        val ul = if (y > 0 && i >= bpp) pixels(y - 1)(i - bpp) else 0
+        val pred = f match {
+          case 0 => 0; case 1 => left; case 2 => up
+          case 3 => (left + up) / 2; case 4 => paeth(left, up, ul)
+        }
+        raw(y * (stride + 1) + 1 + i) = ((cur - pred) & 0xff).toByte
+      }
+    }
+    val d = new Deflater(); d.setInput(raw); d.finish()
+    val zbuf = new Array[Byte](raw.length + 64)
+    val zos = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) zos.write(zbuf, 0, d.deflate(zbuf))
+    d.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'),
+      0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte,
+        (len >>> 8).toByte, len.toByte), 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new CRC32(); crc.update(tb); crc.update(data)
+      out.write(tb, 0, 4); out.write(data, 0, len)
+      val cv = crc.getValue
+      out.write(Array[Byte]((cv >>> 24).toByte, (cv >>> 16).toByte,
+        (cv >>> 8).toByte, cv.toByte), 0, 4)
+    }
+    chunk("IHDR", Array[Byte]((w >>> 24).toByte, (w >>> 16).toByte,
+      (w >>> 8).toByte, w.toByte, (h >>> 24).toByte, (h >>> 16).toByte,
+      (h >>> 8).toByte, h.toByte, 8, colorType.toByte, 0, 0, 0))
+    if (colorType == 3)
+      chunk("PLTE", palette.map(_.toByte))
+    chunk("IDAT", zos.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  test("png decode fuzz: random pixels, all five color types, random " +
+      "per-row filters — decoder == raw pixels == the JDK's ImageIO") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 20) {
+      val colorType = Seq(0, 2, 3, 4, 6)(trial % 5)
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(30)
+      val bpp = colorType match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      }
+      val paletteSize = 1 + rnd.nextInt(256)
+      val palette = Array.fill(paletteSize * 3)(rnd.nextInt(256))
+      val pixels = Array.fill(h)(Array.tabulate(w * bpp) { i =>
+        if (colorType == 3) rnd.nextInt(paletteSize) else rnd.nextInt(256)
+      })
+      val png = encodePng(w, h, colorType, pixels, palette,
+        _ => rnd.nextInt(5))
+      val ppm = PngRaster.toPpm(png)
+      assert(ppm != null, s"trial $trial ct=$colorType ${w}x$h")
+      val hd = PpmRaster.parse(ppm)
+      assert(hd != null && hd.w === w && hd.h === h)
+      val outC = if (colorType == 0 || colorType == 4) 1 else 3
+      assert(hd.channels === outC)
+      // expected output channels from the raw pixels (alpha dropped,
+      // palette resolved)
+      def expected(x: Int, y: Int, ch: Int): Int = colorType match {
+        case 0 => pixels(y)(x)
+        case 2 => pixels(y)(x * 3 + ch)
+        case 3 => palette(pixels(y)(x) * 3 + ch)
+        case 4 => pixels(y)(x * 2)
+        case 6 => pixels(y)(x * 4 + ch)
+      }
+      for (y <- 0 until h; x <- 0 until w; ch <- 0 until outC)
+        assert((ppm(hd.off + (y * w + x) * outC + ch) & 0xff)
+          === expected(x, y, ch),
+          s"trial $trial ct=$colorType pixel ($x,$y) ch $ch")
+      // the JDK's own decoder agrees on raw samples (validates the
+      // test encoder itself, so the round trip can't share a bug)
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(png))
+      assert(img != null, s"ImageIO rejected trial $trial")
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w) {
+        colorType match {
+          case 0 | 4 =>
+            assert(raster.getSample(x, y, 0) === expected(x, y, 0))
+          case 2 | 6 =>
+            for (ch <- 0 until 3)
+              assert(raster.getSample(x, y, ch) === expected(x, y, ch))
+          case 3 =>
+            // palette images surface as indexed rasters
+            assert(palette(raster.getSample(x, y, 0) * 3) === expected(x, y, 0))
+        }
+      }
+    }
+  }
+
+  test("png malformed robustness: every truncation and targeted header " +
+      "corruption decodes to null, never throws") {
+    val png = PngRaster.synth(12, 9, 3, 5, 5, 2)
+    for (len <- 0 until png.length)
+      assert(PngRaster.toPpm(java.util.Arrays.copyOf(png, len)) == null,
+        s"truncation at $len")
+    def corrupt(off: Int, v: Byte): Array[Byte] = {
+      val c = png.clone(); c(off) = v; c
+    }
+    // IHDR data starts at 16: bitDepth +8, colorType +9, interlace +12
+    assert(PngRaster.toPpm(corrupt(16 + 8, 16)) == null, "bit depth 16")
+    assert(PngRaster.toPpm(corrupt(16 + 9, 7)) == null, "bad color type")
+    assert(PngRaster.toPpm(corrupt(16 + 12, 1)) == null, "Adam7 interlace")
+    assert(PngRaster.toPpm(corrupt(0, 'Q'.toByte)) == null, "bad signature")
+    assert(PngRaster.toPpm(null) == null)
+    assert(PngRaster.toPpm(Array[Byte]()) == null)
+    // a zero dimension must be rejected, not divide/overflow downstream
+    assert(PngRaster.toPpm(corrupt(16 + 3, 0)) == null, "width 0")
+    // palette image without PLTE
+    val noPlte = {
+      val pixels = Array.fill(3)(Array.fill(4)(0))
+      val withPlte = encodePng(4, 3, 3, pixels, Array(10, 20, 30), _ => 0)
+      // drop the PLTE chunk (starts after IHDR: 8 + 25 = 33; length 12+3)
+      val plteLen = 12 + 3
+      withPlte.take(33) ++ withPlte.drop(33 + plteLen)
+    }
+    assert(PngRaster.toPpm(noPlte) == null, "type 3 without PLTE")
+    // the expression surface: null in, null out, batch of valid rows fine
+    val df = Seq(1L, 2L).toDF("i")
+    val r = df.selectExpr(
+      "graft_ppm_phash(graft_png_to_ppm(graft_synth_png(16L, 12L, i, 2L, 5L, 2L)))" +
+        " AS ph").collect()
+    assert(r.forall(!_.isNullAt(0)))
+  }
+}
