@@ -89,5 +89,54 @@ object Queries24 {
       .orderBy(d)
   }
 
-  val catalog: Seq[(String, QueryDef)] = Seq(q209PngPhash)
+  /** Unigram trainer EM round, catalog-anchored
+    * ([[graft.operators.Unigram.train]] — closes the "seed stage only"
+    * gap next to q208): the fixture is built so the Viterbi segmentation
+    * is ANALYTICALLY FORCED, which lets a SQL oracle replay what no SQL
+    * engine can compute in general (the DP). Construction: four
+    * CHARACTER-DISJOINT pieces `ab cd ef gh`; each doc's word is the
+    * concatenation of three pieces chosen by `doc_id` digits
+    * (`d%4, d//4%4, d//16%4`). With `maxLen = 2` the seed holds only
+    * 1/2-grams; each intended piece occurs ≥ 148 times while ANY
+    * cross-boundary 2-gram (last-char × first-char, 16 possible) occurs
+    * ≤ ~26, so the top-4 multi-char cut (`vocabSize = 12` − 8 chars)
+    * keeps exactly the four pieces. Inside a word, vocabulary 2-grams
+    * then exist ONLY at even offsets (disjointness kills every other
+    * substring), so each piece slot independently chooses piece vs two
+    * chars — and `log p(piece) > log p(c1) + log p(c2)` by orders of
+    * magnitude, so the full tiling wins every slot: segment counts ARE
+    * the slot counts, chars count 0. Round 2 re-derives the same
+    * vocabulary from those counts (a fixed point), so `iterations = 2`
+    * proves the loop, not just one pass. The oracle replays the slot
+    * arithmetic; `score` (a transcendental log) is excluded per the
+    * engine-portability convention — `cnt` is the exact anchor. */
+  val q210UnigramTrain: (String, QueryDef) = q(
+    "q210_unigram_train",
+    """WITH p AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+      |s AS (SELECT doc_id, unnest([doc_id % 4, (doc_id // 4) % 4,
+      |         (doc_id // 16) % 4]) AS slot FROM p),
+      |pc AS (SELECT ['ab','cd','ef','gh'][CAST(slot AS INT) + 1] AS piece,
+      |         COUNT(*) AS cnt FROM s GROUP BY 1),
+      |ch AS (SELECT unnest(['a','b','c','d','e','f','g','h']) AS piece,
+      |         0 AS cnt)
+      |SELECT piece, CAST(cnt AS BIGINT) AS cnt
+      |FROM (SELECT * FROM ch UNION ALL SELECT * FROM pc)
+      |ORDER BY piece""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val pieces = Seq("ab", "cd", "ef", "gh")
+    val pieceAt = (slot: org.apache.spark.sql.Column) =>
+      element_at(typedlit(pieces), (slot + 1).cast("int"))
+    val docs = t("documents").filter(d < 200)
+      .select(concat(
+        pieceAt(d % 4),
+        pieceAt(expr("doc_id div 4") % 4),
+        pieceAt(expr("doc_id div 16") % 4)).as("t"))
+    graft.operators.Unigram.train(docs, "t",
+        maxLen = 2, vocabSize = 12, iterations = 2)
+      .select(col("piece"), col("cnt"))
+      .orderBy(col("piece"))
+  }
+
+  val catalog: Seq[(String, QueryDef)] = Seq(q209PngPhash, q210UnigramTrain)
 }
