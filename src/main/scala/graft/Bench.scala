@@ -77,17 +77,22 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def sec(v: Double): String = f"$v%.3f"
 
-    // Variance pass: the slowest queries get 3 ISOLATED timed reps so
+    // Variance pass: every query gets 3 ISOLATED timed reps so
     // BENCH_FULL.json carries (median, min, max) — the machine-checkable
     // record that separates a real regression from suite-position /
     // machine-load noise (the r8→r9 judging lesson: totals alone made
-    // every ±8% drift a judgment call). Each query's reps start from a
-    // cleared cache plus its own fresh warm-up — the in-suite first
-    // timing is deliberately NOT mixed in (it was measured at a
-    // different suite position with a predecessor's resident blocks;
-    // the ScaleBench q158-after-q181 lesson, 10x inflation). Untimed
-    // relative to `total`, so round-over-round totals stay comparable.
-    val repN = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP_QUERIES", "30").toInt
+    // every ±8% drift a judgment call; r10 covered only the slowest 30
+    // and every driver-vs-anchor discrepancy still needed manual
+    // sampling — full coverage makes round-over-round triage a pure
+    // diff). Each query's reps start from a cleared cache plus its own
+    // fresh warm-up — the in-suite first timing is deliberately NOT
+    // mixed in (it was measured at a different suite position with a
+    // predecessor's resident blocks; the ScaleBench q158-after-q181
+    // lesson, 10x inflation). Untimed relative to `total`, so
+    // round-over-round totals stay comparable.
+    val repN = sys.env.get("SPARK_GRAFT_BENCH_REP_QUERIES")
+      .map(v => if (v == "all") Int.MaxValue else v.toInt)
+      .getOrElse(Int.MaxValue)
     val reps = results.filterNot(r => failed.contains(r._1))
       .sortBy(-_._2).take(repN).flatMap { case (name, _) =>
         try {
@@ -138,8 +143,13 @@ object Bench {
       if (used + entry.length + 1 <= budget) { picked += entry; used += entry.length + 1 }
     }
     val qs = picked.mkString("{", ",", "}")
+    // Stop Spark (logs silenced) BEFORE the summary line so it is the
+    // genuinely last stdout output — shutdown-time WARNs (e.g. local-
+    // checkpoint unpersist notices) otherwise land after the JSON and a
+    // tail-reading collector parses a log line instead.
+    spark.sparkContext.setLogLevel("OFF")
+    try spark.stop() catch { case _: Throwable => }
     println(
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"queries_truncated":${picked.size < results.size},"detail":"BENCH_FULL.json","failed":$fj,"sf":"$sfDir"}""")
-    spark.stop()
   }
 }

@@ -269,8 +269,11 @@ object Cli {
           QueryCache.integerWeightType(
             table.read().schema.fields.find(_.name == wc).map(_.dataType))
         }
+        // -tdigest IS cacheable (deterministic QuantileBins partials) but
+        // only unweighted — weight+tdigest throws identically on both
+        // paths, so no fall-back is needed for it
         val cacheable = f.contains("cache-queries") && !q.samples &&
-          q.timeBucket.isEmpty && q.distinctLimit.isEmpty && !q.useTDigest &&
+          q.timeBucket.isEmpty && q.distinctLimit.isEmpty &&
           (q.op == AggOp.CountOp || q.op == AggOp.AvgOp || q.op == AggOp.SumOp ||
             q.op == AggOp.HistOp) && intWeight
         val result =

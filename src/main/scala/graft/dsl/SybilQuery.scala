@@ -133,10 +133,14 @@ final case class SybilQuery(
   /** `-int-bucket` (cmd_query.go:52): hist bucket count override. */
   def bucketCount(n: Int): SybilQuery = copy(histBuckets = n)
   /** `-tdigest` (hist_tdigest.go): the hist op's quantile-sketch flavor,
-    * mapped onto Spark's mergeable Greenwald–Khanna sketch
-    * (`percentile_approx`) — the same role the reference's t-digest
-    * plays (a compact mergeable percentile summary; the sketch bytes
-    * differ by design). The output surface mirrors hist_tdigest.go
+    * mapped onto the engine's deterministic mergeable quantile summary
+    * ([[graft.functions.QuantileBins]]: exact value map up to 8192
+    * distinct, then fixed log-tick bins — no extent pre-scan, the same
+    * role the reference's t-digest plays; the summary bytes differ by
+    * design, and determinism is chosen over the randomized
+    * t-digest/KLL/GK family so per-block cache partials merge to the
+    * bit-identical single-pass answer). The output surface mirrors
+    * hist_tdigest.go
     * faithfully, quirks included: `percentiles` = approx q(0.00..0.99)
     * (GetPercentiles, hist_tdigest.go:97-106), `mean` = the approx
     * MEDIAN (Mean() returns Quantile(0.5), hist_tdigest.go:62-64),
@@ -245,7 +249,6 @@ final case class SybilQuery(
         require(!useLogHist && !useNestedHist,
           "-tdigest cannot combine with -loghist/-nested-hist: pick one " +
             "hist flavor")
-        val fracs = array((0 until 100).map(i => lit(i / 100.0)) :+ lit(1.0): _*)
         Seq(countAgg, samplesAgg) ++ aggCols.flatMap { c =>
           // per-column POPULATED count: the reference's hist_tdigest
           // increments count/samples once per added sample, so a column
@@ -253,8 +256,17 @@ final case class SybilQuery(
           // Populated = the cast succeeds (same rule as the exact hist
           // flavors); with -tdigest weight is forbidden, so count ==
           // samples == count(cast).
+          // Quantiles come from the deterministic mergeable summary
+          // (QuantileBins) rather than percentile_approx/KLL: the
+          // randomized sketches are insertion-order dependent, so the
+          // query cache's per-block partials could never merge to the
+          // bit-identical single-pass answer (the engine's cached ==
+          // uncached invariant). Exact for ≤8192 distinct values per
+          // group, ≤1/64 relative bin error past that.
           val cv = col(c).cast(LongType)
-          Seq(percentile_approx(cv, fracs, lit(10000)).as(s"__pcts_$c"),
+          Seq(graft.functions.QuantileBins.qpcts(
+              coalesce(cv, lit(0L)),
+              when(cv.isNotNull, lit(1L)).otherwise(lit(0L))).as(s"__pcts_$c"),
             count(cv).as(s"__n_$c"))
         }
       case AggOp.HistOp =>
@@ -338,14 +350,8 @@ final case class SybilQuery(
     val grouped =
       if (op == AggOp.HistOp && useTDigest)
         aggCols.foldLeft(grouped0)((g, c) => g
-          .withColumn(s"${c}_hist", struct(
-            col(s"__n_$c").as("count"),
-            col(s"__n_$c").as("samples"),
-            element_at(col(s"__pcts_$c"), 51).cast(DoubleType).as("mean"),
-            element_at(col(s"__pcts_$c"), 1).as("min"),
-            element_at(col(s"__pcts_$c"), 101).as("max"),
-            lit(0.0).as("stddev"),
-            slice(col(s"__pcts_$c"), 1, 100).as("percentiles")))
+          .withColumn(s"${c}_hist", SybilQuery.tdigestHistStruct(
+            col(s"__pcts_$c"), col(s"__n_$c")))
           .drop(s"__pcts_$c", s"__n_$c"))
       else grouped0
 
@@ -372,4 +378,20 @@ final case class SybilQuery(
 object SybilQuery {
   /** `Query()` — entry point matching the reference client. */
   def apply(): SybilQuery = new SybilQuery()
+
+  /** The `-tdigest` hist output struct from a 101-quantile array + the
+    * per-column populated count — the ONE copy of the hist_tdigest.go
+    * surface mapping (count/samples exact, mean = q(0.5), min/max =
+    * q(0)/q(1), stddev = 0, percentiles = q(0.00..0.99)), shared by the
+    * uncached run and the query cache's merge path so the two can never
+    * desynchronize. */
+  private[graft] def tdigestHistStruct(pcts: Column, n: Column): Column =
+    struct(
+      n.as("count"),
+      n.as("samples"),
+      element_at(pcts, 51).cast(DoubleType).as("mean"),
+      element_at(pcts, 1).as("min"),
+      element_at(pcts, 101).as("max"),
+      lit(0.0).as("stddev"),
+      slice(pcts, 1, 100).as("percentiles"))
 }

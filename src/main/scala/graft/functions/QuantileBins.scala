@@ -1,0 +1,239 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Mergeable quantile-summary buffer: exact value→count map while the
+  * group's distinct-value count stays ≤ [[QuantileBins.ExactCap]], then a
+  * deterministic collapse to fixed log-tick bins over the FULL long range
+  * (no extents needed — the property the reference's t-digest flavor
+  * exists for, hist_tdigest.go). Both representations are pure multiset
+  * functions and the merge is commutative/associative, so the summary is
+  * a multiset homomorphism: S(A ∪ B) = merge(S(A), S(B)) EXACTLY, for any
+  * split. That is the property the randomized sketches (t-digest, KLL,
+  * GK) lack — their result depends on insertion/merge order, so a
+  * per-block cached merge could never be bit-identical to the single-pass
+  * run. This engine's query-cache invariant is bit-identical cached ==
+  * uncached (the HLL register-max precedent), so the -tdigest flavor runs
+  * on this summary in BOTH paths.
+  */
+case class QBinsBuf(
+    var collapsed: Boolean,
+    var exact: Map[Long, Long], // value -> count (empty once collapsed)
+    var bins: Map[Int, Long],   // log-tick bin id -> count (collapsed mode)
+    var mn: Long,               // exact observed min (Long.MaxValue if n==0)
+    var mx: Long,               // exact observed max (Long.MinValue if n==0)
+    var n: Long)                // total populated count
+
+/** Deterministic mergeable quantile summary for the DSL's `-tdigest`
+  * flavor (hist_tdigest.go surface: percentiles p0..p99, mean = q(0.5),
+  * min/max = q(0)/q(1), stddev = 0).
+  *
+  * Layout: value space is covered by sign × (octave, tick) bins with
+  * [[TicksPerOctave]] = 64 ticks per power of two — ≤ 64·64·2 + 1
+  * possible bins, so the collapsed buffer is bounded (~8 KB of longs)
+  * regardless of data. Relative value error after collapse ≤ 1/64
+  * (~1.6%), comparable to a t-digest's mid-range accuracy; groups with
+  * ≤ [[ExactCap]] distinct values (the common case for the DSL's int
+  * columns) are EXACT. q(0)/q(1) are always exact (tracked min/max).
+  *
+  * Accuracy/determinism trade, recorded deliberately: DataSketches KLL
+  * was considered for this slot and rejected — its compaction uses
+  * random bits (no public seed), so per-block partials merged in cache
+  * order vs. Spark's partition order would produce two different (both
+  * "correct") answers, breaking the cached == uncached equality gate
+  * that every other cacheable op honors bit-for-bit.
+  */
+class QuantileBinsAggregator
+  extends Aggregator[(Long, Long), QBinsBuf, Array[Long]] with Serializable {
+  import QuantileBins._
+
+  def zero: QBinsBuf =
+    QBinsBuf(collapsed = false, Map.empty, Map.empty,
+      Long.MaxValue, Long.MinValue, 0L)
+
+  /** Input: (value, populated). `populated` 0 marks a null row (skipped
+    * entirely — sybil skips unpopulated records per column,
+    * aggregate.go:246-259); anything else counts one sample. An explicit
+    * flag, not an in-band sentinel: every long is a legal data value for
+    * a quantile column. */
+  def reduce(b: QBinsBuf, in: (Long, Long)): QBinsBuf = {
+    val (v, pop) = in
+    if (pop == 0L) return b
+    b.n += 1
+    if (v < b.mn) b.mn = v
+    if (v > b.mx) b.mx = v
+    if (b.collapsed) {
+      val id = binId(v)
+      b.bins = b.bins.updated(id, b.bins.getOrElse(id, 0L) + 1L)
+    } else {
+      b.exact = b.exact.updated(v, b.exact.getOrElse(v, 0L) + 1L)
+      if (b.exact.size > ExactCap) collapse(b)
+    }
+    b
+  }
+
+  def merge(a: QBinsBuf, c: QBinsBuf): QBinsBuf = {
+    a.n += c.n
+    a.mn = math.min(a.mn, c.mn)
+    a.mx = math.max(a.mx, c.mx)
+    if (a.collapsed || c.collapsed) {
+      if (!a.collapsed) collapse(a)
+      val cBins = if (c.collapsed) c.bins
+                  else c.exact.groupMapReduce { case (v, _) => binId(v) }(_._2)(_ + _)
+      for ((id, cnt) <- cBins)
+        a.bins = a.bins.updated(id, a.bins.getOrElse(id, 0L) + cnt)
+    } else {
+      for ((v, cnt) <- c.exact)
+        a.exact = a.exact.updated(v, a.exact.getOrElse(v, 0L) + cnt)
+      if (a.exact.size > ExactCap) collapse(a)
+    }
+    a
+  }
+
+  def finish(b: QBinsBuf): Array[Long] = QuantileBins.finishPcts(b)
+
+  def bufferEncoder: Encoder[QBinsBuf] = Encoders.product[QBinsBuf]
+  def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
+/** Finishes with the RAW buffer — the per-block partial the query cache
+  * persists (the HistPartialOf pattern: one wrapper, no hand-rolled copy
+  * of the reduce/merge logic). */
+class QuantileBinsPartialAggregator
+  extends Aggregator[(Long, Long), QBinsBuf, QBinsBuf] with Serializable {
+  private val inner = new QuantileBinsAggregator
+  def zero: QBinsBuf = inner.zero
+  def reduce(b: QBinsBuf, in: (Long, Long)): QBinsBuf = inner.reduce(b, in)
+  def merge(a: QBinsBuf, c: QBinsBuf): QBinsBuf = inner.merge(a, c)
+  def finish(b: QBinsBuf): QBinsBuf = b
+  def bufferEncoder: Encoder[QBinsBuf] = Encoders.product[QBinsBuf]
+  def outputEncoder: Encoder[QBinsBuf] = Encoders.product[QBinsBuf]
+}
+
+/** Folds persisted [[QBinsBuf]] partials back into the percentile array —
+  * the final-merge side of the cached `-tdigest` path. Bit-identical to
+  * the single-pass result because the buffer is a multiset homomorphism
+  * (QuantileBinsSpec merge law). */
+class QuantileBinsMergeAggregator
+  extends Aggregator[QBinsBuf, QBinsBuf, Array[Long]] with Serializable {
+  private val inner = new QuantileBinsAggregator
+  def zero: QBinsBuf = inner.zero
+  def reduce(b: QBinsBuf, in: QBinsBuf): QBinsBuf = inner.merge(b, in)
+  def merge(a: QBinsBuf, c: QBinsBuf): QBinsBuf = inner.merge(a, c)
+  def finish(b: QBinsBuf): Array[Long] = QuantileBins.finishPcts(b)
+  def bufferEncoder: Encoder[QBinsBuf] = Encoders.product[QBinsBuf]
+  def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
+object QuantileBins {
+  /** Distinct-value cap for the exact representation. Past it the group
+    * collapses to bins; the predicate (distinct > cap) is itself a
+    * multiset function, so collapse timing cannot depend on row order. */
+  val ExactCap = 8192
+  /** log2-subdivision: 64 ticks per octave → ≤ 1/64 relative bin width. */
+  val TicksPerOctave = 64
+  private val TickShift = 6 // log2(TicksPerOctave)
+
+  /** Layout version folded into the query-cache key: bump when binId /
+    * repr / ExactCap change, or old persisted partials would merge into a
+    * different layout. */
+  val LayoutKey: String = s"td.e$ExactCap.t$TicksPerOctave.v1"
+
+  /** Order-preserving bin id: negative values map to negative ids, zero
+    * to 0, positives to ≥ 1; |id| grows with |value|, so ascending id ==
+    * ascending value and a cumulative-count walk yields quantiles. */
+  def binId(v: Long): Int =
+    if (v == 0L) 0
+    else if (v == Long.MinValue) -(1 + 63 * TicksPerOctave) // |v| = 2^63
+    else if (v > 0L) 1 + mag(v)
+    else -(1 + mag(-v))
+
+  /** Magnitude bin for u ≥ 1: octave = floor(log2 u), tick = the
+    * TicksPerOctave-way subdivision of [2^oct, 2^(oct+1)). All shifts —
+    * (within << 6) fits because within < 2^oct ≤ 2^62 only when oct ≤ 6
+    * takes that branch (within < 128). */
+  private def mag(u: Long): Int = {
+    val oct = 63 - java.lang.Long.numberOfLeadingZeros(u)
+    val within = u - (1L << oct)
+    val tick =
+      if (oct <= TickShift) ((within << TickShift) >> oct).toInt
+      else (within >>> (oct - TickShift)).toInt
+    oct * TicksPerOctave + tick
+  }
+
+  /** Representative value for a bin: the edge CLOSEST TO ZERO (lower edge
+    * for positive bins, negated lower magnitude edge for negative bins) —
+    * deterministic, and clamped to the exact min/max at finish so
+    * q(0)/q(1) stay exact. */
+  def repr(id: Int): Long =
+    if (id == 0) 0L
+    else if (id > 0) magLowerEdge(id - 1)
+    else -magLowerEdge(-id - 1) // id = -(1+63*T) → 1L<<63 → Long.MinValue
+
+  private def magLowerEdge(m: Int): Long = {
+    val oct = m / TicksPerOctave
+    val tick = m % TicksPerOctave
+    val base = 1L << oct // oct == 63 only via the Long.MinValue id
+    val t = tick.toLong << oct
+    base + ((t + (TicksPerOctave - 1)) >> TickShift) // ceil(tick·2^oct/64)
+  }
+
+  private[functions] def collapse(b: QBinsBuf): Unit = {
+    b.bins = b.exact.groupMapReduce { case (v, _) => binId(v) }(_._2)(_ + _)
+    b.exact = Map.empty
+    b.collapsed = true
+  }
+
+  /** 101 quantile values for f = 0.00, 0.01, …, 0.99, 1.00 — the
+    * `__pcts` surface SybilQuery reshapes into the hist struct. Rank
+    * convention: value at rank ceil(f·n) (1-based, clamped to [1, n]) —
+    * q(0) = min, q(1) = max. Null for an empty group (percentile_approx's
+    * convention, which this replaces). */
+  def finishPcts(b: QBinsBuf): Array[Long] = {
+    if (b.n == 0L) return null
+    val pairs: Array[(Long, Long)] =
+      if (b.collapsed) b.bins.toArray.sortBy(_._1).map { case (id, c) => (repr(id), c) }
+      else b.exact.toArray.sortBy(_._1)
+    val out = new Array[Long](101)
+    var j = 0
+    var i = 0
+    var cum = pairs(0)._2
+    while (j <= 100) {
+      // exact integer ceil(j·n/100) — float rounding at the boundary
+      // would be a rank off-by-one that flips a percentile value
+      val rank = math.max(1L, ((BigInt(j) * b.n + 99) / 100).toLong)
+      while (cum < rank && i < pairs.length - 1) { i += 1; cum += pairs(i)._2 }
+      val v = pairs(i)._1
+      out(j) = math.max(b.mn, math.min(b.mx, v))
+      j += 1
+    }
+    // q(0)/q(1) are EXACT (tracked extremes) — in collapsed mode the
+    // last bin's zero-side edge sits below the true max and the clamp
+    // alone cannot raise it
+    out(0) = b.mn
+    out(100) = b.mx
+    out
+  }
+
+  /** A persisted [[QBinsBuf]] struct column flattened to its subfields in
+    * declaration order — the ONE place the udaf-input field order lives. */
+  private[graft] def bufFields(buf: Column): Seq[Column] = Seq(
+    buf.getField("collapsed"), buf.getField("exact"), buf.getField("bins"),
+    buf.getField("mn"), buf.getField("mx"), buf.getField("n"))
+
+  /** Column expression: the 101-quantile array of `value` where
+    * `populated` ≠ 0 (both long columns). */
+  def qpcts(value: Column, populated: Column): Column =
+    udaf(new QuantileBinsAggregator).apply(value, populated)
+
+  /** Mergeable per-block partial (a [[QBinsBuf]] struct column). */
+  def qpctsPartial(value: Column, populated: Column): Column =
+    udaf(new QuantileBinsPartialAggregator).apply(value, populated)
+
+  /** Merge persisted partials into the final 101-quantile array. */
+  def qpctsMerge(buf: Column): Column =
+    udaf(new QuantileBinsMergeAggregator).apply(bufFields(buf): _*)
+}

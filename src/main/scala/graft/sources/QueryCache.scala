@@ -38,13 +38,15 @@ case class CacheOutcome(hits: Int, misses: Int, uncacheable: Int, skipped: Int)
   * loops jobs over blocks — the pattern that melts down at 100 TB.
   *
   * Supported ops: Count / Sum / Avg (sums are decimal partials, so the
-  * merge is exact) and Hist — flat AND log-scaled: each flavor persists its
-  * RAW mergeable buffer ([[graft.functions.HistBuf]]: bucket counts +
-  * moments + outlier side-arrays) with the flavor and bucket layout pinned
-  * by the sidecar extents and folded into the cache key, so the merged
-  * result is bit-identical to a single-pass hist and layout drift
-  * invalidates naturally. Distinct/HLL
-  * stays uncached (Spark's HLL sketch buffer is not exposed). str-replace
+  * merge is exact) and Hist — flat, log-scaled, nested AND the tdigest
+  * quantile flavor: the exact flavors persist their RAW mergeable buffer
+  * ([[graft.functions.HistBuf]]: bucket counts + moments + outlier
+  * side-arrays) with the flavor and bucket layout pinned by the sidecar
+  * extents and folded into the cache key, so the merged result is
+  * bit-identical to a single-pass hist and layout drift invalidates
+  * naturally; tdigest persists [[graft.functions.QBinsBuf]] (the
+  * deterministic extent-free quantile summary — a multiset homomorphism,
+  * so per-block merge is bit-identical to single-pass too). str-replace
   * pre-transforms are applied inside each partial and folded into the
   * cache key; sort/limit follow the DSL's ordering rules at merge time.
   */
@@ -74,7 +76,13 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
       "w=" + q.weightCol.getOrElse(""),
       "r=" + q.strReplace.toSeq.sortBy(_._1)
         .map { case (c, (p, r)) => s"$c:$p:$r" }.mkString("&"),
-      "h=" + (if (q.op == AggOp.HistOp) {
+      "h=" + (if (q.op == AggOp.HistOp && q.useTDigest)
+        // layout constants (exact cap / ticks) are the whole bucket
+        // geometry — fold the versioned key so a constant change can
+        // never merge old-layout partials. No extents: the summary is
+        // extent-free by design (the flavor's reason to exist).
+        graft.functions.QuantileBins.LayoutKey
+      else if (q.op == AggOp.HistOp) {
         // the log flavor ignores histBuckets (fixed ticksPerOctave) — keying
         // it would force spurious misses when -int-bucket changes. The tick
         // count comes from the SAME constant the bucket function uses: a
@@ -126,6 +134,17 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
     val aggs =
       Seq(sum(w).cast(LongType).as("Count"), count(lit(1)).as("Samples")) ++
         (q.op match {
+          case AggOp.HistOp if q.useTDigest => q.aggCols.flatMap { c =>
+            // the SybilQuery.run tdigest convention, kept in lockstep:
+            // populated judged on the CAST result, explicit flag instead
+            // of an in-band sentinel (every long is legal quantile data)
+            val cv = col(c).cast(LongType)
+            Seq(graft.functions.QuantileBins.qpctsPartial(
+                coalesce(cv, lit(0L)),
+                when(cv.isNotNull, lit(1L)).otherwise(lit(0L)))
+                .as(s"__qb_$c"),
+              count(cv).as(s"__tdn_$c"))
+          }
           case AggOp.HistOp => q.aggCols.map { c =>
             val (mn, mx) = extents(c)
             // null-populated rows become the Long.MinValue sentinel
@@ -184,10 +203,14 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
       q.op == AggOp.HistOp || q.op == AggOp.DistinctOp(false),
       s"op ${q.op} not cacheable (exact distinct partials are the full value" +
         " sets — cache the approx flavor, or run uncached)")
-    // the tdigest flavor has no stable mergeable partial here — caching
-    // it as a flat BasicHist would return the wrong output surface
-    require(!q.useTDigest,
-      "-tdigest is not cacheable (quantile-sketch flavor); run uncached")
+    // the tdigest flavor caches its own deterministic partial
+    // (QuantileBins — the randomized-sketch order-dependence that made it
+    // uncacheable through r10 is designed out); weight stays forbidden,
+    // the same rule the uncached run enforces
+    if (q.useTDigest) require(q.weightCol.isEmpty,
+      "-tdigest does not support -weight-col (the quantile summary " +
+        "takes no weight); use the exact hist flavors for weighted " +
+        "histograms")
     // weighted parity holds only for integer weights: per-block Counts
     // are long sums, and a fractional weight would truncate per block
     // where the uncached run truncates once globally
@@ -205,7 +228,7 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
     // extents come from the sidecar (the stored-IntInfo path) and key the
     // cache, so layout drift invalidates naturally
     val extents: Map[String, (Long, Long)] =
-      if (q.op != AggOp.HistOp) Map.empty
+      if (q.op != AggOp.HistOp || q.useTDigest) Map.empty
       else {
         val fromInfo = table.info().columns.collect {
           case ColumnInfo(n, _, Some(mn), Some(mx)) if q.aggCols.contains(n) =>
@@ -332,6 +355,10 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
             case AggOp.AvgOp => q.aggCols.map(c =>
               (sum(col(s"__sum_$c")).cast(DoubleType) /
                 sum(col(s"__wn_$c"))).as(s"${c}_avg"))
+            case AggOp.HistOp if q.useTDigest => q.aggCols.flatMap(c => Seq(
+              graft.functions.QuantileBins.qpctsMerge(col(s"__qb_$c"))
+                .as(s"__pcts_$c"),
+              sum(col(s"__tdn_$c")).cast(LongType).as(s"__n_$c")))
             case AggOp.HistOp => q.aggCols.map { c =>
               val (mn, mx) = extents(c)
               (if (q.useNestedHist)
@@ -350,8 +377,18 @@ class QueryCache(spark: SparkSession, table: GraftTable) {
                 .as("Distinct"))
             case _ => Nil
           })
-      val g = if (keys.nonEmpty) merged.groupBy(keys: _*).agg(sums.head, sums.tail: _*)
-              else merged.agg(sums.head, sums.tail: _*)
+      val g0 = if (keys.nonEmpty) merged.groupBy(keys: _*).agg(sums.head, sums.tail: _*)
+               else merged.agg(sums.head, sums.tail: _*)
+      // tdigest: reshape merged quantiles into the hist output surface —
+      // the SAME helper the uncached run uses (SybilQuery.tdigestHistStruct),
+      // so the cached struct can never drift from the single-pass one
+      val g =
+        if (q.op == AggOp.HistOp && q.useTDigest)
+          q.aggCols.foldLeft(g0)((d, c) => d
+            .withColumn(s"${c}_hist", SybilQuery.tdigestHistStruct(
+              col(s"__pcts_$c"), col(s"__n_$c")))
+            .drop(s"__pcts_$c", s"__n_$c"))
+        else g0
       // same ordering rules as SybilQuery.run: $COUNT desc default, -sort /
       // -sort-asc honored, group keys break ties
       val sortCol = q.sortBy match {

@@ -223,6 +223,43 @@ class AsOfCacheSpec extends SparkSpec {
     assert(ex.getMessage.contains("not cacheable"))
   }
 
+  test("query cache: tdigest partials merge bit-identically to the " +
+      "single-pass run") {
+    val root = Files.createTempDirectory("graft-qc-td").toString
+    val t = new GraftTable(spark, root)
+    // per-block value ranges overlap and one block crosses sign; nulls
+    // included so the per-column populated count is exercised
+    for (b <- 0 until 3) {
+      t.ingest((0 until 900).map { i =>
+        val v: Option[Long] =
+          if (i % 17 == 0) None
+          else Some(((i * 31 + b * 113) % 400).toLong - 50L)
+        (s"k${i % 2}", (b * 1000 + i).toLong, v)
+      }.toDF("k", "time", "v"))
+      t.digest(compact = false)
+    }
+    val cache = new QueryCache(spark, t)
+    val q = SybilQuery().groupBy("k").aggregate("v")
+      .tDigestHistogram.limitTo(10)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    val (r1, o1) = cache.run(q)
+    assert(o1.misses === 3 && o1.hits === 0)
+    val first = canon(r1)
+    // the whole surface — count/samples/mean/min/max/percentiles — must
+    // equal the UNCACHED single-pass DSL run exactly (the QuantileBins
+    // multiset homomorphism, not just approximately right)
+    assert(first === canon(q.run(t.read())))
+    val (r2, o2) = cache.run(q)
+    assert(o2.hits === 3 && o2.misses === 0)
+    assert(canon(r2) === first)
+    // weighted + tdigest stays a loud error on the cached path too
+    val ex = intercept[IllegalArgumentException] {
+      cache.run(q.weighted("time"))
+    }
+    assert(ex.getMessage.contains("weight"))
+  }
+
   test("query cache: multi-column HLL distinct hashes the same item strings") {
     // two distinct columns: the cache partial and the single-pass sketch
     // must feed the SAME -joined item string into the HLL, or the

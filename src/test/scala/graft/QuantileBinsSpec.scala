@@ -1,0 +1,120 @@
+package graft
+
+import scala.util.Random
+
+import graft.functions.{QBinsBuf, QuantileBins, QuantileBinsAggregator}
+
+/** QuantileBins — the deterministic mergeable quantile summary behind the
+  * DSL's `-tdigest` flavor. The load-bearing property is the multiset
+  * homomorphism: S(A ∪ B) == merge(S(A), S(B)) for ANY split and ANY
+  * order, which is what makes per-block cache partials bit-identical to
+  * the single-pass run (randomized sketches — t-digest/KLL/GK — cannot
+  * give this). Checked here by fuzz across the exact→collapsed boundary.
+  */
+class QuantileBinsSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def summarize(vs: Seq[Long]): QBinsBuf = {
+    val agg = new QuantileBinsAggregator
+    vs.foldLeft(agg.zero)((b, v) => agg.reduce(b, (v, 1L)))
+  }
+
+  private def pcts(vs: Seq[Long]): Seq[Long] =
+    QuantileBins.finishPcts(summarize(vs)).toSeq
+
+  /** Rank-convention oracle: value at rank ceil(f·n), 1-based. */
+  private def exactPcts(vs: Seq[Long]): Seq[Long] = {
+    val s = vs.sorted
+    (0 to 100).map { j =>
+      val rank = math.max(1L, (j.toLong * s.length + 99) / 100)
+      s((rank - 1).toInt)
+    }
+  }
+
+  test("binId is order-consistent and repr is the zero-side edge") {
+    val rnd = new Random(7)
+    val vs = (Seq(0L, 1L, -1L, 2L, 127L, 128L, Long.MaxValue, Long.MinValue,
+      Long.MinValue + 1) ++ Seq.fill(5000)(rnd.nextLong()) ++
+      Seq.fill(2000)(rnd.nextInt(100000).toLong - 50000)).distinct
+    for (v <- vs) {
+      val id = QuantileBins.binId(v)
+      val r = QuantileBins.repr(id)
+      // representative sits between zero and the value (edge closest to 0)
+      if (v > 0) assert(r >= 1 && r <= v, s"v=$v id=$id repr=$r")
+      else if (v < 0) assert(r <= -1 && r >= v, s"v=$v id=$id repr=$r")
+      else assert(r === 0L)
+      // |v| <= 127 (octave <= 6): tick width < 1, so bins are EXACT
+      if (math.abs(v) <= 127) assert(r === v, s"small value v=$v repr=$r")
+    }
+    for (Seq(a, b) <- vs.sorted.sliding(2).toSeq)
+      assert(QuantileBins.binId(a) <= QuantileBins.binId(b), s"order $a,$b")
+  }
+
+  test("exact mode (distinct <= cap) reproduces exact rank percentiles") {
+    val rnd = new Random(11)
+    for (trial <- 0 until 20) {
+      val n = 1 + rnd.nextInt(4000)
+      // heavy duplication keeps distinct under the cap
+      val vs = Seq.fill(n)((rnd.nextInt(500) - 250).toLong * rnd.nextInt(3))
+      assert(pcts(vs) === exactPcts(vs), s"trial $trial n=$n")
+    }
+  }
+
+  test("merge law: S(A++B) == merge(S(A), S(B)) across the collapse boundary") {
+    val agg = new QuantileBinsAggregator
+    val rnd = new Random(13)
+    for (trial <- 0 until 12) {
+      // sizes straddle ExactCap so every combination occurs:
+      // exact+exact (stays exact), exact+exact (collapses on merge),
+      // exact+collapsed, collapsed+collapsed
+      val nA = 1 + rnd.nextInt(QuantileBins.ExactCap * 2)
+      val nB = 1 + rnd.nextInt(QuantileBins.ExactCap * 2)
+      def gen(n: Int) = Seq.fill(n)(
+        if (rnd.nextBoolean()) rnd.nextLong() else rnd.nextInt(1000).toLong)
+      val a = gen(nA).map(_ * (1 + rnd.nextInt(3))) // some duplicates
+      val b = gen(nB)
+      val merged = agg.merge(summarize(a), summarize(b))
+      val single = summarize(a ++ b)
+      assert(merged.collapsed === single.collapsed, s"trial $trial collapsed")
+      assert(merged.n === single.n && merged.mn === single.mn &&
+        merged.mx === single.mx, s"trial $trial scalars")
+      assert(merged.exact === single.exact && merged.bins === single.bins,
+        s"trial $trial maps")
+      assert(QuantileBins.finishPcts(merged).toSeq ===
+        QuantileBins.finishPcts(single).toSeq, s"trial $trial pcts")
+    }
+  }
+
+  test("order independence: shuffled input yields identical summaries") {
+    val rnd = new Random(17)
+    val vs = Seq.fill(QuantileBins.ExactCap + 3000)(rnd.nextLong() % 100000000L)
+    val p1 = pcts(vs)
+    val p2 = pcts(rnd.shuffle(vs))
+    assert(p1 === p2)
+  }
+
+  test("collapsed mode: min/max exact, interior error bounded by bin width") {
+    val rnd = new Random(19)
+    val vs = Seq.fill(QuantileBins.ExactCap + 5000)(
+      math.abs(rnd.nextLong()) % 1000000000L + 1L)
+    val got = pcts(vs)
+    val exact = exactPcts(vs)
+    assert(got.head === vs.min && got.last === vs.max)
+    for (j <- 1 until 100) {
+      // representative = bin lower edge, bin width <= value/64, so the
+      // estimate sits in (exact*(1-1/64) - 1, exact]
+      val e = exact(j).toDouble
+      assert(got(j) <= exact(j) && got(j) >= e - e / 64 - 1,
+        s"p$j got=${got(j)} exact=${exact(j)}")
+    }
+  }
+
+  test("null rows (populated=0) are skipped entirely") {
+    val agg = new QuantileBinsAggregator
+    var b = agg.zero
+    b = agg.reduce(b, (42L, 1L))
+    b = agg.reduce(b, (Long.MinValue, 0L)) // a null row carrying junk value
+    b = agg.reduce(b, (7L, 1L))
+    assert(b.n === 2L && b.mn === 7L && b.mx === 42L)
+    assert(QuantileBins.finishPcts(agg.zero) === null, "empty group -> null")
+  }
+}
