@@ -25,11 +25,19 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
-  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+  /** `maxTaskFailures > 1` enables local-mode task retry (the
+    * `local[N,F]` master form) — a cluster has this by default
+    * (spark.task.maxFailures=4); local mode fails the job on the first
+    * task error unless asked. The chaos/recovery specs need one retry. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+      maxTaskFailures: Int = 1): SparkSession = {
+    val master =
+      if (maxTaskFailures > 1) s"local[$cores,$maxTaskFailures]"
+      else s"local[$cores]"
     val s = configure(
       SparkSession
         .builder()
-        .master(s"local[$cores]")
+        .master(master)
         .appName("graft")
         .config("spark.sql.shuffle.partitions", cores.toString)
     ).getOrCreate()

@@ -19,7 +19,7 @@ import graft.operators.{Dedup, Ranking}
 class CheckpointSpec extends SparkSpec {
   import spark.implicits._
 
-  private lazy val ckptDir: Path = Files.createTempDirectory("graft-ckpt")
+  private lazy val ckptDir: Path = SparkSpec.reliableCkptDir
 
   private def nFiles(dir: Path): Int =
     if (!Files.isDirectory(dir)) 0
