@@ -53,6 +53,11 @@ object Bench {
     // queries mid-suite vs steady-state). Untimed, so totals stay
     // comparable; disable with SPARK_GRAFT_BENCH_GC=0.
     val gcBetween = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") != "0"
+    // spill accounting per timed run: the constrained-heap validation
+    // (SCALE.md) needs to SEE which queries spilled, not assume it
+    val meter = new graft.core.SpillMeter
+    spark.sparkContext.addSparkListener(meter)
+    var spills = Map.empty[String, (Long, Long)]
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var ok = true
@@ -63,6 +68,7 @@ object Bench {
         System.err.println(s"[bench] $name FAILED (warm-up): ${e.getMessage}")
       }
       if (gcBetween) System.gc()
+      meter.settle(); meter.reset()
       val t0 = System.nanoTime()
       if (ok) {
         try materialize(fn(spark, sfDir))
@@ -71,7 +77,10 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      val (sm, sd, _) = meter.settle()
+      if (sm > 0 || sd > 0) spills += name -> ((sm, sd))
+      name -> dt
     }
     val fj = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -93,9 +102,17 @@ object Bench {
     val repN = sys.env.get("SPARK_GRAFT_BENCH_REP_QUERIES")
       .map(v => if (v == "all") Int.MaxValue else v.toInt)
       .getOrElse(Int.MaxValue)
+    // wall budget for the variance pass (slowest-first, so exhausting it
+    // drops only the cheapest queries — and LOUDLY, never silently)
+    val repBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP_BUDGET", "900").toDouble
+    val repStart = System.nanoTime()
+    var repSkipped = 0
     val reps = results.filterNot(r => failed.contains(r._1))
       .sortBy(-_._2).take(repN).flatMap { case (name, _) =>
-        try {
+        if ((System.nanoTime() - repStart) / 1e9 > repBudgetSec) {
+          repSkipped += 1
+          None
+        } else try {
           spark.catalog.clearCache()
           materialize(SparkEntry.queries(name)(spark, sfDir)) // warm-up
           val ts = (1 to 3).map { _ =>
@@ -113,6 +130,9 @@ object Bench {
           None
         }
       }
+    if (repSkipped > 0) System.err.println(
+      s"[bench] variance-rep budget (${repBudgetSec}s) exhausted: " +
+        s"$repSkipped cheapest queries have no reps entry this run")
     val repsJson = reps.map { case (k, (m, lo, hi)) =>
       "\"" + k + s"""":{"median":${sec(m)},"min":${sec(lo)},"max":${sec(hi)}}"""
     }.mkString("{", ",", "}")
@@ -123,8 +143,14 @@ object Bench {
     // file; the stdout line stays the machine-readable summary.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
+    // per-query spill (timed run only; omitted when zero). A SEPARATE
+    // map: the flat `queries` name:seconds shape is parsed by regex in
+    // ScaleBench/scale_report and must stay scalar.
+    val spillJson = spills.toSeq.sortBy(_._1).map { case (k, (sm, sd)) =>
+      "\"" + k + s"""":{"mem":$sm,"disk":$sd}"""
+    }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"reps":$repsJson,"failed":$fj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"reps":$repsJson,"spill":$spillJson,"failed":$fj,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

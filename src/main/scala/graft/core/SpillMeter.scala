@@ -1,0 +1,52 @@
+package graft.core
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Task-metrics accumulator for the bench tools: spill and peak
+  * execution memory per measured query. At 100 TB / 1000 executors
+  * per-task memory is scarce and every big aggregation/join must be able
+  * to spill; the constrained-heap validation (SCALE.md) needs the
+  * numbers, not the assumption — a query that "passes" under an 8 GiB
+  * heap WITHOUT spilling never exercised the path.
+  *
+  * Listener delivery is asynchronous, so [[settle]] polls until two
+  * consecutive snapshots agree (bounded) before a reading is taken.
+  */
+class SpillMeter extends SparkListener {
+  private val memSpill = new AtomicLong(0L)
+  private val diskSpill = new AtomicLong(0L)
+  private val peakExec = new AtomicLong(0L)
+
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) {
+      memSpill.addAndGet(m.memoryBytesSpilled)
+      diskSpill.addAndGet(m.diskBytesSpilled)
+      peakExec.accumulateAndGet(m.peakExecutionMemory, Math.max(_: Long, _: Long))
+      ()
+    }
+  }
+
+  def reset(): Unit = { memSpill.set(0L); diskSpill.set(0L); peakExec.set(0L) }
+
+  /** (memoryBytesSpilled, diskBytesSpilled, max peakExecutionMemory). */
+  def snapshot(): (Long, Long, Long) =
+    (memSpill.get(), diskSpill.get(), peakExec.get())
+
+  /** Wait (bounded) for the async listener queue to drain: returns once
+    * two 50 ms-apart snapshots agree, or after ~2 s. */
+  def settle(): (Long, Long, Long) = {
+    var prev = snapshot()
+    var i = 0
+    while (i < 40) {
+      Thread.sleep(50L)
+      val cur = snapshot()
+      if (cur == prev) return cur
+      prev = cur
+      i += 1
+    }
+    prev
+  }
+}

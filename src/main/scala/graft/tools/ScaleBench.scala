@@ -35,6 +35,8 @@ object ScaleBench {
       SparkSession.builder().master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val meter = new graft.core.SpillMeter
+    spark.sparkContext.addSparkListener(meter)
     for (t <- graft.core.Tables.all)
       try graft.core.Tables.load(spark, dir, t).count()
       catch { case _: Throwable => }
@@ -55,24 +57,27 @@ object ScaleBench {
         // measure the steady state.
         spark.catalog.clearCache()
         mat(name) // untimed warm-up (Bench's steady-state convention)
+        meter.settle(); meter.reset()
         val ts = (1 to reps).map { _ =>
           System.gc()
           val t0 = System.nanoTime()
           mat(name)
           (System.nanoTime() - t0) / 1e9
         }.sorted
+        val (sm, sd, pk) = meter.settle() // spill across the timed reps
         val med = ts(ts.size / 2)
         System.err.println(f"[scalebench] $name med=$med%.3f " +
-          f"min=${ts.head}%.3f max=${ts.last}%.3f")
-        Some(name -> ((med, ts.head, ts.last)))
+          f"min=${ts.head}%.3f max=${ts.last}%.3f spillMB=${(sm + sd) / 1e6}%.0f")
+        Some(name -> ((med, ts.head, ts.last, sm, sd, pk)))
       } catch { case e: Throwable =>
         System.err.println(s"[scalebench] $name FAILED: ${e.getMessage}")
         None
       }
     }
     def s(v: Double) = f"$v%.3f"
-    val qs = out.map { case (k, (m, lo, hi)) =>
-      "\"" + k + s"""":{"median":${s(m)},"min":${s(lo)},"max":${s(hi)}}"""
+    val qs = out.map { case (k, (m, lo, hi, sm, sd, pk)) =>
+      "\"" + k + s"""":{"median":${s(m)},"min":${s(lo)},"max":${s(hi)},""" +
+        s""""spill_mem":$sm,"spill_disk":$sd,"peak_exec":$pk}"""
     }.mkString("{", ",", "}")
     val json = s"""{"sf":"$dir","reps":$reps,"queries":$qs}"""
     sys.env.get("SPARK_GRAFT_SCALEBENCH_OUT").foreach { p =>
