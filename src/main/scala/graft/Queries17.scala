@@ -222,15 +222,22 @@ object Queries17 {
   /** Record linkage ([[Linkage.fsLink]]): match the customer registry to
     * a simulated dirty re-import (uppercased names with a legal suffix,
     * truncated balances, a third of the nation codes bumped — the q160
-    * re-crawl convention). Blocking on (segment, balance century);
-    * integer Fellegi–Sunter weights; `true_match` is the hidden key the
-    * score is judged against. */
+    * re-crawl convention). Blocking on (segment, balance UNIT) — r11
+    * re-block: the original balance-CENTURY key had ~550 possible blocks
+    * total, so occupancy grew with the corpus and candidate pairs grew
+    * quadratically (measured: executor-CPU exponent 2.2 at sf1→sf3,
+    * masked in wall time by idle cores). Unit granularity keeps every
+    * true match (b's balance is floor(a's), so both land in the same
+    * unit block) with ~100× fewer pairs per row; see Linkage.fsLink's
+    * scaladoc for the bounded-cardinality caveat and the
+    * sorted-neighborhood escape (q111). Integer Fellegi–Sunter weights;
+    * `true_match` is the hidden key the score is judged against. */
   val q177RecordLinkage: (String, QueryDef) = q(
     "q177_record_linkage",
     """WITH a AS (
       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
       |    c_mktsegment || ':' ||
-      |      CAST(CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) AS VARCHAR)
+      |      CAST(CAST(FLOOR(c_acctbal) AS BIGINT) AS VARCHAR)
       |      AS block
       |  FROM customer),
       |b AS (
@@ -240,8 +247,7 @@ object Queries17 {
       |         ELSE c_nationkey END AS nation_b,
       |    CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_b,
       |    c_mktsegment || ':' ||
-      |      CAST(CAST(FLOOR(CAST(CAST(FLOOR(c_acctbal) AS BIGINT) AS DOUBLE)
-      |        / 100.0) AS BIGINT) AS VARCHAR) AS block
+      |      CAST(CAST(FLOOR(c_acctbal) AS BIGINT) AS VARCHAR) AS block
       |  FROM customer),
       |pairs AS (
       |  SELECT a.c_custkey AS id_a, b.id_b,
@@ -265,7 +271,7 @@ object Queries17 {
       implicit val env: (SparkSession, String) = (s, dir)
       val cust = t("customer")
       val blockA = concat(col("c_mktsegment"), lit(":"),
-        floor(col("c_acctbal") / 100.0).cast("long").cast("string"))
+        floor(col("c_acctbal")).cast("long").cast("string"))
       val a = cust.select(col("c_custkey"), col("c_name"),
         col("c_nationkey"), col("c_acctbal"), blockA.as("block"))
       val balB = floor(col("c_acctbal")).cast("long")
@@ -276,8 +282,7 @@ object Queries17 {
           .otherwise(col("c_nationkey")).as("nation"),
         balB.as("bal"),
         concat(col("c_mktsegment"), lit(":"),
-          floor(balB.cast("double") / 100.0).cast("long").cast("string"))
-          .as("block"))
+          balB.cast("string")).as("block"))
       Linkage.fsLink(a, "c_custkey", b, "reg_id",
           blockCols = Seq("block"),
           rules = Seq(

@@ -140,7 +140,7 @@ object QuantileBins {
   /** Layout version folded into the query-cache key: bump when binId /
     * repr / ExactCap change, or old persisted partials would merge into a
     * different layout. */
-  val LayoutKey: String = s"td.e$ExactCap.t$TicksPerOctave.v1"
+  val LayoutKey: String = s"td.e$ExactCap.t$TicksPerOctave.v2" // v2: repr overflow fix
 
   /** Order-preserving bin id: negative values map to negative ids, zero
     * to 0, positives to ≥ 1; |id| grows with |value|, so ascending id ==
@@ -177,8 +177,13 @@ object QuantileBins {
     val oct = m / TicksPerOctave
     val tick = m % TicksPerOctave
     val base = 1L << oct // oct == 63 only via the Long.MinValue id
-    val t = tick.toLong << oct
-    base + ((t + (TicksPerOctave - 1)) >> TickShift) // ceil(tick·2^oct/64)
+    if (oct >= TickShift)
+      // exact: tick·2^(oct-6); tick < 64 so the shift tops out at
+      // 63·2^56 < 2^62 — the (tick<<oct)>>6 form overflows for oct ≥ 58
+      // and emitted non-monotonic representatives (r11 review find)
+      base + (tick.toLong << (oct - TickShift))
+    else
+      base + (((tick.toLong << oct) + (TicksPerOctave - 1)) >> TickShift) // ceil
   }
 
   private[functions] def collapse(b: QBinsBuf): Unit = {

@@ -32,8 +32,20 @@ object Linkage {
     * `threshold`.
     *
     * Scale: the blocking equi-join is THE cost — a shuffle on the block
-    * key; a skewed block (one giant city/segment) is the classic
-    * failure. `salts > 1` applies [[Joins.saltedJoin]]'s scatter to it:
+    * key — and the block KEY'S CARDINALITY is the caller's scale
+    * contract: a key with a FIXED number of possible values (city,
+    * segment, balance century) gives per-block occupancy that grows
+    * linearly with the corpus, hence candidate pairs that grow
+    * QUADRATICALLY — and the wall clock hides it while idle cores
+    * absorb the extra work (r11 measured a CPU exponent of 2.2 on a
+    * 550-block key whose wall exponent read 1.2). Pick keys whose
+    * cardinality grows with the data (near-unique normalized fields,
+    * fine-grained numeric units), union several fsLink passes for
+    * recall, or switch to the sorted-neighborhood window
+    * (Dedup.sortedNeighborhood, q111) when no such key exists — its
+    * pair count is O(n·window) by construction. A skewed block (one
+    * giant city/segment) is the classic within-key failure.
+    * `salts > 1` applies [[Joins.saltedJoin]]'s scatter to it:
     * the `a` side spreads each block over `salts` sub-keys by row hash
     * and the `b` side replicates to every sub-key, so a hot block's
     * pairs land on `salts` tasks instead of one — output identical to

@@ -64,7 +64,11 @@ object ScaleBench {
           mat(name)
           (System.nanoTime() - t0) / 1e9
         }.sorted
-        val (sm, sd, pk) = meter.settle() // spill across the timed reps
+        // PER-RUN averages: the meter accumulated across all timed reps,
+        // and emitting the raw sum beside a per-run median silently
+        // overstates spill by the rep count (r11 review find)
+        val (smT, sdT, pk) = meter.settle()
+        val (sm, sd) = (smT / reps, sdT / reps)
         val med = ts(ts.size / 2)
         System.err.println(f"[scalebench] $name med=$med%.3f " +
           f"min=${ts.head}%.3f max=${ts.last}%.3f spillMB=${(sm + sd) / 1e6}%.0f")

@@ -260,6 +260,33 @@ class AsOfCacheSpec extends SparkSpec {
     assert(ex.getMessage.contains("weight"))
   }
 
+  test("query cache: tdigest partials cross the exact->collapsed boundary " +
+      "in the MERGE path identically to single-pass") {
+    // each block stays exact (~4100 distinct), but the merged group
+    // crosses the 8192-distinct cap, so the cache-side merge performs
+    // the collapse that the single-pass run performs mid-aggregation —
+    // the homomorphism wiring end-to-end, not just in-memory
+    val root = Files.createTempDirectory("graft-qc-td2").toString
+    val t = new GraftTable(spark, root)
+    for (b <- 0 until 3) {
+      t.ingest((0 until 4100).map { i =>
+        // disjoint per-block value ranges -> merged distinct ~12300
+        ("all", (b * 10000 + i).toLong, (b.toLong << 40) + i * 257L)
+      }.toDF("k", "time", "v"))
+      t.digest(compact = false)
+    }
+    val cache = new QueryCache(spark, t)
+    val q = SybilQuery().groupBy("k").aggregate("v")
+      .tDigestHistogram.limitTo(10)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    val (r1, o1) = cache.run(q)
+    assert(o1.misses === 3)
+    assert(canon(r1) === canon(q.run(t.read())))
+    val (r2, o2) = cache.run(q)
+    assert(o2.hits === 3 && canon(r2) === canon(r1))
+  }
+
   test("query cache: multi-column HLL distinct hashes the same item strings") {
     // two distinct columns: the cache partial and the single-pass sketch
     // must feed the SAME -joined item string into the HLL, or the

@@ -129,6 +129,19 @@ class CliSpec extends SparkSpec {
     assert(cached() === first)
     assert(mapper.readTree(first).get("results").size() === 3)
 
+    // -cache-queries now admits -tdigest (deterministic QuantileBins
+    // partials): second run identical, and equal to the UNCACHED run's
+    // JSON byte-for-byte — the end-to-end form of cached == uncached
+    def cachedTd(extra: String*) = captureOut {
+      Cli.main(Array("query", "-dir", db, "-table", "sales",
+        "-group", "region", "-int", "amount", "-op", "hist", "-tdigest",
+        "-json") ++ extra)
+    }
+    val tdUncached = cachedTd()
+    val td1 = cachedTd("-cache-queries")
+    assert(td1 === tdUncached, "cached tdigest JSON must equal uncached")
+    assert(cachedTd("-cache-queries") === td1)
+
     // export writes gzip TSV
     val out = Files.createTempDirectory("graft-cli3-out").toString + "/tsv"
     Cli.main(Array("export", "-dir", db, "-table", "sales", "-outfile", out))

@@ -42,11 +42,22 @@ class QuantileBinsSpec extends org.scalatest.funsuite.AnyFunSuite {
       if (v > 0) assert(r >= 1 && r <= v, s"v=$v id=$id repr=$r")
       else if (v < 0) assert(r <= -1 && r >= v, s"v=$v id=$id repr=$r")
       else assert(r === 0L)
+      // ...and within one tick of it (≤ |v|/64 + 1): the weak in-range
+      // check alone let the oct≥58 shift overflow ship wrong edges that
+      // were still inside [1, v] (r11 review find)
+      val av = math.abs(v.toDouble) // abs on the Long wraps at MinValue
+      assert(math.abs(v.toDouble - r.toDouble) <= av / 64 + 1,
+        s"repr too far: v=$v repr=$r")
       // |v| <= 127 (octave <= 6): tick width < 1, so bins are EXACT
       if (math.abs(v) <= 127) assert(r === v, s"small value v=$v repr=$r")
     }
-    for (Seq(a, b) <- vs.sorted.sliding(2).toSeq)
+    for (Seq(a, b) <- vs.sorted.sliding(2).toSeq) {
       assert(QuantileBins.binId(a) <= QuantileBins.binId(b), s"order $a,$b")
+      // monotonic THROUGH repr as well — the percentile walk sorts by
+      // bin id and a non-monotonic representative corrupts the array
+      assert(QuantileBins.repr(QuantileBins.binId(a)) <=
+        QuantileBins.repr(QuantileBins.binId(b)), s"repr order $a,$b")
+    }
   }
 
   test("exact mode (distinct <= cap) reproduces exact rank percentiles") {
@@ -106,6 +117,27 @@ class QuantileBinsSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(got(j) <= exact(j) && got(j) >= e - e / 64 - 1,
         s"p$j got=${got(j)} exact=${exact(j)}")
     }
+  }
+
+  test("collapsed mode at FULL long magnitudes: error bound holds up to " +
+      "Long.MaxValue (octaves 58-62 overflowed pre-fix)") {
+    val rnd = new Random(29)
+    // half the mass in the top octaves where tick<<oct used to wrap
+    val vs = Seq.fill(QuantileBins.ExactCap + 4000) {
+      val u = math.abs(rnd.nextLong()) | 1L
+      if (rnd.nextBoolean()) u else u >>> rnd.nextInt(40)
+    }
+    val got = pcts(vs)
+    val exact = exactPcts(vs)
+    assert(got.head === vs.min && got.last === vs.max)
+    for (j <- 1 until 100) {
+      val e = exact(j).toDouble
+      assert(got(j) <= exact(j) && got(j) >= e - e / 64 - 1,
+        s"p$j got=${got(j)} exact=${exact(j)}")
+    }
+    // monotone percentile array — the visible symptom of the overflow
+    for (j <- 1 to 100)
+      assert(got(j) >= got(j - 1), s"non-monotone at p$j")
   }
 
   test("null rows (populated=0) are skipped entirely") {
