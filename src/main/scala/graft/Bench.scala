@@ -78,7 +78,7 @@ object Bench {
         }
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      val (sm, sd, _) = meter.settle()
+      val (sm, sd, _, _) = meter.settle()
       if (sm > 0 || sd > 0) spills += name -> ((sm, sd))
       name -> dt
     }

@@ -18,6 +18,7 @@ class SpillMeter extends SparkListener {
   private val memSpill = new AtomicLong(0L)
   private val diskSpill = new AtomicLong(0L)
   private val peakExec = new AtomicLong(0L)
+  private val cpuMs = new AtomicLong(0L)
 
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
     val m = e.taskMetrics
@@ -25,19 +26,31 @@ class SpillMeter extends SparkListener {
       memSpill.addAndGet(m.memoryBytesSpilled)
       diskSpill.addAndGet(m.diskBytesSpilled)
       peakExec.accumulateAndGet(m.peakExecutionMemory, Math.max(_: Long, _: Long))
+      // executorCpuTime (ns→ms): ACTUAL cpu cycles, the number neither
+      // idle cores nor GC stalls can distort. The r11 lesson, twice
+      // over: a quadratic pair blow-up read as wall exponent 1.2 while
+      // CPU grew at 2.2 (idle threads absorbed it, q177) — and
+      // executorRunTime in turn over-reads the exponent on scan-heavy
+      // queries because it is thread-wall including the GC/memory-
+      // bandwidth stalls of a fuller machine (q67 ran at 1.9 by
+      // runTime, ~1.1 by cpuTime). Scale verdicts use cpuTime.
+      cpuMs.addAndGet(m.executorCpuTime / 1000000L)
       ()
     }
   }
 
-  def reset(): Unit = { memSpill.set(0L); diskSpill.set(0L); peakExec.set(0L) }
+  def reset(): Unit = {
+    memSpill.set(0L); diskSpill.set(0L); peakExec.set(0L); cpuMs.set(0L)
+  }
 
-  /** (memoryBytesSpilled, diskBytesSpilled, max peakExecutionMemory). */
-  def snapshot(): (Long, Long, Long) =
-    (memSpill.get(), diskSpill.get(), peakExec.get())
+  /** (memoryBytesSpilled, diskBytesSpilled, max peakExecutionMemory,
+    * executorCpuTime ms). */
+  def snapshot(): (Long, Long, Long, Long) =
+    (memSpill.get(), diskSpill.get(), peakExec.get(), cpuMs.get())
 
   /** Wait (bounded) for the async listener queue to drain: returns once
     * two 50 ms-apart snapshots agree, or after ~2 s. */
-  def settle(): (Long, Long, Long) = {
+  def settle(): (Long, Long, Long, Long) = {
     var prev = snapshot()
     var i = 0
     while (i < 40) {

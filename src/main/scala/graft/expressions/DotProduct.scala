@@ -210,6 +210,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => NfcNormalize(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_normalize_text"),
+      new ExpressionInfo(classOf[GraftNormalizeText].getName,
+        "graft_normalize_text"),
+      (children: Seq[Expression]) => GraftNormalizeText(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_deflate_len"),
       new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
       (children: Seq[Expression]) => DeflateLen(children(0))))

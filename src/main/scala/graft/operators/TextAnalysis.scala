@@ -90,8 +90,22 @@ object TextAnalysis {
     * canonicalizers are) → collapse whitespace runs → trim. A pure
     * codegen'd projection (no shuffle, no UDF); the regexes avoid
     * engine-specific character classes (`\p{Punct}`, `\s`) so the
-    * identical patterns run in Java and RE2 engines. */
+    * identical patterns run in Java and RE2 engines. Runs as the native
+    * `graft_normalize_text` byte-pass kernel
+    * (expressions/NormalizeText.scala) — one allocation per row instead
+    * of two java.util.regex matchers plus four intermediate strings; the
+    * r11 sf3 measurement put the regex chain at ~350× DuckDB's cost for
+    * the same rows, with its allocation pressure degrading per-thread
+    * throughput as cores filled. ASCII fast path is byte-exact to the
+    * chain; non-ASCII rows take the literal legacy chain inside the
+    * kernel (ExpressionsSpec differential fuzz pins both). */
   def normalizeText(text: Column): Column =
+    call_function("graft_normalize_text", text)
+
+  /** The pre-kernel regex chain — kept ONLY as the differential-fuzz
+    * reference (ExpressionsSpec) so the kernel is pinned to the exact
+    * semantics it replaced. Not used by any operator. */
+  private[graft] def normalizeTextLegacy(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "),
       "  +", " "))

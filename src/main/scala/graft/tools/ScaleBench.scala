@@ -67,21 +67,22 @@ object ScaleBench {
         // PER-RUN averages: the meter accumulated across all timed reps,
         // and emitting the raw sum beside a per-run median silently
         // overstates spill by the rep count (r11 review find)
-        val (smT, sdT, pk) = meter.settle()
-        val (sm, sd) = (smT / reps, sdT / reps)
+        val (smT, sdT, pk, cpuT) = meter.settle()
+        val (sm, sd, cpu) = (smT / reps, sdT / reps, cpuT / reps)
         val med = ts(ts.size / 2)
         System.err.println(f"[scalebench] $name med=$med%.3f " +
-          f"min=${ts.head}%.3f max=${ts.last}%.3f spillMB=${(sm + sd) / 1e6}%.0f")
-        Some(name -> ((med, ts.head, ts.last, sm, sd, pk)))
+          f"min=${ts.head}%.3f max=${ts.last}%.3f " +
+          f"spillMB=${(sm + sd) / 1e6}%.0f cpuS=${cpu / 1e3}%.1f")
+        Some(name -> ((med, ts.head, ts.last, sm, sd, pk, cpu)))
       } catch { case e: Throwable =>
         System.err.println(s"[scalebench] $name FAILED: ${e.getMessage}")
         None
       }
     }
     def s(v: Double) = f"$v%.3f"
-    val qs = out.map { case (k, (m, lo, hi, sm, sd, pk)) =>
+    val qs = out.map { case (k, (m, lo, hi, sm, sd, pk, cpu)) =>
       "\"" + k + s"""":{"median":${s(m)},"min":${s(lo)},"max":${s(hi)},""" +
-        s""""spill_mem":$sm,"spill_disk":$sd,"peak_exec":$pk}"""
+        s""""spill_mem":$sm,"spill_disk":$sd,"peak_exec":$pk,"cpu_ms":$cpu}"""
     }.mkString("{", ",", "}")
     val json = s"""{"sf":"$dir","reps":$reps,"queries":$qs}"""
     sys.env.get("SPARK_GRAFT_SCALEBENCH_OUT").foreach { p =>

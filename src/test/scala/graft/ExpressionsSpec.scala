@@ -341,4 +341,29 @@ class ExpressionsSpec extends SparkSpec {
     assert(nulls.filter(call_function("graft_bloom_contains",
       lit(null).cast("binary"), col("h"))).count() === 0L)
   }
+
+  test("graft_normalize_text: byte-exact to the legacy regex chain on " +
+      "ASCII, Unicode, and adversarial whitespace") {
+    val rnd = new scala.util.Random(31)
+    val asciiPool = "abcXYZ 019 .,!-_@#\t" // tab is NOT [^a-z0-9 ]-space
+    val uniPool = "caf\u00e9 \u212aELVIN \u0130stanbul \u4e2d\u6587 e\u0301"
+    def randStr(pool: String, n: Int) =
+      (0 until n).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    val cases = Seq("", " ", "   ", "a", "  a  b  ", "!!!", "A1 b2",
+      "\u212a", "\u0130", "tab\there") ++
+      (0 until 300).map(_ => randStr(asciiPool, rnd.nextInt(60))) ++
+      (0 until 150).map(_ => randStr(asciiPool + uniPool, rnd.nextInt(40)))
+    val df = cases.toDF("t")
+    val got = df.select(
+      graft.operators.TextAnalysis.normalizeText(col("t")).as("k"),
+      graft.operators.TextAnalysis.normalizeTextLegacy(col("t")).as("l"))
+      .collect()
+    for ((r, i) <- got.zipWithIndex)
+      assert(r.getString(0) === r.getString(1),
+        s"case $i input=${cases(i)} kernel=${r.getString(0)} legacy=${r.getString(1)}")
+    // null passes through
+    assert(Seq[Option[String]](None).toDF("t")
+      .select(graft.operators.TextAnalysis.normalizeText(col("t")))
+      .head().isNullAt(0))
+  }
 }
