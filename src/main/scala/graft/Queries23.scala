@@ -542,7 +542,10 @@ object Queries23 {
     val raw = concat(
       when(v === 1, concat(lit("HTTP://"), upper(host)))
         .otherwise(concat(lit("http://"), host)),
-      when(v === 2, lit(":80")).otherwise(lit("")),
+      // r12: the default port is written zero-padded (":080") — leading
+      // zeros carry no port semantics, so the canon must strip them
+      // BEFORE the default-port compare for this variant to fold
+      when(v === 2, lit(":080")).otherwise(lit("")),
       when(v === 1, pathAs("pa%3dge"))
         .when(v === 2, pathAs("pa%3Dg%65"))
         .when(v === 4, pathAs("p%61%3Dge"))

@@ -118,7 +118,12 @@ object PngRaster {
       var got = 0
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return null // truncated stream
+        // Zero progress with output space free means the stream cannot
+        // advance: truncated (needsInput) or an FDICT preset-dictionary
+        // header (needsDictionary — inflate returns 0 forever on it, so
+        // treating it as progress would spin this loop uninterruptibly
+        // on a crafted payload).
+        if (n == 0) return null
         got += n
       }
       if (got < raw.length) return null

@@ -128,9 +128,23 @@ object UrlCanon {
     if (hname.isEmpty) return null
     val defPort =
       if (scheme == "http") "80" else if (scheme == "https") "443" else null
+    // leading zeros carry no port semantics (":080" is port 80), so strip
+    // them before BOTH the default-port compare and the emitted key —
+    // otherwise ":080", ":80" and no-port yield three dedup keys for the
+    // same document. All-zeros strips to empty, which folds like the
+    // empty port; the output stays a fixed point (no leading zeros can
+    // survive into it).
+    val normPort =
+      if (port == null) null
+      else {
+        var z = 0
+        while (z < port.length - 1 && port.charAt(z) == '0') z += 1
+        val stripped = port.substring(z)
+        if (stripped == "0") "" else stripped
+      }
     val host =
-      if (port == null || port.isEmpty || port == defPort) hname
-      else hname + ":" + port
+      if (normPort == null || normPort.isEmpty || normPort == defPort) hname
+      else hname + ":" + normPort
     val qi = tail.indexOf('?')
     var path = if (qi < 0) tail else tail.substring(0, qi)
     val query = if (qi < 0) null else tail.substring(qi + 1)

@@ -10,6 +10,27 @@ import org.apache.spark.sql.functions._
   */
 object Decontam {
 
+  /** Broadcasts created on [[overlapViaBloom]]'s >16 MB fallback path,
+    * awaiting explicit release. The caller owns cleanup: materialize the
+    * returned DataFrame, then call [[releaseFallbackBroadcasts]]. */
+  private val fallbackBroadcasts =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.broadcast.Broadcast[_]]()
+
+  /** Unpersist every tracked fallback broadcast (non-blocking) and return
+    * how many were released. Safe to call while no query is running; a
+    * released broadcast re-fetches lazily if a cached plan re-executes. */
+  def releaseFallbackBroadcasts(): Int = {
+    var n = 0
+    var bc = fallbackBroadcasts.poll()
+    while (bc != null) {
+      bc.unpersist(false)
+      n += 1
+      bc = fallbackBroadcasts.poll()
+    }
+    n
+  }
+
   /** Distinct n-gram STRINGS of a space-tokenized text column. Row-local
     * (no shuffle); used where the n-grams themselves are the output — the
     * native one-pass `graft_shingles` expression (codegen) replaces the
@@ -105,6 +126,12 @@ object Decontam {
         ng => call_function("graft_bloom_contains", lit(bloomBytes), ng)
       else {
         val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+        // a >16 MB broadcast pinned per call would accumulate across a
+        // long session: track it so releaseFallbackBroadcasts() (called
+        // by the owner once the returned frame is materialized) frees the
+        // executor/driver copies; Spark's ContextCleaner also reclaims it
+        // once the plan holding the udf closure is unreferenced.
+        fallbackBroadcasts.add(bc)
         val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
         ng => mightContain(ng)
       }

@@ -188,6 +188,20 @@ class PngFuzzSpec extends SparkSpec {
       withPlte.take(33) ++ withPlte.drop(33 + plteLen)
     }
     assert(PngRaster.toPpm(noPlte) == null, "type 3 without PLTE")
+    // FDICT: a zlib header with the preset-dictionary flag makes
+    // Inflater return 0 with needsDictionary()=true forever — the decode
+    // loop must bail on zero progress, not spin. CMF 0x78 needs
+    // FLG ≡ 1 (mod 31); 0x20 is the one with the FDICT bit set. IDAT
+    // data starts at 8 (sig) + 25 (IHDR chunk) + 8 = 41; FLG is byte 42.
+    val fdict = {
+      val c = png.clone()
+      assert((c(41) & 0xff) == 0x78, "synth zlib CMF")
+      c(42) = 0x20
+      c
+    }
+    val t0 = System.nanoTime()
+    assert(PngRaster.toPpm(fdict) == null, "FDICT stream")
+    assert(System.nanoTime() - t0 < 5e9.toLong, "FDICT must fail fast")
     // the expression surface: null in, null out, batch of valid rows fine
     val df = Seq(1L, 2L).toDF("i")
     val r = df.selectExpr(

@@ -141,9 +141,15 @@ class Round18OpsSpec extends SparkSpec {
     assert(canon("http://h.test:80:80/x") === null)
     assert(canon("http://h.test:8o/x") === null)
     assert(canon("http://:8080/x") === null)
-    // empty port folds; a non-default port with leading zeros is kept
+    // empty port folds; leading zeros carry no port semantics, so a
+    // zero-padded default port strips and a padded non-default port
+    // collapses to the unpadded key (":080" == ":80", ":08080" == ":8080")
     assert(canon("http://h.test:/x") === "http://h.test/x")
-    assert(canon("http://h.test:080/x") === "http://h.test:080/x")
+    assert(canon("http://h.test:080/x") === "http://h.test/x")
+    assert(canon("http://h.test:08080/x") === "http://h.test:8080/x")
+    // all-zeros port strips to empty and folds like the empty port
+    assert(canon("http://h.test:000/x") === "http://h.test/x")
+    assert(canon("ftp://h.test:080/x") === "ftp://h.test:80/x")
     // IPv6 brackets shield the colons; default port still strips
     assert(canon("http://[::1]:80/x") === "http://[::1]/x")
     assert(canon("http://[::1]:8080/x") === "http://[::1]:8080/x")
@@ -171,7 +177,8 @@ class Round18OpsSpec extends SparkSpec {
     val schemes = Seq("http", "HTTP", "https", "ftp")
     val hosts = Seq("Ex.COM", "a.b.c", "x", "[::1]", "User:P@H.io",
       "h%4F.io")
-    val ports = Seq("", ":80", ":443", ":8080", ":", ":080")
+    val ports = Seq("", ":80", ":443", ":8080", ":", ":080", ":000",
+      ":08080")
     val paths = Seq("", "/", "/A/b", "/A/b/", "/A/b//", "//x",
       "/%41b", "/a%2f", "/%7e%2541", "/a%zz", "/p%3dq")
     val queries = Seq("", "?a=1", "?utm_source=s", "?b=2&utm_a=1&a=1",
