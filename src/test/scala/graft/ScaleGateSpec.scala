@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.ScaleGate
+import graft.tools.ScaleGate.Obs
+
+/** The scale gate must be a GATE: a synthetic quadratic has to trip it,
+  * a linear query must not, a recorded disposition must downgrade the
+  * alarm to a documented trade, and the thresholds (50 CPU-s, 5 s wall)
+  * must keep tiny absolutes from crying wolf. */
+class ScaleGateSpec extends AnyFunSuite {
+
+  private def row(rows: Seq[ScaleGate.Row], name: String) =
+    rows.find(_.name == name).getOrElse(fail(s"$name missing from gate"))
+
+  test("a synthetic quadratic trips the gate; a linear neighbor does not") {
+    // 3x data: linear CPU grows 3x, quadratic 9x (exponent 2.0)
+    val lo = Map(
+      "q_linear" -> Obs(2.0, Some(30e3)),
+      "q_quad" -> Obs(2.0, Some(30e3)))
+    val hi = Map(
+      "q_linear" -> Obs(6.0, Some(90e3)),
+      "q_quad" -> Obs(6.5, Some(270e3))) // wall hides it; CPU cannot
+    val rows = ScaleGate.evaluate(lo, hi, 3.0, allow = Map.empty)
+    assert(row(rows, "q_quad").breach, "quadratic CPU must breach")
+    assert(row(rows, "q_quad").verdict == "BREACH (cpu)")
+    assert(!row(rows, "q_linear").breach)
+    assert(math.abs(row(rows, "q_quad").expCpu.get - 2.0) < 0.01)
+  }
+
+  test("a wall blow-up breaches even when cpu_ms is linear or absent") {
+    val lo = Map("q_wallbomb" -> Obs(3.0, None),
+      "q_small" -> Obs(0.1, None))
+    val hi = Map("q_wallbomb" -> Obs(27.0, None), // exponent 3 at 27 s
+      "q_small" -> Obs(0.9, None)) // exponent 2 but under the 5 s floor
+    val rows = ScaleGate.evaluate(lo, hi, 3.0, allow = Map.empty)
+    assert(row(rows, "q_wallbomb").verdict == "BREACH (wall)")
+    // tiny absolutes never page anyone
+    assert(!row(rows, "q_small").breach)
+    assert(row(rows, "q_small").verdict.contains("NO cpu_ms"))
+  }
+
+  test("the 50 CPU-s absolute floor keeps small-base exponents advisory") {
+    // exponent 1.85 — the post-fix q177 shape — on a 29 CPU-s base
+    val lo = Map("q_asymptote" -> Obs(0.6, Some(4e3)))
+    val hi = Map("q_asymptote" -> Obs(1.6, Some(29e3)))
+    val rows = ScaleGate.evaluate(lo, hi, 3.0, allow = Map.empty)
+    assert(!row(rows, "q_asymptote").breach)
+  }
+
+  test("an allowlisted quadratic passes with its disposition visible") {
+    val lo = Map("q_demo" -> Obs(10.0, Some(100e3)))
+    val hi = Map("q_demo" -> Obs(52.0, Some(1160e3)))
+    val bare = ScaleGate.evaluate(lo, hi, 3.0, allow = Map.empty)
+    assert(row(bare, "q_demo").breach, "sanity: it IS super-linear")
+    val allowed = ScaleGate.evaluate(lo, hi, 3.0,
+      allow = Map("q_demo" -> "fixture-by-construction skew demo"))
+    val r = row(allowed, "q_demo")
+    assert(!r.breach)
+    assert(r.verdict.contains("fixture-by-construction"))
+  }
+
+  test("the shipped allowlist holds the r11 decade files green and the " +
+      "render carries every column") {
+    // golden copies of the r11 sf1/sf3 readings for the three shapes the
+    // gate must classify: allowlisted quadratic, linear, clean
+    val lo = Map(
+      "q197_skewed_linkage" -> Obs(11.6, Some(105e3)),
+      "q174_pagerank" -> Obs(4.1, Some(80e3)),
+      "q67_normalize" -> Obs(0.3, Some(600.0)))
+    val hi = Map(
+      "q197_skewed_linkage" -> Obs(51.8, Some(1162e3)),
+      "q174_pagerank" -> Obs(10.3, Some(229e3)),
+      "q67_normalize" -> Obs(0.4, Some(2.6e3)))
+    val rows = ScaleGate.evaluate(lo, hi, 3.0)
+    assert(rows.forall(!_.breach))
+    assert(row(rows, "q197_skewed_linkage").verdict.startsWith("allowlisted"))
+    val table = ScaleGate.render(rows)
+    assert(table.contains("q174_pagerank") && table.contains("expCPU"))
+  }
+
+  test("parse reads a ScaleBench file (pretty-printed and cpu-less both)") {
+    val dir = java.nio.file.Files.createTempDirectory("scalegate")
+    val withCpu = dir.resolve("hi.json")
+    java.nio.file.Files.write(withCpu,
+      """{"sf":"/tmp/x","reps":3,"queries":{
+        |  "q_a": {"median": 1.5, "min": 1.2, "max": 1.9,
+        |          "spill_mem": 0, "spill_disk": 0, "peak_exec": 1,
+        |          "cpu_ms": 2500.0},
+        |  "q_b": {"median": 0.5}
+        |}}""".stripMargin.getBytes("UTF-8"))
+    val m = ScaleGate.parse(withCpu.toString)
+    assert(m("q_a") == Obs(1.5, Some(2500.0)))
+    assert(m("q_b") == Obs(0.5, None))
+  }
+}
