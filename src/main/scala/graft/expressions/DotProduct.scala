@@ -215,6 +215,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_normalize_text"),
       (children: Seq[Expression]) => GraftNormalizeText(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_pii_count"),
+      new ExpressionInfo(classOf[GraftPiiCount].getName, "graft_pii_count"),
+      (children: Seq[Expression]) => GraftPiiCount(children(0),
+        children(1).eval().toString)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pii_redact"),
+      new ExpressionInfo(classOf[GraftPiiRedact].getName, "graft_pii_redact"),
+      (children: Seq[Expression]) => GraftPiiRedact(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_deflate_len"),
       new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
       (children: Seq[Expression]) => DeflateLen(children(0))))

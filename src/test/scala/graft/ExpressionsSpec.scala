@@ -366,4 +366,95 @@ class ExpressionsSpec extends SparkSpec {
       .select(graft.operators.TextAnalysis.normalizeText(col("t")))
       .head().isNullAt(0))
   }
+
+  test("graft_pii_count / graft_pii_redact: byte-exact to the " +
+      "java.util.regex chain AND Spark's regexp_* on adversarial inputs") {
+    import java.util.regex.Pattern
+    val pe = Pattern.compile(graft.operators.Pii.EmailRe)
+    val pp = Pattern.compile(graft.operators.Pii.PhoneRe)
+    val pi = Pattern.compile(graft.operators.Pii.Ipv4Re)
+    def cnt(p: Pattern, s: String): Long = {
+      val m = p.matcher(s); var c = 0L; while (m.find()) c += 1; c
+    }
+    def legacyRedact(s: String): String =
+      pi.matcher(pp.matcher(pe.matcher(s).replaceAll("<EMAIL>"))
+        .replaceAll("<PHONE>")).replaceAll("<IP>")
+
+    // every shape the kernel's case analysis calls out, plus the
+    // sequential-order traps (phone inside an email local part; an ipv4
+    // gaining a word boundary from a replaced span; overlap where the
+    // phone pass must beat the ipv4 pass)
+    val targeted = Seq(
+      "", "@", "a@", "@b.co", "a@b", "a@b.c", "a@b.co", "a@b.co.",
+      "a@@b.com", "a@b@c.com", "x#y%z+w@sub.do-main.org!",
+      "a@.co", "a@.com.de", "a@-.co", "a@..co", "a@x.co",
+      "a@b.com.de1", "a@b.comx@d.org", "a@b.com1.2.3.4",
+      "12-345-678-9012@x.com", "mail 12-345-678-9012@x.com end",
+      "12-345-678-9012", "x12-345-678-9012", "12-345-678-9012x",
+      "5-12-345-678-9012", "12-345-678-90123", "1-345-678-9012",
+      "1.2.3.4", "1.2.3.4.5.6.7.8", "1234.5.6.7", "1.2.3.4567",
+      "1.2.3.4a", "_1.2.3.4", "1.2.3.45-123-456-7890",
+      "ip 10.0.255.1, tel 10-001-031-7919, a.b@c.example.com.",
+      // \b in java.util.regex is Unicode-aware even in default mode: a
+      // letter, combining mark, or join control next to the digits
+      // SUPPRESSES the boundary; punctuation/ideographic spaces do not
+      "é1.2.3.4é", "中12-345-678-9012中",
+      "é1.2.3.4", "‍12-345-678-9012", "　1.2.3.4　",
+      "café@b.com", "a@café.com", "a@b.coém", "�1.2.3.4",
+      // contextual marks: a combining acute (U+0301) with a letter base
+      // is word (suppresses \b); with no base, an underscore base, or a
+      // surrogate-pair base it isn't (the boundary survives)
+      "á1.2.3.4", "́1.2.3.4", "😀́1.2.3.4",
+      "_́1.2.3.4", "á́1.2.3.4", "1.2.3.4́",
+      "1.2.3.4á", "12-345-678-9012́x")
+    val rnd = new scala.util.Random(53)
+    val frags = Seq("a@b.co", "x.y", "1.2.3.4", "12-345-678-9012", "12",
+      "345", ".", "-", "@", " ", "", "_", "#", "%", "+", "com", "9",
+      "1234", "é", "中", "a@", ".co", "10.0.0", "99-", "́", "‍",
+      "　", "😀")
+    val fuzz = (0 until 400).map { _ =>
+      (0 until rnd.nextInt(8)).map(_ => frags(rnd.nextInt(frags.size)))
+        .mkString
+    }
+    val cases = targeted ++ fuzz
+    val df = cases.toDF("t")
+    val got = df.select(
+      call_function("graft_pii_count", col("t"), lit("email")).as("ke"),
+      call_function("graft_pii_count", col("t"), lit("phone")).as("kp"),
+      call_function("graft_pii_count", col("t"), lit("ipv4")).as("ki"),
+      call_function("graft_pii_count", col("t"), lit("total")).as("kt"),
+      call_function("graft_pii_redact", col("t")).as("kr"),
+      regexp_count(col("t"), lit(graft.operators.Pii.EmailRe)).as("se"),
+      regexp_count(col("t"), lit(graft.operators.Pii.PhoneRe)).as("sp"),
+      regexp_count(col("t"), lit(graft.operators.Pii.Ipv4Re)).as("si"),
+      regexp_replace(regexp_replace(regexp_replace(col("t"),
+        graft.operators.Pii.EmailRe, "<EMAIL>"),
+        graft.operators.Pii.PhoneRe, "<PHONE>"),
+        graft.operators.Pii.Ipv4Re, "<IP>").as("sr")).collect()
+    for ((r, i) <- got.zipWithIndex) {
+      val in = cases(i)
+      assert(r.getLong(0) === cnt(pe, in), s"email count on <$in>")
+      assert(r.getLong(1) === cnt(pp, in), s"phone count on <$in>")
+      assert(r.getLong(2) === cnt(pi, in), s"ipv4 count on <$in>")
+      assert(r.getLong(3) === r.getLong(0) + r.getLong(1) + r.getLong(2),
+        s"total on <$in>")
+      assert(r.getString(4) === legacyRedact(in), s"redact on <$in>")
+      // Spark's regexp_* agree (pins the engine-side semantics too)
+      assert(r.getLong(0) === r.getInt(5).toLong, s"spark email on <$in>")
+      assert(r.getLong(1) === r.getInt(6).toLong, s"spark phone on <$in>")
+      assert(r.getLong(2) === r.getInt(7).toLong, s"spark ipv4 on <$in>")
+      assert(r.getString(4) === r.getString(8), s"spark redact on <$in>")
+    }
+    // null passes through; an unknown category fails analysis loudly
+    val nr = Seq[Option[String]](None).toDF("t").select(
+      call_function("graft_pii_count", col("t"), lit("email")),
+      call_function("graft_pii_redact", col("t"))).head()
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("x").toDF("t")
+        .select(call_function("graft_pii_count", col("t"), lit("ssn")))
+        .collect()
+    }
+    assert(bad.getMessage.contains("unknown category"))
+  }
 }
