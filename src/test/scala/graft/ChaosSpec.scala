@@ -116,6 +116,166 @@ class ChaosSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Loud-failure half (r11 verdict #6). The tests above prove recovery
+  // when checkpoint FILES survive; these prove the complementary
+  // operational claim: when the files are gone or corrupt, the job FAILS
+  // with a diagnosable error — it can never silently recompute different
+  // data, because the pin cut the lineage. An operator debugging a
+  // 100 TB job needs the failure to name the checkpoint, not to get a
+  // plausible-but-wrong result.
+  // ---------------------------------------------------------------------
+
+  private def rddDirs(): Set[java.nio.file.Path] = {
+    val root = SparkSpec.reliableCkptDir
+    if (!java.nio.file.Files.exists(root)) return Set.empty
+    val s = java.nio.file.Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("rdd-")).toSet
+    } finally s.close()
+  }
+
+  private def partFilesIn(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    if (!java.nio.file.Files.exists(dir)) return Seq.empty
+    val s = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+    } finally s.close()
+  }
+
+  /** The checkpoint directory backing a pinned frame (the
+    * Checkpoints.release walk, read-only). */
+  private def ckptDirOf(df: DataFrame): java.nio.file.Path = {
+    def walk(r: org.apache.spark.rdd.RDD[_]): Option[String] =
+      r.getCheckpointFile.orElse(
+        r.dependencies.view.flatMap(d => walk(d.rdd)).headOption)
+    java.nio.file.Paths.get(new java.net.URI(walk(df.rdd).getOrElse(
+      fail("frame is not reliably checkpointed"))))
+  }
+
+  private def causeChain(e: Throwable): String = {
+    val sb = new StringBuilder
+    var t: Throwable = e
+    while (t != null) { sb.append(t.toString).append('\n'); t = t.getCause }
+    sb.toString
+  }
+
+  /** The failure must name something an operator can act on: the
+    * checkpoint file/dir or the read failure class. */
+  private def assertDiagnosable(e: Throwable): Unit = {
+    val chain = causeChain(e)
+    assert(chain.contains("rdd-") || chain.toLowerCase.contains("checkpoint"),
+      s"failure does not name the checkpoint:\n$chain")
+  }
+
+  test("DELETED checkpoint part-file: the next read fails loudly and " +
+      "names the checkpoint — never silently recomputes (lineage is cut)") {
+    withReliable {
+      val pinned = Checkpoints.pin(
+        spark.range(2000).repartition(4).withColumn("r", rand()))
+      assert(pinned.count() === 2000L) // readable while intact
+      val parts = partFilesIn(ckptDirOf(pinned))
+      assert(parts.nonEmpty, "no part files under the pin's rdd dir")
+      java.nio.file.Files.delete(parts.head) // one lost block/object
+      val e = intercept[Exception] { pinned.count() }
+      assertDiagnosable(e)
+    }
+  }
+
+  test("CORRUPT checkpoint part-file: the next read fails loudly, not " +
+      "with garbage rows") {
+    withReliable {
+      val pinned = Checkpoints.pin(
+        spark.range(1000).repartition(4).withColumn("r", rand()))
+      assert(pinned.count() === 1000L)
+      val parts = partFilesIn(ckptDirOf(pinned))
+      assert(parts.nonEmpty)
+      java.nio.file.Files.write(parts.head,
+        Array.fill[Byte](64)(0x5A)) // overwrite with garbage
+      val e = intercept[Exception] { pinned.count() }
+      // a corrupt stream surfaces as a checksum/serializer failure naming
+      // the part file (observed: hadoop ChecksumException on rdd-N/part-M)
+      assertDiagnosable(e)
+    }
+  }
+
+  test("two-phase rank: checkpoint loss between pin and consumption " +
+      "fails the job loudly (no re-sampled silent ranks)") {
+    withReliable {
+      val before = rddDirs()
+      val df = (1 to 2000).map(i => (i % 97, i.toLong)).toDF("k", "id")
+      // the range pin materializes eagerly inside the call
+      val ranked = Ranking.globalRowNumber(df, Seq($"k", $"id"), partitions = 5)
+      val fresh = rddDirs().diff(before)
+      assert(fresh.nonEmpty, "globalRowNumber created no reliable pin")
+      val deleted = fresh.flatMap(partFilesIn).count { p =>
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      assert(deleted > 0)
+      val e = intercept[Exception] { ranked.collect() }
+      assertDiagnosable(e)
+    }
+  }
+
+  test("distributed prefix-sum: checkpoint loss between pin and " +
+      "consumption fails the job loudly") {
+    withReliable {
+      val before = rddDirs()
+      val rollup = (1 to 3000).map(i => (s"g${i % 3}", (i * 13 % 500).toLong))
+        .toDF("g", "v").groupBy("g", "v").agg(count(lit(1)).as("__c"))
+      val out = graft.core.Stats.withGroupedCumSum(
+        rollup, "g", "v", distributed = true)
+      val fresh = rddDirs().diff(before)
+      assert(fresh.nonEmpty, "withGroupedCumSum created no reliable pin")
+      val deleted = fresh.flatMap(partFilesIn).count { p =>
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      assert(deleted > 0)
+      val e = intercept[Exception] { out.collect() }
+      assertDiagnosable(e)
+    }
+  }
+
+  test("connected components: checkpoint files vanishing MID-RUN abort " +
+      "the iteration loudly (label fronts cannot be silently rebuilt)") {
+    withReliable {
+      val before = rddDirs()
+      @volatile var deleted = 0
+      @volatile var stop = false
+      val watcher = new Thread(() => {
+        // wait until the edge pin AND the first label front exist, then
+        // delete every part file they hold — the next round's join must
+        // blow up, not re-derive labels from a lineage that was cut
+        while (!stop && deleted == 0) {
+          val fresh = rddDirs().diff(before)
+          if (fresh.size >= 2)
+            deleted = fresh.toSeq.flatMap(partFilesIn).count { p =>
+              try java.nio.file.Files.deleteIfExists(p)
+              catch { case _: java.io.IOException => false }
+            }
+          else Thread.sleep(2)
+        }
+      }, "chaos-ckpt-killer")
+      watcher.start()
+      try {
+        // a 160-node path graph: label propagation needs many rounds, so
+        // the deletion always lands mid-iteration
+        val edges = (1 to 160).map(i => (i.toLong, i.toLong + 1))
+          .toDF("d1", "d2")
+        val e = intercept[Exception] {
+          Dedup.connectedComponents(edges).collect()
+        }
+        assertDiagnosable(e)
+      } finally { stop = true; watcher.join(5000) }
+      assert(deleted > 0,
+        "the watcher never deleted anything — the run was not mid-flight")
+    }
+  }
+
   test("distributed prefix-sum completes identically with a mid-run task " +
       "failure (reliable mode)") {
     val rows = (1 to 5000).map(i => (s"g${i % 3}", (i * 37 % 900).toLong))
