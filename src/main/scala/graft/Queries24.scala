@@ -21,12 +21,15 @@ object Queries24 {
   /** PNG decode round trip ([[graft.expressions.PngRaster]]): synthesize
     * a standards-valid PNG per document — per-scanline filter cycling
     * through ALL FIVE predictors (`doc_id % 6`, incl. the per-row-cycle
-    * mode) and both gray/RGB color types — then decode with the
+    * mode), both gray/RGB color types, and (r12) both interlace modes ×
+    * both bit depths (`doc_id` bits 2/3: plain/Adam7 × 8/16-bit — a
+    * 16-bit sample's high byte carries the same formula value, so every
+    * variant decodes to IDENTICAL pixels) — then decode with the
     * zero-dependency Inflater+defilter kernel into the P5/P6 interchange
     * form and hash with the EXISTING `graft_ppm_phash` / `graft_ppm_resize`
     * kernels. The oracle replays the PIXEL FORMULA (the q199 convention)
-    * and never mentions the filter or color type: any defilter or
-    * conversion bug breaks the hash. */
+    * and never mentions filter, color type, interlace, or depth: any
+    * defilter, deinterlace, or sample-width bug breaks the hash. */
   val q209PngPhash: (String, QueryDef) = q(
     "q209_png_phash",
     """WITH p AS (
@@ -76,7 +79,9 @@ object Queries24 {
       call_function("graft_synth_png",
         lit(16L) + d % 37, lit(12L) + (d * 3) % 31,
         lit(1L) + d % 7, lit(1L) + d % 11,
-        d % 6, (d % 2) * 2))
+        d % 6, (d % 2) * 2,
+        (d % 4 >= 2).cast("long"), // interlace: none / Adam7
+        lit(8L) + (d % 8 >= 4).cast("long") * 8)) // bit depth 8 / 16
     t("documents").filter(d < 150)
       .select(d,
         call_function("graft_ppm_phash", ppm).as("ph"),

@@ -248,8 +248,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_synth_png"),
       new ExpressionInfo(classOf[GraftSynthPng].getName, "graft_synth_png"),
-      (children: Seq[Expression]) => GraftSynthPng(children(0), children(1),
-        children(2), children(3), children(4), children(5))))
+      (children: Seq[Expression]) => GraftSynthPng(children)))
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[GraftBloomContains].getName,

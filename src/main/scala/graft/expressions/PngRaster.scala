@@ -19,13 +19,17 @@ import org.apache.spark.sql.types._
   *
   * Scope (returns NULL outside it, never garbage — the PpmRaster
   * discipline):
-  *  - bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
-  *    4 (gray+alpha), 6 (RGBA); alpha is DROPPED (a dedup/phash
-  *    pipeline keys on pixel content; compositing needs a background
-  *    choice that belongs to a render stage, not a key);
-  *  - interlace 0 only (Adam7 is a progressive-render feature; a
-  *    training corpus re-encodes, and a NULL routes the file to the
-  *    slow path explicitly rather than silently mis-decoding);
+  *  - bit depth 8 or 16 (r12; a 16-bit sample keeps its HIGH byte, the
+  *    PNG-recommended 16→8 reduction), color types 0 (gray), 2 (RGB),
+  *    3 (palette, 8-bit only per the PNG spec), 4 (gray+alpha),
+  *    6 (RGBA); alpha is DROPPED (a dedup/phash pipeline keys on pixel
+  *    content; compositing needs a background choice that belongs to a
+  *    render stage, not a key);
+  *  - interlace 0 or 1 (r12: Adam7 is seven independent sub-images over
+  *    the same five filters — each pass defilters against its own
+  *    previous scanline, then scatters onto the 8×8 pixel lattice);
+  *  - bit depths 1/2/4 stay NULL (sub-byte packing, vanishingly rare in
+  *    crawl rasters — COVERAGE.md records the disposition);
   *  - chunk CRCs are not verified (a corrupt stream fails structurally
   *    at inflate/length checks; the decoder is a reader, not a
   *    validator);
@@ -36,6 +40,15 @@ import org.apache.spark.sql.types._
 object PngRaster {
   private val Sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n',
     0x1a, '\n')
+
+  /** Adam7 pass lattice: (xStart, yStart, xStep, yStep) per pass. */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** The single trivial "pass" of a non-interlaced image. */
+  private val NoInterlace: Array[(Int, Int, Int, Int)] =
+    Array((0, 0, 1, 1))
 
   private def be32(b: Array[Byte], i: Int): Long =
     ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
@@ -65,6 +78,8 @@ object PngRaster {
     while (i < Sig.length) { if (png(i) != Sig(i)) return null; i += 1 }
 
     var w, h, colorType = -1
+    var bitDepth = -1
+    var interlace = -1
     var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var sawIend = false
@@ -84,13 +99,15 @@ object PngRaster {
             return null
           w = wL.toInt; h = hL.toInt
           if (h.toLong > PpmRaster.MaxPixels / w) return null
-          val bitDepth = png(dataOff + 8) & 0xff
+          bitDepth = png(dataOff + 8) & 0xff
           colorType = png(dataOff + 9) & 0xff
           val compression = png(dataOff + 10) & 0xff
           val filterMethod = png(dataOff + 11) & 0xff
-          val interlace = png(dataOff + 12) & 0xff
-          if (bitDepth != 8 || channelsOf(colorType) < 0 ||
-            compression != 0 || filterMethod != 0 || interlace != 0)
+          interlace = png(dataOff + 12) & 0xff
+          if ((bitDepth != 8 && bitDepth != 16) || channelsOf(colorType) < 0 ||
+            (bitDepth == 16 && colorType == 3) || // invalid per spec
+            compression != 0 || filterMethod != 0 ||
+            (interlace != 0 && interlace != 1))
             return null
         case "PLTE" =>
           if (w < 0 || len % 3 != 0 || len > 256 * 3) return null
@@ -107,10 +124,19 @@ object PngRaster {
     if (w < 0) return null
     if (colorType == 3 && palette == null) return null
 
-    val bpp = channelsOf(colorType)
-    val stride = w * bpp // raster bytes per scanline (filter byte extra)
-    val expected = h.toLong * (stride + 1)
-    if (expected > Int.MaxValue) return null
+    val channels = channelsOf(colorType)
+    val sampleBytes = bitDepth / 8
+    val bpp = channels * sampleBytes // the filter unit (PNG spec §9)
+    val passes = if (interlace == 1) Adam7 else NoInterlace
+    // raw stream size: per pass with a nonzero sub-image, hp scanlines of
+    // (1 filter byte + wp*bpp); division-form accumulation cannot wrap
+    var expected = 0L
+    for ((xs, ys, xStep, yStep) <- passes) {
+      val wp = if (w > xs) (w - xs + xStep - 1) / xStep else 0
+      val hp = if (h > ys) (h - ys + yStep - 1) / yStep else 0
+      if (wp > 0 && hp > 0) expected += hp.toLong * (1L + wp.toLong * bpp)
+    }
+    if (expected <= 0 || expected > Int.MaxValue) return null
     val raw = new Array[Byte](expected.toInt)
     val inf = new Inflater()
     try {
@@ -130,31 +156,57 @@ object PngRaster {
     } catch { case _: DataFormatException => return null }
     finally inf.end()
 
-    // defilter in place into a packed plane (drop the filter bytes)
-    val plane = new Array[Byte](h * stride)
-    var y = 0
-    while (y < h) {
-      val f = raw(y * (stride + 1)) & 0xff
-      if (f > 4) return null
-      val src = y * (stride + 1) + 1
-      val dst = y * stride
-      var x = 0
-      while (x < stride) {
-        val a = if (x >= bpp) plane(dst + x - bpp) & 0xff else 0
-        val b = if (y > 0) plane(dst - stride + x) & 0xff else 0
-        val c = if (y > 0 && x >= bpp) plane(dst - stride + x - bpp) & 0xff
-          else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => a
-          case 2 => b
-          case 3 => (a + b) / 2
-          case 4 => paeth(a, b, c)
+    // defilter each pass against its OWN previous scanline, then scatter
+    // its pixels onto the full lattice; 16-bit samples keep the high
+    // (first, big-endian) byte. `plane` is 8-bit samples, w*channels wide.
+    val outStride = w * channels
+    val plane = new Array[Byte](h * outStride)
+    var rawOff = 0
+    for ((xs, ys, xStep, yStep) <- passes) {
+      val wp = if (w > xs) (w - xs + xStep - 1) / xStep else 0
+      val hp = if (h > ys) (h - ys + yStep - 1) / yStep else 0
+      if (wp > 0 && hp > 0) {
+        val pStride = wp * bpp
+        val pass = new Array[Byte](hp * pStride)
+        var y = 0
+        while (y < hp) {
+          val f = raw(rawOff + y * (pStride + 1)) & 0xff
+          if (f > 4) return null
+          val src = rawOff + y * (pStride + 1) + 1
+          val dst = y * pStride
+          var x = 0
+          while (x < pStride) {
+            val a = if (x >= bpp) pass(dst + x - bpp) & 0xff else 0
+            val b = if (y > 0) pass(dst - pStride + x) & 0xff else 0
+            val c = if (y > 0 && x >= bpp) pass(dst - pStride + x - bpp) & 0xff
+              else 0
+            val pred = f match {
+              case 0 => 0
+              case 1 => a
+              case 2 => b
+              case 3 => (a + b) / 2
+              case 4 => paeth(a, b, c)
+            }
+            pass(dst + x) = ((raw(src + x) & 0xff) + pred).toByte
+            x += 1
+          }
+          // scatter this scanline's pixels to (xs + x2*xStep, ys + y*yStep)
+          val ty = ys + y * yStep
+          var x2 = 0
+          while (x2 < wp) {
+            val s = dst + x2 * bpp
+            val d = ty * outStride + (xs + x2 * xStep) * channels
+            var ch = 0
+            while (ch < channels) {
+              plane(d + ch) = pass(s + ch * sampleBytes)
+              ch += 1
+            }
+            x2 += 1
+          }
+          y += 1
         }
-        plane(dst + x) = ((raw(src + x) & 0xff) + pred).toByte
-        x += 1
+        rawOff += hp * (pStride + 1)
       }
-      y += 1
     }
 
     // convert to the P5/P6 interchange form the PpmRaster kernels read
@@ -199,45 +251,73 @@ object PngRaster {
     * CRCs — external readers accept it), pixel (x, y) = `(x·a + y·b)
     * mod 256` on every channel: the [[GraftSynthPpm]] fixture, PNG form.
     * `filterMode` 0-4 applies that filter to every scanline, 5 cycles
-    * `y % 5` — the knob that makes a round-trip anchor exercise ALL
-    * five defilter predictors. `colorType` 0 (gray) or 2 (RGB). */
+    * over emitted scanlines — the knob that makes a round-trip anchor
+    * exercise ALL five defilter predictors. `colorType` 0 (gray) or
+    * 2 (RGB). r12: `interlace` 1 emits the Adam7 pass structure (each
+    * pass filtered against its own previous scanline); `bitDepth` 16
+    * writes big-endian sample pairs whose HIGH byte is the formula value
+    * (low byte `(x·b + y·a + 7) mod 256`), so the 16→8 decode of any
+    * synth is byte-identical to its 8-bit sibling. */
   def synth(w: Int, h: Int, a: Long, b: Long, filterMode: Int,
-      colorType: Int): Array[Byte] = {
-    val bpp = if (colorType == 2) 3 else 1
-    val stride = w * bpp
-    val raw = new Array[Byte](h * (stride + 1))
-    // previous RECONSTRUCTED scanline (filters predict from recon bytes)
-    val prev = new Array[Byte](stride)
-    val cur = new Array[Byte](stride)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val v = ((x * a + y * b) % 256).toByte
-        var ch = 0
-        while (ch < bpp) { cur(x * bpp + ch) = v; ch += 1 }
-        x += 1
-      }
-      val f = if (filterMode == 5) y % 5 else filterMode
-      raw(y * (stride + 1)) = f.toByte
-      var i = 0
-      while (i < stride) {
-        val left = if (i >= bpp) cur(i - bpp) & 0xff else 0
-        val up = prev(i) & 0xff
-        val ul = if (i >= bpp) prev(i - bpp) & 0xff else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) / 2
-          case 4 => paeth(left, up, ul)
+      colorType: Int, interlace: Int = 0, bitDepth: Int = 8): Array[Byte] = {
+    val channels = if (colorType == 2) 3 else 1
+    val sampleBytes = bitDepth / 8
+    val bpp = channels * sampleBytes
+    val passes = if (interlace == 1) Adam7 else NoInterlace
+    val rawOut = new java.io.ByteArrayOutputStream()
+    var emittedY = 0 // filterMode 5 cycles across every emitted scanline
+    for ((xs, ys, xStep, yStep) <- passes) {
+      val wp = if (w > xs) (w - xs + xStep - 1) / xStep else 0
+      val hp = if (h > ys) (h - ys + yStep - 1) / yStep else 0
+      if (wp > 0 && hp > 0) {
+        val pStride = wp * bpp
+        // previous RECONSTRUCTED scanline of THIS pass (filters predict
+        // from recon bytes within the pass)
+        val prev = new Array[Byte](pStride)
+        val cur = new Array[Byte](pStride)
+        var y2 = 0
+        while (y2 < hp) {
+          val ty = ys + y2 * yStep
+          var x2 = 0
+          while (x2 < wp) {
+            val tx = xs + x2 * xStep
+            val v = ((tx * a + ty * b) % 256).toByte
+            val lo = ((tx * b + ty * a + 7) % 256).toByte
+            var ch = 0
+            while (ch < channels) {
+              if (sampleBytes == 1) cur(x2 * bpp + ch) = v
+              else {
+                cur(x2 * bpp + ch * 2) = v
+                cur(x2 * bpp + ch * 2 + 1) = lo
+              }
+              ch += 1
+            }
+            x2 += 1
+          }
+          val f = if (filterMode == 5) emittedY % 5 else filterMode
+          rawOut.write(f)
+          var i = 0
+          while (i < pStride) {
+            val left = if (i >= bpp) cur(i - bpp) & 0xff else 0
+            val up = if (y2 > 0) prev(i) & 0xff else 0
+            val ul = if (y2 > 0 && i >= bpp) prev(i - bpp) & 0xff else 0
+            val pred = f match {
+              case 0 => 0
+              case 1 => left
+              case 2 => up
+              case 3 => (left + up) / 2
+              case 4 => paeth(left, up, ul)
+            }
+            rawOut.write(((cur(i) & 0xff) - pred) & 0xff)
+            i += 1
+          }
+          System.arraycopy(cur, 0, prev, 0, pStride)
+          emittedY += 1
+          y2 += 1
         }
-        raw(y * (stride + 1) + 1 + i) = ((cur(i) & 0xff) - pred).toByte
-        i += 1
       }
-      System.arraycopy(cur, 0, prev, 0, stride)
-      y += 1
     }
+    val raw = rawOut.toByteArray
 
     val deflated = {
       val d = new Deflater()
@@ -266,7 +346,8 @@ object PngRaster {
     }
     chunk("IHDR", Array[Byte]((w >>> 24).toByte, (w >>> 16).toByte,
       (w >>> 8).toByte, w.toByte, (h >>> 24).toByte, (h >>> 16).toByte,
-      (h >>> 8).toByte, h.toByte, 8, colorType.toByte, 0, 0, 0))
+      (h >>> 8).toByte, h.toByte, bitDepth.toByte, colorType.toByte, 0, 0,
+      interlace.toByte))
     chunk("IDAT", deflated)
     chunk("IEND", Array.emptyByteArray)
     bos.toByteArray
@@ -302,31 +383,37 @@ case class GraftPngToPpm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `graft_synth_png(w, h, a, b, filterMode, colorType) -> binary` —
-  * [[PngRaster.synth]] in-plan: the arithmetic PNG fixture generator
-  * for hash-checked decode round trips (the [[GraftSynthPpm]]
-  * convention; same pixel formula, so for colorType 2 the decode of
-  * this payload is BYTE-IDENTICAL to `graft_synth_ppm(w,h,a,b)`).
-  * Bounded to 2²² pixels. */
-case class GraftSynthPng(wE: Expression, hE: Expression, aE: Expression,
-    bE: Expression, fE: Expression, cE: Expression) extends Expression {
-  override def children: Seq[Expression] = Seq(wE, hE, aE, bE, fE, cE)
+/** `graft_synth_png(w, h, a, b, filterMode, colorType[, interlace[,
+  * bitDepth]]) -> binary` — [[PngRaster.synth]] in-plan: the arithmetic
+  * PNG fixture generator for hash-checked decode round trips (the
+  * [[GraftSynthPpm]] convention; same pixel formula, so for colorType 2
+  * the decode of this payload — at either bit depth, interlaced or not —
+  * is BYTE-IDENTICAL to `graft_synth_ppm(w,h,a,b)`). Bounded to 2²²
+  * pixels. */
+case class GraftSynthPng(override val children: Seq[Expression])
+    extends Expression {
   override def nullable: Boolean = children.exists(_.nullable)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "graft_synth_png"
   override def checkInputDataTypes(): TypeCheckResult =
-    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    if (children.size < 6 || children.size > 8)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_synth_png expects 6 to 8 bigint arguments")
+    else if (children.forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "graft_synth_png expects six bigint arguments")
+      "graft_synth_png expects bigint arguments")
 
   override def eval(input: InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.exists(_ == null)) return null
-    val Seq(w, h, a, b, f, c) = vs.map(_.asInstanceOf[Long])
-    build(w, h, a, b, f, c)
+    val l = vs.map(_.asInstanceOf[Long])
+    build(l(0), l(1), l(2), l(3), l(4), l(5),
+      if (l.size > 6) l(6) else 0L, if (l.size > 7) l(7) else 8L)
   }
 
-  def build(w: Long, h: Long, a: Long, b: Long, f: Long, c: Long): Array[Byte] = {
+  def build(w: Long, h: Long, a: Long, b: Long, f: Long, c: Long,
+      interlace: Long, bitDepth: Long): Array[Byte] = {
     // division-form bound (the GraftSynthPpm discipline): w*h can wrap
     require(w > 0 && h > 0 && h <= (1L << 22) / w,
       s"graft_synth_png: need 0 < w*h <= 2^22, got ${w}x$h")
@@ -334,7 +421,12 @@ case class GraftSynthPng(wE: Expression, hE: Expression, aE: Expression,
       s"graft_synth_png: a, b must be in [0, 2^20], got $a, $b")
     require(f >= 0 && f <= 5, s"graft_synth_png: filterMode in [0,5], got $f")
     require(c == 0 || c == 2, s"graft_synth_png: colorType 0 or 2, got $c")
-    PngRaster.synth(w.toInt, h.toInt, a, b, f.toInt, c.toInt)
+    require(interlace == 0 || interlace == 1,
+      s"graft_synth_png: interlace 0 or 1, got $interlace")
+    require(bitDepth == 8 || bitDepth == 16,
+      s"graft_synth_png: bitDepth 8 or 16, got $bitDepth")
+    PngRaster.synth(w.toInt, h.toInt, a, b, f.toInt, c.toInt,
+      interlace.toInt, bitDepth.toInt)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -342,17 +434,23 @@ case class GraftSynthPng(wE: Expression, hE: Expression, aE: Expression,
       classOf[GraftSynthPng].getName)
     val gens = children.map(_.genCode(ctx))
     val anyNull = gens.map(_.isNull.toString).mkString(" || ")
+    val vals = gens.map(_.value).padTo(7, "0L").padTo(8, "8L")
     ev.copy(code = code"""
         ${gens.map(_.code.toString).mkString("\n")}
         boolean ${ev.isNull} = $anyNull;
         byte[] ${ev.value} = null;
         if (!${ev.isNull}) {
-          ${ev.value} = $ref.build(${gens.map(_.value).mkString(", ")});
+          ${ev.value} = $ref.build(${vals.mkString(", ")});
         }""")
   }
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): GraftSynthPng =
-    GraftSynthPng(newChildren(0), newChildren(1), newChildren(2),
-      newChildren(3), newChildren(4), newChildren(5))
+    GraftSynthPng(newChildren)
+}
+
+object GraftSynthPng {
+  def apply(wE: Expression, hE: Expression, aE: Expression, bE: Expression,
+      fE: Expression, cE: Expression): GraftSynthPng =
+    GraftSynthPng(Seq(wE, hE, aE, bE, fE, cE))
 }

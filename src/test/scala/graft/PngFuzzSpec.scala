@@ -45,6 +45,62 @@ class PngFuzzSpec extends SparkSpec {
     }
   }
 
+  test("png Adam7 + 16-bit round trip: every (interlace, depth) variant " +
+      "decodes to pixels BYTE-IDENTICAL to the plain 8-bit decode") {
+    // sizes chosen so Adam7 hits its edge geometry: sub-8 images where
+    // whole passes are EMPTY (1x1 keeps only pass 1; 2x2 passes 1/6/7;
+    // 5x3, 7x5 partial), exact multiples (8x8, 16x8), and odd overhangs
+    for ((w, h) <- Seq((1, 1), (2, 2), (3, 1), (1, 3), (5, 3), (7, 5),
+           (8, 8), (9, 9), (16, 8), (33, 21));
+         f <- Seq(0, 4, 5); c <- Seq(0, 2)) {
+      val base = PngRaster.toPpm(PngRaster.synth(w, h, 3, 5, f, c))
+      assert(base != null, s"plain decode failed ${w}x$h f=$f c=$c")
+      for ((il, bd) <- Seq((1, 8), (0, 16), (1, 16))) {
+        val png = PngRaster.synth(w, h, 3, 5, f, c, il, bd)
+        val got = PngRaster.toPpm(png)
+        assert(got != null, s"decode failed ${w}x$h f=$f c=$c il=$il bd=$bd")
+        assert(java.util.Arrays.equals(got, base),
+          s"pixel mismatch ${w}x$h f=$f c=$c il=$il bd=$bd")
+      }
+    }
+  }
+
+  test("png Adam7/16-bit synth is standards-valid: the JDK's ImageIO " +
+      "reads every variant and agrees on the (high-byte) samples") {
+    for ((w, h) <- Seq((1, 1), (7, 5), (9, 8), (16, 12));
+         (il, bd) <- Seq((1, 8), (0, 16), (1, 16)); c <- Seq(0, 2)) {
+      val png = PngRaster.synth(w, h, 3, 5, 5, c, il, bd)
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(png))
+      assert(img != null, s"ImageIO rejected ${w}x$h il=$il bd=$bd c=$c")
+      val raster = img.getRaster
+      val shift = if (bd == 16) 8 else 0 // ImageIO keeps 16-bit samples
+      for (y <- 0 until h; x <- 0 until w) {
+        val expected = (x * 3 + y * 5) % 256
+        val chs = if (c == 2) 3 else 1
+        for (ch <- 0 until chs)
+          assert((raster.getSample(x, y, ch) >> shift) === expected,
+            s"ImageIO sample ($x,$y) ch=$ch ${w}x$h il=$il bd=$bd c=$c")
+      }
+    }
+  }
+
+  test("png Adam7/16-bit malformed robustness: every truncation decodes " +
+      "to null, never throws") {
+    for ((il, bd) <- Seq((1, 8), (0, 16), (1, 16))) {
+      val png = PngRaster.synth(9, 8, 3, 5, 5, 2, il, bd)
+      for (len <- 0 until png.length)
+        assert(PngRaster.toPpm(java.util.Arrays.copyOf(png, len)) == null,
+          s"truncation at $len il=$il bd=$bd")
+    }
+    // 16-bit palette is invalid per the PNG spec: reject, don't decode
+    val pal16 = {
+      val png = PngRaster.synth(9, 8, 3, 5, 0, 0, 0, 16).clone()
+      png(16 + 9) = 3 // colorType byte -> palette
+      png
+    }
+    assert(PngRaster.toPpm(pal16) == null, "16-bit palette must be null")
+  }
+
   // test-local clean-room encoder: raw pixels in, one PNG out, with a
   // CHOSEN filter byte per scanline (filters computed from the spec
   // text, independently of PngRaster.synth's implementation)
@@ -170,10 +226,17 @@ class PngFuzzSpec extends SparkSpec {
     def corrupt(off: Int, v: Byte): Array[Byte] = {
       val c = png.clone(); c(off) = v; c
     }
-    // IHDR data starts at 16: bitDepth +8, colorType +9, interlace +12
-    assert(PngRaster.toPpm(corrupt(16 + 8, 16)) == null, "bit depth 16")
+    // IHDR data starts at 16: bitDepth +8, colorType +9, interlace +12.
+    // Since r12, depth 16 and Adam7 are SUPPORTED — flipping the header
+    // over an 8-bit plain stream now fails on the raw-size mismatch
+    // (inflate under/overrun), which is the structural guard at work
+    assert(PngRaster.toPpm(corrupt(16 + 8, 16)) == null,
+      "16-bit header over an 8-bit stream")
+    assert(PngRaster.toPpm(corrupt(16 + 8, 4)) == null, "bit depth 4")
     assert(PngRaster.toPpm(corrupt(16 + 9, 7)) == null, "bad color type")
-    assert(PngRaster.toPpm(corrupt(16 + 12, 1)) == null, "Adam7 interlace")
+    assert(PngRaster.toPpm(corrupt(16 + 12, 1)) == null,
+      "Adam7 header over a plain stream")
+    assert(PngRaster.toPpm(corrupt(16 + 12, 2)) == null, "interlace 2")
     assert(PngRaster.toPpm(corrupt(0, 'Q'.toByte)) == null, "bad signature")
     assert(PngRaster.toPpm(null) == null)
     assert(PngRaster.toPpm(Array[Byte]()) == null)
