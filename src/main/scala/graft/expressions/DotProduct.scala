@@ -246,6 +246,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftPngToPpm].getName, "graft_png_to_ppm"),
       (children: Seq[Expression]) => GraftPngToPpm(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_jpeg_to_ppm"),
+      new ExpressionInfo(classOf[GraftJpegToPpm].getName, "graft_jpeg_to_ppm"),
+      (children: Seq[Expression]) => GraftJpegToPpm(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_synth_jpeg"),
+      new ExpressionInfo(classOf[GraftSynthJpeg].getName, "graft_synth_jpeg"),
+      (children: Seq[Expression]) => GraftSynthJpeg(children(0), children(1),
+        children(2), children(3), children(4))))
+    ext.injectFunction((
       FunctionIdentifier("graft_synth_png"),
       new ExpressionInfo(classOf[GraftSynthPng].getName, "graft_synth_png"),
       (children: Seq[Expression]) => GraftSynthPng(children)))
