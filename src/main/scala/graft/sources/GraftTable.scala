@@ -798,6 +798,43 @@ class GraftTable(spark: SparkSession, root: String) {
     readDirs(dirs)
   }
 
+  /** Run `f` against a fresh snapshot relation, retrying with a re-listed
+    * snapshot when a concurrent digest/optimize/trim invalidates the file
+    * listing mid-job — the reference re-runs a query when it observes
+    * "BLOCK SIZE CHANGED" under a concurrent digest (table_query.go); the
+    * Spark-native form of that signal is a FileNotFoundException (or the
+    * "underlying files have been updated" SparkException) from a scan
+    * whose dirs were consumed after plan-time listing. Every individual
+    * listing is a CONSISTENT snapshot by the journal protocol (the merged
+    * block becomes visible in the same instant its consumed segments
+    * become excluded — [[journalSuperseded]]), so retrying the whole
+    * query on a fresh listing yields exactly-once rows as of some commit
+    * point, never a double-count or a partial segment. Anything that is
+    * not a stale-listing failure rethrows immediately. */
+  def withSnapshot[A](readLog: Boolean = false, maxRetries: Int = 5)(
+      f: DataFrame => A): A = {
+    def staleListing(e: Throwable): Boolean = {
+      var t: Throwable = e
+      while (t != null) {
+        if (t.isInstanceOf[java.io.FileNotFoundException]) return true
+        val m = t.getMessage
+        if (m != null && (m.contains("underlying files have been updated") ||
+          m.contains("FileNotFoundException"))) return true
+        t = t.getCause
+      }
+      false
+    }
+    var attempt = 0
+    while (true) {
+      try return f(read(readLog))
+      catch {
+        case e: Throwable if staleListing(e) && attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Run a DSL query against the table, injecting the sidecar's
     * outlier-resistant extents for hist bucketing (the reference reads
     * stored IntInfo instead of rescanning — table_column_info.go). */

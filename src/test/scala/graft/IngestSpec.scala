@@ -290,6 +290,78 @@ class IngestSpec extends SparkSpec {
     assert(t.rebuild().rowCount === total)
   }
 
+  test("query-DURING-digest consistency: every concurrent snapshot is an " +
+      "exactly-once batch prefix (withSnapshot retry = the reference's " +
+      "BLOCK SIZE CHANGED re-run)") {
+    import spark.implicits._
+    val root = tmpDir("graft-qstress")
+    val t = new GraftTable(spark, root)
+    val batches = 24; val rowsPer = 150
+    def batchDf(b: Int) = {
+      val base = b * rowsPer
+      (0 until rowsPer).map(i => (base + i).toLong).toDF("id")
+    }
+    t.ingest(batchDf(0)) // the table is never empty once readers start
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    @volatile var writerDone = false
+    val digestActive = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var overlappedReads = 0
+    val writer = pool.submit(new Runnable {
+      def run(): Unit = try {
+        for (b <- 1 until batches) { t.ingest(batchDf(b)); Thread.sleep(5) }
+      } catch { case e: Throwable => errs.add(e) }
+      finally writerDone = true
+    })
+    val digester = pool.submit(new Runnable {
+      def run(): Unit = try {
+        while (!writerDone) {
+          digestActive.set(true)
+          try t.digest()
+          catch { case _: IllegalStateException => () }
+          finally digestActive.set(false)
+          Thread.sleep(10)
+        }
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    val reader = pool.submit(new Runnable {
+      def run(): Unit = try {
+        var lastCnt = 0L
+        var reads = 0
+        while (!writerDone || reads < 5) {
+          val during = digestActive.get()
+          val row = t.withSnapshot(readLog = true) { df =>
+            df.agg(count(lit(1)), coalesce(sum(col("id")), lit(0L)))
+              .collect()(0)
+          }
+          val (cnt, s) = (row.getLong(0), row.getLong(1))
+          // exactly-once PREFIX: batch-aligned count, and the id sum
+          // identifies the prefix uniquely (batches are disjoint ranges)
+          assert(cnt % rowsPer === 0L,
+            s"snapshot count $cnt is not batch-aligned (torn segment)")
+          assert(s === cnt * (cnt - 1) / 2,
+            s"snapshot of $cnt rows has sum $s != ${cnt * (cnt - 1) / 2} " +
+              "(double-count or missing middle batch)")
+          assert(cnt >= lastCnt, s"snapshot went backwards: $lastCnt -> $cnt")
+          lastCnt = cnt
+          if (during) overlappedReads += 1
+          reads += 1
+        }
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    writer.get(); digester.get(); reader.get()
+    pool.shutdown()
+    assert(errs.isEmpty,
+      s"stress errors: ${errs.asScala.map(_.toString).mkString("; ")}")
+    assert(overlappedReads > 0,
+      "no read overlapped a digest — the test exercised nothing")
+    t.digest()
+    val total = batches.toLong * rowsPer
+    val fin = t.read().agg(count(lit(1)), sum(col("id"))).collect()(0)
+    assert(fin.getLong(0) === total)
+    assert(fin.getLong(1) === total * (total - 1) / 2)
+  }
+
   test("concurrent ingest + digest + optimize stress: exactly-once rows, clustered layout") {
     import spark.implicits._
     val root = tmpDir("graft-zstress")
