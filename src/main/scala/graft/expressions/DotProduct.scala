@@ -293,7 +293,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_canon_url"),
       new ExpressionInfo(classOf[GraftCanonUrl].getName, "graft_canon_url"),
-      (children: Seq[Expression]) => GraftCanonUrl(children(0))))
+      (children: Seq[Expression]) => GraftCanonUrl(children(0),
+        children.drop(1).headOption
+          .exists(_.eval().asInstanceOf[Boolean]))))
     ext.injectFunction((
       FunctionIdentifier("graft_viterbi_segment"),
       new ExpressionInfo(classOf[GraftViterbiSegment].getName,

@@ -39,9 +39,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * NULL for anything without a `scheme://host` shape — a relative link
   * is not a canonicalizable document key. IDN/punycode host folding
-  * stays out of scope (needs a Unicode table the key should not depend
-  * on); the unreserved-octet rule above covers the deterministic,
-  * charset-free part of encoding normalization.
+  * stays OUT of the default key (it depends on the runtime's Unicode
+  * tables, which the default key must not) but is available behind an
+  * explicit flag (r12): `canon(u, idnHost = true)` /
+  * `graft_canon_url(url, true)` folds a non-ASCII hostname to its
+  * punycode A-label form via the JDK's `java.net.IDN` (IDNA2003), so
+  * `http://bücher.de/` and `http://xn--bcher-kva.de/` collapse onto one
+  * key for crawls that need it; a hostname IDNA rejects (oversized
+  * label, empty label) is NULL under the flag — not a canonical key.
+  * Percent-encoded non-ASCII hosts stay encoded either way (the
+  * unreserved-octet rule is charset-free by design).
   */
 object UrlCanon {
   private def isTracking(param: String): Boolean = {
@@ -83,7 +90,9 @@ object UrlCanon {
     sb.toString
   }
 
-  def canon(u: String): String = {
+  def canon(u: String): String = canon(u, idnHost = false)
+
+  def canon(u: String, idnHost: Boolean): String = {
     if (u == null) return null
     val t = pctNormalize(u.trim)
     val si = t.indexOf("://")
@@ -126,6 +135,13 @@ object UrlCanon {
     if (port != null && !port.forall(c => c >= '0' && c <= '9')) return null
     // a hostless authority ("http://:8080/x") is not a document key
     if (hname.isEmpty) return null
+    // flagged IDN fold: non-ASCII hostname -> punycode A-labels (skip
+    // IPv6 brackets; ASCII hostnames — incl. existing xn-- — are fixed
+    // points of toASCII, which keeps the canon idempotent)
+    val hfold =
+      if (!idnHost || hname.charAt(0) == '[') hname
+      else try java.net.IDN.toASCII(hname).toLowerCase
+      catch { case _: IllegalArgumentException => return null }
     val defPort =
       if (scheme == "http") "80" else if (scheme == "https") "443" else null
     // leading zeros carry no port semantics (":080" is port 80), so strip
@@ -143,8 +159,8 @@ object UrlCanon {
         if (stripped == "0") "" else stripped
       }
     val host =
-      if (normPort == null || normPort.isEmpty || normPort == defPort) hname
-      else hname + ":" + normPort
+      if (normPort == null || normPort.isEmpty || normPort == defPort) hfold
+      else hfold + ":" + normPort
     val qi = tail.indexOf('?')
     var path = if (qi < 0) tail else tail.substring(0, qi)
     val query = if (qi < 0) null else tail.substring(qi + 1)
@@ -163,10 +179,13 @@ object UrlCanon {
   }
 }
 
-/** `graft_canon_url(string) -> string` — [[UrlCanon.canon]] as a native
-  * codegen expression: the scan-side projection that turns a raw crawl
-  * URL into the dedup key, NULL for non-URLs. */
-case class GraftCanonUrl(child: Expression) extends UnaryExpression {
+/** `graft_canon_url(string[, idn_fold]) -> string` — [[UrlCanon.canon]]
+  * as a native codegen expression: the scan-side projection that turns a
+  * raw crawl URL into the dedup key, NULL for non-URLs. The optional
+  * second argument (a foldable boolean, default false) enables the
+  * flagged IDN/punycode host fold. */
+case class GraftCanonUrl(child: Expression, idnFold: Boolean = false)
+    extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -177,7 +196,7 @@ case class GraftCanonUrl(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_canon_url"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val c = UrlCanon.canon(input.asInstanceOf[UTF8String].toString)
+    val c = UrlCanon.canon(input.asInstanceOf[UTF8String].toString, idnFold)
     if (c == null) null else UTF8String.fromString(c)
   }
 
@@ -186,7 +205,7 @@ case class GraftCanonUrl(child: Expression) extends UnaryExpression {
     // name when two instances share one codegen method
     val c = ctx.freshName("canon")
     nullSafeCodeGen(ctx, ev, u => s"""
-      String $c = graft.expressions.UrlCanon.canon($u.toString());
+      String $c = graft.expressions.UrlCanon.canon($u.toString(), $idnFold);
       if ($c == null) { ${ev.isNull} = true; } else {
         ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($c);
       }""")

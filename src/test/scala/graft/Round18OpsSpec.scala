@@ -171,12 +171,45 @@ class Round18OpsSpec extends SparkSpec {
     assert(r.getString(0) === "https://www.ex.test/Page?q=1")
   }
 
+  test("graft_canon_url IDN flag: punycode fold collapses U-label and " +
+      "A-label keys; default key untouched; idempotent; IDNA rejects -> " +
+      "null") {
+    import graft.expressions.UrlCanon.canon
+    val puny = "http://xn--bcher-kva.de/x"
+    assert(canon("http://BÜCHER.de/x", idnHost = true) === puny)
+    assert(canon(puny, idnHost = true) === puny, "A-label is a fixed point")
+    assert(canon("http://bücher.de:080/x", idnHost = true) === puny,
+      "composes with port folding")
+    // the DEFAULT key is byte-stable: no Unicode table dependency
+    assert(canon("http://BÜCHER.de/x") === "http://bücher.de/x")
+    // IPv6 brackets skip the fold
+    assert(canon("http://[::1]:8080/x", idnHost = true)
+      === "http://[::1]:8080/x")
+    // a hostname IDNA rejects (64-char label) is not a canonical key
+    val longLabel = "http://" + ("ü" * 64) + ".de/x"
+    assert(canon(longLabel, idnHost = true) === null)
+    assert(canon(longLabel) != null, "default key keeps it")
+    // idempotence under the flag on mixed hosts
+    for (u <- Seq("http://日本語.jp/a/b/?utm_source=x&q=1#f",
+      "HTTPS://CafÉ.FR:443/P", "http://mixed.ü.ascii.test/x")) {
+      val c = canon(u, idnHost = true)
+      assert(c != null && canon(c, idnHost = true) === c, s"not idempotent: $u -> $c")
+      assert(c.forall(_ < 0x80), s"folded key must be pure ASCII: $c")
+    }
+    // the expression surface honors the flag argument
+    val r = spark.sql("""SELECT
+      |graft_canon_url('http://BÜCHER.de/x', true) AS a,
+      |graft_canon_url('http://BÜCHER.de/x') AS b""".stripMargin).collect()(0)
+    assert(r.getString(0) === puny)
+    assert(r.getString(1) === "http://bücher.de/x")
+  }
+
   test("graft_canon_url fuzz: idempotent on random messy URLs (a " +
       "canonical form must be its own canonical form)") {
     val rnd = new scala.util.Random(97)
     val schemes = Seq("http", "HTTP", "https", "ftp")
     val hosts = Seq("Ex.COM", "a.b.c", "x", "[::1]", "User:P@H.io",
-      "h%4F.io")
+      "h%4F.io", "BÜCHER.de", "日本.jp", "xn--bcher-kva.de")
     val ports = Seq("", ":80", ":443", ":8080", ":", ":080", ":000",
       ":08080")
     val paths = Seq("", "/", "/A/b", "/A/b/", "/A/b//", "//x",
@@ -192,6 +225,11 @@ class Round18OpsSpec extends SparkSpec {
       assert(c != null, s"parseable shape must canon: $u")
       assert(graft.expressions.UrlCanon.canon(c) === c,
         s"not idempotent: $u -> $c -> ${graft.expressions.UrlCanon.canon(c)}")
+      // the flagged IDN variant must be idempotent on the same shapes
+      val ci = graft.expressions.UrlCanon.canon(u, idnHost = true)
+      assert(ci != null, s"IDN canon must accept the same shapes: $u")
+      assert(graft.expressions.UrlCanon.canon(ci, idnHost = true) === ci,
+        s"IDN canon not idempotent: $u -> $ci")
     }
   }
 
