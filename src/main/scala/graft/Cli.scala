@@ -276,13 +276,19 @@ object Cli {
           q.timeBucket.isEmpty && q.distinctLimit.isEmpty &&
           (q.op == AggOp.CountOp || q.op == AggOp.AvgOp || q.op == AggOp.SumOp ||
             q.op == AggOp.HistOp) && intWeight
-        val result =
-          if (cacheable) new QueryCache(spark, table).run(q)._1
-          else table.query(q, readLog = f.contains("read-log"))
-        if (f.contains("json")) println(Printer.toJsonEnvelope(result))
-        else if (q.op == AggOp.HistOp)
-          Printer.printHistConsole(result, q.limit.getOrElse(100))
-        else Printer.printConsole(result, q.limit.getOrElse(100))
+        // retry on a stale plan-time listing when a concurrent digest
+        // consumed segments mid-query — the reference CLI's "BLOCK SIZE
+        // CHANGED" re-run (table_query.go); each attempt re-plans on a
+        // fresh, journal-consistent listing
+        graft.sources.GraftTable.retryStaleListing() {
+          val result =
+            if (cacheable) new QueryCache(spark, table).run(q)._1
+            else table.query(q, readLog = f.contains("read-log"))
+          if (f.contains("json")) println(Printer.toJsonEnvelope(result))
+          else if (q.op == AggOp.HistOp)
+            Printer.printHistConsole(result, q.limit.getOrElse(100))
+          else Printer.printConsole(result, q.limit.getOrElse(100))
+        }
 
       case other =>
         sys.error(s"subcommand '$other' is invalid " +

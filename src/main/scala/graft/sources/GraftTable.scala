@@ -812,28 +812,8 @@ class GraftTable(spark: SparkSession, root: String) {
     * point, never a double-count or a partial segment. Anything that is
     * not a stale-listing failure rethrows immediately. */
   def withSnapshot[A](readLog: Boolean = false, maxRetries: Int = 5)(
-      f: DataFrame => A): A = {
-    def staleListing(e: Throwable): Boolean = {
-      var t: Throwable = e
-      while (t != null) {
-        if (t.isInstanceOf[java.io.FileNotFoundException]) return true
-        val m = t.getMessage
-        if (m != null && (m.contains("underlying files have been updated") ||
-          m.contains("FileNotFoundException"))) return true
-        t = t.getCause
-      }
-      false
-    }
-    var attempt = 0
-    while (true) {
-      try return f(read(readLog))
-      catch {
-        case e: Throwable if staleListing(e) && attempt < maxRetries =>
-          attempt += 1
-      }
-    }
-    sys.error("unreachable")
-  }
+      f: DataFrame => A): A =
+    GraftTable.retryStaleListing(maxRetries)(f(read(readLog)))
 
   /** Run a DSL query against the table, injecting the sidecar's
     * outlier-resistant extents for hist bucketing (the reference reads
@@ -966,4 +946,38 @@ class GraftTable(spark: SparkSession, root: String) {
       case e: java.io.UncheckedIOException
         if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
     }
+}
+
+object GraftTable {
+  /** Retry `f` when its failure traces to a stale plan-time file listing
+    * (a concurrent digest/optimize/trim consumed dirs between listing
+    * and execution — Spark surfaces it as FileNotFoundException or the
+    * "underlying files have been updated" message). The Spark-native
+    * form of the reference's "BLOCK SIZE CHANGED" re-run
+    * (table_query.go); see [[GraftTable.withSnapshot]] for why every
+    * individual listing is already a consistent snapshot. `f` must
+    * re-list on each attempt (build the DataFrame INSIDE it). Anything
+    * that is not a stale-listing failure rethrows immediately. */
+  def retryStaleListing[A](maxRetries: Int = 5)(f: => A): A = {
+    def staleListing(e: Throwable): Boolean = {
+      var t: Throwable = e
+      while (t != null) {
+        if (t.isInstanceOf[java.io.FileNotFoundException]) return true
+        val m = t.getMessage
+        if (m != null && (m.contains("underlying files have been updated") ||
+          m.contains("FileNotFoundException"))) return true
+        t = t.getCause
+      }
+      false
+    }
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: Throwable if staleListing(e) && attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
 }

@@ -80,6 +80,26 @@ class ScaleGateSpec extends AnyFunSuite {
     assert(table.contains("q174_pagerank") && table.contains("expCPU"))
   }
 
+  test("the COMMITTED decade files pass the gate — the exponent rule " +
+      "runs mechanically in every suite run, not just when remembered") {
+    val pairs = Seq(
+      ("scripts/bench_data/sb3_sf1_r11.json",
+        "scripts/bench_data/sb3_sf3_r11.json", 3.0),
+      ("scripts/bench_data/sb3_sf3_r11.json",
+        "scripts/bench_data/sb4_sf10_r12.json", 10.0 / 3.0))
+    for ((lo, hi, factor) <- pairs) {
+      assume(java.nio.file.Files.exists(java.nio.file.Paths.get(lo)) &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(hi)))
+      val rows = ScaleGate.evaluate(
+        ScaleGate.parse(lo), ScaleGate.parse(hi), factor)
+      val breaches = rows.filter(_.breach)
+      assert(breaches.isEmpty,
+        s"$lo -> $hi: undiagnosed super-linear " +
+          breaches.map(_.name).mkString(", ") +
+          " — diagnose/fix or record a disposition in ScaleGate.allowlist")
+    }
+  }
+
   test("parse reads a ScaleBench file (pretty-printed and cpu-less both)") {
     val dir = java.nio.file.Files.createTempDirectory("scalegate")
     val withCpu = dir.resolve("hi.json")
