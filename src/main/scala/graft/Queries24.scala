@@ -216,6 +216,74 @@ object Queries24 {
       .orderBy(d)
   }
 
+  /** FLAC decode round trip ([[graft.expressions.FlacPcm]] — the
+    * LOSSLESS compressed-audio format, so unlike MP3/AAC the decode is
+    * bit-exact by spec and an arithmetic oracle can hash it): synthesize
+    * a standards-valid FLAC per document with `doc_id % 8` cycling
+    * every encoding path the decoder owns — verbatim / fixed / LPC /
+    * per-frame-cycle subframes × mono and all four stereo channel
+    * assignments (independent, left/side, right/side, mid/side) — then
+    * decode to the WAV interchange form and run the EXISTING
+    * `graft_wav_pcm_stats` / `graft_audio_meta` kernels on it. The
+    * oracle replays the SAMPLE FORMULA only (the q206 convention —
+    * interleaving stereo channels arithmetically) and never mentions
+    * subframe types, Rice coding, or CRCs: any prediction, residual,
+    * decorrelation, or checksum bug breaks the hash. The first 8 docs
+    * get ~4 frames so the per-frame cycle kinds all appear in-anchor. */
+  val q212FlacPcm: (String, QueryDef) = q(
+    "q212_flac_pcm",
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    64 + (doc_id * 7) % 193 +
+      |      CASE WHEN doc_id < 8 THEN 1800 ELSE 0 END AS n,
+      |    251 + (doc_id * 37) % 997 AS a, (doc_id * 13) % 4096 AS b,
+      |    CASE WHEN doc_id % 8 >= 4 THEN 2 ELSE 1 END AS ch
+      |  FROM documents WHERE doc_id < 160),
+      |s AS (
+      |  SELECT doc_id, j,
+      |    (((j // ch) * (a + 3 * (j % ch)) + b + 7 * (j % ch)) % 65536)
+      |      - 32768 AS v
+      |  FROM (SELECT p.*, unnest(generate_series(0,
+      |          CAST(n * ch - 1 AS BIGINT))) AS j FROM p)),
+      |sl AS (
+      |  SELECT doc_id, j, v,
+      |    LAG(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv FROM s),
+      |st AS (
+      |  SELECT doc_id, COUNT(*) AS n_samples, MAX(ABS(v)) AS peak,
+      |    SUM(ABS(v)) AS sum_abs, SUM(v * v) AS sum_sq,
+      |    SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+      |        THEN 1 ELSE 0 END) AS zero_crossings
+      |  FROM sl GROUP BY doc_id)
+      |SELECT p.doc_id AS doc_id, CAST(p.ch AS INT) AS channels,
+      |  CAST(8000 AS INT) AS sample_rate,
+      |  CAST((p.n * 1000) // 8000 AS BIGINT) AS duration_ms,
+      |  CAST(st.n_samples AS BIGINT) AS n_samples,
+      |  CAST(peak AS BIGINT) AS peak, CAST(sum_abs AS BIGINT) AS sum_abs,
+      |  CAST(sum_sq AS BIGINT) AS sum_sq,
+      |  CAST(zero_crossings AS BIGINT) AS zero_crossings
+      |FROM p JOIN st USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val wav = call_function("graft_flac_to_wav",
+      call_function("graft_synth_flac",
+        lit(64L) + (d * 7) % 193 +
+          when(d < 8, lit(1800L)).otherwise(lit(0L)),
+        lit(8000L),
+        lit(251L) + (d * 37) % 997, (d * 13) % 4096, d % 8))
+    t("documents").filter(d < 160)
+      .select(d,
+        call_function("graft_audio_meta", wav).as("meta"),
+        call_function("graft_wav_pcm_stats", wav).as("st"))
+      .select(d, col("meta.channels").as("channels"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.duration_ms").as("duration_ms"),
+        col("st.n_samples").as("n_samples"), col("st.peak").as("peak"),
+        col("st.sum_abs").as("sum_abs"), col("st.sum_sq").as("sum_sq"),
+        col("st.zero_crossings").as("zero_crossings"))
+      .orderBy(d)
+  }
+
   val catalog: Seq[(String, QueryDef)] =
-    Seq(q209PngPhash, q210UnigramTrain, q211JpegPhash)
+    Seq(q209PngPhash, q210UnigramTrain, q211JpegPhash, q212FlacPcm)
 }

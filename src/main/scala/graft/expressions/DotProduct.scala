@@ -291,6 +291,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => GraftWavDecimate(children(0),
         children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_synth_flac"),
+      new ExpressionInfo(classOf[GraftSynthFlac].getName, "graft_synth_flac"),
+      (children: Seq[Expression]) => GraftSynthFlac(children(0), children(1),
+        children(2), children(3), children(4))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_flac_to_wav"),
+      new ExpressionInfo(classOf[GraftFlacToWav].getName, "graft_flac_to_wav"),
+      (children: Seq[Expression]) => GraftFlacToWav(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_canon_url"),
       new ExpressionInfo(classOf[GraftCanonUrl].getName, "graft_canon_url"),
       (children: Seq[Expression]) => GraftCanonUrl(children(0),

@@ -10,9 +10,12 @@ import org.apache.spark.sql.types._
 /** Real PCM kernels over WAV audio — the codec-free format (RIFF header +
   * raw little-endian int16 samples) that needs no audio library, so the
   * decode→analyze→downsample path is a true sample computation in this
-  * environment, the audio twin of [[PpmRaster]]'s pixel kernels (the
-  * compressed formats — MP3/AAC/Opus — remain the documented codec-bound
-  * stub). Everything is EXACT integer arithmetic (truncating division,
+  * environment, the audio twin of [[PpmRaster]]'s pixel kernels.
+  * Lossless compressed audio routes here through [[FlacPcm]]
+  * (`graft_flac_to_wav`); the lossy codecs — MP3/AAC/Opus — are a
+  * reasoned non-replication (COVERAGE.md: conformance there is an RMS
+  * bound, not bit-exactness, so no arithmetic oracle can exist).
+  * Everything is EXACT integer arithmetic (truncating division,
   * the SQL integer-division convention), so an oracle replays the
   * kernels bit-for-bit from the synthesis formula without ever parsing
   * binary.
@@ -50,7 +53,12 @@ object WavPcm {
   }
 
   /** A minimal mono 16-bit PCM WAV container around `n` samples. */
-  def container(rate: Int, samples: Array[Short]): Array[Byte] = {
+  def container(rate: Int, samples: Array[Short]): Array[Byte] =
+    container(rate, 1, samples)
+
+  /** The general form: `channels`-way interleaved 16-bit PCM (the
+    * [[FlacPcm]] decode target — FLAC carries up to 8 channels). */
+  def container(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
     val dataLen = samples.length * 2
     val out = new Array[Byte](44 + dataLen)
     def putTag(o: Int, t: String): Unit = {
@@ -67,10 +75,10 @@ object WavPcm {
     putTag(0, "RIFF"); putLe32(4, 36L + dataLen); putTag(8, "WAVE")
     putTag(12, "fmt "); putLe32(16, 16L)
     putLe16(20, 1) // PCM
-    putLe16(22, 1) // mono
+    putLe16(22, channels)
     putLe32(24, rate.toLong)
-    putLe32(28, rate.toLong * 2) // byte rate
-    putLe16(32, 2) // block align
+    putLe32(28, rate.toLong * 2 * channels) // byte rate
+    putLe16(32, 2 * channels) // block align
     putLe16(34, 16) // bits
     putTag(36, "data"); putLe32(40, dataLen.toLong)
     var i = 0
