@@ -88,8 +88,13 @@ class QuantileBinsSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(merged.collapsed === single.collapsed, s"trial $trial collapsed")
       assert(merged.n === single.n && merged.mn === single.mn &&
         merged.mx === single.mx, s"trial $trial scalars")
-      assert(merged.exact === single.exact && merged.bins === single.bins,
-        s"trial $trial maps")
+      // logical content, independent of table layout (r12: the exact
+      // table is open-addressed arrays; slot order may differ by
+      // insertion path, the multiset may not)
+      assert(QuantileBins.exactEntries(merged) ===
+        QuantileBins.exactEntries(single), s"trial $trial exact")
+      assert(QuantileBins.binEntries(merged) ===
+        QuantileBins.binEntries(single), s"trial $trial bins")
       assert(QuantileBins.finishPcts(merged).toSeq ===
         QuantileBins.finishPcts(single).toSeq, s"trial $trial pcts")
     }
@@ -101,6 +106,22 @@ class QuantileBinsSpec extends org.scalatest.funsuite.AnyFunSuite {
     val p1 = pcts(vs)
     val p2 = pcts(rnd.shuffle(vs))
     assert(p1 === p2)
+  }
+
+  test("compacted partials are canonical: byte-identical arrays for any " +
+      "insertion order (what the query cache persists)") {
+    val rnd = new Random(23)
+    val vs = Seq.fill(3000)(rnd.nextLong() % 100000L)
+    val a = QuantileBins.compact(summarize(vs))
+    val b = QuantileBins.compact(summarize(rnd.shuffle(vs)))
+    assert(a.ek.toSeq === b.ek.toSeq && a.ec.toSeq === b.ec.toSeq)
+    assert(a.ek.toSeq === a.ek.sorted.toSeq) // ascending-key canonical form
+    // a compacted (100%-load) buffer still merges: the insert path grows
+    // any table at ≥ half load before probing
+    val agg = new QuantileBinsAggregator
+    val m = agg.merge(QuantileBins.compact(summarize(vs.take(1500))),
+      QuantileBins.compact(summarize(vs.drop(1500))))
+    assert(QuantileBins.exactEntries(m) === QuantileBins.exactEntries(a))
   }
 
   test("collapsed mode: min/max exact, interior error bounded by bin width") {
