@@ -21,10 +21,12 @@ object Queries24 {
   /** PNG decode round trip ([[graft.expressions.PngRaster]]): synthesize
     * a standards-valid PNG per document — per-scanline filter cycling
     * through ALL FIVE predictors (`doc_id % 6`, incl. the per-row-cycle
-    * mode), both gray/RGB color types, and (r12) both interlace modes ×
-    * both bit depths (`doc_id` bits 2/3: plain/Adam7 × 8/16-bit — a
-    * 16-bit sample's high byte carries the same formula value, so every
-    * variant decodes to IDENTICAL pixels) — then decode with the
+    * mode), both gray/RGB color types, both interlace modes, and (r12)
+    * EVERY gray bit depth — 8/16 (a 16-bit sample's high byte carries
+    * the formula value) and the sub-byte depths 4/2/1 (the synth
+    * quantizes to d bits, the decode re-expands by the spec's exact
+    * 255/(2^d−1) factor, and the oracle replays that CASE) — then
+    * decode with the
     * zero-dependency Inflater+defilter kernel into the P5/P6 interchange
     * form and hash with the EXISTING `graft_ppm_phash` / `graft_ppm_resize`
     * kernels. The oracle replays the PIXEL FORMULA (the q199 convention)
@@ -34,12 +36,20 @@ object Queries24 {
     "q209_png_phash",
     """WITH p AS (
       |  SELECT doc_id, 16 + doc_id % 37 AS w, 12 + (doc_id*3) % 31 AS h,
-      |         1 + doc_id % 7 AS a, 1 + doc_id % 11 AS b
+      |         1 + doc_id % 7 AS a, 1 + doc_id % 11 AS b,
+      |         CASE WHEN doc_id % 2 = 0 THEN
+      |           CASE (doc_id // 2) % 5 WHEN 0 THEN 8 WHEN 1 THEN 16
+      |                WHEN 2 THEN 4 WHEN 3 THEN 2 ELSE 1 END
+      |         ELSE 8 END AS dep
       |  FROM documents WHERE doc_id < 150),
       |xs AS (SELECT p.*, unnest(generate_series(0, w-1)) AS x FROM p),
-      |px AS (SELECT doc_id, w, h, a, b, x,
+      |px AS (SELECT doc_id, w, h, a, b, dep, x,
       |         unnest(generate_series(0, h-1)) AS y FROM xs),
-      |v AS (SELECT doc_id, w, h, x, y, (x*a + y*b) % 256 AS v,
+      |v AS (SELECT doc_id, w, h, x, y,
+      |        CASE dep WHEN 4 THEN (((x*a + y*b) % 256) // 16) * 17
+      |                 WHEN 2 THEN (((x*a + y*b) % 256) // 64) * 85
+      |                 WHEN 1 THEN (((x*a + y*b) % 256) // 128) * 255
+      |                 ELSE (x*a + y*b) % 256 END AS v,
       |        (x*8)//w AS ci, (y*8)//h AS cj FROM px),
       |cells AS (SELECT doc_id, ci, cj, SUM(v) AS cs, COUNT(*) AS ca
       |          FROM v GROUP BY 1, 2, 3),
@@ -81,7 +91,16 @@ object Queries24 {
         lit(1L) + d % 7, lit(1L) + d % 11,
         d % 6, (d % 2) * 2,
         (d % 4 >= 2).cast("long"), // interlace: none / Adam7
-        lit(8L) + (d % 8 >= 4).cast("long") * 8)) // bit depth 8 / 16
+        // depth: gray docs sweep 8/16/4/2/1 (sub-byte is gray-only per
+        // the spec's valid combinations), RGB docs keep 8; the oracle's
+        // pixel CASE quantizes+re-expands by 255/(2^d−1) in lockstep
+        when(d % 2 === 0,
+          when(expr("doc_id div 2") % 5 === 0, 8L)
+            .when(expr("doc_id div 2") % 5 === 1, 16L)
+            .when(expr("doc_id div 2") % 5 === 2, 4L)
+            .when(expr("doc_id div 2") % 5 === 3, 2L)
+            .otherwise(1L))
+          .otherwise(lit(8L))))
     t("documents").filter(d < 150)
       .select(d,
         call_function("graft_ppm_phash", ppm).as("ph"),
@@ -143,16 +162,18 @@ object Queries24 {
       .orderBy(col("piece"))
   }
 
-  /** Baseline JPEG decode round trip ([[graft.expressions.JpegRaster]] —
-    * r12 closes the last high-frequency codec stub): synthesize a
-    * block-constant baseline JPEG per document (gray/YCbCr by `doc_id`
-    * parity — DC-only blocks at quant 8 make the LOSSY codec's decode
-    * EXACT, see JpegRaster.synth), decode with the zero-dependency
+  /** JPEG decode round trip ([[graft.expressions.JpegRaster]] — r12
+    * closes the last high-frequency codec stub): synthesize a
+    * block-constant JPEG per document — gray/YCbCr by `doc_id` parity,
+    * BASELINE (SOF0) or PROGRESSIVE (SOF2, multi-scan successive
+    * approximation with EOB-run batching) by `doc_id` bit 1 — DC-only
+    * blocks at quant 8 make the LOSSY codec's decode EXACT in both
+    * framings (JpegRaster.synth), decode with the zero-dependency
     * Huffman+IDCT kernel, and hash with the existing `graft_ppm_phash` /
     * `graft_ppm_resize` kernels. The oracle replays the BLOCK formula
-    * `v = ((x//8)·a + (y//8)·b) mod 256` and never mentions the codec:
-    * any Huffman, dequant, IDCT, or color-transform bug breaks the
-    * hash. */
+    * `v = ((x//8)·a + (y//8)·b) mod 256` and never mentions the codec or
+    * the scan structure: any Huffman, dequant, IDCT, color-transform,
+    * or progressive-scan bug breaks the hash. */
   val q211JpegPhash: (String, QueryDef) = q(
     "q211_jpeg_phash",
     """WITH p AS (
@@ -203,7 +224,10 @@ object Queries24 {
       call_function("graft_synth_jpeg",
         lit(16L) + d % 37, lit(12L) + (d * 3) % 31,
         lit(1L) + d % 7, lit(1L) + d % 11,
-        (d % 2) * 2))
+        // gray/YCbCr by parity; every other pair takes the PROGRESSIVE
+        // (SOF2) framing of the same pixels (+4) — the oracle is frame-
+        // agnostic because both framings decode bit-identically
+        (d % 2) * 2 + (d % 4 >= 2).cast("long") * 4))
     t("documents").filter(d < 150)
       .select(d,
         call_function("graft_ppm_phash", ppm).as("ph"),

@@ -16,14 +16,19 @@ import org.apache.spark.sql.types._
   * `graft_ppm_resize`, Hamming near-dup) unchanged.
   *
   * Scope (NULL outside it, never garbage):
-  *  - baseline and extended-sequential Huffman, 8-bit precision (SOF0 /
-  *    SOF1); progressive (SOF2) and arithmetic coding return NULL —
-  *    both need a second entropy machine for a shrinking share of crawl
-  *    images, and NULL routes them to a slow path explicitly;
+  *  - baseline and extended-sequential Huffman (SOF0 / SOF1) AND (r12)
+  *    progressive Huffman (SOF2) — all four progressive scan kinds
+  *    (DC/AC × first/refinement) with EOB-run batching, interleaved DC
+  *    bands, per-scan table redefinition, and restarts; coefficients
+  *    accumulate across scans, the shared IDCT/output stage runs at
+  *    EOI. 8-bit precision; arithmetic coding and lossless /
+  *    hierarchical stay NULL (a different entropy machine for a
+  *    negligible share of crawl images);
   *  - 1 component (gray → P5) or 3 components (YCbCr → P6, any sampling
   *    factors 1-2 with replication upsampling); CMYK/4-component NULL;
-  *  - one interleaved scan (the baseline norm); restart markers (DRI /
-  *    RSTn) supported — a crawl JPEG with restarts is common;
+  *  - sequential: one interleaved scan (the baseline norm); restart
+  *    markers (DRI / RSTn) supported — a crawl JPEG with restarts is
+  *    common;
   *  - decode artifacts: the IDCT here is double-precision separable —
   *    maximally accurate, deterministic across platforms (strictfp-free
   *    JVM double math is IEEE-defined); chroma upsampling is nearest
@@ -198,6 +203,16 @@ object JpegRaster {
     var planeW = 0
     var planeH = 0
     var pred = 0
+    // progressive state: per-block coefficient accumulators in ZIGZAG
+    // order (64 per block over the MCU-padded grid), the component's own
+    // non-padded block dims (non-interleaved scans walk those), and
+    // whether a DC scan has delivered this component's DC band
+    var coefs: Array[Int] = null
+    var blocksPadW = 0
+    var blocksPadH = 0
+    var bw = 0
+    var bh = 0
+    var dcSeen = false
   }
 
   /** Decode a baseline JPEG payload to P5/P6 interchange bytes; null on
@@ -212,8 +227,12 @@ object JpegRaster {
     var w = 0
     var h = 0
     var restartInterval = 0
+    var progressive = false
+    var anyScan = false
+    var scanJump = -1 // progressive: position after an entropy scan
     var p = 2
-    while (p + 4 <= jpg.length) {
+    // p+2: EOI may close the stream exactly (the progressive finish)
+    while (p + 2 <= jpg.length) {
       if ((jpg(p) & 0xff) != 0xff) return null
       val marker = jpg(p + 1) & 0xff
       if (marker == 0xff) {
@@ -221,8 +240,13 @@ object JpegRaster {
       } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
         p += 2 // bare markers (shouldn't appear here, but harmless)
       } else if (marker == 0xd9) {
-        return null // EOI before any scan
+        // EOI: a progressive stream finishes HERE (coefficients are
+        // complete once every delivered scan has run); before any scan,
+        // or for baseline (whose scan returns directly), it's malformed
+        return if (progressive && anyScan)
+          finishProgressive(w, h, comps, quant) else null
       } else {
+        if (p + 4 > jpg.length) return null
         val len = be16(jpg, p + 2)
         if (len < 2 || p + 2 + len > jpg.length) return null
         val d = p + 4 // segment payload
@@ -271,7 +295,8 @@ object JpegRaster {
               val tbl = new Huff(bits, vals)
               if (tc == 0) dcTables(th) = tbl else acTables(th) = tbl
             }
-          case 0xc0 | 0xc1 => // SOF0 / SOF1: sequential Huffman, 8-bit
+          case 0xc0 | 0xc1 | 0xc2 => // sequential (SOF0/1) or progressive
+            progressive = marker == 0xc2 // (SOF2) Huffman, 8-bit
             if (comps != null) return null
             if (dEnd - d < 6) return null
             val precision = jpg(d) & 0xff
@@ -295,17 +320,18 @@ object JpegRaster {
                 return null
               i += 1
             }
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
               0xcd | 0xce | 0xcf =>
-            return null // progressive / lossless / arithmetic: out of scope
+            return null // lossless / hierarchical / arithmetic: out of scope
           case 0xdd => // DRI
             if (dEnd - d < 2) return null
             restartInterval = be16(jpg, d)
-          case 0xda => // SOS: the single interleaved scan
+          case 0xda => // SOS
             if (comps == null) return null
             val ns = jpg(d) & 0xff
-            if (ns != comps.length) return null // non-interleaved: NULL
+            if (ns < 1 || ns > comps.length) return null
             if (dEnd - d < 1 + ns * 2 + 3) return null
+            val scanComps = new Array[Component](ns)
             var i = 0
             while (i < ns) {
               val cid = jpg(d + 1 + i * 2) & 0xff
@@ -313,16 +339,39 @@ object JpegRaster {
               c.dcTbl = (jpg(d + 2 + i * 2) & 0xff) >> 4
               c.acTbl = jpg(d + 2 + i * 2) & 0x0f
               if (c.dcTbl > 3 || c.acTbl > 3) return null
+              scanComps(i) = c
               i += 1
             }
             val ss = jpg(d + 1 + ns * 2) & 0xff
             val se = jpg(d + 2 + ns * 2) & 0xff
-            if (ss != 0 || se != 63) return null // baseline spectral range
-            return decodeScan(jpg, dEnd, w, h, comps, quant, dcTables,
-              acTables, restartInterval)
+            val aa = jpg(d + 3 + ns * 2) & 0xff
+            val ah = aa >> 4
+            val al = aa & 0x0f
+            if (!progressive) {
+              if (ns != comps.length) return null // non-interleaved: NULL
+              if (ss != 0 || se != 63) return null // baseline spectral range
+              return decodeScan(jpg, dEnd, w, h, comps, quant, dcTables,
+                acTables, restartInterval)
+            }
+            // progressive band rules (spec G.1): the DC band (Ss=Se=0)
+            // is the only one that may interleave components; AC bands
+            // are single-component with 1 ≤ Ss ≤ Se ≤ 63; Ah > 0 marks
+            // a successive-approximation refinement of an earlier band
+            if (ah > 13 || al > 13) return null
+            if (ss == 0) { if (se != 0) return null }
+            else if (ns != 1 || se < ss || se > 63) return null
+            if (comps.exists(_.coefs == null) &&
+              !allocProgressive(w, h, comps)) return null
+            if (ss == 0 && ah == 0) scanComps.foreach(_.dcSeen = true)
+            val end = progressiveScan(jpg, dEnd, w, h, comps, scanComps,
+              ss, se, ah, al, dcTables, acTables, restartInterval)
+            if (end < 0) return null
+            anyScan = true
+            scanJump = end
           case _ => // APPn / COM / others: skip
         }
-        p = dEnd
+        p = if (scanJump >= 0) { val t = scanJump; scanJump = -1; t }
+            else dEnd
       }
     }
     null // no scan found
@@ -425,8 +474,14 @@ object JpegRaster {
       (jpg(q + 1) & 0xff) == 0xff) q += 1
     if (q + 1 >= jpg.length || (jpg(q) & 0xff) != 0xff ||
       (jpg(q + 1) & 0xff) != 0xd9) return null
+    emitPpm(w, h, comps)
+  }
 
-    // upsample + color transform into the interchange form
+  /** Upsample + color-transform filled component planes into P5/P6 —
+    * the shared output stage of the sequential and progressive paths. */
+  private def emitPpm(w: Int, h: Int, comps: Array[Component]): Array[Byte] = {
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
     val outChannels = if (comps.length == 1) 1 else 3
     val magic = if (outChannels == 3) "P6" else "P5"
     val header = s"$magic\n$w $h\n255\n".getBytes("US-ASCII")
@@ -470,6 +525,263 @@ object JpegRaster {
   }
 
   // -------------------------------------------------------------------
+  // progressive (SOF2): coefficient accumulation across scans
+  // -------------------------------------------------------------------
+
+  /** Size the per-component coefficient grids (MCU-padded, like the
+    * sequential planes) and each component's own non-padded block dims
+    * (what single-component scans walk). False on a size-guard breach. */
+  private def allocProgressive(w: Int, h: Int,
+      comps: Array[Component]): Boolean = {
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    for (c <- comps) {
+      c.blocksPadW = mcusX * c.h
+      c.blocksPadH = mcusY * c.v
+      // same bound as the sequential planes: 64·blocks == padded pixels
+      if (c.blocksPadH.toLong * c.blocksPadW * 64 > 16L * PpmRaster.MaxPixels)
+        return false
+      c.coefs = new Array[Int](c.blocksPadW * c.blocksPadH * 64)
+      c.bw = ((w * c.h + 8 * hMax - 1) / (8 * hMax))
+      c.bh = ((h * c.v + 8 * vMax - 1) / (8 * vMax))
+      c.pred = 0
+    }
+    true
+  }
+
+  /** Entropy-decode ONE progressive scan into the coefficient grids.
+    * Returns the position of the next marker, or -1 on malformed data.
+    * All four scan kinds (spec G.2): DC first / DC refinement (possibly
+    * interleaved), AC first / AC refinement (single-component, with
+    * EOB-run batching and, in refinement, correction bits woven through
+    * the zero-run skips — the successive-approximation algorithm). */
+  private def progressiveScan(jpg: Array[Byte], scanStart: Int, w: Int,
+      h: Int, comps: Array[Component], scanComps: Array[Component],
+      ss: Int, se: Int, ah: Int, al: Int, dcTables: Array[Huff],
+      acTables: Array[Huff], restartInterval: Int): Int = {
+    val r = new BitReader(jpg, scanStart)
+    var eobrun = 0L
+    var rstN = 0
+    var unit = 0L
+    def restartBoundary(): Boolean = {
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        if (!r.syncRestart(rstN)) return false
+        rstN = (rstN + 1) & 7
+        for (c <- scanComps) c.pred = 0
+        eobrun = 0L
+      }
+      true
+    }
+
+    /** DC pass for one block (base = block offset into coefs). */
+    def dcBlock(c: Component, base: Int): Boolean = {
+      if (ah == 0) {
+        val t = dcTables(c.dcTbl)
+        if (t == null) return false
+        val s = decodeSym(r, t)
+        if (s < 0 || s > 15) return false
+        val diffBits = r.receive(s)
+        if (diffBits == Int.MinValue) return false
+        c.pred += extend(diffBits, s)
+        c.coefs(base) = c.pred << al
+      } else { // refinement: one correction bit, no entropy table
+        val b = r.nextBit()
+        if (b < 0) return false
+        if (b == 1) c.coefs(base) |= (1 << al)
+      }
+      true
+    }
+
+    if (ss == 0) { // DC band: MCU-interleaved when ns > 1
+      if (scanComps.length > 1) {
+        val hMax = comps.map(_.h).max
+        val vMax = comps.map(_.v).max
+        val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+        val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+        val mcuCount = mcusX.toLong * mcusY
+        while (unit < mcuCount) {
+          if (!restartBoundary()) return -1
+          val mx = (unit % mcusX).toInt
+          val my = (unit / mcusX).toInt
+          for (c <- scanComps) {
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                val blk = (my * c.v + by) * c.blocksPadW + (mx * c.h + bx)
+                if (!dcBlock(c, blk * 64)) return -1
+                bx += 1
+              }
+              by += 1
+            }
+          }
+          unit += 1
+        }
+      } else {
+        val c = scanComps(0)
+        val count = c.bw.toLong * c.bh
+        while (unit < count) {
+          if (!restartBoundary()) return -1
+          val row = (unit / c.bw).toInt
+          val col = (unit % c.bw).toInt
+          if (!dcBlock(c, (row * c.blocksPadW + col) * 64)) return -1
+          unit += 1
+        }
+      }
+      return r.pos
+    }
+
+    // AC band: single component, raster over its own block grid
+    val c = scanComps(0)
+    val acT = acTables(c.acTbl)
+    if (acT == null) return -1
+    val p1 = 1 << al
+    val count = c.bw.toLong * c.bh
+    while (unit < count) {
+      if (!restartBoundary()) return -1
+      val row = (unit / c.bw).toInt
+      val col = (unit % c.bw).toInt
+      val base = (row * c.blocksPadW + col) * 64
+      if (ah == 0) { // ---- AC first pass
+        if (eobrun > 0) {
+          eobrun -= 1
+        } else {
+          var k = ss
+          var done = false
+          while (k <= se && !done) {
+            val rs = decodeSym(r, acT)
+            if (rs < 0) return -1
+            val run = rs >> 4
+            val s = rs & 0x0f
+            if (s == 0) {
+              if (run == 15) k += 16 // ZRL
+              else {
+                eobrun = (1L << run) - 1
+                if (run > 0) {
+                  val eb = r.receive(run)
+                  if (eb == Int.MinValue) return -1
+                  eobrun += eb
+                }
+                done = true
+              }
+            } else {
+              k += run
+              if (k > se) return -1
+              val vb = r.receive(s)
+              if (vb == Int.MinValue) return -1
+              c.coefs(base + k) = extend(vb, s) << al
+              k += 1
+            }
+          }
+        }
+      } else { // ---- AC refinement pass (correction bits throughout)
+        var k = ss
+        if (eobrun == 0) {
+          var toEob = false
+          while (k <= se && !toEob) {
+            val rs = decodeSym(r, acT)
+            if (rs < 0) return -1
+            var run = rs >> 4
+            var newVal = 0
+            val s = rs & 0x0f
+            if (s != 0) {
+              if (s != 1) return -1 // refinement places only ±1·2^Al
+              val b = r.nextBit()
+              if (b < 0) return -1
+              newVal = if (b == 1) p1 else -p1
+            } else if (run != 15) {
+              eobrun = 1L << run
+              if (run > 0) {
+                val eb = r.receive(run)
+                if (eb == Int.MinValue) return -1
+                eobrun += eb
+              }
+              toEob = true
+            }
+            if (!toEob) {
+              // advance over `run` zero-history coefficients, feeding
+              // correction bits to every nonzero one passed on the way
+              var placed = false
+              while (k <= se && !placed) {
+                val idx = base + k
+                if (c.coefs(idx) != 0) {
+                  val b = r.nextBit()
+                  if (b < 0) return -1
+                  if (b == 1 && (c.coefs(idx) & p1) == 0)
+                    c.coefs(idx) += (if (c.coefs(idx) >= 0) p1 else -p1)
+                } else if (run == 0) {
+                  if (newVal != 0) c.coefs(idx) = newVal
+                  placed = true
+                } else run -= 1
+                k += 1
+              }
+            }
+          }
+        }
+        if (eobrun > 0) { // EOB region: correction bits only, to Se
+          while (k <= se) {
+            val idx = base + k
+            if (c.coefs(idx) != 0) {
+              val b = r.nextBit()
+              if (b < 0) return -1
+              if (b == 1 && (c.coefs(idx) & p1) == 0)
+                c.coefs(idx) += (if (c.coefs(idx) >= 0) p1 else -p1)
+            }
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+      unit += 1
+    }
+    r.pos
+  }
+
+  /** Dequantize + IDCT every accumulated block, then reuse the shared
+    * output stage. Strictness: every component must have received its
+    * DC band (a stream that never delivered one is a broken document). */
+  private def finishProgressive(w: Int, h: Int, comps: Array[Component],
+      quant: Array[Array[Int]]): Array[Byte] = {
+    if (comps == null) return null
+    for (c <- comps)
+      if (c.coefs == null || !c.dcSeen || quant(c.qId) == null) return null
+    val coef = new Array[Double](64)
+    for (c <- comps) {
+      c.planeW = c.blocksPadW * 8
+      c.planeH = c.blocksPadH * 8
+      c.plane = new Array[Int](c.planeW * c.planeH)
+      val qt = quant(c.qId)
+      var blk = 0
+      val nBlocks = c.blocksPadW * c.blocksPadH
+      while (blk < nBlocks) {
+        val base = blk * 64
+        var k = 0
+        while (k < 64) {
+          coef(Zigzag(k)) = c.coefs(base + k).toDouble * qt(k)
+          k += 1
+        }
+        idct8x8(coef)
+        val ox = (blk % c.blocksPadW) * 8
+        val oy = (blk / c.blocksPadW) * 8
+        var yy = 0
+        while (yy < 8) {
+          val dst = (oy + yy) * c.planeW + ox
+          var xx = 0
+          while (xx < 8) {
+            c.plane(dst + xx) = clamp(coef(yy * 8 + xx) + 128.0)
+            xx += 1
+          }
+          yy += 1
+        }
+        blk += 1
+      }
+    }
+    emitPpm(w, h, comps)
+  }
+
+  // -------------------------------------------------------------------
   // synth: block-constant baseline JPEG with EXACT decode
   // -------------------------------------------------------------------
 
@@ -494,16 +806,23 @@ object JpegRaster {
     }
   }
 
-  /** Encode a block-constant gray/RGB baseline JPEG: the 8×8 block at
-    * (bi, bj) holds value `(bi·a + bj·b) mod 256` on every channel
-    * (chroma constant 128, so RGB == Y exactly). With every quant entry
-    * 8, a constant block's lone DC coefficient `8·(v−128)` quantizes to
+  /** Encode a block-constant gray/RGB JPEG: the 8×8 block at (bi, bj)
+    * holds value `(bi·a + bj·b) mod 256` on every channel (chroma
+    * constant 128, so RGB == Y exactly). With every quant entry 8, a
+    * constant block's lone DC coefficient `8·(v−128)` quantizes to
     * `v−128` WITHOUT loss, and any correct IDCT reproduces the constant
     * — the decode is bit-exact and SQL-replayable despite the codec
     * being lossy in general. `colorType` 0 → 1-component gray, 2 → 3
-    * 3-component YCbCr (1×1 sampling). */
+    * 3-component YCbCr (1×1 sampling); r12: +4 selects the PROGRESSIVE
+    * (SOF2) framing of the same pixels — DC split across a first scan at
+    * Al=1 and a refinement scan (`dc == ((dc>>1)<<1 | (dc&1))`, exact
+    * for every int), then one all-EOB AC scan per component whose
+    * EOB-run batching covers the whole component in a handful of codes —
+    * so the progressive entropy machine is exercised with the SAME
+    * oracle-exact pixels. */
   def synth(w: Int, h: Int, a: Long, b: Long, colorType: Int): Array[Byte] = {
-    val nc = if (colorType == 2) 3 else 1
+    val progressive = colorType >= 4
+    val nc = if ((colorType & 3) == 2) 3 else 1
     val bos = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { bos.write(0xff); bos.write(m) }
     def seg(m: Int, payload: Array[Int]): Unit = {
@@ -516,52 +835,120 @@ object JpegRaster {
     // DQT table 0, all entries 8 (natural order == zigzag for constants)
     seg(0xdb, Array(0x00) ++ Array.fill(64)(8))
     if (nc == 3) seg(0xdb, Array(0x01) ++ Array.fill(64)(8))
-    // SOF0
+    // SOF0 (baseline) or SOF2 (progressive) — identical payload
     val sof = Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, nc) ++
       (0 until nc).flatMap(i =>
         Seq(i + 1, 0x11, if (i == 0) 0 else 1))
-    seg(0xc0, sof.toArray)
+    seg(if (progressive) 0xc2 else 0xc0, sof.toArray)
     // DHT DC table 0: 12 symbols (categories 0-11) at code length 4
     seg(0xc4, Array(0x00, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
       ++ (0 to 11))
-    // DHT AC table 0: the single EOB symbol at code length 1
-    seg(0xc4, Array(0x10, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
-    // SOS
-    seg(0xda, Array(nc) ++ (1 to nc).flatMap(i => Seq(i, 0x00)) ++
-      Seq(0, 63, 0))
-    // entropy data: one MCU per 8x8 block (1x1 sampling), interleaved
-    val bw = new BitWriter(bos)
+    // DHT AC table 0: the 15 EOBn/ZRL-free symbols (r<<4 | 0) for
+    // r = 0..14, all at code length 4 — canonical code r == symbol r<<4,
+    // so EOB-run batching is one 4-bit code (+ r extension bits)
+    seg(0xc4, Array(0x10, 0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+      ++ (0 to 14).map(_ << 4))
+
     val blocksX = (w + 7) / 8
     val blocksY = (h + 7) / 8
-    val pred = new Array[Int](nc)
     def category(v: Int): Int = {
       var s = 0
       var m = math.abs(v)
       while (m != 0) { s += 1; m >>= 1 }
       s
     }
-    var bj = 0
-    while (bj < blocksY) {
-      var bi = 0
-      while (bi < blocksX) {
-        var c = 0
-        while (c < nc) {
-          val v = if (c == 0) ((bi * a + bj * b) % 256).toInt else 128
-          val dc = v - 128 // quantized DC at q=8: 8*(v-128)/8
-          val diff = dc - pred(c)
-          pred(c) = dc
-          val s = category(diff)
-          bw.put(s, 4) // DC huffman: code == category, 4 bits
-          if (s > 0)
-            bw.put(if (diff < 0) diff - 1 + (1 << s) else diff, s)
-          bw.put(0, 1) // AC: EOB (code 0, 1 bit)
-          c += 1
+    def dcOf(bi: Int, bj: Int, c: Int): Int =
+      (if (c == 0) ((bi * a + bj * b) % 256).toInt else 128) - 128
+
+    if (!progressive) {
+      seg(0xda, Array(nc) ++ (1 to nc).flatMap(i => Seq(i, 0x00)) ++
+        Seq(0, 63, 0))
+      val bw = new BitWriter(bos)
+      val pred = new Array[Int](nc)
+      var bj = 0
+      while (bj < blocksY) {
+        var bi = 0
+        while (bi < blocksX) {
+          var c = 0
+          while (c < nc) {
+            val dc = dcOf(bi, bj, c) // quantized DC at q=8: 8*(v-128)/8
+            val diff = dc - pred(c)
+            pred(c) = dc
+            val s = category(diff)
+            bw.put(s, 4) // DC huffman: code == category, 4 bits
+            if (s > 0)
+              bw.put(if (diff < 0) diff - 1 + (1 << s) else diff, s)
+            bw.put(0, 4) // AC: EOB0 (canonical code 0, 4 bits)
+            c += 1
+          }
+          bi += 1
         }
-        bi += 1
+        bj += 1
       }
-      bj += 1
+      bw.flush()
+    } else {
+      // scan 1: DC first pass, interleaved, Ah=0 Al=1 — diffs of dc>>1
+      seg(0xda, Array(nc) ++ (1 to nc).flatMap(i => Seq(i, 0x00)) ++
+        Seq(0, 0, 0x01))
+      val bw1 = new BitWriter(bos)
+      val pred = new Array[Int](nc)
+      var bj = 0
+      while (bj < blocksY) {
+        var bi = 0
+        while (bi < blocksX) {
+          var c = 0
+          while (c < nc) {
+            val dcA = dcOf(bi, bj, c) >> 1 // arithmetic: floor toward -inf
+            val diff = dcA - pred(c)
+            pred(c) = dcA
+            val s = category(diff)
+            bw1.put(s, 4)
+            if (s > 0)
+              bw1.put(if (diff < 0) diff - 1 + (1 << s) else diff, s)
+            c += 1
+          }
+          bi += 1
+        }
+        bj += 1
+      }
+      bw1.flush()
+      // scan 2: DC refinement, Ah=1 Al=0 — the dropped low bit per block
+      seg(0xda, Array(nc) ++ (1 to nc).flatMap(i => Seq(i, 0x00)) ++
+        Seq(0, 0, 0x10))
+      val bw2 = new BitWriter(bos)
+      bj = 0
+      while (bj < blocksY) {
+        var bi = 0
+        while (bi < blocksX) {
+          var c = 0
+          while (c < nc) {
+            bw2.put(dcOf(bi, bj, c) & 1, 1)
+            c += 1
+          }
+          bi += 1
+        }
+        bj += 1
+      }
+      bw2.flush()
+      // per-component AC scans (1..63, Ah=0 Al=0): every coefficient is
+      // zero, so the whole component is EOB-run batches
+      var c = 0
+      while (c < nc) {
+        seg(0xda, Array(1, c + 1, 0x00, 1, 63, 0x00))
+        val bw3 = new BitWriter(bos)
+        var remaining = blocksX * blocksY
+        while (remaining > 0) {
+          var r = 0
+          while ((1 << (r + 1)) <= remaining && r < 14) r += 1
+          val covered = math.min(remaining, (1 << r) + ((1 << r) - 1))
+          bw3.put(r, 4) // symbol (r<<4): EOBn — canonical code == r
+          if (r > 0) bw3.put(covered - (1 << r), r)
+          remaining -= covered
+        }
+        bw3.flush()
+        c += 1
+      }
     }
-    bw.flush()
     marker(0xd9) // EOI
     bos.toByteArray
   }
@@ -621,7 +1008,8 @@ case class GraftSynthJpeg(wE: Expression, hE: Expression, aE: Expression,
       s"graft_synth_jpeg: need 0 < w*h <= 2^22, got ${w}x$h")
     require(a >= 0 && b >= 0 && a <= (1L << 20) && b <= (1L << 20),
       s"graft_synth_jpeg: a, b must be in [0, 2^20], got $a, $b")
-    require(c == 0 || c == 2, s"graft_synth_jpeg: colorType 0 or 2, got $c")
+    require(c == 0 || c == 2 || c == 4 || c == 6,
+      s"graft_synth_jpeg: colorType 0/2 (baseline) or 4/6 (progressive), got $c")
     JpegRaster.synth(w.toInt, h.toInt, a, b, c.toInt)
   }
 

@@ -19,17 +19,17 @@ import org.apache.spark.sql.types._
   *
   * Scope (returns NULL outside it, never garbage — the PpmRaster
   * discipline):
-  *  - bit depth 8 or 16 (r12; a 16-bit sample keeps its HIGH byte, the
-  *    PNG-recommended 16→8 reduction), color types 0 (gray), 2 (RGB),
-  *    3 (palette, 8-bit only per the PNG spec), 4 (gray+alpha),
-  *    6 (RGBA); alpha is DROPPED (a dedup/phash pipeline keys on pixel
-  *    content; compositing needs a background choice that belongs to a
-  *    render stage, not a key);
+  *  - EVERY spec-valid (depth, color type) combination: depths 1/2/4
+  *    (gray + palette; sub-byte samples unpack MSB-first, gray expands
+  *    by the spec's 255/(2^d−1) left-bit-replication factor — exact
+  *    integers 255/85/17), 8, and 16 (a 16-bit sample keeps its HIGH
+  *    byte, the PNG-recommended 16→8 reduction); color types 0 (gray),
+  *    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); alpha is DROPPED
+  *    (a dedup/phash pipeline keys on pixel content; compositing needs
+  *    a background choice that belongs to a render stage, not a key);
   *  - interlace 0 or 1 (r12: Adam7 is seven independent sub-images over
   *    the same five filters — each pass defilters against its own
   *    previous scanline, then scatters onto the 8×8 pixel lattice);
-  *  - bit depths 1/2/4 stay NULL (sub-byte packing, vanishingly rare in
-  *    crawl rasters — COVERAGE.md records the disposition);
   *  - chunk CRCs are not verified (a corrupt stream fails structurally
   *    at inflate/length checks; the decoder is a reader, not a
   *    validator);
@@ -104,8 +104,14 @@ object PngRaster {
           val compression = png(dataOff + 10) & 0xff
           val filterMethod = png(dataOff + 11) & 0xff
           interlace = png(dataOff + 12) & 0xff
-          if ((bitDepth != 8 && bitDepth != 16) || channelsOf(colorType) < 0 ||
-            (bitDepth == 16 && colorType == 3) || // invalid per spec
+          val depthOk = colorType match { // PNG spec §11.2.2 valid combos
+            case 0 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 ||
+              bitDepth == 8 || bitDepth == 16
+            case 3 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 ||
+              bitDepth == 8
+            case _ => bitDepth == 8 || bitDepth == 16
+          }
+          if (!depthOk || channelsOf(colorType) < 0 ||
             compression != 0 || filterMethod != 0 ||
             (interlace != 0 && interlace != 1))
             return null
@@ -126,15 +132,21 @@ object PngRaster {
 
     val channels = channelsOf(colorType)
     val sampleBytes = bitDepth / 8
-    val bpp = channels * sampleBytes // the filter unit (PNG spec §9)
+    // the filter unit (PNG spec §9): bytes per complete pixel ROUNDED UP
+    // TO ONE — sub-byte depths (r12) filter on whole packed bytes
+    val bpp = math.max(1, channels * sampleBytes)
+    // packed scanline bytes for a wp-pixel row (sub-byte rows byte-pad)
+    def strideL(wp: Int): Long =
+      if (bitDepth < 8) (wp.toLong * bitDepth + 7) / 8 else wp.toLong * bpp
     val passes = if (interlace == 1) Adam7 else NoInterlace
     // raw stream size: per pass with a nonzero sub-image, hp scanlines of
-    // (1 filter byte + wp*bpp); division-form accumulation cannot wrap
+    // (1 filter byte + packed stride); division-form accumulation cannot
+    // wrap
     var expected = 0L
     for ((xs, ys, xStep, yStep) <- passes) {
       val wp = if (w > xs) (w - xs + xStep - 1) / xStep else 0
       val hp = if (h > ys) (h - ys + yStep - 1) / yStep else 0
-      if (wp > 0 && hp > 0) expected += hp.toLong * (1L + wp.toLong * bpp)
+      if (wp > 0 && hp > 0) expected += hp.toLong * (1L + strideL(wp))
     }
     if (expected <= 0 || expected > Int.MaxValue) return null
     val raw = new Array[Byte](expected.toInt)
@@ -166,7 +178,7 @@ object PngRaster {
       val wp = if (w > xs) (w - xs + xStep - 1) / xStep else 0
       val hp = if (h > ys) (h - ys + yStep - 1) / yStep else 0
       if (wp > 0 && hp > 0) {
-        val pStride = wp * bpp
+        val pStride = strideL(wp).toInt // ≤ expected ≤ Int.MaxValue
         val pass = new Array[Byte](hp * pStride)
         var y = 0
         while (y < hp) {
@@ -192,16 +204,32 @@ object PngRaster {
           }
           // scatter this scanline's pixels to (xs + x2*xStep, ys + y*yStep)
           val ty = ys + y * yStep
-          var x2 = 0
-          while (x2 < wp) {
-            val s = dst + x2 * bpp
-            val d = ty * outStride + (xs + x2 * xStep) * channels
-            var ch = 0
-            while (ch < channels) {
-              plane(d + ch) = pass(s + ch * sampleBytes)
-              ch += 1
+          if (bitDepth < 8) {
+            // unpack MSB-first d-bit samples; gray scales by the spec's
+            // left-bit-replication factor 255/(2^d−1) — exact integers
+            // (255, 85, 17); palette indices pass through unscaled
+            val scale = if (colorType == 0) 255 / ((1 << bitDepth) - 1) else 1
+            val mask = (1 << bitDepth) - 1
+            var x2 = 0
+            while (x2 < wp) {
+              val bitpos = x2 * bitDepth
+              val v = ((pass(dst + (bitpos >> 3)) & 0xff) >>>
+                (8 - bitDepth - (bitpos & 7))) & mask
+              plane(ty * outStride + (xs + x2 * xStep)) = (v * scale).toByte
+              x2 += 1
             }
-            x2 += 1
+          } else {
+            var x2 = 0
+            while (x2 < wp) {
+              val s = dst + x2 * bpp
+              val d = ty * outStride + (xs + x2 * xStep) * channels
+              var ch = 0
+              while (ch < channels) {
+                plane(d + ch) = pass(s + ch * sampleBytes)
+                ch += 1
+              }
+              x2 += 1
+            }
           }
           y += 1
         }
@@ -260,9 +288,11 @@ object PngRaster {
     * synth is byte-identical to its 8-bit sibling. */
   def synth(w: Int, h: Int, a: Long, b: Long, filterMode: Int,
       colorType: Int, interlace: Int = 0, bitDepth: Int = 8): Array[Byte] = {
+    require(bitDepth >= 8 || colorType == 0,
+      "sub-byte synth is gray-only (the spec's valid-combination table)")
     val channels = if (colorType == 2) 3 else 1
     val sampleBytes = bitDepth / 8
-    val bpp = channels * sampleBytes
+    val bpp = math.max(1, channels * sampleBytes)
     val passes = if (interlace == 1) Adam7 else NoInterlace
     val rawOut = new java.io.ByteArrayOutputStream()
     var emittedY = 0 // filterMode 5 cycles across every emitted scanline
@@ -270,7 +300,8 @@ object PngRaster {
       val wp = if (w > xs) (w - xs + xStep - 1) / xStep else 0
       val hp = if (h > ys) (h - ys + yStep - 1) / yStep else 0
       if (wp > 0 && hp > 0) {
-        val pStride = wp * bpp
+        val pStride =
+          if (bitDepth < 8) (wp * bitDepth + 7) / 8 else wp * bpp
         // previous RECONSTRUCTED scanline of THIS pass (filters predict
         // from recon bytes within the pass)
         val prev = new Array[Byte](pStride)
@@ -278,21 +309,36 @@ object PngRaster {
         var y2 = 0
         while (y2 < hp) {
           val ty = ys + y2 * yStep
-          var x2 = 0
-          while (x2 < wp) {
-            val tx = xs + x2 * xStep
-            val v = ((tx * a + ty * b) % 256).toByte
-            val lo = ((tx * b + ty * a + 7) % 256).toByte
-            var ch = 0
-            while (ch < channels) {
-              if (sampleBytes == 1) cur(x2 * bpp + ch) = v
-              else {
-                cur(x2 * bpp + ch * 2) = v
-                cur(x2 * bpp + ch * 2 + 1) = lo
-              }
-              ch += 1
+          if (bitDepth < 8) {
+            // quantize the formula byte to d bits (v >> (8−d)) and pack
+            // MSB-first; decode re-expands by 255/(2^d−1)
+            java.util.Arrays.fill(cur, 0, pStride, 0.toByte)
+            var x2 = 0
+            while (x2 < wp) {
+              val tx = xs + x2 * xStep
+              val vd = (((tx * a + ty * b) % 256) >>> (8 - bitDepth)).toInt
+              val bitpos = x2 * bitDepth
+              cur(bitpos >> 3) = (cur(bitpos >> 3) |
+                (vd << (8 - bitDepth - (bitpos & 7)))).toByte
+              x2 += 1
             }
-            x2 += 1
+          } else {
+            var x2 = 0
+            while (x2 < wp) {
+              val tx = xs + x2 * xStep
+              val v = ((tx * a + ty * b) % 256).toByte
+              val lo = ((tx * b + ty * a + 7) % 256).toByte
+              var ch = 0
+              while (ch < channels) {
+                if (sampleBytes == 1) cur(x2 * bpp + ch) = v
+                else {
+                  cur(x2 * bpp + ch * 2) = v
+                  cur(x2 * bpp + ch * 2 + 1) = lo
+                }
+                ch += 1
+              }
+              x2 += 1
+            }
           }
           val f = if (filterMode == 5) emittedY % 5 else filterMode
           rawOut.write(f)
@@ -423,8 +469,11 @@ case class GraftSynthPng(override val children: Seq[Expression])
     require(c == 0 || c == 2, s"graft_synth_png: colorType 0 or 2, got $c")
     require(interlace == 0 || interlace == 1,
       s"graft_synth_png: interlace 0 or 1, got $interlace")
-    require(bitDepth == 8 || bitDepth == 16,
-      s"graft_synth_png: bitDepth 8 or 16, got $bitDepth")
+    require(bitDepth == 1 || bitDepth == 2 || bitDepth == 4 ||
+      bitDepth == 8 || bitDepth == 16,
+      s"graft_synth_png: bitDepth 1/2/4/8/16, got $bitDepth")
+    require(bitDepth >= 8 || c == 0,
+      s"graft_synth_png: sub-byte depths are gray-only, got c=$c")
     PngRaster.synth(w.toInt, h.toInt, a, b, f.toInt, c.toInt,
       interlace.toInt, bitDepth.toInt)
   }

@@ -119,6 +119,110 @@ class JpegFuzzSpec extends SparkSpec {
     }
   }
 
+  test("jpeg progressive exact round trip (r12): SOF2 framing of the " +
+      "block-constant fixtures decodes to the same exact bytes") {
+    for ((w, h) <- Seq((8, 8), (1, 1), (7, 5), (16, 16), (17, 9), (40, 33),
+           (9, 24), (130, 70));
+         c <- Seq(0, 2); (a, b) <- Seq((3L, 5L), (0L, 0L), (255L, 1L))) {
+      val jpg = JpegRaster.synth(w, h, a, b, c + 4)
+      val got = JpegRaster.toPpm(jpg)
+      assert(got != null, s"progressive decode failed ${w}x$h c=$c a=$a")
+      assert(java.util.Arrays.equals(got, expectedPpm(w, h, a, b, c)),
+        s"progressive pixel mismatch ${w}x$h c=$c a=$a b=$b")
+    }
+  }
+
+  test("jpeg progressive synth is standards-valid: ImageIO accepts the " +
+      "SOF2 fixtures and agrees on every sample exactly") {
+    for ((w, h) <- Seq((8, 8), (7, 5), (17, 9), (40, 33)); c <- Seq(0, 2)) {
+      val jpg = JpegRaster.synth(w, h, 3, 5, c + 4)
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(jpg))
+      assert(img != null, s"ImageIO rejected progressive ${w}x$h c=$c")
+      assert(img.getWidth === w && img.getHeight === h)
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w) {
+        val expected = (((x / 8) * 3 + (y / 8) * 5) % 256)
+        for (ch <- 0 until raster.getNumBands)
+          assert(raster.getSample(x, y, ch) === expected,
+            s"ImageIO sample ($x,$y) ch=$ch ${w}x$h c=$c progressive")
+      }
+    }
+  }
+
+  test("jpeg progressive differential vs ImageIO-ENCODED progressive " +
+      "streams: real multi-scan refinement entropy, small tolerance") {
+    val rnd = new scala.util.Random(71)
+    for (trial <- 1 to 10) {
+      val w = 16 + rnd.nextInt(60)
+      val h = 16 + rnd.nextInt(50)
+      val gray = trial % 3 == 0
+      val img = new java.awt.image.BufferedImage(w, h,
+        if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        def chan(k: Int) = {
+          val t = (x * 2 + y * 3 + k * 40 + rnd.nextInt(9) - 4) % 512
+          val v = if (t < 0) -t else t
+          if (v > 255) 511 - v else v
+        }
+        img.setRGB(x, y, (chan(0) << 16) | (chan(1) << 8) | chan(2))
+      }
+      // the JDK encoder's progressive scan script includes successive-
+      // approximation DC/AC refinement scans — the full G.2 machine
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
+        .next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      val jpg = bos.toByteArray
+      // confirm the stream really is progressive (SOF2 present)
+      assert((0 until jpg.length - 1).exists(i =>
+        (jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xc2),
+        s"trial $trial: ImageIO did not emit SOF2")
+      val mine = JpegRaster.toPpm(jpg)
+      assert(mine != null, s"trial $trial ${w}x$h gray=$gray: decode null")
+      val hd = PpmRaster.parse(mine)
+      assert(hd != null && hd.w === w && hd.h === h)
+      val ref = javax.imageio.ImageIO.read(new ByteArrayInputStream(jpg))
+      val raster = ref.getRaster
+      var sumAbs = 0L
+      var maxAbs = 0
+      var n = 0
+      for (y <- 0 until h; x <- 0 until w; ch <- 0 until hd.channels) {
+        val got = mine(hd.off + (y * w + x) * hd.channels + ch) & 0xff
+        val want = raster.getSample(x, y, ch)
+        val d = math.abs(got - want)
+        sumAbs += d; if (d > maxAbs) maxAbs = d; n += 1
+      }
+      val mean = sumAbs.toDouble / n
+      assert(mean <= 3.0 && maxAbs <= 100,
+        s"trial $trial ${w}x$h gray=$gray: mean=$mean max=$maxAbs — " +
+          "progressive decoders diverged beyond implementation slack")
+    }
+  }
+
+  test("jpeg progressive malformed robustness: truncations null, the " +
+      "expression surface fuses, a DC-less stream is refused") {
+    val jpg = JpegRaster.synth(17, 9, 3, 5, 6)
+    for (len <- 0 until jpg.length)
+      assert(JpegRaster.toPpm(java.util.Arrays.copyOf(jpg, len)) == null,
+        s"progressive truncation at $len")
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 200) {
+      val c = jpg.clone()
+      c(2 + rnd.nextInt(c.length - 2)) = rnd.nextInt(256).toByte
+      JpegRaster.toPpm(c) // null or a decode; must not throw
+    }
+    val r = Seq(1L, 2L).toDF("i").selectExpr(
+      "graft_ppm_phash(graft_jpeg_to_ppm(graft_synth_jpeg(" +
+        "24L, 16L, i, 5L, (i % 2) * 2 + 4))) AS ph").collect()
+    assert(r.forall(!_.isNullAt(0)))
+  }
+
   test("jpeg malformed robustness: every truncation and targeted " +
       "corruption decodes to null, never throws") {
     val jpg = JpegRaster.synth(17, 9, 3, 5, 2)
@@ -134,7 +238,8 @@ class JpegFuzzSpec extends SparkSpec {
     val sofAt = (0 until jpg.length - 1).find(i =>
       (jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xc0).get
     assert(JpegRaster.toPpm(corrupt(sofAt + 1, 0xc2.toByte)) == null,
-      "progressive SOF2 is out of scope -> null")
+      "a baseline stream relabeled SOF2 violates the progressive band " +
+        "rules (its scan claims Ss=0, Se=63) -> null")
     assert(JpegRaster.toPpm(corrupt(sofAt + 1, 0xc9.toByte)) == null,
       "arithmetic coding -> null")
     assert(JpegRaster.toPpm(corrupt(sofAt + 4, 12)) == null,

@@ -101,6 +101,85 @@ class PngFuzzSpec extends SparkSpec {
     assert(PngRaster.toPpm(pal16) == null, "16-bit palette must be null")
   }
 
+  test("png sub-byte depths (r12): 1/2/4-bit gray round-trips plain and " +
+      "Adam7, and ImageIO agrees on every raw sample") {
+    for (bd <- Seq(1, 2, 4); il <- Seq(0, 1); f <- Seq(0, 4, 5);
+         (w, h) <- Seq((1, 1), (7, 5), (16, 12), (33, 21))) {
+      val png = PngRaster.synth(w, h, 3, 5, f, 0, il, bd)
+      val got = PngRaster.toPpm(png)
+      assert(got != null, s"decode failed bd=$bd il=$il f=$f ${w}x$h")
+      // synth quantizes the formula byte to d bits; decode re-expands by
+      // the exact left-bit-replication factor 255/(2^d−1)
+      val scale = 255 / ((1 << bd) - 1)
+      val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+      val expected = header ++ Array.tabulate(w * h) { p =>
+        (((((p % w) * 3 + (p / w) * 5) % 256) >> (8 - bd)) * scale).toByte
+      }
+      assert(java.util.Arrays.equals(got, expected),
+        s"pixels bd=$bd il=$il f=$f ${w}x$h")
+    }
+    for (bd <- Seq(1, 2, 4); il <- Seq(0, 1)) {
+      val png = PngRaster.synth(9, 8, 3, 5, 5, 0, il, bd)
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(png))
+      assert(img != null, s"ImageIO rejected bd=$bd il=$il")
+      val raster = img.getRaster
+      for (y <- 0 until 8; x <- 0 until 9)
+        assert(raster.getSample(x, y, 0) ===
+          (((x * 3 + y * 5) % 256) >> (8 - bd)),
+          s"ImageIO ($x,$y) bd=$bd il=$il")
+    }
+  }
+
+  test("png sub-byte palette: a hand-built 2-bit palette stream decodes " +
+      "to the looked-up colors; an out-of-range index is null") {
+    // 5x3 at depth 2: stride = ceil(5·2/8) = 2 bytes, rows pre-packed
+    // MSB-first from the spec text, filter 0, four palette entries
+    val pal = Array(0xe0, 0x10, 0x20, 0x30, 0xc0, 0x50, 0x60, 0x70, 0x90,
+      0x01, 0x02, 0x03) // 4 RGB entries
+    val rows = Array( // pixel indices per row
+      Array(0, 1, 2, 3, 0), Array(3, 2, 1, 0, 1), Array(1, 1, 2, 2, 3))
+    def build(palLen: Int): Array[Byte] = {
+      val raw = new java.io.ByteArrayOutputStream()
+      for (r <- rows) {
+        raw.write(0) // filter none
+        raw.write(((r(0) << 6) | (r(1) << 4) | (r(2) << 2) | r(3)) & 0xff)
+        raw.write((r(4) << 6) & 0xff)
+      }
+      val d = new Deflater(); d.setInput(raw.toByteArray); d.finish()
+      val zbuf = new Array[Byte](256)
+      val zos = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) zos.write(zbuf, 0, d.deflate(zbuf))
+      d.end()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a,
+        '\n'), 0, 8)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        val len = data.length
+        out.write(Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte,
+          (len >>> 8).toByte, len.toByte), 0, 4)
+        val tb = typ.getBytes("US-ASCII")
+        val crc = new CRC32(); crc.update(tb); crc.update(data)
+        out.write(tb, 0, 4); out.write(data, 0, len)
+        val cv = crc.getValue
+        out.write(Array[Byte]((cv >>> 24).toByte, (cv >>> 16).toByte,
+          (cv >>> 8).toByte, cv.toByte), 0, 4)
+      }
+      chunk("IHDR", Array[Byte](0, 0, 0, 5, 0, 0, 0, 3, 2, 3, 0, 0, 0))
+      chunk("PLTE", pal.take(palLen * 3).map(_.toByte))
+      chunk("IDAT", zos.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+    val got = PngRaster.toPpm(build(4))
+    assert(got != null, "2-bit palette rejected")
+    val header = s"P6\n5 3\n255\n".getBytes("US-ASCII")
+    val expected = header ++ rows.flatten.flatMap(i =>
+      Seq(pal(i * 3).toByte, pal(i * 3 + 1).toByte, pal(i * 3 + 2).toByte))
+    assert(java.util.Arrays.equals(got, expected), "palette colors")
+    // shrink the palette to 3 entries: index 3 becomes out of range
+    assert(PngRaster.toPpm(build(3)) == null, "oob index must be null")
+  }
+
   // test-local clean-room encoder: raw pixels in, one PNG out, with a
   // CHOSEN filter byte per scanline (filters computed from the spec
   // text, independently of PngRaster.synth's implementation)
