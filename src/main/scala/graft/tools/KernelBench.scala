@@ -1,0 +1,62 @@
+package graft.tools
+
+import graft.expressions.{FlacPcm, JpegRaster, PngRaster}
+
+/** Single-thread throughput of the zero-dependency codec kernels — the
+  * number that decides whether decode can ride the scan at cluster
+  * scale (a 1000-executor reader sustains ~100-300 MB/s/core of parquet;
+  * a decode kernel near or above that is I/O-shadowed, one far below it
+  * is the bottleneck). Fixtures are the same synths the catalog anchors
+  * use, at realistic crawl-asset sizes. Prints one line per kernel:
+  * payload MB/s and items/s. */
+object KernelBench {
+  def main(args: Array[String]): Unit = {
+    val reps = if (args.nonEmpty) args(0).toInt else 200
+
+    /** `outUnits` = decoded pixels (rasters) or samples (audio) per item
+      * — the scale-honest denominator: synth payloads over-compress, so
+      * input MB/s alone would flatter the kernels. */
+    def run(tag: String, payload: Array[Byte], decode: Array[Byte] => AnyRef,
+        outUnits: Long): Unit = {
+      var i = 0
+      while (i < math.max(20, reps / 10)) { decode(payload); i += 1 } // warm
+      val t0 = System.nanoTime()
+      i = 0
+      var ok = 0
+      while (i < reps) {
+        if (decode(payload) != null) ok += 1
+        i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      require(ok == reps, s"$tag: $ok/$reps decodes succeeded")
+      val mbs = payload.length.toDouble * reps / dt / 1e6
+      val mups = outUnits.toDouble * reps / dt / 1e6
+      println(f"$tag%-34s ${reps / dt}%8.1f items/s  ${mups}%7.1f Mu/s  " +
+        f"${mbs}%7.1f in-MB/s  (${payload.length / 1024} KiB/item)")
+    }
+
+    // 512x512 gradient rasters — the web-image working size
+    run("png 8-bit RGB (filter cycle)",
+      PngRaster.synth(512, 512, 3, 5, 5, 2), PngRaster.toPpm, 512 * 512)
+    run("png 8-bit RGB Adam7",
+      PngRaster.synth(512, 512, 3, 5, 5, 2, 1, 8), PngRaster.toPpm,
+      512 * 512)
+    run("png 16-bit gray",
+      PngRaster.synth(512, 512, 3, 5, 5, 0, 0, 16), PngRaster.toPpm,
+      512 * 512)
+    run("jpeg baseline RGB (block-const)",
+      JpegRaster.synth(512, 512, 3, 5, 2), JpegRaster.toPpm, 512 * 512)
+    run("jpeg progressive RGB",
+      JpegRaster.synth(512, 512, 3, 5, 6), JpegRaster.toPpm, 512 * 512)
+    // ~8 s of 16-bit mono audio per item (64k samples)
+    run("flac mono fixed+rice (64k smp)",
+      FlacPcm.synth(65536, 8000, 251, 13, 1),
+      (b: Array[Byte]) => FlacPcm.decode(b), 65536)
+    run("flac stereo mid/side (64k smp)",
+      FlacPcm.synth(65536, 8000, 251, 13, 7),
+      (b: Array[Byte]) => FlacPcm.decode(b), 131072)
+    run("flac mono verbatim (64k smp)",
+      FlacPcm.synth(65536, 8000, 251, 13, 0),
+      (b: Array[Byte]) => FlacPcm.decode(b), 65536)
+  }
+}
