@@ -10,17 +10,21 @@ import org.apache.spark.sql.types._
   *
   * Decode comes in two tiers. Header/metadata decode is REAL for all
   * three modalities (PNG/JPEG/GIF dims, WAV chunk walk, MP4 box walk —
-  * codegen expressions), and PIXEL decode is real for the codec-free
-  * raster formats (`graft_ppm_phash` / `graft_ppm_resize` over PPM/PGM,
-  * expressions/PpmRaster.scala — exact box-filter resize and perceptual
-  * hashing, oracle-checked q199/q201). Only codec-bound pixel/sample
-  * work (JPEG entropy decoding, audio PCM) is a clearly-marked
-  * deterministic STUB (no media codecs in this environment); everything
-  * around it — schema, batch shape, partition-local iteration, column
-  * plumbing — is the real production path: swap `decodeStub` for a
-  * JNI/codec call and nothing else changes. At 100 TB the binary
-  * payloads stay columnar in parquet (never collected) and each task
-  * decodes its partition in fixed-size batches to bound peak memory.
+  * codegen expressions). PIXEL/SAMPLE decode is real and
+  * zero-dependency for every format where exactness is provable: PPM/
+  * PGM, PNG (all spec-valid depths incl. sub-byte + Adam7), JPEG
+  * (baseline AND progressive Huffman), WAV, and FLAC — see
+  * expressions/{PpmRaster,PngRaster,JpegRaster,WavPcm,FlacPcm}.scala,
+  * oracle-checked q199/q201/q206/q209/q211/q212. What remains a
+  * deterministic STUB is the LOSSY codec tier (MP3/AAC video-frame
+  * entropy) — a reasoned non-replication (COVERAGE.md: lossy
+  * conformance is an RMS bound, not bit-exactness, so no arithmetic
+  * oracle can exist); everything around it — schema, batch shape,
+  * partition-local iteration, column plumbing — is the real production
+  * path: swap `decodeStub` for a JNI/codec call and nothing else
+  * changes. At 100 TB the binary payloads stay columnar in parquet
+  * (never collected) and each task decodes its partition in fixed-size
+  * batches to bound peak memory.
   */
 object Multimodal {
 
@@ -141,11 +145,17 @@ object Multimodal {
   /** REAL audio-metadata decode from payload bytes (WAV/RIFF header walk —
     * expressions/AudioMeta.scala): appends `decoded_audio
     * struct<channels,sample_rate,bits,duration_ms>` (null when not
-    * parseable). Like [[decodeDims]], a pure scan-side codegen projection —
-    * no codec, no shuffle. */
+    * parseable). r12: FLAC payloads route through the same API — when
+    * the RIFF walk fails, the FLAC decoder ([[graft.expressions.FlacPcm]])
+    * produces the WAV interchange form and the SAME chunk walk reads it,
+    * so WAV and FLAC corpora share one metadata surface. Like
+    * [[decodeDims]], a pure scan-side projection — no shuffle. */
   def decodeAudioMeta(media: DataFrame, payloadCol: String = "payload"): DataFrame =
     media.withColumn("decoded_audio",
-      call_function("graft_audio_meta", col(payloadCol)))
+      coalesce(
+        call_function("graft_audio_meta", col(payloadCol)),
+        call_function("graft_audio_meta",
+          call_function("graft_flac_to_wav", col(payloadCol)))))
 
   /** REAL video-metadata decode from payload bytes (MP4/ISO-BMFF box walk —
     * expressions/VideoMeta.scala): appends `decoded_video

@@ -106,6 +106,22 @@ class MultimodalSpec extends SparkSpec {
     assert(out(6L) === None, "bits == 0 must be unparseable like other degenerate fmt fields")
   }
 
+  test("decodeAudioMeta routes FLAC through the same surface (r12): the " +
+      "RIFF walk fails, the FLAC decode supplies the WAV form") {
+    import spark.implicits._
+    // 16000 samples at 16 kHz stereo = 1000 ms through the interchange WAV
+    val flac = graft.expressions.FlacPcm.synth(16000, 16000, 251, 13, 7)
+    val df = Seq((1L, flac), (2L, Array.fill[Byte](64)(9)))
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeAudioMeta(df)
+      .select("media_id", "decoded_audio.*").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None
+         else Some((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))))).toMap
+    assert(out(1L) === Some((2, 16000, 16, 1000L)))
+    assert(out(2L) === None)
+  }
+
   test("decodeDims parses REAL PNG/JPEG/GIF headers; garbage is null") {
     import spark.implicits._
     def png(w: Int, h: Int): Array[Byte] = {
