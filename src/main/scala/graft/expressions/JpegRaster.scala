@@ -565,6 +565,10 @@ object JpegRaster {
     var eobrun = 0L
     var rstN = 0
     var unit = 0L
+    // DC predictors start at zero for every scan (spec G.2; a malformed
+    // duplicate first-DC scan must not chain off the previous scan's
+    // predictor state)
+    for (c <- scanComps) c.pred = 0
     def restartBoundary(): Boolean = {
       if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
         if (!r.syncRestart(rstN)) return false
@@ -820,7 +824,8 @@ object JpegRaster {
     * EOB-run batching covers the whole component in a handful of codes —
     * so the progressive entropy machine is exercised with the SAME
     * oracle-exact pixels. */
-  def synth(w: Int, h: Int, a: Long, b: Long, colorType: Int): Array[Byte] = {
+  def synth(w: Int, h: Int, a: Long, b: Long, colorType: Int,
+      restartMcus: Int = 0): Array[Byte] = {
     val progressive = colorType >= 4
     val nc = if ((colorType & 3) == 2) 3 else 1
     val bos = new java.io.ByteArrayOutputStream()
@@ -848,6 +853,10 @@ object JpegRaster {
     // so EOB-run batching is one 4-bit code (+ r extension bits)
     seg(0xc4, Array(0x10, 0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
       ++ (0 to 14).map(_ << 4))
+    // DRI: restart every `restartMcus` MCUs (0 = none) — exercises the
+    // decoder's RSTn sync + predictor/EOB-run reset in both framings
+    if (restartMcus > 0)
+      seg(0xdd, Array(restartMcus >> 8, restartMcus & 0xff))
 
     val blocksX = (w + 7) / 8
     val blocksY = (h + 7) / 8
@@ -865,10 +874,17 @@ object JpegRaster {
         Seq(0, 63, 0))
       val bw = new BitWriter(bos)
       val pred = new Array[Int](nc)
+      var mcu = 0
+      var rst = 0
       var bj = 0
       while (bj < blocksY) {
         var bi = 0
         while (bi < blocksX) {
+          if (restartMcus > 0 && mcu > 0 && mcu % restartMcus == 0) {
+            bw.flush()
+            marker(0xd0 + rst); rst = (rst + 1) & 7
+            java.util.Arrays.fill(pred, 0)
+          }
           var c = 0
           while (c < nc) {
             val dc = dcOf(bi, bj, c) // quantized DC at q=8: 8*(v-128)/8
@@ -881,6 +897,7 @@ object JpegRaster {
             bw.put(0, 4) // AC: EOB0 (canonical code 0, 4 bits)
             c += 1
           }
+          mcu += 1
           bi += 1
         }
         bj += 1
@@ -892,10 +909,17 @@ object JpegRaster {
         Seq(0, 0, 0x01))
       val bw1 = new BitWriter(bos)
       val pred = new Array[Int](nc)
+      var mcu = 0
+      var rst = 0
       var bj = 0
       while (bj < blocksY) {
         var bi = 0
         while (bi < blocksX) {
+          if (restartMcus > 0 && mcu > 0 && mcu % restartMcus == 0) {
+            bw1.flush()
+            marker(0xd0 + rst); rst = (rst + 1) & 7
+            java.util.Arrays.fill(pred, 0)
+          }
           var c = 0
           while (c < nc) {
             val dcA = dcOf(bi, bj, c) >> 1 // arithmetic: floor toward -inf
@@ -907,6 +931,7 @@ object JpegRaster {
               bw1.put(if (diff < 0) diff - 1 + (1 << s) else diff, s)
             c += 1
           }
+          mcu += 1
           bi += 1
         }
         bj += 1
@@ -916,22 +941,32 @@ object JpegRaster {
       seg(0xda, Array(nc) ++ (1 to nc).flatMap(i => Seq(i, 0x00)) ++
         Seq(0, 0, 0x10))
       val bw2 = new BitWriter(bos)
+      mcu = 0; rst = 0
       bj = 0
       while (bj < blocksY) {
         var bi = 0
         while (bi < blocksX) {
+          if (restartMcus > 0 && mcu > 0 && mcu % restartMcus == 0) {
+            bw2.flush()
+            marker(0xd0 + rst); rst = (rst + 1) & 7
+          }
           var c = 0
           while (c < nc) {
             bw2.put(dcOf(bi, bj, c) & 1, 1)
             c += 1
           }
+          mcu += 1
           bi += 1
         }
         bj += 1
       }
       bw2.flush()
       // per-component AC scans (1..63, Ah=0 Al=0): every coefficient is
-      // zero, so the whole component is EOB-run batches
+      // zero, so the whole component is EOB-run batches. Restarts are
+      // redefined OFF first (DRI 0 — legal between scans) so EOB-run
+      // batching can span the component; the DC scans above carried the
+      // restart coverage
+      if (restartMcus > 0) seg(0xdd, Array(0, 0))
       var c = 0
       while (c < nc) {
         seg(0xda, Array(1, c + 1, 0x00, 1, 63, 0x00))

@@ -205,6 +205,34 @@ class JpegFuzzSpec extends SparkSpec {
     }
   }
 
+  test("jpeg restart markers (DRI/RSTn): exact round trip in BOTH " +
+      "framings, ImageIO agrees, and a dropped RST is refused") {
+    for ((w, h) <- Seq((40, 33), (17, 9), (64, 64)); c <- Seq(0, 2, 4, 6);
+         rst <- Seq(1, 3, 7)) {
+      val jpg = JpegRaster.synth(w, h, 3, 5, c, restartMcus = rst)
+      val got = JpegRaster.toPpm(jpg)
+      assert(got != null, s"restart decode failed ${w}x$h c=$c rst=$rst")
+      assert(java.util.Arrays.equals(got, expectedPpm(w, h, 3, 5, c & 3)),
+        s"restart pixel mismatch ${w}x$h c=$c rst=$rst")
+    }
+    // standards validity: ImageIO decodes the restart-marked streams
+    for (c <- Seq(2, 6)) {
+      val jpg = JpegRaster.synth(40, 33, 3, 5, c, restartMcus = 3)
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(jpg))
+      assert(img != null, s"ImageIO rejected restart stream c=$c")
+      val raster = img.getRaster
+      for (y <- 0 until 33; x <- 0 until 40; ch <- 0 until 3)
+        assert(raster.getSample(x, y, ch) === ((x / 8) * 3 + (y / 8) * 5) % 256,
+          s"ImageIO restart sample ($x,$y) c=$c")
+    }
+    // excising the first RST marker must fail the sync check, not decode
+    val jpg = JpegRaster.synth(40, 33, 3, 5, 2, restartMcus = 2)
+    val at = (2 until jpg.length - 1).find(i =>
+      (jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xd0).get
+    val cut = jpg.take(at) ++ jpg.drop(at + 2)
+    assert(JpegRaster.toPpm(cut) == null, "missing RST must be null")
+  }
+
   test("jpeg progressive malformed robustness: truncations null, the " +
       "expression surface fuses, a DC-less stream is refused") {
     val jpg = JpegRaster.synth(17, 9, 3, 5, 6)
