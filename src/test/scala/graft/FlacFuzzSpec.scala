@@ -159,6 +159,41 @@ class FlacFuzzSpec extends SparkSpec {
     assert(d.samples.toSeq === Seq[Short](100, 102, 104, 106))
   }
 
+  test("multichannel (3ch independent): a hand-built constant-subframe " +
+      "frame interleaves correctly beyond the synth's stereo ceiling") {
+    // STREAMINFO: 3 channels; one frame, blocksize 4, chCode 2
+    // (3 independent channels), three CONSTANT subframes 10 / −20 / 30
+    val out = new java.io.ByteArrayOutputStream
+    out.write("fLaC".getBytes("US-ASCII"))
+    val si = new Bits
+    si.put(4, 16).put(4, 16).put(0, 24).put(0, 24)
+      .put(8000, 20).put(2, 3).put(15, 5).put(4, 36)
+      .put(0, 64).put(0, 64)
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    out.write(si.bytes)
+    val head = new Bits
+    head.put(0x3ffe, 14).put(0, 1).put(0, 1)
+      .put(6, 4).put(0, 4)   // 8-bit blocksize−1 follows; rate: STREAMINFO
+      .put(2, 4).put(4, 3).put(0, 1) // 3ch independent, 16-bit, reserved
+      .put(0, 8).put(3, 8)   // frame 0; blocksize−1 = 3
+    val headBytes = head.bytes
+    val crc8v = tcrc8(headBytes)
+    val body = new Bits
+    for (v <- Seq(10, -20, 30)) {
+      body.put(0, 1).put(0, 6).put(0, 1) // pad, CONSTANT, no wasted bits
+      body.put(v.toLong & 0xffff, 16)
+    }
+    val bodyBytes = body.bytes
+    val frame = headBytes ++ Array(crc8v.toByte) ++ bodyBytes
+    val crc16v = tcrc16(frame)
+    out.write(frame)
+    out.write((crc16v >> 8) & 0xff); out.write(crc16v & 0xff)
+    val d = FlacPcm.decode(out.toByteArray)
+    assert(d != null, "3-channel fixture rejected")
+    assert(d.channels === 3)
+    assert(d.samples.toSeq === Seq.fill(4)(Seq[Short](10, -20, 30)).flatten)
+  }
+
   test("checksums are enforced: header and body corruption → NULL") {
     assert(FlacPcm.decode(handFixture(corruptHeader = true)) == null)
     assert(FlacPcm.decode(handFixture(corruptBody = true)) == null)
