@@ -51,31 +51,49 @@ object WriteBench {
     val root = java.nio.file.Paths.get(work, "t").toString
     val t = new graft.sources.GraftTable(spark, root)
 
-    def timed[A](f: => A): (A, Double) = {
+    // wall AND per-phase TASK executor CPU (SpillMeter, the ScaleBench
+    // metric): the q177 lesson applied to the write path — but with the
+    // write-path twist this session measured: on a noisy virtual disk,
+    // identical back-to-back digests swing 4× in WALL, and whole-PROCESS
+    // CPU tracks wall × busy-cores so it inherits the same noise (and
+    // GC time, metered, was < 1% — not the cause). Task executorCpuTime
+    // counts actual task cycles only, so it is the one number the disk
+    // cannot distort.
+    val meter = new graft.core.SpillMeter
+    spark.sparkContext.addSparkListener(meter)
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def timed[A](f: => A): (A, Double, Double, Double) = {
+      meter.reset()
+      val g0 = gcMillis
       val t0 = System.nanoTime()
       val r = f
-      (r, (System.nanoTime() - t0) / 1e9)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val gc = (gcMillis - g0) / 1e3
+      val (_, _, _, cpuMs) = meter.settle()
+      (r, wall, cpuMs / 1e3, gc)
     }
 
-    val (_, ingestS) = timed {
+    val (_, ingestS, ingestCpu, ingestGc) = timed {
       var b = 0
       while (b < batches) {
         t.ingest(src.filter(col("__b") === b).drop("__b"))
         b += 1
       }
     }
-    val (_, digestS) = timed(t.digest())
+    val (_, digestS, digestCpu, digestGc) = timed(t.digest())
 
     // steady-state wave: 2 more batches + the incremental digest that
     // folds the newest partial block
     val waveRows = src.filter(col("__b") < 2).count()
-    val (_, reingestS) = timed {
+    val (_, reingestS, _, _) = timed {
       t.ingest(src.filter(col("__b") === 0).drop("__b"))
       t.ingest(src.filter(col("__b") === 1).drop("__b"))
     }
-    val (_, redigestS) = timed(t.digest())
+    val (_, redigestS, _, _) = timed(t.digest())
 
-    val (scanCnt, scanS) = timed(t.read().count())
+    val (scanCnt, scanS, _, _) = timed(t.read().count())
     val expected = rows + waveRows
     require(scanCnt == expected,
       s"read-back mismatch: $scanCnt != $expected — the bench found a BUG")
@@ -85,8 +103,10 @@ object WriteBench {
     def s(v: Double) = f"$v%.3f"
     val json = s"""{"metric":"write_path","sf":"$dir","rows":$rows,""" +
       s""""batches":$batches,"ingest_s":${s(ingestS)},""" +
+      s""""ingest_cpu_s":${s(ingestCpu)},"ingest_gc_s":${s(ingestGc)},""" +
       s""""ingest_rows_s":${(rows / ingestS).toLong},""" +
       s""""digest_s":${s(digestS)},""" +
+      s""""digest_cpu_s":${s(digestCpu)},"digest_gc_s":${s(digestGc)},""" +
       s""""digest_rows_s":${(rows / digestS).toLong},""" +
       s""""reingest_s":${s(reingestS)},"redigest_s":${s(redigestS)},""" +
       s""""scan_s":${s(scanS)},"scan_rows":$scanCnt,"blocks":$blocks}"""
