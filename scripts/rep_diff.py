@@ -3,49 +3,102 @@
 files by their ISOLATED rep medians (the machine-checkable record; the
 in-suite single timings carry suite-position and machine-load noise).
 
-A query is flagged as a REGRESSION only when its new median exceeds the
-old rep window by the tolerance — i.e. new_median > old_max * (1+tol) —
-which is exactly the judgment the r9/r10 verdicts performed by hand.
-Improvements (new_median < old_min / (1+tol)) are listed too.
+Flag classes (r12 verdict ask #4 — q174's +41% shift escaped the old
+single rule by 9 ms, and the sub-0.5 s WALL tail churned between same-
+code runs):
+
+  REGRESSION  wall rule: new median > old rep-window max * (1+tol).
+              Applies to queries >= 0.5 s — below that, wall at sf0.1 is
+              noise-dominated (the r12 adjudication re-proved it), so...
+  CPU-REG     ...the sub-0.5 s tail is gated on per-query TASK CPU
+              (reps.cpu_s, recorded by Bench.scala since r13: mean over
+              the 3 isolated reps — task executorCpuTime is the metric
+              the noisy disk cannot distort): new > old * (1+tol),
+              floored at 50 ms. When either file predates cpu_s, the
+              tail falls back to the wall rule (legacy behavior).
+  SHIFT       rep windows DON'T OVERLAP (old max < new min, or the
+              reverse) and the median moved >= 5% — a distribution
+              shift, not noise, regardless of the tolerance. Wall-only
+              SHIFTs need a >= 0.5 s query; tail shifts need the cpu
+              numbers to agree (>= 10% same-direction move).
 
 Usage: rep_diff.py OLD_BENCH_FULL.json NEW_BENCH_FULL.json [tol=0.15]
-Exit status: 0 = no regressions, 1 = at least one.
+Exit status: 0 = clean, 1 = at least one REGRESSION/CPU-REG/SHIFT.
 """
 import json
 import sys
+
+CPU_FLOOR = 0.05   # s — below this, task CPU is scheduler jitter
+SHIFT_MIN = 0.05   # 5% median move required for a SHIFT
+TAIL_WALL = 0.5    # s — queries under this are wall-noise-dominated
+
+
+def disjoint(a, b):
+    """Windows don't overlap; returns +1 (b higher), -1 (b lower), 0."""
+    if a["max"] < b["min"]:
+        return 1
+    if b["max"] < a["min"]:
+        return -1
+    return 0
 
 
 def main(old_p, new_p, tol=0.15):
     old = json.load(open(old_p))
     new = json.load(open(new_p))
     o, n = old.get("reps", {}), new.get("reps", {})
-    reg, imp = [], []
+    reg, imp, shifts = [], [], []
     for q in sorted(n):
         if q not in o:
             continue
         om, on = o[q], n[q]
-        if on["median"] > om["max"] * (1 + tol):
-            reg.append((q, om, on))
-        elif on["median"] < om["min"] / (1 + tol):
-            imp.append((q, om, on))
+        oc, nc = om.get("cpu_s"), on.get("cpu_s")
+        have_cpu = oc is not None and nc is not None
+        tail = max(om["median"], on["median"]) < TAIL_WALL
+        wall_reg = on["median"] > om["max"] * (1 + tol)
+        cpu_reg = (have_cpu and nc > CPU_FLOOR and nc > oc * (1 + tol))
+        if tail and have_cpu:
+            # cpu-gated tail: wall churn is invisible, cpu growth is not
+            if cpu_reg:
+                reg.append(("CPU-REG", q, om, on, oc, nc))
+                continue
+        elif wall_reg:
+            reg.append(("REGRESSION", q, om, on, oc, nc))
+            continue
+        elif cpu_reg:
+            # big query, wall hidden by idle cores but cpu grew — the
+            # q177 lesson as a standing rule
+            reg.append(("CPU-REG", q, om, on, oc, nc))
+            continue
+        if on["median"] < om["min"] / (1 + tol):
+            imp.append(("improved", q, om, on, oc, nc))
+            continue
+        d = disjoint(om, on)
+        if d and abs(on["median"] - om["median"]) \
+                >= SHIFT_MIN * max(om["median"], 1e-9):
+            cpu_confirms = have_cpu and oc > 0 \
+                and (nc - oc) * d >= 0.10 * oc
+            if (not tail) or cpu_confirms:
+                direction = "up" if d > 0 else "down"
+                why = "cpu-confirmed" if cpu_confirms else ">=0.5s"
+                shifts.append((f"SHIFT({direction},{why})", q, om, on, oc, nc))
     missing_old = sorted(set(n) - set(o))
     missing_new = sorted(set(o) - set(n))
     print(f"compared {len(set(o) & set(n))} queries "
           f"(old total {old.get('value')}s/{old.get('n_queries')}q, "
           f"new total {new.get('value')}s/{new.get('n_queries')}q, tol {tol:.0%})")
-    for tag, rows in (("REGRESSION", reg), ("improved", imp)):
-        for q, om, on in rows:
-            print(f"  {tag:10s} {q:32s} "
-                  f"old med {om['median']:.3f} [{om['min']:.3f}-{om['max']:.3f}]"
-                  f" -> new med {on['median']:.3f} "
-                  f"[{on['min']:.3f}-{on['max']:.3f}]")
+    for tag, q, om, on, oc, nc in reg + shifts + imp:
+        cpu = f"  cpu {oc:.3f}->{nc:.3f}" if oc is not None and nc is not None else ""
+        print(f"  {tag:22s} {q:32s} "
+              f"old med {om['median']:.3f} [{om['min']:.3f}-{om['max']:.3f}]"
+              f" -> new med {on['median']:.3f} "
+              f"[{on['min']:.3f}-{on['max']:.3f}]{cpu}")
     if missing_old:
         print(f"  new-only (no old reps): {', '.join(missing_old)}")
     if missing_new:
         print(f"  gone (no new reps): {', '.join(missing_new)}")
-    if not reg:
-        print("  no regressions outside rep spread")
-    return 1 if reg else 0
+    if not reg and not shifts:
+        print("  no regressions or distribution shifts outside rep spread")
+    return 1 if (reg or shifts) else 0
 
 
 if __name__ == "__main__":

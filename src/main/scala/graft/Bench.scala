@@ -115,13 +115,18 @@ object Bench {
         } else try {
           spark.catalog.clearCache()
           materialize(SparkEntry.queries(name)(spark, sfDir)) // warm-up
+          // task CPU across the 3 reps (mean): the rep_diff tail gate —
+          // wall on sub-0.5 s queries churns with the box, task
+          // executorCpuTime doesn't (SpillMeter scaladoc; r12 ask #4)
+          meter.settle(); val cpu0 = meter.snapshot()._4
           val ts = (1 to 3).map { _ =>
             if (gcBetween) System.gc()
             val t0 = System.nanoTime()
             materialize(SparkEntry.queries(name)(spark, sfDir))
             (System.nanoTime() - t0) / 1e9
           }.sorted
-          Some(name -> ((ts(ts.size / 2), ts.head, ts.last)))
+          meter.settle(); val cpuRep = (meter.snapshot()._4 - cpu0) / 3e3
+          Some(name -> ((ts(ts.size / 2), ts.head, ts.last, cpuRep)))
         } catch { case e: Throwable =>
           // a query that flakes ONLY under the isolated-reps regime is
           // exactly what this pass exists to surface — never silent
@@ -133,8 +138,8 @@ object Bench {
     if (repSkipped > 0) System.err.println(
       s"[bench] variance-rep budget (${repBudgetSec}s) exhausted: " +
         s"$repSkipped cheapest queries have no reps entry this run")
-    val repsJson = reps.map { case (k, (m, lo, hi)) =>
-      "\"" + k + s"""":{"median":${sec(m)},"min":${sec(lo)},"max":${sec(hi)}}"""
+    val repsJson = reps.map { case (k, (m, lo, hi, cpu)) =>
+      "\"" + k + s"""":{"median":${sec(m)},"min":${sec(lo)},"max":${sec(hi)},"cpu_s":${sec(cpu)}}"""
     }.mkString("{", ",", "}")
 
     // Full per-query detail goes to a file: the harness that collects the

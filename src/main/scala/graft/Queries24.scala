@@ -253,13 +253,15 @@ object Queries24 {
     * interleaving stereo channels arithmetically) and never mentions
     * subframe types, Rice coding, or CRCs: any prediction, residual,
     * decorrelation, or checksum bug breaks the hash. The first 8 docs
-    * get ~4 frames so the per-frame cycle kinds all appear in-anchor. */
+    * get ≥ 2944 samples = 6 frames at SynthBlock=576, so ALL six
+    * per-frame cycle kinds (verbatim, fixed-1, fixed-2, lpc-2,
+    * constant/wasted-bits, escaped-partition) appear in-anchor. */
   val q212FlacPcm: (String, QueryDef) = q(
     "q212_flac_pcm",
     """WITH p AS (
       |  SELECT doc_id,
       |    64 + (doc_id * 7) % 193 +
-      |      CASE WHEN doc_id < 8 THEN 1800 ELSE 0 END AS n,
+      |      CASE WHEN doc_id < 8 THEN 2880 ELSE 0 END AS n,
       |    251 + (doc_id * 37) % 997 AS a, (doc_id * 13) % 4096 AS b,
       |    CASE WHEN doc_id % 8 >= 4 THEN 2 ELSE 1 END AS ch
       |  FROM documents WHERE doc_id < 160),
@@ -292,7 +294,7 @@ object Queries24 {
     val wav = call_function("graft_flac_to_wav",
       call_function("graft_synth_flac",
         lit(64L) + (d * 7) % 193 +
-          when(d < 8, lit(1800L)).otherwise(lit(0L)),
+          when(d < 8, lit(2880L)).otherwise(lit(0L)),
         lit(8000L),
         lit(251L) + (d * 37) % 997, (d * 13) % 4096, d % 8))
     t("documents").filter(d < 160)

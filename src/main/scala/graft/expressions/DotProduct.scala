@@ -300,6 +300,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftFlacToWav].getName, "graft_flac_to_wav"),
       (children: Seq[Expression]) => GraftFlacToWav(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_flac_meta"),
+      new ExpressionInfo(classOf[GraftFlacMeta].getName, "graft_flac_meta"),
+      (children: Seq[Expression]) => GraftFlacMeta(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_canon_url"),
       new ExpressionInfo(classOf[GraftCanonUrl].getName, "graft_canon_url"),
       (children: Seq[Expression]) => GraftCanonUrl(children(0),

@@ -179,19 +179,30 @@ object FlacPcm {
     catch { case _: Bail | _: ArrayIndexOutOfBoundsException => null }
   }
 
-  private def decodeOrBail(b: Array[Byte]): Decoded = {
+  /** STREAMINFO fields + the offset where frames begin. */
+  private final class Header {
+    var rate = 0; var channels = 0; var bps = 0; var total = 0L
+    var md5: Array[Byte] = null; var framesAt = 0
+  }
+
+  /** The ONE magic + metadata-block walk (shared by the full decode and
+    * the metadata-only path — a drifting copy would let them disagree on
+    * what parses). Bails on structural malformation; rate is validated
+    * here (spec ceiling 655350), channels/bps are in-range by field width
+    * (3-bit +1 / 5-bit +1); decode-scope checks (bps==16, sample cap)
+    * stay with the decoder. */
+  private def readHeader(b: Array[Byte]): Header = {
     if (!(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) bail()
     var i = 4
     // metadata blocks; STREAMINFO must come first (spec) and be 34 bytes
-    var rate = 0; var channels = 0; var bps = 0; var total = 0L
-    var md5: Array[Byte] = null
+    val h = new Header
     var seenInfo = false
     var last = false
     while (!last) {
       if (i + 4 > b.length) bail()
-      val h = b(i) & 0xff
-      last = (h & 0x80) != 0
-      val typ = h & 0x7f
+      val hb = b(i) & 0xff
+      last = (hb & 0x80) != 0
+      val typ = hb & 0x7f
       val len = ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
       if (typ == 127) bail() // forbidden block type
       if (i + 4 + len > b.length) bail()
@@ -199,16 +210,41 @@ object FlacPcm {
         if (typ != 0 || len != 34) bail()
         val r = new Reader(b); r.byt = i + 4
         r.u(16); r.u(16); r.u(24); r.u(24) // min/max block, min/max frame
-        rate = r.u(20).toInt
-        channels = r.u(3).toInt + 1
-        bps = r.u(5).toInt + 1
-        total = r.u(36)
-        md5 = java.util.Arrays.copyOfRange(b, i + 4 + 18, i + 4 + 34)
+        h.rate = r.u(20).toInt
+        h.channels = r.u(3).toInt + 1
+        h.bps = r.u(5).toInt + 1
+        h.total = r.u(36)
+        h.md5 = java.util.Arrays.copyOfRange(b, i + 4 + 18, i + 4 + 34)
         seenInfo = true
       } else if (typ == 0) bail() // duplicate STREAMINFO
       i += 4 + len
     }
-    if (!seenInfo || rate <= 0 || rate > 655350) bail()
+    if (!seenInfo || h.rate <= 0 || h.rate > 655350) bail()
+    h.framesAt = i
+    h
+  }
+
+  /** STREAMINFO-only metadata: `[channels, rate, bits, durationMs]` or
+    * null — walks the metadata-block chain only, NO frame decode, NO
+    * CRC/MD5, so a metadata scan over a FLAC corpus costs a header read
+    * per row instead of a full sample decode. Deliberately wider than
+    * [[decode]]: reports any STREAMINFO bit depth (decode is scoped to
+    * 16-bit) and cannot see frame corruption — metadata means header
+    * truth. total==0 (unknown length, legal per spec) reports 0 ms. */
+  def metaOnly(bytes: Array[Byte]): Array[Long] = {
+    if (bytes == null || bytes.length < 4 + 4 + 34) return null
+    val h =
+      try readHeader(bytes)
+      catch { case _: Bail | _: ArrayIndexOutOfBoundsException => return null }
+    Array(h.channels.toLong, h.rate.toLong, h.bps.toLong,
+      h.total * 1000L / h.rate)
+  }
+
+  private def decodeOrBail(b: Array[Byte]): Decoded = {
+    val hdr = readHeader(b)
+    val rate = hdr.rate; val channels = hdr.channels; val bps = hdr.bps
+    val total = hdr.total; val md5 = hdr.md5
+    var i = hdr.framesAt
     if (bps != 16) bail() // scope: 16-bit streams (COVERAGE.md)
     if (channels < 1 || channels > 8) bail()
     if (total > MaxSamplesOut / channels) bail()
@@ -515,22 +551,86 @@ object FlacPcm {
     w.bytes
   }
 
+  /** N-channel (1–8) synthesizer with INDEPENDENT channel assignment —
+    * the r12 verdict's multichannel ask: the decoder accepts 8 channels
+    * but the synth's stereo ceiling meant >2-channel coverage was one
+    * hand-built constant frame. Channel `c` follows the [[synth]] param
+    * convention one step further: formula params (a + 3c, b + 7c) — for
+    * channels = 2 the samples equal mode-4 `synth` exactly. Subframe
+    * kinds cycle per frame ([[cycleKind]]: verbatim, fixed-1/2, LPC,
+    * constant-fallback, wasted/escape), so every subframe path runs at
+    * every channel count, non-constant. */
+  def synthN(n: Long, rate: Long, a: Long, b: Long, channels: Long): Array[Byte] = {
+    require(n > 0 && n <= WavPcm.MaxSamples,
+      s"graft_synth_flac_n: need 0 < n <= 2^20, got $n")
+    require(rate > 0 && rate <= 192000,
+      s"graft_synth_flac_n: rate must be in 1..192000, got $rate")
+    require(a >= 0 && b >= 0 && a <= (1L << 20) && b <= (1L << 20),
+      s"graft_synth_flac_n: a, b must be in [0, 2^20], got $a, $b")
+    require(channels >= 1 && channels <= 8,
+      s"graft_synth_flac_n: channels 1..8, got $channels")
+    val nc = channels.toInt
+    val nI = n.toInt
+    def formula(i: Long, aa: Long, bb: Long): Int =
+      (((i * aa + bb) % 65536L) - 32768L).toInt
+    val chs = Array.tabulate(nc)(c =>
+      Array.tabulate(nI)(i => formula(i, a + 3L * c, b + 7L * c)))
+
+    // MD5 over the interleaved little-endian stream (the STREAMINFO field)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < nI) {
+      var c = 0
+      while (c < nc) {
+        val v = chs(c)(i)
+        md.update((v & 0xff).toByte); md.update(((v >> 8) & 0xff).toByte)
+        c += 1
+      }
+      i += 1
+    }
+    val md5 = md.digest()
+
+    val w = new Writer
+    w.put('f', 8); w.put('L', 8); w.put('a', 8); w.put('C', 8)
+    w.put(0x80L, 8); w.put(34L, 24) // STREAMINFO, last-metadata-block
+    w.put(SynthBlock.toLong, 16); w.put(SynthBlock.toLong, 16)
+    w.put(0L, 24); w.put(0L, 24)
+    w.put(rate, 20); w.put((nc - 1).toLong, 3); w.put(15L, 5)
+    w.put(n, 36)
+    md5.foreach(x => w.put(x & 0xffL, 8))
+
+    var frameNo = 0L
+    var pos = 0
+    while (pos < nI) {
+      val bs = math.min(SynthBlock, nI - pos)
+      val headStart = writeFrameHeader(w, frameNo, bs, nc - 1)
+      val kind = cycleKind(frameNo)
+      var c = 0
+      while (c < nc) {
+        val sub = java.util.Arrays.copyOfRange(chs(c), pos, pos + bs)
+        encodeSubframe(w, sub, 16, kind)
+        c += 1
+      }
+      w.align()
+      w.patchCrc16(headStart)
+      pos += bs
+      frameNo += 1
+    }
+    w.bytes
+  }
+
   /** Per-frame subframe strategy id for cycle mode (3 / stereo cycle). */
   private def cycleKind(frameNo: Long): Int = (frameNo % 6).toInt
 
-  private def encodeFrame(w: Writer, frameNo: Long, bs: Int, off: Int,
-      left: Array[Int], right: Array[Int], mode: Int): Unit = {
-    val stereo = right != null
+  /** Frame header (sync … CRC-8), shared by the mono/stereo and the
+    * N-channel encoders; returns the header start offset (the CRC-16
+    * patch base). */
+  private def writeFrameHeader(w: Writer, frameNo: Long, bs: Int,
+      chAssign: Int): Int = {
     val headStart = w.size // asserts byte alignment between frames
     w.put(0x3ffeL, 14); w.put(0L, 1); w.put(0L, 1) // sync, reserved, fixed-block
     w.put(7L, 4)  // blocksize: 16-bit value−1 at end of header
     w.put(0L, 4)  // sample rate: from STREAMINFO
-    val chAssign = if (!stereo) 0 else mode match {
-      case 5 => 8 // left/side
-      case 6 => 9 // right/side
-      case 7 => 10 // mid/side
-      case _ => 1 // independent stereo
-    }
     w.put(chAssign.toLong, 4)
     w.put(4L, 3) // sample size: 16-bit
     w.put(0L, 1)
@@ -546,6 +646,19 @@ object FlacPcm {
     w.put((bs - 1).toLong, 16)
     w.align()
     w.patchCrc8(headStart)
+    headStart
+  }
+
+  private def encodeFrame(w: Writer, frameNo: Long, bs: Int, off: Int,
+      left: Array[Int], right: Array[Int], mode: Int): Unit = {
+    val stereo = right != null
+    val chAssign = if (!stereo) 0 else mode match {
+      case 5 => 8 // left/side
+      case 6 => 9 // right/side
+      case 7 => 10 // mid/side
+      case _ => 1 // independent stereo
+    }
+    val headStart = writeFrameHeader(w, frameNo, bs, chAssign)
 
     // channel sample arrays under the frame's assignment
     val ch0 = new Array[Int](bs)
@@ -797,4 +910,49 @@ case class GraftFlacToWav(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): GraftFlacToWav = copy(child = newChild)
+}
+
+/** `graft_flac_meta(binary) -> struct<channels,sample_rate,bits,
+  * duration_ms>` — STREAMINFO-only metadata ([[FlacPcm.metaOnly]]): the
+  * same struct shape as [[AudioMeta]] so the two coalesce into one audio
+  * metadata surface, but a header walk instead of a full sample decode —
+  * a metadata scan over a FLAC corpus must not pay per-frame CRC-16 +
+  * whole-stream MD5 per row (ADVICE r12). */
+case class GraftFlacMeta(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_flac_meta expects binary, got ${t.sql}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_flac_meta"
+
+  override protected def nullSafeEval(input: Any): Any =
+    evalBytes(input.asInstanceOf[Array[Byte]])
+
+  /** Codegen entry point (shared with nullSafeEval). */
+  def evalBytes(bytes: Array[Byte]): InternalRow =
+    FlacPcm.metaOnly(bytes) match {
+      case null => null
+      case m => new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](m(0).toInt, m(1).toInt, m(2).toInt, m(3)))
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftFlacMeta", this,
+      classOf[GraftFlacMeta].getName)
+    val tmp = ctx.freshName("meta")
+    nullSafeCodeGen(ctx, ev, bytes => s"""
+      Object $tmp = $ref.evalBytes($bytes);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (InternalRow) $tmp; }""")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GraftFlacMeta = copy(child = newChild)
 }

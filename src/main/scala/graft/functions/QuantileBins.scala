@@ -161,7 +161,9 @@ object QuantileBins {
   /** log2-subdivision: 64 ticks per octave → ≤ 1/64 relative bin width. */
   val TicksPerOctave = 64
   private val TickShift = 6 // log2(TicksPerOctave)
-  /** binId range is [−BinBase, +BinBase]: |id| ≤ 1 + 63·64 + 63 = 4096. */
+  /** binId range: extremes are −(1 + 63·64) = −4033 (Long.MinValue) and
+    * +(1 + 62·64 + 63) = +4032 (Long.MaxValue), so |id| ≤ 4033;
+    * BinBase = 4096 is a safe round-up giving indices in [0, 2·4096]. */
   val BinBase = 4096
   val BinCount = 2 * BinBase + 1
 
@@ -214,29 +216,35 @@ object QuantileBins {
 
   /** Canonical form for persistence: live entries only, ascending key
     * order — the cached bytes become a pure multiset function of the
-    * block (no insertion-order residue in the table layout). */
+    * block (no insertion-order residue in the table layout). Idempotent:
+    * an already-dense buffer (ek.length == nd, any length — NOT a power
+    * of two, so mask-probing it would never terminate) is re-sorted in
+    * place without table probes; counts are paired with keys during the
+    * single live-slot sweep, so no hash lookup happens at all. */
   private[graft] def compact(b: QBinsBuf): QBinsBuf = {
     if (b.collapsed || b.nd == 0L) return b
     val m = b.nd.toInt
-    val keys = new Array[Long](m)
+    // pair (key, count) during the sweep; sort pairs by key
+    val idx = new Array[Int](m)
     var i = 0; var j = 0
     while (i < b.ek.length) {
-      if (b.ec(i) != 0L) { keys(j) = b.ek(i); j += 1 }
+      if (b.ec(i) != 0L) { idx(j) = i; j += 1 }
       i += 1
     }
-    java.util.Arrays.sort(keys)
+    val boxed = new Array[Integer](m)
+    j = 0
+    while (j < m) { boxed(j) = Integer.valueOf(idx(j)); j += 1 }
+    java.util.Arrays.sort(boxed, (x: Integer, y: Integer) =>
+      java.lang.Long.compare(b.ek(x.intValue), b.ek(y.intValue)))
+    val ek = new Array[Long](m)
     val ec = new Array[Long](m)
     j = 0
-    while (j < m) { ec(j) = countOf(b, keys(j)); j += 1 }
-    b.ek = keys; b.ec = ec
+    while (j < m) {
+      val s = boxed(j).intValue
+      ek(j) = b.ek(s); ec(j) = b.ec(s); j += 1
+    }
+    b.ek = ek; b.ec = ec
     b
-  }
-
-  private def countOf(b: QBinsBuf, key: Long): Long = {
-    val mask = b.ek.length - 1
-    var slot = (fmix(key) & mask).toInt
-    while (b.ek(slot) != key || b.ec(slot) == 0L) slot = (slot + 1) & mask
-    b.ec(slot)
   }
 
   /** Spec/debug views — logical content regardless of table layout. */

@@ -146,16 +146,20 @@ object Multimodal {
     * expressions/AudioMeta.scala): appends `decoded_audio
     * struct<channels,sample_rate,bits,duration_ms>` (null when not
     * parseable). r12: FLAC payloads route through the same API — when
-    * the RIFF walk fails, the FLAC decoder ([[graft.expressions.FlacPcm]])
-    * produces the WAV interchange form and the SAME chunk walk reads it,
-    * so WAV and FLAC corpora share one metadata surface. Like
-    * [[decodeDims]], a pure scan-side projection — no shuffle. */
+    * the RIFF walk fails, the FLAC STREAMINFO walk supplies the same
+    * struct. r13 (ADVICE): the FLAC branch is `graft_flac_meta` — a
+    * header-only parse — NOT `graft_flac_to_wav`+reparse, which ran a
+    * full sample decode (every frame, per-frame CRC-16, whole-stream
+    * MD5) per row just to read 4 header fields STREAMINFO already
+    * carries. Metadata here means header truth: a FLAC with corrupt
+    * FRAME bytes still reports its header (decode-time validation lives
+    * on the `graft_flac_to_wav` path). Like [[decodeDims]], a pure
+    * scan-side projection — no shuffle. */
   def decodeAudioMeta(media: DataFrame, payloadCol: String = "payload"): DataFrame =
     media.withColumn("decoded_audio",
       coalesce(
         call_function("graft_audio_meta", col(payloadCol)),
-        call_function("graft_audio_meta",
-          call_function("graft_flac_to_wav", col(payloadCol)))))
+        call_function("graft_flac_meta", col(payloadCol))))
 
   /** REAL video-metadata decode from payload bytes (MP4/ISO-BMFF box walk —
     * expressions/VideoMeta.scala): appends `decoded_video

@@ -22,13 +22,25 @@ object ScaleBench {
     val sel = args.lift(2).getOrElse("top30")
     val names: Seq[String] =
       if (sel.startsWith("top")) {
-        val n = sel.drop(3).toInt
+        // decade-file hygiene (r12 verdict ask #7): dispositioned
+        // quadratics (ScaleGate.allowlist — q197's fixture hit 1162
+        // CPU-s at sf3 and would DOMINATE an sf10 sweep) are excluded
+        // from topN by default; `topN+allow` opts them back in
+        val withAllow = sel.endsWith("+allow")
+        val n = sel.drop(3).takeWhile(_.isDigit).toInt
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_FULL.json")))
         // minimal parse of the flat {"qname":sec,...} map
         val re = """"(q[0-9]+_[a-z0-9_]+)":([0-9.]+)""".r
-        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
-          .toSeq.sortBy(-_._2).take(n).map(_._1)
+        val ranked = re.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .toSeq.sortBy(-_._2)
+        val (skip, keep) =
+          ranked.partition(q => !withAllow && ScaleGate.allowlist.contains(q._1))
+        if (skip.nonEmpty) System.err.println(
+          "[scalebench] excluded dispositioned-quadratic fixtures (use " +
+            s"top$n+allow to include): ${skip.map(_._1).mkString(", ")}")
+        keep.take(n).map(_._1)
       } else sel.split(",").toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.GraftSession.configure(

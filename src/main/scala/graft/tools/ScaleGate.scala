@@ -53,6 +53,60 @@ object ScaleGate {
     def breach: Boolean = verdict.startsWith("BREACH")
   }
 
+  /** Write-path dispositions (the `--write` mode's allowlist) — same
+    * convention: a written justification or a fix, never a silenced
+    * alarm. */
+  val writeAllowlist: Map[String, String] = Map(
+    "ingest/graft.ingest.write" -> ("includes the HARNESS's own cost: " +
+      "WriteBench filters each of the 24 batches out of the persisted " +
+      "full source, so this phase scans batches x full-source rows by " +
+      "construction (linear per decade at fixed batch count, but its " +
+      "absolute CPU is dominated by the bench fixture, not the table " +
+      "write path; the per-phase split exists to keep it out of the " +
+      "digest verdict)")
+  )
+
+  /** Parse a WriteBench JSON file into per-phase observations: keys are
+    * `section/phase` (e.g. `digest/graft.digest.write`, cpu from task
+    * executorCpuTime, wall from the phase's job wall) plus the
+    * section-level wall rows (`digest`, `ingest`, `scan`, …) the r12
+    * files carried. The decade factor comes from the files' own `rows`
+    * fields — WriteBench records them (see [[mainWrite]]). */
+  def parseWrite(path: String): (Map[String, Obs], Long) = {
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)))
+    require(root.has("rows"), s"$path: no rows field (not a WriteBench file)")
+    val rows = root.get("rows").asLong
+    val out = Map.newBuilder[String, Obs]
+    // section-level walls + whole-section task CPU (r12 compatibility)
+    for ((sec, wallK, cpuK) <- Seq(
+        ("ingest", "ingest_s", "ingest_cpu_s"),
+        ("digest", "digest_s", "digest_cpu_s"),
+        ("reingest", "reingest_s", ""), ("redigest", "redigest_s", ""),
+        ("scan", "scan_s", "")) if root.has(wallK)) {
+      val cpu = if (cpuK.nonEmpty && root.has(cpuK))
+        Some(root.get(cpuK).asDouble * 1e3) else None
+      out += sec -> Obs(root.get(wallK).asDouble, cpu)
+    }
+    val phases = root.get("phases")
+    if (phases != null && phases.isObject) {
+      val secs = phases.properties().iterator()
+      while (secs.hasNext) {
+        val se = secs.next()
+        val ph = se.getValue.properties().iterator()
+        while (ph.hasNext) {
+          val pe = ph.next()
+          val v = pe.getValue
+          out += s"${se.getKey}/${pe.getKey}" -> Obs(
+            v.get("wall_s").asDouble,
+            Some(v.get("cpu_s").asDouble * 1e3))
+        }
+      }
+    }
+    (out.result(), rows)
+  }
+
   /** Parse a ScaleBench JSON file's queries map. */
   def parse(path: String): Map[String, Obs] = {
     val mapper = new ObjectMapper()
@@ -112,10 +166,46 @@ object ScaleGate {
     (header +: body).mkString("\n")
   }
 
-  def main(args: Array[String]): Unit = {
+  /** `--write` mode: gate two WriteBench decade files the way the query
+    * mode gates ScaleBench files (r12 verdict ask #2 — "write-side
+    * exponents live in prose again, the exact gap ScaleGate just
+    * closed"). The factor is the files' own row-count ratio, so the gate
+    * cannot be fed a wrong decade by hand. */
+  def mainWrite(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: ScaleGate <loDecade.json> <hiDecade.json> [factor=3.0]")
+        "usage: ScaleGate --write <loWriteBench.json> <hiWriteBench.json>")
+      sys.exit(2)
+    }
+    val rows =
+      try {
+        val (lo, nLo) = parseWrite(args(0))
+        val (hi, nHi) = parseWrite(args(1))
+        require(nHi > nLo, s"hi rows $nHi must exceed lo rows $nLo")
+        evaluate(lo, hi, nHi.toDouble / nLo, writeAllowlist)
+      } catch { case e: Exception =>
+        System.err.println(s"[scalegate] parse error: ${e.getMessage}")
+        sys.exit(2); throw e
+      }
+    println(render(rows))
+    val breaches = rows.filter(_.breach)
+    if (breaches.nonEmpty) {
+      System.err.println(s"[scalegate] ${breaches.size} UNDIAGNOSED " +
+        s"super-linear write phase${if (breaches.size == 1) "" else "s"}: " +
+        breaches.map(_.name).mkString(", ") +
+        " — diagnose and fix, or record a disposition in " +
+        "ScaleGate.writeAllowlist (SCALE.md r11 rule)")
+      sys.exit(1)
+    }
+    println(s"[scalegate] ${rows.size} write phases green")
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--write")) { mainWrite(args.drop(1)); return }
+    if (args.length < 2) {
+      System.err.println(
+        "usage: ScaleGate <loDecade.json> <hiDecade.json> [factor=3.0]" +
+          "\n   or: ScaleGate --write <loWriteBench.json> <hiWriteBench.json>")
       sys.exit(2)
     }
     val factor = args.lift(2).map(_.toDouble).getOrElse(3.0)

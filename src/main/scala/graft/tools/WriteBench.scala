@@ -61,39 +61,52 @@ object WriteBench {
     // cannot distort.
     val meter = new graft.core.SpillMeter
     spark.sparkContext.addSparkListener(meter)
+    // r13 (the r12 verdict's top ask): per-PHASE attribution — the
+    // whole-section task CPU said "digest exponent 1.6–2.2, undiagnosed";
+    // PhaseMeter splits it by the digest's own stages (schema merge,
+    // repartition+write, post-write stats rescan) via job descriptions.
+    val phases = new graft.core.PhaseMeter
+    spark.sparkContext.addSparkListener(phases)
+    val phaseJson = scala.collection.mutable.LinkedHashMap.empty[String, String]
     import scala.jdk.CollectionConverters._
     def gcMillis: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
-    def timed[A](f: => A): (A, Double, Double, Double) = {
-      meter.reset()
+    def timed[A](section: String)(f: => A): (A, Double, Double, Double) = {
+      meter.reset(); phases.reset()
       val g0 = gcMillis
       val t0 = System.nanoTime()
       val r = f
       val wall = (System.nanoTime() - t0) / 1e9
       val gc = (gcMillis - g0) / 1e3
       val (_, _, _, cpuMs) = meter.settle()
+      phases.settle()
+      phaseJson(section) = phases.phasesJson()
       (r, wall, cpuMs / 1e3, gc)
     }
 
-    val (_, ingestS, ingestCpu, ingestGc) = timed {
+    val (_, ingestS, ingestCpu, ingestGc) = timed("ingest") {
       var b = 0
       while (b < batches) {
         t.ingest(src.filter(col("__b") === b).drop("__b"))
         b += 1
       }
     }
-    val (_, digestS, digestCpu, digestGc) = timed(t.digest())
+    val (_, digestS, digestCpu, digestGc) = timed("digest")(t.digest())
 
     // steady-state wave: 2 more batches + the incremental digest that
     // folds the newest partial block
     val waveRows = src.filter(col("__b") < 2).count()
-    val (_, reingestS, _, _) = timed {
+    val (_, reingestS, _, _) = timed("reingest") {
       t.ingest(src.filter(col("__b") === 0).drop("__b"))
       t.ingest(src.filter(col("__b") === 1).drop("__b"))
     }
-    val (_, redigestS, _, _) = timed(t.digest())
+    val (_, redigestS, _, _) = timed("redigest")(t.digest())
 
-    val (scanCnt, scanS, _, _) = timed(t.read().count())
+    val (scanCnt, scanS, _, _) = timed("scan") {
+      val sc = spark.sparkContext
+      sc.setJobDescription("graft.scan.count")
+      try t.read().count() finally sc.setJobDescription(null)
+    }
     val expected = rows + waveRows
     require(scanCnt == expected,
       s"read-back mismatch: $scanCnt != $expected — the bench found a BUG")
@@ -109,7 +122,9 @@ object WriteBench {
       s""""digest_cpu_s":${s(digestCpu)},"digest_gc_s":${s(digestGc)},""" +
       s""""digest_rows_s":${(rows / digestS).toLong},""" +
       s""""reingest_s":${s(reingestS)},"redigest_s":${s(redigestS)},""" +
-      s""""scan_s":${s(scanS)},"scan_rows":$scanCnt,"blocks":$blocks}"""
+      s""""scan_s":${s(scanS)},"scan_rows":$scanCnt,"blocks":$blocks,""" +
+      s""""phases":${phaseJson.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")}}"""
     sys.env.get("SPARK_GRAFT_WRITEBENCH_OUT").foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -194,6 +194,45 @@ class FlacFuzzSpec extends SparkSpec {
     assert(d.samples.toSeq === Seq.fill(4)(Seq[Short](10, -20, 30)).flatten)
   }
 
+  test("N-channel round trips (r12 ask #5): synthN 1..8 channels, " +
+      "non-constant subframes cycling every kind, decode == formula") {
+    // 3000 samples = 6 frames at SynthBlock=576: cycleKind 0..5 all run
+    val n = 3000
+    for (nc <- 1 to 8) {
+      val f = FlacPcm.synthN(n, 16000, 251, 13, nc)
+      val d = FlacPcm.decode(f)
+      assert(d != null, s"synthN($nc ch) rejected by decode")
+      assert(d.channels === nc && d.rate === 16000)
+      assert(d.samples.length === n * nc)
+      var i = 0
+      while (i < n) {
+        var c = 0
+        while (c < nc) {
+          val want = (((i.toLong * (251 + 3 * c) + 13 + 7 * c) % 65536L)
+            - 32768L).toShort
+          assert(d.samples(i * nc + c) === want,
+            s"ch $c sample $i of $nc-channel stream")
+          c += 1
+        }
+        i += 1
+      }
+      // metadata path agrees
+      val m = FlacPcm.metaOnly(f)
+      assert(m(0) === nc.toLong && m(1) === 16000L && m(2) === 16L)
+      // integrity still enforced at every channel count: flip one frame
+      // byte → CRC/MD5 refuse
+      val g = f.clone()
+      g(g.length - 9) = (g(g.length - 9) ^ 0x11).toByte
+      assert(FlacPcm.decode(g) == null, s"corrupt $nc-ch stream accepted")
+    }
+    // channels=2 equals the stereo synth's mode-4 samples exactly (the
+    // param convention is the same formula one step further)
+    val a = FlacPcm.decode(FlacPcm.synthN(700, 8000, 251, 13, 2))
+    val b = FlacPcm.decode(FlacPcm.synth(700, 8000, 251, 13, 4))
+    assert(a != null && b != null)
+    assert(a.samples.toSeq === b.samples.toSeq)
+  }
+
   test("checksums are enforced: header and body corruption → NULL") {
     assert(FlacPcm.decode(handFixture(corruptHeader = true)) == null)
     assert(FlacPcm.decode(handFixture(corruptBody = true)) == null)
@@ -235,6 +274,42 @@ class FlacFuzzSpec extends SparkSpec {
     f(b12) = ((f(b12) & ~0x01) | ((23 >> 4) & 1)).toByte
     f(b13) = ((f(b13) & 0x0f) | ((23 & 0xf) << 4)).toByte
     assert(FlacPcm.decode(f) == null)
+  }
+
+  test("metaOnly (graft_flac_meta) agrees with the full decode on valid " +
+      "streams, reports header truth on frame-corrupt ones, and NULLs " +
+      "on malformed metadata (ADVICE r12: metadata scans must not pay " +
+      "full-decode cost)") {
+    for (mode <- 0L to 7L) {
+      val f = FlacPcm.synth(1000, 16000, 251, 13, mode)
+      val d = FlacPcm.decode(f)
+      val m = FlacPcm.metaOnly(f)
+      assert(m != null && d != null)
+      assert(m(0) === d.channels.toLong && m(1) === d.rate.toLong)
+      assert(m(2) === 16L)
+      assert(m(3) === 1000L * 1000L / 16000L)
+      // corrupt a FRAME byte: decode NULLs (CRC), metaOnly still reads
+      // the header — metadata means header truth
+      val g = f.clone()
+      g(g.length - 20) = (g(g.length - 20) ^ 0x55).toByte
+      assert(FlacPcm.decode(g) == null)
+      assert(FlacPcm.metaOnly(g) != null)
+    }
+    // malformed metadata chain is NULL in both
+    val f = FlacPcm.synth(600, 8000, 251, 13, 0)
+    for (cut <- Seq(3, 7, 20, 41)) {
+      val t = java.util.Arrays.copyOf(f, cut)
+      assert(FlacPcm.metaOnly(t) == null)
+    }
+    assert(FlacPcm.metaOnly(Array.fill[Byte](64)(9)) == null)
+    assert(FlacPcm.metaOnly(null) == null)
+    // the SQL surface: same struct shape as graft_audio_meta
+    val r = spark.sql(
+      "SELECT graft_flac_meta(graft_synth_flac(1000L, 16000L, 251L, 13L, 7L)) AS m")
+      .selectExpr("m.channels", "m.sample_rate", "m.bits", "m.duration_ms")
+      .head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)) ===
+      ((2, 16000, 16, 62L)))
   }
 
   test("graft_flac_to_wav routes through the existing WAV kernels and " +

@@ -124,6 +124,24 @@ class QuantileBinsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(QuantileBins.exactEntries(m) === QuantileBins.exactEntries(a))
   }
 
+  test("compact is idempotent: re-compacting a dense (arbitrary-length, " +
+      "non-power-of-two) buffer terminates and is a no-op (ADVICE r12 " +
+      "latent hang: mask-probing a length-3 array can never terminate)") {
+    // 3 live keys → compacted length 3, the exact shape the old countOf
+    // probe could spin on
+    val b1 = QuantileBins.compact(summarize(Seq(7L, -2L, 100L, 7L)))
+    assert(b1.ek.length === 3)
+    val ek = b1.ek.clone(); val ec = b1.ec.clone()
+    val b2 = QuantileBins.compact(b1)
+    assert(b2.ek.toSeq === ek.toSeq && b2.ec.toSeq === ec.toSeq)
+    // and a larger one for good measure
+    val rnd = new Random(41)
+    val vs = Seq.fill(2000)(rnd.nextLong() % 50000L)
+    val c1 = QuantileBins.compact(summarize(vs))
+    val c2 = QuantileBins.compact(QuantileBins.compact(summarize(vs)))
+    assert(c1.ek.toSeq === c2.ek.toSeq && c1.ec.toSeq === c2.ec.toSeq)
+  }
+
   test("collapsed mode: min/max exact, interior error bounded by bin width") {
     val rnd = new Random(19)
     val vs = Seq.fill(QuantileBins.ExactCap + 5000)(

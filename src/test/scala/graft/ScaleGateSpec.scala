@@ -114,4 +114,62 @@ class ScaleGateSpec extends AnyFunSuite {
     assert(m("q_a") == Obs(1.5, Some(2500.0)))
     assert(m("q_b") == Obs(0.5, None))
   }
+
+  private def writeBenchJson(rows: Long, digestCpu: Double): String =
+    s"""{"metric":"write_path","sf":"/tmp/x","rows":$rows,"batches":24,
+       |"ingest_s":${rows / 1e6},"ingest_cpu_s":${rows / 1e5},
+       |"digest_s":${rows / 2e6},"digest_cpu_s":$digestCpu,
+       |"scan_s":0.5,"scan_rows":$rows,"blocks":2,
+       |"phases":{
+       |  "digest":{
+       |    "graft.digest.write":{"cpu_s":$digestCpu,"run_s":1,"wall_s":1,
+       |      "tasks":10,"in_mb":1,"in_rows":$rows,"out_mb":1,
+       |      "out_rows":$rows,"shuf_w_mb":1,"shuf_r_mb":1,
+       |      "spill_mem_mb":0,"spill_disk_mb":0},
+       |    "graft.digest.segstats":{"cpu_s":${rows / 1e6},"run_s":1,
+       |      "wall_s":1,"tasks":3,"in_mb":1,"in_rows":$rows,"out_mb":0,
+       |      "out_rows":0,"shuf_w_mb":0,"shuf_r_mb":0,
+       |      "spill_mem_mb":0,"spill_disk_mb":0}}}}""".stripMargin
+
+  test("--write mode: a quadratic digest phase trips the gate, a linear " +
+      "one passes; the factor comes from the files' own rows fields " +
+      "(r12 verdict ask #2)") {
+    val dir = java.nio.file.Files.createTempDirectory("scalegate-write")
+    def dump(name: String, body: String) = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+      p.toString
+    }
+    // lo: 18M rows, digest.write 100 cpu-s
+    val lo = dump("lo.json", writeBenchJson(18000000L, 100.0))
+    // linear hi: 60M rows (3.33x), digest.write 333 cpu-s — exponent 1.0
+    val hiLin = dump("hi_lin.json", writeBenchJson(60000000L, 333.0))
+    // quadratic hi: 1110 cpu-s — exponent 2.0
+    val hiQuad = dump("hi_quad.json", writeBenchJson(60000000L, 1110.0))
+
+    val (loM, nLo) = ScaleGate.parseWrite(lo)
+    val (hiL, nHi) = ScaleGate.parseWrite(hiLin)
+    val (hiQ, _) = ScaleGate.parseWrite(hiQuad)
+    assert(nLo == 18000000L && nHi == 60000000L)
+    // section rows AND phase rows both parse
+    assert(loM.contains("digest") && loM.contains("digest/graft.digest.write"))
+    val factor = nHi.toDouble / nLo
+
+    val linRows = ScaleGate.evaluate(loM, hiL, factor, allow = Map.empty)
+    assert(!row(linRows, "digest/graft.digest.write").breach)
+
+    val quadRows = ScaleGate.evaluate(loM, hiQ, factor, allow = Map.empty)
+    val r = row(quadRows, "digest/graft.digest.write")
+    assert(r.breach, "quadratic write phase must breach")
+    assert(math.abs(r.expCpu.get - 2.0) < 0.01)
+    // the whole-section digest row breaches with it (it carries the same
+    // cpu total), and a disposition downgrades both to visible notes
+    assert(row(quadRows, "digest").breach)
+    val allowed = ScaleGate.evaluate(loM, hiQ, factor,
+      allow = Map("digest/graft.digest.write" -> "diagnosed: xyz",
+        "digest" -> "same"))
+    assert(!row(allowed, "digest/graft.digest.write").breach)
+    assert(row(allowed, "digest/graft.digest.write").verdict
+      .contains("diagnosed: xyz"))
+  }
 }
