@@ -562,6 +562,39 @@ class GraftTable(spark: SparkSession, root: String) {
   def ingest(df: DataFrame): Unit =
     ingestWithId(df, java.util.UUID.randomUUID().toString)
 
+  /** Continuous ingest: attach a streaming DataFrame to this table — the
+    * reference's steady-ingest loop (scripts/steady_ingest.sh,
+    * stress_ingest_digest.sh) as a Structured Streaming sink. Each
+    * micro-batch appends EXACTLY ONCE via [[ingestIdempotent]] (the
+    * `foreachBatch` replay contract: the checkpointed batchId is the
+    * token, so a batch whose commit didn't land replays into a no-op);
+    * every `digestEvery` batches a compaction drains the log into
+    * 64Ki-row block files — skipped WITHOUT error when another digest
+    * holds the lock, because steady ingest must not die just because
+    * maintenance overlapped (the next cycle drains a slightly longer
+    * log). Readers stay consistent throughout via [[withSnapshot]].
+    * The caller owns the checkpoint location and the returned query's
+    * lifecycle. */
+  def writeStreamInto(stream: DataFrame, checkpointDir: String,
+      digestEvery: Int = 8,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(digestEvery >= 1, s"digestEvery must be >= 1, got $digestEvery")
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ingestIdempotent(batch, s"stream#$id")
+        if ((id + 1) % digestEvery == 0)
+          try digest()
+          catch { case _: IllegalStateException => () } // lock busy: next cycle
+        ()
+      }
+      .start()
+  }
+
   /** Exactly-once ingest for replayed writers (Structured Streaming
     * `foreachBatch` re-runs a batch whose checkpoint commit didn't land):
     * the segment id derives from `token`, and a token ledger records
@@ -877,18 +910,26 @@ class GraftTable(spark: SparkSession, root: String) {
       val parts = math.max(1, (n / rowsPerPartition).toInt +
         (if (n % rowsPerPartition > 0) 1 else 0))
       val tmp = blocksP.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-      df.withColumn("__z", z)
-        .repartitionByRange(parts, col("__z"))
-        .sortWithinPartitions(col("__z"))
-        .drop("__z")
-        .write
-        .option("parquet.block.size", (8L * 1024 * 1024).toString)
-        .mode(SaveMode.ErrorIfExists)
-        .parquet(tmp.toString)
+      // UNLIKE digest, the range shuffle here is the PRODUCT: z-order
+      // clustering is a global sort, so the exchange stays (the shuffle-
+      // free digest rule doesn't apply — you can't cluster without
+      // moving rows). Stats still ride the write (observe, zero extra
+      // scan), with the sidecar's own block-row total cross-checking.
+      val seg0 = observedStats(df.withColumn("__z", z)
+          .repartitionByRange(parts, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z"), tmp, "block", expectedRows = Some(n)) { d =>
+        withJobDesc("graft.optimize.write") {
+          d.write
+            .option("parquet.block.size", (8L * 1024 * 1024).toString)
+            .mode(SaveMode.ErrorIfExists)
+            .parquet(tmp.toString)
+        }
+      }
       val blockId = java.util.UUID.randomUUID().toString
       writeDigestJournal(blockId, consumed, Nil)
       Files.move(tmp, blocksP.resolve(blockId), StandardCopyOption.ATOMIC_MOVE)
-      val seg = segmentStats(blocksP.resolve(blockId), "block")
+      val seg = seg0.copy(id = blockId)
       consumed.map(blocksP.resolve).foreach(deleteRecursively)
       dropCachedPartials(consumed)
       val kept = i.segments.filterNot(s => s.kind == "block")

@@ -207,6 +207,45 @@ class StreamsSpec extends SparkSpec {
     assert(table.info().rowCount === 150)
   }
 
+  test("writeStreamInto: continuous ingest sink — exactly-once batches, " +
+      "periodic digest, consistent reads (the reference's steady-ingest " +
+      "loop as a Structured Streaming sink)") {
+    implicit val sq = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-sink-ckpt")
+    val root = Files.createTempDirectory("graft-sink-table")
+    val table = new GraftTable(spark, root.toString)
+    val mem = MemoryStream[(Long, String)]
+    val q = table.writeStreamInto(mem.toDF().toDF("id", "k"),
+      ckpt.toString, digestEvery = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      // 4 micro-batches of 50 → 200 rows; digest fires after batches 1,3
+      for (b <- 0 until 4) {
+        mem.addData((0 until 50).map(i => ((b * 50 + i).toLong, s"u${i % 3}")): _*)
+        q.processAllAvailable()
+      }
+      assert(table.read(readLog = true).count() === 200)
+      assert(table.blockIds.nonEmpty, "periodic digest must have compacted")
+      // the sidecar agrees (stats ride the stream writes)
+      assert(table.info().rowCount === 200)
+      val idInfo = table.info().columns.find(_.name == "id").get
+      assert(idInfo.min.contains(0L) && idInfo.max.contains(199L))
+    } finally q.stop()
+    // replay simulation: the sink's token is the checkpointed batchId —
+    // re-running an already-ingested batch id is a no-op (the crash-
+    // between-commit-and-checkpoint case foreachBatch re-delivers)
+    import spark.implicits._
+    assert(!table.ingestIdempotent(
+      (0 until 50).map(i => (i.toLong, s"u${i % 3}")).toDF("id", "k"),
+      "stream#0"))
+    assert(table.read(readLog = true).count() === 200, "replay must not double-count")
+    // DSL query over the streamed table
+    val counts = graft.dsl.SybilQuery().groupBy("k")
+      .run(table.read(readLog = true))
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Long]("Count")).toMap
+    assert(counts.values.sum === 200)
+  }
+
   test("native session_window stream matches batch sessionize (non-boundary gaps)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
