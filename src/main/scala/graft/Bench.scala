@@ -118,14 +118,14 @@ object Bench {
           // task CPU across the 3 reps (mean): the rep_diff tail gate —
           // wall on sub-0.5 s queries churns with the box, task
           // executorCpuTime doesn't (SpillMeter scaladoc; r12 ask #4)
-          meter.settle(); val cpu0 = meter.snapshot()._4
+          meter.settle(10L); val cpu0 = meter.snapshot()._4
           val ts = (1 to 3).map { _ =>
             if (gcBetween) System.gc()
             val t0 = System.nanoTime()
             materialize(SparkEntry.queries(name)(spark, sfDir))
             (System.nanoTime() - t0) / 1e9
           }.sorted
-          meter.settle(); val cpuRep = (meter.snapshot()._4 - cpu0) / 3e3
+          meter.settle(10L); val cpuRep = (meter.snapshot()._4 - cpu0) / 3e3
           Some(name -> ((ts(ts.size / 2), ts.head, ts.last, cpuRep)))
         } catch { case e: Throwable =>
           // a query that flakes ONLY under the isolated-reps regime is

@@ -49,12 +49,15 @@ class SpillMeter extends SparkListener {
     (memSpill.get(), diskSpill.get(), peakExec.get(), cpuMs.get())
 
   /** Wait (bounded) for the async listener queue to drain: returns once
-    * two 50 ms-apart snapshots agree, or after ~2 s. */
-  def settle(): (Long, Long, Long, Long) = {
+    * two `intervalMs`-apart snapshots agree, or after ~40 polls. The
+    * Bench variance pass settles twice per query (cpu_s bookends) — at
+    * 212 queries the default 50 ms cadence would eat ~40 s of the rep
+    * budget, so that caller polls at 10 ms. */
+  def settle(intervalMs: Long = 50L): (Long, Long, Long, Long) = {
     var prev = snapshot()
     var i = 0
     while (i < 40) {
-      Thread.sleep(50L)
+      Thread.sleep(intervalMs)
       val cur = snapshot()
       if (cur == prev) return cur
       prev = cur

@@ -300,6 +300,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftFlacToWav].getName, "graft_flac_to_wav"),
       (children: Seq[Expression]) => GraftFlacToWav(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_synth_flac_n"),
+      new ExpressionInfo(classOf[GraftSynthFlacN].getName, "graft_synth_flac_n"),
+      (children: Seq[Expression]) => GraftSynthFlacN(children(0), children(1),
+        children(2), children(3), children(4))))
+    ext.injectFunction((
       FunctionIdentifier("graft_flac_meta"),
       new ExpressionInfo(classOf[GraftFlacMeta].getName, "graft_flac_meta"),
       (children: Seq[Expression]) => GraftFlacMeta(children(0))))

@@ -956,3 +956,50 @@ case class GraftFlacMeta(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(
       newChild: Expression): GraftFlacMeta = copy(child = newChild)
 }
+
+/** `graft_synth_flac_n(n, rate, a, b, channels) -> binary` — the
+  * N-channel (1–8) INDEPENDENT-assignment synthesizer
+  * ([[FlacPcm.synthN]]): channel c follows the [[GraftSynthFlac]] param
+  * convention one step further (a + 3c, b + 7c), subframe kinds cycle
+  * per frame — the fixture surface for multichannel decode coverage
+  * beyond the stereo synth's ceiling (r12 verdict ask #5). */
+case class GraftSynthFlacN(nE: Expression, rateE: Expression, aE: Expression,
+    bE: Expression, chE: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(nE, rateE, aE, bE, chE)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_synth_flac_n"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_synth_flac_n expects (bigint, bigint, bigint, bigint, bigint)")
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    val Seq(n, rate, a, b, ch) = vs.map(_.asInstanceOf[Long])
+    FlacPcm.synthN(n, rate, a, b, ch)
+  }
+
+  def build(n: Long, rate: Long, a: Long, b: Long, ch: Long): Array[Byte] =
+    FlacPcm.synthN(n, rate, a, b, ch)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftSynthFlacN", this,
+      classOf[GraftSynthFlacN].getName)
+    val gens = children.map(_.genCode(ctx))
+    val anyNull = gens.map(_.isNull.toString).mkString(" || ")
+    ev.copy(code = code"""
+        ${gens.map(_.code.toString).mkString("\n")}
+        boolean ${ev.isNull} = $anyNull;
+        byte[] ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = $ref.build(${gens.map(_.value).mkString(", ")});
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GraftSynthFlacN =
+    GraftSynthFlacN(newChildren(0), newChildren(1), newChildren(2),
+      newChildren(3), newChildren(4))
+}

@@ -1135,7 +1135,12 @@ object GraftTable {
         if (t.isInstanceOf[java.io.FileNotFoundException]) return true
         val m = t.getMessage
         if (m != null && (m.contains("underlying files have been updated") ||
-          m.contains("FileNotFoundException"))) return true
+          m.contains("FileNotFoundException") ||
+          // ANALYSIS-time form of the same race: a digest deleted a
+          // consumed dir between the caller's listing and Spark's path
+          // resolution (the r13 shuffle-free digest is fast enough to
+          // hit this window under stress) — same fresh-relisting cure
+          m.contains("PATH_NOT_FOUND"))) return true
         t = t.getCause
       }
       false

@@ -84,7 +84,9 @@ object ScaleGate {
         ("ingest", "ingest_s", "ingest_cpu_s"),
         ("digest", "digest_s", "digest_cpu_s"),
         ("reingest", "reingest_s", ""), ("redigest", "redigest_s", ""),
-        ("scan", "scan_s", "")) if root.has(wallK)) {
+        ("scan", "scan_s", ""),
+        ("optimize", "optimize_s", "optimize_cpu_s"),
+        ("scan_zorder", "scan_zorder_s", "")) if root.has(wallK)) {
       val cpu = if (cpuK.nonEmpty && root.has(cpuK))
         Some(root.get(cpuK).asDouble * 1e3) else None
       out += sec -> Obs(root.get(wallK).asDouble, cpu)

@@ -107,6 +107,19 @@ object WriteBench {
       sc.setJobDescription("graft.scan.count")
       try t.read().count() finally sc.setJobDescription(null)
     }
+
+    // OPTIMIZE z-order rewrite (r13): the one remaining write-side
+    // shuffle — deliberate (clustering IS the exchange) — now also in
+    // the decade record so ScaleGate --write watches its exponent
+    val (_, optimizeS, optimizeCpu, _) = timed("optimize")(
+      t.optimize("orderkey", "partkey"))
+    val (scan2Cnt, scan2S, _, _) = timed("scan_zorder") {
+      val sc = spark.sparkContext
+      sc.setJobDescription("graft.scan.count")
+      try t.read().count() finally sc.setJobDescription(null)
+    }
+    require(scan2Cnt == scanCnt,
+      s"z-order rewrite changed the row count: $scan2Cnt != $scanCnt")
     val expected = rows + waveRows
     require(scanCnt == expected,
       s"read-back mismatch: $scanCnt != $expected — the bench found a BUG")
@@ -123,6 +136,8 @@ object WriteBench {
       s""""digest_rows_s":${(rows / digestS).toLong},""" +
       s""""reingest_s":${s(reingestS)},"redigest_s":${s(redigestS)},""" +
       s""""scan_s":${s(scanS)},"scan_rows":$scanCnt,"blocks":$blocks,""" +
+      s""""optimize_s":${s(optimizeS)},"optimize_cpu_s":${s(optimizeCpu)},""" +
+      s""""scan_zorder_s":${s(scan2S)},""" +
       s""""phases":${phaseJson.map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")}}"""
     sys.env.get("SPARK_GRAFT_WRITEBENCH_OUT").foreach { p =>

@@ -231,6 +231,13 @@ class FlacFuzzSpec extends SparkSpec {
     val b = FlacPcm.decode(FlacPcm.synth(700, 8000, 251, 13, 4))
     assert(a != null && b != null)
     assert(a.samples.toSeq === b.samples.toSeq)
+    // and the WAV interchange route carries >2 channels end to end:
+    // flac_to_wav(5ch) → audio_meta reads the header the container wrote
+    val r5 = spark.sql(
+      "SELECT graft_audio_meta(graft_flac_to_wav(f)) AS m FROM " +
+        "(SELECT graft_synth_flac_n(600L, 8000L, 251L, 13L, 5L) AS f)")
+      .selectExpr("m.channels", "m.sample_rate", "m.duration_ms").head()
+    assert((r5.getInt(0), r5.getInt(1), r5.getLong(2)) === ((5, 8000, 75L)))
   }
 
   test("checksums are enforced: header and body corruption → NULL") {

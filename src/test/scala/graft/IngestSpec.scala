@@ -611,6 +611,38 @@ class IngestSpec extends SparkSpec {
     assert(xi.min.contains(rows.map(_._2).min) && xi.max.contains(rows.map(_._2).max))
   }
 
+  test("retryStaleListing classifies the ANALYSIS-time race (PATH_NOT_FOUND " +
+      "from a dir a digest consumed between listing and resolution) as " +
+      "stale, and rethrows anything else immediately") {
+    var calls = 0
+    val out = GraftTable.retryStaleListing(maxRetries = 5) {
+      calls += 1
+      if (calls < 3) throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "PATH_NOT_FOUND",
+        messageParameters = Map("path" -> "file:/tmp/gone"))
+      42
+    }
+    assert(out === 42 && calls === 3)
+    // a non-stale failure propagates on the FIRST call — retrying a real
+    // error 5 times would just quintuple the damage
+    var calls2 = 0
+    val e = intercept[IllegalStateException] {
+      GraftTable.retryStaleListing(maxRetries = 5) {
+        calls2 += 1
+        throw new IllegalStateException("genuinely broken")
+      }
+    }
+    assert(e.getMessage === "genuinely broken" && calls2 === 1)
+    // retries exhausted: the stale error itself surfaces (loud, never a hang)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      GraftTable.retryStaleListing(maxRetries = 2) {
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "PATH_NOT_FOUND",
+          messageParameters = Map("path" -> "file:/tmp/gone"))
+      }
+    }
+  }
+
   test("ingestIdempotent: replaying a token is a no-op; ledger completes after a crash") {
     import spark.implicits._
     val root = tmpDir("graft-idem")
