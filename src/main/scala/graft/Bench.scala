@@ -115,18 +115,27 @@ object Bench {
         } else try {
           spark.catalog.clearCache()
           materialize(SparkEntry.queries(name)(spark, sfDir)) // warm-up
-          // task CPU across the 3 reps (mean): the rep_diff tail gate —
-          // wall on sub-0.5 s queries churns with the box, task
-          // executorCpuTime doesn't (SpillMeter scaladoc; r12 ask #4)
-          meter.settle(10L); val cpu0 = meter.snapshot()._4
-          val ts = (1 to 3).map { _ =>
+          // task CPU per rep (a WINDOW, like wall): the rep_diff tail
+          // gate — wall on sub-0.5 s queries churns with the box, and
+          // the r13 anchor A/B showed POINT cpu isn't enough either
+          // (spill-heavy queries' stall cycles swing 1.5-2.6x between
+          // runs; sub-100ms readings jitter ±50%), so min/median/max
+          // over the 3 isolated reps travel with the wall window
+          var cpuPrev = { meter.settle(10L); meter.snapshot()._4 }
+          val reps3 = (1 to 3).map { _ =>
             if (gcBetween) System.gc()
             val t0 = System.nanoTime()
             materialize(SparkEntry.queries(name)(spark, sfDir))
-            (System.nanoTime() - t0) / 1e9
-          }.sorted
-          meter.settle(10L); val cpuRep = (meter.snapshot()._4 - cpu0) / 3e3
-          Some(name -> ((ts(ts.size / 2), ts.head, ts.last, cpuRep)))
+            val w = (System.nanoTime() - t0) / 1e9
+            meter.settle(10L)
+            val c = meter.snapshot()._4
+            val cpu = (c - cpuPrev) / 1e3
+            cpuPrev = c
+            (w, cpu)
+          }
+          val ts = reps3.map(_._1).sorted
+          val cs = reps3.map(_._2).sorted
+          Some(name -> ((ts(1), ts.head, ts.last, cs(1), cs.head, cs.last)))
         } catch { case e: Throwable =>
           // a query that flakes ONLY under the isolated-reps regime is
           // exactly what this pass exists to surface — never silent
@@ -138,8 +147,9 @@ object Bench {
     if (repSkipped > 0) System.err.println(
       s"[bench] variance-rep budget (${repBudgetSec}s) exhausted: " +
         s"$repSkipped cheapest queries have no reps entry this run")
-    val repsJson = reps.map { case (k, (m, lo, hi, cpu)) =>
-      "\"" + k + s"""":{"median":${sec(m)},"min":${sec(lo)},"max":${sec(hi)},"cpu_s":${sec(cpu)}}"""
+    val repsJson = reps.map { case (k, (m, lo, hi, cm, cl, ch)) =>
+      "\"" + k + s"""":{"median":${sec(m)},"min":${sec(lo)},"max":${sec(hi)},""" +
+        s""""cpu_s":${sec(cm)},"cpu_min":${sec(cl)},"cpu_max":${sec(ch)}}"""
     }.mkString("{", ",", "}")
 
     // Full per-query detail goes to a file: the harness that collects the
