@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.HtmlExtract
+
+/** Catalog entries: round-13 additions — the HTML → text extraction tier
+  * ([[graft.expressions.HtmlKernel]], `graft_html_text` /
+  * `graft_html_extract`), anchored with the q199/q211/q212 convention:
+  * synthesize standards-shaped HTML per document IN-PLAN from `doc_id`
+  * arithmetic plus a sanitized text fragment, extract with the kernel, and
+  * have the DuckDB oracle replay the EXPECTED TEXT FORMULA only — the
+  * oracle never parses HTML, so any tokenizer, entity, raw-text,
+  * whitespace-collapse, or counter bug breaks the hash.
+  */
+object Queries25 {
+
+  private def t(name: String)(implicit env: (SparkSession, String)): DataFrame =
+    Tables.load(env._1, env._2, name)
+
+  private def q(name: String, sql: String = null)(
+      body: (SparkSession, String) => DataFrame): (String, QueryDef) =
+    name -> QueryDef(body, Option(sql))
+
+  /** Sanitized fragment of the document text: lowercase letters and single
+    * spaces only, so the synth HTML contains no accidental markup or
+    * entities and the oracle's whitespace replay is trivial. Both engines
+    * build it with the same three string functions. */
+  private def fragCol: Column =
+    trim(regexp_replace(
+      regexp_replace(substring(col("text"), 1, 120), "[^a-z ]", ""),
+      " +", " "))
+
+  private val FragSql: String =
+    "trim(regexp_replace(regexp_replace(substr(text, 1, 120), " +
+      "'[^a-z ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** HTML extraction round trip: the synth page exercises every tokenizer
+    * branch — doctype, comment (with markup inside), style/script raw text
+    * (with a fake end tag inside the script), a quoted `>` in an attribute,
+    * named + decimal + hex entities, an unknown entity and an unterminated
+    * `&amp` (both literal), a literal `<` in text, `&nbsp;` + `&#10;`
+    * whitespace collapsing, inline anchor vs block tags, and a
+    * self-closing `<br/>`. The oracle replays the expected text as pure
+    * string arithmetic and the counters as constants + lengths. */
+  val q213HtmlText: (String, QueryDef) = q(
+    "q213_html_text",
+    s"""WITH f AS (
+       |  SELECT doc_id, $FragSql AS frag
+       |  FROM documents WHERE doc_id < 200),
+       |h AS (
+       |  SELECT doc_id, frag,
+       |    '<!DOCTYPE html><html><head><title>T&amp;' ||
+       |      CAST(doc_id AS VARCHAR) ||
+       |    '</title><style>p{x:1}</style><script>if(1<2){"</b >"}' ||
+       |    '</script></head><body data-x="&gt;>"><h1 id=''a''>H' ||
+       |      CAST(doc_id AS VARCHAR) ||
+       |    ' &lt;tag&gt;</h1><!-- c <p>no</p> --><p> ' || frag ||
+       |    ' &#65;&#x42; x</p><div><a href="/u?a=1&amp;b=2">link text ' ||
+       |      CAST(doc_id AS VARCHAR) ||
+       |    '</a> tail &bogus; &amp</div><br/>3 < 5 &nbsp;ok&#10;done' ||
+       |    '</body></html>' AS html,
+       |    'T&' || CAST(doc_id AS VARCHAR) || chr(10) ||
+       |    'H' || CAST(doc_id AS VARCHAR) || ' <tag>' || chr(10) ||
+       |    ltrim(frag || ' AB x') || chr(10) ||
+       |    'link text ' || CAST(doc_id AS VARCHAR) ||
+       |      ' tail &bogus; &amp' || chr(10) ||
+       |    '3 < 5 ok done' AS txt
+       |  FROM f)
+       |SELECT doc_id, txt AS text,
+       |  CAST(21 AS BIGINT) AS n_tags,
+       |  CAST(length(txt) AS BIGINT) AS text_bytes,
+       |  CAST(1 AS BIGINT) AS n_links,
+       |  CAST(11 + length(CAST(doc_id AS VARCHAR)) AS BIGINT)
+       |    AS anchor_text_bytes,
+       |  CAST(5 AS BIGINT) AS n_blocks,
+       |  CAST(22 AS BIGINT) AS dropped_bytes,
+       |  CAST(length(html) AS BIGINT) AS html_bytes
+       |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val ds = d.cast("string")
+    val html = concat(
+      lit("<!DOCTYPE html><html><head><title>T&amp;"), ds,
+      lit("</title><style>p{x:1}</style><script>if(1<2){\"</b >\"}" +
+        "</script></head><body data-x=\"&gt;>\"><h1 id='a'>H"), ds,
+      lit(" &lt;tag&gt;</h1><!-- c <p>no</p> --><p> "), fragCol,
+      lit(" &#65;&#x42; x</p><div><a href=\"/u?a=1&amp;b=2\">link text "), ds,
+      lit("</a> tail &bogus; &amp</div><br/>3 < 5 &nbsp;ok&#10;done" +
+        "</body></html>"))
+    t("documents").filter(d < 200)
+      .select(d, call_function("graft_html_extract", html).as("e"))
+      .select(d, col("e.text").as("text"), col("e.n_tags").as("n_tags"),
+        col("e.text_bytes").as("text_bytes"),
+        col("e.n_links").as("n_links"),
+        col("e.anchor_text_bytes").as("anchor_text_bytes"),
+        col("e.n_blocks").as("n_blocks"),
+        col("e.dropped_bytes").as("dropped_bytes"),
+        col("e.html_bytes").as("html_bytes"))
+      .orderBy(d)
+  }
+
+  /** Link-density boilerplate filter through the OPERATOR surface
+    * ([[HtmlExtract.extract]] / [[HtmlExtract.linkDensity]]): `doc_id % 7`
+    * anchors per page plus the fragment as article text; density =
+    * anchor-text share (one IEEE division, NULL on empty text), `kept` is
+    * the [[HtmlExtract.dropBoilerplate]] predicate at 0.6. Link-farm rows
+    * (empty fragment, k ≥ 1 → density exactly 1.0) drop; no-link prose
+    * keeps; empty pages fail the size test. The oracle replays text and
+    * counters arithmetically (anchor bytes 2k−1: the k `w`s plus the k−1
+    * between-link spaces, attributed at flush time — the documented
+    * separator rule). */
+  val q214LinkDensity: (String, QueryDef) = q(
+    "q214_link_density",
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(doc_id % 7 AS INT) AS k, $FragSql AS frag
+       |  FROM documents WHERE doc_id < 300),
+       |x AS (
+       |  SELECT doc_id, k, frag,
+       |    rtrim(repeat('w ', k)) AS s1,
+       |    CASE WHEN k > 0 THEN 2*k - 1 ELSE 0 END AS a,
+       |    '<div>' || repeat('<a href="u">w</a> ', k) || '</div><p>' ||
+       |      frag || '</p>' AS html
+       |  FROM f),
+       |y AS (
+       |  SELECT doc_id, k, a,
+       |    CASE WHEN k > 0 AND frag <> '' THEN s1 || chr(10) || frag
+       |         WHEN k > 0 THEN s1 ELSE frag END AS txt,
+       |    length(html) AS hb
+       |  FROM x)
+       |SELECT doc_id, CAST(k AS BIGINT) AS n_links,
+       |  CAST(a AS BIGINT) AS anchor_text_bytes,
+       |  CAST(length(txt) AS BIGINT) AS text_bytes,
+       |  CASE WHEN length(txt) > 0
+       |    THEN CAST(a AS DOUBLE) / CAST(length(txt) AS DOUBLE) END
+       |    AS link_density,
+       |  (length(txt) >= 1 AND
+       |   CAST(a AS DOUBLE) / CAST(length(txt) AS DOUBLE) <= 0.6) AS kept
+       |FROM y ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val k = (d % 7).cast("int")
+    val page = concat(lit("<div>"),
+      call_function("repeat", lit("<a href=\"u\">w</a> "), k),
+      lit("</div><p>"), fragCol, lit("</p>"))
+    val base = t("documents").filter(d < 300).select(d, page.as("page"))
+    val e = HtmlExtract.extract(base, "page", "e")
+    val ld = HtmlExtract.linkDensity(col("e"))
+    e.select(d, col("e.n_links").as("n_links"),
+      col("e.anchor_text_bytes").as("anchor_text_bytes"),
+      col("e.text_bytes").as("text_bytes"),
+      ld.as("link_density"),
+      (col("e.text_bytes") >= 1L && ld <= 0.6).as("kept"))
+      .orderBy(d)
+  }
+
+  val catalog: Seq[(String, QueryDef)] =
+    Seq(q213HtmlText, q214LinkDensity)
+}

@@ -315,6 +315,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children.drop(1).headOption
           .exists(_.eval().asInstanceOf[Boolean]))))
     ext.injectFunction((
+      FunctionIdentifier("graft_html_text"),
+      new ExpressionInfo(classOf[GraftHtmlText].getName, "graft_html_text"),
+      (children: Seq[Expression]) => GraftHtmlText(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_html_extract"),
+      new ExpressionInfo(classOf[GraftHtmlExtract].getName,
+        "graft_html_extract"),
+      (children: Seq[Expression]) => GraftHtmlExtract(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_viterbi_segment"),
       new ExpressionInfo(classOf[GraftViterbiSegment].getName,
         "graft_viterbi_segment"),
