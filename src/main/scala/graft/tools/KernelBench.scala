@@ -1,6 +1,7 @@
 package graft.tools
 
-import graft.expressions.{FlacPcm, JpegRaster, PngRaster}
+import graft.expressions.{FlacPcm, HtmlKernel, JpegRaster, PngRaster}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-thread throughput of the zero-dependency codec kernels — the
   * number that decides whether decode can ride the scan at cluster
@@ -58,5 +59,27 @@ object KernelBench {
     run("flac mono verbatim (64k smp)",
       FlacPcm.synth(65536, 8000, 251, 13, 0),
       (b: Array[Byte]) => FlacPcm.decode(b), 65536)
+
+    // ~100 KiB page at crawl-typical tag density (~60% markup), with
+    // entities, links, and head script/style — the q213/q214 shape
+    val page = {
+      val sb = new StringBuilder("<!DOCTYPE html><html><head><title>t" +
+        "</title><style>body{margin:0}</style><script>var x=1;</script>" +
+        "</head><body>")
+      var k = 0
+      while (sb.length < 100 * 1024) {
+        sb.append("<div class=\"row\"><h2>Section ").append(k)
+          .append("</h2><p>lorem ipsum dolor sit amet consectetur " +
+            "adipiscing elit sed do eiusmod tempor &amp; incididunt ut " +
+            "labore</p><a href=\"/item?id=").append(k)
+          .append("&amp;ref=nav\">more</a></div>")
+        k += 1
+      }
+      sb.append("</body></html>").toString
+    }
+    val pageU = UTF8String.fromString(page)
+    run("html extract (100 KiB page)", pageU.getBytes,
+      (_: Array[Byte]) => HtmlKernel.extract(pageU),
+      HtmlKernel.extract(pageU).text.length) // out units = text bytes
   }
 }
