@@ -156,6 +156,59 @@ object Queries25 {
       .orderBy(d)
   }
 
+  /** Outlink graph from raw pages — the crawl-frontier composition:
+    * `graft_html_links` (entity-decoded hrefs, incl. `&amp;` inside
+    * attribute values) → explode → `graft_canon_url` (case/default-port/
+    * tracking-param folding, the q207 machinery) → group by canonical
+    * URL. Three raw spellings per generated link — bare, SHOUTED host
+    * with a zero-padded default port, and a query carrying an HTML
+    * entity plus a tracking param — fold onto two canonical keys. The
+    * oracle rebuilds the canonical form from the generating parts (the
+    * q207 convention) and never touches HTML or URL parsing. */
+  val q215Outlinks: (String, QueryDef) = q(
+    "q215_outlink_graph",
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 5 + 1 AS k
+      |  FROM documents WHERE doc_id < 300),
+      |l AS (
+      |  SELECT doc_id, unnest(generate_series(0, CAST(k - 1 AS BIGINT)))
+      |    AS j FROM p),
+      |e AS (
+      |  SELECT doc_id,
+      |    'http://ex' || CAST((doc_id + 3*j) % 7 AS VARCHAR) || '.test/p'
+      |      || CAST((doc_id + 3*j) % 13 AS VARCHAR) ||
+      |    CASE WHEN (doc_id + 3*j) % 3 = 2 THEN '?a=1' ELSE '' END AS canon
+      |  FROM l)
+      |SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_refs,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      |FROM e GROUP BY canon ORDER BY canon""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val k = (d % 5 + 1).cast("int")
+    val page = concat(lit("<html><body>"),
+      array_join(transform(sequence(lit(0), k - 1), j => {
+        val g = d + j * 3
+        val h = (g % 7).cast("string")
+        val pth = (g % 13).cast("string")
+        val v = g % 3
+        val href =
+          when(v === 1,
+            concat(lit("HTTP://EX"), h, lit(".TEST:080/p"), pth))
+          .when(v === 2,
+            concat(lit("http://ex"), h, lit(".test/p"), pth,
+              lit("?a=1&amp;utm_source=x")))
+          .otherwise(concat(lit("http://ex"), h, lit(".test/p"), pth))
+        concat(lit("<a href=\""), href, lit("\">x</a> "))
+      }), ""),
+      lit("</body></html>"))
+    val base = t("documents").filter(d < 300).select(d, page.as("page"))
+    graft.operators.HtmlExtract.outlinks(base, "page")
+      .select(d, call_function("graft_canon_url", col("href")).as("canon"))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_refs"), min(d).as("first_doc"))
+      .orderBy(col("canon"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
-    Seq(q213HtmlText, q214LinkDensity)
+    Seq(q213HtmlText, q214LinkDensity, q215Outlinks)
 }

@@ -75,7 +75,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object HtmlKernel {
 
-  /** Extraction result: the text bytes plus the stat counters. */
+  /** Extraction result: the text bytes plus the stat counters.
+    * `links` is null unless the pass collected outlinks. */
   final class Result(
       val text: Array[Byte],
       val nTags: Long,
@@ -83,7 +84,8 @@ object HtmlKernel {
       val anchorTextBytes: Long,
       val nBlocks: Long,
       val droppedBytes: Long,
-      val htmlBytes: Long)
+      val htmlBytes: Long,
+      val links: Array[Array[Byte]] = null)
 
   /** Structural + block-level elements whose tags end a text segment. */
   val BlockTags: java.util.HashSet[String] = {
@@ -107,8 +109,139 @@ object HtmlKernel {
   private def lower(c: Byte): Byte =
     if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
 
+  /** Entity decode attempt at `i` (pointing at `&`), scanning below `end`:
+    * packed `(codePoint << 32) | nextPos`, or -1 when the shape is
+    * malformed/unknown and the `&` must stay literal. The ONE entity
+    * grammar shared by the text path and the href-value path. */
+  private def entAt(b: Array[Byte], end: Int, i: Int): Long = {
+    if (i + 1 >= end) return -1L
+    if (b(i + 1) == '#') {
+      var j = i + 2
+      var hex = false
+      if (j < end && (b(j) == 'x' || b(j) == 'X')) { hex = true; j += 1 }
+      val d0 = j
+      var v = 0
+      var overflow = false
+      while (j < end && {
+        val d = b(j)
+        val dv =
+          if (d >= '0' && d <= '9') d - '0'
+          else if (hex && d >= 'a' && d <= 'f') d - 'a' + 10
+          else if (hex && d >= 'A' && d <= 'F') d - 'A' + 10
+          else -1
+        if (dv >= 0) {
+          v = v * (if (hex) 16 else 10) + dv
+          if (v > 0x10ffff) { v = 0x110000; overflow = true }
+          true
+        } else false
+      }) j += 1
+      if (j > d0 && j < end && b(j) == ';') {
+        val cp =
+          if (overflow || v == 0 || v > 0x10ffff ||
+            (v >= 0xd800 && v <= 0xdfff)) 0xfffd
+          else v
+        (cp.toLong << 32) | (j + 1).toLong
+      } else -1L
+    } else if (isAlpha(b(i + 1))) {
+      var j = i + 1
+      while (j < end && isAlpha(b(j)) && j - i <= 8) j += 1
+      if (j < end && b(j) == ';') {
+        val name = new String(b, i + 1, j - i - 1,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val cp = name match {
+          case "amp" => '&'.toInt
+          case "lt" => '<'.toInt
+          case "gt" => '>'.toInt
+          case "quot" => '"'.toInt
+          case "apos" => '\''.toInt
+          case "nbsp" => 0xa0
+          case _ => -1
+        }
+        if (cp >= 0) (cp.toLong << 32) | (j + 1).toLong else -1L
+      } else -1L
+    } else -1L
+  }
+
+  /** The FIRST `href` attribute's decoded value inside an `a` tag's
+    * attribute region `[from, till)` (`till` excludes the closing `>`),
+    * or null when absent/empty. Attribute grammar (WHATWG-shaped,
+    * documented): skip whitespace and `/`; name runs to whitespace, `=`,
+    * or `/`; an optional `=` takes a `"…"`/`'…'` quoted value or an
+    * unquoted run to whitespace (so an unquoted value keeps an embedded
+    * or trailing `/` — the self-closing approximation's counterpart);
+    * the first `href`-named attribute CARRYING a value wins (ASCII
+    * case-insensitive name; a bare valueless `href` contributes nothing).
+    * Value decoding: the shared entity grammar, then the WHATWG URL
+    * whitespace rules — `\t`/`\n`/`\r` stripped ANYWHERE (raw or
+    * decoded), bytes ≤ 0x20 trimmed at both ends. */
+  private def findHref(b: Array[Byte], from: Int, till: Int): Array[Byte] = {
+    var i = from
+    while (i < till) {
+      while (i < till && (isWs(b(i)) || b(i) == '/')) i += 1
+      if (i >= till) return null
+      val ns = i
+      while (i < till && !isWs(b(i)) && b(i) != '=' && b(i) != '/') i += 1
+      val nameLen = i - ns
+      while (i < till && isWs(b(i))) i += 1
+      var vs = -1; var ve = -1
+      if (i < till && b(i) == '=') {
+        i += 1
+        while (i < till && isWs(b(i))) i += 1
+        if (i < till && (b(i) == '"' || b(i) == '\'')) {
+          val q = b(i); i += 1; vs = i
+          while (i < till && b(i) != q) i += 1
+          ve = i
+          if (i < till) i += 1
+        } else {
+          vs = i
+          while (i < till && !isWs(b(i))) i += 1
+          ve = i
+        }
+      }
+      if (nameLen == 4 && lower(b(ns)) == 'h' && lower(b(ns + 1)) == 'r' &&
+        lower(b(ns + 2)) == 'e' && lower(b(ns + 3)) == 'f' && vs >= 0) {
+        val v = decodeHref(b, vs, ve)
+        return if (v.length == 0) null else v
+      }
+    }
+    null
+  }
+
+  private def decodeHref(b: Array[Byte], vs: Int, ve: Int): Array[Byte] = {
+    val out = new Array[Byte](4 * (ve - vs) + 4)
+    var len = 0
+    def put(c: Int): Unit =
+      if (c != '\t' && c != '\n' && c != '\r') { out(len) = c.toByte; len += 1 }
+    def putCp(cp: Int): Unit = {
+      if (cp < 0x80) put(cp)
+      else if (cp < 0x800) { put(0xc0 | (cp >> 6)); put(0x80 | (cp & 0x3f)) }
+      else if (cp < 0x10000) {
+        put(0xe0 | (cp >> 12)); put(0x80 | ((cp >> 6) & 0x3f))
+        put(0x80 | (cp & 0x3f))
+      } else {
+        put(0xf0 | (cp >> 18)); put(0x80 | ((cp >> 12) & 0x3f))
+        put(0x80 | ((cp >> 6) & 0x3f)); put(0x80 | (cp & 0x3f))
+      }
+    }
+    var i = vs
+    while (i < ve) {
+      val c = b(i)
+      if (c == '&') {
+        val m = entAt(b, ve, i)
+        if (m < 0) { put('&'); i += 1 }
+        else { putCp((m >>> 32).toInt); i = m.toInt }
+      } else { put(c); i += 1 }
+    }
+    var s = 0; var e = len
+    while (s < e && (out(s) & 0xff) <= 0x20) s += 1
+    while (e > s && (out(e - 1) & 0xff) <= 0x20) e -= 1
+    java.util.Arrays.copyOfRange(out, s, e)
+  }
+
   /** One extraction pass. Total: never throws, never returns null. */
-  def extract(u: UTF8String): Result = {
+  def extract(u: UTF8String): Result = extract(u, collectLinks = false)
+
+  def extract(u: UTF8String, collectLinks: Boolean): Result = {
     val b = u.getBytes
     val n = b.length
     // plain growable output buffer (ByteArrayOutputStream's synchronized
@@ -121,6 +254,9 @@ object HtmlKernel {
     var nTags = 0L; var nLinks = 0L; var anchorBytes = 0L
     var nlCount = 0L; var dropped = 0L
     var i = 0
+    val linkBuf =
+      if (collectLinks) new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      else null
 
     def write(c: Int): Unit = {
       if (outLen == out.length)
@@ -243,7 +379,15 @@ object HtmlKernel {
               else { dropped += close - after; i = close } // re-parse </name>
             } else {
               if (BlockTags.contains(name)) boundary()
-              if (name == "a") { nLinks += 1; if (!selfClose) aDepth += 1 }
+              if (name == "a") {
+                nLinks += 1
+                if (!selfClose) aDepth += 1
+                if (collectLinks) {
+                  // attr region: past the name, excluding the closing '>'
+                  val h = findHref(b, i + 1 + name.length, after - 1)
+                  if (h != null) linkBuf += h
+                }
+              }
               i = after
             }
           }
@@ -279,62 +423,17 @@ object HtmlKernel {
       } else if (c == '&') {
         // entity; on any malformed shape the '&' is literal and scanning
         // resumes at i+1 (following bytes re-scan as ordinary text)
-        var decoded = false
-        if (i + 1 < n && b(i + 1) == '#') {
-          var j = i + 2
-          var hex = false
-          if (j < n && (b(j) == 'x' || b(j) == 'X')) { hex = true; j += 1 }
-          val d0 = j
-          var v = 0
-          var overflow = false
-          while (j < n && {
-            val d = b(j)
-            val dv =
-              if (d >= '0' && d <= '9') d - '0'
-              else if (hex && d >= 'a' && d <= 'f') d - 'a' + 10
-              else if (hex && d >= 'A' && d <= 'F') d - 'A' + 10
-              else -1
-            if (dv >= 0) {
-              v = v * (if (hex) 16 else 10) + dv
-              if (v > 0x10ffff) { v = 0x110000; overflow = true }
-              true
-            } else false
-          }) j += 1
-          if (j > d0 && j < n && b(j) == ';') {
-            val cp =
-              if (overflow || v == 0 || v > 0x10ffff ||
-                (v >= 0xd800 && v <= 0xdfff)) 0xfffd
-              else v
-            emitCp(cp)
-            i = j + 1
-            decoded = true
-          }
-        } else if (i + 1 < n && isAlpha(b(i + 1))) {
-          var j = i + 1
-          while (j < n && isAlpha(b(j)) && j - i <= 8) j += 1
-          if (j < n && b(j) == ';') {
-            val name = new String(b, i + 1, j - i - 1,
-              java.nio.charset.StandardCharsets.US_ASCII)
-            val cp = name match {
-              case "amp" => '&'.toInt
-              case "lt" => '<'.toInt
-              case "gt" => '>'.toInt
-              case "quot" => '"'.toInt
-              case "apos" => '\''.toInt
-              case "nbsp" => 0xa0
-              case _ => -1
-            }
-            if (cp >= 0) { emitCp(cp); i = j + 1; decoded = true }
-          }
-        }
-        if (!decoded) { emit('&'); i += 1 }
+        val m = entAt(b, n, i)
+        if (m < 0) { emit('&'); i += 1 }
+        else { emitCp((m >>> 32).toInt); i = m.toInt }
       } else if (isWs(c)) { ws(); i += 1 }
       else { emit(c); i += 1 }
     }
 
     val text = java.util.Arrays.copyOf(out, outLen)
     new Result(text, nTags, nLinks, anchorBytes,
-      if (text.length > 0) nlCount + 1 else 0, dropped, n.toLong)
+      if (text.length > 0) nlCount + 1 else 0, dropped, n.toLong,
+      if (collectLinks) linkBuf.toArray else null)
   }
 }
 
@@ -403,4 +502,43 @@ case class GraftHtmlExtract(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): GraftHtmlExtract = copy(child = newChild)
+}
+
+/** `graft_html_links(string) -> array<string>` — the outlinks: each `a`
+  * start tag's first `href` value in document order, entity-decoded with
+  * the text path's entity grammar and cleaned with the WHATWG URL
+  * whitespace rules (`\t`/`\n`/`\r` stripped anywhere, ≤ 0x20 trimmed at
+  * the ends); tags without an `href`, or whose value cleans to empty,
+  * contribute nothing. Feeds `graft_canon_url` → domain/URL-graph work
+  * (the crawl-frontier composition, q215). */
+case class GraftHtmlLinks(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_html_links expects string, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_html_links"
+
+  override protected def nullSafeEval(input: Any): Any =
+    evalLinks(input.asInstanceOf[UTF8String])
+
+  /** Codegen entry point (shared with nullSafeEval). */
+  def evalLinks(u: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val links = HtmlKernel.extract(u, collectLinks = true).links
+    val arr = new Array[Any](links.length)
+    var i = 0
+    while (i < links.length) { arr(i) = UTF8String.fromBytes(links(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftHtmlLinks", this,
+      classOf[GraftHtmlLinks].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.evalLinks($s);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GraftHtmlLinks = copy(child = newChild)
 }

@@ -46,6 +46,16 @@ object HtmlExtract {
       extracted.getField("text_bytes").cast("double") / h.cast("double"))
   }
 
+  /** Outlink edges: one row per (page, href) in document order — the
+    * crawl-frontier / web-graph building block. hrefs come entity-decoded
+    * and URL-whitespace-cleaned from the kernel; compose with
+    * `graft_canon_url` for dedup keys and with [[Graph]] for link-graph
+    * analytics. A page with no links contributes no rows. */
+  def outlinks(df: DataFrame, htmlCol: String,
+      outCol: String = "href"): DataFrame =
+    df.withColumn(outCol,
+      explode(call_function("graft_html_links", col(htmlCol))))
+
   /** The curation filter: keep documents whose extracted text is non-trivial
     * and not link-dominated. Boilerplate chrome (nav bars, footers, link
     * farms) fails the density test; empty/script-only pages fail the size

@@ -129,6 +129,43 @@ class HtmlSpec extends SparkSpec {
     assert(ex("").nBlocks === 0L && ex("<p></p>").nBlocks === 0L)
   }
 
+  test("href extraction: attribute grammar, entity decode, URL cleanup") {
+    def links(h: String): Seq[String] =
+      HtmlKernel.extract(UTF8String.fromString(h), collectLinks = true)
+        .links.toSeq.map(b => UTF8String.fromBytes(b).toString)
+    assert(links("""<a href="u1">x</a><a href='u2'>y</a><a href=u3>z</a>""")
+      === Seq("u1", "u2", "u3"))
+    // case-insensitive name; first href wins; other attrs skipped
+    assert(links("""<a class=c HREF="win" href="lose">x</a>""") === Seq("win"))
+    // entities decode inside values (&amp; in query strings)
+    assert(links("""<a href="/u?a=1&amp;b=2">x</a>""") === Seq("/u?a=1&b=2"))
+    assert(links("""<a href="/u?a=1&bogus;2">x</a>""") === Seq("/u?a=1&bogus;2"))
+    // WHATWG cleanup: tab/LF/CR stripped anywhere, <= 0x20 trimmed at ends
+    assert(links("<a href=\" /u\tr\nl \">x</a>") === Seq("/url"))
+    assert(links("<a href=\"&#9;u&#10;\">x</a>") === Seq("u"))
+    // no href / empty-after-clean → nothing; quoted '>' stays in value
+    assert(links("""<a name=n>x</a><a href="">y</a><a href=" ">z</a>""")
+      === Seq.empty)
+    assert(links("""<a href="u>v">x</a>""") === Seq("u>v"))
+    // unquoted value keeps an embedded/trailing '/' (documented rule)
+    assert(links("""<a href=/a/b/>x""") === Seq("/a/b/"))
+    // non-a tags never contribute; self-closing a still does
+    assert(links("""<link href="css"><a href="u"/>""") === Seq("u"))
+  }
+
+  test("SQL surface: graft_html_links + canon compose (q215 shape)") {
+    val df = Seq((1L,
+      """<p><a href="HTTP://EX1.TEST:080/p2">a</a>""" +
+        """<a href="http://ex1.test/p2?a=1&amp;utm_source=x">b</a></p>"""))
+      .toDF("id", "h")
+    df.createOrReplaceTempView("html_links_fixture")
+    val r = spark.sql(
+      """SELECT graft_canon_url(href) AS c FROM html_links_fixture
+        |LATERAL VIEW explode(graft_html_links(h)) t AS href
+        |ORDER BY c""".stripMargin).as[String].collect()
+    assert(r === Array("http://ex1.test/p2", "http://ex1.test/p2?a=1"))
+  }
+
   // ---------------- differential fuzz vs independent reference ----------
 
   test("fuzz: kernel == char-based reference on 400 random documents") {
@@ -138,11 +175,15 @@ class HtmlSpec extends SparkSpec {
       "&nbsp;", "<3", "< x", "tail<", "ab", "🙂", "p q", "&#10;")
     val tags = Seq("p", "div", "span", "a", "b", "li", "h1", "my-tag",
       "script", "style", "pre", "em")
-    def attrs(): String = rnd.nextInt(4) match {
+    def attrs(): String = rnd.nextInt(8) match {
       case 0 => ""
       case 1 => " href=\"u>v\""
       case 2 => " x='>' y=z"
-      case _ => " k=v/w"
+      case 3 => " k=v/w"
+      case 4 => " href=/u/"
+      case 5 => " HREF='a&amp;b c'"
+      case 6 => " x=1 href=\" q&#10;r \" href=lose"
+      case _ => " href href=\"\" title='t'"
     }
     def piece(depth: Int): String = rnd.nextInt(12) match {
       case 0 | 1 | 2 | 3 => words(rnd.nextInt(words.length)) +
@@ -166,7 +207,8 @@ class HtmlSpec extends SparkSpec {
     var checked = 0
     for (i <- 0 until 400) {
       val html = doc(0) + (if (i % 17 == 0) "<p unterminated" else "")
-      val r = ex(html)
+      val r = HtmlKernel.extract(UTF8String.fromString(html),
+        collectLinks = true)
       val want = HtmlRef.extract(html)
       val got = UTF8String.fromBytes(r.text).toString
       assert(got === want.text, s"text mismatch on: $html")
@@ -174,6 +216,8 @@ class HtmlSpec extends SparkSpec {
       assert(r.nLinks === want.nLinks, s"nLinks on: $html")
       assert(r.nBlocks === want.nBlocks, s"nBlocks on: $html")
       assert(r.droppedBytes === want.dropped, s"dropped on: $html")
+      val gotLinks = r.links.toSeq.map(b => UTF8String.fromBytes(b).toString)
+      assert(gotLinks === want.links, s"links on: $html")
       // anchor attribution invariants (exact rule pinned by hand above)
       assert(r.anchorTextBytes >= 0L && r.anchorTextBytes <= r.text.length)
       if (r.nLinks == 0L) assert(r.anchorTextBytes === 0L)
@@ -239,7 +283,7 @@ class HtmlSpec extends SparkSpec {
   * hand cases; re-deriving it would copy the kernel's algorithm). */
 object HtmlRef {
   final case class Ref(text: String, nTags: Long, nLinks: Long,
-      nBlocks: Long, dropped: Long)
+      nBlocks: Long, dropped: Long, links: Seq[String])
 
   private sealed trait Ev
   private final case class Txt(s: String) extends Ev
@@ -248,6 +292,7 @@ object HtmlRef {
   def extract(html: String): Ref = {
     val n = html.length
     val evs = scala.collection.mutable.ArrayBuffer.empty[Ev]
+    val links = scala.collection.mutable.ArrayBuffer.empty[String]
     var nTags = 0L; var nLinks = 0L; var dropped = 0L
     var i = 0
     def isWsC(c: Char) =
@@ -297,7 +342,11 @@ object HtmlRef {
               else { dropped += utf8len(html.substring(after, found)); i = found }
             } else {
               if (HtmlKernel.BlockTags.contains(name)) evs += Brk
-              if (name == "a") nLinks += 1
+              if (name == "a") {
+                nLinks += 1
+                refHref(html.substring(i + 1 + name.length, after - 1))
+                  .foreach(links += _)
+              }
               i = after
             }
         }
@@ -328,7 +377,13 @@ object HtmlRef {
       } else if (c == '&') {
         val m = entity(html, i)
         if (m == null) { evs += Txt("&"); i += 1 }
-        else { evs += Txt(m._1); i = m._2 }
+        else {
+          val cp = m._1
+          val rep = if (cp == ' ' || cp == '\t' || cp == '\n' ||
+            cp == '\r' || cp == '\f' || cp == 0xa0) " "
+          else new String(Character.toChars(cp))
+          evs += Txt(rep); i = m._2
+        }
       } else if (isWsC(c)) { evs += Txt(" "); i += 1 }
       else { evs += Txt(c.toString); i += 1 }
     }
@@ -343,12 +398,61 @@ object HtmlRef {
       .filter(_.nonEmpty)
     val txt = cleaned.mkString("\n")
     Ref(txt, nTags, nLinks, if (txt.isEmpty) 0L else cleaned.length.toLong,
-      dropped)
+      dropped, links.toSeq)
   }
 
-  /** Decoded entity at `i`, as (replacement, posAfter); null if literal.
-    * Whitespace-class and NBSP decodes become a collapsible " ". */
-  private def entity(h: String, i: Int): (String, Int) = {
+  /** Independent href parse over one a-tag's attribute region (excludes
+    * the closing '>'): first href attr wins; value entity-decodes with
+    * [[entity]] then URL-cleans (tab/LF/CR stripped anywhere, chars
+    * <= 0x20 trimmed at the ends); empty after cleaning → None. */
+  private def refHref(s: String): Option[String] = {
+    val n = s.length; var i = 0
+    def ws(c: Char) =
+      c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+    while (i < n) {
+      while (i < n && (ws(s(i)) || s(i) == '/')) i += 1
+      if (i >= n) return None
+      val ns = i
+      while (i < n && !ws(s(i)) && s(i) != '=' && s(i) != '/') i += 1
+      val name = s.substring(ns, i)
+      while (i < n && ws(s(i))) i += 1
+      var v: String = null
+      if (i < n && s(i) == '=') {
+        i += 1
+        while (i < n && ws(s(i))) i += 1
+        if (i < n && (s(i) == '"' || s(i) == '\'')) {
+          val q = s(i); i += 1; val vs = i
+          while (i < n && s(i) != q) i += 1
+          v = s.substring(vs, i)
+          if (i < n) i += 1
+        } else {
+          val vs = i
+          while (i < n && !ws(s(i))) i += 1
+          v = s.substring(vs, i)
+        }
+      }
+      if (name.equalsIgnoreCase("href") && v != null) {
+        val sb = new StringBuilder
+        var j = 0
+        while (j < v.length) {
+          if (v(j) == '&') entity(v, j) match {
+            case null => sb.append('&'); j += 1
+            case (cp, nxt) =>
+              sb.append(new String(Character.toChars(cp))); j = nxt
+          }
+          else { sb.append(v(j)); j += 1 }
+        }
+        val cleaned = sb.toString.filterNot(c =>
+          c == '\t' || c == '\n' || c == '\r')
+          .dropWhile(_ <= ' ').reverse.dropWhile(_ <= ' ').reverse
+        return if (cleaned.isEmpty) None else Some(cleaned)
+      }
+    }
+    None
+  }
+
+  /** Decoded entity at `i`, as (codePoint, posAfter); null if literal. */
+  private def entity(h: String, i: Int): (Int, Int) = {
     val n = h.length
     if (i + 1 >= n) return null
     if (h(i + 1) == '#') {
@@ -363,20 +467,18 @@ object HtmlRef {
       if (j == d0 || j >= n || h(j) != ';') return null
       val cp = if (v == 0 || v > 0x10ffffL || (v >= 0xd800 && v <= 0xdfff))
         0xfffd else v.toInt
-      val rep = if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' ||
-        cp == '\f' || cp == 0xa0) " " else new String(Character.toChars(cp))
-      (rep, j + 1)
+      (cp, j + 1)
     } else {
       var j = i + 1
       while (j < n && h(j).isLetter && h(j) < 0x80 && j - i <= 8) j += 1
       if (j >= n || h(j) != ';') return null
       h.substring(i + 1, j) match {
-        case "amp" => ("&", j + 1)
-        case "lt" => ("<", j + 1)
-        case "gt" => (">", j + 1)
-        case "quot" => ("\"", j + 1)
-        case "apos" => ("'", j + 1)
-        case "nbsp" => (" ", j + 1)
+        case "amp" => ('&'.toInt, j + 1)
+        case "lt" => ('<'.toInt, j + 1)
+        case "gt" => ('>'.toInt, j + 1)
+        case "quot" => ('"'.toInt, j + 1)
+        case "apos" => ('\''.toInt, j + 1)
+        case "nbsp" => (0xa0, j + 1)
         case _ => null
       }
     }
