@@ -209,6 +209,76 @@ object Queries25 {
       .orderBy(col("canon"))
   }
 
+  /** The crawl pipeline's FIRST hop, end to end in one plan: synthesize a
+    * two-record WARC file per document (a `warcinfo` record and an HTTP
+    * `response` record whose block carries an HTML page), parse with
+    * [[graft.expressions.WarcKernel]] (`graft_warc_parse`), explode to
+    * records, and run `graft_html_text` on every body — WARC bytes →
+    * records → HTTP status/mime/body split → text, the exact chain a
+    * CommonCrawl ingest runs. The oracle replays record fields and the
+    * expected text as string arithmetic (the q213 convention): any header
+    * walk, Content-Length accounting, HTTP split, or angle-bracket-URI
+    * bug breaks the hash. */
+  val q216WarcPipeline: (String, QueryDef) = q(
+    "q216_warc_pipeline",
+    s"""WITH f AS (
+       |  SELECT doc_id, $FragSql AS frag
+       |  FROM documents WHERE doc_id < 200),
+       |h AS (
+       |  SELECT doc_id, frag,
+       |    '<html><body><p>' || frag || '</p><a href="/next?id=' ||
+       |      CAST(doc_id AS VARCHAR) || '&amp;x=1">next</a></body></html>'
+       |      AS html
+       |  FROM f)
+       |SELECT doc_id, rec_type, uri, status, mime, body_len, txt FROM (
+       |  SELECT doc_id, 'warcinfo' AS rec_type, CAST(NULL AS VARCHAR) AS uri,
+       |    CAST(NULL AS INT) AS status,
+       |    'application/warc-fields' AS mime,
+       |    CAST(17 AS BIGINT) AS body_len, 'software: graft' AS txt
+       |  FROM h
+       |  UNION ALL
+       |  SELECT doc_id, 'response',
+       |    'http://ex' || CAST(doc_id % 7 AS VARCHAR) || '.test/p' ||
+       |      CAST(doc_id AS VARCHAR),
+       |    CAST(200 AS INT), 'text/html; charset=utf-8',
+       |    CAST(length(html) AS BIGINT),
+       |    CASE WHEN frag = '' THEN 'next'
+       |         ELSE frag || chr(10) || 'next' END
+       |  FROM h)
+       |ORDER BY doc_id, rec_type""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val ds = d.cast("string")
+    val h = (d % 7).cast("string")
+    val base = t("documents").filter(d < 200)
+      .select(d, fragCol.as("frag"))
+      .withColumn("html", concat(lit("<html><body><p>"), col("frag"),
+        lit("</p><a href=\"/next?id="), ds,
+        lit("&amp;x=1\">next</a></body></html>")))
+      .withColumn("http", concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +
+          "\r\n\r\n"), col("html")))
+      .withColumn("warc", concat(
+        lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Type: " +
+          "application/warc-fields\r\nContent-Length: 17\r\n\r\n" +
+          "software: graft\r\n\r\n\r\n" +
+          "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: <http://ex"),
+        h, lit(".test/p"), ds,
+        lit(">\r\nContent-Type: application/http; msgtype=response\r\n" +
+          "Content-Length: "),
+        length(col("http")).cast("string"),
+        lit("\r\n\r\n"), col("http"), lit("\r\n\r\n")))
+    graft.operators.Multimodal.warcRecords(
+        base.select(d, col("warc").cast("binary").as("payload")))
+      .select(d, col("warc_rec.rec_type").as("rec_type"),
+        col("warc_rec.uri").as("uri"), col("warc_rec.status").as("status"),
+        col("warc_rec.mime").as("mime"),
+        length(col("warc_rec.body")).cast("long").as("body_len"),
+        call_function("graft_html_text",
+          col("warc_rec.body").cast("string")).as("txt"))
+      .orderBy(d, col("rec_type"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
-    Seq(q213HtmlText, q214LinkDensity, q215Outlinks)
+    Seq(q213HtmlText, q214LinkDensity, q215Outlinks, q216WarcPipeline)
 }

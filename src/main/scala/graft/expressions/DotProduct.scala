@@ -328,6 +328,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftHtmlLinks].getName, "graft_html_links"),
       (children: Seq[Expression]) => GraftHtmlLinks(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_warc_parse"),
+      new ExpressionInfo(classOf[GraftWarcParse].getName, "graft_warc_parse"),
+      (children: Seq[Expression]) => GraftWarcParse(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_viterbi_segment"),
       new ExpressionInfo(classOf[GraftViterbiSegment].getName,
         "graft_viterbi_segment"),

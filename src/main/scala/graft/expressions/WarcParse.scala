@@ -1,0 +1,313 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WARC container parse — the web-archive format CommonCrawl ships, i.e.
+  * the byte layer UNDER the HTML tier: a crawl pipeline's very first hop
+  * is WARC bytes → records → HTTP response split → body → `graft_html_*`.
+  * Zero-dependency (ISO 28500 header walk + `java.util.zip` for the
+  * customary per-record gzip members), like the other container parsers
+  * ([[AudioMeta]], [[VideoMeta]]).
+  *
+  * `graft_warc_parse(binary) -> array<struct<rec_type string, uri string,
+  * status int, mime string, body binary>>`, one element per WARC record:
+  *
+  *  - gzip input (magic `1f 8b`) inflates first — multi-member streams
+  *    (the warc.gz convention: one member per record) read end-to-end;
+  *    decompressed size is capped at 256 MiB and the cap returns NULL
+  *    (the PNG-FDICT lesson: a tiny crafted payload must not pin an
+  *    executor; loud null over silent truncation);
+  *  - records: `WARC/…` version line, then `Name: value` headers (ASCII
+  *    case-insensitive names, obs-fold continuation lines joined with one
+  *    space, values trimmed of spaces/tabs), a blank line, then exactly
+  *    `Content-Length` block bytes; CR/LF runs between records are
+  *    skipped (both CRLF and bare-LF line endings parse);
+  *  - `uri` = `WARC-Target-URI`, surrounding `<…>` stripped (the WARC 1.0
+  *    angle-bracket variant);
+  *  - a `response` record whose block starts with `HTTP/` splits: `status`
+  *    = the integer after the first space of the status line, `mime` = the
+  *    HTTP `Content-Type` value verbatim (parameters kept), `body` = the
+  *    bytes after the HTTP header terminator (no terminator → empty body);
+  *    any other record keeps `status` null, `mime` = the record-level
+  *    `Content-Type`, `body` = the whole block;
+  *  - anything malformed — wrong magic, missing/invalid `Content-Length`,
+  *    a block running past the input — returns NULL for the whole value
+  *    (corrupt archives surface, never half-parse).
+  *
+  * Reference scope note: sybil ingests flattened JSON only
+  * (src/sybil/ingest.go); WARC belongs to the training-data-pipeline
+  * extension tier (q216 chains it into the HTML kernel).
+  */
+object WarcKernel {
+  /** Decompressed-size cap (bytes): loud NULL past it. */
+  val MaxInflated: Int = 256 << 20
+
+  final class Rec(
+      val recType: Array[Byte], // null when header absent
+      val uri: Array[Byte],
+      val status: java.lang.Integer,
+      val mime: Array[Byte],
+      val bodyOff: Int,
+      val bodyLen: Int)
+
+  private def isGzip(b: Array[Byte]): Boolean =
+    b.length > 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+
+  /** Multi-member gzip inflate with the size cap; null on corruption. */
+  private def gunzip(b: Array[Byte]): Array[Byte] = {
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
+      val buf = new Array[Byte](64 << 10)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (out.size() + n > MaxInflated) return null
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } catch { case _: java.io.IOException => null }
+  }
+
+  private def lowerEq(b: Array[Byte], s: Int, e: Int, name: String): Boolean = {
+    if (e - s != name.length) return false
+    var i = 0
+    while (i < name.length) {
+      var c = b(s + i).toInt
+      if (c >= 'A' && c <= 'Z') c += 32
+      if (c != name.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** (records, payloadBytes) — payload is the (possibly inflated) buffer
+    * the records' body offsets index into; null on any malformation. */
+  def parse(raw: Array[Byte]): (Array[Rec], Array[Byte]) = {
+    val b = if (isGzip(raw)) gunzip(raw) else raw
+    if (b == null) return null
+    val n = b.length
+    val recs = new scala.collection.mutable.ArrayBuffer[Rec]()
+    var i = 0
+    def skipCrlf(): Unit =
+      while (i < n && (b(i) == '\r' || b(i) == '\n')) i += 1
+    /** Line end scan: returns (contentEnd, nextLineStart) packed. */
+    def lineEnd(p0: Int): Long = {
+      var p = p0
+      while (p < n && b(p) != '\n') p += 1
+      val ce = if (p > p0 && p <= n && p - 1 >= p0 && p - 1 < n &&
+        b(p - 1) == '\r') p - 1
+      else p
+      ((ce.toLong) << 32) | math.min(p + 1, n).toLong
+    }
+    skipCrlf()
+    while (i < n) {
+      // version line
+      if (i + 5 > n || b(i) != 'W' || b(i + 1) != 'A' || b(i + 2) != 'R' ||
+        b(i + 3) != 'C' || b(i + 4) != '/') return null
+      i = lineEnd(i).toInt
+      // headers
+      var recType: Array[Byte] = null
+      var uri: Array[Byte] = null
+      var recMime: Array[Byte] = null
+      var contentLength = -1L
+      var lastName: String = null
+      var blank = false
+      while (!blank && i < n) {
+        val le = lineEnd(i)
+        val ce = (le >>> 32).toInt
+        val ls = i
+        i = le.toInt
+        if (ce == ls) blank = true
+        else if (b(ls) == ' ' || b(ls) == '\t') {
+          // obs-fold: extend the previous header's value with one space
+          var vs = ls
+          while (vs < ce && (b(vs) == ' ' || b(vs) == '\t')) vs += 1
+          if (lastName != null && vs < ce) {
+            val ext = java.util.Arrays.copyOfRange(b, vs, ce)
+            def join(old: Array[Byte]): Array[Byte] =
+              if (old == null) ext
+              else {
+                val j = new Array[Byte](old.length + 1 + ext.length)
+                System.arraycopy(old, 0, j, 0, old.length)
+                j(old.length) = ' '
+                System.arraycopy(ext, 0, j, old.length + 1, ext.length)
+                j
+              }
+            lastName match {
+              case "warc-type" => recType = join(recType)
+              case "warc-target-uri" => uri = join(uri)
+              case "content-type" => recMime = join(recMime)
+              case _ => ()
+            }
+          }
+        } else {
+          var c = ls
+          while (c < ce && b(c) != ':') c += 1
+          if (c < ce) {
+            var vs = c + 1
+            while (vs < ce && (b(vs) == ' ' || b(vs) == '\t')) vs += 1
+            var ve = ce
+            while (ve > vs && (b(ve - 1) == ' ' || b(ve - 1) == '\t')) ve -= 1
+            val v = java.util.Arrays.copyOfRange(b, vs, ve)
+            if (lowerEq(b, ls, c, "warc-type")) {
+              recType = v; lastName = "warc-type"
+            } else if (lowerEq(b, ls, c, "warc-target-uri")) {
+              uri = v; lastName = "warc-target-uri"
+            } else if (lowerEq(b, ls, c, "content-type")) {
+              recMime = v; lastName = "content-type"
+            } else if (lowerEq(b, ls, c, "content-length")) {
+              lastName = null // folding a length is malformed; ignore
+              contentLength = 0L
+              var k = vs
+              if (k >= ve) contentLength = -1L
+              while (k < ve && contentLength >= 0L) {
+                val d = b(k)
+                if (d >= '0' && d <= '9')
+                  contentLength = contentLength * 10 + (d - '0')
+                else contentLength = -1L
+                if (contentLength > Int.MaxValue) contentLength = -1L
+                k += 1
+              }
+            } else lastName = null
+          } else lastName = null
+        }
+      }
+      if (!blank || contentLength < 0L ||
+        i + contentLength > n) return null
+      val blockOff = i
+      val blockLen = contentLength.toInt
+      i += blockLen
+      // strip <...> around the URI (WARC 1.0 angle-bracket variant)
+      if (uri != null && uri.length >= 2 && uri(0) == '<' &&
+        uri(uri.length - 1) == '>')
+        uri = java.util.Arrays.copyOfRange(uri, 1, uri.length - 1)
+      // HTTP split for response records
+      var status: java.lang.Integer = null
+      var mime = recMime
+      var bodyOff = blockOff
+      var bodyLen = blockLen
+      val isResponse = recType != null &&
+        lowerEq(recType, 0, recType.length, "response")
+      if (isResponse && blockLen >= 5 && b(blockOff) == 'H' &&
+        b(blockOff + 1) == 'T' && b(blockOff + 2) == 'T' &&
+        b(blockOff + 3) == 'P' && b(blockOff + 4) == '/') {
+        val blockEnd = blockOff + blockLen
+        // status = digits after the first space of the status line
+        var p = blockOff
+        while (p < blockEnd && b(p) != ' ' && b(p) != '\n') p += 1
+        if (p < blockEnd && b(p) == ' ') {
+          p += 1
+          var v = 0
+          var any = false
+          while (p < blockEnd && b(p) >= '0' && b(p) <= '9' && v < 1000) {
+            v = v * 10 + (b(p) - '0'); any = true; p += 1
+          }
+          if (any) status = Integer.valueOf(v)
+        }
+        // headers until blank line; Content-Type overrides record mime
+        var q = blockOff
+        var httpBody = -1
+        var httpMime: Array[Byte] = null
+        // skip status line first
+        while (q < blockEnd && b(q) != '\n') q += 1
+        q = math.min(q + 1, blockEnd)
+        var done = false
+        while (!done && q < blockEnd) {
+          var e = q
+          while (e < blockEnd && b(e) != '\n') e += 1
+          var ce2 = e
+          if (ce2 > q && b(ce2 - 1) == '\r') ce2 -= 1
+          if (ce2 == q) { httpBody = math.min(e + 1, blockEnd); done = true }
+          else {
+            var c2 = q
+            while (c2 < ce2 && b(c2) != ':') c2 += 1
+            if (c2 < ce2 && lowerEq(b, q, c2, "content-type")) {
+              var vs2 = c2 + 1
+              while (vs2 < ce2 && (b(vs2) == ' ' || b(vs2) == '\t')) vs2 += 1
+              var ve2 = ce2
+              while (ve2 > vs2 && (b(ve2 - 1) == ' ' || b(ve2 - 1) == '\t'))
+                ve2 -= 1
+              httpMime = java.util.Arrays.copyOfRange(b, vs2, ve2)
+            }
+            q = math.min(e + 1, blockEnd)
+          }
+        }
+        if (httpMime != null) mime = httpMime
+        if (httpBody >= 0) { bodyOff = httpBody; bodyLen = blockEnd - httpBody }
+        else { bodyOff = blockEnd; bodyLen = 0 } // headers never ended
+      }
+      recs += new Rec(recType, uri, status, mime, bodyOff, bodyLen)
+      skipCrlf()
+    }
+    (recs.toArray, b)
+  }
+}
+
+/** `graft_warc_parse(binary) -> array<struct<rec_type, uri, status, mime,
+  * body>>` — see [[WarcKernel]]. NULL on malformed/over-cap input. */
+case class GraftWarcParse(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_warc_parse expects binary, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("rec_type", StringType, nullable = true),
+    StructField("uri", StringType, nullable = true),
+    StructField("status", IntegerType, nullable = true),
+    StructField("mime", StringType, nullable = true),
+    StructField("body", BinaryType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_warc_parse"
+
+  override protected def nullSafeEval(input: Any): Any =
+    evalWarc(input.asInstanceOf[Array[Byte]])
+
+  /** Codegen entry point (shared with nullSafeEval). */
+  def evalWarc(bytes: Array[Byte]): GenericArrayData =
+    WarcKernel.parse(bytes) match {
+      case null => null
+      case (recs, buf) =>
+        val out = new Array[Any](recs.length)
+        var i = 0
+        while (i < recs.length) {
+          val r = recs(i)
+          out(i) = new GenericInternalRow(Array[Any](
+            if (r.recType == null) null else UTF8String.fromBytes(r.recType),
+            if (r.uri == null) null else UTF8String.fromBytes(r.uri),
+            if (r.status == null) null else r.status.intValue(),
+            if (r.mime == null) null else UTF8String.fromBytes(r.mime),
+            java.util.Arrays.copyOfRange(buf, r.bodyOff,
+              r.bodyOff + r.bodyLen)))
+          i += 1
+        }
+        new GenericArrayData(out)
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftWarcParse", this,
+      classOf[GraftWarcParse].getName)
+    val tmp = ctx.freshName("warc")
+    // evalWarc returns null on malformed input — propagate to isNull (a
+    // bare assignment would NPE downstream consumers like explode)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""
+         |Object $tmp = $ref.evalWarc($s);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  (org.apache.spark.sql.catalyst.util.GenericArrayData) $tmp; }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GraftWarcParse = copy(child = newChild)
+}

@@ -166,6 +166,17 @@ object Multimodal {
     * struct<timescale,duration_ms,n_tracks,width,height>` (null when not
     * parseable). Completes the image/audio/video header-parse triple —
     * pure scan-side codegen projection, no codec, no shuffle. */
+  /** WARC container → one row per archive record (`warc_rec
+    * struct<rec_type,uri,status,mime,body>`), gzip members inflated,
+    * HTTP responses pre-split — the ingest hop BEFORE [[decodeDims]] /
+    * `graft_html_*` in a crawl pipeline ([[graft.expressions.WarcKernel]];
+    * r13). Malformed archives explode to zero rows via the kernel's loud
+    * NULL (use a left-style audit upstream to count them). Scan-side
+    * generator expression — no shuffle; one payload parses once. */
+  def warcRecords(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    df.withColumn("warc_rec",
+      explode(call_function("graft_warc_parse", col(payloadCol))))
+
   def decodeVideoMeta(media: DataFrame, payloadCol: String = "payload"): DataFrame =
     media.withColumn("decoded_video",
       call_function("graft_video_meta", col(payloadCol)))

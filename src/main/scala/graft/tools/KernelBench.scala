@@ -81,5 +81,30 @@ object KernelBench {
     run("html extract (100 KiB page)", pageU.getBytes,
       (_: Array[Byte]) => HtmlKernel.extract(pageU),
       HtmlKernel.extract(pageU).text.length) // out units = text bytes
+
+    // ~2 MiB WARC of response records carrying the page above, raw and
+    // as the customary per-record-gzip-member warc.gz
+    val warcRaw = {
+      val sb = new StringBuilder
+      while (sb.length < (2 << 20)) {
+        sb.append("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+          "<http://ex.test/p>\r\nContent-Length: ")
+        val block = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + page
+        sb.append(block.length).append("\r\n\r\n").append(block)
+          .append("\r\n\r\n")
+      }
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    val nRecs = graft.expressions.WarcKernel.parse(warcRaw)._1.length.toLong
+    run("warc parse (2 MiB, raw)", warcRaw,
+      (x: Array[Byte]) => graft.expressions.WarcKernel.parse(x), nRecs)
+    val warcGz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(warcRaw); g.close()
+      bos.toByteArray
+    }
+    run("warc parse (gzip member)", warcGz,
+      (x: Array[Byte]) => graft.expressions.WarcKernel.parse(x), nRecs)
   }
 }

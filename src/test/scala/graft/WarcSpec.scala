@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.expressions.WarcKernel
+import graft.operators.Multimodal
+
+/** WARC container kernel ([[WarcKernel]], `graft_warc_parse`): record
+  * walk, HTTP split, gzip members, and the loud-NULL malformation +
+  * DoS-cap rules — every documented branch pinned by hand-built bytes. */
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def b(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private def str(a: Array[Byte]): String =
+    new String(a, java.nio.charset.StandardCharsets.UTF_8)
+
+  private def rec(warcType: String, block: String,
+      extra: String = ""): String =
+    s"WARC/1.0\r\nWARC-Type: $warcType\r\n$extra" +
+      s"Content-Length: ${b(block).length}\r\n\r\n$block\r\n\r\n"
+
+  private val httpBlock =
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" +
+      "<p>hello</p>"
+
+  test("two-record walk: warcinfo block verbatim, response HTTP-split") {
+    val warc = rec("warcinfo", "software: graft\r\n",
+      "Content-Type: application/warc-fields\r\n") +
+      rec("response", httpBlock,
+        "WARC-Target-URI: <http://ex.test/p>\r\n")
+    val (rs, buf) = WarcKernel.parse(b(warc))
+    assert(rs.length === 2)
+    assert(str(rs(0).recType) === "warcinfo" && rs(0).status === null)
+    assert(str(rs(0).mime) === "application/warc-fields")
+    assert(str(java.util.Arrays.copyOfRange(buf, rs(0).bodyOff,
+      rs(0).bodyOff + rs(0).bodyLen)) === "software: graft\r\n")
+    assert(str(rs(1).recType) === "response")
+    assert(str(rs(1).uri) === "http://ex.test/p") // <...> stripped
+    assert(rs(1).status.intValue === 200)
+    assert(str(rs(1).mime) === "text/html; charset=utf-8") // HTTP wins
+    assert(str(java.util.Arrays.copyOfRange(buf, rs(1).bodyOff,
+      rs(1).bodyOff + rs(1).bodyLen)) === "<p>hello</p>")
+  }
+
+  test("header details: case-insensitive names, obs-fold, bare-LF lines") {
+    val warc = "WARC/1.0\nwarc-type: response\nWARC-TARGET-URI: http://u\n" +
+      "content-length: 3\n\nxyz\n\n"
+    val (rs, _) = WarcKernel.parse(b(warc))
+    assert(rs.length === 1 && str(rs(0).uri) === "http://u")
+    // non-HTTP response block: body is the whole block, status null
+    assert(rs(0).status === null && rs(0).bodyLen === 3)
+    // obs-fold: continuation line joins the previous value with one space
+    val folded = "WARC/1.0\r\nWARC-Target-URI: http://a\r\n " +
+      "b/c\r\nWARC-Type: metadata\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    val (fs, _) = WarcKernel.parse(b(folded))
+    assert(str(fs(0).uri) === "http://a b/c")
+  }
+
+  test("HTTP split edges: no terminator -> empty body; odd status lines") {
+    val noTerm = rec("response", "HTTP/1.1 404 NF\r\nX: 1\r\n")
+    val (rs, _) = WarcKernel.parse(b(noTerm))
+    assert(rs(0).status.intValue === 404 && rs(0).bodyLen === 0)
+    // status caps at 3 digits of value < 1000; garbage after space -> null
+    val bad = rec("response", "HTTP/1.1 abc\r\n\r\nx")
+    val (bs, _) = WarcKernel.parse(b(bad))
+    assert(bs(0).status === null && bs(0).bodyLen === 1)
+  }
+
+  test("malformed archives are LOUD nulls, never half-parses") {
+    assert(WarcKernel.parse(b("GARBAGE")) === null)
+    assert(WarcKernel.parse(
+      b("WARC/1.0\r\nWARC-Type: metadata\r\n\r\n")) === null) // no length
+    assert(WarcKernel.parse(
+      b("WARC/1.0\r\nContent-Length: 99\r\n\r\nshort")) === null) // truncated
+    assert(WarcKernel.parse(
+      b("WARC/1.0\r\nContent-Length: 12x\r\n\r\n")) === null) // bad digits
+    // a valid record FOLLOWED by garbage is also null (no silent prefix)
+    assert(WarcKernel.parse(b(rec("metadata", "ok") + "JUNK")) === null)
+    // empty input: zero records, not null
+    val (empty, _) = WarcKernel.parse(Array.emptyByteArray)
+    assert(empty.length === 0)
+  }
+
+  test("gzip: multi-member warc.gz reads end-to-end; bomb hits the cap") {
+    def gz(parts: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      parts.foreach { p =>
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(p); g.finish(); g.close()
+      }
+      bos.toByteArray
+    }
+    val m1 = b(rec("warcinfo", "software: graft\r\n"))
+    val m2 = b(rec("response", httpBlock))
+    val (rs, _) = WarcKernel.parse(gz(Seq(m1, m2)))
+    assert(rs.length === 2 && rs(1).status.intValue === 200)
+    // DoS guard: ~300 MiB of zeros compresses to ~300 KiB; the kernel
+    // must refuse at MaxInflated, not materialize it
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    val chunk = new Array[Byte](1 << 20)
+    for (_ <- 0 until 300) g.write(chunk)
+    g.close()
+    assert(WarcKernel.parse(bos.toByteArray) === null)
+    // corrupt gzip: must not throw; a mid-stream flip surfaces as a loud
+    // null (deflate/CRC error), never a half-parse or an exception
+    val corrupt = gz(Seq(m1)).clone()
+    corrupt(corrupt.length / 2) = (corrupt(corrupt.length / 2) ^ 0x55).toByte
+    assert(WarcKernel.parse(corrupt) === null)
+  }
+
+  test("SQL surface + operator: warcRecords explodes; chain into html") {
+    val warc = rec("warcinfo", "software: graft\r\n") +
+      rec("response", httpBlock, "WARC-Target-URI: http://ex.test/p\r\n")
+    val df = Seq((1L, b(warc)), (2L, b("BROKEN")),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val out = Multimodal.warcRecords(df)
+      .select(col("id"), col("warc_rec.rec_type").as("t"),
+        col("warc_rec.status").as("st"),
+        call_function("graft_html_text",
+          col("warc_rec.body").cast("string")).as("txt"))
+      .orderBy(col("id"), col("t")).collect()
+    // broken + null payloads explode to NOTHING (loud at the kernel,
+    // row-absent at the operator)
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 1L))
+    assert(out(0).getString(1) === "response" && out(0).getInt(2) === 200)
+    assert(out(0).getString(3) === "hello")
+    assert(out(1).getString(1) === "warcinfo" && out(1).isNullAt(2))
+    assert(out(1).getString(3) === "software: graft")
+  }
+}
