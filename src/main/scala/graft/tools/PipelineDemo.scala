@@ -64,6 +64,32 @@ object PipelineDemo {
     feats.select(col("media_id"), col("features")).show(3, false)
     require(feats.count() == 50)
 
+    // 6. crawl path (r13): WARC bytes → records → HTML text + outlinks →
+    //    boilerplate filter — the pre-ingest hop of a training-data run
+    val pages = (0L until 40L).map { i =>
+      val body =
+        if (i % 4 == 0) "<div>" + ("""<a href="/u">w</a> """ * 6) + "</div>"
+        else s"""<p>article $i body text</p><a href="/r?a=1&amp;i=$i">ref</a>"""
+      val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+      val warc = s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+        s"<http://ex${i % 3}.test/p$i>\r\nContent-Length: ${http.length}" +
+        s"\r\n\r\n$http\r\n\r\n"
+      (i, warc.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    }.toDF("page_id", "payload")
+    val recs = Multimodal.warcRecords(pages)
+      .select(col("page_id"), col("warc_rec.uri").as("uri"),
+        col("warc_rec.body").cast("string").as("html"))
+    val kept2 = graft.operators.HtmlExtract.dropBoilerplate(recs, "html",
+      maxLinkDensity = 0.5)
+    val nKept = kept2.count()
+    require(nKept == 30, s"expected 30 non-boilerplate pages, got $nKept")
+    val outEdges = graft.operators.HtmlExtract.outlinks(kept2, "html")
+      .select(call_function("graft_canon_url",
+        concat(lit("http://ex.test"), col("href"))).as("canon"))
+      .groupBy("canon").count()
+    require(outEdges.count() == 30, "expected 30 distinct canonical outlinks")
+    println("== crawl path: 40 pages -> 30 articles, link farm dropped")
+
     println("PIPELINE DEMO OK")
     spark.stop()
   }
