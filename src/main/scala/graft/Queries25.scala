@@ -279,6 +279,48 @@ object Queries25 {
       .orderBy(d, col("rec_type"))
   }
 
+  /** Charset repair ([[graft.expressions.CharsetKernel]] — the HTML5
+    * rule: valid UTF-8 is UTF-8, everything else decodes windows-1252):
+    * four byte-shapes per document — pure ASCII, a valid UTF-8 é
+    * (`C3 A9`), a latin-1 é (`E9`, invalid UTF-8), and a cp1252 curly
+    * quote (`93`) — where shapes 1 and 2 decode to the SAME text from
+    * DIFFERENT bytes (the whole point of the fallback). The oracle
+    * replays the expected guess and decoded text with `chr()` arithmetic
+    * and never touches bytes. */
+  val q217CharsetFix: (String, QueryDef) = q(
+    "q217_charset_fix",
+    s"""WITH f AS (
+       |  SELECT doc_id, $FragSql AS frag
+       |  FROM documents WHERE doc_id < 200)
+       |SELECT doc_id,
+       |  CASE doc_id % 4 WHEN 0 THEN 'ascii' WHEN 1 THEN 'utf-8'
+       |       ELSE 'windows-1252' END AS cs,
+       |  CASE doc_id % 4 WHEN 0 THEN frag
+       |       WHEN 1 THEN frag || chr(233)
+       |       WHEN 2 THEN frag || chr(233)
+       |       ELSE frag || chr(8220) END AS txt,
+       |  CAST(length(CASE doc_id % 4 WHEN 0 THEN frag
+       |       WHEN 1 THEN frag || chr(233)
+       |       WHEN 2 THEN frag || chr(233)
+       |       ELSE frag || chr(8220) END) AS BIGINT) AS n_chars
+       |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val m = d % 4
+    val fragBin = fragCol.cast("binary")
+    val payload = when(m === 0, fragBin)
+      .when(m === 1, concat(fragBin, unhex(lit("C3A9"))))
+      .when(m === 2, concat(fragBin, unhex(lit("E9"))))
+      .otherwise(concat(fragBin, unhex(lit("93"))))
+    t("documents").filter(d < 200)
+      .select(d, call_function("graft_charset_guess", payload).as("cs"),
+        call_function("graft_charset_fix", payload).as("txt"))
+      .select(d, col("cs"), col("txt"),
+        length(col("txt")).cast("long").as("n_chars"))
+      .orderBy(d)
+  }
+
   val catalog: Seq[(String, QueryDef)] =
-    Seq(q213HtmlText, q214LinkDensity, q215Outlinks, q216WarcPipeline)
+    Seq(q213HtmlText, q214LinkDensity, q215Outlinks, q216WarcPipeline,
+      q217CharsetFix)
 }

@@ -332,6 +332,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftWarcParse].getName, "graft_warc_parse"),
       (children: Seq[Expression]) => GraftWarcParse(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_charset_guess"),
+      new ExpressionInfo(classOf[GraftCharsetGuess].getName,
+        "graft_charset_guess"),
+      (children: Seq[Expression]) => GraftCharsetGuess(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_charset_fix"),
+      new ExpressionInfo(classOf[GraftCharsetFix].getName,
+        "graft_charset_fix"),
+      (children: Seq[Expression]) => GraftCharsetFix(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_viterbi_segment"),
       new ExpressionInfo(classOf[GraftViterbiSegment].getName,
         "graft_viterbi_segment"),
