@@ -320,7 +320,53 @@ object Queries25 {
       .orderBy(d)
   }
 
+  /** Crawl-frontier robots filter ([[graft.expressions.RobotsKernel]],
+    * RFC 9309): per document, a robots.txt with a `*` group (deny all)
+    * and a `graftbot` group (deny `/p{m}`, allow the longer
+    * `/p{m}/ok`), evaluated over four candidate paths. Exercises group
+    * selection (exact token beats `*`), longest-match precedence with
+    * the Allow tie-break, and the no-rule default. The oracle replays
+    * the decision table with CASE arithmetic — prefix-only fixtures, so
+    * the wildcard/anchor machinery is spec-pinned (RobotsSpec fuzz), the
+    * q208 exact-companion convention. */
+  val q218RobotsFrontier: (String, QueryDef) = q(
+    "q218_robots_frontier",
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 5 AS m FROM documents WHERE doc_id < 300),
+      |e AS (
+      |  SELECT doc_id, m, unnest(generate_series(0, CAST(3 AS BIGINT)))
+      |    AS j FROM p),
+      |x AS (
+      |  SELECT doc_id, m, j,
+      |    CASE WHEN j = 3 THEN '/p' || CAST(m AS VARCHAR) || '/ok'
+      |         ELSE '/p' || CAST(j AS VARCHAR) END AS path
+      |  FROM e)
+      |SELECT doc_id, path,
+      |  (CASE WHEN j = 3 THEN TRUE
+      |        WHEN j = m THEN FALSE ELSE TRUE END) AS bot_ok,
+      |  FALSE AS other_ok
+      |FROM x ORDER BY doc_id, path""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val m = (d % 5).cast("string")
+    val robots = concat(
+      lit("# policy\r\nUser-agent: *\nDisallow: /\n\nUser-agent: GraftBot\n" +
+        "Disallow: /p"), m, lit("\nAllow: /p"), m, lit("/ok\n"))
+    val paths = concat(
+      transform(sequence(lit(0), lit(2)),
+        j => concat(lit("/p"), j.cast("string"))),
+      array(concat(lit("/p"), m, lit("/ok"))))
+    t("documents").filter(d < 300)
+      .select(d, robots.as("robots"), explode(paths).as("path"))
+      .select(d, col("path"),
+        call_function("graft_robots_allowed", col("robots"),
+          lit("graftbot"), col("path")).as("bot_ok"),
+        call_function("graft_robots_allowed", col("robots"),
+          lit("otherbot"), col("path")).as("other_ok"))
+      .orderBy(d, col("path"))
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q213HtmlText, q214LinkDensity, q215Outlinks, q216WarcPipeline,
-      q217CharsetFix)
+      q217CharsetFix, q218RobotsFrontier)
 }

@@ -342,6 +342,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_charset_fix"),
       (children: Seq[Expression]) => GraftCharsetFix(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_robots_allowed"),
+      new ExpressionInfo(classOf[GraftRobotsAllowed].getName,
+        "graft_robots_allowed"),
+      (children: Seq[Expression]) => GraftRobotsAllowed(children(0),
+        children(1), children(2))))
+    ext.injectFunction((
       FunctionIdentifier("graft_viterbi_segment"),
       new ExpressionInfo(classOf[GraftViterbiSegment].getName,
         "graft_viterbi_segment"),

@@ -1,0 +1,194 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** robots.txt evaluation (RFC 9309, the Robots Exclusion Protocol) — the
+  * crawl-frontier filter that sits between [[HtmlText outlink extraction]]
+  * / `graft_canon_url` and the fetch queue. Deterministic, documented
+  * semantics:
+  *
+  *  - lines split on `\n` (trailing `\r` dropped), `#` comments stripped,
+  *    whitespace trimmed; `key: value` at the first colon, keys ASCII
+  *    case-insensitive; blank lines are not significant (RFC 9309 groups
+  *    end only at the next `User-agent` line);
+  *  - consecutive `User-agent` lines open one group; `Allow`/`Disallow`
+  *    lines attach to the open group (rules before any `User-agent` are
+  *    ignored, per the RFC's invalid-line rule);
+  *  - group selection: exact ASCII case-insensitive product-token match
+  *    beats the `*` group; ALL groups naming the winning token combine;
+  *    no matching group at all → everything is allowed;
+  *  - rule match: patterns are PREFIX matches over the path, `*` matches
+  *    any byte run, a FINAL `$` anchors at the path end (a non-final `$`
+  *    is literal); an empty pattern matches nothing (dropped at parse);
+  *  - precedence: the longest matching pattern (raw pattern length,
+  *    wildcards counted — the de-facto Googlebot rule RFC 9309 adopted)
+  *    wins; at equal length `Allow` wins; no matching rule → allowed.
+  *
+  * `graft_robots_allowed(robots string, agent string, path string) ->
+  * boolean`. Parsing memoizes per (robots, agent) in a thread-local so a
+  * frontier join evaluating thousands of paths per host parses each
+  * robots.txt once per task, not once per row. Reference scope: sybil has
+  * no crawl surface; training-data-pipeline extension tier (q218).
+  */
+object RobotsKernel {
+
+  final class Rule(val allow: Boolean, val pattern: String)
+
+  private def lower(s: String): String = {
+    // ASCII-only lowercase (locale-proof: no Turkish-I surprises)
+    val a = s.toCharArray
+    var i = 0
+    while (i < a.length) {
+      val c = a(i)
+      if (c >= 'A' && c <= 'Z') a(i) = (c + 32).toChar
+      i += 1
+    }
+    new String(a)
+  }
+
+  /** Combined rule list for the winning group(s); empty when no group
+    * applies (→ everything allowed). */
+  def rulesFor(robots: String, agentLower: String): Array[Rule] = {
+    // (uaScore, rules) per group; score = -1 no match, 0 = '*', else len
+    final case class Group(var score: Int,
+      val rules: scala.collection.mutable.ArrayBuffer[Rule])
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var cur: Group = null
+    var inUa = false
+    robots.split('\n').foreach { raw0 =>
+      val raw = if (raw0.nonEmpty && raw0.last == '\r') raw0.dropRight(1)
+        else raw0
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h >= 0) raw.substring(0, h) else raw
+      }
+      val line = noComment.trim
+      if (line.nonEmpty) {
+        val c = line.indexOf(':')
+        if (c > 0) {
+          val key = lower(line.substring(0, c).trim)
+          val value = line.substring(c + 1).trim
+          key match {
+            case "user-agent" =>
+              if (!inUa) { cur = Group(-1,
+                scala.collection.mutable.ArrayBuffer.empty[Rule])
+                groups += cur; inUa = true }
+              val ua = lower(value)
+              val score = if (ua == "*") 0
+                else if (ua == agentLower) ua.length
+                else -1
+              if (score > cur.score) cur.score = score
+            case "allow" | "disallow" =>
+              inUa = false
+              if (cur != null && value.nonEmpty)
+                cur.rules += new Rule(key == "allow", value)
+            case _ => inUa = false
+          }
+        }
+      }
+    }
+    val applicable = groups.filter(_.score >= 0)
+    if (applicable.isEmpty) return Array.empty
+    val best = applicable.map(_.score).max
+    applicable.filter(_.score == best).flatMap(_.rules).toArray
+  }
+
+  /** Greedy wildcard match of `pattern` against `path` — prefix semantics
+    * unless the pattern's FINAL `$` anchors it (then full-path). */
+  def matches(path: String, pattern: String): Boolean = {
+    val anchored = pattern.nonEmpty && pattern.last == '$'
+    val p = if (anchored) pattern.substring(0, pattern.length - 1)
+      else pattern + "*"
+    // full match of p against path (classic single-backtrack wildcard)
+    val n = path.length; val m = p.length
+    var i = 0; var j = 0; var star = -1; var mark = 0
+    while (i < n) {
+      if (j < m && p(j) != '*' && p(j) == path(i)) { i += 1; j += 1 }
+      else if (j < m && p(j) == '*') { star = j; j += 1; mark = i }
+      else if (star >= 0) { j = star + 1; mark += 1; i = mark }
+      else return false
+    }
+    while (j < m && p(j) == '*') j += 1
+    j == m
+  }
+
+  def allowed(rules: Array[Rule], path: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    var i = 0
+    while (i < rules.length) {
+      val r = rules(i)
+      if (matches(path, r.pattern)) {
+        val len = r.pattern.length
+        if (len > bestLen || (len == bestLen && r.allow && !bestAllow)) {
+          bestLen = len; bestAllow = r.allow
+        }
+      }
+      i += 1
+    }
+    bestLen < 0 || bestAllow
+  }
+
+  private val tl = new ThreadLocal[(String, String, Array[Rule])]
+
+  /** Row entry point: memoizes the parsed (robots, agent) per thread. */
+  def eval(robots: UTF8String, agent: UTF8String, path: UTF8String): Boolean = {
+    val r = robots.toString
+    val a = lower(agent.toString)
+    var c = tl.get()
+    if (c == null || c._1 != r || c._2 != a) {
+      c = (r, a, rulesFor(r, a))
+      tl.set(c)
+    }
+    allowed(c._3, path.toString)
+  }
+}
+
+/** `graft_robots_allowed(robots, agent, path) -> boolean` — see
+  * [[RobotsKernel]]. */
+case class GraftRobotsAllowed(robotsE: Expression, agentE: Expression,
+    pathE: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(robotsE, agentE, pathE)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_robots_allowed"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (robotsE.dataType, agentE.dataType, pathE.dataType) match {
+      case (StringType, StringType, StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_robots_allowed expects (string, string, string)")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val r = robotsE.eval(input)
+    val a = agentE.eval(input)
+    val p = pathE.eval(input)
+    if (r == null || a == null || p == null) null
+    else RobotsKernel.eval(r.asInstanceOf[UTF8String],
+      a.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gens = children.map(_.genCode(ctx))
+    ev.copy(code = code"""
+        ${gens.map(_.code.toString).mkString("\n")}
+        boolean ${ev.isNull} =
+          ${gens.map(_.isNull.toString).mkString(" || ")};
+        boolean ${ev.value} = false;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.expressions.RobotsKernel.eval(
+            ${gens(0).value}, ${gens(1).value}, ${gens(2).value});
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GraftRobotsAllowed =
+    GraftRobotsAllowed(newChildren(0), newChildren(1), newChildren(2))
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.expressions.RobotsKernel
+
+/** robots.txt kernel ([[RobotsKernel]], RFC 9309): group selection,
+  * longest-match precedence, wildcard/anchor matching — hand-pinned, then
+  * the matcher differential-fuzzed against a regex translation. */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ok(robots: String, agent: String, path: String): Boolean =
+    RobotsKernel.eval(UTF8String.fromString(robots),
+      UTF8String.fromString(agent), UTF8String.fromString(path))
+
+  private val Policy =
+    """# comments stripped
+      |User-agent: *
+      |Disallow: /
+      |
+      |User-agent: GraftBot
+      |User-agent: otherbot
+      |Disallow: /private
+      |Allow: /private/ok
+      |Disallow: /tmp/*.bak$
+      |""".stripMargin
+
+  test("group selection: exact token beats *, case-insensitive, combined") {
+    assert(ok(Policy, "graftbot", "/anything"))       // exact group, no rule
+    assert(!ok(Policy, "randombot", "/anything"))     // * group: deny all
+    assert(!ok(Policy, "GRAFTBOT", "/private/x"))     // case-insensitive
+    assert(ok(Policy, "otherbot", "/public"))         // shared UA lines
+    // no group at all → allowed
+    assert(ok("User-agent: x\nDisallow: /\n", "graftbot", "/q"))
+    // rules before any User-agent line are ignored (RFC invalid-line rule)
+    assert(ok("Disallow: /\nUser-agent: graftbot\nAllow: /a\n",
+      "graftbot", "/zzz"))
+  }
+
+  test("precedence: longest pattern wins; Allow wins ties; empty ignored") {
+    assert(!ok(Policy, "graftbot", "/private"))
+    assert(!ok(Policy, "graftbot", "/private/other"))
+    assert(ok(Policy, "graftbot", "/private/ok"))     // longer Allow
+    assert(ok(Policy, "graftbot", "/private/okay"))   // prefix semantics
+    val tie = "User-agent: a\nDisallow: /dir\nAllow: /dir\n"
+    assert(ok(tie, "a", "/dir/x"))                    // equal length → Allow
+    assert(ok("User-agent: a\nDisallow:\n", "a", "/")) // empty = no rule
+  }
+
+  test("pattern semantics: prefix, wildcard, final-$ anchor, literal $") {
+    assert(RobotsKernel.matches("/a/b/c", "/a"))
+    assert(!RobotsKernel.matches("/x/a", "/a"))       // prefix, not substring
+    assert(RobotsKernel.matches("/a/b.bak", "/a/*.bak"))
+    assert(RobotsKernel.matches("/a/b.bak.old", "/a/*.bak")) // prefix after *
+    assert(RobotsKernel.matches("/a/b.bak", "/a/*.bak$"))
+    assert(!RobotsKernel.matches("/a/b.bak.old", "/a/*.bak$")) // anchored
+    assert(RobotsKernel.matches("/p$x", "/p$x"))      // non-final $ literal
+    assert(!ok(Policy, "graftbot", "/tmp/x.bak"))
+    assert(ok(Policy, "graftbot", "/tmp/x.bak2"))     // $ anchor missed
+    // CRLF endings and trailing comments parse
+    assert(!ok("User-agent: a\r\nDisallow: /x # note\r\n", "a", "/x/y"))
+  }
+
+  test("fuzz: wildcard matcher == regex translation on 4000 cases") {
+    val rnd = new scala.util.Random(9309)
+    val alphabet = "ab/*$"
+    def rs(n: Int): String =
+      Seq.fill(rnd.nextInt(n))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    var checked = 0
+    for (_ <- 0 until 4000) {
+      val pat = rs(8)
+      val path = rs(10).replace("*", "x").replace("$", "y") // paths literal
+      if (pat.nonEmpty) {
+        val anchored = pat.last == '$'
+        val core = if (anchored) pat.dropRight(1) else pat
+        val rx = core.map {
+          case '*' => ".*"
+          case c => java.util.regex.Pattern.quote(c.toString)
+        }.mkString
+        val want = path.matches(rx + (if (anchored) "" else ".*"))
+        assert(RobotsKernel.matches(path, pat) === want,
+          s"pattern '$pat' vs path '$path'")
+        checked += 1
+      }
+    }
+    assert(checked > 3000)
+  }
+
+  test("SQL surface: frontier filter composes with outlinks") {
+    val robots = "User-agent: *\nDisallow: /private\n"
+    val df = Seq((1L, robots, "/public/a"), (2L, robots, "/private/b"),
+      (3L, null.asInstanceOf[String], "/x")).toDF("id", "r", "p")
+    df.createOrReplaceTempView("robots_fixture")
+    val out = spark.sql(
+      """SELECT id, graft_robots_allowed(r, 'anybot', p) AS ok
+        |FROM robots_fixture ORDER BY id""".stripMargin).collect()
+    assert(out(0).getBoolean(1) === true)
+    assert(out(1).getBoolean(1) === false)
+    assert(out(2).isNullAt(1))
+  }
+}
