@@ -366,7 +366,81 @@ object Queries25 {
       .orderBy(d, col("path"))
   }
 
+  /** [[graft.operators.Crawl.cleanCorpus]] end to end — the whole r13
+    * ingest surface in ONE operator call over a four-record WARC per
+    * document: a warcinfo record (dropped by type), a link-farm page
+    * (density 1.0, dropped by the boilerplate filter), a 404 (dropped by
+    * status), and an article whose bytes carry a latin-1 `é` on every
+    * third document (exercising the charset fix MID-CHAIN — the kept
+    * text differs from a naive UTF-8 cast exactly there). One output row
+    * per document; the oracle replays url/status/mime/charset/text/
+    * bytes/density arithmetically (`strlen` for BYTE counts — the é
+    * rows' text_bytes exceed their char count by one). */
+  val q219CleanCorpus: (String, QueryDef) = q(
+    "q219_clean_corpus",
+    s"""WITH f AS (
+       |  SELECT doc_id, $FragSql AS frag
+       |  FROM documents WHERE doc_id < 200),
+       |x AS (
+       |  SELECT doc_id, frag,
+       |    CASE WHEN doc_id % 3 = 0 THEN chr(233) ELSE 'e' END AS ch
+       |  FROM f),
+       |y AS (
+       |  SELECT doc_id,
+       |    rtrim('caf' || ch || ' padding words keep density low ' || frag)
+       |      || chr(10) || 'ref' AS txt,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'windows-1252'
+       |         ELSE 'ascii' END AS charset
+       |  FROM x)
+       |SELECT doc_id,
+       |  'http://ex' || CAST(doc_id % 7 AS VARCHAR) || '.test/p' ||
+       |    CAST(doc_id AS VARCHAR) AS url,
+       |  CAST(200 AS INT) AS status,
+       |  'text/html; charset=utf-8' AS mime, charset,
+       |  txt AS text, CAST(strlen(txt) AS BIGINT) AS text_bytes,
+       |  CAST(4 AS DOUBLE) / CAST(strlen(txt) AS DOUBLE) AS link_density,
+       |  CAST(1 AS BIGINT) AS n_links
+       |FROM y ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val ds = d.cast("string")
+    val h = (d % 7).cast("string")
+    val chBin = when(d % 3 === 0, unhex(lit("E9")))
+      .otherwise(lit("e").cast("binary"))
+    val htmlArt = concat(lit("<html><body><p>caf").cast("binary"), chBin,
+      concat(lit(" padding words keep density low "), fragCol,
+        lit("</p><a href=\"/r?x=1\">ref</a></body></html>")).cast("binary"))
+    val httpArt = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +
+        "\r\n\r\n").cast("binary"), htmlArt)
+    val farm = "<div>" + ("<a href=\"/u\">w</a> " * 6) + "</div>"
+    val httpFarm = lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      farm).cast("binary")
+    val http404 = lit("HTTP/1.1 404 NF\r\nContent-Type: text/html\r\n\r\n" +
+      "<p>gone</p>").cast("binary")
+    def resp(uriSuffix: Column, body: Column): Column = concat(
+      concat(lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+        "<http://ex"), h, lit(".test/"), uriSuffix,
+        lit(">\r\nContent-Type: application/http; msgtype=response\r\n" +
+          "Content-Length: "), length(body).cast("string"),
+        lit("\r\n\r\n")).cast("binary"),
+      body, lit("\r\n\r\n").cast("binary"))
+    val warc = concat(
+      lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Type: " +
+        "application/warc-fields\r\nContent-Length: 17\r\n\r\n" +
+        "software: graft\r\n\r\n\r\n").cast("binary"),
+      resp(concat(lit("farm"), ds), httpFarm),
+      resp(concat(lit("gone"), ds), http404),
+      resp(concat(lit("p"), ds), httpArt))
+    graft.operators.Crawl.cleanCorpus(
+        t("documents").filter(d < 200).select(d, warc.as("payload")),
+        minTextBytes = 1)
+      .select(d, col("url"), col("status"), col("mime"), col("charset"),
+        col("text"), col("text_bytes"), col("link_density"), col("n_links"))
+      .orderBy(d)
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q213HtmlText, q214LinkDensity, q215Outlinks, q216WarcPipeline,
-      q217CharsetFix, q218RobotsFrontier)
+      q217CharsetFix, q218RobotsFrontier, q219CleanCorpus)
 }
