@@ -440,7 +440,57 @@ object Queries25 {
       .orderBy(d)
   }
 
+  /** Document metadata pull (`graft_html_meta`): title RCDATA with an
+    * entity and collapsing whitespace, `<html lang>` cycling three
+    * values (absent on every fourth document → NULL), a canonical link
+    * whose href carries an `&amp;` and a tracking param (the extracted
+    * value AND its `graft_canon_url` fold are both checked), and a
+    * description built from the fragment. The oracle replays every
+    * field as string arithmetic. */
+  val q220HtmlMeta: (String, QueryDef) = q(
+    "q220_html_meta",
+    s"""WITH f AS (
+       |  SELECT doc_id, $FragSql AS frag
+       |  FROM documents WHERE doc_id < 200)
+       |SELECT doc_id,
+       |  'T&' || CAST(doc_id AS VARCHAR) || ' x' AS title,
+       |  CASE WHEN doc_id % 4 = 3 THEN CAST(NULL AS VARCHAR)
+       |       WHEN doc_id % 3 = 0 THEN 'en' WHEN doc_id % 3 = 1 THEN 'de'
+       |       ELSE 'fr' END AS lang,
+       |  'http://ex' || CAST(doc_id % 7 AS VARCHAR) ||
+       |    '.test/c?a=1&utm_source=z' AS canonical,
+       |  'http://ex' || CAST(doc_id % 7 AS VARCHAR) || '.test/c?a=1'
+       |    AS canon,
+       |  CASE WHEN doc_id % 4 = 3 THEN CAST(NULL AS VARCHAR)
+       |       WHEN frag = '' THEN 'desc !'
+       |       ELSE 'desc ' || frag || ' !' END AS description
+       |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val ds = d.cast("string")
+    val h = (d % 7).cast("string")
+    val langAttr = when(d % 4 === 3, lit(""))
+      .otherwise(concat(lit(" lang=\""),
+        when(d % 3 === 0, "en").when(d % 3 === 1, "de").otherwise("fr"),
+        lit("\"")))
+    val metaTag = when(d % 4 === 3, lit(""))
+      .otherwise(concat(lit("<meta name=\"Description\" content=\"desc "),
+        fragCol, lit(" &#33;\">")))
+    val page = concat(lit("<html"), langAttr,
+      lit("><head><title> T&amp;"), ds, lit("  x </title>" +
+        "<link rel=\"canonical\" href=\"http://ex"), h,
+      lit(".test/c?a=1&amp;utm_source=z\"/>"), metaTag,
+      lit("</head><body><p>b</p></body></html>"))
+    t("documents").filter(d < 200)
+      .select(d, call_function("graft_html_meta", page).as("m"))
+      .select(d, col("m.title").as("title"), col("m.lang").as("lang"),
+        col("m.canonical").as("canonical"),
+        call_function("graft_canon_url", col("m.canonical")).as("canon"),
+        col("m.description").as("description"))
+      .orderBy(d)
+  }
+
   val catalog: Seq[(String, QueryDef)] =
     Seq(q213HtmlText, q214LinkDensity, q215Outlinks, q216WarcPipeline,
-      q217CharsetFix, q218RobotsFrontier, q219CleanCorpus)
+      q217CharsetFix, q218RobotsFrontier, q219CleanCorpus, q220HtmlMeta)
 }

@@ -324,6 +324,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_html_extract"),
       (children: Seq[Expression]) => GraftHtmlExtract(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_html_meta"),
+      new ExpressionInfo(classOf[GraftHtmlMeta].getName, "graft_html_meta"),
+      (children: Seq[Expression]) => GraftHtmlMeta(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_html_links"),
       new ExpressionInfo(classOf[GraftHtmlLinks].getName, "graft_html_links"),
       (children: Seq[Expression]) => GraftHtmlLinks(children(0))))

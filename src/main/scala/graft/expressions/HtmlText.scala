@@ -76,7 +76,9 @@ import org.apache.spark.unsafe.types.UTF8String
 object HtmlKernel {
 
   /** Extraction result: the text bytes plus the stat counters.
-    * `links` is null unless the pass collected outlinks. */
+    * `links` is null unless the pass collected outlinks; the four
+    * document-metadata fields are null unless the pass collected meta
+    * (and individually null when the page lacks them). */
   final class Result(
       val text: Array[Byte],
       val nTags: Long,
@@ -85,7 +87,11 @@ object HtmlKernel {
       val nBlocks: Long,
       val droppedBytes: Long,
       val htmlBytes: Long,
-      val links: Array[Array[Byte]] = null)
+      val links: Array[Array[Byte]] = null,
+      val title: Array[Byte] = null,
+      val lang: Array[Byte] = null,
+      val canonical: Array[Byte] = null,
+      val description: Array[Byte] = null)
 
   /** Structural + block-level elements whose tags end a text segment. */
   val BlockTags: java.util.HashSet[String] = {
@@ -162,26 +168,25 @@ object HtmlKernel {
     } else -1L
   }
 
-  /** The FIRST `href` attribute's decoded value inside an `a` tag's
+  /** The FIRST `target`-named attribute's value range inside a tag's
     * attribute region `[from, till)` (`till` excludes the closing `>`),
-    * or null when absent/empty. Attribute grammar (WHATWG-shaped,
-    * documented): skip whitespace and `/`; name runs to whitespace, `=`,
-    * or `/`; an optional `=` takes a `"…"`/`'…'` quoted value or an
-    * unquoted run to whitespace (so an unquoted value keeps an embedded
-    * or trailing `/` — the self-closing approximation's counterpart);
-    * the first `href`-named attribute CARRYING a value wins (ASCII
-    * case-insensitive name; a bare valueless `href` contributes nothing).
-    * Value decoding: the shared entity grammar, then the WHATWG URL
-    * whitespace rules — `\t`/`\n`/`\r` stripped ANYWHERE (raw or
-    * decoded), bytes ≤ 0x20 trimmed at both ends. */
-  private def findHref(b: Array[Byte], from: Int, till: Int): Array[Byte] = {
+    * packed `(vs << 32) | ve`, or -1 when absent/valueless. Attribute
+    * grammar (WHATWG-shaped, documented): skip whitespace and `/`; name
+    * runs to whitespace, `=`, or `/`; an optional `=` takes a
+    * `"…"`/`'…'` quoted value or an unquoted run to whitespace (so an
+    * unquoted value keeps an embedded or trailing `/` — the self-closing
+    * approximation's counterpart); the first attribute with the target
+    * name CARRYING a value wins (ASCII case-insensitive; a bare
+    * valueless attribute contributes nothing). */
+  private def findAttr(b: Array[Byte], from: Int, till: Int,
+      target: String): Long = {
     var i = from
     while (i < till) {
       while (i < till && (isWs(b(i)) || b(i) == '/')) i += 1
-      if (i >= till) return null
+      if (i >= till) return -1L
       val ns = i
       while (i < till && !isWs(b(i)) && b(i) != '=' && b(i) != '/') i += 1
-      val nameLen = i - ns
+      val ne = i
       while (i < till && isWs(b(i))) i += 1
       var vs = -1; var ve = -1
       if (i < till && b(i) == '=') {
@@ -198,13 +203,58 @@ object HtmlKernel {
           ve = i
         }
       }
-      if (nameLen == 4 && lower(b(ns)) == 'h' && lower(b(ns + 1)) == 'r' &&
-        lower(b(ns + 2)) == 'e' && lower(b(ns + 3)) == 'f' && vs >= 0) {
-        val v = decodeHref(b, vs, ve)
-        return if (v.length == 0) null else v
+      if (vs >= 0 && ne - ns == target.length) {
+        var k = 0
+        while (k < target.length && lower(b(ns + k)) == target.charAt(k)) k += 1
+        if (k == target.length) return (vs.toLong << 32) | ve.toLong
       }
     }
-    null
+    -1L
+  }
+
+  /** `href` of an `a` tag: [[findAttr]] + the URL value decode; null when
+    * absent or empty after cleaning. */
+  private def findHref(b: Array[Byte], from: Int, till: Int): Array[Byte] = {
+    val m = findAttr(b, from, till, "href")
+    if (m < 0) return null
+    val v = decodeHref(b, (m >>> 32).toInt, m.toInt)
+    if (v.length == 0) null else v
+  }
+
+  /** Text-like attribute value: entity decode, whitespace (incl. decoded
+    * NBSP) collapsed to single spaces, trimmed; null when empty. */
+  private def decodeAttrText(b: Array[Byte], vs: Int, ve: Int): Array[Byte] = {
+    val out = new Array[Byte](4 * (ve - vs) + 4)
+    var len = 0
+    var pendingSp = false
+    def put(c: Int): Unit = {
+      if (pendingSp && len > 0) { out(len) = ' '; len += 1 }
+      pendingSp = false
+      out(len) = c.toByte; len += 1
+    }
+    def putCp(cp: Int): Unit =
+      if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' ||
+        cp == '\f' || cp == 0xa0) pendingSp = true
+      else if (cp < 0x80) put(cp)
+      else if (cp < 0x800) { put(0xc0 | (cp >> 6)); put(0x80 | (cp & 0x3f)) }
+      else if (cp < 0x10000) {
+        put(0xe0 | (cp >> 12)); put(0x80 | ((cp >> 6) & 0x3f))
+        put(0x80 | (cp & 0x3f))
+      } else {
+        put(0xf0 | (cp >> 18)); put(0x80 | ((cp >> 12) & 0x3f))
+        put(0x80 | ((cp >> 6) & 0x3f)); put(0x80 | (cp & 0x3f))
+      }
+    var i = vs
+    while (i < ve) {
+      val c = b(i)
+      if (c == '&') {
+        val m = entAt(b, ve, i)
+        if (m < 0) { put('&'); i += 1 }
+        else { putCp((m >>> 32).toInt); i = m.toInt }
+      } else if (isWs(c)) { pendingSp = true; i += 1 }
+      else { put(c); i += 1 }
+    }
+    if (len == 0) null else java.util.Arrays.copyOf(out, len)
   }
 
   private def decodeHref(b: Array[Byte], vs: Int, ve: Int): Array[Byte] = {
@@ -238,10 +288,25 @@ object HtmlKernel {
     java.util.Arrays.copyOfRange(out, s, e)
   }
 
-  /** One extraction pass. Total: never throws, never returns null. */
-  def extract(u: UTF8String): Result = extract(u, collectLinks = false)
+  private def eqLowerAscii(v: Array[Byte], s: String): Boolean = {
+    if (v == null || v.length != s.length) return false
+    var i = 0
+    while (i < s.length) {
+      if (lower(v(i)) != s.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
 
-  def extract(u: UTF8String, collectLinks: Boolean): Result = {
+  /** One extraction pass. Total: never throws, never returns null. */
+  def extract(u: UTF8String): Result =
+    extract(u, collectLinks = false, collectMeta = false)
+
+  def extract(u: UTF8String, collectLinks: Boolean): Result =
+    extract(u, collectLinks, collectMeta = false)
+
+  def extract(u: UTF8String, collectLinks: Boolean,
+      collectMeta: Boolean): Result = {
     val b = u.getBytes
     val n = b.length
     // plain growable output buffer (ByteArrayOutputStream's synchronized
@@ -257,6 +322,11 @@ object HtmlKernel {
     val linkBuf =
       if (collectLinks) new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
       else null
+    // first-wins document metadata (collected only when asked)
+    var mTitle: Array[Byte] = null
+    var mLang: Array[Byte] = null
+    var mCanonical: Array[Byte] = null
+    var mDescription: Array[Byte] = null
 
     def write(c: Int): Unit = {
       if (outLen == out.length)
@@ -388,6 +458,40 @@ object HtmlKernel {
                   if (h != null) linkBuf += h
                 }
               }
+              if (collectMeta) {
+                val as = i + 1 + name.length
+                val ae = after - 1
+                name match {
+                  case "html" if mLang == null =>
+                    val m = findAttr(b, as, ae, "lang")
+                    if (m >= 0)
+                      mLang = decodeAttrText(b, (m >>> 32).toInt, m.toInt)
+                  case "link" if mCanonical == null =>
+                    val rel = findAttr(b, as, ae, "rel")
+                    if (rel >= 0 && eqLowerAscii(
+                        decodeAttrText(b, (rel >>> 32).toInt, rel.toInt),
+                        "canonical"))
+                      mCanonical = findHref(b, as, ae)
+                  case "meta" if mDescription == null =>
+                    val nm = findAttr(b, as, ae, "name")
+                    if (nm >= 0 && eqLowerAscii(
+                        decodeAttrText(b, (nm >>> 32).toInt, nm.toInt),
+                        "description")) {
+                      val ct = findAttr(b, as, ae, "content")
+                      if (ct >= 0)
+                        mDescription =
+                          decodeAttrText(b, (ct >>> 32).toInt, ct.toInt)
+                    }
+                  case "title" if mTitle == null && !selfClose =>
+                    // RCDATA look-ahead: entity-decode + collapse the raw
+                    // range up to </title (markup inside is literal, per
+                    // RCDATA); the main walk re-reads it as text
+                    val close = rawClose(after, "title")
+                    mTitle = decodeAttrText(b, after,
+                      if (close < 0) n else close)
+                  case _ => ()
+                }
+              }
               i = after
             }
           }
@@ -433,7 +537,8 @@ object HtmlKernel {
     val text = java.util.Arrays.copyOf(out, outLen)
     new Result(text, nTags, nLinks, anchorBytes,
       if (text.length > 0) nlCount + 1 else 0, dropped, n.toLong,
-      if (collectLinks) linkBuf.toArray else null)
+      if (collectLinks) linkBuf.toArray else null,
+      mTitle, mLang, mCanonical, mDescription)
   }
 }
 
@@ -502,6 +607,51 @@ case class GraftHtmlExtract(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): GraftHtmlExtract = copy(child = newChild)
+}
+
+/** `graft_html_meta(string) -> struct<title, lang, canonical,
+  * description>` — the page's document metadata, first occurrence wins:
+  * the `<title>` element's RCDATA (entity-decoded, whitespace-collapsed —
+  * markup inside stays literal, per RCDATA), `<html lang=…>`,
+  * `<link rel=canonical href=…>` (URL-cleaned like an outlink), and
+  * `<meta name=description content=…>`. Fields null when absent; the
+  * struct is null only for null input. The standard crawl-metadata pull
+  * (titles for display/dedup keys, lang as a language-ID prior,
+  * canonical as the dedup URL). */
+case class GraftHtmlMeta(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_html_meta expects string, got ${t.sql}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("title", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true),
+    StructField("canonical", StringType, nullable = true),
+    StructField("description", StringType, nullable = true)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_html_meta"
+
+  override protected def nullSafeEval(input: Any): Any =
+    evalMeta(input.asInstanceOf[UTF8String])
+
+  /** Codegen entry point (shared with nullSafeEval). */
+  def evalMeta(u: UTF8String): InternalRow = {
+    val r = HtmlKernel.extract(u, collectLinks = false, collectMeta = true)
+    def f(v: Array[Byte]): Any =
+      if (v == null) null else UTF8String.fromBytes(v)
+    new GenericInternalRow(Array[Any](
+      f(r.title), f(r.lang), f(r.canonical), f(r.description)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftHtmlMeta", this,
+      classOf[GraftHtmlMeta].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.evalMeta($s);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GraftHtmlMeta = copy(child = newChild)
 }
 
 /** `graft_html_links(string) -> array<string>` — the outlinks: each `a`

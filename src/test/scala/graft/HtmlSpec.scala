@@ -166,6 +166,38 @@ class HtmlSpec extends SparkSpec {
     assert(r === Array("http://ex1.test/p2", "http://ex1.test/p2?a=1"))
   }
 
+  test("html meta: title RCDATA, lang, canonical, description; first wins") {
+    def meta(h: String) =
+      HtmlKernel.extract(UTF8String.fromString(h), collectLinks = false,
+        collectMeta = true)
+    def s(b: Array[Byte]) =
+      if (b == null) null else UTF8String.fromBytes(b).toString
+    val m = meta("""<html LANG=" en "><head><title> A &amp;  B <i>raw</i>""" +
+      """</title><title>second</title>""" +
+      """<link rel="Canonical" href="/c?x=1&amp;y=2">""" +
+      """<link rel="canonical" href="/lose">""" +
+      """<meta name="DESCRIPTION" content=" d&#33;  e "></head></html>""")
+    // RCDATA: markup inside title is LITERAL; entities decode; ws collapses
+    assert(s(m.title) === "A & B <i>raw</i>")
+    assert(s(m.lang) === "en") // attr value trimmed + collapsed
+    assert(s(m.canonical) === "/c?x=1&y=2") // first canonical wins
+    assert(s(m.description) === "d! e")
+    // absence → per-field nulls; unterminated title captures to EOF
+    val none = meta("<p>no meta</p>")
+    assert(none.title === null && none.lang === null &&
+      none.canonical === null && none.description === null)
+    assert(s(meta("<title>tail").title) === "tail")
+    // meta collection does NOT perturb the text/counter outputs
+    val h2 = """<html lang=x><title>t</title><p>body</p>"""
+    val plain = ex(h2)
+    val withMeta = meta(h2)
+    assert(UTF8String.fromBytes(plain.text).toString ===
+      UTF8String.fromBytes(withMeta.text).toString)
+    assert(plain.nTags === withMeta.nTags &&
+      plain.nBlocks === withMeta.nBlocks)
+    assert(UTF8String.fromBytes(withMeta.text).toString === "t\nbody")
+  }
+
   // ---------------- differential fuzz vs independent reference ----------
 
   test("fuzz: kernel == char-based reference on 400 random documents") {

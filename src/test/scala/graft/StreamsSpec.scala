@@ -498,4 +498,37 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.count() === batch.count())
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("crawl ingest is streaming-transparent: cleanCorpus on a stream " +
+      "matches the batch result row for row") {
+    implicit val sq = spark.sqlContext
+    // the r13 chain (warc parse -> charset fix -> html extract -> filters)
+    // is stateless scan-side work, so the SAME operator call must run
+    // unchanged on a streaming source — this is the 100 TB ingest shape
+    // (a stream of arriving archives), not a separate code path
+    def warcOf(i: Long): Array[Byte] = {
+      val body = s"<html><body><p>article text number $i with enough " +
+        s"padding words</p><a href=\"/r\">ref</a></body></html>"
+      val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+        s"<http://ex$i.test/a>\r\nContent-Length: ${http.length}\r\n\r\n" +
+        http + "\r\n\r\n").getBytes("US-ASCII")
+    }
+    val rows = (0L until 20L).map(i => (i, warcOf(i)))
+    val mem = MemoryStream[(Long, Array[Byte])]
+    mem.addData(rows: _*)
+    val streamed = graft.operators.Crawl.cleanCorpus(
+      mem.toDF().toDF("id", "payload"), minTextBytes = 10)
+    val q = streamed.writeStream.format("memory").queryName("crawl_stream")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("crawl_stream")
+      .select("id", "url", "status", "text").orderBy("id")
+    val want = graft.operators.Crawl.cleanCorpus(
+        rows.toDF("id", "payload"), minTextBytes = 10)
+      .select("id", "url", "status", "text").orderBy("id")
+    assert(got.count() === 20)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }
