@@ -217,7 +217,7 @@ class HtmlSpec extends SparkSpec {
       case 6 => " x=1 href=\" q&#10;r \" href=lose"
       case _ => " href href=\"\" title='t'"
     }
-    def piece(depth: Int): String = rnd.nextInt(12) match {
+    def piece(depth: Int): String = rnd.nextInt(14) match {
       case 0 | 1 | 2 | 3 => words(rnd.nextInt(words.length)) +
         (if (rnd.nextBoolean()) " " else "")
       case 4 => "<!-- c <p>x</p> -->"
@@ -232,7 +232,16 @@ class HtmlSpec extends SparkSpec {
       case 10 =>
         val t = tags(rnd.nextInt(tags.length))
         s"</$t>"
-      case _ => s"<script>var a='</b>'; 1<2</script>"
+      case 11 => s"<script>var a='</b>'; 1<2</script>"
+      case 12 => rnd.nextInt(4) match { // document-metadata carriers
+        case 0 => "<html lang=\" e&#78; \">"
+        case 1 => "<link rel='Canonical' href=\"/c?a=1&amp;b=2\"/>"
+        case 2 => "<link rel=other href=\"/lose\">"
+        case _ => "<meta name=\"Description\" content=\"d &#33; e\">"
+      }
+      case _ =>
+        if (rnd.nextBoolean()) s"<title> t&amp; ${rnd.nextInt(10)} </title>"
+        else "<title>unterminated to EOF? no: " + words(rnd.nextInt(3))
     }
     def doc(depth: Int): String =
       Seq.fill(rnd.nextInt(6))(piece(depth)).mkString
@@ -240,7 +249,7 @@ class HtmlSpec extends SparkSpec {
     for (i <- 0 until 400) {
       val html = doc(0) + (if (i % 17 == 0) "<p unterminated" else "")
       val r = HtmlKernel.extract(UTF8String.fromString(html),
-        collectLinks = true)
+        collectLinks = true, collectMeta = true)
       val want = HtmlRef.extract(html)
       val got = UTF8String.fromBytes(r.text).toString
       assert(got === want.text, s"text mismatch on: $html")
@@ -250,6 +259,12 @@ class HtmlSpec extends SparkSpec {
       assert(r.droppedBytes === want.dropped, s"dropped on: $html")
       val gotLinks = r.links.toSeq.map(b => UTF8String.fromBytes(b).toString)
       assert(gotLinks === want.links, s"links on: $html")
+      def s(b: Array[Byte]) =
+        if (b == null) null else UTF8String.fromBytes(b).toString
+      assert(s(r.title) === want.title, s"title on: $html")
+      assert(s(r.lang) === want.lang, s"lang on: $html")
+      assert(s(r.canonical) === want.canonical, s"canonical on: $html")
+      assert(s(r.description) === want.description, s"description on: $html")
       // anchor attribution invariants (exact rule pinned by hand above)
       assert(r.anchorTextBytes >= 0L && r.anchorTextBytes <= r.text.length)
       if (r.nLinks == 0L) assert(r.anchorTextBytes === 0L)
@@ -315,7 +330,9 @@ class HtmlSpec extends SparkSpec {
   * hand cases; re-deriving it would copy the kernel's algorithm). */
 object HtmlRef {
   final case class Ref(text: String, nTags: Long, nLinks: Long,
-      nBlocks: Long, dropped: Long, links: Seq[String])
+      nBlocks: Long, dropped: Long, links: Seq[String],
+      title: String = null, lang: String = null, canonical: String = null,
+      description: String = null)
 
   private sealed trait Ev
   private final case class Txt(s: String) extends Ev
@@ -325,6 +342,8 @@ object HtmlRef {
     val n = html.length
     val evs = scala.collection.mutable.ArrayBuffer.empty[Ev]
     val links = scala.collection.mutable.ArrayBuffer.empty[String]
+    var mTitle: String = null; var mLang: String = null
+    var mCanonical: String = null; var mDescription: String = null
     var nTags = 0L; var nLinks = 0L; var dropped = 0L
     var i = 0
     def isWsC(c: Char) =
@@ -374,10 +393,41 @@ object HtmlRef {
               else { dropped += utf8len(html.substring(after, found)); i = found }
             } else {
               if (HtmlKernel.BlockTags.contains(name)) evs += Brk
+              val attrRegion = html.substring(i + 1 + name.length, after - 1)
               if (name == "a") {
                 nLinks += 1
-                refHref(html.substring(i + 1 + name.length, after - 1))
-                  .foreach(links += _)
+                refHref(attrRegion).foreach(links += _)
+              }
+              name match {
+                case "html" if mLang == null =>
+                  refAttr(attrRegion, "lang")
+                    .flatMap(decodeText).foreach(mLang = _)
+                case "link" if mCanonical == null =>
+                  if (refAttr(attrRegion, "rel").flatMap(decodeText)
+                      .exists(_.equalsIgnoreCase("canonical")))
+                    refHref(attrRegion).foreach(mCanonical = _)
+                case "meta" if mDescription == null =>
+                  if (refAttr(attrRegion, "name").flatMap(decodeText)
+                      .exists(_.equalsIgnoreCase("description")))
+                    refAttr(attrRegion, "content")
+                      .flatMap(decodeText).foreach(mDescription = _)
+                case "title" if mTitle == null && !selfC =>
+                  // RCDATA look-ahead: raw range to </title (same scan the
+                  // raw-text close uses), decoded text-like; the main walk
+                  // re-reads the range normally
+                  var p = after; var found = -1
+                  while (found < 0 && p + 2 + 5 <= n) {
+                    if (html(p) == '<' && html(p + 1) == '/' &&
+                      html.regionMatches(true, p + 2, "title", 0, 5) &&
+                      p + 7 < n && {
+                        val d = html(p + 7)
+                        isWsC(d) || d == '/' || d == '>'
+                      }) found = p
+                    else p += 1
+                  }
+                  val raw = html.substring(after, if (found < 0) n else found)
+                  decodeText(raw).foreach(mTitle = _)
+                case _ => ()
               }
               i = after
             }
@@ -430,14 +480,12 @@ object HtmlRef {
       .filter(_.nonEmpty)
     val txt = cleaned.mkString("\n")
     Ref(txt, nTags, nLinks, if (txt.isEmpty) 0L else cleaned.length.toLong,
-      dropped, links.toSeq)
+      dropped, links.toSeq, mTitle, mLang, mCanonical, mDescription)
   }
 
-  /** Independent href parse over one a-tag's attribute region (excludes
-    * the closing '>'): first href attr wins; value entity-decodes with
-    * [[entity]] then URL-cleans (tab/LF/CR stripped anywhere, chars
-    * <= 0x20 trimmed at the ends); empty after cleaning → None. */
-  private def refHref(s: String): Option[String] = {
+  /** First `target`-named attribute's RAW value over one tag's attribute
+    * region (excludes the closing '>'); None when absent/valueless. */
+  private def refAttr(s: String, target: String): Option[String] = {
     val n = s.length; var i = 0
     def ws(c: Char) =
       c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
@@ -463,24 +511,58 @@ object HtmlRef {
           v = s.substring(vs, i)
         }
       }
-      if (name.equalsIgnoreCase("href") && v != null) {
-        val sb = new StringBuilder
-        var j = 0
-        while (j < v.length) {
-          if (v(j) == '&') entity(v, j) match {
-            case null => sb.append('&'); j += 1
-            case (cp, nxt) =>
-              sb.append(new String(Character.toChars(cp))); j = nxt
-          }
-          else { sb.append(v(j)); j += 1 }
-        }
-        val cleaned = sb.toString.filterNot(c =>
-          c == '\t' || c == '\n' || c == '\r')
-          .dropWhile(_ <= ' ').reverse.dropWhile(_ <= ' ').reverse
-        return if (cleaned.isEmpty) None else Some(cleaned)
-      }
+      if (name.equalsIgnoreCase(target) && v != null) return Some(v)
     }
     None
+  }
+
+  /** Entity-decode a raw attribute value. */
+  private def decodeEnts(v: String): String = {
+    val sb = new StringBuilder
+    var j = 0
+    while (j < v.length) {
+      if (v(j) == '&') entity(v, j) match {
+        case null => sb.append('&'); j += 1
+        case (cp, nxt) =>
+          sb.append(new String(Character.toChars(cp))); j = nxt
+      }
+      else { sb.append(v(j)); j += 1 }
+    }
+    sb.toString
+  }
+
+  /** URL value cleanup: entities, tab/LF/CR stripped anywhere, ends
+    * trimmed of chars <= 0x20; None when empty. */
+  private def refHref(s: String): Option[String] =
+    refAttr(s, "href").flatMap { v =>
+      val cleaned = decodeEnts(v).filterNot(c =>
+        c == '\t' || c == '\n' || c == '\r')
+        .dropWhile(_ <= ' ').reverse.dropWhile(_ <= ' ').reverse
+      if (cleaned.isEmpty) None else Some(cleaned)
+    }
+
+  /** Text-like value: entities (whitespace-class + NBSP → space),
+    * whitespace collapsed, trimmed; None when empty. */
+  private def decodeText(v: String): Option[String] = {
+    // DECODED ws-class/NBSP entities become collapsible spaces; a RAW
+    // U+00A0 char stays literal (the main text path's decoded-vs-raw rule)
+    val sb = new StringBuilder
+    var j = 0
+    while (j < v.length) {
+      if (v(j) == '&') entity(v, j) match {
+        case null => sb.append('&'); j += 1
+        case (cp, nxt) =>
+          if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' ||
+            cp == '\f' || cp == 0xa0) sb.append(' ')
+          else sb.append(new String(Character.toChars(cp)))
+          j = nxt
+      }
+      else { sb.append(v(j)); j += 1 }
+    }
+    val mapped = sb.toString.map(c =>
+      if (c == '\t' || c == '\n' || c == '\r' || c == '\f') ' ' else c)
+    val cleaned = mapped.replaceAll(" +", " ").replaceAll("^ | $", "")
+    if (cleaned.isEmpty) None else Some(cleaned)
   }
 
   /** Decoded entity at `i`, as (codePoint, posAfter); null if literal. */
