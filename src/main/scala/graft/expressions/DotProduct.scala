@@ -128,6 +128,21 @@ case class DotProductW(left: Expression, right: Expression)
 /** Session extension registering graft's native expressions
   * (`spark.sql.extensions=graft.expressions.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  /** Fold a literal numeric argument (SQL decimal literals like `0.5`
+    * arrive as Decimal, DataFrame `lit(0.5)` as Double). */
+  private def litDouble(e: Expression): Double = e.eval() match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: java.lang.Number => n.doubleValue()
+    case v => throw new IllegalArgumentException(
+      s"expected a numeric literal, got $v")
+  }
+  private def litLong(e: Expression): Long = e.eval() match {
+    case d: org.apache.spark.sql.types.Decimal => d.toLong
+    case n: java.lang.Number => n.longValue()
+    case v => throw new IllegalArgumentException(
+      s"expected a numeric literal, got $v")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
@@ -345,6 +360,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftCharsetFix].getName,
         "graft_charset_fix"),
       (children: Seq[Expression]) => GraftCharsetFix(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_crawl_audit"),
+      new ExpressionInfo(classOf[GraftCrawlAudit].getName,
+        "graft_crawl_audit"),
+      (children: Seq[Expression]) => GraftCrawlAudit(children(0),
+        children.lift(1).map(litDouble).getOrElse(0.5),
+        children.lift(2).map(litLong).getOrElse(50L))))
     ext.injectFunction((
       FunctionIdentifier("graft_robots_allowed"),
       new ExpressionInfo(classOf[GraftRobotsAllowed].getName,

@@ -322,7 +322,11 @@ object HtmlKernel {
     val linkBuf =
       if (collectLinks) new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
       else null
-    // first-wins document metadata (collected only when asked)
+    // first-wins document metadata (collected only when asked).
+    // titleSeen is tracked apart from mTitle: decodeAttrText maps an
+    // empty <title></title> to null, and first-wins must still hold —
+    // a later non-empty title may not overwrite the empty first one.
+    var titleSeen = false
     var mTitle: Array[Byte] = null
     var mLang: Array[Byte] = null
     var mCanonical: Array[Byte] = null
@@ -482,10 +486,11 @@ object HtmlKernel {
                         mDescription =
                           decodeAttrText(b, (ct >>> 32).toInt, ct.toInt)
                     }
-                  case "title" if mTitle == null && !selfClose =>
+                  case "title" if !titleSeen && !selfClose =>
                     // RCDATA look-ahead: entity-decode + collapse the raw
                     // range up to </title (markup inside is literal, per
                     // RCDATA); the main walk re-reads it as text
+                    titleSeen = true
                     val close = rawClose(after, "title")
                     mTitle = decodeAttrText(b, after,
                       if (close < 0) n else close)

@@ -31,10 +31,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    wins; at equal length `Allow` wins; no matching rule → allowed.
   *
   * `graft_robots_allowed(robots string, agent string, path string) ->
-  * boolean`. Parsing memoizes per (robots, agent) in a thread-local so a
-  * frontier join evaluating thousands of paths per host parses each
-  * robots.txt once per task, not once per row. Reference scope: sybil has
-  * no crawl surface; training-data-pipeline extension tier (q218).
+  * boolean`. Parsing memoizes per (robots, agent) in a per-thread
+  * direct-mapped cache (64 entries, keyed by byte hash), so a frontier
+  * join evaluating thousands of paths parses each robots.txt once per
+  * task even when rows interleave hosts — the normal shape after a
+  * frontier join; see [[RobotsKernel.eval]] for the bounds. Reference
+  * scope: sybil has no crawl surface; training-data-pipeline extension
+  * tier (q218).
   */
 object RobotsKernel {
 
@@ -135,18 +138,56 @@ object RobotsKernel {
     bestLen < 0 || bestAllow
   }
 
-  private val tl = new ThreadLocal[(String, String, Array[Rule])]
+  /** Per-thread memo capacity (power of two; direct-mapped). 64 hosts
+    * of interleaving before same-bucket eviction can occur at all. */
+  private val MemoSlots = 64
+  /** Robots texts above this size bypass the memo (bounds per-thread
+    * retained memory at MemoSlots × 1 MiB worst case). */
+  private val MemoMaxBytes = 1 << 20
 
-  /** Row entry point: memoizes the parsed (robots, agent) per thread. */
+  private final class Memo {
+    val robotsK = new Array[UTF8String](MemoSlots)
+    val agentK = new Array[UTF8String](MemoSlots)
+    val rules = new Array[Array[Rule]](MemoSlots)
+  }
+  private val memo = new ThreadLocal[Memo] {
+    override def initialValue(): Memo = new Memo
+  }
+
+  /** Memo misses (parses) — test observability for the re-parse bound. */
+  val parseCount = new java.util.concurrent.atomic.AtomicLong
+
+  /** Row entry point. The memo is a per-thread DIRECT-MAPPED cache of
+    * [[MemoSlots]] parsed (robots, agent) entries keyed by byte hash, so
+    * the interleaved-host shape a frontier join produces (host A, host B,
+    * host A, …) still hits: each distinct pair occupies its own bucket
+    * and a hit costs one hash + one byte-equality over the robots text —
+    * no re-parse, no per-row String allocation. Unclustered input over
+    * more than [[MemoSlots]] same-bucket hosts degrades to re-parsing
+    * (sorting/clustering the frontier by host restores hits); texts over
+    * [[MemoMaxBytes]] always re-parse (memory bound). Keys are cloned
+    * out of Spark's reused row buffers before retention. */
   def eval(robots: UTF8String, agent: UTF8String, path: UTF8String): Boolean = {
-    val r = robots.toString
-    val a = lower(agent.toString)
-    var c = tl.get()
-    if (c == null || c._1 != r || c._2 != a) {
-      c = (r, a, rulesFor(r, a))
-      tl.set(c)
+    if (robots.numBytes > MemoMaxBytes) {
+      parseCount.incrementAndGet()
+      return allowed(rulesFor(robots.toString, lower(agent.toString)),
+        path.toString)
     }
-    allowed(c._3, path.toString)
+    val m = memo.get()
+    val h = (robots.hashCode * 31 + agent.hashCode) & (MemoSlots - 1)
+    val kr = m.robotsK(h)
+    val rs =
+      if (kr != null && kr.equals(robots) && m.agentK(h).equals(agent))
+        m.rules(h)
+      else {
+        parseCount.incrementAndGet()
+        val parsed = rulesFor(robots.toString, lower(agent.toString))
+        m.robotsK(h) = robots.clone()
+        m.agentK(h) = agent.clone()
+        m.rules(h) = parsed
+        parsed
+      }
+    allowed(rs, path.toString)
   }
 }
 

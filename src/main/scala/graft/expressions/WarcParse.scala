@@ -64,7 +64,10 @@ object WarcKernel {
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(b))
-      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
+      // initial-size hint in Long: b.length*4 overflows Int past 512 MiB
+      // and a negative hint throws OUTSIDE the IOException catch below
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(b.length.toLong * 4, 1L << 20).toInt)
       val buf = new Array[Byte](64 << 10)
       var n = in.read(buf)
       while (n >= 0) {
@@ -206,11 +209,13 @@ object WarcKernel {
         if (p < blockEnd && b(p) == ' ') {
           p += 1
           var v = 0
-          var any = false
-          while (p < blockEnd && b(p) >= '0' && b(p) <= '9' && v < 1000) {
-            v = v * 10 + (b(p) - '0'); any = true; p += 1
+          var digits = 0
+          while (p < blockEnd && b(p) >= '0' && b(p) <= '9' && digits < 3) {
+            v = v * 10 + (b(p) - '0'); digits += 1; p += 1
           }
-          if (any) status = Integer.valueOf(v)
+          // a 4th digit means this is not a 3-digit HTTP code: reject
+          val more = p < blockEnd && b(p) >= '0' && b(p) <= '9'
+          if (digits > 0 && !more) status = Integer.valueOf(v)
         }
         // headers until blank line; Content-Type overrides record mime
         var q = blockOff

@@ -22,17 +22,33 @@ import org.apache.spark.sql.functions._
   */
 object Crawl {
 
+  /** Output + internal column names [[cleanCorpus]] writes (lowercase;
+    * the collision check is case-insensitive like Spark's resolver). */
+  private val Reserved: Set[String] = Set(
+    "url", "status", "mime", "charset", "text", "text_bytes",
+    "link_density", "n_links", "warc_rec", "__html", "__e")
+
   /** Raw archives → curated page rows. Keeps HTTP 200 HTML responses
     * whose extracted text clears `minTextBytes` and is not link-dominated
     * (`maxLinkDensity`). Output columns: `url` (canonicalized), `status`,
     * `mime`, `charset` (detected), `text`, `text_bytes`, `link_density`,
-    * `n_links`, plus the caller's non-payload columns. */
+    * `n_links`, plus the caller's non-payload columns. Those eight output
+    * names (and the internals `warc_rec`/`__html`/`__e`) are RESERVED:
+    * a caller column with any of these names would be silently
+    * overwritten, so the operator fails fast instead. */
   def cleanCorpus(warcs: DataFrame, payloadCol: String = "payload",
       maxLinkDensity: Double = 0.5, minTextBytes: Long = 50L): DataFrame = {
     require(maxLinkDensity >= 0.0 && maxLinkDensity <= 1.0,
       s"cleanCorpus: maxLinkDensity must be in [0,1], got $maxLinkDensity")
     require(minTextBytes >= 1L,
       s"cleanCorpus: minTextBytes must be >= 1, got $minTextBytes")
+    val clash = warcs.columns.filter(c => c != payloadCol &&
+      Reserved.contains(c.toLowerCase(java.util.Locale.ROOT)))
+    require(clash.isEmpty,
+      s"cleanCorpus: input columns ${clash.mkString(", ")} collide with " +
+        "reserved output/internal names (url, status, mime, charset, text, " +
+        "text_bytes, link_density, n_links, warc_rec, __html, __e); " +
+        "rename them upstream")
     val recs = Multimodal.warcRecords(warcs, payloadCol)
       .drop(payloadCol)
       .filter(col("warc_rec.rec_type") === "response" &&
@@ -57,5 +73,48 @@ object Crawl {
         ld.as("link_density"),
         col("__e.n_links").as("n_links"))
       .drop("warc_rec", "__html", "__e")
+  }
+
+  /** Loss accounting for [[cleanCorpus]] — the counted funnel. cleanCorpus
+    * is built from loud-NULL kernels, but `explode` turns a NULL into ZERO
+    * rows: a corrupt archive, a 404 storm, and an over-tight boilerplate
+    * threshold are indistinguishable from "no data" in its output. This
+    * operator runs the SAME funnel (same gates, same thresholds, same
+    * IEEE link-density division — one kernel,
+    * [[graft.expressions.CrawlAuditKernel]], shared semantics by
+    * construction) and counts every record's exit stage instead of
+    * emitting pages:
+    *
+    * `records, parse_nulls, non_response, gated_status, gated_mime,
+    * charset_fallbacks, dropped_small, dropped_boilerplate, kept`
+    *
+    * with `records = non_response + gated_status + gated_mime +
+    * dropped_small + dropped_boilerplate + kept` per group, and `kept`
+    * equal to the number of rows cleanCorpus would emit for the same
+    * input and thresholds (spec-pinned). `charset_fallbacks` counts
+    * pages that CONTINUED after the windows-1252 fallback — the
+    * encoding-rot canary, not a drop.
+    *
+    * One row per `by` group (the whole corpus when `by` is empty). Scale
+    * shape: the payload is parsed once per archive scan-side, the
+    * aggregation ships nine longs per group through map-side partial
+    * aggregation — the only shuffle is the tiny counter rollup. Null
+    * payloads count as `parse_nulls` (a counted loss, never a silent
+    * one). Reference parallel: sybil counts skipped blocks
+    * (table_query.go:383) and ingest warnings (cmd_ingest.go). */
+  def auditCorpus(warcs: DataFrame, payloadCol: String = "payload",
+      maxLinkDensity: Double = 0.5, minTextBytes: Long = 50L,
+      by: Seq[String] = Nil): DataFrame = {
+    require(maxLinkDensity >= 0.0 && maxLinkDensity <= 1.0,
+      s"auditCorpus: maxLinkDensity must be in [0,1], got $maxLinkDensity")
+    require(minTextBytes >= 1L,
+      s"auditCorpus: minTextBytes must be >= 1, got $minTextBytes")
+    val audit = call_function("graft_crawl_audit", col(payloadCol),
+      lit(maxLinkDensity), lit(minTextBytes))
+    val audited = warcs.select(by.map(col) :+ audit.as("__audit"): _*)
+    val sums = graft.expressions.CrawlAuditKernel.Fields
+      .map(f => sum(col("__audit").getField(f)).as(f))
+    if (by.isEmpty) audited.agg(sums.head, sums.tail: _*)
+    else audited.groupBy(by.map(col): _*).agg(sums.head, sums.tail: _*)
   }
 }

@@ -68,10 +68,14 @@ object HtmlExtract {
     require(minTextBytes >= 1L,
       s"dropBoilerplate: minTextBytes must be >= 1, got $minTextBytes")
     val e = call_function("graft_html_extract", col(htmlCol))
-    // one kernel pass: materialize the struct once in the filter plan
-    df.withColumn("__html", e)
-      .filter(col("__html.text_bytes") >= minTextBytes &&
-        linkDensity(col("__html")) <= maxLinkDensity)
-      .drop("__html")
+    // one kernel pass: materialize the struct once in the filter plan.
+    // The temp column is freshened against the caller's schema so a
+    // caller column named "__html" is neither overwritten nor dropped.
+    var tmp = "__html"
+    while (df.columns.contains(tmp)) tmp = "_" + tmp
+    df.withColumn(tmp, e)
+      .filter(col(s"$tmp.text_bytes") >= minTextBytes &&
+        linkDensity(col(tmp)) <= maxLinkDensity)
+      .drop(tmp)
   }
 }

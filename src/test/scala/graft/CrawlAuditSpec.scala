@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.CrawlAuditKernel
+import graft.operators.Crawl
+
+/** Crawl-ingest loss accounting ([[CrawlAuditKernel]],
+  * `graft_crawl_audit`, [[Crawl.auditCorpus]]): one loss of every kind
+  * planted in hand-built archives, the funnel-conservation invariant,
+  * `kept` == cleanCorpus row-for-row, and the one-kernel-pass-per-archive
+  * evaluation bound. */
+class CrawlAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def b(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private def resp(uri: String, http: String): String =
+    s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: <$uri>\r\n" +
+      s"Content-Length: ${b(http).length}\r\n\r\n$http\r\n\r\n"
+
+  private def http(status: String, mime: String, body: String): String =
+    s"HTTP/1.1 $status\r\nContent-Type: $mime\r\n\r\n$body"
+
+  private val prose =
+    "<html><body><p>article with plenty of ordinary prose words to " +
+      "clear the size gate</p><a href=\"/r\">ref</a></body></html>"
+  // all-anchor text, long enough to clear the size gate so it reaches
+  // (and fails) the density gate rather than dropping as too small
+  private val farm =
+    "<div>" + ("<a href=\"/u\">wordy link text</a> " * 8) + "</div>"
+  // a latin-1 0xE9 byte: invalid UTF-8, triggers the cp1252 fallback
+  private val latin1Prose = ("<html><body><p>café article with " +
+    "plenty of ordinary prose words to clear the size gate</p>" +
+    "</body></html>").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** One archive planting one loss of every kind + two keeps. */
+  private def plantedWarc: Array[Byte] = {
+    val head = "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Type: " +
+      "application/warc-fields\r\nContent-Length: 17\r\n\r\n" +
+      "software: graft\r\n\r\n\r\n"                      // non_response
+    val gone = resp("http://ex.test/gone",
+      http("404 NF", "text/html", "<p>gone</p>"))        // gated_status
+    val png = resp("http://ex.test/img",
+      http("200 OK", "image/png", "fakepng"))            // gated_mime
+    val tiny = resp("http://ex.test/tiny",
+      http("200 OK", "text/html", "<p>x</p>"))           // dropped_small
+    val farm1 = resp("http://ex.test/farm",
+      http("200 OK", "text/html", farm))                 // dropped_boiler
+    val keep = resp("http://ex.test/keep",
+      http("200 OK", "text/html; charset=utf-8", prose)) // kept
+    val latin = new String(latin1Prose,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val keepLatin = resp("http://ex.test/latin",
+      http("200 OK", "text/html", latin))   // kept + charset_fallback
+    // build in latin-1 so the 0xE9 byte survives verbatim
+    (head + gone + png + tiny + farm1 + keep + keepLatin)
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  test("kernel: one loss of each kind lands in its own counter") {
+    val c = CrawlAuditKernel.audit(plantedWarc, 0.5, 20L)
+    val m = CrawlAuditKernel.Fields.zip(c).toMap
+    assert(m("records") === 7L)
+    assert(m("parse_nulls") === 0L)
+    assert(m("non_response") === 1L)
+    assert(m("gated_status") === 1L)
+    assert(m("gated_mime") === 1L)
+    assert(m("charset_fallbacks") === 1L) // the latin-1 keep, counted too
+    assert(m("dropped_small") === 1L)
+    assert(m("dropped_boilerplate") === 1L)
+    assert(m("kept") === 2L)
+    // corrupt archive and null payload are counted, never silent
+    assert(CrawlAuditKernel.audit(b("GARBAGE"), 0.5, 20L)(1) === 1L)
+    assert(CrawlAuditKernel.audit(null, 0.5, 20L)(1) === 1L)
+    // funnel conservation: every record leaves at exactly one stage
+    assert(m("records") === m("non_response") + m("gated_status") +
+      m("gated_mime") + m("dropped_small") + m("dropped_boilerplate") +
+      m("kept"))
+  }
+
+  test("operator: auditCorpus totals, grouping, and kept==cleanCorpus") {
+    val rows = Seq(
+      (0L, plantedWarc),
+      (1L, plantedWarc),
+      (2L, b("NOT A WARC")),
+      (3L, null.asInstanceOf[Array[Byte]]))
+    val df = rows.toDF("id", "payload")
+    val total = Crawl.auditCorpus(df, maxLinkDensity = 0.5,
+      minTextBytes = 20L).collect()(0)
+    val m = CrawlAuditKernel.Fields
+      .map(f => f -> total.getAs[Long](f)).toMap
+    assert(m("records") === 14L && m("parse_nulls") === 2L)
+    assert(m("kept") === 4L && m("charset_fallbacks") === 2L)
+    // kept matches what cleanCorpus actually emits for the same input
+    val emitted = Crawl.cleanCorpus(df, maxLinkDensity = 0.5,
+      minTextBytes = 20L).count()
+    assert(emitted === m("kept"))
+    // per-archive grouping: one row per id, planted archives identical
+    val byId = Crawl.auditCorpus(df, maxLinkDensity = 0.5,
+      minTextBytes = 20L, by = Seq("id")).orderBy("id").collect()
+    assert(byId.length === 4)
+    assert(byId(0).getAs[Long]("kept") === 2L)
+    assert(byId(1).getAs[Long]("kept") === 2L)
+    assert(byId(2).getAs[Long]("parse_nulls") === 1L &&
+      byId(2).getAs[Long]("records") === 0L)
+    assert(byId(3).getAs[Long]("parse_nulls") === 1L)
+  }
+
+  test("plan: the funnel kernel runs ONCE per archive, not per counter") {
+    val df = (0L until 50L).map(i => (i, plantedWarc)).toDF("id", "payload")
+    val before = CrawlAuditKernel.auditCount.get()
+    Crawl.auditCorpus(df, minTextBytes = 20L).collect()
+    val runs = CrawlAuditKernel.auditCount.get() - before
+    // 9 counter columns reference one struct: subexpression elimination
+    // must keep this at one kernel invocation per archive
+    assert(runs === 50L, s"expected 50 kernel runs for 50 archives, got $runs")
+  }
+
+  test("SQL surface: graft_crawl_audit with literal thresholds") {
+    Seq((1L, plantedWarc)).toDF("id", "payload")
+      .createOrReplaceTempView("audit_fixture")
+    val r = spark.sql(
+      """SELECT a.records, a.kept, a.parse_nulls
+        |FROM (SELECT graft_crawl_audit(payload, 0.5, 20) AS a
+        |      FROM audit_fixture)""".stripMargin).collect()(0)
+    assert(r.getLong(0) === 7L && r.getLong(1) === 2L && r.getLong(2) === 0L)
+  }
+
+  test("thresholds are validated at construction") {
+    val df = Seq((1L, plantedWarc)).toDF("id", "payload")
+    intercept[IllegalArgumentException] {
+      Crawl.auditCorpus(df, maxLinkDensity = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Crawl.auditCorpus(df, minTextBytes = 0L)
+    }
+  }
+}

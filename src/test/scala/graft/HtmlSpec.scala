@@ -187,6 +187,10 @@ class HtmlSpec extends SparkSpec {
     assert(none.title === null && none.lang === null &&
       none.canonical === null && none.description === null)
     assert(s(meta("<title>tail").title) === "tail")
+    // first-wins holds even when the first title is EMPTY: a later
+    // non-empty <title> may not overwrite it (titleSeen != mTitle-null)
+    assert(meta("<title></title><title>late</title>").title === null)
+    assert(meta("<title>  </title><title>late</title>").title === null)
     // meta collection does NOT perturb the text/counter outputs
     val h2 = """<html lang=x><title>t</title><p>body</p>"""
     val plain = ex(h2)

@@ -88,6 +88,22 @@ class RobotsSpec extends SparkSpec {
     assert(checked > 3000)
   }
 
+  test("memo: interleaved hosts parse each robots.txt once, not per row") {
+    // the normal frontier-join shape: rows alternate hosts A,B,C,A,B,C,…
+    // The direct-mapped per-thread memo must hold all three concurrently —
+    // a single-slot memo would re-parse on EVERY row here.
+    val policies = (0 until 3).map(i =>
+      s"User-agent: *\nDisallow: /private$i\nAllow: /private$i/ok\n")
+    val before = RobotsKernel.parseCount.get()
+    for (row <- 0 until 200; h <- 0 until 3) {
+      assert(!ok(policies(h), "anybot", s"/private$h/x"), s"row=$row host=$h")
+      assert(ok(policies(h), "anybot", s"/private$h/ok"))
+    }
+    val parses = RobotsKernel.parseCount.get() - before
+    // bound: one parse per distinct (robots, agent) pair — not 1200
+    assert(parses <= 3L, s"expected <=3 parses for 3 hosts, got $parses")
+  }
+
   test("SQL surface: frontier filter composes with outlinks") {
     val robots = "User-agent: *\nDisallow: /private\n"
     val df = Seq((1L, robots, "/public/a"), (2L, robots, "/private/b"),

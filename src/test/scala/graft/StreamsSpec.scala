@@ -531,4 +531,41 @@ class StreamsSpec extends SparkSpec {
     assert(got.count() === 20)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("crawl loss accounting is streaming-transparent: auditCorpus on a " +
+      "stream matches the batch funnel per archive") {
+    implicit val sq = spark.sqlContext
+    // same shape as the cleanCorpus parity test, but every third archive
+    // plants a loss (corrupt payload) so the funnel counters are load-
+    // bearing; the audit is a stateless projection + streaming aggregate
+    def warcOf(i: Long): Array[Byte] =
+      if (i % 3 == 2) s"CORRUPT $i".getBytes("US-ASCII")
+      else {
+        val body = s"<html><body><p>article text number $i with enough " +
+          s"padding words</p><a href=\"/r\">ref</a></body></html>"
+        val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+          s"<http://ex$i.test/a>\r\nContent-Length: ${http.length}\r\n\r\n" +
+          http + "\r\n\r\n").getBytes("US-ASCII")
+      }
+    val rows = (0L until 18L).map(i => (i, warcOf(i)))
+    val mem = MemoryStream[(Long, Array[Byte])]
+    mem.addData(rows: _*)
+    val streamed = graft.operators.Crawl.auditCorpus(
+      mem.toDF().toDF("id", "payload"), minTextBytes = 10, by = Seq("id"))
+    val q = streamed.writeStream.format("memory").queryName("audit_stream")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("audit_stream").orderBy("id")
+    val want = graft.operators.Crawl.auditCorpus(
+      rows.toDF("id", "payload"), minTextBytes = 10, by = Seq("id"))
+      .orderBy("id")
+    assert(got.count() === 18)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the planted losses are counted, not silent
+    val totals = spark.table("audit_stream")
+      .agg(sum("parse_nulls"), sum("kept")).collect()(0)
+    assert(totals.getLong(0) === 6L && totals.getLong(1) === 12L)
+  }
 }

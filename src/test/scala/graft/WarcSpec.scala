@@ -63,10 +63,18 @@ class WarcSpec extends SparkSpec {
     val noTerm = rec("response", "HTTP/1.1 404 NF\r\nX: 1\r\n")
     val (rs, _) = WarcKernel.parse(b(noTerm))
     assert(rs(0).status.intValue === 404 && rs(0).bodyLen === 0)
-    // status caps at 3 digits of value < 1000; garbage after space -> null
+    // status is exactly 3 digits; garbage after the space -> null
     val bad = rec("response", "HTTP/1.1 abc\r\n\r\nx")
     val (bs, _) = WarcKernel.parse(b(bad))
     assert(bs(0).status === null && bs(0).bodyLen === 1)
+    // a 4-digit "status" is rejected, not truncated to its first 3 digits
+    val four = rec("response", "HTTP/1.1 9999 X\r\n\r\nx")
+    val (f4, _) = WarcKernel.parse(b(four))
+    assert(f4(0).status === null)
+    // 1–2 digit codes (non-standard but unambiguous) still parse
+    val two = rec("response", "HTTP/1.1 99 X\r\n\r\nx")
+    val (t2, _) = WarcKernel.parse(b(two))
+    assert(t2(0).status.intValue === 99)
   }
 
   test("malformed archives are LOUD nulls, never half-parses") {
