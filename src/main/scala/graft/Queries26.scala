@@ -117,5 +117,303 @@ object Queries26 {
       .orderBy(d)
   }
 
-  val catalog: Seq[(String, QueryDef)] = Seq(q221CrawlAudit)
+  /** Wildcard/anchor robots decision table — q218's oracle covers
+    * prefix-only rules; this one pins the `*` / final-`$` machinery with
+    * an exact CASE-arithmetic replay (the engine convention: oracle-
+    * anchored wherever SQL can express the expectation; the 4000-case
+    * RobotsSpec fuzz remains the breadth check). Per document the policy
+    * mixes an anchored Disallow, a LONGER anchored Allow (raw-length
+    * precedence, wildcards counted), a mid-path `*` Allow over a short
+    * Disallow prefix, and an `m`-parameterized anchored rule; six paths
+    * hit every branch: anchor match, anchor miss (default allow),
+    * longest-wins with wildcards, mid-`*` win, prefix deny, and the
+    * m-dependent rule. `otherbot` matches no group → all allowed. */
+  val q222RobotsWildcards: (String, QueryDef) = q(
+    "q222_robots_wildcards",
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 5 AS m FROM documents WHERE doc_id < 300),
+      |e AS (
+      |  SELECT doc_id, m, unnest(generate_series(0, CAST(5 AS BIGINT)))
+      |    AS j FROM p),
+      |x AS (
+      |  SELECT doc_id, m, j,
+      |    CASE j
+      |      WHEN 0 THEN '/t/x' || CAST(m AS VARCHAR) || '.bak'
+      |      WHEN 1 THEN '/t/x' || CAST(m AS VARCHAR) || '.bakzz'
+      |      WHEN 2 THEN '/t/keep' || CAST(m AS VARCHAR) || '.bak'
+      |      WHEN 3 THEN '/b/q' || CAST(m AS VARCHAR) || '/c'
+      |      WHEN 4 THEN '/b/q' || CAST(m AS VARCHAR) || '/d'
+      |      ELSE '/w2zzx' END AS path
+      |  FROM e)
+      |SELECT doc_id, path,
+      |  (CASE j WHEN 0 THEN FALSE WHEN 1 THEN TRUE WHEN 2 THEN TRUE
+      |          WHEN 3 THEN TRUE WHEN 4 THEN FALSE
+      |          ELSE (m <> 2) END) AS bot_ok,
+      |  TRUE AS other_ok
+      |FROM x ORDER BY doc_id, path""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val m = (d % 5).cast("string")
+    val robots = concat(
+      lit("User-agent: GraftBot\nDisallow: /t/*.bak$\n" +
+        "Allow: /t/keep*.bak$\nAllow: /b/*/c\nDisallow: /b\n" +
+        "Disallow: /w"), m, lit("*x$\n"))
+    val paths = array(
+      concat(lit("/t/x"), m, lit(".bak")),
+      concat(lit("/t/x"), m, lit(".bakzz")),
+      concat(lit("/t/keep"), m, lit(".bak")),
+      concat(lit("/b/q"), m, lit("/c")),
+      concat(lit("/b/q"), m, lit("/d")),
+      lit("/w2zzx"))
+    t("documents").filter(d < 300)
+      .select(d, robots.as("robots"), explode(paths).as("path"))
+      .select(d, col("path"),
+        call_function("graft_robots_allowed", col("robots"),
+          lit("graftbot"), col("path")).as("bot_ok"),
+        call_function("graft_robots_allowed", col("robots"),
+          lit("otherbot"), col("path")).as("other_ok"))
+      .orderBy(d, col("path"))
+  }
+
+  /** The incremental-crawl frontier round trip — every crawl-tier piece
+    * composed into the production shape: crawled pages → outlinks
+    * (`graft_html_links`, q215's exact page generator) → `graft_canon_url`
+    * → host extraction → BROADCAST join to the per-host robots dim →
+    * `graft_robots_allowed` (an anchored `$` rule, so the wildcard
+    * matcher is mid-chain) → BROADCAST anti-join against the standing
+    * corpus (URLs already crawled: every even path, query-free) → dedup
+    * + ref-count per new URL. At 100 TB the two dims (robots per host,
+    * corpus keys per partition range) are the small sides — both joins
+    * broadcast, the only shuffle is the final canon-key rollup. The
+    * oracle replays robots (`pth = h`, no query) and corpus membership
+    * (`pth` even, no query) as pure modular arithmetic on the link
+    * generator — it never parses HTML, URLs, or robots.txt. */
+  val q223CrawlFrontier: (String, QueryDef) = q(
+    "q223_crawl_frontier",
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 5 + 1 AS k
+      |  FROM documents WHERE doc_id < 300),
+      |l AS (
+      |  SELECT doc_id, unnest(generate_series(0, CAST(k - 1 AS BIGINT)))
+      |    AS j FROM p),
+      |f AS (
+      |  SELECT doc_id, (doc_id + 3*j) % 7 AS h, (doc_id + 3*j) % 13 AS pth,
+      |    (doc_id + 3*j) % 3 AS v
+      |  FROM l),
+      |x AS (
+      |  SELECT doc_id,
+      |    'http://ex' || CAST(h AS VARCHAR) || '.test/p' ||
+      |      CAST(pth AS VARCHAR) ||
+      |      CASE WHEN v = 2 THEN '?a=1' ELSE '' END AS canon
+      |  FROM f
+      |  WHERE NOT (pth = h AND v <> 2)
+      |    AND NOT (pth % 2 = 0 AND v <> 2))
+      |SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_refs,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      |FROM x GROUP BY canon ORDER BY canon""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val k = (d % 5 + 1).cast("int")
+    // q215's page generator verbatim: three raw spellings per link fold
+    // onto one canonical key each
+    val page = concat(lit("<html><body>"),
+      array_join(transform(sequence(lit(0), k - 1), j => {
+        val g = d + j * 3
+        val h = (g % 7).cast("string")
+        val pth = (g % 13).cast("string")
+        val v = g % 3
+        val href =
+          when(v === 1,
+            concat(lit("HTTP://EX"), h, lit(".TEST:080/p"), pth))
+          .when(v === 2,
+            concat(lit("http://ex"), h, lit(".test/p"), pth,
+              lit("?a=1&amp;utm_source=x")))
+          .otherwise(concat(lit("http://ex"), h, lit(".test/p"), pth))
+        concat(lit("<a href=\""), href, lit("\">x</a> "))
+      }), ""),
+      lit("</body></html>"))
+    val base = t("documents").filter(d < 300).select(d, page.as("page"))
+    val links = graft.operators.HtmlExtract.outlinks(base, "page")
+      .select(d, call_function("graft_canon_url", col("href")).as("canon"))
+      .withColumn("host", expr("parse_url(canon, 'HOST')"))
+      .withColumn("path_q", concat(expr("parse_url(canon, 'PATH')"),
+        coalesce(concat(lit("?"), expr("parse_url(canon, 'QUERY')")),
+          lit(""))))
+    // per-host robots dim: anchored rule — /p{h} exactly, queries escape
+    val robotsDim = t("documents").filter(d < 7).select(
+      concat(lit("ex"), d.cast("string"), lit(".test")).as("host"),
+      concat(lit("User-agent: *\nDisallow: /p"), d.cast("string"),
+        lit("$\n")).as("robots"))
+    // standing corpus: every (host, even path) pair, query-free
+    val corpus = t("documents").filter(d < 49).select(
+      concat(lit("http://ex"), (d % 7).cast("string"), lit(".test/p"),
+        (floor(d / 7) * 2).cast("long").cast("string")).as("canon"))
+    links
+      .join(broadcast(robotsDim), Seq("host"))
+      .filter(call_function("graft_robots_allowed", col("robots"),
+        lit("graftbot"), col("path_q")))
+      .join(broadcast(corpus), Seq("canon"), "left_anti")
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_refs"), min(d).as("first_doc"))
+      .orderBy(col("canon"))
+  }
+
+  /** The crawl tier's DECADE INSTRUMENT — q221's planted-loss archive
+    * construction with the `doc_id` cap REMOVED (work grows with the
+    * corpus, which the q213–q223 anchors deliberately don't: their
+    * fixed-N fixtures exist for oracle tractability) and the rollup by
+    * host (7 groups), so ScaleBench can measure the whole WARC → charset
+    * → HTML → funnel chain across ScaleGen decades and ScaleGate can
+    * gate its exponents. Corruption moves to `doc_id % 11` so every
+    * host group carries a mix of losses. Still fully oracle-anchored:
+    * per-host SUMs of the same CASE arithmetic. */
+  val q224CrawlAuditScale: (String, QueryDef) = q(
+    "q224_crawl_audit_scale",
+    """SELECT doc_id % 7 AS host,
+      |  CAST(SUM(CASE WHEN doc_id % 11 = 0 THEN 0
+      |       ELSE 4 + (doc_id % 3) + (CASE WHEN doc_id % 2 = 0 THEN 1
+      |                                ELSE 0 END) END) AS BIGINT)
+      |    AS records,
+      |  CAST(SUM(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS parse_nulls,
+      |  CAST(SUM(CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS non_response,
+      |  CAST(SUM(CASE WHEN doc_id % 11 = 0 THEN 0 ELSE doc_id % 3 END)
+      |    AS BIGINT) AS gated_status,
+      |  CAST(SUM(CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS gated_mime,
+      |  CAST(SUM(CASE WHEN doc_id % 11 = 0 THEN 0
+      |       WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS charset_fallbacks,
+      |  CAST(SUM(CASE WHEN doc_id % 11 = 0 THEN 0
+      |       WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS dropped_small,
+      |  CAST(SUM(CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS dropped_boilerplate,
+      |  CAST(SUM(CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS kept
+      |FROM documents GROUP BY 1 ORDER BY host""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val ds = d.cast("string")
+    val chBin = when(d % 3 === 0, unhex(lit("E9")))
+      .otherwise(lit("e").cast("binary"))
+    val htmlArt = concat(lit("<html><body><p>caf").cast("binary"), chBin,
+      concat(lit(" padding words keep density low "), fragCol,
+        lit("</p><a href=\"/r?x=1\">ref</a></body></html>")).cast("binary"))
+    val httpArt = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +
+        "\r\n\r\n").cast("binary"), htmlArt)
+    val farm = "<div>" + ("<a href=\"/u\">w</a> " * 6) + "</div>"
+    val httpFarm = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + farm
+    val http404 = "HTTP/1.1 404 NF\r\nContent-Type: text/html\r\n\r\n" +
+      "<p>gone</p>"
+    val httpPng = "HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\nfakepng"
+    val httpTiny = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<p>x</p>"
+    def respStr(uriSuffix: String, body: String): String =
+      "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+        s"<http://ex.test/$uriSuffix>\r\nContent-Type: application/http; " +
+        s"msgtype=response\r\nContent-Length: ${body.length}\r\n\r\n" +
+        body + "\r\n\r\n"
+    val respArt = concat(
+      concat(lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+        "<http://ex.test/p"), ds,
+        lit(">\r\nContent-Type: application/http; msgtype=response\r\n" +
+          "Content-Length: "), length(httpArt).cast("string"),
+        lit("\r\n\r\n")).cast("binary"),
+      httpArt, lit("\r\n\r\n").cast("binary"))
+    val warcinfo = "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Type: " +
+      "application/warc-fields\r\nContent-Length: 17\r\n\r\n" +
+      "software: graft\r\n\r\n\r\n"
+    val good = concat(
+      lit(warcinfo).cast("binary"),
+      repeat(lit(respStr("gone", http404)), (d % 3).cast("int"))
+        .cast("binary"),
+      lit(respStr("img", httpPng)).cast("binary"),
+      when(d % 2 === 0, lit(respStr("tiny", httpTiny)))
+        .otherwise(lit("")).cast("binary"),
+      lit(respStr("farm", httpFarm)).cast("binary"),
+      respArt)
+    val payload = when(d % 11 === 0, lit("XX").cast("binary")).otherwise(good)
+    graft.operators.Crawl.auditCorpus(
+        t("documents").select((d % 7).as("host"), payload.as("payload")),
+        maxLinkDensity = 0.5, minTextBytes = 5L, by = Seq("host"))
+      .orderBy(col("host"))
+  }
+
+  /** q223's frontier round trip, uncapped — the second crawl decade
+    * instrument: outlink extraction + canonicalization grow with the
+    * corpus while the robots and standing-corpus dims stay bounded
+    * (exactly the 100 TB shape: per-host policy and per-range corpus
+    * keys are the broadcast sides at any scale). Oracle identical in
+    * form to q223's modular-arithmetic replay, over all documents. */
+  val q225FrontierScale: (String, QueryDef) = q(
+    "q225_frontier_scale",
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 5 + 1 AS k FROM documents),
+      |l AS (
+      |  SELECT doc_id, unnest(generate_series(0, CAST(k - 1 AS BIGINT)))
+      |    AS j FROM p),
+      |f AS (
+      |  SELECT doc_id, (doc_id + 3*j) % 7 AS h, (doc_id + 3*j) % 13 AS pth,
+      |    (doc_id + 3*j) % 3 AS v
+      |  FROM l),
+      |x AS (
+      |  SELECT doc_id,
+      |    'http://ex' || CAST(h AS VARCHAR) || '.test/p' ||
+      |      CAST(pth AS VARCHAR) ||
+      |      CASE WHEN v = 2 THEN '?a=1' ELSE '' END AS canon
+      |  FROM f
+      |  WHERE NOT (pth = h AND v <> 2)
+      |    AND NOT (pth % 2 = 0 AND v <> 2))
+      |SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_refs,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      |FROM x GROUP BY canon ORDER BY canon""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val k = (d % 5 + 1).cast("int")
+    val page = concat(lit("<html><body>"),
+      array_join(transform(sequence(lit(0), k - 1), j => {
+        val g = d + j * 3
+        val h = (g % 7).cast("string")
+        val pth = (g % 13).cast("string")
+        val v = g % 3
+        val href =
+          when(v === 1,
+            concat(lit("HTTP://EX"), h, lit(".TEST:080/p"), pth))
+          .when(v === 2,
+            concat(lit("http://ex"), h, lit(".test/p"), pth,
+              lit("?a=1&amp;utm_source=x")))
+          .otherwise(concat(lit("http://ex"), h, lit(".test/p"), pth))
+        concat(lit("<a href=\""), href, lit("\">x</a> "))
+      }), ""),
+      lit("</body></html>"))
+    val base = t("documents").select(d, page.as("page"))
+    val links = graft.operators.HtmlExtract.outlinks(base, "page")
+      .select(d, call_function("graft_canon_url", col("href")).as("canon"))
+      .withColumn("host", expr("parse_url(canon, 'HOST')"))
+      .withColumn("path_q", concat(expr("parse_url(canon, 'PATH')"),
+        coalesce(concat(lit("?"), expr("parse_url(canon, 'QUERY')")),
+          lit(""))))
+    val robotsDim = t("documents").filter(d < 7).select(
+      concat(lit("ex"), d.cast("string"), lit(".test")).as("host"),
+      concat(lit("User-agent: *\nDisallow: /p"), d.cast("string"),
+        lit("$\n")).as("robots"))
+    val corpus = t("documents").filter(d < 49).select(
+      concat(lit("http://ex"), (d % 7).cast("string"), lit(".test/p"),
+        (floor(d / 7) * 2).cast("long").cast("string")).as("canon"))
+    links
+      .join(broadcast(robotsDim), Seq("host"))
+      .filter(call_function("graft_robots_allowed", col("robots"),
+        lit("graftbot"), col("path_q")))
+      .join(broadcast(corpus), Seq("canon"), "left_anti")
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_refs"), min(d).as("first_doc"))
+      .orderBy(col("canon"))
+  }
+
+  val catalog: Seq[(String, QueryDef)] = Seq(q221CrawlAudit,
+    q222RobotsWildcards, q223CrawlFrontier, q224CrawlAuditScale,
+    q225FrontierScale)
 }
