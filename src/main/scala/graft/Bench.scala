@@ -31,8 +31,63 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Anchor-hygiene preflight (the r13 anchor-A lesson made mechanical):
+    * 1115 stale `/tmp/graft-*` dirs (~16 GB) from accumulated test runs
+    * inflated a same-code bench anchor +15% — wall up, task CPU flat,
+    * the environmental signature. The diagnosis was manual; this makes
+    * it a measurement: count + size of stale `graft-*`/`demo-*` entries
+    * under java.io.tmpdir, warn LOUDLY above thresholds, and refuse
+    * outright when SPARK_GRAFT_TMP_STRICT=1 (anchor runs). The count is
+    * also emitted in the summary JSON (`tmp_stale_dirs`) so a drifted
+    * anchor's environment is visible in the round's own artifact.
+    * (Specs now clean their dirs via SparkSpec.tempDir's shutdown hook;
+    * this guard catches killed JVMs and anything else that leaks.) */
+  private[graft] def tmpPreflight(): Int = {
+    try {
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir", "/tmp"))
+      val stale = java.nio.file.Files.list(tmp).iterator()
+      var count = 0
+      var bytes = 0L
+      while (stale.hasNext) {
+        val p = stale.next()
+        val n = p.getFileName.toString
+        if ((n.startsWith("graft-") || n.startsWith("demo-")) &&
+            java.nio.file.Files.isDirectory(p)) {
+          count += 1
+          try {
+            val w = java.nio.file.Files.walk(p)
+            val it = w.iterator()
+            while (it.hasNext) {
+              val f = it.next()
+              if (java.nio.file.Files.isRegularFile(f))
+                bytes += java.nio.file.Files.size(f)
+            }
+            w.close()
+          } catch { case _: Throwable => () }
+        }
+      }
+      val maxDirs = sys.env.getOrElse("SPARK_GRAFT_TMP_STALE_MAX", "64").toInt
+      if (count > maxDirs || bytes > (2L << 30)) {
+        val msg = s"[bench] TMP HYGIENE: $count stale graft-*/demo-* dirs " +
+          f"(${bytes / 1e9}%.1f GB) under ${tmp.toString} — bench walls " +
+          "are NOT anchor-grade on a dirty box (r13 anchor-A: +15% wall " +
+          "from exactly this); clean with: rm -rf " +
+          s"${tmp.toString}/graft-* ${tmp.toString}/demo-*"
+        System.err.println(msg)
+        if (sys.env.get("SPARK_GRAFT_TMP_STRICT").contains("1")) {
+          System.err.println("[bench] SPARK_GRAFT_TMP_STRICT=1: refusing " +
+            "to run an anchor on a dirty box")
+          sys.exit(3)
+        }
+      }
+      count
+    } catch { case _: Throwable => -1 }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val staleDirs = tmpPreflight()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.GraftSession.configure(
       SparkSession.builder()
@@ -165,7 +220,7 @@ object Bench {
       "\"" + k + s"""":{"mem":$sm,"disk":$sd}"""
     }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"reps":$repsJson,"spill":$spillJson,"failed":$fj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"tmp_stale_dirs":$staleDirs,"queries":$fullQs,"reps":$repsJson,"spill":$spillJson,"failed":$fj,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -191,6 +246,6 @@ object Bench {
     spark.sparkContext.setLogLevel("OFF")
     try spark.stop() catch { case _: Throwable => }
     println(
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"queries_truncated":${picked.size < results.size},"detail":"BENCH_FULL.json","failed":$fj,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"tmp_stale_dirs":$staleDirs,"queries":$qs,"queries_truncated":${picked.size < results.size},"detail":"BENCH_FULL.json","failed":$fj,"sf":"$sfDir"}""")
   }
 }

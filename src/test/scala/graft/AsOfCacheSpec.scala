@@ -59,7 +59,7 @@ class AsOfCacheSpec extends SparkSpec {
   }
 
   test("query cache: hits on rolling time filters, exact results, zone-map skip") {
-    val root = Files.createTempDirectory("graft-qc").toString
+    val root = SparkSpec.tempDir("graft-qc").toString
     val t = new GraftTable(spark, root)
     // three blocks with disjoint time ranges: [0,999], [1000,1999], [2000,2999]
     // (compact=false keeps them separate, standing in for full 64Ki blocks)
@@ -114,7 +114,7 @@ class AsOfCacheSpec extends SparkSpec {
   }
 
   test("query cache: str-replace affects groups and cache key; sort honored") {
-    val root = Files.createTempDirectory("graft-qc3").toString
+    val root = SparkSpec.tempDir("graft-qc3").toString
     val t = new GraftTable(spark, root)
     t.ingest((0 until 300).map(i =>
       (s"host-${i % 3}-prod", i.toLong, (i % 10).toLong)).toDF("k", "time", "v"))
@@ -138,7 +138,7 @@ class AsOfCacheSpec extends SparkSpec {
   }
 
   test("query cache: hist partials merge to the exact single-pass result") {
-    val root = Files.createTempDirectory("graft-qc4").toString
+    val root = SparkSpec.tempDir("graft-qc4").toString
     val t = new GraftTable(spark, root)
     for (b <- 0 until 2) {
       t.ingest((0 until 800).map(i =>
@@ -171,7 +171,7 @@ class AsOfCacheSpec extends SparkSpec {
   }
 
   test("query cache: weighted avg partials merge exactly") {
-    val root = Files.createTempDirectory("graft-qc2").toString
+    val root = SparkSpec.tempDir("graft-qc2").toString
     val t = new GraftTable(spark, root)
     for (b <- 0 until 2) {
       t.ingest((0 until 500).map(i =>
@@ -190,7 +190,7 @@ class AsOfCacheSpec extends SparkSpec {
   }
 
   test("query cache: HLL distinct partials merge to the single-pass estimate") {
-    val root = Files.createTempDirectory("graft-qc-hll").toString
+    val root = SparkSpec.tempDir("graft-qc-hll").toString
     val t = new GraftTable(spark, root)
     // values deliberately overlap across blocks: the union must dedup
     // across block sketches, not add their counts
@@ -225,7 +225,7 @@ class AsOfCacheSpec extends SparkSpec {
 
   test("query cache: tdigest partials merge bit-identically to the " +
       "single-pass run") {
-    val root = Files.createTempDirectory("graft-qc-td").toString
+    val root = SparkSpec.tempDir("graft-qc-td").toString
     val t = new GraftTable(spark, root)
     // per-block value ranges overlap and one block crosses sign; nulls
     // included so the per-column populated count is exercised
@@ -266,7 +266,7 @@ class AsOfCacheSpec extends SparkSpec {
     // crosses the 8192-distinct cap, so the cache-side merge performs
     // the collapse that the single-pass run performs mid-aggregation —
     // the homomorphism wiring end-to-end, not just in-memory
-    val root = Files.createTempDirectory("graft-qc-td2").toString
+    val root = SparkSpec.tempDir("graft-qc-td2").toString
     val t = new GraftTable(spark, root)
     for (b <- 0 until 3) {
       t.ingest((0 until 4100).map { i =>
@@ -294,7 +294,7 @@ class AsOfCacheSpec extends SparkSpec {
     // ("a","bc") style prefix collisions are also covered: v1/v2 values
     // are digit strings whose concatenation is ambiguous without the
     // separator.
-    val root = Files.createTempDirectory("graft-qc-hll2").toString
+    val root = SparkSpec.tempDir("graft-qc-hll2").toString
     val t = new GraftTable(spark, root)
     for (b <- 0 until 3) {
       t.ingest((0 until 600).map { i =>
@@ -318,7 +318,7 @@ class AsOfCacheSpec extends SparkSpec {
 
   test("query cache: all-blocks-skipped result carries the merged output " +
       "schema") {
-    val root = Files.createTempDirectory("graft-qc-skip").toString
+    val root = SparkSpec.tempDir("graft-qc-skip").toString
     val t = new GraftTable(spark, root)
     t.ingest((0 until 200).map(i =>
       (s"k${i % 3}", i.toLong, (i % 20).toLong)).toDF("k", "time", "v"))
@@ -336,7 +336,7 @@ class AsOfCacheSpec extends SparkSpec {
 
   test("query cache: a block with null times is never classified " +
       "AlwaysTrue (cached == uncached)") {
-    val root = Files.createTempDirectory("graft-qc-null").toString
+    val root = SparkSpec.tempDir("graft-qc-null").toString
     val t = new GraftTable(spark, root)
     // half the rows carry a NULL time: extents describe non-null values
     // only, so dropping the time filter for this block would admit rows

@@ -13,7 +13,7 @@ class BucketingSpec extends SparkSpec {
   import spark.implicits._
 
   private def tmp(prefix: String) =
-    Files.createTempDirectory(prefix).toString
+    SparkSpec.tempDir(prefix).toString
 
   test("bucketed big-big join plans with zero Exchange, same results") {
     val events = graft.core.Tables.events(spark, sfDir)

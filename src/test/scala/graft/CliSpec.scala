@@ -19,8 +19,8 @@ class CliSpec extends SparkSpec {
   private val mapper = new ObjectMapper()
 
   test("E2E: ingest → digest → grouped avg query with filters via -json") {
-    val db = Files.createTempDirectory("graft-cli").toString
-    val data = Files.createTempDirectory("graft-cli-data")
+    val db = SparkSpec.tempDir("graft-cli").toString
+    val data = SparkSpec.tempDir("graft-cli-data")
     val lines = (0 until 120).map { i =>
       val state = if (i % 3 == 0) "CA" else "NY"
       s"""{"age": ${20 + i % 10}, "state": "$state", "time": ${1700000000 + i}}"""
@@ -83,8 +83,8 @@ class CliSpec extends SparkSpec {
   }
 
   test("CLI: csv ingest, loghist query, cached query, export") {
-    val db = Files.createTempDirectory("graft-cli3").toString
-    val data = Files.createTempDirectory("graft-cli3-data")
+    val db = SparkSpec.tempDir("graft-cli3").toString
+    val data = SparkSpec.tempDir("graft-cli3-data")
     Files.writeString(data.resolve("r.csv"),
       "region,amount,time\n" +
         (0 until 90).map(i => s"r${i % 3},${i * 10 + 1},${1700000000 + i}").mkString("\n"))
@@ -143,15 +143,15 @@ class CliSpec extends SparkSpec {
     assert(cachedTd("-cache-queries") === td1)
 
     // export writes gzip TSV
-    val out = Files.createTempDirectory("graft-cli3-out").toString + "/tsv"
+    val out = SparkSpec.tempDir("graft-cli3-out").toString + "/tsv"
     Cli.main(Array("export", "-dir", db, "-table", "sales", "-outfile", out))
     assert(Files.list(java.nio.file.Paths.get(out)).iterator().asScala
       .exists(_.toString.endsWith(".csv.gz")))
   }
 
   test("CLI inspect dumps sidecar stats for a table and schema for raw parquet") {
-    val db = Files.createTempDirectory("graft-cli-inspect").toString
-    val data = Files.createTempDirectory("graft-cli-inspect-data")
+    val db = SparkSpec.tempDir("graft-cli-inspect").toString
+    val data = SparkSpec.tempDir("graft-cli-inspect-data")
     Files.writeString(data.resolve("rows.jsonl"),
       (0 until 30).map(i => s"""{"v": $i, "time": ${1700000000 + i}}""").mkString("\n"))
     Cli.main(Array("ingest", "-dir", db, "-table", "t",
@@ -168,8 +168,8 @@ class CliSpec extends SparkSpec {
   }
 
   test("CLI optimize z-orders the table and queries still answer") {
-    val db = Files.createTempDirectory("graft-cli-opt").toString
-    val data = Files.createTempDirectory("graft-cli-opt-data")
+    val db = SparkSpec.tempDir("graft-cli-opt").toString
+    val data = SparkSpec.tempDir("graft-cli-opt-data")
     val rnd = new scala.util.Random(3)
     val lines = (0 until 500).map { i =>
       s"""{"x": ${rnd.nextInt(100)}, "y": ${rnd.nextInt(100)}, "time": ${1700000000 + i}}"""
@@ -189,8 +189,8 @@ class CliSpec extends SparkSpec {
   }
 
   test("CLI trim dry-run prints nothing to remove for fresh data") {
-    val db = Files.createTempDirectory("graft-cli2").toString
-    val data = Files.createTempDirectory("graft-cli2-data")
+    val db = SparkSpec.tempDir("graft-cli2").toString
+    val data = SparkSpec.tempDir("graft-cli2-data")
     Files.writeString(data.resolve("r.jsonl"),
       (0 until 10).map(i => s"""{"v": $i, "time": ${1700000000 + i}}""").mkString("\n"))
     Cli.main(Array("ingest", "-dir", db, "-table", "t", "-infile",
@@ -223,7 +223,7 @@ class CliSpec extends SparkSpec {
 
   test("CLI -cache-queries with a double weight column falls back to uncached") {
     import spark.implicits._
-    val db = Files.createTempDirectory("graft-cli-dw").toString
+    val db = SparkSpec.tempDir("graft-cli-dw").toString
     // CLI ingest truncates floats (sybilCompat), so build the table via
     // the API — the CLI must still query whatever parquet types it finds
     val df = (0 until 50).map(i => (i % 5L, (i % 3) + 0.5, 1700000000L + i))

@@ -15,10 +15,10 @@ import graft.sources.{GraftTable, Ingest}
 class IngestSpec extends SparkSpec {
 
   private def tmpDir(prefix: String) =
-    Files.createTempDirectory(prefix).toString
+    SparkSpec.tempDir(prefix).toString
 
   private def writeJsonl(lines: Seq[String]): String = {
-    val d = Files.createTempDirectory("graft-jsonl")
+    val d = SparkSpec.tempDir("graft-jsonl")
     Files.writeString(d.resolve("data.jsonl"), lines.mkString("\n"))
     d.resolve("data.jsonl").toString
   }
@@ -565,7 +565,7 @@ class IngestSpec extends SparkSpec {
   }
 
   test("csv ingest with header and numeric inference") {
-    val d = Files.createTempDirectory("graft-csv")
+    val d = SparkSpec.tempDir("graft-csv")
     Files.writeString(d.resolve("data.csv"), "name,age,score\nalice,30,9.7\nbob,41,3.2\n")
     val df = Ingest.readCsv(spark, d.resolve("data.csv").toString)
     assert(df.schema("age").dataType === LongType)

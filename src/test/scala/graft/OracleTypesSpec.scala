@@ -25,7 +25,7 @@ class OracleTypesSpec extends AnyFunSuite {
       catch { case _: java.io.IOException => false }
     assume(duckdbOk, "python3+duckdb not available")
 
-    val json = Files.createTempDirectory("oracle-types")
+    val json = SparkSpec.tempDir("oracle-types")
       .resolve("oracle_sql.json").toString
     Verify.main(Array("--sql-only", json))
 
@@ -47,7 +47,7 @@ class OracleTypesSpec extends AnyFunSuite {
     // the exact shape of round 6's bug: SUM over a BIGINT with no cast
     val seeded = """{"seeded": "SELECT l_returnflag, SUM(l_orderkey) AS s
       |FROM lineitem GROUP BY 1"}""".stripMargin.replace("\n", " ")
-    val json = Files.createTempDirectory("oracle-types-seed")
+    val json = SparkSpec.tempDir("oracle-types-seed")
       .resolve("oracle_sql.json")
     Files.writeString(json, seeded)
     val out = new StringBuilder

@@ -369,7 +369,7 @@ class Round16OpsSpec extends SparkSpec {
 
   test("trim refuses to run while a digest holds the lock") {
     import graft.sources.GraftTable
-    val root = java.nio.file.Files.createTempDirectory("graft-trimlock")
+    val root = SparkSpec.tempDir("graft-trimlock")
     val t = new GraftTable(spark, root.toString)
     t.ingest(Seq((1L, 10L)).toDF("id", "v"))
     val lock = root.resolve("digest.lock")

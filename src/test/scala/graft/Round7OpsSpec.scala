@@ -97,7 +97,7 @@ class Round7OpsSpec extends SparkSpec {
   }
 
   test("writeZOrdered clusters BOTH dimensions into narrow per-file tiles") {
-    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val dir = SparkSpec.tempDir("zorder").toString
     val n = 20000
     val df = spark.range(n).select(
       (rand(7) * 1000).cast("long").as("x"),

@@ -101,7 +101,7 @@ class ScaleGateSpec extends AnyFunSuite {
   }
 
   test("parse reads a ScaleBench file (pretty-printed and cpu-less both)") {
-    val dir = java.nio.file.Files.createTempDirectory("scalegate")
+    val dir = SparkSpec.tempDir("scalegate")
     val withCpu = dir.resolve("hi.json")
     java.nio.file.Files.write(withCpu,
       """{"sf":"/tmp/x","reps":3,"queries":{
@@ -134,7 +134,7 @@ class ScaleGateSpec extends AnyFunSuite {
   test("--write mode: a quadratic digest phase trips the gate, a linear " +
       "one passes; the factor comes from the files' own rows fields " +
       "(r12 verdict ask #2)") {
-    val dir = java.nio.file.Files.createTempDirectory("scalegate-write")
+    val dir = SparkSpec.tempDir("scalegate-write")
     def dump(name: String, body: String) = {
       val p = dir.resolve(name)
       java.nio.file.Files.write(p, body.getBytes("UTF-8"))
@@ -171,5 +171,17 @@ class ScaleGateSpec extends AnyFunSuite {
     assert(!row(allowed, "digest/graft.digest.write").breach)
     assert(row(allowed, "digest/graft.digest.write").verdict
       .contains("diagnosed: xyz"))
+  }
+
+  test("bench tmp preflight counts stale graft dirs (anchor hygiene)") {
+    // the r13 anchor-A incident made mechanical: Bench counts stale
+    // graft-*/demo-* dirs under java.io.tmpdir and emits the count in
+    // its summary JSON. Plant three, expect them counted, clean up.
+    val planted = (1 to 3).map(i =>
+      java.nio.file.Files.createTempDirectory("graft-preflightprobe" + i))
+    try {
+      val n = graft.Bench.tmpPreflight()
+      assert(n >= 3, s"expected >= 3 stale dirs counted, got $n")
+    } finally planted.foreach(java.nio.file.Files.deleteIfExists)
   }
 }

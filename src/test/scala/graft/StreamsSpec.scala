@@ -192,9 +192,9 @@ class StreamsSpec extends SparkSpec {
   }
 
   test("streaming digest drains a json dir into a GraftTable") {
-    val src = Files.createTempDirectory("graft-stream-src")
-    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
-    val root = Files.createTempDirectory("graft-stream-table")
+    val src = SparkSpec.tempDir("graft-stream-src")
+    val ckpt = SparkSpec.tempDir("graft-stream-ckpt")
+    val root = SparkSpec.tempDir("graft-stream-table")
     Files.writeString(src.resolve("a.jsonl"),
       (0 until 100).map(i => s"""{"id":$i,"k":"x"}""").mkString("\n"))
     Files.writeString(src.resolve("b.jsonl"),
@@ -211,8 +211,8 @@ class StreamsSpec extends SparkSpec {
       "periodic digest, consistent reads (the reference's steady-ingest " +
       "loop as a Structured Streaming sink)") {
     implicit val sq = spark.sqlContext
-    val ckpt = Files.createTempDirectory("graft-sink-ckpt")
-    val root = Files.createTempDirectory("graft-sink-table")
+    val ckpt = SparkSpec.tempDir("graft-sink-ckpt")
+    val root = SparkSpec.tempDir("graft-sink-table")
     val table = new GraftTable(spark, root.toString)
     val mem = MemoryStream[(Long, String)]
     val q = table.writeStreamInto(mem.toDF().toDF("id", "k"),
@@ -343,8 +343,8 @@ class StreamsSpec extends SparkSpec {
 
   test("writeToTable appends micro-batches exactly-once into a GraftTable") {
     import spark.implicits._
-    val ckpt = Files.createTempDirectory("graft-w2t-ckpt").toString
-    val root = Files.createTempDirectory("graft-w2t-table").toString
+    val ckpt = SparkSpec.tempDir("graft-w2t-ckpt").toString
+    val root = SparkSpec.tempDir("graft-w2t-table").toString
     val table = new GraftTable(spark, root)
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
