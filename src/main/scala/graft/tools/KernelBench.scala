@@ -106,5 +106,14 @@ object KernelBench {
     }
     run("warc parse (gzip member)", warcGz,
       (x: Array[Byte]) => graft.expressions.WarcKernel.parse(x), nRecs)
+
+    // the loss-accounting funnel over the same 2 MiB archive: parse +
+    // per-record gates + charset + HTML extraction on every kept page —
+    // the audit must cost ~what cleanCorpus itself costs (it IS the
+    // same chain, counting instead of emitting)
+    run("crawl audit (2 MiB archive)", warcRaw,
+      (x: Array[Byte]) =>
+        graft.expressions.CrawlAuditKernel.audit(x, 0.5, 50L),
+      nRecs)
   }
 }
