@@ -413,7 +413,135 @@ object Queries26 {
       .orderBy(col("canon"))
   }
 
+  /** Redirect edges ([[graft.operators.Crawl.redirectEdges]],
+    * `graft_warc_parse`'s r14 `location` field + `graft_resolve_url` +
+    * `graft_canon_url`): per document one 3xx response whose `Location`
+    * cycles the four shapes a real crawl sees — absolute-path, dotted
+    * relative (`../`), absolute URL in SHOUTED case with a default port
+    * and a tracking param (canon folds all three), and bare relative
+    * with a query — plus a 200 record that must NOT appear. The oracle
+    * replays both canonical endpoints and the status as string/CASE
+    * arithmetic; it never parses WARC, HTTP, or URLs, so a header-walk,
+    * RFC 3986 resolution, or canonicalization bug breaks the hash. */
+  val q226RedirectEdges: (String, QueryDef) = q(
+    "q226_redirect_edges",
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 4 AS m, doc_id % 7 AS h,
+      |    (doc_id + 1) % 7 AS h2
+      |  FROM documents WHERE doc_id < 300)
+      |SELECT doc_id,
+      |  'http://ex' || CAST(h AS VARCHAR) || '.test/dir/sub/r' ||
+      |    CAST(doc_id AS VARCHAR) AS from_url,
+      |  CASE m
+      |    WHEN 0 THEN 'http://ex' || CAST(h AS VARCHAR) || '.test/abs/p'
+      |      || CAST(doc_id AS VARCHAR)
+      |    WHEN 1 THEN 'http://ex' || CAST(h AS VARCHAR) ||
+      |      '.test/dir/up/p' || CAST(doc_id AS VARCHAR)
+      |    WHEN 2 THEN 'http://ex' || CAST(h2 AS VARCHAR) || '.test/q' ||
+      |      CAST(doc_id AS VARCHAR) || '?a=1'
+      |    ELSE 'http://ex' || CAST(h AS VARCHAR) || '.test/dir/sub/p' ||
+      |      CAST(doc_id AS VARCHAR) || '?x=2' END AS to_url,
+      |  CAST(CASE m WHEN 0 THEN 301 WHEN 1 THEN 302 WHEN 2 THEN 307
+      |       ELSE 308 END AS INT) AS status
+      |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val ds = d.cast("string")
+    val m = d % 4
+    val h = (d % 7).cast("string")
+    val h2 = ((d + 1) % 7).cast("string")
+    val loc = when(m === 0, concat(lit("/abs/p"), ds))
+      .when(m === 1, concat(lit("../up/p"), ds))
+      .when(m === 2, concat(lit("HTTP://EX"), h2, lit(".TEST:080/q"), ds,
+        lit("?a=1&utm_source=z")))
+      .otherwise(concat(lit("p"), ds, lit("?x=2")))
+    val statusLine = when(m === 0, lit("301 Moved"))
+      .when(m === 1, lit("302 Found")).when(m === 2, lit("307 TR"))
+      .otherwise(lit("308 PR"))
+    val httpRedir = concat(lit("HTTP/1.1 "), statusLine,
+      lit("\r\nLocation: "), loc,
+      lit("\r\nContent-Type: text/html\r\n\r\n<p>moved</p>"))
+    val http200 = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<p>fine</p>"
+    def respCol(uriSuffix: Column, body: Column): Column = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+        "<http://ex"), h, lit(".test/"), uriSuffix,
+      lit(">\r\nContent-Type: application/http; msgtype=response\r\n" +
+        "Content-Length: "), length(body).cast("string"),
+      lit("\r\n\r\n"), body, lit("\r\n\r\n"))
+    val warc = concat(
+      respCol(concat(lit("dir/sub/r"), ds), httpRedir),
+      respCol(concat(lit("ok"), ds), lit(http200))).cast("binary")
+    graft.operators.Crawl.redirectEdges(
+        t("documents").filter(d < 300).select(d, warc.as("payload")))
+      .select(d, col("from_url"), col("to_url"), col("status"))
+      .orderBy(d)
+  }
+
+  /** Relative-outlink resolution through the operator surface
+    * ([[graft.operators.HtmlExtract.resolvedOutlinks]]): pages carry the
+    * three RELATIVE href shapes a real crawl sees — sibling (`p{g}`),
+    * absolute-path (`/top/p{g}`), and dotted-with-query
+    * (`../other/p{g}?a=1&amp;utm_source=x`, exercising entity decode,
+    * `..` folding, and canon's tracking-param strip in one edge) —
+    * anchored on a two-segment page URL so merge/dot-removal are both
+    * load-bearing. The oracle rebuilds every canonical target from the
+    * generating parts (the q215/q207 convention). */
+  val q227ResolvedOutlinks: (String, QueryDef) = q(
+    "q227_resolved_outlinks",
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 5 + 1 AS k, doc_id % 7 AS h,
+      |    doc_id % 3 AS s
+      |  FROM documents WHERE doc_id < 300),
+      |l AS (
+      |  SELECT doc_id, h, s,
+      |    unnest(generate_series(0, CAST(k - 1 AS BIGINT))) AS j FROM p),
+      |e AS (
+      |  SELECT doc_id, h, s, (doc_id + 3*j) AS g,
+      |    (doc_id + 3*j) % 3 AS v FROM l),
+      |x AS (
+      |  SELECT doc_id,
+      |    CASE v
+      |      WHEN 0 THEN 'http://ex' || CAST(h AS VARCHAR) || '.test/sec'
+      |        || CAST(s AS VARCHAR) || '/p' || CAST(g AS VARCHAR)
+      |      WHEN 1 THEN 'http://ex' || CAST(h AS VARCHAR) || '.test/top/p'
+      |        || CAST(g AS VARCHAR)
+      |      ELSE 'http://ex' || CAST(h AS VARCHAR) || '.test/other/p' ||
+      |        CAST(g AS VARCHAR) || '?a=1' END AS canon
+      |  FROM e)
+      |SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_refs,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      |FROM x GROUP BY canon ORDER BY canon""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val k = (d % 5 + 1).cast("int")
+    val h = (d % 7).cast("string")
+    val sec = (d % 3).cast("string")
+    val baseUrl = concat(lit("http://ex"), h, lit(".test/sec"), sec,
+      lit("/idx"), d.cast("string"))
+    val page = concat(lit("<html><body>"),
+      array_join(transform(sequence(lit(0), k - 1), j => {
+        val g = d + j * 3
+        val gs = g.cast("string")
+        val v = g % 3
+        val href =
+          when(v === 1, concat(lit("/top/p"), gs))
+          .when(v === 2,
+            concat(lit("../other/p"), gs, lit("?a=1&amp;utm_source=x")))
+          .otherwise(concat(lit("p"), gs))
+        concat(lit("<a href=\""), href, lit("\">x</a> "))
+      }), ""),
+      lit("</body></html>"))
+    val base = t("documents").filter(d < 300)
+      .select(d, baseUrl.as("page_url"), page.as("page"))
+    graft.operators.HtmlExtract.resolvedOutlinks(base, "page", "page_url")
+      .select(d, call_function("graft_canon_url", col("href")).as("canon"))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_refs"), min(d).as("first_doc"))
+      .orderBy(col("canon"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(q221CrawlAudit,
     q222RobotsWildcards, q223CrawlFrontier, q224CrawlAuditScale,
-    q225FrontierScale)
+    q225FrontierScale, q226RedirectEdges, q227ResolvedOutlinks)
 }

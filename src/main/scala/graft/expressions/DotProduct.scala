@@ -361,6 +361,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_charset_fix"),
       (children: Seq[Expression]) => GraftCharsetFix(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_resolve_url"),
+      new ExpressionInfo(classOf[GraftResolveUrl].getName,
+        "graft_resolve_url"),
+      (children: Seq[Expression]) => GraftResolveUrl(children(0),
+        children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_crawl_audit"),
       new ExpressionInfo(classOf[GraftCrawlAudit].getName,
         "graft_crawl_audit"),

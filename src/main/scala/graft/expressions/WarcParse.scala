@@ -16,7 +16,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * ([[AudioMeta]], [[VideoMeta]]).
   *
   * `graft_warc_parse(binary) -> array<struct<rec_type string, uri string,
-  * status int, mime string, body binary>>`, one element per WARC record:
+  * status int, mime string, location string, body binary>>`, one element
+  * per WARC record:
   *
   *  - gzip input (magic `1f 8b`) inflates first — multi-member streams
   *    (the warc.gz convention: one member per record) read end-to-end;
@@ -31,11 +32,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `uri` = `WARC-Target-URI`, surrounding `<…>` stripped (the WARC 1.0
   *    angle-bracket variant);
   *  - a `response` record whose block starts with `HTTP/` splits: `status`
-  *    = the integer after the first space of the status line, `mime` = the
-  *    HTTP `Content-Type` value verbatim (parameters kept), `body` = the
-  *    bytes after the HTTP header terminator (no terminator → empty body);
-  *    any other record keeps `status` null, `mime` = the record-level
-  *    `Content-Type`, `body` = the whole block;
+  *    = the integer after the first space of the status line (exactly 3
+  *    digits — a 4th digit rejects), `mime` = the HTTP `Content-Type`
+  *    value verbatim (parameters kept), `location` = the HTTP `Location`
+  *    value (the redirect target a frontier follows — r14; null when
+  *    absent), `body` = the bytes after the HTTP header terminator (no
+  *    terminator → empty body); any other record keeps `status` null,
+  *    `mime` = the record-level `Content-Type`, `location` null, `body`
+  *    = the whole block;
   *  - anything malformed — wrong magic, missing/invalid `Content-Length`,
   *    a block running past the input — returns NULL for the whole value
   *    (corrupt archives surface, never half-parse).
@@ -53,6 +57,7 @@ object WarcKernel {
       val uri: Array[Byte],
       val status: java.lang.Integer,
       val mime: Array[Byte],
+      val location: Array[Byte], // HTTP Location (redirect target)
       val bodyOff: Int,
       val bodyLen: Int)
 
@@ -195,6 +200,7 @@ object WarcKernel {
       // HTTP split for response records
       var status: java.lang.Integer = null
       var mime = recMime
+      var httpLoc: Array[Byte] = null
       var bodyOff = blockOff
       var bodyLen = blockLen
       val isResponse = recType != null &&
@@ -217,7 +223,8 @@ object WarcKernel {
           val more = p < blockEnd && b(p) >= '0' && b(p) <= '9'
           if (digits > 0 && !more) status = Integer.valueOf(v)
         }
-        // headers until blank line; Content-Type overrides record mime
+        // headers until blank line; Content-Type overrides record mime,
+        // Location is the redirect frontier's edge target
         var q = blockOff
         var httpBody = -1
         var httpMime: Array[Byte] = null
@@ -234,13 +241,18 @@ object WarcKernel {
           else {
             var c2 = q
             while (c2 < ce2 && b(c2) != ':') c2 += 1
-            if (c2 < ce2 && lowerEq(b, q, c2, "content-type")) {
-              var vs2 = c2 + 1
-              while (vs2 < ce2 && (b(vs2) == ' ' || b(vs2) == '\t')) vs2 += 1
-              var ve2 = ce2
-              while (ve2 > vs2 && (b(ve2 - 1) == ' ' || b(ve2 - 1) == '\t'))
-                ve2 -= 1
-              httpMime = java.util.Arrays.copyOfRange(b, vs2, ve2)
+            if (c2 < ce2) {
+              val isCt = lowerEq(b, q, c2, "content-type")
+              val isLoc = !isCt && lowerEq(b, q, c2, "location")
+              if (isCt || isLoc) {
+                var vs2 = c2 + 1
+                while (vs2 < ce2 && (b(vs2) == ' ' || b(vs2) == '\t')) vs2 += 1
+                var ve2 = ce2
+                while (ve2 > vs2 && (b(ve2 - 1) == ' ' || b(ve2 - 1) == '\t'))
+                  ve2 -= 1
+                val v2 = java.util.Arrays.copyOfRange(b, vs2, ve2)
+                if (isCt) httpMime = v2 else httpLoc = v2
+              }
             }
             q = math.min(e + 1, blockEnd)
           }
@@ -249,7 +261,7 @@ object WarcKernel {
         if (httpBody >= 0) { bodyOff = httpBody; bodyLen = blockEnd - httpBody }
         else { bodyOff = blockEnd; bodyLen = 0 } // headers never ended
       }
-      recs += new Rec(recType, uri, status, mime, bodyOff, bodyLen)
+      recs += new Rec(recType, uri, status, mime, httpLoc, bodyOff, bodyLen)
       skipCrlf()
     }
     (recs.toArray, b)
@@ -269,6 +281,7 @@ case class GraftWarcParse(child: Expression) extends UnaryExpression {
     StructField("uri", StringType, nullable = true),
     StructField("status", IntegerType, nullable = true),
     StructField("mime", StringType, nullable = true),
+    StructField("location", StringType, nullable = true),
     StructField("body", BinaryType, nullable = false))),
     containsNull = false)
   override def nullable: Boolean = true
@@ -291,6 +304,8 @@ case class GraftWarcParse(child: Expression) extends UnaryExpression {
             if (r.uri == null) null else UTF8String.fromBytes(r.uri),
             if (r.status == null) null else r.status.intValue(),
             if (r.mime == null) null else UTF8String.fromBytes(r.mime),
+            if (r.location == null) null
+            else UTF8String.fromBytes(r.location),
             java.util.Arrays.copyOfRange(buf, r.bodyOff,
               r.bodyOff + r.bodyLen)))
           i += 1

@@ -75,6 +75,34 @@ object Crawl {
       .drop("warc_rec", "__html", "__e")
   }
 
+  /** Redirect edges — the OTHER frontier feed: a 3xx response's
+    * `Location` header is a crawl edge exactly like an outlink, and a
+    * frontier that ignores it never discovers moved content. One row per
+    * redirect record: `from_url` (the canonical record URI), `to_url`
+    * (the canonical RESOLVED target — `Location` is routinely relative,
+    * RFC 9110 §10.2.2, so `graft_resolve_url` anchors it on the record
+    * URI), and `status` (301/302/303/307/308 …). Rows whose target
+    * cannot be canonicalized (no usable base, malformed authority) are
+    * dropped — compose with [[auditCorpus]]-style counting upstream if
+    * loss accounting is needed. Pure scan-side projection + filter:
+    * single-stage per split, streaming-transparent, shuffle-free. */
+  def redirectEdges(warcs: DataFrame,
+      payloadCol: String = "payload"): DataFrame = {
+    val recs = Multimodal.warcRecords(warcs, payloadCol).drop(payloadCol)
+    recs
+      .filter(col("warc_rec.status").between(300, 399) &&
+        col("warc_rec.location").isNotNull)
+      .withColumn("from_url",
+        call_function("graft_canon_url", col("warc_rec.uri")))
+      .withColumn("to_url",
+        call_function("graft_canon_url",
+          call_function("graft_resolve_url", col("warc_rec.uri"),
+            col("warc_rec.location"))))
+      .withColumn("status", col("warc_rec.status"))
+      .filter(col("from_url").isNotNull && col("to_url").isNotNull)
+      .drop("warc_rec")
+  }
+
   /** Loss accounting for [[cleanCorpus]] — the counted funnel. cleanCorpus
     * is built from loud-NULL kernels, but `explode` turns a NULL into ZERO
     * rows: a corrupt archive, a 404 storm, and an over-tight boilerplate

@@ -56,6 +56,20 @@ object HtmlExtract {
     df.withColumn(outCol,
       explode(call_function("graft_html_links", col(htmlCol))))
 
+  /** [[outlinks]] with RFC 3986 resolution against the page's own URL —
+    * the form a real frontier needs, since most hrefs are relative
+    * (`/about`, `../x`, `?page=2`). Emits `outCol` as the ABSOLUTE
+    * target (`graft_resolve_url(base, href)`); rows where the base
+    * itself is not absolute resolve to NULL (filter or audit upstream).
+    * Compose with `graft_canon_url` for dedup keys. Still a pure
+    * scan-side projection — one kernel pass for the links, one
+    * resolution per edge, no shuffle. */
+  def resolvedOutlinks(df: DataFrame, htmlCol: String, baseUrlCol: String,
+      outCol: String = "href"): DataFrame =
+    outlinks(df, htmlCol, outCol)
+      .withColumn(outCol,
+        call_function("graft_resolve_url", col(baseUrlCol), col(outCol)))
+
   /** The curation filter: keep documents whose extracted text is non-trivial
     * and not link-dominated. Boilerplate chrome (nav bars, footers, link
     * farms) fails the density test; empty/script-only pages fail the size

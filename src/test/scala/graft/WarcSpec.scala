@@ -139,4 +139,35 @@ class WarcSpec extends SparkSpec {
     assert(out(1).getString(1) === "warcinfo" && out(1).isNullAt(2))
     assert(out(1).getString(3) === "software: graft")
   }
+
+  test("Location header + redirectEdges: relative targets resolve") {
+    def str2(a: Array[Byte]) = if (a == null) null
+      else new String(a, java.nio.charset.StandardCharsets.UTF_8)
+    val moved = "HTTP/1.1 301 Moved\r\nLocation: ../new/page\r\n" +
+      "Content-Type: text/html\r\n\r\n<p>moved</p>"
+    val absMoved = "HTTP/1.1 308 PR\r\nlocation:  https://NEW.test:443/x \r\n" +
+      "\r\n"
+    val warc =
+      rec("response", moved, "WARC-Target-URI: <http://ex.test/old/a/b>\r\n") +
+      rec("response", absMoved, "WARC-Target-URI: http://ex.test/y\r\n") +
+      rec("response", httpBlock, "WARC-Target-URI: http://ex.test/ok\r\n")
+    val (rs, _) = WarcKernel.parse(b(warc))
+    // kernel: Location captured case-insensitively, value trimmed;
+    // absent on non-redirects
+    assert(str2(rs(0).location) === "../new/page")
+    assert(str2(rs(1).location) === "https://NEW.test:443/x")
+    assert(rs(2).location === null)
+    // operator: 3xx rows only, RFC 3986 resolution + canon on both ends
+    val df = Seq((1L, b(warc))).toDF("id", "payload")
+    val out = graft.operators.Crawl.redirectEdges(df)
+      .select("id", "from_url", "to_url", "status")
+      .orderBy("status").collect()
+    assert(out.length === 2)
+    assert(out(0).getString(1) === "http://ex.test/old/a/b")
+    assert(out(0).getString(2) === "http://ex.test/old/new/page")
+    assert(out(0).getInt(3) === 301)
+    // absolute Location passes through; canon folds case + default port
+    assert(out(1).getString(2) === "https://new.test/x")
+    assert(out(1).getInt(3) === 308)
+  }
 }
