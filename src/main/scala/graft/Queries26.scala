@@ -541,7 +541,60 @@ object Queries26 {
       .orderBy(col("canon"))
   }
 
+  /** Per-host politeness budget (`graft_robots_delay`): the frontier
+    * scheduling query a polite crawler partitions fetches by. Hosts'
+    * robots.txt carry a Crawl-delay spread — absent (host 0), fractional
+    * (0.5), integral, and INVALID (`fast`, which must yield null, never
+    * delay-zero) — and the budget is `n_urls × coalesce(delay, 1.0)`
+    * seconds of serialized fetching per host. Broadcast robots dim,
+    * per-host rollup; oracle replays counts and CASE delays
+    * arithmetically. */
+  val q228PolitenessBudget: (String, QueryDef) = q(
+    "q228_politeness_budget",
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 7 AS host_id, doc_id % 3 + 1 AS k
+      |  FROM documents WHERE doc_id < 300),
+      |agg AS (
+      |  SELECT host_id, CAST(SUM(k) AS BIGINT) AS n_urls
+      |  FROM p GROUP BY host_id),
+      |d AS (
+      |  SELECT host_id, n_urls,
+      |    CASE host_id WHEN 0 THEN CAST(NULL AS DOUBLE)
+      |      WHEN 1 THEN 0.5 WHEN 2 THEN 2.0
+      |      WHEN 3 THEN CAST(NULL AS DOUBLE)
+      |      ELSE CAST(host_id AS DOUBLE) END AS crawl_delay
+      |  FROM agg)
+      |SELECT host_id, n_urls, crawl_delay,
+      |  CAST(n_urls AS DOUBLE) * COALESCE(crawl_delay, 1.0)
+      |    AS est_seconds
+      |FROM d ORDER BY host_id""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val urls = t("documents").filter(d < 300)
+      .select((d % 7).as("host_id"),
+        explode(sequence(lit(1), (d % 3 + 1).cast("int"))).as("j"))
+    val h = col("host_id")
+    val delayLine = when(h === 0, lit(""))
+      .when(h === 1, lit("Crawl-delay: 0.5\n"))
+      .when(h === 2, lit("Crawl-delay: 2\n"))
+      .when(h === 3, lit("Crawl-delay: fast\n"))
+      .otherwise(concat(lit("Crawl-delay: "), h.cast("string"), lit("\n")))
+    val robotsDim = t("documents").filter(d < 7)
+      .select((d % 7).as("host_id"))
+      .select(h, concat(lit("User-agent: *\n"), delayLine,
+        lit("Disallow: /private\n")).as("robots"))
+    urls.join(broadcast(robotsDim), Seq("host_id"))
+      .withColumn("delay",
+        call_function("graft_robots_delay", col("robots"), lit("graftbot")))
+      .groupBy(h)
+      .agg(count(lit(1)).as("n_urls"), max(col("delay")).as("crawl_delay"))
+      .withColumn("est_seconds",
+        col("n_urls").cast("double") * coalesce(col("crawl_delay"), lit(1.0)))
+      .orderBy(h)
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(q221CrawlAudit,
     q222RobotsWildcards, q223CrawlFrontier, q224CrawlAuditScale,
-    q225FrontierScale, q226RedirectEdges, q227ResolvedOutlinks)
+    q225FrontierScale, q226RedirectEdges, q227ResolvedOutlinks,
+    q228PolitenessBudget)
 }

@@ -380,6 +380,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => GraftRobotsAllowed(children(0),
         children(1), children(2))))
     ext.injectFunction((
+      FunctionIdentifier("graft_robots_delay"),
+      new ExpressionInfo(classOf[GraftRobotsDelay].getName,
+        "graft_robots_delay"),
+      (children: Seq[Expression]) => GraftRobotsDelay(children(0),
+        children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_viterbi_segment"),
       new ExpressionInfo(classOf[GraftViterbiSegment].getName,
         "graft_viterbi_segment"),

@@ -55,12 +55,27 @@ object RobotsKernel {
     new String(a)
   }
 
-  /** Combined rule list for the winning group(s); empty when no group
-    * applies (→ everything allowed). */
-  def rulesFor(robots: String, agentLower: String): Array[Rule] = {
-    // (uaScore, rules) per group; score = -1 no match, 0 = '*', else len
+  /** The winning group(s)' combined policy: matching rules plus the
+    * politeness signal. `crawlDelay` is null when absent everywhere. */
+  final class Policy(val rules: Array[Rule],
+      val crawlDelay: java.lang.Double)
+
+  private val EmptyPolicy = new Policy(Array.empty, null)
+
+  /** Combined policy for the winning group(s); empty rules when no group
+    * applies (→ everything allowed, no delay). `Crawl-delay` is the
+    * de-facto extension RFC 9309 leaves out but Bing/Yandex honor:
+    * seconds (fractions allowed) parsed per group; when several groups
+    * name the winning token, the MAXIMUM defined delay wins — the most
+    * conservative politeness is the only safe combination. Invalid or
+    * negative values are ignored (an unparseable delay must not become
+    * delay-zero). */
+  def policyFor(robots: String, agentLower: String): Policy = {
+    // per group: uaScore (-1 no match, 0 = '*', else token len) + rules
     final case class Group(var score: Int,
-      val rules: scala.collection.mutable.ArrayBuffer[Rule])
+      val rules: scala.collection.mutable.ArrayBuffer[Rule]) {
+      var delay: java.lang.Double = null
+    }
     val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var cur: Group = null
     var inUa = false
@@ -91,16 +106,41 @@ object RobotsKernel {
               inUa = false
               if (cur != null && value.nonEmpty)
                 cur.rules += new Rule(key == "allow", value)
+            case "crawl-delay" =>
+              inUa = false
+              if (cur != null && value.nonEmpty) {
+                // strict double: digits with optional one dot — no
+                // exponents/signs/locale surprises
+                val ok = value.forall(ch =>
+                  (ch >= '0' && ch <= '9') || ch == '.') &&
+                  value.count(_ == '.') <= 1 && value.exists(_.isDigit)
+                if (ok) {
+                  val v = java.lang.Double.parseDouble(value)
+                  if (cur.delay == null || v > cur.delay.doubleValue())
+                    cur.delay = v
+                }
+              }
             case _ => inUa = false
           }
         }
       }
     }
     val applicable = groups.filter(_.score >= 0)
-    if (applicable.isEmpty) return Array.empty
+    if (applicable.isEmpty) return EmptyPolicy
     val best = applicable.map(_.score).max
-    applicable.filter(_.score == best).flatMap(_.rules).toArray
+    val win = applicable.filter(_.score == best)
+    var delay: java.lang.Double = null
+    win.foreach { g =>
+      if (g.delay != null &&
+        (delay == null || g.delay.doubleValue() > delay.doubleValue()))
+        delay = g.delay
+    }
+    new Policy(win.flatMap(_.rules).toArray, delay)
   }
+
+  /** Back-compat shim for the rule list alone. */
+  def rulesFor(robots: String, agentLower: String): Array[Rule] =
+    policyFor(robots, agentLower).rules
 
   /** Greedy wildcard match of `pattern` against `path` — prefix semantics
     * unless the pattern's FINAL `$` anchors it (then full-path). */
@@ -148,7 +188,7 @@ object RobotsKernel {
   private final class Memo {
     val robotsK = new Array[UTF8String](MemoSlots)
     val agentK = new Array[UTF8String](MemoSlots)
-    val rules = new Array[Array[Rule]](MemoSlots)
+    val rules = new Array[Policy](MemoSlots)
   }
   private val memo = new ThreadLocal[Memo] {
     override def initialValue(): Memo = new Memo
@@ -167,27 +207,31 @@ object RobotsKernel {
     * (sorting/clustering the frontier by host restores hits); texts over
     * [[MemoMaxBytes]] always re-parse (memory bound). Keys are cloned
     * out of Spark's reused row buffers before retention. */
-  def eval(robots: UTF8String, agent: UTF8String, path: UTF8String): Boolean = {
+  def eval(robots: UTF8String, agent: UTF8String, path: UTF8String): Boolean =
+    allowed(memoPolicy(robots, agent).rules, path.toString)
+
+  /** `Crawl-delay` for the winning group(s), via the same memo. */
+  def evalDelay(robots: UTF8String, agent: UTF8String): java.lang.Double =
+    memoPolicy(robots, agent).crawlDelay
+
+  private def memoPolicy(robots: UTF8String, agent: UTF8String): Policy = {
     if (robots.numBytes > MemoMaxBytes) {
       parseCount.incrementAndGet()
-      return allowed(rulesFor(robots.toString, lower(agent.toString)),
-        path.toString)
+      return policyFor(robots.toString, lower(agent.toString))
     }
     val m = memo.get()
     val h = (robots.hashCode * 31 + agent.hashCode) & (MemoSlots - 1)
     val kr = m.robotsK(h)
-    val rs =
-      if (kr != null && kr.equals(robots) && m.agentK(h).equals(agent))
-        m.rules(h)
-      else {
-        parseCount.incrementAndGet()
-        val parsed = rulesFor(robots.toString, lower(agent.toString))
-        m.robotsK(h) = robots.clone()
-        m.agentK(h) = agent.clone()
-        m.rules(h) = parsed
-        parsed
-      }
-    allowed(rs, path.toString)
+    if (kr != null && kr.equals(robots) && m.agentK(h).equals(agent))
+      m.rules(h)
+    else {
+      parseCount.incrementAndGet()
+      val parsed = policyFor(robots.toString, lower(agent.toString))
+      m.robotsK(h) = robots.clone()
+      m.agentK(h) = agent.clone()
+      m.rules(h) = parsed
+      parsed
+    }
   }
 }
 
@@ -232,4 +276,55 @@ case class GraftRobotsAllowed(robotsE: Expression, agentE: Expression,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): GraftRobotsAllowed =
     GraftRobotsAllowed(newChildren(0), newChildren(1), newChildren(2))
+}
+
+/** `graft_robots_delay(robots, agent) -> double` — the winning group's
+  * `Crawl-delay` in seconds (max across combined groups; null when
+  * absent/invalid — see [[RobotsKernel.policyFor]]). The per-host
+  * politeness signal a frontier scheduler partitions fetches by; shares
+  * [[RobotsKernel]]'s per-thread memo with the allow/deny filter, so a
+  * frontier computing both pays ONE parse per (robots, agent). */
+case class GraftRobotsDelay(robotsE: Expression, agentE: Expression)
+  extends Expression {
+  override def children: Seq[Expression] = Seq(robotsE, agentE)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_robots_delay"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (robotsE.dataType, agentE.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_robots_delay expects (string, string)")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val r = robotsE.eval(input)
+    val a = agentE.eval(input)
+    if (r == null || a == null) null
+    else {
+      val d = RobotsKernel.evalDelay(r.asInstanceOf[UTF8String],
+        a.asInstanceOf[UTF8String])
+      if (d == null) null else d.doubleValue()
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gens = children.map(_.genCode(ctx))
+    val tmp = ctx.freshName("delay")
+    ev.copy(code = code"""
+        ${gens.map(_.code.toString).mkString("\n")}
+        boolean ${ev.isNull} =
+          ${gens.map(_.isNull.toString).mkString(" || ")};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          java.lang.Double $tmp = graft.expressions.RobotsKernel.evalDelay(
+            ${gens(0).value}, ${gens(1).value});
+          if ($tmp == null) { ${ev.isNull} = true; }
+          else { ${ev.value} = $tmp.doubleValue(); }
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GraftRobotsDelay =
+    GraftRobotsDelay(newChildren(0), newChildren(1))
 }

@@ -88,6 +88,42 @@ class RobotsSpec extends SparkSpec {
     assert(checked > 3000)
   }
 
+  test("crawl-delay: winning group, max across combined, invalid ignored") {
+    def delay(robots: String, agent: String): java.lang.Double =
+      RobotsKernel.evalDelay(UTF8String.fromString(robots),
+        UTF8String.fromString(agent))
+    val p = """User-agent: *
+              |Crawl-delay: 2
+              |Disallow: /x
+              |
+              |User-agent: GraftBot
+              |Crawl-delay: 0.5
+              |Disallow: /y
+              |""".stripMargin
+    assert(delay(p, "graftbot").doubleValue === 0.5) // exact group wins
+    assert(delay(p, "randombot").doubleValue === 2.0) // * group
+    // two groups naming the winner combine -> MAX (most polite)
+    val two = "User-agent: a\nCrawl-delay: 1\nDisallow: /p\n" +
+      "User-agent: a\nCrawl-delay: 3\nDisallow: /q\n"
+    assert(delay(two, "a").doubleValue === 3.0)
+    // absent / invalid / negative-ish forms -> null, never zero
+    assert(delay("User-agent: a\nDisallow: /p\n", "a") === null)
+    assert(delay("User-agent: a\nCrawl-delay: fast\n", "a") === null)
+    assert(delay("User-agent: a\nCrawl-delay: -1\n", "a") === null)
+    assert(delay("User-agent: a\nCrawl-delay: 1e3\n", "a") === null)
+    // no matching group at all -> null
+    assert(delay("User-agent: x\nCrawl-delay: 9\n", "a") === null)
+    // SQL surface: one parse serves both allow and delay (shared memo)
+    val df = Seq((1L, p, "/y/q"), (2L, p, "/ok")).toDF("id", "r", "pth")
+    df.createOrReplaceTempView("delay_fixture")
+    val out = spark.sql(
+      """SELECT id, graft_robots_allowed(r, 'graftbot', pth) AS ok,
+        |  graft_robots_delay(r, 'graftbot') AS d
+        |FROM delay_fixture ORDER BY id""".stripMargin).collect()
+    assert(out(0).getBoolean(1) === false && out(0).getDouble(2) === 0.5)
+    assert(out(1).getBoolean(1) === true && out(1).getDouble(2) === 0.5)
+  }
+
   test("memo: interleaved hosts parse each robots.txt once, not per row") {
     // the normal frontier-join shape: rows alternate hosts A,B,C,A,B,C,…
     // The direct-mapped per-thread memo must hold all three concurrently —
