@@ -593,8 +593,71 @@ object Queries26 {
       .orderBy(h)
   }
 
+  /** Sitemap ingestion (`graft_sitemap_parse`): per document an in-plan
+    * urlset whose entries cycle three shapes — plain loc, loc + lastmod,
+    * and a loc whose query carries an XML entity plus a tracking param
+    * (so entity decode AND canon's strip are both load-bearing) — with
+    * a priority derived from the generator. The oracle replays loc,
+    * canonical key, lastmod, and priority as string/CASE arithmetic
+    * (priority via division — both engines' nearest-double of n/10
+    * agree bit-for-bit); it never parses XML. */
+  val q229SitemapFrontier: (String, QueryDef) = q(
+    "q229_sitemap_frontier",
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 4 + 1 AS k, doc_id % 7 AS h
+      |  FROM documents WHERE doc_id < 300),
+      |l AS (
+      |  SELECT doc_id, h,
+      |    unnest(generate_series(0, CAST(k - 1 AS BIGINT))) AS j FROM p),
+      |e AS (
+      |  SELECT doc_id, h, (doc_id + 3*j) AS g, (doc_id + 3*j) % 3 AS v
+      |  FROM l),
+      |x AS (
+      |  SELECT doc_id,
+      |    'http://ex' || CAST(h AS VARCHAR) || '.test/sm' ||
+      |      CAST(g AS VARCHAR) ||
+      |      CASE WHEN v = 2 THEN '?a=1&utm_source=z' ELSE '' END AS loc,
+      |    'http://ex' || CAST(h AS VARCHAR) || '.test/sm' ||
+      |      CAST(g AS VARCHAR) ||
+      |      CASE WHEN v = 2 THEN '?a=1' ELSE '' END AS canon,
+      |    CASE WHEN v = 1 THEN '2026-01-0' || CAST(g % 9 + 1 AS VARCHAR)
+      |         ELSE CAST(NULL AS VARCHAR) END AS lastmod,
+      |    CAST(g % 10 AS DOUBLE) / 10.0 AS priority
+      |  FROM e)
+      |SELECT doc_id, loc, canon, lastmod, priority
+      |FROM x ORDER BY doc_id, loc""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val k = (d % 4 + 1).cast("int")
+    val h = (d % 7).cast("string")
+    val xml = concat(lit("<?xml version=\"1.0\"?><urlset>"),
+      array_join(transform(sequence(lit(0), k - 1), j => {
+        val g = d + j * 3
+        val gs = g.cast("string")
+        val v = g % 3
+        val query = when(v === 2, lit("?a=1&amp;utm_source=z"))
+          .otherwise(lit(""))
+        val lastmod = when(v === 1,
+          concat(lit("<lastmod>2026-01-0"), (g % 9 + 1).cast("string"),
+            lit("</lastmod>"))).otherwise(lit(""))
+        concat(lit("<url><loc>http://ex"), h, lit(".test/sm"), gs, query,
+          lit("</loc>"), lastmod, lit("<priority>0."),
+          (g % 10).cast("string"), lit("</priority></url>"))
+      }), ""),
+      lit("</urlset>"))
+    t("documents").filter(d < 300)
+      .select(d, xml.cast("binary").as("payload"))
+      .select(d, explode(call_function("graft_sitemap_parse",
+        col("payload"))).as("e"))
+      .select(d, col("e.loc").as("loc"),
+        call_function("graft_canon_url", col("e.loc")).as("canon"),
+        col("e.lastmod").as("lastmod"),
+        col("e.priority").as("priority"))
+      .orderBy(d, col("loc"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(q221CrawlAudit,
     q222RobotsWildcards, q223CrawlFrontier, q224CrawlAuditScale,
     q225FrontierScale, q226RedirectEdges, q227ResolvedOutlinks,
-    q228PolitenessBudget)
+    q228PolitenessBudget, q229SitemapFrontier)
 }

@@ -380,6 +380,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => GraftRobotsAllowed(children(0),
         children(1), children(2))))
     ext.injectFunction((
+      FunctionIdentifier("graft_sitemap_parse"),
+      new ExpressionInfo(classOf[GraftSitemapParse].getName,
+        "graft_sitemap_parse"),
+      (children: Seq[Expression]) => GraftSitemapParse(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_robots_delay"),
       new ExpressionInfo(classOf[GraftRobotsDelay].getName,
         "graft_robots_delay"),

@@ -64,8 +64,12 @@ object WarcKernel {
   private def isGzip(b: Array[Byte]): Boolean =
     b.length > 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
 
-  /** Multi-member gzip inflate with the size cap; null on corruption. */
-  private def gunzip(b: Array[Byte]): Array[Byte] = {
+  private[expressions] def looksGzip(b: Array[Byte]): Boolean = isGzip(b)
+
+  /** Multi-member gzip inflate with the size cap; null on corruption.
+    * Shared with the sitemap kernel (sitemap.xml.gz is the same
+    * convention as warc.gz). */
+  private[expressions] def gunzip(b: Array[Byte]): Array[Byte] = {
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(b))
