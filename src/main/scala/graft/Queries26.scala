@@ -656,8 +656,68 @@ object Queries26 {
       .orderBy(d, col("loc"))
   }
 
+  /** Multi-hop redirect resolution
+    * ([[graft.operators.Crawl.resolveRedirectChains]], pointer
+    * doubling): per document a chain of `doc_id % 4 + 1` hops to a
+    * terminal, plus a 2-cycle on every ninth document. At `maxHops = 3`
+    * the length-4 chains' heads and every cycle node must come back
+    * LOUDLY unresolved (null final/hops, `resolved = false`) while all
+    * shorter suffixes resolve with exact hop counts. The oracle replays
+    * the whole verdict table as arithmetic on (L, j); any doubling,
+    * hop-accounting, cycle, or cap bug breaks the hash. */
+  val q230RedirectChains: (String, QueryDef) = q(
+    "q230_redirect_chains",
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 4 + 1 AS L
+      |  FROM documents WHERE doc_id < 300),
+      |c AS (
+      |  SELECT doc_id, L,
+      |    unnest(generate_series(0, CAST(L - 1 AS BIGINT))) AS j FROM p),
+      |chain AS (
+      |  SELECT 'http://c.test/d' || CAST(doc_id AS VARCHAR) || '/n' ||
+      |      CAST(j AS VARCHAR) AS from_url,
+      |    CASE WHEN L - j <= 3 THEN 'http://c.test/d' ||
+      |      CAST(doc_id AS VARCHAR) || '/final' END AS final_url,
+      |    CASE WHEN L - j <= 3 THEN CAST(L - j AS BIGINT) END AS hops,
+      |    (L - j <= 3) AS resolved
+      |  FROM c),
+      |loops AS (
+      |  SELECT 'http://c.test/d' || CAST(doc_id AS VARCHAR) || '/la'
+      |      AS from_url,
+      |    CAST(NULL AS VARCHAR) AS final_url, CAST(NULL AS BIGINT) AS hops,
+      |    FALSE AS resolved
+      |  FROM p WHERE doc_id % 9 = 0
+      |  UNION ALL
+      |  SELECT 'http://c.test/d' || CAST(doc_id AS VARCHAR) || '/lb',
+      |    CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), FALSE
+      |  FROM p WHERE doc_id % 9 = 0)
+      |SELECT * FROM (SELECT * FROM chain UNION ALL SELECT * FROM loops)
+      |ORDER BY from_url""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    def base(c: Column): Column =
+      concat(lit("http://c.test/d"), c.cast("string"))
+    val chainEdges = t("documents").filter(d < 300)
+      .select(d, explode(sequence(lit(0), (d % 4).cast("int"))).as("j"))
+      .select(
+        concat(base(d), lit("/n"), col("j").cast("string")).as("from_url"),
+        when(col("j") === (d % 4), concat(base(d), lit("/final")))
+          .otherwise(concat(base(d), lit("/n"),
+            (col("j") + 1).cast("string"))).as("to_url"))
+    val loopDocs = t("documents").filter(d < 300 && d % 9 === 0).select(d)
+    val loops = loopDocs
+      .select(concat(base(d), lit("/la")).as("from_url"),
+        concat(base(d), lit("/lb")).as("to_url"))
+      .unionAll(loopDocs
+        .select(concat(base(d), lit("/lb")).as("from_url"),
+          concat(base(d), lit("/la")).as("to_url")))
+    graft.operators.Crawl
+      .resolveRedirectChains(chainEdges.unionAll(loops), maxHops = 3)
+      .orderBy(col("from_url"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(q221CrawlAudit,
     q222RobotsWildcards, q223CrawlFrontier, q224CrawlAuditScale,
     q225FrontierScale, q226RedirectEdges, q227ResolvedOutlinks,
-    q228PolitenessBudget, q229SitemapFrontier)
+    q228PolitenessBudget, q229SitemapFrontier, q230RedirectChains)
 }

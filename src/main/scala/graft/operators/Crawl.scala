@@ -103,6 +103,48 @@ object Crawl {
       .drop("warc_rec")
   }
 
+  /** Multi-hop redirect resolution over [[redirectEdges]] output — the
+    * step that turns raw 3xx edges into the mapping a crawler actually
+    * needs (`from_url` → the TERMINAL `final_url`), since real moves
+    * chain (http→https→www→path). POINTER DOUBLING, not per-hop
+    * iteration: each round composes the partial map with itself
+    * (`f ← f∘f` via an equi-join on `cur = src`), so `maxHops` hops
+    * cost ⌈log₂ maxHops⌉ shuffle joins — at 100 TB that is 3–4 joins
+    * for the 8–16 hop cap instead of 8–16, and every join is a plain
+    * key equi-join AQE can plan. Duplicate out-edges per source (the
+    * same URL re-crawled) collapse deterministically to `min(to_url)`
+    * first. Output: `from_url, final_url, hops, resolved` — a cycle
+    * (`a→b→a`) or a chain longer than `maxHops` reports
+    * `resolved=false` with null final/hops (LOUD, like every kernel:
+    * an unresolved redirect is a fact, not a silent drop). */
+  def resolveRedirectChains(edges0: DataFrame,
+      maxHops: Int = 8): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64,
+      s"resolveRedirectChains: maxHops must be in [1,64], got $maxHops")
+    val edges = edges0.groupBy(col("from_url"))
+      .agg(min(col("to_url")).as("to_url"))
+    var f = edges.select(col("from_url").as("src"), col("to_url").as("cur"),
+      lit(1L).as("hops"))
+    var span = 1L
+    while (span < maxHops) {
+      val g = f.select(col("src").as("g_src"), col("cur").as("g_cur"),
+        col("hops").as("g_hops"))
+      f = f.join(g, f("cur") === g("g_src"), "left")
+        .select(col("src"), coalesce(col("g_cur"), col("cur")).as("cur"),
+          (col("hops") + coalesce(col("g_hops"), lit(0L))).as("hops"))
+      span *= 2
+    }
+    // terminal = cur is not itself a redirect source
+    val dom = edges.select(col("from_url").as("d_src"))
+    f.join(dom, f("cur") === dom("d_src"), "left")
+      .withColumn("resolved",
+        col("d_src").isNull && col("hops") <= maxHops)
+      .select(col("src").as("from_url"),
+        when(col("resolved"), col("cur")).as("final_url"),
+        when(col("resolved"), col("hops")).as("hops"),
+        col("resolved"))
+  }
+
   /** Loss accounting for [[cleanCorpus]] — the counted funnel. cleanCorpus
     * is built from loud-NULL kernels, but `explode` turns a NULL into ZERO
     * rows: a corrupt archive, a 404 storm, and an over-tight boilerplate

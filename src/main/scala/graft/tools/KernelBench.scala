@@ -107,6 +107,24 @@ object KernelBench {
     run("warc parse (gzip member)", warcGz,
       (x: Array[Byte]) => graft.expressions.WarcKernel.parse(x), nRecs)
 
+    // ~1 MiB sitemap (10k urls with lastmod/priority) — the frontier
+    // feed; out units = entries
+    val sitemapXml = {
+      val sb = new StringBuilder("<?xml version=\"1.0\"?><urlset>")
+      var k = 0
+      while (k < 10000) {
+        sb.append("<url><loc>http://ex").append(k % 7)
+          .append(".test/page/").append(k)
+          .append("?a=1&amp;b=2</loc><lastmod>2026-01-15</lastmod>" +
+            "<priority>0.").append(k % 10).append("</priority></url>")
+        k += 1
+      }
+      sb.append("</urlset>").toString
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    run("sitemap parse (10k urls)", sitemapXml,
+      (x: Array[Byte]) => graft.expressions.SitemapKernel.parse(x), 10000)
+
     // the loss-accounting funnel over the same 2 MiB archive: parse +
     // per-record gates + charset + HTML extraction on every kept page —
     // the audit must cost ~what cleanCorpus itself costs (it IS the

@@ -128,6 +128,36 @@ class CrawlAuditSpec extends SparkSpec {
     assert(r.getLong(0) === 7L && r.getLong(1) === 2L && r.getLong(2) === 0L)
   }
 
+  test("redirect chains: pointer doubling resolves, cycles stay loud") {
+    import org.apache.spark.sql.functions.col
+    // chains of length 1..4, a self-loop, and a 2-cycle
+    val edges = Seq(
+      ("a0", "a1"), ("a1", "a2"), ("a2", "a3"), ("a3", "aF"), // 4 hops
+      ("b0", "b1"), ("b1", "bF"),                             // 2 hops
+      ("c0", "cF"),                                           // 1 hop
+      ("self", "self"),                                       // self-loop
+      ("x", "y"), ("y", "x"),                                 // 2-cycle
+      ("dup", "z1"), ("dup", "z0"))  // duplicate out-edge -> min() = z0
+      .toDF("from_url", "to_url")
+    val out = graft.operators.Crawl.resolveRedirectChains(edges, maxHops = 3)
+      .collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)),
+          (if (r.isNullAt(2)) -1L else r.getLong(2)),
+          r.getBoolean(3))).toMap
+    assert(out("a0") === ((null, -1L, false))) // 4 hops > cap: loud
+    assert(out("a1") === (("aF", 3L, true)))
+    assert(out("a3") === (("aF", 1L, true)))
+    assert(out("b0") === (("bF", 2L, true)))
+    assert(out("c0") === (("cF", 1L, true)))
+    assert(out("self") === ((null, -1L, false)))
+    assert(out("x") === ((null, -1L, false)))
+    assert(out("y") === ((null, -1L, false)))
+    assert(out("dup") === (("z0", 1L, true))) // deterministic min edge
+    // every source gets exactly one verdict row — nothing silently lost
+    assert(out.size === 11)
+    assert(out("a2") === (("aF", 2L, true)))
+  }
+
   test("thresholds are validated at construction") {
     val df = Seq((1L, plantedWarc)).toDF("id", "payload")
     intercept[IllegalArgumentException] {
