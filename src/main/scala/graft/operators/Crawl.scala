@@ -103,6 +103,46 @@ object Crawl {
       .drop("warc_rec")
   }
 
+  /** Frontier expansion as ONE operator — the incremental-crawl query
+    * every piece of this tier exists for: crawled pages → outlinks
+    * (resolved against each page's own URL, since real hrefs are
+    * relative) → canonical keys → per-host robots filter → anti-join
+    * against the standing corpus → dedup with ref counts. Inputs:
+    * `pages(urlCol, htmlCol + carry-through)`, a `robots(host, robots)`
+    * dim (one row per host — BROADCAST side at any scale: there are
+    * orders of magnitude fewer hosts than edges), and a
+    * `corpus(canonical url)` key set (broadcast when it fits; swap the
+    * anti-join to a bucketed one upstream when it doesn't). Output:
+    * `(url, n_refs)` — new, fetchable, deduplicated frontier URLs.
+    * Shuffle budget: the final canon-key rollup only; everything before
+    * it is scan-side codegen plus broadcast equi-joins (the q223 plan,
+    * verified by `.explain`). */
+  def frontier(pages: DataFrame, urlCol: String, htmlCol: String,
+      robotsDim: DataFrame, corpus: DataFrame,
+      agent: String = "graftbot"): DataFrame = {
+    require(robotsDim.columns.toSeq.map(_.toLowerCase(java.util.Locale.ROOT))
+      .sorted == Seq("host", "robots"),
+      "frontier: robotsDim must have exactly (host, robots) columns")
+    require(corpus.columns.length == 1,
+      "frontier: corpus must be a single canonical-url key column")
+    val corpusKey = corpus.columns.head
+    val links = HtmlExtract.resolvedOutlinks(pages, htmlCol, urlCol)
+      .select(call_function("graft_canon_url", col("href")).as("url"))
+      .filter(col("url").isNotNull)
+      .withColumn("host", expr("parse_url(url, 'HOST')"))
+      .withColumn("__path_q", concat(expr("parse_url(url, 'PATH')"),
+        coalesce(concat(lit("?"), expr("parse_url(url, 'QUERY')")),
+          lit(""))))
+    links
+      .join(broadcast(robotsDim), Seq("host"))
+      .filter(call_function("graft_robots_allowed", col("robots"),
+        lit(agent), col("__path_q")))
+      .join(broadcast(corpus.select(col(corpusKey).as("url"))),
+        Seq("url"), "left_anti")
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n_refs"))
+  }
+
   /** Multi-hop redirect resolution over [[redirectEdges]] output — the
     * step that turns raw 3xx edges into the mapping a crawler actually
     * needs (`from_url` → the TERMINAL `final_url`), since real moves

@@ -158,6 +158,33 @@ class CrawlAuditSpec extends SparkSpec {
     assert(out("a2") === (("aF", 2L, true)))
   }
 
+  test("frontier operator: relative links, robots, corpus anti-join") {
+    val pages = Seq(
+      ("http://h1.test/dir/index.html",
+        """<a href="a">A</a><a href="/top/b">B</a>""" +
+          """<a href="../up/c?x=1&amp;utm_source=z">C</a>""" +
+          """<a href="http://H2.test:80/abs">D</a>"""),
+      ("http://h1.test/dir/other.html",
+        """<a href="a">A again</a><a href="/private/p">deny</a>"""))
+      .toDF("url", "page")
+    val robotsDim = Seq(
+      ("h1.test", "User-agent: *\nDisallow: /private\n"),
+      ("h2.test", "User-agent: *\nDisallow: /nothing\n"))
+      .toDF("host", "robots")
+    val corpus = Seq("http://h1.test/top/b").toDF("known")
+    val out = graft.operators.Crawl
+      .frontier(pages, "url", "page", robotsDim, corpus)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sibling link referenced from BOTH pages -> one row, 2 refs
+    assert(out("http://h1.test/dir/a") === 2L)
+    // dotted relative + entity + tracking param folded
+    assert(out("http://h1.test/up/c?x=1") === 1L)
+    // absolute link: case + default port folded, other-host robots ok
+    assert(out("http://h2.test/abs") === 1L)
+    // /top/b is already in the corpus; /private/p is robots-denied
+    assert(out.size === 3)
+  }
+
   test("thresholds are validated at construction") {
     val df = Seq((1L, plantedWarc)).toDF("id", "payload")
     intercept[IllegalArgumentException] {

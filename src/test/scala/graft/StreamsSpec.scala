@@ -568,4 +568,36 @@ class StreamsSpec extends SparkSpec {
       .agg(sum("parse_nulls"), sum("kept")).collect()(0)
     assert(totals.getLong(0) === 6L && totals.getLong(1) === 12L)
   }
+
+  test("redirect edges are streaming-transparent: same operator call, " +
+      "row-for-row parity") {
+    implicit val sq = spark.sqlContext
+    // stateless scan-side work (warc parse -> 3xx filter -> resolve ->
+    // canon): the SAME redirectEdges call must run unchanged on a stream
+    def warcOf(i: Long): Array[Byte] = {
+      val http = s"HTTP/1.1 301 Moved\r\nLocation: ../new/p$i\r\n\r\n"
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+        s"<http://ex$i.test/old/sub/r>\r\nContent-Length: ${http.length}" +
+        s"\r\n\r\n$http\r\n\r\n").getBytes("US-ASCII")
+    }
+    val rows = (0L until 12L).map(i => (i, warcOf(i)))
+    val mem = MemoryStream[(Long, Array[Byte])]
+    mem.addData(rows: _*)
+    val streamed = graft.operators.Crawl.redirectEdges(
+      mem.toDF().toDF("id", "payload"))
+    val q = streamed.writeStream.format("memory").queryName("redir_stream")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("redir_stream")
+      .select("id", "from_url", "to_url", "status").orderBy("id")
+    val want = graft.operators.Crawl.redirectEdges(
+        rows.toDF("id", "payload"))
+      .select("id", "from_url", "to_url", "status").orderBy("id")
+    assert(got.count() === 12)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the resolution is load-bearing: ../new anchored on /old/sub/r
+    val r0 = got.collect()(0)
+    assert(r0.getString(2) === "http://ex0.test/old/new/p0")
+  }
 }
