@@ -716,8 +716,79 @@ object Queries26 {
       .orderBy(col("from_url"))
   }
 
+  /** Recrawl scheduling ([[graft.operators.Crawl.recrawlSchedule]]):
+    * q229's sitemap entries against an in-plan standing corpus whose
+    * fetch dates anchor the freshness comparison. The three verdicts are
+    * all load-bearing — `new` (odd g, absent from the corpus),
+    * `refresh` (published lastmod strictly newer than the fetch date),
+    * and `skip` (older/equal lastmod AND the null-lastmod case, which
+    * must NOT read as stale). Oracle replays the verdict table as CASE
+    * arithmetic on the shared generator. */
+  val q231RecrawlSchedule: (String, QueryDef) = q(
+    "q231_recrawl_schedule",
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 4 + 1 AS k, doc_id % 7 AS h
+      |  FROM documents WHERE doc_id < 300),
+      |l AS (
+      |  SELECT doc_id, h,
+      |    unnest(generate_series(0, CAST(k - 1 AS BIGINT))) AS j FROM p),
+      |e AS (
+      |  SELECT doc_id, h, (doc_id + 3*j) AS g, (doc_id + 3*j) % 3 AS v
+      |  FROM l),
+      |x AS (
+      |  SELECT doc_id,
+      |    'http://ex' || CAST(h AS VARCHAR) || '.test/sm' ||
+      |      CAST(g AS VARCHAR) AS url,
+      |    CASE WHEN v = 1 THEN '2026-01-0' || CAST(g % 9 + 1 AS VARCHAR)
+      |         ELSE CAST(NULL AS VARCHAR) END AS lastmod,
+      |    g FROM e WHERE v <> 2),
+      |y AS (
+      |  SELECT doc_id, url, lastmod,
+      |    CASE WHEN g % 2 = 1 THEN CAST(NULL AS VARCHAR)
+      |         ELSE '2026-01-05' END AS last_crawled,
+      |    CASE WHEN g % 2 = 1 THEN 'new'
+      |         WHEN lastmod IS NOT NULL AND lastmod > '2026-01-05'
+      |           THEN 'refresh'
+      |         ELSE 'skip' END AS action
+      |  FROM x)
+      |SELECT doc_id, url, lastmod, last_crawled, action
+      |FROM y ORDER BY doc_id, url""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val k = (d % 4 + 1).cast("int")
+    val h = (d % 7).cast("string")
+    // q229's generator minus the query-carrying variant (v=2), so urls
+    // are already canonical keys
+    val entries = t("documents").filter(d < 300)
+      .select(d, explode(sequence(lit(0), k - 1)).as("j"))
+      .select(d, (d + col("j") * 3).as("g"))
+      .filter(col("g") % 3 =!= 2)
+      .select(d,
+        concat(lit("http://ex"), h, lit(".test/sm"),
+          col("g").cast("string")).as("url"),
+        when(col("g") % 3 === 1,
+          concat(lit("2026-01-0"), (col("g") % 9 + 1).cast("string")))
+          .as("lastmod"),
+        col("g"))
+    // standing corpus: every even-g url, all fetched on 2026-01-05
+    val corpus = t("documents").filter(d < 300)
+      .select(d, explode(sequence(lit(0), k - 1)).as("j"))
+      .select((d + col("j") * 3).as("g"), (d % 7).cast("string").as("hh"))
+      .filter(col("g") % 3 =!= 2 && col("g") % 2 === 0)
+      .select(concat(lit("http://ex"), col("hh"), lit(".test/sm"),
+        col("g").cast("string")).as("url"),
+        lit("2026-01-05").as("last_crawled"))
+      .distinct()
+    graft.operators.Crawl
+      .recrawlSchedule(entries.drop("g"), broadcast(corpus))
+      .select(d, col("url"), col("lastmod"), col("last_crawled"),
+        col("action"))
+      .orderBy(d, col("url"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(q221CrawlAudit,
     q222RobotsWildcards, q223CrawlFrontier, q224CrawlAuditScale,
     q225FrontierScale, q226RedirectEdges, q227ResolvedOutlinks,
-    q228PolitenessBudget, q229SitemapFrontier, q230RedirectChains)
+    q228PolitenessBudget, q229SitemapFrontier, q230RedirectChains,
+    q231RecrawlSchedule)
 }

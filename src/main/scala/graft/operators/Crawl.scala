@@ -143,6 +143,38 @@ object Crawl {
       .agg(count(lit(1)).as("n_refs"))
   }
 
+  /** Recrawl scheduling from sitemap freshness — the decision query an
+    * incremental crawl runs after [[graft.expressions.SitemapKernel
+    * sitemap ingestion]]: which published URLs are worth fetching?
+    * Inputs: `entries(url, lastmod)` (canonical URL + the sitemap's
+    * W3C-datetime string, null when unpublished) and
+    * `corpus(url, last_crawled)` (the standing corpus's fetch times,
+    * same string form). Verdicts, one row per entry:
+    *
+    *  - `new` — not in the corpus at all;
+    *  - `refresh` — in the corpus and `lastmod > last_crawled`
+    *    (STRING comparison: W3C datetime's fixed-width forms order
+    *    lexicographically = chronologically, so the decision is exact
+    *    without timezone/calendar parsing — mixed granularities compare
+    *    prefix-wise, the conservative direction);
+    *  - `skip` — in the corpus with no newer signal (null lastmod
+    *    included: absence of evidence is not staleness).
+    *
+    * Plan shape: one left equi-join on the canonical key (broadcast
+    * when the corpus side fits, bucketed upstream when it doesn't) and
+    * a projection — no other shuffle. */
+  def recrawlSchedule(entries: DataFrame, corpus: DataFrame): DataFrame = {
+    require(corpus.columns.length == 2,
+      "recrawlSchedule: corpus must be (url, last_crawled)")
+    val c = corpus.toDF("url", "last_crawled")
+    entries.join(c, Seq("url"), "left")
+      .withColumn("action",
+        when(col("last_crawled").isNull, lit("new"))
+          .when(col("lastmod").isNotNull &&
+            col("lastmod") > col("last_crawled"), lit("refresh"))
+          .otherwise(lit("skip")))
+  }
+
   /** Multi-hop redirect resolution over [[redirectEdges]] output — the
     * step that turns raw 3xx edges into the mapping a crawler actually
     * needs (`from_url` → the TERMINAL `final_url`), since real moves

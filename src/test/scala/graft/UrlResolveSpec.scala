@@ -125,6 +125,45 @@ class UrlResolveSpec extends SparkSpec {
     assert(checked > 2500)
   }
 
+  test("fuzz: random BASES too — merge anchors on every base shape") {
+    val rnd = new scala.util.Random(5234)
+    val segs = Array("d", "ee", "fff")
+    def randBase(): String = {
+      val sb = new StringBuilder("http://h")
+      sb.append(rnd.nextInt(3)).append(".test")
+      val n = rnd.nextInt(4) // 0 = empty path (the §5.3 '/' insertion)
+      for (_ <- 0 until n) sb.append('/').append(segs(rnd.nextInt(3)))
+      if (rnd.nextBoolean() && n > 0) sb.append('/') // directory base
+      if (rnd.nextInt(3) == 0) sb.append("?bq=1")
+      sb.toString
+    }
+    def randRef(): String = {
+      val sb = new StringBuilder
+      for (i <- 0 until 1 + rnd.nextInt(3)) {
+        if (i > 0) sb.append('/')
+        sb.append(segs(rnd.nextInt(3)))
+      }
+      if (rnd.nextInt(3) == 0) sb.append("?q=2")
+      sb.toString
+    }
+    var checked = 0
+    for (_ <- 0 until 2000) {
+      val base = randBase()
+      val ref = randRef()
+      val want = try {
+        val w = new java.net.URI(base).resolve(ref).toString
+        val path = w.takeWhile(c => c != '?' && c != '#')
+        if (path.split('/').exists(s => s == "." || s == "..")) null else w
+      } catch { case _: Throwable => null }
+      if (want != null) {
+        assert(UrlResolve.resolve(base, ref) === want,
+          s"base '$base' ref '$ref'")
+        checked += 1
+      }
+    }
+    assert(checked > 1500)
+  }
+
   test("SQL surface: resolve composes with canon for frontier keys") {
     val df = Seq(
       (1L, "http://EX.test/dir/page.html", "../other?a=1&utm_source=x"),
