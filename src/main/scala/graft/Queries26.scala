@@ -786,9 +786,63 @@ object Queries26 {
       .orderBy(d, col("url"))
   }
 
+  /** Sitemap-index recursion
+    * ([[graft.operators.Crawl.expandSitemaps]]): per document a
+    * two-level tree — a root `sitemapindex` whose child locs carry a
+    * SHOUTED host + default port (the canon fold is what joins them to
+    * the fetched set) plus one deliberately-unfetched child, and a
+    * child `urlset` with `doc_id % 3 + 1` URLs. The expansion must
+    * emit exactly the children's URLs at depth 2 (the missing child
+    * contributes nothing, the index's own entries are not URLs).
+    * Oracle replays (url, priority, depth) arithmetically. */
+  val q232SitemapTree: (String, QueryDef) = q(
+    "q232_sitemap_tree",
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 3 + 1 AS k, doc_id % 7 AS h
+      |  FROM documents WHERE doc_id < 200),
+      |l AS (
+      |  SELECT doc_id, h,
+      |    unnest(generate_series(0, CAST(k - 1 AS BIGINT))) AS j FROM p)
+      |SELECT
+      |  'http://ex' || CAST(h AS VARCHAR) || '.test/u' ||
+      |    CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR) AS url,
+      |  CAST(NULL AS VARCHAR) AS lastmod,
+      |  CAST(NULL AS VARCHAR) AS changefreq,
+      |  CAST(j AS DOUBLE) / 10.0 AS priority,
+      |  CAST(2 AS INT) AS depth
+      |FROM l ORDER BY url""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val k = (d % 3 + 1).cast("int")
+    val h = (d % 7).cast("string")
+    val ds = d.cast("string")
+    val rootUrl = concat(lit("http://ex"), h, lit(".test/root"), ds,
+      lit(".xml"))
+    val childUrl = concat(lit("http://ex"), h, lit(".test/c"), ds,
+      lit(".xml"))
+    val indexXml = concat(lit("<sitemapindex><sitemap><loc>HTTP://EX"), h,
+      lit(".TEST:80/c"), ds, lit(".xml</loc></sitemap>" +
+        "<sitemap><loc>http://ex"), h, lit(".test/miss"), ds,
+      lit(".xml</loc></sitemap></sitemapindex>"))
+    val childXml = concat(lit("<urlset>"),
+      array_join(transform(sequence(lit(0), k - 1), j =>
+        concat(lit("<url><loc>http://ex"), h, lit(".test/u"), ds,
+          lit("_"), j.cast("string"), lit("</loc><priority>0."),
+          j.cast("string"), lit("</priority></url>"))), ""),
+      lit("</urlset>"))
+    val docs = t("documents").filter(d < 200)
+    val fetched = docs
+      .select(rootUrl.as("url"), indexXml.cast("binary").as("payload"))
+      .unionAll(docs
+        .select(childUrl.as("url"), childXml.cast("binary").as("payload")))
+    val roots = docs.select(rootUrl.as("u"))
+    graft.operators.Crawl.expandSitemaps(fetched, roots, maxDepth = 2)
+      .orderBy(col("url"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(q221CrawlAudit,
     q222RobotsWildcards, q223CrawlFrontier, q224CrawlAuditScale,
     q225FrontierScale, q226RedirectEdges, q227ResolvedOutlinks,
     q228PolitenessBudget, q229SitemapFrontier, q230RedirectChains,
-    q231RecrawlSchedule)
+    q231RecrawlSchedule, q232SitemapTree)
 }

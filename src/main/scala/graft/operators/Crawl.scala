@@ -143,6 +143,53 @@ object Crawl {
       .agg(count(lit(1)).as("n_refs"))
   }
 
+  /** Sitemap-index recursion over a PRE-FETCHED set — `sitemapindex`
+    * files point at child sitemaps, which point at children or at URL
+    * sets; a crawl that stops at depth 1 misses most of a large site's
+    * inventory (the 50k-URL/file protocol cap forces big sites to
+    * index). Inputs: `fetched(url, payload)` — the sitemap files already
+    * pulled, keyed by canonical URL — and `roots` (a single column of
+    * canonical root sitemap URLs). Expands breadth-first to `maxDepth`
+    * levels: each level joins the current frontier against `fetched`
+    * (broadcast the frontier — it is orders of magnitude smaller than
+    * the fetched corpus), parses, emits `kind='url'` entries with their
+    * depth, and feeds `kind='sitemap'` locs to the next level. Output:
+    * `(url, lastmod, changefreq, priority, depth)`. A child loc absent
+    * from `fetched` simply contributes nothing at the next level (fetch
+    * gaps are visible by anti-joining the returned sitemap locs — the
+    * audit composes, it is not silently swallowed here: THIS operator
+    * never drops a parsed entry). Depth× joins, each a plain equi-join;
+    * maxDepth is small by protocol (indexes of indexes are rare past
+    * 2–3 levels). */
+  def expandSitemaps(fetched: DataFrame, roots: DataFrame,
+      maxDepth: Int = 3): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 8,
+      s"expandSitemaps: maxDepth must be in [1,8], got $maxDepth")
+    require(roots.columns.length == 1,
+      "expandSitemaps: roots must be a single url column")
+    val f = fetched.toDF("url", "payload")
+    var frontier = roots.toDF("url")
+    var out: DataFrame = null
+    for (depth <- 1 to maxDepth) {
+      val parsed = broadcast(frontier.distinct())
+        .join(f, Seq("url"))
+        .select(explode(call_function("graft_sitemap_parse",
+          col("payload"))).as("e"))
+        .select(col("e.kind").as("kind"),
+          call_function("graft_canon_url", col("e.loc")).as("url"),
+          col("e.loc").as("loc"), col("e.lastmod").as("lastmod"),
+          col("e.changefreq").as("changefreq"),
+          col("e.priority").as("priority"))
+      val urls = parsed.filter(col("kind") === "url")
+        .select(col("loc").as("url"), col("lastmod"), col("changefreq"),
+          col("priority"), lit(depth).as("depth"))
+      out = if (out == null) urls else out.unionAll(urls)
+      frontier = parsed.filter(col("kind") === "sitemap" &&
+        col("url").isNotNull).select(col("url"))
+    }
+    out
+  }
+
   /** Recrawl scheduling from sitemap freshness — the decision query an
     * incremental crawl runs after [[graft.expressions.SitemapKernel
     * sitemap ingestion]]: which published URLs are worth fetching?

@@ -110,6 +110,34 @@ class SitemapSpec extends SparkSpec {
     }
   }
 
+  test("operator: sitemapindex recursion over a pre-fetched set") {
+    val index = "<sitemapindex>" +
+      "<sitemap><loc>HTTP://EX.test:80/child1.xml</loc></sitemap>" +
+      "<sitemap><loc>http://ex.test/missing.xml</loc></sitemap>" +
+      "</sitemapindex>"
+    val child1 = "<urlset>" +
+      "<url><loc>http://ex.test/a</loc><priority>0.5</priority></url>" +
+      "<url><loc>http://ex.test/b</loc></url></urlset>"
+    // a root that is itself a plain urlset: depth-1 urls
+    val flat = "<urlset><url><loc>http://ex.test/c</loc></url></urlset>"
+    val fetched = Seq(
+      ("http://ex.test/root.xml", b(index)),
+      ("http://ex.test/child1.xml", b(child1)), // canon key: case+port fold
+      ("http://ex.test/flat.xml", b(flat)))
+      .toDF("url", "payload")
+    val roots = Seq("http://ex.test/root.xml", "http://ex.test/flat.xml")
+      .toDF("u")
+    val out = graft.operators.Crawl.expandSitemaps(fetched, roots)
+      .collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(3)) -1.0 else r.getDouble(3)), r.getInt(4))).toMap
+    // the flat root's url at depth 1; the index's children at depth 2;
+    // the missing child contributes nothing (visible upstream, not here)
+    assert(out === Map(
+      "http://ex.test/c" -> ((-1.0, 1)),
+      "http://ex.test/a" -> ((0.5, 2)),
+      "http://ex.test/b" -> ((-1.0, 2))))
+  }
+
   test("SQL surface: sitemap feeds the frontier (explode + canon)") {
     val xml = "<urlset><url><loc>HTTP://EX.test:80/a?x=1&amp;" +
       "utm_source=z</loc><priority>0.9</priority></url>" +
