@@ -128,6 +128,61 @@ class CrawlAuditSpec extends SparkSpec {
     assert(r.getLong(0) === 7L && r.getLong(1) === 2L && r.getLong(2) === 0L)
   }
 
+  test("fuzz: audit funnel == cleanCorpus on 120 random archives") {
+    // the invariant that makes the audit trustworthy: for ANY archive,
+    // kept == the rows cleanCorpus emits, and every record leaves the
+    // funnel at exactly one stage
+    val rnd = new scala.util.Random(2026)
+    def randArchive(): Array[Byte] = {
+      if (rnd.nextInt(10) == 0) return b(s"CORRUPT${rnd.nextInt(99)}")
+      val sb = new StringBuilder
+      val nRecs = rnd.nextInt(6)
+      for (k <- 0 until nRecs) {
+        val kind = rnd.nextInt(6)
+        val rec = kind match {
+          case 0 => "WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: " +
+            "3\r\n\r\nxyz\r\n\r\n"
+          case 1 => resp(s"http://f.test/g$k",
+            http("404 NF", "text/html", "<p>gone</p>"))
+          case 2 => resp(s"http://f.test/i$k",
+            http("200 OK", "image/png", "png"))
+          case 3 => resp(s"http://f.test/t$k",
+            http("200 OK", "text/html", "<p>x</p>"))
+          case 4 => resp(s"http://f.test/f$k",
+            http("200 OK", "text/html", farm))
+          case _ =>
+            val body = if (rnd.nextBoolean()) prose
+              else new String(latin1Prose,
+                java.nio.charset.StandardCharsets.ISO_8859_1)
+            resp(s"http://f.test/k$k", http("200 OK", "text/html", body))
+        }
+        sb.append(rec)
+      }
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    val rows = (0L until 120L).map(i =>
+      (i, if (i == 7) null else randArchive()))
+    val df = rows.toDF("id", "payload")
+    val audit = Crawl.auditCorpus(df, maxLinkDensity = 0.5,
+      minTextBytes = 20L, by = Seq("id")).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    val keptCounts = Crawl.cleanCorpus(df, maxLinkDensity = 0.5,
+        minTextBytes = 20L)
+      .groupBy("id").count().collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("count")).toMap
+    for (i <- 0L until 120L) {
+      val a = audit(i)
+      val m = CrawlAuditKernel.Fields.map(f => f -> a.getAs[Long](f)).toMap
+      assert(m("kept") === keptCounts.getOrElse(i, 0L), s"id=$i kept")
+      assert(m("records") === m("non_response") + m("gated_status") +
+        m("gated_mime") + m("dropped_small") + m("dropped_boilerplate") +
+        m("kept"), s"id=$i conservation")
+      assert(m("parse_nulls") <= 1L && m("charset_fallbacks") <=
+        m("dropped_small") + m("dropped_boilerplate") + m("kept"),
+        s"id=$i bounds")
+    }
+  }
+
   test("redirect chains: pointer doubling resolves, cycles stay loud") {
     import org.apache.spark.sql.functions.col
     // chains of length 1..4, a self-loop, and a 2-cycle

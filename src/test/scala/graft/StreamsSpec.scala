@@ -600,4 +600,32 @@ class StreamsSpec extends SparkSpec {
     val r0 = got.collect()(0)
     assert(r0.getString(2) === "http://ex0.test/old/new/p0")
   }
+
+  test("sitemap ingestion is streaming-transparent: parse + explode on " +
+      "a stream matches batch") {
+    implicit val sq = spark.sqlContext
+    def smOf(i: Long): Array[Byte] =
+      (s"<urlset><url><loc>http://ex$i.test/a?x=1&amp;y=2</loc>" +
+        s"<priority>0.${i % 10}</priority></url>" +
+        s"<url><loc>http://ex$i.test/b</loc></url></urlset>")
+        .getBytes("UTF-8")
+    val rows = (0L until 15L).map(i =>
+      (i, if (i % 5 == 4) "BROKEN".getBytes("UTF-8") else smOf(i)))
+    val mem = MemoryStream[(Long, Array[Byte])]
+    mem.addData(rows: _*)
+    def chain(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), explode(call_function("graft_sitemap_parse",
+        col("payload"))).as("e"))
+      .select(col("id"), col("e.loc").as("loc"),
+        col("e.priority").as("priority"))
+    val q = chain(mem.toDF().toDF("id", "payload"))
+      .writeStream.format("memory").queryName("sm_stream")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sm_stream").orderBy("id", "loc")
+    val want = chain(rows.toDF("id", "payload")).orderBy("id", "loc")
+    assert(got.count() === 24) // 12 good feeds x 2; broken -> zero rows
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }
