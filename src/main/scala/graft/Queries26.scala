@@ -840,9 +840,67 @@ object Queries26 {
       .orderBy(col("url"))
   }
 
+  /** Per-URL polite fetch schedule
+    * ([[graft.operators.Crawl.politeSchedule]]): q228's host delays at
+    * URL granularity — a host-partitioned window ranks each host's
+    * URLs deterministically and spaces them `Crawl-delay` apart (1 s
+    * default where the delay is absent or invalid). The oracle replays
+    * slot and offset with its own `ROW_NUMBER() OVER (PARTITION BY
+    * host ORDER BY url)` — the one window both engines define
+    * identically — and the same CASE delay table. */
+  val q233PoliteSchedule: (String, QueryDef) = q(
+    "q233_polite_schedule",
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 4 + 1 AS k, doc_id % 7 AS host_id
+      |  FROM documents WHERE doc_id < 300),
+      |l AS (
+      |  SELECT doc_id, host_id,
+      |    unnest(generate_series(0, CAST(k - 1 AS BIGINT))) AS j FROM p),
+      |u AS (
+      |  SELECT host_id,
+      |    'http://ex' || CAST(host_id AS VARCHAR) || '.test/u' ||
+      |      CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR) AS url
+      |  FROM l),
+      |d AS (
+      |  SELECT host_id, url,
+      |    CASE host_id WHEN 0 THEN CAST(NULL AS DOUBLE)
+      |      WHEN 1 THEN 0.5 WHEN 2 THEN 2.0
+      |      WHEN 3 THEN CAST(NULL AS DOUBLE)
+      |      ELSE CAST(host_id AS DOUBLE) END AS crawl_delay,
+      |    ROW_NUMBER() OVER (PARTITION BY host_id ORDER BY url) AS slot
+      |  FROM u)
+      |SELECT host_id, url, crawl_delay, CAST(slot AS INT) AS slot,
+      |  CAST(slot - 1 AS DOUBLE) * COALESCE(crawl_delay, 1.0) AS offset_s
+      |FROM d ORDER BY host_id, url""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val k = (d % 4 + 1).cast("int")
+    val urls = t("documents").filter(d < 300)
+      .select(d, (d % 7).as("host_id"),
+        explode(sequence(lit(0), k - 1)).as("j"))
+      .select(col("host_id").as("host"),
+        concat(lit("http://ex"), col("host_id").cast("string"),
+          lit(".test/u"), d.cast("string"), lit("_"),
+          col("j").cast("string")).as("url"))
+    val h = col("host")
+    val delayLine = when(h === 0, lit(""))
+      .when(h === 1, lit("Crawl-delay: 0.5\n"))
+      .when(h === 2, lit("Crawl-delay: 2\n"))
+      .when(h === 3, lit("Crawl-delay: fast\n"))
+      .otherwise(concat(lit("Crawl-delay: "), h.cast("string"), lit("\n")))
+    val robotsDim = t("documents").filter(d < 7)
+      .select((d % 7).as("host"))
+      .select(h, concat(lit("User-agent: *\n"), delayLine,
+        lit("Disallow: /private\n")).as("robots"))
+    graft.operators.Crawl.politeSchedule(urls, robotsDim)
+      .select(col("host").as("host_id"), col("url"), col("crawl_delay"),
+        col("slot"), col("offset_s"))
+      .orderBy(col("host_id"), col("url"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(q221CrawlAudit,
     q222RobotsWildcards, q223CrawlFrontier, q224CrawlAuditScale,
     q225FrontierScale, q226RedirectEdges, q227ResolvedOutlinks,
     q228PolitenessBudget, q229SitemapFrontier, q230RedirectChains,
-    q231RecrawlSchedule, q232SitemapTree)
+    q231RecrawlSchedule, q232SitemapTree, q233PoliteSchedule)
 }

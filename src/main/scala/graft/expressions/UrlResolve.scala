@@ -92,28 +92,41 @@ object UrlResolve {
     new Parts(scheme, auth, rest, query, frag)
   }
 
-  /** RFC 3986 §5.2.4 remove_dot_segments. */
+  /** RFC 3986 §5.2.4 remove_dot_segments. Index-walked (the naive
+    * rebuild-the-input-per-step transcription is O(n²) in substring
+    * churn — measured 3.6 µs/resolve before, and resolution runs once
+    * per EDGE at frontier scale), with a fast path for the dominant
+    * real-URL case of no dot segments at all. */
   def removeDotSegments(p: String): String = {
-    val out = new StringBuilder
-    var in = p
+    val n = p.length
+    // fast path: dot segments require a '.' at a segment start
+    if (n == 0) return p
+    if (p.charAt(0) != '.' && p.indexOf("/.") < 0) return p
+    // java.lang.StringBuilder: the 3-arg (CharSequence, from, to) append
+    // exists there — Scala's StringBuilder would silently auto-tuple it
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    def at(pat: String): Boolean = p.regionMatches(i, pat, 0, pat.length)
     def popSegment(): Unit = {
-      val i = out.lastIndexOf("/")
-      out.setLength(if (i < 0) 0 else i)
+      val k = out.lastIndexOf("/")
+      out.setLength(if (k < 0) 0 else k)
     }
-    while (in.nonEmpty) {
-      if (in.startsWith("../")) in = in.substring(3)
-      else if (in.startsWith("./")) in = in.substring(2)
-      else if (in.startsWith("/./")) in = in.substring(2)
-      else if (in == "/.") in = "/"
-      else if (in.startsWith("/../")) { in = in.substring(3); popSegment() }
-      else if (in == "/..") { in = "/"; popSegment() }
-      else if (in == "." || in == "..") in = ""
-      else {
-        // move the first segment (incl. its leading '/', if any) to out
-        var k = if (in.charAt(0) == '/') 1 else 0
-        while (k < in.length && in.charAt(k) != '/') k += 1
-        out.append(in.substring(0, k))
-        in = in.substring(k)
+    while (i < n) {
+      if (at("../")) i += 3
+      else if (i + 2 == n && at("..")) i = n // lone ".." (leading)
+      else if (at("./")) i += 2
+      else if (i + 1 == n && p.charAt(i) == '.') i = n // lone "."
+      else if (at("/./")) i += 2 // consume "/.", keep the "/"
+      else if (i + 2 == n && at("/.")) { out.append('/'); i = n }
+      else if (at("/../")) { i += 3; popSegment() } // keep trailing "/"
+      else if (i + 3 == n && at("/..")) {
+        popSegment(); out.append('/'); i = n
+      } else {
+        // move one segment (incl. its leading '/', if any) to out
+        var k = if (p.charAt(i) == '/') i + 1 else i
+        while (k < n && p.charAt(k) != '/') k += 1
+        out.append(p, i, k)
+        i = k
       }
     }
     out.toString

@@ -143,6 +143,32 @@ object Crawl {
       .agg(count(lit(1)).as("n_refs"))
   }
 
+  /** Per-URL polite fetch schedule — [[auditCorpus]]'s q228 budget
+    * companion at URL granularity: serialize each host's fetches
+    * `Crawl-delay` seconds apart (1 s default when unset — never
+    * hammer), hosts in parallel. One window partitioned BY HOST (the
+    * natural parallelism unit — no global sort, no single-partition
+    * window; skew = one enormous host, which is exactly the host that
+    * needs serializing) over a broadcast robots dim. Output adds
+    * `slot` (1-based fetch index within the host, ordered by URL for
+    * determinism) and `offset_s` (= `(slot−1) × delay` — the earliest
+    * polite start relative to the host's first fetch). */
+  def politeSchedule(urls: DataFrame, robotsDim: DataFrame,
+      agent: String = "graftbot"): DataFrame = {
+    require(robotsDim.columns.toSeq.map(_.toLowerCase(java.util.Locale.ROOT))
+      .sorted == Seq("host", "robots"),
+      "politeSchedule: robotsDim must have exactly (host, robots) columns")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("url"))
+    urls.join(broadcast(robotsDim), Seq("host"))
+      .withColumn("crawl_delay",
+        call_function("graft_robots_delay", col("robots"), lit(agent)))
+      .withColumn("slot", row_number().over(w))
+      .withColumn("offset_s", (col("slot") - 1).cast("double") *
+        coalesce(col("crawl_delay"), lit(1.0)))
+      .drop("robots")
+  }
+
   /** Sitemap-index recursion over a PRE-FETCHED set — `sitemapindex`
     * files point at child sitemaps, which point at children or at URL
     * sets; a crawl that stops at depth 1 misses most of a large site's

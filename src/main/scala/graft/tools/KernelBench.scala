@@ -125,6 +125,27 @@ object KernelBench {
     run("sitemap parse (10k urls)", sitemapXml,
       (x: Array[Byte]) => graft.expressions.SitemapKernel.parse(x), 10000)
 
+    // RFC 3986 resolution — the per-edge cost of the frontier hop.
+    // Batched 1000 resolutions per item (the harness's rep counts are
+    // sized for MB-scale kernels; a lone microsecond call never JITs);
+    // out units = resolutions, so Mu/s reads directly as resolutions/s
+    val resolveBase = "http://host.test/a/b/c/page.html"
+    val resolveRefs = Array("../up/../x/y.html?q=1", "img/p.png",
+      "/abs/q", "?page=2", "//cdn.test/lib.js")
+    run("url resolve (x1000 mixed refs)",
+      resolveRefs.mkString("\n").getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII),
+      (_: Array[Byte]) => {
+        var k = 0
+        var last: String = ""
+        while (k < 1000) {
+          last = graft.expressions.UrlResolve.resolve(resolveBase,
+            resolveRefs(k % resolveRefs.length))
+          k += 1
+        }
+        last
+      }, 1000)
+
     // the loss-accounting funnel over the same 2 MiB archive: parse +
     // per-record gates + charset + HTML extraction on every kept page —
     // the audit must cost ~what cleanCorpus itself costs (it IS the
