@@ -240,6 +240,29 @@ class CrawlAuditSpec extends SparkSpec {
     assert(out.size === 3)
   }
 
+  test("polite schedule: per-host slots, delay spacing, 1s default") {
+    val urls = Seq(
+      ("slow.test", "http://slow.test/b"),
+      ("slow.test", "http://slow.test/a"),
+      ("slow.test", "http://slow.test/c"),
+      ("fast.test", "http://fast.test/x"),
+      ("fast.test", "http://fast.test/y")).toDF("host", "url")
+    val robots = Seq(
+      ("slow.test", "User-agent: *\nCrawl-delay: 2.5\nDisallow: /p\n"),
+      ("fast.test", "User-agent: *\nDisallow: /p\n")) // no delay -> 1s
+      .toDF("host", "robots")
+    val out = graft.operators.Crawl.politeSchedule(urls, robots)
+      .collect().map(r => r.getString(1) ->
+        ((r.getInt(3), r.getDouble(4)))).toMap
+    // slots ordered by URL within the host; spacing = delay
+    assert(out("http://slow.test/a") === ((1, 0.0)))
+    assert(out("http://slow.test/b") === ((2, 2.5)))
+    assert(out("http://slow.test/c") === ((3, 5.0)))
+    // absent delay -> the 1 s default, never zero-gap hammering
+    assert(out("http://fast.test/x") === ((1, 0.0)))
+    assert(out("http://fast.test/y") === ((2, 1.0)))
+  }
+
   test("thresholds are validated at construction") {
     val df = Seq((1L, plantedWarc)).toDF("id", "payload")
     intercept[IllegalArgumentException] {
