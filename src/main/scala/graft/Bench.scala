@@ -46,27 +46,31 @@ object Bench {
     try {
       val tmp = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir", "/tmp"))
-      val stale = java.nio.file.Files.list(tmp).iterator()
+      val listing = java.nio.file.Files.list(tmp)
       var count = 0
       var bytes = 0L
-      while (stale.hasNext) {
-        val p = stale.next()
-        val n = p.getFileName.toString
-        if ((n.startsWith("graft-") || n.startsWith("demo-")) &&
-            java.nio.file.Files.isDirectory(p)) {
-          count += 1
-          try {
-            val w = java.nio.file.Files.walk(p)
-            val it = w.iterator()
-            while (it.hasNext) {
-              val f = it.next()
-              if (java.nio.file.Files.isRegularFile(f))
-                bytes += java.nio.file.Files.size(f)
-            }
-            w.close()
-          } catch { case _: Throwable => () }
+      try {
+        val stale = listing.iterator()
+        while (stale.hasNext) {
+          val p = stale.next()
+          val n = p.getFileName.toString
+          if ((n.startsWith("graft-") || n.startsWith("demo-")) &&
+              java.nio.file.Files.isDirectory(p)) {
+            count += 1
+            try {
+              val w = java.nio.file.Files.walk(p)
+              try {
+                val it = w.iterator()
+                while (it.hasNext) {
+                  val f = it.next()
+                  if (java.nio.file.Files.isRegularFile(f))
+                    bytes += java.nio.file.Files.size(f)
+                }
+              } finally w.close()
+            } catch { case _: Throwable => () }
+          }
         }
-      }
+      } finally listing.close()
       val maxDirs = sys.env.getOrElse("SPARK_GRAFT_TMP_STALE_MAX", "64").toInt
       if (count > maxDirs || bytes > (2L << 30)) {
         val msg = s"[bench] TMP HYGIENE: $count stale graft-*/demo-* dirs " +
