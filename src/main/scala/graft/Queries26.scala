@@ -794,7 +794,9 @@ object Queries26 {
     * child `urlset` with `doc_id % 3 + 1` URLs. The expansion must
     * emit exactly the children's URLs at depth 2 (the missing child
     * contributes nothing, the index's own entries are not URLs).
-    * Oracle replays (url, priority, depth) arithmetically. */
+    * Oracle replays (url, loc, priority, depth) arithmetically — the
+    * child locs are already in canonical form, so `url` (the canon
+    * key) equals `loc` (the publisher's raw string) row for row. */
   val q232SitemapTree: (String, QueryDef) = q(
     "q232_sitemap_tree",
     """WITH p AS (
@@ -806,6 +808,8 @@ object Queries26 {
       |SELECT
       |  'http://ex' || CAST(h AS VARCHAR) || '.test/u' ||
       |    CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR) AS url,
+      |  'http://ex' || CAST(h AS VARCHAR) || '.test/u' ||
+      |    CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR) AS loc,
       |  CAST(NULL AS VARCHAR) AS lastmod,
       |  CAST(NULL AS VARCHAR) AS changefreq,
       |  CAST(j AS DOUBLE) / 10.0 AS priority,

@@ -128,20 +128,49 @@ case class DotProductW(left: Expression, right: Expression)
 /** Session extension registering graft's native expressions
   * (`spark.sql.extensions=graft.expressions.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  /** Fold a literal numeric argument (SQL decimal literals like `0.5`
-    * arrive as Decimal, DataFrame `lit(0.5)` as Double). */
-  private def litDouble(e: Expression): Double = e.eval() match {
-    case d: org.apache.spark.sql.types.Decimal => d.toDouble
-    case n: java.lang.Number => n.doubleValue()
-    case v => throw new IllegalArgumentException(
-      s"expected a numeric literal, got $v")
+  /** Fold a construction-time argument. Guarded: the expression must be
+    * FOLDABLE and DETERMINISTIC before it is evaluated with no row — a
+    * column argument would otherwise surface as a raw Catalyst
+    * `Unevaluable` exception, and a foldable-but-nondeterministic one
+    * (e.g. `rand()`) would be silently frozen at plan time. Failures are
+    * a clean `AnalysisException` (the standard `NON_FOLDABLE_ARGUMENT`
+    * error condition) naming the function and parameter. */
+  private def litArg(e: Expression, fn: String, param: String,
+      typ: String): Any = {
+    if (!e.foldable || !e.deterministic)
+      throw new org.apache.spark.sql.AnalysisException(
+        "NON_FOLDABLE_ARGUMENT",
+        Map("funcName" -> s"`$fn`", "paramName" -> s"`$param`",
+          "paramType" -> s""""$typ""""),
+        None)
+    e.eval()
   }
-  private def litLong(e: Expression): Long = e.eval() match {
-    case d: org.apache.spark.sql.types.Decimal => d.toLong
-    case n: java.lang.Number => n.longValue()
-    case v => throw new IllegalArgumentException(
-      s"expected a numeric literal, got $v")
-  }
+  /** Numeric literal → Double (SQL decimal literals like `0.5` arrive as
+    * Decimal, DataFrame `lit(0.5)` as Double). */
+  private def litDouble(e: Expression, fn: String, param: String): Double =
+    litArg(e, fn, param, "DOUBLE") match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: java.lang.Number => n.doubleValue()
+      case v => throw new IllegalArgumentException(
+        s"$fn: expected a numeric literal for $param, got $v")
+    }
+  private def litLong(e: Expression, fn: String, param: String): Long =
+    litArg(e, fn, param, "BIGINT") match {
+      case d: org.apache.spark.sql.types.Decimal => d.toLong
+      case n: java.lang.Number => n.longValue()
+      case v => throw new IllegalArgumentException(
+        s"$fn: expected a numeric literal for $param, got $v")
+    }
+  private def litInt(e: Expression, fn: String, param: String): Int =
+    litLong(e, fn, param).toInt
+  private def litString(e: Expression, fn: String, param: String): String =
+    String.valueOf(litArg(e, fn, param, "STRING"))
+  private def litBool(e: Expression, fn: String, param: String): Boolean =
+    litArg(e, fn, param, "BOOLEAN") match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case v => throw new IllegalArgumentException(
+        s"$fn: expected a boolean literal for $param, got $v")
+    }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -165,7 +194,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftShingleHash].getName, "graft_shingle_hash"),
       (children: Seq[Expression]) => GraftShingleHash(children(0),
         if (children.length > 1)
-          children(1).eval().asInstanceOf[Number].intValue()
+          litInt(children(1), "graft_shingle_hash", "k")
         else 3)))
     ext.injectFunction((
       FunctionIdentifier("graft_shingle_hash_all"),
@@ -173,7 +202,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_shingle_hash_all"),
       (children: Seq[Expression]) => GraftShingleHashAll(children(0),
         if (children.length > 1)
-          children(1).eval().asInstanceOf[Number].intValue()
+          litInt(children(1), "graft_shingle_hash_all", "k")
         else 3)))
     ext.injectFunction((
       FunctionIdentifier("graft_image_dims"),
@@ -204,7 +233,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftShingles].getName, "graft_shingles"),
       (children: Seq[Expression]) => GraftShingles(children(0),
         if (children.length > 1)
-          children(1).eval().asInstanceOf[Number].intValue()
+          litInt(children(1), "graft_shingles", "k")
         else 3)))
     ext.injectFunction((
       FunctionIdentifier("graft_char_entropy"),
@@ -214,7 +243,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dsum"),
       new ExpressionInfo(classOf[GraftDecimalSum].getName, "graft_dsum"),
       (children: Seq[Expression]) => GraftDecimalSum(children(0),
-        children(1).eval().asInstanceOf[Number].intValue(),
+        litInt(children(1), "graft_dsum", "scale"),
         weight = children.drop(2).headOption)))
     ext.injectFunction((
       FunctionIdentifier("graft_vecsum"),
@@ -233,7 +262,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_pii_count"),
       new ExpressionInfo(classOf[GraftPiiCount].getName, "graft_pii_count"),
       (children: Seq[Expression]) => GraftPiiCount(children(0),
-        children(1).eval().toString)))
+        litString(children(1), "graft_pii_count", "kind"))))
     ext.injectFunction((
       FunctionIdentifier("graft_pii_redact"),
       new ExpressionInfo(classOf[GraftPiiRedact].getName, "graft_pii_redact"),
@@ -328,7 +357,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftCanonUrl].getName, "graft_canon_url"),
       (children: Seq[Expression]) => GraftCanonUrl(children(0),
         children.drop(1).headOption
-          .exists(_.eval().asInstanceOf[Boolean]))))
+          .exists(litBool(_, "graft_canon_url", "keep_fragment")))))
     ext.injectFunction((
       FunctionIdentifier("graft_html_text"),
       new ExpressionInfo(classOf[GraftHtmlText].getName, "graft_html_text"),
@@ -371,8 +400,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftCrawlAudit].getName,
         "graft_crawl_audit"),
       (children: Seq[Expression]) => GraftCrawlAudit(children(0),
-        children.lift(1).map(litDouble).getOrElse(0.5),
-        children.lift(2).map(litLong).getOrElse(50L))))
+        children.lift(1).map(litDouble(_, "graft_crawl_audit",
+          "max_link_density")).getOrElse(0.5),
+        children.lift(2).map(litLong(_, "graft_crawl_audit",
+          "min_text_bytes")).getOrElse(50L))))
     ext.injectFunction((
       FunctionIdentifier("graft_robots_allowed"),
       new ExpressionInfo(classOf[GraftRobotsAllowed].getName,

@@ -16,8 +16,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * ([[AudioMeta]], [[VideoMeta]]).
   *
   * `graft_warc_parse(binary) -> array<struct<rec_type string, uri string,
-  * status int, mime string, location string, body binary>>`, one element
-  * per WARC record:
+  * status int, mime string, location string, last_modified string,
+  * etag string, body binary>>`, one element per WARC record:
   *
   *  - gzip input (magic `1f 8b`) inflates first — multi-member streams
   *    (the warc.gz convention: one member per record) read end-to-end;
@@ -36,9 +36,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    digits — a 4th digit rejects), `mime` = the HTTP `Content-Type`
   *    value verbatim (parameters kept), `location` = the HTTP `Location`
   *    value (the redirect target a frontier follows — r14; null when
-  *    absent), `body` = the bytes after the HTTP header terminator (no
-  *    terminator → empty body); any other record keeps `status` null,
-  *    `mime` = the record-level `Content-Type`, `location` null, `body`
+  *    absent), `last_modified` / `etag` = the HTTP freshness validators
+  *    (RFC 9110 §8.8.2/§8.8.3 — what an incremental recrawl sends back
+  *    as `If-Modified-Since` / `If-None-Match`; strings kept VERBATIM,
+  *    IMF-fixdate parsing belongs downstream via `to_timestamp`), `body`
+  *    = the bytes after the HTTP header terminator (no terminator →
+  *    empty body); any other record keeps `status` null, `mime` = the
+  *    record-level `Content-Type`, the HTTP-only fields null, `body`
   *    = the whole block;
   *  - anything malformed — wrong magic, missing/invalid `Content-Length`,
   *    a block running past the input — returns NULL for the whole value
@@ -58,6 +62,8 @@ object WarcKernel {
       val status: java.lang.Integer,
       val mime: Array[Byte],
       val location: Array[Byte], // HTTP Location (redirect target)
+      val lastModified: Array[Byte], // HTTP Last-Modified (RFC 9110 §8.8.2)
+      val etag: Array[Byte], // HTTP ETag (RFC 9110 §8.8.3)
       val bodyOff: Int,
       val bodyLen: Int)
 
@@ -205,6 +211,8 @@ object WarcKernel {
       var status: java.lang.Integer = null
       var mime = recMime
       var httpLoc: Array[Byte] = null
+      var httpLm: Array[Byte] = null
+      var httpEtag: Array[Byte] = null
       var bodyOff = blockOff
       var bodyLen = blockLen
       val isResponse = recType != null &&
@@ -248,14 +256,19 @@ object WarcKernel {
             if (c2 < ce2) {
               val isCt = lowerEq(b, q, c2, "content-type")
               val isLoc = !isCt && lowerEq(b, q, c2, "location")
-              if (isCt || isLoc) {
+              val isLm = !isCt && !isLoc && lowerEq(b, q, c2, "last-modified")
+              val isEtag = !isCt && !isLoc && !isLm && lowerEq(b, q, c2, "etag")
+              if (isCt || isLoc || isLm || isEtag) {
                 var vs2 = c2 + 1
                 while (vs2 < ce2 && (b(vs2) == ' ' || b(vs2) == '\t')) vs2 += 1
                 var ve2 = ce2
                 while (ve2 > vs2 && (b(ve2 - 1) == ' ' || b(ve2 - 1) == '\t'))
                   ve2 -= 1
                 val v2 = java.util.Arrays.copyOfRange(b, vs2, ve2)
-                if (isCt) httpMime = v2 else httpLoc = v2
+                if (isCt) httpMime = v2
+                else if (isLoc) httpLoc = v2
+                else if (isLm) httpLm = v2
+                else httpEtag = v2
               }
             }
             q = math.min(e + 1, blockEnd)
@@ -265,7 +278,8 @@ object WarcKernel {
         if (httpBody >= 0) { bodyOff = httpBody; bodyLen = blockEnd - httpBody }
         else { bodyOff = blockEnd; bodyLen = 0 } // headers never ended
       }
-      recs += new Rec(recType, uri, status, mime, httpLoc, bodyOff, bodyLen)
+      recs += new Rec(recType, uri, status, mime, httpLoc, httpLm, httpEtag,
+        bodyOff, bodyLen)
       skipCrlf()
     }
     (recs.toArray, b)
@@ -273,7 +287,8 @@ object WarcKernel {
 }
 
 /** `graft_warc_parse(binary) -> array<struct<rec_type, uri, status, mime,
-  * body>>` — see [[WarcKernel]]. NULL on malformed/over-cap input. */
+  * location, last_modified, etag, body>>` — see [[WarcKernel]]. NULL on
+  * malformed/over-cap input. */
 case class GraftWarcParse(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -286,6 +301,8 @@ case class GraftWarcParse(child: Expression) extends UnaryExpression {
     StructField("status", IntegerType, nullable = true),
     StructField("mime", StringType, nullable = true),
     StructField("location", StringType, nullable = true),
+    StructField("last_modified", StringType, nullable = true),
+    StructField("etag", StringType, nullable = true),
     StructField("body", BinaryType, nullable = false))),
     containsNull = false)
   override def nullable: Boolean = true
@@ -310,6 +327,10 @@ case class GraftWarcParse(child: Expression) extends UnaryExpression {
             if (r.mime == null) null else UTF8String.fromBytes(r.mime),
             if (r.location == null) null
             else UTF8String.fromBytes(r.location),
+            if (r.lastModified == null) null
+            else UTF8String.fromBytes(r.lastModified),
+            if (r.etag == null) null
+            else UTF8String.fromBytes(r.etag),
             java.util.Arrays.copyOfRange(buf, r.bodyOff,
               r.bodyOff + r.bodyLen)))
           i += 1

@@ -51,7 +51,11 @@ object Crawl {
         "rename them upstream")
     val recs = Multimodal.warcRecords(warcs, payloadCol)
       .drop(payloadCol)
-      .filter(col("warc_rec.rec_type") === "response" &&
+      // rec_type compares ASCII case-insensitively (ISO 28500 field names
+      // and values are case-preserving in the wild: 'Response' happens) —
+      // this is the SAME comparison CrawlAuditKernel.audit uses, so the
+      // audit's `kept` == this operator's row count stays an invariant
+      .filter(lower(col("warc_rec.rec_type")) === "response" &&
         col("warc_rec.status") === 200 &&
         col("warc_rec.mime").startsWith("text/html"))
     val page = recs
@@ -110,7 +114,9 @@ object Crawl {
     * against the standing corpus → dedup with ref counts. Inputs:
     * `pages(urlCol, htmlCol + carry-through)`, a `robots(host, robots)`
     * dim (one row per host — BROADCAST side at any scale: there are
-    * orders of magnitude fewer hosts than edges), and a
+    * orders of magnitude fewer hosts than edges; a host with NO row is
+    * treated as publishing no robots.txt, i.e. everything allowed, per
+    * RFC 9309 §2.3.1.1 — robotsDim need not be complete), and a
     * `corpus(canonical url)` key set (broadcast when it fits; swap the
     * anti-join to a bucketed one upstream when it doesn't). Output:
     * `(url, n_refs)` — new, fetchable, deduplicated frontier URLs.
@@ -120,12 +126,68 @@ object Crawl {
   def frontier(pages: DataFrame, urlCol: String, htmlCol: String,
       robotsDim: DataFrame, corpus: DataFrame,
       agent: String = "graftbot"): DataFrame = {
+    require(corpus.columns.length == 1,
+      "frontier: corpus must be a single canonical-url key column")
+    frontierAllowed(pages, urlCol, htmlCol, robotsDim, agent)
+      .join(broadcast(corpus.toDF("url")), Seq("url"), "left_anti")
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n_refs"))
+  }
+
+  /** [[frontier]] with REDIRECT AWARENESS — closes the moved-page seam:
+    * plain frontier() anti-joins the standing corpus on the outlink's own
+    * canon key, so a URL whose redirect chain terminates at an
+    * already-crawled page re-enters the frontier as "new" (and a crawler
+    * that fetches it burns a request to learn what it already knew).
+    * This variant maps every allowed candidate through
+    * [[resolveRedirectChains]]' `from_url → final_url` BEFORE the
+    * corpus anti-join and the ref-count rollup, so:
+    *
+    *  - a moved URL whose target is already crawled disappears from the
+    *    frontier (the anti-join sees the final location);
+    *  - a moved URL whose target is NEW surfaces AS the final target —
+    *    the URL worth fetching — with refs from both its old and new
+    *    names rolled up together.
+    *
+    * `redirects` is [[resolveRedirectChains]] output (or any frame with
+    * `from_url`/`final_url`); unresolved rows (null `final_url` — cycles,
+    * over-cap chains) are ignored, leaving those candidates on their own
+    * key (LOUDLY unresolved upstream, unchanged here). The join is a
+    * plain equi-join, NOT a forced broadcast: the redirect map scales
+    * with the corpus (every 3xx page), so AQE picks broadcast only when
+    * it genuinely fits. Everything else is the q223 plan shape. */
+  def frontierResolved(pages: DataFrame, urlCol: String, htmlCol: String,
+      robotsDim: DataFrame, corpus: DataFrame, redirects: DataFrame,
+      agent: String = "graftbot"): DataFrame = {
+    val rcols = redirects.columns.map(_.toLowerCase(java.util.Locale.ROOT))
+    require(rcols.contains("from_url") && rcols.contains("final_url"),
+      "frontierResolved: redirects must carry (from_url, final_url) — " +
+        "resolveRedirectChains output")
+    require(corpus.columns.length == 1,
+      "frontierResolved: corpus must be a single canonical-url key column")
+    val moved = redirects
+      .filter(col("final_url").isNotNull)
+      .select(col("from_url").as("url"), col("final_url"))
+    // candidate generation + robots gate: the fetch the crawler would
+    // actually issue targets the ORIGINAL url, so robots applies there;
+    // the corpus key and the emitted frontier row use the FINAL location
+    val allowed = frontierAllowed(pages, urlCol, htmlCol, robotsDim, agent)
+    allowed
+      .join(moved, Seq("url"), "left")
+      .select(coalesce(col("final_url"), col("url")).as("url"))
+      .join(broadcast(corpus.toDF("url")), Seq("url"), "left_anti")
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n_refs"))
+  }
+
+  /** Shared candidate pipeline of [[frontier]]/[[frontierResolved]]:
+    * outlinks → RFC 3986 resolution → canon keys → per-host robots gate.
+    * One column out: `url` (canonical, robots-allowed, pre-dedup). */
+  private def frontierAllowed(pages: DataFrame, urlCol: String,
+      htmlCol: String, robotsDim: DataFrame, agent: String): DataFrame = {
     require(robotsDim.columns.toSeq.map(_.toLowerCase(java.util.Locale.ROOT))
       .sorted == Seq("host", "robots"),
       "frontier: robotsDim must have exactly (host, robots) columns")
-    require(corpus.columns.length == 1,
-      "frontier: corpus must be a single canonical-url key column")
-    val corpusKey = corpus.columns.head
     val links = HtmlExtract.resolvedOutlinks(pages, htmlCol, urlCol)
       .select(call_function("graft_canon_url", col("href")).as("url"))
       .filter(col("url").isNotNull)
@@ -133,20 +195,23 @@ object Crawl {
       .withColumn("__path_q", concat(expr("parse_url(url, 'PATH')"),
         coalesce(concat(lit("?"), expr("parse_url(url, 'QUERY')")),
           lit(""))))
+    // LEFT join: a host with no robots row means no robots.txt was
+    // published, and the crawling convention (RFC 9309 §2.3.1.1: a 404
+    // on /robots.txt) is that EVERYTHING is allowed — an inner join
+    // would silently drop every URL on such hosts from the frontier
     links
-      .join(broadcast(robotsDim), Seq("host"))
-      .filter(call_function("graft_robots_allowed", col("robots"),
-        lit(agent), col("__path_q")))
-      .join(broadcast(corpus.select(col(corpusKey).as("url"))),
-        Seq("url"), "left_anti")
-      .groupBy(col("url"))
-      .agg(count(lit(1)).as("n_refs"))
+      .join(broadcast(robotsDim), Seq("host"), "left")
+      .filter(col("robots").isNull ||
+        call_function("graft_robots_allowed", col("robots"),
+          lit(agent), col("__path_q")))
+      .select(col("url"))
   }
 
   /** Per-URL polite fetch schedule — [[auditCorpus]]'s q228 budget
     * companion at URL granularity: serialize each host's fetches
-    * `Crawl-delay` seconds apart (1 s default when unset — never
-    * hammer), hosts in parallel. One window partitioned BY HOST (the
+    * `Crawl-delay` seconds apart (1 s default when unset or when the
+    * host has no robotsDim row at all — never hammer), hosts in
+    * parallel. One window partitioned BY HOST (the
     * natural parallelism unit — no global sort, no single-partition
     * window; skew = one enormous host, which is exactly the host that
     * needs serializing) over a broadcast robots dim. Output adds
@@ -160,7 +225,11 @@ object Crawl {
       "politeSchedule: robotsDim must have exactly (host, robots) columns")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("host")).orderBy(col("url"))
-    urls.join(broadcast(robotsDim), Seq("host"))
+    // LEFT join (the frontier convention): a host absent from robotsDim
+    // published no robots.txt — its URLs still get scheduled, at the
+    // polite 1 s default (null delay → the coalesce below), rather than
+    // silently vanishing from the schedule
+    urls.join(broadcast(robotsDim), Seq("host"), "left")
       .withColumn("crawl_delay",
         call_function("graft_robots_delay", col("robots"), lit(agent)))
       .withColumn("slot", row_number().over(w))
@@ -180,7 +249,10 @@ object Crawl {
     * (broadcast the frontier — it is orders of magnitude smaller than
     * the fetched corpus), parses, emits `kind='url'` entries with their
     * depth, and feeds `kind='sitemap'` locs to the next level. Output:
-    * `(url, lastmod, changefreq, priority, depth)`. A child loc absent
+    * `(url, loc, lastmod, changefreq, priority, depth)` — `url` is the
+    * CANONICAL form (`graft_canon_url`, the key the frontier and corpus
+    * join on; loud NULL when the loc is relative or malformed) and
+    * `loc` is the publisher's raw string verbatim. A child loc absent
     * from `fetched` simply contributes nothing at the next level (fetch
     * gaps are visible by anti-joining the returned sitemap locs — the
     * audit composes, it is not silently swallowed here: THIS operator
@@ -193,7 +265,13 @@ object Crawl {
       s"expandSitemaps: maxDepth must be in [1,8], got $maxDepth")
     require(roots.columns.length == 1,
       "expandSitemaps: roots must be a single url column")
-    val f = fetched.toDF("url", "payload")
+    // select by NAME, not position — a caller passing (payload, url)
+    // would otherwise be silently mislabeled (the frontier()/
+    // politeSchedule() validation convention)
+    require(fetched.columns.toSeq.map(_.toLowerCase(java.util.Locale.ROOT))
+      .sorted == Seq("payload", "url"),
+      "expandSitemaps: fetched must have exactly (url, payload) columns")
+    val f = fetched.select(col("url"), col("payload"))
     var frontier = roots.toDF("url")
     var out: DataFrame = null
     for (depth <- 1 to maxDepth) {
@@ -207,7 +285,7 @@ object Crawl {
           col("e.changefreq").as("changefreq"),
           col("e.priority").as("priority"))
       val urls = parsed.filter(col("kind") === "url")
-        .select(col("loc").as("url"), col("lastmod"), col("changefreq"),
+        .select(col("url"), col("loc"), col("lastmod"), col("changefreq"),
           col("priority"), lit(depth).as("depth"))
       out = if (out == null) urls else out.unionAll(urls)
       frontier = parsed.filter(col("kind") === "sitemap" &&
@@ -246,6 +324,61 @@ object Crawl {
           .when(col("lastmod").isNotNull &&
             col("lastmod") > col("last_crawled"), lit("refresh"))
           .otherwise(lit("skip")))
+  }
+
+  /** Recrawl scheduling with HTTP FRESHNESS SIGNALS — [[recrawlSchedule]]
+    * upgraded with the validators [[graft.expressions.WarcKernel]]
+    * surfaces from the stored copy's response headers (RFC 9110 §8.8):
+    * `Last-Modified` and `ETag`. Inputs: `entries(url, lastmod)` as
+    * before, and `corpus(url, last_crawled, last_modified, etag)` — the
+    * standing corpus's fetch time (W3C/ISO datetime string), plus the
+    * stored response's validators verbatim (null when the server sent
+    * none). Verdicts, one row per entry:
+    *
+    *  - `new` — not in the corpus;
+    *  - `refresh` — the sitemap's `lastmod` is STRICTLY newer than the
+    *    stored copy's best freshness instant, which PREFERS the server's
+    *    own `Last-Modified` over our crawl time when both exist (the
+    *    server's statement about the CONTENT beats our statement about
+    *    the FETCH: a copy crawled in January whose server stamped it
+    *    March is not stale against a February sitemap claim);
+    *  - `skip` — everything else (null/unparseable lastmod included:
+    *    absence of evidence is not staleness).
+    *
+    * Instants compare as TIMESTAMPS, not strings — IMF-fixdate
+    * (`Tue, 03 Mar 2026 10:00:00 GMT`) does not order lexicographically,
+    * so the kernel's string-verbatim contract ends here:
+    * `try_to_timestamp` parses both forms (malformed → null → that
+    * signal simply doesn't participate, never a throw mid-plan).
+    *
+    * Also emits `validator` — the conditional-request token the fetcher
+    * should send: `etag` (If-None-Match, RFC 9110 §13.1.2's preferred
+    * validator) when the stored copy has one, else `last_modified`
+    * (If-Modified-Since), else `none` (unconditional GET). Plan shape
+    * unchanged from recrawlSchedule: ONE left equi-join + projections. */
+  def recrawlScheduleHttp(entries: DataFrame, corpus: DataFrame): DataFrame = {
+    require(corpus.columns.length == 4,
+      "recrawlScheduleHttp: corpus must be (url, last_crawled, " +
+        "last_modified, etag)")
+    val c = corpus.toDF("url", "last_crawled", "last_modified", "etag")
+    // IMF-fixdate: Spark's parser rejects 'E' (day-of-week) in PARSING
+    // patterns, so strip the redundant fixed "Tue, " prefix first — the
+    // weekday carries no information the date doesn't
+    val imfValue = regexp_replace(col("last_modified"),
+      lit("^[A-Za-z]{3}, "), lit(""))
+    val storedFresh = coalesce(
+      try_to_timestamp(imfValue, lit("dd MMM yyyy HH:mm:ss 'GMT'")),
+      try_to_timestamp(col("last_crawled")))
+    entries.join(c, Seq("url"), "left")
+      .withColumn("action",
+        when(col("last_crawled").isNull, lit("new"))
+          .when(col("lastmod").isNotNull &&
+            try_to_timestamp(col("lastmod")) > storedFresh, lit("refresh"))
+          .otherwise(lit("skip")))
+      .withColumn("validator",
+        when(col("etag").isNotNull, lit("etag"))
+          .when(col("last_modified").isNotNull, lit("last_modified"))
+          .otherwise(lit("none")))
   }
 
   /** Multi-hop redirect resolution over [[redirectEdges]] output — the

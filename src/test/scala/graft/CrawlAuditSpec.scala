@@ -220,7 +220,8 @@ class CrawlAuditSpec extends SparkSpec {
           """<a href="../up/c?x=1&amp;utm_source=z">C</a>""" +
           """<a href="http://H2.test:80/abs">D</a>"""),
       ("http://h1.test/dir/other.html",
-        """<a href="a">A again</a><a href="/private/p">deny</a>"""))
+        """<a href="a">A again</a><a href="/private/p">deny</a>""" +
+          """<a href="http://norobots.test/open">E</a>"""))
       .toDF("url", "page")
     val robotsDim = Seq(
       ("h1.test", "User-agent: *\nDisallow: /private\n"),
@@ -236,8 +237,45 @@ class CrawlAuditSpec extends SparkSpec {
     assert(out("http://h1.test/up/c?x=1") === 1L)
     // absolute link: case + default port folded, other-host robots ok
     assert(out("http://h2.test/abs") === 1L)
+    // host with NO robotsDim row: no published robots.txt = allowed
+    // (RFC 9309 §2.3.1.1) — a left join, never a silent inner-join drop
+    assert(out("http://norobots.test/open") === 1L)
     // /top/b is already in the corpus; /private/p is robots-denied
-    assert(out.size === 3)
+    assert(out.size === 4)
+  }
+
+  test("frontierResolved: a moved page whose target is crawled is NOT new") {
+    val pages = Seq(
+      ("http://h1.test/index.html",
+        """<a href="/moved-old">M</a><a href="/fresh">F</a>""" +
+          """<a href="/moved-new-target">T</a>"""))
+      .toDF("url", "page")
+    val robotsDim = Seq(("h1.test", "User-agent: *\nDisallow: /private\n"))
+      .toDF("host", "robots")
+    // the redirect map says /moved-old 301s to /known (already crawled)
+    // and /moved-new-target 301s to /new-target (NOT crawled)
+    val edges = Seq(
+      ("http://h1.test/moved-old", "http://h1.test/known"),
+      ("http://h1.test/moved-new-target", "http://h1.test/new-target"))
+      .toDF("from_url", "to_url")
+    val redirects = graft.operators.Crawl.resolveRedirectChains(edges)
+    val corpus = Seq("http://h1.test/known").toDF("known")
+    val out = graft.operators.Crawl
+      .frontierResolved(pages, "url", "page", robotsDim, corpus, redirects)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // /moved-old resolved to the crawled /known -> anti-joined away;
+    // plain frontier() would have re-entered it as "new"
+    val plain = graft.operators.Crawl
+      .frontier(pages, "url", "page", robotsDim, corpus)
+      .collect().map(_.getString(0)).toSet
+    assert(plain.contains("http://h1.test/moved-old"))
+    assert(!out.contains("http://h1.test/moved-old"))
+    // a moved page with an uncrawled target surfaces AS the target
+    assert(out("http://h1.test/new-target") === 1L)
+    assert(!out.contains("http://h1.test/moved-new-target"))
+    // an unmoved new link stays on its own key
+    assert(out("http://h1.test/fresh") === 1L)
+    assert(out.size === 2)
   }
 
   test("polite schedule: per-host slots, delay spacing, 1s default") {
@@ -246,7 +284,9 @@ class CrawlAuditSpec extends SparkSpec {
       ("slow.test", "http://slow.test/a"),
       ("slow.test", "http://slow.test/c"),
       ("fast.test", "http://fast.test/x"),
-      ("fast.test", "http://fast.test/y")).toDF("host", "url")
+      ("fast.test", "http://fast.test/y"),
+      ("norobots.test", "http://norobots.test/m"),
+      ("norobots.test", "http://norobots.test/n")).toDF("host", "url")
     val robots = Seq(
       ("slow.test", "User-agent: *\nCrawl-delay: 2.5\nDisallow: /p\n"),
       ("fast.test", "User-agent: *\nDisallow: /p\n")) // no delay -> 1s
@@ -261,6 +301,10 @@ class CrawlAuditSpec extends SparkSpec {
     // absent delay -> the 1 s default, never zero-gap hammering
     assert(out("http://fast.test/x") === ((1, 0.0)))
     assert(out("http://fast.test/y") === ((2, 1.0)))
+    // host with NO robots row at all: still scheduled (left join), at
+    // the same polite 1 s default — absent hosts never vanish
+    assert(out("http://norobots.test/m") === ((1, 0.0)))
+    assert(out("http://norobots.test/n") === ((2, 1.0)))
   }
 
   test("thresholds are validated at construction") {
@@ -271,5 +315,27 @@ class CrawlAuditSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Crawl.auditCorpus(df, minTextBytes = 0L)
     }
+  }
+
+  test("non-literal threshold arguments are a clean analysis error") {
+    val df = Seq((1L, plantedWarc)).toDF("id", "payload")
+    df.createOrReplaceTempView("nfwarcs")
+    // a COLUMN where a literal is required: named NON_FOLDABLE_ARGUMENT
+    // error, not a raw Catalyst Unevaluable/eval exception
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT graft_crawl_audit(payload, id % 2, 5) FROM nfwarcs")
+        .collect()
+    }
+    assert(e.getMessage.contains("graft_crawl_audit"))
+    assert(e.getMessage.contains("max_link_density"))
+    // a foldable-but-nondeterministic expression must not be silently
+    // frozen at plan time either
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT graft_shingle_hash('abc', CAST(rand() * 3 AS INT) + 2)")
+        .collect()
+    }
+    assert(e2.getMessage.contains("graft_shingle_hash"))
   }
 }

@@ -127,15 +127,29 @@ class SitemapSpec extends SparkSpec {
       .toDF("url", "payload")
     val roots = Seq("http://ex.test/root.xml", "http://ex.test/flat.xml")
       .toDF("u")
-    val out = graft.operators.Crawl.expandSitemaps(fetched, roots)
-      .collect().map(r => r.getString(0) ->
-        ((if (r.isNullAt(3)) -1.0 else r.getDouble(3)), r.getInt(4))).toMap
+    val res = graft.operators.Crawl.expandSitemaps(fetched, roots)
+    // output contract: canonical `url` first, raw `loc` preserved
+    assert(res.columns.toSeq ===
+      Seq("url", "loc", "lastmod", "changefreq", "priority", "depth"))
+    val out = res.collect().map { r =>
+      r.getAs[String]("loc") -> ((r.getAs[String]("url"),
+        Option(r.getAs[java.lang.Double]("priority"))
+          .map(_.doubleValue).getOrElse(-1.0),
+        r.getAs[Int]("depth")))
+    }.toMap
     // the flat root's url at depth 1; the index's children at depth 2;
     // the missing child contributes nothing (visible upstream, not here)
     assert(out === Map(
-      "http://ex.test/c" -> ((-1.0, 1)),
-      "http://ex.test/a" -> ((0.5, 2)),
-      "http://ex.test/b" -> ((-1.0, 2))))
+      "http://ex.test/c" -> (("http://ex.test/c", -1.0, 1)),
+      "http://ex.test/a" -> (("http://ex.test/a", 0.5, 2)),
+      "http://ex.test/b" -> (("http://ex.test/b", -1.0, 2))))
+    // column-name validation: positional (payload, url) is rejected, not
+    // silently mislabeled
+    val swapped = fetched.select(col("payload").as("p"), col("url").as("u"))
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Crawl.expandSitemaps(swapped, roots)
+    }
+    assert(err.getMessage.contains("url, payload"))
   }
 
   test("SQL surface: sitemap feeds the frontier (explode + canon)") {

@@ -170,4 +170,66 @@ class WarcSpec extends SparkSpec {
     assert(out(1).getString(2) === "https://new.test/x")
     assert(out(1).getInt(3) === 308)
   }
+
+  test("freshness validators: Last-Modified/ETag surface verbatim") {
+    def str2(a: Array[Byte]) = if (a == null) null
+      else new String(a, java.nio.charset.StandardCharsets.UTF_8)
+    val fresh = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "last-modified:  Tue, 03 Mar 2026 10:00:00 GMT \r\n" +
+      "ETAG: W/\"abc123\"\r\n\r\n<p>x</p>"
+    val bare = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>y</p>"
+    val warc =
+      rec("response", fresh, "WARC-Target-URI: http://ex.test/a\r\n") +
+      rec("response", bare, "WARC-Target-URI: http://ex.test/b\r\n") +
+      rec("warcinfo", "software: graft\r\n")
+    val (rs, _) = WarcKernel.parse(b(warc))
+    // names ASCII case-insensitive, values trimmed, kept VERBATIM —
+    // IMF-fixdate parsing belongs downstream (to_timestamp), and an
+    // ETag is an opaque token (RFC 9110 §8.8.3): W/ prefix + quotes stay
+    assert(str2(rs(0).lastModified) === "Tue, 03 Mar 2026 10:00:00 GMT")
+    assert(str2(rs(0).etag) === "W/\"abc123\"")
+    assert(rs(1).lastModified === null && rs(1).etag === null)
+    // non-response records never carry HTTP fields
+    assert(rs(2).lastModified === null && rs(2).etag === null)
+    // SQL surface: the struct fields are addressable by name
+    val row = Seq((1L, b(warc))).toDF("id", "payload")
+      .select(explode(call_function("graft_warc_parse",
+        col("payload"))).as("r"))
+      .select(col("r.uri"), col("r.last_modified"), col("r.etag"))
+      .filter(col("r.uri") === "http://ex.test/a").head()
+    assert(row.getString(1) === "Tue, 03 Mar 2026 10:00:00 GMT")
+    assert(row.getString(2) === "W/\"abc123\"")
+  }
+
+  test("recrawlScheduleHttp: server Last-Modified beats crawl time") {
+    val entries = Seq(
+      ("http://ex.test/conflict", "2026-02-01"), // sitemap claims Feb
+      ("http://ex.test/stale", "2026-02-01"),
+      ("http://ex.test/fresh-enough", "2026-01-01"),
+      ("http://ex.test/brandnew", "2026-02-01"),
+      ("http://ex.test/nosig", null))
+      .toDF("url", "lastmod")
+    val corpus = Seq(
+      // crawled Jan, but the SERVER stamped the copy March: the stored
+      // content is already newer than the sitemap claim -> skip
+      ("http://ex.test/conflict", "2026-01-01T00:00:00",
+        "Tue, 03 Mar 2026 10:00:00 GMT", "W/\"v3\""),
+      // crawled Jan, server stamped Jan 10th, sitemap claims Feb -> refresh
+      ("http://ex.test/stale", "2026-01-01T00:00:00",
+        "Sat, 10 Jan 2026 00:00:00 GMT", null),
+      // no validators at all: crawl time governs; crawled after lastmod
+      ("http://ex.test/fresh-enough", "2026-01-15T00:00:00", null, null),
+      ("http://ex.test/nosig", "2026-01-01T00:00:00", null, "\"z\""))
+      .toDF("url", "last_crawled", "last_modified", "etag")
+    val out = graft.operators.Crawl.recrawlScheduleHttp(entries, corpus)
+      .select("url", "action", "validator").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(out("http://ex.test/conflict") === (("skip", "etag")))
+    assert(out("http://ex.test/stale") === (("refresh", "last_modified")))
+    assert(out("http://ex.test/fresh-enough") === (("skip", "none")))
+    assert(out("http://ex.test/brandnew") === (("new", "none")))
+    // null lastmod: absence of evidence is not staleness — but the
+    // validator still says HOW to revalidate when the fetcher decides to
+    assert(out("http://ex.test/nosig") === (("skip", "etag")))
+  }
 }
