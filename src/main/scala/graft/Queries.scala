@@ -441,7 +441,8 @@ object Queries {
     Queries15.catalog ++ Queries16.catalog ++ Queries17.catalog ++
     Queries18.catalog ++ Queries19.catalog ++ Queries20.catalog ++
     Queries21.catalog ++ Queries22.catalog ++ Queries23.catalog ++
-    Queries24.catalog ++ Queries25.catalog ++ Queries26.catalog
+    Queries24.catalog ++ Queries25.catalog ++ Queries26.catalog ++
+    Queries27.catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map { case (n, d) => n -> d.fn }.toMap

@@ -628,4 +628,96 @@ class StreamsSpec extends SparkSpec {
     assert(got.count() === 24) // 12 good feeds x 2; broken -> zero rows
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("two-generation crawl round trip: generation-1 stream output " +
+      "builds micro-batch 2, and both audit funnels conserve") {
+    implicit val sq = spark.sqlContext
+    // the q234 shape as a STREAM: micro-batch 1 is the generation-1
+    // fetch; the frontier computed FROM ITS OUTPUT names the URLs whose
+    // archives become micro-batch 2 — output feeding input, the
+    // incremental-crawl production loop
+    def warc(uri: String, http: String): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: <$uri>" +
+        s"\r\nContent-Length: ${http.length}\r\n\r\n$http\r\n\r\n")
+        .getBytes("US-ASCII")
+    def page(body: String): String =
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    val p404 = "HTTP/1.1 404 NF\r\nContent-Type: text/html\r\n\r\n" +
+      "<p>gone here</p>"
+    val farm = page("<div>" + ("<a href=\"/u\">w</a> " * 6) + "</div>")
+    def gen1(i: Long): (Long, Long, Array[Byte]) = (1L, i,
+      warc(s"http://ex${i % 3}.test/a$i",
+        if (i % 5 == 0) p404
+        else page(s"<html><body><p>gen one article words $i</p>" +
+          s"<a href=\"/c$i\">n</a></body></html>")))
+    val mem = MemoryStream[(Long, Long, Array[Byte])]
+    val in = mem.toDF().toDF("gen", "id", "payload")
+    val qClean = graft.operators.Crawl.cleanCorpus(in, minTextBytes = 10)
+      .writeStream.format("memory").queryName("rt_clean")
+      .outputMode(OutputMode.Append()).start()
+    val qAudit = graft.operators.Crawl
+      .auditCorpus(in, minTextBytes = 10, by = Seq("gen"))
+      .writeStream.format("memory").queryName("rt_audit")
+      .outputMode(OutputMode.Complete()).start()
+    val g1 = (0L until 20L).map(gen1)
+    mem.addData(g1: _*)
+    qClean.processAllAvailable(); qAudit.processAllAvailable()
+    // generation 1 landed: 16 kept (every 5th 404s), funnel conserves
+    val a1 = spark.table("rt_audit").filter(col("gen") === 1L).head()
+    def conserves(r: org.apache.spark.sql.Row): Unit =
+      assert(r.getAs[Long]("records") === r.getAs[Long]("non_response") +
+        r.getAs[Long]("gated_status") + r.getAs[Long]("gated_mime") +
+        r.getAs[Long]("dropped_small") +
+        r.getAs[Long]("dropped_boilerplate") + r.getAs[Long]("kept"))
+    assert(a1.getAs[Long]("records") === 20L)
+    assert(a1.getAs[Long]("gated_status") === 4L)
+    assert(a1.getAs[Long]("kept") === 16L)
+    conserves(a1)
+    // kept == the clean stream's emitted row count (the shared-kernel
+    // invariant, now across a stream)
+    assert(spark.table("rt_clean").count() === 16L)
+    // the frontier FROM the stream's own generation-1 output: corpus =
+    // what we now hold; pages = the fetched html (batch parse of the
+    // same archives the stream saw)
+    val corpus1 = spark.table("rt_clean").select(col("url"))
+    val pages2 = graft.operators.Multimodal
+      .warcRecords(g1.toDF("gen", "id", "payload"), "payload")
+      .filter(col("warc_rec.status") === 200)
+      .select(call_function("graft_canon_url", col("warc_rec.uri"))
+        .as("url"), col("warc_rec.body").cast("string").as("page"))
+    val robotsDim = Seq("ex0.test", "ex1.test", "ex2.test")
+      .toDF("host").withColumn("robots",
+        lit("User-agent: *\nDisallow: /zz\n"))
+    val frontier2 = graft.operators.Crawl
+      .frontier(pages2, "url", "page", robotsDim, corpus1)
+      .collect().map(_.getString(0)).sorted
+    val wantFrontier = (0L until 20L).filter(_ % 5 != 0)
+      .map(i => s"http://ex${i % 3}.test/c$i").sorted
+    assert(frontier2.toSeq === wantFrontier)
+    // micro-batch 2 IS the frontier: one archive per frontier URL
+    // (every 3rd source doc a link farm — the gen-2 planted loss)
+    val g2 = frontier2.map { u =>
+      val i = u.split("/c")(1).toLong
+      (2L, i, warc(u, if (i % 3 == 0) farm
+        else page(s"<html><body><p>gen two article words $i</p>" +
+          "</body></html>")))
+    }
+    mem.addData(g2.toIndexedSeq: _*)
+    qClean.processAllAvailable(); qAudit.processAllAvailable()
+    qClean.stop(); qAudit.stop()
+    val a2 = spark.table("rt_audit").filter(col("gen") === 2L).head()
+    assert(a2.getAs[Long]("records") === 16L)
+    assert(a2.getAs[Long]("dropped_boilerplate") === 5L) // 3,6,9,12,18
+    assert(a2.getAs[Long]("kept") === 11L)
+    conserves(a2)
+    // generation 2's kept pages landed in the same clean stream, on
+    // their frontier urls
+    val clean2 = spark.table("rt_clean")
+      .filter(col("gen") === 2L).select("url")
+      .collect().map(_.getString(0)).sorted
+    val wantClean2 = (0L until 20L)
+      .filter(i => i % 5 != 0 && i % 3 != 0)
+      .map(i => s"http://ex${i % 3}.test/c$i").sorted
+    assert(clean2.toSeq === wantClean2)
+  }
 }
