@@ -140,6 +140,41 @@ class RobotsSpec extends SparkSpec {
     assert(parses <= 3L, s"expected <=3 parses for 3 hosts, got $parses")
   }
 
+  test("memo adversary: 65-host round-robin degrades to re-parsing, " +
+      "bounded by rows; clustering by host restores one parse per host") {
+    // the DOCUMENTED worst case (Robots.scala: direct-mapped, 64 slots):
+    // 65 distinct hosts visited round-robin guarantee at least one
+    // same-bucket pair by pigeonhole, and that pair evicts each other
+    // every round. The spec pins the degradation's exact shape —
+    val policies = (0 until 65).map(i =>
+      s"User-agent: *\nDisallow: /deny$i\n")
+    val rounds = 40
+    val before = RobotsKernel.parseCount.get()
+    for (_ <- 0 until rounds; h <- 0 until 65) {
+      assert(!ok(policies(h), "anybot", s"/deny$h/x"))
+      assert(ok(policies(h), "anybot", s"/allow$h"))
+    }
+    val parses = RobotsKernel.parseCount.get() - before
+    val rows = rounds.toLong * 65 * 2
+    // (1) degradation is RE-PARSING and nothing worse: never more than
+    //     one parse per evaluated row
+    assert(parses <= rows, s"parses $parses exceed rows $rows")
+    // (2) the collision is real: more parses than distinct pairs means
+    //     at least one bucket thrashed (pigeonhole: 65 hosts, 64 slots)
+    assert(parses > 65L, s"expected same-bucket eviction, got $parses")
+    // (3) the documented mitigation — cluster the frontier by host —
+    //     restores the one-parse-per-pair bound even over 65 hosts,
+    //     because each host's rows arrive consecutively
+    val before2 = RobotsKernel.parseCount.get()
+    for (h <- 0 until 65; _ <- 0 until rounds) {
+      assert(!ok(policies(h), "anybot", s"/deny$h/x"))
+      assert(ok(policies(h), "anybot", s"/allow$h"))
+    }
+    val clustered = RobotsKernel.parseCount.get() - before2
+    assert(clustered <= 65L,
+      s"clustered input must parse once per host, got $clustered")
+  }
+
   test("SQL surface: frontier filter composes with outlinks") {
     val robots = "User-agent: *\nDisallow: /private\n"
     val df = Seq((1L, robots, "/public/a"), (2L, robots, "/private/b"),
