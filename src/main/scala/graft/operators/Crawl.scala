@@ -399,17 +399,30 @@ object Crawl {
       maxHops: Int = 8): DataFrame = {
     require(maxHops >= 1 && maxHops <= 64,
       s"resolveRedirectChains: maxHops must be in [1,64], got $maxHops")
-    val edges = edges0.groupBy(col("from_url"))
-      .agg(min(col("to_url")).as("to_url"))
+    // PIN the deduped edge map and each doubling round
+    // ([[graft.core.Checkpoints.pin]], the connectedComponents
+    // discipline): without it, `f ← f∘f` doubles the PLAN each round —
+    // round k re-executes the base edge scan 2^k times (the r15 q237
+    // decade sweep read expCPU 1.54 on exactly that recomputation; at
+    // 100 TB it would be 2^⌈log₂ maxHops⌉ redundant passes over the
+    // edge corpus). Superseded rounds release their blocks eagerly;
+    // the returned frame keeps only the last round + the edge pin.
+    val edges = graft.core.Checkpoints.pin(edges0.groupBy(col("from_url"))
+      .agg(min(col("to_url")).as("to_url")))
     var f = edges.select(col("from_url").as("src"), col("to_url").as("cur"),
       lit(1L).as("hops"))
+    var pinned: DataFrame = null
     var span = 1L
     while (span < maxHops) {
       val g = f.select(col("src").as("g_src"), col("cur").as("g_cur"),
         col("hops").as("g_hops"))
-      f = f.join(g, f("cur") === g("g_src"), "left")
-        .select(col("src"), coalesce(col("g_cur"), col("cur")).as("cur"),
-          (col("hops") + coalesce(col("g_hops"), lit(0L))).as("hops"))
+      val next = graft.core.Checkpoints.pin(
+        f.join(g, f("cur") === g("g_src"), "left")
+          .select(col("src"), coalesce(col("g_cur"), col("cur")).as("cur"),
+            (col("hops") + coalesce(col("g_hops"), lit(0L))).as("hops")))
+      if (pinned != null) graft.core.Checkpoints.release(pinned)
+      pinned = next
+      f = next
       span *= 2
     }
     // terminal = cur is not itself a redirect source
