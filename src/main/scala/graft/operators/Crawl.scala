@@ -26,13 +26,17 @@ object Crawl {
     * the collision check is case-insensitive like Spark's resolver). */
   private val Reserved: Set[String] = Set(
     "url", "status", "mime", "charset", "text", "text_bytes",
-    "link_density", "n_links", "warc_rec", "__html", "__e")
+    "link_density", "n_links", "last_modified", "etag",
+    "warc_rec", "__html", "__e")
 
   /** Raw archives → curated page rows. Keeps HTTP 200 HTML responses
     * whose extracted text clears `minTextBytes` and is not link-dominated
     * (`maxLinkDensity`). Output columns: `url` (canonicalized), `status`,
     * `mime`, `charset` (detected), `text`, `text_bytes`, `link_density`,
-    * `n_links`, plus the caller's non-payload columns. Those eight output
+    * `n_links`, `last_modified`, `etag` (the response's RFC 9110 §8.8
+    * freshness validators, verbatim — so this operator's output IS the
+    * corpus frame [[recrawlScheduleHttp]] consumes, no second parse of
+    * the archives), plus the caller's non-payload columns. Those output
     * names (and the internals `warc_rec`/`__html`/`__e`) are RESERVED:
     * a caller column with any of these names would be silently
     * overwritten, so the operator fails fast instead. */
@@ -75,7 +79,9 @@ object Crawl {
         col("__e.text").as("text"),
         col("__e.text_bytes").as("text_bytes"),
         ld.as("link_density"),
-        col("__e.n_links").as("n_links"))
+        col("__e.n_links").as("n_links"),
+        col("warc_rec.last_modified").as("last_modified"),
+        col("warc_rec.etag").as("etag"))
       .drop("warc_rec", "__html", "__e")
   }
 

@@ -201,6 +201,36 @@ class WarcSpec extends SparkSpec {
     assert(row.getString(2) === "W/\"abc123\"")
   }
 
+  test("the composition loop closes: cleanCorpus output IS the corpus " +
+      "frame recrawlScheduleHttp consumes") {
+    val fresh = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Last-Modified: Sat, 10 Jan 2026 00:00:00 GMT\r\n" +
+      "ETag: \"v1\"\r\n\r\n" +
+      "<html><body><p>article body long enough to keep</p></body></html>"
+    val bare = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<html><body><p>another article body to keep</p></body></html>"
+    val warc =
+      rec("response", fresh, "WARC-Target-URI: http://ex.test/a\r\n") +
+      rec("response", bare, "WARC-Target-URI: http://ex.test/b\r\n")
+    val corpus = graft.operators.Crawl.cleanCorpus(
+        Seq((1L, b(warc))).toDF("id", "payload"), minTextBytes = 10)
+      .withColumn("last_crawled", lit("2026-01-20T00:00:00"))
+      .select(col("url"), col("last_crawled"), col("last_modified"),
+        col("etag"))
+    val entries = Seq(
+      ("http://ex.test/a", "2026-01-15"), // newer than the Jan-10 copy
+      ("http://ex.test/b", "2026-01-15")) // but older than the Jan-20 crawl
+      .toDF("url", "lastmod")
+    val out = graft.operators.Crawl.recrawlScheduleHttp(entries, corpus)
+      .select("url", "action", "validator").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    // /a: the server stamped the stored copy Jan 10; the sitemap claims
+    // Jan 15 -> refresh, revalidating with the ETag the CRAWL captured
+    assert(out("http://ex.test/a") === (("refresh", "etag")))
+    // /b: no validators; crawl time (Jan 20) governs -> skip
+    assert(out("http://ex.test/b") === (("skip", "none")))
+  }
+
   test("recrawlScheduleHttp: server Last-Modified beats crawl time") {
     val entries = Seq(
       ("http://ex.test/conflict", "2026-02-01"), // sitemap claims Feb
