@@ -10,7 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * are reported explicitly in a `failed` array, never silently timed.
   *
   * Methodology (r15 — the canonical number is the ISOLATED-REP MEDIAN):
-  * per query, one UNTIMED warm-up materialization, then `reps` (default
+  * per query, CONVERGED untimed warm-up (up to 3 runs, stopping once a
+  * run is no longer >25% faster than its predecessor — so the timed
+  * window always sits past the JIT decay knee), then `reps` (default
   * 3) timed runs with a GC + listener settle between; the reported
   * per-query second is the MEDIAN of those reps, the total their sum.
   * Why: profiling (tools/BenchOne listener breakdown) shows a query's
@@ -155,8 +157,26 @@ object Bench {
     val measured = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var ok = true
       spark.catalog.clearCache()
-      try materialize(fn(spark, sfDir)) // untimed per-query warm-up
-      catch { case e: Throwable =>
+      // CONVERGED warm-up (up to 3 untimed runs): stop once a run is no
+      // longer >25% faster than its predecessor. One fixed warm-up put
+      // the timed reps on the JIT decay curve's KNEE for codegen-heavy
+      // queries (q186 executions: 4.87, 2.15, 1.98, 1.29, then flat ~1.3
+      // — the knee at execution 3-4 is exactly the [1.38, 3.38] rep
+      // window the r15 anchors recorded); steady queries converge after
+      // the second run, so the common cost is one extra materialization.
+      try {
+        var wPrev = Double.MaxValue
+        var warmups = 0
+        var converged = false
+        while (warmups < 3 && !converged) {
+          val t0 = System.nanoTime()
+          materialize(fn(spark, sfDir))
+          val w = (System.nanoTime() - t0) / 1e9
+          converged = w >= wPrev * 0.75
+          wPrev = w
+          warmups += 1
+        }
+      } catch { case e: Throwable =>
         ok = false
         failed ::= name
         System.err.println(s"[bench] $name FAILED (warm-up): ${e.getMessage}")
