@@ -147,9 +147,12 @@ object Bench {
     // lesson: totals alone made every ±8% drift a judgment call).
     val repsPerQuery = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    // wall budget for the EXTRA reps beyond the first: once the whole
-    // run's elapsed time exceeds it, remaining queries get 1 timed rep
-    // (median = that rep) — LOUDLY, never silently
+    // wall budget for the WHOLE run (warm-ups included): once elapsed
+    // time exceeds it, every remaining query — in suite (alphabetical)
+    // order, a conscious single-pass trade — runs 1 timed rep instead of
+    // `repsPerQuery`, LOUDLY (stderr + `reps_degraded` + per-entry `n`
+    // in the artifact, so a degraded tail can never read as a
+    // three-rep median in a round-over-round diff)
     val repBudgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REP_BUDGET", "2400").toDouble
     val benchStart = System.nanoTime()
@@ -205,10 +208,16 @@ object Bench {
           (w, cpu)
         }
         if (spillMax._1 > 0 || spillMax._2 > 0) spills += name -> spillMax
+        // true median: mean of the middle pair for EVEN rep counts — the
+        // upper-middle element would hand a single GC pause the canonical
+        // number at reps=2, exactly what the median exists to resist
+        def med(v: Seq[Double]): Double =
+          if (v.length % 2 == 1) v(v.length / 2)
+          else (v(v.length / 2 - 1) + v(v.length / 2)) / 2.0
         val ts = reps.map(_._1).sorted
         val cs = reps.map(_._2).sorted
-        name -> Some((ts(ts.length / 2), ts.head, ts.last,
-          cs(cs.length / 2), cs.head, cs.last))
+        name -> Some((med(ts), ts.head, ts.last,
+          med(cs), cs.head, cs.last, n))
       } catch { case e: Throwable =>
         failed ::= name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -226,9 +235,10 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def sec(v: Double): String = f"$v%.3f"
     val reps = measured.collect { case (k, Some(v)) => k -> v }
-    val repsJson = reps.map { case (k, (m, lo, hi, cm, cl, ch)) =>
+    val repsJson = reps.map { case (k, (m, lo, hi, cm, cl, ch, n)) =>
       "\"" + k + s"""":{"median":${sec(m)},"min":${sec(lo)},"max":${sec(hi)},""" +
-        s""""cpu_s":${sec(cm)},"cpu_min":${sec(cl)},"cpu_max":${sec(ch)}}"""
+        s""""cpu_s":${sec(cm)},"cpu_min":${sec(cl)},"cpu_max":${sec(ch)},""" +
+        s""""n":$n}"""
     }.mkString("{", ",", "}")
 
     // Full per-query detail goes to a file: the harness that collects the

@@ -164,7 +164,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def litInt(e: Expression, fn: String, param: String): Int =
     litLong(e, fn, param).toInt
   private def litString(e: Expression, fn: String, param: String): String =
-    String.valueOf(litArg(e, fn, param, "STRING"))
+    litArg(e, fn, param, "STRING") match {
+      case null => throw new IllegalArgumentException(
+        s"$fn: expected a string literal for $param, got null")
+      case v => v.toString
+    }
   private def litBool(e: Expression, fn: String, param: String): Boolean =
     litArg(e, fn, param, "BOOLEAN") match {
       case b: java.lang.Boolean => b.booleanValue()
@@ -357,7 +361,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftCanonUrl].getName, "graft_canon_url"),
       (children: Seq[Expression]) => GraftCanonUrl(children(0),
         children.drop(1).headOption
-          .exists(litBool(_, "graft_canon_url", "keep_fragment")))))
+          .exists(litBool(_, "graft_canon_url", "idn_fold")))))
     ext.injectFunction((
       FunctionIdentifier("graft_html_text"),
       new ExpressionInfo(classOf[GraftHtmlText].getName, "graft_html_text"),

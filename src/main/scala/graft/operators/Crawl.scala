@@ -50,9 +50,8 @@ object Crawl {
       Reserved.contains(c.toLowerCase(java.util.Locale.ROOT)))
     require(clash.isEmpty,
       s"cleanCorpus: input columns ${clash.mkString(", ")} collide with " +
-        "reserved output/internal names (url, status, mime, charset, text, " +
-        "text_bytes, link_density, n_links, warc_rec, __html, __e); " +
-        "rename them upstream")
+        "reserved output/internal names (" +
+        Reserved.toSeq.sorted.mkString(", ") + "); rename them upstream")
     val recs = Multimodal.warcRecords(warcs, payloadCol)
       .drop(payloadCol)
       // rec_type compares ASCII case-insensitively (ISO 28500 field names
@@ -174,13 +173,27 @@ object Crawl {
     val moved = redirects
       .filter(col("final_url").isNotNull)
       .select(col("from_url").as("url"), col("final_url"))
-    // candidate generation + robots gate: the fetch the crawler would
-    // actually issue targets the ORIGINAL url, so robots applies there;
-    // the corpus key and the emitted frontier row use the FINAL location
+    // candidate generation + robots gate on the ORIGINAL url (the fetch
+    // the crawler would issue first); then map through the chain and
+    // gate AGAIN on the FINAL location — a redirect into a disallowed
+    // path (or onto another host whose robots forbid it) must not put a
+    // robots-forbidden URL into the frontier, and RFC 9309 applies to
+    // every request of the chain, not just the first
     val allowed = frontierAllowed(pages, urlCol, htmlCol, robotsDim, agent)
     allowed
       .join(moved, Seq("url"), "left")
-      .select(coalesce(col("final_url"), col("url")).as("url"))
+      .select(coalesce(col("final_url"), col("url")).as("url"),
+        col("final_url").isNotNull.as("__moved"))
+      .withColumn("__host", expr("parse_url(url, 'HOST')"))
+      .withColumn("__pq", concat(expr("parse_url(url, 'PATH')"),
+        coalesce(concat(lit("?"), expr("parse_url(url, 'QUERY')")),
+          lit(""))))
+      .join(broadcast(robotsDim.select(col("host").as("__host"),
+        col("robots").as("__robots"))), Seq("__host"), "left")
+      .filter(!col("__moved") || col("__robots").isNull ||
+        call_function("graft_robots_allowed", col("__robots"),
+          lit(agent), col("__pq")))
+      .select(col("url"))
       .join(broadcast(corpus.toDF("url")), Seq("url"), "left_anti")
       .groupBy(col("url"))
       .agg(count(lit(1)).as("n_refs"))
@@ -368,12 +381,17 @@ object Crawl {
         "last_modified, etag)")
     val c = corpus.toDF("url", "last_crawled", "last_modified", "etag")
     // IMF-fixdate: Spark's parser rejects 'E' (day-of-week) in PARSING
-    // patterns, so strip the redundant fixed "Tue, " prefix first — the
-    // weekday carries no information the date doesn't
-    val imfValue = regexp_replace(col("last_modified"),
-      lit("^[A-Za-z]{3}, "), lit(""))
+    // patterns, so strip the redundant fixed "Tue, " prefix — and turn
+    // the trailing "GMT" into an EXPLICIT "+0000" offset the pattern's
+    // `Z` consumes: a quoted 'GMT' literal would parse the wall clock in
+    // the SESSION time zone, skewing the instant by the session offset
+    // against TZ-bearing sitemap lastmod strings (GraftSession pins UTC,
+    // but a library operator must not depend on that)
+    val imfValue = regexp_replace(
+      regexp_replace(col("last_modified"), lit("^[A-Za-z]{3}, "), lit("")),
+      lit(" GMT$"), lit(" +0000"))
     val storedFresh = coalesce(
-      try_to_timestamp(imfValue, lit("dd MMM yyyy HH:mm:ss 'GMT'")),
+      try_to_timestamp(imfValue, lit("dd MMM yyyy HH:mm:ss Z")),
       try_to_timestamp(col("last_crawled")))
     entries.join(c, Seq("url"), "left")
       .withColumn("action",
@@ -411,35 +429,44 @@ object Crawl {
     // round k re-executes the base edge scan 2^k times (the r15 q237
     // decade sweep read expCPU 1.54 on exactly that recomputation; at
     // 100 TB it would be 2^⌈log₂ maxHops⌉ redundant passes over the
-    // edge corpus). Superseded rounds release their blocks eagerly;
-    // the returned frame keeps only the last round + the edge pin.
+    // edge corpus). Pin lifecycle, also the connectedComponents rules:
+    // superseded rounds release eagerly, EVERY intermediate pin (edges
+    // included) releases in the finally — on failure paths too — and
+    // the returned frame is ITSELF a pin whose storage the caller may
+    // Checkpoints.release once consumers are done.
     val edges = graft.core.Checkpoints.pin(edges0.groupBy(col("from_url"))
       .agg(min(col("to_url")).as("to_url")))
-    var f = edges.select(col("from_url").as("src"), col("to_url").as("cur"),
-      lit(1L).as("hops"))
     var pinned: DataFrame = null
-    var span = 1L
-    while (span < maxHops) {
-      val g = f.select(col("src").as("g_src"), col("cur").as("g_cur"),
-        col("hops").as("g_hops"))
-      val next = graft.core.Checkpoints.pin(
-        f.join(g, f("cur") === g("g_src"), "left")
-          .select(col("src"), coalesce(col("g_cur"), col("cur")).as("cur"),
-            (col("hops") + coalesce(col("g_hops"), lit(0L))).as("hops")))
+    try {
+      var f = edges.select(col("from_url").as("src"),
+        col("to_url").as("cur"), lit(1L).as("hops"))
+      var span = 1L
+      while (span < maxHops) {
+        val g = f.select(col("src").as("g_src"), col("cur").as("g_cur"),
+          col("hops").as("g_hops"))
+        val next = graft.core.Checkpoints.pin(
+          f.join(g, f("cur") === g("g_src"), "left")
+            .select(col("src"), coalesce(col("g_cur"), col("cur")).as("cur"),
+              (col("hops") + coalesce(col("g_hops"), lit(0L))).as("hops")))
+        if (pinned != null) graft.core.Checkpoints.release(pinned)
+        pinned = next
+        f = next
+        span *= 2
+      }
+      // terminal = cur is not itself a redirect source
+      val dom = edges.select(col("from_url").as("d_src"))
+      graft.core.Checkpoints.pin(
+        f.join(dom, f("cur") === dom("d_src"), "left")
+          .withColumn("resolved",
+            col("d_src").isNull && col("hops") <= maxHops)
+          .select(col("src").as("from_url"),
+            when(col("resolved"), col("cur")).as("final_url"),
+            when(col("resolved"), col("hops")).as("hops"),
+            col("resolved")))
+    } finally {
+      graft.core.Checkpoints.release(edges)
       if (pinned != null) graft.core.Checkpoints.release(pinned)
-      pinned = next
-      f = next
-      span *= 2
     }
-    // terminal = cur is not itself a redirect source
-    val dom = edges.select(col("from_url").as("d_src"))
-    f.join(dom, f("cur") === dom("d_src"), "left")
-      .withColumn("resolved",
-        col("d_src").isNull && col("hops") <= maxHops)
-      .select(col("src").as("from_url"),
-        when(col("resolved"), col("cur")).as("final_url"),
-        when(col("resolved"), col("hops")).as("hops"),
-        col("resolved"))
   }
 
   /** Loss accounting for [[cleanCorpus]] — the counted funnel. cleanCorpus

@@ -248,15 +248,18 @@ class CrawlAuditSpec extends SparkSpec {
     val pages = Seq(
       ("http://h1.test/index.html",
         """<a href="/moved-old">M</a><a href="/fresh">F</a>""" +
-          """<a href="/moved-new-target">T</a>"""))
+          """<a href="/moved-new-target">T</a>""" +
+          """<a href="/moved-denied">D</a>"""))
       .toDF("url", "page")
     val robotsDim = Seq(("h1.test", "User-agent: *\nDisallow: /private\n"))
       .toDF("host", "robots")
-    // the redirect map says /moved-old 301s to /known (already crawled)
-    // and /moved-new-target 301s to /new-target (NOT crawled)
+    // the redirect map says /moved-old 301s to /known (already crawled),
+    // /moved-new-target 301s to /new-target (NOT crawled), and
+    // /moved-denied 301s INTO the robots-disallowed /private tree
     val edges = Seq(
       ("http://h1.test/moved-old", "http://h1.test/known"),
-      ("http://h1.test/moved-new-target", "http://h1.test/new-target"))
+      ("http://h1.test/moved-new-target", "http://h1.test/new-target"),
+      ("http://h1.test/moved-denied", "http://h1.test/private/x"))
       .toDF("from_url", "to_url")
     val redirects = graft.operators.Crawl.resolveRedirectChains(edges)
     val corpus = Seq("http://h1.test/known").toDF("known")
@@ -273,6 +276,11 @@ class CrawlAuditSpec extends SparkSpec {
     // a moved page with an uncrawled target surfaces AS the target
     assert(out("http://h1.test/new-target") === 1L)
     assert(!out.contains("http://h1.test/moved-new-target"))
+    // a redirect INTO a robots-disallowed path is gated on the FINAL
+    // location (RFC 9309 applies to every request of the chain): neither
+    // the original nor the forbidden target may enter the frontier
+    assert(!out.contains("http://h1.test/private/x"))
+    assert(!out.contains("http://h1.test/moved-denied"))
     // an unmoved new link stays on its own key
     assert(out("http://h1.test/fresh") === 1L)
     assert(out.size === 2)
