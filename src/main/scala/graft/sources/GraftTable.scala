@@ -1136,11 +1136,17 @@ object GraftTable {
         val m = t.getMessage
         if (m != null && (m.contains("underlying files have been updated") ||
           m.contains("FileNotFoundException") ||
-          // ANALYSIS-time form of the same race: a digest deleted a
+          // ANALYSIS-time forms of the same race: a digest deleted a
           // consumed dir between the caller's listing and Spark's path
           // resolution (the r13 shuffle-free digest is fast enough to
-          // hit this window under stress) — same fresh-relisting cure
-          m.contains("PATH_NOT_FOUND"))) return true
+          // hit this window under stress) — PATH_NOT_FOUND when the dir
+          // itself is gone, UNABLE_TO_INFER_SCHEMA when its parquet
+          // files are gone but a `.tmp-*` remnant keeps the dir alive
+          // (observed once in ~40 full-suite stress runs, r15) — same
+          // fresh-relisting cure; a GENUINELY empty/schema-less source
+          // still fails after maxRetries relistings reproduce it
+          m.contains("PATH_NOT_FOUND") ||
+          m.contains("UNABLE_TO_INFER_SCHEMA"))) return true
         t = t.getCause
       }
       false
