@@ -469,6 +469,110 @@ object Crawl {
     }
   }
 
+  /** Generation merge — the step q234's round trip approximated with a
+    * UNION: fold one crawl generation's fetch results into the standing
+    * corpus with real HTTP revalidation semantics (RFC 9110), so
+    * `corpus₁ = mergeGeneration(corpus₀, fetched, t₁)` is the actual
+    * incremental-crawl state transition:
+    *
+    *  - `200` kept by the [[cleanCorpus]] funnel → UPSERT (the new page
+    *    replaces the old row; brand-new URLs insert);
+    *  - `200` dropped by the funnel (gated mime / too small / link farm)
+    *    → REMOVE — the server's current truth is "not a keepable page",
+    *    and keeping the stale copy would freeze rot into the corpus;
+    *  - `304 Not Modified` → TOUCH — the validator round trip confirmed
+    *    the copy, so it stays verbatim with `last_crawled` = this
+    *    generation's stamp (the whole point of sending If-None-Match);
+    *  - `404`/`410` → REMOVE (gone is a fact, 410 doubly so);
+    *  - `3xx` → REMOVE under the OLD key — the content moved; its new
+    *    location enters through [[redirectEdges]] → [[frontierResolved]]
+    *    on its own merits, never by silently re-keying here;
+    *  - any other status (`5xx`, `429`, …) → RETAIN unchanged — a server
+    *    hiccup must not delete corpus (the fetch simply didn't advance
+    *    this URL's state);
+    *  - corpus URLs not in this generation's fetch → RETAIN.
+    *
+    * `corpus` must be cleanCorpus-shaped + `last_crawled`:
+    * `(url, status, mime, charset, text, text_bytes, link_density,
+    * n_links, last_modified, etag, last_crawled)`. Output: same schema —
+    * composable into the next generation (and into
+    * [[recrawlScheduleHttp]], which reads exactly these columns).
+    *
+    * Plan shape: ONE pass over the archives (warc parse → per-record
+    * verdict; the kept-200 rows run the same scan-side funnel
+    * cleanCorpus does), one rollup to a per-URL verdict dim (a fetched
+    * generation is orders of magnitude smaller than the corpus — the
+    * broadcast side), one left join + filter over the corpus, one union
+    * with the upserts. No global sort, no corpus-sized shuffle. */
+  def mergeGeneration(corpus: DataFrame, fetched: DataFrame,
+      fetchTime: String, payloadCol: String = "payload",
+      maxLinkDensity: Double = 0.5, minTextBytes: Long = 50L): DataFrame = {
+    val want = Seq("url", "status", "mime", "charset", "text",
+      "text_bytes", "link_density", "n_links", "last_modified", "etag",
+      "last_crawled")
+    require(corpus.columns.map(_.toLowerCase(java.util.Locale.ROOT))
+      .toSet == want.toSet,
+      s"mergeGeneration: corpus must have exactly (${want.mkString(", ")})" +
+        s" — got (${corpus.columns.mkString(", ")})")
+    // generation verdicts, one row per fetched canonical url
+    val kept = cleanCorpus(fetched, payloadCol, maxLinkDensity,
+        minTextBytes)
+      .select(want.init.map(col) :+ lit(fetchTime).as("last_crawled"): _*)
+    val recs = Multimodal.warcRecords(fetched, payloadCol)
+      .select(call_function("graft_canon_url", col("warc_rec.uri"))
+        .as("url"), col("warc_rec.status").as("__st"),
+        lower(col("warc_rec.rec_type")).as("__rt"))
+      .filter(col("url").isNotNull && col("__rt") === "response" &&
+        col("__st").isNotNull)
+    val verdicts = recs
+      .withColumn("__v",
+        when(col("__st") === 304, lit("touch"))
+          .when(col("__st").isin(404, 410), lit("remove"))
+          .when(col("__st").between(300, 399), lit("remove"))
+          .when(col("__st") === 200, lit("upsert"))
+          .otherwise(lit("retain")))
+      // one verdict per url: remove > upsert > touch > retain — if the
+      // same URL appears twice in a generation (re-fetch after a 5xx),
+      // the strongest state transition wins deterministically
+      .groupBy(col("url"))
+      .agg(max(when(col("__v") === "remove", 3)
+        .when(col("__v") === "upsert", 2)
+        .when(col("__v") === "touch", 1).otherwise(0)).as("__rank"))
+      .withColumn("__v", element_at(
+        array(lit("retain"), lit("touch"), lit("upsert"), lit("remove")),
+        col("__rank") + 1))
+      .select(col("url"), col("__v"))
+    // a 200 whose page the funnel DROPPED is a remove, not an upsert:
+    // upsert applies only to urls cleanCorpus actually emitted
+    val keptKeys = kept.select(col("url"), lit(true).as("__kept"))
+    val dim = broadcast(verdicts
+      .join(keptKeys, Seq("url"), "left")
+      .withColumn("__v", when(col("__v") === "upsert" &&
+        col("__kept").isNull, lit("remove")).otherwise(col("__v")))
+      .select(col("url"), col("__v")))
+    val carried = corpus.toDF(corpus.columns.map(
+        _.toLowerCase(java.util.Locale.ROOT)): _*)
+      .join(dim, Seq("url"), "left")
+      .filter(col("__v").isNull || col("__v") === "retain" ||
+        col("__v") === "touch")
+      .withColumn("last_crawled", when(col("__v") === "touch",
+        lit(fetchTime)).otherwise(col("last_crawled")))
+      .drop("__v")
+      .select(want.map(col): _*)
+    // upserts: the generation's kept pages (replacements AND brand-new);
+    // a url fetched twice with two kept pages collapses deterministically
+    // to the field-wise-greatest row (struct max — any stable choice
+    // works, this one needs no window)
+    val upserts = kept
+      .groupBy(col("url"))
+      .agg(max(struct(want.tail.map(col): _*)).as("__s"))
+      .select(col("url") +: want.tail.map(c => col(s"__s.$c")): _*)
+      .join(dim.filter(col("__v") === "upsert").select(col("url")),
+        Seq("url"))
+      .select(want.map(col): _*)
+    carried.unionAll(upserts)
+  }
+
   /** Loss accounting for [[cleanCorpus]] — the counted funnel. cleanCorpus
     * is built from loud-NULL kernels, but `explode` turns a NULL into ZERO
     * rows: a corrupt archive, a 404 storm, and an over-tight boilerplate

@@ -315,6 +315,74 @@ class CrawlAuditSpec extends SparkSpec {
     assert(out("http://norobots.test/n") === ((2, 1.0)))
   }
 
+  test("mergeGeneration: every verdict row — upsert/touch/remove/retain") {
+    def warc(uri: String, http: String): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: <$uri>" +
+        s"\r\nContent-Length: ${http.length}\r\n\r\n$http\r\n\r\n")
+        .getBytes("US-ASCII")
+    def page(txt: String, etag: String): String =
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nETag: " + etag +
+        s"\r\n\r\n<html><body><p>$txt</p></body></html>"
+    val cols = Seq("url", "status", "mime", "charset", "text",
+      "text_bytes", "link_density", "n_links", "last_modified", "etag",
+      "last_crawled")
+    val t0 = "2026-01-15T00:00:00"; val t1 = "2026-02-01T00:00:00"
+    def c0(u: String): (String, Int, String, String, String, Long,
+        Double, Long, String, String, String) =
+      (s"http://ex.test/$u", 200, "text/html", "ascii",
+        s"old body of $u with plenty words", 32L, 0.0, 0L, null,
+        "\"v0\"", t0)
+    val corpus0 = Seq(c0("keep"), c0("gone"), c0("fresh"), c0("moved"),
+      c0("flaky"), c0("shrunk"), c0("untouched")).toDF(cols: _*)
+    val fetched = Seq(
+      warc("http://ex.test/keep", page("brand new body with many words",
+        "\"v1\"")),
+      warc("http://ex.test/gone",
+        "HTTP/1.1 404 NF\r\nContent-Type: text/html\r\n\r\n<p>g</p>"),
+      warc("http://ex.test/fresh",
+        "HTTP/1.1 304 Not Modified\r\n\r\n"),
+      warc("http://ex.test/moved",
+        "HTTP/1.1 301 Moved\r\nLocation: /elsewhere\r\n\r\n"),
+      warc("http://ex.test/flaky",
+        "HTTP/1.1 503 Unavailable\r\n\r\n<p>later</p>"),
+      warc("http://ex.test/shrunk", page("x", "\"v1\"")),
+      warc("http://ex.test/brandnew", page("a new page joins the corpus",
+        "\"n1\"")))
+      .toDF("payload")
+    val out = graft.operators.Crawl
+      .mergeGeneration(corpus0, fetched, fetchTime = t1,
+        minTextBytes = 10L)
+      .collect()
+      .map(r => r.getAs[String]("url") -> ((r.getAs[String]("text"),
+        r.getAs[String]("etag"), r.getAs[String]("last_crawled")))).toMap
+    // 200 kept -> upsert: new text, the NEW response's validator, t1
+    assert(out("http://ex.test/keep") ===
+      (("brand new body with many words", "\"v1\"", t1)))
+    // 304 -> touch: old text + old validator verbatim, crawl stamp moves
+    assert(out("http://ex.test/fresh") ===
+      (("old body of fresh with plenty words", "\"v0\"", t1)))
+    // 5xx -> retain verbatim (a hiccup never deletes corpus)
+    assert(out("http://ex.test/flaky") ===
+      (("old body of flaky with plenty words", "\"v0\"", t0)))
+    // unfetched -> retain verbatim
+    assert(out("http://ex.test/untouched") ===
+      (("old body of untouched with plenty words", "\"v0\"", t0)))
+    // brand-new 200 -> insert
+    assert(out("http://ex.test/brandnew") ===
+      (("a new page joins the corpus", "\"n1\"", t1)))
+    // 404 / 301 / rotted-200 -> removed
+    assert(!out.contains("http://ex.test/gone"))
+    assert(!out.contains("http://ex.test/moved"))
+    assert(!out.contains("http://ex.test/shrunk"))
+    assert(out.size === 5)
+    // schema contract: output == input shape (composes into the next
+    // generation and into recrawlScheduleHttp)
+    val out2 = graft.operators.Crawl
+      .mergeGeneration(corpus0, fetched, fetchTime = t1,
+        minTextBytes = 10L)
+    assert(out2.columns.toSeq === cols)
+  }
+
   test("thresholds are validated at construction") {
     val df = Seq((1L, plantedWarc)).toDF("id", "payload")
     intercept[IllegalArgumentException] {
