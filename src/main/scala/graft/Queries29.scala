@@ -123,5 +123,118 @@ object Queries29 {
       .orderBy(col("url"))
   }
 
-  val catalog: Seq[(String, QueryDef)] = Seq(q240MergeGeneration)
+  /** CDXJ index ingestion + SURT keys ([[graft.expressions.CdxKernel]],
+    * `graft_cdxj_parse` / `graft_surt`): per doc an index line is built
+    * IN-PLAN (JSON escapes included: the url carries a `\"` and a `\/`),
+    * every 11th line corrupted (loud NULL, filtered like the production
+    * shape), the parsed fields selected, and a SURT key computed from a
+    * NOISY respelling of the same URL (shouted case, explicit :80,
+    * leading www., unsorted query) — which must equal the line's urlkey,
+    * so both the parser and the SURT fold are hash-load-bearing. Oracle:
+    * pure string/CASE arithmetic, no JSON or URL parsing. */
+  val q241CdxIndex: (String, QueryDef) = q(
+    "q241_cdx_index",
+    """WITH p AS (
+      |  SELECT doc_id AS d, doc_id % 7 AS h, doc_id % 3 AS m,
+      |    doc_id % 4 AS s
+      |  FROM documents WHERE doc_id < 300 AND doc_id % 11 <> 0)
+      |SELECT
+      |  'org,ex' || CAST(h AS VARCHAR) || ')/p' || CAST(d AS VARCHAR) ||
+      |    '?a=1&b=2' AS urlkey,
+      |  '2026010100000' || CAST(d % 10 AS VARCHAR) AS ts,
+      |  'http://ex' || CAST(h AS VARCHAR) || '.org/p' ||
+      |    CAST(d AS VARCHAR) || '?a="1"&b=/2' AS url,
+      |  CASE m WHEN 0 THEN 'text/html' WHEN 1 THEN 'image/png'
+      |    ELSE 'text/plain' END AS mime,
+      |  CAST(CASE WHEN s = 1 THEN 404 ELSE 200 END AS INT) AS status,
+      |  CAST(d * 7 % 1000 + 50 AS BIGINT) AS length,
+      |  CAST(d * 200 AS BIGINT) AS "offset",
+      |  'w' || CAST(d % 5 AS VARCHAR) || '.warc.gz' AS filename,
+      |  'org,ex' || CAST(h AS VARCHAR) || ')/p' || CAST(d AS VARCHAR) ||
+      |    '?a=1&b=2' AS surt_of_noisy
+      |FROM p ORDER BY urlkey""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val ds = d.cast("string")
+    val h = (d % 7).cast("string")
+    val mime = when(d % 3 === 0, lit("text/html"))
+      .when(d % 3 === 1, lit("image/png")).otherwise(lit("text/plain"))
+    val status = when(d % 4 === 1, lit("404")).otherwise(lit("200"))
+    val urlkey = concat(lit("org,ex"), h, lit(")/p"), ds, lit("?a=1&b=2"))
+    // the JSON url value carries characters that MUST travel escaped
+    val jsonUrl = concat(lit("http://ex"), h, lit(".org/p"), ds,
+      lit("?a=\\\"1\\\"&b=\\/2"))
+    val line = concat(urlkey, lit(" 2026010100000"), (d % 10).cast("string"),
+      lit(" {\"url\": \""), jsonUrl,
+      lit("\", \"mime\": \""), mime,
+      lit("\", \"status\": \""), status,
+      lit("\", \"length\": \""), (d * 7 % 1000 + 50).cast("string"),
+      lit("\", \"offset\": \""), (d * 200).cast("string"),
+      lit("\", \"filename\": \"w"), (d % 5).cast("string"),
+      lit(".warc.gz\"}"))
+    val corrupted = when(d % 11 === 0, lit("NOT A CDX LINE"))
+      .otherwise(line)
+    // a NOISY respelling of the captured URL: SURT must fold it back
+    // onto the index's own urlkey
+    val noisy = concat(lit("HTTP://WWW.EX"), h, lit(".ORG:80/P"), ds,
+      lit("?b=2&a=1#frag"))
+    t("documents").filter(d < 300)
+      .select(corrupted.as("line"), noisy.as("noisy"))
+      .select(call_function("graft_cdxj_parse", col("line")).as("r"),
+        col("noisy"))
+      .filter(col("r").isNotNull)
+      .select(col("r.urlkey"), col("r.ts"), col("r.url"), col("r.mime"),
+        col("r.status"), col("r.length"), col("r.offset"),
+        col("r.filename"),
+        call_function("graft_surt", col("noisy")).as("surt_of_noisy"))
+      .orderBy(col("urlkey"))
+  }
+
+  /** Coalesced range-fetch planning ([[graft.operators.Crawl.fetchPlan]])
+    * over an arithmetic index: records land in `doc_id % 5` files at
+    * offset `(doc_id div 5) * 200` with length `100 + (doc_id % 3) * 40`,
+    * so inter-record gaps cycle 100/60/20 and a 50-byte gap cap merges
+    * exactly the records following a `% 3 == 2` predecessor. The oracle
+    * implements the SAME documented coalescing algorithm independently
+    * with DuckDB's own windows (the q233 convention: a window both
+    * engines define identically). */
+  val q242FetchPlan: (String, QueryDef) = q(
+    "q242_fetch_plan",
+    """WITH p AS (
+      |  SELECT doc_id AS d,
+      |    'w' || CAST(doc_id % 5 AS VARCHAR) || '.warc.gz' AS filename,
+      |    CAST((doc_id // 5) * 200 AS BIGINT) AS off,
+      |    CAST(100 + (doc_id % 3) * 40 AS BIGINT) AS len
+      |  FROM documents WHERE doc_id < 300),
+      |w AS (
+      |  SELECT *,
+      |    MAX(off + len) OVER (PARTITION BY filename ORDER BY off, len
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM p),
+      |b AS (
+      |  SELECT *, CASE WHEN prev_end IS NULL OR off > prev_end + 50
+      |    THEN 1 ELSE 0 END AS brk FROM w),
+      |g AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY filename ORDER BY off, len
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM b)
+      |SELECT filename, MIN(off) AS start, MAX(off + len) AS "end",
+      |  CAST(COUNT(*) AS BIGINT) AS n_records,
+      |  CAST(SUM(len) AS BIGINT) AS payload_bytes,
+      |  MAX(off + len) - MIN(off) - CAST(SUM(len) AS BIGINT) AS gap_bytes
+      |FROM g GROUP BY filename, grp
+      |ORDER BY filename, start""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val idx = t("documents").filter(d < 300).select(
+      concat(lit("w"), (d % 5).cast("string"), lit(".warc.gz"))
+        .as("filename"),
+      (floor(d / 5) * 200).cast("long").as("offset"),
+      (lit(100) + (d % 3) * 40).cast("long").as("length"))
+    graft.operators.Crawl.fetchPlan(idx, maxGapBytes = 50L)
+      .orderBy(col("filename"), col("start"))
+  }
+
+  val catalog: Seq[(String, QueryDef)] = Seq(q240MergeGeneration,
+    q241CdxIndex, q242FetchPlan)
 }

@@ -400,6 +400,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => GraftResolveUrl(children(0),
         children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_cdxj_parse"),
+      new ExpressionInfo(classOf[GraftCdxjParse].getName,
+        "graft_cdxj_parse"),
+      (children: Seq[Expression]) => GraftCdxjParse(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_surt"),
+      new ExpressionInfo(classOf[GraftSurt].getName, "graft_surt"),
+      (children: Seq[Expression]) => GraftSurt(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_crawl_audit"),
       new ExpressionInfo(classOf[GraftCrawlAudit].getName,
         "graft_crawl_audit"),

@@ -469,6 +469,61 @@ object Crawl {
     }
   }
 
+  /** Coalesced range-fetch plan over a CDXJ index selection — the step
+    * that turns "query the index, not the archives" into actual I/O: a
+    * selective pipeline filters the per-crawl index
+    * (`graft_cdxj_parse`) down to the captures it wants, and this
+    * operator groups them into the byte ranges a fetcher issues —
+    * adjacent captures in the same WARC file whose gap is at most
+    * `maxGapBytes` merge into ONE range request (reading a small gap is
+    * cheaper than a second round trip; the object-store GET economics).
+    * Input: any frame with `filename`, `offset`, `length` (bigints, the
+    * index fields). Output, one row per range: `filename, start, end,
+    * n_records, payload_bytes, gap_bytes` — `end` exclusive,
+    * `payload_bytes` the sum of record lengths, `gap_bytes` the dead
+    * bytes the coalescing chose to read (`end−start−payload` when
+    * records don't overlap). Rows with null filename/offset/length are
+    * EXCLUDED and counted via the caller's audit (loud upstream, a
+    * malformed index line never silently plans a bogus range).
+    *
+    * Plan shape: one window PARTITIONED BY FILENAME (the natural unit —
+    * a crawl's index spans tens of thousands of WARC files, so
+    * parallelism is wide and no partition exceeds one file's captures)
+    * ordered by offset; gap-break flag → running group id → one
+    * aggregation. No global sort, no self-join. */
+  def fetchPlan(index: DataFrame, maxGapBytes: Long = 1L << 20): DataFrame = {
+    require(maxGapBytes >= 0L,
+      s"fetchPlan: maxGapBytes must be >= 0, got $maxGapBytes")
+    val cols = index.columns.map(_.toLowerCase(java.util.Locale.ROOT))
+    require(Seq("filename", "offset", "length").forall(cols.contains),
+      "fetchPlan: index must carry (filename, offset, length) — " +
+        "graft_cdxj_parse output")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("filename")).orderBy(col("offset"), col("length"))
+    index
+      .filter(col("filename").isNotNull && col("offset").isNotNull &&
+        col("length").isNotNull)
+      .withColumn("__prev_end",
+        max(col("offset") + col("length")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)))
+      .withColumn("__break",
+        when(col("__prev_end").isNull ||
+          col("offset") > col("__prev_end") + maxGapBytes, 1L)
+          .otherwise(0L))
+      .withColumn("__grp", sum(col("__break")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .groupBy(col("filename"), col("__grp"))
+      .agg(min(col("offset")).as("start"),
+        max(col("offset") + col("length")).as("end"),
+        count(lit(1)).as("n_records"),
+        sum(col("length")).as("payload_bytes"))
+      .withColumn("gap_bytes",
+        col("end") - col("start") - col("payload_bytes"))
+      .drop("__grp")
+  }
+
   /** Generation merge — the step q234's round trip approximated with a
     * UNION: fold one crawl generation's fetch results into the standing
     * corpus with real HTTP revalidation semantics (RFC 9110), so

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.CdxKernel
+
+/** CDXJ index kernel ([[CdxKernel]], `graft_cdxj_parse` / `graft_surt`)
+  * + the coalesced range-fetch planner
+  * ([[graft.operators.Crawl.fetchPlan]]): line grammar, flat-JSON
+  * escapes, loud-NULL malformations, SURT semantics pinned against the
+  * documented rules, a 400-line differential fuzz whose JSON blocks are
+  * built by an independent escaper, and the planner's gap/overlap
+  * arithmetic. */
+class CdxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val line = """org,example)/p 20260101000000 {"url": """ +
+    """"http://example.org/p", "mime": "text/html", "status": "200", """ +
+    """"digest": "sha1:ABC", "length": "1234", "offset": "5678", """ +
+    """"filename": "crawl/a.warc.gz", "languages": "eng"}"""
+
+  test("cdxj line: every field lands typed; unknown keys skip") {
+    val r = CdxKernel.parse(line)
+    assert(r.urlkey === "org,example)/p" && r.ts === "20260101000000")
+    assert(r.url === "http://example.org/p" && r.mime === "text/html")
+    assert(r.status.intValue === 200 && r.digest === "sha1:ABC")
+    assert(r.length.longValue === 1234L && r.offset.longValue === 5678L)
+    assert(r.filename === "crawl/a.warc.gz" && r.languages === "eng")
+    // unknown keys, bare numbers, nested values all skip cleanly
+    val r2 = CdxKernel.parse("""k 2026 {"status": 301, "extra": """ +
+      """{"deep": [1, "x"]}, "url": "u", "redirect": "\/r\n"}""")
+    assert(r2.status.intValue === 301 && r2.url === "u")
+    assert(r2.mime === null && r2.filename === null)
+  }
+
+  test("cdxj malformations are loud NULLs; bad numerics null the field") {
+    for (bad <- Seq(null, "", "nospace", "one two", "k 2026x {}",
+        "k 20 {broken", "k 20 {\"a\": \"b\"} trailing",
+        "k 20 {\"a\" \"b\"}", "k 20 {\"a\": \"b\",}",
+        "k 999999999999999999 {}"))
+      assert(CdxKernel.parse(bad) === null, s"input: $bad")
+    // structurally fine, numerically garbage -> field null, row kept
+    val r = CdxKernel.parse(
+      """k 2026 {"status": "20x", "offset": "-1", "length": """ +
+        """"99999999999999999999", "url": "u"}""")
+    assert(r !== null)
+    assert(r.status === null && r.offset === null)
+    assert(r.length === null && r.url === "u")
+    // empty object is a valid (all-null-fields) record
+    assert(CdxKernel.parse("k 2026 {}") !== null)
+  }
+
+  test("SURT semantics: the documented decision table") {
+    val cases = Seq(
+      "http://www.Example.ORG/Path?b=2&a=1" -> "org,example)/path?a=1&b=2",
+      "https://example.org:443/" -> "org,example)/",
+      "http://example.org:8080/x" -> "org,example)/x", // ANY port drops
+      "http://user:pw@sub.example.org/x" -> "org,example,sub)/x",
+      "http://www2.example.org/" -> "org,example)/", // www\d*. strips
+      "http://wwwx.example.org/" -> "org,example,wwwx)/", // not www\d*.
+      "http://example.org" -> "org,example)/", // empty path folds
+      "http://example.org/p#frag" -> "org,example)/p",
+      "http://example.org/p?" -> "org,example)/p", // empty query drops
+      "http://example.org/p?z=1&&a=2" -> "org,example)/p?a=2&z=1")
+    for ((in, want) <- cases)
+      assert(CdxKernel.surt(in) === want, s"surt($in)")
+    for (bad <- Seq(null, "", "nota url", "http://", "http:///x",
+        "http://ex.org:8a/x"))
+      assert(CdxKernel.surt(bad) === null, s"surt($bad)")
+    // graft_surt is the EXTERNAL join key; graft_canon_url the internal
+    // one — deliberately different (SURT case-folds the path)
+    assert(CdxKernel.surt("http://ex.org/CaseY") === "org,ex)/casey")
+  }
+
+  test("fuzz: 400 random lines built by an independent JSON escaper " +
+      "round-trip every field") {
+    val rnd = new scala.util.Random(151)
+    def jsonEsc(s: String): String = {
+      val b = new StringBuilder("\"")
+      s.foreach {
+        case '"' => b.append("\\\"")
+        case '\\' => b.append("\\\\")
+        case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      b.append('"').toString
+    }
+    def randStr(): String = {
+      val pool = "abz09 /:.-_\"\\\t\n€ü"
+      (0 until 1 + rnd.nextInt(12)).map(_ =>
+        pool(rnd.nextInt(pool.length))).mkString
+    }
+    for (trial <- 1 to 400) {
+      val url = randStr(); val mime = randStr(); val digest = randStr()
+      val file = randStr()
+      val status = rnd.nextInt(600)
+      val off = rnd.nextLong().abs % 1000000000L
+      val len = rnd.nextInt(100000).toLong
+      val extraKeys = (0 until rnd.nextInt(3)).map(k =>
+        s""""x$k": ${jsonEsc(randStr())}""")
+      val fields = rnd.shuffle(Seq(
+        s""""url": ${jsonEsc(url)}""", s""""mime": ${jsonEsc(mime)}""",
+        s""""status": "$status"""", s""""digest": ${jsonEsc(digest)}""",
+        s""""length": "$len"""", s""""offset": "$off"""",
+        s""""filename": ${jsonEsc(file)}""") ++ extraKeys)
+      val l = s"key$trial 20260101 {${fields.mkString(", ")}}"
+      val r = CdxKernel.parse(l)
+      assert(r !== null, s"trial $trial: $l")
+      assert(r.url === url && r.mime === mime && r.digest === digest,
+        s"trial $trial")
+      assert(r.filename === file && r.status.intValue === status)
+      assert(r.length.longValue === len && r.offset.longValue === off)
+    }
+  }
+
+  test("SQL surface: index filter -> surt join against the corpus") {
+    def l(key: String, file: String, off: Long, len: Long,
+        mime: String): String =
+      s"""$key 20260101000000 {"url": "http://${key.replace(")", "/")
+        .split(",").reverse.mkString(".").replace("/", "/p")}", """ +
+        s""""mime": "$mime", "status": "200", "length": "$len", """ +
+        s""""offset": "$off", "filename": "$file"}"""
+    val lines = Seq(
+      l("org,ex)/a", "w1.warc.gz", 0L, 100L, "text/html"),
+      l("org,ex)/b", "w1.warc.gz", 100L, 50L, "image/png"),
+      l("org,ex)/c", "w2.warc.gz", 10L, 40L, "text/html"),
+      "BROKEN LINE")
+    val parsed = lines.toDF("line")
+      .select(call_function("graft_cdxj_parse", col("line")).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.*"))
+    assert(parsed.count() === 3) // broken line is a loud null
+    val htmlOnly = parsed.filter(col("mime") === "text/html")
+    assert(htmlOnly.count() === 2)
+    // surt of our canonical urls joins against the index's urlkey
+    val corpus = Seq("http://EX.org/a").toDF("url")
+      .select(call_function("graft_surt", col("url")).as("urlkey"))
+    assert(corpus.head().getString(0) === "org,ex)/a")
+    assert(htmlOnly.join(corpus, Seq("urlkey")).count() === 1)
+  }
+
+  test("fetchPlan: gap coalescing, file partitioning, overlap accounting") {
+    val idx = Seq(
+      // w1: three captures, gaps 10 and 2000 (gap cap 100): two ranges
+      ("w1", 0L, 100L), ("w1", 110L, 50L), ("w1", 2160L, 40L),
+      // w2: overlapping records still one range, no negative gap rows
+      ("w2", 0L, 100L), ("w2", 50L, 100L))
+      .toDF("filename", "offset", "length")
+    val out = graft.operators.Crawl.fetchPlan(idx, maxGapBytes = 100L)
+      .orderBy(col("filename"), col("start"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      ("w1", 0L, 160L, 2L, 150L, 10L),
+      ("w1", 2160L, 2200L, 1L, 40L, 0L),
+      ("w2", 0L, 150L, 2L, 200L, -50L)))
+    // null-field rows are excluded (counted by the caller's audit)
+    val withNull = idx.unionAll(Seq(("w3", -1L, -1L))
+      .toDF("filename", "offset", "length")
+      .select(lit(null).cast("string").as("filename"), col("offset"),
+        col("length")))
+    assert(graft.operators.Crawl.fetchPlan(withNull, 100L).count() === 3)
+  }
+}
