@@ -154,5 +154,45 @@ object KernelBench {
       (x: Array[Byte]) =>
         graft.expressions.CrawlAuditKernel.audit(x, 0.5, 50L),
       nRecs)
+
+    // CDXJ index walk: a CommonCrawl index is ~200 GB/crawl of exactly
+    // these lines — the "query the index, not the archives" pass is
+    // priced per line, and the fold to a SURT join key per URL. Batched
+    // 1000 per item like the url-resolve row; in-MB/s reads as index
+    // scan bandwidth because the payload IS the concatenated lines.
+    val cdxLines = (0 until 1000).map(i =>
+      s"org,ex$i)/p$i?a=1&b=2 20260101000000 " +
+        s"""{"url": "http://ex$i.org/p$i?a=\\"1\\"", "mime": """ +
+        s""""text/html", "status": "200", "digest": "sha1:$i", """ +
+        s""""length": "${1000 + i}", "offset": "${i * 2000}", """ +
+        s""""filename": "crawl/w${i % 64}.warc.gz"}""").toArray
+    run("cdxj parse (x1000 lines)",
+      cdxLines.mkString("\n").getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII),
+      (_: Array[Byte]) => {
+        var k = 0
+        var kept = 0
+        while (k < cdxLines.length) {
+          if (graft.expressions.CdxKernel.parse(cdxLines(k)) != null)
+            kept += 1
+          k += 1
+        }
+        require(kept == cdxLines.length)
+        java.lang.Integer.valueOf(kept)
+      }, 1000)
+    val surtUrls = (0 until 1000).map(i =>
+      s"HTTP://WWW.Ex$i.ORG:80/P$i?b=2&a=1#f").toArray
+    run("surt fold (x1000 urls)",
+      surtUrls.mkString("\n").getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII),
+      (_: Array[Byte]) => {
+        var k = 0
+        var last: String = ""
+        while (k < surtUrls.length) {
+          last = graft.expressions.CdxKernel.surt(surtUrls(k))
+          k += 1
+        }
+        last
+      }, 1000)
   }
 }
