@@ -29,14 +29,15 @@ object Queries27 {
     name -> QueryDef(body, Option(sql))
 
   /** One synthesized WARC `response` record (ASCII bodies only, so char
-    * length == byte length and `Content-Length` is exact). */
-  private def resp(uri: Column, http: Column): Column =
+    * length == byte length and `Content-Length` is exact). Shared with
+    * Queries29 — the framing must never drift between query tiers. */
+  private[graft] def resp(uri: Column, http: Column): Column =
     concat(lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: <"),
       uri, lit(">\r\nContent-Type: application/http; msgtype=response" +
         "\r\nContent-Length: "), length(http).cast("string"),
       lit("\r\n\r\n"), http, lit("\r\n\r\n"))
 
-  private def http200(html: Column): Column =
+  private[graft] def http200(html: Column): Column =
     concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html)
 
   private val http404: Column =

@@ -19,12 +19,9 @@ object Queries29 {
       body: (SparkSession, String) => DataFrame): (String, QueryDef) =
     name -> QueryDef(body, Option(sql))
 
-  /** One synthesized WARC `response` (ASCII payloads, q234's builder). */
+  /** One synthesized WARC `response` — Queries27's shared builder. */
   private def resp(uri: Column, http: Column): Column =
-    concat(lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: <"),
-      uri, lit(">\r\nContent-Type: application/http; msgtype=response" +
-        "\r\nContent-Length: "), length(http).cast("string"),
-      lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+    Queries27.resp(uri, http)
 
   /** Generation merge ([[graft.operators.Crawl.mergeGeneration]]): per
     * doc the standing corpus holds `/p…` (old text, generation-0 crawl

@@ -25,12 +25,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `ts` must be 4–17 digits (the CDX convention, usually 14);
   *  - the JSON block is a FLAT object; string values are unescaped
   *    (`\"
-  *    \\ \/ \b \f \n \r \t \uXXXX`), non-string values (numbers,
-  *    true/false/null, nested objects/arrays) are skipped with a
-  *    balanced scan — unknown keys ignored, our keys extracted;
+  *    \\ \/ \b \f \n \r \t \uXXXX`); bare numbers keep their literal
+  *    text, `true`/`false`/`null` and nested objects/arrays are SKIPPED
+  *    (a `null` mime is an absent field, never the string "null");
+  *    unknown keys ignored, our keys extracted;
   *  - `status`/`length`/`offset` arrive as JSON STRINGS by convention
   *    (pywb writes them quoted); bare JSON numbers are accepted too;
-  *    non-numeric → that field null, never a guess;
+  *    non-numeric → that field null, never a guess — and a "status"
+  *    past 999 nulls too (3-digit HTTP codes only; truncating a corrupt
+  *    wide value to an in-range int would FABRICATE a success code);
   *  - anything structurally malformed (missing spaces, bad ts, JSON
   *    that does not parse to a flat object) → NULL for the whole value,
   *    the loud-null kernel rule.
@@ -84,7 +87,11 @@ object CdxKernel {
         v.length > 18) null
       else java.lang.Long.valueOf(v)
     }
-    val st = num("status")
+    // HTTP status codes are 3 digits; anything larger is corruption and
+    // nulls the field rather than TRUNCATING to a fabricated code
+    // ("4294967496".toInt would wrap to 200 — never guess)
+    val st0 = num("status")
+    val st = if (st0 != null && st0.longValue() > 999L) null else st0
     new Rec(urlkey, ts, g("url"), g("mime"),
       if (st == null) null else Integer.valueOf(st.intValue()),
       g("digest"), num("length"), num("offset"), g("filename"),
@@ -182,10 +189,23 @@ object CdxKernel {
             case '{' | '[' =>
               if (!skipBalanced()) ok = false
             case _ =>
+              // bare JSON value: numbers are kept as their literal text
+              // (bare status/length/offset acceptance), true/false/null
+              // are SKIPPED (per the scaladoc: non-string values skip),
+              // anything else — including an EMPTY value, which is not
+              // JSON at all — is malformation
               val st = i
               while (i < n && s(i) != ',' && s(i) != '}') i += 1
               if (i >= n) ok = false
-              else out += (k -> s.substring(st, i).trim)
+              else {
+                val t = s.substring(st, i).trim
+                if (t.isEmpty) ok = false
+                else if (t == "true" || t == "false" || t == "null") ()
+                else if (t.forall(c => (c >= '0' && c <= '9') || c == '-'
+                  || c == '+' || c == '.' || c == 'e' || c == 'E'))
+                  out += (k -> t)
+                else ok = false
+              }
           }
           if (ok) {
             skipWs()
@@ -227,9 +247,21 @@ object CdxKernel {
     // fragment off first
     val hash = rest.indexOf('#')
     if (hash >= 0) rest = rest.substring(0, hash)
+    // authority ends at the FIRST of '/' or '?' — a query can appear
+    // with no path at all (http://h?a=1), and a '/' INSIDE that query
+    // must not be mistaken for the path start (the UrlResolve.parse
+    // rule: strip '?' before the authority/path split)
     val slash = rest.indexOf('/')
-    var authority = if (slash < 0) rest else rest.substring(0, slash)
-    var pathQ = if (slash < 0) "/" else rest.substring(slash)
+    val qmark = rest.indexOf('?')
+    val cut =
+      if (slash < 0) qmark
+      else if (qmark >= 0 && qmark < slash) qmark
+      else slash
+    var authority = if (cut < 0) rest else rest.substring(0, cut)
+    var pathQ =
+      if (cut < 0) "/"
+      else if (rest(cut) == '?') "/" + rest.substring(cut)
+      else rest.substring(cut)
     // userinfo, port off
     val at = authority.lastIndexOf('@')
     if (at >= 0) authority = authority.substring(at + 1)
@@ -241,9 +273,18 @@ object CdxKernel {
       authority = authority.substring(0, colon)
     }
     if (authority.isEmpty) return null
-    // one leading www\d*. label strips (the pywb canonicalization rule)
-    val www = "^www[0-9]*\\.".r
-    val host = www.replaceFirstIn(authority, "")
+    // one leading www\d*. label strips (the pywb canonicalization rule);
+    // hand-rolled — a per-row kernel must not compile a regex per call
+    val host = {
+      var h = authority
+      if (h.startsWith("www")) {
+        var i = 3
+        while (i < h.length && h(i) >= '0' && h(i) <= '9') i += 1
+        if (i < h.length && h(i) == '.' && i + 1 < h.length)
+          h = h.substring(i + 1)
+      }
+      h
+    }
     if (host.isEmpty) return null
     val key = host.split('.').reverse.mkString(",")
     // query params sort bytewise; empty query drops

@@ -553,12 +553,18 @@ object Crawl {
     * composable into the next generation (and into
     * [[recrawlScheduleHttp]], which reads exactly these columns).
     *
-    * Plan shape: ONE pass over the archives (warc parse → per-record
-    * verdict; the kept-200 rows run the same scan-side funnel
-    * cleanCorpus does), one rollup to a per-URL verdict dim (a fetched
-    * generation is orders of magnitude smaller than the corpus — the
-    * broadcast side), one left join + filter over the corpus, one union
-    * with the upserts. No global sort, no corpus-sized shuffle. */
+    * Plan shape: TWO passes over the archives — the cleanCorpus funnel
+    * (whose output PINS, [[graft.core.Checkpoints.pin]]: it feeds both
+    * the verdict dim and the upsert union, and re-running the parse +
+    * charset + HTML chain per consumer would double the generation's
+    * dominant kernel cost; the pin is generation-sized — kept pages'
+    * text, not archive bytes — and the caller may
+    * `Checkpoints.release` the returned frame's inputs once consumed)
+    * and one cheap status-verdict scan (headers only matter). Then one
+    * rollup to a per-URL verdict dim (a fetched generation is orders of
+    * magnitude smaller than the corpus — the broadcast side), one left
+    * join + filter over the corpus, one union with the upserts. No
+    * global sort, no corpus-sized shuffle. */
   def mergeGeneration(corpus: DataFrame, fetched: DataFrame,
       fetchTime: String, payloadCol: String = "payload",
       maxLinkDensity: Double = 0.5, minTextBytes: Long = 50L): DataFrame = {
@@ -569,10 +575,12 @@ object Crawl {
       .toSet == want.toSet,
       s"mergeGeneration: corpus must have exactly (${want.mkString(", ")})" +
         s" — got (${corpus.columns.mkString(", ")})")
-    // generation verdicts, one row per fetched canonical url
-    val kept = cleanCorpus(fetched, payloadCol, maxLinkDensity,
-        minTextBytes)
-      .select(want.init.map(col) :+ lit(fetchTime).as("last_crawled"): _*)
+    // the funnel runs ONCE: kept feeds two consumers (the verdict dim's
+    // kept-keys and the upsert union), so it pins — un-pinned, Spark
+    // would re-execute the whole parse+charset+HTML chain per subtree
+    val kept = graft.core.Checkpoints.pin(
+      cleanCorpus(fetched, payloadCol, maxLinkDensity, minTextBytes)
+        .select(want.init.map(col) :+ lit(fetchTime).as("last_crawled"): _*))
     val recs = Multimodal.warcRecords(fetched, payloadCol)
       .select(call_function("graft_canon_url", col("warc_rec.uri"))
         .as("url"), col("warc_rec.status").as("__st"),

@@ -31,21 +31,34 @@ class CdxSpec extends SparkSpec {
       """{"deep": [1, "x"]}, "url": "u", "redirect": "\/r\n"}""")
     assert(r2.status.intValue === 301 && r2.url === "u")
     assert(r2.mime === null && r2.filename === null)
+    // JSON null is an ABSENT field, never the 4-char string "null";
+    // true/false skip the same way
+    val r3 = CdxKernel.parse(
+      """k 2026 {"mime": null, "url": "u", "robotflags": true}""")
+    assert(r3 !== null)
+    assert(r3.mime === null && r3.url === "u")
   }
 
   test("cdxj malformations are loud NULLs; bad numerics null the field") {
     for (bad <- Seq(null, "", "nospace", "one two", "k 2026x {}",
         "k 20 {broken", "k 20 {\"a\": \"b\"} trailing",
         "k 20 {\"a\" \"b\"}", "k 20 {\"a\": \"b\",}",
-        "k 999999999999999999 {}"))
+        "k 999999999999999999 {}",
+        "k 20 {\"a\": }", // empty bare value is not JSON
+        "k 20 {\"a\": naked}")) // nor an unquoted word
       assert(CdxKernel.parse(bad) === null, s"input: $bad")
-    // structurally fine, numerically garbage -> field null, row kept
+    // structurally fine, numerically garbage -> field null, row kept;
+    // a >999 "status" nulls rather than TRUNCATING to a fabricated
+    // in-range code (4294967496.toInt would wrap to 200)
     val r = CdxKernel.parse(
       """k 2026 {"status": "20x", "offset": "-1", "length": """ +
         """"99999999999999999999", "url": "u"}""")
     assert(r !== null)
     assert(r.status === null && r.offset === null)
     assert(r.length === null && r.url === "u")
+    val wide = CdxKernel.parse("""k 2026 {"status": "4294967496"}""")
+    assert(wide !== null)
+    assert(wide.status === null)
     // empty object is a valid (all-null-fields) record
     assert(CdxKernel.parse("k 2026 {}") !== null)
   }
@@ -61,7 +74,11 @@ class CdxSpec extends SparkSpec {
       "http://example.org" -> "org,example)/", // empty path folds
       "http://example.org/p#frag" -> "org,example)/p",
       "http://example.org/p?" -> "org,example)/p", // empty query drops
-      "http://example.org/p?z=1&&a=2" -> "org,example)/p?a=2&z=1")
+      "http://example.org/p?z=1&&a=2" -> "org,example)/p?a=2&z=1",
+      // query with NO path: the authority must not swallow the query
+      "http://example.org?a=1" -> "org,example)/?a=1",
+      // ...even when the query itself contains a '/'
+      "http://example.org?a=/x" -> "org,example)/?a=/x")
     for ((in, want) <- cases)
       assert(CdxKernel.surt(in) === want, s"surt($in)")
     for (bad <- Seq(null, "", "nota url", "http://", "http:///x",
