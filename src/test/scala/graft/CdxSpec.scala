@@ -130,6 +130,79 @@ class CdxSpec extends SparkSpec {
     }
   }
 
+  test("SURT metamorphic fuzz: key invariant under case, ports, www, " +
+      "fragments, query permutation — 500 random URLs") {
+    val rnd = new scala.util.Random(97)
+    for (trial <- 1 to 500) {
+      val labels = (0 until 1 + rnd.nextInt(3)).map(_ =>
+        ('a' + rnd.nextInt(26)).toChar.toString +
+          ('a' + rnd.nextInt(26)).toChar.toString)
+      val host = (labels :+ (if (rnd.nextBoolean()) "org" else "test"))
+        .mkString(".")
+      val path = "/" + (0 until rnd.nextInt(3)).map(_ =>
+        s"p${rnd.nextInt(10)}").mkString("/")
+      val params = (0 until rnd.nextInt(4)).map(k =>
+        s"k$k=${rnd.nextInt(100)}")
+      val q = if (params.isEmpty) "" else "?" + params.mkString("&")
+      val base = s"http://$host$path$q"
+      val key = CdxKernel.surt(base)
+      assert(key !== null, s"trial $trial: $base")
+      def mixCase(s: String): String = s.map(c =>
+        if (rnd.nextBoolean()) c.toUpper else c)
+      val variants = Seq(
+        s"http://${mixCase(host)}$path$q", // host case never matters
+        s"http://$host:${80 + rnd.nextInt(9000)}$path$q", // any port drops
+        s"http://www.$host$path$q", // one www. label strips
+        s"http://www${rnd.nextInt(10)}.$host$path$q", // www\d*. too
+        s"http://$host$path$q#frag${rnd.nextInt(10)}", // fragments drop
+        s"http://$host$path" + (if (params.isEmpty) "" else "?" +
+          rnd.shuffle(params).mkString("&"))) // param order is noise
+      for (v <- variants)
+        assert(CdxKernel.surt(v) === key, s"trial $trial: $v vs $base")
+      // path CASE folds (SURT is lossy by design; the canon key isn't)
+      assert(CdxKernel.surt(s"http://$host${mixCase(path)}$q") === key)
+    }
+  }
+
+  test("fetchPlan fuzz: 60 random indexes == a brute-force reference " +
+      "(coverage, disjointness, gap law)") {
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 60) {
+      val gap = 1L + rnd.nextInt(300)
+      val recs = (0 until 1 + rnd.nextInt(40)).map { _ =>
+        (s"w${rnd.nextInt(3)}", rnd.nextInt(2000).toLong,
+          1L + rnd.nextInt(150))
+      }.distinct
+      // brute-force reference: per file, sort by (offset, length), then
+      // a single fold with the documented rule (running max end + cap)
+      val want = recs.groupBy(_._1).toSeq.flatMap { case (f, rs) =>
+        val sorted = rs.map(r => (r._2, r._3)).sortBy(identity)
+        val groups = scala.collection.mutable.ListBuffer
+          .empty[scala.collection.mutable.ListBuffer[(Long, Long)]]
+        var prevEnd = Long.MinValue
+        for ((off, len) <- sorted) {
+          if (groups.isEmpty || off > prevEnd + gap)
+            groups += scala.collection.mutable.ListBuffer((off, len))
+          else groups.last += ((off, len))
+          prevEnd = math.max(prevEnd, off + len)
+        }
+        groups.map { g =>
+          val start = g.map(_._1).min
+          val end = g.map(t => t._1 + t._2).max
+          (f, start, end, g.size.toLong, g.map(_._2).sum,
+            end - start - g.map(_._2).sum)
+        }
+      }.sortBy(t => (t._1, t._2))
+      val got = graft.operators.Crawl
+        .fetchPlan(recs.toDF("filename", "offset", "length"), gap)
+        .orderBy(col("filename"), col("start"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+      assert(got === want, s"trial $trial (gap=$gap): $recs")
+    }
+  }
+
   test("SQL surface: index filter -> surt join against the corpus") {
     def l(key: String, file: String, off: Long, len: Long,
         mime: String): String =
