@@ -442,7 +442,8 @@ object Queries {
     Queries18.catalog ++ Queries19.catalog ++ Queries20.catalog ++
     Queries21.catalog ++ Queries22.catalog ++ Queries23.catalog ++
     Queries24.catalog ++ Queries25.catalog ++ Queries26.catalog ++
-    Queries27.catalog ++ Queries28.catalog ++ Queries29.catalog
+    Queries27.catalog ++ Queries28.catalog ++ Queries29.catalog ++
+    Queries30.catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map { case (n, d) => n -> d.fn }.toMap

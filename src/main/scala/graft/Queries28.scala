@@ -159,18 +159,22 @@ object Queries28 {
   }
 
   /** Polite scheduling under ONE-HOST SKEW — the operator's documented
-    * worst case measured: ~75% of all URLs land on `big.test` (whose
-    * window is ONE task by the schedule's own semantics — that host is
-    * exactly the one that must serialize), the rest spread over 50
-    * median hosts. The decade exponent prices the single-partition sort;
-    * the oracle replays slots with its own ROW_NUMBER. */
+    * worst case, SHARPENED (r16): 90% of all URLs land on `big.test`,
+    * the rest spread over 50 median hosts, and the explicit
+    * `deskewHostUrls` threshold (256 — under big.test's count at every
+    * tested sf, over every tail host's) routes the mega host through
+    * the two-pass range-partition + offset rank while the tail stays on
+    * the per-host window — BOTH plan shapes are load-bearing in one
+    * oracle. The decade exponent prices the de-skewed rank (one sorted
+    * task per host was the r15 structural watch item); the oracle
+    * replays slots with its own ROW_NUMBER, blind to the plan split. */
   val q239PoliteSkewScale: (String, QueryDef) = q(
     "q239_polite_skew_scale",
     """WITH p AS (SELECT doc_id AS d FROM documents),
       |u AS (
       |  SELECT d,
-      |    CASE WHEN d % 4 < 3 THEN 'big.test'
-      |         ELSE 'ex' || CAST((d // 4) % 50 AS VARCHAR) || '.test'
+      |    CASE WHEN d % 10 < 9 THEN 'big.test'
+      |         ELSE 'ex' || CAST((d // 10) % 50 AS VARCHAR) || '.test'
       |    END AS host FROM p),
       |r AS (
       |  SELECT host, 'http://' || host || '/u' || CAST(d AS VARCHAR) AS url,
@@ -187,8 +191,8 @@ object Queries28 {
     implicit val env: (SparkSession, String) = (s, dir)
     val d = col("doc_id")
     val ds = d.cast("string")
-    val host = when(d % 4 < 3, lit("big.test"))
-      .otherwise(concat(lit("ex"), (floor(d / 4) % 50).cast("string"),
+    val host = when(d % 10 < 9, lit("big.test"))
+      .otherwise(concat(lit("ex"), (floor(d / 10) % 50).cast("string"),
         lit(".test")))
     val urls = t("documents")
       .select(host.as("host"),
@@ -201,7 +205,8 @@ object Queries28 {
       when(d === 50L,
         lit("User-agent: *\nCrawl-delay: 2\nDisallow: /zz\n"))
         .otherwise(lit("User-agent: *\nDisallow: /zz\n")).as("robots"))
-    graft.operators.Crawl.politeSchedule(urls, robotsDim)
+    graft.operators.Crawl.politeSchedule(urls, robotsDim,
+        deskewHostUrls = 256L)
       .select(col("host"), col("url"), col("crawl_delay"), col("slot"),
         col("offset_s"))
       .orderBy(col("host"), col("url"))

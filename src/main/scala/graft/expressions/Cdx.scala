@@ -42,8 +42,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * Reordering Transform key the index is sorted by, with pywb's
   * canonicalization defaults, DOCUMENTED here as this engine's exact
   * semantics: lowercase everything; drop scheme, userinfo, fragment,
-  * default AND explicit ports; strip one leading `www\d*.` host label;
-  * reverse host labels joined by commas, then `)`; path kept (lowercase,
+  * and the scheme's DEFAULT port (http/ws 80, https/wss 443, ftp 21;
+  * an unknown scheme has no default, so its port always keeps) —
+  * a NON-default port is RETAINED as `host-key:port)` the way
+  * pywb/Heritrix SURTs keep it (`com,example:8080)/`): distinct
+  * origins must not collide onto one key; strip one leading `www\d*.`
+  * host label; reverse host labels joined by commas, then `)`; a
+  * bracketed IPv6 authority (`[2001:db8::1]`) keeps the bracketed
+  * literal VERBATIM un-reversed (commas separate reversed registered-
+  * name labels; an address literal has none) with the same port rule
+  * applied after the closing bracket; path kept (lowercase,
   * trailing-slash-only path folds to `/`); query parameters sorted
   * bytewise and re-joined with `&` (empty query dropped). NULL on
   * non-absolute/malformed URLs. NOTE: this is the EXTERNAL-index join
@@ -262,21 +270,55 @@ object CdxKernel {
       if (cut < 0) "/"
       else if (rest(cut) == '?') "/" + rest.substring(cut)
       else rest.substring(cut)
-    // userinfo, port off
+    // userinfo off
     val at = authority.lastIndexOf('@')
     if (at >= 0) authority = authority.substring(at + 1)
-    val colon = authority.indexOf(':')
-    if (colon >= 0) {
-      val port = authority.substring(colon + 1)
-      if (port.nonEmpty && !port.forall(c => c >= '0' && c <= '9'))
-        return null
-      authority = authority.substring(0, colon)
+    // host/port split — a bracketed IPv6 literal carries colons INSIDE
+    // the brackets, so the port colon is only searched after ']'
+    var hostPart: String = null
+    var portStr: String = null
+    if (authority.startsWith("[")) {
+      val close = authority.indexOf(']')
+      if (close < 0) return null // unterminated v6 literal
+      hostPart = authority.substring(0, close + 1)
+      if (hostPart.length <= 2) return null // "[]"
+      val after = authority.substring(close + 1)
+      if (after.nonEmpty) {
+        if (after(0) != ':') return null // garbage after the bracket
+        portStr = after.substring(1)
+      }
+    } else {
+      val colon = authority.indexOf(':')
+      if (colon >= 0) {
+        hostPart = authority.substring(0, colon)
+        portStr = authority.substring(colon + 1)
+      } else hostPart = authority
     }
-    if (authority.isEmpty) return null
+    if (portStr != null) {
+      if (portStr.isEmpty) portStr = null // "host:" — empty port drops
+      else if (!portStr.forall(c => c >= '0' && c <= '9') ||
+        portStr.length > 9) return null
+    }
+    if (hostPart.isEmpty) return null
+    // the scheme's default port drops (pywb keeps only NON-default
+    // ports in the key); numeric compare so ":080" folds like ":80"
+    val port: String =
+      if (portStr == null) null
+      else {
+        val p = Integer.parseInt(portStr)
+        val default = scheme match {
+          case "http" | "ws" => 80
+          case "https" | "wss" => 443
+          case "ftp" => 21
+          case _ => -1 // unknown scheme: no default, port always keeps
+        }
+        if (p == default) null else String.valueOf(p)
+      }
     // one leading www\d*. label strips (the pywb canonicalization rule);
-    // hand-rolled — a per-row kernel must not compile a regex per call
+    // hand-rolled — a per-row kernel must not compile a regex per call;
+    // never applies to a bracketed v6 literal (it cannot start with 'w')
     val host = {
-      var h = authority
+      var h = hostPart
       if (h.startsWith("www")) {
         var i = 3
         while (i < h.length && h(i) >= '0' && h(i) <= '9') i += 1
@@ -286,7 +328,12 @@ object CdxKernel {
       h
     }
     if (host.isEmpty) return null
-    val key = host.split('.').reverse.mkString(",")
+    // reversed-label key; a bracketed v6 literal keeps verbatim (no
+    // registered-name labels to reverse)
+    val key0 =
+      if (host.charAt(0) == '[') host
+      else host.split('.').reverse.mkString(",")
+    val key = if (port == null) key0 else key0 + ":" + port
     // query params sort bytewise; empty query drops
     val qm = pathQ.indexOf('?')
     val (path0, query) =

@@ -106,9 +106,15 @@ object WarcKernel {
     true
   }
 
+  /** Kernel invocations — test observability (the CrawlAuditKernel
+    * convention): operators that claim one-archive-pass plans
+    * ([[graft.operators.Crawl.mergeGeneration]]) assert the delta. */
+  val parseCount = new java.util.concurrent.atomic.AtomicLong
+
   /** (records, payloadBytes) — payload is the (possibly inflated) buffer
     * the records' body offsets index into; null on any malformation. */
   def parse(raw: Array[Byte]): (Array[Rec], Array[Byte]) = {
+    parseCount.incrementAndGet()
     val b = if (isGzip(raw)) gunzip(raw) else raw
     if (b == null) return null
     val n = b.length

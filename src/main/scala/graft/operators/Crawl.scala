@@ -27,7 +27,54 @@ object Crawl {
   private val Reserved: Set[String] = Set(
     "url", "status", "mime", "charset", "text", "text_bytes",
     "link_density", "n_links", "last_modified", "etag",
-    "warc_rec", "__html", "__e")
+    "warc_rec", "__html", "__e", "__cand", "__keep")
+
+  /** The [[cleanCorpus]] funnel per RECORD, unfiltered — every record of
+    * every archive, with the funnel's computed columns attached and a
+    * `__keep` verdict instead of a filter, so ONE archive scan can feed
+    * BOTH the kept-page corpus and a status-verdict dim
+    * ([[mergeGeneration]]'s one-pass requirement: the WARC parse is the
+    * generation's dominant kernel cost, it must run once). The decode
+    * kernels (charset guess/fix, HTML extract) are guarded by the
+    * candidate gate (`when(__cand, …)`), so non-candidate records pay
+    * the header walk only — exactly the rows cleanCorpus's filter used
+    * to prune before computing them. cleanCorpus == this → filter(__keep)
+    * → select, shared semantics by construction. */
+  private def annotatedRecords(warcs: DataFrame, payloadCol: String,
+      maxLinkDensity: Double, minTextBytes: Long): DataFrame = {
+    require(maxLinkDensity >= 0.0 && maxLinkDensity <= 1.0,
+      s"cleanCorpus: maxLinkDensity must be in [0,1], got $maxLinkDensity")
+    require(minTextBytes >= 1L,
+      s"cleanCorpus: minTextBytes must be >= 1, got $minTextBytes")
+    val clash = warcs.columns.filter(c => c != payloadCol &&
+      Reserved.contains(c.toLowerCase(java.util.Locale.ROOT)))
+    require(clash.isEmpty,
+      s"cleanCorpus: input columns ${clash.mkString(", ")} collide with " +
+        "reserved output/internal names (" +
+        Reserved.toSeq.sorted.mkString(", ") + "); rename them upstream")
+    // rec_type compares ASCII case-insensitively (ISO 28500 field names
+    // and values are case-preserving in the wild: 'Response' happens) —
+    // this is the SAME comparison CrawlAuditKernel.audit uses, so the
+    // audit's `kept` == cleanCorpus's row count stays an invariant
+    val cand = lower(col("warc_rec.rec_type")) === "response" &&
+      col("warc_rec.status") === 200 &&
+      col("warc_rec.mime").startsWith("text/html")
+    val page = Multimodal.warcRecords(warcs, payloadCol)
+      .drop(payloadCol)
+      .withColumn("__cand", cand)
+      .withColumn("charset", when(col("__cand"),
+        call_function("graft_charset_guess", col("warc_rec.body"))))
+      .withColumn("__html", when(col("__cand"),
+        call_function("graft_charset_fix", col("warc_rec.body"))))
+      .withColumn("__e", when(col("__cand"),
+        call_function("graft_html_extract", col("__html"))))
+    val ld = HtmlExtract.linkDensity(col("__e"))
+    page
+      .withColumn("url",
+        call_function("graft_canon_url", col("warc_rec.uri")))
+      .withColumn("__keep", col("__cand") &&
+        col("__e.text_bytes") >= minTextBytes && ld <= maxLinkDensity)
+  }
 
   /** Raw archives → curated page rows. Keeps HTTP 200 HTML responses
     * whose extracted text clears `minTextBytes` and is not link-dominated
@@ -42,37 +89,9 @@ object Crawl {
     * overwritten, so the operator fails fast instead. */
   def cleanCorpus(warcs: DataFrame, payloadCol: String = "payload",
       maxLinkDensity: Double = 0.5, minTextBytes: Long = 50L): DataFrame = {
-    require(maxLinkDensity >= 0.0 && maxLinkDensity <= 1.0,
-      s"cleanCorpus: maxLinkDensity must be in [0,1], got $maxLinkDensity")
-    require(minTextBytes >= 1L,
-      s"cleanCorpus: minTextBytes must be >= 1, got $minTextBytes")
-    val clash = warcs.columns.filter(c => c != payloadCol &&
-      Reserved.contains(c.toLowerCase(java.util.Locale.ROOT)))
-    require(clash.isEmpty,
-      s"cleanCorpus: input columns ${clash.mkString(", ")} collide with " +
-        "reserved output/internal names (" +
-        Reserved.toSeq.sorted.mkString(", ") + "); rename them upstream")
-    val recs = Multimodal.warcRecords(warcs, payloadCol)
-      .drop(payloadCol)
-      // rec_type compares ASCII case-insensitively (ISO 28500 field names
-      // and values are case-preserving in the wild: 'Response' happens) —
-      // this is the SAME comparison CrawlAuditKernel.audit uses, so the
-      // audit's `kept` == this operator's row count stays an invariant
-      .filter(lower(col("warc_rec.rec_type")) === "response" &&
-        col("warc_rec.status") === 200 &&
-        col("warc_rec.mime").startsWith("text/html"))
-    val page = recs
-      .withColumn("charset",
-        call_function("graft_charset_guess", col("warc_rec.body")))
-      .withColumn("__html",
-        call_function("graft_charset_fix", col("warc_rec.body")))
-      .withColumn("__e", call_function("graft_html_extract", col("__html")))
     val ld = HtmlExtract.linkDensity(col("__e"))
-    page
-      .filter(col("__e.text_bytes") >= minTextBytes &&
-        ld <= maxLinkDensity)
-      .withColumn("url",
-        call_function("graft_canon_url", col("warc_rec.uri")))
+    annotatedRecords(warcs, payloadCol, maxLinkDensity, minTextBytes)
+      .filter(col("__keep"))
       .select(col("*"), col("warc_rec.status").as("status"),
         col("warc_rec.mime").as("mime"),
         col("__e.text").as("text"),
@@ -81,7 +100,7 @@ object Crawl {
         col("__e.n_links").as("n_links"),
         col("warc_rec.last_modified").as("last_modified"),
         col("warc_rec.etag").as("etag"))
-      .drop("warc_rec", "__html", "__e")
+      .drop("warc_rec", "__html", "__e", "__cand", "__keep")
   }
 
   /** Redirect edges — the OTHER frontier feed: a 3xx response's
@@ -122,10 +141,15 @@ object Crawl {
     * orders of magnitude fewer hosts than edges; a host with NO row is
     * treated as publishing no robots.txt, i.e. everything allowed, per
     * RFC 9309 §2.3.1.1 — robotsDim need not be complete), and a
-    * `corpus(canonical url)` key set (broadcast when it fits; swap the
-    * anti-join to a bucketed one upstream when it doesn't). Output:
+    * `corpus(canonical url)` key set. The corpus anti-join carries NO
+    * forced broadcast hint: a standing 100 TB corpus's key set does not
+    * fit a broadcast, so AQE picks the strategy from runtime sizes
+    * (broadcast while the corpus is small, shuffle anti-join — bucket it
+    * upstream for co-location — once it isn't; a hard `broadcast()`
+    * would leave no way to do that). Output:
     * `(url, n_refs)` — new, fetchable, deduplicated frontier URLs.
-    * Shuffle budget: the final canon-key rollup only; everything before
+    * Shuffle budget: the final canon-key rollup (plus the corpus
+    * anti-join once the corpus outgrows a broadcast); everything before
     * it is scan-side codegen plus broadcast equi-joins (the q223 plan,
     * verified by `.explain`). */
   def frontier(pages: DataFrame, urlCol: String, htmlCol: String,
@@ -134,7 +158,7 @@ object Crawl {
     require(corpus.columns.length == 1,
       "frontier: corpus must be a single canonical-url key column")
     frontierAllowed(pages, urlCol, htmlCol, robotsDim, agent)
-      .join(broadcast(corpus.toDF("url")), Seq("url"), "left_anti")
+      .join(corpus.toDF("url"), Seq("url"), "left_anti")
       .groupBy(col("url"))
       .agg(count(lit(1)).as("n_refs"))
   }
@@ -157,10 +181,12 @@ object Crawl {
     * `redirects` is [[resolveRedirectChains]] output (or any frame with
     * `from_url`/`final_url`); unresolved rows (null `final_url` — cycles,
     * over-cap chains) are ignored, leaving those candidates on their own
-    * key (LOUDLY unresolved upstream, unchanged here). The join is a
-    * plain equi-join, NOT a forced broadcast: the redirect map scales
-    * with the corpus (every 3xx page), so AQE picks broadcast only when
-    * it genuinely fits. Everything else is the q223 plan shape. */
+    * key (LOUDLY unresolved upstream, unchanged here). The redirect join
+    * AND the corpus anti-join are plain equi-joins, NOT forced
+    * broadcasts: both frames scale with the corpus (every 3xx page; the
+    * whole standing key set), so AQE picks broadcast only when it
+    * genuinely fits and a bucketed shuffle join remains reachable at
+    * 100 TB. Everything else is the q223 plan shape. */
   def frontierResolved(pages: DataFrame, urlCol: String, htmlCol: String,
       robotsDim: DataFrame, corpus: DataFrame, redirects: DataFrame,
       agent: String = "graftbot"): DataFrame = {
@@ -194,7 +220,7 @@ object Crawl {
         call_function("graft_robots_allowed", col("__robots"),
           lit(agent), col("__pq")))
       .select(col("url"))
-      .join(broadcast(corpus.toDF("url")), Seq("url"), "left_anti")
+      .join(corpus.toDF("url"), Seq("url"), "left_anti")
       .groupBy(col("url"))
       .agg(count(lit(1)).as("n_refs"))
   }
@@ -230,31 +256,62 @@ object Crawl {
     * companion at URL granularity: serialize each host's fetches
     * `Crawl-delay` seconds apart (1 s default when unset or when the
     * host has no robotsDim row at all — never hammer), hosts in
-    * parallel. One window partitioned BY HOST (the
-    * natural parallelism unit — no global sort, no single-partition
-    * window; skew = one enormous host, which is exactly the host that
-    * needs serializing) over a broadcast robots dim. Output adds
+    * parallel. Hosts below `deskewHostUrls` URLs rank in one window
+    * partitioned BY HOST (the natural parallelism unit — no global
+    * sort) over a broadcast robots dim; a MEGA host above the threshold
+    * would make that window one sorted task holding the host's entire
+    * URL set (a 10⁷-URL host at production scale = one task), so its
+    * rows instead rank via the two-pass range-partition + offset
+    * pattern ([[Ranking.globalRowNumber]] over `(host, url)` — the
+    * host's sort spreads across range partitions, and a per-host base
+    * offset restores 1-based slots). Both paths produce IDENTICAL
+    * slots (row_number by url within host); the threshold only picks
+    * the plan shape, so correctness never depends on it. Output adds
     * `slot` (1-based fetch index within the host, ordered by URL for
     * determinism) and `offset_s` (= `(slot−1) × delay` — the earliest
     * polite start relative to the host's first fetch). */
   def politeSchedule(urls: DataFrame, robotsDim: DataFrame,
-      agent: String = "graftbot"): DataFrame = {
+      agent: String = "graftbot",
+      deskewHostUrls: Long = 1L << 20): DataFrame = {
     require(robotsDim.columns.toSeq.map(_.toLowerCase(java.util.Locale.ROOT))
       .sorted == Seq("host", "robots"),
       "politeSchedule: robotsDim must have exactly (host, robots) columns")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("host")).orderBy(col("url"))
+    require(deskewHostUrls >= 1L,
+      s"politeSchedule: deskewHostUrls must be >= 1, got $deskewHostUrls")
     // LEFT join (the frontier convention): a host absent from robotsDim
     // published no robots.txt — its URLs still get scheduled, at the
     // polite 1 s default (null delay → the coalesce below), rather than
     // silently vanishing from the schedule
-    urls.join(broadcast(robotsDim), Seq("host"), "left")
+    val withDelay = urls.join(broadcast(robotsDim), Seq("host"), "left")
       .withColumn("crawl_delay",
         call_function("graft_robots_delay", col("robots"), lit(agent)))
+      .drop("robots")
+    // mega-host detection: one map-side-combined rollup to |hosts| rows
+    // (the robotsDim scale — broadcastable by the same argument)
+    val mega = withDelay.groupBy(col("host"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= deskewHostUrls)
+      .select(col("host"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("url"))
+    val normal = withDelay
+      .join(broadcast(mega), Seq("host"), "left_anti")
       .withColumn("slot", row_number().over(w))
+    val deskewed = {
+      val ranked = Ranking.globalRowNumber(
+        withDelay.join(broadcast(mega), Seq("host"), "left_semi"),
+        Seq(col("host"), col("url")), "__grn")
+      // per-host base = min global rank − 1 (hosts dim-sized rollup)
+      val base = ranked.groupBy(col("host"))
+        .agg(min(col("__grn")).as("__base"))
+      ranked.join(broadcast(base), Seq("host"))
+        .withColumn("slot",
+          (col("__grn") - col("__base") + 1L).cast("int"))
+        .drop("__grn", "__base")
+    }
+    normal.unionByName(deskewed)
       .withColumn("offset_s", (col("slot") - 1).cast("double") *
         coalesce(col("crawl_delay"), lit(1.0)))
-      .drop("robots")
   }
 
   /** Sitemap-index recursion over a PRE-FETCHED set — `sitemapindex`
@@ -262,8 +319,12 @@ object Crawl {
     * sets; a crawl that stops at depth 1 misses most of a large site's
     * inventory (the 50k-URL/file protocol cap forces big sites to
     * index). Inputs: `fetched(url, payload)` — the sitemap files already
-    * pulled, keyed by canonical URL — and `roots` (a single column of
-    * canonical root sitemap URLs). Expands breadth-first to `maxDepth`
+    * pulled, keyed by canonical URL (`graft_canon_url` form — the
+    * contract the frontier/corpus tier keys everything by; a ledger
+    * keyed by RAW locs also works, because each level's frontier
+    * advances on BOTH the canonical and the publisher's raw child loc)
+    * — and `roots` (a single column of root sitemap URLs in the same
+    * key form as `fetched.url`). Expands breadth-first to `maxDepth`
     * levels: each level joins the current frontier against `fetched`
     * (broadcast the frontier — it is orders of magnitude smaller than
     * the fetched corpus), parses, emits `kind='url'` entries with their
@@ -307,8 +368,14 @@ object Crawl {
         .select(col("url"), col("loc"), col("lastmod"), col("changefreq"),
           col("priority"), lit(depth).as("depth"))
       out = if (out == null) urls else out.unionAll(urls)
-      frontier = parsed.filter(col("kind") === "sitemap" &&
-        col("url").isNotNull).select(col("url"))
+      // next level advances on BOTH keys — the canonical fold AND the
+      // publisher's raw loc — so a fetch ledger keyed either way joins;
+      // the two collapse in the per-level distinct, and a key absent
+      // from `fetched` contributes nothing (the documented gap rule)
+      val sm = parsed.filter(col("kind") === "sitemap")
+      frontier = sm.filter(col("url").isNotNull).select(col("url"))
+        .unionAll(sm.filter(col("loc").isNotNull)
+          .select(col("loc").as("url")))
     }
     out
   }
@@ -322,11 +389,17 @@ object Crawl {
     * same string form). Verdicts, one row per entry:
     *
     *  - `new` — not in the corpus at all;
-    *  - `refresh` — in the corpus and `lastmod > last_crawled`
-    *    (STRING comparison: W3C datetime's fixed-width forms order
-    *    lexicographically = chronologically, so the decision is exact
-    *    without timezone/calendar parsing — mixed granularities compare
-    *    prefix-wise, the conservative direction);
+    *  - `refresh` — in the corpus and `lastmod` strictly newer than
+    *    `last_crawled`, compared as INSTANTS (`try_to_timestamp` both
+    *    sides): W3C datetime permits numeric UTC offsets, and
+    *    `2026-01-02T01:00:00+09:00` sorts lexicographically AFTER
+    *    `2026-01-01T23:00:00Z` yet is chronologically EARLIER — a
+    *    mixed-offset sitemap would flip verdicts under a string
+    *    compare. When either side does not parse as a timestamp
+    *    (reduced W3C granularity like `2026-01`, which Spark's parser
+    *    rejects), the compare falls back to the old lexicographic rule
+    *    — exact for same-granularity same-offset forms, prefix-wise
+    *    conservative across granularities;
     *  - `skip` — in the corpus with no newer signal (null lastmod
     *    included: absence of evidence is not staleness).
     *
@@ -337,11 +410,16 @@ object Crawl {
     require(corpus.columns.length == 2,
       "recrawlSchedule: corpus must be (url, last_crawled)")
     val c = corpus.toDF("url", "last_crawled")
+    // instant compare first; null (either side unparseable) falls back
+    // to the lexicographic compare rather than silently skipping
+    val newer = coalesce(
+      try_to_timestamp(col("lastmod")) >
+        try_to_timestamp(col("last_crawled")),
+      col("lastmod") > col("last_crawled"))
     entries.join(c, Seq("url"), "left")
       .withColumn("action",
         when(col("last_crawled").isNull, lit("new"))
-          .when(col("lastmod").isNotNull &&
-            col("lastmod") > col("last_crawled"), lit("refresh"))
+          .when(col("lastmod").isNotNull && newer, lit("refresh"))
           .otherwise(lit("skip")))
   }
 
@@ -491,12 +569,28 @@ object Crawl {
     * parallelism is wide and no partition exceeds one file's captures)
     * ordered by offset; gap-break flag → running group id → one
     * aggregation. No global sort, no self-join. */
-  def fetchPlan(index: DataFrame, maxGapBytes: Long = 1L << 20): DataFrame = {
+  def fetchPlan(index: DataFrame, maxGapBytes: Long = 1L << 20): DataFrame =
+    rangeGroups(index, maxGapBytes, "fetchPlan")
+      .groupBy(col("filename"), col("__grp"))
+      .agg(min(col("offset")).as("start"),
+        max(col("offset") + col("length")).as("end"),
+        count(lit(1)).as("n_records"),
+        sum(col("length")).as("payload_bytes"))
+      .withColumn("gap_bytes",
+        col("end") - col("start") - col("payload_bytes"))
+      .drop("__grp")
+
+  /** Shared gap-coalescing core of [[fetchPlan]]/[[fetchRecords]]: the
+    * per-file offset window, running-max `__prev_end`, break flag, and
+    * running group id `__grp` — one coalesced range per (filename,
+    * __grp). */
+  private def rangeGroups(index: DataFrame, maxGapBytes: Long,
+      op: String): DataFrame = {
     require(maxGapBytes >= 0L,
-      s"fetchPlan: maxGapBytes must be >= 0, got $maxGapBytes")
+      s"$op: maxGapBytes must be >= 0, got $maxGapBytes")
     val cols = index.columns.map(_.toLowerCase(java.util.Locale.ROOT))
     require(Seq("filename", "offset", "length").forall(cols.contains),
-      "fetchPlan: index must carry (filename, offset, length) — " +
+      s"$op: index must carry (filename, offset, length) — " +
         "graft_cdxj_parse output")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("filename")).orderBy(col("offset"), col("length"))
@@ -514,14 +608,128 @@ object Crawl {
       .withColumn("__grp", sum(col("__break")).over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, 0)))
+      .drop("__prev_end", "__break")
+  }
+
+  /** Selective replay: coalesced ranges → the records themselves — the
+    * step that makes the index tier LOAD-BEARING instead of adjacent.
+    * [[fetchPlan]] emits the byte ranges a fetcher issues; this operator
+    * consumes them against the archive bytes and hands each selected
+    * capture to `graft_warc_parse`, so the production shape
+    * `cdxj → filter → fetchPlan → range-read → parse → cleanCorpus`
+    * runs as ONE plan. Inputs: `index` as in fetchPlan, and
+    * `archives(filename, <payloadCol>)` — one row per WARC file. In
+    * production the range-read is the fetcher's object-store GET; here
+    * the archive payload stands in for it, and the record extraction
+    * mirrors the real shape exactly: slice the RANGE first (one
+    * `substr` per coalesced range — the simulated GET), then slice each
+    * member record out of the range by `(offset − start, length)` —
+    * gap bytes between selected captures (whole unselected records, by
+    * the index's record-aligned offsets) are read but never parsed.
+    *
+    * Output: one row per selected capture — `filename, offset, length,
+    * warc_rec` (the parse's struct: rec_type/uri/status/mime/location/
+    * validators/body). A slice that fails to parse yields a null
+    * `warc_rec` (the loud-null kernel rule — a corrupt or misaligned
+    * index entry surfaces, never vanishes). Join index metadata back on
+    * `(filename, offset)` when the capture's urlkey/ts/digest are
+    * needed downstream.
+    *
+    * Plan shape: fetchPlan's per-file window, one `collect_list` of
+    * `(offset, length)` members per range (bounded by the range's
+    * record count — ranges never span a file, and the gap cap bounds
+    * dead bytes), ONE equi-join on filename against the archives, then
+    * a per-member explode + slice + parse — all scan-side codegen after
+    * the join. Offsets are validated against Spark's 2 GiB binary-value
+    * ceiling (`raise_error` past it — an in-plan payload cannot index
+    * beyond Int range; at production scale the ranges feed a real
+    * range-GET fetcher instead and no such limit exists). */
+  def fetchRecords(index: DataFrame, archives: DataFrame,
+      maxGapBytes: Long = 1L << 20,
+      payloadCol: String = "payload"): DataFrame = {
+    val acols = archives.columns.map(_.toLowerCase(java.util.Locale.ROOT))
+    require(acols.length == 2 && acols.contains("filename") &&
+      acols.contains(payloadCol.toLowerCase(java.util.Locale.ROOT)),
+      s"fetchRecords: archives must have exactly (filename, $payloadCol)")
+    val ranges = rangeGroups(index, maxGapBytes, "fetchRecords")
       .groupBy(col("filename"), col("__grp"))
       .agg(min(col("offset")).as("start"),
         max(col("offset") + col("length")).as("end"),
-        count(lit(1)).as("n_records"),
-        sum(col("length")).as("payload_bytes"))
-      .withColumn("gap_bytes",
-        col("end") - col("start") - col("payload_bytes"))
-      .drop("__grp")
+        collect_list(struct(col("offset"), col("length"))).as("__members"))
+    val guard = when(col("end") > lit(Int.MaxValue.toLong),
+      raise_error(concat(lit("fetchRecords: range end past the 2 GiB " +
+        "in-plan payload ceiling in "), col("filename"),
+        lit(" — feed fetchPlan to a range-GET fetcher instead"))))
+      .otherwise(col("end"))
+    ranges
+      .withColumn("end", guard)
+      .join(archives.select(col("filename"),
+        col(payloadCol).as("__payload")), Seq("filename"))
+      // the simulated range GET: one slice per coalesced range
+      .withColumn("__range", col("__payload").substr(
+        (col("start") + 1L).cast("int"),
+        (col("end") - col("start")).cast("int")))
+      .select(col("filename"), col("start"),
+        explode(col("__members")).as("__m"), col("__range"))
+      .select(col("filename"),
+        col("__m.offset").as("offset"),
+        col("__m.length").as("length"),
+        call_function("graft_warc_parse",
+          col("__range").substr(
+            (col("__m.offset") - col("start") + 1L).cast("int"),
+            col("__m.length").cast("int"))).as("__recs"))
+      // one capture = one record slice; a parse that yields anything
+      // else (corrupt bytes, misaligned offsets) lands as null — loud
+      .withColumn("warc_rec",
+        when(size(col("__recs")) === 1, element_at(col("__recs"), 1)))
+      .drop("__recs")
+  }
+
+  /** CDX capture-history collapse — the index-side dedup primitive over
+    * `(urlkey, digest)`: CommonCrawl marks an unchanged re-capture as a
+    * `warc/revisit` record carrying the ORIGINAL capture's payload
+    * digest (the WARC revisit convention, ISO 28500 §6.7.2 profile
+    * `identical-payload-digest`), so the archive stores the bytes once
+    * while the index records every capture time. This operator folds
+    * each `(urlkey, digest)` group onto its original capture, KEEPING
+    * the capture timestamps:
+    *
+    * one row per group — `urlkey, digest, n_captures` (originals +
+    * revisits), `n_revisits`, `first_ts`/`last_ts` (over ALL captures),
+    * and the EARLIEST original's `ts, url, status, length, offset,
+    * filename` (the payload location a [[fetchPlan]] selection should
+    * read — dedup means fetching the bytes once). A group with NO
+    * original (the revisit's target fell outside the index slice)
+    * keeps null location columns — LOUD, `n_revisits == n_captures`
+    * identifies it; it is never silently dropped. Rows whose mime is
+    * null count as originals (absent metadata is not a revisit claim).
+    *
+    * Plan shape: ONE hash aggregation on `(urlkey, digest)` — the
+    * original's fields ride a `min(when(original, struct(ts, …)))`
+    * (struct min orders by ts first), so there is no join at all;
+    * map-side partial aggregation ships one row per group per
+    * partition. */
+  def collapseRevisits(index: DataFrame): DataFrame = {
+    val cols = index.columns.map(_.toLowerCase(java.util.Locale.ROOT))
+    require(Seq("urlkey", "ts", "url", "mime", "status", "digest",
+      "length", "offset", "filename").forall(cols.contains),
+      "collapseRevisits: index must be graft_cdxj_parse-shaped")
+    val isRevisit = col("mime") === "warc/revisit"
+    index.groupBy(col("urlkey"), col("digest"))
+      .agg(
+        count(lit(1)).as("n_captures"),
+        sum(when(isRevisit, 1L).otherwise(0L)).as("n_revisits"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        min(when(!coalesce(isRevisit, lit(false)),
+          struct(col("ts"), col("url"), col("status"), col("length"),
+            col("offset"), col("filename")))).as("__o"))
+      .select(col("urlkey"), col("digest"), col("n_captures"),
+        col("n_revisits"), col("first_ts"), col("last_ts"),
+        col("__o.ts").as("orig_ts"), col("__o.url").as("url"),
+        col("__o.status").as("status"), col("__o.length").as("length"),
+        col("__o.offset").as("offset"),
+        col("__o.filename").as("filename"))
   }
 
   /** Generation merge — the step q234's round trip approximated with a
@@ -547,24 +755,37 @@ object Crawl {
     *    this URL's state);
     *  - corpus URLs not in this generation's fetch → RETAIN.
     *
+    * A URL fetched more than once in one generation resolves to ONE
+    * verdict by precedence `upsert > remove > touch > retain`: a
+    * successful kept re-fetch beats an earlier gone/moved response (a
+    * page that 404s and is then re-fetched 200-and-kept is ALIVE — the
+    * generation's freshest truth is the successful content, and
+    * deleting it would discard the fresh page), remove beats touch (a
+    * 304 beside a 410 means the validators raced a deletion; gone
+    * wins), and everything beats retain (a 5xx is a non-event). Fetch
+    * ORDER within a generation is not modeled (archives carry no
+    * reliable ordering) — precedence is the deterministic stand-in.
+    *
     * `corpus` must be cleanCorpus-shaped + `last_crawled`:
     * `(url, status, mime, charset, text, text_bytes, link_density,
     * n_links, last_modified, etag, last_crawled)`. Output: same schema —
     * composable into the next generation (and into
     * [[recrawlScheduleHttp]], which reads exactly these columns).
     *
-    * Plan shape: TWO passes over the archives — the cleanCorpus funnel
-    * (whose output PINS, [[graft.core.Checkpoints.pin]]: it feeds both
-    * the verdict dim and the upsert union, and re-running the parse +
-    * charset + HTML chain per consumer would double the generation's
-    * dominant kernel cost; the pin is generation-sized — kept pages'
-    * text, not archive bytes — and the caller may
-    * `Checkpoints.release` the returned frame's inputs once consumed)
-    * and one cheap status-verdict scan (headers only matter). Then one
-    * rollup to a per-URL verdict dim (a fetched generation is orders of
-    * magnitude smaller than the corpus — the broadcast side), one left
-    * join + filter over the corpus, one union with the upserts. No
-    * global sort, no corpus-sized shuffle. */
+    * Plan shape: ONE pass over the archives — the per-record annotated
+    * funnel ([[annotatedRecords]], the same frame cleanCorpus filters)
+    * projected to the verdict fields + kept-page columns, PINNED
+    * ([[graft.core.Checkpoints.pin]]): it feeds the kept-page upserts
+    * AND the status-verdict dim, and an unpinned plan would re-run
+    * `graft_warc_parse` — the generation's dominant kernel cost — once
+    * per consumer (a spec pins the one-eval-per-archive invariant via
+    * WarcKernel.parseCount). The pin is generation-sized (kept pages'
+    * text + headers; non-kept rows carry null text, never archive
+    * bytes); the caller may `Checkpoints.release` the returned frame's
+    * inputs once consumed. Then one rollup to a per-URL verdict dim (a
+    * fetched generation is orders of magnitude smaller than the corpus
+    * — the broadcast side), one left join + filter over the corpus, one
+    * union with the upserts. No global sort, no corpus-sized shuffle. */
   def mergeGeneration(corpus: DataFrame, fetched: DataFrame,
       fetchTime: String, payloadCol: String = "payload",
       maxLinkDensity: Double = 0.5, minTextBytes: Long = 50L): DataFrame = {
@@ -575,16 +796,29 @@ object Crawl {
       .toSet == want.toSet,
       s"mergeGeneration: corpus must have exactly (${want.mkString(", ")})" +
         s" — got (${corpus.columns.mkString(", ")})")
-    // the funnel runs ONCE: kept feeds two consumers (the verdict dim's
-    // kept-keys and the upsert union), so it pins — un-pinned, Spark
-    // would re-execute the whole parse+charset+HTML chain per subtree
-    val kept = graft.core.Checkpoints.pin(
-      cleanCorpus(fetched, payloadCol, maxLinkDensity, minTextBytes)
-        .select(want.init.map(col) :+ lit(fetchTime).as("last_crawled"): _*))
-    val recs = Multimodal.warcRecords(fetched, payloadCol)
-      .select(call_function("graft_canon_url", col("warc_rec.uri"))
-        .as("url"), col("warc_rec.status").as("__st"),
-        lower(col("warc_rec.rec_type")).as("__rt"))
+    // ONE archive pass: the annotated funnel frame carries BOTH the
+    // verdict fields (every response's status) and the kept-page
+    // columns (null text on non-kept rows); the pin makes the WARC
+    // parse run once per archive no matter how many consumers read it
+    val ldExpr = HtmlExtract.linkDensity(col("__e"))
+    val ann = graft.core.Checkpoints.pin(
+      annotatedRecords(fetched, payloadCol, maxLinkDensity, minTextBytes)
+        .select(col("url"),
+          col("warc_rec.status").as("status"),
+          lower(col("warc_rec.rec_type")).as("__rt"),
+          col("__keep"),
+          col("warc_rec.mime").as("mime"),
+          col("charset"),
+          col("__e.text").as("text"),
+          col("__e.text_bytes").as("text_bytes"),
+          ldExpr.as("link_density"),
+          col("__e.n_links").as("n_links"),
+          col("warc_rec.last_modified").as("last_modified"),
+          col("warc_rec.etag").as("etag")))
+    val kept = ann.filter(col("__keep"))
+      .select(want.init.map(col) :+ lit(fetchTime).as("last_crawled"): _*)
+    val recs = ann
+      .select(col("url"), col("status").as("__st"), col("__rt"))
       .filter(col("url").isNotNull && col("__rt") === "response" &&
         col("__st").isNotNull)
     val verdicts = recs
@@ -594,20 +828,23 @@ object Crawl {
           .when(col("__st").between(300, 399), lit("remove"))
           .when(col("__st") === 200, lit("upsert"))
           .otherwise(lit("retain")))
-      // one verdict per url: remove > upsert > touch > retain — if the
-      // same URL appears twice in a generation (re-fetch after a 5xx),
-      // the strongest state transition wins deterministically
+      // one verdict per url: upsert > remove > touch > retain (see the
+      // scaladoc) — a successful kept re-fetch in the same generation
+      // beats an earlier gone/moved response, never the reverse
       .groupBy(col("url"))
-      .agg(max(when(col("__v") === "remove", 3)
-        .when(col("__v") === "upsert", 2)
+      .agg(max(when(col("__v") === "upsert", 3)
+        .when(col("__v") === "remove", 2)
         .when(col("__v") === "touch", 1).otherwise(0)).as("__rank"))
       .withColumn("__v", element_at(
-        array(lit("retain"), lit("touch"), lit("upsert"), lit("remove")),
+        array(lit("retain"), lit("touch"), lit("remove"), lit("upsert")),
         col("__rank") + 1))
       .select(col("url"), col("__v"))
     // a 200 whose page the funnel DROPPED is a remove, not an upsert:
-    // upsert applies only to urls cleanCorpus actually emitted
-    val keptKeys = kept.select(col("url"), lit(true).as("__kept"))
+    // upsert applies only to urls cleanCorpus actually emitted — the
+    // demotion happens AFTER precedence, so a dropped 200 beside a kept
+    // 200 on the same url stays an upsert (the url IS kept)
+    val keptKeys = kept.select(col("url")).distinct()
+      .select(col("url"), lit(true).as("__kept"))
     val dim = broadcast(verdicts
       .join(keptKeys, Seq("url"), "left")
       .withColumn("__v", when(col("__v") === "upsert" &&

@@ -53,6 +53,14 @@ object CatalogAudit {
   private val Allowlist: Map[String, (Int, Int, Int)] = Map(
     "q111_sorted_neighborhood" -> (0, 2, 0),
     "q151_length_batches" -> (0, 2, 0),
+    //  - q233/q234/q239: politeSchedule's r16 mega-host de-skew branch
+    //    embeds Ranking.globalRowNumber, whose offset windows run over
+    //    the |partitions|-row per-range count table (the q111/q151
+    //    shape, same 2-window signature) — never over URL rows; the
+    //    per-host window on the normal branch stays host-partitioned.
+    "q233_polite_schedule" -> (0, 2, 0),
+    "q234_crawl_roundtrip" -> (0, 2, 0),
+    "q239_polite_skew_scale" -> (0, 2, 0),
     "q145_reliability_curve" -> (0, 3, 0),
     "q79_score_deciles" -> (0, 1, 0),
     "q90_cumulative_users" -> (0, 1, 0),

@@ -66,8 +66,19 @@ class CdxSpec extends SparkSpec {
   test("SURT semantics: the documented decision table") {
     val cases = Seq(
       "http://www.Example.ORG/Path?b=2&a=1" -> "org,example)/path?a=1&b=2",
-      "https://example.org:443/" -> "org,example)/",
-      "http://example.org:8080/x" -> "org,example)/x", // ANY port drops
+      "https://example.org:443/" -> "org,example)/", // https default drops
+      "http://example.org:80/x" -> "org,example)/x", // http default drops
+      "http://example.org:080/x" -> "org,example)/x", // numeric fold
+      "ftp://example.org:21/x" -> "org,example)/x", // ftp default drops
+      // a NON-default port is a distinct origin: RETAINED (pywb keeps it)
+      "http://example.org:8080/x" -> "org,example:8080)/x",
+      "https://example.org:80/x" -> "org,example:80)/x", // not https' default
+      "http://example.org:/x" -> "org,example)/x", // empty port drops
+      // bracketed IPv6: literal kept verbatim (no labels to reverse),
+      // port rule applied after ']'
+      "http://[2001:db8::1]/x" -> "[2001:db8::1])/x",
+      "http://[2001:DB8::1]:80/x" -> "[2001:db8::1])/x",
+      "http://[2001:db8::1]:8443/x" -> "[2001:db8::1]:8443)/x",
       "http://user:pw@sub.example.org/x" -> "org,example,sub)/x",
       "http://www2.example.org/" -> "org,example)/", // www\d*. strips
       "http://wwwx.example.org/" -> "org,example,wwwx)/", // not www\d*.
@@ -82,7 +93,8 @@ class CdxSpec extends SparkSpec {
     for ((in, want) <- cases)
       assert(CdxKernel.surt(in) === want, s"surt($in)")
     for (bad <- Seq(null, "", "nota url", "http://", "http:///x",
-        "http://ex.org:8a/x"))
+        "http://ex.org:8a/x", "http://[2001:db8::1/x", // unterminated v6
+        "http://[]/x", "http://[2001:db8::1]x/x")) // garbage after ']'
       assert(CdxKernel.surt(bad) === null, s"surt($bad)")
     // graft_surt is the EXTERNAL join key; graft_canon_url the internal
     // one — deliberately different (SURT case-folds the path)
@@ -151,7 +163,8 @@ class CdxSpec extends SparkSpec {
         if (rnd.nextBoolean()) c.toUpper else c)
       val variants = Seq(
         s"http://${mixCase(host)}$path$q", // host case never matters
-        s"http://$host:${80 + rnd.nextInt(9000)}$path$q", // any port drops
+        s"http://$host:80$path$q", // the scheme's DEFAULT port drops
+        s"http://$host:080$path$q", // ...numerically ("080" folds to 80)
         s"http://www.$host$path$q", // one www. label strips
         s"http://www${rnd.nextInt(10)}.$host$path$q", // www\d*. too
         s"http://$host$path$q#frag${rnd.nextInt(10)}", // fragments drop
@@ -161,6 +174,12 @@ class CdxSpec extends SparkSpec {
         assert(CdxKernel.surt(v) === key, s"trial $trial: $v vs $base")
       // path CASE folds (SURT is lossy by design; the canon key isn't)
       assert(CdxKernel.surt(s"http://$host${mixCase(path)}$q") === key)
+      // a NON-default port is a DISTINCT key — retained right before ')'
+      val np = 81 + rnd.nextInt(9000)
+      val withPort = CdxKernel.surt(s"http://$host:$np$path$q")
+      assert(withPort !== key, s"trial $trial: port $np must not collide")
+      assert(withPort === key.replaceFirst("\\)", s":$np)"),
+        s"trial $trial: $withPort")
     }
   }
 

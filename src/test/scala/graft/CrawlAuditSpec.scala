@@ -315,6 +315,34 @@ class CrawlAuditSpec extends SparkSpec {
     assert(out("http://norobots.test/n") === ((2, 1.0)))
   }
 
+  test("polite schedule: the de-skewed two-pass path produces IDENTICAL " +
+      "slots (threshold only picks the plan shape)") {
+    val rnd = new scala.util.Random(61)
+    // one mega host with ~80% of URLs + a tail of small hosts — the
+    // q239 shape; shuffled input order so ranking is doing real work
+    val rows = rnd.shuffle(
+      (0 until 400).map(i => ("big.test", f"http://big.test/u$i%04d")) ++
+      (0 until 100).map(i =>
+        (s"ex${i % 20}.test", s"http://ex${i % 20}.test/p$i")))
+    val urls = rows.toDF("host", "url")
+    val robots = Seq(
+      ("big.test", "User-agent: *\nCrawl-delay: 2\nDisallow: /zz\n"))
+      .toDF("host", "robots")
+    def run(threshold: Long) = graft.operators.Crawl
+      .politeSchedule(urls, robots, deskewHostUrls = threshold)
+      .select("host", "url", "crawl_delay", "slot", "offset_s")
+      .orderBy("host", "url").collect().toSeq
+    val windowed = run(Long.MaxValue) // everything on the window path
+    val deskewed = run(50L) // big.test (400) two-pass, tails windowed
+    val allDeskewed = run(1L) // EVERY host on the two-pass path
+    assert(windowed === deskewed)
+    assert(windowed === allDeskewed)
+    // spot-check the mega host actually serializes at its crawl delay
+    val big = windowed.filter(_.getString(0) == "big.test")
+    assert(big.map(_.getInt(3)).toSeq === (1 to 400))
+    assert(big.last.getDouble(4) === 399 * 2.0)
+  }
+
   test("mergeGeneration: every verdict row — upsert/touch/remove/retain") {
     def warc(uri: String, http: String): Array[Byte] =
       (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: <$uri>" +
@@ -381,6 +409,79 @@ class CrawlAuditSpec extends SparkSpec {
       .mergeGeneration(corpus0, fetched, fetchTime = t1,
         minTextBytes = 10L)
     assert(out2.columns.toSeq === cols)
+  }
+
+  test("mergeGeneration: ONE archive pass — the WARC kernel runs once " +
+      "per archive for the whole merge") {
+    def warc(uri: String, http: String): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: <$uri>" +
+        s"\r\nContent-Length: ${http.length}\r\n\r\n$http\r\n\r\n")
+        .getBytes("US-ASCII")
+    def page(txt: String): String =
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        s"<html><body><p>$txt</p></body></html>"
+    val cols = Seq("url", "status", "mime", "charset", "text",
+      "text_bytes", "link_density", "n_links", "last_modified", "etag",
+      "last_crawled")
+    val corpus0 = Seq(("http://ex.test/a", 200, "text/html", "ascii",
+      "old words here for page a", 25L, 0.0, 0L,
+      null: String, null: String, "2026-01-15T00:00:00")).toDF(cols: _*)
+    val fetched = (0 until 40).map(i =>
+      warc(s"http://ex.test/p$i", page(s"fresh words for page $i keep")))
+      .toDF("payload")
+    val before = graft.expressions.WarcKernel.parseCount.get()
+    val out = graft.operators.Crawl.mergeGeneration(corpus0, fetched,
+      fetchTime = "2026-02-01T00:00:00", minTextBytes = 10L)
+    val rows = out.count()
+    val runs = graft.expressions.WarcKernel.parseCount.get() - before
+    assert(rows === 41L) // 40 inserts + the retained corpus row
+    // the pinned annotated scan is the ONLY consumer of the parse: the
+    // verdict dim and the upsert union both read the pin, never the
+    // archives (r15 ran the parse twice per generation)
+    assert(runs === 40L,
+      s"expected 40 kernel runs for 40 archives, got $runs")
+  }
+
+  test("mergeGeneration: verdict precedence — a successful kept " +
+      "re-fetch beats an earlier gone/moved response") {
+    def warc(uri: String, http: String): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: <$uri>" +
+        s"\r\nContent-Length: ${http.length}\r\n\r\n$http\r\n\r\n")
+        .getBytes("US-ASCII")
+    def page(txt: String): String =
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        s"<html><body><p>$txt</p></body></html>"
+    val notFound = "HTTP/1.1 404 NF\r\nContent-Type: text/html\r\n\r\n<p>g</p>"
+    val cols = Seq("url", "status", "mime", "charset", "text",
+      "text_bytes", "link_density", "n_links", "last_modified", "etag",
+      "last_crawled")
+    val corpus0 = Seq.empty[(String, Int, String, String, String, Long,
+      Double, Long, String, String, String)].toDF(cols: _*)
+    val fetched = Seq(
+      // 404 AND a kept 200 on the same url: the page is ALIVE — the
+      // fresh content must insert, not be deleted by the earlier miss
+      warc("http://ex.test/retry", notFound),
+      warc("http://ex.test/retry", page("the page came back with words")),
+      // 301 AND a kept 200: same rule for moved-then-recovered
+      warc("http://ex.test/back",
+        "HTTP/1.1 301 Moved\r\nLocation: /elsewhere\r\n\r\n"),
+      warc("http://ex.test/back", page("content lives here after all")),
+      // a DROPPED 200 beside a kept 200: the url IS kept -> upsert
+      warc("http://ex.test/twice", page("x")),
+      warc("http://ex.test/twice", page("the substantial fetch wins out")),
+      // 404 beside a DROPPED 200: nothing keepable exists -> no row
+      warc("http://ex.test/trulygone", notFound),
+      warc("http://ex.test/trulygone", page("x")))
+      .toDF("payload")
+    val out = graft.operators.Crawl.mergeGeneration(corpus0, fetched,
+        fetchTime = "2026-02-01T00:00:00", minTextBytes = 10L)
+      .collect().map(r =>
+        r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+    assert(out("http://ex.test/retry") === "the page came back with words")
+    assert(out("http://ex.test/back") === "content lives here after all")
+    assert(out("http://ex.test/twice") === "the substantial fetch wins out")
+    assert(!out.contains("http://ex.test/trulygone"))
+    assert(out.size === 3)
   }
 
   test("thresholds are validated at construction") {
