@@ -28,6 +28,17 @@ jitter +/-50%):
 
 Usage: rep_diff.py OLD_BENCH_FULL.json NEW_BENCH_FULL.json [tol=0.15]
 Exit status: 0 = clean, 1 = at least one REGRESSION/CPU-REG/SHIFT.
+
+--movers mode (r15 verdict ask #7 — replace the anchor-narrative prose):
+  rep_diff.py --movers OLD NEW [move=0.05]
+lists EVERY query whose rep median moved >= `move` (both directions) and
+classifies each mechanically: IN-WINDOW (the new median falls inside the
+old rep window, or the windows overlap — same-code machine noise, the
+"scattered movers" an anchor narrative used to adjudicate in prose) vs
+OUT-OF-WINDOW (disjoint windows — a distribution shift worth
+investigating). Ends with the one-line census the narrative needs:
+"N movers: K in-window (noise), M out-of-window (investigate)".
+Exit status: 0 = no out-of-window mover, 1 otherwise.
 """
 import json
 import sys
@@ -121,6 +132,62 @@ def main(old_p, new_p, tol=0.15):
     return 1 if (reg or shifts) else 0
 
 
+def movers(old_p, new_p, move=0.05):
+    """Census of EVERY median mover >= `move`, each classified
+    mechanically — the replacement for the anchor narratives' prose.
+
+    Two-level rule, matching what the narratives actually adjudicated:
+    the box drifts tens of percent BETWEEN same-code runs (whole-run
+    shifts that move most queries the same way), so raw rep windows
+    from 3 isolated reps flag the drift itself. The census therefore
+    (1) estimates the run-pair's drift factor g = the MEDIAN of
+    per-query median ratios (robust to the movers themselves), and
+    (2) classifies each mover against the old rep window SCALED by g
+    and widened by the module's REGRESSION tolerance (±15% — the same
+    constant main() treats as measurement tolerance; a 3-rep window
+    underestimates between-run variance, which is the whole reason the
+    REGRESSION rule carries a tolerance): inside = noise; beyond it =
+    OUT-OF-WINDOW, a per-query distribution shift worth investigating.
+    Raw-window disjointness is also printed so nothing is hidden."""
+    old = json.load(open(old_p))
+    new = json.load(open(new_p))
+    o, n = old.get("reps", {}), new.get("reps", {})
+    shared = sorted(set(o) & set(n))
+    ratios = sorted(n[q]["median"] / o[q]["median"]
+                    for q in shared if o[q]["median"] > 0)
+    g = ratios[len(ratios) // 2] if ratios else 1.0
+    rows = []
+    for q in shared:
+        om, on = o[q], n[q]
+        if om["median"] <= 0:
+            continue
+        rel = (on["median"] - om["median"]) / om["median"]
+        if abs(rel) < move:
+            continue
+        raw = disjoint(om, on)
+        scaled = {"min": om["min"] * g / 1.15,
+                  "max": om["max"] * g * 1.15}
+        adj = disjoint(scaled, on)
+        cls = "OUT-OF-WINDOW" if adj else "in-window"
+        rows.append((cls, q, om, on, rel, raw))
+    print(f"movers >= {move:.0%} between {old_p} and {new_p} "
+          f"({len(shared)} shared queries, totals "
+          f"{old.get('value')}s -> {new.get('value')}s, "
+          f"run drift factor g={g:.3f})")
+    for cls, q, om, on, rel, raw in sorted(rows, key=lambda r: -abs(r[4])):
+        rawtag = " raw-disjoint" if raw and cls == "in-window" else ""
+        print(f"  {cls:14s} {q:32s} {om['median']:.3f} "
+              f"[{om['min']:.3f}-{om['max']:.3f}] -> {on['median']:.3f} "
+              f"[{on['min']:.3f}-{on['max']:.3f}]  {rel:+.0%}{rawtag}")
+    out = sum(1 for r in rows if r[0] == "OUT-OF-WINDOW")
+    print(f"{len(rows)} movers: {len(rows) - out} in-window after drift "
+          f"adjustment (noise), {out} out-of-window (investigate)")
+    return 1 if out else 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--movers":
+        mv = float(sys.argv[4]) if len(sys.argv) > 4 else 0.05
+        sys.exit(movers(sys.argv[2], sys.argv[3], mv))
     tol = float(sys.argv[3]) if len(sys.argv) > 3 else 0.15
     sys.exit(main(sys.argv[1], sys.argv[2], tol))

@@ -271,4 +271,108 @@ class CdxSpec extends SparkSpec {
         col("length")))
     assert(graft.operators.Crawl.fetchPlan(withNull, 100L).count() === 3)
   }
+
+  test("fetchRecords: ranges spanning record boundaries slice out " +
+      "exactly the selected captures; a misaligned slice is a loud null") {
+    def rec(uri: String, body: String): String = {
+      val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: <$uri>" +
+        s"\r\nContent-Type: application/http; msgtype=response" +
+        s"\r\nContent-Length: ${http.length}\r\n\r\n$http\r\n\r\n"
+    }
+    // one file of 6 contiguous variable-length records; select #0, #2,
+    // #3, #5 — the gaps (#1, #4) are whole unselected records, so the
+    // coalesced range READS them but must never emit them
+    val recs = (0 until 6).map(i =>
+      rec(s"http://ex.test/r$i", s"body $i " + "x" * (10 + 7 * i)))
+    val offsets = recs.scanLeft(0L)((acc, r) => acc + r.length).init
+    val archive = Seq(("w1", recs.mkString("").getBytes("US-ASCII")))
+      .toDF("filename", "payload")
+    val sel = Seq(0, 2, 3, 5)
+    val index = sel.map(i =>
+      ("w1", offsets(i), recs(i).length.toLong))
+      .toDF("filename", "offset", "length")
+    // big gap cap: ONE range spanning every boundary
+    val plan = graft.operators.Crawl.fetchPlan(index, 1L << 20).collect()
+    assert(plan.length === 1 && plan(0).getAs[Long]("n_records") === 4L)
+    val out = graft.operators.Crawl.fetchRecords(index, archive, 1L << 20)
+      .orderBy(col("offset")).collect()
+    assert(out.length === 4)
+    assert(out.map(_.getAs[org.apache.spark.sql.Row]("warc_rec")
+      .getAs[String]("uri")).toSeq === sel.map(i => s"http://ex.test/r$i"))
+    // gap cap 0: one range per record, same captures out
+    val out0 = graft.operators.Crawl.fetchRecords(index, archive, 0L)
+      .orderBy(col("offset")).collect()
+    assert(out0.map(_.getAs[org.apache.spark.sql.Row]("warc_rec")
+      .getAs[String]("uri")).toSeq === out.map(
+      _.getAs[org.apache.spark.sql.Row]("warc_rec")
+        .getAs[String]("uri")).toSeq)
+    // differential vs the full-scan parse restricted to the selection
+    val full = graft.operators.Multimodal
+      .warcRecords(archive.select(col("payload")))
+      .select(col("warc_rec.uri").as("uri"),
+        col("warc_rec.body").cast("string").as("body"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for (r <- out) {
+      val w = r.getAs[org.apache.spark.sql.Row]("warc_rec")
+      assert(new String(w.getAs[Array[Byte]]("body"), "US-ASCII") ===
+        full(w.getAs[String]("uri")))
+    }
+    // a misaligned index entry (offset off by one) parses to null — the
+    // loud-null rule, never a silently wrong record
+    val bad = Seq(("w1", offsets(2) + 1, recs(2).length.toLong))
+      .toDF("filename", "offset", "length")
+    val badOut = graft.operators.Crawl.fetchRecords(bad, archive).collect()
+    assert(badOut.length === 1 && badOut(0).isNullAt(
+      badOut(0).fieldIndex("warc_rec")))
+  }
+
+  test("collapseRevisits: revisit chains fold onto the earliest " +
+      "original; orphans stay loud") {
+    def row(urlkey: String, ts: String, mime: String, digest: String,
+        off: Long): (String, String, String, String, Integer, String,
+        java.lang.Long, java.lang.Long, String) =
+      (urlkey, ts, "http://ex.org/x", mime, 200, digest, 100L, off, "w1")
+    val idx = Seq(
+      // one original + two revisits on its digest
+      row("org,ex)/a", "20260101000000", "text/html", "sha1:a", 0L),
+      row("org,ex)/a", "20260115000000", "warc/revisit", "sha1:a", 300L),
+      row("org,ex)/a", "20260201000000", "warc/revisit", "sha1:a", 600L),
+      // same urlkey, DIFFERENT digest (content changed): its own group
+      row("org,ex)/a", "20260301000000", "text/html", "sha1:a2", 900L),
+      // two originals sharing a digest (content reverted): earliest wins
+      row("org,ex)/b", "20260105000000", "text/html", "sha1:b", 0L),
+      row("org,ex)/b", "20260120000000", "text/html", "sha1:b", 300L),
+      // orphan: revisit whose original fell outside the slice
+      row("org,ex)/c", "20260110000000", "warc/revisit", "sha1:c", 0L))
+      .toDF("urlkey", "ts", "url", "mime", "status", "digest", "length",
+        "offset", "filename")
+    val out = graft.operators.Crawl.collapseRevisits(idx)
+      .orderBy(col("urlkey"), col("digest")).collect()
+    assert(out.length === 4)
+    val a = out(0)
+    assert(a.getAs[String]("digest") === "sha1:a" &&
+      a.getAs[Long]("n_captures") === 3L &&
+      a.getAs[Long]("n_revisits") === 2L &&
+      a.getAs[String]("first_ts") === "20260101000000" &&
+      a.getAs[String]("last_ts") === "20260201000000" &&
+      a.getAs[String]("orig_ts") === "20260101000000" &&
+      a.getAs[Long]("offset") === 0L)
+    val a2 = out(1)
+    assert(a2.getAs[String]("digest") === "sha1:a2" &&
+      a2.getAs[Long]("n_captures") === 1L &&
+      a2.getAs[Long]("n_revisits") === 0L)
+    val b = out(2)
+    assert(b.getAs[Long]("n_captures") === 2L &&
+      b.getAs[Long]("n_revisits") === 0L &&
+      b.getAs[String]("orig_ts") === "20260105000000" &&
+      b.getAs[Long]("offset") === 0L)
+    // the orphan: every location column null, n_revisits == n_captures
+    val c = out(3)
+    assert(c.getAs[Long]("n_captures") === 1L &&
+      c.getAs[Long]("n_revisits") === 1L &&
+      c.isNullAt(c.fieldIndex("filename")) &&
+      c.isNullAt(c.fieldIndex("offset")) &&
+      c.isNullAt(c.fieldIndex("orig_ts")))
+  }
 }
