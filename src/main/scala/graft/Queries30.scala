@@ -247,6 +247,110 @@ object Queries30 {
       .orderBy(col("url"))
   }
 
+  /** Dedup-then-replay — the two r16 index operators COMPOSED the way a
+    * production pipeline runs them: a CDX slice with `warc/revisit`
+    * re-captures (every 2nd selected doc, pointing at tiny revisit
+    * records that must never be fetched) is collapsed on
+    * `(urlkey, digest)` ([[graft.operators.Crawl.collapseRevisits]] —
+    * dedup means fetching the bytes ONCE, from the original's
+    * location), and the surviving original locations feed
+    * [[graft.operators.Crawl.fetchRecords]] against q243-style
+    * fixed-width in-plan archives; the parsed pages carry their
+    * capture-history columns (`n_revisits`, `first_ts`/`last_ts`)
+    * through the join back. One plan: collapse (one hash agg) →
+    * fetchPlan window → range slices → parse → equi-join. Oracle
+    * replays everything arithmetically. */
+  val q246DedupReplay: (String, QueryDef) = q(
+    "q246_dedup_replay",
+    """WITH nlc AS (SELECT chr(13) || chr(10) AS nl),
+      |p AS (
+      |  SELECT doc_id AS d, lpad(CAST(doc_id AS VARCHAR), 7, '0') AS d7
+      |  FROM documents WHERE doc_id < 300),
+      |b AS (
+      |  SELECT d, 'http://ex.test/q' || d7 AS url,
+      |    '<html><body><p>replay page ' || d7 ||
+      |      ' carries enough words</p></body></html>' AS html
+      |  FROM p),
+      |r AS (
+      |  SELECT d, url, html,
+      |    'HTTP/1.1 200 OK' || nl || 'Content-Type: text/html' ||
+      |      nl || nl || html AS http
+      |  FROM b, nlc),
+      |w AS (
+      |  SELECT d, url, html,
+      |    'WARC/1.0' || nl || 'WARC-Type: response' || nl ||
+      |      'WARC-Target-URI: <' || url || '>' || nl ||
+      |      'Content-Type: application/http; msgtype=response' || nl ||
+      |      'Content-Length: ' || CAST(length(http) AS VARCHAR) ||
+      |      nl || nl || http || nl || nl AS rec
+      |  FROM r, nlc)
+      |SELECT url, CAST(200 AS INT) AS status, html,
+      |  CAST(CASE WHEN d % 2 = 0 THEN 2 ELSE 0 END AS BIGINT)
+      |    AS n_revisits,
+      |  '20260101000000' AS first_ts,
+      |  CASE WHEN d % 2 = 0 THEN '20260301000000'
+      |       ELSE '20260101000000' END AS last_ts,
+      |  'w' || CAST(d % 5 AS VARCHAR) || '.warc.gz' AS filename,
+      |  CAST((d // 5) * length(rec) AS BIGINT) AS "offset"
+      |FROM w WHERE d % 3 = 0
+      |ORDER BY url""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val d7 = lpad(d.cast("string"), 7, "0")
+    val uri = concat(lit("http://ex.test/q"), d7)
+    val html = concat(lit("<html><body><p>replay page "), d7,
+      lit(" carries enough words</p></body></html>"))
+    val http = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html)
+    val rec = Queries27.resp(uri, http)
+    val docs = t("documents").filter(d < 300)
+      .select(d, concat(lit("w"), (d % 5).cast("string"),
+        lit(".warc.gz")).as("filename"),
+        floor(d / 5).cast("long").as("rnk"), rec.as("rec"), uri.as("u"))
+    val archives = docs.groupBy(col("filename"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rnk"), col("rec")))),
+        x => x.getField("rec")), "").as("p"))
+      .select(col("filename"), col("p").cast("binary").as("payload"))
+    // the index SLICE: every 3rd doc's original capture + (every 2nd of
+    // those) two warc/revisit re-captures pointing at tiny revisit
+    // records in rv*.warc.gz — locations that must never be fetched
+    val sel = docs.filter(d % 3 === 0)
+    def capCols(ts: String, mime: Column, len: Column, off: Column,
+        file: Column) = Seq(
+      call_function("graft_surt", col("u")).as("urlkey"),
+      lit(ts).as("ts"), col("u").as("url"), mime.as("mime"),
+      lit(200).as("status"),
+      concat(lit("sha1:q"), d.cast("string")).as("digest"),
+      len.cast("long").as("length"), off.cast("long").as("offset"),
+      file.as("filename"))
+    val originals = sel.select(capCols("20260101000000",
+      lit("text/html"), length(col("rec")),
+      col("rnk") * length(col("rec")), col("filename")): _*)
+    val rv = concat(lit("rv"), (d % 5).cast("string"), lit(".warc.gz"))
+    val revisits = sel.filter(d % 2 === 0)
+      .select(capCols("20260201000000", lit("warc/revisit"), lit(10),
+        d * 7, rv): _*)
+      .unionAll(sel.filter(d % 2 === 0)
+        .select(capCols("20260301000000", lit("warc/revisit"), lit(10),
+          d * 7 + 20, rv): _*))
+    val collapsed = graft.operators.Crawl
+      .collapseRevisits(originals.unionAll(revisits))
+    val fetched = graft.operators.Crawl.fetchRecords(
+      collapsed.select(col("filename"), col("offset"), col("length")),
+      archives)
+    fetched
+      .join(collapsed.select(col("filename"), col("offset"),
+        col("n_revisits"), col("first_ts"), col("last_ts")),
+        Seq("filename", "offset"))
+      .select(col("warc_rec.uri").as("url"),
+        col("warc_rec.status").as("status"),
+        col("warc_rec.body").cast("string").as("html"),
+        col("n_revisits"), col("first_ts"), col("last_ts"),
+        col("filename"), col("offset"))
+      .orderBy(col("url"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(q243SelectiveReplay,
-    q244RevisitCollapse, q245RecrawlMixedOffset)
+    q244RevisitCollapse, q245RecrawlMixedOffset, q246DedupReplay)
 }
