@@ -266,7 +266,13 @@ object Crawl {
     * host's sort spreads across range partitions, and a per-host base
     * offset restores 1-based slots). Both paths produce IDENTICAL
     * slots (row_number by url within host); the threshold only picks
-    * the plan shape, so correctness never depends on it. Output adds
+    * the plan shape, so correctness never depends on it. The split is
+    * DATA-DEPENDENT and decided eagerly: one cheap probe (the map-side-
+    * combined per-host rollup, `limit(1)`) checks whether ANY host
+    * trips the threshold — when none does (the common schedule), the
+    * plan is exactly the pre-split single window with zero extra
+    * operators, so balanced schedules never pay the two-pass machinery
+    * (its pins and range sample are construction-time jobs). Output adds
     * `slot` (1-based fetch index within the host, ordered by URL for
     * determinism) and `offset_s` (= `(slot−1) × delay` — the earliest
     * polite start relative to the host's first fetch). */
@@ -294,22 +300,30 @@ object Crawl {
       .select(col("host"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("host")).orderBy(col("url"))
-    val normal = withDelay
-      .join(broadcast(mega), Seq("host"), "left_anti")
-      .withColumn("slot", row_number().over(w))
-    val deskewed = {
-      val ranked = Ranking.globalRowNumber(
-        withDelay.join(broadcast(mega), Seq("host"), "left_semi"),
-        Seq(col("host"), col("url")), "__grn")
-      // per-host base = min global rank − 1 (hosts dim-sized rollup)
-      val base = ranked.groupBy(col("host"))
-        .agg(min(col("__grn")).as("__base"))
-      ranked.join(broadcast(base), Seq("host"))
-        .withColumn("slot",
-          (col("__grn") - col("__base") + 1L).cast("int"))
-        .drop("__grn", "__base")
-    }
-    normal.unionByName(deskewed)
+    // one cheap eager probe picks the plan; the partial-aggregated
+    // rollup ships one row per host per partition, so this is far
+    // cheaper than the two-pass machinery it lets balanced inputs skip
+    val hasMega = deskewHostUrls != Long.MaxValue &&
+      !withDelay.isStreaming && mega.limit(1).count() > 0
+    val slotted =
+      if (!hasMega) withDelay.withColumn("slot", row_number().over(w))
+      else {
+        val normal = withDelay
+          .join(broadcast(mega), Seq("host"), "left_anti")
+          .withColumn("slot", row_number().over(w))
+        val ranked = Ranking.globalRowNumber(
+          withDelay.join(broadcast(mega), Seq("host"), "left_semi"),
+          Seq(col("host"), col("url")), "__grn")
+        // per-host base = min global rank − 1 (hosts dim-sized rollup)
+        val base = ranked.groupBy(col("host"))
+          .agg(min(col("__grn")).as("__base"))
+        val deskewed = ranked.join(broadcast(base), Seq("host"))
+          .withColumn("slot",
+            (col("__grn") - col("__base") + 1L).cast("int"))
+          .drop("__grn", "__base")
+        normal.unionByName(deskewed)
+      }
+    slotted
       .withColumn("offset_s", (col("slot") - 1).cast("double") *
         coalesce(col("crawl_delay"), lit(1.0)))
   }
@@ -850,7 +864,7 @@ object Crawl {
       .withColumn("__v", when(col("__v") === "upsert" &&
         col("__kept").isNull, lit("remove")).otherwise(col("__v")))
       .select(col("url"), col("__v")))
-    val carried = corpus.toDF(corpus.columns.map(
+    val carried = corpus.toDF(corpus.columns.toIndexedSeq.map(
         _.toLowerCase(java.util.Locale.ROOT)): _*)
       .join(dim, Seq("url"), "left")
       .filter(col("__v").isNull || col("__v") === "retain" ||
