@@ -351,6 +351,97 @@ object Queries30 {
       .orderBy(col("url"))
   }
 
+  /** Index the crawl's OWN archives, then replay from that index — the
+    * write side closed ([[graft.operators.Crawl.buildIndex]]): per-file
+    * fixed-width archives (now carrying `WARC-Date`) are indexed
+    * in-plan (urlkey via `graft_surt`, ts from the date's digits,
+    * digest = SHA-256 of the body, offset/length from the parser's own
+    * record extents), the index filters on its ts digit (odd seconds —
+    * every 2nd capture, so ranges span the skipped records), and
+    * [[graft.operators.Crawl.fetchRecords]] replays the selection —
+    * with `digest_ok` recomputing the slice's hash against the index's
+    * digest, so a one-byte slicing error kills BOTH the html hash and
+    * the boolean. The oracle rebuilds records with CHR framing and
+    * DuckDB's own sha256. */
+  val q247IndexRoundtrip: (String, QueryDef) = q(
+    "q247_index_roundtrip",
+    """WITH nlc AS (SELECT chr(13) || chr(10) AS nl),
+      |p AS (
+      |  SELECT doc_id AS d, lpad(CAST(doc_id AS VARCHAR), 7, '0') AS d7
+      |  FROM documents WHERE doc_id < 300),
+      |b AS (
+      |  SELECT d, d7, 'http://ex.test/x' || d7 AS url,
+      |    '<html><body><p>indexed page ' || d7 ||
+      |      ' has its own words</p></body></html>' AS html
+      |  FROM p),
+      |r AS (
+      |  SELECT d, d7, url, html,
+      |    'HTTP/1.1 200 OK' || nl || 'Content-Type: text/html' ||
+      |      nl || nl || html AS http
+      |  FROM b, nlc),
+      |w AS (
+      |  SELECT d, d7, url, html,
+      |    'WARC/1.0' || nl || 'WARC-Type: response' || nl ||
+      |      'WARC-Date: 2026-01-01T00:00:0' || CAST(d % 10 AS VARCHAR) ||
+      |      'Z' || nl ||
+      |      'WARC-Target-URI: <' || url || '>' || nl ||
+      |      'Content-Type: application/http; msgtype=response' || nl ||
+      |      'Content-Length: ' || CAST(length(http) AS VARCHAR) ||
+      |      nl || nl || http || nl || nl AS rec
+      |  FROM r, nlc)
+      |SELECT 'test,ex)/x' || d7 AS urlkey,
+      |  '2026010100000' || CAST(d % 10 AS VARCHAR) AS ts,
+      |  url, 'text/html' AS mime, CAST(200 AS INT) AS status,
+      |  sha256(html) AS digest,
+      |  CAST(length(rec) AS BIGINT) AS length,
+      |  CAST((d // 5) * length(rec) AS BIGINT) AS "offset",
+      |  'w' || CAST(d % 5 AS VARCHAR) || '.warc.gz' AS filename,
+      |  html, TRUE AS digest_ok
+      |FROM w WHERE d % 2 = 1
+      |ORDER BY urlkey""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val d7 = lpad(d.cast("string"), 7, "0")
+    val uri = concat(lit("http://ex.test/x"), d7)
+    val html = concat(lit("<html><body><p>indexed page "), d7,
+      lit(" has its own words</p></body></html>"))
+    val http = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html)
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Date: " +
+        "2026-01-01T00:00:0"), (d % 10).cast("string"),
+      lit("Z\r\nWARC-Target-URI: <"), uri,
+      lit(">\r\nContent-Type: application/http; msgtype=response" +
+        "\r\nContent-Length: "), length(http).cast("string"),
+      lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+    val docs = t("documents").filter(d < 300)
+      .select(d, concat(lit("w"), (d % 5).cast("string"),
+        lit(".warc.gz")).as("filename"),
+        floor(d / 5).cast("long").as("rnk"), rec.as("rec"))
+    val archives = docs.groupBy(col("filename"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rnk"), col("rec")))),
+        x => x.getField("rec")), "").as("p"))
+      .select(col("filename"), col("p").cast("binary").as("payload"))
+    val index = graft.operators.Crawl.buildIndex(archives)
+    // the selection: odd capture seconds — every 2nd doc, so each
+    // coalesced range spans the skipped even-second records
+    val picked = index.filter(substring(col("ts"), 14, 1)
+      .isin("1", "3", "5", "7", "9"))
+    graft.operators.Crawl.fetchRecords(
+        picked.select(col("filename"), col("offset"), col("length")),
+        archives)
+      .join(picked, Seq("filename", "offset", "length"))
+      .select(col("urlkey"), col("ts"),
+        col("warc_rec.uri").as("url"), col("mime"), col("status"),
+        col("digest"), col("length"), col("offset"), col("filename"),
+        col("warc_rec.body").cast("string").as("html"),
+        (sha2(col("warc_rec.body"), 256) === col("digest"))
+          .as("digest_ok"))
+      .orderBy(col("urlkey"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(q243SelectiveReplay,
-    q244RevisitCollapse, q245RecrawlMixedOffset, q246DedupReplay)
+    q244RevisitCollapse, q245RecrawlMixedOffset, q246DedupReplay,
+    q247IndexRoundtrip)
 }

@@ -17,7 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * `graft_warc_parse(binary) -> array<struct<rec_type string, uri string,
   * status int, mime string, location string, last_modified string,
-  * etag string, body binary>>`, one element per WARC record:
+  * etag string, body binary, date string, rec_offset bigint,
+  * rec_length bigint>>`, one element per WARC record:
   *
   *  - gzip input (magic `1f 8b`) inflates first — multi-member streams
   *    (the warc.gz convention: one member per record) read end-to-end;
@@ -44,6 +45,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    empty body); any other record keeps `status` null, `mime` = the
   *    record-level `Content-Type`, the HTTP-only fields null, `body`
   *    = the whole block;
+  *  - `date` = `WARC-Date` (ISO 28500 §5.4, the capture instant,
+  *    verbatim — the CDX `ts` derives from it downstream), and
+  *    `rec_offset`/`rec_length` = the record's extent IN THE RECORD
+  *    STREAM (version line through the trailing CR/LF separators, so a
+  *    `[offset, offset+length)` slice re-parses standalone — the
+  *    buildIndex → fetchRecords round-trip contract). For plain WARC
+  *    payloads these address the stored bytes; for warc.gz they address
+  *    the INFLATED stream, not the compressed member (CDX offsets for
+  *    compressed archives are member offsets, which a payload kernel
+  *    cannot see — [[graft.operators.Crawl.buildIndex]] documents the
+  *    restriction);
   *  - anything malformed — wrong magic, missing/invalid `Content-Length`,
   *    a block running past the input — returns NULL for the whole value
   *    (corrupt archives surface, never half-parse).
@@ -64,8 +76,11 @@ object WarcKernel {
       val location: Array[Byte], // HTTP Location (redirect target)
       val lastModified: Array[Byte], // HTTP Last-Modified (RFC 9110 §8.8.2)
       val etag: Array[Byte], // HTTP ETag (RFC 9110 §8.8.3)
+      val date: Array[Byte], // WARC-Date (ISO 28500 §5.4; capture instant)
       val bodyOff: Int,
-      val bodyLen: Int)
+      val bodyLen: Int,
+      val recOff: Int, // record start (version line) in the record stream
+      val recLen: Int) // through the record's trailing CR/LF separators
 
   private def isGzip(b: Array[Byte]): Boolean =
     b.length > 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
@@ -133,6 +148,11 @@ object WarcKernel {
     }
     skipCrlf()
     while (i < n) {
+      // record start — the version line's offset in the (inflated)
+      // record stream; with the post-separator end below it makes each
+      // record re-sliceable ([start, start+len) re-parses to exactly
+      // this record — the buildIndex/fetchRecords contract)
+      val recOff = i
       // version line
       if (i + 5 > n || b(i) != 'W' || b(i + 1) != 'A' || b(i + 2) != 'R' ||
         b(i + 3) != 'C' || b(i + 4) != '/') return null
@@ -141,6 +161,7 @@ object WarcKernel {
       var recType: Array[Byte] = null
       var uri: Array[Byte] = null
       var recMime: Array[Byte] = null
+      var recDate: Array[Byte] = null
       var contentLength = -1L
       var lastName: String = null
       var blank = false
@@ -169,6 +190,7 @@ object WarcKernel {
               case "warc-type" => recType = join(recType)
               case "warc-target-uri" => uri = join(uri)
               case "content-type" => recMime = join(recMime)
+              case "warc-date" => recDate = join(recDate)
               case _ => ()
             }
           }
@@ -187,6 +209,8 @@ object WarcKernel {
               uri = v; lastName = "warc-target-uri"
             } else if (lowerEq(b, ls, c, "content-type")) {
               recMime = v; lastName = "content-type"
+            } else if (lowerEq(b, ls, c, "warc-date")) {
+              recDate = v; lastName = "warc-date"
             } else if (lowerEq(b, ls, c, "content-length")) {
               lastName = null // folding a length is malformed; ignore
               contentLength = 0L
@@ -284,17 +308,20 @@ object WarcKernel {
         if (httpBody >= 0) { bodyOff = httpBody; bodyLen = blockEnd - httpBody }
         else { bodyOff = blockEnd; bodyLen = 0 } // headers never ended
       }
-      recs += new Rec(recType, uri, status, mime, httpLoc, httpLm, httpEtag,
-        bodyOff, bodyLen)
+      // the record's extent runs through its trailing CR/LF separators
+      // (= up to the next record's version line, or end of stream) so a
+      // [recOff, recOff+recLen) slice re-parses standalone
       skipCrlf()
+      recs += new Rec(recType, uri, status, mime, httpLoc, httpLm, httpEtag,
+        recDate, bodyOff, bodyLen, recOff, i - recOff)
     }
     (recs.toArray, b)
   }
 }
 
 /** `graft_warc_parse(binary) -> array<struct<rec_type, uri, status, mime,
-  * location, last_modified, etag, body>>` — see [[WarcKernel]]. NULL on
-  * malformed/over-cap input. */
+  * location, last_modified, etag, body, date, rec_offset, rec_length>>`
+  * — see [[WarcKernel]]. NULL on malformed/over-cap input. */
 case class GraftWarcParse(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -309,7 +336,10 @@ case class GraftWarcParse(child: Expression) extends UnaryExpression {
     StructField("location", StringType, nullable = true),
     StructField("last_modified", StringType, nullable = true),
     StructField("etag", StringType, nullable = true),
-    StructField("body", BinaryType, nullable = false))),
+    StructField("body", BinaryType, nullable = false),
+    StructField("date", StringType, nullable = true),
+    StructField("rec_offset", LongType, nullable = false),
+    StructField("rec_length", LongType, nullable = false))),
     containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_warc_parse"
@@ -338,7 +368,11 @@ case class GraftWarcParse(child: Expression) extends UnaryExpression {
             if (r.etag == null) null
             else UTF8String.fromBytes(r.etag),
             java.util.Arrays.copyOfRange(buf, r.bodyOff,
-              r.bodyOff + r.bodyLen)))
+              r.bodyOff + r.bodyLen),
+            if (r.date == null) null
+            else UTF8String.fromBytes(r.date),
+            r.recOff.toLong,
+            r.recLen.toLong))
           i += 1
         }
         new GenericArrayData(out)

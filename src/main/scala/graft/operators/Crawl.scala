@@ -699,6 +699,55 @@ object Crawl {
       .drop("__recs")
   }
 
+  /** CDX index GENERATION — the write side of the index tier: turn a
+    * crawl's own archives into the cdxj-shaped frame every index-side
+    * operator consumes, so the loop `crawl → buildIndex →
+    * collapseRevisits / fetchPlan / fetchRecords` runs without an
+    * external indexer. One row per `response` record with a usable
+    * target URI: `urlkey` (`graft_surt` of the record URI — the
+    * external sort key), `ts` (the first 14 digits of `WARC-Date`, the
+    * CDX timestamp convention; null when the record carries no date —
+    * LOUD, the caller filters), `url` (verbatim), `mime`, `status`,
+    * `digest` (SHA-256 hex of the response BODY — this engine's
+    * documented digest; CommonCrawl writes base-32 SHA-1, but the
+    * digest's only contract here is payload equality for
+    * [[collapseRevisits]], and SHA-256 is the hash both this engine
+    * and the oracle compute identically), `length`/`offset` (the
+    * record's extent in the payload's record stream — re-sliceable by
+    * [[fetchRecords]] by construction), `filename` (the caller's
+    * archive-name column).
+    *
+    * Offsets address the payload AS PARSED: exact for plain WARC
+    * payloads; for warc.gz they are INFLATED-stream coordinates, which
+    * do not address the compressed bytes (the CDX convention for
+    * compressed archives is gzip-member offsets, invisible to a
+    * payload-level kernel) — index compressed archives only if the
+    * replay path inflates before slicing, or store member-aligned
+    * plain segments. Plan shape: pure scan-side projection (parse +
+    * surt + sha2, all codegen) — no shuffle at all; at 100 TB this is
+    * the one pass that makes every later query an index query. */
+  def buildIndex(archives: DataFrame, payloadCol: String = "payload",
+      filenameCol: String = "filename"): DataFrame = {
+    val cols = archives.columns.map(_.toLowerCase(java.util.Locale.ROOT))
+    require(cols.contains(filenameCol.toLowerCase(java.util.Locale.ROOT)) &&
+      cols.contains(payloadCol.toLowerCase(java.util.Locale.ROOT)),
+      s"buildIndex: archives must carry ($filenameCol, $payloadCol)")
+    Multimodal.warcRecords(archives, payloadCol)
+      .filter(lower(col("warc_rec.rec_type")) === "response" &&
+        col("warc_rec.uri").isNotNull)
+      .select(
+        call_function("graft_surt", col("warc_rec.uri")).as("urlkey"),
+        substring(regexp_replace(col("warc_rec.date"),
+          "[^0-9]", ""), 1, 14).as("ts"),
+        col("warc_rec.uri").as("url"),
+        col("warc_rec.mime").as("mime"),
+        col("warc_rec.status").as("status"),
+        sha2(col("warc_rec.body"), 256).as("digest"),
+        col("warc_rec.rec_length").as("length"),
+        col("warc_rec.rec_offset").as("offset"),
+        col(filenameCol).as("filename"))
+  }
+
   /** CDX capture-history collapse — the index-side dedup primitive over
     * `(urlkey, digest)`: CommonCrawl marks an unchanged re-capture as a
     * `warc/revisit` record carrying the ORIGINAL capture's payload

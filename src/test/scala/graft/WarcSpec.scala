@@ -45,6 +45,80 @@ class WarcSpec extends SparkSpec {
       rs(1).bodyOff + rs(1).bodyLen)) === "<p>hello</p>")
   }
 
+  test("WARC-Date + record extents: every [offset, offset+length) " +
+      "slice re-parses standalone to exactly its record") {
+    val warc =
+      rec("response", httpBlock, "WARC-Target-URI: <http://ex.test/a>\r\n" +
+        "WARC-Date: 2026-01-02T03:04:05Z\r\n") +
+      rec("warcinfo", "software: graft\r\n") +
+      rec("response", httpBlock, "WARC-Target-URI: <http://ex.test/b>\r\n" +
+        "WARC-Date: 2026-02-02T03:04:06Z\r\n")
+    val bytes = b(warc)
+    val (rs, _) = WarcKernel.parse(bytes)
+    assert(rs.length === 3)
+    assert(str(rs(0).date) === "2026-01-02T03:04:05Z")
+    assert(rs(1).date === null) // no WARC-Date header: loud null
+    assert(str(rs(2).date) === "2026-02-02T03:04:06Z")
+    // extents tile the stream exactly: record k ends where k+1 starts
+    assert(rs(0).recOff === 0)
+    assert(rs(1).recOff === rs(0).recOff + rs(0).recLen)
+    assert(rs(2).recOff === rs(1).recOff + rs(1).recLen)
+    assert(rs(2).recOff + rs(2).recLen === bytes.length)
+    // the buildIndex -> fetchRecords contract: each slice re-parses to
+    // EXACTLY its record, byte-identical fields
+    for (r <- rs) {
+      val slice = java.util.Arrays.copyOfRange(bytes, r.recOff,
+        r.recOff + r.recLen)
+      val (rs2, buf2) = WarcKernel.parse(slice)
+      assert(rs2.length === 1)
+      assert(str(rs2(0).recType) === str(r.recType))
+      assert((rs2(0).date == null) === (r.date == null))
+      if (r.date != null) assert(str(rs2(0).date) === str(r.date))
+      assert(rs2(0).bodyLen === r.bodyLen)
+    }
+  }
+
+  test("buildIndex: archives index themselves — surt keys, ts digits, " +
+      "sha-256 digests, re-sliceable extents") {
+    val warc =
+      rec("response", httpBlock,
+        "WARC-Target-URI: <HTTP://WWW.EX.test/A?b=2&a=1>\r\n" +
+          "WARC-Date: 2026-01-02T03:04:05Z\r\n") +
+      rec("warcinfo", "software: graft\r\n") + // not indexed
+      rec("response", "HTTP/1.1 404 NF\r\n\r\ngone",
+        "WARC-Target-URI: <http://ex.test/gone>\r\n" +
+          "WARC-Date: 2026-01-02T03:04:06Z\r\n") +
+      rec("response", httpBlock, // no date: null ts, loud
+        "WARC-Target-URI: <http://ex.test/nodate>\r\n")
+    val archives = Seq(("w0", b(warc))).toDF("filename", "payload")
+    val idx = graft.operators.Crawl.buildIndex(archives)
+      .orderBy(col("offset")).collect()
+    assert(idx.length === 3) // responses only
+    val a = idx(0)
+    // SURT folds the shouted host + unsorted query; ts = date digits
+    assert(a.getAs[String]("urlkey") === "test,ex)/a?a=1&b=2")
+    assert(a.getAs[String]("ts") === "20260102030405")
+    assert(a.getAs[String]("url") === "HTTP://WWW.EX.test/A?b=2&a=1")
+    assert(a.getAs[Int]("status") === 200)
+    assert(a.getAs[String]("mime") === "text/html; charset=utf-8")
+    assert(a.getAs[String]("digest") ===
+      org.apache.commons.codec.digest.DigestUtils.sha256Hex(
+        "<p>hello</p>"))
+    assert(idx(1).getAs[Int]("status") === 404)
+    assert(idx(2).getAs[String]("ts") === null) // dateless: loud null
+    // the index replays through fetchRecords: bodies match the digests
+    val out = graft.operators.Crawl.fetchRecords(
+        idx.toSeq.map(r => (r.getAs[String]("filename"),
+          r.getAs[Long]("offset"), r.getAs[Long]("length")))
+          .toDF("filename", "offset", "length"),
+        archives)
+      .select(col("offset"),
+        sha2(col("warc_rec.body"), 256).as("got"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (r <- idx)
+      assert(out(r.getAs[Long]("offset")) === r.getAs[String]("digest"))
+  }
+
   test("header details: case-insensitive names, obs-fold, bare-LF lines") {
     val warc = "WARC/1.0\nwarc-type: response\nWARC-TARGET-URI: http://u\n" +
       "content-length: 3\n\nxyz\n\n"
