@@ -441,7 +441,106 @@ object Queries30 {
       .orderBy(col("urlkey"))
   }
 
+  /** The index tier's DECADE INSTRUMENT — q224's convention applied to
+    * the write side: the `doc_id` cap REMOVED (work grows with the
+    * corpus), every document becomes one fixed-width WARC record in one
+    * of 7 archives, [[graft.operators.Crawl.buildIndex]] indexes them
+    * (parse + surt + sha-256 per record — the full write-side kernel
+    * chain), the odd-second half of the captures is selected, and
+    * [[graft.operators.Crawl.fetchPlan]] coalesces it under a 400-byte
+    * gap cap (≈ one skipped record — both engines compute the SAME
+    * record length, so the coalescing replays exactly); the output is
+    * the 7-row per-file rollup, so ScaleBench prices the whole chain
+    * across ScaleGen decades with a tiny result. Oracle: DuckDB
+    * rebuilds the records, windows the same algorithm (the q242
+    * convention), and rolls up. */
+  val q248IndexScale: (String, QueryDef) = q(
+    "q248_index_scale",
+    """WITH nlc AS (SELECT chr(13) || chr(10) AS nl),
+      |p AS (
+      |  SELECT doc_id AS d, lpad(CAST(doc_id AS VARCHAR), 9, '0') AS d9
+      |  FROM documents),
+      |b AS (
+      |  SELECT d, d9, 'http://ex.test/s' || d9 AS url,
+      |    '<html><body><p>scale page ' || d9 ||
+      |      ' words for indexing</p></body></html>' AS html
+      |  FROM p),
+      |r AS (
+      |  SELECT d, d9, url, html,
+      |    'HTTP/1.1 200 OK' || nl || 'Content-Type: text/html' ||
+      |      nl || nl || html AS http
+      |  FROM b, nlc),
+      |w AS (
+      |  SELECT d,
+      |    'WARC/1.0' || nl || 'WARC-Type: response' || nl ||
+      |      'WARC-Date: 2026-01-01T00:00:0' || CAST(d % 10 AS VARCHAR) ||
+      |      'Z' || nl ||
+      |      'WARC-Target-URI: <' || url || '>' || nl ||
+      |      'Content-Type: application/http; msgtype=response' || nl ||
+      |      'Content-Length: ' || CAST(length(http) AS VARCHAR) ||
+      |      nl || nl || http || nl || nl AS rec
+      |  FROM r, nlc),
+      |idx AS (
+      |  SELECT 'w' || CAST(d % 7 AS VARCHAR) AS filename,
+      |    CAST((d // 7) * length(rec) AS BIGINT) AS off,
+      |    CAST(length(rec) AS BIGINT) AS len
+      |  FROM w WHERE d % 10 IN (1, 3, 5, 9)),
+      |win AS (
+      |  SELECT *,
+      |    MAX(off + len) OVER (PARTITION BY filename ORDER BY off, len
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM idx),
+      |brk AS (
+      |  SELECT *, CASE WHEN prev_end IS NULL OR off > prev_end + 400
+      |    THEN 1 ELSE 0 END AS b FROM win),
+      |grp AS (
+      |  SELECT *, SUM(b) OVER (PARTITION BY filename ORDER BY off, len
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      |  FROM brk),
+      |rng AS (
+      |  SELECT filename, MIN(off) AS start, MAX(off + len) AS e,
+      |    COUNT(*) AS nr, SUM(len) AS pb
+      |  FROM grp GROUP BY filename, g)
+      |SELECT filename, CAST(COUNT(*) AS BIGINT) AS n_ranges,
+      |  CAST(SUM(nr) AS BIGINT) AS n_records,
+      |  CAST(SUM(pb) AS BIGINT) AS payload_bytes,
+      |  CAST(SUM(e - start - pb) AS BIGINT) AS gap_bytes
+      |FROM rng GROUP BY filename ORDER BY filename""".stripMargin) { (s, dir) =>
+    implicit val env: (SparkSession, String) = (s, dir)
+    val d = col("doc_id")
+    val d9 = lpad(d.cast("string"), 9, "0")
+    val uri = concat(lit("http://ex.test/s"), d9)
+    val html = concat(lit("<html><body><p>scale page "), d9,
+      lit(" words for indexing</p></body></html>"))
+    val http = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html)
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Date: " +
+        "2026-01-01T00:00:0"), (d % 10).cast("string"),
+      lit("Z\r\nWARC-Target-URI: <"), uri,
+      lit(">\r\nContent-Type: application/http; msgtype=response" +
+        "\r\nContent-Length: "), length(http).cast("string"),
+      lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+    val archives = t("documents")
+      .select(concat(lit("w"), (d % 7).cast("string")).as("filename"),
+        floor(d / 7).cast("long").as("rnk"), rec.as("rec"))
+      .groupBy(col("filename"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rnk"), col("rec")))),
+        x => x.getField("rec")), "").as("p"))
+      .select(col("filename"), col("p").cast("binary").as("payload"))
+    val picked = graft.operators.Crawl.buildIndex(archives)
+      .filter(substring(col("ts"), 14, 1).isin("1", "3", "5", "9"))
+    graft.operators.Crawl.fetchPlan(picked, maxGapBytes = 400L)
+      .groupBy(col("filename"))
+      .agg(count(lit(1)).as("n_ranges"),
+        sum(col("n_records")).as("n_records"),
+        sum(col("payload_bytes")).as("payload_bytes"),
+        sum(col("gap_bytes")).as("gap_bytes"))
+      .orderBy(col("filename"))
+  }
+
   val catalog: Seq[(String, QueryDef)] = Seq(q243SelectiveReplay,
     q244RevisitCollapse, q245RecrawlMixedOffset, q246DedupReplay,
-    q247IndexRoundtrip)
+    q247IndexRoundtrip, q248IndexScale)
 }
