@@ -59,6 +59,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * two are deliberately different normalizations (SURT is lossy:
   * case-folded path, stripped www) and a spec pins the difference.
   *
+  * KEY-FORMAT BREAK (r16): before r16 this kernel DROPPED every port
+  * and nulled bracketed IPv6 authorities; it now retains non-default
+  * ports (`com,example:8080)`) and keeps v6 literals verbatim — the
+  * pywb/CommonCrawl rules. A urlkey persisted by the pre-r16 kernel
+  * for a non-default-port or IPv6 URL will NOT join against newly
+  * computed keys: rebuild any stored SURT-keyed index (re-run
+  * [[graft.operators.Crawl.buildIndex]] / re-key the stored frame)
+  * before mixing eras. Keys for default-port, portless, and
+  * registered-name URLs — the overwhelming majority — are unchanged.
+  *
   * Reference scope: sybil has no crawl surface (README.md:30-34);
   * training-data-pipeline extension tier.
   */

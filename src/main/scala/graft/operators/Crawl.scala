@@ -36,10 +36,14 @@ object Crawl {
     * ([[mergeGeneration]]'s one-pass requirement: the WARC parse is the
     * generation's dominant kernel cost, it must run once). The decode
     * kernels (charset guess/fix, HTML extract) are guarded by the
-    * candidate gate (`when(__cand, …)`), so non-candidate records pay
-    * the header walk only — exactly the rows cleanCorpus's filter used
-    * to prune before computing them. cleanCorpus == this → filter(__keep)
-    * → select, shared semantics by construction. */
+    * candidate gate (`when(__cand, …)`), and URL canonicalization by the
+    * response gate (every response needs a `url` — [[mergeGeneration]]'s
+    * verdicts cover 404/3xx/304 rows, none of them candidates), so
+    * non-response records pay the header walk only and non-candidate
+    * responses add just the canon kernel — exactly the rows
+    * cleanCorpus's filter used to prune before computing them.
+    * cleanCorpus == this → filter(__keep) → select, shared semantics by
+    * construction. */
   private def annotatedRecords(warcs: DataFrame, payloadCol: String,
       maxLinkDensity: Double, minTextBytes: Long): DataFrame = {
     require(maxLinkDensity >= 0.0 && maxLinkDensity <= 1.0,
@@ -71,7 +75,8 @@ object Crawl {
     val ld = HtmlExtract.linkDensity(col("__e"))
     page
       .withColumn("url",
-        call_function("graft_canon_url", col("warc_rec.uri")))
+        when(lower(col("warc_rec.rec_type")) === "response",
+          call_function("graft_canon_url", col("warc_rec.uri"))))
       .withColumn("__keep", col("__cand") &&
         col("__e.text_bytes") >= minTextBytes && ld <= maxLinkDensity)
   }
@@ -272,7 +277,21 @@ object Crawl {
     * trips the threshold — when none does (the common schedule), the
     * plan is exactly the pre-split single window with zero extra
     * operators, so balanced schedules never pay the two-pass machinery
-    * (its pins and range sample are construction-time jobs). Output adds
+    * (its pins and range sample are construction-time jobs).
+    *
+    * Caller contract: this operator is NOT a pure plan builder — it
+    * runs ONE Spark job at construction (the probe; spec-pinned), and
+    * when the de-skew branch engages it additionally pins the
+    * |hosts|-sized mega-host set ([[graft.core.Checkpoints.pin]]) so
+    * the probe, the left_anti and the left_semi all read ONE
+    * materialized host set — an unpinned rollup over a
+    * non-deterministic source could route a host into both branches
+    * (duplicate slots) or neither (dropped rows), and would re-run the
+    * `urls` scan once per consumer. `Checkpoints.release` on the
+    * returned frame frees that pin once consumed. STREAMING inputs
+    * always take the single-window path (the probe and the two-pass
+    * rank are batch jobs; a streaming mega host needs an upstream
+    * repartition instead). Output adds
     * `slot` (1-based fetch index within the host, ordered by URL for
     * determinism) and `offset_s` (= `(slot−1) × delay` — the earliest
     * polite start relative to the host's first fetch). */
@@ -294,20 +313,32 @@ object Crawl {
       .drop("robots")
     // mega-host detection: one map-side-combined rollup to |hosts| rows
     // (the robotsDim scale — broadcastable by the same argument)
-    val mega = withDelay.groupBy(col("host"))
+    val mega0 = withDelay.groupBy(col("host"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= deskewHostUrls)
       .select(col("host"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("host")).orderBy(col("url"))
-    // one cheap eager probe picks the plan; the partial-aggregated
-    // rollup ships one row per host per partition, so this is far
-    // cheaper than the two-pass machinery it lets balanced inputs skip
+    // one cheap eager probe picks the plan: the max of the per-host
+    // rollup in ONE job (map-side partial aggregation ships one row
+    // per host per partition; a limit(1)-style probe would run
+    // several incremental jobs on the common no-mega schedule, since
+    // proving the filtered rollup EMPTY scans everything anyway)
     val hasMega = deskewHostUrls != Long.MaxValue &&
-      !withDelay.isStreaming && mega.limit(1).count() > 0
+      !withDelay.isStreaming && {
+        val top = withDelay.groupBy(col("host"))
+          .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).collect()
+        top.nonEmpty && !top(0).isNullAt(0) &&
+          top(0).getLong(0) >= deskewHostUrls
+      }
     val slotted =
       if (!hasMega) withDelay.withColumn("slot", row_number().over(w))
       else {
+        // PIN the host set before fanning it into two join subtrees:
+        // both branches must read ONE materialized rollup (see the
+        // caller contract above), and the pin also stops the urls scan
+        // re-running once per consumer
+        val mega = graft.core.Checkpoints.pin(mega0)
         val normal = withDelay
           .join(broadcast(mega), Seq("host"), "left_anti")
           .withColumn("slot", row_number().over(w))
@@ -404,16 +435,24 @@ object Crawl {
     *
     *  - `new` — not in the corpus at all;
     *  - `refresh` — in the corpus and `lastmod` strictly newer than
-    *    `last_crawled`, compared as INSTANTS (`try_to_timestamp` both
-    *    sides): W3C datetime permits numeric UTC offsets, and
-    *    `2026-01-02T01:00:00+09:00` sorts lexicographically AFTER
-    *    `2026-01-01T23:00:00Z` yet is chronologically EARLIER — a
-    *    mixed-offset sitemap would flip verdicts under a string
-    *    compare. When either side does not parse as a timestamp
-    *    (reduced W3C granularity like `2026-01`, which Spark's parser
-    *    rejects), the compare falls back to the old lexicographic rule
-    *    — exact for same-granularity same-offset forms, prefix-wise
-    *    conservative across granularities;
+    *    `last_crawled`, compared as INSTANTS when BOTH sides are full
+    *    TZD-bearing W3C datetimes (`yyyy-MM-ddTHH:mm[:ss[.f…]]` + `Z`
+    *    or `±hh:mm`, parsed with EXPLICIT patterns — fractional
+    *    seconds are stripped first, so sub-second-only differences
+    *    compare equal → skip, conservative): W3C datetime permits
+    *    numeric UTC offsets, and `2026-01-02T01:00:00+09:00` sorts
+    *    lexicographically AFTER `2026-01-01T23:00:00Z` yet is
+    *    chronologically EARLIER — a mixed-offset sitemap would flip
+    *    verdicts under a string compare. Every other form — reduced
+    *    W3C granularity (`2026`, `2026-01`, `2026-01-02`) AND
+    *    offset-less datetimes (non-W3C: the profile requires a TZD on
+    *    any time-bearing form) — falls back to the lexicographic rule,
+    *    which is exact for same-granularity forms and prefix-wise
+    *    conservative across granularities, and — unlike parsing such
+    *    forms with cast semantics — never depends on
+    *    `spark.sql.session.timeZone` (a date-only lastmod must not
+    *    flip verdicts ±14h with the session; spec-pinned under a
+    *    non-UTC session);
     *  - `skip` — in the corpus with no newer signal (null lastmod
     *    included: absence of evidence is not staleness).
     *
@@ -424,11 +463,21 @@ object Crawl {
     require(corpus.columns.length == 2,
       "recrawlSchedule: corpus must be (url, last_crawled)")
     val c = corpus.toDF("url", "last_crawled")
-    // instant compare first; null (either side unparseable) falls back
-    // to the lexicographic compare rather than silently skipping
+    // instant compare first; null (either side not a full TZD-bearing
+    // W3C datetime) falls back to the lexicographic compare rather
+    // than silently skipping. EXPLICIT patterns, not cast semantics:
+    // try_to_timestamp without a format accepts reduced forms like
+    // '2026-01' as session-timezone midnight, making verdicts depend
+    // on spark.sql.session.timeZone — the patterns reject them into
+    // the tz-independent string rule instead
+    def w3cInstant(s: Column): Column = {
+      val noFrac = regexp_replace(s, "\\.[0-9]+", "")
+      coalesce(
+        try_to_timestamp(noFrac, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        try_to_timestamp(noFrac, lit("yyyy-MM-dd'T'HH:mmXXX")))
+    }
     val newer = coalesce(
-      try_to_timestamp(col("lastmod")) >
-        try_to_timestamp(col("last_crawled")),
+      w3cInstant(col("lastmod")) > w3cInstant(col("last_crawled")),
       col("lastmod") > col("last_crawled"))
     entries.join(c, Seq("url"), "left")
       .withColumn("action",
@@ -766,6 +815,11 @@ object Crawl {
     * keeps null location columns — LOUD, `n_revisits == n_captures`
     * identifies it; it is never silently dropped. Rows whose mime is
     * null count as originals (absent metadata is not a revisit claim).
+    * A DATELESS original (null `ts` — buildIndex's loud-null rule)
+    * never shadows a dated one: the earliest pick orders nulls LAST,
+    * so `orig_ts` is null only when the group's every original is
+    * dateless (and the location columns then still point at one of
+    * them — a real capture, just undated).
     *
     * Plan shape: ONE hash aggregation on `(urlkey, digest)` — the
     * original's fields ride a `min(when(original, struct(ts, …)))`
@@ -784,8 +838,15 @@ object Crawl {
         sum(when(isRevisit, 1L).otherwise(0L)).as("n_revisits"),
         min(col("ts")).as("first_ts"),
         max(col("ts")).as("last_ts"),
+        // nulls-LAST original pick: Spark's struct min orders a null
+        // first field FIRST, so without the sentinel a dateless
+        // original (buildIndex emits null ts loudly) would shadow a
+        // dated one in the same group — the sentinel sorts past any
+        // real 14-digit ts and the struct's own `ts` field restores
+        // the null on output when only dateless originals exist
         min(when(!coalesce(isRevisit, lit(false)),
-          struct(col("ts"), col("url"), col("status"), col("length"),
+          struct(coalesce(col("ts"), lit("99999999999999")).as("__k"),
+            col("ts"), col("url"), col("status"), col("length"),
             col("offset"), col("filename")))).as("__o"))
       .select(col("urlkey"), col("digest"), col("n_captures"),
         col("n_revisits"), col("first_ts"), col("last_ts"),
@@ -842,10 +903,14 @@ object Crawl {
     * AND the status-verdict dim, and an unpinned plan would re-run
     * `graft_warc_parse` — the generation's dominant kernel cost — once
     * per consumer (a spec pins the one-eval-per-archive invariant via
-    * WarcKernel.parseCount). The pin is generation-sized (kept pages'
-    * text + headers; non-kept rows carry null text, never archive
-    * bytes); the caller may `Checkpoints.release` the returned frame's
-    * inputs once consumed. Then one rollup to a per-URL verdict dim (a
+    * WarcKernel.parseCount). The pin is KEPT-generation-sized: the
+    * `text`/`charset` columns are gated `when(__keep, …)`, so a
+    * candidate the funnel drops (under-min text, link farm — at real
+    * crawl scale often the majority of 200-HTML responses) checkpoints
+    * headers only, never its extracted text and never archive bytes
+    * (spec-pinned: a 90%-dropped generation's pin shrinks with the
+    * kept fraction); the caller may `Checkpoints.release` the returned
+    * frame's inputs once consumed. Then one rollup to a per-URL verdict dim (a
     * fetched generation is orders of magnitude smaller than the corpus
     * — the broadcast side), one left join + filter over the corpus, one
     * union with the upserts. No global sort, no corpus-sized shuffle. */
@@ -871,8 +936,13 @@ object Crawl {
           lower(col("warc_rec.rec_type")).as("__rt"),
           col("__keep"),
           col("warc_rec.mime").as("mime"),
-          col("charset"),
-          col("__e.text").as("text"),
+          // kept rows only: a candidate that FAILS __keep (under-min
+          // text, link farm — at real crawl scale often the majority of
+          // 200-HTML) must not checkpoint its extracted text; the
+          // verdict dim needs only url/status/__rt/__keep, and only
+          // kept rows' text is ever read (the `kept` filter below)
+          when(col("__keep"), col("charset")).as("charset"),
+          when(col("__keep"), col("__e.text")).as("text"),
           col("__e.text_bytes").as("text_bytes"),
           ldExpr.as("link_density"),
           col("__e.n_links").as("n_links"),

@@ -375,4 +375,45 @@ class CdxSpec extends SparkSpec {
       c.isNullAt(c.fieldIndex("offset")) &&
       c.isNullAt(c.fieldIndex("orig_ts")))
   }
+
+  test("collapseRevisits: a DATELESS original never shadows a dated " +
+      "one (nulls-last original pick)") {
+    def row(urlkey: String, ts: String, url: String, mime: String,
+        digest: String, off: Long): (String, String, String, String,
+        Integer, String, java.lang.Long, java.lang.Long, String) =
+      (urlkey, ts, url, mime, 200, digest, 100L, off, "w1")
+    val idx = Seq(
+      // dateless original FIRST in input order (buildIndex's loud-null
+      // ts) beside a dated one on the same digest: the dated original
+      // must win the earliest pick — Spark's min(struct) orders a null
+      // first field FIRST, which without the sentinel would land
+      // orig_ts null with the dateless row's location
+      row("org,ex)/d", null, "http://ex.org/d-null", "text/html",
+        "sha1:d", 900L),
+      row("org,ex)/d", "20260102000000", "http://ex.org/d-dated",
+        "text/html", "sha1:d", 0L),
+      row("org,ex)/d", "20260103000000", "http://ex.org/d-rv",
+        "warc/revisit", "sha1:d", 300L),
+      // a group whose ONLY original is dateless: orig_ts null LOUDLY,
+      // location still points at the real (undated) capture
+      row("org,ex)/e", null, "http://ex.org/e-null", "text/html",
+        "sha1:e", 400L))
+      .toDF("urlkey", "ts", "url", "mime", "status", "digest", "length",
+        "offset", "filename")
+    val out = graft.operators.Crawl.collapseRevisits(idx)
+      .orderBy(col("urlkey"), col("digest")).collect()
+    assert(out.length === 2)
+    val d = out(0)
+    assert(d.getAs[Long]("n_captures") === 3L &&
+      d.getAs[Long]("n_revisits") === 1L &&
+      d.getAs[String]("orig_ts") === "20260102000000" &&
+      d.getAs[String]("url") === "http://ex.org/d-dated" &&
+      d.getAs[Long]("offset") === 0L &&
+      // first/last_ts aggregate over DATED captures (min/max skip null)
+      d.getAs[String]("first_ts") === "20260102000000")
+    val e = out(1)
+    assert(e.isNullAt(e.fieldIndex("orig_ts")) &&
+      e.getAs[String]("url") === "http://ex.org/e-null" &&
+      e.getAs[Long]("offset") === 400L)
+  }
 }

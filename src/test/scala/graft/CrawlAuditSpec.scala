@@ -494,6 +494,136 @@ class CrawlAuditSpec extends SparkSpec {
     }
   }
 
+  test("politeSchedule: construction-time job budget — ONE probe job " +
+      "for a balanced schedule; the de-skew branch reads a pinned " +
+      "host set") {
+    val urls = (0 until 30).map(i =>
+      (s"ex${i % 6}.test", s"http://ex${i % 6}.test/p$i"))
+      .toDF("host", "url")
+    val robots = Seq(("ex0.test", "User-agent: *\nCrawl-delay: 2\n"))
+      .toDF("host", "robots")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // balanced: construction runs EXACTLY the probe — no pin, no
+      // range sample; the scaladoc's caller contract
+      val plan = graft.operators.Crawl.politeSchedule(urls, robots)
+      Thread.sleep(500) // listener bus drain
+      val balanced = jobs.get
+      info(s"balanced construction jobs: $balanced")
+      assert(balanced <= 5,
+        s"balanced politeSchedule construction ran $balanced jobs " +
+          "(want only the probe's AQE stage-jobs)")
+      assert(plan.count() === 30L)
+      // de-skewed: probe + mega pin + globalRowNumber's construction
+      // jobs; budget pinned so a regression (an unpinned rollup
+      // re-running the urls scan per consumer) is loud
+      jobs.set(0)
+      val plan2 = graft.operators.Crawl.politeSchedule(urls, robots,
+        deskewHostUrls = 1L)
+      Thread.sleep(500) // listener bus drain
+      val deskewed = jobs.get
+      info(s"de-skew construction jobs: $deskewed")
+      assert(deskewed <= 14,
+        s"de-skew politeSchedule construction ran $deskewed jobs " +
+          "(want probe + mega pin + the rank's range pin)")
+      assert(plan2.count() === 30L)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("mergeGeneration: the pin is KEPT-generation-sized — a " +
+      "90%-dropped generation checkpoints headers, not dropped text") {
+    def warc(uri: String, http: String): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: <$uri>" +
+        s"\r\nContent-Length: ${http.length}\r\n\r\n$http\r\n\r\n")
+        .getBytes("US-ASCII")
+    val words = ("lorem ipsum prose words fill the page body " * 12).trim
+    // kept page: ~500 B of plain prose
+    def prosePage(i: Int): String =
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        s"<html><body><p>page $i $words</p></body></html>"
+    // link farm: the SAME text volume, all inside anchors — passes the
+    // size gate, fails density, so its big extracted text is exactly
+    // what an unguarded pin would checkpoint
+    def farmPage(i: Int): String =
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        s"<html><body><a href='/u'>farm $i $words</a></body></html>"
+    val cols = Seq("url", "status", "mime", "charset", "text",
+      "text_bytes", "link_density", "n_links", "last_modified", "etag",
+      "last_crawled")
+    val corpus0 = Seq.empty[(String, Int, String, String, String, Long,
+      Double, Long, String, String, String)].toDF(cols: _*)
+    def pinnedBytes(fetched: org.apache.spark.sql.DataFrame): Long = {
+      val before = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+      val out = graft.operators.Crawl.mergeGeneration(corpus0, fetched,
+        fetchTime = "2026-02-01T00:00:00", minTextBytes = 10L)
+      out.count()
+      val bytes = spark.sparkContext.getRDDStorageInfo
+        .filterNot(i => before(i.id)).map(i => i.memSize + i.diskSize).sum
+      spark.sparkContext.getPersistentRDDs
+        .filterNot(kv => before(kv._1)).values
+        .foreach(_.unpersist(blocking = true))
+      bytes
+    }
+    val allKept = (0 until 60).map(i =>
+      warc(s"http://ex.test/k$i", prosePage(i))).toDF("payload")
+    val mostlyDropped = (0 until 60).map(i =>
+      if (i % 10 == 0) warc(s"http://ex.test/k$i", prosePage(i))
+      else warc(s"http://ex.test/f$i", farmPage(i))).toDF("payload")
+    val keptSize = pinnedBytes(allKept)
+    val droppedSize = pinnedBytes(mostlyDropped)
+    assert(keptSize > 0L && droppedSize > 0L)
+    // same record count, same per-record text volume — only the kept
+    // fraction differs (6/60), so the pin must shrink with it; the
+    // pre-guard pin checkpointed every candidate's text and the two
+    // sizes came out equal
+    assert(droppedSize < keptSize / 2,
+      s"90%-dropped pin $droppedSize B vs all-kept $keptSize B — " +
+        "dropped candidates are checkpointing their extracted text")
+  }
+
+  test("recrawlSchedule: reduced-granularity forms are session-" +
+      "timezone-INDEPENDENT (string rule, never cast semantics)") {
+    val entries = Seq(
+      // date-only lastmod vs full-Z crawl time: under cast semantics
+      // in Asia/Tokyo this parses as Jan 5 15:00Z (SKIP) but in UTC as
+      // Jan 6 00:00Z (REFRESH) — the string rule says refresh, always
+      ("http://ex.test/reduced", "2026-01-06"),
+      // mixed offsets, both full W3C forms: the INSTANT compare must
+      // still hold under a non-UTC session (+09:00 is earlier -> skip)
+      ("http://ex.test/offsets", "2026-01-02T01:00:00+09:00"),
+      // fractional seconds parse (stripped): chronologically newer
+      ("http://ex.test/frac", "2026-01-06T00:00:00.250Z"))
+      .toDF("url", "lastmod")
+    val corpus = Seq(
+      ("http://ex.test/reduced", "2026-01-05T20:00:00Z"),
+      ("http://ex.test/offsets", "2026-01-01T23:00:00Z"),
+      ("http://ex.test/frac", "2026-01-05T00:00:00Z"))
+      .toDF("url", "last_crawled")
+    def run(): Map[String, String] = graft.operators.Crawl
+      .recrawlSchedule(entries, corpus).collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("action")).toMap
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    val inUtc =
+      try { spark.conf.set(tzKey, "UTC"); run() }
+      finally spark.conf.set(tzKey, saved)
+    val inTokyo =
+      try { spark.conf.set(tzKey, "Asia/Tokyo"); run() }
+      finally spark.conf.set(tzKey, saved)
+    assert(inUtc === inTokyo,
+      s"verdicts moved with the session timezone: $inUtc vs $inTokyo")
+    assert(inUtc("http://ex.test/reduced") === "refresh")
+    assert(inUtc("http://ex.test/offsets") === "skip")
+    assert(inUtc("http://ex.test/frac") === "refresh")
+  }
+
   test("non-literal threshold arguments are a clean analysis error") {
     val df = Seq((1L, plantedWarc)).toDF("id", "payload")
     df.createOrReplaceTempView("nfwarcs")
