@@ -627,36 +627,58 @@ object Crawl {
     * EXCLUDED and counted via the caller's audit (loud upstream, a
     * malformed index line never silently plans a bogus range).
     *
+    * RANGE-SIZE CAP: `maxRangeBytes` (default 1 GiB — generous; real
+    * fetchers also cap per-GET size) bounds each coalesced range: a
+    * densely-selected file must not coalesce into one archive-sized
+    * GET (nor, in [[fetchRecords]], one archive-sized in-plan row).
+    * The cap splits a gap-group at fixed `maxRangeBytes` grid
+    * boundaries relative to the group's start — the window-expressible
+    * variant of the greedy rule, which is inherently prefix-sequential
+    * — so every range's byte span is < `maxRangeBytes` + one record's
+    * length (a record straddling a grid boundary extends its range by
+    * its own length; a single record longer than the cap stays one
+    * range — a record cannot be split). Splitting never changes WHICH
+    * records are fetched, only how many GETs carry them.
+    *
     * Plan shape: one window PARTITIONED BY FILENAME (the natural unit —
     * a crawl's index spans tens of thousands of WARC files, so
     * parallelism is wide and no partition exceeds one file's captures)
-    * ordered by offset; gap-break flag → running group id → one
+    * ordered by offset; gap-break flag → running group id → grid
+    * sub-id (same window frame — no extra shuffle or sort) → one
     * aggregation. No global sort, no self-join. */
-  def fetchPlan(index: DataFrame, maxGapBytes: Long = 1L << 20): DataFrame =
-    rangeGroups(index, maxGapBytes, "fetchPlan")
-      .groupBy(col("filename"), col("__grp"))
+  def fetchPlan(index: DataFrame, maxGapBytes: Long = 1L << 20,
+      maxRangeBytes: Long = 1L << 30): DataFrame =
+    rangeGroups(index, maxGapBytes, maxRangeBytes, "fetchPlan")
+      .groupBy(col("filename"), col("__grp"), col("__sub"))
       .agg(min(col("offset")).as("start"),
         max(col("offset") + col("length")).as("end"),
         count(lit(1)).as("n_records"),
         sum(col("length")).as("payload_bytes"))
       .withColumn("gap_bytes",
         col("end") - col("start") - col("payload_bytes"))
-      .drop("__grp")
+      .drop("__grp", "__sub")
 
   /** Shared gap-coalescing core of [[fetchPlan]]/[[fetchRecords]]: the
-    * per-file offset window, running-max `__prev_end`, break flag, and
-    * running group id `__grp` — one coalesced range per (filename,
-    * __grp). */
+    * per-file offset window, running-max `__prev_end`, break flag,
+    * running group id `__grp`, and the range-size-cap grid sub-id
+    * `__sub` (the gap-group's start rides the same running frame via
+    * `last(ignoreNulls)` — every group starts at a break row, whose
+    * offset IS the group minimum) — one coalesced range per
+    * (filename, __grp, __sub). */
   private def rangeGroups(index: DataFrame, maxGapBytes: Long,
-      op: String): DataFrame = {
+      maxRangeBytes: Long, op: String): DataFrame = {
     require(maxGapBytes >= 0L,
       s"$op: maxGapBytes must be >= 0, got $maxGapBytes")
+    require(maxRangeBytes >= 1L,
+      s"$op: maxRangeBytes must be >= 1, got $maxRangeBytes")
     val cols = index.columns.map(_.toLowerCase(java.util.Locale.ROOT))
     require(Seq("filename", "offset", "length").forall(cols.contains),
       s"$op: index must carry (filename, offset, length) — " +
         "graft_cdxj_parse output")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("filename")).orderBy(col("offset"), col("length"))
+    val running = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, 0)
     index
       .filter(col("filename").isNotNull && col("offset").isNotNull &&
         col("length").isNotNull)
@@ -668,10 +690,15 @@ object Crawl {
         when(col("__prev_end").isNull ||
           col("offset") > col("__prev_end") + maxGapBytes, 1L)
           .otherwise(0L))
-      .withColumn("__grp", sum(col("__break")).over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, 0)))
-      .drop("__prev_end", "__break")
+      .withColumn("__grp", sum(col("__break")).over(running))
+      .withColumn("__gstart", last(
+        when(col("__break") === 1L, col("offset")), ignoreNulls = true)
+        .over(running))
+      // integral `div`, never float division: offsets are bigints and a
+      // double quotient would lose exactness past 2^53
+      .withColumn("__sub",
+        expr(s"(offset - __gstart) div ${maxRangeBytes}L"))
+      .drop("__prev_end", "__break", "__gstart")
   }
 
   /** Selective replay: coalesced ranges → the records themselves — the
@@ -700,8 +727,10 @@ object Crawl {
     *
     * Plan shape: fetchPlan's per-file window, one `collect_list` of
     * `(offset, length)` members per range (bounded by the range's
-    * record count — ranges never span a file, and the gap cap bounds
-    * dead bytes), ONE equi-join on filename against the archives, then
+    * record count — ranges never span a file, the gap cap bounds dead
+    * bytes, and `maxRangeBytes` bounds each range's span — and hence
+    * the in-plan row holding its bytes — at cap + one record; see
+    * [[fetchPlan]]), ONE equi-join on filename against the archives, then
     * a per-member explode + slice + parse — all scan-side codegen after
     * the join. Offsets are validated against Spark's 2 GiB binary-value
     * ceiling (`raise_error` past it — an in-plan payload cannot index
@@ -709,13 +738,15 @@ object Crawl {
     * range-GET fetcher instead and no such limit exists). */
   def fetchRecords(index: DataFrame, archives: DataFrame,
       maxGapBytes: Long = 1L << 20,
-      payloadCol: String = "payload"): DataFrame = {
+      payloadCol: String = "payload",
+      maxRangeBytes: Long = 1L << 30): DataFrame = {
     val acols = archives.columns.map(_.toLowerCase(java.util.Locale.ROOT))
     require(acols.length == 2 && acols.contains("filename") &&
       acols.contains(payloadCol.toLowerCase(java.util.Locale.ROOT)),
       s"fetchRecords: archives must have exactly (filename, $payloadCol)")
-    val ranges = rangeGroups(index, maxGapBytes, "fetchRecords")
-      .groupBy(col("filename"), col("__grp"))
+    val ranges = rangeGroups(index, maxGapBytes, maxRangeBytes,
+        "fetchRecords")
+      .groupBy(col("filename"), col("__grp"), col("__sub"))
       .agg(min(col("offset")).as("start"),
         max(col("offset") + col("length")).as("end"),
         collect_list(struct(col("offset"), col("length"))).as("__members"))

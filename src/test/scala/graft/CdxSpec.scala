@@ -327,6 +327,66 @@ class CdxSpec extends SparkSpec {
       badOut(0).fieldIndex("warc_rec")))
   }
 
+  test("fetchPlan/fetchRecords: maxRangeBytes splits a dense " +
+      "selection; records fetched are byte-identical across caps") {
+    def rec(uri: String, body: String): String = {
+      val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: <$uri>" +
+        s"\r\nContent-Length: ${http.length}\r\n\r\n$http\r\n\r\n"
+    }
+    // 20 contiguous records, ALL selected: the gap rule alone would
+    // coalesce the whole file into ONE range (exactly the q243 shape
+    // the r16 verdict flagged) — the cap must split it
+    val recs = (0 until 20).map(i => rec(f"http://ex.test/c$i%02d",
+      f"body $i%02d " + "y" * 40))
+    val offsets = recs.scanLeft(0L)((acc, r) => acc + r.length).init
+    val recLen = recs.head.length.toLong // fixed-width by construction
+    assert(recs.forall(_.length.toLong == recLen))
+    val archive = Seq(("w1", recs.mkString("").getBytes("US-ASCII")))
+      .toDF("filename", "payload")
+    val index = offsets.map(o => ("w1", o, recLen))
+      .toDF("filename", "offset", "length")
+    // uncapped: one range holding the whole file
+    val one = graft.operators.Crawl.fetchPlan(index, 1L << 20).collect()
+    assert(one.length === 1 && one(0).getAs[Long]("n_records") === 20L)
+    // capped at ~4 records: ranges split at the grid, every span
+    // bounded by cap + one record, coverage/count conserved
+    val cap = recLen * 4
+    val ranges = graft.operators.Crawl
+      .fetchPlan(index, 1L << 20, maxRangeBytes = cap)
+      .orderBy(col("start")).collect()
+    assert(ranges.length === 5, s"want 5 capped ranges, got ${
+      ranges.length}")
+    assert(ranges.map(_.getAs[Long]("n_records")).sum === 20L)
+    for (r <- ranges)
+      assert(r.getAs[Long]("end") - r.getAs[Long]("start") <=
+        cap + recLen)
+    // ranges tile the file: starts/ends consecutive, no byte skipped
+    for (i <- 1 until ranges.length)
+      assert(ranges(i).getAs[Long]("start") ===
+        ranges(i - 1).getAs[Long]("end"))
+    // fetchRecords: byte-identical captures out, capped or not
+    def fetch(maxRange: Long): Seq[(Long, String, String)] =
+      graft.operators.Crawl
+        .fetchRecords(index, archive, 1L << 20, maxRangeBytes = maxRange)
+        .orderBy(col("offset")).collect().toSeq
+        .map { r =>
+          val w = r.getAs[org.apache.spark.sql.Row]("warc_rec")
+          (r.getAs[Long]("offset"), w.getAs[String]("uri"),
+            new String(w.getAs[Array[Byte]]("body"), "US-ASCII"))
+        }
+    val uncapped = fetch(1L << 30)
+    val capped = fetch(cap)
+    assert(uncapped.length === 20 && capped === uncapped)
+    // a record LONGER than the cap stays one (loud-sized) range — a
+    // record cannot be split
+    val big = graft.operators.Crawl
+      .fetchPlan(index, 1L << 20, maxRangeBytes = 1L)
+      .collect()
+    assert(big.length === 20 &&
+      big.forall(_.getAs[Long]("n_records") === 1L))
+  }
+
   test("collapseRevisits: revisit chains fold onto the earliest " +
       "original; orphans stay loud") {
     def row(urlkey: String, ts: String, mime: String, digest: String,
