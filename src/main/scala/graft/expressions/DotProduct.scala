@@ -384,6 +384,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftWarcParse].getName, "graft_warc_parse"),
       (children: Seq[Expression]) => GraftWarcParse(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_gzip"),
+      new ExpressionInfo(classOf[GraftGzip].getName, "graft_gzip"),
+      (children: Seq[Expression]) => GraftGzip(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_charset_guess"),
       new ExpressionInfo(classOf[GraftCharsetGuess].getName,
         "graft_charset_guess"),

@@ -18,7 +18,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `graft_warc_parse(binary) -> array<struct<rec_type string, uri string,
   * status int, mime string, location string, last_modified string,
   * etag string, body binary, date string, rec_offset bigint,
-  * rec_length bigint>>`, one element per WARC record:
+  * rec_length bigint, member_offset bigint, member_length bigint,
+  * payload_digest string>>`, one element per WARC record:
   *
   *  - gzip input (magic `1f 8b`) inflates first — multi-member streams
   *    (the warc.gz convention: one member per record) read end-to-end;
@@ -52,10 +53,25 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `[offset, offset+length)` slice re-parses standalone — the
   *    buildIndex → fetchRecords round-trip contract). For plain WARC
   *    payloads these address the stored bytes; for warc.gz they address
-  *    the INFLATED stream, not the compressed member (CDX offsets for
-  *    compressed archives are member offsets, which a payload kernel
-  *    cannot see — [[graft.operators.Crawl.buildIndex]] documents the
-  *    restriction);
+  *    the INFLATED stream;
+  *  - `member_offset`/`member_length` = the record's STORAGE extent —
+  *    the coordinates a range GET against the stored file can serve.
+  *    Plain WARC: equal to `rec_offset`/`rec_length`. warc.gz: the
+  *    gzip-MEMBER run (compressed coordinates, from the kernel's own
+  *    member walk) whose inflated bytes are exactly this record — the
+  *    CommonCrawl CDX convention (one member per record), and each
+  *    such slice is itself a complete gzip stream this kernel
+  *    re-parses standalone. NULL (loud) when the packing is
+  *    misaligned — e.g. a whole-file single-member gzip holding many
+  *    records, which cannot be range-sliced per record;
+  *  - `payload_digest` = `WARC-Payload-Digest` (ISO 28500 §5.9,
+  *    verbatim `labelled-digest` e.g. `sha-256:<hex>`) — the header a
+  *    `revisit` record (ISO 28500 §6.7.2 `identical-payload-digest`
+  *    profile) uses to point at its original's payload, i.e. the field
+  *    that lets [[graft.operators.Crawl.buildIndex]] index revisit
+  *    records into the digest groups
+  *    [[graft.operators.Crawl.collapseRevisits]] folds; null when the
+  *    record carries none;
   *  - anything malformed — wrong magic, missing/invalid `Content-Length`,
   *    a block running past the input — returns NULL for the whole value
   *    (corrupt archives surface, never half-parse).
@@ -77,10 +93,21 @@ object WarcKernel {
       val lastModified: Array[Byte], // HTTP Last-Modified (RFC 9110 §8.8.2)
       val etag: Array[Byte], // HTTP ETag (RFC 9110 §8.8.3)
       val date: Array[Byte], // WARC-Date (ISO 28500 §5.4; capture instant)
+      val payloadDigest: Array[Byte], // WARC-Payload-Digest (ISO 28500 §5.9)
       val bodyOff: Int,
       val bodyLen: Int,
       val recOff: Int, // record start (version line) in the record stream
-      val recLen: Int) // through the record's trailing CR/LF separators
+      val recLen: Int, // through the record's trailing CR/LF separators
+      val memOff: Long, // record's STORAGE extent: the gzip member run
+      val memLen: Long) // (compressed coords) or == rec extent; -1 = null
+
+  /** One gzip member's extents: where its compressed bytes sit in the
+    * stored stream, and where its inflated bytes landed in the record
+    * stream — the mapping the CDX convention for `.warc.gz` is built
+    * on (one member per record; member offsets are what a range GET
+    * can actually serve). */
+  final class GzMember(val compOff: Int, val compLen: Int,
+      val infOff: Int, val infLen: Int)
 
   private def isGzip(b: Array[Byte]): Boolean =
     b.length > 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
@@ -109,6 +136,100 @@ object WarcKernel {
     } catch { case _: java.io.IOException => null }
   }
 
+  /** Member-TRACKING multi-member gunzip (RFC 1952, hand-walked): same
+    * inflated output and loud-null rules as [[gunzip]], plus each
+    * member's compressed and inflated extents — the coordinates
+    * [[graft.operators.Crawl.buildIndex]] needs to emit range-GET-
+    * servable offsets for `.warc.gz` (the CommonCrawl CDX convention
+    * addresses gzip MEMBERS, one per record — invisible to a stream
+    * API like GZIPInputStream, hence the manual header/trailer walk).
+    * CRC32 and ISIZE verify per member (the GZIPInputStream checks);
+    * trailing bytes after a member that do not open another member end
+    * the stream (also the GZIPInputStream convention), while a corrupt
+    * FIRST header, a truncated deflate body, a bad CRC, or the
+    * [[MaxInflated]] cap return null. */
+  private[expressions] def gunzipMembers(
+      b: Array[Byte]): (Array[Byte], Array[GzMember]) = {
+    val n = b.length
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(b.length.toLong * 4, 1L << 20).toInt)
+    val members = new scala.collection.mutable.ArrayBuffer[GzMember]()
+    var pos = 0
+    try {
+      var done = false
+      while (!done) {
+        if (pos + 10 > n || (b(pos) & 0xff) != 0x1f ||
+            (b(pos + 1) & 0xff) != 0x8b) {
+          // not a member start: garbage after members ends the stream;
+          // no member at all (caller checked the magic) is corruption
+          if (members.isEmpty) return null
+          done = true
+        } else {
+          val start = pos
+          var bad = (b(pos + 2) & 0xff) != 8 // CM must be deflate
+          val flg = b(pos + 3) & 0xff
+          pos += 10
+          if (!bad && (flg & 0x04) != 0) { // FEXTRA: XLEN (LE) + data
+            if (pos + 2 > n) bad = true
+            else {
+              pos += 2 + ((b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8))
+              if (pos > n) bad = true
+            }
+          }
+          if (!bad && (flg & 0x08) != 0) { // FNAME: zero-terminated
+            while (pos < n && b(pos) != 0) pos += 1
+            if (pos >= n) bad = true else pos += 1
+          }
+          if (!bad && (flg & 0x10) != 0) { // FCOMMENT: zero-terminated
+            while (pos < n && b(pos) != 0) pos += 1
+            if (pos >= n) bad = true else pos += 1
+          }
+          if (!bad && (flg & 0x02) != 0) { // FHCRC
+            pos += 2
+            if (pos > n) bad = true
+          }
+          if (bad) {
+            // corrupt FIRST header is corruption; a later one is the
+            // trailing-garbage rule (GZIPInputStream parity)
+            if (members.isEmpty) return null
+            done = true
+          } else {
+            val inf = new java.util.zip.Inflater(true)
+            try {
+              inf.setInput(b, pos, n - pos)
+              val crc = new java.util.zip.CRC32
+              val infStart = out.size()
+              val buf = new Array[Byte](64 << 10)
+              while (!inf.finished()) {
+                val k = inf.inflate(buf)
+                if (k == 0 && inf.finished()) ()
+                else if (k == 0) return null // truncated deflate body
+                else {
+                  if (out.size() + k > MaxInflated) return null
+                  out.write(buf, 0, k)
+                  crc.update(buf, 0, k)
+                }
+              }
+              pos += inf.getBytesRead.toInt
+              // trailer: CRC32 then ISIZE (mod 2^32), little-endian
+              if (pos + 8 > n) return null
+              def le4(p: Int): Long =
+                (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+                  ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+              if (le4(pos) != crc.getValue) return null
+              if (le4(pos + 4) !=
+                (inf.getBytesWritten & 0xffffffffL)) return null
+              pos += 8
+              members += new GzMember(start, pos - start, infStart,
+                out.size() - infStart)
+            } finally inf.end()
+          }
+        }
+      }
+      (out.toByteArray, members.toArray)
+    } catch { case _: java.util.zip.DataFormatException => null }
+  }
+
   private def lowerEq(b: Array[Byte], s: Int, e: Int, name: String): Boolean = {
     if (e - s != name.length) return false
     var i = 0
@@ -130,11 +251,19 @@ object WarcKernel {
     * the records' body offsets index into; null on any malformation. */
   def parse(raw: Array[Byte]): (Array[Rec], Array[Byte]) = {
     parseCount.incrementAndGet()
-    val b = if (isGzip(raw)) gunzip(raw) else raw
+    var members: Array[GzMember] = null
+    val b =
+      if (isGzip(raw)) {
+        val gm = gunzipMembers(raw)
+        if (gm == null) return null
+        members = gm._2
+        gm._1
+      } else raw
     if (b == null) return null
     val n = b.length
     val recs = new scala.collection.mutable.ArrayBuffer[Rec]()
     var i = 0
+    var memCursor = 0
     def skipCrlf(): Unit =
       while (i < n && (b(i) == '\r' || b(i) == '\n')) i += 1
     /** Line end scan: returns (contentEnd, nextLineStart) packed. */
@@ -162,6 +291,7 @@ object WarcKernel {
       var uri: Array[Byte] = null
       var recMime: Array[Byte] = null
       var recDate: Array[Byte] = null
+      var recDigest: Array[Byte] = null
       var contentLength = -1L
       var lastName: String = null
       var blank = false
@@ -191,6 +321,7 @@ object WarcKernel {
               case "warc-target-uri" => uri = join(uri)
               case "content-type" => recMime = join(recMime)
               case "warc-date" => recDate = join(recDate)
+              case "warc-payload-digest" => recDigest = join(recDigest)
               case _ => ()
             }
           }
@@ -211,6 +342,8 @@ object WarcKernel {
               recMime = v; lastName = "content-type"
             } else if (lowerEq(b, ls, c, "warc-date")) {
               recDate = v; lastName = "warc-date"
+            } else if (lowerEq(b, ls, c, "warc-payload-digest")) {
+              recDigest = v; lastName = "warc-payload-digest"
             } else if (lowerEq(b, ls, c, "content-length")) {
               lastName = null // folding a length is malformed; ignore
               contentLength = 0L
@@ -312,16 +445,48 @@ object WarcKernel {
       // (= up to the next record's version line, or end of stream) so a
       // [recOff, recOff+recLen) slice re-parses standalone
       skipCrlf()
+      // STORAGE extent: plain input — the record extent itself; gzip
+      // input — the contiguous member run whose INFLATED extent equals
+      // the record's extent exactly (the warc.gz convention packs one
+      // record per member; the trailing CR/LFs ride the same member).
+      // Misaligned packing (e.g. a whole-file single member holding
+      // many records) maps to -1 → null: LOUD, such an archive cannot
+      // be range-sliced per record without re-packing
+      var memOff = recOff.toLong
+      var memLen = (i - recOff).toLong
+      if (members != null) {
+        memOff = -1L; memLen = -1L
+        while (memCursor < members.length &&
+          members(memCursor).infOff + members(memCursor).infLen <= recOff)
+          memCursor += 1
+        if (memCursor < members.length &&
+            members(memCursor).infOff == recOff) {
+          var j = memCursor
+          var end = members(j).infOff + members(j).infLen
+          while (end < i && j + 1 < members.length &&
+              members(j + 1).infOff == end) {
+            j += 1
+            end = members(j).infOff + members(j).infLen
+          }
+          if (end == i) {
+            memOff = members(memCursor).compOff.toLong
+            memLen = (members(j).compOff + members(j).compLen -
+              members(memCursor).compOff).toLong
+          }
+        }
+      }
       recs += new Rec(recType, uri, status, mime, httpLoc, httpLm, httpEtag,
-        recDate, bodyOff, bodyLen, recOff, i - recOff)
+        recDate, recDigest, bodyOff, bodyLen, recOff, i - recOff,
+        memOff, memLen)
     }
     (recs.toArray, b)
   }
 }
 
 /** `graft_warc_parse(binary) -> array<struct<rec_type, uri, status, mime,
-  * location, last_modified, etag, body, date, rec_offset, rec_length>>`
-  * — see [[WarcKernel]]. NULL on malformed/over-cap input. */
+  * location, last_modified, etag, body, date, rec_offset, rec_length,
+  * member_offset, member_length, payload_digest>>` — see [[WarcKernel]].
+  * NULL on malformed/over-cap input. */
 case class GraftWarcParse(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -339,7 +504,10 @@ case class GraftWarcParse(child: Expression) extends UnaryExpression {
     StructField("body", BinaryType, nullable = false),
     StructField("date", StringType, nullable = true),
     StructField("rec_offset", LongType, nullable = false),
-    StructField("rec_length", LongType, nullable = false))),
+    StructField("rec_length", LongType, nullable = false),
+    StructField("member_offset", LongType, nullable = true),
+    StructField("member_length", LongType, nullable = true),
+    StructField("payload_digest", StringType, nullable = true))),
     containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_warc_parse"
@@ -372,7 +540,11 @@ case class GraftWarcParse(child: Expression) extends UnaryExpression {
             if (r.date == null) null
             else UTF8String.fromBytes(r.date),
             r.recOff.toLong,
-            r.recLen.toLong))
+            r.recLen.toLong,
+            if (r.memOff < 0L) null else r.memOff,
+            if (r.memLen < 0L) null else r.memLen,
+            if (r.payloadDigest == null) null
+            else UTF8String.fromBytes(r.payloadDigest)))
           i += 1
         }
         new GenericArrayData(out)

@@ -719,7 +719,13 @@ object Crawl {
     *
     * Output: one row per selected capture — `filename, offset, length,
     * warc_rec` (the parse's struct: rec_type/uri/status/mime/location/
-    * validators/body). A slice that fails to parse yields a null
+    * validators/body), plus — when `sliceCol` is set — the capture's
+    * RAW slice bytes under that name: a member slice is a complete
+    * standalone record (plain or one gzip member run, the kernel's
+    * re-slice contract), so the slice column feeds [[cleanCorpus]] /
+    * [[mergeGeneration]] directly as a one-record archive — the
+    * production composition `index → replay → curate` without a second
+    * byte source. A slice that fails to parse yields a null
     * `warc_rec` (the loud-null kernel rule — a corrupt or misaligned
     * index entry surfaces, never vanishes). Join index metadata back on
     * `(filename, offset)` when the capture's urlkey/ts/digest are
@@ -739,7 +745,8 @@ object Crawl {
   def fetchRecords(index: DataFrame, archives: DataFrame,
       maxGapBytes: Long = 1L << 20,
       payloadCol: String = "payload",
-      maxRangeBytes: Long = 1L << 30): DataFrame = {
+      maxRangeBytes: Long = 1L << 30,
+      sliceCol: String = null): DataFrame = {
     val acols = archives.columns.map(_.toLowerCase(java.util.Locale.ROOT))
     require(acols.length == 2 && acols.contains("filename") &&
       acols.contains(payloadCol.toLowerCase(java.util.Locale.ROOT)),
@@ -755,7 +762,7 @@ object Crawl {
         "in-plan payload ceiling in "), col("filename"),
         lit(" — feed fetchPlan to a range-GET fetcher instead"))))
       .otherwise(col("end"))
-    ranges
+    val sliced = ranges
       .withColumn("end", guard)
       .join(archives.select(col("filename"),
         col(payloadCol).as("__payload")), Seq("filename"))
@@ -768,63 +775,86 @@ object Crawl {
       .select(col("filename"),
         col("__m.offset").as("offset"),
         col("__m.length").as("length"),
-        call_function("graft_warc_parse",
-          col("__range").substr(
-            (col("__m.offset") - col("start") + 1L).cast("int"),
-            col("__m.length").cast("int"))).as("__recs"))
+        col("__range").substr(
+          (col("__m.offset") - col("start") + 1L).cast("int"),
+          col("__m.length").cast("int")).as("__slice"))
+      .withColumn("__recs",
+        call_function("graft_warc_parse", col("__slice")))
       // one capture = one record slice; a parse that yields anything
       // else (corrupt bytes, misaligned offsets) lands as null — loud
       .withColumn("warc_rec",
         when(size(col("__recs")) === 1, element_at(col("__recs"), 1)))
       .drop("__recs")
+    if (sliceCol == null) sliced.drop("__slice")
+    else sliced.withColumnRenamed("__slice", sliceCol)
   }
 
   /** CDX index GENERATION — the write side of the index tier: turn a
     * crawl's own archives into the cdxj-shaped frame every index-side
     * operator consumes, so the loop `crawl → buildIndex →
     * collapseRevisits / fetchPlan / fetchRecords` runs without an
-    * external indexer. One row per `response` record with a usable
-    * target URI: `urlkey` (`graft_surt` of the record URI — the
-    * external sort key), `ts` (the first 14 digits of `WARC-Date`, the
-    * CDX timestamp convention; null when the record carries no date —
-    * LOUD, the caller filters), `url` (verbatim), `mime`, `status`,
-    * `digest` (SHA-256 hex of the response BODY — this engine's
-    * documented digest; CommonCrawl writes base-32 SHA-1, but the
-    * digest's only contract here is payload equality for
-    * [[collapseRevisits]], and SHA-256 is the hash both this engine
-    * and the oracle compute identically), `length`/`offset` (the
-    * record's extent in the payload's record stream — re-sliceable by
-    * [[fetchRecords]] by construction), `filename` (the caller's
-    * archive-name column).
+    * external indexer. One row per `response` OR `revisit` record with
+    * a usable target URI: `urlkey` (`graft_surt` of the record URI —
+    * the external sort key), `ts` (the first 14 digits of `WARC-Date`,
+    * the CDX timestamp convention; null when the record carries no
+    * date — LOUD, the caller filters), `url` (verbatim), `mime`
+    * (responses: the HTTP `Content-Type`; revisits: the literal
+    * `warc/revisit` — the CDX convention [[collapseRevisits]] keys its
+    * revisit test on), `status`, `digest` — for a response the SHA-256
+    * hex of the BODY (this engine's documented digest; CommonCrawl
+    * writes base-32 SHA-1, but the digest's only contract here is
+    * payload equality for [[collapseRevisits]], and SHA-256 is the
+    * hash both this engine and the oracle compute identically); for a
+    * `revisit` record (ISO 28500 §6.7.2 `identical-payload-digest`)
+    * the record's own `WARC-Payload-Digest` value with a `sha-256:` /
+    * `sha256:` label stripped, so archives whose revisit records were
+    * written against this engine's digests land in the SAME
+    * `(urlkey, digest)` group as their original (a foreign-labelled or
+    * absent digest stays verbatim/null — LOUD, the group simply won't
+    * collapse) — `length`/`offset` (the
+    * record's STORAGE extent — re-sliceable by [[fetchRecords]] by
+    * construction), `filename` (the caller's archive-name column).
     *
-    * Offsets address the payload AS PARSED: exact for plain WARC
-    * payloads; for warc.gz they are INFLATED-stream coordinates, which
-    * do not address the compressed bytes (the CDX convention for
-    * compressed archives is gzip-member offsets, invisible to a
-    * payload-level kernel) — index compressed archives only if the
-    * replay path inflates before slicing, or store member-aligned
-    * plain segments. Plan shape: pure scan-side projection (parse +
-    * surt + sha2, all codegen) — no shuffle at all; at 100 TB this is
-    * the one pass that makes every later query an index query. */
+    * Offsets address the STORED bytes (the kernel's
+    * `member_offset`/`member_length`): for plain WARC the record's own
+    * extent in the payload; for `.warc.gz` the gzip MEMBER run holding
+    * the record (compressed coordinates — the CommonCrawl CDX
+    * convention, one member per record, tracked by the kernel's own
+    * RFC 1952 member walk), so a compressed archive's index rows are
+    * exactly what a range-GET fetcher (or [[fetchRecords]], whose
+    * member slices are themselves complete gzip streams the parse
+    * kernel inflates) can serve. A record whose storage packing is
+    * misaligned — e.g. a whole-file SINGLE-member gzip holding many
+    * records, which no range GET can slice per record — gets null
+    * offset/length, LOUDLY ([[fetchPlan]] excludes null-extent rows;
+    * re-pack such archives one member per record). Plan shape: pure
+    * scan-side projection (parse + surt + sha2, all codegen) — no
+    * shuffle at all; at 100 TB this is the one pass that makes every
+    * later query an index query. */
   def buildIndex(archives: DataFrame, payloadCol: String = "payload",
       filenameCol: String = "filename"): DataFrame = {
     val cols = archives.columns.map(_.toLowerCase(java.util.Locale.ROOT))
     require(cols.contains(filenameCol.toLowerCase(java.util.Locale.ROOT)) &&
       cols.contains(payloadCol.toLowerCase(java.util.Locale.ROOT)),
       s"buildIndex: archives must carry ($filenameCol, $payloadCol)")
+    val rt = lower(col("warc_rec.rec_type"))
     Multimodal.warcRecords(archives, payloadCol)
-      .filter(lower(col("warc_rec.rec_type")) === "response" &&
+      .filter(rt.isin("response", "revisit") &&
         col("warc_rec.uri").isNotNull)
       .select(
         call_function("graft_surt", col("warc_rec.uri")).as("urlkey"),
         substring(regexp_replace(col("warc_rec.date"),
           "[^0-9]", ""), 1, 14).as("ts"),
         col("warc_rec.uri").as("url"),
-        col("warc_rec.mime").as("mime"),
+        when(rt === "revisit", lit("warc/revisit"))
+          .otherwise(col("warc_rec.mime")).as("mime"),
         col("warc_rec.status").as("status"),
-        sha2(col("warc_rec.body"), 256).as("digest"),
-        col("warc_rec.rec_length").as("length"),
-        col("warc_rec.rec_offset").as("offset"),
+        when(rt === "revisit",
+          regexp_replace(col("warc_rec.payload_digest"),
+            "(?i)^sha-?256:", ""))
+          .otherwise(sha2(col("warc_rec.body"), 256)).as("digest"),
+        col("warc_rec.member_length").as("length"),
+        col("warc_rec.member_offset").as("offset"),
         col(filenameCol).as("filename"))
   }
 

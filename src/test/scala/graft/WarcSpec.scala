@@ -194,6 +194,177 @@ class WarcSpec extends SparkSpec {
     assert(WarcKernel.parse(corrupt) === null)
   }
 
+  test("buildIndex + collapseRevisits: revisit records index with " +
+      "warc/revisit mime and their payload digest — the full CDX loop") {
+    val body = "<p>original body kept stable</p>"
+    val digest = org.apache.commons.codec.digest.DigestUtils
+      .sha256Hex(body)
+    val warc =
+      rec("response",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body,
+        "WARC-Target-URI: <http://ex.test/r>\r\n" +
+          "WARC-Date: 2026-01-01T00:00:00Z\r\n") +
+      // the ISO 28500 §6.7.2 identical-payload-digest revisit: no body,
+      // the original's digest in WARC-Payload-Digest (engine label)
+      rec("revisit", "",
+        "WARC-Target-URI: <http://ex.test/r>\r\n" +
+          "WARC-Date: 2026-02-01T00:00:00Z\r\n" +
+          s"WARC-Payload-Digest: sha-256:$digest\r\n" +
+          "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/" +
+          "identical-payload-digest\r\n") +
+      // a FOREIGN-labelled digest stays verbatim: loud, never collapses
+      rec("revisit", "",
+        "WARC-Target-URI: <http://ex.test/other>\r\n" +
+          "WARC-Date: 2026-02-02T00:00:00Z\r\n" +
+          "WARC-Payload-Digest: sha1:AAABBB\r\n")
+    val archives = Seq(("w0", b(warc))).toDF("filename", "payload")
+    val idx = graft.operators.Crawl.buildIndex(archives)
+      .orderBy(col("ts")).collect()
+    assert(idx.length === 3)
+    assert(idx(0).getAs[String]("mime") === "text/html" &&
+      idx(0).getAs[String]("digest") === digest)
+    assert(idx(1).getAs[String]("mime") === "warc/revisit" &&
+      idx(1).getAs[String]("digest") === digest) // label stripped
+    assert(idx(2).getAs[String]("digest") === "sha1:AAABBB") // verbatim
+    // the loop: collapseRevisits folds the revisit onto its original
+    val collapsed = graft.operators.Crawl
+      .collapseRevisits(graft.operators.Crawl.buildIndex(archives))
+      .orderBy(col("urlkey")).collect()
+    assert(collapsed.length === 2)
+    val other = collapsed(0) // test,ex)/other — the orphan group
+    assert(other.getAs[Long]("n_revisits") === 1L &&
+      other.isNullAt(other.fieldIndex("orig_ts")))
+    val r = collapsed(1) // test,ex)/r
+    assert(r.getAs[Long]("n_captures") === 2L &&
+      r.getAs[Long]("n_revisits") === 1L &&
+      r.getAs[String]("orig_ts") === "20260101000000" &&
+      r.getAs[String]("last_ts") === "20260201000000")
+    // fetch ONCE, from the original's location; the slice column feeds
+    // curation directly (the sliceCol contract)
+    val fetched = graft.operators.Crawl.fetchRecords(
+        collapsed.toSeq.filter(_.getAs[String]("filename") != null)
+          .map(c => (c.getAs[String]("filename"), c.getAs[Long]("offset"),
+            c.getAs[Long]("length")))
+          .toDF("filename", "offset", "length"),
+        archives, sliceCol = "rec_bytes")
+    val rows = fetched.collect()
+    assert(rows.length === 1)
+    val curated = graft.operators.Crawl.cleanCorpus(
+      fetched.select(col("rec_bytes")), payloadCol = "rec_bytes",
+      minTextBytes = 10L).collect()
+    assert(curated.length === 1 &&
+      curated(0).getAs[String]("text") === "original body kept stable")
+  }
+
+  test("member extents: warc.gz records carry their gzip-member " +
+      "storage coordinates; every member slice re-parses standalone") {
+    def gz1(p: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(p); g.close()
+      bos.toByteArray
+    }
+    val parts = (0 until 5).map(i => b(rec("response",
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        s"<p>page $i body " + "z" * (5 + 3 * i) + "</p>",
+      s"WARC-Target-URI: <http://ex.test/m$i>\r\n")))
+    val members = parts.map(gz1)
+    val stored = members.reduce(_ ++ _)
+    val (rs, _) = WarcKernel.parse(stored)
+    assert(rs.length === 5)
+    // member extents TILE the compressed stream and match the members
+    // we actually wrote
+    var off = 0L
+    for ((r, m) <- rs.zip(members)) {
+      assert(r.memOff === off, s"member offset at $off")
+      assert(r.memLen === m.length.toLong)
+      off += m.length
+    }
+    assert(off === stored.length.toLong)
+    // the round-trip contract: each COMPRESSED member slice is a
+    // complete gzip stream that re-parses to exactly its record
+    for ((r, i) <- rs.zipWithIndex) {
+      val slice = java.util.Arrays.copyOfRange(stored, r.memOff.toInt,
+        (r.memOff + r.memLen).toInt)
+      val parsed = WarcKernel.parse(slice)
+      assert(parsed !== null)
+      val (rs2, buf2) = parsed
+      assert(rs2.length === 1)
+      assert(str(rs2(0).uri) === s"http://ex.test/m$i")
+      assert(new String(buf2, rs2(0).bodyOff, rs2(0).bodyLen,
+        java.nio.charset.StandardCharsets.UTF_8) ===
+        new String(parts(i)).substring(
+          new String(parts(i)).indexOf("<p>")).stripSuffix("\r\n\r\n"))
+    }
+    // PLAIN input: storage coords == record-stream coords
+    val plain = parts.reduce(_ ++ _)
+    val (prs, _) = WarcKernel.parse(plain)
+    assert(prs.forall(r => r.memOff === r.recOff.toLong &&
+      r.memLen === r.recLen.toLong))
+    // MISALIGNED packing — one member holding all 5 records: null
+    // coords, LOUDLY (no range GET can slice that per record)
+    val (srs, _) = WarcKernel.parse(gz1(plain))
+    assert(srs.length === 5)
+    assert(srs.forall(r => r.memOff === -1L && r.memLen === -1L))
+    // a record split across TWO members (legal, unusual): the member
+    // RUN maps — offsets cover both members, and the slice re-parses
+    val half = parts(0).length / 2
+    val twoM = gz1(parts(0).take(half)) ++ gz1(parts(0).drop(half))
+    val (trs, _) = WarcKernel.parse(twoM)
+    assert(trs.length === 1 && trs(0).memOff === 0L &&
+      trs(0).memLen === twoM.length.toLong)
+    val (trs2, _) = WarcKernel.parse(twoM)
+    assert(str(trs2(0).uri) === "http://ex.test/m0")
+  }
+
+  test("buildIndex on warc.gz: member-coordinate offsets round-trip " +
+      "through fetchRecords identically to the plain path") {
+    val parts = (0 until 6).map(i => b(rec("response",
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        s"<p>gz page $i</p>",
+      s"WARC-Target-URI: <http://ex.test/g$i>\r\n" +
+        s"WARC-Date: 2026-01-01T00:00:0${i % 10}Z\r\n")))
+    def gz1(p: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(p); g.close()
+      bos.toByteArray
+    }
+    val plainArchives = Seq(("w0", parts.reduce(_ ++ _)))
+      .toDF("filename", "payload")
+    val gzArchives = Seq(("w0.gz", parts.map(gz1).reduce(_ ++ _)))
+      .toDF("filename", "payload")
+    def roundtrip(archives: org.apache.spark.sql.DataFrame)
+        : Seq[(String, String, String)] = {
+      val idx = graft.operators.Crawl.buildIndex(archives)
+        .filter(col("ts").substr(14, 1).isin("1", "3", "5"))
+      graft.operators.Crawl.fetchRecords(
+          idx.select(col("filename"), col("offset"), col("length")),
+          archives)
+        .join(idx, Seq("filename", "offset", "length"))
+        .select(col("urlkey"), col("warc_rec.uri").as("url"),
+          col("warc_rec.body").cast("string").as("body"),
+          (sha2(col("warc_rec.body"), 256) === col("digest"))
+            .as("digest_ok"))
+        .orderBy(col("urlkey")).collect().toSeq
+        .map { r =>
+          assert(r.getAs[Boolean]("digest_ok"))
+          (r.getAs[String]("urlkey"), r.getAs[String]("url"),
+            r.getAs[String]("body"))
+        }
+    }
+    val plainOut = roundtrip(plainArchives)
+    val gzOut = roundtrip(gzArchives)
+    assert(plainOut.length === 3) // odd capture seconds: g1, g3, g5
+    assert(gzOut === plainOut)
+    // gz index offsets address the COMPRESSED stream (≠ inflated)
+    val gzIdx = graft.operators.Crawl.buildIndex(gzArchives)
+      .orderBy(col("offset")).collect()
+    val gzLens = parts.map(gz1(_).length.toLong)
+    assert(gzIdx.map(_.getAs[Long]("offset")).toSeq ===
+      gzLens.scanLeft(0L)(_ + _).init)
+  }
+
   test("SQL surface + operator: warcRecords explodes; chain into html") {
     val warc = rec("warcinfo", "software: graft\r\n") +
       rec("response", httpBlock, "WARC-Target-URI: http://ex.test/p\r\n")
