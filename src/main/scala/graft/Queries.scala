@@ -443,7 +443,7 @@ object Queries {
     Queries21.catalog ++ Queries22.catalog ++ Queries23.catalog ++
     Queries24.catalog ++ Queries25.catalog ++ Queries26.catalog ++
     Queries27.catalog ++ Queries28.catalog ++ Queries29.catalog ++
-    Queries30.catalog
+    Queries30.catalog ++ Queries31.catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map { case (n, d) => n -> d.fn }.toMap

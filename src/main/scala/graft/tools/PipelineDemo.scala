@@ -90,6 +90,42 @@ object PipelineDemo {
     require(outEdges.count() == 30, "expected 30 distinct canonical outlinks")
     println("== crawl path: 40 pages -> 30 articles, link farm dropped")
 
+    // 7. index tier (r17): per-record gzip members → buildIndex over the
+    //    COMPRESSED archives (member-coordinate offsets) → revisit
+    //    collapse → member-sliced replay → curation — the archive-backed
+    //    production shape, one plan
+    def warcRec(i: Long, date: String, extra: String, http: String) =
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Date: $date\r\n$extra" +
+        s"WARC-Target-URI: <http://idx.test/p$i>\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n"
+    val idxPages = (0L until 30L).map { i =>
+      val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        s"<p>indexed article $i with plenty of prose words here</p>"
+      (s"a${i % 3}.warc.gz", i,
+        warcRec(i, "2026-01-01T00:00:00Z", "", http)
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    }.toDF("filename", "rnk", "rec")
+    val gzArchives = idxPages
+      .withColumn("member", call_function("graft_gzip", col("rec")))
+      .groupBy(col("filename"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("rnk"), col("member")))),
+          x => x.getField("member")),
+        lit(Array.emptyByteArray), (acc, x) => concat(acc, x))
+        .as("payload"))
+    val index7 = graft.operators.Crawl.buildIndex(gzArchives)
+    val collapsed7 = graft.operators.Crawl.collapseRevisits(index7)
+      .filter(col("status") === 200)
+    val curated7 = graft.operators.Crawl.cleanCorpus(
+      graft.operators.Crawl.fetchRecords(
+        collapsed7.select(col("filename"), col("offset"), col("length")),
+        gzArchives, sliceCol = "rec_bytes")
+        .select(col("rec_bytes")),
+      payloadCol = "rec_bytes", minTextBytes = 10L)
+    val nCurated = curated7.count()
+    require(nCurated == 30, s"expected 30 replayed articles, got $nCurated")
+    println("== index tier: 30 gzip members -> index -> replay -> corpus")
+
     println("PIPELINE DEMO OK")
     spark.stop()
   }
