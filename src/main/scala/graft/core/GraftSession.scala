@@ -21,6 +21,18 @@ object GraftSession {
       // explicitly where needed.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // TypedImperativeAggregates (graft_dsum, hist/tdigest/HLL states)
+      // run under ObjectHashAggregateExec, whose in-memory map flips to
+      // a SORT-BASED fallback after 128 (!) distinct groups per task —
+      // the r17 q174 profile showed numTasksFallBacked=32 on every
+      // partial dsum aggregation (421k groups), i.e. the catalog's
+      // high-cardinality decimal sums were silently sort-aggregating.
+      // 256k entries of (key + fixed 32-byte dsum buffer + map overhead)
+      // is ~32 MB per task — a sane hash-agg budget at ANY scale; tasks
+      // past it still fall back gracefully, so this is a threshold fix,
+      // not a memory bet.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "262144")
       // native expressions (graft_dot with codegen)
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -55,19 +55,40 @@ object Graph {
     // null endpoints are not edges: a null src's outdegree group can
     // never join ranks, inflow routed to a null dst is lost at the left
     // join (null keys never match), and the output would carry a
-    // nonsense node=null row — drop them before anything counts
+    // nonsense node=null row — drop them before anything counts.
+    //
+    // r17 optimization (guide §2.4 — remove shuffles outright): the edge
+    // list is PRE-PARTITIONED on `src` and sorted before the persist, so
+    // every iteration's contribution join reads the cached layout
+    // directly — the measured r17-baseline plan re-EXCHANGED the cached
+    // 1.19M-row edge list (28 MB dataSize) and re-SORTED it (576 MB sort
+    // reservation) once per iteration; with the layout in the cache all
+    // three iterations join exchange-free and sort-free on the edge
+    // side, leaving the per-round inflow aggregation as the only
+    // edge-sized shuffle (the textbook PR round). The partition count
+    // rides the session's shuffle.partitions (scale-parameterised, not a
+    // local constant); repartition-by-column keeps AQE free to size it.
     val e = graft.core.Stats.PlanCache.register(
       edges.select(col(srcCol).cast("long").as("src"),
           col(dstCol).cast("long").as("dst"))
-        .filter(col("src").isNotNull && col("dst").isNotNull))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .repartition(col("src"))
+        .sortWithinPartitions(col("src")))
     // nodes feed iterations+1 consumers plus the count — cache alongside
-    // the edge list
+    // the edge list, pre-partitioned on `node` so each round's rank
+    // update (nodes ⋈ inflow, both node-keyed) is exchange-free too
     val nodes = graft.core.Stats.PlanCache.register(
       e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct())
+        .union(e.select(col("dst").as("node"))).distinct()
+        .repartition(col("node"))
+        .sortWithinPartitions(col("node")))
     // the only driver-side value: the node count (one long)
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
+    // grouped directly over the cached src-partitioned edges: the
+    // aggregation inherits the partitioning, so building the degree
+    // table is shuffle-free and its cache keeps that layout for the
+    // per-round share join
     val outdeg = graft.core.Stats.PlanCache.register(
       e.groupBy(col("src")).agg(count(lit(1)).as("__deg")))
     val base = (1.0 - damping) / n.toDouble
