@@ -33,6 +33,18 @@ object GraftSession {
       // not a memory bet.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "262144")
+      // Shuffle writer: never take the bypass-merge path. With P reduce
+      // partitions the bypass writer opens P concurrent partition streams
+      // PER MAP TASK (each with its own file + compression buffers); the
+      // r17 profile measured that fixed cost at ~200 ms of CPU per task
+      // on KILOBYTE-sized exchanges — e.g. q195's four sub-MB exchanges
+      // carried 6-8 s of aggregate shuffleWriteTime each, and forcing the
+      // serialized-sort writer cut the query's total CPU 21.7 s -> 2.0 s
+      // (q174 12.4 -> 4.7, q148 13.4 -> 4.1). At production partition
+      // counts (> 200) the serialized-sort writer is Spark's default
+      // anyway, so this only changes the small-shuffle regime — in the
+      // direction the measurements point.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       // native expressions (graft_dot with codegen)
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -962,14 +962,29 @@ object Dedup {
       .select(col(idCol), explode(call_function("graft_shingle_hash",
         col("tk"), lit(n))).as("h"))
     val df = grams.groupBy(col("h")).agg(count(lit(1)).as("__df"))
-    // kept feeds three consumers (sizes + both pair-join sides); the
-    // bounded PlanCache pins the (id, 16-byte-hash) rows — far smaller
-    // than the text they came from — so the corpus scans once
+    // kept feeds two consumers (sizes + the pair generator); the bounded
+    // PlanCache pins the (id, 16-byte-hash) rows — far smaller than the
+    // text they came from — so the corpus scans once
     val kept = graft.core.Stats.PlanCache.register(
       grams.join(df.filter(col("__df") <= maxDf), "h"))
-    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    val inter = kept.select(col("h"), col(idCol).as("id_a"))
-      .join(kept.select(col("h"), col(idCol).as("id_b")), "h")
+    // sizes is consumed twice (id_a and id_b joins) — without the pin the
+    // r17 profile showed the whole 260k-row aggregation + exchange
+    // executing twice per run
+    val sizes = graft.core.Stats.PlanCache.register(
+      kept.groupBy(col(idCol)).agg(count(lit(1)).as("__n")))
+    // r17 (guide §2.4/§3): pair generation from each gram's BOUNDED id
+    // list instead of the kept⋈kept self-join — the df cap (applied
+    // BEFORE grouping, so no group buffer can exceed maxDf ids) makes
+    // every list ≤ maxDf elements; the self-join's second scan, its
+    // broadcast/exchange of the whole kept frame, and the join probe all
+    // disappear, leaving one groupBy(h) and the same Σ df² pair fan-out
+    // generated map-side. Counts are identical: grams are per-doc
+    // distinct, so each (h, id) occurs once.
+    val byH = kept.groupBy(col("h"))
+      .agg(collect_list(col(idCol)).as("__ids"))
+    val inter = byH
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -1028,7 +1043,11 @@ object Dedup {
     // (id, h, df) feeds four consumers (sizes, prefix, join side, verify
     // sides); the bounded PlanCache pins it so the corpus scans once
     val kept = graft.core.Stats.PlanCache.register(grams.join(dfreq, "h"))
-    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    // three consumers (prefix filter + both pruned-side joins) — pinned,
+    // or the 255k-row aggregation executes three times per run (r17
+    // profile)
+    val sizes = graft.core.Stats.PlanCache.register(
+      kept.groupBy(col(idCol)).agg(count(lit(1)).as("__n")))
     val wDoc = Window.partitionBy(col(idCol))
       .orderBy(col("__df").asc, col("h").asc)
     val prefix = kept
@@ -1094,9 +1113,16 @@ object Dedup {
         col("tk"), lit(n))).as("h"))
       .distinct()
     val cached = graft.core.Stats.PlanCache.register(grams)
-    val sizes = cached.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
-    cached.select(col("h"), col("__src").as("src_a"))
-      .join(cached.select(col("h"), col("__src").as("src_b")), "h")
+    val sizes = graft.core.Stats.PlanCache.register(
+      cached.groupBy(col("__src")).agg(count(lit(1)).as("__n")))
+    // r17 (guide §2.4): source pairs generated from each gram's bounded
+    // source list (|sources| is small by contract) — one groupBy(h)
+    // replaces the self-join's second scan + exchange; the (src, h) rows
+    // are distinct, so pair counts are identical
+    cached.groupBy(col("h"))
+      .agg(collect_list(col("__src")).as("__srcs"))
+      .select(explode(col("__srcs")).as("src_a"), col("__srcs"))
+      .select(col("src_a"), explode(col("__srcs")).as("src_b"))
       .filter(col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_shared"))
