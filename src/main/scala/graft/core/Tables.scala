@@ -20,9 +20,33 @@ object Tables {
     * bench ~40% (at this data size the added exchange + 32-task stage
     * overhead dwarfs the scan-stage parallelism it buys; queries whose
     * scan compute IS heavy enough spread locally — see
-    * Dedup.minhashBands). */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    * Dedup.minhashBands).
+    *
+    * r17: the resolved relation is memoized PER SESSION AND PATH —
+    * `spark.read.parquet` re-lists the directory and re-reads parquet
+    * footers on every call, which the bench pays per query
+    * CONSTRUCTION (measured in the r17 driver-gap audit: construction,
+    * not execution). The memo reuses the logical relation only — no
+    * data is cached; the driver tables are read-only inputs, and
+    * sessions die with their WeakHashMap key. Reusing one relation
+    * object also makes plan-fragment canonicalization exact for the
+    * bounded PlanCache. */
+  private val relCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = relCache.synchronized {
+      var m = relCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        relCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$dir/$name.parquet",
+      p => spark.read.parquet(p))
+  }
 
   /** events with `ts` normalized to EPOCH NANOSECONDS (long) regardless of
     * the file's physical type — the generator has shipped both

@@ -146,7 +146,12 @@ object Dedup {
       idCol: String, textCol: String, maxDist: Int): DataFrame = {
     val x = docs.select(col(idCol).as("xid"), col(textCol).as("t1"))
     val y = docs.select(col(idCol).as("yid"), col(textCol).as("t2"))
-    candidates
+    // the banded DP dwarfs everything else here (len·maxDist per pair vs
+    // 16-byte candidate rows), so an unconditional round-robin spread is
+    // cheap insurance against AQE coalescing a small candidate set onto
+    // one core (r17; the exchange is noise at any candidate volume)
+    candidates.repartition(
+        candidates.sparkSession.sparkContext.defaultParallelism)
       .join(x, col("xid") === col("d1"))
       .join(y, col("yid") === col("d2"))
       // |len(a)-len(b)| lower-bounds the distance — prune before the DP;
@@ -436,9 +441,15 @@ object Dedup {
     // total order works for prefix filtering as long as it is global;
     // (df, hash) is the one used here. Docs too short for a single
     // shingle get the empty set and can never pair.
-    val tokens = docs.select(col(idCol).as("__id"),
-      call_function("graft_shingle_hash", split(col(textCol), " "),
-        lit(shingle)).as("tk"))
+    // three consumers (the exploded candidate pipeline + both verify
+    // sides) — pinned so the corpus is tokenized+hashed once per run,
+    // not three times (r17; the pin is (id, long-array) rows, far
+    // smaller than the text)
+    val tokens = graft.core.Stats.PlanCache.register(
+      graft.core.Spread.narrow(docs.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("__id"),
+          call_function("graft_shingle_hash", split(col(textCol), " "),
+            lit(shingle)).as("tk")))
     val toks = tokens.select(col("__id"), size(col("tk")).as("s"),
       explode(col("tk")).as("tok"))
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
@@ -450,10 +461,13 @@ object Dedup {
     // prefix length p = s - ceil(t*s) + 1; the -1e-9 makes ceil round DOWN
     // on exact integer boundaries under double error (longer prefix = safe)
     val p = (col("s") - ceil(col("s") * t - 1e-9) + 1).cast("int")
-    val prefix = sorted.select(col("__id"), col("s"),
-      posexplode(slice(col("st"), lit(1), p)).as(Seq("pos0", "pt")))
+    // both join sides read the prefix — pinned so the df join + per-doc
+    // sort + slice runs once per run instead of twice (r17)
+    val prefix = graft.core.Stats.PlanCache.register(
+      sorted.select(col("__id"), col("s"),
+        posexplode(slice(col("st"), lit(1), p)).as(Seq("pos0", "pt")))
       .select(col("__id"), col("s"), (col("pos0") + 1).as("pos"),
-        col("pt.tok").as("tok"))
+        col("pt.tok").as("tok")))
     val lhs = prefix.select(col("tok"), col("__id").as("d1"),
       col("s").as("s1"), col("pos").as("pos1"))
     val rhs = prefix.select(col("tok").as("tok2"), col("__id").as("d2"),
@@ -757,7 +771,10 @@ object Dedup {
       avgTokens: Int = 8): DataFrame = {
     require(avgTokens >= 2, "cdcChunkDedup: avgTokens must be >= 2")
     import org.apache.spark.sql.expressions.Window
-    val toks = docs
+    // per-token md5 boundary draws are the scan-side cost — spread a
+    // narrow scan first (r17)
+    val toks = graft.core.Spread.narrow(
+        docs.select(col(idCol), col(textCol)))
       .select(col(idCol), posexplode(split(col(textCol), " "))
         .as(Seq("pos", "t")))
       .withColumn("__m",
@@ -765,12 +782,14 @@ object Dedup {
           .cast("long") % avgTokens === 0L, 1L).otherwise(0L))
     val prior = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val chunks = toks
+    // chunks feeds the frequency table AND the report join — pinned so
+    // the window + reassembly runs once per run (r17)
+    val chunks = graft.core.Stats.PlanCache.register(toks
       .withColumn("chunk", coalesce(sum(col("__m")).over(prior), lit(0L)))
       .groupBy(col(idCol), col("chunk"))
       .agg(md5(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("t")))),
-        x => x.getField("t")), " ")).as("__h"))
+        x => x.getField("t")), " ")).as("__h")))
     val freq = chunks.groupBy(col("__h")).agg(count(lit(1)).as("__f"))
     chunks.join(freq, "__h")
       .groupBy(col(idCol))
@@ -810,7 +829,10 @@ object Dedup {
       k: Int = 3, w: Int = 4, salt: String = "win"): DataFrame = {
     require(k >= 1, "winnowFingerprints: k must be >= 1")
     require(w >= 1, "winnowFingerprints: w must be >= 1")
-    docs.select(col(idCol),
+    // graft_winnow (md5 per gram + deque minima) is the scan-side cost —
+    // spread a narrow scan first (r17)
+    graft.core.Spread.narrow(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
         call_function("graft_winnow", split(col(textCol), " "),
           lit(k), lit(w), lit(salt)).as("fps"))
       .filter(size(col("fps")) > 0)
@@ -836,16 +858,27 @@ object Dedup {
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4, maxDf: Long = 20L, minShared: Long = 2L,
       topK: Int = 100, salt: String = "win"): DataFrame = {
-    val fps = winnowFingerprints(docs, idCol, textCol, k, w, salt)
+    // the winnow kernel feeds two consumers (df + the kept join side) —
+    // pinned so the corpus winnows once per run (r17)
+    val fps = graft.core.Stats.PlanCache.register(
+      winnowFingerprints(docs, idCol, textCol, k, w, salt))
     val dfreq = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
-    val kept = fps.join(dfreq.filter(col("__df") <= maxDf), "fp")
+    val kept = graft.core.Stats.PlanCache.register(
+      fps.join(dfreq.filter(col("__df") <= maxDf), "fp"))
     // sizes over the KEPT fingerprints: numerator and denominator must
     // see the same df cap, or a fully-contained doc whose boilerplate
     // fingerprints were dropped could never reach the documented 1.0
-    // (the ratio-consistency rule containmentScored states)
-    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("n_fp"))
-    val pairs = kept.select(col("fp"), col(idCol).as("id_a"))
-      .join(kept.select(col("fp"), col(idCol).as("id_b")), "fp")
+    // (the ratio-consistency rule containmentScored states); pinned —
+    // two consumers
+    val sizes = graft.core.Stats.PlanCache.register(
+      kept.groupBy(col(idCol)).agg(count(lit(1)).as("n_fp")))
+    // pair generation from each fingerprint's df-capped id list (the
+    // containmentScored r17 shape): one groupBy on fp replaces the
+    // kept⋈kept self-join; lists are ≤ maxDf by the upstream filter
+    val pairs = kept.groupBy(col("fp"))
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -956,7 +989,8 @@ object Dedup {
     // than md5 hex strings and the counts equal the string-set counts
     // barring ~1e-13 collisions; the oracle counts STRING n-grams, so
     // hash equality doubles as the no-collision check (q37/q57 pattern)
-    val grams = docs
+    val grams = graft.core.Spread.narrow(
+        docs.select(col(idCol), col(textCol)))
       .select(col(idCol), split(col(textCol), " ").as("tk"))
       .filter(size(col("tk")) >= n)
       .select(col(idCol), explode(call_function("graft_shingle_hash",
@@ -1034,7 +1068,11 @@ object Dedup {
     require(minContainment > 0.0 && minContainment <= 1.0,
       s"containmentJoin: threshold must be in (0, 1], got $minContainment")
     import org.apache.spark.sql.expressions.Window
-    val grams = docs
+    // one narrow-scan spread feeds BOTH the gram pipeline and the verify
+    // arrays (r17) — tokenize+hash runs at session parallelism
+    val src = graft.core.Spread.narrow(
+      docs.select(col(idCol), col(textCol)))
+    val grams = src
       .select(col(idCol), split(col(textCol), " ").as("tk"))
       .filter(size(col("tk")) >= n)
       .select(col(idCol), explode(call_function("graft_shingle_hash",
@@ -1069,11 +1107,12 @@ object Dedup {
       .join(sizes.select(col(idCol).as("id_b"), col("__n").as("n_b")), "id_b")
       .filter(col("n_b").cast("double") >=
         lit(minContainment) * col("n_a").cast("double") - lit(1e-9))
-    val shset = docs
+    // pinned: both verify sides read it, and it re-tokenizes the corpus
+    val shset = graft.core.Stats.PlanCache.register(src
       .select(col(idCol), split(col(textCol), " ").as("tk"))
       .filter(size(col("tk")) >= n)
       .select(col(idCol), call_function("graft_shingle_hash",
-        col("tk"), lit(n)).as("sh"))
+        col("tk"), lit(n)).as("sh")))
     pruned
       .join(shset.select(col(idCol).as("id_a"), col("sh").as("__sha")),
         "id_a")
@@ -1106,7 +1145,8 @@ object Dedup {
     require(n >= 1, s"crossSourceDupMatrix: n must be >= 1, got $n")
     // native 64-bit gram hashes (see containmentPairs) — the oracle's
     // string grams make equality the no-collision check
-    val grams = docs
+    val grams = graft.core.Spread.narrow(
+        docs.select(col(sourceCol), col(textCol)))
       .select(col(sourceCol).as("__src"), split(col(textCol), " ").as("tk"))
       .filter(size(col("tk")) >= n)
       .select(col("__src"), explode(call_function("graft_shingle_hash",

@@ -844,7 +844,10 @@ object TextAnalysis {
       "size(filter(split(__text, ' '), w -> w rlike '[A-Za-z]'))")
       .cast("long")
     val nWords = col("__rep.n_words")
-    val base = docs.select(col(idCol), col(textCol).as("__text"))
+    // per-row kernels (graft_repetition + the HOF scans) are the cost —
+    // spread a narrow scan to the session's parallelism first (r17)
+    val base = graft.core.Spread.narrow(
+        docs.select(col(idCol), col(textCol).as("__text")))
       .withColumn("__rep",
         call_function("graft_repetition", tokens(col("__text"))))
       .select(col(idCol),

@@ -40,6 +40,11 @@ object SqlMetrics {
     run()
     println(f"wall ${(System.nanoTime() - t0) / 1e9}%.3f s")
     Thread.sleep(1000)
+    println("planning phases (ms): " + last.tracker.phases.map {
+      case (k, v) => s"$k=${v.durationMs}" }.mkString(" "))
+    val rules = last.tracker.topRulesByTime(8).map { case (r, s) =>
+      f"${r.split('.').last}=${s.totalTimeNs / 1e6}%.0f" }.mkString(" ")
+    println("top rules (ms): " + rules)
     def walk(p: SparkPlan, depth: Int): Unit = {
       val interesting = p.metrics.toSeq
         .filter { case (_, m) => m.value > 0 }
