@@ -250,6 +250,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         litInt(children(1), "graft_dsum", "scale"),
         weight = children.drop(2).headOption)))
     ext.injectFunction((
+      FunctionIdentifier("graft_ddot"),
+      new ExpressionInfo(classOf[GraftDecimalDot].getName, "graft_ddot"),
+      (children: Seq[Expression]) => GraftDecimalDot(children(0), children(1),
+        litInt(children(2), "graft_ddot", "scale"))))
+    ext.injectFunction((
       FunctionIdentifier("graft_vecsum"),
       new ExpressionInfo(classOf[GraftVecSum].getName, "graft_vecsum"),
       (children: Seq[Expression]) => GraftVecSum(children(0))))

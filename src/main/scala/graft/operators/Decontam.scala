@@ -270,15 +270,25 @@ object Decontam {
   def exciseBenchmarkSpans(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, "exciseBenchmarkSpans: n must be >= 1")
-    def grams(df: DataFrame, cols: Column*): DataFrame = df
-      .select((cols :+ split(col(textCol), " ").as("__tk")): _*)
+    // r17: gram identity travels as 64-bit hashes (the q37/q57
+    // convention — graft_shingle_hash_all is positional, so posexplode
+    // recovers the same 0-based starts the string formulation produced;
+    // the two kernels hash identical byte streams, so hash equality is
+    // string equality barring ~1e-13 collisions, and the oracle's
+    // string-gram replay doubles as the no-collision check). The string
+    // form allocated one joined gram STRING per position on both sides
+    // — the corpus side's dominant CPU.
+    val bench = benchmark
+      .select(split(col(textCol), " ").as("__tk"))
       .filter(size(col("__tk")) >= n)
-      .select((cols :+ posexplode(expr(
-        s"transform(sequence(1, size(__tk) - ${n - 1}), " +
-          s"i -> array_join(slice(__tk, i, $n), ' '))"))
-        .as(Seq("__s", "__g"))): _*)
-    val bench = grams(benchmark).select(col("__g")).distinct()
-    val starts = grams(corpus, col(idCol))
+      .select(explode(call_function("graft_shingle_hash",
+        col("__tk"), lit(n))).as("__g"))
+      .distinct()
+    val starts = corpus
+      .select(col(idCol), split(col(textCol), " ").as("__tk"))
+      .filter(size(col("__tk")) >= n)
+      .select(col(idCol), posexplode(call_function("graft_shingle_hash_all",
+        col("__tk"), lit(n))).as(Seq("__s", "__g")))
       .join(broadcast(bench), "__g")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__s"))).as("__starts"))

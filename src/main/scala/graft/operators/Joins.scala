@@ -49,7 +49,15 @@ object Joins {
       dimKey: String, salts: Int = 8): DataFrame = {
     require(salts >= 1, s"saltedJoin: salts must be >= 1, got $salts")
     val f = saltFact(fact, salts)
-    val d = replicateDim(dim, salts)
+    // the operator EXISTS for the shuffle regime — left to its size
+    // estimates the planner broadcasts the ×salts-replicated dim (r17:
+    // a 1.2M-row driver collect+build per run at sf0.1), which makes
+    // the whole salt machinery dead weight (broadcast joins have no
+    // skew problem). The SHUFFLE_HASH hint pins the designed plan: both
+    // sides exchange on (key, salt) — the salts spread the hot key —
+    // and the dim side (the smaller by contract) hash-builds per
+    // partition with no sort on either side.
+    val d = replicateDim(dim, salts).hint("shuffle_hash")
     f.join(d, f(factKey) === d(dimKey) && f("__salt") === d("__salt"))
       .drop("__salt")
   }

@@ -65,9 +65,13 @@ object Linkage {
     require(salts >= 1, s"fsLink: salts must be >= 1, got $salts")
     val bSuffixed = b.toDF(b.columns.map(c =>
       if (blockCols.contains(c)) c else c + "_b").toIndexedSeq: _*)
+    // shuffle_hash on the replicated side for the same reason as
+    // Joins.saltedJoin (r17): a broadcast of the ×salts dim defeats the
+    // salting and pays a driver-side build
     val joined = if (salts == 1) a.join(bSuffixed, blockCols)
     else Joins.saltFact(a, salts)
-      .join(Joins.replicateDim(bSuffixed, salts), blockCols :+ "__salt")
+      .join(Joins.replicateDim(bSuffixed, salts).hint("shuffle_hash"),
+        blockCols :+ "__salt")
       .drop("__salt")
     val flagged = rules.foldLeft(joined)((d, r) =>
       d.withColumn(s"agree_${r.name}", r.pred))

@@ -345,25 +345,20 @@ object Similarity {
     require(probes >= 1 && probes <= planes,
       s"lshCandidateRecall: probes must be in [1, planes=$planes], got $probes")
     import org.apache.spark.sql.expressions.Window
-    def dsum(c: Column): Column = call_function("graft_dsum", c, lit(12))
-    // exact top-k by decimal-fold cosine
-    val ex = emb.select(col(idCol).as("__id"),
-        posexplode(col(vecCol)).as(Seq("__dim", "__x")))
-      .select(col("__id"), col("__dim"), col("__x").cast("double").as("__x"))
-    val norms = ex.groupBy(col("__id"))
-      .agg(sqrt(dsum(col("__x") * col("__x"))).as("__norm"))
-    val px = ex.filter(col("__id").isin(queryIds: _*))
-      .toDF("__pid", "__pdim", "__px")
-    val cosv = ex.join(broadcast(px), col("__dim") === col("__pdim"))
-      .filter(col("__id") =!= col("__pid"))
-      .groupBy(col("__pid"), col("__id"))
-      .agg(dsum(col("__x") * col("__px")).as("__dot"))
-      .join(broadcast(norms.toDF("__pid2", "__pn")),
-        col("__pid") === col("__pid2"))
-      .join(broadcast(norms.toDF("__id2", "__nn")),
-        col("__id") === col("__id2"))
+    // exact top-k by decimal-fold cosine — per-row graft_ddot folds
+    // (bit-identical to the exploded-dim dsum aggregation they replace;
+    // see labelConsistency r17 note)
+    def ddot(a: Column, b: Column): Column =
+      call_function("graft_ddot", a, b, lit(12))
+    val withNorm = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      sqrt(ddot(col(vecCol), col(vecCol))).as("__nn"))
+    val probesF = withNorm.filter(col("__id").isin(queryIds: _*))
+      .toDF("__pid", "__pv", "__pn")
+    val cosv = withNorm.join(broadcast(probesF),
+        col("__id") =!= col("__pid"))
       .select(col("__pid"), col("__id"),
-        (col("__dot") / (col("__pn") * col("__nn"))).as("__cos"))
+        (ddot(col("__v"), col("__pv")) /
+          (col("__pn") * col("__nn"))).as("__cos"))
     val wP = Window.partitionBy(col("__pid"))
       .orderBy(col("__cos").desc, col("__id"))
     val exact = cosv.withColumn("__rk", row_number().over(wP))
@@ -938,17 +933,20 @@ object Similarity {
         s"[0, $nClusters); found $nSeeds")
     import org.apache.spark.sql.expressions.Window
     def dsum(c: Column): Column = call_function("graft_dsum", c, lit(12))
-    val ex = emb.select(col(idCol).as("__id"),
-        posexplode(col(vecCol)).as(Seq("__dim", "__x")))
-      .select(col("__id"), col("__dim"), col("__x").cast("double").as("__x"))
-    val cx = emb.filter(col(idCol) < nClusters)
-      .select(col(idCol).as("__cid"),
-        posexplode(col(vecCol)).as(Seq("__cdim", "__c")))
-      .select(col("__cid"), col("__cdim"), col("__c").cast("double").as("__c"))
-    val d2 = ex.join(broadcast(cx), col("__dim") === col("__cdim"))
-      .groupBy(col("__id"), col("__cid"))
-      .agg(dsum((col("__x") - col("__c")) * (col("__x") - col("__c")))
-        .as("__d2"))
+    // r17: per-(point, centroid) squared distance as ONE graft_ddot fold
+    // over the explicit difference vector — zip_with subtracts in double
+    // exactly like the exploded (__x - __c) did, and the shared
+    // Decimal128 kernel keeps each (x−c)² term's decimal rounding and
+    // the accumulation bit-identical to the dsum aggregation this
+    // replaces; the dims× fan-out and pair-keyed aggregate disappear.
+    // The centroid set is nClusters rows — a bounded broadcast.
+    val diff = expr(
+      "zip_with(__v, __cv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))")
+    val d2 = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(emb.filter(col(idCol) < nClusters)
+        .select(col(idCol).as("__cid"), col(vecCol).as("__cv"))))
+      .select(col("__id"), col("__cid"),
+        call_function("graft_ddot", diff, diff, lit(12)).as("__d2"))
     val wPt = Window.partitionBy(col("__id"))
       .orderBy(col("__d2"), col("__cid"))
     val ranked = d2.withColumn("__rk", row_number().over(wPt))
@@ -991,26 +989,25 @@ object Similarity {
       labelCol: String, probeIds: Seq[Long], k: Int = 8): DataFrame = {
     require(probeIds.nonEmpty && k >= 1, "labelConsistency: probes, k >= 1")
     import org.apache.spark.sql.expressions.Window
-    def dsum(c: Column): Column = call_function("graft_dsum", c, lit(12))
-    val ex = emb.select(col(idCol).as("__id"), col(labelCol).as("__lbl"),
-        posexplode(col(vecCol)).as(Seq("__dim", "__x")))
-      .select(col("__id"), col("__lbl"), col("__dim"),
-        col("__x").cast("double").as("__x"))
-    val norms = ex.groupBy(col("__id"))
-      .agg(sqrt(dsum(col("__x") * col("__x"))).as("__norm"))
-    val px = ex.filter(col("__id").isin(probeIds: _*))
-      .toDF("__pid", "__plbl", "__pdim", "__px")
-    val dots = ex.join(broadcast(px), col("__dim") === col("__pdim"))
-      .filter(col("__id") =!= col("__pid"))
-      .groupBy(col("__pid"), col("__plbl"), col("__id"), col("__lbl"))
-      .agg(dsum(col("__x") * col("__px")).as("__dot"))
-    val cos = dots
-      .join(broadcast(norms.toDF("__pid2", "__pnorm")),
-        col("__pid") === col("__pid2"))
-      .join(broadcast(norms.toDF("__id2", "__nnorm")),
-        col("__id") === col("__id2"))
+    // r17: dots and norms fold per ROW through graft_ddot — the shared
+    // Decimal128 kernel makes each fold bit-identical to the exploded-dim
+    // graft_dsum aggregation this replaces (same per-term double→decimal
+    // rounding, same order-free int128 accumulation), while the dims×
+    // row fan-out, the dim-pairing join, and the pair-keyed hash
+    // aggregate all disappear (q193: 3M exploded rows → 48k scalar folds)
+    def ddot(a: Column, b: Column): Column =
+      call_function("graft_ddot", a, b, lit(12))
+    val base = emb.select(col(idCol).as("__id"), col(labelCol).as("__lbl"),
+      col(vecCol).as("__v"))
+    val withNorm = base.select(col("__id"), col("__lbl"), col("__v"),
+      sqrt(ddot(col("__v"), col("__v"))).as("__norm"))
+    val probes = withNorm.filter(col("__id").isin(probeIds: _*))
+      .toDF("__pid", "__plbl", "__pv", "__pnorm")
+    val cos = withNorm.join(broadcast(probes),
+        col("__id") =!= col("__pid"))
       .select(col("__pid"), col("__plbl"), col("__id"), col("__lbl"),
-        (col("__dot") / (col("__pnorm") * col("__nnorm"))).as("__cos"))
+        (ddot(col("__v"), col("__pv")) /
+          (col("__pnorm") * col("__norm"))).as("__cos"))
     val wP = Window.partitionBy(col("__pid"))
       .orderBy(col("__cos").desc, col("__id"))
     cos.withColumn("__rk", row_number().over(wP))
@@ -1046,30 +1043,24 @@ object Similarity {
       topK: Int = 50): DataFrame = {
     require(kNeigh >= 1 && topK >= 1, "marginMining: kNeigh, topK >= 1")
     import org.apache.spark.sql.expressions.Window
-    def dsum(c: Column): Column = call_function("graft_dsum", c, lit(12))
+    // r17: per-pair graft_ddot folds (bit-identical to the exploded-dim
+    // dsum aggregation they replaced — shared Decimal128 kernel) over an
+    // explicit bounded-slice cross join; the dims× fan-out, dim-pairing
+    // join, and pair-keyed aggregate disappear. The cross join is this
+    // exact form's documented shape (it always scored |S|·|T| pairs —
+    // the dim equi-join was the same cartesian wearing a join key);
+    // production uses [[marginMiningLsh]].
+    def ddot(a: Column, b: Column): Column =
+      call_function("graft_ddot", a, b, lit(12))
     def side(label: Int, pre: String): DataFrame =
       emb.filter(col(labelCol) === label)
-        .select(col(idCol).as(s"${pre}id"),
-          posexplode(col(vecCol)).as(Seq(s"${pre}dim", s"${pre}x")))
-        .select(col(s"${pre}id"), col(s"${pre}dim"),
-          col(s"${pre}x").cast("double").as(s"${pre}x"))
-    val sx = side(srcLabel, "s_")
-    val tx = side(tgtLabel, "t_")
-    val norms = emb.filter(col(labelCol).isin(srcLabel, tgtLabel))
-      .select(col(idCol).as("__nid"),
-        posexplode(col(vecCol)).as(Seq("__ndim", "__nx")))
-      .groupBy(col("__nid"))
-      .agg(sqrt(dsum(col("__nx").cast("double") * col("__nx").cast("double")))
-        .as("__norm"))
-    val cos = sx.join(tx, col("s_dim") === col("t_dim"))
-      .groupBy(col("s_id"), col("t_id"))
-      .agg(dsum(col("s_x") * col("t_x")).as("__dot"))
-      .join(broadcast(norms.select(col("__nid").as("s_id"),
-        col("__norm").as("__ns"))), "s_id")
-      .join(broadcast(norms.select(col("__nid").as("t_id"),
-        col("__norm").as("__nt"))), "t_id")
+        .select(col(idCol).as(s"${pre}id"), col(vecCol).as(s"${pre}v"),
+          sqrt(ddot(col(vecCol), col(vecCol))).as(s"${pre}n"))
+    val cos = side(srcLabel, "s_")
+      .crossJoin(broadcast(side(tgtLabel, "t_")))
       .select(col("s_id"), col("t_id"),
-        (col("__dot") / (col("__ns") * col("__nt"))).as("cos"))
+        (ddot(col("s_v"), col("t_v")) /
+          (col("s_n") * col("t_n"))).as("cos"))
     marginScore(cos, kNeigh, topK)
   }
 
