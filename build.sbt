@@ -15,6 +15,14 @@ run / fork := true
 // trailing "[success] Total time: ..." line would shadow it. Timing
 // still reaches the harness inside the JSON itself.
 Global / showSuccess := false
+// r18: pass the forked JVM's output through RAW. sbt's default logger
+// prefixes every forked-stdout line with "[info] " — which made the
+// bench's final JSON line unparseable to a collector doing
+// json.loads(last_line) (every round's BENCH_r*.json shows
+// `parsed: null` with the JSON sitting right there behind an "[info] "
+// prefix). StdoutOutput hands the subprocess's stdout/stderr to the
+// parent's unmodified, so the contract line is byte-clean.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // showSuccess is consumed by sbt's command engine, not another setting —
 // exclude it from the unused-key lint
 Global / excludeLintKeys += showSuccess

@@ -40,8 +40,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Output: the final stdout line is a bounded-length JSON summary (total,
   * failures, the slowest queries that fit a ~1.1 KB budget) so a collector
   * that keeps only a tail of the output still gets a parseable record; the
-  * complete per-query map is written to `BENCH_FULL.json` in the working
-  * directory.
+  * complete per-query map is written to `BENCH_FULL.json` AND
+  * `BENCH_FULL_c<cpus>.json` (r18 — the per-core-count name survives the
+  * driver's second, low-core scaling run, which used to overwrite the
+  * 32-core record) in the working directory.
+  *
+  * r18 additions (methodology unchanged — the median stays the canonical
+  * number): `cold_s` per query (one extra timed execution after a
+  * PlanCache + storage reset, i.e. the WHOLE query with pin
+  * materialization inside the timed window), `cpu_total`/`cold_total` in
+  * the summary, and a dev-only SPARK_GRAFT_BENCH_ONLY subset filter that
+  * loudly marks its artifact `"filtered":true`.
   */
 object Bench {
   private def materialize(df: DataFrame): Unit =
@@ -155,11 +164,34 @@ object Bench {
     // three-rep median in a round-over-round diff)
     val repBudgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REP_BUDGET", "2400").toDouble
+    // r18: one EXTRA timed execution per query after a PlanCache +
+    // storage reset, reported as `cold_s` NEXT TO the median (never in
+    // its place). The timed reps run post-pin (multi-consumer frames
+    // were materialized by the warm-up), so their median measures the
+    // post-pin suffix; `cold_s` measures the WHOLE query — pins
+    // re-materialize inside the timed window exactly once and are then
+    // consumed 2-4×, the single-execution production shape. The r17
+    // verdict asked for exactly this pairing (watch item: pin warm-over
+    // flatters pinned queries); medians stay the canonical
+    // round-over-round number. Disable with SPARK_GRAFT_BENCH_COLD=0.
+    val coldRep = sys.env.getOrElse("SPARK_GRAFT_BENCH_COLD", "1") != "0"
+    // dev-only subset filter (comma-separated query names). NEVER set by
+    // the driver; a filtered run is loudly marked in both artifacts so it
+    // can never masquerade as a full catalog run.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(s => System.err.println(
+      s"[bench] FILTERED RUN (SPARK_GRAFT_BENCH_ONLY): ${s.size} queries"))
     val benchStart = System.nanoTime()
     var repsDegraded = 0
-    val measured = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val measured = selected.map { case (name, fn) =>
       var ok = true
       spark.catalog.clearCache()
+      // keep the JVM-global pin registry in step with the cache wipe —
+      // a stale registry key makes a later query run silently unpinned
+      graft.core.Stats.PlanCache.reset()
       // CONVERGED warm-up (up to 3 untimed runs): stop once a run is no
       // longer >25% faster than its predecessor. One fixed warm-up put
       // the timed reps on the JIT decay curve's KNEE for codegen-heavy
@@ -216,8 +248,24 @@ object Bench {
           else (v(v.length / 2 - 1) + v(v.length / 2)) / 2.0
         val ts = reps.map(_._1).sorted
         val cs = reps.map(_._2).sorted
+        // whole-query execution (see `coldRep` above): reset pins +
+        // storage, then time ONE construction+materialization. Skipped
+        // when the rep budget is exhausted (it is auxiliary — the
+        // median is the canonical number) and never marks the query
+        // failed.
+        val cold: Option[Double] =
+          if (!coldRep ||
+              (System.nanoTime() - benchStart) / 1e9 > repBudgetSec) None
+          else try {
+            graft.core.Stats.PlanCache.reset()
+            spark.catalog.clearCache()
+            if (gcBetween) System.gc()
+            val t0 = System.nanoTime()
+            materialize(fn(spark, sfDir))
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => None }
         name -> Some((med(ts), ts.head, ts.last,
-          med(cs), cs.head, cs.last, n))
+          med(cs), cs.head, cs.last, n, cold))
       } catch { case e: Throwable =>
         failed ::= name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -235,11 +283,15 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def sec(v: Double): String = f"$v%.3f"
     val reps = measured.collect { case (k, Some(v)) => k -> v }
-    val repsJson = reps.map { case (k, (m, lo, hi, cm, cl, ch, n)) =>
+    val repsJson = reps.map { case (k, (m, lo, hi, cm, cl, ch, n, cold)) =>
       "\"" + k + s"""":{"median":${sec(m)},"min":${sec(lo)},"max":${sec(hi)},""" +
         s""""cpu_s":${sec(cm)},"cpu_min":${sec(cl)},"cpu_max":${sec(ch)},""" +
+        cold.map(c => s""""cold_s":${sec(c)},""").getOrElse("") +
         s""""n":$n}"""
     }.mkString("{", ",", "}")
+    val coldTotal = reps.flatMap(_._2._8).sum
+    val nCold = reps.count(_._2._8.isDefined)
+    val cpuTotal = reps.map(_._2._4).sum
 
     // Full per-query detail goes to a file: the harness that collects the
     // bench keeps only a bounded tail of stdout, and a 130+-entry map does
@@ -253,12 +305,18 @@ object Bench {
     val spillJson = spills.toSeq.sortBy(_._1).map { case (k, (sm, sd)) =>
       "\"" + k + s"""":{"mem":$sm,"disk":$sd}"""
     }.mkString("{", ",", "}")
+    val filteredTag = if (only.isDefined) """"filtered":true,""" else ""
     val fullJson =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","methodology":"isolated_rep_median","n_reps":$repsPerQuery,"reps_degraded":$repsDegraded,"n_queries":${results.size},"tmp_stale_dirs":$staleDirs,"queries":$fullQs,"reps":$repsJson,"spill":$spillJson,"failed":$fj,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","methodology":"isolated_rep_median","n_reps":$repsPerQuery,"reps_degraded":$repsDegraded,$filteredTag"n_queries":${results.size},"tmp_stale_dirs":$staleDirs,"cpu_total":${sec(cpuTotal)},"cold_total":${sec(coldTotal)},"n_cold":$nCold,"queries":$fullQs,"reps":$repsJson,"spill":$spillJson,"failed":$fj,"sf":"$sfDir"}"""
+    // r17 forensics lesson: ONE filename across runs means the second run
+    // (the driver's low-core scaling pass) overwrites the first and the
+    // 32-core per-query record is unrecoverable. Keep the legacy name for
+    // existing tooling AND a per-core-count name that survives both runs.
+    for (p <- Seq("BENCH_FULL.json", s"BENCH_FULL_c$cpus.json"))
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(p),
+        (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"[bench] $p write failed: ${e.getMessage}") }
 
     // Final stdout line: summary + as many of the slowest queries as fit a
     // conservative length budget (the collector's tail window is ~2000
@@ -280,6 +338,6 @@ object Bench {
     spark.sparkContext.setLogLevel("OFF")
     try spark.stop() catch { case _: Throwable => }
     println(
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","methodology":"isolated_rep_median","reps_degraded":$repsDegraded,"n_queries":${results.size},"tmp_stale_dirs":$staleDirs,"queries":$qs,"queries_truncated":${picked.size < results.size},"detail":"BENCH_FULL.json","failed":$fj,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","methodology":"isolated_rep_median","reps_degraded":$repsDegraded,$filteredTag"n_queries":${results.size},"tmp_stale_dirs":$staleDirs,"cpu_total":${sec(cpuTotal)},"cold_total":${sec(coldTotal)},"n_cold":$nCold,"queries":$qs,"queries_truncated":${picked.size < results.size},"detail":"BENCH_FULL_c$cpus.json","failed":$fj,"sf":"$sfDir"}""")
   }
 }

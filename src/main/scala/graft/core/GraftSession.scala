@@ -10,8 +10,25 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Apply graft's standard config to any builder (used by mains/tests). */
-  def configure(b: SparkSession.Builder): SparkSession.Builder =
+  /** Apply graft's standard config to any builder (used by mains/tests).
+    *
+    * Dev A/B hook (r18): `SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"` applies
+    * overrides LAST, so a measurement run can flip one setting (e.g. the
+    * shuffle-writer threshold) without a code edit. Unset — the only
+    * state the driver's bench/verify runs see — it is a no-op.
+    */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = {
+    val configured = configureBase(b)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.contains('='))
+      .foldLeft(configured) { (bb, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        System.err.println(s"[graft] EXTRA_CONF override: $k=$v")
+        bb.config(k.trim, v.trim)
+      }
+  }
+
+  private def configureBase(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

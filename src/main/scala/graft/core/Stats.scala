@@ -299,6 +299,26 @@ object Stats {
         cached
       }
     }
+    /** Unpersist and forget every registered plan (r18, bench hygiene).
+      *
+      * The registry is JVM-global while `spark.catalog.clearCache()` is
+      * not registry-aware: a bench that clearCache()s between queries
+      * leaves `live` holding keys whose storage is GONE, and a later
+      * query constructing the same canonicalized fragment hits the stale
+      * key and silently runs UNPINNED (every consumer recomputes).
+      * Resetting both together keeps registry and CacheManager in step;
+      * it is also what makes a "whole query" timed execution honest —
+      * pins re-materialize inside the timed window exactly once.
+      */
+    private[graft] def reset(): Unit = synchronized {
+      live.foreach { case (_, df) =>
+        try {
+          if (!df.sparkSession.sparkContext.isStopped)
+            df.unpersist(blocking = false)
+        } catch { case _: Throwable => () }
+      }
+      live.clear()
+    }
   }
 
   /** Auto-selection for the serial-vs-distributed cumulative sum

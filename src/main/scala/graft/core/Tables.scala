@@ -31,21 +31,36 @@ object Tables {
     * sessions die with their WeakHashMap key. Reusing one relation
     * object also makes plan-fragment canonicalization exact for the
     * bounded PlanCache. */
+  /** r18 (ADVICE): values hold the memoized DataFrame through a
+    * SoftReference — a cached DataFrame strongly references its
+    * SparkSession (the WeakHashMap KEY), so strong values would pin
+    * every entry forever (the classic WeakHashMap value-refs-key
+    * pitfall). Soft values break that pin the moment the heap wants the
+    * space: cleared ref ⇒ the session becomes weakly reachable ⇒ the
+    * entry goes too. A cleared entry just re-reads the footer — the memo
+    * is a metadata cache, never a correctness dependency. */
   private val relCache =
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+      java.util.concurrent.ConcurrentHashMap[
+        String, java.lang.ref.SoftReference[DataFrame]]]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = relCache.synchronized {
       var m = relCache.get(spark)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        m = new java.util.concurrent.ConcurrentHashMap[
+          String, java.lang.ref.SoftReference[DataFrame]]()
         relCache.put(spark, m)
       }
       m
     }
-    perSession.computeIfAbsent(s"$dir/$name.parquet",
-      p => spark.read.parquet(p))
+    val path = s"$dir/$name.parquet"
+    val hit = Option(perSession.get(path)).flatMap(r => Option(r.get))
+    hit.getOrElse {
+      val df = spark.read.parquet(path)
+      perSession.put(path, new java.lang.ref.SoftReference(df))
+      df
+    }
   }
 
   /** events with `ts` normalized to EPOCH NANOSECONDS (long) regardless of

@@ -277,6 +277,13 @@ case class GraftDecimalSum(
   * a pair with NO surviving terms yields null, matching an empty
   * aggregation group. Elements may be float or double; floats widen
   * exactly.
+  *
+  * LENGTH CONTRACT: when the vectors differ in length only the first
+  * `min(|a|, |b|)` element pairs fold — the overlap semantics of the
+  * exploded-dim inner join this expression replaced (a dimension present
+  * on one side only had no join partner and contributed nothing). SQL
+  * callers wanting a hard error on ragged inputs should guard with
+  * `size(a) = size(b)` upstream.
   */
 case class GraftDecimalDot(left: Expression, right: Expression, scale: Int)
   extends BinaryExpression {
@@ -300,10 +307,13 @@ case class GraftDecimalDot(left: Expression, right: Expression, scale: Int)
   override def prettyName: String = "graft_ddot"
 
   private val pow: Double = math.pow(10.0, scale)
-  private val leftDouble =
+  // lazy: dataType may only be read after resolution — an eager val would
+  // throw UnresolvedException if the expression is constructed or copied
+  // with unresolved children (r17 ADVICE)
+  private lazy val leftDouble =
     left.dataType == ArrayType(DoubleType, true) ||
       left.dataType == ArrayType(DoubleType, false)
-  private val rightDouble =
+  private lazy val rightDouble =
     right.dataType == ArrayType(DoubleType, true) ||
       right.dataType == ArrayType(DoubleType, false)
 

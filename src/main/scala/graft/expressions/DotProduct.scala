@@ -209,6 +209,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litInt(children(1), "graft_shingle_hash_all", "k")
         else 3)))
     ext.injectFunction((
+      FunctionIdentifier("graft_window_md5_all"),
+      new ExpressionInfo(classOf[GraftWindowMd5All].getName,
+        "graft_window_md5_all"),
+      (children: Seq[Expression]) => GraftWindowMd5All(children(0),
+        litInt(children(1), "graft_window_md5_all", "k"))))
+    ext.injectFunction((
       FunctionIdentifier("graft_image_dims"),
       new ExpressionInfo(classOf[ImageDims].getName, "graft_image_dims"),
       (children: Seq[Expression]) => ImageDims(children(0))))

@@ -675,12 +675,16 @@ object Dedup {
     require(k >= 1, "windowDedup: windowTokens must be >= 1")
     require(sampleMod >= 1 && 16 % sampleMod == 0,
       "windowDedup: sampleMod must divide 16 (hex-digit selector)")
+    // r18: the fused native pass (expressions/WindowMd5.scala) replaces
+    // the interpreted HOF `transform(sequence, p -> md5(array_join(
+    // slice(tk, p+1, k), ' ')))` — same md5 hex per position bit-for-bit
+    // (the oracle replays the md5 selection, so the digest itself is
+    // pinned; only the per-window slice/join allocations go away)
     val windows = docs
       .select(col(idCol), split(col(textCol), " ").as("tk"))
       .filter(size(col("tk")) >= k)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(0, size(tk) - $k, 1), " +
-          s"p -> md5(array_join(slice(tk, p + 1, $k), ' ')))")).as("h"))
+      .select(col(idCol), explode(call_function("graft_window_md5_all",
+        col("tk"), lit(k))).as("h"))
       .filter(expr("(locate(substring(h, 1, 1), '0123456789abcdef') - 1)" +
         s" % $sampleMod = 0"))
     val grouped = windows.groupBy(col("h"), col(idCol))

@@ -45,19 +45,46 @@ object Joins {
   private[operators] def replicateDim(dim: DataFrame, salts: Int): DataFrame =
     dim.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
 
+  /** Join-strategy policy for the ×salts-replicated dim side (r18,
+    * guide §3.1 "pick the strategy deliberately").
+    *
+    * r17 pinned `shuffle_hash` unconditionally — right for the regime the
+    * salt machinery exists for (a dim too big to broadcast: left to its
+    * size estimates the planner collected a 1.2M-row replicated dim to
+    * the driver and built it per run), but measurably wrong when the dim
+    * is genuinely tiny (q197's ~400-row registry: the pinned two-sided
+    * exchange ran 2.07× slower than the broadcast the planner would have
+    * chosen — a broadcast join has no skew problem to begin with, so
+    * nothing is lost). The guard: estimate the replicated dim as
+    * `salts ×` the dim plan's size estimate and pin `shuffle_hash` only
+    * ABOVE `spark.sql.autoBroadcastJoinThreshold`; below it the planner
+    * keeps its choice (broadcast). Estimation errors past the threshold
+    * only re-select the designed salted-shuffle plan, never an OOM-risk
+    * broadcast — the conservative direction. */
+  private[operators] def replicateDimHinted(dim: DataFrame,
+      salts: Int): DataFrame = {
+    val replicated = replicateDim(dim, salts)
+    val threshold =
+      dim.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val est =
+      try dim.queryExecution.optimizedPlan.stats.sizeInBytes * salts
+      catch { case _: Throwable => BigInt(Long.MaxValue) }
+    if (threshold > 0 && est <= BigInt(threshold)) replicated
+    else replicated.hint("shuffle_hash")
+  }
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, salts: Int = 8): DataFrame = {
     require(salts >= 1, s"saltedJoin: salts must be >= 1, got $salts")
     val f = saltFact(fact, salts)
-    // the operator EXISTS for the shuffle regime — left to its size
-    // estimates the planner broadcasts the ×salts-replicated dim (r17:
-    // a 1.2M-row driver collect+build per run at sf0.1), which makes
-    // the whole salt machinery dead weight (broadcast joins have no
-    // skew problem). The SHUFFLE_HASH hint pins the designed plan: both
-    // sides exchange on (key, salt) — the salts spread the hot key —
-    // and the dim side (the smaller by contract) hash-builds per
-    // partition with no sort on either side.
-    val d = replicateDim(dim, salts).hint("shuffle_hash")
+    // the operator EXISTS for the shuffle regime — the SHUFFLE_HASH hint
+    // pins the designed plan when the replicated dim is past the
+    // broadcast threshold: both sides exchange on (key, salt) — the
+    // salts spread the hot key — and the dim side (the smaller by
+    // contract) hash-builds per partition with no sort on either side.
+    // Below the threshold the planner broadcasts, which is strictly
+    // better (no skew problem, no dim exchange) — see replicateDimHinted.
+    val d = replicateDimHinted(dim, salts)
     f.join(d, f(factKey) === d(dimKey) && f("__salt") === d("__salt"))
       .drop("__salt")
   }

@@ -65,12 +65,15 @@ object Linkage {
     require(salts >= 1, s"fsLink: salts must be >= 1, got $salts")
     val bSuffixed = b.toDF(b.columns.map(c =>
       if (blockCols.contains(c)) c else c + "_b").toIndexedSeq: _*)
-    // shuffle_hash on the replicated side for the same reason as
-    // Joins.saltedJoin (r17): a broadcast of the ×salts dim defeats the
-    // salting and pays a driver-side build
+    // size-guarded shuffle_hash on the replicated side, shared with
+    // Joins.saltedJoin (r18): past the broadcast threshold the hint pins
+    // the designed salted-shuffle plan (a broadcast of a LARGE ×salts dim
+    // defeats the salting and pays a driver-side build); under it the
+    // planner's broadcast is strictly better — r17's unconditional pin
+    // made q197's ~400-row registry 2.07× slower for no skew benefit.
     val joined = if (salts == 1) a.join(bSuffixed, blockCols)
     else Joins.saltFact(a, salts)
-      .join(Joins.replicateDim(bSuffixed, salts).hint("shuffle_hash"),
+      .join(Joins.replicateDimHinted(bSuffixed, salts),
         blockCols :+ "__salt")
       .drop("__salt")
     val flagged = rules.foldLeft(joined)((d, r) =>

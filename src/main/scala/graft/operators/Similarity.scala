@@ -1056,8 +1056,20 @@ object Similarity {
       emb.filter(col(labelCol) === label)
         .select(col(idCol).as(s"${pre}id"), col(vecCol).as(s"${pre}v"),
           sqrt(ddot(col(vecCol), col(vecCol))).as(s"${pre}n"))
+    // r18 (ADVICE): the broadcast of the target slice is size-GATED — a
+    // label slice is corpus-proportional, and an unconditional broadcast
+    // makes the local-mode assumption physical (driver/executor memory).
+    // Under the broadcast threshold the hint keeps r17's plan; above it
+    // the cartesian runs as a plain (shuffled) cross join — same |S|·|T|
+    // pair count either way, that shape is this exact form's contract.
+    val tgt = side(tgtLabel, "t_")
+    val thr = emb.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val tgtEst =
+      try tgt.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Throwable => BigInt(Long.MaxValue) }
+    val tgtSide = if (thr > 0 && tgtEst <= BigInt(thr)) broadcast(tgt) else tgt
     val cos = side(srcLabel, "s_")
-      .crossJoin(broadcast(side(tgtLabel, "t_")))
+      .crossJoin(tgtSide)
       .select(col("s_id"), col("t_id"),
         (ddot(col("s_v"), col("t_v")) /
           (col("s_n") * col("t_n"))).as("cos"))

@@ -117,6 +117,35 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("graft_window_md5_all equals the HOF md5(array_join(slice)) " +
+      "bit-for-bit") {
+    // r18: windowDedup's fused native pass must reproduce the interpreted
+    // HOF formulation EXACTLY — the content-defined sampler (and the
+    // oracle) key on the md5 hex digits, so a single differing byte flips
+    // selection verdicts. Vocab includes multi-byte UTF-8 and the empty
+    // token (consecutive spaces under split), the nasty join edges.
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("a", "bb", "héllo", "日本語", "", "x9", "zzz")
+    val docs = (1L to 30L).map { id =>
+      val n = 1 + rnd.nextInt(14)
+      (id, (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (k <- Seq(1, 3, 8)) {
+      val rows = docs.select(split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= k)
+        .select(
+          call_function("graft_window_md5_all", col("tk"), lit(k))
+            .as("fused"),
+          expr(s"transform(sequence(0, size(tk) - $k, 1), " +
+            s"p -> md5(array_join(slice(tk, p + 1, $k), ' ')))").as("hof"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"k=$k")
+      }
+    }
+  }
+
   // ---- mixtureWeights ----------------------------------------------------
 
   private def mixDocs = Seq(
