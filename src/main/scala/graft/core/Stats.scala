@@ -1048,6 +1048,11 @@ object Stats {
       if (cols.isEmpty) None else Some {
         val pairs = cols.map(c =>
           struct(lit(c).as("col_name"), toValue(col(c)).as("v")))
+        // NOT spread (r18, measured): wrapping the melt in Spread.narrow
+        // regressed q117 1.51 → 1.95 s at c32 — the 600k-row exchange
+        // costs more than the 3-task melt parallelism buys (the rollup
+        // already partial-aggregates map-side, so the explode never
+        // crosses a shuffle)
         val melted = df.select(explode(array(pairs: _*)).as("p"))
           .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
         val prof =

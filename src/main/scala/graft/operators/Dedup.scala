@@ -73,20 +73,39 @@ object Dedup {
     * and the joins shuffle long arrays instead of rebuilt shingle strings.
     */
   def jaccardVerify(docs: DataFrame, candidates: DataFrame,
-      idCol: String, textCol: String, threshold: Double): DataFrame =
-    jaccardVerifyTwoSided(docs, docs, candidates, idCol, textCol, threshold)
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    // self-join form: BOTH pair sides read the same shingle sets — pin
+    // the (id, hashed-shingle-array) frame so the corpus tokenizes and
+    // shingle-hashes once per run instead of once per side (r18; the
+    // setSimJoin `tokens` discipline)
+    val sh = graft.core.Stats.PlanCache.register(
+      docs.select(col(idCol).as("__vid"),
+        call_function("graft_shingle_hash", split(col(textCol), " "))
+          .as("__vsh")))
+    verifyFromShingles(
+      sh.select(col("__vid").as("xid"), col("__vsh").as("sh1")),
+      sh.select(col("__vid").as("yid"), col("__vsh").as("sh2")),
+      candidates, threshold)
+  }
 
   /** Two-frame form of [[jaccardVerify]] — each pair side brings its own
     * shingle-set source (the cross-corpus case, where the corpora may
     * even share id values). ONE copy of the verification convention:
-    * the self-join form above delegates here. */
+    * the self-join form above delegates to the same tail. */
   private def jaccardVerifyTwoSided(docsX: DataFrame, docsY: DataFrame,
       candidates: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val x = docsX.select(col(idCol).as("xid"),
-      call_function("graft_shingle_hash", split(col(textCol), " ")).as("sh1"))
-    val y = docsY.select(col(idCol).as("yid"),
-      call_function("graft_shingle_hash", split(col(textCol), " ")).as("sh2"))
+      threshold: Double): DataFrame =
+    verifyFromShingles(
+      docsX.select(col(idCol).as("xid"),
+        call_function("graft_shingle_hash", split(col(textCol), " "))
+          .as("sh1")),
+      docsY.select(col(idCol).as("yid"),
+        call_function("graft_shingle_hash", split(col(textCol), " "))
+          .as("sh2")),
+      candidates, threshold)
+
+  private def verifyFromShingles(x: DataFrame, y: DataFrame,
+      candidates: DataFrame, threshold: Double): DataFrame = {
     val inter = size(array_intersect(col("sh1"), col("sh2")))
     val union = size(array_distinct(concat(col("sh1"), col("sh2"))))
     candidates

@@ -46,13 +46,20 @@ object LanguageModel {
       // single-token docs have no bigrams; also guards sequence(1,0) which
       // Spark would generate DESCENDING (start>stop => step -1)
       .filter(size(col("tk")) >= 2)
-    val bg = toks.select(col(idCol),
+    // bg feeds the model counts AND the scoring join — pinned so the
+    // corpus tokenizes + explodes once per run, not three times (r18;
+    // the containmentScored discipline)
+    val bg = graft.core.Stats.PlanCache.register(toks.select(col(idCol),
         posexplode(expr(
           "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS w1, tk[i+1] AS w2))"))
           .as(Seq("pos", "b")))
-      .select(col(idCol), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .select(col(idCol), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2")))
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
-    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    // r18 (guide §2.4): the unigram context count is the bigram table's
+    // own marginal — Σ_w2 n2(w1, w2) ≡ COUNT(*) of bigrams with that w1 —
+    // so c1 aggregates the small distinct-bigram frame instead of paying
+    // a second full shuffle of the exploded corpus
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
     // one IEEE division per (w1,w2): bit-identical to CAST(n2 AS DOUBLE)/n1
     val lm = c2.join(c1, "w1")
       .select(col("w1"), col("w2"), (col("n2").cast("double") / col("n1")).as("p"))

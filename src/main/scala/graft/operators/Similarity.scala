@@ -529,9 +529,19 @@ object Similarity {
       m: Int, k: Int): Seq[(Int, Int, Seq[Double])] = {
     val seeds = emb.filter(col(idCol) < k).select(col(idCol), col(vecCol))
       .collect().toSeq
-      .map(r => (r.getLong(0).toInt,
+      .map(r => (r.getLong(0),
         r.getAs[collection.Seq[Float]](1).toSeq.map(_.toDouble)))
       .sortBy(_._1)
+    pqCodebooksFrom(seeds, m, k, idCol)
+  }
+
+  /** Codebook slicing over ALREADY-collected seed rows — split out (r18)
+    * so the composed searchers can feed centroids, codebooks and query
+    * vectors from ONE bounded collect instead of one scan job per model
+    * piece (ivfPqTopK paid four per construction: cents + books + queries
+    * + pqEncode's internal re-collect). */
+  private def pqCodebooksFrom(seeds: Seq[(Long, Seq[Double])], m: Int,
+      k: Int, idCol: String): Seq[(Int, Int, Seq[Double])] = {
     require(seeds.size == k, s"PQ needs $k seed vectors with $idCol < $k")
     // m must tile the embedding exactly: a remainder would silently drop
     // tail dimensions from every code and every ADC lookup, and m > dims
@@ -542,7 +552,26 @@ object Similarity {
       s"PQ subspace count m=$m must divide the embedding width $dims")
     val sub = dims / m
     for ((j, v) <- seeds; s <- 0 until m)
-      yield (s, j, v.slice(s * sub, (s + 1) * sub))
+      yield (s, j.toInt, v.slice(s * sub, (s + 1) * sub))
+  }
+
+  /** ONE bounded collect for the seed rows (`id < seedBound`) AND the
+    * query vectors — the model pieces every PQ/IVF searcher needs
+    * driver-side. An id satisfying both predicates lands in both outputs.
+    */
+  private def collectSeedAndQueryVecs(emb: DataFrame, idCol: String,
+      vecCol: String, seedBound: Int, ids: Seq[Long])
+      : (Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])]) = {
+    val qset = ids.toSet
+    val pred =
+      if (ids.isEmpty) col(idCol) < seedBound
+      else col(idCol) < seedBound || col(idCol).isin(ids: _*)
+    val rows = emb.filter(pred).select(col(idCol), col(vecCol))
+      .collect().toSeq
+      .map(r => (r.getLong(0),
+        r.getAs[collection.Seq[Float]](1).toSeq.map(_.toDouble)))
+    (rows.filter(_._1 < seedBound).sortBy(_._1),
+      rows.filter(t => qset.contains(t._1)).sortBy(_._1))
   }
 
   /** PQ encoding: per subspace, the code of the centroid with the LARGEST
@@ -553,8 +582,13 @@ object Similarity {
     * published memory answer for corpus-scale ANN (IVF bounds candidates,
     * PQ bounds bytes-per-vector). */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, k: Int = 16): DataFrame = {
-    val books = pqCodebooks(emb, idCol, vecCol, m, k)
+      m: Int = 8, k: Int = 16): DataFrame =
+    pqEncodeWith(emb, idCol, vecCol, pqCodebooks(emb, idCol, vecCol, m, k))
+
+  /** [[pqEncode]] over an already-collected codebook — no scan job. */
+  private def pqEncodeWith(emb: DataFrame, idCol: String, vecCol: String,
+      books: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    val m = books.map(_._1).max + 1
     val sub = books.head._3.size
     val codeCols = (0 until m).map { s =>
       val packed = books.filter(_._1 == s).sortBy(_._2).map { case (_, j, cv) =>
@@ -579,9 +613,12 @@ object Similarity {
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], kNN: Int, m: Int = 8, k: Int = 16,
       rerank: Int = 50): DataFrame = {
-    val books = pqCodebooks(emb, idCol, vecCol, m, k)
-    val queries = collectVecs(emb, idCol, vecCol, queryIds)
-    val encoded = pqEncode(emb, idCol, vecCol, m, k)
+    // one bounded collect feeds codebooks + query vectors, and the
+    // encoder reuses the collected books (was 3 scan jobs, r18)
+    val (seeds, queries) =
+      collectSeedAndQueryVecs(emb, idCol, vecCol, k, queryIds)
+    val books = pqCodebooksFrom(seeds, m, k, idCol)
+    val encoded = pqEncodeWith(emb, idCol, vecCol, books)
     val scored = encoded
       .select(col(idCol), col(vecCol),
         explode(array(adcStructs(queries, books, m): _*)).as("a"))
@@ -608,9 +645,16 @@ object Similarity {
       queryIds: Seq[Long], kNN: Int, nClusters: Int = 16, nProbe: Int = 4,
       m: Int = 8, k: Int = 16, rerank: Int = 50): DataFrame = {
     val spark = emb.sparkSession
-    val cents = seedCentroids(emb, idCol, vecCol, nClusters)
-    val books = pqCodebooks(emb, idCol, vecCol, m, k)
-    val queries = collectVecs(emb, idCol, vecCol, queryIds)
+    // ONE bounded collect for centroids + codebooks + query vectors (was
+    // 4 scan jobs per construction counting pqEncode's internal
+    // re-collect, r18)
+    val (seeds, queries) = collectSeedAndQueryVecs(emb, idCol, vecCol,
+      math.max(nClusters, k), queryIds)
+    val cents = seeds.filter(_._1 < nClusters)
+    require(cents.size >= 2,
+      s"IVF needs >= 2 seed centroids; found ${cents.size} rows with " +
+        s"$idCol < $nClusters")
+    val books = pqCodebooksFrom(seeds.filter(_._1 < k), m, k, idCol)
     // driver-side probe list: nProbe nearest centroids per query (same
     // dot + tiebreak as ivfTopK, computed on the collected query vectors)
     val probes = queries.flatMap { case (qid, qv) =>
@@ -620,7 +664,7 @@ object Similarity {
     }
     import spark.implicits._
     val probeDf = broadcast(probes.toDF("__pqid", "__pcid"))
-    val encoded = pqEncode(emb, idCol, vecCol, m, k)
+    val encoded = pqEncodeWith(emb, idCol, vecCol, books)
       .withColumn("__c", ivfClusterCol(cents, vecCol))
     val scored = encoded
       .select(col(idCol), col(vecCol), col("__c"),

@@ -649,9 +649,11 @@ object TextAnalysis {
       topK: Int = 3): DataFrame = {
     require(topK >= 1, "tfidfKeywords: topK must be >= 1")
     import org.apache.spark.sql.expressions.Window
-    val tf = docs
+    // tf feeds the df rollup AND the scoring join — pinned so the corpus
+    // tokenizes + shuffles onto (id, term) once per run, not twice (r18)
+    val tf = graft.core.Stats.PlanCache.register(docs
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("__n"))
     val scored = tf.join(broadcast(dfreq), "term")
@@ -783,12 +785,17 @@ object TextAnalysis {
       .agg(sum(col("__c")).as("__cw"))
       .orderBy(col("__cw").desc, col("__w")).limit(topWords)
       .select(col("__w"))
-    // every (slice, top word) cell — absent words are genuine zeros
-    val grid = totals.crossJoin(broadcast(top))
+    // every (slice, top word) cell — absent words are genuine zeros.
+    // grid feeds THREE consumers (sigma + both pair sides): pinned, or
+    // the totals aggregation, the top-F broadcast subquery, and the
+    // counts join all execute three times per run (r18; grid itself is
+    // |slices|·F rows — tiny)
+    val grid = graft.core.Stats.PlanCache.register(
+      totals.crossJoin(broadcast(top))
       .join(counts, Seq("__src", "__w"), "left")
       .select(col("__src"), col("__w"),
         (coalesce(col("__c"), lit(0L)).cast("double") /
-          col("__t").cast("double")).as("__f"))
+          col("__t").cast("double")).as("__f")))
     val nSrc = totals.select(count(lit(1)).as("__n"))
     val sigma = grid.groupBy(col("__w"))
       .agg(dsum(col("__f")).as("__sf"), dsum(col("__f") * col("__f")).as("__sf2"))
